@@ -1,0 +1,41 @@
+"""dask_spark: a PySpark-native analytics engine with the query and
+data-processing capabilities of dask/dask (reference snapshot at
+/root/reference), re-expressed Spark-first — the logical plan lives in
+Catalyst; Python only at Arrow-batched escape hatches.
+
+Public surface mirrors ``dask.dataframe``::
+
+    import dask_spark as ds
+    df = ds.read_parquet(".../lineitem.parquet")
+    out = df[df.l_shipdate <= "1998-09-02"].groupby(
+        ["l_returnflag", "l_linestatus"]).agg({"l_quantity": "sum"})
+    out.compute()          # pandas (like dask .compute())
+"""
+
+from dask_spark.frame import DaskFrame, Series, concat
+from dask_spark.session import get_spark
+from dask_spark.sources import (
+    from_pandas,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_sql_table,
+    timeseries,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DaskFrame",
+    "Series",
+    "concat",
+    "get_spark",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_sql_table",
+    "from_pandas",
+    "timeseries",
+]

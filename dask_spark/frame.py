@@ -1,0 +1,698 @@
+"""DaskFrame / Series: a dask.dataframe-style lazy collection over PySpark.
+
+Mirrors the reference's public collection API
+(/root/reference/dask/dataframe/dask_expr/_collection.py: FrameBase,
+DataFrame, Series) but every method is a thin declarative mapping onto
+pyspark DataFrame/Column ops, so the WHOLE plan lives in Catalyst —
+pushdown, pruning, join selection and whole-stage codegen are free.
+
+Divergences from dask (documented, deliberate):
+- no explicit row index; ``set_index`` maps to range-partition + sort
+  (Spark's native ordering model) rather than a materialized index.
+- scalar reductions on Series return lazy one-row frames via the frame
+  API, or eager Python scalars via ``Series.compute()``-style helpers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame as SparkDF, Window
+
+
+def _col(x: "Series | Column | Any") -> Column:
+    if isinstance(x, Series):
+        return x._expr
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+class StrAccessor:
+    """``.str`` — mirrors dask/pandas string accessor (reference:
+    dask/dataframe/accessor.py StringAccessor) via JVM string fns."""
+
+    def __init__(self, s: "Series"):
+        self._s = s
+
+    def _wrap(self, expr: Column, name: str | None = None) -> "Series":
+        return Series(self._s._frame, expr, name or self._s._name)
+
+    def lower(self):
+        return self._wrap(F.lower(self._s._expr))
+
+    def upper(self):
+        return self._wrap(F.upper(self._s._expr))
+
+    def len(self):
+        return self._wrap(F.length(self._s._expr))
+
+    def strip(self):
+        return self._wrap(F.trim(self._s._expr))
+
+    def lstrip(self):
+        return self._wrap(F.ltrim(self._s._expr))
+
+    def rstrip(self):
+        return self._wrap(F.rtrim(self._s._expr))
+
+    def contains(self, pat: str, regex: bool = True):
+        e = self._s._expr
+        return self._wrap(e.rlike(pat) if regex else e.contains(pat))
+
+    def startswith(self, pat: str):
+        return self._wrap(self._s._expr.startswith(pat))
+
+    def endswith(self, pat: str):
+        return self._wrap(self._s._expr.endswith(pat))
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        e = self._s._expr
+        out = (
+            F.regexp_replace(e, pat, repl)
+            if regex
+            else F.replace(e, F.lit(pat), F.lit(repl))
+        )
+        return self._wrap(out)
+
+    def split(self, pat: str = r"\s+"):
+        return self._wrap(F.split(self._s._expr, pat))
+
+    def extract(self, pat: str, group: int = 1):
+        return self._wrap(F.regexp_extract(self._s._expr, pat, group))
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        length = (stop - start) if stop is not None else (1 << 30)
+        return self._wrap(F.substring(self._s._expr, start + 1, length))
+
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        fn = F.lpad if side == "left" else F.rpad
+        return self._wrap(fn(self._s._expr, width, fillchar))
+
+    def cat(self, other: "Series", sep: str = ""):
+        return self._wrap(F.concat_ws(sep, self._s._expr, _col(other)))
+
+    def count(self, pat: str):
+        return self._wrap(
+            F.size(F.split(self._s._expr, pat)) - F.lit(1)
+        )
+
+
+class DtAccessor:
+    """``.dt`` — datetime accessor (reference: accessor.py
+    DatetimeAccessor) via JVM datetime fns."""
+
+    def __init__(self, s: "Series"):
+        self._s = s
+
+    def _wrap(self, expr: Column) -> "Series":
+        return Series(self._s._frame, expr, self._s._name)
+
+    @property
+    def year(self):
+        return self._wrap(F.year(self._s._expr))
+
+    @property
+    def month(self):
+        return self._wrap(F.month(self._s._expr))
+
+    @property
+    def day(self):
+        return self._wrap(F.dayofmonth(self._s._expr))
+
+    @property
+    def hour(self):
+        return self._wrap(F.hour(self._s._expr))
+
+    @property
+    def minute(self):
+        return self._wrap(F.minute(self._s._expr))
+
+    @property
+    def second(self):
+        return self._wrap(F.second(self._s._expr))
+
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0; Spark dayofweek: Sunday=1
+        return self._wrap((F.dayofweek(self._s._expr) + 5) % 7)
+
+    @property
+    def dayofyear(self):
+        return self._wrap(F.dayofyear(self._s._expr))
+
+    @property
+    def quarter(self):
+        return self._wrap(F.quarter(self._s._expr))
+
+    @property
+    def date(self):
+        return self._wrap(F.to_date(self._s._expr))
+
+    def floor(self, freq: str):
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute",
+                "M": "month", "W": "week", "Y": "year", "S": "second"}.get(
+            freq.rstrip("1"), freq
+        )
+        return self._wrap(F.date_trunc(unit, self._s._expr))
+
+    def strftime(self, fmt: str):
+        # translate the common pandas directives to JVM pattern
+        m = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+             "%M": "mm", "%S": "ss"}
+        for k, v in m.items():
+            fmt = fmt.replace(k, v)
+        return self._wrap(F.date_format(self._s._expr, fmt))
+
+
+class Series:
+    """Column-expression view bound to a parent DaskFrame (lazy)."""
+
+    def __init__(self, frame: "DaskFrame", expr: Column, name: str):
+        self._frame = frame
+        self._expr = expr
+        self._name = name
+
+    # ---- binary ops -------------------------------------------------
+    def _bin(self, other, fn) -> "Series":
+        return Series(self._frame, fn(self._expr, _col(other)), self._name)
+
+    def __add__(self, o):
+        if isinstance(o, str):  # pandas: str + str concatenates
+            return self._bin(o, lambda a, b: F.concat(a, b))
+        return self._bin(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        if isinstance(o, str):
+            return self._bin(o, lambda a, b: F.concat(b, a))
+        return self._bin(o, lambda a, b: b + a)
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._bin(o, lambda a, b: b - a)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._bin(o, lambda a, b: b * a)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._bin(o, lambda a, b: b / a)
+
+    def __mod__(self, o):
+        return self._bin(o, lambda a, b: a % b)
+
+    def __pow__(self, o):
+        return self._bin(o, lambda a, b: F.pow(a, b))
+
+    def __gt__(self, o):
+        return self._bin(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._bin(o, lambda a, b: a >= b)
+
+    def __lt__(self, o):
+        return self._bin(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._bin(o, lambda a, b: a <= b)
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._bin(o, lambda a, b: a == b)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._bin(o, lambda a, b: a != b)
+
+    def __and__(self, o):
+        return self._bin(o, lambda a, b: a & b)
+
+    def __or__(self, o):
+        return self._bin(o, lambda a, b: a | b)
+
+    def __invert__(self):
+        return Series(self._frame, ~self._expr, self._name)
+
+    def __neg__(self):
+        return Series(self._frame, -self._expr, self._name)
+
+    # ---- elementwise ------------------------------------------------
+    def alias(self, name: str) -> "Series":
+        return Series(self._frame, self._expr.alias(name), name)
+
+    rename = alias
+
+    def isin(self, values: Iterable) -> "Series":
+        return Series(self._frame, self._expr.isin(list(values)), self._name)
+
+    def between(self, lo, hi) -> "Series":
+        return Series(self._frame, self._expr.between(lo, hi), self._name)
+
+    def isna(self) -> "Series":
+        return Series(self._frame, self._expr.isNull(), self._name)
+
+    isnull = isna
+
+    def notna(self) -> "Series":
+        return Series(self._frame, self._expr.isNotNull(), self._name)
+
+    notnull = notna
+
+    def fillna(self, value) -> "Series":
+        return Series(
+            self._frame, F.coalesce(self._expr, _col(value)), self._name
+        )
+
+    def astype(self, dtype: str) -> "Series":
+        return Series(self._frame, self._expr.cast(_SPARK_DTYPES.get(dtype, dtype)), self._name)
+
+    def where(self, cond: "Series", other=None) -> "Series":
+        return Series(
+            self._frame,
+            F.when(_col(cond), self._expr).otherwise(_col(other)),
+            self._name,
+        )
+
+    def mask(self, cond: "Series", other=None) -> "Series":
+        return Series(
+            self._frame,
+            F.when(~_col(cond), self._expr).otherwise(_col(other)),
+            self._name,
+        )
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        e = self._expr
+        if lower is not None:
+            e = F.greatest(e, F.lit(lower))
+        if upper is not None:
+            e = F.least(e, F.lit(upper))
+        return Series(self._frame, e, self._name)
+
+    def round(self, n: int = 0) -> "Series":
+        return Series(self._frame, F.round(self._expr, n), self._name)
+
+    def abs(self) -> "Series":
+        return Series(self._frame, F.abs(self._expr), self._name)
+
+    def map(self, fn, dtype: str = "string") -> "Series":
+        """Row-wise Python fn — Arrow pandas UDF (slow path by design)."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(dtype)
+        def _udf(s):
+            return s.map(fn)
+
+        return Series(self._frame, _udf(self._expr), self._name)
+
+    @property
+    def str(self) -> StrAccessor:
+        return StrAccessor(self)
+
+    @property
+    def dt(self) -> DtAccessor:
+        return DtAccessor(self)
+
+    # ---- reductions (eager scalars, like .compute() on dask scalar) --
+    def _agg_scalar(self, expr: Column):
+        return self._frame._sdf.select(expr.alias("v")).first()["v"]
+
+    def sum(self):
+        return self._agg_scalar(F.sum(self._expr))
+
+    def mean(self):
+        return self._agg_scalar(F.avg(self._expr))
+
+    def min(self):
+        return self._agg_scalar(F.min(self._expr))
+
+    def max(self):
+        return self._agg_scalar(F.max(self._expr))
+
+    def count(self):
+        return self._agg_scalar(F.count(self._expr))
+
+    def std(self):
+        return self._agg_scalar(F.stddev_samp(self._expr))
+
+    def var(self):
+        return self._agg_scalar(F.var_samp(self._expr))
+
+    def nunique(self):
+        return self._agg_scalar(F.countDistinct(self._expr))
+
+    def nunique_approx(self):
+        """reference: dask/dataframe/hyperloglog.py → native HLL++."""
+        return self._agg_scalar(F.approx_count_distinct(self._expr))
+
+    def quantile(self, q: float = 0.5):
+        """reference: dask/dataframe/partitionquantiles.py → GK sketch."""
+        return self._agg_scalar(F.percentile_approx(self._expr, q))
+
+    def median(self):
+        return self.quantile(0.5)
+
+    # ---- to frame ----------------------------------------------------
+    def to_frame(self, name: str | None = None) -> "DaskFrame":
+        return DaskFrame(
+            self._frame._sdf.select(self._expr.alias(name or self._name))
+        )
+
+    def value_counts(self, sort: bool = True, ascending: bool = False) -> "DaskFrame":
+        out = self._frame._sdf.groupBy(self._expr.alias(self._name)).agg(
+            F.count(F.lit(1)).alias("count")
+        )
+        if sort:
+            out = out.orderBy(
+                F.col("count").asc() if ascending else F.col("count").desc(),
+                F.col(self._name),
+            )
+        return DaskFrame(out)
+
+    def unique(self) -> "DaskFrame":
+        return DaskFrame(
+            self._frame._sdf.select(self._expr.alias(self._name)).distinct()
+        )
+
+    def compute(self):
+        """Collect to a pandas Series (terminal action)."""
+        return self.to_frame().compute()[self._name]
+
+
+_SPARK_DTYPES = {
+    "int64": "bigint",
+    "int32": "int",
+    "int": "bigint",
+    "float64": "double",
+    "float32": "float",
+    "float": "double",
+    "str": "string",
+    "object": "string",
+    "bool": "boolean",
+    "datetime64[ns]": "timestamp",
+    "category": "string",
+}
+
+
+class DaskFrame:
+    """Lazy partitioned frame; the PySpark re-expression of
+    dask.dataframe.DataFrame (reference: dask_expr/_collection.py)."""
+
+    def __init__(self, sdf: SparkDF):
+        self._sdf = sdf
+
+    # ---- basic introspection -----------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return list(self._sdf.columns)
+
+    @property
+    def dtypes(self):
+        return dict(self._sdf.dtypes)
+
+    @property
+    def npartitions(self) -> int:
+        return self._sdf.rdd.getNumPartitions()
+
+    def explain(self, mode: str = "formatted"):
+        return self._sdf.explain(mode)
+
+    def __repr__(self):
+        return f"<DaskFrame columns={self.columns}>"
+
+    # ---- column access -----------------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return Series(self, F.col(key), key)
+        if isinstance(key, Series):  # boolean mask
+            return DaskFrame(self._sdf.filter(key._expr))
+        if isinstance(key, (list, tuple)):
+            return DaskFrame(self._sdf.select(*key))
+        raise TypeError(f"unsupported key {key!r}")
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._sdf.columns:
+            return Series(self, F.col(name), name)
+        raise AttributeError(name)
+
+    def __setitem__(self, name: str, value):
+        self._sdf = self._sdf.withColumn(name, _col(value))
+
+    # ---- projection / mutation ----------------------------------------
+    def assign(self, **kwargs) -> "DaskFrame":
+        sdf = self._sdf
+        for name, value in kwargs.items():
+            if callable(value) and not isinstance(value, (Series, Column)):
+                value = value(DaskFrame(sdf))
+            sdf = sdf.withColumn(name, _col(value))
+        return DaskFrame(sdf)
+
+    def drop(self, columns: str | Sequence[str]) -> "DaskFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return DaskFrame(self._sdf.drop(*cols))
+
+    def rename(self, columns: Mapping[str, str]) -> "DaskFrame":
+        sdf = self._sdf
+        for old, new in columns.items():
+            sdf = sdf.withColumnRenamed(old, new)
+        return DaskFrame(sdf)
+
+    def astype(self, dtypes: Mapping[str, str]) -> "DaskFrame":
+        sdf = self._sdf
+        for c, dt in dtypes.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(_SPARK_DTYPES.get(dt, dt)))
+        return DaskFrame(sdf)
+
+    # ---- filtering -----------------------------------------------------
+    def query(self, expr: str) -> "DaskFrame":
+        return DaskFrame(self._sdf.filter(expr))
+
+    def filter(self, cond: "Series | str") -> "DaskFrame":
+        return DaskFrame(self._sdf.filter(_col(cond) if isinstance(cond, Series) else cond))
+
+    def isin_filter(self, column: str, values: Iterable) -> "DaskFrame":
+        return DaskFrame(self._sdf.filter(F.col(column).isin(list(values))))
+
+    # ---- NA handling -----------------------------------------------------
+    def fillna(self, value) -> "DaskFrame":
+        return DaskFrame(self._sdf.fillna(value))
+
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "DaskFrame":
+        return DaskFrame(self._sdf.dropna(how=how, subset=subset))
+
+    def replace(self, to_replace, value) -> "DaskFrame":
+        return DaskFrame(self._sdf.replace(to_replace, value))
+
+    # ---- dedup / sorting -------------------------------------------------
+    def drop_duplicates(self, subset: Sequence[str] | None = None, keep: str = "any") -> "DaskFrame":
+        from dask_spark.operators.dedup import drop_duplicates
+
+        return drop_duplicates(self, subset=subset, keep=keep)
+
+    def sort_values(self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True) -> "DaskFrame":
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        return DaskFrame(self._sdf.orderBy(*cols))
+
+    def nlargest(self, n: int, columns: str | Sequence[str]) -> "DaskFrame":
+        return self.sort_values(columns, ascending=False).head_frame(n)
+
+    def nsmallest(self, n: int, columns: str | Sequence[str]) -> "DaskFrame":
+        return self.sort_values(columns, ascending=True).head_frame(n)
+
+    def set_index(self, col: str, npartitions: int | None = None) -> "DaskFrame":
+        from dask_spark.operators.sort import set_index
+
+        return set_index(self, col, npartitions)
+
+    def repartition(self, npartitions: int | None = None, on: Sequence[str] | None = None) -> "DaskFrame":
+        from dask_spark.operators.sort import repartition
+
+        return repartition(self, npartitions, on)
+
+    def shuffle(self, on: str | Sequence[str], npartitions: int | None = None) -> "DaskFrame":
+        on = [on] if isinstance(on, str) else list(on)
+        return self.repartition(npartitions, on=on)
+
+    # ---- sampling / limits -------------------------------------------------
+    def head_frame(self, n: int = 5) -> "DaskFrame":
+        return DaskFrame(self._sdf.limit(n))
+
+    def head(self, n: int = 5):
+        return self._sdf.limit(n).toPandas()
+
+    def sample(self, frac: float, random_state: int = 42) -> "DaskFrame":
+        return DaskFrame(self._sdf.sample(fraction=frac, seed=random_state))
+
+    # ---- reductions (frame-level, lazy one-row frame) -----------------------
+    def _numeric_cols(self) -> list[str]:
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+        return [c for c, t in self._sdf.dtypes if t.split("(")[0] in num]
+
+    def _agg_all(self, fn: Callable[[str], Column]) -> "DaskFrame":
+        cols = self._numeric_cols()
+        return DaskFrame(self._sdf.agg(*[fn(c).alias(c) for c in cols]))
+
+    def sum(self):
+        return self._agg_all(lambda c: F.sum(F.col(c)))
+
+    def mean(self):
+        return self._agg_all(lambda c: F.avg(F.col(c)))
+
+    def min(self):
+        return self._agg_all(lambda c: F.min(F.col(c)))
+
+    def max(self):
+        return self._agg_all(lambda c: F.max(F.col(c)))
+
+    def std(self):
+        return self._agg_all(lambda c: F.stddev_samp(F.col(c)))
+
+    def var(self):
+        return self._agg_all(lambda c: F.var_samp(F.col(c)))
+
+    def count(self):
+        return self._agg_all(lambda c: F.count(F.col(c)))
+
+    def describe(self) -> "DaskFrame":
+        """Long-form describe: one row per numeric column."""
+        from dask_spark.operators.reductions import describe
+
+        return describe(self)
+
+    def quantile(self, q: float = 0.5) -> "DaskFrame":
+        cols = self._numeric_cols()
+        return DaskFrame(
+            self._sdf.agg(
+                *[F.percentile_approx(F.col(c), q).alias(c) for c in cols]
+            )
+        )
+
+    def corr(self, c1: str, c2: str) -> float:
+        return self._sdf.agg(F.corr(c1, c2).alias("v")).first()["v"]
+
+    def cov(self, c1: str, c2: str) -> float:
+        return self._sdf.agg(F.covar_samp(c1, c2).alias("v")).first()["v"]
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    # ---- groupby / joins / reshape (delegated) -----------------------------
+    def groupby(self, by: str | Sequence[str]):
+        from dask_spark.operators.groupby import GroupBy
+
+        return GroupBy(self, [by] if isinstance(by, str) else list(by))
+
+    def merge(self, right: "DaskFrame", how: str = "inner",
+              on: str | Sequence[str] | None = None,
+              left_on: str | Sequence[str] | None = None,
+              right_on: str | Sequence[str] | None = None,
+              broadcast: bool | None = None,
+              suffixes: tuple[str, str] = ("_x", "_y")) -> "DaskFrame":
+        from dask_spark.operators.joins import merge
+
+        return merge(self, right, how=how, on=on, left_on=left_on,
+                     right_on=right_on, broadcast=broadcast, suffixes=suffixes)
+
+    def join(self, right: "DaskFrame", on: str | Sequence[str], how: str = "left") -> "DaskFrame":
+        return self.merge(right, how=how, on=on)
+
+    def melt(self, id_vars, value_vars, var_name: str = "variable",
+             value_name: str = "value") -> "DaskFrame":
+        from dask_spark.operators.reshape import melt
+
+        return melt(self, id_vars, value_vars, var_name, value_name)
+
+    def pivot_table(self, index, columns: str, values: str, aggfunc: str = "mean") -> "DaskFrame":
+        from dask_spark.operators.reshape import pivot_table
+
+        return pivot_table(self, index, columns, values, aggfunc)
+
+    def explode(self, column: str) -> "DaskFrame":
+        from dask_spark.operators.reshape import explode
+
+        return explode(self, column)
+
+    def get_dummies(self, column: str, prefix: str | None = None, values: Sequence[str] | None = None) -> "DaskFrame":
+        from dask_spark.operators.reshape import get_dummies
+
+        return get_dummies(self, column, prefix, values)
+
+    def rolling(self, window: int | str, on: str, by: str | Sequence[str] | None = None):
+        from dask_spark.operators.window import Rolling
+
+        return Rolling(self, window, on, by)
+
+    def resample(self, rule: str, on: str):
+        from dask_spark.operators.window import Resampler
+
+        return Resampler(self, rule, on)
+
+    def merge_asof(self, right: "DaskFrame", on: str,
+                   by: str | Sequence[str] | None = None,
+                   direction: str = "backward",
+                   tolerance=None,
+                   suffixes: tuple[str, str] = ("", "_right")) -> "DaskFrame":
+        from dask_spark.operators.joins import merge_asof
+
+        return merge_asof(self, right, on=on, by=by, direction=direction,
+                          tolerance=tolerance, suffixes=suffixes)
+
+    # ---- python escape hatches ----------------------------------------------
+    def map_partitions(self, fn: Callable, schema: str) -> "DaskFrame":
+        """reference: dask/blockwise.py map_partitions → Arrow mapInPandas."""
+
+        def gen(batches):
+            for pdf in batches:
+                out = fn(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        return DaskFrame(self._sdf.mapInPandas(gen, schema=schema))
+
+    def apply(self, fn: Callable, schema: str) -> "DaskFrame":
+        return self.map_partitions(lambda pdf: pdf.apply(fn, axis=1, result_type="expand"), schema)
+
+    # ---- terminal ----------------------------------------------------------
+    def compute(self):
+        """Collect to pandas (== dask .compute())."""
+        return self._sdf.toPandas()
+
+    def persist(self) -> "DaskFrame":
+        return DaskFrame(self._sdf.cache())
+
+    def to_spark(self) -> SparkDF:
+        return self._sdf
+
+    # ---- writers -------------------------------------------------------------
+    def to_parquet(self, path: str, partition_on: Sequence[str] | None = None, mode: str = "overwrite"):
+        w = self._sdf.write.mode(mode)
+        if partition_on:
+            w = w.partitionBy(*partition_on)
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite"):
+        self._sdf.write.mode(mode).option("header", True).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite"):
+        self._sdf.write.mode(mode).json(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite"):
+        self._sdf.write.mode(mode).orc(path)
+
+
+def concat(frames: Sequence[DaskFrame]) -> DaskFrame:
+    """reference: dask/dataframe/multi.py concat (axis=0) →
+    unionByName with missing-column fill."""
+    out = frames[0]._sdf
+    for f in frames[1:]:
+        out = out.unionByName(f._sdf, allowMissingColumns=True)
+    return DaskFrame(out)

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns + typed metadata struct, with decode / feature-extract /
+resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio libs, so the DECODE step is a
+deterministic fake (clearly marked) — the Spark-side contract (schema,
+batch shape, partitioning) is real and tested. Swap ``_fake_decode``
+for a PIL/libav call in production; nothing else changes."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pyspark.sql.functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media binary, "
+    "meta struct<kind:string, width:int, height:int, n_frames:int, sample_rate:int>"
+)
+
+
+def attach_fake_media(frame):
+    """Synthesize a deterministic binary payload per doc (stands in for
+    a real image/audio blob column read from parquet)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    payload = F.sha2(F.col("text"), 256).cast("binary")
+    kind = F.when(F.col("doc_id") % 3 == 0, "image").when(
+        F.col("doc_id") % 3 == 1, "audio"
+    ).otherwise("video")
+    meta = F.struct(
+        kind.alias("kind"),
+        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+        (F.col("doc_id") % 120 + 1).cast("int").alias("n_frames"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+    )
+    return DaskFrame(
+        sdf.select("doc_id", payload.alias("media"), meta.alias("meta"))
+    )
+
+
+def extract_meta(frame):
+    """Project typed metadata out of the struct (pure JVM)."""
+    from dask_spark.frame import DaskFrame
+
+    return DaskFrame(
+        frame._sdf.select(
+            "doc_id",
+            F.col("meta.kind").alias("kind"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.length("media").alias("n_bytes"),
+        )
+    )
+
+
+def _fake_decode(blob: bytes, width: int, height: int) -> list[float]:
+    """DETERMINISTIC FAKE decoder (no image libs in container).
+    Real impl: PIL.Image.open(io.BytesIO(blob)) → resize → np.asarray."""
+    h = hashlib.sha256(blob).digest()
+    return [b / 255.0 for b in h[:8]] + [float(width), float(height)]
+
+
+def decode_features(frame, out_dim: int = 10):
+    """mapInPandas decode+featurize: binary → fixed-dim float vector.
+    Arrow batches keep the Python boundary amortized; at 100 TB this
+    stage is embarrassingly parallel (map-only, no shuffle)."""
+    from dask_spark.frame import DaskFrame
+
+    schema = f"doc_id bigint, features array<double>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                _fake_decode(m, w, h)
+                for m, w, h in zip(
+                    pdf["media"], pdf["meta"].map(lambda s: s["width"]),
+                    pdf["meta"].map(lambda s: s["height"]),
+                )
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return DaskFrame(frame._sdf.mapInPandas(gen, schema=schema))
+
+
+def frame_sample(frame, every_n: int = 10):
+    """Video frame-sampling contract: emit (doc_id, frame_idx) rows for
+    every n-th frame — pure JVM via sequence+explode; the decode of the
+    sampled frame would plug into decode_features."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf.filter(F.col("meta.kind") == "video")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+    ).alias("frame_idx")
+    return DaskFrame(sdf.select("doc_id", idx))

@@ -1,0 +1,110 @@
+"""Text-analysis functions for LLM-corpus pipelines — all pure Column
+expressions (JVM codegen, zero Python in the hot path).
+
+These extend the reference's string accessor surface
+(dask/dataframe/accessor.py) with the corpus-prep ops a training-data
+pipeline needs: tokenization, language ID, quality scoring,
+fingerprinting."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# BPE-ish word/number/punct splitter (GPT-2-style pre-tokenizer shape,
+# simplified to RE2-compatible form)
+_BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+_STOPWORDS = [
+    "the", "of", "and", "to", "a", "in", "is", "it", "that", "for", "on",
+    "was", "with", "as", "at", "by", "be", "this", "are", "or", "an",
+]
+
+# tiny per-language character/stopword profiles for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": ["the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " de ", " que ", " los ", " es "],
+}
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (lowercased)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization via regexp_extract_all."""
+    return F.regexp_extract_all(text, F.lit(_BPE_RE), 0)
+
+
+def token_count(text: Column, kind: str = "whitespace") -> Column:
+    if kind == "whitespace":
+        return F.size(word_tokens(text))
+    return F.size(bpe_tokens(text))
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles of the lowercased, whitespace-normalized
+    text → array<string>. JVM-side via sequence+substring transform."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(norm, i, F.lit(k)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: length band, alpha ratio,
+    punct ratio, stopword hit-rate, mean word length band. Mirrors
+    common corpus-filtering recipes (C4/Gopher rules, public)."""
+    toks = word_tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.greatest(n_chars, F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")) / F.greatest(n_chars, F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    mean_wl = n_chars / F.greatest(n_tok, F.lit(1))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 3) & (mean_wl <= 12), 1.0).otherwise(0.0)
+    score = (
+        0.25 * len_ok
+        + 0.25 * F.least(alpha * 1.25, F.lit(1.0))
+        + 0.2 * wl_ok
+        + 0.2 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.1 * (1 - F.least(punct * 10, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-n-gram language heuristic over {en,de,fr,es}; 'und'
+    (undetermined) when no marker fires. Pure expression — a real
+    system would swap in a fastText UDF; the plumbing is identical."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
+            for m in markers
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(scores)):
+        out = F.when((best_score > 0) & (scores[lang] == best_score), lang).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column, modulus: int = (1 << 61) - 1) -> Column:
+    """Deterministic rolling-hash document fingerprint (polynomial hash
+    over character codes, base 257 mod 2^61-1) → hex string. Same idea
+    as Rabin fingerprinting used for content-defined chunking."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    chars = F.split(norm, "(?!^)")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, c: (acc * 257 + F.ascii(c)) % F.lit(modulus).cast("decimal(38,0)"),
+    )
+    return F.lower(F.conv(h.cast("string"), 10, 16))

@@ -1,0 +1,80 @@
+"""Vector functions over ``array<float>`` embedding columns — the
+dask.array parity layer (reference: dask/array elementwise + reductions)
+re-expressed as Spark higher-order functions (JVM-side, codegen)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def scale(a: Column, s: float) -> Column:
+    return F.transform(a, lambda x: x * F.lit(s))
+
+
+def add(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def vec_mean(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v) / F.size(a)
+
+
+def random_hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Deterministic unit gaussian hyperplanes (driver-side constant —
+    broadcast into the expression as literals)."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(planes):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        inv = 1.0 / math.sqrt(sum(x * x for x in v))
+        out.append([x * inv for x in v])
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id (int): bit b = sign(vec·h_b).
+    The hyperplanes are literal arrays folded into the plan — the
+    signature is a map-only JVM expression, no shuffle, no Python."""
+    hps = random_hyperplanes(dim, planes, seed)
+    sig = F.lit(0).cast("bigint")
+    for i, h in enumerate(hps):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in h]))
+        sig = sig + F.when(d >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig

@@ -1,0 +1,152 @@
+"""Joins: PySpark re-expression of dask's merge machinery
+(reference: dask/dataframe/dask_expr/_merge.py, dask/dataframe/multi.py).
+
+dask picks between a blockwise (broadcast) merge and a full task shuffle
+(HashJoinP2P). Spark's planner makes the same decision natively
+(BroadcastHashJoin vs SortMergeJoin, AQE re-plans at runtime); we only
+add an explicit ``broadcast`` hint passthrough and a salting helper for
+pathological skew.
+
+``merge_asof`` (reference: dask/dataframe/multi.py merge_asof /
+_concat_and_asof) has no Spark builtin; implemented as union + window
+last-non-null — one shuffle on (by, on), no cross product."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, Window
+from pyspark.sql.functions import broadcast as B
+
+_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "outer": "full_outer",
+    "full": "full_outer",
+    "cross": "cross",
+    "semi": "left_semi",
+    "leftsemi": "left_semi",
+    "anti": "left_anti",
+    "leftanti": "left_anti",
+}
+
+
+def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
+          broadcast=None, suffixes=("_x", "_y")):
+    from dask_spark.frame import DaskFrame
+
+    lsdf, rsdf = left._sdf, right._sdf
+    how = _HOW[how]
+    if broadcast:
+        rsdf = B(rsdf)
+
+    if how == "cross":
+        return DaskFrame(lsdf.crossJoin(rsdf))
+
+    if on is not None:
+        keys = [on] if isinstance(on, str) else list(on)
+        # de-collide non-key shared columns with pandas-style suffixes
+        shared = [
+            c for c in lsdf.columns if c in rsdf.columns and c not in keys
+        ]
+        for c in shared:
+            lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+            rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+        return DaskFrame(lsdf.join(rsdf, on=keys, how=how))
+
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    shared = [c for c in lsdf.columns if c in rsdf.columns]
+    for c in shared:
+        lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+        rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+    fix = lambda k, sfx, cols: k + sfx if k + sfx in cols else k  # noqa: E731
+    cond = [
+        lsdf[fix(lk, suffixes[0], lsdf.columns)]
+        == rsdf[fix(rk, suffixes[1], rsdf.columns)]
+        for lk, rk in zip(lkeys, rkeys)
+    ]
+    out = lsdf.join(rsdf, on=cond, how=how)
+    return DaskFrame(out)
+
+
+def salted_join(left, right, on: str, how: str = "inner", salt: int = 8):
+    """Skew mitigation: replicate the (small-ish) right side ``salt``
+    times and scatter left rows across salt buckets. Use when AQE's
+    skew-join split is not enough (one monster key)."""
+    from dask_spark.frame import DaskFrame
+
+    lsdf = left._sdf.withColumn(
+        "__salt", (F.abs(F.hash(F.col(on), F.monotonically_increasing_id())) % salt)
+    )
+    rsdf = right._sdf.withColumn(
+        "__salt_arr", F.sequence(F.lit(0), F.lit(salt - 1))
+    ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
+    out = lsdf.join(rsdf, on=[on, "__salt"], how=how).drop("__salt")
+    return DaskFrame(out)
+
+
+def merge_asof(left, right, on: str, by=None, direction: str = "backward",
+               tolerance=None, suffixes=("", "_right")):
+    """As-of join via union + window fill (no per-row search, no cross
+    join): tag both sides, union, sort within (by, on) partitions, then
+    for each left row take the last (backward) / next (forward) right
+    row's payload with a window ``last(ignorenulls)``. Scales as one
+    shuffle of |L|+|R| rows on the by-key (or a single range partition
+    when no by-key)."""
+    from dask_spark.frame import DaskFrame
+
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    lsdf, rsdf = left._sdf, right._sdf
+
+    payload = [c for c in rsdf.columns if c != on and c not in by]
+    ren = {c: (c + suffixes[1] if c in lsdf.columns else c) for c in payload}
+    for old, new in ren.items():
+        if old != new:
+            rsdf = rsdf.withColumnRenamed(old, new)
+    payload = list(ren.values())
+
+    lcols = lsdf.columns
+    l_tagged = lsdf.withColumn("__side", F.lit(1))
+    for c in payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(rsdf.schema[c].dataType))
+    r_tagged = rsdf.withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c != on and c not in by:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(lsdf.schema[c].dataType))
+    unioned = l_tagged.select(*lcols, *payload, "__side").unionByName(
+        r_tagged.select(*lcols, *payload, "__side")
+    )
+
+    # right rows sort before left rows at equal `on` → backward includes ties
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in payload}
+        match_on = F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = {c: F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in payload}
+        match_on = F.first(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+    else:
+        raise ValueError("direction must be backward|forward")
+
+    out = unioned
+    for c, e in fill.items():
+        out = out.withColumn(c, e)
+    out = out.withColumn("__match_on", match_on)
+    out = out.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        within = F.abs(F.col(on) - F.col("__match_on")) <= F.lit(tolerance)
+        for c in payload:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+    return DaskFrame(out.drop("__match_on"))

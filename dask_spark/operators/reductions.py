@@ -1,0 +1,50 @@
+"""Frame-level reductions (reference: dask/dataframe/dask_expr/_reductions.py
+ApplyConcatApply and dask/dataframe/core.py describe).
+
+All reductions are declarative aggs → Spark partial+final hash aggregate
+(map-side combine), identical in shape to dask's ACA tree-reduce but
+JVM-codegen'd."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def describe(frame):
+    """Long-form describe: one row per numeric column with
+    count/mean/std/min/q25/q50/q75/max. Long form (not pandas' wide
+    form) so the schema is stable for the oracle compare."""
+    from dask_spark.frame import DaskFrame
+
+    cols = frame._numeric_cols()
+    sdf = frame._sdf
+    # one pass: aggregate every stat for every column, then unpivot
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev_samp(c).alias(f"{c}__std"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.percentile(c, F.lit(0.25)).cast("double").alias(f"{c}__q25"),
+            F.percentile(c, F.lit(0.5)).cast("double").alias(f"{c}__q50"),
+            F.percentile(c, F.lit(0.75)).cast("double").alias(f"{c}__q75"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = sdf.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__count").cast("bigint").alias("count"),
+            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"{c}__std").alias("std"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__q25").alias("q25"),
+            F.col(f"{c}__q50").alias("q50"),
+            F.col(f"{c}__q75").alias("q75"),
+            F.col(f"{c}__max").alias("max"),
+        )
+        for c in cols
+    ]
+    out = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    return DaskFrame(out)

@@ -1,0 +1,80 @@
+"""Reshape ops (reference: dask/dataframe/reshape.py — pivot_table,
+melt, get_dummies; explode from dask_expr._collection).
+
+pivot_table: Spark's groupBy().pivot(values=...) does a single shuffle
+when the pivot values are supplied; we pre-compute distinct values only
+when the caller omits them (dask requires known categoricals for the
+same reason — unknown pivot columns break laziness)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+
+_PIVOT_AGGS = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "first": lambda c: F.first(c, ignorenulls=True),
+}
+
+
+def pivot_table(frame, index, columns: str, values: str, aggfunc: str = "mean",
+                pivot_values: Sequence[str] | None = None):
+    from dask_spark.frame import DaskFrame
+
+    index = [index] if isinstance(index, str) else list(index)
+    sdf = frame._sdf
+    gb = sdf.groupBy(*index)
+    piv = gb.pivot(columns, list(pivot_values)) if pivot_values else gb.pivot(columns)
+    return DaskFrame(piv.agg(_PIVOT_AGGS[aggfunc](values)))
+
+
+def melt(frame, id_vars, value_vars, var_name: str = "variable",
+         value_name: str = "value"):
+    from dask_spark.frame import DaskFrame
+
+    id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+    value_vars = [value_vars] if isinstance(value_vars, str) else list(value_vars)
+    sdf = frame._sdf
+    structs = [
+        F.struct(
+            F.lit(c).alias(var_name), F.col(c).cast("double").alias(value_name)
+        )
+        for c in value_vars
+    ]
+    out = sdf.select(
+        *id_vars, F.explode(F.array(*structs)).alias("__m")
+    ).select(*id_vars, f"__m.{var_name}", f"__m.{value_name}")
+    return DaskFrame(out)
+
+
+def explode(frame, column: str):
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    others = [c for c in sdf.columns if c != column]
+    return DaskFrame(sdf.select(*others, F.explode(F.col(column)).alias(column)))
+
+
+def get_dummies(frame, column: str, prefix: str | None = None,
+                values: Sequence[str] | None = None):
+    """One-hot encode. Like dask (reference: reshape.py get_dummies
+    requires known categories), the category set must be supplied or is
+    computed with one small distinct job — never per-row Python."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    if values is None:
+        values = [
+            r[0] for r in sdf.select(column).distinct().orderBy(column).collect()
+        ]
+    prefix = prefix if prefix is not None else column
+    cols = [
+        F.when(F.col(column) == v, 1).otherwise(0).alias(f"{prefix}_{v}")
+        for v in values
+    ]
+    return DaskFrame(sdf.select(*sdf.columns, *cols))

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (brief-mandated extension;
+dask.array has no ANN — this is the Spark-first design for 100 TB).
+
+Brute-force: broadcast the query vector as a literal expression; the
+corpus is scanned map-only (cosine per row, JVM higher-order fns) and
+reduced with TakeOrdered top-k — NO shuffle of the corpus, ever.
+
+LSH / IVF: candidate pruning first (bucket equality / nearest-centroid
+probe), exact cosine only on the surviving fraction."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+
+from dask_spark.functions.vector import (
+    cosine_sim,
+    dot,
+    lsh_signature,
+    norm,
+    random_hyperplanes,
+)
+
+
+def _query_lit(query: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in query])
+
+
+def brute_force_topk(frame, query: Sequence[float], k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k: map-only scoring + TakeOrdered(k)."""
+    from dask_spark.frame import DaskFrame
+
+    q = _query_lit(query)
+    scored = frame._sdf.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return DaskFrame(scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def lsh_topk(frame, query: Sequence[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             planes: int = 8, seed: int = 7):
+    """ANN: probe only the query's LSH bucket, exact-rank inside it.
+    At scale the bucket filter is a pushed-down int equality over a
+    precomputable signature column."""
+    from dask_spark.frame import DaskFrame
+
+    dim = len(query)
+    sig_col = lsh_signature(F.col(vec_col), dim, planes, seed)
+    hps = random_hyperplanes(dim, planes, seed)
+    qsig = 0
+    for i, h in enumerate(hps):
+        if sum(a * b for a, b in zip(query, h)) >= 0:
+            qsig |= 1 << i
+    q = _query_lit(query)
+    scored = (
+        frame._sdf.withColumn("__sig", sig_col)
+        .filter(F.col("__sig") == qsig)
+        .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
+    )
+    return DaskFrame(scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def kmeans_centroids(frame, vec_col: str = "embedding", n_clusters: int = 16,
+                     iters: int = 5, seed: int = 42):
+    """Deterministic Lloyd's k-means on the driver over a sample —
+    centroids are tiny (k×dim floats) and become literal constants in
+    downstream plans. The heavy assignment pass stays distributed."""
+    sample = [
+        list(r[0])
+        for r in frame._sdf.select(vec_col).limit(2048).collect()
+    ]
+    import random as _random
+
+    rng = _random.Random(seed)
+    cents = [list(v) for v in rng.sample(sample, min(n_clusters, len(sample)))]
+    for _ in range(iters):
+        sums = [[0.0] * len(cents[0]) for _ in cents]
+        counts = [0] * len(cents)
+        for v in sample:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(v, c))
+                if d < bd:
+                    best, bd = ci, d
+            counts[best] += 1
+            for j, x in enumerate(v):
+                sums[best][j] += x
+        cents = [
+            [s / c for s in srow] if c else cents[ci]
+            for ci, (srow, c) in enumerate(zip(sums, counts))
+        ]
+    return cents
+
+
+def assign_clusters(frame, centroids, vec_col: str = "embedding"):
+    """Nearest-centroid assignment as a pure expression: argmin over k
+    literal-array distances (map-only)."""
+    from dask_spark.frame import DaskFrame
+
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col(vec_col), _query_lit(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    best = F.lit(0)
+    best_d = dists[0]
+    for i in range(1, len(dists)):
+        cond = dists[i] < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, dists[i]).otherwise(best_d)
+    return DaskFrame(frame._sdf.withColumn("cluster", best))
+
+
+def ivf_topk(frame, query: Sequence[float], k: int = 10, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids=None, n_clusters: int = 16):
+    """IVF-style ANN: assign corpus to centroid cells (map-only), probe
+    the n_probe cells nearest the query, exact-rank inside them."""
+    from dask_spark.frame import DaskFrame
+
+    if centroids is None:
+        centroids = kmeans_centroids(frame, vec_col, n_clusters)
+    assigned = assign_clusters(frame, centroids, vec_col)._sdf
+    qd = [
+        (i, sum((a - b) ** 2 for a, b in zip(query, c)))
+        for i, c in enumerate(centroids)
+    ]
+    probe = [i for i, _ in sorted(qd, key=lambda t: t[1])[:n_probe]]
+    q = _query_lit(query)
+    scored = (
+        assigned.filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
+    )
+    return DaskFrame(scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))

@@ -1,0 +1,43 @@
+"""Plan introspection (reference: dask diagnostics/visualize →
+Spark explain). Helpers assert the scale guardrails: pushdown, pruning,
+broadcast, whole-stage codegen."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+
+def plan_text(frame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frame._sdf.explain(mode)
+    return buf.getvalue()
+
+
+def has_pushed_filters(frame) -> bool:
+    txt = plan_text(frame)
+    return "PushedFilters: [" in txt and "PushedFilters: []" not in txt
+
+
+def read_schema_columns(frame) -> list[str]:
+    """Columns actually read at the scan (pruning check)."""
+    import re
+
+    txt = plan_text(frame)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    if not m:
+        return []
+    return [p.split(":")[0] for p in m.group(1).split(",") if p]
+
+
+def uses_broadcast_join(frame) -> bool:
+    return "BroadcastHashJoin" in plan_text(frame)
+
+
+def codegen_stages(frame) -> int:
+    return plan_text(frame).count("WholeStageCodegen")
+
+
+def shuffle_count(frame) -> int:
+    return plan_text(frame).count("Exchange")

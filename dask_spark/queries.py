@@ -1,0 +1,1431 @@
+"""Query registry: every SURVEY.md §2 operator gets a (spark_fn,
+oracle_sql) pair here; ``__spark_entry__`` re-exports them.
+
+Each spark_fn takes (spark, sf_dir) and exercises the public
+``dask_spark`` API (the point is to prove the engine, not to hand-write
+pyspark). Oracle SQL is ANSI DuckDB over the same parquet views with
+IDENTICAL output column names; aggregates that sum floats are rounded
+on both sides so fp addition order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dask_spark.frame import DaskFrame, concat
+from dask_spark.functions import text as T
+from dask_spark.functions import vector as V
+
+# deterministic unit-ish query vector for ANN queries (dim 64)
+QUERY_VEC = [((i * 37 + 11) % 64) / 64.0 - 0.5 for i in range(64)]
+_QV_SQL = "[" + ", ".join(f"{x}::FLOAT" for x in QUERY_VEC) + "]"
+
+
+def load(spark, sf_dir: str, name: str) -> DaskFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
+        # read as long (runtime-safe conf) and floor to microseconds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        sdf = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(sdf.dtypes).get("ts") == "bigint":
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return DaskFrame(sdf)
+    return DaskFrame(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# registry: name -> (fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------- groupby / reductions -------------------------
+
+@q(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark, sf_dir):
+    """TPC-H Q1 — multi-agg groupby (ACA → partial+final hash agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li[li.l_shipdate <= "1998-09-02"]
+        .assign(disc_price=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        .groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            avg_qty=("l_quantity", "mean"),
+            avg_price=("l_extendedprice", "mean"),
+            count_order=("l_quantity", "size"),
+        )
+        .assign(
+            sum_qty=lambda d: d.sum_qty.round(2),
+            sum_base_price=lambda d: d.sum_base_price.round(2),
+            sum_disc_price=lambda d: d.sum_disc_price.round(2),
+            avg_qty=lambda d: d.avg_qty.round(4),
+            avg_price=lambda d: d.avg_price.round(4),
+        )
+    )
+    return out.to_spark()
+
+
+@q(
+    "filter_pushdown",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def filter_pushdown(spark, sf_dir):
+    """TPC-H Q6 — selective filter + global agg; predicate reaches the
+    parquet scan (asserted in tests/test_plans.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li[
+        (li.l_shipdate >= "1996-01-01")
+        & (li.l_shipdate < "1997-01-01")
+        & (li.l_discount.between(0.03, 0.07))
+        & (li.l_quantity < 24)
+    ]
+    out = f.assign(rev=lambda d: d.l_extendedprice * d.l_discount).to_spark().agg(
+        F.round(F.sum("rev"), 2).alias("revenue")
+    )
+    return out
+
+
+@q(
+    "groupby_named_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def groupby_named_agg(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = o.groupby("o_orderpriority").agg(
+        n_orders=("o_orderkey", "size"),
+        total=("o_totalprice", "sum"),
+        min_price=("o_totalprice", "min"),
+        max_price=("o_totalprice", "max"),
+        std_price=("o_totalprice", "std"),
+    )
+    return out.assign(
+        total=lambda d: d.total.round(2),
+        min_price=lambda d: d.min_price.round(2),
+        max_price=lambda d: d.max_price.round(2),
+        std_price=lambda d: d.std_price.round(4),
+    ).to_spark()
+
+
+@q(
+    "groupby_nunique",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey)::BIGINT AS n_customers,
+           COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def groupby_nunique(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupby("o_orderstatus").agg(
+        n_customers=("o_custkey", "nunique"),
+        n_priorities=("o_orderpriority", "nunique"),
+    ).to_spark()
+
+
+@q(
+    "groupby_quantile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def groupby_quantile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    out = li.to_spark().groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+    return out
+
+
+@q(
+    "groupby_having",
+    """
+    SELECT c_nationkey, COUNT(*)::BIGINT AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
+    """,
+)
+def groupby_having(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    g = c.groupby("c_nationkey").agg(n=("c_custkey", "size"), avg_bal=("c_acctbal", "mean"))
+    g = g[g.n >= 3]
+    return g.assign(avg_bal=lambda d: d.avg_bal.round(4)).to_spark()
+
+
+@q(
+    "reduce_global",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty
+    FROM lineitem
+    """,
+)
+def reduce_global(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").to_spark()
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
+@q(
+    "reduce_nunique",
+    """
+    SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders,
+           COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
+           COUNT(DISTINCT l_suppkey)::BIGINT AS n_supps
+    FROM lineitem
+    """,
+)
+def reduce_nunique(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").to_spark()
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@q("reduce_nunique_approx", None)  # approximate — rows-only check
+def reduce_nunique_approx(spark, sf_dir):
+    """HLL++ (reference: dask/dataframe/hyperloglog.py)."""
+    li = load(spark, sf_dir, "lineitem").to_spark()
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+    )
+
+
+@q(
+    "reduce_quantile",
+    """
+    SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS q99
+    FROM orders
+    """,
+)
+def reduce_quantile(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").to_spark()
+    return o.agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(n)
+            for n, p in [("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)]
+        ]
+    )
+
+
+@q(
+    "describe",
+    """
+    WITH cols(c) AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_discount'))
+    SELECT 'l_quantity' AS "column", COUNT(l_quantity)::BIGINT AS count,
+           AVG(l_quantity) AS mean, STDDEV_SAMP(l_quantity) AS std,
+           MIN(l_quantity)::DOUBLE AS min,
+           quantile_cont(l_quantity, 0.25)::DOUBLE AS q25,
+           quantile_cont(l_quantity, 0.5)::DOUBLE AS q50,
+           quantile_cont(l_quantity, 0.75)::DOUBLE AS q75,
+           MAX(l_quantity)::DOUBLE AS max FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(l_extendedprice)::BIGINT,
+           AVG(l_extendedprice), STDDEV_SAMP(l_extendedprice),
+           MIN(l_extendedprice)::DOUBLE, quantile_cont(l_extendedprice, 0.25)::DOUBLE,
+           quantile_cont(l_extendedprice, 0.5)::DOUBLE,
+           quantile_cont(l_extendedprice, 0.75)::DOUBLE,
+           MAX(l_extendedprice)::DOUBLE FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(l_discount)::BIGINT, AVG(l_discount),
+           STDDEV_SAMP(l_discount), MIN(l_discount)::DOUBLE,
+           quantile_cont(l_discount, 0.25)::DOUBLE,
+           quantile_cont(l_discount, 0.5)::DOUBLE,
+           quantile_cont(l_discount, 0.75)::DOUBLE,
+           MAX(l_discount)::DOUBLE FROM lineitem
+    """,
+)
+def describe_q(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")[["l_quantity", "l_extendedprice", "l_discount"]]
+    return li.describe().to_spark()
+
+
+@q(
+    "value_counts",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS count
+    FROM events GROUP BY event_type
+    """,
+)
+def value_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.event_type.value_counts().to_spark()
+
+
+@q(
+    "idx_minmax",
+    """
+    SELECT arg_min(o_orderkey, o_totalprice) AS idxmin_price,
+           arg_max(o_orderkey, o_totalprice) AS idxmax_price
+    FROM orders
+    """,
+)
+def idx_minmax(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").to_spark()
+    return o.agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("idxmin_price"),
+        F.max_by("o_orderkey", "o_totalprice").alias("idxmax_price"),
+    )
+
+
+@q(
+    "corr_cov",
+    """
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem
+    """,
+)
+def corr_cov(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").to_spark()
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+# ---------------------------------- joins ----------------------------------
+
+@q(
+    "join_inner",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def join_inner(spark, sf_dir):
+    """TPC-H Q3 — fact⋈fact shuffle join + dim filter + top-k."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        c[c.c_mktsegment == "BUILDING"]
+        .merge(o[o.o_orderdate < "1998-03-15"], left_on="c_custkey", right_on="o_custkey")
+        .merge(li[li.l_shipdate > "1998-03-15"], left_on="o_orderkey", right_on="l_orderkey")
+    )
+    out = (
+        j.assign(rev=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        .groupby(["l_orderkey", "o_orderdate"])
+        .agg(revenue=("rev", "sum"))
+        .assign(revenue=lambda d: d.revenue.round(2))
+    )
+    return (
+        out.to_spark()
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "join_broadcast",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """TPC-H Q5-ish — dim chain is explicitly broadcast (plan asserted
+    in tests): only the orders⋈lineitem edge shuffles."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        r[r.r_name == "ASIA"]
+        .merge(n, left_on="r_regionkey", right_on="n_regionkey")
+        .merge(c, left_on="n_nationkey", right_on="c_nationkey")
+    )
+    j = o.merge(dims, left_on="o_custkey", right_on="c_custkey", broadcast=True).merge(
+        li, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    out = (
+        j.assign(rev=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        .groupby("n_name")
+        .agg(revenue=("rev", "sum"))
+        .assign(revenue=lambda d: d.revenue.round(2))
+    )
+    return out.to_spark()
+
+
+@q(
+    "join_semi",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_semi(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS — left-semi join, no row duplication."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sel = li[li.l_discount > 0.05][["l_orderkey"]]
+    out = o.merge(sel, left_on="o_orderkey", right_on="l_orderkey", how="semi")
+    return out.groupby("o_orderpriority").agg(n_orders=("o_orderkey", "size")).to_spark()
+
+
+@q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")[["o_custkey"]]
+    return c.merge(o, left_on="c_custkey", right_on="o_custkey", how="anti")[
+        ["c_custkey", "c_name"]
+    ].to_spark()
+
+
+@q(
+    "join_left",
+    """
+    SELECT n_name, s_name, s_acctbal
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def join_left(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    out = n.merge(s, left_on="n_nationkey", right_on="s_nationkey", how="left")
+    return out[["n_name", "s_name", "s_acctbal"]].to_spark()
+
+
+@q(
+    "join_outer",
+    """
+    SELECT n.k AS nationkey, n.n_name, c.n_cust
+    FROM (SELECT n_nationkey AS k, n_name FROM nation) n
+    FULL OUTER JOIN (
+      SELECT c_nationkey AS k, COUNT(*)::BIGINT AS n_cust FROM customer GROUP BY 1
+    ) c ON n.k = c.k
+    """,
+)
+def join_outer(spark, sf_dir):
+    n = load(spark, sf_dir, "nation").rename({"n_nationkey": "k"})[["k", "n_name"]]
+    c = (
+        load(spark, sf_dir, "customer")
+        .rename({"c_nationkey": "k"})
+        .groupby("k")
+        .agg(n_cust=("k", "size"))
+    )
+    out = n.merge(c, on="k", how="outer")
+    return out.to_spark().select(
+        F.col("k").alias("nationkey"), "n_name", "n_cust"
+    )
+
+
+@q(
+    "join_cross",
+    """
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark, sf_dir):
+    r = load(spark, sf_dir, "region")[["r_name"]]
+    s = load(spark, sf_dir, "orders").o_orderstatus.unique()
+    return r.merge(s, how="cross").to_spark()
+
+
+@q(
+    "concat_union",
+    """
+    SELECT 'customer' AS kind, c_custkey AS key, c_name AS name FROM customer
+    UNION ALL
+    SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name FROM supplier
+    """,
+)
+def concat_union(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").assign(kind="customer").rename(
+        {"c_custkey": "key", "c_name": "name"}
+    )[["kind", "key", "name"]]
+    s = load(spark, sf_dir, "supplier").assign(kind="supplier").rename(
+        {"s_suppkey": "key", "s_name": "name"}
+    )[["kind", "key", "name"]]
+    return concat([c, s]).to_spark()
+
+
+@q(
+    "merge_asof",
+    """
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us, b.value AS prior_value
+    FROM (SELECT * FROM events WHERE event_id % 2 = 0) a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def merge_asof_q(spark, sf_dir):
+    """As-of join (reference: dask/dataframe/multi.py merge_asof):
+    for each even event, the latest odd event of the same user at or
+    before its timestamp."""
+    e = load(spark, sf_dir, "events")
+    left = e[e.event_id % 2 == 0][["event_id", "user_id", "ts"]]
+    right = e[e.event_id % 2 == 1][["user_id", "ts", "value"]].rename(
+        {"value": "prior_value"}
+    )
+    out = left.merge_asof(right, on="ts", by="user_id", direction="backward")
+    return out.to_spark().select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "prior_value"
+    )
+
+
+# --------------------------- elementwise / selection ------------------------
+
+@q(
+    "elem_project_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * 2 AS double_qty,
+           l_extendedprice / l_quantity AS unit_price
+    FROM lineitem
+    """,
+)
+def elem_project_arith(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    out = li.assign(
+        charge=lambda d: d.l_extendedprice * (1 - d.l_discount) * (1 + d.l_tax),
+        double_qty=lambda d: d.l_quantity * 2,
+        unit_price=lambda d: d.l_extendedprice / d.l_quantity,
+    )
+    return out[["l_orderkey", "l_linenumber", "charge", "double_qty", "unit_price"]].to_spark()
+
+
+@q(
+    "elem_where_mask",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END AS big_only,
+           CASE WHEN NOT (o_orderstatus = 'F') THEN o_totalprice END AS open_price,
+           LEAST(GREATEST(o_totalprice, 50000), 200000) AS clipped
+    FROM orders
+    """,
+)
+def elem_where_mask(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = o.assign(
+        big_only=lambda d: d.o_totalprice.where(d.o_totalprice > 100000, 0),
+        open_price=lambda d: d.o_totalprice.mask(d.o_orderstatus == "F"),
+        clipped=lambda d: d.o_totalprice.clip(50000, 200000),
+    )
+    return out[["o_orderkey", "big_only", "open_price", "clipped"]].to_spark()
+
+
+@q(
+    "na_handling",
+    """
+    WITH t AS (
+      SELECT event_id, CASE WHEN value < 10 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, COALESCE(v, -1.0) AS v_filled FROM t
+    """,
+)
+def na_handling(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    t = e.assign(v=lambda d: d.value.mask(d.value < 10))
+    out = t.assign(v_filled=lambda d: d.v.fillna(-1.0))
+    return out[["event_id", "v_filled"]].to_spark()
+
+
+@q(
+    "na_dropna",
+    """
+    SELECT event_id, CASE WHEN value < 10 THEN NULL ELSE value END AS v
+    FROM events
+    WHERE CASE WHEN value < 10 THEN NULL ELSE value END IS NOT NULL
+    """,
+)
+def na_dropna(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    t = e.assign(v=lambda d: d.value.mask(d.value < 10))[["event_id", "v"]]
+    return t.dropna(subset=["v"]).to_spark()
+
+
+@q(
+    "elem_astype",
+    """
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+           o_orderkey::VARCHAR AS key_str,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str
+    FROM orders
+    """,
+)
+def elem_astype(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = o.assign(
+        price_int=lambda d: d.o_totalprice.astype("int64"),
+        key_str=lambda d: d.o_orderkey.astype("str"),
+        date_str=lambda d: d.o_orderdate.dt.strftime("%Y-%m-%d"),
+    )
+    return out[["o_orderkey", "price_int", "key_str", "date_str"]].to_spark()
+
+
+@q(
+    "filter_isin",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_isin(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o[o.o_orderpriority.isin(["1-URGENT", "2-HIGH"])][
+        ["o_orderkey", "o_orderpriority"]
+    ].to_spark()
+
+
+@q(
+    "str_ops",
+    """
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           length(c_name)::INT AS name_len,
+           (c_mktsegment LIKE 'BUILD%') AS is_building,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+           substring(c_name, 1, 8) AS name_prefix,
+           trim(concat(c_mktsegment, ' ')) AS seg_trim
+    FROM customer
+    """,
+)
+def str_ops(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    out = c.assign(
+        name_lower=lambda d: d.c_name.str.lower(),
+        name_len=lambda d: d.c_name.str.len(),
+        is_building=lambda d: d.c_mktsegment.str.startswith("BUILD"),
+        name_masked=lambda d: d.c_name.str.replace("[0-9]+", "#"),
+        name_prefix=lambda d: d.c_name.str.slice(0, 8),
+        seg_trim=lambda d: (d.c_mktsegment + " ").str.strip(),
+    )
+    return out[
+        ["c_custkey", "name_lower", "name_len", "is_building", "name_masked",
+         "name_prefix", "seg_trim"]
+    ].to_spark()
+
+
+@q(
+    "dt_ops",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)::INT AS y,
+           month(o_orderdate)::INT AS m,
+           day(o_orderdate)::INT AS d,
+           quarter(o_orderdate)::INT AS q,
+           (dayofweek(o_orderdate) + 6) % 7 AS dow,
+           date_trunc('month', o_orderdate) AS month_start
+    FROM orders
+    """,
+)
+def dt_ops(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = o.assign(
+        y=lambda d: d.o_orderdate.dt.year,
+        m=lambda d: d.o_orderdate.dt.month,
+        d=lambda d: d.o_orderdate.dt.day,
+        q=lambda d: d.o_orderdate.dt.quarter,
+        dow=lambda d: d.o_orderdate.dt.dayofweek,
+        month_start=lambda d: d.o_orderdate.dt.floor("M"),
+    )
+    return out[["o_orderkey", "y", "m", "d", "q", "dow", "month_start"]].to_spark()
+
+
+@q(
+    "elem_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
+           ROUND(ln(l_extendedprice), 6) AS log_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           ROUND(pow(l_quantity, 2), 2) AS qty_sq
+    FROM lineitem
+    """,
+)
+def elem_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    sdf = li.to_spark().select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+    )
+    return sdf
+
+
+@q(
+    "elem_map_pandas_udf",
+    """
+    SELECT c_custkey, length(c_name) * 2 AS name_score FROM customer
+    """,
+)
+def elem_map_pandas_udf(spark, sf_dir):
+    """Row-wise Python map → Arrow pandas UDF (the documented slow
+    path; oracle proves semantics)."""
+    c = load(spark, sf_dir, "customer")
+    out = c.assign(
+        name_score=lambda d: d.c_name.map(lambda s: len(s) * 2, dtype="bigint")
+    )
+    return out[["c_custkey", "name_score"]].to_spark()
+
+
+@q(
+    "map_partitions",
+    """
+    SELECT o_orderkey, o_totalprice * 1.1 AS adjusted FROM orders
+    """,
+)
+def map_partitions_q(spark, sf_dir):
+    """mapInPandas whole-partition transform (reference: blockwise)."""
+    o = load(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+
+    def fn(pdf):
+        pdf = pdf.copy()
+        pdf["adjusted"] = pdf["o_totalprice"] * 1.1
+        return pdf[["o_orderkey", "adjusted"]]
+
+    return o.map_partitions(fn, schema="o_orderkey bigint, adjusted double").to_spark()
+
+
+# ------------------------------ sort / topk / dedup -------------------------
+
+@q(
+    "sort_values",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def sort_values_q(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])[
+        ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"]
+    ].to_spark()
+
+
+@q(
+    "topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")[["o_orderkey", "o_totalprice"]]
+    return (
+        o.to_spark()
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@q(
+    "drop_duplicates",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem
+    """,
+)
+def drop_duplicates_q(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")[["l_returnflag", "l_linestatus", "l_suppkey"]]
+    return li.drop_duplicates().to_spark()
+
+
+@q(
+    "drop_duplicates_keep_first",
+    """
+    SELECT o_custkey, min(o_orderkey) AS o_orderkey
+    FROM (SELECT o_custkey, o_orderkey FROM orders) t
+    GROUP BY o_custkey
+    """,
+)
+def drop_duplicates_keep_first(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")[["o_custkey", "o_orderkey"]]
+    return o.drop_duplicates(subset=["o_custkey"], keep="first").to_spark()
+
+
+@q("set_index", None)  # partitioning op — rows-only check
+def set_index_q(spark, sf_dir):
+    """Range partition + in-partition sort (divisions invariant)."""
+    o = load(spark, sf_dir, "orders")
+    return o.set_index("o_orderdate", npartitions=8).to_spark()
+
+
+@q("sample_head", None)  # nondeterministic row subset — rows-only
+def sample_head(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.sample(0.1, random_state=42).head_frame(50).to_spark()
+
+
+# ------------------------------ window family -------------------------------
+
+@q(
+    "cumsum",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS spend_cumsum
+    FROM orders
+    """,
+)
+def cumsum_q(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").to_spark()
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_cumsum"),
+    )
+
+
+@q(
+    "shift_diff",
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_diff
+    FROM events
+    """,
+)
+def shift_diff(spark, sf_dir):
+    e = load(spark, sf_dir, "events").to_spark()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_diff"),
+    )
+
+
+@q(
+    "rolling_rows",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS value_roll_mean
+    FROM events
+    """,
+)
+def rolling_rows(spark, sf_dir):
+    e = load(spark, sf_dir, "events").to_spark()
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("value_roll_mean")
+    )
+
+
+@q(
+    "rolling_range",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS value_roll_sum
+    FROM events
+    """,
+)
+def rolling_range(spark, sf_dir):
+    """Time-based rolling window ('1h') — rangeBetween on epoch secs."""
+    e = load(spark, sf_dir, "events")
+    out = e.rolling("1h", on="ts", by="user_id").sum("value")
+    return out.to_spark().select(
+        "event_id", "user_id", F.round("value_roll_sum", 4).alias("value_roll_sum")
+    )
+
+
+@q(
+    "resample",
+    """
+    SELECT (epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 3600) AS bucket_s,
+           ROUND(AVG(value), 4) AS value_mean,
+           COUNT(*)::BIGINT AS value_count
+    FROM events GROUP BY 1
+    """,
+)
+def resample_q(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = e.resample("1h", on="ts").agg({"value": ["mean", "size"]})
+    return out.to_spark().select(
+        F.col("ts_bucket").cast("long").alias("bucket_s"),
+        F.round("value_mean", 4).alias("value_mean"),
+        F.col("value_size").alias("value_count"),
+    )
+
+
+@q(
+    "groupby_transform",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id), 4) AS user_mean
+    FROM events
+    """,
+)
+def groupby_transform(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = e.groupby("user_id").transform("mean", "value", out="user_mean")
+    return out.to_spark().select(
+        "event_id", "user_id", F.round("user_mean", 4).alias("user_mean")
+    )
+
+
+@q("groupby_apply", None)  # pandas-per-group escape hatch — rows-only
+def groupby_apply(spark, sf_dir):
+    """applyInPandas: per-user top-2 events by value."""
+    e = load(spark, sf_dir, "events")
+
+    def top2(pdf):
+        return pdf.nlargest(2, "value")[["user_id", "event_id", "value"]]
+
+    return e.groupby("user_id").apply(
+        top2, schema="user_id bigint, event_id bigint, value double"
+    ).to_spark()
+
+
+@q(
+    "groupby_cumcount",
+    """
+    SELECT event_id, user_id,
+           (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT AS cumcount
+    FROM events
+    """,
+)
+def groupby_cumcount(spark, sf_dir):
+    e = load(spark, sf_dir, "events").to_spark()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("cumcount"),
+    )
+
+
+# ------------------------------- reshape -----------------------------------
+
+@q(
+    "pivot_table",
+    """
+    SELECT o_orderpriority,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+           ROUND(AVG(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_table_q(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = o.pivot_table(
+        index="o_orderpriority", columns="o_orderstatus", values="o_totalprice",
+        aggfunc="mean",
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        *[F.round(F.col(c), 4).alias(c) for c in sdf.columns if c != "o_orderpriority"],
+    )
+
+
+@q(
+    "melt",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+           l_quantity::DOUBLE AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    """,
+)
+def melt_q(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.melt(
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice"],
+    ).to_spark()
+
+
+@q(
+    "explode",
+    """
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def explode_q(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    d = d[d.doc_id < 100].assign(token=lambda x: x.text.str.lower().str.split(r"\s+"))
+    return d[["doc_id", "token"]].explode("token").to_spark()
+
+
+@q(
+    "get_dummies",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS status_F,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS status_O,
+           CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS status_P
+    FROM orders
+    """,
+)
+def get_dummies_q(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")[["o_orderkey", "o_orderstatus"]]
+    out = o.get_dummies("o_orderstatus", prefix="status", values=["F", "O", "P"])
+    return out.drop("o_orderstatus").to_spark()
+
+
+# ------------------------------ bag / json ----------------------------------
+
+@q(
+    "bag_json_frequencies",
+    """
+    SELECT json_extract_string(props, '$.k')::INT % 10 AS k_mod,
+           COUNT(*)::BIGINT AS freq
+    FROM events GROUP BY 1
+    """,
+)
+def bag_json_frequencies(spark, sf_dir):
+    """dask.bag pluck+frequencies over semi-structured JSON."""
+    e = load(spark, sf_dir, "events").to_spark()
+    return (
+        e.select((F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+# ------------------------------ text analysis -------------------------------
+
+@q(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))::INT AS n_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").to_spark()
+    return d.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@q(
+    "text_quality",
+    None,  # heuristic composite — verified by dedicated unit test instead
+)
+def text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").to_spark()
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@q("text_langid", None)  # heuristic — rows-only + accuracy unit test
+def text_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").to_spark()
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("text_fingerprint", None)  # rolling-hash hex — unit-tested determinism
+def text_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").to_spark()
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------ dedup family --------------------------------
+
+@q(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*)::BIGINT AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from dask_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d).to_spark()
+
+
+@q("dedup_minhash", None)  # LSH candidates — validated by unit tests
+def dedup_minhash(spark, sf_dir):
+    from dask_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.5).to_spark()
+
+
+@q("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    from dask_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3).to_spark()
+
+
+@q("dedup_ngram_jaccard", None)  # exact jaccard (tested vs python impl)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from dask_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.4).to_spark()
+
+
+@q("dedup_embed", None)
+def dedup_embed(spark, sf_dir):
+    from dask_spark.operators.dedup import embedding_dedup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(e, threshold=0.9).to_spark()
+
+
+# --------------------------- vectors / similarity ---------------------------
+
+@q(
+    "vec_norm",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(embedding, embedding)), 5) AS l2_norm
+    FROM embeddings
+    """,
+)
+def vec_norm(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    return e.select(
+        "vec_id",
+        F.round(V.norm(F.col("embedding").cast("array<double>")), 5).alias("l2_norm"),
+    )
+
+
+@q(
+    "vec_cosine",
+    f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}::DOUBLE[]), 5) AS cosine
+    FROM embeddings
+    """,
+)
+def vec_cosine(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    qv = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    return e.select(
+        "vec_id",
+        F.round(
+            V.cosine_sim(F.col("embedding").cast("array<double>"), qv), 5
+        ).alias("cosine"),
+    )
+
+
+@q(
+    "vec_elementwise",
+    """
+    SELECT vec_id,
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * 2.0 + 1.0), 'sum'), 4) AS scaled_sum
+    FROM embeddings
+    """,
+)
+def vec_elementwise(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    scaled = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: x * 2.0 + 1.0
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(scaled, F.lit(0.0), lambda a, v: a + v), 4
+        ).alias("scaled_sum"),
+    )
+
+
+@q(
+    "ann_bruteforce",
+    f"""
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}::DOUBLE[]), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def ann_bruteforce(spark, sf_dir):
+    from dask_spark.operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    e = DaskFrame(e.to_spark().withColumn("embedding", F.col("embedding").cast("array<double>")))
+    return brute_force_topk(e, QUERY_VEC, k=10).to_spark()
+
+
+@q("ann_lsh", None)  # approximate by design
+def ann_lsh(spark, sf_dir):
+    from dask_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    e = DaskFrame(e.to_spark().withColumn("embedding", F.col("embedding").cast("array<double>")))
+    return lsh_topk(e, QUERY_VEC, k=10, planes=6).to_spark()
+
+
+@q("ann_ivf", None)  # approximate by design
+def ann_ivf(spark, sf_dir):
+    from dask_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    e = DaskFrame(e.to_spark().withColumn("embedding", F.col("embedding").cast("array<double>")))
+    return ivf_topk(e, QUERY_VEC, k=10, n_probe=4, n_clusters=8).to_spark()
+
+
+# ------------------------------- sessionize ---------------------------------
+
+@q(
+    "sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — batch equivalent of the
+    streaming session_window op (streaming/)."""
+    from dask_spark.streaming.windows import sessionize_batch
+
+    e = load(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_seconds=1800).to_spark()
+
+
+@q(
+    "stream_window_batch",
+    """
+    SELECT (epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 600) AS window_start_s,
+           event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_batch(spark, sf_dir):
+    """Batch-equivalent of the streaming tumbling-window agg — the
+    same code path streaming/windows.py uses under readStream."""
+    from dask_spark.streaming.windows import tumbling_window_agg
+
+    e = load(spark, sf_dir, "events")
+    out = tumbling_window_agg(e, "10 minutes").to_spark()
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type", "n", "total_value",
+    )
+
+
+# ------------------------------ io roundtrips -------------------------------
+
+@q(
+    "io_csv_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*)::BIGINT AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def io_csv_roundtrip(spark, sf_dir):
+    import dask_spark as ds
+
+    o = load(spark, sf_dir, "orders")[["o_orderstatus", "o_totalprice"]]
+    path = "/tmp/dask_spark_io/orders_csv"
+    o.to_csv(path)
+    back = ds.read_csv(
+        path, schema="o_orderstatus string, o_totalprice double"
+    )
+    return back.groupby("o_orderstatus").agg(
+        n=("o_orderstatus", "size"), total=("o_totalprice", "sum")
+    ).assign(total=lambda d: d.total.round(2)).to_spark()
+
+
+@q(
+    "io_json_roundtrip",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n FROM events GROUP BY event_type
+    """,
+)
+def io_json_roundtrip(spark, sf_dir):
+    import dask_spark as ds
+
+    e = load(spark, sf_dir, "events")[["event_type"]]
+    path = "/tmp/dask_spark_io/events_json"
+    e.to_json(path)
+    back = ds.read_json(path, schema="event_type string")
+    return back.groupby("event_type").agg(n=("event_type", "size")).to_spark()
+
+
+@q(
+    "io_orc_roundtrip",
+    """
+    SELECT p_brand, COUNT(*)::BIGINT AS n, ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def io_orc_roundtrip(spark, sf_dir):
+    import dask_spark as ds
+
+    p = load(spark, sf_dir, "part")[["p_brand", "p_retailprice"]]
+    path = "/tmp/dask_spark_io/part_orc"
+    p.to_orc(path)
+    back = ds.read_orc(path)
+    return back.groupby("p_brand").agg(
+        n=("p_brand", "size"), avg_price=("p_retailprice", "mean")
+    ).assign(avg_price=lambda d: d.avg_price.round(4)).to_spark()
+
+
+@q(
+    "io_from_pandas",
+    """
+    SELECT 1::BIGINT AS a, 'x' AS b UNION ALL SELECT 2, 'y' UNION ALL SELECT 3, 'z'
+    """,
+)
+def io_from_pandas(spark, sf_dir):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    return ds.from_pandas(pdf).to_spark()
+
+
+@q("io_timeseries", None)  # synthetic generator — schema/rows-only
+def io_timeseries(spark, sf_dir):
+    import dask_spark as ds
+
+    return ds.timeseries("2026-01-01", "2026-01-01 01:00:00").to_spark()
+
+
+@q(
+    "io_parquet_pushdown",
+    """
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_quantity = 1.0
+    """,
+)
+def io_parquet_pushdown(spark, sf_dir):
+    import dask_spark as ds
+
+    li = ds.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
+        filters="l_quantity = 1.0",
+    )
+    return li.to_spark()
+
+
+@q("multimodal_meta", None)  # binary plumbing — schema/rows-only + unit test
+def multimodal_meta(spark, sf_dir):
+    from dask_spark.functions.multimodal import attach_fake_media, extract_meta
+
+    d = load(spark, sf_dir, "documents").head_frame(200)
+    media = attach_fake_media(d)
+    return extract_meta(media).to_spark()

@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Design notes (100 TB target): AQE on (runtime coalesce + skew-join),
+Arrow for every Python boundary, broadcast threshold generous enough
+to catch TPC-H-style dims, shuffle partitions sized for local testing
+but overridable via env for cluster runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "dask_spark", **conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``);
+    shuffle partitions default to that same width so local runs do not
+    create thousands of empty reducers, while a cluster deployment
+    overrides via ``spark.sql.shuffle.partitions``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus if cpus != "*" else "32"
+    )
+    merged = dict(_DEFAULTS)
+    merged["spark.sql.shuffle.partitions"] = shuffle
+    merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

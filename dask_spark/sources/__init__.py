@@ -1,0 +1,105 @@
+"""IO layer (reference: dask/dataframe/io/{parquet,csv,json,orc,sql}).
+
+Every reader returns a DaskFrame whose scan node supports column
+pruning + predicate pushdown (verified in tests/test_plans.py). Writers
+live on DaskFrame (to_parquet/to_csv/to_json/to_orc)."""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import SparkSession
+
+from dask_spark.frame import DaskFrame
+
+
+def _spark() -> SparkSession:
+    from dask_spark.session import get_spark
+
+    return SparkSession.getActiveSession() or get_spark()
+
+
+def read_parquet(path: str | Sequence[str], columns: Sequence[str] | None = None,
+                 filters: str | None = None) -> DaskFrame:
+    """reference: dask/dataframe/io/parquet — engine-level pushdown of
+    `columns`/`filters`; here both also reach the scan via Catalyst."""
+    sdf = _spark().read.parquet(*([path] if isinstance(path, str) else path))
+    if filters:
+        sdf = sdf.filter(filters)
+    if columns:
+        sdf = sdf.select(*columns)
+    return DaskFrame(sdf)
+
+
+def read_csv(path: str, header: bool = True, schema: str | None = None,
+             sep: str = ",", **options) -> DaskFrame:
+    r = _spark().read.option("header", header).option("sep", sep)
+    for k, v in options.items():
+        r = r.option(k, v)
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", True)
+    return DaskFrame(r.csv(path))
+
+
+def read_json(path: str, schema: str | None = None, **options) -> DaskFrame:
+    r = _spark().read
+    for k, v in options.items():
+        r = r.option(k, v)
+    if schema:
+        r = r.schema(schema)
+    return DaskFrame(r.json(path))
+
+
+def read_orc(path: str) -> DaskFrame:
+    return DaskFrame(_spark().read.orc(path))
+
+
+def from_pandas(pdf, npartitions: int | None = None) -> DaskFrame:
+    sdf = _spark().createDataFrame(pdf)
+    if npartitions:
+        sdf = sdf.repartition(npartitions)
+    return DaskFrame(sdf)
+
+
+def read_sql_table(table: str, url: str, properties: Mapping[str, str] | None = None,
+                   partition_column: str | None = None, num_partitions: int = 8,
+                   lower_bound=None, upper_bound=None) -> DaskFrame:
+    """reference: dask/dataframe/io/sql.py read_sql_table — partitioned
+    JDBC read. Plumbing-only in this container (no DB available); option
+    mapping is unit-tested."""
+    reader = _spark().read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return DaskFrame(reader.load())
+
+
+def timeseries(start: str = "2026-01-01", end: str = "2026-01-02",
+               freq_seconds: int = 1, seed: int = 42) -> DaskFrame:
+    """reference: dask/datasets.py timeseries — deterministic synthetic
+    (ts, id, name, x, y) frame via spark.range (no Python rowgen)."""
+    import pyspark.sql.functions as F
+
+    spark = _spark()
+    n_expr = f"timestampdiff(SECOND, timestamp'{start}', timestamp'{end}')"
+    n = spark.sql(f"SELECT {n_expr} AS n").first()["n"] // freq_seconds
+    sdf = spark.range(n).select(
+        (F.expr(f"timestamp'{start}'") + F.make_interval(secs=F.col("id") * freq_seconds)).alias("ts"),
+        (F.xxhash64(F.col("id"), F.lit(seed)) % 1000).alias("uid"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["alice", "bob", "carol", "dan"]]),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 4 + 1).cast("int"),
+        ).alias("name"),
+        (F.sin(F.col("id").cast("double") / 100)
+         + (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 2))) % 1000).cast("double") / 5000).alias("x"),
+        ((F.abs(F.xxhash64(F.col("id"), F.lit(seed + 3))) % 10000).cast("double") / 10000).alias("y"),
+    )
+    return DaskFrame(sdf)

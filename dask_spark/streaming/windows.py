@@ -1,0 +1,98 @@
+"""Structured Streaming operators (Spark-first; the reference has no
+streaming — dask handles incoming data with distributed futures. This
+module is the streaming face of the engine per SURVEY §2.11).
+
+Each op has a batch twin so the driver's DuckDB oracle can check the
+semantics on the static `events` table; the streaming wrapper applies
+the identical transformation under readStream with a watermark."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame as SparkDF, Window
+
+
+def _tumbling(sdf: SparkDF, duration: str) -> SparkDF:
+    return (
+        sdf.groupBy(
+            F.window("ts", duration).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def tumbling_window_agg(frame, duration: str = "10 minutes"):
+    """Batch twin of the streaming tumbling-window count/sum."""
+    from dask_spark.frame import DaskFrame
+
+    return DaskFrame(_tumbling(frame._sdf, duration))
+
+
+def tumbling_window_stream(stream_sdf: SparkDF, duration: str = "10 minutes",
+                           watermark: str = "30 minutes") -> SparkDF:
+    """Streaming variant: same plan + watermark for state eviction.
+    At scale, state is bounded by (watermark horizon × key cardinality)."""
+    return _tumbling(stream_sdf.withWatermark("ts", watermark), duration)
+
+
+def sessionize_batch(frame, gap_seconds: int = 1800):
+    """Gap-based sessions per user: session breaks when the gap to the
+    previous event exceeds ``gap_seconds``. One shuffle on user_id.
+    Streaming twin: ``F.session_window`` (see sessionize_stream)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marked = sdf.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(wsum).cast("bigint")
+    )
+    out = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return DaskFrame(out)
+
+
+def sessionize_stream(stream_sdf: SparkDF, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> SparkDF:
+    """Streaming sessionization via native session_window state."""
+    return (
+        stream_sdf.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def stateful_running_max(stream_sdf: SparkDF, timeout_ms: int = 60000) -> SparkDF:
+    """Custom stateful operator scaffold: running per-user max(value)
+    via applyInPandasWithState (arbitrary state, Arrow-batched) —
+    the Spark twin of a custom dask stateful future pipeline."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, max_value double"
+    state_schema = "max_value double"
+
+    def update(key, pdf_iter, state: GroupState):
+        mx = state.get[0] if state.exists else float("-inf")
+        for pdf in pdf_iter:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((mx,))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+    return stream_sdf.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
