@@ -1,0 +1,66 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+`value` = total wall seconds across headline queries (each fully
+executed via a count-collect to materialize every operator)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "groupby_agg",        # TPC-H Q1: scan+agg throughput
+    "filter_pushdown",    # Q6: pushdown selectivity
+    "join_inner",         # Q3: fact-fact shuffle join + topk
+    "join_broadcast",     # Q5: broadcast dim chain
+    "merge_asof",         # asof window join
+    "rolling_range",      # time-range window
+    "resample",           # time bucketing
+    "sort_values",        # global range-partitioned sort
+    "dedup_exact",        # hash dedup
+    "dedup_minhash",      # MinHash LSH candidate pipeline
+    "ann_bruteforce",     # map-only cosine top-k
+    "text_quality",       # expression-heavy text scoring
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dask_spark.queries import REGISTRY
+    from dask_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,11 +58,13 @@ def extract_meta(frame):
     )
 
 
-def _fake_decode(blob: bytes, width: int, height: int) -> list[float]:
+def _fake_decode(blob: bytes, width: int, height: int, out_dim: int = 10) -> list[float]:
     """DETERMINISTIC FAKE decoder (no image libs in container).
-    Real impl: PIL.Image.open(io.BytesIO(blob)) → resize → np.asarray."""
+    Real impl: PIL.Image.open(io.BytesIO(blob)) → resize → np.asarray.
+    Emits exactly ``out_dim`` floats: hashed-byte features then (w, h)."""
     h = hashlib.sha256(blob).digest()
-    return [b / 255.0 for b in h[:8]] + [float(width), float(height)]
+    feats = [b / 255.0 for b in h[: max(out_dim - 2, 0)]] + [float(width), float(height)]
+    return feats[:out_dim]
 
 
 def decode_features(frame, out_dim: int = 10):
@@ -78,7 +80,7 @@ def decode_features(frame, out_dim: int = 10):
 
         for pdf in batches:
             feats = [
-                _fake_decode(m, w, h)
+                _fake_decode(m, w, h, out_dim)
                 for m, w, h in zip(
                     pdf["media"], pdf["meta"].map(lambda s: s["width"]),
                     pdf["meta"].map(lambda s: s["height"]),

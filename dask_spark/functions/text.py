@@ -101,7 +101,8 @@ def fingerprint(text: Column, modulus: int = (1 << 61) - 1) -> Column:
     over character codes, base 257 mod 2^61-1) → hex string. Same idea
     as Rabin fingerprinting used for content-defined chunking."""
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    chars = F.split(norm, "(?!^)")
+    # split keeps a trailing empty string (Java split limit=-1); drop it
+    chars = F.filter(F.split(norm, "(?!^)"), lambda c: F.length(c) > 0)
     h = F.aggregate(
         chars,
         F.lit(0).cast("decimal(38,0)"),

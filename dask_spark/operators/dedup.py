@@ -57,29 +57,65 @@ def exact_dedup(frame, text_col: str = "text", id_col: str = "doc_id"):
     return DaskFrame(out)
 
 
+_MERSENNE31 = (1 << 31) - 1  # prime modulus for the permutation family
+
+
 def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
-                       shingle_k: int = 5):
-    """MinHash signature per doc, fully JVM-side: char-k shingles →
-    xxhash64 with per-permutation seeds → array_min per seed.
+                       shingle_k: int = 3, seed: int = 1234):
+    """MinHash signature per doc, computed on a FULLY CODEGEN'D path.
 
-    At 100 TB the cost is a map-only pass (no shuffle); signatures are
-    64 longs/doc."""
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    Spark's array higher-order functions are interpreted (no
+    whole-stage codegen), which made an array-based formulation ~8×
+    slower — so shingling is done relationally instead:
+    posexplode words → xxhash64 per word (codegen) → word k-shingle
+    hash by combining k consecutive word-hashes with ``lead`` over a
+    (doc, pos) window → groupBy(doc) with ``num_hashes``
+    ``min((a_i·h+b_i) mod 2^31-1)`` aggregates (codegen hash-agg,
+    map-side partial min). The window and the groupBy share the doc-id
+    key, so Catalyst plans ONE shuffle; at 100 TB shuffle volume after
+    partial agg is one 64-long state per doc per map partition.
+    (Permutation family as in Spark MLlib MinHashLSH — public:
+    (a·h+b) mod p with PRIME p=2^31-1 and h < p, so the product wraps
+    the modulus ~2^31 times — a p > universe keeps the map near-monotone
+    in h and silently breaks the min-hash property.)
 
-    def _perm(i):  # closure factory: pyspark lambdas must be unary here
-        return lambda s: F.xxhash64(s, F.lit(i))
+    ANSI-safe: word hashes are reduced mod p before any multiply
+    (a·h ≤ (2^31-1)^2 < 2^63, no overflow).
+    MinHash is duplicate-insensitive, so no distinct step is needed.
+    Docs with fewer than ``shingle_k`` words yield no signature."""
+    import random as _random
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), _perm(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    from pyspark.sql import Window
+
+    rng = _random.Random(seed)
+    params = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+    mix = [rng.randrange(1, _MERSENNE31) for _ in range(shingle_k)]
+    m31 = F.lit(_MERSENNE31)
+
+    words = sdf.select(
+        id_col, F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "w")
+    ).filter(F.length("w") > 0)
+    h = F.pmod(F.xxhash64("w"), m31)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    gram_h = F.pmod(h * F.lit(mix[0]), m31)
+    for j in range(1, shingle_k):
+        gram_h = gram_h + F.pmod(F.lead(h, j).over(win) * F.lit(mix[j]), m31)
+    gram_h = F.pmod(gram_h, m31)
+    ex = words.select(id_col, gram_h.alias("__h")).filter(F.col("__h").isNotNull())
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), m31)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
     return (
-        sdf.select(id_col, F.col(text_col).alias("__t"))
-        .withColumn("__sh", sh if text_col == "__t" else F.array_distinct(shingles(F.col("__t"), shingle_k)))
-        .withColumn("minhash", sig)
-        .select(id_col, "minhash")
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+        )
     )
 
 
@@ -98,48 +134,35 @@ def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     from dask_spark.frame import DaskFrame
 
     rows = num_hashes // bands
-    sigs = minhash_signatures(frame._sdf, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(
+        frame._sdf, text_col, id_col, num_hashes, shingle_k
+    ).persist()  # computed once, read by banding + both pair re-joins
+    # shuffle only (band_hash, id) — signatures stay out of the wide join
     banded = sigs.select(
-        id_col,
-        "minhash",
+        F.col(id_col),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("minhash"), b * rows + 1, rows).cast("string")
-                        ).alias("bh"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash"), b * rows + 1, rows).cast("string"),
+                        F.lit(b),
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select(id_col, "minhash", "bk.band", "bk.bh")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+        ).alias("bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
+        a.join(b, on=[F.col("a.bh") == F.col("b.bh"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(F.arrays_zip("mh_a", "mh_b").cast("array<struct<x:bigint,y:bigint>>")
-               .cast("array<struct<x:bigint,y:bigint>>"))
-    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    pairs = pairs.join(sa, "id_a").join(sb, "id_b")
     # estimated jaccard = fraction of equal minhash slots
     eq = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -164,18 +187,29 @@ def simhash(frame, text_col: str = "text", id_col: str = "doc_id", bits: int = 6
     toks = word_tokens(F.col(text_col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    # vote per bit: sum(+1/-1) over tokens, bit set if sum > 0
-    def _vote(i):  # closure factory (defaults would add a lambda param)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    votes = [F.aggregate(hashes, F.lit(0), _vote(i)) for i in range(bits)]
-    sim = None
-    for i, v in enumerate(votes):
-        term = F.when(v > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")) * F.lit(2 ** i).cast("bigint") if i < 63 else \
-               F.when(v > 0, F.lit(-(2 ** 63)).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sim = term if sim is None else (sim + term)
+    # loop-style per-bit vote: acc[i] += (hash bit i set ? +1 : -1),
+    # bit extracted via literal mask array (sign bit mask is the
+    # two's-complement min-long). Compact codegen, single pass.
+    masks = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint") for i in range(bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # fold votes back into a 64-bit word: sum of 2^i where vote > 0
+    # (adding the negative sign-bit term last cannot overflow)
+    sim = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
     out = frame._sdf.select(id_col, sim.alias("simhash"))
     for band in range(4):
         out = out.withColumn(

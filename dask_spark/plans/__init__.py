@@ -36,8 +36,25 @@ def uses_broadcast_join(frame) -> bool:
 
 
 def codegen_stages(frame) -> int:
-    return plan_text(frame).count("WholeStageCodegen")
+    """Distinct whole-stage-codegen spans (simple-mode ``*(n)`` ids —
+    formatted mode would double-count tree nodes vs detail sections).
+
+    Under AQE the pre-execution plan hides codegen decisions
+    (isFinalPlan=false); execute once so explain shows the final
+    adaptive plan."""
+    import re
+
+    txt = plan_text(frame, "simple")
+    if "isFinalPlan=false" in txt:
+        frame._sdf.collect()
+        txt = plan_text(frame, "simple")
+    return len(set(re.findall(r"\*\((\d+)\)", txt)))
 
 
 def shuffle_count(frame) -> int:
-    return plan_text(frame).count("Exchange")
+    """Number of Exchange operators in the physical plan (simple mode:
+    one line per operator, so a plain count is exact)."""
+    txt = plan_text(frame, "simple")
+    return sum(
+        1 for line in txt.splitlines() if "Exchange" in line and "Reuse" not in line
+    )

@@ -1,0 +1,195 @@
+"""DaskFrame elementwise / selection / NA behavior vs pandas oracle.
+
+Mirrors reference test style (dask/dataframe/tests/test_dataframe.py):
+many tiny parity cases against the in-memory pandas result."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_eq
+
+
+def test_getitem_columns(tables, pdf_tables):
+    got = tables["lineitem"][["l_orderkey", "l_quantity"]]
+    assert_eq(got, pdf_tables["lineitem"][["l_orderkey", "l_quantity"]])
+
+
+def test_arith_assign(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.assign(
+        revenue=li.l_extendedprice * (1 - li.l_discount),
+        qty2=li.l_quantity + 1,
+    )[["l_orderkey", "revenue", "qty2"]]
+    p = pdf_tables["lineitem"]
+    want = pd.DataFrame(
+        {
+            "l_orderkey": p.l_orderkey,
+            "revenue": p.l_extendedprice * (1 - p.l_discount),
+            "qty2": p.l_quantity + 1,
+        }
+    )
+    assert_eq(got, want)
+
+
+def test_boolean_mask_filter(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li[(li.l_quantity > 30) & (li.l_discount <= 0.05)][["l_orderkey", "l_quantity"]]
+    p = pdf_tables["lineitem"]
+    want = p[(p.l_quantity > 30) & (p.l_discount <= 0.05)][["l_orderkey", "l_quantity"]]
+    assert_eq(got, want)
+
+
+def test_query_string(tables, pdf_tables):
+    got = tables["orders"].query("o_totalprice > 100000")[["o_orderkey"]]
+    want = pdf_tables["orders"].query("o_totalprice > 100000")[["o_orderkey"]]
+    assert_eq(got, want)
+
+
+def test_isin(tables, pdf_tables):
+    n = tables["nation"]
+    got = n[n.n_regionkey.isin([0, 2])][["n_name"]]
+    p = pdf_tables["nation"]
+    assert_eq(got, p[p.n_regionkey.isin([0, 2])][["n_name"]])
+
+
+def test_where_mask_clip(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.assign(
+        w=li.l_quantity.where(li.l_quantity > 25, other=0.0),
+        m=li.l_quantity.mask(li.l_quantity > 25, other=-1.0),
+        c=li.l_quantity.clip(lower=10, upper=40),
+    )[["l_orderkey", "l_linenumber", "w", "m", "c"]]
+    p = pdf_tables["lineitem"]
+    want = pd.DataFrame(
+        {
+            "l_orderkey": p.l_orderkey,
+            "l_linenumber": p.l_linenumber,
+            "w": p.l_quantity.where(p.l_quantity > 25, other=0.0),
+            "m": p.l_quantity.mask(p.l_quantity > 25, other=-1.0),
+            "c": p.l_quantity.clip(lower=10, upper=40).astype(float),
+        }
+    )
+    assert_eq(got, want)
+
+
+def test_fillna_dropna_replace(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, 3.0, None], "b": ["x", None, "y", "z"]}
+    )
+    f = ds.from_pandas(pdf)
+    assert_eq(f.fillna(0.0)[["a"]], pdf[["a"]].fillna(0.0))
+    assert len(f.dropna().compute()) == 2
+    assert len(f.dropna(how="all").compute()) == 3
+    got = f.replace("x", "xx").compute()
+    assert set(got.b.dropna()) == {"xx", "y", "z"}
+
+
+def test_astype(tables, pdf_tables):
+    got = tables["lineitem"].astype({"l_quantity": "int"})[["l_quantity"]]
+    want = pdf_tables["lineitem"][["l_quantity"]].astype(int)
+    assert_eq(got, want)
+
+
+def test_rename_drop(tables):
+    li = tables["lineitem"]
+    out = li.rename(columns={"l_quantity": "qty"}).drop("l_comment")
+    assert "qty" in out.columns and "l_quantity" not in out.columns
+    assert "l_comment" not in out.columns
+
+
+def test_head_sample(tables):
+    li = tables["lineitem"]
+    assert len(li.head(7)) == 7
+    n = len(li.sample(0.1).compute())
+    total = len(li.compute())
+    assert 0 < n < total
+
+
+def test_str_accessor(tables, pdf_tables):
+    c = tables["customer"]
+    got = c.assign(
+        lo=c.c_name.str.lower(),
+        ln=c.c_name.str.len(),
+        has=c.c_name.str.contains("1"),
+        pre=c.c_name.str.slice(0, 8),
+    )[["c_custkey", "lo", "ln", "has", "pre"]]
+    p = pdf_tables["customer"]
+    want = pd.DataFrame(
+        {
+            "c_custkey": p.c_custkey,
+            "lo": p.c_name.str.lower(),
+            "ln": p.c_name.str.len(),
+            "has": p.c_name.str.contains("1"),
+            "pre": p.c_name.str.slice(0, 8),
+        }
+    )
+    assert_eq(got, want)
+
+
+def test_dt_accessor(tables, pdf_tables):
+    o = tables["orders"]
+    got = o.assign(
+        y=o.o_orderdate.dt.year, m=o.o_orderdate.dt.month, d=o.o_orderdate.dt.day
+    )[["o_orderkey", "y", "m", "d"]]
+    p = pdf_tables["orders"]
+    dt = pd.to_datetime(p.o_orderdate)
+    want = pd.DataFrame(
+        {"o_orderkey": p.o_orderkey, "y": dt.dt.year, "m": dt.dt.month, "d": dt.dt.day}
+    )
+    assert_eq(got, want)
+
+
+def test_map_pandas_udf(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.assign(q2=li.l_quantity.map(lambda s: s * 2 + 1, dtype="double"))[
+        ["l_orderkey", "l_linenumber", "q2"]
+    ]
+    p = pdf_tables["lineitem"]
+    want = pd.DataFrame(
+        {
+            "l_orderkey": p.l_orderkey,
+            "l_linenumber": p.l_linenumber,
+            "q2": p.l_quantity * 2 + 1,
+        }
+    )
+    assert_eq(got, want)
+
+
+def test_map_partitions(tables, pdf_tables):
+    li = tables["lineitem"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": pdf.l_orderkey, "v": pdf.l_quantity * 3})
+
+    got = li.map_partitions(fn, schema="k long, v double")
+    p = pdf_tables["lineitem"]
+    want = pd.DataFrame({"k": p.l_orderkey, "v": p.l_quantity * 3})
+    assert_eq(got, want)
+
+
+def test_empty_result_schema_stable(tables):
+    li = tables["lineitem"]
+    out = li[li.l_quantity > 1e12][["l_orderkey", "l_quantity"]].compute()
+    assert len(out) == 0
+    assert list(out.columns) == ["l_orderkey", "l_quantity"]
+
+
+def test_concat_union(tables):
+    import dask_spark as ds
+
+    a = tables["nation"][["n_nationkey", "n_name"]]
+    b = tables["nation"][["n_nationkey", "n_name"]]
+    out = ds.concat([a, b]).compute()
+    assert len(out) == 2 * len(tables["nation"].compute())
+
+
+def test_setitem(tables):
+    li = tables["lineitem"]
+    li2 = li[["l_orderkey", "l_quantity"]]
+    li2["double_q"] = li2.l_quantity * 2
+    out = li2.compute()
+    assert (out.double_q == out.l_quantity * 2).all()

@@ -1,0 +1,150 @@
+"""Join family vs pandas oracle (reference: dask_expr/_merge.py,
+dask/dataframe/multi.py incl. merge_asof)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_eq
+
+
+def _j(tables, pdf_tables, how):
+    o = tables["orders"][["o_orderkey", "o_custkey", "o_totalprice"]]
+    c = tables["customer"][["c_custkey", "c_name"]]
+    got = o.merge(c, how=how, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "c_name"]
+    ]
+    po = pdf_tables["orders"][["o_orderkey", "o_custkey", "o_totalprice"]]
+    pc = pdf_tables["customer"][["c_custkey", "c_name"]]
+    want = po.merge(pc, how=how, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "c_name"]
+    ]
+    assert_eq(got, want)
+
+
+def test_join_inner(tables, pdf_tables):
+    _j(tables, pdf_tables, "inner")
+
+
+def test_join_left(tables, pdf_tables):
+    _j(tables, pdf_tables, "left")
+
+
+def test_join_outer(tables, pdf_tables):
+    _j(tables, pdf_tables, "outer")
+
+
+def test_join_semi_anti(tables, pdf_tables):
+    c = tables["customer"]
+    o = tables["orders"]
+    semi = c.merge(o, how="semi", left_on="c_custkey", right_on="o_custkey")
+    anti = c.merge(o, how="anti", left_on="c_custkey", right_on="o_custkey")
+    pc, po = pdf_tables["customer"], pdf_tables["orders"]
+    with_orders = set(po.o_custkey)
+    assert len(semi.compute()) == pc.c_custkey.isin(with_orders).sum()
+    assert len(anti.compute()) == (~pc.c_custkey.isin(with_orders)).sum()
+    # semi/anti partition the left side exactly
+    assert len(semi.compute()) + len(anti.compute()) == len(pc)
+
+
+def test_join_cross(tables, pdf_tables):
+    r = tables["region"]
+    n = tables["nation"]
+    out = r.merge(n, how="cross").compute()
+    assert len(out) == len(pdf_tables["region"]) * len(pdf_tables["nation"])
+
+
+def test_join_suffixes(spark):
+    import dask_spark as ds
+
+    a = ds.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    b = ds.from_pandas(pd.DataFrame({"k": [1, 2], "v": [30, 40]}))
+    out = a.merge(b, on="k").compute()
+    assert sorted(out.columns) == ["k", "v_x", "v_y"]
+
+
+def test_broadcast_join_plan(tables):
+    from dask_spark.plans import uses_broadcast_join
+
+    o = tables["orders"]
+    n = tables["nation"]
+    c = tables["customer"]
+    j = c.merge(n, left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
+    assert uses_broadcast_join(j)
+
+
+def test_salted_join_matches_plain(tables, pdf_tables):
+    from dask_spark.operators.joins import salted_join
+
+    o = tables["orders"][["o_orderkey", "o_custkey"]]
+    c = tables["customer"][["c_custkey", "c_name", "c_nationkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    got = salted_join(o, c, on="o_custkey")[["o_orderkey", "c_name"]]
+    po = pdf_tables["orders"][["o_orderkey", "o_custkey"]]
+    pc = pdf_tables["customer"].rename(columns={"c_custkey": "o_custkey"})
+    want = po.merge(pc, on="o_custkey")[["o_orderkey", "c_name"]]
+    assert_eq(got, want)
+
+
+def _asof_frames(direction, tolerance=None):
+    left = pd.DataFrame(
+        {
+            "t": [1, 3, 5, 7, 9, 20],
+            "g": ["a", "a", "a", "b", "b", "b"],
+            "lv": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "t": [0, 4, 6, 8, 100],
+            "g": ["a", "a", "b", "b", "a"],
+            "rv": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="g",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    return left, right, want
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_merge_asof(spark, direction):
+    import dask_spark as ds
+
+    left, right, want = _asof_frames(direction)
+    got = ds.from_pandas(left).merge_asof(
+        ds.from_pandas(right), on="t", by="g", direction=direction
+    )
+    assert_eq(got, want, sort_by=["t", "g"])
+
+
+def test_merge_asof_tolerance(spark):
+    import dask_spark as ds
+
+    left, right, want = _asof_frames("backward", tolerance=3)
+    got = ds.from_pandas(left).merge_asof(
+        ds.from_pandas(right), on="t", by="g", direction="backward", tolerance=3
+    )
+    assert_eq(got, want, sort_by=["t", "g"])
+
+
+def test_merge_asof_ties_included(spark):
+    """Backward asof at equal timestamps matches the tie (pandas
+    allow_exact_matches=True default)."""
+    import dask_spark as ds
+
+    left = pd.DataFrame({"t": [5], "lv": [1]})
+    right = pd.DataFrame({"t": [5], "rv": [9.0]})
+    got = (
+        ds.from_pandas(left)
+        .merge_asof(ds.from_pandas(right), on="t")
+        .compute()
+    )
+    assert got.rv.iloc[0] == 9.0

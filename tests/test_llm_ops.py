@@ -1,0 +1,220 @@
+"""LLM-pipeline extensions: dedup, similarity search, text analysis,
+multimodal plumbing — verified on small synthetic corpora with Python
+oracles (exact cosine / Jaccard / hamming)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    import dask_spark as ds
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    rows = [
+        ("d1", base),
+        ("d2", base),  # exact dup of d1
+        ("d3", base.replace("tonight", "today")),  # near dup of d1
+        ("d4", "completely different text about stock markets and interest rates going up"),
+        ("d5", "der schnelle braune fuchs springt und der hund ist sehr faul heute"),
+    ]
+    return ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import dask_spark as ds
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8)
+    vecs[1] = vecs[0] + 0.001  # near-dup pair
+    pdf = pd.DataFrame(
+        {"vec_id": [f"v{i}" for i in range(50)], "embedding": [v.tolist() for v in vecs]}
+    )
+    return pdf, ds.from_pandas(pdf)
+
+
+def test_exact_dedup(corpus):
+    from dask_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(corpus).compute()
+    assert len(out) == 4  # d1==d2 collapse
+    dup = out[out.dup_count == 2]
+    assert len(dup) == 1 and dup.doc_id.iloc[0] == "d1"  # keeps min id
+
+
+def test_minhash_lsh_pairs(corpus):
+    from dask_spark.operators.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(corpus, jaccard_threshold=0.5).compute()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert ("d1", "d2") in got  # exact dup: jaccard_est == 1
+    assert ("d1", "d3") in got and ("d2", "d3") in got  # near dup
+    assert not any("d4" in p for p in got)
+    exact = out[(out.id_a == "d1") & (out.id_b == "d2")]
+    assert exact.jaccard_est.iloc[0] == 1.0
+
+
+def test_minhash_signature_deterministic(corpus):
+    from dask_spark.operators.dedup import minhash_signatures
+
+    s1 = minhash_signatures(corpus._sdf, "text", "doc_id").toPandas()
+    s2 = minhash_signatures(corpus._sdf, "text", "doc_id").toPandas()
+    m1 = {r.doc_id: r.minhash for r in s1.itertuples()}
+    m2 = {r.doc_id: r.minhash for r in s2.itertuples()}
+    assert all(list(m1[k]) == list(m2[k]) for k in m1)
+    assert list(m1["d1"]) == list(m1["d2"])  # identical docs → identical sig
+
+
+def test_simhash_pairs(corpus):
+    from dask_spark.operators.dedup import simhash_pairs
+
+    out = simhash_pairs(corpus).compute()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert ("d1", "d2") in got
+    assert out[(out.id_a == "d1") & (out.id_b == "d2")].hamming.iloc[0] == 0
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    from dask_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(corpus, n=3, threshold=0.3).compute()
+    row = out[(out.id_a == "d1") & (out.id_b == "d3")]
+    # python oracle: distinct word-trigram jaccard
+    def tri(s):
+        w = s.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    a, b = tri(base), tri(base.replace("tonight", "today"))
+    want = len(a & b) / len(a | b)
+    assert row.jaccard.iloc[0] == pytest.approx(want, abs=1e-6)
+
+
+def test_embedding_dedup(vectors):
+    from dask_spark.operators.dedup import embedding_dedup_pairs
+
+    _, f = vectors
+    out = embedding_dedup_pairs(f, threshold=0.99).compute()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert ("v0", "v1") in got
+
+
+def test_ann_bruteforce_matches_numpy(vectors):
+    from dask_spark.operators.similarity import brute_force_topk
+
+    pdf, f = vectors
+    q = list(np.arange(8) / 8.0)
+    out = brute_force_topk(f, q, k=5).compute()
+    M = np.stack(pdf.embedding.values)
+    qv = np.array(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    want = [f"v{i}" for i in np.argsort(-cos)[:5]]
+    assert out.vec_id.tolist() == want
+
+
+def test_ann_lsh_subset_of_corpus(vectors):
+    from dask_spark.operators.similarity import lsh_topk
+
+    pdf, f = vectors
+    q = pdf.embedding.iloc[0]
+    out = lsh_topk(f, q, k=5, planes=4).compute()
+    assert 1 <= len(out) <= 5
+    assert out.vec_id.iloc[0] == "v0" or out.cosine.iloc[0] >= 0.99
+
+
+def test_ann_ivf_recall(vectors):
+    from dask_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    pdf, f = vectors
+    q = list(np.arange(8) / 8.0)
+    exact = set(brute_force_topk(f, q, k=3).compute().vec_id)
+    approx = set(ivf_topk(f, q, k=3, n_probe=8, n_clusters=8).compute().vec_id)
+    assert len(exact & approx) >= 2  # ≥2/3 recall with generous probes
+
+
+def test_token_count(spark):
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import token_count
+
+    sdf = spark.createDataFrame([("one two  three",), ("",)], ["t"])
+    out = sdf.select(
+        token_count(F.col("t")).alias("ws"),
+        token_count(F.col("t"), "bpe").alias("bpe"),
+    ).collect()
+    assert out[0].ws == 3 and out[1].ws == 0
+
+
+def test_quality_score_ordering(spark):
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import quality_score
+
+    good = (
+        "The market closed higher today as investors weighed the latest "
+        "economic data and the central bank held interest rates steady."
+    )
+    junk = "$$$ !!! ??? ### 123 xx yy zz !!!!"
+    sdf = spark.createDataFrame([(good,), (junk,)], ["t"])
+    s = [r.q for r in sdf.select(quality_score(F.col("t")).alias("q")).collect()]
+    assert s[0] > 0.7 > s[1]
+
+
+def test_lang_id(spark):
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import lang_id
+
+    rows = [
+        ("the cat sat on the mat and the dog is here", "en"),
+        ("der hund und die katze ist im haus und der garten", "de"),
+        ("le chat et le chien est dans la maison et les arbres", "fr"),
+        ("xyzzy qwerty", "und"),
+    ]
+    sdf = spark.createDataFrame([(t,) for t, _ in rows], ["t"])
+    got = [r.l for r in sdf.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_fingerprint_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import fingerprint
+
+    sdf = spark.createDataFrame([("hello   world",), ("hello world",), ("other",)], ["t"])
+    got = [r.f for r in sdf.select(fingerprint(F.col("t")).alias("f")).collect()]
+    assert got[0] == got[1]  # whitespace-normalized
+    assert got[0] != got[2]
+    # python oracle of the rolling hash
+    h = 0
+    for ch in "hello world":
+        h = (h * 257 + ord(ch)) % ((1 << 61) - 1)
+    assert got[0] == format(h, "x")
+
+
+def test_multimodal_plumbing(tables):
+    from dask_spark.functions.multimodal import (
+        attach_fake_media,
+        decode_features,
+        extract_meta,
+    )
+
+    docs = tables["documents"].head_frame(20)
+    media = attach_fake_media(docs)
+    assert dict(media.to_spark().dtypes)["media"] == "binary"
+    meta = extract_meta(media).compute()
+    assert {"kind", "width", "height", "n_bytes"} <= set(meta.columns)
+    feats = decode_features(media, out_dim=6).compute()
+    assert all(len(v) == 6 for v in feats.features)

@@ -1,0 +1,117 @@
+"""Plan-shape guardrails — the 100 TB checks. Pushdown reaches the
+parquet scan, projection prunes the read schema, dim joins broadcast,
+hot paths stay in whole-stage codegen, shuffles are not duplicated."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dask_spark.plans import (
+    codegen_stages,
+    has_pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    uses_broadcast_join,
+)
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    li = tables["lineitem"]
+    q = li[li.l_shipdate <= "1998-09-02"][["l_orderkey"]]
+    assert has_pushed_filters(q)
+
+
+def test_projection_prunes_read_schema(tables):
+    li = tables["lineitem"]
+    q = li[["l_orderkey", "l_quantity"]]
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_agg_prunes_unused_columns(tables):
+    li = tables["lineitem"]
+    q = li.groupby("l_returnflag").agg({"l_quantity": "sum"})
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_returnflag", "l_quantity"}
+
+
+def test_dim_join_is_broadcast(tables):
+    c = tables["customer"]
+    n = tables["nation"]
+    j = c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    assert uses_broadcast_join(j)  # nation is tiny → auto-broadcast
+
+
+def test_explicit_broadcast_hint(tables):
+    o = tables["orders"]
+    c = tables["customer"]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey", broadcast=True)
+    assert uses_broadcast_join(j)
+
+
+def test_groupby_single_shuffle(tables):
+    li = tables["lineitem"]
+    q = li.groupby(["l_returnflag", "l_linestatus"]).agg({"l_quantity": "sum"})
+    assert shuffle_count(q) == 1  # partial agg map-side, one exchange
+
+
+def test_groupby_is_codegen(tables):
+    li = tables["lineitem"]
+    q = li.groupby("l_returnflag").agg({"l_quantity": "sum", "l_discount": "mean"})
+    assert codegen_stages(q) >= 2  # scan+partial, final
+
+
+def test_topk_no_global_sort_shuffle(tables):
+    """nlargest must plan TakeOrderedAndProject, not a full sort."""
+    from dask_spark.plans import plan_text
+
+    q = tables["orders"].nlargest(10, "o_totalprice")
+    assert "TakeOrderedAndProject" in plan_text(q)
+
+
+def test_merge_asof_single_shuffle(spark):
+    """union+window asof join: one exchange on the by-key, not a join
+    explosion."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    left = ds.from_pandas(pd.DataFrame({"t": [1, 2], "g": ["a", "b"], "lv": [1, 2]}))
+    right = ds.from_pandas(pd.DataFrame({"t": [1, 2], "g": ["a", "b"], "rv": [1.0, 2.0]}))
+    q = left.merge_asof(right, on="t", by="g")
+    assert shuffle_count(q) <= 2  # union exchanges collapse under AQE
+
+
+def test_minhash_one_shuffle_for_window_and_agg(corpus_frame):
+    """The (doc,pos) window and the groupBy(doc) agg share the doc key
+    → Catalyst plans a single exchange for both."""
+    from dask_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(corpus_frame._sdf, "text", "doc_id", num_hashes=8)
+    from dask_spark.frame import DaskFrame
+
+    assert shuffle_count(DaskFrame(sig)) == 1
+
+
+def test_ann_bruteforce_no_shuffle(tables):
+    """Brute-force ANN is map-only + TakeOrdered: zero exchanges."""
+    from dask_spark.operators.similarity import brute_force_topk
+
+    emb = tables["embeddings"]
+    dim = len(emb.head(1).embedding.iloc[0])
+    q = brute_force_topk(emb, [0.1] * dim, k=10)
+    assert shuffle_count(q) == 0
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_frame(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    return ds.from_pandas(
+        pd.DataFrame({"doc_id": ["a", "b"], "text": ["x y z w v", "p q r s t"]})
+    )

@@ -1,0 +1,205 @@
+"""Reductions + groupby parity vs pandas (reference:
+dask_expr/_reductions.py, _groupby.py — ACA → Spark partial agg)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_eq
+
+
+def test_global_reductions(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    assert li.l_quantity.sum() == pytest.approx(p.l_quantity.sum())
+    assert li.l_quantity.mean() == pytest.approx(p.l_quantity.mean())
+    assert li.l_quantity.min() == p.l_quantity.min()
+    assert li.l_quantity.max() == p.l_quantity.max()
+    assert li.l_quantity.count() == p.l_quantity.count()
+    assert li.l_quantity.std() == pytest.approx(p.l_quantity.std())
+    assert li.l_quantity.var() == pytest.approx(p.l_quantity.var())
+
+
+def test_nunique(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    exact = p.l_orderkey.nunique()
+    assert li.l_orderkey.nunique() == exact
+    approx = li.l_orderkey.nunique_approx()
+    assert abs(approx - exact) / exact < 0.04  # HLL++ rsd 1%, 4σ slack
+
+
+def test_quantile_median(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    got = li.l_extendedprice.quantile(0.5)
+    want = p.l_extendedprice.median()
+    assert abs(got - want) / want < 0.02  # GK sketch tolerance
+
+
+def test_value_counts(tables, pdf_tables):
+    got = tables["lineitem"].l_returnflag.value_counts()
+    p = pdf_tables["lineitem"]
+    want = (
+        p.l_returnflag.value_counts()
+        .rename_axis("l_returnflag")
+        .reset_index(name="count")
+    )
+    assert_eq(got, want, sort_by=["l_returnflag"])
+
+
+def test_corr_cov(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    assert li.corr("l_quantity", "l_extendedprice") == pytest.approx(
+        p.l_quantity.corr(p.l_extendedprice), abs=1e-6
+    )
+    assert li.cov("l_quantity", "l_extendedprice") == pytest.approx(
+        p.l_quantity.cov(p.l_extendedprice), rel=1e-6
+    )
+
+
+def test_describe_values(tables, pdf_tables):
+    out = tables["lineitem"][["l_quantity", "l_discount"]].describe().compute()
+    assert {"column", "count", "mean", "std", "min", "max"} <= set(out.columns)
+    p = pdf_tables["lineitem"]
+    row = out[out.column == "l_quantity"].iloc[0]
+    assert row["count"] == len(p)
+    assert row["mean"] == pytest.approx(p.l_quantity.mean())
+    assert row["max"] == p.l_quantity.max()
+
+
+def test_groupby_agg_dict(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        {"l_quantity": "sum", "l_extendedprice": "mean", "l_orderkey": "count"}
+    )
+    p = pdf_tables["lineitem"]
+    want = (
+        p.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            l_quantity_sum=("l_quantity", "sum"),
+            l_extendedprice_mean=("l_extendedprice", "mean"),
+            l_orderkey_count=("l_orderkey", "count"),
+        )
+        .reset_index()
+    )
+    assert_eq(got, want, sort_by=["l_returnflag", "l_linestatus"])
+
+
+def test_groupby_named_agg(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.groupby("l_returnflag").agg(
+        total=("l_quantity", "sum"), hi=("l_extendedprice", "max")
+    )
+    p = pdf_tables["lineitem"]
+    want = (
+        p.groupby("l_returnflag")
+        .agg(total=("l_quantity", "sum"), hi=("l_extendedprice", "max"))
+        .reset_index()
+    )
+    assert_eq(got, want, sort_by=["l_returnflag"])
+
+
+def test_groupby_nunique(tables, pdf_tables):
+    got = tables["lineitem"].groupby("l_returnflag").nunique(["l_orderkey"])
+    p = pdf_tables["lineitem"]
+    want = (
+        p.groupby("l_returnflag")["l_orderkey"]
+        .nunique()
+        .reset_index(name="l_orderkey")
+    )
+    assert_eq(got, want, sort_by=["l_returnflag"])
+
+
+def test_groupby_size_count(tables, pdf_tables):
+    got = tables["orders"].groupby("o_orderpriority").size()
+    p = pdf_tables["orders"]
+    want = p.groupby("o_orderpriority").size().reset_index(name="size")
+    assert_eq(got, want, sort_by=["o_orderpriority"])
+
+
+def test_groupby_transform_broadcast(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.groupby("l_orderkey").transform("sum", "l_quantity", out="order_qty")[
+        ["l_orderkey", "l_linenumber", "order_qty"]
+    ]
+    p = pdf_tables["lineitem"]
+    want = pd.DataFrame(
+        {
+            "l_orderkey": p.l_orderkey,
+            "l_linenumber": p.l_linenumber,
+            "order_qty": p.groupby("l_orderkey")["l_quantity"].transform("sum"),
+        }
+    )
+    assert_eq(got, want)
+
+
+def test_groupby_cumsum(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.groupby("l_orderkey").cumsum("l_quantity", order_by="l_linenumber")[
+        ["l_orderkey", "l_linenumber", "l_quantity_cumsum"]
+    ]
+    p = pdf_tables["lineitem"].sort_values(["l_orderkey", "l_linenumber"])
+    want = pd.DataFrame(
+        {
+            "l_orderkey": p.l_orderkey,
+            "l_linenumber": p.l_linenumber,
+            "l_quantity_cumsum": p.groupby("l_orderkey")["l_quantity"].cumsum(),
+        }
+    )
+    assert_eq(got, want)
+
+
+def test_groupby_apply(tables, pdf_tables):
+    li = tables["lineitem"]
+
+    def top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(1, "l_quantity")[["l_orderkey", "l_quantity"]]
+
+    got = li.groupby("l_orderkey").apply(top1, schema="l_orderkey long, l_quantity double")
+    p = pdf_tables["lineitem"]
+    want = (
+        p.sort_values(["l_quantity", "l_orderkey"], ascending=[False, True])
+        .groupby("l_orderkey", as_index=False)
+        .first()[["l_orderkey", "l_quantity"]]
+    )
+    # compare per-key max quantity (apply keeps one row per key)
+    g = got.compute().sort_values("l_orderkey", ignore_index=True)
+    w = (
+        p.groupby("l_orderkey", as_index=False)["l_quantity"]
+        .max()
+        .sort_values("l_orderkey", ignore_index=True)
+    )
+    assert (g.l_quantity.values == w.l_quantity.values).all()
+
+
+def test_groupby_idxminmax(tables, pdf_tables):
+    got = (
+        tables["lineitem"]
+        .groupby("l_returnflag")
+        .idxmax("l_extendedprice", id_col="l_orderkey")
+    )
+    p = pdf_tables["lineitem"]
+    idx = p.groupby("l_returnflag")["l_extendedprice"].idxmax()
+    want = p.loc[idx, ["l_returnflag", "l_orderkey"]].rename(
+        columns={"l_orderkey": "idxmax_l_extendedprice"}
+    )
+    assert_eq(got, want, sort_by=["l_returnflag"])
+
+
+def test_groupby_nulls_in_keys(spark):
+    """Null group keys must form their own group (pandas dropna=False)."""
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": ["a", None, "a", None, "b"], "v": [1, 2, 3, 4, 5]})
+    got = (
+        ds.from_pandas(pdf)
+        .groupby("k")
+        .agg({"v": "sum"})
+        .compute()
+        .sort_values("k", ignore_index=True, na_position="last")
+    )
+    assert len(got) == 3
+    assert got.v_sum.sum() == 15

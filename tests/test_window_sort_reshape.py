@@ -1,0 +1,181 @@
+"""Window / rolling / resample / sort / reshape parity (reference:
+dask/dataframe/rolling.py, tseries/resample.py, reshape.py,
+dask_expr/_shuffle.py sort_values/set_index)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_eq
+
+
+def test_rolling_rows(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"ts": range(10), "v": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10]})
+    got = ds.from_pandas(pdf).rolling(3, on="ts").mean("v").compute()
+    want = pdf.assign(v_roll_mean=pdf.v.rolling(3, min_periods=1).mean())
+    assert_eq(got, want, sort_by=["ts"])
+
+
+def test_rolling_by_key(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "ts": [1, 2, 3, 1, 2],
+         "v": [1.0, 2, 3, 10, 20]}
+    )
+    got = ds.from_pandas(pdf).rolling(2, on="ts", by="g").sum("v").compute()
+    want = pdf.assign(
+        v_roll_sum=pdf.groupby("g").v.rolling(2, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    )
+    assert_eq(got, want, sort_by=["g", "ts"])
+
+
+def test_rolling_time_range(spark):
+    import dask_spark as ds
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00", "2026-01-01 00:30", "2026-01-01 02:00",
+         "2026-01-01 02:30"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 4.0, 8.0]})
+    got = ds.from_pandas(pdf).rolling("1h", on="ts").sum("v").compute()
+    want = pdf.assign(v_roll_sum=pdf.rolling("1h", on="ts").v.sum())
+    assert_eq(got, want, sort_by=["ts"])
+
+
+def test_shift_diff_cum(spark):
+    import dask_spark as ds
+    from dask_spark.operators.window import cumulative, diff, shift
+
+    pdf = pd.DataFrame({"ts": [1, 2, 3, 4], "v": [1.0, 3.0, 6.0, 10.0]})
+    f = ds.from_pandas(pdf)
+    s = shift(f, "v", order_by="ts").compute().sort_values("ts")
+    assert s.v_shift.tolist()[1:] == [1.0, 3.0, 6.0]
+    d = diff(f, "v", order_by="ts").compute().sort_values("ts")
+    assert d.v_diff.tolist()[1:] == [2.0, 3.0, 4.0]
+    c = cumulative(f, "v", "sum", order_by="ts").compute().sort_values("ts")
+    assert c.v_cumsum.tolist() == [1.0, 4.0, 10.0, 20.0]
+
+
+def test_resample(tables, pdf_tables):
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    # events.ts is stored as TIMESTAMP(NANOS) → read as long; floor to µs
+    e = DaskFrame(
+        tables["events"]
+        .to_spark()
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = e.resample("1h", on="ts").agg({"value": ["sum", "count"]})
+    p = pdf_tables["events"]
+    want = (
+        p.set_index(pd.to_datetime(p.ts))
+        .resample("1h")
+        .agg(value_sum=("value", "sum"), value_count=("value", "count"))
+        .reset_index()
+        .rename(columns={"ts": "ts_bucket"})
+    )
+    want = want[want.value_count > 0]  # spark emits no empty buckets
+    assert_eq(got, want, sort_by=["ts_bucket"])
+
+
+def test_sort_values_global(tables, pdf_tables):
+    li = tables["lineitem"]
+    got = li.sort_values(["l_extendedprice"], ascending=False)[
+        ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ].compute()
+    want = (
+        pdf_tables["lineitem"]
+        .sort_values("l_extendedprice", ascending=False)[
+            ["l_orderkey", "l_linenumber", "l_extendedprice"]
+        ]
+        .reset_index(drop=True)
+    )
+    # global order is what matters
+    assert got.l_extendedprice.tolist() == want.l_extendedprice.tolist()
+
+
+def test_topk(tables, pdf_tables):
+    got = tables["orders"].nlargest(5, "o_totalprice").compute()
+    want = pdf_tables["orders"].nlargest(5, "o_totalprice")
+    assert got.o_totalprice.tolist() == want.o_totalprice.tolist()
+    got2 = tables["orders"].nsmallest(5, "o_totalprice").compute()
+    want2 = pdf_tables["orders"].nsmallest(5, "o_totalprice")
+    assert got2.o_totalprice.tolist() == want2.o_totalprice.tolist()
+
+
+def test_set_index_range_partitions(tables):
+    f = tables["orders"].set_index("o_orderkey", npartitions=4)
+    sdf = f.to_spark()
+    assert sdf.rdd.getNumPartitions() == 4
+    # within-partition sortedness (divisions semantics)
+    import pandas as pd
+
+    def check(it):
+        for pdf in it:
+            yield pd.DataFrame({"ok": [pdf.o_orderkey.is_monotonic_increasing]})
+
+    flags = sdf.mapInPandas(check, "ok boolean").toPandas()
+    assert flags.ok.all()
+
+
+def test_drop_duplicates(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1, 1, 2, 9, 3]})
+    f = ds.from_pandas(pdf)
+    assert len(f.drop_duplicates().compute()) == 4
+    assert len(f.drop_duplicates(subset=["k"]).compute()) == 3
+
+
+def test_pivot_table(tables, pdf_tables):
+    got = tables["lineitem"].pivot_table(
+        index="l_returnflag", columns="l_linestatus", values="l_quantity",
+        aggfunc="sum",
+    )
+    p = pdf_tables["lineitem"]
+    want = (
+        p.pivot_table(
+            index="l_returnflag", columns="l_linestatus", values="l_quantity",
+            aggfunc="sum",
+        )
+        .reset_index()
+        .rename_axis(None, axis=1)
+    )
+    assert_eq(got, want, sort_by=["l_returnflag"])
+
+
+def test_melt(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"id": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0]})
+    got = ds.from_pandas(pdf).melt(id_vars="id", value_vars=["a", "b"])
+    want = pdf.melt(id_vars="id", value_vars=["a", "b"])
+    assert_eq(got, want, sort_by=["id", "variable"])
+
+
+def test_explode(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"id": [1, 2], "xs": [[1, 2, 3], [4]]})
+    got = ds.from_pandas(pdf).explode("xs")
+    want = pdf.explode("xs")
+    want["xs"] = want["xs"].astype("int64")
+    assert_eq(got, want, sort_by=["id", "xs"])
+
+
+def test_get_dummies(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"c": ["x", "y", "x", "z"]})
+    got = ds.from_pandas(pdf).get_dummies("c").compute()
+    assert sorted(c for c in got.columns if c.startswith("c_")) == [
+        "c_x", "c_y", "c_z",
+    ]
+    assert got.c_x.sum() == 2 and got.c_y.sum() == 1 and got.c_z.sum() == 1
