@@ -294,25 +294,66 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_dedup_pairs(frame, vec_col: str = "embedding",
                           id_col: str = "vec_id", threshold: float = 0.95,
-                          planes: int = 12, seed: int = 7):
-    """Embedding near-dup: random-hyperplane LSH bucket (map-only
-    signature) → per-bucket pairs → exact cosine verify. At 100 TB the
-    corpus never self-joins — only same-bucket candidates do."""
+                          planes: int = 6, bands: int = 8, seed: int = 7):
+    """Embedding near-dup, the 100 TB scale path: BANDED
+    random-hyperplane LSH — ``bands`` independent hash tables of
+    ``planes`` bits each (OR-amplified: recall for a pair at angle θ is
+    1-(1-(1-θ/π)^planes)^bands, e.g. ≈0.97 for cos≥0.8 with 8×6) →
+    per-bucket candidate pairs → exact cosine verify. The corpus never
+    self-joins — only same-bucket candidates do; shuffle volume is
+    bands×|corpus| rows of (bucket, id, vec)."""
     from dask_spark.frame import DaskFrame
     from dask_spark.functions.vector import cosine_sim, lsh_signature
 
     sdf = frame._sdf
     dim = len(sdf.select(vec_col).first()[0])
-    sig = lsh_signature(F.col(vec_col), dim, planes, seed)
-    docs = sdf.select(id_col, vec_col).withColumn("bucket", sig)
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(F.col(vec_col), dim, planes, seed + 101 * b).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    docs = sdf.select(id_col, vec_col, F.explode(sigs).alias("bk")).select(
+        id_col, vec_col, "bk.band", "bk.sig"
+    )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.sig") == F.col("b.sig"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     return DaskFrame(
         pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_pairs_exact(frame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", threshold: float = 0.4):
+    """EXACT all-pairs cosine above threshold — the oracle-checkable
+    twin of ``embedding_dedup_pairs``. O(n²) comparisons: use only on
+    small or pre-blocked sets (at 100 TB, run it per LSH bucket /
+    IVF cell; the LSH variant above is the scale path). Cosine is
+    rounded to 6 dp so the threshold cut is reproducible across
+    engines."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.vector import cosine_sim
+
+    sdf = frame._sdf.select(id_col, vec_col)
+    a, b = sdf.alias("a"), sdf.alias("b")
+    cos = F.round(
+        cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+    ).alias("cosine")
+    out = (
+        a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), cos)
+        .filter(F.col("cosine") >= threshold)
+    )
+    return DaskFrame(out)

@@ -967,13 +967,22 @@ def groupby_transform(spark, sf_dir):
     )
 
 
-@q("groupby_apply", None)  # pandas-per-group escape hatch — rows-only
+@q(
+    "groupby_apply",
+    """
+    SELECT user_id, event_id, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 2
+    """,
+)
 def groupby_apply(spark, sf_dir):
-    """applyInPandas: per-user top-2 events by value."""
+    """applyInPandas escape hatch: per-user top-2 events by value
+    (deterministic tie-break on event_id so the oracle can match)."""
     e = load(spark, sf_dir, "events")
 
     def top2(pdf):
-        return pdf.nlargest(2, "value")[["user_id", "event_id", "value"]]
+        return pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(2)[["user_id", "event_id", "value"]]
 
     return e.groupby("user_id").apply(
         top2, schema="user_id bigint, event_id bigint, value double"
@@ -1111,20 +1120,83 @@ def text_tokens(spark, sf_dir):
 
 @q(
     "text_quality",
-    None,  # heuristic composite — verified by dedicated unit test instead
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(text) AS n_chars,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(len(text), 1) AS alpha,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(len(text), 1) AS punct,
+             len(list_filter(toks, x -> list_contains(
+                ['the','of','and','to','a','in','is','it','that','for','on',
+                 'was','with','as','at','by','be','this','are','or','an'], x)))
+               / greatest(len(toks), 1) AS stop_ratio,
+             len(text) / greatest(len(toks), 1) AS mean_wl
+      FROM t
+    )
+    SELECT doc_id, round(
+        0.25 * (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * least(alpha * 1.25, 1.0)
+      + 0.2  * (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 1.0 ELSE 0.0 END)
+      + 0.2  * least(stop_ratio * 4, 1.0)
+      + 0.1  * (1 - least(punct * 10, 1.0)), 4) AS quality
+    FROM m
+    """,
 )
 def text_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents").to_spark()
     return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
-@q("text_langid", None)  # heuristic — rows-only + accuracy unit test
+@q(
+    "text_langid",
+    """
+    WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+    sc AS (
+      SELECT doc_id,
+        (len(s)-len(replace(s,'the ','')))/4 + (len(s)-len(replace(s,' and ','')))/5
+          + (len(s)-len(replace(s,' of ','')))/4 + (len(s)-len(replace(s,' to ','')))/4
+          + (len(s)-len(replace(s,' is ','')))/4 AS s_en,
+        (len(s)-len(replace(s,' der ','')))/5 + (len(s)-len(replace(s,' und ','')))/5
+          + (len(s)-len(replace(s,' die ','')))/5 + (len(s)-len(replace(s,' ist ','')))/5
+          + (len(s)-len(replace(s,' das ','')))/5 AS s_de,
+        (len(s)-len(replace(s,' le ','')))/4 + (len(s)-len(replace(s,' la ','')))/4
+          + (len(s)-len(replace(s,' et ','')))/4 + (len(s)-len(replace(s,' les ','')))/5
+          + (len(s)-len(replace(s,' est ','')))/5 AS s_fr,
+        (len(s)-len(replace(s,' el ','')))/4 + (len(s)-len(replace(s,' de ','')))/4
+          + (len(s)-len(replace(s,' que ','')))/5 + (len(s)-len(replace(s,' los ','')))/5
+          + (len(s)-len(replace(s,' es ','')))/4 AS s_es
+      FROM p
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_en, s_de, s_fr, s_es) > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           WHEN greatest(s_en, s_de, s_fr, s_es) > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+           WHEN greatest(s_en, s_de, s_fr, s_es) > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           WHEN greatest(s_en, s_de, s_fr, s_es) > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           ELSE 'und' END AS lang_pred
+    FROM sc
+    """,
+)
 def text_langid(spark, sf_dir):
     d = load(spark, sf_dir, "documents").to_spark()
     return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
-@q("text_fingerprint", None)  # rolling-hash hex — unit-tested determinism
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id, format('{:x}', list_reduce(
+        list_prepend(0::HUGEINT, list_transform(
+            string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''),
+            c -> ascii(c)::HUGEINT)),
+        (a, b) -> (a * 257 + b) % 2305843009213693951)::BIGINT) AS fp
+    FROM documents
+    """,
+)
 def text_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents").to_spark()
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -1162,7 +1234,32 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(d, max_hamming=3).to_spark()
 
 
-@q("dedup_ngram_jaccard", None)  # exact jaccard (tested vs python impl)
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, list_distinct(
+        [array_to_string(w[i:i+2], ' ') for i in generate_series(1, greatest(len(w)-2, 1))]
+      ) AS grams FROM toks
+    ), inv0 AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM gr
+    ), keep AS (
+      SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 100
+    ), inv AS (
+      SELECT inv0.* FROM inv0 JOIN keep USING (g)
+    ), pc AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_grams AS na, b.n_grams AS nb, count(*) AS inter
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+    FROM pc WHERE inter / (na + nb - inter) >= 0.4
+    """,
+)
 def dedup_ngram_jaccard(spark, sf_dir):
     from dask_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1170,12 +1267,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=3, threshold=0.4).to_spark()
 
 
-@q("dedup_embed", None)
+@q(
+    "dedup_embed",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
 def dedup_embed(spark, sf_dir):
+    """Exact all-pairs variant (oracle-checkable); the LSH scale path
+    is dedup_embed_lsh below."""
+    from dask_spark.operators.dedup import embedding_pairs_exact
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_pairs_exact(e, threshold=0.4).to_spark()
+
+
+@q("dedup_embed_lsh", None)  # banded LSH — probabilistic recall, rows-only
+def dedup_embed_lsh(spark, sf_dir):
     from dask_spark.operators.dedup import embedding_dedup_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(e, threshold=0.9).to_spark()
+    return embedding_dedup_pairs(e, threshold=0.4, planes=6, bands=8).to_spark()
 
 
 # --------------------------- vectors / similarity ---------------------------
@@ -1422,7 +1537,19 @@ def io_parquet_pushdown(spark, sf_dir):
     return li.to_spark()
 
 
-@q("multimodal_meta", None)  # binary plumbing — schema/rows-only + unit test
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           (doc_id % 640 + 32)::INT AS width,
+           (doc_id % 480 + 32)::INT AS height,
+           (doc_id % 120 + 1)::INT AS n_frames,
+           64::INT AS n_bytes
+    FROM documents LIMIT 200
+    """,
+)
 def multimodal_meta(spark, sf_dir):
     from dask_spark.functions.multimodal import attach_fake_media, extract_meta
 
