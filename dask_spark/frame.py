@@ -352,6 +352,20 @@ class Series:
         is ~10 KB per agg — negligible even with millions of groups."""
         return self._agg_scalar(F.approx_count_distinct(self._expr, rsd))
 
+    def autocorr(self, lag: int = 1, order_by: str | None = None):
+        """Pearson corr of (x_t, x_{t+lag}) (reference: _collection.py
+        autocorr). Computed as corr over a lag window ordered by
+        ``order_by`` (defaults to this column) — sort-shuffle + agg."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(order_by or self._name)
+        lagged = F.lag(self._expr, lag).over(w)
+        return (
+            self._frame._sdf.select(self._expr.alias("__x"), lagged.alias("__y"))
+            .agg(F.corr("__x", "__y"))
+            .first()[0]
+        )
+
     def quantile(self, q: float = 0.5):
         """reference: dask/dataframe/partitionquantiles.py → GK sketch."""
         return self._agg_scalar(F.percentile_approx(self._expr, q))
@@ -586,6 +600,230 @@ class DaskFrame:
 
     def __len__(self) -> int:
         return self._sdf.count()
+
+    # ---- extended dask parity (reference: dask_expr/_collection.py:
+    # add_prefix/add_suffix/round/select_dtypes/any/all/prod/skew/
+    # kurtosis/sem/mode/eval/pipe/ffill/bfill/pct_change/cum*/
+    # combine_first/case_when/random_split) --------------------------------
+    def add_prefix(self, prefix: str) -> "DaskFrame":
+        return self.rename({c: prefix + c for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DaskFrame":
+        return self.rename({c: c + suffix for c in self.columns})
+
+    def round(self, decimals: int | Mapping[str, int] = 0) -> "DaskFrame":
+        spec = (
+            {c: decimals for c in self._numeric_cols()}
+            if isinstance(decimals, int)
+            else dict(decimals)
+        )
+        sdf = self._sdf
+        for c, n in spec.items():
+            sdf = sdf.withColumn(c, F.round(F.col(c), n))
+        return DaskFrame(sdf)
+
+    def select_dtypes(self, include: str | Sequence[str]) -> "DaskFrame":
+        """include: spark type names or the shorthand "number"."""
+        kinds = [include] if isinstance(include, str) else list(include)
+        num = {"int", "bigint", "smallint", "tinyint", "double", "float",
+               "decimal"}
+        want = set()
+        for k in kinds:
+            want |= num if k == "number" else {k}
+        cols = [
+            c for c, t in self._sdf.dtypes
+            if t in want or t.split("(")[0] in want
+        ]
+        return DaskFrame(self._sdf.select(*cols))
+
+    def any(self) -> "DaskFrame":
+        """Per-column ANY over boolean columns (one row)."""
+        cols = [c for c, t in self._sdf.dtypes if t == "boolean"]
+        return DaskFrame(
+            self._sdf.agg(*[F.max(F.col(c)).alias(c) for c in cols])
+        )
+
+    def all(self) -> "DaskFrame":
+        cols = [c for c, t in self._sdf.dtypes if t == "boolean"]
+        return DaskFrame(
+            self._sdf.agg(*[F.min(F.col(c)).alias(c) for c in cols])
+        )
+
+    def prod(self) -> "DaskFrame":
+        return DaskFrame(
+            self._sdf.agg(
+                *[F.product(F.col(c)).alias(c) for c in self._numeric_cols()]
+            )
+        )
+
+    def skew(self) -> "DaskFrame":
+        """Population skewness g1 (Spark's definition) per numeric col."""
+        return self._agg_all(lambda c: F.skewness(F.col(c)))
+
+    def kurtosis(self) -> "DaskFrame":
+        """Population excess kurtosis (Spark's definition)."""
+        return self._agg_all(lambda c: F.kurtosis(F.col(c)))
+
+    def sem(self) -> "DaskFrame":
+        """Standard error of the mean: stddev_samp / sqrt(n)."""
+        return self._agg_all(
+            lambda c: F.stddev_samp(F.col(c)) / F.sqrt(F.count(F.col(c)))
+        )
+
+    def mode(self, column: str) -> "DaskFrame":
+        """Most frequent value (ties → smallest value). One shuffle
+        (count per value) + TakeOrdered(1)."""
+        return DaskFrame(
+            self._sdf.groupBy(column)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(column).asc())
+            .limit(1)
+            .select(column)
+        )
+
+    def idxmin(self, value_col: str, id_col: str):
+        """id at the minimum of value_col (dask idxmin ≈ min_by)."""
+        return self._sdf.agg(F.min_by(id_col, value_col)).first()[0]
+
+    def idxmax(self, value_col: str, id_col: str):
+        return self._sdf.agg(F.max_by(id_col, value_col)).first()[0]
+
+    def eval(self, expr: str) -> "DaskFrame | Series":
+        """pandas.eval-style: ``"c = a + b"`` adds column c; a bare
+        expression returns a Series. SQL expression syntax (Catalyst)."""
+        import re
+
+        m = re.match(r"^\s*(\w+)\s*=(?!=)(.*)$", expr, re.S)
+        if m:
+            return DaskFrame(
+                self._sdf.withColumn(m.group(1), F.expr(m.group(2).strip()))
+            )
+        return Series(self, F.expr(expr), expr)
+
+    def pipe(self, fn: Callable, *args, **kwargs):
+        return fn(self, *args, **kwargs)
+
+    def ffill(self, cols: str | Sequence[str], order_by: str,
+              by: str | Sequence[str] | None = None) -> "DaskFrame":
+        """Forward-fill nulls in ``cols`` along ``order_by`` (within
+        ``by`` groups): window ``last(ignorenulls)`` — the declarative
+        twin of dask's map_overlap ffill; one sort-shuffle on the
+        group key."""
+        from pyspark.sql import Window
+
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sdf = self._sdf
+        for c in cols:
+            sdf = sdf.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        return DaskFrame(sdf)
+
+    def bfill(self, cols: str | Sequence[str], order_by: str,
+              by: str | Sequence[str] | None = None) -> "DaskFrame":
+        from pyspark.sql import Window
+
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(order_by)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        sdf = self._sdf
+        for c in cols:
+            sdf = sdf.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+        return DaskFrame(sdf)
+
+    def pct_change(self, col: str, periods: int = 1, order_by: str | None = None,
+                   by: str | Sequence[str] | None = None,
+                   out: str | None = None) -> "DaskFrame":
+        """(x - x.shift(periods)) / x.shift(periods) via lag window."""
+        from pyspark.sql import Window
+
+        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        w = Window.partitionBy(*by).orderBy(order_by or col)
+        prev = F.lag(col, periods).over(w)
+        return DaskFrame(
+            self._sdf.withColumn(out or f"{col}_pct_change", (F.col(col) - prev) / prev)
+        )
+
+    def _cum(self, fn: str, col: str, order_by: str, by=None, out=None):
+        from dask_spark.operators.window import cumulative
+
+        return cumulative(self, col, fn, order_by=order_by, by=by, out=out)
+
+    def cumsum(self, col: str, order_by: str, by=None, out=None):
+        return self._cum("sum", col, order_by, by, out)
+
+    def cummax(self, col: str, order_by: str, by=None, out=None):
+        return self._cum("max", col, order_by, by, out)
+
+    def cummin(self, col: str, order_by: str, by=None, out=None):
+        return self._cum("min", col, order_by, by, out)
+
+    def cumprod(self, col: str, order_by: str, by=None, out=None):
+        return self._cum("prod", col, order_by, by, out)
+
+    def shift(self, col: str, periods: int = 1, order_by: str | None = None,
+              by=None, out=None) -> "DaskFrame":
+        from dask_spark.operators.window import shift
+
+        return shift(self, col, periods, order_by=order_by, by=by, out=out)
+
+    def diff(self, col: str, periods: int = 1, order_by: str | None = None,
+             by=None, out=None) -> "DaskFrame":
+        from dask_spark.operators.window import diff
+
+        return diff(self, col, periods, order_by=order_by, by=by, out=out)
+
+    def combine_first(self, other: "DaskFrame", on: str | Sequence[str]) -> "DaskFrame":
+        """Fill this frame's nulls with ``other``'s values, aligned on
+        key (reference: _collection.py combine_first — index-aligned
+        coalesce). Full outer join on the key, COALESCE per column; one
+        co-partitioned shuffle."""
+        keys = [on] if isinstance(on, str) else list(on)
+        lsdf, rsdf = self._sdf, other._sdf
+        shared = [c for c in lsdf.columns if c in rsdf.columns and c not in keys]
+        r = rsdf
+        for c in shared:
+            r = r.withColumnRenamed(c, f"__r_{c}")
+        j = lsdf.join(r, on=keys, how="full_outer")
+        out_cols = keys + [
+            F.coalesce(F.col(c), F.col(f"__r_{c}")).alias(c) if c in shared
+            else F.col(c)
+            for c in lsdf.columns if c not in keys
+        ] + [F.col(f"__r_{c}").alias(c) for c in rsdf.columns
+         if c not in keys and c not in shared]
+        return DaskFrame(j.select(*out_cols))
+
+    def case_when(self, name: str, cases: Sequence[tuple], default=None) -> "DaskFrame":
+        """pandas 2.2 case_when: ``cases`` is [(cond Series, value), ...]
+        lowered to one chained CASE WHEN expression."""
+        expr = None
+        for cond, value in cases:
+            c = _col(cond)
+            v = value._expr if isinstance(value, Series) else F.lit(value)
+            expr = F.when(c, v) if expr is None else expr.when(c, v)
+        expr = expr.otherwise(
+            default._expr if isinstance(default, Series) else F.lit(default)
+        )
+        return DaskFrame(self._sdf.withColumn(name, expr))
+
+    def random_split(self, weights: Sequence[float], seed: int = 42) -> list["DaskFrame"]:
+        return [DaskFrame(s) for s in self._sdf.randomSplit(list(weights), seed)]
+
+    def memory_usage(self) -> int:
+        """Optimizer-estimated size in bytes (reference:
+        _collection.py memory_usage; here from Catalyst plan stats —
+        exact per-partition accounting needs an action)."""
+        from dask_spark.plans import estimated_size_bytes
+
+        return estimated_size_bytes(self)
 
     # ---- groupby / joins / reshape (delegated) -----------------------------
     def groupby(self, by: str | Sequence[str]):

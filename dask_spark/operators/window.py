@@ -131,12 +131,16 @@ class Resampler:
         return self.agg({col: "count"})
 
 
+def _by_list(by) -> list[str]:
+    return [] if by is None else ([by] if isinstance(by, str) else list(by))
+
+
 def shift(frame, col: str, periods: int = 1, order_by: str | None = None,
           by: Sequence[str] | None = None, out: str | None = None):
     """reference: dask shift via map_overlap → lag/lead window."""
     from dask_spark.frame import DaskFrame
 
-    by = by or []
+    by = _by_list(by)
     w = Window.partitionBy(*by).orderBy(order_by or col)
     fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
     return DaskFrame(frame._sdf.withColumn(out or f"{col}_shift", fn.over(w)))
@@ -146,7 +150,7 @@ def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
          by: Sequence[str] | None = None, out: str | None = None):
     from dask_spark.frame import DaskFrame
 
-    by = by or []
+    by = _by_list(by)
     w = Window.partitionBy(*by).orderBy(order_by or col)
     return DaskFrame(
         frame._sdf.withColumn(
@@ -161,14 +165,16 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     ops) as running window aggregates."""
     from dask_spark.frame import DaskFrame
 
-    by = by or []
+    by = _by_list(by)
     w = (
         Window.partitionBy(*by)
         .orderBy(order_by or col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
-           "prod": lambda c: F.exp(F.sum(F.log(c)))}
-    return DaskFrame(
-        frame._sdf.withColumn(out or f"{col}_cum{fn}", fns[fn](col).over(w))
-    )
+    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count}
+    if fn == "prod":
+        # running product via exp∘cumsum∘log (window applies to the sum)
+        expr = F.exp(F.sum(F.log(col)).over(w))
+    else:
+        expr = fns[fn](col).over(w)
+    return DaskFrame(frame._sdf.withColumn(out or f"{col}_cum{fn}", expr))

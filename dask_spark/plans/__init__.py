@@ -51,6 +51,13 @@ def codegen_stages(frame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", txt)))
 
 
+def estimated_size_bytes(frame) -> int:
+    """Catalyst-estimated plan output size (dask memory_usage analog)."""
+    return int(
+        frame._sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
 def shuffle_count(frame) -> int:
     """Number of Exchange operators in the physical plan (simple mode:
     one line per operator, so a plain count is exact)."""

@@ -1223,7 +1223,11 @@ def dedup_minhash(spark, sf_dir):
     from dask_spark.operators.dedup import minhash_lsh_pairs
 
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, jaccard_threshold=0.5).to_spark()
+    # 32×8 halves signature/codegen cost vs 64×16 with the same rows-
+    # per-band (4) — candidate recall at J≥0.5 is still ≈1-(1-0.5^4)^8≈0.96
+    return minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).to_spark()
 
 
 @q("dedup_simhash", None)
@@ -1556,3 +1560,186 @@ def multimodal_meta(spark, sf_dir):
     d = load(spark, sf_dir, "documents").head_frame(200)
     media = attach_fake_media(d)
     return extract_meta(media).to_spark()
+
+
+# ------------------- extended dask parity (round 1 widening) ----------------
+
+@q(
+    "ffill",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_f
+    FROM events
+    """,
+)
+def ffill(spark, sf_dir):
+    """Forward-fill along event order per user (window last ignorenulls)."""
+    e = load(spark, sf_dir, "events")
+    e = e.assign(
+        value_f=F.when(e.event_id._expr % 7 == 0, None).otherwise(F.col("value"))
+    )
+    out = e.ffill("value_f", order_by="event_id", by="user_id")
+    return out.to_spark().select("event_id", "user_id", "value_f")
+
+
+@q(
+    "pct_change",
+    """
+    SELECT event_id, user_id,
+           round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS value_pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def pct_change(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = e.pct_change("value", order_by="event_id", by="user_id")
+    return out.to_spark().select(
+        "event_id", "user_id", F.round("value_pct_change", 6).alias("value_pct_change")
+    )
+
+
+@q(
+    "cummax",
+    """
+    SELECT event_id, user_id,
+           max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cummax
+    FROM events
+    """,
+)
+def cummax(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    out = e.cummax("value", order_by="event_id", by="user_id")
+    return out.to_spark().select("event_id", "user_id", "value_cummax")
+
+
+@q(
+    "case_when",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders
+    """,
+)
+def case_when(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    out = o.case_when(
+        "price_band",
+        [(o.o_totalprice >= 300000, "high"), (o.o_totalprice >= 150000, "mid")],
+        default="low",
+    )
+    return out.to_spark().select("o_orderkey", "price_band")
+
+
+@q(
+    "mode",
+    """
+    SELECT l_quantity FROM lineitem
+    GROUP BY l_quantity ORDER BY count(*) DESC, l_quantity ASC LIMIT 1
+    """,
+)
+def mode(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.mode("l_quantity").to_spark()
+
+
+@q(
+    "moments",
+    """
+    WITH s AS (
+      SELECT avg(l_extendedprice) AS mu,
+             count(l_extendedprice) AS n,
+             stddev_samp(l_extendedprice) AS sd
+      FROM lineitem
+    )
+    SELECT round(avg(pow(l_extendedprice - mu, 3)) / pow(sqrt(avg(pow(l_extendedprice - mu, 2))), 3), 5) AS skew,
+           round(avg(pow(l_extendedprice - mu, 4)) / pow(avg(pow(l_extendedprice - mu, 2)), 2) - 3, 5) AS kurt,
+           round(any_value(sd) / sqrt(any_value(n)), 5) AS sem
+    FROM lineitem, s
+    """,
+)
+def moments(spark, sf_dir):
+    """Population skewness/excess kurtosis (Spark's definitions) + SEM."""
+    li = load(spark, sf_dir, "lineitem").to_spark()
+    return li.agg(
+        F.round(F.skewness("l_extendedprice"), 5).alias("skew"),
+        F.round(F.kurtosis("l_extendedprice"), 5).alias("kurt"),
+        F.round(
+            F.stddev_samp("l_extendedprice") / F.sqrt(F.count("l_extendedprice")), 5
+        ).alias("sem"),
+    )
+
+
+@q(
+    "autocorr",
+    """
+    WITH t AS (
+      SELECT value, lag(value) OVER (ORDER BY event_id) AS pv FROM events
+    )
+    SELECT round(corr(value, pv), 6) AS autocorr FROM t
+    """,
+)
+def autocorr(spark, sf_dir):
+    """Series.autocorr(lag=1) over event order: corr of consecutive
+    values. Scalar result wrapped in a 1-row frame."""
+    e = load(spark, sf_dir, "events")
+    v = e.value.autocorr(lag=1, order_by="event_id")
+    return spark.createDataFrame([(round(v, 6),)], "autocorr double")
+
+
+@q(
+    "combine_first",
+    """
+    SELECT o_orderkey,
+           coalesce(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END,
+                    o_totalprice) AS o_totalprice
+    FROM orders
+    """,
+)
+def combine_first(spark, sf_dir):
+    """Null-fill alignment on key: left frame with holes ⊕ full right."""
+    o = load(spark, sf_dir, "orders")
+    left = o.assign(
+        o_totalprice=F.when(o.o_orderkey._expr % 3 == 0, None).otherwise(
+            F.col("o_totalprice")
+        )
+    )[["o_orderkey", "o_totalprice"]]
+    right = o[["o_orderkey", "o_totalprice"]]
+    return left.combine_first(right, on="o_orderkey").to_spark()
+
+
+@q(
+    "groupby_prod",
+    """
+    SELECT l_orderkey, round(product(1 + l_discount), 6) AS disc_factor
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def groupby_prod(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").to_spark()
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.product(F.lit(1) + F.col("l_discount")), 6).alias("disc_factor")
+    )
+
+
+@q(
+    "any_all",
+    """
+    SELECT max(l_discount > 0.08) AS any_big_disc,
+           min(l_quantity > 0) AS all_positive_qty
+    FROM lineitem
+    """,
+)
+def any_all(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    flags = li.assign(
+        any_big_disc=li.l_discount > 0.08, all_positive_qty=li.l_quantity > 0
+    )[["any_big_disc", "all_positive_qty"]]
+    a = flags.any().to_spark().select("any_big_disc")
+    b = flags.all().to_spark().select("all_positive_qty")
+    return a.crossJoin(b)

@@ -1,0 +1,193 @@
+"""Extended dask-parity surface added in the round-1 widening pass
+(reference: dask_expr/_collection.py — ffill/bfill, cum*, pct_change,
+case_when, mode, moments, combine_first, eval, pipe, etc.)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_eq
+
+
+@pytest.fixture(scope="module")
+def tsdf(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 5,
+            "t": list(range(5)) * 2,
+            "v": [1.0, None, 3.0, None, 5.0, 10.0, 20.0, None, None, 50.0],
+        }
+    )
+    return pdf, ds.from_pandas(pdf)
+
+
+def test_ffill_bfill(tsdf):
+    pdf, f = tsdf
+    got = f.ffill("v", order_by="t", by="g").compute().sort_values(["g", "t"])
+    want = pdf.sort_values(["g", "t"]).groupby("g").v.ffill()
+    assert got.v.tolist() == want.tolist()
+    got_b = f.bfill("v", order_by="t", by="g").compute().sort_values(["g", "t"])
+    want_b = pdf.sort_values(["g", "t"]).groupby("g").v.bfill()
+    assert got_b.v.tolist() == want_b.tolist()
+
+
+def test_pct_change(tsdf):
+    pdf, f = tsdf
+    got = (
+        f.dropna(subset=["v"])
+        .pct_change("v", order_by="t", by="g")
+        .compute()
+        .sort_values(["g", "t"])
+    )
+    want = (
+        pdf.dropna(subset=["v"])
+        .sort_values(["g", "t"])
+        .groupby("g")
+        .v.pct_change()
+    )
+    g = got.v_pct_change.fillna(-999).tolist()
+    w = want.fillna(-999).tolist()
+    assert g == pytest.approx(w)
+
+
+def test_cum_family(tsdf):
+    pdf, f = tsdf
+    d = f.dropna(subset=["v"])
+    p = pdf.dropna(subset=["v"]).sort_values(["g", "t"])
+    for fn, pname in [("cummax", "cummax"), ("cummin", "cummin")]:
+        got = getattr(d, fn)("v", order_by="t", by="g").compute().sort_values(["g", "t"])
+        want = p.groupby("g").v.transform(pname)
+        assert got[f"v_{fn}"].tolist() == want.tolist()
+    got = d.cumprod("v", order_by="t", by="g").compute().sort_values(["g", "t"])
+    want = p.groupby("g").v.cumprod()
+    assert got.v_cumprod.tolist() == pytest.approx(want.tolist())
+
+
+def test_case_when(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"x": [1, 5, 10, 20]})
+    f = ds.from_pandas(pdf)
+    out = f.case_when(
+        "band", [(f.x >= 10, "hi"), (f.x >= 5, "mid")], default="lo"
+    ).compute()
+    assert out.band.tolist() == ["lo", "mid", "hi", "hi"]
+
+
+def test_mode(spark):
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"x": [3, 1, 1, 2, 2]}))
+    assert f.mode("x").compute().x.tolist() == [1]  # tie → smallest
+
+
+def test_skew_kurt_sem(tables, pdf_tables):
+    li = tables["lineitem"][["l_extendedprice"]]
+    p = pdf_tables["lineitem"].l_extendedprice
+    n = len(p)
+    m = p.mean()
+    m2 = ((p - m) ** 2).mean()
+    skew_pop = ((p - m) ** 3).mean() / m2**1.5
+    kurt_pop = ((p - m) ** 4).mean() / m2**2 - 3
+    got_skew = li.skew().compute().iloc[0, 0]
+    got_kurt = li.kurtosis().compute().iloc[0, 0]
+    got_sem = li.sem().compute().iloc[0, 0]
+    assert got_skew == pytest.approx(skew_pop, rel=1e-6)
+    assert got_kurt == pytest.approx(kurt_pop, rel=1e-6)
+    assert got_sem == pytest.approx(p.std() / np.sqrt(n), rel=1e-6)
+
+
+def test_prod(spark):
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"x": [1.5, 2.0, 4.0]}))
+    assert f.prod().compute().x.iloc[0] == pytest.approx(12.0)
+
+
+def test_any_all(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"a": [True, False], "b": [True, True]})
+    f = ds.from_pandas(pdf)
+    out_any = f.any().compute()
+    out_all = f.all().compute()
+    assert bool(out_any.a.iloc[0]) and bool(out_any.b.iloc[0])
+    assert not bool(out_all.a.iloc[0]) and bool(out_all.b.iloc[0])
+
+
+def test_combine_first(spark):
+    import dask_spark as ds
+
+    left = ds.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3], "v": [None, 20.0, None], "w": [1, 2, 3]})
+    )
+    right = ds.from_pandas(pd.DataFrame({"k": [1, 2, 4], "v": [10.0, 99.0, 40.0]}))
+    out = left.combine_first(right, on="k").compute().sort_values("k")
+    assert out.k.tolist() == [1, 2, 3, 4]
+    assert out.v.fillna(-1).tolist() == [10.0, 20.0, -1.0, 40.0]
+
+
+def test_autocorr(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"t": range(50), "v": np.sin(np.arange(50) / 3)})
+    f = ds.from_pandas(pdf)
+    got = f.v.autocorr(lag=1, order_by="t")
+    want = pdf.v.autocorr(lag=1)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_eval_pipe(spark):
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"a": [1, 2], "b": [10, 20]}))
+    out = f.eval("c = a + b").compute()
+    assert out.c.tolist() == [11, 22]
+    s = f.eval("a * 2")
+    assert s.to_frame("d").compute().d.tolist() == [2, 4]
+    assert f.pipe(lambda fr: len(fr.compute())) == 2
+
+
+def test_prefix_suffix_round_select_dtypes(spark):
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"a": [1.234, 5.678], "s": ["x", "y"]}))
+    assert f.add_prefix("p_").columns == ["p_a", "p_s"]
+    assert f.add_suffix("_z").columns == ["a_z", "s_z"]
+    assert f.round(1).compute().a.tolist() == [1.2, 5.7]
+    assert f.select_dtypes("number").columns == ["a"]
+    assert f.select_dtypes("string").columns == ["s"]
+
+
+def test_random_split(tables):
+    o = tables["orders"]
+    a, b = o.random_split([0.7, 0.3], seed=1)
+    na, nb, n = len(a.compute()), len(b.compute()), len(o.compute())
+    assert na + nb == n
+    assert 0.55 < na / n < 0.85
+
+
+def test_memory_usage_positive(tables):
+    assert tables["lineitem"].memory_usage() > 0
+
+
+def test_frame_shift_diff(tsdf):
+    pdf, f = tsdf
+    d = f.dropna(subset=["v"])
+    got = d.shift("v", order_by="t", by="g").compute().sort_values(["g", "t"])
+    p = pdf.dropna(subset=["v"]).sort_values(["g", "t"])
+    want = p.groupby("g").v.shift(1)
+    assert got.v_shift.fillna(-9).tolist() == want.fillna(-9).tolist()
+
+
+def test_frame_idxminmax(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    # max_by may tie; compare the value at the returned id instead of the id
+    got_id = li.idxmax("l_extendedprice", "l_orderkey")
+    top = p.loc[p.l_extendedprice.idxmax()]
+    assert p[p.l_orderkey == got_id].l_extendedprice.max() == top.l_extendedprice
