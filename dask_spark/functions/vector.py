@@ -78,3 +78,12 @@ def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 7) -> Col
         d = dot(vec, F.array(*[F.lit(float(x)) for x in h]))
         sig = sig + F.when(d >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def argmax(a: Column) -> Column:
+    """0-based index of the max element (dask.array.argmax per row)."""
+    return (F.array_position(a, F.array_max(a)) - 1).cast("int")
+
+
+def argmin(a: Column) -> Column:
+    return (F.array_position(a, F.array_min(a)) - 1).cast("int")

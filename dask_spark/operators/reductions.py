@@ -48,3 +48,32 @@ def describe(frame):
     ]
     out = wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
     return DaskFrame(out)
+
+
+def histogram(frame, col: str, bins: int = 10,
+              range: tuple[float, float] | None = None):
+    """dask.array.histogram parity: fixed-width histogram as ONE
+    map-side-combined groupBy over floor((x-lo)/w) (clamped to the last
+    bin, values outside [lo, hi] dropped — numpy semantics). When
+    ``range`` is omitted a first tiny agg job finds (min, max), same as
+    dask needing known range for lazy histograms."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    if range is None:
+        lo, hi = frame._sdf.agg(F.min(col), F.max(col)).first()
+        lo, hi = float(lo), float(hi)
+    else:
+        lo, hi = float(range[0]), float(range[1])
+    w = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    bucket = F.least(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(bins - 1))
+    out = (
+        frame._sdf.filter((x >= lo) & (x <= hi))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bucket") * F.lit(w))
+        .withColumn("bin_hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(w))
+    )
+    return DaskFrame(out)

@@ -178,3 +178,80 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     else:
         expr = fns[fn](col).over(w)
     return DaskFrame(frame._sdf.withColumn(out or f"{col}_cum{fn}", expr))
+
+
+def map_overlap(frame, fn, schema: str, on: str, before: float = 0,
+                after: float = 0, npartitions: int = 32):
+    """Generic distributed map_overlap (reference:
+    dask/dataframe/rolling.py map_overlap — dask ships `before`/`after`
+    boundary rows between neighboring partitions, applies ``fn`` per
+    partition, then trims the halo).
+
+    Spark re-expression with NO all-to-one step:
+    1. sample range boundaries of ``on`` (percentile_approx — one tiny
+       agg job, like dask's divisions sampling),
+    2. every row is exploded to its own range bucket plus any neighbor
+       bucket whose halo ([start-before, end+after)) covers it —
+       bounded fan-out ≤ 2× for sane halos,
+    3. ``groupBy(bucket).applyInPandas`` sorts each bucket by ``on``,
+       applies ``fn`` to core+halo, and keeps only core output rows.
+
+    ``fn`` must return a frame row-aligned with its input (dask's
+    map_overlap contract). ``before``/``after`` are in units of ``on``
+    (numbers or epoch-seconds for timestamps). At 100 TB this is one
+    range shuffle of ~(1+ε)×N rows — same shape as a global sort."""
+    import pandas as pd
+
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    n_b = max(int(npartitions), 1)
+    if n_b > 1:
+        qs = [i / n_b for i in range(1, n_b)]
+        cuts = sdf.agg(
+            F.percentile_approx(F.col(on).cast("double"), qs).alias("c")
+        ).first()["c"]
+        cuts = sorted(set(float(c) for c in cuts if c is not None))
+    else:
+        cuts = []
+    ocol = F.col(on).cast("double")
+
+    # own bucket: index of first cut > value
+    own = F.lit(len(cuts))
+    for i in reversed(range(len(cuts))):
+        own = F.when(ocol < F.lit(cuts[i]), F.lit(i)).otherwise(own)
+
+    targets = [F.struct(own.alias("b"), F.lit(True).alias("core"))]
+    for i, cut in enumerate(cuts):
+        # halo for bucket i+1 (rows just before its start)
+        targets.append(
+            F.when(
+                (ocol >= F.lit(cut - before)) & (ocol < F.lit(cut)),
+                F.struct(F.lit(i + 1).alias("b"), F.lit(False).alias("core")),
+            )
+        )
+        # halo for bucket i (rows just after its end)
+        targets.append(
+            F.when(
+                (ocol >= F.lit(cut)) & (ocol < F.lit(cut + after)),
+                F.struct(F.lit(i).alias("b"), F.lit(False).alias("core")),
+            )
+        )
+    exploded = sdf.withColumn(
+        "__t", F.explode(F.filter(F.array(*targets), lambda t: t.isNotNull()))
+    ).withColumn("__bucket", F.col("__t.b")).withColumn(
+        "__core", F.col("__t.core")
+    ).drop("__t")
+
+    in_cols = sdf.columns
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        core = pdf["__core"].to_numpy(dtype=bool)
+        out = fn(pdf[in_cols])
+        return out.iloc[core]
+
+    out = exploded.groupBy("__bucket").applyInPandas(
+        lambda _, pdf: run(pdf), schema=schema
+    )
+    return DaskFrame(out)

@@ -1743,3 +1743,66 @@ def any_all(spark, sf_dir):
     a = flags.any().to_spark().select("any_big_disc")
     b = flags.all().to_spark().select("all_positive_qty")
     return a.crossJoin(b)
+
+
+@q(
+    "histogram",
+    """
+    WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+    SELECT least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)::INT AS bucket,
+           count(*)::BIGINT AS n,
+           any_value(lo) + least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)::INT * ((any_value(hi) - any_value(lo)) / 20) AS bin_lo,
+           any_value(lo) + (least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)::INT + 1) * ((any_value(hi) - any_value(lo)) / 20) AS bin_hi
+    FROM lineitem, s
+    WHERE l_extendedprice >= lo AND l_extendedprice <= hi
+    GROUP BY 1
+    """,
+)
+def histogram(spark, sf_dir):
+    """dask.array.histogram: fixed-width bins, one partial-agg shuffle."""
+    from dask_spark.operators.reductions import histogram as hist
+
+    li = load(spark, sf_dir, "lineitem")
+    return hist(li, "l_extendedprice", bins=20).to_spark()
+
+
+@q(
+    "vec_argmax",
+    """
+    SELECT vec_id, (list_position(embedding, list_max(embedding)) - 1)::INT AS amax
+    FROM embeddings
+    """,
+)
+def vec_argmax(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    return e.select("vec_id", V.argmax(F.col("embedding")).alias("amax"))
+
+
+@q(
+    "map_overlap",
+    """
+    SELECT event_id,
+           value + lag(value) OVER w + lead(value) OVER w AS v3
+    FROM events WINDOW w AS (ORDER BY event_id)
+    """,
+)
+def map_overlap_q(spark, sf_dir):
+    """Generic map_overlap: centered 3-row sum via pandas fn per range
+    bucket with ±1 halo (event_id is dense), matching a global-order
+    lag/lead window."""
+    import pandas as pd
+
+    from dask_spark.operators.window import map_overlap
+
+    e = load(spark, sf_dir, "events")[["event_id", "value"]]
+
+    def centered(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "v3": v + v.shift(1) + v.shift(-1)}
+        )
+
+    return map_overlap(
+        e, centered, schema="event_id bigint, v3 double", on="event_id",
+        before=1.5, after=1.5, npartitions=16,
+    ).to_spark()

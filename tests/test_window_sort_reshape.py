@@ -179,3 +179,56 @@ def test_get_dummies(spark):
         "c_x", "c_y", "c_z",
     ]
     assert got.c_x.sum() == 2 and got.c_y.sum() == 1 and got.c_z.sum() == 1
+
+
+def test_map_overlap_centered_sum(spark):
+    import numpy as np
+
+    import dask_spark as ds
+    from dask_spark.operators.window import map_overlap
+
+    pdf = pd.DataFrame({"t": np.arange(100), "v": np.arange(100) * 1.0})
+
+    def centered(p):
+        return pd.DataFrame({"t": p["t"], "out": p.v + p.v.shift(1) + p.v.shift(-1)})
+
+    got = (
+        map_overlap(
+            ds.from_pandas(pdf), centered, "t bigint, out double",
+            on="t", before=1.5, after=1.5, npartitions=7,
+        )
+        .compute()
+        .sort_values("t", ignore_index=True)
+    )
+    want = pdf.v + pdf.v.shift(1) + pdf.v.shift(-1)
+    assert got.out.fillna(-1).tolist() == want.fillna(-1).tolist()
+
+
+def test_histogram(tables, pdf_tables):
+    import numpy as np
+
+    from dask_spark.operators.reductions import histogram
+
+    got = (
+        histogram(tables["lineitem"], "l_quantity", bins=10)
+        .compute()
+        .sort_values("bucket")
+    )
+    p = pdf_tables["lineitem"].l_quantity
+    counts, edges = np.histogram(p, bins=10, range=(p.min(), p.max()))
+    want = {i: c for i, c in enumerate(counts) if c > 0}
+    assert dict(zip(got.bucket, got.n)) == want
+
+
+def test_vec_argmax(tables):
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.vector import argmax, argmin
+
+    e = tables["embeddings"].to_spark().limit(50)
+    pdf = e.select("vec_id", "embedding",
+                   argmax(F.col("embedding")).alias("amax"),
+                   argmin(F.col("embedding")).alias("amin")).toPandas()
+    for r in pdf.itertuples():
+        v = list(r.embedding)
+        assert v[r.amax] == max(v) and v[r.amin] == min(v)
