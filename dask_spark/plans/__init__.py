@@ -59,9 +59,14 @@ def estimated_size_bytes(frame) -> int:
 
 
 def shuffle_count(frame) -> int:
-    """Number of Exchange operators in the physical plan (simple mode:
-    one line per operator, so a plain count is exact)."""
+    """Number of shuffle Exchange operators in the physical plan
+    (simple mode: one line per operator). BroadcastExchange is excluded
+    — it replicates a small side, it does not repartition data."""
     txt = plan_text(frame, "simple")
     return sum(
-        1 for line in txt.splitlines() if "Exchange" in line and "Reuse" not in line
+        1
+        for line in txt.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reuse" not in line
     )

@@ -103,3 +103,36 @@ def timeseries(start: str = "2026-01-01", end: str = "2026-01-02",
         ((F.abs(F.xxhash64(F.col("id"), F.lit(seed + 3))) % 10000).cast("double") / 10000).alias("y"),
     )
     return DaskFrame(sdf)
+
+
+def to_table_bucketed(frame: DaskFrame, name: str, by: str | Sequence[str],
+                      buckets: int = 32,
+                      sort_by: str | Sequence[str] | None = None,
+                      mode: str = "overwrite") -> None:
+    """Write a bucketed (hash-partitioned-on-disk) parquet table —
+    the Spark analog of persisting a dask frame with known divisions:
+    joins/groupbys on the bucket key need NO exchange afterwards
+    (asserted in tests/test_plans.py). At 100 TB, bucket both fact
+    tables on the join key once and every subsequent orderkey-join is
+    shuffle-free."""
+    by = [by] if isinstance(by, str) else list(by)
+    if mode == "overwrite":
+        # the default in-memory catalog forgets tables between sessions
+        # but the warehouse dir persists — clear both
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = frame._sdf.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    w = frame._sdf.write.format("parquet").mode(mode).bucketBy(buckets, *by)
+    if sort_by:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(name)
+
+
+def read_table(name: str) -> DaskFrame:
+    """Read a saved (possibly bucketed) table from the session catalog."""
+    return DaskFrame(_spark().table(name))
