@@ -50,6 +50,7 @@ def main():
             REGISTRY[name][0](spark, warm_dir).count()
         except Exception as exc:  # warmup must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()  # drop warmup persists before timing
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -52,9 +52,9 @@ def q(name: str, oracle: str | None):
     "groupby_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty,
+           ROUND(SUM(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE AS sum_base_price,
+           ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            COUNT(*)::BIGINT AS count_order
@@ -64,24 +64,35 @@ def q(name: str, oracle: str | None):
     """,
 )
 def groupby_agg(spark, sf_dir):
-    """TPC-H Q1 — multi-agg groupby (ACA → partial+final hash agg)."""
+    """TPC-H Q1 — multi-agg groupby (ACA → partial+final hash agg).
+
+    Double sums are cast to DECIMAL per term before aggregation so the
+    result is independent of partial-agg addition order (decimal adds
+    are associative; double adds are not) — both engines then agree
+    bit-for-bit instead of to-within-one-ulp."""
     li = load(spark, sf_dir, "lineitem")
     out = (
         li[li.l_shipdate <= "1998-09-02"]
-        .assign(disc_price=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        .assign(
+            qty_d=lambda d: d.l_quantity.astype("decimal(18,6)"),
+            base_d=lambda d: d.l_extendedprice.astype("decimal(18,6)"),
+            disc_price=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+            ).astype("decimal(18,6)"),
+        )
         .groupby(["l_returnflag", "l_linestatus"])
         .agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
+            sum_qty=("qty_d", "sum"),
+            sum_base_price=("base_d", "sum"),
             sum_disc_price=("disc_price", "sum"),
             avg_qty=("l_quantity", "mean"),
             avg_price=("l_extendedprice", "mean"),
             count_order=("l_quantity", "size"),
         )
         .assign(
-            sum_qty=lambda d: d.sum_qty.round(2),
-            sum_base_price=lambda d: d.sum_base_price.round(2),
-            sum_disc_price=lambda d: d.sum_disc_price.round(2),
+            sum_qty=lambda d: d.sum_qty.round(2).astype("double"),
+            sum_base_price=lambda d: d.sum_base_price.round(2).astype("double"),
+            sum_disc_price=lambda d: d.sum_disc_price.round(2).astype("double"),
             avg_qty=lambda d: d.avg_qty.round(4),
             avg_price=lambda d: d.avg_price.round(4),
         )
@@ -92,7 +103,7 @@ def groupby_agg(spark, sf_dir):
 @q(
     "filter_pushdown",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM((l_extendedprice * l_discount)::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -110,8 +121,10 @@ def filter_pushdown(spark, sf_dir):
         & (li.l_discount.between(0.03, 0.07))
         & (li.l_quantity < 24)
     ]
-    out = f.assign(rev=lambda d: d.l_extendedprice * d.l_discount).to_spark().agg(
-        F.round(F.sum("rev"), 2).alias("revenue")
+    out = f.assign(
+        rev=lambda d: (d.l_extendedprice * d.l_discount).astype("decimal(18,6)")
+    ).to_spark().agg(
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue")
     )
     return out
 
@@ -347,7 +360,7 @@ def corr_cov(spark, sf_dir):
     "join_inner",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -369,10 +382,14 @@ def join_inner(spark, sf_dir):
         .merge(li[li.l_shipdate > "1998-03-15"], left_on="o_orderkey", right_on="l_orderkey")
     )
     out = (
-        j.assign(rev=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        j.assign(
+            rev=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+            ).astype("decimal(18,6)")
+        )
         .groupby(["l_orderkey", "o_orderdate"])
         .agg(revenue=("rev", "sum"))
-        .assign(revenue=lambda d: d.revenue.round(2))
+        .assign(revenue=lambda d: d.revenue.round(2).astype("double"))
     )
     return (
         out.to_spark()
@@ -385,7 +402,7 @@ def join_inner(spark, sf_dir):
 @q(
     "join_broadcast",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM region
     JOIN nation ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -412,10 +429,14 @@ def join_broadcast(spark, sf_dir):
         li, left_on="o_orderkey", right_on="l_orderkey"
     )
     out = (
-        j.assign(rev=lambda d: d.l_extendedprice * (1 - d.l_discount))
+        j.assign(
+            rev=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+            ).astype("decimal(18,6)")
+        )
         .groupby("n_name")
         .agg(revenue=("rev", "sum"))
-        .assign(revenue=lambda d: d.revenue.round(2))
+        .assign(revenue=lambda d: d.revenue.round(2).astype("double"))
     )
     return out.to_spark()
 
@@ -1806,3 +1827,115 @@ def map_overlap_q(spark, sf_dir):
         e, centered, schema="event_id bigint, v3 double", on="event_id",
         before=1.5, after=1.5, npartitions=16,
     ).to_spark()
+
+
+@q(
+    "bag_topk_words",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS word
+      FROM documents
+    )
+    SELECT word, count(*)::BIGINT AS n FROM w
+    GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+    """,
+)
+def bag_topk_words(spark, sf_dir):
+    """dask.bag wordcount + topk (bag/core.py frequencies/topk): explode
+    → count groupBy (map-side combined) → TakeOrdered(20), no global
+    sort."""
+    d = load(spark, sf_dir, "documents").to_spark()
+    words = d.select(
+        F.explode(T.word_tokens(F.col("text"))).alias("word")
+    )
+    return (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "join_q10_returns",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def join_q10_returns(spark, sf_dir):
+    """TPC-H Q10-shaped: returned-item revenue by customer, top-k."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey").merge(
+        li[li.l_returnflag == "R"], left_on="o_orderkey", right_on="l_orderkey"
+    )
+    out = (
+        j.assign(
+            rev=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+            ).astype("decimal(18,6)")
+        )
+        .groupby(["c_custkey", "c_name"])
+        .agg(revenue=("rev", "sum"))
+        .assign(revenue=lambda d: d.revenue.round(2).astype("double"))
+    )
+    return (
+        out.to_spark()
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "join_q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+    """,
+)
+def join_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7-shaped: cross-nation trade volume. Both nation dims and
+    supplier broadcast; only orders⋈lineitem shuffles."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").rename(
+        columns={"n_nationkey": "nk1", "n_name": "cust_nation"}
+    )[["nk1", "cust_nation"]]
+    n2 = load(spark, sf_dir, "nation").rename(
+        columns={"n_nationkey": "nk2", "n_name": "supp_nation"}
+    )[["nk2", "supp_nation"]]
+    j = (
+        c.merge(o, left_on="c_custkey", right_on="o_custkey")
+        .merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(n1, left_on="c_nationkey", right_on="nk1", broadcast=True)
+        .merge(n2, left_on="s_nationkey", right_on="nk2", broadcast=True)
+    )
+    j = j[j.cust_nation != j.supp_nation]
+    out = (
+        j.assign(
+            rev=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+            ).astype("decimal(18,6)")
+        )
+        .groupby(["cust_nation", "supp_nation"])
+        .agg(revenue=("rev", "sum"))
+        .assign(revenue=lambda d: d.revenue.round(2).astype("double"))
+    )
+    return out.to_spark()
