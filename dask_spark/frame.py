@@ -461,6 +461,19 @@ class DaskFrame:
     def __setitem__(self, name: str, value):
         self._sdf = self._sdf.withColumn(name, _col(value))
 
+    @property
+    def iloc(self):
+        """dask iloc: COLUMN-positional only (`df.iloc[:, [0, 2]]`) —
+        rows have no stable position in a partitioned frame (reference:
+        _collection.py iloc raises on row slicing too)."""
+        return _ILoc(self)
+
+    @property
+    def loc(self):
+        """Minimal loc: boolean-mask rows and/or column list —
+        `df.loc[mask]`, `df.loc[:, ["a", "b"]]`, `df.loc[mask, cols]`."""
+        return _Loc(self)
+
     # ---- projection / mutation ----------------------------------------
     def assign(self, **kwargs) -> "DaskFrame":
         sdf = self._sdf
@@ -927,6 +940,44 @@ class DaskFrame:
 
     def to_orc(self, path: str, mode: str = "overwrite"):
         self._sdf.write.mode(mode).orc(path)
+
+
+class _ILoc:
+    def __init__(self, frame: DaskFrame):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        if not (isinstance(key, tuple) and len(key) == 2):
+            raise TypeError("iloc supports df.iloc[:, <column positions>] only")
+        rows, cols = key
+        if not (isinstance(rows, slice) and rows == slice(None)):
+            raise TypeError("iloc row selection is not supported (no row order)")
+        names = self._frame.columns
+        if isinstance(cols, int):
+            cols = [cols]
+        elif isinstance(cols, slice):
+            cols = list(range(*cols.indices(len(names))))
+        return DaskFrame(self._frame._sdf.select(*[names[i] for i in cols]))
+
+
+class _Loc:
+    def __init__(self, frame: DaskFrame):
+        self._frame = frame
+
+    def __getitem__(self, key):
+        frame = self._frame
+        if isinstance(key, tuple) and len(key) == 2:
+            rows, cols = key
+        else:
+            rows, cols = key, None
+        if isinstance(rows, Series):
+            frame = DaskFrame(frame._sdf.filter(rows._expr))
+        elif not (isinstance(rows, slice) and rows == slice(None)):
+            raise TypeError("loc rows must be a boolean Series or ':'")
+        if cols is not None:
+            cols = [cols] if isinstance(cols, str) else list(cols)
+            frame = DaskFrame(frame._sdf.select(*cols))
+        return frame
 
 
 def concat(frames: Sequence[DaskFrame]) -> DaskFrame:

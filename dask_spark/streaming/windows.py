@@ -96,3 +96,49 @@ def stateful_running_max(stream_sdf: SparkDF, timeout_ms: int = 60000) -> SparkD
     return stream_sdf.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_stream_join(left: SparkDF, right: SparkDF, on: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       watermark: str = "30 minutes",
+                       interval: str = "15 minutes") -> SparkDF:
+    """Watermarked stream-stream inner join: each side keeps state only
+    inside its watermark horizon, and the time-bound predicate lets
+    Spark evict rows (bounded state at any scale — the dask analog
+    would be joining two live futures streams, which dask cannot
+    bound)."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {interval}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def dedup_stream(stream_sdf: SparkDF, keys: list[str],
+                 ts_col: str = "ts", watermark: str = "30 minutes") -> SparkDF:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps one row per key inside the
+    watermark horizon then evicts — the streaming twin of
+    operators/dedup.exact_dedup for continuous corpus ingestion."""
+    return stream_sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def foreach_batch_sink(stream_sdf: SparkDF, fn, checkpoint: str,
+                       trigger_seconds: int | None = None):
+    """writeStream.foreachBatch wrapper: ``fn(batch_df, batch_id)`` runs
+    per micro-batch with exactly-once semantics given an idempotent fn
+    (batch_id is stable across replays). Returns the started query."""
+    w = stream_sdf.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

@@ -193,3 +193,20 @@ def test_setitem(tables):
     li2["double_q"] = li2.l_quantity * 2
     out = li2.compute()
     assert (out.double_q == out.l_quantity * 2).all()
+
+
+def test_iloc_columns(tables):
+    li = tables["lineitem"]
+    got = li.iloc[:, [0, 3]]
+    assert got.columns == [li.columns[0], li.columns[3]]
+    got2 = li.iloc[:, 1:3]
+    assert got2.columns == li.columns[1:3]
+
+
+def test_loc(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    got = li.loc[li.l_quantity > 45, ["l_orderkey", "l_quantity"]].compute()
+    want = p.loc[p.l_quantity > 45, ["l_orderkey", "l_quantity"]]
+    assert len(got) == len(want)
+    assert li.loc[:, ["l_orderkey"]].columns == ["l_orderkey"]

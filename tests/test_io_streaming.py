@@ -155,3 +155,75 @@ def test_streaming_stateful_running_max(spark):
 
 
 import pyspark.sql.functions as F  # noqa: E402  (used in streaming tests)
+
+
+def _rate(spark, rps=200):
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+        .withColumnRenamed("timestamp", "ts")
+    )
+
+
+def test_stream_stream_join(spark):
+    from dask_spark.streaming.windows import stream_stream_join
+
+    left = _rate(spark).withColumn("k", F.col("value") % 10)
+    right = _rate(spark).withColumn("k", F.col("value") % 10)
+    out = stream_stream_join(
+        left, right, on="k", watermark="10 seconds", interval="5 seconds"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("t_ssj")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.sql("select * from t_ssj").count() > 0:
+                break
+            time.sleep(1)
+        assert spark.sql("select * from t_ssj").count() > 0
+    finally:
+        q.stop()
+
+
+def test_dedup_stream(spark):
+    from dask_spark.streaming.windows import dedup_stream
+
+    src = _rate(spark).withColumn("k", F.col("value") % 5)
+    out = dedup_stream(src, ["k"], ts_col="ts", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("t_dds")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            n = spark.sql("select * from t_dds").count()
+            if n >= 5:
+                break
+            time.sleep(1)
+        pdf = spark.sql("select * from t_dds").toPandas()
+        # within the watermark horizon each key appears exactly once
+        assert len(pdf) == pdf.k.nunique()
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    from dask_spark.streaming.windows import foreach_batch_sink
+
+    seen: dict[int, int] = {}
+
+    def sink(batch_df, batch_id):
+        seen[batch_id] = batch_df.count()
+
+    src = _rate(spark)
+    q = foreach_batch_sink(src, sink, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and sum(seen.values()) == 0:
+            time.sleep(1)
+        assert sum(seen.values()) > 0
+    finally:
+        q.stop()
