@@ -55,10 +55,14 @@ def main():
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _rep in range(2):  # min-of-2: steady-state, GC-noise-resistant
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
