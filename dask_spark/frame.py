@@ -374,6 +374,21 @@ class Series:
         return self.quantile(0.5)
 
     # ---- to frame ----------------------------------------------------
+    def nlargest(self, n: int = 5) -> "DaskFrame":
+        """Top-n values (TakeOrdered — never a global sort)."""
+        return DaskFrame(
+            self._frame._sdf.select(self._expr.alias(self._name))
+            .orderBy(F.col(self._name).desc())
+            .limit(n)
+        )
+
+    def nsmallest(self, n: int = 5) -> "DaskFrame":
+        return DaskFrame(
+            self._frame._sdf.select(self._expr.alias(self._name))
+            .orderBy(F.col(self._name).asc())
+            .limit(n)
+        )
+
     def to_frame(self, name: str | None = None) -> "DaskFrame":
         return DaskFrame(
             self._frame._sdf.select(self._expr.alias(name or self._name))

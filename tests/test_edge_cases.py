@@ -1,0 +1,147 @@
+"""Property-ish edge cases (SURVEY §5): nulls, empty inputs/partitions,
+duplicate keys, ties, single-row frames — the places partitioned
+engines classically diverge from pandas."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_eq
+
+
+@pytest.fixture(scope="module")
+def nullish(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", None, "b", None, "c"],
+            "v": [1.0, None, 3.0, None, 5.0, None],
+            "t": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    return pdf, ds.from_pandas(pdf)
+
+
+def test_groupby_sum_all_null_group(nullish):
+    pdf, f = nullish
+    got = f.groupby("k").agg({"v": "sum"}).compute()
+    # group "b" is all-null → sum is null (Spark) / 0.0 (pandas sum min_count=0)
+    row = got[got.k == "b"]
+    assert row.v_sum.isna().all()
+    # null keys form their own group
+    assert len(got) == 4
+
+
+def test_empty_frame_ops(spark):
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"a": [1.0], "b": ["x"]}))
+    empty = f[f.a > 100]
+    assert len(empty.compute()) == 0
+    assert empty.groupby("b").agg({"a": "sum"}).compute().empty
+    assert empty.sort_values("a").compute().empty
+    assert len(empty.merge(f, on="b").compute()) == 0
+    assert empty.drop_duplicates().compute().empty
+    # reductions on empty → null, count → 0
+    assert empty.a.count() == 0
+    assert empty.a.sum() is None
+
+
+def test_join_duplicate_keys_cardinality(spark):
+    import dask_spark as ds
+
+    a = ds.from_pandas(pd.DataFrame({"k": [1, 1, 2], "x": [1, 2, 3]}))
+    b = ds.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3], "y": [10, 20, 30, 40]}))
+    out = a.merge(b, on="k").compute()
+    assert len(out) == 2 * 2 + 1  # 1×1 pairs multiply
+
+
+def test_join_null_keys_never_match(spark):
+    import dask_spark as ds
+
+    a = ds.from_pandas(pd.DataFrame({"k": [None, "x"], "v": [1, 2]}))
+    b = ds.from_pandas(pd.DataFrame({"k": [None, "x"], "w": [3, 4]}))
+    inner = a.merge(b, on="k").compute()
+    assert len(inner) == 1  # SQL semantics: null ≠ null (pandas agrees on merge)
+    outer = a.merge(b, on="k", how="outer").compute()
+    assert len(outer) == 3
+
+
+def test_topk_ties_deterministic(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 5.0, 5.0, 1.0]})
+    f = ds.from_pandas(pdf)
+    got = f.to_spark().orderBy("v", ascending=False).limit(2).toPandas()
+    assert (got.v == 5.0).all()
+
+
+def test_merge_asof_no_match_before(spark):
+    import dask_spark as ds
+
+    left = ds.from_pandas(pd.DataFrame({"t": [1, 10], "lv": [1, 2]}))
+    right = ds.from_pandas(pd.DataFrame({"t": [5], "rv": [9.0]}))
+    out = left.merge_asof(right, on="t").compute().sort_values("t")
+    assert out.rv.isna().iloc[0]  # t=1 has nothing before it
+    assert out.rv.iloc[1] == 9.0
+
+
+def test_rolling_single_row_groups(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"g": ["a", "b"], "t": [1, 1], "v": [2.0, 3.0]})
+    got = ds.from_pandas(pdf).rolling(3, on="t", by="g").mean("v").compute()
+    assert sorted(got.v_roll_mean) == [2.0, 3.0]
+
+
+def test_dedup_short_and_empty_docs(spark):
+    import dask_spark as ds
+    from dask_spark.operators.dedup import minhash_signatures, simhash
+
+    pdf = pd.DataFrame(
+        {"doc_id": ["a", "b", "c"], "text": ["", "one", "one two three four five"]}
+    )
+    f = ds.from_pandas(pdf)
+    sigs = minhash_signatures(f._sdf, "text", "doc_id", 8, 3).toPandas()
+    # docs shorter than shingle_k words yield no signature, never crash
+    assert set(sigs.doc_id) == {"c"}
+    sh = simhash(f).compute()
+    assert len(sh) == 3  # simhash defined for every doc (empty → hash of [])
+
+
+def test_quantile_extremes(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    assert li.l_quantity.quantile(0.0) == p.l_quantity.min()
+    assert li.l_quantity.quantile(1.0) == p.l_quantity.max()
+
+
+def test_repartition_counts(tables):
+    o = tables["orders"]
+    assert o.repartition(4).npartitions == 4
+    assert o.repartition(npartitions=2).npartitions == 2
+    sh = o.shuffle(on="o_custkey", npartitions=8)
+    assert sh.npartitions == 8
+
+
+def test_concat_mismatched_columns(spark):
+    import dask_spark as ds
+
+    a = ds.from_pandas(pd.DataFrame({"x": [1], "y": [2]}))
+    b = ds.from_pandas(pd.DataFrame({"x": [3], "z": [4]}))
+    out = ds.concat([a, b]).compute()
+    assert set(out.columns) == {"x", "y", "z"}
+    assert len(out) == 2
+
+
+def test_series_nlargest(tables, pdf_tables):
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    got = li.l_extendedprice.nlargest(5)
+    assert got.compute().l_extendedprice.tolist() == sorted(
+        p.l_extendedprice, reverse=True
+    )[:5]
+    got2 = li.l_extendedprice.nsmallest(5)
+    assert got2.compute().l_extendedprice.tolist() == sorted(p.l_extendedprice)[:5]
