@@ -254,39 +254,79 @@ def simhash_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
-    """Exact n-gram (word) Jaccard similarity for candidate pairs that
-    share at least one n-gram. Shuffle is by n-gram (inverted index);
-    frequency cap drops stop-grams to bound fan-out at scale."""
+    """EXACT n-gram (word) Jaccard similarity join via prefix filtering
+    (the PPJoin-family algorithm — public literature): identical output
+    to the all-pairs quadratic join, at inverted-index cost.
+
+    Any pair with J ≥ t and gram counts (na, nb) must share at least
+    one gram among each side's first ``|g| - ⌈t·|g|⌉ + 1`` grams when
+    both gram sets are sorted by one global order. Sorting rarest-first
+    (ascending document frequency) keeps stop-grams out of every
+    prefix, which is what kills the d² blowup on common grams — the
+    earlier stop-gram-cap approach both leaked d≈cap quadratic pairs
+    AND silently dropped true pairs made of common grams only.
+
+    Shuffle shape at scale: gram-df count (1), per-doc prefix window
+    (1, by doc), candidate join keyed by rare grams (bounded d²),
+    verify joins by doc id with exact array_intersect."""
+    from pyspark.sql import Window
+
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
-    toks = F.filter(word_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    # Grams built RELATIONALLY (posexplode → lead window → concat_ws),
+    # not with array higher-order fns: interpreted HOF lambdas re-eval
+    # the whole tokenization per element (no CSE), which measured ~40×
+    # slower. Docs shorter than n words produce one gram of all words
+    # (matching the array formulation's sequence(0, max(size-n, 0))).
+    words = sdf.select(
+        id_col,
+        F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    dwin = Window.partitionBy(id_col)
+    owin = dwin.orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(owin) for j in range(1, n)]
+    gram_rows = (
+        words.withColumn("__sz", F.count(F.lit(1)).over(dwin))
+        .withColumn("__rank", F.row_number().over(owin))
+        .withColumn("g", F.concat_ws(" ", *parts))
+        .filter(F.col("__rank") <= F.greatest(F.col("__sz") - n, F.lit(0)) + 1)
+        .select(id_col, "g")
     )
-    docs = sdf.select(id_col, grams.alias("grams")).withColumn(
-        "n_grams", F.size("grams")
+    inv0 = gram_rows.dropDuplicates([id_col, "g"]).persist()
+    docs = inv0.groupBy(id_col).agg(
+        F.collect_list("g").alias("grams"), F.count(F.lit(1)).alias("n_grams")
     )
-    inv = docs.select(id_col, "n_grams", F.explode("grams").alias("g"))
-    # drop ultra-common grams (stop-gram cap) — bounds bucket fan-out
-    g_freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv.join(F.broadcast(g_freq.filter(F.col("df") <= 100)), on="g")
-    a, b = inv.alias("a"), inv.alias("b")
-    pair_counts = (
+    g_df = inv0.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    inv = inv0.join(
+        docs.select(F.col(id_col), F.col("n_grams")), on=id_col
+    )
+    ranked = inv.join(g_df, on="g").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
+        ),
+    )
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "g")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
         a.join(b, on=[F.col("a.g") == F.col("b.g"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"),
-                 F.col("a.n_grams").alias("na"),
-                 F.col("b.n_grams").alias("nb"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"),
+                     F.col("n_grams").alias("na"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"),
+                     F.col("n_grams").alias("nb"))
+    verified = cands.join(da, "id_a").join(db, "id_b").withColumn(
+        "inter", F.size(F.array_intersect("ga", "gb"))
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return DaskFrame(
-        pair_counts.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

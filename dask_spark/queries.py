@@ -1269,20 +1269,13 @@ def dedup_simhash(spark, sf_dir):
       SELECT doc_id, list_distinct(
         [array_to_string(w[i:i+2], ' ') for i in generate_series(1, greatest(len(w)-2, 1))]
       ) AS grams FROM toks
-    ), inv0 AS (
-      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g FROM gr
-    ), keep AS (
-      SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 100
-    ), inv AS (
-      SELECT inv0.* FROM inv0 JOIN keep USING (g)
-    ), pc AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.n_grams AS na, b.n_grams AS nb, count(*) AS inter
-      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
     )
-    SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
-    FROM pc WHERE inter / (na + nb - inter) >= 0.4
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.4
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -1315,7 +1308,10 @@ def dedup_embed_lsh(spark, sf_dir):
     from dask_spark.operators.dedup import embedding_dedup_pairs
 
     e = load(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(e, threshold=0.4, planes=6, bands=8).to_spark()
+    # 10-bit buckets keep occupancy ~n/1024 so the per-band candidate
+    # join stays near-linear; recall at this low threshold is the
+    # documented LSH trade-off (the exact twin above is the oracle path)
+    return embedding_dedup_pairs(e, threshold=0.4, planes=10, bands=8).to_spark()
 
 
 # --------------------------- vectors / similarity ---------------------------
