@@ -394,10 +394,27 @@ class Series:
             self._frame._sdf.select(self._expr.alias(name or self._name))
         )
 
-    def value_counts(self, sort: bool = True, ascending: bool = False) -> "DaskFrame":
+    def value_counts(self, sort: bool = True, ascending: bool = False,
+                     normalize: bool = False) -> "DaskFrame":
         out = self._frame._sdf.groupBy(self._expr.alias(self._name)).agg(
             F.count(F.lit(1)).alias("count")
         )
+        if normalize:
+            from pyspark.sql import Window
+
+            # post-agg frame is tiny (one row per distinct value); an
+            # unpartitioned window over it is safe at any input scale
+            total = F.sum("count").over(Window.partitionBy())
+            out = out.withColumn("proportion", F.col("count") / total).drop("count")
+            if sort:
+                return DaskFrame(
+                    out.orderBy(
+                        F.col("proportion").asc() if ascending
+                        else F.col("proportion").desc(),
+                        F.col(self._name),
+                    )
+                )
+            return DaskFrame(out)
         if sort:
             out = out.orderBy(
                 F.col("count").asc() if ascending else F.col("count").desc(),

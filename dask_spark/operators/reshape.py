@@ -78,3 +78,30 @@ def get_dummies(frame, column: str, prefix: str | None = None,
         for v in values
     ]
     return DaskFrame(sdf.select(*sdf.columns, *cols))
+
+
+def categorize(frame, column: str, out: str | None = None):
+    """Dictionary-encode a string column (reference: dask categorize /
+    categorical accessor — dask computes the category set with one
+    pass, then encodes). Codes are the 0-based rank in the sorted
+    distinct values (deterministic across engines/partitionings); the
+    tiny code table is broadcast back onto the rows."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    cats = (
+        sdf.select(column).distinct()
+        .withColumn(
+            "__code",
+            F.row_number().over(Window.orderBy(F.col(column).asc())) - 1,
+        )
+    )
+    out = out or f"{column}_code"
+    return DaskFrame(
+        sdf.join(F.broadcast(cats), on=column, how="left").withColumnRenamed(
+            "__code", out
+        )
+    )

@@ -139,3 +139,39 @@ def ivf_topk(frame, query: Sequence[float], k: int = 10, n_probe: int = 4,
         .select(F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"))
     )
     return DaskFrame(scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def brute_force_topk_batch(frame, queries, k: int = 10,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           query_id_col: str = "query_id"):
+    """Batch exact ANN: top-k per query for a SET of query vectors —
+    the realistic serving shape at scale. The query set (tiny) is
+    broadcast; the corpus is scored map-only against every query, then
+    one shuffle on query_id ranks per query. Corpus×queries rows exist
+    only inside the scoring stage (projected to id+score immediately).
+
+    ``queries``: list of (query_id, vector) pairs."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sdf = frame._sdf
+    spark = sdf.sparkSession
+    qdf = spark.createDataFrame(
+        pd.DataFrame({query_id_col: [q[0] for q in queries],
+                      "__qv": [list(map(float, q[1])) for q in queries]})
+    )
+    scored = sdf.crossJoin(F.broadcast(qdf)).select(
+        query_id_col,
+        F.col(id_col),
+        F.round(
+            cosine_sim(F.col(vec_col), F.col("__qv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return frame.__class__(
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1935,3 +1935,76 @@ def join_q7_nation_volume(spark, sf_dir):
         .assign(revenue=lambda d: d.revenue.round(2).astype("double"))
     )
     return out.to_spark()
+
+
+@q(
+    "categorize",
+    """
+    WITH cats AS (
+      SELECT o_orderpriority,
+             (row_number() OVER (ORDER BY o_orderpriority) - 1)::INT AS o_orderpriority_code
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT o_orderkey, o.o_orderpriority, o_orderpriority_code
+    FROM orders o JOIN cats USING (o_orderpriority)
+    """,
+)
+def categorize(spark, sf_dir):
+    """Dictionary encoding (dask categorize): codes = rank in sorted
+    distinct values, broadcast back onto rows."""
+    from dask_spark.operators.reshape import categorize as cat
+
+    o = load(spark, sf_dir, "orders")
+    return cat(o, "o_orderpriority").to_spark().select(
+        "o_orderkey", "o_orderpriority", "o_orderpriority_code"
+    )
+
+
+@q(
+    "value_counts_norm",
+    """
+    SELECT event_type, count(*) / (SELECT count(*) FROM events) AS proportion
+    FROM events GROUP BY event_type
+    """,
+)
+def value_counts_norm(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.event_type.value_counts(normalize=True).to_spark()
+
+
+def _batch_queries():
+    return [
+        (i, [((j * 31 + i * 17 + 7) % 64) / 64.0 - 0.5 for j in range(64)])
+        for i in range(3)
+    ]
+
+
+@q(
+    "ann_batch",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES {vals}) AS t(query_id, qv)
+    )
+    SELECT query_id, vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine
+    FROM embeddings, q
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) DESC, vec_id
+    ) <= 5
+    """.format(
+        vals=", ".join(
+            "({}, [{}]::DOUBLE[])".format(
+                i, ", ".join(str(((j * 31 + i * 17 + 7) % 64) / 64.0 - 0.5) for j in range(64))
+            )
+            for i in range(3)
+        )
+    ),
+)
+def ann_batch(spark, sf_dir):
+    """Batch exact ANN: per-query top-5 for 3 query vectors — corpus
+    scored map-only against the broadcast query set, one rank shuffle."""
+    from dask_spark.operators.similarity import brute_force_topk_batch
+
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_topk_batch(e, _batch_queries(), k=5).to_spark()

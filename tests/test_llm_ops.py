@@ -218,3 +218,40 @@ def test_multimodal_plumbing(tables):
     assert {"kind", "width", "height", "n_bytes"} <= set(meta.columns)
     feats = decode_features(media, out_dim=6).compute()
     assert all(len(v) == 6 for v in feats.features)
+
+
+def test_ann_batch_matches_per_query(vectors):
+    from dask_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_batch,
+    )
+
+    pdf, f = vectors
+    qs = [(0, list(np.arange(8) / 8.0)), (1, list(pdf.embedding.iloc[3]))]
+    batch = brute_force_topk_batch(f, qs, k=4).compute()
+    for qid, qv in qs:
+        single = brute_force_topk(f, qv, k=4).compute()
+        got = batch[batch.query_id == qid].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )
+        assert got.vec_id.tolist() == single.vec_id.tolist()
+
+
+def test_categorize_codes(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.reshape import categorize
+
+    pdf = pd.DataFrame({"c": ["b", "a", "c", "a"]})
+    out = categorize(ds.from_pandas(pdf), "c").compute()
+    mapping = dict(zip(out.c, out.c_code))
+    assert mapping == {"a": 0, "b": 1, "c": 2}
+
+
+def test_value_counts_normalize(tables, pdf_tables):
+    got = tables["lineitem"].l_returnflag.value_counts(normalize=True).compute()
+    want = pdf_tables["lineitem"].l_returnflag.value_counts(normalize=True)
+    m = dict(zip(got.l_returnflag, got.proportion))
+    for k, v in want.items():
+        assert m[k] == pytest.approx(v)
