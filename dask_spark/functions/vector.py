@@ -87,3 +87,41 @@ def argmax(a: Column) -> Column:
 
 def argmin(a: Column) -> Column:
     return (F.array_position(a, F.array_min(a)) - 1).cast("int")
+
+
+def mean_vector(frame, vec_col: str = "embedding"):
+    """Axis-0 mean over a column of vectors (dask.array .mean(axis=0)):
+    posexplode to (dim, value) rows → groupBy(dim) avg — partial aggs
+    map-side, shuffle is `dim` cardinality (tiny), then re-assembled
+    into one vector row. Returns a 1-row DataFrame [dim-sorted array].
+    """
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    per_dim = (
+        sdf.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("mu"))
+    )
+    out = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mu"))
+        ).alias("__s")
+    ).select(F.transform("__s", lambda s: s["mu"]).alias("mean_vec"))
+    return DaskFrame(out)
+
+
+def std_vector(frame, vec_col: str = "embedding"):
+    """Axis-0 population std per component (same shuffle shape)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    per_dim = (
+        sdf.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.stddev_pop("x").alias("sd"))
+    )
+    out = per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "sd"))).alias("__s")
+    ).select(F.transform("__s", lambda s: s["sd"]).alias("std_vec"))
+    return DaskFrame(out)

@@ -141,6 +141,24 @@ class GroupBy:
             )
         )
 
+    def topk(self, n: int, by: str, ascending: bool = False,
+             tie_break: str | None = None) -> "DaskFrame":
+        """Top-n rows per group by ``by`` (dask idiom:
+        groupby().apply(nlargest) — here a rank window, no Python).
+        One shuffle on the group keys; ``tie_break`` column makes the
+        cut deterministic."""
+        from dask_spark.frame import DaskFrame
+
+        order = [F.col(by).asc() if ascending else F.col(by).desc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc())
+        w = Window.partitionBy(*self._keys).orderBy(*order)
+        return DaskFrame(
+            self._frame._sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
     # ---- python escape hatch -----------------------------------------
     def apply(self, fn: Callable, schema: str) -> "DaskFrame":
         """Arbitrary pandas fn per group → ``applyInPandas`` (Arrow).

@@ -2008,3 +2008,78 @@ def ann_batch(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return brute_force_topk_batch(e, _batch_queries(), k=5).to_spark()
+
+
+@q(
+    "vec_axis0_stats",
+    """
+    WITH e AS (
+      SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    )
+    SELECT dim::INT AS dim, round(avg(x), 6) AS mu, round(stddev_pop(x), 6) AS sd
+    FROM e GROUP BY dim
+    """,
+)
+def vec_axis0_stats(spark, sf_dir):
+    """dask.array axis-0 reduction: per-component mean/std across all
+    vectors — posexplode → groupBy(dim), partial aggs map-side."""
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("x"), 6).alias("mu"),
+             F.round(F.stddev_pop("x"), 6).alias("sd"))
+    )
+
+
+@q(
+    "join_q18_big_orders",
+    """
+    SELECT c_name, o_orderkey,
+           ROUND(SUM(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey
+    HAVING SUM(l_quantity::DECIMAL(18,6)) > 250
+    """,
+)
+def join_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: large-volume orders (grouped HAVING over a
+    fact-fact join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey").merge(
+        li, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    out = (
+        j.assign(qty_d=lambda d: d.l_quantity.astype("decimal(18,6)"))
+        .groupby(["c_name", "o_orderkey"])
+        .agg(total_qty=("qty_d", "sum"))
+    )
+    out = out[out.total_qty > 250].assign(
+        total_qty=lambda d: d.total_qty.round(2).astype("double")
+    )
+    return out.to_spark()
+
+
+@q(
+    "groupby_topk",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
+    QUALIFY row_number() OVER (
+      PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+    ) <= 3
+    """,
+)
+def groupby_topk(spark, sf_dir):
+    """Grouped top-k (dask groupby.apply(nlargest) idiom) as a rank
+    window — no Python, one shuffle."""
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.groupby("s_nationkey")
+        .topk(3, by="s_acctbal", tie_break="s_suppkey")
+        .to_spark()
+        .select("s_nationkey", "s_suppkey", "s_acctbal")
+    )

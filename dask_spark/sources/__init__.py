@@ -136,3 +136,16 @@ def to_table_bucketed(frame: DaskFrame, name: str, by: str | Sequence[str],
 def read_table(name: str) -> DaskFrame:
     """Read a saved (possibly bucketed) table from the session catalog."""
     return DaskFrame(_spark().table(name))
+
+
+def to_sql(frame: DaskFrame, table: str, url: str,
+           properties: Mapping[str, str] | None = None,
+           mode: str = "append") -> None:
+    """reference: dask/dataframe/io/sql.py to_sql — JDBC write
+    (plumbing-only in this container: no database available)."""
+    w = frame._sdf.write.format("jdbc").option("url", url).option(
+        "dbtable", table
+    ).mode(mode)
+    for k, v in (properties or {}).items():
+        w = w.option(k, v)
+    w.save()

@@ -203,3 +203,33 @@ def test_groupby_nulls_in_keys(spark):
     )
     assert len(got) == 3
     assert got.v_sum.sum() == 15
+
+
+def test_groupby_topk(tables, pdf_tables):
+    got = (
+        tables["supplier"]
+        .groupby("s_nationkey")
+        .topk(2, by="s_acctbal", tie_break="s_suppkey")
+        .compute()
+    )
+    p = pdf_tables["supplier"]
+    want = (
+        p.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True])
+        .groupby("s_nationkey")
+        .head(2)
+    )
+    assert len(got) == len(want)
+    assert sorted(got.s_suppkey) == sorted(want.s_suppkey)
+
+
+def test_mean_std_vector(tables, pdf_tables):
+    import numpy as np
+
+    from dask_spark.functions.vector import mean_vector, std_vector
+
+    emb = tables["embeddings"]
+    M = np.stack(pdf_tables["embeddings"].embedding.values)
+    got_mu = mean_vector(emb).compute().mean_vec.iloc[0]
+    got_sd = std_vector(emb).compute().std_vec.iloc[0]
+    assert np.allclose(got_mu, M.mean(axis=0), atol=1e-6)
+    assert np.allclose(got_sd, M.std(axis=0), atol=1e-6)
