@@ -862,6 +862,30 @@ class DaskFrame:
     def random_split(self, weights: Sequence[float], seed: int = 42) -> list["DaskFrame"]:
         return [DaskFrame(s) for s in self._sdf.randomSplit(list(weights), seed)]
 
+    def align(self, other: "DaskFrame", on: str | Sequence[str],
+              join: str = "outer") -> tuple["DaskFrame", "DaskFrame"]:
+        """Key-aligned pair of frames (reference: _collection.py align —
+        index alignment): both outputs carry the ``join`` of the key
+        sets, null-padded where a side lacks the key. One co-partitioned
+        shuffle to build the key set, broadcast/shuffle joins back."""
+        keys = [on] if isinstance(on, str) else list(on)
+        lk = self._sdf.select(*keys)
+        rk = other._sdf.select(*keys)
+        if join == "outer":
+            keyset = lk.union(rk).distinct()
+        elif join == "inner":
+            keyset = lk.intersect(rk)
+        elif join == "left":
+            keyset = lk.distinct()
+        elif join == "right":
+            keyset = rk.distinct()
+        else:
+            raise ValueError(f"bad join {join!r}")
+        return (
+            DaskFrame(keyset.join(self._sdf, on=keys, how="left")),
+            DaskFrame(keyset.join(other._sdf, on=keys, how="left")),
+        )
+
     def memory_usage(self) -> int:
         """Optimizer-estimated size in bytes (reference:
         _collection.py memory_usage; here from Catalyst plan stats —

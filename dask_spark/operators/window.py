@@ -91,6 +91,32 @@ class Rolling:
     def std(self, col: str):
         return self.agg({col: "std"})
 
+    def apply(self, col: str, fn, dtype: str = "double", out: str | None = None):
+        """Arbitrary python fn per window (dask rolling.apply):
+        collect_list over the window frame → Arrow-batched pandas UDF
+        mapping each window array through ``fn``. Per-row state is
+        O(window size)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from dask_spark.frame import DaskFrame
+
+        w, _ = self._win()
+        arrs = F.collect_list(F.col(col)).over(w)
+
+        def _apply(s):
+            return s.map(lambda a: fn(np.asarray(a)))
+
+        # annotations set as objects: string hints can't resolve the
+        # locally-imported pandas module
+        _apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _apply = pandas_udf(dtype)(_apply)
+
+        return DaskFrame(
+            self._frame._sdf.withColumn(out or f"{col}_roll_apply", _apply(arrs))
+        )
+
 
 class Resampler:
     """``frame.resample("1h", on="ts").agg({"value": "mean"})`` →

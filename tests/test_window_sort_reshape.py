@@ -232,3 +232,34 @@ def test_vec_argmax(tables):
     for r in pdf.itertuples():
         v = list(r.embedding)
         assert v[r.amax] == max(v) and v[r.amin] == min(v)
+
+
+def test_rolling_apply(spark):
+    import numpy as np
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"t": range(8), "v": [1.0, 4, 2, 8, 5, 7, 3, 6]})
+    got = (
+        ds.from_pandas(pdf)
+        .rolling(3, on="t")
+        .apply("v", lambda a: float(np.median(a)))
+        .compute()
+        .sort_values("t")
+    )
+    want = pdf.v.rolling(3, min_periods=1).median()
+    assert got.v_roll_apply.tolist() == want.tolist()
+
+
+def test_align(spark):
+    import dask_spark as ds
+
+    a = ds.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    b = ds.from_pandas(pd.DataFrame({"k": [2, 3, 4], "y": [200, 300, 400]}))
+    la, ra = a.align(b, on="k", join="outer")
+    la, ra = la.compute().sort_values("k"), ra.compute().sort_values("k")
+    assert la.k.tolist() == ra.k.tolist() == [1, 2, 3, 4]
+    assert la.x.fillna(-1).tolist() == [10, 20, 30, -1]
+    assert ra.y.fillna(-1).tolist() == [-1, 200, 300, 400]
+    li, ri = a.align(b, on="k", join="inner")
+    assert li.compute().k.tolist() == sorted(ri.compute().k.tolist()) == [2, 3]
