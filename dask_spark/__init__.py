@@ -15,6 +15,7 @@ Public surface mirrors ``dask.dataframe``::
 from dask_spark.frame import DaskFrame, Series, concat
 from dask_spark.session import get_spark
 from dask_spark.sources import (
+    from_dict,
     from_pandas,
     read_csv,
     read_json,
@@ -37,5 +38,6 @@ __all__ = [
     "read_orc",
     "read_sql_table",
     "from_pandas",
+    "from_dict",
     "timeseries",
 ]

@@ -894,6 +894,75 @@ class DaskFrame:
 
         return estimated_size_bytes(self)
 
+    # ---- misc parity (reference _collection.py: copy/reset_index/
+    # squeeze/pop/get_partition/itertuples/info/nbytes/where/mask) ---------
+    def copy(self) -> "DaskFrame":
+        return DaskFrame(self._sdf)  # plans are immutable — free copy
+
+    def reset_index(self, drop: bool = True) -> "DaskFrame":
+        return self  # no materialized index; alignment is by key columns
+
+    def rename_axis(self, *a, **kw) -> "DaskFrame":
+        return self
+
+    def squeeze(self):
+        cols = self.columns
+        return self[cols[0]] if len(cols) == 1 else self
+
+    def pop(self, column: str) -> "Series":
+        s = Series(DaskFrame(self._sdf), F.col(column), column)
+        self._sdf = self._sdf.drop(column)
+        return s
+
+    def get_partition(self, i: int) -> "DaskFrame":
+        """Rows of partition ``i`` (dask get_partition) — a distributed
+        filter on spark_partition_id, not a collect."""
+        return DaskFrame(self._sdf.withColumn("__pid", F.spark_partition_id())
+                         .filter(F.col("__pid") == i).drop("__pid"))
+
+    def itertuples(self):
+        """Streaming row iterator (toLocalIterator — one partition in
+        driver memory at a time, unlike a full collect)."""
+        return self._sdf.toLocalIterator()
+
+    def items(self):
+        for c in self.columns:
+            yield c, self[c]
+
+    def info(self) -> str:
+        lines = [f"<DaskFrame: {len(self.columns)} columns, "
+                 f"{self.npartitions} partitions>"]
+        lines += [f"  {c}: {t}" for c, t in self._sdf.dtypes]
+        lines.append(f"  est. size: {self.memory_usage()} bytes")
+        return "\n".join(lines)
+
+    @property
+    def nbytes(self) -> int:
+        return self.memory_usage()
+
+    def where_frame(self, cond: "Series", other=None) -> "DaskFrame":
+        """Frame-level where: rows failing ``cond`` get every column
+        replaced by ``other`` (pandas df.where semantics)."""
+        c = _col(cond)
+        sdf = self._sdf
+        for name in sdf.columns:
+            sdf = sdf.withColumn(
+                name,
+                F.when(c, F.col(name)).otherwise(
+                    F.lit(other).cast(dict(self._sdf.dtypes)[name])
+                ),
+            )
+        return DaskFrame(sdf)
+
+    def mask_frame(self, cond: "Series", other=None) -> "DaskFrame":
+        return self.where_frame(~cond, other)
+
+    def eq(self, other, col: str):
+        return self[col] == other
+
+    def ne(self, other, col: str):
+        return self[col] != other
+
     # ---- groupby / joins / reshape (delegated) -----------------------------
     def groupby(self, by: str | Sequence[str]):
         from dask_spark.operators.groupby import GroupBy

@@ -149,3 +149,10 @@ def to_sql(frame: DaskFrame, table: str, url: str,
     for k, v in (properties or {}).items():
         w = w.option(k, v)
     w.save()
+
+
+def from_dict(data: Mapping[str, Sequence], npartitions: int | None = None) -> DaskFrame:
+    """reference: dask from_dict → createDataFrame over a pandas frame."""
+    import pandas as pd
+
+    return from_pandas(pd.DataFrame(dict(data)), npartitions)

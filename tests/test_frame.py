@@ -210,3 +210,45 @@ def test_loc(tables, pdf_tables):
     want = p.loc[p.l_quantity > 45, ["l_orderkey", "l_quantity"]]
     assert len(got) == len(want)
     assert li.loc[:, ["l_orderkey"]].columns == ["l_orderkey"]
+
+
+def test_misc_parity(tables, spark):
+    import dask_spark as ds
+
+    li = tables["lineitem"]
+    # copy / reset_index / rename_axis are plan-level no-ops
+    assert li.copy().columns == li.columns
+    assert li.reset_index() is li
+    # squeeze 1-col frame → Series
+    s = li[["l_quantity"]].squeeze()
+    from dask_spark.frame import Series
+
+    assert isinstance(s, Series)
+    # pop removes the column and returns it
+    f2 = li[["l_orderkey", "l_quantity"]]
+    popped = f2.pop("l_quantity")
+    assert "l_quantity" not in f2.columns and popped._name == "l_quantity"
+    # get_partition rows sum to the whole
+    parts = li.to_spark().rdd.getNumPartitions()
+    n0 = len(li.get_partition(0).compute())
+    assert 0 < n0 < len(li.compute()) or parts == 1
+    # itertuples streams rows
+    it = li[["l_orderkey"]].itertuples()
+    first = next(iter(it))
+    assert hasattr(first, "l_orderkey")
+    # info/nbytes
+    assert "columns" in li.info() and li.nbytes > 0
+    # from_dict
+    fd = ds.from_dict({"a": [1, 2], "b": ["x", "y"]})
+    assert sorted(fd.columns) == ["a", "b"]
+
+
+def test_where_mask_frame(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]})
+    f = ds.from_pandas(pdf)
+    out = f.where_frame(f.a > 1, other=None).compute().sort_values("b", na_position="first")
+    assert out.a.isna().sum() == 1 and out.b.isna().sum() == 1
+    out2 = f.mask_frame(f.a > 1, other=None).compute()
+    assert out2.a.isna().sum() == 2
