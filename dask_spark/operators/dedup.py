@@ -229,30 +229,32 @@ def simhash_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     # persist: the self-join's two branches would otherwise recompute
     # the 64-aggregate signature plan twice
     sh = simhash(frame, text_col, id_col)._sdf.persist()
+    # single long bucket key (band index folded into the value) — one
+    # join key column instead of two
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+            (F.lit(b * (1 << 16)) + F.col(f"band{b}")).cast("bigint")
             for b in range(4)
-        ])).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.bh")
+        ])).alias("bh"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # hamming filter FUSED into the join output stage: on homogeneous
+    # corpora simhash buckets are large (similar docs share bands by
+    # design), so candidates must be cut to survivors BEFORE any
+    # further shuffle — deduping 24M raw candidates first measured ~8×
+    # slower at 50k docs than filtering them in-stage to ~300k.
     pairs = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                      F.col("a.bh") == F.col("b.bh"),
+        a.join(b, on=[F.col("a.bh") == F.col("b.bh"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .filter(ham <= max_hamming)
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"))
+                ham.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return DaskFrame(
-        pairs.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return DaskFrame(pairs)
 
 
 def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
