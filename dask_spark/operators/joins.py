@@ -150,3 +150,31 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
         for c in payload:
             out = out.withColumn(c, F.when(within, F.col(c)))
     return DaskFrame(out.drop("__match_on"))
+
+
+def range_join(left, right, by, on: str, lower, upper,
+               suffixes=("_l", "_r")):
+    """Interval/range join: pair rows sharing ``by`` whose right.``on``
+    falls in [left.on + lower, left.on + upper] (seconds for
+    timestamps). The equi-key keeps it a hash/sort-merge join — the
+    range predicate is a post-join filter evaluated inside the same
+    stage, so no cross product ever materializes; the streaming twin is
+    streaming/windows.stream_stream_join. dask/pandas have no
+    distributed equivalent (merge_asof covers only nearest-one)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    by = [by] if isinstance(by, str) else list(by)
+    lsdf, rsdf = left._sdf, right._sdf
+    shared = [c for c in lsdf.columns if c in rsdf.columns and c not in by]
+    for c in shared:
+        lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+        rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+    lo_expr = F.col(on + suffixes[0]) + F.make_interval(secs=F.lit(float(lower)))
+    hi_expr = F.col(on + suffixes[0]) + F.make_interval(secs=F.lit(float(upper)))
+    ron = F.col(on + suffixes[1])
+    out = lsdf.join(rsdf, on=by, how="inner").filter(
+        (ron >= lo_expr) & (ron <= hi_expr)
+    )
+    return DaskFrame(out)

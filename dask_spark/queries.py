@@ -2083,3 +2083,28 @@ def groupby_topk(spark, sf_dir):
         .to_spark()
         .select("s_nationkey", "s_suppkey", "s_acctbal")
     )
+
+
+@q(
+    "range_join",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE b.ts >= a.ts + INTERVAL 1 SECOND
+      AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def range_join_q(spark, sf_dir):
+    """Interval join per user: events followed by another event within
+    (1s, 2h] — equi-join on user_id, range filter in-stage."""
+    from dask_spark.operators.joins import range_join
+
+    e = load(spark, sf_dir, "events")
+    l = e[["event_id", "user_id", "ts"]]
+    r = e[["event_id", "user_id", "ts"]]
+    out = range_join(l, r, by="user_id", on="ts", lower=1, upper=7200)
+    return out.to_spark().select(
+        F.col("event_id_l").alias("id_a"),
+        F.col("event_id_r").alias("id_b"),
+        "user_id",
+    )

@@ -148,3 +148,28 @@ def test_merge_asof_ties_included(spark):
         .compute()
     )
     assert got.rv.iloc[0] == 9.0
+
+
+def test_range_join(spark):
+    import dask_spark as ds
+    from dask_spark.operators.joins import range_join
+
+    left = ds.from_pandas(
+        pd.DataFrame({"g": ["a", "a", "b"], "t": [0, 100, 0], "lv": [1, 2, 3]})
+    )
+    right = ds.from_pandas(
+        pd.DataFrame({"g": ["a", "a", "a", "b"], "t": [5, 50, 200, 500],
+                      "rv": [10, 20, 30, 40]})
+    )
+    # numeric axis works through the timestamp path? use ints as epoch
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    l2 = DaskFrame(left.to_spark().withColumn("t", F.timestamp_seconds("t")))
+    r2 = DaskFrame(right.to_spark().withColumn("t", F.timestamp_seconds("t")))
+    out = range_join(l2, r2, by="g", on="t", lower=0, upper=60).compute()
+    got = sorted(zip(out.lv, out.rv))
+    # lv=1 (t=0,a) matches rv 10 (t=5), 20 (t=50); lv=2 (t=100,a) none ≤160
+    # except none; lv=3 (t=0,b) none within 60 (t=500)
+    assert got == [(1, 10), (1, 20)]
