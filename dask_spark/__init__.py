@@ -12,7 +12,7 @@ Public surface mirrors ``dask.dataframe``::
     out.compute()          # pandas (like dask .compute())
 """
 
-from dask_spark.frame import DaskFrame, Series, concat
+from dask_spark.frame import DaskFrame, Series, concat, sql
 from dask_spark.session import get_spark
 from dask_spark.sources import (
     from_dict,
@@ -31,6 +31,7 @@ __all__ = [
     "DaskFrame",
     "Series",
     "concat",
+    "sql",
     "get_spark",
     "read_parquet",
     "read_csv",

@@ -1047,6 +1047,11 @@ class DaskFrame:
     def persist(self) -> "DaskFrame":
         return DaskFrame(self._sdf.cache())
 
+    def to_view(self, name: str) -> "DaskFrame":
+        """Register as a temp view for ``dask_spark.sql`` queries."""
+        self._sdf.createOrReplaceTempView(name)
+        return self
+
     def to_spark(self) -> SparkDF:
         return self._sdf
 
@@ -1103,6 +1108,20 @@ class _Loc:
             cols = [cols] if isinstance(cols, str) else list(cols)
             frame = DaskFrame(frame._sdf.select(*cols))
         return frame
+
+
+def sql(query: str) -> DaskFrame:
+    """Full Spark SQL over views registered with ``DaskFrame.to_view``
+    — the engine's plans and SQL share one Catalyst session, so mixing
+    API and SQL is free (something dask cannot offer)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from dask_spark.session import get_spark
+
+        spark = get_spark()
+    return DaskFrame(spark.sql(query))
 
 
 def concat(frames: Sequence[DaskFrame]) -> DaskFrame:

@@ -2108,3 +2108,56 @@ def range_join_q(spark, sf_dir):
         F.col("event_id_r").alias("id_b"),
         "user_id",
     )
+
+
+@q(
+    "corpus_pipeline",
+    """
+    WITH q AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+      FROM documents WHERE lang = 'en'
+    ), m AS (
+      SELECT doc_id, source, text, len(toks) AS n_tok,
+             0.25 * (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * least(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(len(text), 1) * 1.25, 1.0)
+           + 0.2  * (CASE WHEN len(text) / greatest(len(toks), 1) >= 3 AND len(text) / greatest(len(toks), 1) <= 12 THEN 1.0 ELSE 0.0 END)
+           + 0.2  * least(len(list_filter(toks, x -> list_contains(
+                ['the','of','and','to','a','in','is','it','that','for','on',
+                 'was','with','as','at','by','be','this','are','or','an'], x)))
+               / greatest(len(toks), 1) * 4, 1.0)
+           + 0.1  * (1 - least(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(len(text), 1) * 10, 1.0))
+             AS quality
+      FROM q
+    ), kept AS (
+      SELECT * FROM m WHERE round(quality, 4) >= 0.3
+    ), dedup AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+    FROM kept JOIN dedup USING (doc_id)
+    GROUP BY source
+    """,
+)
+def corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: language filter → quality filter →
+    exact dedup (keep lowest id) → per-source doc/token stats. Each
+    stage is the engine's own operator; the composition stays one
+    Catalyst plan (filters fused into the scan, dedup is the only
+    wide stage)."""
+    from dask_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    kept = d[d.lang == "en"].assign(
+        quality=lambda f: T.quality_score(F.col("text")),
+        n_tok=lambda f: T.token_count(F.col("text")),
+    )
+    kept = kept[kept.quality >= 0.3]
+    survivors = exact_dedup(kept)[["doc_id"]]
+    joined = kept.merge(survivors, on="doc_id")
+    return (
+        joined.groupby("source")
+        .agg(n_docs=("doc_id", "count"), total_tokens=("n_tok", "sum"))
+        .to_spark()
+        .select("source", "n_docs", F.col("total_tokens").cast("bigint").alias("total_tokens"))
+    )

@@ -252,3 +252,13 @@ def test_where_mask_frame(spark):
     assert out.a.isna().sum() == 1 and out.b.isna().sum() == 1
     out2 = f.mask_frame(f.a > 1, other=None).compute()
     assert out2.a.isna().sum() == 2
+
+
+def test_sql_passthrough(tables):
+    import dask_spark as ds
+
+    tables["nation"].to_view("v_nation")
+    out = ds.sql(
+        "SELECT n_regionkey, count(*) AS n FROM v_nation GROUP BY n_regionkey"
+    ).compute()
+    assert out.n.sum() == len(tables["nation"].compute())
