@@ -25,6 +25,8 @@ from dask_spark.sources import (
     timeseries,
 )
 
+from dask_spark import testing
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -32,6 +34,7 @@ __all__ = [
     "Series",
     "concat",
     "sql",
+    "testing",
     "get_spark",
     "read_parquet",
     "read_csv",

@@ -70,3 +70,13 @@ def shuffle_count(frame) -> int:
         and "BroadcastExchange" not in line
         and "Reuse" not in line
     )
+
+
+def partition_filters(frame) -> str:
+    """The PartitionFilters clause at the scan (hive-partition pruning
+    check — the 100 TB feature that turns a full-corpus scan into a
+    directory-subtree read)."""
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_text(frame))
+    return m.group(1) if m else ""

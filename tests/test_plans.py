@@ -144,3 +144,20 @@ def test_bucketed_join_no_shuffle(spark, tables, tmp_path_factory):
     n = len(j.compute())
     want = len(o.compute().merge(li.compute(), on="o_orderkey"))
     assert n == want
+
+
+def test_hive_partition_pruning(spark, tables, tmp_path_factory):
+    """Filtering on a hive partition column must prune at the scan
+    (PartitionFilters populated, not a row-level filter)."""
+    import dask_spark as ds
+    from dask_spark.plans import partition_filters
+
+    path = str(tmp_path_factory.mktemp("hive") / "orders_by_prio.parquet")
+    tables["orders"].to_parquet(path, partition_on=["o_orderpriority"])
+    f = ds.read_parquet(path)
+    q = f[f.o_orderpriority == "1-URGENT"][["o_orderkey"]]
+    pf = partition_filters(q)
+    assert "o_orderpriority" in pf
+    n = len(q.compute())
+    want = len(tables["orders"].compute().query("o_orderpriority == '1-URGENT'"))
+    assert n == want
