@@ -41,3 +41,13 @@ def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None 
         current = sdf.rdd.getNumPartitions()
         sdf = sdf.coalesce(npartitions) if npartitions < current else sdf.repartition(npartitions)
     return DaskFrame(sdf)
+
+
+def stratified_sample(frame, col: str, fractions: dict, seed: int = 42):
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the
+    training-data mixing primitive (per-source quotas); map-only, no
+    shuffle, deterministic for a fixed seed and partitioning. Strata
+    absent from ``fractions`` are dropped (fraction 0)."""
+    from dask_spark.frame import DaskFrame
+
+    return DaskFrame(frame._sdf.sampleBy(col, dict(fractions), seed))

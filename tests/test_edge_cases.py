@@ -145,3 +145,23 @@ def test_series_nlargest(tables, pdf_tables):
     )[:5]
     got2 = li.l_extendedprice.nsmallest(5)
     assert got2.compute().l_extendedprice.tolist() == sorted(p.l_extendedprice)[:5]
+
+
+def test_stratified_sample(tables, pdf_tables):
+    from dask_spark.operators.sort import stratified_sample
+
+    d = tables["documents"]
+    out = stratified_sample(d, "source", {"web": 0.5, "books": 1.0}).compute()
+    p = pdf_tables["documents"]
+    sources = set(p.source)
+    if {"web", "books"} <= sources:
+        n_books = (p.source == "books").sum()
+        assert (out.source == "books").sum() == n_books  # fraction 1.0 keeps all
+        n_web_total = (p.source == "web").sum()
+        n_web = (out.source == "web").sum()
+        assert 0.3 * n_web_total < n_web < 0.7 * n_web_total
+        assert set(out.source) <= {"web", "books"}
+    else:  # schema uses other source labels — just check quota drop works
+        some = sorted(sources)[0]
+        out2 = stratified_sample(d, "source", {some: 1.0}).compute()
+        assert set(out2.source) == {some}
