@@ -574,9 +574,30 @@ class DaskFrame:
 
         return set_index(self, col, npartitions)
 
-    def repartition(self, npartitions: int | None = None, on: Sequence[str] | None = None) -> "DaskFrame":
+    def repartition(self, npartitions: int | None = None, on: Sequence[str] | None = None,
+                    partition_size: str | int | None = None) -> "DaskFrame":
+        """dask repartition: by count, by key columns, or by target
+        partition byte size ("128MB") — the last derives a count from
+        Catalyst's size estimate (dask uses the same estimate-then-
+        coalesce strategy)."""
         from dask_spark.operators.sort import repartition
 
+        if partition_size is not None:
+            from dask_spark.plans import estimated_size_bytes
+
+            if isinstance(partition_size, str):
+                units = {"kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "b": 1}
+                s = partition_size.strip().lower()
+                for suffix, mult in units.items():
+                    if s.endswith(suffix):
+                        target = int(float(s[: -len(suffix)]) * mult)
+                        break
+                else:
+                    target = int(s)
+            else:
+                target = int(partition_size)
+            est = max(estimated_size_bytes(self), 1)
+            npartitions = max(1, -(-est // target))
         return repartition(self, npartitions, on)
 
     def shuffle(self, on: str | Sequence[str], npartitions: int | None = None) -> "DaskFrame":

@@ -165,3 +165,12 @@ def test_stratified_sample(tables, pdf_tables):
         some = sorted(sources)[0]
         out2 = stratified_sample(d, "source", {some: 1.0}).compute()
         assert set(out2.source) == {some}
+
+
+def test_repartition_by_size(tables):
+    li = tables["lineitem"]
+    out = li.repartition(partition_size="64kb")
+    # estimated size of sf0.001 lineitem ≈ a few hundred KB → several partitions
+    assert out.npartitions >= 2
+    big = li.repartition(partition_size="1GB")
+    assert big.npartitions == 1
