@@ -22,6 +22,9 @@ _QV_SQL = "[" + ", ".join(f"{x}::FLOAT" for x in QUERY_VEC) + "]"
 
 
 def load(spark, sf_dir: str, name: str) -> DaskFrame:
+    # the driver's harness supplies its own session — pin the runtime-
+    # settable confs results depend on (UTC collection of LTZ values)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
         # read as long (runtime-safe conf) and floor to microseconds.
