@@ -14,6 +14,7 @@ Public surface mirrors ``dask.dataframe``::
 
 from dask_spark.frame import DaskFrame, Series, concat, sql
 from dask_spark.session import get_spark
+from dask_spark.bag import Bag
 from dask_spark.sources import (
     from_dict,
     from_pandas,
@@ -21,6 +22,7 @@ from dask_spark.sources import (
     read_json,
     read_orc,
     read_parquet,
+    read_text,
     read_sql_table,
     timeseries,
 )
@@ -37,6 +39,8 @@ __all__ = [
     "testing",
     "get_spark",
     "read_parquet",
+    "read_text",
+    "Bag",
     "read_csv",
     "read_json",
     "read_orc",

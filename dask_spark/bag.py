@@ -1,0 +1,143 @@
+"""dask.bag parity (reference: dask/bag/core.py Bag) — a thin wrapper
+over a one-column DataFrame of items.
+
+Design: bag items live in a single ``item`` column. Structured ops
+(pluck/frequencies/topk/foldby) lower to DataFrame expressions (JVM);
+``map``/``filter`` accept either a Column-expression builder (fast
+path, stays in codegen) or an arbitrary Python callable (Arrow-batched
+mapInPandas — dask's model, the slow path)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+
+from dask_spark.frame import DaskFrame
+
+
+class Bag:
+    def __init__(self, sdf, col: str = "item"):
+        self._sdf = sdf
+        self._col = col
+
+    # ---- construction ------------------------------------------------
+    @classmethod
+    def from_sequence(cls, items, npartitions: int | None = None) -> "Bag":
+        from dask_spark.sources import _spark
+
+        sdf = _spark().createDataFrame([(x,) for x in items], ["item"])
+        if npartitions:
+            sdf = sdf.repartition(npartitions)
+        return cls(sdf)
+
+    # ---- transforms --------------------------------------------------
+    def map(self, fn, dtype: str = "string") -> "Bag":
+        """Column-builder (fast) or python callable (mapInPandas)."""
+        from pyspark.sql import Column
+
+        try:
+            probe = fn(F.col(self._col))
+        except Exception:  # a plain python fn chokes on a Column probe
+            probe = None
+
+        if isinstance(probe, Column):
+            return Bag(self._sdf.select(probe.alias(self._col)), self._col)
+
+        col = self._col
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame({col: pdf[col].map(fn)})
+
+        return Bag(self._sdf.mapInPandas(gen, schema=f"{col} {dtype}"), col)
+
+    def filter(self, fn) -> "Bag":
+        from pyspark.sql import Column
+
+        try:
+            probe = fn(F.col(self._col)) if callable(fn) else fn
+        except Exception:
+            probe = None
+
+        if isinstance(probe, Column):
+            return Bag(self._sdf.filter(probe), self._col)
+
+        col = self._col
+
+        def gen(batches):
+            for pdf in batches:
+                yield pdf[pdf[col].map(fn)]
+
+        return Bag(
+            self._sdf.mapInPandas(gen, schema=self._sdf.schema), col
+        )
+
+    def pluck(self, field: str) -> "Bag":
+        """Project a field out of struct/map items (dask pluck)."""
+        return Bag(
+            self._sdf.select(F.col(f"{self._col}.{field}").alias(self._col)),
+            self._col,
+        )
+
+    def map_json(self, schema: str) -> "Bag":
+        """Parse JSON-string items into structs (read_text → json lines)."""
+        return Bag(
+            self._sdf.select(
+                F.from_json(F.col(self._col), schema).alias(self._col)
+            ),
+            self._col,
+        )
+
+    def flatten(self) -> "Bag":
+        return Bag(
+            self._sdf.select(F.explode(F.col(self._col)).alias(self._col)),
+            self._col,
+        )
+
+    def distinct(self) -> "Bag":
+        return Bag(self._sdf.select(self._col).distinct(), self._col)
+
+    # ---- reductions --------------------------------------------------
+    def frequencies(self) -> DaskFrame:
+        return DaskFrame(
+            self._sdf.groupBy(F.col(self._col).alias("item"))
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    def topk(self, k: int, key: Callable | None = None) -> list:
+        """k largest items (TakeOrdered — no global sort). ``key`` may
+        be a Column builder."""
+        col = key(F.col(self._col)) if key else F.col(self._col)
+        rows = (
+            self._sdf.select(F.col(self._col), col.alias("__k"))
+            .orderBy(F.col("__k").desc())
+            .limit(k)
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def foldby(self, key_fn, value_expr) -> DaskFrame:
+        """Grouped reduction (dask foldby ≈ ACA): key/value are Column
+        builders; lowering is one partial+final hash aggregate."""
+        return DaskFrame(
+            self._sdf.groupBy(key_fn(F.col(self._col)).alias("key"))
+            .agg(value_expr(F.col(self._col)).alias("value"))
+        )
+
+    def count(self) -> int:
+        return self._sdf.count()
+
+    def take(self, n: int) -> list:
+        return [r[0] for r in self._sdf.limit(n).collect()]
+
+    def to_dataframe(self) -> DaskFrame:
+        sdf = self._sdf
+        if dict(sdf.dtypes)[self._col].startswith("struct"):
+            sdf = sdf.select(f"{self._col}.*")
+        return DaskFrame(sdf)
+
+    def compute(self) -> list:
+        return [r[0] for r in self._sdf.collect()]

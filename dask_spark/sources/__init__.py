@@ -156,3 +156,11 @@ def from_dict(data: Mapping[str, Sequence], npartitions: int | None = None) -> D
     import pandas as pd
 
     return from_pandas(pd.DataFrame(dict(data)), npartitions)
+
+
+def read_text(path: str) -> "Bag":
+    """reference: dask/bag/text.py read_text — lines of text as a Bag
+    (spark.read.text, splittable/distributed)."""
+    from dask_spark.bag import Bag
+
+    return Bag(_spark().read.text(path).withColumnRenamed("value", "item"))

@@ -1,0 +1,67 @@
+"""dask.bag parity via the Bag wrapper (reference: dask/bag/core.py,
+dask/bag/text.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+
+def test_read_text_roundtrip(spark, tmp_path):
+    import dask_spark as ds
+
+    lines = [json.dumps({"k": i % 3, "v": float(i)}) for i in range(30)]
+    src = tmp_path / "in.txt"
+    src.write_text("\n".join(lines))
+    bag = ds.read_text(str(src))
+    assert bag.count() == 30
+    parsed = bag.map_json("k int, v double")
+    ks = parsed.pluck("k")
+    freq = ks.frequencies().compute().sort_values("item")
+    assert freq["count"].tolist() == [10, 10, 10]
+
+
+def test_bag_map_filter_expr_and_python(spark):
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+
+    bag = ds.Bag.from_sequence(["apple", "banana", "cherry", "kiwi"])
+    # expression fast path
+    upper = bag.map(lambda c: F.upper(c))
+    assert sorted(upper.compute()) == ["APPLE", "BANANA", "CHERRY", "KIWI"]
+    # python slow path
+    lens = bag.map(len, dtype="bigint")
+    assert sorted(lens.compute()) == [4, 5, 6, 6]
+    kept = bag.filter(lambda c: F.length(c) > 4)
+    assert sorted(kept.compute()) == ["apple", "banana", "cherry"]
+    kept_py = bag.filter(lambda s: "a" in s)
+    assert sorted(kept_py.compute()) == ["apple", "banana"]
+
+
+def test_bag_topk_foldby_flatten(spark):
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+
+    nums = ds.Bag.from_sequence(list(range(20)))
+    assert sorted(nums.topk(3)) == [17, 18, 19]
+    folded = nums.foldby(lambda c: c % 3, lambda c: F.sum(c))
+    want = {k: sum(x for x in range(20) if x % 3 == k) for k in range(3)}
+    assert {r.key: r.value for r in folded.to_spark().collect()} == want
+    nested = ds.Bag.from_sequence([[1, 2], [3], [4, 5]])
+    assert sorted(nested.flatten().compute()) == [1, 2, 3, 4, 5]
+    assert nested.flatten().distinct().count() == 5
+
+
+def test_bag_to_dataframe(spark):
+    import dask_spark as ds
+
+    bag = ds.Bag.from_sequence(
+        [json.dumps({"a": i, "b": f"x{i}"}) for i in range(5)]
+    ).map_json("a int, b string")
+    df = bag.to_dataframe().compute()
+    assert sorted(df.columns) == ["a", "b"]
+    assert len(df) == 5
