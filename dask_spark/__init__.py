@@ -14,6 +14,7 @@ Public surface mirrors ``dask.dataframe``::
 
 from dask_spark.frame import DaskFrame, Series, concat, sql
 from dask_spark.session import get_spark
+from dask_spark.array import DArray
 from dask_spark.bag import Bag
 from dask_spark.sources import (
     from_dict,
@@ -41,6 +42,7 @@ __all__ = [
     "read_parquet",
     "read_text",
     "Bag",
+    "DArray",
     "read_csv",
     "read_json",
     "read_orc",
