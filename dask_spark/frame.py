@@ -545,7 +545,12 @@ class DaskFrame:
     def fillna(self, value) -> "DaskFrame":
         return DaskFrame(self._sdf.fillna(value))
 
-    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "DaskFrame":
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any",
+               thresh: int | None = None) -> "DaskFrame":
+        """pandas semantics incl. ``thresh`` (keep rows with ≥ thresh
+        non-null values) — Spark dropna supports it natively."""
+        if thresh is not None:
+            return DaskFrame(self._sdf.dropna(thresh=thresh, subset=subset))
         return DaskFrame(self._sdf.dropna(how=how, subset=subset))
 
     def replace(self, to_replace, value) -> "DaskFrame":

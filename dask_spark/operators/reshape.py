@@ -53,11 +53,15 @@ def melt(frame, id_vars, value_vars, var_name: str = "variable",
 
 
 def explode(frame, column: str):
+    """pandas/dask semantics: a row with an empty/null list is KEPT
+    with a null value (explode_outer), not dropped."""
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
     others = [c for c in sdf.columns if c != column]
-    return DaskFrame(sdf.select(*others, F.explode(F.col(column)).alias(column)))
+    return DaskFrame(
+        sdf.select(*others, F.explode_outer(F.col(column)).alias(column))
+    )
 
 
 def get_dummies(frame, column: str, prefix: str | None = None,

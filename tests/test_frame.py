@@ -262,3 +262,14 @@ def test_sql_passthrough(tables):
         "SELECT n_regionkey, count(*) AS n FROM v_nation GROUP BY n_regionkey"
     ).compute()
     assert out.n.sum() == len(tables["nation"].compute())
+
+
+def test_dropna_thresh(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, None], "b": [1.0, 2.0, None], "c": [1.0, 2.0, 3.0]}
+    )
+    f = ds.from_pandas(pdf)
+    assert len(f.dropna(thresh=2).compute()) == 2
+    assert len(f.dropna(thresh=3).compute()) == 1

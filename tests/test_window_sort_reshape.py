@@ -263,3 +263,15 @@ def test_align(spark):
     assert ra.y.fillna(-1).tolist() == [-1, 200, 300, 400]
     li, ri = a.align(b, on="k", join="inner")
     assert li.compute().k.tolist() == sorted(ri.compute().k.tolist()) == [2, 3]
+
+
+def test_explode_keeps_empty_as_null(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"id": [1, 2], "xs": [[1, 2], []]})
+    got = ds.from_pandas(pdf).explode("xs").compute().sort_values(
+        "id", ignore_index=True
+    )
+    # pandas: empty list row kept with NaN
+    assert len(got) == 3
+    assert got["xs"].isna().sum() == 1
