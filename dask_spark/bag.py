@@ -127,6 +127,10 @@ class Bag:
             .agg(value_expr(F.col(self._col)).alias("value"))
         )
 
+    def random_sample(self, prob: float, seed: int = 42) -> "Bag":
+        """Bernoulli sample (dask bag random_sample)."""
+        return Bag(self._sdf.sample(prob, seed=seed), self._col)
+
     def count(self) -> int:
         return self._sdf.count()
 

@@ -389,6 +389,11 @@ class Series:
             .limit(n)
         )
 
+    def describe(self) -> "DaskFrame":
+        """Single-column describe (long form, same schema as frame
+        describe)."""
+        return self.to_frame().describe()
+
     def to_frame(self, name: str | None = None) -> "DaskFrame":
         return DaskFrame(
             self._frame._sdf.select(self._expr.alias(name or self._name))
@@ -612,6 +617,14 @@ class DaskFrame:
     # ---- sampling / limits -------------------------------------------------
     def head_frame(self, n: int = 5) -> "DaskFrame":
         return DaskFrame(self._sdf.limit(n))
+
+    def tail(self, n: int = 5):
+        """Last n rows (driver-side action, like dask tail on the last
+        partition — row order is partition order)."""
+        import pandas as pd
+
+        rows = self._sdf.tail(n)
+        return pd.DataFrame([r.asDict() for r in rows])
 
     def head(self, n: int = 5):
         return self._sdf.limit(n).toPandas()

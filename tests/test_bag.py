@@ -65,3 +65,11 @@ def test_bag_to_dataframe(spark):
     df = bag.to_dataframe().compute()
     assert sorted(df.columns) == ["a", "b"]
     assert len(df) == 5
+
+
+def test_bag_random_sample(spark):
+    import dask_spark as ds
+
+    bag = ds.Bag.from_sequence(list(range(200)))
+    n = bag.random_sample(0.3).count()
+    assert 20 < n < 120

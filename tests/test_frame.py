@@ -273,3 +273,11 @@ def test_dropna_thresh(spark):
     f = ds.from_pandas(pdf)
     assert len(f.dropna(thresh=2).compute()) == 2
     assert len(f.dropna(thresh=3).compute()) == 1
+
+
+def test_series_describe_and_tail(tables, pdf_tables):
+    out = tables["lineitem"].l_quantity.describe().compute()
+    assert out.column.tolist() == ["l_quantity"]
+    assert out["count"].iloc[0] == len(pdf_tables["lineitem"])
+    t = tables["nation"].tail(3)
+    assert len(t) == 3 and "n_name" in t.columns
