@@ -2164,3 +2164,31 @@ def corpus_pipeline(spark, sf_dir):
         .to_spark()
         .select("source", "n_docs", F.col("total_tokens").cast("bigint").alias("total_tokens"))
     )
+
+
+@q(
+    "window_rank",
+    """
+    SELECT s_suppkey, s_nationkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """Rank-function family per group (rank/dense_rank/percent_rank) —
+    one sort-shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    s = load(spark, sf_dir, "supplier").to_spark()
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )
