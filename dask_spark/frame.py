@@ -354,17 +354,22 @@ class Series:
 
     def autocorr(self, lag: int = 1, order_by: str | None = None):
         """Pearson corr of (x_t, x_{t+lag}) (reference: _collection.py
-        autocorr). Computed as corr over a lag window ordered by
-        ``order_by`` (defaults to this column) — sort-shuffle + agg."""
-        from pyspark.sql import Window
+        autocorr). NO single-partition window: rows get a scale-safe
+        global index (range partition + per-partition row_number +
+        driver offsets — operators/sort.py with_global_index), then the
+        lag pairing is a self-equi-join on index (parallel shuffle on a
+        uniform long key) feeding one corr aggregate."""
+        from dask_spark.operators.sort import with_global_index
 
-        w = Window.orderBy(order_by or self._name)
-        lagged = F.lag(self._expr, lag).over(w)
-        return (
-            self._frame._sdf.select(self._expr.alias("__x"), lagged.alias("__y"))
-            .agg(F.corr("__x", "__y"))
-            .first()[0]
+        ob = order_by or self._name
+        base = self._frame._sdf.select(
+            F.col(ob).alias("__o"), self._expr.alias("__x")
         )
+        idx = with_global_index(base, "__o", "__i")
+        xs = idx.select("__i", "__x")
+        ys = idx.select((F.col("__i") + F.lit(lag)).alias("__i"),
+                        F.col("__x").alias("__y"))
+        return xs.join(ys, "__i").agg(F.corr("__x", "__y")).first()[0]
 
     def quantile(self, q: float = 0.5):
         """reference: dask/dataframe/partitionquantiles.py → GK sketch."""

@@ -86,8 +86,9 @@ def random_hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
 
 def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 7) -> Column:
     """Random-hyperplane LSH bucket id (int): bit b = sign(vec·h_b).
-    The hyperplanes are literal arrays folded into the plan — the
-    signature is a map-only JVM expression, no shuffle, no Python."""
+    Expression form (JVM, map-only) — kept for single-signature uses;
+    for bands×planes signatures use :func:`lsh_band_signature_udf`
+    (one Arrow matmul per batch beats planes×bands interpreted dots)."""
     hps = random_hyperplanes(dim, planes, seed)
     sig = F.lit(0).cast("bigint")
     for i, h in enumerate(hps):
@@ -96,6 +97,42 @@ def lsh_signature(vec: Column, dim: int, planes: int = 12, seed: int = 7) -> Col
         d = dot(vec, F.array(*[F.lit(float(x)) for x in h]))
         sig = sig + F.when(d >= 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return sig
+
+
+def lsh_band_signature_udf(dim: int, planes: int, bands: int, seed: int = 7):
+    """All ``bands`` LSH signatures at once as ONE Arrow-batched numpy
+    matmul: X(batch×dim) @ W(dim×bands·planes) → sign bits → fold each
+    band's ``planes`` bits into a bigint. Returns a pandas UDF mapping
+    the vector column to ``array<bigint>`` of length ``bands``.
+
+    Bit/seed layout matches :func:`lsh_signature` with per-band seed
+    ``seed + 101*band`` exactly, so the two paths bucket identically.
+    Interpreted higher-order-function dots measured ~70s at sf0.01 for
+    8×6 planes; the batched matmul is the scale-safe formulation (map
+    only, no shuffle, one BLAS call per Arrow batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    rows = []
+    for b in range(bands):
+        rows.extend(random_hyperplanes(dim, planes, seed + 101 * b))
+    W = np.asarray(rows, dtype=np.float64).T  # (dim, bands*planes)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    def _sig(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (X @ W >= 0.0).astype(np.int64).reshape(len(X), bands, planes)
+        sigs = bits @ weights  # (n, bands)
+        return pd.Series(list(sigs))
+
+    # annotations set as objects: string hints can't resolve the
+    # locally-imported pandas module
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(ArrayType(LongType()))(_sig)
 
 
 def argmax(a: Column) -> Column:

@@ -346,23 +346,21 @@ def embedding_dedup_pairs(frame, vec_col: str = "embedding",
     1-(1-(1-θ/π)^planes)^bands, e.g. ≈0.97 for cos≥0.8 with 8×6) →
     per-bucket candidate pairs → exact cosine verify. The corpus never
     self-joins — only same-bucket candidates do; shuffle volume is
-    bands×|corpus| rows of (bucket, id, vec)."""
+    bands×|corpus| rows of (bucket, id, vec).
+
+    Signatures are computed by ONE Arrow-batched numpy matmul for all
+    bands×planes hyperplanes (lsh_band_signature_udf) — the interpreted
+    higher-order-fn formulation re-evaluated the dot per element and
+    measured ~70s at sf0.01; the matmul path is single-digit seconds
+    with identical bucketing (same hyperplanes, same bit order)."""
     from dask_spark.frame import DaskFrame
-    from dask_spark.functions.vector import cosine_sim, lsh_signature
+    from dask_spark.functions.vector import cosine_sim, lsh_band_signature_udf
 
     sdf = frame._sdf
     dim = len(sdf.select(vec_col).first()[0])
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_signature(F.col(vec_col), dim, planes, seed + 101 * b).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    docs = sdf.select(id_col, vec_col, F.explode(sigs).alias("bk")).select(
-        id_col, vec_col, "bk.band", "bk.sig"
+    sig_udf = lsh_band_signature_udf(dim, planes, bands, seed)
+    docs = sdf.select(
+        id_col, vec_col, F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
     )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = (

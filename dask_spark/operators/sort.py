@@ -43,6 +43,51 @@ def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None 
     return DaskFrame(sdf)
 
 
+def with_global_index(sdf, order_by, index_col: str = "__idx",
+                      num_partitions: int | None = None):
+    """Scale-safe global 0-based row index in ``order_by`` order — the
+    Spark twin of dask's (index, divisions) bookkeeping, with NO
+    single-partition window:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` (range
+       boundaries sampled, like dask's partitionquantiles),
+    2. one TINY job counts rows per range partition (the only driver
+       data is #partitions longs — same as dask's divisions),
+    3. ``row_number`` windowed per PARTITION ID (parallel, never a
+       global window) + broadcast-joined cumulative offset.
+
+    The ranged plan is persisted so the count pass and the output scan
+    agree on partition boundaries. Caller should unpersist when done
+    (or let it age out)."""
+    from pyspark.sql import Window
+
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = (
+        sdf.repartitionByRange(n, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = sdf.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+    out = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(index_col, F.row_number().over(w) - 1 + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+    return out
+
+
 def stratified_sample(frame, col: str, fractions: dict, seed: int = 42):
     """Per-stratum Bernoulli sampling (``sampleBy``) — the
     training-data mixing primitive (per-source quotas); map-only, no

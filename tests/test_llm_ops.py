@@ -255,3 +255,35 @@ def test_value_counts_normalize(tables, pdf_tables):
     m = dict(zip(got.l_returnflag, got.proportion))
     for k, v in want.items():
         assert m[k] == pytest.approx(v)
+
+
+def test_lsh_band_udf_matches_expression(vectors, spark):
+    """The batched-matmul signature path must bucket identically to the
+    per-plane expression path (same hyperplanes, same bit order)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.vector import lsh_band_signature_udf, lsh_signature
+
+    _, f = vectors
+    sdf = f.to_spark()
+    dim, planes, bands, seed = 8, 6, 4, 7
+    old = sdf.select(
+        "vec_id",
+        *[
+            lsh_signature(F.col("embedding"), dim, planes, seed + 101 * b).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    new = sdf.select(
+        "vec_id",
+        lsh_band_signature_udf(dim, planes, bands, seed)(F.col("embedding")).alias("s"),
+    )
+    j = old.join(new, "vec_id")
+    mismatch = j.filter(
+        sum(
+            (F.col(f"b{b}") != F.col("s").getItem(b)).cast("int")
+            for b in range(bands)
+        )
+        > 0
+    ).count()
+    assert mismatch == 0

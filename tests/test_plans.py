@@ -161,3 +161,24 @@ def test_hive_partition_pruning(spark, tables, tmp_path_factory):
     n = len(q.compute())
     want = len(tables["orders"].compute().query("o_orderpriority == '1-URGENT'"))
     assert n == want
+
+
+def test_global_index_is_multi_partition(spark):
+    """autocorr/global-index path must never collapse to one partition
+    (the round-1 weak item): rows spread over >1 partition AND the
+    index is exactly the global order."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sort import with_global_index
+
+    sdf = spark.range(10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    idx = with_global_index(sdf, "k", "__i", num_partitions=8)
+    per_part = (
+        idx.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert len([r for r in per_part if r["count"] > 0]) > 1
+    rows = idx.orderBy("__i").select("k", "__i").collect()
+    assert [r["__i"] for r in rows] == list(range(10_000))
+    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
