@@ -3,7 +3,8 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 `value` = total wall seconds across headline queries (each fully
-executed via a count-collect to materialize every operator)."""
+executed via a row-count + all-column xxhash64 checksum aggregate, so
+Catalyst cannot prune any output column)."""
 
 from __future__ import annotations
 
@@ -31,6 +32,23 @@ HEADLINE = [
 ]
 
 
+def materialize(df) -> int:
+    """Force FULL evaluation of every output column. A bare count()
+    lets Catalyst prune unused columns, so projection-only queries
+    would skip their expensive expressions entirely; instead aggregate
+    row count + an xxhash64 checksum over all columns (pmod-bounded so
+    the bigint sum cannot overflow under ANSI)."""
+    import pyspark.sql.functions as F
+
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_003))
+        ).alias("chk"),
+    ).first()
+    return r["n"]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dask_spark.queries import REGISTRY
@@ -47,7 +65,7 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for name in HEADLINE:
         try:
-            REGISTRY[name][0](spark, warm_dir).count()
+            materialize(REGISTRY[name][0](spark, warm_dir))
         except Exception as exc:  # warmup must never fail the bench
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()  # drop warmup persists before timing
@@ -59,7 +77,7 @@ def main():
         for _rep in range(2):  # min-of-2: steady-state, GC-noise-resistant
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n = materialize(df)
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)

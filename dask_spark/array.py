@@ -55,6 +55,15 @@ class DArray:
         if isinstance(o, (int, float)):
             return self.map(lambda x: fn(x, F.lit(float(o))))
         if isinstance(o, DArray):  # row-aligned requires same source
+            if o._sdf is not self._sdf:
+                raise ValueError(
+                    "binary op on DArrays from different lineages: the "
+                    "operand would resolve by column name in the wrong "
+                    "plan — join on the id column first (align())"
+                )
+            if o._col == self._col:
+                # same plan, same column: fn(x, x) elementwise is valid
+                return self._unary(lambda c: F.zip_with(c, c, fn))
             return self._unary(
                 lambda c: F.zip_with(c, F.col(o._col), fn)
             )

@@ -94,9 +94,9 @@ class StrAccessor:
         return self._wrap(F.concat_ws(sep, self._s._expr, _col(other)))
 
     def count(self, pat: str):
-        return self._wrap(
-            F.size(F.split(self._s._expr, pat)) - F.lit(1)
-        )
+        # regexp_count: NULL in → NULL out (pandas NA), vs the earlier
+        # split-size form which returned -2 under legacy sizeOfNull
+        return self._wrap(F.regexp_count(self._s._expr, F.lit(pat)))
 
 
 class DtAccessor:

@@ -75,9 +75,18 @@ def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
 def salted_join(left, right, on: str, how: str = "inner", salt: int = 8):
     """Skew mitigation: replicate the (small-ish) right side ``salt``
     times and scatter left rows across salt buckets. Use when AQE's
-    skew-join split is not enough (one monster key)."""
+    skew-join split is not enough (one monster key).
+
+    Only inner/left are supported: the right side is replicated, so
+    right/full-outer would emit every unmatched right row ``salt``
+    times."""
     from dask_spark.frame import DaskFrame
 
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows"
+        )
     lsdf = left._sdf.withColumn(
         "__salt", (F.abs(F.hash(F.col(on), F.monotonically_increasing_id())) % salt)
     )

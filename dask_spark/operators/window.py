@@ -197,12 +197,11 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
         .orderBy(order_by or col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count}
-    if fn == "prod":
-        # running product via exp∘cumsum∘log (window applies to the sum)
-        expr = F.exp(F.sum(F.log(col)).over(w))
-    else:
-        expr = fns[fn](col).over(w)
+    # prod: F.product is a real aggregate (sign/zero-exact) — the
+    # exp∘cumsum∘log trick silently dropped zeros/negatives (log→NULL)
+    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
+           "prod": F.product}
+    expr = fns[fn](col).over(w)
     return DaskFrame(frame._sdf.withColumn(out or f"{col}_cum{fn}", expr))
 
 

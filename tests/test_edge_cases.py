@@ -174,3 +174,62 @@ def test_repartition_by_size(tables):
     assert out.npartitions >= 2
     big = li.repartition(partition_size="1GB")
     assert big.npartitions == 1
+
+
+def test_cumprod_zeros_and_negatives(spark):
+    """ADVICE r1: exp(sum(log)) silently dropped zeros/negatives; the
+    F.product window must be sign/zero-exact."""
+    import pandas as pd
+    import pytest
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "g": [1] * 5 + [2] * 3,
+            "t": list(range(5)) + list(range(3)),
+            "v": [2.0, -3.0, 4.0, 0.0, 5.0, -1.0, -2.0, -3.0],
+        }
+    )
+    f = ds.from_pandas(pdf)
+    got = f.cumprod("v", order_by="t", by="g").compute().sort_values(["g", "t"])
+    want = pdf.sort_values(["g", "t"]).groupby("g").v.cumprod()
+    assert got.v_cumprod.tolist() == pytest.approx(want.tolist())
+
+
+def test_salted_join_rejects_right_outer(tables):
+    import pytest
+
+    from dask_spark.operators.joins import salted_join
+
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(tables["orders"], tables["customer"], on="o_custkey", how="outer")
+
+
+def test_str_count_null_is_null(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"s": ["aXbXc", None, "nope"]})
+    out = ds.from_pandas(pdf).assign(n=lambda d: d.s.str.count("X")).compute()
+    vals = out.n.tolist()
+    assert vals[0] == 2 and pd.isna(vals[1]) and vals[2] == 0
+
+
+def test_darray_cross_lineage_binop_raises(spark):
+    import pandas as pd
+    import pytest
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+
+    pdf = pd.DataFrame({"id": [1, 2], "embedding": [[1.0, 2.0], [3.0, 4.0]]})
+    f = ds.from_pandas(pdf)
+    a = DArray.from_frame(f, "embedding", "id")
+    b = a.map(lambda x: x + 1)  # new plan, same column name
+    with pytest.raises(ValueError, match="lineage"):
+        _ = a + b
+    # same-plan self op stays valid: a + a == 2a
+    got = (a + a).to_frame().compute()
+    assert sorted(got[a._col].iloc[0]) in ([2.0, 4.0], [6.0, 8.0])
