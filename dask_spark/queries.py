@@ -2192,3 +2192,67 @@ def window_rank(spark, sf_dir):
         F.dense_rank().over(w).alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
     )
+
+
+# ---- registry ordering --------------------------------------------------
+# The driver's correctness gate samples queries in dict order and r1's
+# file covered only the first 50 entries. Float every query WITHOUT a
+# driver-side correctness row yet (including anything newly registered
+# above) to the front so each entry earns one across rounds; the r1-
+# green queries keep their relative order at the back.
+_R1_DRIVER_COVERED = [
+    "groupby_agg",
+    "filter_pushdown",
+    "groupby_named_agg",
+    "groupby_nunique",
+    "groupby_quantile",
+    "groupby_having",
+    "reduce_global",
+    "reduce_nunique",
+    "reduce_nunique_approx",
+    "reduce_quantile",
+    "describe",
+    "value_counts",
+    "idx_minmax",
+    "corr_cov",
+    "join_inner",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "join_left",
+    "join_outer",
+    "join_cross",
+    "concat_union",
+    "merge_asof",
+    "elem_project_arith",
+    "elem_where_mask",
+    "na_handling",
+    "na_dropna",
+    "elem_astype",
+    "filter_isin",
+    "str_ops",
+    "dt_ops",
+    "elem_math",
+    "elem_map_pandas_udf",
+    "map_partitions",
+    "sort_values",
+    "topk",
+    "drop_duplicates",
+    "drop_duplicates_keep_first",
+    "set_index",
+    "sample_head",
+    "cumsum",
+    "shift_diff",
+    "rolling_rows",
+    "rolling_range",
+    "resample",
+    "groupby_transform",
+    "groupby_apply",
+    "groupby_cumcount",
+    "pivot_table",
+    "melt"
+]
+REGISTRY = {
+    **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R1_DRIVER_COVERED)},
+    **{n: REGISTRY[n] for n in _R1_DRIVER_COVERED if n in REGISTRY},
+}
