@@ -2194,6 +2194,99 @@ def window_rank(spark, sf_dir):
     )
 
 
+@q(
+    "arr_slice",
+    """
+    WITH idx AS (
+      SELECT vec_id, embedding,
+             row_number() OVER (ORDER BY vec_id) - 1 AS r
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_sum(embedding[3:6]::DOUBLE[]), 6) AS dim_sum
+    FROM idx
+    WHERE r >= 100 AND r < 400 AND (r - 100) % 7 = 0
+    """,
+)
+def arr_slice(spark, sf_dir):
+    """dask.array slicing (reference: dask/array/slicing.py):
+    x[100:400:7, 2:6] — row selection via the scale-safe global index
+    (never a single-partition window), dim slice as JVM F.slice — then
+    a per-row sum to give the oracle a scalar to hash."""
+    from dask_spark.array import DArray
+
+    e = load(spark, sf_dir, "embeddings")
+    sl = DArray.from_frame(e, "embedding", "vec_id")[100:400:7, 2:6]
+    out = sl.sum(axis=1).to_spark()
+    return out.select("vec_id", F.round(F.col("sum"), 6).alias("dim_sum"))
+
+
+@q(
+    "arr_stack_mean",
+    """
+    SELECT round(
+             sum((((l_quantity + l_extendedprice) + l_discount) / 3)
+                 ::DECIMAL(18,6))::DOUBLE / count(*), 6
+           ) AS mean_of_rowmeans
+    FROM lineitem
+    """,
+)
+def arr_stack_mean(spark, sf_dir):
+    """da.stack([q, e, d], axis=1).mean(axis=1) then a global mean —
+    stack is a pure projection (F.array), per-row mean is a JVM array
+    aggregate, the global mean sums decimal-cast row means so the
+    rounded result is associativity-proof across engines."""
+    from dask_spark.array import stack
+
+    li = load(spark, sf_dir, "lineitem")
+    st = stack(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    m = st.mean(axis=1).to_spark()
+    return m.agg(
+        F.round(
+            F.sum(F.col("mean").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_of_rowmeans")
+    )
+
+
+@q(
+    "arr_random_hist",
+    """
+    WITH z AS (
+      SELECT sqrt(-2 * ln(
+               ((((r.id * 1103515245 + t.j * 12345) % 2147483647)
+                  * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0))
+             * cos(2 * 3.141592653589793 *
+               ((((r.id * 1103515245 + t.j * 12345 + 1013904223) % 2147483647)
+                  * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0) AS v
+      FROM range(10000) r(id), range(8) t(j)
+    )
+    SELECT CAST(floor((v + 4) / 0.5) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM z
+    WHERE v > -4 AND v < 4
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def arr_random_hist(spark, sf_dir):
+    """da.random.normal twin (reference: dask/array/random.py):
+    counter-based Box–Muller on spark.range — stateless, map-only,
+    partitioning-invariant, and REPRODUCIBLE BY THE ORACLE (the same
+    integer mix in ANSI SQL), histogrammed into 0.5-wide bins."""
+    from dask_spark.array import random_normal
+
+    arr = random_normal(spark, 10_000, 8, seed=0)
+    vals = arr._sdf.select(F.explode("values").alias("v"))
+    return (
+        vals.filter((F.col("v") > -4) & (F.col("v") < 4))
+        .groupBy(F.floor((F.col("v") + 4) / 0.5).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order and r1's
 # file covered only the first 50 entries. Float every query WITHOUT a
