@@ -13,6 +13,7 @@ Public surface mirrors ``dask.dataframe``::
 """
 
 from dask_spark.frame import DaskFrame, Series, concat, sql
+from dask_spark.operators.groupby import Aggregation
 from dask_spark.session import get_spark
 from dask_spark.array import DArray
 from dask_spark.bag import Bag
@@ -33,6 +34,7 @@ from dask_spark import testing
 __version__ = "0.1.0"
 
 __all__ = [
+    "Aggregation",
     "DaskFrame",
     "Series",
     "concat",

@@ -39,6 +39,59 @@ _AGGS: dict[str, Callable[[str], Column]] = {
 }
 
 
+class Aggregation:
+    """Custom decomposable aggregation (reference:
+    dask/dataframe/groupby.py:197 ``class Aggregation(name, chunk, agg,
+    finalize)`` — dask's escape hatch for weighted means and other
+    user-defined reducers).
+
+    dask runs ``chunk`` per partition, ``agg`` across the partials and
+    ``finalize`` on the merged result. Spark's hash aggregate already
+    executes every built-in aggregate as partial+merge with whole-stage
+    codegen, so the Spark-native (fast-path) form declares the
+    decomposition as Columns and stays fully JVM-side::
+
+        wavg = Aggregation(
+            "wavg",
+            partials=lambda v, w: {"s": F.sum(F.col(v) * F.col(w)),
+                                   "w": F.sum(w)},
+            finalize=lambda p: p["s"] / p["w"],
+        )
+        df.groupby("g").agg(price_wavg=(("price", "qty"), wavg))
+
+    ``partials(*cols) -> {name: aggregate Column}`` covers dask's
+    chunk+agg (Catalyst splits each into partial/merge automatically);
+    ``finalize({name: Column}) -> Column`` is a post-aggregation
+    projection.
+
+    For logic that genuinely can't be expressed as aggregate Columns,
+    pass pandas callables instead (``chunk``/``agg``/``finalize``): the
+    group is Arrow-shipped whole to ``applyInPandas``, ``chunk`` sees
+    each requested column as a full pandas Series, and ``agg``/
+    ``finalize`` post-process its result. (dask needs the three-way
+    split because a group spans partitions; under ``applyInPandas`` the
+    shuffle co-locates the group, so one chunk suffices.) ``dtype`` is
+    the Spark type of the result (default ``double``)."""
+
+    def __init__(self, name: str, chunk: Callable | None = None,
+                 agg: Callable | None = None,
+                 finalize: Callable | None = None, *,
+                 partials: Callable | None = None, dtype: str = "double"):
+        self.name = name
+        self.dtype = dtype
+        if partials is not None:
+            self.mode = "column"
+            self.partials = partials
+            self.finalize = finalize
+        else:
+            if chunk is None:
+                raise ValueError("Aggregation needs either partials= or chunk=")
+            self.mode = "pandas"
+            self.chunk = chunk
+            self.agg_fn = agg
+            self.finalize = finalize
+
+
 class GroupBy:
     def __init__(self, frame, keys: Sequence[str]):
         self._frame = frame
@@ -49,19 +102,88 @@ class GroupBy:
         """``agg({"x": "sum"})``, ``agg({"x": ["sum", "mean"]})`` or
         named form ``agg(total=("x", "sum"))``. Output columns are
         ``<col>_<fn>`` for the dict form (flat names — the driver's
-        oracle compare needs stable flat names), or the given name."""
+        oracle compare needs stable flat names), or the given name.
+        ``fn`` may be an :class:`Aggregation`; the named form also
+        accepts a tuple of input columns for multi-column custom aggs:
+        ``agg(wavg=(("price", "qty"), wavg_agg))``."""
         from dask_spark.frame import DaskFrame
 
-        exprs: list[Column] = []
+        items: list[tuple[str, tuple, object]] = []  # (out, cols, fn)
         if spec:
             for col, fns in spec.items():
-                for fn in [fns] if isinstance(fns, str) else fns:
-                    exprs.append(_AGGS[fn](col).alias(f"{col}_{fn}"))
+                for fn in [fns] if isinstance(fns, (str, Aggregation)) else fns:
+                    suffix = fn.name if isinstance(fn, Aggregation) else fn
+                    items.append((f"{col}_{suffix}", (col,), fn))
         for out_name, (col, fn) in named.items():
-            exprs.append(_AGGS[fn](col).alias(out_name))
-        if not exprs:
+            cols = (col,) if isinstance(col, str) else tuple(col)
+            items.append((out_name, cols, fn))
+        if not items:
             raise ValueError("no aggregations given")
-        return DaskFrame(self._frame._sdf.groupBy(*self._keys).agg(*exprs))
+
+        if any(isinstance(fn, Aggregation) and fn.mode == "pandas"
+               for _, _, fn in items):
+            return self._agg_pandas(items)
+
+        exprs: list[Column] = []
+        finals: list[Column] = []
+        for out, cols, fn in items:
+            if isinstance(fn, Aggregation):
+                named_partials = {}
+                for pname, pexpr in fn.partials(*cols).items():
+                    alias = f"__{out}__{pname}"
+                    exprs.append(pexpr.alias(alias))
+                    named_partials[pname] = F.col(alias)
+                fin = (fn.finalize(named_partials) if fn.finalize
+                       else next(iter(named_partials.values())))
+                finals.append(fin.alias(out))
+            else:
+                exprs.append(_AGGS[fn](cols[0]).alias(out))
+                finals.append(F.col(out))
+        out_sdf = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
+        return DaskFrame(out_sdf.select(*self._keys, *finals))
+
+    def _agg_pandas(self, items) -> "DaskFrame":
+        """applyInPandas fallback when any Aggregation carries pandas
+        callables. One shuffle on the keys; each group must fit in
+        executor memory (dask's groupby.apply contract). Built-in
+        string fns in the same call are evaluated in pandas too so the
+        whole spec stays a single pass."""
+        import pandas as pd
+
+        from dask_spark.frame import DaskFrame
+
+        keys = self._keys
+        key_types = dict(self._frame._sdf.select(*keys).dtypes)
+        out_types = {
+            out: (fn.dtype if isinstance(fn, Aggregation) else
+                  ("bigint" if fn in ("count", "size", "nunique") else "double"))
+            for out, _, fn in items
+        }
+        schema = ", ".join(
+            [f"{k} {key_types[k]}" for k in keys]
+            + [f"{out} {t}" for out, t in out_types.items()]
+        )
+        spec = [(out, cols, fn) for out, cols, fn in items]
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            row = {k: [pdf[k].iloc[0]] for k in keys}
+            for out, cols, fn in spec:
+                if isinstance(fn, Aggregation):
+                    val = fn.chunk(*[pdf[c] for c in cols])
+                    if fn.agg_fn is not None:
+                        val = fn.agg_fn(val)
+                    if fn.finalize is not None:
+                        val = fn.finalize(val)
+                else:
+                    val = getattr(pdf[cols[0]], "size" if fn == "size" else fn)()
+                row[out] = [val]
+            return pd.DataFrame(row)
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(*keys).applyInPandas(
+                lambda _, pdf: run(pdf), schema=schema
+            )
+        )
 
     def _simple(self, fn: str, cols: Sequence[str] | None = None) -> "DaskFrame":
         from dask_spark.frame import DaskFrame

@@ -2258,8 +2258,8 @@ def arr_stack_mean(spark, sf_dir):
                ((((r.id * 1103515245 + t.j * 12345) % 2147483647)
                   * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0))
              * cos(2 * 3.141592653589793 *
-               ((((r.id * 1103515245 + t.j * 12345 + 1013904223) % 2147483647)
-                  * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0) AS v
+               ((((((r.id * 1103515245 + t.j * 12345 + 1013904223) % 2147483647)
+                  * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0))) AS v
       FROM range(10000) r(id), range(8) t(j)
     )
     SELECT CAST(floor((v + 4) / 0.5) AS BIGINT) AS bin,
@@ -2284,6 +2284,52 @@ def arr_random_hist(spark, sf_dir):
         .groupBy(F.floor((F.col("v") + 4) / 0.5).cast("bigint").alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bin")
+    )
+
+
+@q(
+    "groupby_custom_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM((l_extendedprice * l_quantity)::DECIMAL(28,6))::DOUBLE
+                 / SUM(l_quantity::DECIMAL(18,6))::DOUBLE, 4) AS wavg_price,
+           ROUND(MAX(l_discount) - MIN(l_discount), 4) AS disc_range
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def groupby_custom_agg(spark, sf_dir):
+    """Custom ``Aggregation`` (reference: dask/dataframe/groupby.py:197):
+    quantity-weighted mean price + discount spread, declared as
+    partial-aggregate Column triplets — Catalyst runs the partial/merge
+    split (dask's chunk/agg) natively; finalize is a post-projection.
+    Decimal sums keep the result independent of partial-agg addition
+    order; both engines then divide identical doubles."""
+    from dask_spark.operators.groupby import Aggregation
+
+    li = load(spark, sf_dir, "lineitem")
+    wavg = Aggregation(
+        "wavg",
+        partials=lambda v, w: {
+            "s": F.sum((F.col(v) * F.col(w)).cast("decimal(28,6)")),
+            "w": F.sum(F.col(w).cast("decimal(18,6)")),
+        },
+        finalize=lambda p: F.round(
+            p["s"].cast("double") / p["w"].cast("double"), 4
+        ),
+    )
+    spread = Aggregation(
+        "range",
+        partials=lambda c: {"mx": F.max(c), "mn": F.min(c)},
+        finalize=lambda p: F.round(p["mx"] - p["mn"], 4),
+    )
+    return (
+        li.groupby("l_returnflag")
+        .agg(
+            wavg_price=(("l_extendedprice", "l_quantity"), wavg),
+            disc_range=("l_discount", spread),
+        )
+        .to_spark()
     )
 
 

@@ -233,3 +233,103 @@ def test_mean_std_vector(tables, pdf_tables):
     got_sd = std_vector(emb).compute().std_vec.iloc[0]
     assert np.allclose(got_mu, M.mean(axis=0), atol=1e-6)
     assert np.allclose(got_sd, M.std(axis=0), atol=1e-6)
+
+
+def test_custom_aggregation_column_mode(tables, pdf_tables):
+    """Aggregation(partials/finalize) — Spark-native chunk/agg/finalize
+    (reference: dask/dataframe/groupby.py:197 Aggregation)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark import Aggregation
+
+    wavg = Aggregation(
+        "wavg",
+        partials=lambda v, w: {
+            "s": F.sum(F.col(v) * F.col(w)),
+            "w": F.sum(w),
+        },
+        finalize=lambda p: p["s"] / p["w"],
+    )
+    got = (
+        tables["lineitem"]
+        .groupby("l_returnflag")
+        .agg(
+            wavg_price=(("l_extendedprice", "l_quantity"), wavg),
+            n=("l_quantity", "size"),
+        )
+    )
+    p = pdf_tables["lineitem"]
+    want = (
+        p.groupby("l_returnflag")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "wavg_price": (g.l_extendedprice * g.l_quantity).sum()
+                    / g.l_quantity.sum(),
+                    "n": len(g),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    want["n"] = want["n"].astype("int64")
+    assert_eq(got, want, sort_by=["l_returnflag"])
+
+
+def test_custom_aggregation_dict_form(tables, pdf_tables):
+    """Dict-form spec with an Aggregation value: output name <col>_<name>."""
+    import pyspark.sql.functions as F
+
+    from dask_spark import Aggregation
+
+    spread = Aggregation(
+        "spread",
+        partials=lambda c: {"mx": F.max(c), "mn": F.min(c)},
+        finalize=lambda p: p["mx"] - p["mn"],
+    )
+    got = tables["orders"].groupby("o_orderpriority").agg(
+        {"o_totalprice": spread}
+    )
+    p = pdf_tables["orders"]
+    want = (
+        p.groupby("o_orderpriority")
+        .o_totalprice.agg(lambda s: s.max() - s.min())
+        .reset_index(name="o_totalprice_spread")
+    )
+    assert_eq(got, want, sort_by=["o_orderpriority"])
+
+
+def test_custom_aggregation_pandas_mode(tables, pdf_tables):
+    """Pandas-callable Aggregation → applyInPandas fallback; mixed with
+    a built-in string fn so the whole spec runs in one pass."""
+    from dask_spark import Aggregation
+
+    geo = Aggregation(
+        "geomean",
+        chunk=lambda s: (s.abs().add(1.0)).prod() ** (1.0 / len(s)),
+    )
+    got = (
+        tables["lineitem"]
+        .groupby("l_linestatus")
+        .agg(
+            disc_geo=("l_discount", geo),
+            qty_mean=("l_quantity", "mean"),
+        )
+    )
+    p = pdf_tables["lineitem"]
+    want = (
+        p.groupby("l_linestatus")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "disc_geo": (g.l_discount.abs() + 1.0).prod()
+                    ** (1.0 / len(g)),
+                    "qty_mean": g.l_quantity.mean(),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    assert_eq(got, want, sort_by=["l_linestatus"])
