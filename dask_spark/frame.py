@@ -359,7 +359,7 @@ class Series:
         driver offsets — operators/sort.py with_global_index), then the
         lag pairing is a self-equi-join on index (parallel shuffle on a
         uniform long key) feeding one corr aggregate."""
-        from dask_spark.operators.sort import with_global_index
+        from dask_spark.operators.sort import release, with_global_index
 
         ob = order_by or self._name
         base = self._frame._sdf.select(
@@ -369,7 +369,10 @@ class Series:
         xs = idx.select("__i", "__x")
         ys = idx.select((F.col("__i") + F.lit(lag)).alias("__i"),
                         F.col("__x").alias("__y"))
-        return xs.join(ys, "__i").agg(F.corr("__x", "__y")).first()[0]
+        out = xs.join(ys, "__i").agg(F.corr("__x", "__y")).first()[0]
+        if getattr(idx, "_ds_pinned", None) is not None:
+            release(idx._ds_pinned)
+        return out
 
     def quantile(self, q: float = 0.5):
         """reference: dask/dataframe/partitionquantiles.py → GK sketch."""

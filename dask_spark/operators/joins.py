@@ -97,14 +97,75 @@ def salted_join(left, right, on: str, how: str = "inner", salt: int = 8):
     return DaskFrame(out)
 
 
+def _asof_keyless_base(unioned, on: str, payload, direction: str):
+    """Keyless as-of support: range-bucket the tagged union by ``on``
+    (parallel — NEVER a single-partition window) and seed each bucket
+    with its cross-boundary carry row, so the within-bucket window fill
+    is exact even when a bucket contains no right row.
+
+    Per-bucket boundary rows (the last right row per bucket for
+    backward, first for forward) are the ONLY driver data — #buckets
+    structs, the same shape as dask's divisions. A driver prefix scan
+    turns them into one seed row per bucket, unioned back as synthetic
+    right rows; range partitioning keeps equal keys in one bucket, so a
+    seed always sorts strictly before (after) every core row."""
+    from dask_spark.operators.sort import _pin
+
+    spark = unioned.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 2)
+    tagged = _pin(
+        unioned.repartitionByRange(n, F.col(on))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    struct = F.struct(F.col(on).alias("__on"),
+                      *[F.col(c).alias(c) for c in payload])
+    pick = (F.max_by(struct, F.col(on)) if direction == "backward"
+            else F.min_by(struct, F.col(on)))
+    bounds = {
+        r["__pid"]: r["s"]
+        for r in tagged.filter(F.col("__side") == 0)
+        .groupBy("__pid").agg(pick.alias("s")).collect()
+    }
+    carry, cur = {}, None
+    pids = range(n) if direction == "backward" else range(n - 1, -1, -1)
+    for pid in pids:
+        carry[pid] = cur
+        if bounds.get(pid) is not None:
+            cur = bounds[pid]
+    seed_rows = [
+        (pid, s["__on"], *[s[c] for c in payload])
+        for pid, s in carry.items() if s is not None
+    ]
+    if not seed_rows:
+        return tagged
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField("__pid", IntegerType()),
+         StructField(on, unioned.schema[on].dataType)]
+        + [StructField(c, unioned.schema[c].dataType) for c in payload]
+    )
+    seeds = spark.createDataFrame(seed_rows, schema)
+    for c in tagged.columns:
+        if c not in seeds.columns:
+            if c == "__side":
+                seeds = seeds.withColumn(c, F.lit(0))
+            else:
+                seeds = seeds.withColumn(
+                    c, F.lit(None).cast(unioned.schema[c].dataType)
+                )
+    return tagged.unionByName(seeds.select(*tagged.columns))
+
+
 def merge_asof(left, right, on: str, by=None, direction: str = "backward",
                tolerance=None, suffixes=("", "_right")):
     """As-of join via union + window fill (no per-row search, no cross
     join): tag both sides, union, sort within (by, on) partitions, then
     for each left row take the last (backward) / next (forward) right
     row's payload with a window ``last(ignorenulls)``. Scales as one
-    shuffle of |L|+|R| rows on the by-key (or a single range partition
-    when no by-key)."""
+    shuffle of |L|+|R| rows on the by-key; with no by-key the union is
+    range-bucketed on ``on`` with driver-combined carry seeds
+    (_asof_keyless_base) — parallel in both cases."""
     from dask_spark.frame import DaskFrame
 
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
@@ -129,31 +190,39 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
         r_tagged.select(*lcols, *payload, "__side")
     )
 
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    if by:
+        part = by
+    else:
+        unioned = _asof_keyless_base(unioned, on, payload, direction)
+        part = ["__pid"]
+
     # right rows sort before left rows at equal `on` → backward includes ties
     if direction == "backward":
         w = (
-            Window.partitionBy(*by)
+            Window.partitionBy(*part)
             .orderBy(F.col(on).asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         fill = {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in payload}
         match_on = F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
-    elif direction == "forward":
+    else:
         w = (
-            Window.partitionBy(*by)
+            Window.partitionBy(*part)
             .orderBy(F.col(on).asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         fill = {c: F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in payload}
         match_on = F.first(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
-    else:
-        raise ValueError("direction must be backward|forward")
 
     out = unioned
     for c, e in fill.items():
         out = out.withColumn(c, e)
     out = out.withColumn("__match_on", match_on)
     out = out.filter(F.col("__side") == 1).drop("__side")
+    if not by:
+        out = out.drop("__pid")
     if tolerance is not None:
         within = F.abs(F.col(on) - F.col("__match_on")) <= F.lit(tolerance)
         for c in payload:

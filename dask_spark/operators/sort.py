@@ -43,6 +43,149 @@ def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None 
     return DaskFrame(sdf)
 
 
+# Bounded FIFO of persisted helper plans (with_global_index /
+# ranged_with_halo two-pass plans). Persisting keeps the count pass and
+# the output scan on identical partition boundaries; the FIFO cap stops
+# a long session from accumulating cached datasets (eager consumers like
+# Series.autocorr release theirs immediately via release()).
+_PINNED: list = []
+_PIN_LIMIT = 4
+
+
+def _pin(df):
+    _PINNED.append(df.persist())
+    while len(_PINNED) > _PIN_LIMIT:
+        _PINNED.pop(0).unpersist()
+    return df
+
+
+def release(df=None) -> None:
+    """Unpersist one pinned helper plan (or all, when df is None)."""
+    global _PINNED
+    if df is None:
+        while _PINNED:
+            _PINNED.pop().unpersist()
+    elif any(p is df for p in _PINNED):
+        _PINNED = [p for p in _PINNED if p is not df]
+        df.unpersist()
+
+
+def ranged_with_halo(sdf, order_by, before_rows: int = 0,
+                     after_rows: int = 0, before_range: float | None = None,
+                     after_range: float | None = None,
+                     num_partitions: int | None = None):
+    """Range-bucket ``sdf`` by ``order_by`` and ship bounded halo rows
+    between neighboring buckets — the Spark twin of dask's map_overlap
+    boundary shipping (reference: dask/dataframe/rolling.py), used to
+    make KEYLESS window ops parallel instead of collapsing to
+    ``Window.partitionBy()`` of nothing (a single-partition plan).
+
+    Output columns: ``__pid`` (range bucket, 0-based in global order)
+    and ``__core`` (False for shipped halo copies). A window
+    ``partitionBy("__pid").orderBy(order_by)`` then computes per-bucket
+    frames that see across the boundary; callers filter ``__core``.
+
+    ``before_rows``/``before_range`` ship each bucket's tail (last k
+    rows / rows within ``range`` of the bucket max) forward to the next
+    bucket — lag / backward-looking frames. ``after_rows``/
+    ``after_range`` ship heads backward — lead / forward frames.
+    Equal keys land in one bucket (range partitioning), so halo rows
+    always order strictly before (resp. after) every core row.
+
+    A halo spans exactly ONE neighbor group, so every group must be
+    big enough to serve its neighbor's lookback. One tiny per-bucket
+    stats job (count/min/max — #buckets rows of driver data, dask's
+    divisions shape) feeds a greedy driver merge of consecutive range
+    buckets into groups of ≥ the halo size (rows) / ≥ the halo span
+    (range); this also absorbs the empty buckets range partitioning
+    leaves between duplicate-heavy boundaries. ``__pid`` is the dense
+    group id. Degenerate case (all data smaller than one halo) is one
+    group — the same single partition pandas semantics would force."""
+    from pyspark.sql import Window
+
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = _pin(
+        sdf.repartitionByRange(n, *[F.col(c) for c in cols])
+        .withColumn("__rpid", F.spark_partition_id())
+    )
+    oc0 = F.col(cols[0]).cast("double")
+    stats = sorted(
+        ranged.groupBy("__rpid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(oc0).alias("lo"),
+            F.max(oc0).alias("hi"),
+        ).collect(),
+        key=lambda r: r["__rpid"],
+    )
+    need_rows = max(before_rows, after_rows)
+    need_span = max(before_range or 0.0, after_range or 0.0)
+
+    def _full(rows, lo, hi):
+        return (need_rows == 0 or rows >= need_rows) and (
+            need_span == 0.0 or (hi - lo) >= need_span
+        )
+
+    groups: list[list[int]] = []
+    cur, cur_rows, cur_lo, cur_hi = [], 0, None, None
+    for r in stats:
+        cur.append(r["__rpid"])
+        cur_rows += r["n"]
+        cur_lo = r["lo"] if cur_lo is None else min(cur_lo, r["lo"])
+        cur_hi = r["hi"] if cur_hi is None else max(cur_hi, r["hi"])
+        if _full(cur_rows, cur_lo, cur_hi):
+            groups.append(cur)
+            cur, cur_rows, cur_lo, cur_hi = [], 0, None, None
+    if cur:
+        # an undersized trailing group can't serve its neighbor's halo
+        if groups and not _full(cur_rows, cur_lo or 0.0, cur_hi or 0.0):
+            groups[-1].extend(cur)
+        else:
+            groups.append(cur)
+    gid_of = {pid: gi for gi, grp in enumerate(groups) for pid in grp}
+    max_gid = len(groups) - 1
+
+    gid_expr = F.lit(0)
+    for pid, gi in gid_of.items():
+        gid_expr = F.when(F.col("__rpid") == pid, F.lit(gi)).otherwise(gid_expr)
+    grouped = ranged.withColumn("__pid", gid_expr).drop("__rpid")
+
+    parts = [grouped.withColumn("__core", F.lit(True))]
+    oc = [F.col(c) for c in cols]
+    if (before_rows or before_range is not None) and max_gid > 0:
+        if before_rows:
+            wd = Window.partitionBy("__pid").orderBy(*[c.desc() for c in oc])
+            tail_cond = F.row_number().over(wd) <= before_rows
+        else:
+            wm = Window.partitionBy("__pid")
+            tail_cond = oc0 > F.max(oc0).over(wm) - before_range
+        parts.append(
+            grouped.withColumn("__t", tail_cond)
+            .filter("__t").drop("__t")
+            .filter(F.col("__pid") < max_gid)
+            .withColumn("__pid", F.col("__pid") + 1)
+            .withColumn("__core", F.lit(False))
+        )
+    if (after_rows or after_range is not None) and max_gid > 0:
+        if after_rows:
+            wa = Window.partitionBy("__pid").orderBy(*oc)
+            head_cond = F.row_number().over(wa) <= after_rows
+        else:
+            wm = Window.partitionBy("__pid")
+            head_cond = oc0 < F.min(oc0).over(wm) + after_range
+        parts.append(
+            grouped.withColumn("__h", head_cond)
+            .filter("__h").drop("__h")
+            .filter(F.col("__pid") > 0)
+            .withColumn("__pid", F.col("__pid") - 1)
+            .withColumn("__core", F.lit(False))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def with_global_index(sdf, order_by, index_col: str = "__idx",
                       num_partitions: int | None = None):
     """Scale-safe global 0-based row index in ``order_by`` order — the
@@ -57,17 +200,17 @@ def with_global_index(sdf, order_by, index_col: str = "__idx",
        global window) + broadcast-joined cumulative offset.
 
     The ranged plan is persisted so the count pass and the output scan
-    agree on partition boundaries. Caller should unpersist when done
-    (or let it age out)."""
+    agree on partition boundaries; the handle goes into the bounded
+    ``_PINNED`` FIFO (eager consumers call ``release(handle)`` — the
+    returned DataFrame carries it as ``._ds_pinned``)."""
     from pyspark.sql import Window
 
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
-    ranged = (
+    ranged = _pin(
         sdf.repartitionByRange(n, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     counts = {
         r["__pid"]: r["cnt"]
@@ -85,6 +228,7 @@ def with_global_index(sdf, order_by, index_col: str = "__idx",
         .withColumn(index_col, F.row_number().over(w) - 1 + F.col("__off"))
         .drop("__pid", "__off")
     )
+    out._ds_pinned = ranged
     return out
 
 

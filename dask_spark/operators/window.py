@@ -50,28 +50,52 @@ class Rolling:
         self._by = [] if by is None else ([by] if isinstance(by, str) else list(by))
         self._min_periods = min_periods
 
-    def _win(self):
+    def _win(self, sdf=None):
+        """(window spec, tagged sdf). Keyed: partition by the keys.
+        Keyless: NEVER ``Window.partitionBy()`` of nothing (a
+        single-partition plan) — range-bucket by ``on`` with a
+        backward halo (operators/sort.ranged_with_halo) and partition
+        the window by bucket id; callers filter ``__core``."""
+        from dask_spark.operators.sort import ranged_with_halo
+
+        sdf = self._frame._sdf if sdf is None else sdf
+        if self._by:
+            part, tagged = self._by, sdf
+        elif isinstance(self._window, int):
+            tagged = ranged_with_halo(sdf, self._on,
+                                      before_rows=self._window - 1)
+            part = ["__pid"]
+        else:
+            tagged = ranged_with_halo(
+                sdf, self._on, before_range=_freq_to_seconds(self._window)
+            )
+            part = ["__pid"]
         if isinstance(self._window, int):
-            w = Window.partitionBy(*self._by).orderBy(F.col(self._on))
-            return w.rowsBetween(-(self._window - 1), 0), None
+            w = Window.partitionBy(*part).orderBy(F.col(self._on))
+            return w.rowsBetween(-(self._window - 1), 0), tagged
         secs = _freq_to_seconds(self._window)
-        w = Window.partitionBy(*self._by).orderBy(
+        w = Window.partitionBy(*part).orderBy(
             F.col(self._on).cast("timestamp").cast("long")
         )
-        return w.rangeBetween(-(secs - 1), 0), secs
+        return w.rangeBetween(-(secs - 1), 0), tagged
+
+    @staticmethod
+    def _untag(sdf) -> "DataFrame":
+        if "__core" in sdf.columns:
+            sdf = sdf.filter("__core").drop("__pid", "__core")
+        return sdf
 
     def agg(self, spec: dict[str, str]) -> "DaskFrame":
         from dask_spark.frame import DaskFrame
 
-        w, _ = self._win()
-        sdf = self._frame._sdf
+        w, sdf = self._win()
         for col, fn in spec.items():
             expr = _ROLL_AGGS[fn](col).over(w)
             if self._min_periods:
                 cnt = F.count(col).over(w)
                 expr = F.when(cnt >= self._min_periods, expr)
             sdf = sdf.withColumn(f"{col}_roll_{fn}", expr)
-        return DaskFrame(sdf)
+        return DaskFrame(self._untag(sdf))
 
     def sum(self, col: str):
         return self.agg({col: "sum"})
@@ -102,7 +126,7 @@ class Rolling:
 
         from dask_spark.frame import DaskFrame
 
-        w, _ = self._win()
+        w, sdf = self._win()
         arrs = F.collect_list(F.col(col)).over(w)
 
         def _apply(s):
@@ -114,7 +138,7 @@ class Rolling:
         _apply = pandas_udf(dtype)(_apply)
 
         return DaskFrame(
-            self._frame._sdf.withColumn(out or f"{col}_roll_apply", _apply(arrs))
+            self._untag(sdf.withColumn(out or f"{col}_roll_apply", _apply(arrs)))
         )
 
 
@@ -161,15 +185,42 @@ def _by_list(by) -> list[str]:
     return [] if by is None else ([by] if isinstance(by, str) else list(by))
 
 
+def _lag_keyless(frame, order_by: str, name: str, periods: int, build_expr):
+    """Keyless lag/lead-style window: range-bucket + halo-ship
+    |periods| boundary rows (dask's map_overlap shape) instead of a
+    single-partition ``Window.partitionBy()``. ``build_expr(w)`` gets
+    the per-bucket window spec."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.sort import ranged_with_halo
+
+    tagged = ranged_with_halo(
+        frame._sdf, order_by,
+        before_rows=periods if periods > 0 else 0,
+        after_rows=-periods if periods < 0 else 0,
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col(order_by))
+    return DaskFrame(
+        tagged.withColumn(name, build_expr(w))
+        .filter("__core")
+        .drop("__pid", "__core")
+    )
+
+
 def shift(frame, col: str, periods: int = 1, order_by: str | None = None,
           by: Sequence[str] | None = None, out: str | None = None):
-    """reference: dask shift via map_overlap → lag/lead window."""
+    """reference: dask shift via map_overlap → lag/lead window. Keyless
+    routes through range-bucket + halo — never a single-partition
+    window."""
     from dask_spark.frame import DaskFrame
 
     by = _by_list(by)
-    w = Window.partitionBy(*by).orderBy(order_by or col)
+    name = out or f"{col}_shift"
     fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
-    return DaskFrame(frame._sdf.withColumn(out or f"{col}_shift", fn.over(w)))
+    if not by:
+        return _lag_keyless(frame, order_by or col, name, periods,
+                            lambda w: fn.over(w))
+    w = Window.partitionBy(*by).orderBy(order_by or col)
+    return DaskFrame(frame._sdf.withColumn(name, fn.over(w)))
 
 
 def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
@@ -177,21 +228,35 @@ def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
     from dask_spark.frame import DaskFrame
 
     by = _by_list(by)
+    name = out or f"{col}_diff"
+    if not by:
+        return _lag_keyless(
+            frame, order_by or col, name, periods,
+            lambda w: F.col(col) - F.lag(col, periods).over(w),
+        )
     w = Window.partitionBy(*by).orderBy(order_by or col)
     return DaskFrame(
-        frame._sdf.withColumn(
-            out or f"{col}_diff", F.col(col) - F.lag(col, periods).over(w)
-        )
+        frame._sdf.withColumn(name, F.col(col) - F.lag(col, periods).over(w))
     )
+
+
+_CUM_FNS = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
+            "prod": F.product}
 
 
 def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
                by: Sequence[str] | None = None, out: str | None = None):
     """cumsum/cummax/cummin/cumcount (reference: dask_expr cumulative
-    ops) as running window aggregates."""
+    ops) as running window aggregates. Keyless goes through the
+    classic two-pass distributed scan (per-bucket running agg +
+    driver-combined per-bucket offsets) — dask's cumulative ACA shape —
+    instead of a single-partition window."""
     from dask_spark.frame import DaskFrame
 
     by = _by_list(by)
+    name = out or f"{col}_cum{fn}"
+    if not by:
+        return _cumulative_keyless(frame, col, fn, order_by or col, name)
     w = (
         Window.partitionBy(*by)
         .orderBy(order_by or col)
@@ -199,10 +264,68 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     )
     # prod: F.product is a real aggregate (sign/zero-exact) — the
     # exp∘cumsum∘log trick silently dropped zeros/negatives (log→NULL)
-    fns = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
-           "prod": F.product}
-    expr = fns[fn](col).over(w)
-    return DaskFrame(frame._sdf.withColumn(out or f"{col}_cum{fn}", expr))
+    expr = _CUM_FNS[fn](col).over(w)
+    return DaskFrame(frame._sdf.withColumn(name, expr))
+
+
+def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
+    """Distributed prefix scan: range-bucket by the order column, run
+    the running aggregate per bucket (parallel window), combine with
+    each bucket's exclusive-prefix offset (per-bucket totals are the
+    ONLY driver data — #buckets scalars, like dask's divisions).
+    Decomposable fns only, matching the keyed path's fn set."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.sort import _pin
+
+    sdf = frame._sdf
+    spark = sdf.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = _pin(
+        sdf.repartitionByRange(n, F.col(order_by))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    agg = _CUM_FNS[fn]
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(agg(col).alias("t")).collect()
+    }
+    combine = {
+        "sum": lambda a, b: a + b, "count": lambda a, b: a + b,
+        "prod": lambda a, b: a * b, "max": max, "min": min,
+    }[fn]
+    offsets, acc = [], None
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        t = totals[pid]
+        if t is not None:
+            acc = t if acc is None else combine(acc, t)
+    off_type = (
+        LongType() if fn == "count" else ranged.schema[col].dataType
+    )
+    off_df = spark.createDataFrame(
+        offsets or [(0, None)],
+        StructType([StructField("__pid", IntegerType()),
+                    StructField("__off", off_type)]),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = agg(col).over(w)
+    off = F.col("__off")
+    merged = {
+        "sum": run + off, "count": run + off, "prod": run * off,
+        "max": F.greatest(run, off), "min": F.least(run, off),
+    }[fn]
+    out = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(name, F.when(off.isNull(), run).otherwise(merged))
+        .drop("__pid", "__off")
+    )
+    return DaskFrame(out)
 
 
 def map_overlap(frame, fn, schema: str, on: str, before: float = 0,

@@ -275,3 +275,87 @@ def test_explode_keeps_empty_as_null(spark):
     # pandas: empty list row kept with NaN
     assert len(got) == 3
     assert got["xs"].isna().sum() == 1
+
+
+def test_keyless_shift_parity_multi_partition(spark):
+    """Keyless shift must be correct ACROSS range-bucket boundaries
+    (halo rows shipped between buckets) and must not collapse to one
+    partition (round-2 weak item)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.window import shift
+
+    sdf = spark.range(20_000).select(
+        (F.col("id") * 2654435761 % 20_000).alias("t"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    got = shift(DaskFrame(sdf), "v", periods=3, order_by="t")
+    n_parts = (
+        got.to_spark().groupBy(F.spark_partition_id().alias("p")).count().count()
+    )
+    assert n_parts > 1, "keyless shift collapsed to a single partition"
+    p = sdf.toPandas().sort_values("t", ignore_index=True)
+    want = p.assign(v_shift=p.v.shift(3))
+    assert_eq(got, want, sort_by=["t"])
+
+    lead = shift(DaskFrame(sdf), "v", periods=-2, order_by="t")
+    want_lead = p.assign(v_shift=p.v.shift(-2))
+    assert_eq(lead, want_lead, sort_by=["t"])
+
+
+def test_keyless_cumulative_parity_multi_partition(spark):
+    """Keyless cumsum/cummax/cumprod: two-pass prefix scan (per-bucket
+    running agg + driver offsets) must equal pandas' global scan."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.window import cumulative
+
+    sdf = spark.range(10_000).select(
+        (F.col("id") * 48271 % 10_000).alias("t"),
+        ((F.col("id") % 13).cast("double") - 6.0).alias("v"),
+    )
+    p = sdf.toPandas().sort_values("t", ignore_index=True)
+    for fn, want_col in [
+        ("sum", p.v.cumsum()),
+        ("max", p.v.cummax()),
+        ("min", p.v.cummin()),
+    ]:
+        got = cumulative(DaskFrame(sdf), "v", fn, order_by="t")
+        want = p.assign(**{f"v_cum{fn}": want_col})
+        assert_eq(got, want, sort_by=["t"])
+
+
+def test_keyless_rolling_parity_multi_partition(spark):
+    """Keyless rolling(25) across bucket boundaries matches pandas."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    sdf = spark.range(5_000).select(
+        (F.col("id") * 16807 % 5_000).alias("t"),
+        (F.col("id") % 31).cast("double").alias("v"),
+    )
+    p = sdf.toPandas().sort_values("t", ignore_index=True)
+    got = DaskFrame(sdf).rolling(25, on="t").mean("v")
+    want = p.assign(v_roll_mean=p.v.rolling(25, min_periods=1).mean())
+    assert_eq(got, want, sort_by=["t"])
+
+
+def test_keyless_asof_sparse_right(spark):
+    """Keyless merge_asof where the right side is SPARSE (3 rows vs 5k
+    left rows): the match must carry across many empty range buckets —
+    exercises the driver prefix-scan seeding."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    left = pd.DataFrame({"t": list(range(0, 5000)), "lv": range(5000)})
+    right = pd.DataFrame({"t": [100, 2500, 4900], "rv": [1.0, 2.0, 3.0]})
+    for direction in ("backward", "forward"):
+        got = ds.from_pandas(left).merge_asof(
+            ds.from_pandas(right), on="t", direction=direction
+        )
+        want = pd.merge_asof(left, right, on="t", direction=direction)
+        assert_eq(got, want, sort_by=["t"])
