@@ -101,9 +101,12 @@ class DArray:
     # ---- partitioning (reference: dask/array/rechunk.py) ---------------
     def rechunk(self, npartitions: int) -> "DArray":
         """Row-axis rechunk: dask rewrites the chunk graph; here the
-        row axis IS the partitioning, so this is a repartition (or a
-        shuffle-free coalesce when shrinking)."""
-        cur = self._sdf.rdd.getNumPartitions()
+        row axis IS the partitioning, so this is a repartition (a
+        shuffle-free coalesce when shrinking, a no-op when the count
+        already matches)."""
+        cur = self.npartitions
+        if npartitions == cur:
+            return self
         sdf = (
             self._sdf.coalesce(npartitions)
             if npartitions < cur
@@ -113,7 +116,12 @@ class DArray:
 
     @property
     def npartitions(self) -> int:
-        return self._sdf.rdd.getNumPartitions()
+        # rdd-free (Spark Connect-safe): count distinct partition ids
+        # with one tiny job instead of a plan-to-RDD conversion
+        return (
+            self._sdf.select(F.spark_partition_id().alias("p"))
+            .distinct().count()
+        )
 
     def _unary(self, build) -> "DArray":
         out = self._sdf.select(
@@ -242,14 +250,163 @@ class DArray:
         )
         return DArray(out, self._col, self._id)
 
+    def _matmul_np(self, M) -> "DArray":
+        """(n × d) @ literal (d × k) via ONE Arrow-batched numpy matmul
+        per batch — the batched twin of :meth:`matmul` for dense
+        matrices where k×d per-element Column expressions would be
+        interpreted-HOF slow (same lesson as the LSH signature batch)."""
+        import numpy as np
+        import pandas as pd
+
+        idc, col = self._id, self._col
+        if idc is None:
+            raise ValueError("_matmul_np requires id_col")
+        Mat = np.asarray(M, dtype="float64")
+        id_type = dict(self._sdf.dtypes)[idc]
+        schema = f"{idc} {id_type}, {col} array<double>"
+
+        def run(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf[col].tolist(), dtype="float64")
+                yield pd.DataFrame({idc: pdf[idc], col: list(X @ Mat)})
+
+        return DArray(
+            self._sdf.select(idc, col).mapInPandas(run, schema=schema),
+            col, idc,
+        )
+
+    # ---- linalg: tall-skinny QR / SVD ---------------------------------
+    def tsqr(self):
+        """Direct tall-and-skinny QR (reference: dask/array/linalg.py:60
+        tsqr; Benson/Gleich/Demmel's communication-avoiding TSQR —
+        dask builds the same two-level tree over chunks).
+
+        Spark shape: (1) each row partition computes a LOCAL
+        ``numpy.linalg.qr`` inside ``mapInPandas`` (whole-partition
+        Arrow batch) and emits only its small R block — k_i × d rows;
+        (2) the stacked R blocks (Σk_i × d ≪ n — the ONLY driver data)
+        get one driver-side QR → final R and per-partition Q2 slices;
+        (3) a second map-only pass re-derives each partition's local Q
+        and multiplies by its broadcast Q2 slice. The input plan is
+        pinned so both passes see identical partitions. Sign-fixed
+        (non-negative R diagonal) at both levels, so the result is
+        deterministic for a fixed partitioning.
+
+        Returns ``(Q, R)``: Q a DArray row-aligned with the input
+        (orthonormal columns), R a d×d numpy upper-triangular."""
+        return self._tsqr(None)
+
+    def svd(self):
+        """Tall-skinny SVD via tsqr (reference: dask/array/linalg.py
+        svd): X = QR, R = U_r Σ Vᵀ (driver SVD of the small R), then
+        U = Q·U_r fused into tsqr's second pass — still two distributed
+        map passes total. Returns (U DArray, s ndarray, Vt ndarray)."""
+        import numpy as np
+
+        out = {}
+
+        def post(Rf):
+            U_r, s, Vt = np.linalg.svd(Rf)
+            out["s"], out["Vt"] = s, Vt
+            return U_r
+
+        U = self._tsqr(post)[0]
+        return U, out["s"], out["Vt"]
+
+    def _tsqr(self, post):
+        import numpy as np
+        import pandas as pd
+
+        from dask_spark.operators.sort import _pin
+
+        if self._id is None:
+            raise ValueError("tsqr requires id_col")
+        idc, col = self._id, self._col
+        sdf = _pin(
+            self._sdf.select(idc, col).withColumn(
+                "__pid", F.spark_partition_id()
+            )
+        )
+
+        def _fix(Q, R):
+            k = min(R.shape)
+            s = np.sign(np.diag(R)[:k])
+            s[s == 0] = 1.0
+            return Q * s, R * s[:, None]
+
+        def local_r(it):
+            chunks = [c for c in it if len(c)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            X = np.array(pdf[col].tolist(), dtype="float64")
+            R = np.linalg.qr(X, mode="r")
+            _, R = _fix(np.empty((0, R.shape[0])), R)
+            yield pd.DataFrame(
+                {"__pid": pdf["__pid"].iloc[0], "__i": range(len(R)),
+                 "__r": list(R)}
+            )
+
+        r_rows = sorted(
+            sdf.mapInPandas(
+                local_r, schema="__pid int, __i int, __r array<double>"
+            ).collect(),
+            key=lambda r: (r["__pid"], r["__i"]),
+        )
+        if not r_rows:
+            raise ValueError("tsqr of an empty array")
+        pids, sizes, blocks = [], [], {}
+        for r in r_rows:
+            blocks.setdefault(r["__pid"], []).append(list(r["__r"]))
+        stacked = []
+        for pid in sorted(blocks):
+            pids.append(pid)
+            sizes.append(len(blocks[pid]))
+            stacked.extend(blocks[pid])
+        stacked = np.array(stacked, dtype="float64")
+        d = stacked.shape[1]
+        if stacked.shape[0] < d:
+            raise ValueError(f"tsqr needs >= {d} rows, got {stacked.shape[0]}")
+        Q2, Rf = np.linalg.qr(stacked, mode="reduced")
+        Q2, Rf = _fix(Q2, Rf)
+        right = np.eye(d) if post is None else post(Rf)
+        q2_slices, off = {}, 0
+        for pid, k in zip(pids, sizes):
+            q2_slices[pid] = Q2[off:off + k] @ right
+            off += k
+        bc = sdf.sparkSession.sparkContext.broadcast(q2_slices)
+        id_type = dict(sdf.dtypes)[idc]
+
+        def local_q(it):
+            chunks = [c for c in it if len(c)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            X = np.array(pdf[col].tolist(), dtype="float64")
+            Qi, Ri = np.linalg.qr(X, mode="reduced")
+            Qi, _ = _fix(Qi, Ri)
+            Qout = Qi @ bc.value[int(pdf["__pid"].iloc[0])]
+            yield pd.DataFrame({idc: pdf[idc], col: list(Qout)})
+
+        q_sdf = sdf.mapInPandas(
+            local_q, schema=f"{idc} {id_type}, {col} array<double>"
+        )
+        return DArray(q_sdf, col, idc), Rf
+
     # ---- materialization ----------------------------------------------
     def to_frame(self) -> DaskFrame:
         return DaskFrame(self._sdf)
 
     def to_series(self, name: str | None = None):
         """1-column view of per-row arrays as a Series (bridge to the
-        frame API — reference: dask Array.to_dask_dataframe)."""
-        return DaskFrame(self._sdf)[name or self._col]
+        frame API — reference: dask Array.to_dask_dataframe).
+        ``name`` renames the output column (it is not a selector)."""
+        out = name or self._col
+        return DaskFrame(
+            self._sdf.select(*self._keep(), F.col(self._col).alias(out))
+        )[out]
 
     def compute(self):
         import numpy as np
@@ -290,17 +447,25 @@ def concatenate(arrays: Sequence[DArray], axis: int = 0) -> DArray:
     if axis == 1:
         if any(a._id is None for a in arrays):
             raise ValueError("axis=1 concatenate requires id_col alignment")
+        # full outer join: misaligned ids must ERROR (dask concatenate
+        # requires aligned shapes), not silently shrink the result the
+        # way an inner join would
         sdf = first._sdf.select(first._id, F.col(first._col).alias("__c0"))
         for i, a in enumerate(arrays[1:], start=1):
             sdf = sdf.join(
                 a._sdf.select(F.col(a._id).alias(first._id),
                               F.col(a._col).alias(f"__c{i}")),
-                on=first._id,
+                on=first._id, how="full_outer",
             )
-        sdf = sdf.select(
-            first._id,
-            F.concat(*[F.col(f"__c{i}") for i in range(len(arrays))]).alias(first._col),
-        )
+        parts = [F.col(f"__c{i}") for i in range(len(arrays))]
+        aligned = F.when(
+            sum((p.isNull().cast("int") for p in parts), F.lit(0)) > 0,
+            F.raise_error(F.lit(
+                "axis=1 concatenate: operands are misaligned on id_col "
+                "(a row id is missing from at least one operand)"
+            )).cast("array<double>"),
+        ).otherwise(F.concat(*parts))
+        sdf = sdf.select(first._id, aligned.alias(first._col))
         return DArray(sdf, first._col, first._id)
     raise ValueError(f"axis must be 0 or 1, got {axis}")
 

@@ -690,6 +690,72 @@ class DaskFrame:
     def cov(self, c1: str, c2: str) -> float:
         return self._sdf.agg(F.covar_samp(c1, c2).alias("v")).first()["v"]
 
+    def _pairwise_matrix(self, agg, cols: Sequence[str] | None) -> "DaskFrame":
+        """All-pairs statistic in ONE aggregate pass: k*(k+1)/2 agg
+        expressions (symmetric pairs computed once, mirrored in a
+        post-projection), emitted long-form (col_x, col_y, value) —
+        the k² matrix never touches the driver and the input is
+        scanned exactly once."""
+        cols = list(cols) if cols else self._numeric_cols()
+        exprs = []
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                exprs.append(agg(a, b).alias(f"__{a}__{b}"))
+        wide = self._sdf.agg(*exprs)
+        structs = []
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                v = F.col(f"__{a}__{b}")
+                structs.append(F.struct(F.lit(a).alias("col_x"),
+                                        F.lit(b).alias("col_y"),
+                                        v.alias("value")))
+                if a != b:
+                    structs.append(F.struct(F.lit(b).alias("col_x"),
+                                            F.lit(a).alias("col_y"),
+                                            v.alias("value")))
+        long = wide.select(F.explode(F.array(*structs)).alias("s")).select(
+            "s.col_x", "s.col_y", "s.value"
+        )
+        return DaskFrame(long)
+
+    def corr_matrix(self, cols: Sequence[str] | None = None) -> "DaskFrame":
+        """Pairwise Pearson correlation of the numeric columns, long
+        form (reference: dask/dataframe/dask_expr/_collection.py:4042
+        DataFrame.corr — dask builds the k×k matrix from one
+        sum/sum²/cross-product ACA pass; F.corr aggregates are the same
+        single pass here)."""
+        return self._pairwise_matrix(lambda a, b: F.corr(a, b), cols)
+
+    def cov_matrix(self, cols: Sequence[str] | None = None) -> "DaskFrame":
+        """Pairwise sample covariance, long form (reference:
+        _collection.py:4565 DataFrame.cov)."""
+        return self._pairwise_matrix(lambda a, b: F.covar_samp(a, b), cols)
+
+    def is_monotonic_increasing(self, col: str, order_by: str) -> bool:
+        """Is ``col`` non-decreasing when rows are ordered by
+        ``order_by``? (reference: dask_expr/_collection.py:4624 —
+        dask checks per partition then the partition boundaries; here
+        one keyless lag-window over the range-bucketed order — never
+        single-partition — feeds a bool min.) ``order_by`` is explicit
+        because this engine has no implicit row index (dask checks
+        along the index)."""
+        return self._is_monotonic(col, order_by, increasing=True)
+
+    def is_monotonic_decreasing(self, col: str, order_by: str) -> bool:
+        """reference: dask_expr/_collection.py:4629."""
+        return self._is_monotonic(col, order_by, increasing=False)
+
+    def _is_monotonic(self, col: str, order_by: str, increasing: bool) -> bool:
+        from dask_spark.operators.window import shift
+
+        shifted = shift(self, col, periods=1, order_by=order_by, out="__prev")
+        cur, prev = F.col(col), F.col("__prev")
+        ok = (prev <= cur) if increasing else (prev >= cur)
+        row = shifted._sdf.agg(
+            F.min(F.when(prev.isNull(), True).otherwise(ok)).alias("v")
+        ).first()
+        return bool(row["v"]) if row["v"] is not None else True
+
     def __len__(self) -> int:
         return self._sdf.count()
 

@@ -2333,6 +2333,94 @@ def groupby_custom_agg(spark, sf_dir):
     )
 
 
+@q(
+    "corr_matrix",
+    """
+    WITH agg AS (
+      SELECT corr(l_quantity, l_quantity) AS qq,
+             corr(l_quantity, l_extendedprice) AS qe,
+             corr(l_quantity, l_discount) AS qd,
+             corr(l_extendedprice, l_extendedprice) AS ee,
+             corr(l_extendedprice, l_discount) AS ed,
+             corr(l_discount, l_discount) AS dd
+      FROM lineitem
+    )
+    SELECT col_x, col_y, ROUND(value, 6) AS value FROM (
+      SELECT 'l_quantity' AS col_x, 'l_quantity' AS col_y, qq AS value FROM agg
+      UNION ALL SELECT 'l_quantity', 'l_extendedprice', qe FROM agg
+      UNION ALL SELECT 'l_extendedprice', 'l_quantity', qe FROM agg
+      UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM agg
+      UNION ALL SELECT 'l_discount', 'l_quantity', qd FROM agg
+      UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', ee FROM agg
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM agg
+      UNION ALL SELECT 'l_discount', 'l_extendedprice', ed FROM agg
+      UNION ALL SELECT 'l_discount', 'l_discount', dd FROM agg
+    )
+    """,
+)
+def corr_matrix_q(spark, sf_dir):
+    """Pairwise DataFrame.corr, long form (reference:
+    dask_expr/_collection.py:4042): k*(k+1)/2 corr aggregates in ONE
+    scan, symmetric pairs mirrored in a post-projection — the matrix
+    never touches the driver."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.corr_matrix(["l_quantity", "l_extendedprice", "l_discount"])
+    return out.to_spark().select(
+        "col_x", "col_y", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+@q(
+    "monotonic",
+    """
+    WITH t AS (
+      SELECT value, event_id,
+             lag(value) OVER (ORDER BY event_id) AS pv,
+             lag(event_id) OVER (ORDER BY event_id) AS pid
+      FROM events
+    )
+    SELECT coalesce(bool_and(value >= pv), TRUE) AS value_monotonic,
+           coalesce(bool_and(event_id >= pid), TRUE) AS id_monotonic
+    FROM t
+    """,
+)
+def monotonic(spark, sf_dir):
+    """is_monotonic_increasing (reference: _collection.py:4624): a
+    keyless lag-window (range-bucketed, parallel) feeding a bool min —
+    checked on a column that is monotone w.r.t. the order (event_id)
+    and one that is not (value)."""
+    e = load(spark, sf_dir, "events")
+    inc_val = e.is_monotonic_increasing("value", order_by="event_id")
+    inc_id = e.is_monotonic_increasing("event_id", order_by="event_id")
+    return spark.createDataFrame(
+        [(inc_val, inc_id)], "value_monotonic boolean, id_monotonic boolean"
+    )
+
+
+@q("arr_tsqr", None)  # no SQL analog of QR — rows-only driver check
+def arr_tsqr(spark, sf_dir):
+    """Tall-skinny QR over the embeddings (reference:
+    dask/array/linalg.py:60 tsqr). Output is PARTITIONING-INVARIANT
+    math: per-dimension column norms of Q (≡1 by orthogonality) and
+    the R diagonal (unique given the non-negative-diagonal sign fix) —
+    so the rows-only check is stable across runs."""
+    from dask_spark.array import DArray
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = DArray.from_frame(e, "embedding", "vec_id")
+    Q, R = arr.tsqr()
+    colnorm = Q._sdf.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).groupBy("dim").agg(
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 6).alias("q_colnorm")
+    )
+    rd = spark.createDataFrame(
+        [(i, round(float(R[i, i]), 4)) for i in range(R.shape[0])],
+        "dim int, r_diag double",
+    )
+    return colnorm.join(rd, "dim").orderBy("dim")
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order and r1's
 # file covered only the first 50 entries. Float every query WITHOUT a

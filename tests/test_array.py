@@ -67,3 +67,96 @@ def test_dot_and_matmul(arr):
     mm = da.matmul(W.tolist()).compute()
     assert mm.shape == (M.shape[0], 3)
     assert np.allclose(np.sort(mm, axis=0), np.sort(M @ W, axis=0), atol=1e-3)
+
+
+def test_tsqr_reconstruct_orthogonal(spark):
+    """tsqr (reference dask/array/linalg.py:60 + its test_linalg
+    test_tsqr properties): Q@R == X, QᵀQ == I, R upper-triangular with
+    non-negative diagonal — across multiple partitions."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(500, 6)
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "rid bigint, vec array<double>",
+    ).repartition(8)
+    arr = DArray(sdf, "vec", "rid")
+    Q, R = arr.tsqr()
+
+    assert R.shape == (6, 6)
+    assert np.allclose(R, np.triu(R)), "R not upper triangular"
+    assert (np.diag(R) >= 0).all(), "sign fix failed"
+
+    rows = Q._sdf.orderBy("rid").collect()
+    Qm = np.array([list(r["vec"]) for r in rows])
+    assert np.allclose(Qm.T @ Qm, np.eye(6), atol=1e-8), "Q not orthonormal"
+    assert np.allclose(Qm @ R, X, atol=1e-8), "Q@R != X"
+
+
+def test_svd_tall_skinny(spark):
+    import numpy as np
+
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(300, 5)
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "rid bigint, vec array<double>",
+    ).repartition(6)
+    U, s, Vt = DArray(sdf, "vec", "rid").svd()
+    rows = U._sdf.orderBy("rid").collect()
+    Um = np.array([list(r["vec"]) for r in rows])
+    assert np.all(np.diff(s) <= 0), "singular values not descending"
+    assert np.allclose(sorted(s), sorted(np.linalg.svd(X)[1]), atol=1e-8)
+    assert np.allclose(Um.T @ Um, np.eye(5), atol=1e-8), "U not orthonormal"
+    assert np.allclose(Um @ np.diag(s) @ Vt, X, atol=1e-8), "USVt != X"
+
+
+def test_to_series_rename_and_rechunk_noop(spark):
+    import pyspark.sql.functions as F
+
+    from dask_spark.array import DArray
+
+    sdf = spark.createDataFrame(
+        [(i, [float(i), 2.0]) for i in range(10)],
+        "rid bigint, vec array<double>",
+    ).repartition(4)
+    arr = DArray(sdf, "vec", "rid")
+    s = arr.to_series(name="renamed")
+    assert s._name == "renamed"
+    assert arr.rechunk(arr.npartitions) is arr  # no-op, no shuffle
+
+
+def test_concatenate_axis1_misaligned_raises(spark):
+    import pytest
+
+    from dask_spark.array import DArray, concatenate
+
+    a = DArray(
+        spark.createDataFrame(
+            [(i, [1.0]) for i in range(5)], "rid bigint, v array<double>"
+        ),
+        "v", "rid",
+    )
+    b = DArray(
+        spark.createDataFrame(
+            [(i, [2.0]) for i in range(4)], "rid bigint, w array<double>"
+        ),
+        "w", "rid",
+    )
+    with pytest.raises(Exception, match="misaligned|MISALIGNED|USER_RAISED"):
+        concatenate([a, b], axis=1).compute()
+
+    ok = DArray(
+        spark.createDataFrame(
+            [(i, [2.0, 3.0]) for i in range(5)], "rid bigint, w array<double>"
+        ),
+        "w", "rid",
+    )
+    got = concatenate([a, ok], axis=1)
+    assert got.compute().shape == (5, 3)

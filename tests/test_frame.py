@@ -281,3 +281,37 @@ def test_series_describe_and_tail(tables, pdf_tables):
     assert out["count"].iloc[0] == len(pdf_tables["lineitem"])
     t = tables["nation"].tail(3)
     assert len(t) == 3 and "n_name" in t.columns
+
+
+def test_corr_cov_matrix(tables, pdf_tables):
+    """Pairwise corr/cov long-form vs pandas DataFrame.corr()/cov()."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    p = pdf_tables["lineitem"][cols]
+    got_corr = tables["lineitem"].corr_matrix(cols).compute()
+    want_corr = p.corr()
+    got_cov = tables["lineitem"].cov_matrix(cols).compute()
+    want_cov = p.cov()
+    assert len(got_corr) == 9 and len(got_cov) == 9
+    for _, r in got_corr.iterrows():
+        assert abs(r["value"] - want_corr.loc[r.col_x, r.col_y]) < 1e-6
+    for _, r in got_cov.iterrows():
+        assert abs(r["value"] - want_cov.loc[r.col_x, r.col_y]) < 1e-4 * (
+            1 + abs(want_cov.loc[r.col_x, r.col_y])
+        )
+
+
+def test_is_monotonic(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"t": [1, 2, 3, 4, 5], "up": [1.0, 1.0, 2.0, 5.0, 9.0],
+         "down": [9.0, 7.0, 7.0, 3.0, 1.0], "mixed": [1.0, 3.0, 2.0, 4.0, 5.0]}
+    )
+    f = ds.from_pandas(pdf)
+    assert f.is_monotonic_increasing("up", order_by="t") is True
+    assert f.is_monotonic_decreasing("up", order_by="t") is False
+    assert f.is_monotonic_decreasing("down", order_by="t") is True
+    assert f.is_monotonic_increasing("mixed", order_by="t") is False
+    assert f.is_monotonic_decreasing("mixed", order_by="t") is False
