@@ -20,7 +20,9 @@ from dask_spark.bag import Bag
 from dask_spark.sources import (
     from_dict,
     from_pandas,
+    read_avro,
     read_csv,
+    read_hdf,
     read_json,
     read_orc,
     read_parquet,
@@ -43,6 +45,8 @@ __all__ = [
     "get_spark",
     "read_parquet",
     "read_text",
+    "read_avro",
+    "read_hdf",
     "Bag",
     "DArray",
     "read_csv",

@@ -250,6 +250,53 @@ class DArray:
         )
         return DArray(out, self._col, self._id)
 
+    def map_blocks(self, fn, with_info: bool = False) -> "DArray":
+        """Arbitrary per-block ndarray transform (reference:
+        dask/array/core.py:551 map_blocks; dask ships each chunk to
+        ``fn`` with optional block_info). The Spark block is the row
+        partition: one whole-partition Arrow batch per task, map-only,
+        no shuffle. ``fn(X)`` (or ``fn(X, info)`` when ``with_info`` —
+        info carries the partition id and row count, dask's block_info
+        analog) takes the (rows × d) float64 ndarray and must return an
+        ndarray with the SAME row count (row-aligned, like dask
+        map_blocks with unchanged chunks); the column count may
+        change."""
+        import numpy as np
+        import pandas as pd
+
+        if self._id is None:
+            raise ValueError("map_blocks requires id_col (row alignment)")
+        idc, col = self._id, self._col
+        id_type = dict(self._sdf.dtypes)[idc]
+        base = self._sdf.select(idc, col)
+        if with_info:
+            base = base.withColumn("__bpid", F.spark_partition_id())
+
+        def run(it):
+            chunks = [c for c in it if len(c)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            X = np.array(pdf[col].tolist(), dtype="float64")
+            if with_info:
+                info = {"partition": int(pdf["__bpid"].iloc[0]),
+                        "rows": len(pdf)}
+                out = np.asarray(fn(X, info), dtype="float64")
+            else:
+                out = np.asarray(fn(X), dtype="float64")
+            if out.shape[0] != len(pdf):
+                raise ValueError(
+                    f"map_blocks fn changed the row count "
+                    f"({len(pdf)} -> {out.shape[0]}); blocks must stay "
+                    "row-aligned"
+                )
+            yield pd.DataFrame({idc: pdf[idc], col: list(out)})
+
+        return DArray(
+            base.mapInPandas(run, schema=f"{idc} {id_type}, {col} array<double>"),
+            col, idc,
+        )
+
     def _matmul_np(self, M) -> "DArray":
         """(n × d) @ literal (d × k) via ONE Arrow-batched numpy matmul
         per batch — the batched twin of :meth:`matmul` for dense

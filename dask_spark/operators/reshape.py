@@ -64,18 +64,33 @@ def explode(frame, column: str):
     )
 
 
+def _distinct_guarded(sdf, column: str, max_categories: int, op: str):
+    """Collect the distinct category set with a hard cap: an
+    accidentally high-cardinality column must fail fast with a clear
+    error instead of OOMing the driver. The probe reads max+1 rows, so
+    the failure costs one truncated job, not a full distinct."""
+    rows = sdf.select(column).distinct().limit(max_categories + 1).collect()
+    if len(rows) > max_categories:
+        raise ValueError(
+            f"{op}({column!r}): more than max_categories="
+            f"{max_categories} distinct values — pass values= explicitly "
+            "or raise max_categories if this column is truly categorical"
+        )
+    return sorted(r[0] for r in rows if r[0] is not None)
+
+
 def get_dummies(frame, column: str, prefix: str | None = None,
-                values: Sequence[str] | None = None):
+                values: Sequence[str] | None = None,
+                max_categories: int = 1024):
     """One-hot encode. Like dask (reference: reshape.py get_dummies
     requires known categories), the category set must be supplied or is
-    computed with one small distinct job — never per-row Python."""
+    computed with one small distinct job — never per-row Python.
+    Auto-discovery is capped at ``max_categories``."""
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
     if values is None:
-        values = [
-            r[0] for r in sdf.select(column).distinct().orderBy(column).collect()
-        ]
+        values = _distinct_guarded(sdf, column, max_categories, "get_dummies")
     prefix = prefix if prefix is not None else column
     cols = [
         F.when(F.col(column) == v, 1).otherwise(0).alias(f"{prefix}_{v}")
@@ -84,18 +99,29 @@ def get_dummies(frame, column: str, prefix: str | None = None,
     return DaskFrame(sdf.select(*sdf.columns, *cols))
 
 
-def categorize(frame, column: str, out: str | None = None):
+def categorize(frame, column: str, out: str | None = None,
+               max_categories: int = 65536):
     """Dictionary-encode a string column (reference: dask categorize /
     categorical accessor — dask computes the category set with one
     pass, then encodes). Codes are the 0-based rank in the sorted
     distinct values (deterministic across engines/partitionings); the
-    tiny code table is broadcast back onto the rows."""
+    tiny code table is broadcast back onto the rows. Cardinality above
+    ``max_categories`` fails fast (the code table must stay
+    broadcast-small)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
+    over = (
+        sdf.select(column).distinct().limit(max_categories + 1).count()
+    )
+    if over > max_categories:
+        raise ValueError(
+            f"categorize({column!r}): more than max_categories="
+            f"{max_categories} distinct values — not a categorical column"
+        )
     cats = (
         sdf.select(column).distinct()
         .withColumn(

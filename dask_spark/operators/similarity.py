@@ -68,10 +68,18 @@ def kmeans_centroids(frame, vec_col: str = "embedding", n_clusters: int = 16,
                      iters: int = 5, seed: int = 42):
     """Deterministic Lloyd's k-means on the driver over a sample —
     centroids are tiny (k×dim floats) and become literal constants in
-    downstream plans. The heavy assignment pass stays distributed."""
+    downstream plans. The heavy assignment pass stays distributed.
+
+    The sample is the 2048 rows with the LOWEST xxhash64(vector) —
+    a TakeOrdered top-k (never a full sort), and unlike limit() or
+    Bernoulli sample() it is invariant to input partitioning, so IVF
+    centroids are reproducible run-to-run."""
     sample = [
         list(r[0])
-        for r in frame._sdf.select(vec_col).limit(2048).collect()
+        for r in frame._sdf.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
+        .limit(2048)
+        .collect()
     ]
     import random as _random
 

@@ -2421,6 +2421,36 @@ def arr_tsqr(spark, sf_dir):
     return colnorm.join(rd, "dim").orderBy("dim")
 
 
+@q(
+    "arr_map_blocks",
+    """
+    SELECT vec_id,
+           round(embedding[1]::DOUBLE
+                 / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6) AS n0
+    FROM embeddings
+    """,
+)
+def arr_map_blocks(spark, sf_dir):
+    """map_blocks (reference: dask/array/core.py:551): L2-row-normalize
+    each partition's ndarray in one whole-partition Arrow batch —
+    map-only, no shuffle. The oracle recomputes the row-local math in
+    SQL; first normalized component compared."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = DArray.from_frame(e, "embedding", "vec_id")
+    normed = arr.map_blocks(
+        lambda X: X / np.linalg.norm(X, axis=1, keepdims=True)
+    )
+    return normed._sdf.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0), 6).alias("n0"),
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order and r1's
 # file covered only the first 50 entries. Float every query WITHOUT a

@@ -164,3 +164,40 @@ def read_text(path: str) -> "Bag":
     from dask_spark.bag import Bag
 
     return Bag(_spark().read.text(path).withColumnRenamed("value", "item"))
+
+
+def read_avro(path: str, **options) -> DaskFrame:
+    """reference: dask/bag/avro.py:73 read_avro. Spark's avro reader is
+    the external ``spark-avro`` module; option-mapped here (like the
+    JDBC treatment) with a clear error when the package is absent from
+    the runtime (it is not baked into this container)."""
+    r = _spark().read.format("avro")
+    for k, v in options.items():
+        r = r.option(k, v)
+    try:
+        return DaskFrame(r.load(path))
+    except Exception as e:  # AnalysisException: failed to find source
+        if "avro" in str(e).lower():
+            raise ImportError(
+                "read_avro needs the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark version>)"
+            ) from e
+        raise
+
+
+def read_hdf(path: str, key: str, columns: Sequence[str] | None = None,
+             npartitions: int | None = None) -> DaskFrame:
+    """reference: dask/dataframe/io/hdf.py:309 read_hdf. HDF5 is not a
+    splittable cluster format and Spark has no native source — like
+    dask, the file is read via pandas/PyTables (driver-side) and then
+    distributed; a clear error if PyTables is missing (not baked into
+    this container)."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_hdf(path, key=key, columns=columns)
+    except ImportError as e:
+        raise ImportError(
+            "read_hdf needs PyTables (pip install tables)"
+        ) from e
+    return from_pandas(pd.DataFrame(pdf), npartitions)

@@ -160,3 +160,34 @@ def test_concatenate_axis1_misaligned_raises(spark):
     )
     got = concatenate([a, ok], axis=1)
     assert got.compute().shape == (5, 3)
+
+
+def test_map_blocks(spark):
+    """map_blocks: per-partition ndarray transform, row-aligned, with
+    optional block info; row-count changes must raise."""
+    import numpy as np
+    import pytest
+
+    from dask_spark.array import DArray
+
+    X = np.arange(40, dtype="float64").reshape(20, 2)
+    sdf = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(X)],
+        "rid bigint, vec array<double>",
+    ).repartition(4)
+    arr = DArray(sdf, "vec", "rid")
+
+    centered = arr.map_blocks(lambda M: M - M.mean(axis=0))
+    got = {r["rid"]: list(r["vec"]) for r in centered._sdf.collect()}
+    assert len(got) == 20  # row-aligned across 4 blocks
+
+    widened = arr.map_blocks(lambda M: np.hstack([M, M.sum(1, keepdims=True)]))
+    assert len(widened.compute()[0]) == 3  # column count may change
+
+    info_seen = arr.map_blocks(
+        lambda M, info: M * 0 + info["rows"], with_info=True
+    ).compute()
+    assert info_seen.shape == (20, 2)
+
+    with pytest.raises(Exception, match="row count"):
+        arr.map_blocks(lambda M: M[:1]).compute()

@@ -233,3 +233,54 @@ def test_darray_cross_lineage_binop_raises(spark):
     # same-plan self op stays valid: a + a == 2a
     got = (a + a).to_frame().compute()
     assert sorted(got[a._col].iloc[0]) in ([2.0, 4.0], [6.0, 8.0])
+
+
+def test_categorize_get_dummies_cardinality_guard(spark):
+    """High-cardinality columns must fail fast, not OOM the driver."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.reshape import categorize, get_dummies
+
+    wide = DaskFrame(
+        spark.range(5000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("uid"),
+            (F.col("id") % 3).alias("v"),
+        )
+    )
+    with pytest.raises(ValueError, match="max_categories"):
+        get_dummies(wide, "uid", max_categories=100)
+    with pytest.raises(ValueError, match="max_categories"):
+        categorize(wide, "uid", max_categories=100)
+    # under the cap still works
+    ok = get_dummies(wide, "v", max_categories=100).compute()
+    assert {"v_0", "v_1", "v_2"} <= set(ok.columns)
+
+
+def test_read_hdf_avro_plumbing(tmp_path):
+    """Option-mapped IO (reference: dask io/hdf.py:309, bag/avro.py:73):
+    real read when the lib exists, a clear ImportError otherwise."""
+    import pandas as pd
+    import pytest
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    h5 = str(tmp_path / "t.h5")
+    try:
+        pdf.to_hdf(h5, key="t")
+        has_tables = True
+    except ImportError:
+        has_tables = False
+    if has_tables:
+        got = ds.read_hdf(h5, key="t").compute()
+        assert sorted(got.a.tolist()) == [1, 2, 3]
+    else:
+        # pandas checks file existence before importing PyTables
+        (tmp_path / "t.h5").write_bytes(b"\x89HDF")
+        with pytest.raises(ImportError, match="PyTables"):
+            ds.read_hdf(h5, key="t")
+
+    with pytest.raises(ImportError, match="spark-avro"):
+        ds.read_avro(str(tmp_path / "x.avro"))

@@ -182,3 +182,89 @@ def test_global_index_is_multi_partition(spark):
     rows = idx.orderBy("__i").select("k", "__i").collect()
     assert [r["__i"] for r in rows] == list(range(10_000))
     assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SURVEY §7.4 promise: a monster key must be split by AQE's skew
+    join (skew=true in the executed plan) — with thresholds scaled to
+    test data — and salted_join must agree with the plain join."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.joins import salted_join
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # 60k rows on one monster key + a uniform tail; the ~190B pad
+        # must be NON-constant (a literal would be constant-folded past
+        # the shuffle and compress to nothing)
+        left = spark.range(80_000).select(
+            F.when(F.col("id") < 60_000, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            (F.col("id") % 97).alias("v"),
+            F.repeat(F.sha2(F.col("id").cast("string").cast("binary"), 256), 3)
+            .alias("pad"),
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed key:\n{plan[:2000]}"
+        assert len(rows) == 60_000 + len([r for r in rows if r["k"] != 0])
+
+        got = (
+            salted_join(DaskFrame(left), DaskFrame(right), on="k", salt=8)
+            .to_spark().groupBy().agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                F.sum("w").alias("sw"),
+            ).first()
+        )
+        want = j.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+            F.sum("w").alias("sw"),
+        ).first()
+        assert (got["n"], got["sv"], got["sw"]) == (want["n"], want["sv"], want["sw"])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_kmeans_centroids_partition_invariant(spark, tables):
+    """IVF centroid sampling must not depend on input partitioning
+    (round-2 weak item): same centroids from a 1-partition and a
+    13-partition layout of the same data."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.similarity import kmeans_centroids
+
+    emb = tables["embeddings"].to_spark().select("vec_id", "embedding")
+    a = DaskFrame(emb.coalesce(1))
+    b = DaskFrame(emb.repartition(13, "vec_id"))
+    ca = kmeans_centroids(a, n_clusters=8, iters=2)
+    cb = kmeans_centroids(b, n_clusters=8, iters=2)
+    assert ca == cb
