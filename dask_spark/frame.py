@@ -374,6 +374,15 @@ class Series:
             release(idx._ds_pinned)
         return out
 
+    def is_monotonic_increasing(self, order_by: str) -> bool:
+        """reference: _collection.py:4624 — dask checks along the
+        index; this engine has no implicit row order, so the order
+        column is explicit (same contract as autocorr)."""
+        return self._frame._is_monotonic(self._name, order_by, increasing=True)
+
+    def is_monotonic_decreasing(self, order_by: str) -> bool:
+        return self._frame._is_monotonic(self._name, order_by, increasing=False)
+
     def quantile(self, q: float = 0.5):
         """reference: dask/dataframe/partitionquantiles.py → GK sketch."""
         return self._agg_scalar(F.percentile_approx(self._expr, q))
@@ -1151,6 +1160,28 @@ class DaskFrame:
 
     def apply(self, fn: Callable, schema: str) -> "DaskFrame":
         return self.map_partitions(lambda pdf: pdf.apply(fn, axis=1, result_type="expand"), schema)
+
+    # ---- conversions (reference: dask_expr/_collection.py to_bag /
+    # to_records / itertuples bridges) ---------------------------------------
+    def to_bag(self, format: str = "dict") -> "Bag":
+        """Rows as a Bag (reference: _collection.py to_bag). Lazy —
+        rows become struct items ("dict") or arrays of doubles
+        ("tuple" over numeric frames); pure projection, no shuffle."""
+        from dask_spark.bag import Bag
+
+        if format == "dict":
+            item = F.struct(*[F.col(c) for c in self.columns])
+        elif format == "tuple":
+            item = F.array(*[F.col(c).cast("double") for c in self.columns])
+        else:
+            raise ValueError("format must be 'dict' or 'tuple'")
+        return Bag(self._sdf.select(item.alias("item")))
+
+    def to_records(self):
+        """Numpy structured array (reference: _collection.py
+        to_records). EAGER like dask's compute of the same — for a
+        lazy bridge use to_bag()."""
+        return self.compute().to_records(index=False)
 
     # ---- terminal ----------------------------------------------------------
     def compute(self):

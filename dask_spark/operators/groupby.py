@@ -98,14 +98,21 @@ class GroupBy:
         self._keys = list(keys)
 
     # ---- declarative aggregation -------------------------------------
-    def agg(self, spec: Mapping[str, object] | None = None, **named) -> "DaskFrame":
+    def agg(self, spec: Mapping[str, object] | None = None,
+            split_out: int | None = None, **named) -> "DaskFrame":
         """``agg({"x": "sum"})``, ``agg({"x": ["sum", "mean"]})`` or
         named form ``agg(total=("x", "sum"))``. Output columns are
         ``<col>_<fn>`` for the dict form (flat names — the driver's
         oracle compare needs stable flat names), or the given name.
         ``fn`` may be an :class:`Aggregation`; the named form also
         accepts a tuple of input columns for multi-column custom aggs:
-        ``agg(wavg=(("price", "qty"), wavg_agg))``."""
+        ``agg(wavg=(("price", "qty"), wavg_agg))``.
+
+        ``split_out`` (reference: dask groupby split_out — number of
+        output partitions for high-cardinality group keys): the agg
+        output normally lands on AQE-coalesced shuffle partitions;
+        split_out forces an exact count via a key-hash repartition of
+        the (already aggregated, small) result."""
         from dask_spark.frame import DaskFrame
 
         items: list[tuple[str, tuple, object]] = []  # (out, cols, fn)
@@ -140,7 +147,10 @@ class GroupBy:
                 exprs.append(_AGGS[fn](cols[0]).alias(out))
                 finals.append(F.col(out))
         out_sdf = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
-        return DaskFrame(out_sdf.select(*self._keys, *finals))
+        out_sdf = out_sdf.select(*self._keys, *finals)
+        if split_out is not None:
+            out_sdf = out_sdf.repartition(split_out, *[F.col(k) for k in self._keys])
+        return DaskFrame(out_sdf)
 
     def _agg_pandas(self, items) -> "DaskFrame":
         """applyInPandas fallback when any Aggregation carries pandas

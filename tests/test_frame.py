@@ -315,3 +315,39 @@ def test_is_monotonic(spark):
     assert f.is_monotonic_decreasing("down", order_by="t") is True
     assert f.is_monotonic_increasing("mixed", order_by="t") is False
     assert f.is_monotonic_decreasing("mixed", order_by="t") is False
+
+
+def test_conversion_bridges(tables):
+    """to_bag/to_records/itertuples (reference: _collection.py
+    conversions) + groupby split_out partitioning."""
+    import pyspark.sql.functions as F
+
+    n = tables["nation"]
+    bag = n[["n_nationkey", "n_name"]].to_bag()
+    items = bag.compute()
+    assert len(items) == 25
+
+    recs = n[["n_nationkey", "n_name"]].to_records()
+    assert len(recs) == 25 and recs.dtype.names == ("n_nationkey", "n_name")
+
+    rows = list(n[["n_nationkey"]].itertuples())
+    assert sorted(r.n_nationkey for r in rows) == list(range(25))
+
+    out = (
+        tables["orders"]
+        .groupby("o_orderpriority")
+        .agg({"o_totalprice": "sum"}, split_out=2)
+    )
+    assert out.to_spark().rdd.getNumPartitions() == 2
+    assert len(out.compute()) == 5
+
+
+def test_series_is_monotonic(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"t": [1, 2, 3], "v": [1.0, 2.0, 1.5]})
+    f = ds.from_pandas(pdf)
+    assert f.t.is_monotonic_increasing(order_by="t") is True
+    assert f.v.is_monotonic_increasing(order_by="t") is False
