@@ -400,3 +400,63 @@ def embedding_pairs_exact(frame, vec_col: str = "embedding",
         .filter(F.col("cosine") >= threshold)
     )
     return DaskFrame(out)
+
+
+def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
+    """Word n-grams as strings via the relational shingle path (same
+    codegen shape as minhash_signatures: posexplode words → lead
+    window → concat). One shuffle on the doc id, reused by any
+    downstream groupBy(doc)."""
+    from pyspark.sql import Window
+
+    words = sdf.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = F.concat(gram, F.lit(" "), p)  # F.concat null-propagates
+    return words.select(id_col, gram.alias("gram")).filter(
+        F.col("gram").isNotNull()
+    )
+
+
+def contamination(corpus, benchmark, text_col: str = "text",
+                  id_col: str = "doc_id", ngram: int = 3,
+                  threshold: float = 0.5):
+    """Benchmark-contamination check (training-data hygiene: flag
+    corpus documents whose word n-grams overlap an evaluation set —
+    the decontamination step of large-corpus pipelines; no dask
+    analog, brief-mandated extension class).
+
+    Scale shape: the benchmark gram set is DISTINCT'd and broadcast
+    (eval suites are tiny next to a 100 TB corpus); corpus grams
+    stream through a map-side broadcast-hash membership probe, then
+    ONE groupBy(doc) counts distinct grams and distinct matched grams.
+    The contamination cut compares integers (2·hits ≥ total for
+    τ=0.5-style thresholds) so no float ratio can straddle engines.
+
+    Returns (id, total_grams, hit_grams, contaminated)."""
+    from fractions import Fraction
+
+    from dask_spark.frame import DaskFrame
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    bench = _word_ngrams(
+        benchmark._sdf, text_col, id_col, ngram
+    ).select("gram").distinct().withColumn("__hit", F.lit(1))
+    grams = _word_ngrams(corpus._sdf, text_col, id_col, ngram)
+    probed = grams.join(F.broadcast(bench), on="gram", how="left")
+    per_doc = probed.groupBy(id_col).agg(
+        F.countDistinct("gram").alias("total_grams"),
+        F.countDistinct(
+            F.when(F.col("__hit").isNotNull(), F.col("gram"))
+        ).alias("hit_grams"),
+    )
+    contaminated = (
+        per_doc["hit_grams"] * F.lit(frac.denominator)
+        >= per_doc["total_grams"] * F.lit(frac.numerator)
+    )
+    return DaskFrame(per_doc.withColumn("contaminated", contaminated))

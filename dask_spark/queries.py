@@ -2451,6 +2451,223 @@ def arr_map_blocks(spark, sf_dir):
     )
 
 
+@q(
+    "join_q14_promo",
+    """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                  THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+                  ELSE 0 END)::DOUBLE
+             / SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE,
+             4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def join_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape — conditional aggregation over a broadcast
+    dim join; the date filter reaches the lineitem scan, part is
+    broadcast, one partial/final agg, no extra shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")[["p_partkey", "p_type"]]
+    j = (
+        li[(li.l_shipdate >= "1997-09-01") & (li.l_shipdate < "1997-10-01")]
+        .merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+        .assign(
+            rev=lambda d: (d.l_extendedprice * (1 - d.l_discount)).astype(
+                "decimal(18,6)"
+            )
+        )
+    )
+    sdf = j.to_spark()
+    return sdf.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))
+                    .otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+            / F.sum("rev").cast("double"),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+@q(
+    "join_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def join_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — view reuse + scalar-max subquery: the revenue
+    agg is computed once, its max is a broadcast scalar filter (no
+    second scan of lineitem), supplier joins broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")[["s_suppkey", "s_name"]]
+    rev = (
+        li[(li.l_shipdate >= "1997-01-01") & (li.l_shipdate < "1997-04-01")]
+        .assign(
+            rev=lambda d: (d.l_extendedprice * (1 - d.l_discount)).astype(
+                "decimal(18,6)"
+            )
+        )
+        .groupby("l_suppkey")
+        .agg(total_revenue=("rev", "sum"))
+        .assign(
+            total_revenue=lambda d: d.total_revenue.round(2).astype("double")
+        )
+        .persist()
+    )
+    mx = rev.total_revenue.max()
+    top = rev[rev.total_revenue == mx].merge(
+        s, left_on="l_suppkey", right_on="s_suppkey", broadcast=True
+    )
+    return top.to_spark().select("s_suppkey", "s_name", "total_revenue")
+
+
+@q(
+    "join_q19_disjunctive",
+    """
+    SELECT ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def join_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive mixed-side predicates: Catalyst
+    pushes the derivable disjuncts (brand∪, size, quantity envelope)
+    below the broadcast join and evaluates the cross-side OR in-stage —
+    never a cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")[["p_partkey", "p_brand", "p_size"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    d = j.to_spark()
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return d.filter(cond).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)")).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+
+
+@q(
+    "join_q22_idle_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT AS numcust,
+           ROUND(SUM(c_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape — scalar-avg subquery + anti join: the global
+    avg is one tiny agg (broadcast scalar literal), customers with no
+    HIGH-VALUE order drop out via left_anti (shuffle on custkey), then
+    one partial/final agg. The threshold is rounded to 2 decimals on
+    BOTH engines so an ulp of avg() disagreement can't flip
+    membership."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    o = o[o.o_totalprice > 400000][["o_custkey"]]
+    avg_bal = round(c[c.c_acctbal > 0.0].c_acctbal.mean(), 2)
+    rich = c[c.c_acctbal > avg_bal]
+    idle = rich.merge(
+        o, left_on="c_custkey", right_on="o_custkey", how="anti"
+    )
+    return (
+        idle.assign(bal=lambda d: d.c_acctbal.astype("decimal(18,6)"))
+        .groupby("c_mktsegment")
+        .agg(numcust=("c_custkey", "count"), totacctbal=("bal", "sum"))
+        .assign(totacctbal=lambda d: d.totacctbal.round(2).astype("double"))
+        .to_spark()
+    )
+
+
+@q(
+    "contamination",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> length(w) > 0) AS arr
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, arr[j] || ' ' || arr[j + 1] || ' ' || arr[j + 2] AS g
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 2)) AS j
+            FROM t)
+    ),
+    bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 20),
+    per_doc AS (
+      SELECT d.doc_id,
+             COUNT(DISTINCT d.g)::BIGINT AS total_grams,
+             COUNT(DISTINCT CASE WHEN b.g IS NOT NULL THEN d.g END)::BIGINT
+               AS hit_grams
+      FROM g2 d LEFT JOIN bench b ON d.g = b.g
+      WHERE d.doc_id >= 20
+      GROUP BY d.doc_id
+    )
+    SELECT contaminated, COUNT(*)::BIGINT AS n_docs, SUM(hit_grams)::BIGINT AS hits
+    FROM (SELECT *, (hit_grams * 2 >= total_grams) AS contaminated
+          FROM per_doc)
+    GROUP BY contaminated
+    """,
+)
+def contamination_q(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene): word-3-gram
+    overlap of every corpus doc against a broadcast benchmark gram set
+    (docs 0-19 stand in for an eval suite), integer-ratio threshold.
+    Map-side broadcast probe + one groupBy(doc) — scale shape in
+    operators/dedup.contamination."""
+    from dask_spark.operators.dedup import contamination
+
+    d = load(spark, sf_dir, "documents")
+    bench = d[d.doc_id < 20]
+    corpus = d[d.doc_id >= 20]
+    out = contamination(corpus, bench, ngram=3, threshold=0.5)
+    return (
+        out.to_spark()
+        .groupBy("contaminated")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hit_grams").cast("bigint").alias("hits"),
+        )
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

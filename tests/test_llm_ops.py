@@ -287,3 +287,29 @@ def test_lsh_band_udf_matches_expression(vectors, spark):
         > 0
     ).count()
     assert mismatch == 0
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    """Benchmark decontamination: a corpus doc sharing most 3-grams
+    with a benchmark doc is flagged; an unrelated doc is not."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import contamination
+
+    bench = ds.from_pandas(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    corpus = ds.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [
+            "the quick brown fox jumps over a sleepy dog",   # heavy overlap
+            "completely unrelated words about spark engines today",
+        ],
+    }))
+    got = contamination(corpus, bench, ngram=3, threshold=0.5).compute()
+    flags = dict(zip(got.doc_id, got.contaminated))
+    assert flags[10] == True and flags[11] == False  # noqa: E712
+    totals = dict(zip(got.doc_id, got.total_grams))
+    assert totals[10] == 7 and totals[11] == 5
