@@ -57,10 +57,37 @@ def read_orc(path: str) -> DaskFrame:
 
 
 def from_pandas(pdf, npartitions: int | None = None) -> DaskFrame:
-    sdf = _spark().createDataFrame(pdf)
+    spark = _spark()
+    if len(pdf) == 0:
+        # Spark refuses to infer from zero rows; dask holds empty
+        # frames fine — derive the schema from the pandas dtypes
+        from pyspark.sql.types import StructField, StructType
+
+        sdf = spark.createDataFrame(
+            [], StructType([
+                StructField(str(c), _pandas_dtype_to_spark(pdf[c].dtype), True)
+                for c in pdf.columns
+            ])
+        )
+    else:
+        sdf = spark.createDataFrame(pdf)
     if npartitions:
         sdf = sdf.repartition(npartitions)
     return DaskFrame(sdf)
+
+
+def _pandas_dtype_to_spark(dtype):
+    from pyspark.sql import types as T
+
+    name = str(dtype)
+    if name.startswith("datetime64"):
+        return T.TimestampType()
+    return {
+        "int8": T.ByteType(), "int16": T.ShortType(),
+        "int32": T.IntegerType(), "int64": T.LongType(),
+        "float32": T.FloatType(), "float64": T.DoubleType(),
+        "bool": T.BooleanType(),
+    }.get(name, T.StringType())
 
 
 def read_sql_table(table: str, url: str, properties: Mapping[str, str] | None = None,

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the keyless-window machinery —
+the code path with the most edge-case surface (range-bucket halos,
+driver-merged bucket sizing, cross-bucket carry). Mirrors the
+reference's randomized parity style (dask/dataframe/tests use random
+frames against pandas)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _nn(series):
+    return [None if pd.isna(x) else x for x in series]
+
+
+def _frame(spark, vals):
+    import dask_spark as ds
+
+    # unique, shuffled order keys; duplicate VALUES are fair game
+    n = len(vals)
+    order = [(i * 2654435761 + 13) % (1 << 31) for i in range(n)]
+    pdf = pd.DataFrame({"t": order, "v": [float(x) for x in vals]})
+    return ds.from_pandas(pdf, npartitions=min(8, n)), pdf.sort_values(
+        "t", ignore_index=True
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=200),
+    periods=st.integers(-4, 4).filter(lambda p: p != 0),
+)
+def test_keyless_shift_matches_pandas(spark, vals, periods):
+    from dask_spark.operators.window import shift
+
+    f, p = _frame(spark, vals)
+    got = (
+        shift(f, "v", periods=periods, order_by="t")
+        .compute()
+        .sort_values("t", ignore_index=True)
+    )
+    want = p.v.shift(periods)
+    assert _nn(got.v_shift) == _nn(want)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=200),
+    fn=st.sampled_from(["sum", "max", "min"]),
+)
+def test_keyless_cumulative_matches_pandas(spark, vals, fn):
+    from dask_spark.operators.window import cumulative
+
+    f, p = _frame(spark, vals)
+    got = (
+        cumulative(f, "v", fn, order_by="t")
+        .compute()
+        .sort_values("t", ignore_index=True)
+    )
+    want = getattr(p.v, f"cum{fn}")()
+    assert got[f"v_cum{fn}"].tolist() == pytest.approx(want.tolist())
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=150),
+    window=st.integers(2, 12),
+)
+def test_keyless_rolling_matches_pandas(spark, vals, window):
+    f, p = _frame(spark, vals)
+    got = (
+        f.rolling(window, on="t")
+        .mean("v")
+        .compute()
+        .sort_values("t", ignore_index=True)
+    )
+    want = p.v.rolling(window, min_periods=1).mean()
+    assert got.v_roll_mean.tolist() == pytest.approx(want.tolist())
+
+
+@settings(**SETTINGS)
+@given(
+    lt=st.lists(st.integers(0, 500), min_size=1, max_size=80, unique=True),
+    rt=st.lists(st.integers(0, 500), min_size=0, max_size=15, unique=True),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_keyless_merge_asof_matches_pandas(spark, lt, rt, direction):
+    import dask_spark as ds
+
+    left = pd.DataFrame({"t": sorted(lt), "lv": range(len(lt))})
+    right = pd.DataFrame(
+        {"t": pd.Series(sorted(rt), dtype="int64"),
+         "rv": pd.Series([float(x) for x in rt], dtype="float64")}
+    )
+    got = (
+        ds.from_pandas(left)
+        .merge_asof(ds.from_pandas(right), on="t", direction=direction)
+        .compute()
+        .sort_values("t", ignore_index=True)
+    )
+    want = pd.merge_asof(left, right, on="t", direction=direction)
+    assert _nn(got.rv) == _nn(want.rv)
