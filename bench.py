@@ -29,6 +29,10 @@ HEADLINE = [
     "dedup_minhash",      # MinHash LSH candidate pipeline
     "ann_bruteforce",     # map-only cosine top-k
     "text_quality",       # expression-heavy text scoring
+    # round-3 additions (not in r1/r2 totals — compare per-query)
+    "groupby_custom_agg", # custom Aggregation: partial-Column triplets
+    "corr_matrix",        # k*(k+1)/2 aggregates in one scan
+    "contamination",      # n-gram decontamination pipeline
 ]
 
 

@@ -875,48 +875,41 @@ class DaskFrame:
         """Forward-fill nulls in ``cols`` along ``order_by`` (within
         ``by`` groups): window ``last(ignorenulls)`` — the declarative
         twin of dask's map_overlap ffill; one sort-shuffle on the
-        group key."""
-        from pyspark.sql import Window
+        group key. Keyless goes through the two-pass cross-bucket
+        carry (never a single-partition window)."""
+        from dask_spark.operators.window import fill_directional
 
-        cols = [cols] if isinstance(cols, str) else list(cols)
-        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(order_by)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        sdf = self._sdf
-        for c in cols:
-            sdf = sdf.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-        return DaskFrame(sdf)
+        return fill_directional(self, cols, order_by, by, "ffill")
 
     def bfill(self, cols: str | Sequence[str], order_by: str,
               by: str | Sequence[str] | None = None) -> "DaskFrame":
-        from pyspark.sql import Window
+        from dask_spark.operators.window import fill_directional
 
-        cols = [cols] if isinstance(cols, str) else list(cols)
-        by = [] if by is None else ([by] if isinstance(by, str) else list(by))
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(order_by)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        sdf = self._sdf
-        for c in cols:
-            sdf = sdf.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
-        return DaskFrame(sdf)
+        return fill_directional(self, cols, order_by, by, "bfill")
 
     def pct_change(self, col: str, periods: int = 1, order_by: str | None = None,
                    by: str | Sequence[str] | None = None,
                    out: str | None = None) -> "DaskFrame":
-        """(x - x.shift(periods)) / x.shift(periods) via lag window."""
+        """(x - x.shift(periods)) / x.shift(periods) via lag window;
+        keyless rides the halo-shipped keyless shift."""
         from pyspark.sql import Window
 
+        from dask_spark.operators.window import shift as _shift
+
+        name = out or f"{col}_pct_change"
         by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+        if not by:
+            shifted = _shift(self, col, periods=periods,
+                             order_by=order_by or col, out="__prev")
+            prev = F.col("__prev")
+            return DaskFrame(
+                shifted._sdf.withColumn(name, (F.col(col) - prev) / prev)
+                .drop("__prev")
+            )
         w = Window.partitionBy(*by).orderBy(order_by or col)
         prev = F.lag(col, periods).over(w)
         return DaskFrame(
-            self._sdf.withColumn(out or f"{col}_pct_change", (F.col(col) - prev) / prev)
+            self._sdf.withColumn(name, (F.col(col) - prev) / prev)
         )
 
     def _cum(self, fn: str, col: str, order_by: str, by=None, out=None):

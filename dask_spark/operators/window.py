@@ -328,6 +328,85 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
     return DaskFrame(out)
 
 
+def fill_directional(frame, cols, order_by: str, by=None,
+                     direction: str = "ffill"):
+    """ffill/bfill along ``order_by`` (reference: dask map_overlap
+    ffill). Keyed: window last/first(ignorenulls). Keyless: the
+    lookback is unbounded, so halos can't help — instead the classic
+    two-pass carry: per-bucket boundary values (one tiny agg →
+    #buckets rows on the driver), prefix-scanned into one seed value
+    per bucket, coalesced under the per-bucket window fill. Exact even
+    when whole buckets are all-null."""
+    from dask_spark.frame import DaskFrame
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    forward = direction == "ffill"
+    if by:
+        w = Window.partitionBy(*by).orderBy(order_by)
+        w = (w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+             if forward else
+             w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.last if forward else F.first
+        sdf = frame._sdf
+        for c in cols:
+            sdf = sdf.withColumn(c, pick(F.col(c), ignorenulls=True).over(w))
+        return DaskFrame(sdf)
+    return _fill_keyless(frame, cols, order_by, forward)
+
+
+def _fill_keyless(frame, cols, order_by: str, forward: bool):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.sort import _pin
+
+    sdf = frame._sdf
+    spark = sdf.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = _pin(
+        sdf.repartitionByRange(n, F.col(order_by))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # boundary value per bucket: the non-null value at the max (ffill) /
+    # min (bfill) order position — null orderings exclude null rows
+    pick_by = F.max_by if forward else F.min_by
+    aggs = [
+        pick_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(order_by)))
+        .alias(c)
+        for c in cols
+    ]
+    bounds = {
+        r["__pid"]: r
+        for r in ranged.groupBy("__pid").agg(*aggs).collect()
+    }
+    pids = sorted(bounds) if forward else sorted(bounds, reverse=True)
+    carry_rows, carry = [], {c: None for c in cols}
+    for pid in pids:
+        carry_rows.append((pid, *[carry[c] for c in cols]))
+        for c in cols:
+            if bounds[pid][c] is not None:
+                carry[c] = bounds[pid][c]
+    schema = StructType(
+        [StructField("__pid", IntegerType())]
+        + [StructField(f"__carry_{c}", sdf.schema[c].dataType) for c in cols]
+    )
+    seeds = spark.createDataFrame(carry_rows, schema)
+    w = Window.partitionBy("__pid").orderBy(order_by)
+    w = (w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+         if forward else
+         w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    pick = F.last if forward else F.first
+    out = ranged.join(F.broadcast(seeds), "__pid", "left")
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.coalesce(pick(F.col(c), ignorenulls=True).over(w),
+                       F.col(f"__carry_{c}")),
+        )
+    return DaskFrame(out.drop("__pid", *[f"__carry_{c}" for c in cols]))
+
+
 def map_overlap(frame, fn, schema: str, on: str, before: float = 0,
                 after: float = 0, npartitions: int = 32):
     """Generic distributed map_overlap (reference:

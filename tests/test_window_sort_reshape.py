@@ -359,3 +359,36 @@ def test_keyless_asof_sparse_right(spark):
         )
         want = pd.merge_asof(left, right, on="t", direction=direction)
         assert_eq(got, want, sort_by=["t"])
+
+
+def test_keyless_ffill_bfill_cross_bucket(spark):
+    """Keyless ffill/bfill must carry values ACROSS range buckets —
+    long null runs spanning whole buckets are filled from the last
+    non-null bucket (two-pass carry), matching pandas exactly."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    v = rng.rand(n)
+    v[200:3200] = np.nan          # a null run spanning many buckets
+    v[::7] = np.nan
+    pdf = pd.DataFrame({"t": np.arange(n), "v": v})
+    f = ds.from_pandas(pdf, npartitions=8)
+
+    got_f = f.ffill("v", order_by="t").compute().sort_values("t", ignore_index=True)
+    want_f = pdf.sort_values("t", ignore_index=True).assign(v=pdf.v.ffill())
+    pd.testing.assert_series_equal(got_f.v, want_f.v, check_exact=True)
+
+    got_b = f.bfill("v", order_by="t").compute().sort_values("t", ignore_index=True)
+    want_b = pdf.sort_values("t", ignore_index=True).assign(v=pdf.v.bfill())
+    pd.testing.assert_series_equal(got_b.v, want_b.v, check_exact=True)
+
+    pct = f.pct_change("v", order_by="t").compute().sort_values("t", ignore_index=True)
+    want_pct = pdf.v - pdf.v.shift(1)
+    want_pct = (want_pct / pdf.v.shift(1))
+    pd.testing.assert_series_equal(
+        pct.v_pct_change, want_pct.rename("v_pct_change"), check_exact=True
+    )
