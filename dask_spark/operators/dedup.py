@@ -95,7 +95,11 @@ def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
     mix = [rng.randrange(1, _MERSENNE31) for _ in range(shingle_k)]
     m31 = F.lit(_MERSENNE31)
 
-    words = sdf.select(
+    # hash-repartition COMPACT docs first: Generate preserves child
+    # partitioning, so the per-doc window then needs NO exchange of the
+    # exploded words — the shuffle moves ~1 row/doc instead of one row
+    # per word (r3 measurement: the word exchange dominated this path)
+    words = sdf.repartition(F.col(id_col)).select(
         id_col, F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "w")
     ).filter(F.length("w") > 0)
     h = F.pmod(F.xxhash64("w"), m31)
@@ -284,10 +288,10 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     # the whole tokenization per element (no CSE), which measured ~40×
     # slower. Docs shorter than n words produce one gram of all words
     # (matching the array formulation's sequence(0, max(size-n, 0))).
-    words = sdf.select(
+    words = sdf.repartition(F.col(id_col)).select(
         id_col,
         F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "w"),
-    ).filter(F.length("w") > 0)
+    ).filter(F.length("w") > 0)  # docs repartitioned compact (see minhash)
     dwin = Window.partitionBy(id_col)
     owin = dwin.orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(owin) for j in range(1, n)]
@@ -409,10 +413,10 @@ def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
     downstream groupBy(doc)."""
     from pyspark.sql import Window
 
-    words = sdf.select(
+    words = sdf.repartition(F.col(id_col)).select(
         id_col,
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
-    ).filter(F.length("w") > 0)
+    ).filter(F.length("w") > 0)  # docs repartitioned compact (see minhash)
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
     gram = parts[0]
