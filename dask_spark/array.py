@@ -362,6 +362,34 @@ class DArray:
         U = self._tsqr(post)[0]
         return U, out["s"], out["Vt"]
 
+    def lstsq(self, b, b_col: str):
+        """Least squares min‖Ax − b‖ via tsqr (reference:
+        dask/array/linalg.py lstsq — dask solves R x = Qᵀb the same
+        way): Q,R = tsqr(A); Qᵀb is a per-row scale (JVM transform)
+        plus ONE axis-0 sum (d scalars to the driver); the d×d
+        triangular solve is driver-side numpy. ``b`` is a DaskFrame
+        carrying (id_col, b_col) aligned with this array's id_col.
+        Returns the coefficient ndarray (length d)."""
+        import numpy as np
+
+        if self._id is None:
+            raise ValueError("lstsq requires id_col alignment")
+        Q, R = self.tsqr()
+        joined = Q._sdf.join(
+            b._sdf.select(F.col(self._id), F.col(b_col)), on=self._id
+        )
+        scaled = joined.select(
+            F.transform(
+                F.col(self._col), lambda q: q * F.col(b_col).cast("double")
+            ).alias("qb")
+        )
+        c = (
+            scaled.select(F.posexplode("qb").alias("dim", "x"))
+            .groupBy("dim").agg(F.sum("x").alias("v"))
+            .orderBy("dim").collect()
+        )
+        return np.linalg.solve(R, np.array([r["v"] for r in c]))
+
     def _tsqr(self, post):
         import numpy as np
         import pandas as pd

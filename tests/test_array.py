@@ -191,3 +191,26 @@ def test_map_blocks(spark):
 
     with pytest.raises(Exception, match="row count"):
         arr.map_blocks(lambda M: M[:1]).compute()
+
+
+def test_lstsq_recovers_coefficients(spark):
+    """lstsq via tsqr (reference dask/array/linalg.py lstsq): recover
+    known coefficients from a noisy overdetermined system."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+    from dask_spark.frame import DaskFrame
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(800, 4)
+    beta = np.array([2.0, -1.0, 0.5, 3.0])
+    y = X @ beta + rng.randn(800) * 0.01
+    rows = [
+        (i, [float(v) for v in X[i]], float(y[i])) for i in range(800)
+    ]
+    sdf = spark.createDataFrame(rows, "rid bigint, vec array<double>, y double")
+    arr = DArray(sdf.select("rid", "vec"), "vec", "rid")
+    got = arr.lstsq(DaskFrame(sdf.select("rid", "y")), "y")
+    want = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert np.allclose(got, want, atol=1e-8)
+    assert np.allclose(got, beta, atol=0.01)
