@@ -646,8 +646,21 @@ class DaskFrame:
     def head(self, n: int = 5):
         return self._sdf.limit(n).toPandas()
 
-    def sample(self, frac: float, random_state: int = 42) -> "DaskFrame":
-        return DaskFrame(self._sdf.sample(fraction=frac, seed=random_state))
+    def sample(self, frac: float, random_state: int = 42,
+               replace: bool = False) -> "DaskFrame":
+        return DaskFrame(
+            self._sdf.sample(withReplacement=replace, fraction=frac,
+                             seed=random_state)
+        )
+
+    def nunique(self) -> "DaskFrame":
+        """Per-column distinct counts in one pass (dask
+        DataFrame.nunique; one agg over every column)."""
+        return DaskFrame(
+            self._sdf.agg(
+                *[F.countDistinct(F.col(c)).alias(c) for c in self.columns]
+            )
+        )
 
     # ---- reductions (frame-level, lazy one-row frame) -----------------------
     def _numeric_cols(self) -> list[str]:
@@ -1261,10 +1274,30 @@ def sql(query: str) -> DaskFrame:
     return DaskFrame(spark.sql(query))
 
 
-def concat(frames: Sequence[DaskFrame]) -> DaskFrame:
-    """reference: dask/dataframe/multi.py concat (axis=0) →
-    unionByName with missing-column fill."""
-    out = frames[0]._sdf
-    for f in frames[1:]:
-        out = out.unionByName(f._sdf, allowMissingColumns=True)
-    return DaskFrame(out)
+def concat(frames: Sequence[DaskFrame], axis: int = 0,
+           on: str | None = None, join: str = "outer") -> DaskFrame:
+    """reference: dask/dataframe/multi.py concat. axis=0 →
+    unionByName with missing-column fill (no shuffle). axis=1 →
+    column-wise alignment on the shared key ``on`` (dask aligns on the
+    index; this engine's index analog is an explicit key column):
+    outer/inner joins, duplicate non-key columns suffixed _0/_1/…"""
+    if axis == 0:
+        out = frames[0]._sdf
+        for f in frames[1:]:
+            out = out.unionByName(f._sdf, allowMissingColumns=True)
+        return DaskFrame(out)
+    if axis == 1:
+        if on is None:
+            raise ValueError("axis=1 concat needs on= (the alignment key)")
+        how = {"outer": "full_outer", "inner": "inner"}[join]
+        seen = set()
+        out = None
+        for i, f in enumerate(frames):
+            sdf = f._sdf
+            for c in sdf.columns:
+                if c != on and c in seen:
+                    sdf = sdf.withColumnRenamed(c, f"{c}_{i}")
+            seen.update(c for c in sdf.columns if c != on)
+            out = sdf if out is None else out.join(sdf, on=on, how=how)
+        return DaskFrame(out)
+    raise ValueError(f"axis must be 0 or 1, got {axis}")

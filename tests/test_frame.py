@@ -351,3 +351,23 @@ def test_series_is_monotonic(spark):
     f = ds.from_pandas(pdf)
     assert f.t.is_monotonic_increasing(order_by="t") is True
     assert f.v.is_monotonic_increasing(order_by="t") is False
+
+
+def test_concat_axis1_and_frame_nunique(tables, pdf_tables):
+    import dask_spark as ds
+
+    n = tables["nation"]
+    a = n[["n_nationkey", "n_name"]]
+    b = n[["n_nationkey", "n_regionkey"]]
+    got = ds.concat([a, b], axis=1, on="n_nationkey").compute()
+    assert len(got) == 25
+    assert set(got.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+    nu = tables["orders"][["o_orderstatus", "o_orderpriority"]].nunique().compute()
+    p = pdf_tables["orders"]
+    assert nu.o_orderstatus.iloc[0] == p.o_orderstatus.nunique()
+    assert nu.o_orderpriority.iloc[0] == p.o_orderpriority.nunique()
+
+    # with-replacement sampling returns roughly frac*n rows
+    s = tables["orders"].sample(0.5, replace=True).compute()
+    assert 0.2 < len(s) / len(p) < 0.9
