@@ -184,8 +184,10 @@ class GroupBy:
                         val = fn.agg_fn(val)
                     if fn.finalize is not None:
                         val = fn.finalize(val)
+                elif fn == "size":
+                    val = len(pdf)  # pandas .size is an attribute
                 else:
-                    val = getattr(pdf[cols[0]], "size" if fn == "size" else fn)()
+                    val = getattr(pdf[cols[0]], fn)()
                 row[out] = [val]
             return pd.DataFrame(row)
 

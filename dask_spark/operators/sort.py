@@ -44,12 +44,17 @@ def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None 
 
 
 # Bounded FIFO of persisted helper plans (with_global_index /
-# ranged_with_halo two-pass plans). Persisting keeps the count pass and
-# the output scan on identical partition boundaries; the FIFO cap stops
-# a long session from accumulating cached datasets (eager consumers like
-# Series.autocorr release theirs immediately via release()).
+# ranged_with_halo two-pass plans). Persisting keeps the driver-side
+# pass (counts/boundaries) and the output scan on identical partition
+# boundaries; the FIFO cap stops a long session from accumulating
+# cached datasets (eager consumers like Series.autocorr release theirs
+# immediately via release()). A LAZY consumer whose pin is evicted
+# would recompute the ranged plan — range sampling is then not
+# guaranteed to land on the same boundaries — so the cap is sized for
+# several concurrent lazy global-index consumers; materialize (or
+# persist) such results promptly.
 _PINNED: list = []
-_PIN_LIMIT = 4
+_PIN_LIMIT = 8
 
 
 def _pin(df):

@@ -333,3 +333,34 @@ def test_custom_aggregation_pandas_mode(tables, pdf_tables):
         .reset_index()
     )
     assert_eq(got, want, sort_by=["l_linestatus"])
+
+
+def test_custom_aggregation_pandas_mode_with_size(tables, pdf_tables):
+    """size/count string fns evaluated inside the applyInPandas path
+    (pandas .size is an attribute, not a method — regression)."""
+    from dask_spark import Aggregation
+
+    med = Aggregation("median", chunk=lambda s: float(s.median()))
+    got = (
+        tables["orders"]
+        .groupby("o_orderstatus")
+        .agg(
+            mid=("o_totalprice", med),
+            n=("o_orderkey", "size"),
+            k=("o_orderkey", "count"),
+        )
+    )
+    p = pdf_tables["orders"]
+    want = (
+        p.groupby("o_orderstatus")
+        .apply(
+            lambda g: pd.Series(
+                {"mid": g.o_totalprice.median(), "n": len(g), "k": len(g)}
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+    )
+    want["n"] = want.n.astype("int64")
+    want["k"] = want.k.astype("int64")
+    assert_eq(got, want, sort_by=["o_orderstatus"])
