@@ -18,6 +18,7 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, Window
 from pyspark.sql.functions import broadcast as B
+from pyspark.sql.types import TimestampType
 
 _HOW = {
     "inner": "inner",
@@ -224,7 +225,16 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     if not by:
         out = out.drop("__pid")
     if tolerance is not None:
-        within = F.abs(F.col(on) - F.col("__match_on")) <= F.lit(tolerance)
+        if isinstance(unioned.schema[on].dataType, TimestampType):
+            # numeric tolerance = seconds for timestamp keys (pandas
+            # takes a Timedelta; interval-vs-number comparison would
+            # throw in Spark)
+            diff = F.abs(
+                F.unix_micros(F.col(on)) - F.unix_micros(F.col("__match_on"))
+            ) / F.lit(1_000_000.0)
+        else:
+            diff = F.abs(F.col(on) - F.col("__match_on"))
+        within = diff <= F.lit(tolerance)
         for c in payload:
             out = out.withColumn(c, F.when(within, F.col(c)))
     return DaskFrame(out.drop("__match_on"))

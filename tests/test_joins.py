@@ -173,3 +173,24 @@ def test_range_join(spark):
     # lv=1 (t=0,a) matches rv 10 (t=5), 20 (t=50); lv=2 (t=100,a) none ≤160
     # except none; lv=3 (t=0,b) none within 60 (t=500)
     assert got == [(1, 10), (1, 20)]
+
+
+def test_merge_asof_timestamp_tolerance(spark):
+    """Numeric tolerance (seconds) against a timestamp on-key: Spark
+    interval arithmetic must not leak into the comparison."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    lt = pd.to_datetime(["2026-01-01 00:00:10", "2026-01-01 00:05:00"])
+    rt = pd.to_datetime(["2026-01-01 00:00:00"])
+    left = pd.DataFrame({"t": lt, "lv": [1, 2]})
+    right = pd.DataFrame({"t": rt, "rv": [7.0]})
+    got = (
+        ds.from_pandas(left)
+        .merge_asof(ds.from_pandas(right), on="t", tolerance=30)
+        .compute()
+        .sort_values("t", ignore_index=True)
+    )
+    # 10s gap within 30s tolerance; 5min gap outside it
+    assert got.rv.iloc[0] == 7.0 and pd.isna(got.rv.iloc[1])

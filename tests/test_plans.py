@@ -268,3 +268,43 @@ def test_kmeans_centroids_partition_invariant(spark, tables):
     ca = kmeans_centroids(a, n_clusters=8, iters=2)
     cb = kmeans_centroids(b, n_clusters=8, iters=2)
     assert ca == cb
+
+
+def test_contamination_corpus_single_gram_shuffle(spark, tables):
+    """The corpus side of contamination must shuffle COMPACT documents
+    (one exchange below the Generate), probe the benchmark via
+    broadcast, and never shuffle exploded word rows."""
+    from dask_spark.operators.dedup import contamination
+
+    d = tables["documents"]
+    out = contamination(d, d, ngram=3, threshold=0.5)
+    plan = out.to_spark()._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # every Exchange sits below a Generate only via the doc repartition:
+    # no hashpartitioning on the word/pos columns anywhere
+    assert "hashpartitioning(pos" not in plan
+    assert "hashpartitioning(w#" not in plan
+
+
+def test_tsqr_q_is_map_only(spark, tables):
+    """tsqr's Q output must be a map-only scan of the pinned ranged
+    plan (no exchange added by the back-multiply pass)."""
+    from dask_spark.array import DArray
+
+    e = tables["embeddings"]
+    Q, R = DArray.from_frame(e, "embedding", "vec_id").tsqr()
+    plan = Q._sdf._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_q19_pushdown_envelope(spark, sf_dir):
+    """Q19-shape disjunctive predicates: the derivable quantity
+    envelope must reach the lineitem parquet scan, the brand/size
+    disjunction the part scan."""
+    from dask_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["join_q19_disjunctive"]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan
+    assert plan.count("Or(") >= 2, "disjuncts not pushed to the scans"
