@@ -1127,10 +1127,18 @@ class DaskFrame:
 
         return explode(self, column)
 
-    def get_dummies(self, column: str, prefix: str | None = None, values: Sequence[str] | None = None) -> "DaskFrame":
+    def get_dummies(self, column: str | Sequence[str],
+                    prefix: str | None = None,
+                    values: Sequence[str] | None = None,
+                    max_categories: int = 1024) -> "DaskFrame":
         from dask_spark.operators.reshape import get_dummies
 
-        return get_dummies(self, column, prefix, values)
+        if isinstance(column, (list, tuple)):
+            out = self
+            for c in column:
+                out = get_dummies(out, c, None, None, max_categories)
+            return out
+        return get_dummies(self, column, prefix, values, max_categories)
 
     def rolling(self, window: int | str, on: str, by: str | Sequence[str] | None = None):
         from dask_spark.operators.window import Rolling

@@ -116,6 +116,16 @@ class GroupBy:
         from dask_spark.frame import DaskFrame
 
         items: list[tuple[str, tuple, object]] = []  # (out, cols, fn)
+        if isinstance(spec, (str, Aggregation)) or (
+            isinstance(spec, (list, tuple))
+            and all(isinstance(f, (str, Aggregation)) for f in spec)
+        ):
+            # dask's "apply to every numeric column" forms:
+            # agg("sum") / agg(["sum", "mean"])
+            num = [c for c in self._frame._numeric_cols()
+                   if c not in self._keys]
+            fns = [spec] if isinstance(spec, (str, Aggregation)) else list(spec)
+            spec = {c: (fns[0] if len(fns) == 1 else fns) for c in num}
         if spec:
             for col, fns in spec.items():
                 for fn in [fns] if isinstance(fns, (str, Aggregation)) else fns:

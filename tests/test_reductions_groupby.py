@@ -364,3 +364,20 @@ def test_custom_aggregation_pandas_mode_with_size(tables, pdf_tables):
     want["n"] = want.n.astype("int64")
     want["k"] = want.k.astype("int64")
     assert_eq(got, want, sort_by=["o_orderstatus"])
+
+
+def test_groupby_agg_all_numeric_forms(tables, pdf_tables):
+    """dask's agg("sum") / agg(["sum", "mean"]) apply to every numeric
+    non-key column."""
+    got = tables["nation"].groupby("n_regionkey").agg("sum")
+    p = pdf_tables["nation"]
+    want = (
+        p.groupby("n_regionkey")
+        .agg(n_nationkey_sum=("n_nationkey", "sum"))
+        .reset_index()
+    )
+    assert_eq(got, want, sort_by=["n_regionkey"])
+
+    got2 = tables["orders"].groupby("o_orderstatus").agg(["sum", "mean"])
+    cols = set(got2.columns)
+    assert {"o_totalprice_sum", "o_totalprice_mean"} <= cols
