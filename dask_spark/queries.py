@@ -2716,6 +2716,80 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
+@q(
+    "keyless_diff",
+    """
+    SELECT event_id,
+           value - lag(value, 1) OVER (ORDER BY event_id) AS value_diff
+    FROM events
+    """,
+)
+def keyless_diff(spark, sf_dir):
+    """KEYLESS diff over the whole table (round-3 machinery): range
+    buckets + one-row halo instead of a single-partition window; the
+    oracle's global window must agree exactly (row-level double
+    subtraction, no rounding needed)."""
+    from dask_spark.operators.window import diff
+
+    e = load(spark, sf_dir, "events")[["event_id", "value"]]
+    out = diff(e, "value", periods=1, order_by="event_id", out="value_diff")
+    return out.to_spark().select("event_id", "value_diff")
+
+
+@q(
+    "keyless_cumsum",
+    """
+    SELECT event_id,
+           SUM(value::DECIMAL(18,6)) OVER (
+             ORDER BY event_id ROWS UNBOUNDED PRECEDING
+           )::DOUBLE AS running
+    FROM events
+    """,
+)
+def keyless_cumsum(spark, sf_dir):
+    """KEYLESS cumulative sum: the two-pass prefix scan (per-bucket
+    running agg + driver offsets) must equal the oracle's global
+    running sum. Decimal accumulation makes the result independent of
+    how the scan splits into buckets."""
+    from dask_spark.operators.window import cumulative
+
+    e = load(spark, sf_dir, "events")[["event_id", "value"]]
+    e = e.assign(vd=lambda d: d.value.astype("decimal(18,6)"))
+    out = cumulative(e, "vd", "sum", order_by="event_id", out="running")
+    return out.to_spark().select(
+        "event_id", F.col("running").cast("double").alias("running")
+    )
+
+
+@q(
+    "keyless_ffill",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN value < 0.2 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           last_value(v IGNORE NULLS) OVER (
+             ORDER BY event_id ROWS UNBOUNDED PRECEDING
+           ) AS v
+    FROM t
+    """,
+)
+def keyless_ffill(spark, sf_dir):
+    """KEYLESS forward-fill: two-pass cross-bucket carry (per-bucket
+    boundary values prefix-scanned on the driver) against the oracle's
+    global ignore-nulls window."""
+    e = load(spark, sf_dir, "events")[["event_id", "value"]]
+    masked = DaskFrame(
+        e.to_spark().select(
+            "event_id",
+            F.when(F.col("value") < 0.2, None).otherwise(F.col("value")).alias("v"),
+        )
+    )
+    return masked.ffill("v", order_by="event_id").to_spark().select("event_id", "v")
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
