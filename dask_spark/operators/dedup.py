@@ -464,3 +464,59 @@ def contamination(corpus, benchmark, text_col: str = "text",
         >= per_doc["total_grams"] * F.lit(frac.numerator)
     )
     return DaskFrame(per_doc.withColumn("contaminated", contaminated))
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 50):
+    """Cluster near-dup pairs into components (the canonicalization
+    step after pair verification in a dedup pipeline — pick one doc
+    per component; dask has no analog, brief-mandated extension
+    class).
+
+    Min-label propagation over the symmetrized edge list: each round
+    is one shuffle join (labels ⋈ edges) + a min aggregate, then a
+    TINY count action for the convergence check; rounds ≈ component
+    diameter, and near-dup clusters are shallow (a handful of hops).
+    Labels are persisted per round so lineage stays bounded. For
+    adversarially deep graphs swap in pointer-doubling (large/small
+    star) — same join shape, O(log d) rounds.
+
+    Returns (id, component) for every id that appears in a pair;
+    component = the smallest id in the component (deterministic)."""
+    from dask_spark.frame import DaskFrame
+
+    base = pairs._sdf.select(id_a, id_b)
+    edges = (
+        base.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            base.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            labels.withColumnRenamed("component", "__old")
+            .join(new_labels, "id")
+            .filter(F.col("__old") != F.col("component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return DaskFrame(labels)

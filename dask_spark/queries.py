@@ -2790,6 +2790,43 @@ def keyless_ffill(spark, sf_dir):
     return masked.ffill("v", order_by="event_id").to_spark().select("event_id", "v")
 
 
+@q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, MIN(dst)::BIGINT AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pair clustering (connected components via min-label
+    propagation — the canonicalization step of a dedup pipeline) over
+    the exact cosine pairs; the oracle computes the same components
+    with a recursive transitive closure."""
+    from dask_spark.operators.dedup import (
+        connected_components,
+        embedding_pairs_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    prs = embedding_pairs_exact(e, threshold=0.4)
+    return connected_components(prs).to_spark().select("id", "component")
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

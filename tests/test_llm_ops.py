@@ -313,3 +313,22 @@ def test_contamination_flags_overlapping_docs(spark):
     assert flags[10] == True and flags[11] == False  # noqa: E712
     totals = dict(zip(got.doc_id, got.total_grams))
     assert totals[10] == 7 and totals[11] == 5
+
+
+def test_connected_components_clusters(spark):
+    """Label propagation forms exact components: a 4-node chain, a
+    triangle, and an isolated pair; singletons don't appear."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10, 11, 10, 20],
+         "id_b": [2, 3, 4, 11, 12, 12, 21]}
+    )
+    got = connected_components(ds.from_pandas(pairs)).compute()
+    comp = dict(zip(got.id, got.component))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
