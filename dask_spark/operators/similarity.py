@@ -183,3 +183,59 @@ def brute_force_topk_batch(frame, queries, k: int = 10,
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
+             id_col: str = "vec_id", planes: int = 6, bands: int = 8,
+             seed: int = 7, exclude_self: bool = False):
+    """Approximate k-NN JOIN — every left vector gets its k nearest
+    right vectors (both sides LARGE; unlike brute_force/ann_batch the
+    query side never broadcasts and the corpus never fully scans per
+    query).
+
+    Scale shape: both sides compute bands×planes LSH signatures with
+    the batched Arrow matmul (map-only), explode to (band, band_sig)
+    keys, and candidates come from an equi-join on the band key —
+    shuffle is by bucket, fan-out bounded by bucket sizes. Exact
+    cosine runs only on distinct candidate pairs; a rank window per
+    left id takes the top k. Recall grows with ``bands`` (any shared
+    band makes a pair a candidate); vectors with no shared band are
+    simply absent (approximate by design).
+
+    Returns (left id, right id, cosine, rank) rows, rank 1..k."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.vector import cosine_sim, lsh_band_signature_udf
+
+    from pyspark.sql import Window
+
+    dim = len(left._sdf.select(vec_col).first()[0])
+    sig = lsh_band_signature_udf(dim, planes, bands, seed)
+
+    def banded(sdf, prefix):
+        return sdf.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(sig(F.col(vec_col))).alias("band", f"{prefix}_sig"),
+        )
+
+    a = banded(left._sdf, "l")
+    b = banded(right._sdf, "r")
+    cand = (
+        a.join(b, on=[a["band"] == b["band"], a["l_sig"] == b["r_sig"]])
+        .select("l_id", "r_id", "l_vec", "r_vec")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("l_id") != F.col("r_id"))
+    cand = cand.dropDuplicates(["l_id", "r_id"])
+    scored = cand.select(
+        "l_id", "r_id",
+        F.round(cosine_sim(F.col("l_vec"), F.col("r_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("l_id").orderBy(
+        F.col("cosine").desc(), F.col("r_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return DaskFrame(out)

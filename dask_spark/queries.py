@@ -2827,6 +2827,18 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(prs).to_spark().select("id", "component")
 
 
+@q("ann_knn_join", None)  # LSH-band approximate — rows-only by design
+def ann_knn_join(spark, sf_dir):
+    """Approximate k-NN join (both sides large): LSH-band candidates →
+    exact cosine → per-left rank window. Deterministic for the fixed
+    seed but not SQL-expressible (numpy hyperplanes)."""
+    from dask_spark.operators.similarity import knn_join
+
+    e = load(spark, sf_dir, "embeddings")
+    out = knn_join(e, e, k=3, bands=12, planes=4, exclude_self=True)
+    return out.to_spark().select("l_id", "r_id", "cosine", "rank")
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

@@ -332,3 +332,25 @@ def test_connected_components_clusters(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                     10: 10, 11: 10, 12: 10,
                     20: 20, 21: 20}
+
+
+def test_knn_join_recall_vs_bruteforce(tables):
+    """Approximate k-NN join: for most vectors the LSH-band candidates
+    must recover the true nearest neighbor (recall@1 over a sample)."""
+    import numpy as np
+
+    from dask_spark.operators.similarity import knn_join
+
+    emb = tables["embeddings"]
+    got = knn_join(emb, emb, k=3, bands=12, planes=4, exclude_self=True).compute()
+
+    M = np.array([list(v) for v in emb.compute().embedding])
+    ids = emb.compute().vec_id.to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -2)
+    true_nn = {ids[i]: ids[int(np.argmax(S[i]))] for i in range(len(ids))}
+
+    top1 = got[got["rank"] == 1].set_index("l_id").r_id.to_dict()
+    hits = sum(1 for i, nn in true_nn.items() if top1.get(i) == nn)
+    assert hits / len(true_nn) > 0.6, f"recall@1 {hits}/{len(true_nn)}"
