@@ -12,7 +12,8 @@ Public surface mirrors ``dask.dataframe``::
     out.compute()          # pandas (like dask .compute())
 """
 
-from dask_spark.frame import DaskFrame, Series, concat, sql
+from dask_spark.frame import (DaskFrame, Series, concat, sql,
+                              to_datetime, to_numeric)
 from dask_spark.operators.groupby import Aggregation
 from dask_spark.session import get_spark
 from dask_spark.array import DArray
@@ -40,6 +41,8 @@ __all__ = [
     "DaskFrame",
     "Series",
     "concat",
+    "to_datetime",
+    "to_numeric",
     "sql",
     "testing",
     "get_spark",

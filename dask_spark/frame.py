@@ -1282,6 +1282,22 @@ def sql(query: str) -> DaskFrame:
     return DaskFrame(spark.sql(query))
 
 
+def to_datetime(s: Series, format: str | None = None) -> Series:
+    """reference: dask dd.to_datetime → to_timestamp (format in
+    Spark's pattern dialect when given, else cast)."""
+    expr = (F.to_timestamp(s._expr, format) if format
+            else s._expr.cast("timestamp"))
+    return Series(s._frame, expr, s._name)
+
+
+def to_numeric(s: Series, errors: str = "raise") -> Series:
+    """reference: dask dd.to_numeric. errors="coerce" → try_cast
+    (null on failure); "raise" → plain cast (ANSI raises)."""
+    expr = (s._expr.try_cast("double") if errors == "coerce"
+            else s._expr.cast("double"))
+    return Series(s._frame, expr, s._name)
+
+
 def concat(frames: Sequence[DaskFrame], axis: int = 0,
            on: str | None = None, join: str = "outer") -> DaskFrame:
     """reference: dask/dataframe/multi.py concat. axis=0 →

@@ -371,3 +371,18 @@ def test_concat_axis1_and_frame_nunique(tables, pdf_tables):
     # with-replacement sampling returns roughly frac*n rows
     s = tables["orders"].sample(0.5, replace=True).compute()
     assert 0.2 < len(s) / len(p) < 0.9
+
+
+def test_to_datetime_to_numeric(spark):
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"d": ["2026-01-02 03:04:05", "2026-06-07 08:09:10"],
+         "n": ["1.5", "oops"]}
+    )
+    f = ds.from_pandas(pdf)
+    ts = f.assign(t=ds.to_datetime(f.d)).compute()
+    assert str(ts.t.dtype).startswith("datetime64")
+    assert ts.t.iloc[0] == pd.Timestamp("2026-01-02 03:04:05")
+    num = f.assign(x=ds.to_numeric(f.n, errors="coerce")).compute()
+    assert num.x.iloc[0] == 1.5 and pd.isna(num.x.iloc[1])
