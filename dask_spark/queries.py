@@ -2839,6 +2839,68 @@ def ann_knn_join(spark, sf_dir):
     return out.to_spark().select("l_id", "r_id", "cosine", "rank")
 
 
+@q(
+    "corpus_mix",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+      FROM documents WHERE lang = 'en'
+    ), m AS (
+      SELECT doc_id, source, text, len(toks) AS n_tok,
+             0.25 * (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * least(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(len(text), 1) * 1.25, 1.0)
+           + 0.2  * (CASE WHEN len(text) / greatest(len(toks), 1) >= 3 AND len(text) / greatest(len(toks), 1) <= 12 THEN 1.0 ELSE 0.0 END)
+           + 0.2  * least(len(list_filter(toks, x -> list_contains(
+                ['the','of','and','to','a','in','is','it','that','for','on',
+                 'was','with','as','at','by','be','this','are','or','an'], x)))
+               / greatest(len(toks), 1) * 4, 1.0)
+           + 0.1  * (1 - least(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(len(text), 1) * 10, 1.0))
+             AS quality
+      FROM q
+    ), kept AS (
+      SELECT * FROM m WHERE round(quality, 4) >= 0.3
+    ), dedup AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), quota AS (
+      SELECT kept.*, row_number() OVER (
+               PARTITION BY source ORDER BY doc_id) AS rn
+      FROM kept JOIN dedup USING (doc_id)
+    )
+    SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS mixed_tokens
+    FROM quota WHERE rn <= 200
+    GROUP BY source
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Training-data mixing on top of the curation pipeline: language →
+    quality → exact dedup → PER-SOURCE QUOTA (first 200 surviving docs
+    per source — grouped top-k, a rank window, no Python) → mix stats.
+    One Catalyst plan; the quota uses a deterministic order so the
+    oracle reproduces the exact mix. (In production, order by
+    xxhash64(doc_id) for an unbiased quota — same plan shape.)"""
+    from dask_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    kept = d[d.lang == "en"].assign(
+        quality=lambda f: T.quality_score(F.col("text")),
+        n_tok=lambda f: T.token_count(F.col("text")),
+    )
+    kept = kept[kept.quality >= 0.3]
+    survivors = exact_dedup(kept)[["doc_id"]]
+    joined = kept.merge(survivors, on="doc_id")
+    quota = joined.groupby("source").topk(200, by="doc_id", ascending=True)
+    return (
+        quota.groupby("source")
+        .agg(n_docs=("doc_id", "count"), mixed_tokens=("n_tok", "sum"))
+        .to_spark()
+        .select(
+            "source", "n_docs",
+            F.col("mixed_tokens").cast("bigint").alias("mixed_tokens"),
+        )
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
