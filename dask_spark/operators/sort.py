@@ -65,14 +65,18 @@ def _pin(df):
 
 
 def release(df=None) -> None:
-    """Unpersist one pinned helper plan (or all, when df is None)."""
-    global _PINNED
+    """Unpersist one pinned helper plan (or all, when df is None).
+    Mutates the FIFO in place — never rebinds it, so external
+    references to the list stay truthful."""
     if df is None:
         while _PINNED:
             _PINNED.pop().unpersist()
-    elif any(p is df for p in _PINNED):
-        _PINNED = [p for p in _PINNED if p is not df]
-        df.unpersist()
+        return
+    for i, p in enumerate(_PINNED):
+        if p is df:
+            del _PINNED[i]
+            df.unpersist()
+            return
 
 
 def ranged_with_halo(sdf, order_by, before_rows: int = 0,

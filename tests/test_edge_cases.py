@@ -284,3 +284,15 @@ def test_read_hdf_avro_plumbing(tmp_path):
 
     with pytest.raises(ImportError, match="spark-avro"):
         ds.read_avro(str(tmp_path / "x.avro"))
+
+
+def test_autocorr_releases_pinned_plan(tables):
+    """Eager consumers must release their persisted helper plan (the
+    round-2 cache-leak advice): the pin FIFO returns to its prior size
+    after autocorr completes."""
+    from dask_spark.operators.sort import _PINNED
+
+    before = len(_PINNED)
+    v = tables["events"].value.autocorr(lag=1, order_by="event_id")
+    assert v is not None
+    assert len(_PINNED) == before
