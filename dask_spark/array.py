@@ -18,10 +18,12 @@ from dask_spark.frame import DaskFrame
 
 
 class DArray:
-    def __init__(self, sdf, col: str = "embedding", id_col: str | None = None):
+    def __init__(self, sdf, col: str = "embedding", id_col: str | None = None,
+                 nparts: int | None = None):
         self._sdf = sdf
         self._col = col
         self._id = id_col
+        self._nparts = nparts  # known partition count (set by rechunk)
 
     @classmethod
     def from_frame(cls, frame: DaskFrame, col: str, id_col: str | None = None) -> "DArray":
@@ -112,16 +114,21 @@ class DArray:
             if npartitions < cur
             else self._sdf.repartition(npartitions)
         )
-        return DArray(sdf, self._col, self._id)
+        return DArray(sdf, self._col, self._id, nparts=npartitions)
 
     @property
     def npartitions(self) -> int:
-        # rdd-free (Spark Connect-safe): count distinct partition ids
-        # with one tiny job instead of a plan-to-RDD conversion
-        return (
-            self._sdf.select(F.spark_partition_id().alias("p"))
-            .distinct().count()
-        )
+        # rdd-free (Spark Connect-safe): a rechunk target when known,
+        # else ONE cached tiny job counting distinct partition ids.
+        # Empty partitions are invisible to the job, so this is a lower
+        # bound — rechunk's coalesce-vs-repartition choice degrades to
+        # an extra shuffle on undercount, never a wrong answer.
+        if self._nparts is None:
+            self._nparts = (
+                self._sdf.select(F.spark_partition_id().alias("p"))
+                .distinct().count()
+            )
+        return self._nparts
 
     def _unary(self, build) -> "DArray":
         out = self._sdf.select(
@@ -394,15 +401,20 @@ class DArray:
         import numpy as np
         import pandas as pd
 
-        from dask_spark.operators.sort import _pin
-
         if self._id is None:
             raise ValueError("tsqr requires id_col")
         idc, col = self._id, self._col
-        sdf = _pin(
-            self._sdf.select(idc, col).withColumn(
-                "__pid", F.spark_partition_id()
-            )
+        # localCheckpoint, not persist: the Q pass joins driver-computed
+        # Q2 slices back by PHYSICAL partition id, so both passes must
+        # see identical partitions. Checkpointing truncates lineage —
+        # the second pass reads materialized blocks and can never
+        # re-execute an upstream shuffle with fresh range sampling;
+        # block loss surfaces as an error, never a silently different
+        # partitioning.
+        sdf = (
+            self._sdf.select(idc, col)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
         )
 
         def _fix(Q, R):

@@ -773,8 +773,15 @@ class DaskFrame:
         shifted = shift(self, col, periods=1, order_by=order_by, out="__prev")
         cur, prev = F.col(col), F.col("__prev")
         ok = (prev <= cur) if increasing else (prev >= cur)
+        # a null in the checked column itself is non-monotonic (pandas
+        # returns False when NaNs are present); a null prev is just the
+        # first row
         row = shifted._sdf.agg(
-            F.min(F.when(prev.isNull(), True).otherwise(ok)).alias("v")
+            F.min(
+                F.when(cur.isNull(), False)
+                .when(prev.isNull(), True)
+                .otherwise(ok)
+            ).alias("v")
         ).first()
         return bool(row["v"]) if row["v"] is not None else True
 
@@ -1313,7 +1320,13 @@ def concat(frames: Sequence[DaskFrame], axis: int = 0,
     if axis == 1:
         if on is None:
             raise ValueError("axis=1 concat needs on= (the alignment key)")
-        how = {"outer": "full_outer", "inner": "inner"}[join]
+        hows = {"outer": "full_outer", "inner": "inner", "left": "left"}
+        if join not in hows:
+            raise ValueError(
+                f"concat(axis=1) join={join!r} unsupported; "
+                f"use one of {sorted(hows)}"
+            )
+        how = hows[join]
         seen = set()
         out = None
         for i, f in enumerate(frames):

@@ -417,13 +417,19 @@ def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
         id_col,
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
     ).filter(F.length("w") > 0)  # docs repartitioned compact (see minhash)
-    win = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
-    gram = parts[0]
-    for p in parts[1:]:
-        gram = F.concat(gram, F.lit(" "), p)  # F.concat null-propagates
-    return words.select(id_col, gram.alias("gram")).filter(
-        F.col("gram").isNotNull()
+    # Docs shorter than n words emit ONE gram of all their words
+    # (concat_ws skips the null leads; the rank cap keeps row 1 only) —
+    # the same contract as ngram_jaccard_pairs, so short docs are still
+    # visible to contamination() instead of silently unflaggable.
+    dwin = Window.partitionBy(id_col)
+    owin = dwin.orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(owin) for j in range(1, n)]
+    return (
+        words.withColumn("__sz", F.count(F.lit(1)).over(dwin))
+        .withColumn("__rank", F.row_number().over(owin))
+        .withColumn("gram", F.concat_ws(" ", *parts))
+        .filter(F.col("__rank") <= F.greatest(F.col("__sz") - n, F.lit(0)) + 1)
+        .select(id_col, "gram")
     )
 
 

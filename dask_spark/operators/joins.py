@@ -110,14 +110,11 @@ def _asof_keyless_base(unioned, on: str, payload, direction: str):
     turns them into one seed row per bucket, unioned back as synthetic
     right rows; range partitioning keeps equal keys in one bucket, so a
     seed always sorts strictly before (after) every core row."""
-    from dask_spark.operators.sort import _pin
+    from dask_spark.operators.sort import _pin, range_bucket
 
     spark = unioned.sparkSession
-    n = max(spark.sparkContext.defaultParallelism, 2)
-    tagged = _pin(
-        unioned.repartitionByRange(n, F.col(on))
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    bucketed, n = range_bucket(unioned, on)
+    tagged = _pin(bucketed)
     struct = F.struct(F.col(on).alias("__on"),
                       *[F.col(c).alias(c) for c in payload])
     pick = (F.max_by(struct, F.col(on)) if direction == "backward"

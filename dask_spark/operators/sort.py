@@ -28,6 +28,15 @@ def set_index(frame, col: str, npartitions: int | None = None):
     return DaskFrame(sdf.sortWithinPartitions(col))
 
 
+def num_partitions(sdf) -> int:
+    """Current partition count without touching ``.rdd`` (Spark
+    Connect-safe): one tiny job counting distinct partition ids. Empty
+    partitions are invisible to it, so the result is a lower bound —
+    callers use it only for coalesce-vs-repartition choices, where an
+    undercount degrades to an extra shuffle, never a wrong answer."""
+    return sdf.select(F.spark_partition_id().alias("p")).distinct().count()
+
+
 def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None = None):
     """dask repartition(npartitions=) / shuffle(on=). Decreasing
     partition count uses coalesce (no shuffle)."""
@@ -38,21 +47,21 @@ def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None 
         cols = [F.col(c) for c in on]
         sdf = sdf.repartition(npartitions, *cols) if npartitions else sdf.repartition(*cols)
     elif npartitions is not None:
-        current = sdf.rdd.getNumPartitions()
+        current = num_partitions(sdf)
         sdf = sdf.coalesce(npartitions) if npartitions < current else sdf.repartition(npartitions)
     return DaskFrame(sdf)
 
 
-# Bounded FIFO of persisted helper plans (with_global_index /
-# ranged_with_halo two-pass plans). Persisting keeps the driver-side
-# pass (counts/boundaries) and the output scan on identical partition
-# boundaries; the FIFO cap stops a long session from accumulating
-# cached datasets (eager consumers like Series.autocorr release theirs
-# immediately via release()). A LAZY consumer whose pin is evicted
-# would recompute the ranged plan — range sampling is then not
-# guaranteed to land on the same boundaries — so the cap is sized for
-# several concurrent lazy global-index consumers; materialize (or
-# persist) such results promptly.
+# Bounded FIFO of persisted helper plans (range_bucket inputs for the
+# two-pass keyless ops). The cache is a PURE PERF optimization: bucket
+# ids are computed by ``range_bucket`` as a pure function of the row
+# against literal cuts, so an evicted/unpersisted plan that recomputes
+# lands every row in the SAME bucket and driver-collected per-bucket
+# stats baked into derived lazy plans stay valid. Eviction costs a
+# recompute, never correctness. (Previously these ops derived bucket
+# ids from repartitionByRange + spark_partition_id(), whose sampling
+# re-runs with a fresh seed on recompute — THAT design required the
+# pin for correctness; range_bucket removed the dependence.)
 _PINNED: list = []
 _PIN_LIMIT = 8
 
@@ -77,6 +86,82 @@ def release(df=None) -> None:
             del _PINNED[i]
             df.unpersist()
             return
+
+
+def _ord_double(col: str, dt):
+    """Column expr casting an orderable temporal/numeric column to
+    double for cut comparisons; None when the type has no numeric
+    order embedding (strings etc. compare raw)."""
+    from pyspark.sql.types import (BooleanType, DateType, NumericType,
+                                   TimestampNTZType, TimestampType)
+
+    c = F.col(col)
+    if isinstance(dt, DateType):
+        return c.cast("timestamp").cast("double")
+    if isinstance(dt, (NumericType, BooleanType, TimestampType, TimestampNTZType)):
+        return c.cast("double")
+    return None
+
+
+def range_cuts(sdf, col: str, n: int):
+    """``n-1`` interior cut values of ``col``, collected ONCE to the
+    driver (the same role as dask's partitionquantiles divisions):
+    approximate quantiles for numeric/temporal columns, a seeded
+    sample's quantiles for other orderable types. Returns
+    ``(cuts, numeric)``; cut count may dedupe below n-1."""
+    if n <= 1:
+        return [], True
+    dt = sdf.schema[col].dataType
+    oc = _ord_double(col, dt)
+    qs = [i / n for i in range(1, n)]
+    if oc is not None:
+        row = sdf.agg(F.percentile_approx(oc, qs, 10000).alias("c")).first()
+        cuts = row["c"] if row["c"] is not None else []
+        return sorted({float(c) for c in cuts if c is not None}), True
+    # non-numeric order key (rare): quantiles of a seeded sample
+    total = sdf.count()
+    frac = min(1.0, (n * 128) / max(total, 1))
+    vals = sorted(
+        r[0] for r in sdf.select(col).dropna().sample(False, frac, 42).collect()
+    )
+    cuts = sorted({vals[int(len(vals) * i / n)] for i in range(1, n)}) if vals else []
+    return cuts, False
+
+
+def bucket_expr(col: str, cuts, numeric: bool, dt):
+    """Range-bucket id as a PURE function of the row: index of the
+    first cut strictly greater than the value (equal keys always share
+    a bucket; max(bucket i) < min(bucket i+1)); nulls land in bucket 0
+    (Spark's ascending nulls-first order). Because the cuts are baked
+    literals, recomputing any derived plan reproduces identical
+    buckets — unlike spark_partition_id() over repartitionByRange,
+    whose sampling is fresh-seeded per execution."""
+    if not cuts:
+        return F.lit(0)
+    oc = (_ord_double(col, dt) if numeric else F.col(col))
+    pid = F.lit(len(cuts))
+    for i in reversed(range(len(cuts))):
+        pid = F.when(oc < F.lit(cuts[i]), F.lit(i)).otherwise(pid)
+    return F.when(F.col(col).isNull(), F.lit(0)).otherwise(pid)
+
+
+def range_bucket(sdf, col: str, num_partitions: int | None = None,
+                 pid_col: str = "__pid"):
+    """Deterministically range-bucket ``sdf`` by ``col`` into
+    ``pid_col`` ∈ [0, n). The foundation of every keyless windowed op
+    (global index, halos, prefix scans, as-of carries): those ops run
+    a tiny per-bucket stats job, bake the collected stats into the
+    output plan, and rely on the output scan reproducing the SAME
+    buckets — guaranteed here by construction (see bucket_expr), with
+    ``_pin`` as an optional perf cache only. Returns
+    ``(bucketed_sdf, n_buckets)``."""
+    n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
+    cuts, numeric = range_cuts(sdf, col, n)
+    dt = sdf.schema[col].dataType
+    return (
+        sdf.withColumn(pid_col, bucket_expr(col, cuts, numeric, dt)),
+        len(cuts) + 1,
+    )
 
 
 def ranged_with_halo(sdf, order_by, before_rows: int = 0,
@@ -113,11 +198,8 @@ def ranged_with_halo(sdf, order_by, before_rows: int = 0,
     from pyspark.sql import Window
 
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
-    ranged = _pin(
-        sdf.repartitionByRange(n, *[F.col(c) for c in cols])
-        .withColumn("__rpid", F.spark_partition_id())
-    )
+    bucketed, _nb = range_bucket(sdf, cols[0], num_partitions, pid_col="__rpid")
+    ranged = _pin(bucketed)
     oc0 = F.col(cols[0]).cast("double")
     stats = sorted(
         ranged.groupBy("__rpid").agg(
@@ -201,26 +283,22 @@ def with_global_index(sdf, order_by, index_col: str = "__idx",
     Spark twin of dask's (index, divisions) bookkeeping, with NO
     single-partition window:
 
-    1. ``repartitionByRange`` + ``sortWithinPartitions`` (range
-       boundaries sampled, like dask's partitionquantiles),
-    2. one TINY job counts rows per range partition (the only driver
-       data is #partitions longs — same as dask's divisions),
-    3. ``row_number`` windowed per PARTITION ID (parallel, never a
-       global window) + broadcast-joined cumulative offset.
+    1. ``range_bucket`` assigns a deterministic range-bucket id
+       (literal quantile cuts — dask's partitionquantiles shape),
+    2. one TINY job counts rows per bucket (the only driver data is
+       #buckets longs — same as dask's divisions),
+    3. ``row_number`` windowed per BUCKET (parallel, never a global
+       window) + broadcast-joined cumulative offset.
 
-    The ranged plan is persisted so the count pass and the output scan
-    agree on partition boundaries; the handle goes into the bounded
-    ``_PINNED`` FIFO (eager consumers call ``release(handle)`` — the
-    returned DataFrame carries it as ``._ds_pinned``)."""
+    Because bucket ids are a pure row function, the baked offsets stay
+    valid even if the perf-cache pin is evicted and the plan recomputes
+    (eager consumers call ``release(handle)`` — the returned DataFrame
+    carries it as ``._ds_pinned``)."""
     from pyspark.sql import Window
 
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
-    ranged = _pin(
-        sdf.repartitionByRange(n, *[F.col(c) for c in cols])
-        .sortWithinPartitions(*cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    bucketed, _nb = range_bucket(sdf, cols[0], num_partitions)
+    ranged = _pin(bucketed)
     counts = {
         r["__pid"]: r["cnt"]
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

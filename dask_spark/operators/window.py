@@ -277,15 +277,12 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     from dask_spark.frame import DaskFrame
-    from dask_spark.operators.sort import _pin
+    from dask_spark.operators.sort import _pin, range_bucket
 
     sdf = frame._sdf
     spark = sdf.sparkSession
-    n = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = _pin(
-        sdf.repartitionByRange(n, F.col(order_by))
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    bucketed, _nb = range_bucket(sdf, order_by)
+    ranged = _pin(bucketed)
     agg = _CUM_FNS[fn]
     totals = {
         r["__pid"]: r["t"]
@@ -359,15 +356,12 @@ def _fill_keyless(frame, cols, order_by: str, forward: bool):
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     from dask_spark.frame import DaskFrame
-    from dask_spark.operators.sort import _pin
+    from dask_spark.operators.sort import _pin, range_bucket
 
     sdf = frame._sdf
     spark = sdf.sparkSession
-    n = max(spark.sparkContext.defaultParallelism, 2)
-    ranged = _pin(
-        sdf.repartitionByRange(n, F.col(order_by))
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    bucketed, _nb = range_bucket(sdf, order_by)
+    ranged = _pin(bucketed)
     # boundary value per bucket: the non-null value at the max (ffill) /
     # min (bfill) order position — null orderings exclude null rows
     pick_by = F.max_by if forward else F.min_by

@@ -2625,10 +2625,12 @@ def join_q22_idle_customers(spark, sf_dir):
       FROM documents
     ),
     g2 AS (
-      SELECT doc_id, arr[j] || ' ' || arr[j + 1] || ' ' || arr[j + 2] AS g
+      -- docs shorter than 3 words emit ONE gram of all their words
+      -- (concat_ws skips out-of-range NULLs), mirroring _word_ngrams
+      SELECT doc_id, concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS g
       FROM (SELECT doc_id, arr,
-                   unnest(generate_series(1, len(arr) - 2)) AS j
-            FROM t)
+                   unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS j
+            FROM t WHERE len(arr) >= 1)
     ),
     bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 20),
     per_doc AS (
