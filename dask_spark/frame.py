@@ -487,7 +487,10 @@ class DaskFrame:
 
     @property
     def npartitions(self) -> int:
-        return self._sdf.rdd.getNumPartitions()
+        # rdd-free (Spark Connect-safe); see operators.sort.num_partitions
+        from dask_spark.operators.sort import num_partitions
+
+        return num_partitions(self._sdf)
 
     def explain(self, mode: str = "formatted"):
         return self._sdf.explain(mode)

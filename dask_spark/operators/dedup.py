@@ -356,25 +356,40 @@ def embedding_dedup_pairs(frame, vec_col: str = "embedding",
     bands×planes hyperplanes (lsh_band_signature_udf) — the interpreted
     higher-order-fn formulation re-evaluated the dot per element and
     measured ~70s at sf0.01; the matmul path is single-digit seconds
-    with identical bucketing (same hyperplanes, same bit order)."""
+    with identical bucketing (same hyperplanes, same bit order).
+
+    The candidate shuffle is IDS-ONLY: the band self-join carries
+    (band, sig, id) — never the vector — pairs are deduped while still
+    slim (a pair sharing m bands pays ONE cosine, not m), and each
+    side's vector is fetched by exactly one id-equi-join before the
+    exact verify. At dim=1024 float64 the vector is ~8 KB/row; keeping
+    it out of the bands×|corpus| exchange is the difference between a
+    TB-scale and a GB-scale shuffle at 100 TB."""
     from dask_spark.frame import DaskFrame
     from dask_spark.functions.vector import cosine_sim, lsh_band_signature_udf
 
     sdf = frame._sdf
     dim = len(sdf.select(vec_col).first()[0])
     sig_udf = lsh_band_signature_udf(dim, planes, bands, seed)
-    docs = sdf.select(
-        id_col, vec_col, F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+    keyed = sdf.select(
+        id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = (
+    a, b = keyed.alias("a"), keyed.alias("b")
+    slim = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.sig") == F.col("b.sig"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                cosine_sim(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"))
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = sdf.select(id_col, vec_col)
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = (
+        slim.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                cosine_sim(F.col("__va"), F.col("__vb")).alias("cosine"))
     )
     return DaskFrame(
         pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

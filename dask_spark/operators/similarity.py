@@ -196,11 +196,13 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
     Scale shape: both sides compute bands×planes LSH signatures with
     the batched Arrow matmul (map-only), explode to (band, band_sig)
     keys, and candidates come from an equi-join on the band key —
-    shuffle is by bucket, fan-out bounded by bucket sizes. Exact
-    cosine runs only on distinct candidate pairs; a rank window per
-    left id takes the top k. Recall grows with ``bands`` (any shared
-    band makes a pair a candidate); vectors with no shared band are
-    simply absent (approximate by design).
+    shuffle is by bucket, fan-out bounded by bucket sizes. The band
+    join carries IDS ONLY (the vector never rides the bands× exchange);
+    distinct candidate pairs are formed slim, then each side's vector
+    is fetched by one id-equi-join before the exact cosine. A rank
+    window per left id takes the top k. Recall grows with ``bands``
+    (any shared band makes a pair a candidate); vectors with no shared
+    band are simply absent (approximate by design).
 
     Returns (left id, right id, cosine, rank) rows, rank 1..k."""
     from dask_spark.frame import DaskFrame
@@ -214,7 +216,6 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
     def banded(sdf, prefix):
         return sdf.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(sig(F.col(vec_col))).alias("band", f"{prefix}_sig"),
         )
 
@@ -222,14 +223,19 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
     b = banded(right._sdf, "r")
     cand = (
         a.join(b, on=[a["band"] == b["band"], a["l_sig"] == b["r_sig"]])
-        .select("l_id", "r_id", "l_vec", "r_vec")
+        .select("l_id", "r_id")
     )
     if exclude_self:
         cand = cand.filter(F.col("l_id") != F.col("r_id"))
     cand = cand.dropDuplicates(["l_id", "r_id"])
-    scored = cand.select(
-        "l_id", "r_id",
-        F.round(cosine_sim(F.col("l_vec"), F.col("r_vec")), 6).alias("cosine"),
+    lv = left._sdf.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("__lv"))
+    rv = right._sdf.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("__rv"))
+    scored = (
+        cand.join(lv, "l_id").join(rv, "r_id")
+        .select(
+            "l_id", "r_id",
+            F.round(cosine_sim(F.col("__lv"), F.col("__rv")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("l_id").orderBy(
         F.col("cosine").desc(), F.col("r_id").asc()

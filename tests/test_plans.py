@@ -308,3 +308,49 @@ def test_q19_pushdown_envelope(spark, sf_dir):
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "PushedFilters" in plan
     assert plan.count("Or(") >= 2, "disjuncts not pushed to the scans"
+
+
+def _exchange_inputs(sdf):
+    """(arguments, input-cols) per Exchange node from formatted explain."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sdf.explain("formatted")
+    txt = buf.getvalue()
+    out = []
+    blocks = re.split(r"\n\n", txt)
+    for blk in blocks:
+        m = re.match(r"\(\d+\) (Broadcast)?Exchange", blk.strip())
+        if not m:
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", blk)
+        arg = re.search(r"Arguments: (.*)", blk)
+        out.append((arg.group(1) if arg else "",
+                    inp.group(1) if inp else ""))
+    return out
+
+
+def test_lsh_band_join_exchange_is_ids_only(tables):
+    """The banded-LSH candidate shuffles (embedding_dedup_pairs and
+    knn_join) must carry (band, sig, id) only — the vector column must
+    never ride the bands× exchange (the one 100 TB plan defect from
+    round 3)."""
+    from dask_spark.operators.dedup import embedding_dedup_pairs
+    from dask_spark.operators.similarity import knn_join
+
+    emb = tables["embeddings"]
+    for q in (
+        embedding_dedup_pairs(emb, threshold=0.8),
+        knn_join(emb, emb, k=3, exclude_self=True),
+    ):
+        all_ex = _exchange_inputs(q.to_spark())
+        band_ex = [(arg, inp) for arg, inp in all_ex if "band" in inp]
+        assert band_ex, "band-key exchange not found in plan"
+        # neither the band-key exchange nor the slim-pair dedup
+        # exchange may carry a vector column
+        for arg, inp in all_ex:
+            if "band" in inp or "id_a" in inp and "id_b" in inp:
+                assert "embedding" not in inp and "_vec" not in inp, (arg, inp)

@@ -66,12 +66,12 @@ def test_resample(tables, pdf_tables):
 
     from dask_spark.frame import DaskFrame
 
-    # events.ts is stored as TIMESTAMP(NANOS) → read as long; floor to µs
-    e = DaskFrame(
-        tables["events"]
-        .to_spark()
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # older testdata stored ts as TIMESTAMP(NANOS) read back as long —
+    # floor those to µs; newer testdata is already a timestamp type
+    esdf = tables["events"].to_spark()
+    if dict(esdf.dtypes).get("ts") == "bigint":
+        esdf = esdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    e = DaskFrame(esdf)
     got = e.resample("1h", on="ts").agg({"value": ["sum", "count"]})
     p = pdf_tables["events"]
     want = (
