@@ -74,25 +74,36 @@ def main():
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()  # drop warmup persists before timing
 
-    timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must never cost the
+    # round its entire perf artifact — record null for failures, keep
+    # timing the rest, and always emit the JSON line.
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         best, n = float("inf"), 0
-        for _rep in range(2):  # min-of-2: steady-state, GC-noise-resistant
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = materialize(df)
-            best = min(best, time.time() - t0)
+        try:
+            for _rep in range(2):  # min-of-2: steady-state, GC-noise-resistant
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = materialize(df)
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:
+            timings[name] = None
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            print(f"# {name}: FAILED — {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ok = {k: v for k, v in timings.items() if v is not None}
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "n_failed": len(timings) - len(ok),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

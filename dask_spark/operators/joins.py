@@ -18,7 +18,7 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, Window
 from pyspark.sql.functions import broadcast as B
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 _HOW = {
     "inner": "inner",
@@ -222,12 +222,14 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
     if not by:
         out = out.drop("__pid")
     if tolerance is not None:
-        if isinstance(unioned.schema[on].dataType, TimestampType):
+        if isinstance(unioned.schema[on].dataType, (TimestampType, TimestampNTZType)):
             # numeric tolerance = seconds for timestamp keys (pandas
             # takes a Timedelta; interval-vs-number comparison would
-            # throw in Spark)
+            # throw in Spark). epoch_us handles both LTZ and NTZ keys.
+            from dask_spark.functions import epoch_us
+
             diff = F.abs(
-                F.unix_micros(F.col(on)) - F.unix_micros(F.col("__match_on"))
+                epoch_us(F.col(on)) - epoch_us(F.col("__match_on"))
             ) / F.lit(1_000_000.0)
         else:
             diff = F.abs(F.col(on) - F.col("__match_on"))

@@ -24,16 +24,21 @@ _QV_SQL = "[" + ", ".join(f"{x}::FLOAT" for x in QUERY_VEC) + "]"
 def load(spark, sf_dir: str, name: str) -> DaskFrame:
     # the driver's harness supplies its own session — pin the runtime-
     # settable confs results depend on (UTC collection of LTZ values)
+    from dask_spark.functions import normalize_ntz
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
-        # read as long (runtime-safe conf) and floor to microseconds.
+        # events.parquet has stored TIMESTAMP(NANOS) (Spark has no ns
+        # type — read as long and floor to micros) and, in newer data
+        # drops, TIMESTAMP(MICROS) without timezone, which Spark 4 reads
+        # as TIMESTAMP_NTZ. Canonicalize both to LTZ TIMESTAMP here so
+        # every event-time operator sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         sdf = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(sdf.dtypes).get("ts") == "bigint":
             sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return DaskFrame(sdf)
-    return DaskFrame(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        return DaskFrame(normalize_ntz(sdf))
+    return DaskFrame(normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet")))
 
 
 # --------------------------------------------------------------------------
@@ -567,9 +572,11 @@ def merge_asof_q(spark, sf_dir):
     right = e[e.event_id % 2 == 1][["user_id", "ts", "value"]].rename(
         {"value": "prior_value"}
     )
+    from dask_spark.functions import epoch_us
+
     out = left.merge_asof(right, on="ts", by="user_id", direction="backward")
     return out.to_spark().select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "prior_value"
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"), "prior_value"
     )
 
 
@@ -1457,8 +1464,9 @@ def stream_window_batch(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     out = tumbling_window_agg(e, "10 minutes").to_spark()
+    # cast via TIMESTAMP: NTZ->BIGINT is an illegal cast in Spark 4
     return out.select(
-        F.col("window_start").cast("long").alias("window_start_s"),
+        F.col("window_start").cast("timestamp").cast("long").alias("window_start_s"),
         "event_type", "n", "total_value",
     )
 

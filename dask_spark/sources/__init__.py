@@ -23,12 +23,17 @@ def read_parquet(path: str | Sequence[str], columns: Sequence[str] | None = None
                  filters: str | None = None) -> DaskFrame:
     """reference: dask/dataframe/io/parquet — engine-level pushdown of
     `columns`/`filters`; here both also reach the scan via Catalyst."""
+    from dask_spark.functions import normalize_ntz
+
     sdf = _spark().read.parquet(*([path] if isinstance(path, str) else path))
     if filters:
         sdf = sdf.filter(filters)
     if columns:
         sdf = sdf.select(*columns)
-    return DaskFrame(sdf)
+    # writers disagree on timestamp flavor (LTZ vs NTZ); canonicalize at
+    # the scan so event-time ops downstream see one type (UTC session tz
+    # keeps wall-clock values identical)
+    return DaskFrame(normalize_ntz(sdf))
 
 
 def read_csv(path: str, header: bool = True, schema: str | None = None,

@@ -29,8 +29,9 @@ def _tumbling(sdf: SparkDF, duration: str) -> SparkDF:
 def tumbling_window_agg(frame, duration: str = "10 minutes"):
     """Batch twin of the streaming tumbling-window count/sum."""
     from dask_spark.frame import DaskFrame
+    from dask_spark.functions import normalize_ntz
 
-    return DaskFrame(_tumbling(frame._sdf, duration))
+    return DaskFrame(_tumbling(normalize_ntz(frame._sdf), duration))
 
 
 def tumbling_window_stream(stream_sdf: SparkDF, duration: str = "10 minutes",
@@ -45,10 +46,11 @@ def sessionize_batch(frame, gap_seconds: int = 1800):
     previous event exceeds ``gap_seconds``. One shuffle on user_id.
     Streaming twin: ``F.session_window`` (see sessionize_stream)."""
     from dask_spark.frame import DaskFrame
+    from dask_spark.functions import epoch_us, normalize_ntz
 
-    sdf = frame._sdf
+    sdf = normalize_ntz(frame._sdf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     marked = sdf.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0),
