@@ -350,7 +350,7 @@ def embedding_dedup_pairs(frame, vec_col: str = "embedding",
     1-(1-(1-θ/π)^planes)^bands, e.g. ≈0.97 for cos≥0.8 with 8×6) →
     per-bucket candidate pairs → exact cosine verify. The corpus never
     self-joins — only same-bucket candidates do; shuffle volume is
-    bands×|corpus| rows of (bucket, id, vec).
+    bands×|corpus| rows of (bucket, sig, id).
 
     Signatures are computed by ONE Arrow-batched numpy matmul for all
     bands×planes hyperplanes (lsh_band_signature_udf) — the interpreted

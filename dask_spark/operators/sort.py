@@ -29,12 +29,19 @@ def set_index(frame, col: str, npartitions: int | None = None):
 
 
 def num_partitions(sdf) -> int:
-    """Current partition count without touching ``.rdd`` (Spark
-    Connect-safe): one tiny job counting distinct partition ids. Empty
-    partitions are invisible to it, so the result is a lower bound —
-    callers use it only for coalesce-vs-repartition choices, where an
-    undercount degrades to an extra shuffle, never a wrong answer."""
-    return sdf.select(F.spark_partition_id().alias("p")).distinct().count()
+    """Planned partition count. Classic Spark answers from the plan for
+    free via ``rdd.getNumPartitions()`` (no job, counts empty
+    partitions, matches dask's npartitions semantics exactly). Spark
+    Connect has no ``.rdd``; there we fall back to one tiny job counting
+    distinct partition ids — a lower bound (empty partitions invisible),
+    clamped to >=1 so an empty frame never reports 0 partitions."""
+    try:
+        return sdf.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect (PySparkNotImplementedError) or any .rdd-less
+        # DataFrame: probe via a job, accept the lower-bound semantics.
+        probed = sdf.select(F.spark_partition_id().alias("p")).distinct().count()
+        return max(1, probed)
 
 
 def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None = None):
@@ -128,21 +135,63 @@ def range_cuts(sdf, col: str, n: int):
     return cuts, False
 
 
-def bucket_expr(col: str, cuts, numeric: bool, dt):
-    """Range-bucket id as a PURE function of the row: index of the
-    first cut strictly greater than the value (equal keys always share
-    a bucket; max(bucket i) < min(bucket i+1)); nulls land in bucket 0
-    (Spark's ascending nulls-first order). Because the cuts are baked
-    literals, recomputing any derived plan reproduces identical
-    buckets — unlike spark_partition_id() over repartitionByRange,
-    whose sampling is fresh-seeded per execution."""
+def with_bucket(sdf, col: str, cuts, numeric: bool, dt, pid_col: str):
+    """Attach the range-bucket id as a PURE function of the row:
+    ``#{cuts <= value}`` — equivalently the index of the first cut
+    strictly greater than the value (equal keys always share a bucket;
+    max(bucket i) < min(bucket i+1)); nulls land in bucket 0 (Spark's
+    ascending nulls-first order). Because the cuts are baked literals,
+    recomputing any derived plan reproduces identical buckets — unlike
+    spark_partition_id() over repartitionByRange, whose sampling is
+    fresh-seeded per execution.
+
+    The lookup is a BINARY SEARCH over the sorted cuts array, unrolled
+    as ceil(log2(n+1)) chained projections: per-row cost and generated-
+    code size are O(log #buckets), so a 1000-executor cluster with
+    thousands of buckets pays ~12 comparisons per row — not thousands
+    of chained CASE branches (the dask analog is the binary search over
+    divisions in dask/dataframe/shuffle.py set_partitions_pre). Each
+    step's lo/hi are materialized as columns so the next step
+    references resolved attributes — a single nested expression would
+    re-expand the whole tree at every step."""
+    import math
+
     if not cuts:
-        return F.lit(0)
+        return sdf.withColumn(pid_col, F.lit(0))
     oc = (_ord_double(col, dt) if numeric else F.col(col))
-    pid = F.lit(len(cuts))
-    for i in reversed(range(len(cuts))):
-        pid = F.when(oc < F.lit(cuts[i]), F.lit(i)).otherwise(pid)
-    return F.when(F.col(col).isNull(), F.lit(0)).otherwise(pid)
+    n = len(cuts)
+    sdf = (
+        sdf.withColumn("__bs_arr", F.array(*[F.lit(c) for c in cuts]))
+        .withColumn("__bs_v", oc)
+        .withColumn("__bs_lo", F.lit(0))
+        .withColumn("__bs_hi", F.lit(n))
+    )
+    # invariant: cuts[0..lo-1] <= v < cuts[hi..n-1]; converged extra
+    # steps are no-ops (cond is false once lo == hi)
+    for _ in range(max(1, math.ceil(math.log2(n + 1)))):
+        sdf = sdf.withColumn(
+            "__bs_mid",
+            F.floor((F.col("__bs_lo") + F.col("__bs_hi")) / 2).cast("int"),
+        )
+        le = (
+            F.try_element_at(F.col("__bs_arr"), F.col("__bs_mid") + 1)
+            <= F.col("__bs_v")
+        )
+        sdf = (
+            sdf.withColumn(
+                "__bs_lo2",
+                F.when(le, F.col("__bs_mid") + 1).otherwise(F.col("__bs_lo")),
+            )
+            .withColumn(
+                "__bs_hi", F.when(le, F.col("__bs_hi")).otherwise(F.col("__bs_mid"))
+            )
+            .withColumn("__bs_lo", F.col("__bs_lo2"))
+            .drop("__bs_lo2", "__bs_mid")
+        )
+    pid = F.when(F.col(col).isNull(), F.lit(0)).otherwise(F.col("__bs_lo"))
+    return sdf.withColumn(pid_col, pid).drop(
+        "__bs_arr", "__bs_v", "__bs_lo", "__bs_hi"
+    )
 
 
 def range_bucket(sdf, col: str, num_partitions: int | None = None,
@@ -152,14 +201,14 @@ def range_bucket(sdf, col: str, num_partitions: int | None = None,
     (global index, halos, prefix scans, as-of carries): those ops run
     a tiny per-bucket stats job, bake the collected stats into the
     output plan, and rely on the output scan reproducing the SAME
-    buckets — guaranteed here by construction (see bucket_expr), with
+    buckets — guaranteed here by construction (see with_bucket), with
     ``_pin`` as an optional perf cache only. Returns
     ``(bucketed_sdf, n_buckets)``."""
     n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
     cuts, numeric = range_cuts(sdf, col, n)
     dt = sdf.schema[col].dataType
     return (
-        sdf.withColumn(pid_col, bucket_expr(col, cuts, numeric, dt)),
+        with_bucket(sdf, col, cuts, numeric, dt, pid_col),
         len(cuts) + 1,
     )
 
@@ -236,10 +285,14 @@ def ranged_with_halo(sdf, order_by, before_rows: int = 0,
     gid_of = {pid: gi for gi, grp in enumerate(groups) for pid in grp}
     max_gid = len(groups) - 1
 
-    gid_expr = F.lit(0)
-    for pid, gi in gid_of.items():
-        gid_expr = F.when(F.col("__rpid") == pid, F.lit(gi)).otherwise(gid_expr)
-    grouped = ranged.withColumn("__pid", gid_expr).drop("__rpid")
+    # __rpid is dense in [0, _nb) by construction, so the pid -> group
+    # map is an O(1) literal-array lookup per row (never a CASE chain
+    # linear in bucket count; empty buckets map to 0 — no rows carry
+    # their pid anyway)
+    gid_arr = F.array(*[F.lit(gid_of.get(p, 0)) for p in range(_nb)])
+    grouped = ranged.withColumn(
+        "__pid", F.element_at(gid_arr, F.col("__rpid") + 1)
+    ).drop("__rpid")
 
     parts = [grouped.withColumn("__core", F.lit(True))]
     oc = [F.col(c) for c in cols]

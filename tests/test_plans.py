@@ -4,6 +4,8 @@ hot paths stay in whole-stage codegen, shuffles are not duplicated."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 
 from dask_spark.plans import (
@@ -347,10 +349,22 @@ def test_lsh_band_join_exchange_is_ids_only(tables):
         knn_join(emb, emb, k=3, exclude_self=True),
     ):
         all_ex = _exchange_inputs(q.to_spark())
+
+        def hash_keys(arg: str) -> str:
+            m = re.search(r"hashpartitioning\((.*?)\)", arg)
+            return m.group(1) if m else ""
+
         band_ex = [(arg, inp) for arg, inp in all_ex if "band" in inp]
         assert band_ex, "band-key exchange not found in plan"
-        # neither the band-key exchange nor the slim-pair dedup
-        # exchange may carry a vector column
+        # No exchange CARRYING the band column, and no exchange HASHED
+        # BY both pair ids (the slim-pair dedup shuffle), may carry a
+        # vector column under any alias. Exchanges hashed by a single
+        # pair id are the post-dedup vector fetch joins — those
+        # legitimately carry one vector each. (At tiny SF the band join
+        # may broadcast instead of hash — Input-based band detection
+        # covers both physical strategies.)
+        vec_pat = re.compile(r"embedding|_vec|__va|__vb|__lv|__rv")
         for arg, inp in all_ex:
-            if "band" in inp or "id_a" in inp and "id_b" in inp:
-                assert "embedding" not in inp and "_vec" not in inp, (arg, inp)
+            k = hash_keys(arg)
+            if ("band" in inp) or ("id_a" in k and "id_b" in k):
+                assert not vec_pat.search(inp), (arg, inp)
