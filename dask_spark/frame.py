@@ -1150,10 +1150,12 @@ class DaskFrame:
             return out
         return get_dummies(self, column, prefix, values, max_categories)
 
-    def rolling(self, window: int | str, on: str, by: str | Sequence[str] | None = None):
+    def rolling(self, window: int | str, on: str,
+                by: str | Sequence[str] | None = None,
+                min_periods: int | None = None):
         from dask_spark.operators.window import Rolling
 
-        return Rolling(self, window, on, by)
+        return Rolling(self, window, on, by, min_periods)
 
     def resample(self, rule: str, on: str):
         from dask_spark.operators.window import Resampler

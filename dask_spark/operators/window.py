@@ -115,6 +115,93 @@ class Rolling:
     def std(self, col: str):
         return self.agg({col: "std"})
 
+    # -- order-statistic / higher-moment / two-column rolling aggs -----
+    # (reference: dask/dataframe/dask_expr/_rolling.py RollingQuantile /
+    # RollingSkew / RollingKurt / RollingCov — dask runs the pandas
+    # rolling agg per partition under map_overlap; here each is the
+    # matching Spark aggregate evaluated over the same window frame,
+    # bias-corrected where Spark's population moments differ from the
+    # pandas/dask sample definitions.)
+
+    def quantile(self, col: str, q: float, out: str | None = None):
+        """Exact linear-interpolation quantile per window frame
+        (matches pandas rolling.quantile(interpolation='linear') and
+        DuckDB quantile_cont)."""
+        from dask_spark.frame import DaskFrame
+
+        w, sdf = self._win()
+        expr = F.percentile(F.col(col), F.lit(float(q))).over(w)
+        if self._min_periods:
+            expr = F.when(F.count(col).over(w) >= self._min_periods, expr)
+        return DaskFrame(
+            self._untag(sdf.withColumn(out or f"{col}_roll_quantile", expr))
+        )
+
+    def median(self, col: str, out: str | None = None):
+        return self.quantile(col, 0.5, out=out or f"{col}_roll_median")
+
+    def skew(self, col: str, out: str | None = None):
+        """Bias-corrected sample skewness G1 (the pandas/dask
+        definition). Spark's skewness window aggregate returns the
+        population moment g1 = m3/m2^1.5; the correction
+        G1 = g1 * sqrt(n(n-1))/(n-2) needs only the frame count."""
+        from dask_spark.frame import DaskFrame
+
+        w, sdf = self._win()
+        n = F.count(col).over(w).cast("double")
+        g1 = F.skewness(F.col(col)).over(w)
+        need = max(3, self._min_periods or 0)
+        expr = F.when(n >= need, g1 * F.sqrt(n * (n - 1)) / (n - 2))
+        return DaskFrame(
+            self._untag(sdf.withColumn(out or f"{col}_roll_skew", expr))
+        )
+
+    def kurt(self, col: str, out: str | None = None):
+        """Bias-corrected sample excess kurtosis G2 (pandas/dask).
+        Spark's kurtosis returns population excess g2 = m4/m2^2 - 3;
+        G2 = (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6)."""
+        from dask_spark.frame import DaskFrame
+
+        w, sdf = self._win()
+        n = F.count(col).over(w).cast("double")
+        g2 = F.kurtosis(F.col(col)).over(w)
+        need = max(4, self._min_periods or 0)
+        expr = F.when(
+            n >= need, (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+        )
+        return DaskFrame(
+            self._untag(sdf.withColumn(out or f"{col}_roll_kurt", expr))
+        )
+
+    def cov(self, col: str, other: str, out: str | None = None):
+        """Rolling sample covariance of two columns (pandas
+        rolling.cov / DuckDB covar_samp)."""
+        from dask_spark.frame import DaskFrame
+
+        w, sdf = self._win()
+        expr = F.covar_samp(F.col(col), F.col(other)).over(w)
+        if self._min_periods:
+            cnt = F.count(F.when(F.col(col).isNotNull()
+                                 & F.col(other).isNotNull(), 1)).over(w)
+            expr = F.when(cnt >= self._min_periods, expr)
+        return DaskFrame(
+            self._untag(sdf.withColumn(out or f"{col}_roll_cov", expr))
+        )
+
+    def corr(self, col: str, other: str, out: str | None = None):
+        """Rolling Pearson correlation of two columns."""
+        from dask_spark.frame import DaskFrame
+
+        w, sdf = self._win()
+        expr = F.corr(F.col(col), F.col(other)).over(w)
+        if self._min_periods:
+            cnt = F.count(F.when(F.col(col).isNotNull()
+                                 & F.col(other).isNotNull(), 1)).over(w)
+            expr = F.when(cnt >= self._min_periods, expr)
+        return DaskFrame(
+            self._untag(sdf.withColumn(out or f"{col}_roll_corr", expr))
+        )
+
     def apply(self, col: str, fn, dtype: str = "double", out: str | None = None):
         """Arbitrary python fn per window (dask rolling.apply):
         collect_list over the window frame → Arrow-batched pandas UDF
@@ -437,32 +524,40 @@ def map_overlap(frame, fn, schema: str, on: str, before: float = 0,
         cuts = []
     ocol = F.col(on).cast("double")
 
-    # own bucket: index of first cut > value
-    own = F.lit(len(cuts))
-    for i in reversed(range(len(cuts))):
-        own = F.when(ocol < F.lit(cuts[i]), F.lit(i)).otherwise(own)
+    # own bucket via the O(log n) binary search (operators/sort
+    # with_bucket); a row's only possible halo destinations are its two
+    # NEIGHBOR buckets, located through the cuts array in O(1) — per-row
+    # cost is O(log #buckets), never a scan of every cut
+    from dask_spark.operators.sort import with_bucket
 
-    targets = [F.struct(own.alias("b"), F.lit(True).alias("core"))]
-    for i, cut in enumerate(cuts):
-        # halo for bucket i+1 (rows just before its start)
-        targets.append(
-            F.when(
-                (ocol >= F.lit(cut - before)) & (ocol < F.lit(cut)),
-                F.struct(F.lit(i + 1).alias("b"), F.lit(False).alias("core")),
-            )
-        )
-        # halo for bucket i (rows just after its end)
-        targets.append(
-            F.when(
-                (ocol >= F.lit(cut)) & (ocol < F.lit(cut + after)),
-                F.struct(F.lit(i).alias("b"), F.lit(False).alias("core")),
-            )
-        )
-    exploded = sdf.withColumn(
-        "__t", F.explode(F.filter(F.array(*targets), lambda t: t.isNotNull()))
+    dt = sdf.schema[on].dataType
+    bucketed = with_bucket(sdf, on, cuts, True, dt, "__own")
+    own = F.col("__own")
+    if cuts:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        upper = F.try_element_at(arr, own + 1)  # first cut above own bucket
+        lower = F.when(own >= 1, F.try_element_at(arr, own))  # cut below
+    else:
+        upper = F.lit(None).cast("double")
+        lower = F.lit(None).cast("double")
+    targets = F.array(
+        F.struct(own.alias("b"), F.lit(True).alias("core")),
+        # halo for the NEXT bucket: rows within `before` of its start
+        F.when(
+            upper.isNotNull() & (ocol >= upper - F.lit(before)),
+            F.struct((own + 1).alias("b"), F.lit(False).alias("core")),
+        ),
+        # halo for the PREVIOUS bucket: rows within `after` of its end
+        F.when(
+            lower.isNotNull() & (ocol < lower + F.lit(after)),
+            F.struct((own - 1).alias("b"), F.lit(False).alias("core")),
+        ),
+    )
+    exploded = bucketed.withColumn(
+        "__t", F.explode(F.filter(targets, lambda t: t.isNotNull()))
     ).withColumn("__bucket", F.col("__t.b")).withColumn(
         "__core", F.col("__t.core")
-    ).drop("__t")
+    ).drop("__t", "__own")
 
     in_cols = sdf.columns
 

@@ -964,6 +964,101 @@ def rolling_range(spark, sf_dir):
 
 
 @q(
+    "rolling_quantile",
+    """
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.75) OVER (
+             PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS value_roll_quantile
+    FROM events
+    """,
+)
+def rolling_quantile_q(spark, sf_dir):
+    """Rolling exact quantile (reference: dask_expr/_rolling.py
+    RollingQuantile — pandas rolling.quantile under map_overlap). Range
+    frame on event time: deterministic under timestamp ties, so the
+    hash compare is exact."""
+    e = load(spark, sf_dir, "events")
+    out = e.rolling("1h", on="ts", by="user_id").quantile("value", 0.75)
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_quantile", 4).alias("value_roll_quantile"),
+    )
+
+
+@q(
+    "rolling_skew",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN COUNT(value) OVER w >= 3
+                THEN ROUND(skewness(value) OVER w, 4) END AS value_roll_skew
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_skew_q(spark, sf_dir):
+    """Rolling bias-corrected sample skewness (reference:
+    dask_expr/_rolling.py RollingSkew). DuckDB's skewness is already
+    the sample G1, matching the engine's correction of Spark's
+    population g1."""
+    e = load(spark, sf_dir, "events")
+    out = e.rolling("1h", on="ts", by="user_id").skew("value")
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_skew", 4).alias("value_roll_skew"),
+    )
+
+
+@q(
+    "rolling_kurt",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN COUNT(value) OVER w >= 4
+                THEN ROUND(kurtosis(value) OVER w, 4) END AS value_roll_kurt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_kurt_q(spark, sf_dir):
+    """Rolling bias-corrected sample excess kurtosis (reference:
+    dask_expr/_rolling.py RollingKurt)."""
+    e = load(spark, sf_dir, "events")
+    out = e.rolling("1h", on="ts", by="user_id").kurt("value")
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_kurt", 4).alias("value_roll_kurt"),
+    )
+
+
+@q(
+    "rolling_cov",
+    """
+    SELECT event_id, user_id,
+           ROUND(covar_samp(value, epoch_us(ts) / 1000000.0) OVER (
+             PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS value_roll_cov
+    FROM events
+    """,
+)
+def rolling_cov_q(spark, sf_dir):
+    """Rolling two-column sample covariance (reference:
+    dask_expr/_rolling.py RollingCov): value vs event time in epoch
+    seconds."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    sdf = e.to_spark().withColumn("ts_s", epoch_us("ts") / F.lit(1_000_000.0))
+    out = DaskFrame(sdf).rolling("1h", on="ts", by="user_id").cov("value", "ts_s")
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_cov", 4).alias("value_roll_cov"),
+    )
+
+
+@q(
     "resample",
     """
     SELECT (epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 3600) AS bucket_s,

@@ -430,3 +430,74 @@ def test_range_bucket_binary_search_2048_cuts(spark):
     # ceil(log2(2049)) = 12 steps x 2 conditionals + final null guard;
     # the old linear chain would emit ~2047
     assert n_when < 100, f"bucket lookup no longer logarithmic: {n_when} CASE WHENs"
+
+
+def test_rolling_quantile_family_parity(spark):
+    """quantile/median/skew/kurt/cov/corr vs pandas rolling (the dask
+    oracle), keyed and keyless (halo) paths."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "t": np.arange(n),
+            "k": np.arange(n) % 3,
+            "v": np.sin(np.arange(n) * 1.7) * 10,
+            "u": np.cos(np.arange(n) * 0.9) * 5,
+        }
+    )
+    f = ds.from_pandas(pdf)
+
+    def check(got, exp, col):
+        got = got.compute().sort_values(["k", "t"]).reset_index(drop=True)
+        np.testing.assert_allclose(
+            got[col].to_numpy(), exp.to_numpy(), rtol=1e-9, atol=1e-9
+        )
+
+    by = pdf.sort_values(["k", "t"]).groupby("k")
+    r = lambda: f.rolling(5, on="t", by="k", min_periods=1)  # noqa: E731
+    check(r().quantile("v", 0.25), by["v"].rolling(5, min_periods=1)
+          .quantile(0.25).reset_index(drop=True), "v_roll_quantile")
+    check(r().median("v"), by["v"].rolling(5, min_periods=1)
+          .median().reset_index(drop=True), "v_roll_median")
+    check(r().skew("v"), by["v"].rolling(5, min_periods=1)
+          .skew().reset_index(drop=True), "v_roll_skew")
+    check(r().kurt("v"), by["v"].rolling(5, min_periods=1)
+          .kurt().reset_index(drop=True), "v_roll_kurt")
+
+    # two-column rolling cov/corr (keyed)
+    exp_cov = (
+        pdf.sort_values(["k", "t"]).groupby("k")
+        .apply(lambda g: g["v"].rolling(5, min_periods=1).cov(g["u"]),
+               include_groups=False)
+        .reset_index(drop=True)
+    )
+    check(r().cov("v", "u"), exp_cov, "v_roll_cov")
+    exp_corr = (
+        pdf.sort_values(["k", "t"]).groupby("k")
+        .apply(lambda g: g["v"].rolling(5, min_periods=1).corr(g["u"]),
+               include_groups=False)
+        .reset_index(drop=True)
+    )
+    check(r().corr("v", "u"), exp_corr, "v_roll_corr")
+
+    # keyless path (range-bucket + halo, multi-partition)
+    got = (
+        f.rolling(7, on="t", min_periods=1).quantile("v", 0.5)
+        .compute().sort_values("t").reset_index(drop=True)
+    )
+    exp = pdf["v"].rolling(7, min_periods=1).median()
+    np.testing.assert_allclose(
+        got["v_roll_quantile"].to_numpy(), exp.to_numpy(), rtol=1e-9, atol=1e-9
+    )
+    got_sk = (
+        f.rolling(9, on="t", min_periods=1).skew("v")
+        .compute().sort_values("t").reset_index(drop=True)
+    )
+    exp_sk = pdf["v"].rolling(9, min_periods=1).skew()
+    np.testing.assert_allclose(
+        got_sk["v_roll_skew"].to_numpy(), exp_sk.to_numpy(), rtol=1e-9, atol=1e-9
+    )
