@@ -166,6 +166,117 @@ class DtAccessor:
         return self._wrap(F.date_format(self._s._expr, fmt))
 
 
+class CatAccessor:
+    """``.cat`` — categorical accessor (reference:
+    dask/dataframe/dask_expr/_categorical.py CategoricalAccessor:
+    known/categories/codes/as_known/as_unknown/add_categories/
+    remove_categories/rename_categories/set_categories).
+
+    Spark has no categorical dtype; 'known categories' are a
+    driver-side list pinned on the Series (dask's known/unknown
+    distinction maps exactly: unknown until ``as_known()`` runs the
+    one small distinct job). ``codes`` is a literal sorted-array lookup
+    — right for accessor-scale category sets (dask's contract: known
+    categories fit in memory); the high-cardinality scale path is
+    ``operators.reshape.categorize`` (broadcast code-table join)."""
+
+    def __init__(self, s: "Series"):
+        self._s = s
+
+    def _cats_or_raise(self) -> list:
+        cats = getattr(self._s, "_categories", None)
+        if cats is None:
+            raise ValueError(
+                f"categories of {self._s._name!r} are unknown — call "
+                ".cat.as_known() first (runs one small distinct job), "
+                "matching dask's known-categories contract"
+            )
+        return cats
+
+    def _with_cats(self, cats: list) -> "Series":
+        out = Series(self._s._frame, self._s._expr, self._s._name)
+        out._categories = list(cats)
+        return out
+
+    @property
+    def known(self) -> bool:
+        return getattr(self._s, "_categories", None) is not None
+
+    @property
+    def categories(self) -> list:
+        return list(self._cats_or_raise())
+
+    def as_known(self, max_categories: int = 65536) -> "Series":
+        """Compute the category set (sorted distinct, one tiny job —
+        the dask as_known() shape) and pin it on the Series."""
+        from dask_spark.operators.reshape import _distinct_guarded
+
+        tmp = self._s._frame._sdf.select(self._s._expr.alias("__c"))
+        cats = _distinct_guarded(tmp, "__c", max_categories, "as_known")
+        return self._with_cats(cats)
+
+    def as_unknown(self) -> "Series":
+        out = Series(self._s._frame, self._s._expr, self._s._name)
+        out._categories = None
+        return out
+
+    @property
+    def codes(self) -> "Series":
+        """0-based position in the known categories; -1 for values not
+        in the set and for nulls (the pandas code for NaN)."""
+        cats = self._cats_or_raise()
+        arr = F.array(*[F.lit(c) for c in cats])
+        pos = F.array_position(arr, self._s._expr).cast("int")
+        expr = F.coalesce(pos - F.lit(1), F.lit(-1)).cast("int")
+        return Series(self._s._frame, expr, self._s._name)
+
+    def add_categories(self, new: list) -> "Series":
+        cats = self._cats_or_raise()
+        dup = [c for c in new if c in cats]
+        if dup:
+            raise ValueError(f"new categories must not already exist: {dup}")
+        return self._with_cats(cats + list(new))
+
+    def remove_categories(self, drop: list) -> "Series":
+        cats = self._cats_or_raise()
+        missing = [c for c in drop if c not in cats]
+        if missing:
+            raise ValueError(f"removals must be existing categories: {missing}")
+        drop_set = set(drop)
+        # values whose category is removed become null (pandas semantics)
+        keep = [c for c in cats if c not in drop_set]
+        expr = F.when(self._s._expr.isin(*drop_set), F.lit(None)).otherwise(
+            self._s._expr
+        )
+        out = Series(self._s._frame, expr, self._s._name)
+        out._categories = keep
+        return out
+
+    def rename_categories(self, mapping: dict) -> "Series":
+        cats = self._cats_or_raise()
+        new_cats = [mapping.get(c, c) for c in cats]
+        if len(set(new_cats)) != len(new_cats):
+            raise ValueError("rename_categories produced duplicate categories")
+        expr = self._s._expr
+        for old, new in mapping.items():
+            expr = F.when(self._s._expr == F.lit(old), F.lit(new)).otherwise(expr)
+        out = Series(self._s._frame, expr, self._s._name)
+        out._categories = new_cats
+        return out
+
+    def set_categories(self, cats: list) -> "Series":
+        """Pin an explicit category list (values outside it code to -1
+        and render as null through remove semantics — pandas
+        set_categories)."""
+        cat_list = list(cats)
+        if len(set(cat_list)) != len(cat_list):
+            raise ValueError("categories must be unique")
+        expr = F.when(self._s._expr.isin(*cat_list), self._s._expr)
+        out = Series(self._s._frame, expr, self._s._name)
+        out._categories = cat_list
+        return out
+
+
 class Series:
     """Column-expression view bound to a parent DaskFrame (lazy)."""
 
@@ -317,6 +428,10 @@ class Series:
     @property
     def dt(self) -> DtAccessor:
         return DtAccessor(self)
+
+    @property
+    def cat(self) -> CatAccessor:
+        return CatAccessor(self)
 
     # ---- reductions (eager scalars, like .compute() on dask scalar) --
     def _agg_scalar(self, expr: Column):

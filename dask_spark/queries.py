@@ -2067,6 +2067,28 @@ def categorize(spark, sf_dir):
 
 
 @q(
+    "cat_codes",
+    """
+    WITH cats AS (
+      SELECT c_mktsegment AS v,
+             (row_number() OVER (ORDER BY c_mktsegment) - 1)::INT AS code
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c.c_custkey, c.c_mktsegment, cats.code AS mkt_code
+    FROM customer c JOIN cats ON c.c_mktsegment = cats.v
+    """,
+)
+def cat_codes(spark, sf_dir):
+    """.cat accessor (reference: dask_expr/_categorical.py
+    CategoricalAccessor): as_known() computes the sorted category set
+    with one tiny distinct job, .codes is the 0-based position."""
+    c = load(spark, sf_dir, "customer")
+    known = c.c_mktsegment.cat.as_known()
+    out = c.assign(mkt_code=known.cat.codes)
+    return out[["c_custkey", "c_mktsegment", "mkt_code"]].to_spark()
+
+
+@q(
     "value_counts_norm",
     """
     SELECT event_type, count(*) / (SELECT count(*) FROM events) AS proportion

@@ -191,3 +191,56 @@ def test_frame_idxminmax(tables, pdf_tables):
     got_id = li.idxmax("l_extendedprice", "l_orderkey")
     top = p.loc[p.l_extendedprice.idxmax()]
     assert p[p.l_orderkey == got_id].l_extendedprice.max() == top.l_extendedprice
+
+
+def test_cat_accessor(spark, tables):
+    """.cat accessor parity (reference: dask_expr/_categorical.py):
+    known/unknown state machine, codes, add/remove/rename/set."""
+    import pytest
+
+    c = tables["customer"]
+    s = c.c_mktsegment
+
+    assert not s.cat.known
+    with pytest.raises(ValueError, match="unknown"):
+        _ = s.cat.categories
+
+    known = s.cat.as_known()
+    assert known.cat.known
+    cats = known.cat.categories
+    assert cats == sorted(cats) and len(cats) == 5
+
+    # codes = position in the sorted category list; -1 never occurs here
+    out = c.assign(code=known.cat.codes).compute()
+    lookup = {v: i for i, v in enumerate(cats)}
+    assert (out["code"] == out["c_mktsegment"].map(lookup)).all()
+
+    # add_categories extends, duplicates rejected
+    more = known.cat.add_categories(["ZZZ"])
+    assert more.cat.categories == cats + ["ZZZ"]
+    with pytest.raises(ValueError):
+        known.cat.add_categories([cats[0]])
+
+    # remove_categories nulls removed values out
+    removed = known.cat.remove_categories([cats[0]])
+    got = c.assign(seg=removed).compute()
+    assert got.loc[got["c_mktsegment"] == cats[0], "seg"].isna().all()
+    assert removed.cat.categories == cats[1:]
+
+    # rename remaps values and the category list
+    ren = known.cat.rename_categories({cats[0]: "FIRST"})
+    got = c.assign(seg=ren).compute()
+    assert (got.loc[got["c_mktsegment"] == cats[0], "seg"] == "FIRST").all()
+    assert ren.cat.categories[0] == "FIRST"
+
+    # set_categories: out-of-list values become null / code -1
+    only2 = known.cat.set_categories(cats[:2])
+    got = c.assign(seg=only2, code=only2.cat.codes).compute()
+    outside = ~got["c_mktsegment"].isin(cats[:2])
+    assert got.loc[outside, "seg"].isna().all()
+    assert (got.loc[outside, "code"] == -1).all()
+    assert (got.loc[~outside, "code"]
+            == got.loc[~outside, "c_mktsegment"].map({v: i for i, v in enumerate(cats[:2])})).all()
+
+    # as_unknown drops the pinned list
+    assert not known.cat.as_unknown().cat.known
