@@ -32,6 +32,8 @@ from dask_spark.sources import (
     timeseries,
 )
 
+from dask_spark.delayed import Delayed, compute, delayed
+
 from dask_spark import testing
 
 __version__ = "0.1.0"

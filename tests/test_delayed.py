@@ -1,0 +1,129 @@
+"""delayed / compute (reference: dask/delayed.py Delayed + delayed):
+driver-side task DAG with shared-node memoization and concurrent
+execution of independent nodes (= concurrent Spark jobs)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from dask_spark.delayed import Delayed, compute, delayed
+
+
+def test_diamond_single_evaluation():
+    calls = {"base": 0, "l": 0, "r": 0}
+
+    @delayed
+    def base():
+        calls["base"] += 1
+        return 10
+
+    @delayed
+    def left(x):
+        calls["l"] += 1
+        return x + 1
+
+    @delayed
+    def right(x):
+        calls["r"] += 1
+        return x * 2
+
+    @delayed
+    def join(a, b):
+        return a + b
+
+    b = base()
+    d = join(left(b), right(b))  # diamond: b shared by both branches
+    for sched in ("sync", "threads"):
+        calls.update(base=0, l=0, r=0)
+        assert d.compute(scheduler=sched) == 31
+        assert calls == {"base": 1, "l": 1, "r": 1}
+
+
+def test_compute_many_shares_nodes():
+    calls = []
+
+    @delayed
+    def src():
+        calls.append(1)
+        return 5
+
+    s = src()
+    x = delayed(lambda v: v + 1)(s)
+    y = delayed(lambda v: v - 1)(s)
+    assert compute(x, y) == (6, 4)
+    assert len(calls) == 1  # shared source ran once across outputs
+
+
+def test_nested_containers_and_operators():
+    one = delayed(lambda: 1)()
+    two = delayed(lambda: 2)()
+    total = delayed(sum)([one, two, 3])
+    assert total.compute() == 6
+    assert (one + two).compute() == 3
+    assert (one * 5).compute() == 5
+    pair = delayed(lambda: {"a": 7, "b": 8})()
+    assert pair["b"].compute() == 8
+
+
+def test_threaded_runs_independent_nodes_concurrently():
+    active, peak = [0], [0]
+    lock = threading.Lock()
+
+    @delayed
+    def slow(i):
+        with lock:
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+        time.sleep(0.2)
+        with lock:
+            active[0] -= 1
+        return i
+
+    out = delayed(sum)([slow(i) for i in range(4)])
+    t0 = time.time()
+    assert out.compute(scheduler="threads") == 6
+    assert peak[0] >= 2  # genuinely overlapped
+    assert time.time() - t0 < 0.75  # 4 x 0.2s did not serialize
+
+
+def test_error_propagates():
+    @delayed
+    def boom():
+        raise RuntimeError("kaput")
+
+    with pytest.raises(RuntimeError, match="kaput"):
+        boom().compute()
+    with pytest.raises(RuntimeError, match="kaput"):
+        boom().compute(scheduler="sync")
+
+
+def test_delayed_over_frames(spark, tables):
+    """The Spark-shaped use: each node is a distributed Catalyst plan;
+    delayed sequences the imperative composition and the shared scan
+    node is built once."""
+    built = []
+
+    @delayed
+    def curated():
+        built.append(1)
+        o = tables["orders"]
+        return o[o.o_totalprice > 100000]
+
+    @delayed
+    def n_rows(f):
+        return f.to_spark().count()
+
+    @delayed
+    def total(f):
+        return f.o_totalprice.sum()
+
+    shared = curated()
+    n, tot = compute(n_rows(shared), total(shared))
+    assert len(built) == 1
+    pdf = tables["orders"].compute()
+    big = pdf[pdf["o_totalprice"] > 100000]
+    assert n == len(big)
+    assert abs(tot - big["o_totalprice"].sum()) < 1e-6
