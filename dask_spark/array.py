@@ -397,6 +397,94 @@ class DArray:
         )
         return np.linalg.solve(R, np.array([r["v"] for r in c]))
 
+    def solve(self, b, b_col: str):
+        """Solve ``A x = b`` (reference: dask/array/linalg.py:1208
+        solve — dask runs LU over blocks; for the tall/square rows×dim
+        model the TSQR route is the stable Spark-first equivalent):
+        Q,R = tsqr(A), x = R⁻¹(Qᵀb). For a square nonsingular A this is
+        the exact solution; for tall A it coincides with the
+        least-squares solution (same normal equations) — both from two
+        distributed map passes plus a d×d driver triangular solve."""
+        return self.lstsq(b, b_col)
+
+    def inv(self):
+        """Inverse of a square A, returned TRANSPOSED as a row-aligned
+        DArray (row i = column i of A⁻¹) so the result stays
+        distributed (reference: dask/array/linalg.py:1268 inv = solve
+        vs identity). Via tsqr: A = QR ⇒ A⁻¹ = R⁻¹Qᵀ ⇒ A⁻¹ᵀ = Q·R⁻ᵀ —
+        one broadcast d×d back-multiply on Q's map pass; only R (d×d)
+        ever sits on the driver. Callers needing the materialized
+        matrix collect d rows."""
+        import numpy as np
+
+        Q, R = self.tsqr()
+        d = R.shape[0]
+        if abs(np.linalg.det(R)) < 1e-300:
+            raise np.linalg.LinAlgError("matrix is singular")
+        rinv_t = np.linalg.inv(R).T
+        return Q.matmul(rinv_t)
+
+    def cholesky(self, of: str = "gram"):
+        """Cholesky factor, driver-side d×d ndarray (reference:
+        dask/array/linalg.py:1295 cholesky).
+
+        ``of='gram'`` (default): L with L@Lᵀ = AᵀA — the square SPD
+        matrix a tall distributed pipeline actually produces (normal
+        equations, covariance up to centering). Free by construction:
+        tsqr's sign-fixed R has a non-negative diagonal, so L = Rᵀ IS
+        the (unique) Cholesky factor of RᵀR = AᵀA; cost is the tsqr
+        R pass only (no Q rebuild).
+
+        ``of='self'``: A itself is the d×d SPD matrix (n == d rows,
+        e.g. a collected covariance); factorized on the driver — d is
+        small by the same contract that bounds tsqr (d ≤ ~300 at 1000
+        executors)."""
+        import numpy as np
+
+        if of == "gram":
+            # R-only tsqr: reuse the partial-R tree without the Q pass
+            R = self._tsqr_r_only()
+            return R.T
+        if of != "self":
+            raise ValueError("of must be 'gram'|'self'")
+        rows = sorted(
+            self._sdf.select(self._id, self._col).collect(),
+            key=lambda r: r[self._id],
+        )
+        A = np.array([list(r[self._col]) for r in rows], dtype="float64")
+        if A.shape[0] != A.shape[1]:
+            raise ValueError(f"cholesky(of='self') needs square, got {A.shape}")
+        return np.linalg.cholesky(A)
+
+    def _tsqr_r_only(self):
+        """The R half of tsqr without materializing Q: per-partition
+        local QR emits d×d R blocks, one driver QR of the stacked
+        blocks. Same communication shape (#partitions × d² floats)."""
+        import numpy as np
+        import pandas as pd
+
+        col = self._col
+
+        def local_r(it):
+            chunks = [c for c in it if len(c)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            X = np.array(pdf[col].tolist(), dtype="float64")
+            R = np.linalg.qr(X, mode="r")
+            yield pd.DataFrame({"__i": range(len(R)), "__r": list(R)})
+
+        rows = self._sdf.select(col).mapInPandas(
+            local_r, schema="__i int, __r array<double>"
+        ).collect()
+        if not rows:
+            raise ValueError("cholesky of an empty array")
+        stacked = np.array([list(r["__r"]) for r in rows], dtype="float64")
+        R = np.linalg.qr(stacked, mode="r")
+        s = np.sign(np.diag(R))
+        s[s == 0] = 1.0
+        return R * s[:, None]
+
     def _tsqr(self, post):
         import numpy as np
         import pandas as pd

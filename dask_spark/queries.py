@@ -2546,6 +2546,23 @@ def arr_tsqr(spark, sf_dir):
     return colnorm.join(rd, "dim").orderBy("dim")
 
 
+@q("arr_cholesky", None)  # no SQL analog of a matrix factorization — rows-only
+def arr_cholesky(spark, sf_dir):
+    """Cholesky of the embeddings' Gram matrix via the R-only TSQR tree
+    (reference: dask/array/linalg.py:1295 cholesky). The factor of an
+    SPD matrix with positive diagonal is UNIQUE, so the emitted
+    diagonal is partitioning-invariant — a stable rows-only check."""
+    from dask_spark.array import DArray
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = DArray.from_frame(e, "embedding", "vec_id")
+    L = arr.cholesky()
+    return spark.createDataFrame(
+        [(i, round(float(L[i, i]), 4)) for i in range(L.shape[0])],
+        "dim int, l_diag double",
+    )
+
+
 @q(
     "arr_map_blocks",
     """

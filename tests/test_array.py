@@ -214,3 +214,59 @@ def test_lstsq_recovers_coefficients(spark):
     want = np.linalg.lstsq(X, y, rcond=None)[0]
     assert np.allclose(got, want, atol=1e-8)
     assert np.allclose(got, beta, atol=0.01)
+
+
+def test_solve_inv_cholesky(spark):
+    """solve/inv/cholesky (reference dask/array/linalg.py:1208,1268,
+    1295): exact square solve, A@inv(A)=I, L@Lt reconstructions."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+    from dask_spark.frame import DaskFrame
+
+    rng = np.random.RandomState(11)
+    d = 5
+    A = rng.randn(d, d) + np.eye(d) * 3  # well-conditioned square
+    xs = rng.randn(d)
+    b = A @ xs
+    rows = [(i, [float(v) for v in A[i]], float(b[i])) for i in range(d)]
+    sdf = spark.createDataFrame(rows, "rid bigint, vec array<double>, b double")
+    arr = DArray(sdf.select("rid", "vec"), "vec", "rid")
+
+    # exact square solve
+    got = arr.solve(DaskFrame(sdf.select("rid", "b")), "b")
+    assert np.allclose(got, xs, atol=1e-8)
+
+    # inverse: returned transposed, row-aligned; A @ inv(A) == I
+    invT_rows = arr.inv()._sdf.orderBy("rid").collect()
+    invT = np.array([list(r["vec"]) for r in invT_rows])
+    assert np.allclose(A @ invT.T, np.eye(d), atol=1e-8)
+
+    # singular matrix raises
+    S = np.zeros((3, 3))
+    ssdf = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(3)], "rid bigint, vec array<double>"
+    )
+    with pytest.raises(Exception):
+        DArray(ssdf, "vec", "rid").inv()
+
+    # cholesky of the gram matrix of a TALL array, multi-partition
+    X = rng.randn(400, 6)
+    xsdf = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(400)],
+        "rid bigint, vec array<double>",
+    ).repartition(8)
+    tall = DArray(xsdf, "vec", "rid")
+    L = tall.cholesky()  # of='gram'
+    assert np.allclose(L, np.tril(L)), "not lower triangular"
+    assert (np.diag(L) >= 0).all()
+    assert np.allclose(L @ L.T, X.T @ X, atol=1e-8)
+
+    # cholesky of an explicit SPD matrix (of='self')
+    SPD = X[:6].T @ X[:6] + np.eye(6)
+    psdf = spark.createDataFrame(
+        [(i, [float(v) for v in SPD[i]]) for i in range(6)],
+        "rid bigint, vec array<double>",
+    )
+    L2 = DArray(psdf, "vec", "rid").cholesky(of="self")
+    assert np.allclose(L2 @ L2.T, SPD, atol=1e-10)
