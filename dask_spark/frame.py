@@ -1281,11 +1281,13 @@ class DaskFrame:
                    by: str | Sequence[str] | None = None,
                    direction: str = "backward",
                    tolerance=None,
-                   suffixes: tuple[str, str] = ("", "_right")) -> "DaskFrame":
+                   suffixes: tuple[str, str] = ("", "_right"),
+                   allow_exact_matches: bool = True) -> "DaskFrame":
         from dask_spark.operators.joins import merge_asof
 
         return merge_asof(self, right, on=on, by=by, direction=direction,
-                          tolerance=tolerance, suffixes=suffixes)
+                          tolerance=tolerance, suffixes=suffixes,
+                          allow_exact_matches=allow_exact_matches)
 
     # ---- python escape hatches ----------------------------------------------
     def map_partitions(self, fn: Callable, schema: str) -> "DaskFrame":

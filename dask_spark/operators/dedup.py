@@ -487,26 +487,130 @@ def contamination(corpus, benchmark, text_col: str = "text",
     return DaskFrame(per_doc.withColumn("contaminated", contaminated))
 
 
+def _star_round(edges, large: bool):
+    """One large-star / small-star step over a directed-pair edge set
+    (public algorithm: Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). ``edges`` holds each surviving
+    undirected edge once as (src, dst); the step symmetrizes, computes
+    m(u) = min(Γ(u) ∪ {u}) with one groupBy, and re-links:
+
+    - large-star: every neighbor v > u links to m(u)
+    - small-star: every neighbor v <= u, and u itself, link to m(u)
+
+    Both are a single self-join shape: sym ⋈ per-node-min. Self loops
+    are dropped; distinct() keeps the edge set from ballooning."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .withColumn("m", F.least("m", "src"))
+    )
+    j = sym.join(mins, "src")
+    if large:
+        out = j.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = j.filter(F.col("dst") <= F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).unionByName(mins.select("src", F.col("m").alias("dst")))
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _cc_star(edges, max_iter: int = 50):
+    """Pointer-doubling connected components: alternate large-star /
+    small-star until the edge set is stable. Converges in O(log d)
+    rounds on a diameter-d graph (vs O(d) for label propagation) —
+    the scale path for adversarially deep near-dup chains. Each round
+    is two shuffle joins plus ONE tiny driver action (count +
+    hash-checksum of the edge set) for the convergence test.
+
+    Returns (labels_sdf, rounds): labels maps every node that appears
+    in ``edges`` to its component min.
+
+    Lineage is truncated each round with an EAGER localCheckpoint —
+    without it the logical plan doubles per round (each star step
+    embeds both prior steps) and Catalyst analysis time alone goes
+    exponential by round ~10; checkpointing keeps every round's plan
+    two joins deep."""
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        edges = _star_round(
+            _star_round(edges, large=True), large=False
+        ).localCheckpoint()
+        # bit_xor: order-insensitive, overflow-free (ANSI sum over 64-bit
+        # hashes throws); edge set is distinct so XOR cancellation is safe
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("src", "dst"))
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: edges form stars (child -> root). Root nodes appear
+    # only as dst; every node labels itself min(Γ⁺).
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("component", "src").alias("component"),
+        )
+    )
+    return labels, rounds
+
+
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 50):
+                         max_iter: int = 50, algorithm: str = "label"):
     """Cluster near-dup pairs into components (the canonicalization
     step after pair verification in a dedup pipeline — pick one doc
     per component; dask has no analog, brief-mandated extension
     class).
 
-    Min-label propagation over the symmetrized edge list: each round
-    is one shuffle join (labels ⋈ edges) + a min aggregate, then a
-    TINY count action for the convergence check; rounds ≈ component
-    diameter, and near-dup clusters are shallow (a handful of hops).
-    Labels are persisted per round so lineage stays bounded. For
-    adversarially deep graphs swap in pointer-doubling (large/small
-    star) — same join shape, O(log d) rounds.
+    algorithm="label" (default): min-label propagation over the
+    symmetrized edge list — each round is one shuffle join (labels ⋈
+    edges) + a min aggregate, then a TINY count action for the
+    convergence check; rounds ≈ component diameter, and near-dup
+    clusters are shallow (a handful of hops). Labels are persisted per
+    round so lineage stays bounded.
+
+    algorithm="star": pointer-doubling via alternating large-star /
+    small-star rounds (_cc_star) — O(log d) rounds, the scale path
+    for deep graphs where label propagation would need diameter many
+    shuffles.
 
     Returns (id, component) for every id that appears in a pair;
-    component = the smallest id in the component (deterministic)."""
+    component = the smallest id in the component (deterministic,
+    identical for both algorithms)."""
     from dask_spark.frame import DaskFrame
 
     base = pairs._sdf.select(id_a, id_b)
+    if algorithm == "star":
+        edges0 = (
+            base.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        labels, _ = _cc_star(edges0, max_iter)
+        nodes = (
+            base.select(F.col(id_a).alias("id"))
+            .unionByName(base.select(F.col(id_b).alias("id")))
+            .distinct()
+        )
+        full = nodes.join(labels, "id", "left").select(
+            "id", F.coalesce("component", "id").alias("component")
+        )
+        return DaskFrame(full)
+    if algorithm != "label":
+        raise ValueError("algorithm must be label|star")
     edges = (
         base.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

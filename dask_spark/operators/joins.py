@@ -117,23 +117,27 @@ def _asof_keyless_base(unioned, on: str, payload, direction: str):
     tagged = _pin(bucketed)
     struct = F.struct(F.col(on).alias("__on"),
                       *[F.col(c).alias(c) for c in payload])
-    pick = (F.max_by(struct, F.col(on)) if direction == "backward"
-            else F.min_by(struct, F.col(on)))
-    bounds = {
-        r["__pid"]: r["s"]
-        for r in tagged.filter(F.col("__side") == 0)
-        .groupBy("__pid").agg(pick.alias("s")).collect()
-    }
-    carry, cur = {}, None
-    pids = range(n) if direction == "backward" else range(n - 1, -1, -1)
-    for pid in pids:
-        carry[pid] = cur
-        if bounds.get(pid) is not None:
-            cur = bounds[pid]
-    seed_rows = [
-        (pid, s["__on"], *[s[c] for c in payload])
-        for pid, s in carry.items() if s is not None
-    ]
+    dirs = [d for d in ("backward", "forward") if direction in (d, "nearest")]
+    picks = {"backward": F.max_by(struct, F.col(on)).alias("s_b"),
+             "forward": F.min_by(struct, F.col(on)).alias("s_f")}
+    rows = (
+        tagged.filter(F.col("__side") == 0)
+        .groupBy("__pid").agg(*[picks[d] for d in dirs]).collect()
+    )
+    seed_rows = []
+    for d in dirs:
+        key = "s_b" if d == "backward" else "s_f"
+        bounds = {r["__pid"]: r[key] for r in rows}
+        carry, cur = {}, None
+        pids = range(n) if d == "backward" else range(n - 1, -1, -1)
+        for pid in pids:
+            carry[pid] = cur
+            if bounds.get(pid) is not None:
+                cur = bounds[pid]
+        seed_rows += [
+            (pid, s["__on"], *[s[c] for c in payload])
+            for pid, s in carry.items() if s is not None
+        ]
     if not seed_rows:
         return tagged
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -156,14 +160,24 @@ def _asof_keyless_base(unioned, on: str, payload, direction: str):
 
 
 def merge_asof(left, right, on: str, by=None, direction: str = "backward",
-               tolerance=None, suffixes=("", "_right")):
+               tolerance=None, suffixes=("", "_right"),
+               allow_exact_matches: bool = True):
     """As-of join via union + window fill (no per-row search, no cross
     join): tag both sides, union, sort within (by, on) partitions, then
     for each left row take the last (backward) / next (forward) right
     row's payload with a window ``last(ignorenulls)``. Scales as one
     shuffle of |L|+|R| rows on the by-key; with no by-key the union is
     range-bucketed on ``on`` with driver-combined carry seeds
-    (_asof_keyless_base) — parallel in both cases."""
+    (_asof_keyless_base) — parallel in both cases.
+
+    All three pandas directions (reference:
+    dask/dataframe/dask_expr/_merge_asof.py:31) are supported.
+    ``nearest`` computes the backward and forward fills over the SAME
+    partitioning (one shuffle, two in-partition sorts) and picks the
+    closer match per row, ties to backward like pandas.
+    ``allow_exact_matches=False`` flips the side tiebreak in the sort so
+    equal-``on`` right rows fall outside the window frame — strictness
+    costs nothing extra."""
     from dask_spark.frame import DaskFrame
 
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
@@ -188,36 +202,70 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
         r_tagged.select(*lcols, *payload, "__side")
     )
 
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
     if by:
         part = by
     else:
         unioned = _asof_keyless_base(unioned, on, payload, direction)
         part = ["__pid"]
 
-    # right rows sort before left rows at equal `on` → backward includes ties
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*part)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        fill = {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in payload}
-        match_on = F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy(*part)
-            .orderBy(F.col(on).asc(), F.col("__side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        fill = {c: F.first(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in payload}
-        match_on = F.first(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+    def fills(forward: bool):
+        # With exact matches allowed, right rows sort on the side of the
+        # left row that puts them INSIDE its frame at equal `on`
+        # (before for backward, after for forward); allow_exact=False
+        # flips the tiebreak so they fall outside.
+        if not forward:
+            side = (F.col("__side").asc() if allow_exact_matches
+                    else F.col("__side").desc())
+            w = (
+                Window.partitionBy(*part)
+                .orderBy(F.col(on).asc(), side)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            fn = F.last
+        else:
+            side = (F.col("__side").desc() if allow_exact_matches
+                    else F.col("__side").asc())
+            w = (
+                Window.partitionBy(*part)
+                .orderBy(F.col(on).asc(), side)
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            fn = F.first
+        fill = {
+            c: fn(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
+            for c in payload
+        }
+        match = fn(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+        return fill, match
 
-    out = unioned
-    for c, e in fill.items():
-        out = out.withColumn(c, e)
-    out = out.withColumn("__match_on", match_on)
+    if direction == "nearest":
+        bfill, bmatch = fills(False)
+        ffill, fmatch = fills(True)
+        out = unioned.withColumn("__bm", bmatch).withColumn("__fm", fmatch)
+        if isinstance(unioned.schema[on].dataType, (TimestampType, TimestampNTZType)):
+            from dask_spark.functions import epoch_us
+
+            def dist(c):
+                return F.abs(epoch_us(F.col(on)) - epoch_us(c))
+        else:
+            def dist(c):
+                return F.abs(F.col(on) - c)
+
+        use_b = F.col("__fm").isNull() | (
+            F.col("__bm").isNotNull() & (dist(F.col("__bm")) <= dist(F.col("__fm")))
+        )
+        for c in payload:
+            out = out.withColumn(c, F.when(use_b, bfill[c]).otherwise(ffill[c]))
+        match_on = F.when(use_b, F.col("__bm")).otherwise(F.col("__fm"))
+        out = out.withColumn("__match_on", match_on).drop("__bm", "__fm")
+    else:
+        fill, match_on = fills(direction == "forward")
+        out = unioned
+        for c, e in fill.items():
+            out = out.withColumn(c, e)
+        out = out.withColumn("__match_on", match_on)
     out = out.filter(F.col("__side") == 1).drop("__side")
     if not by:
         out = out.drop("__pid")

@@ -580,6 +580,44 @@ def merge_asof_q(spark, sf_dir):
     )
 
 
+@q(
+    "merge_asof_nearest",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+         r AS (SELECT user_id, ts, max(value) AS near_value
+               FROM events WHERE event_id % 2 = 1 GROUP BY user_id, ts),
+         c AS (SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                      r.near_value,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY l.event_id
+                        ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+                                 CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END
+                      ) AS rn
+               FROM l LEFT JOIN r ON l.user_id = r.user_id)
+    SELECT event_id, user_id, ts_us, near_value FROM c WHERE rn = 1
+    """,
+)
+def merge_asof_nearest_q(spark, sf_dir):
+    """direction='nearest' as-of (reference:
+    dask/dataframe/dask_expr/_merge_asof.py:31): each even event gets
+    the odd event of the same user with the CLOSEST timestamp, ties to
+    the earlier one — verified against an independent rank-over-all-
+    pairs oracle, not the same window formulation."""
+    e = load(spark, sf_dir, "events")
+    left = e[e.event_id % 2 == 0][["event_id", "user_id", "ts"]]
+    right = (
+        e[e.event_id % 2 == 1]
+        .groupby(["user_id", "ts"])
+        .agg(near_value=("value", "max"))
+    )
+    from dask_spark.functions import epoch_us
+
+    out = left.merge_asof(right, on="ts", by="user_id", direction="nearest")
+    return out.to_spark().select(
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"), "near_value"
+    )
+
+
 # --------------------------- elementwise / selection ------------------------
 
 @q(
@@ -1036,7 +1074,7 @@ def rolling_kurt_q(spark, sf_dir):
     "rolling_cov",
     """
     SELECT event_id, user_id,
-           ROUND(covar_samp(value, epoch_us(ts) / 1000000.0) OVER (
+           ROUND(covar_samp(value, epoch_us(ts) / 1000000.0 - 1750000000) OVER (
              PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS value_roll_cov
     FROM events
@@ -1044,13 +1082,21 @@ def rolling_kurt_q(spark, sf_dir):
 )
 def rolling_cov_q(spark, sf_dir):
     """Rolling two-column sample covariance (reference:
-    dask_expr/_rolling.py RollingCov): value vs event time in epoch
-    seconds."""
+    dask_expr/_rolling.py RollingCov): value vs event time in seconds.
+
+    The time axis is demeaned by a FIXED base (2025-ish epoch) on both
+    sides: covariance is translation-invariant, but covarying against
+    raw ~1.77e9 epoch seconds loses ~9 significant digits in the
+    aggregator's mean state and the resulting ~1e-9 absolute error
+    lands a 4-decimal rounding midpoint about once per 60k rows —
+    observed as a one-row oracle mismatch at sf0.01."""
     from dask_spark.frame import DaskFrame
     from dask_spark.functions import epoch_us
 
     e = load(spark, sf_dir, "events")
-    sdf = e.to_spark().withColumn("ts_s", epoch_us("ts") / F.lit(1_000_000.0))
+    sdf = e.to_spark().withColumn(
+        "ts_s", epoch_us("ts") / F.lit(1_000_000.0) - F.lit(1_750_000_000)
+    )
     out = DaskFrame(sdf).rolling("1h", on="ts", by="user_id").cov("value", "ts_s")
     return out.to_spark().select(
         "event_id", "user_id",
@@ -2969,6 +3015,45 @@ def dedup_clusters(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     prs = embedding_pairs_exact(e, threshold=0.4)
     return connected_components(prs).to_spark().select("id", "component")
+
+
+@q(
+    "dedup_clusters_star",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS id, MIN(dst)::BIGINT AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same components as dedup_clusters but via pointer-doubling
+    (alternating large-star/small-star, Kiveris et al. SoCC'14):
+    O(log diameter) shuffle rounds instead of O(diameter) — the scale
+    path for adversarially deep near-dup chains."""
+    from dask_spark.operators.dedup import (
+        connected_components,
+        embedding_pairs_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    prs = embedding_pairs_exact(e, threshold=0.4)
+    return connected_components(prs, algorithm="star").to_spark().select(
+        "id", "component"
+    )
 
 
 @q("ann_knn_join", None)  # LSH-band approximate — rows-only by design

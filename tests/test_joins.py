@@ -194,3 +194,68 @@ def test_merge_asof_timestamp_tolerance(spark):
     )
     # 10s gap within 30s tolerance; 5min gap outside it
     assert got.rv.iloc[0] == 7.0 and pd.isna(got.rv.iloc[1])
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_merge_asof_nearest(spark, allow_exact):
+    import dask_spark as ds
+
+    left = pd.DataFrame(
+        {
+            "t": [1, 3, 5, 7, 9, 20, 100],
+            "g": ["a", "a", "a", "b", "b", "b", "b"],
+            "lv": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "t": [0, 4, 6, 8, 100],
+            "g": ["a", "a", "b", "b", "a"],
+            "rv": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="g",
+        direction="nearest",
+        allow_exact_matches=allow_exact,
+    )
+    got = ds.from_pandas(left).merge_asof(
+        ds.from_pandas(right), on="t", by="g", direction="nearest",
+        allow_exact_matches=allow_exact,
+    )
+    assert_eq(got, want, sort_by=["t", "g"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_merge_asof_keyless_nearest_and_strict(spark, direction):
+    """Keyless (range-bucketed) path, exact matches EXCLUDED — the
+    carry seeds must respect strictness across bucket boundaries."""
+    import dask_spark as ds
+
+    left = pd.DataFrame({"t": list(range(0, 60, 3)), "lv": range(20)})
+    right = pd.DataFrame(
+        {"t": [0, 6, 12, 30, 48, 57], "rv": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+    )
+    want = pd.merge_asof(
+        left, right, on="t", direction=direction, allow_exact_matches=False
+    )
+    got = ds.from_pandas(left).merge_asof(
+        ds.from_pandas(right), on="t", direction=direction,
+        allow_exact_matches=False,
+    )
+    assert_eq(got, want, sort_by=["t"])
+
+
+def test_merge_asof_nearest_tolerance(spark):
+    import dask_spark as ds
+
+    left = pd.DataFrame({"t": [0, 10, 100], "lv": [1, 2, 3]})
+    right = pd.DataFrame({"t": [4, 90], "rv": [7.0, 8.0]})
+    want = pd.merge_asof(left, right, on="t", direction="nearest", tolerance=6)
+    got = ds.from_pandas(left).merge_asof(
+        ds.from_pandas(right), on="t", direction="nearest", tolerance=6
+    )
+    assert_eq(got, want, sort_by=["t"])

@@ -354,3 +354,47 @@ def test_knn_join_recall_vs_bruteforce(tables):
     top1 = got[got["rank"] == 1].set_index("l_id").r_id.to_dict()
     hits = sum(1 for i, nn in true_nn.items() if top1.get(i) == nn)
     assert hits / len(true_nn) > 0.6, f"recall@1 {hits}/{len(true_nn)}"
+
+
+def test_connected_components_star_matches_label(spark):
+    """Pointer-doubling (large/small-star) produces the same labels as
+    propagation on mixed components."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10, 11, 10, 20],
+         "id_b": [2, 3, 4, 11, 12, 12, 21]}
+    )
+    got = connected_components(
+        ds.from_pandas(pairs), algorithm="star"
+    ).compute()
+    comp = dict(zip(got.id, got.component))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+
+def test_connected_components_star_path_graph_log_rounds(spark):
+    """1,000-node path graph (diameter 999): star alternation must
+    converge in O(log n) rounds — label propagation would need ~999 —
+    and still label every node with the component min (0)."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.dedup import _cc_star
+
+    n = 1000
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": range(n - 1), "dst": range(1, n)})
+    )
+    labels, rounds = _cc_star(edges, max_iter=40)
+    assert rounds <= 15, f"expected O(log n) rounds, took {rounds}"
+    out = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("component"))).alias("s"),
+    ).first()
+    assert out["n"] == n and out["s"] == 0
