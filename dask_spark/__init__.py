@@ -23,6 +23,7 @@ from dask_spark.sources import (
     from_pandas,
     read_avro,
     read_csv,
+    read_fwf,
     read_hdf,
     read_json,
     read_orc,
@@ -55,6 +56,7 @@ __all__ = [
     "Bag",
     "DArray",
     "read_csv",
+    "read_fwf",
     "read_json",
     "read_orc",
     "read_sql_table",

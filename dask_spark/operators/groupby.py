@@ -344,3 +344,42 @@ class GroupBy:
         return DaskFrame(
             self._frame._sdf.withColumn(out, F.row_number().over(w) - F.lit(1))
         )
+
+    def nth(self, n: int, order_by: str | Sequence[str]) -> "DaskFrame":
+        """The n-th row of each group in ``order_by`` order (reference:
+        dask/dataframe/groupby.py GroupBy.nth); negative ``n`` counts
+        from the end. One rank window — a single shuffle on the group
+        keys, no Python. Groups shorter than ``|n|+1`` simply emit
+        nothing, matching pandas."""
+        from dask_spark.frame import DaskFrame
+
+        order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        if n >= 0:
+            order = [F.col(c).asc() for c in order_by]
+            k = n + 1
+        else:
+            order = [F.col(c).desc() for c in order_by]
+            k = -n
+        w = Window.partitionBy(*self._keys).orderBy(*order)
+        return DaskFrame(
+            self._frame._sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == k)
+            .drop("__rn")
+        )
+
+    def ngroup(self, out: str = "ngroup") -> "DaskFrame":
+        """Number each GROUP 0..G-1 in sorted key order (reference:
+        dask/dataframe/groupby.py GroupBy.ngroup, pandas sort=True
+        semantics) and broadcast the number onto every row.
+
+        The global rank runs on the DISTINCT key set only — G rows,
+        dask's-divisions scale, one brief single-partition window —
+        never on the data itself; the data pays one join that AQE
+        turns into a broadcast when G is small."""
+        from dask_spark.frame import DaskFrame
+
+        keys = list(self._keys)
+        dk = self._frame._sdf.select(*keys).distinct()
+        w = Window.orderBy(*[F.col(k).asc() for k in keys])
+        ranked = dk.withColumn(out, F.dense_rank().over(w) - F.lit(1))
+        return DaskFrame(self._frame._sdf.join(ranked, on=keys))

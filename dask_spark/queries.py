@@ -1180,6 +1180,43 @@ def groupby_cumcount(spark, sf_dir):
     )
 
 
+@q(
+    "groupby_nth",
+    """
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 3
+    """,
+)
+def groupby_nth(spark, sf_dir):
+    """groupby.nth (reference: dask/dataframe/groupby.py nth): the
+    third event of every user in event_id order."""
+    e = load(spark, sf_dir, "events")
+    out = e.groupby("user_id").nth(2, order_by="event_id")
+    return out.to_spark().select("event_id", "user_id", "value")
+
+
+@q(
+    "groupby_ngroup",
+    """
+    SELECT c_custkey,
+           (DENSE_RANK() OVER (ORDER BY c_nationkey) - 1)::BIGINT AS ngroup
+    FROM customer
+    """,
+)
+def groupby_ngroup(spark, sf_dir):
+    """groupby.ngroup (reference: dask/dataframe/groupby.py ngroup):
+    group ordinal in sorted-key order, ranked over the DISTINCT key
+    set and joined back (never a global window on the data)."""
+    c = load(spark, sf_dir, "customer")
+    out = c.groupby("c_nationkey").ngroup()
+    return out.to_spark().select(
+        "c_custkey", F.col("ngroup").cast("bigint").alias("ngroup")
+    )
+
+
 # ------------------------------- reshape -----------------------------------
 
 @q(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from dask_spark.frame import DaskFrame
@@ -196,6 +197,39 @@ def read_text(path: str) -> "Bag":
     from dask_spark.bag import Bag
 
     return Bag(_spark().read.text(path).withColumnRenamed("value", "item"))
+
+
+def read_fwf(path: str, colspecs: Sequence[tuple[int, int]],
+             names: Sequence[str], dtypes: Sequence[str] | None = None,
+             skiprows: int = 0) -> DaskFrame:
+    """Fixed-width files (reference: dask/dataframe/io/csv.py read_fwf).
+    Spark has no fwf source; read as text lines (splittable, parallel)
+    and slice each ``(start, end)`` colspec with codegen'd
+    substring/trim/cast — no Python in the row path. ``skiprows`` drops
+    leading header lines per FILE via a per-line index window (fwf
+    headers are per-file, not global)."""
+    sdf = _spark().read.text(path)
+    if skiprows:
+        from pyspark.sql import Window as W
+
+        win = W.partitionBy(F.col("__file")).orderBy(F.col("__pos"))
+        sdf = (
+            sdf.withColumn("__file", F.input_file_name())
+            .withColumn("__pos", F.monotonically_increasing_id())
+            .withColumn("__line", F.row_number().over(win))
+            .filter(F.col("__line") > skiprows)
+            .drop("__file", "__pos", "__line")
+        )
+    cols = []
+    for (start, end), name in zip(colspecs, names):
+        c = F.trim(F.substring(F.col("value"), start + 1, end - start))
+        cols.append(c.alias(name))
+    out = sdf.select(*cols)
+    if dtypes:
+        out = out.select(
+            *[F.col(n).cast(t).alias(n) for n, t in zip(names, dtypes)]
+        )
+    return DaskFrame(out)
 
 
 def read_avro(path: str, **options) -> DaskFrame:

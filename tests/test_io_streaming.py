@@ -227,3 +227,31 @@ def test_foreach_batch_sink(spark, tmp_path):
         assert sum(seen.values()) > 0
     finally:
         q.stop()
+
+
+def test_read_fwf(spark, tmp_path):
+    """Fixed-width read: substring slicing + trim + cast, with header
+    rows skipped per file."""
+    import dask_spark as ds
+
+    lines = [
+        "name      qty price",
+        "apple       3  1.50",
+        "banana     12  0.25",
+    ]
+    p = tmp_path / "fwf.txt"
+    p.write_text("\n".join(lines) + "\n")
+    got = (
+        ds.read_fwf(
+            str(p),
+            colspecs=[(0, 10), (10, 13), (13, 19)],
+            names=["name", "qty", "price"],
+            dtypes=["string", "int", "double"],
+            skiprows=1,
+        )
+        .compute()
+        .sort_values("name", ignore_index=True)
+    )
+    assert list(got.name) == ["apple", "banana"]
+    assert list(got.qty) == [3, 12]
+    assert list(got.price) == [1.5, 0.25]

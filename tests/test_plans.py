@@ -368,3 +368,24 @@ def test_lsh_band_join_exchange_is_ids_only(tables):
             k = hash_keys(arg)
             if ("band" in inp) or ("id_a" in k and "id_b" in k):
                 assert not vec_pat.search(inp), (arg, inp)
+
+
+def test_profiler_sql_metrics(spark):
+    """The profiler walks the FINAL adaptive plan and surfaces
+    per-operator SQLMetrics: aggregate output rows and shuffle bytes
+    must both be visible for a shuffling groupBy."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.plans.profiler import profile, sql_metrics
+
+    pdf = pd.DataFrame({"k": [i % 5 for i in range(1000)], "v": range(1000)})
+    f = ds.from_pandas(pdf, npartitions=4).groupby("k").sum(["v"])
+    m = sql_metrics(f, action="collect")
+    agg_rows = m[(m.node.str.contains("Aggregate")) & (m.metric == "numOutputRows")]
+    # partial aggregate emits npartitions×groups rows; the FINAL one 5
+    assert len(agg_rows) and 5 in set(agg_rows.value)
+    assert (m[m.metric == "shuffleBytesWritten"].value > 0).any()
+
+    p = profile(f)
+    assert p["shuffle_bytes_written"] > 0 and p["wall_sec"] >= 0

@@ -381,3 +381,42 @@ def test_groupby_agg_all_numeric_forms(tables, pdf_tables):
     got2 = tables["orders"].groupby("o_orderstatus").agg(["sum", "mean"])
     cols = set(got2.columns)
     assert {"o_totalprice_sum", "o_totalprice_mean"} <= cols
+
+
+def test_groupby_nth_matches_pandas(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "t": [3, 1, 2, 5, 4, 9],
+            "v": [30.0, 10.0, 20.0, 50.0, 40.0, 90.0],
+        }
+    )
+    for n in (0, 1, -1, 2):
+        got = (
+            ds.from_pandas(pdf).groupby("g").nth(n, order_by="t").compute()
+            .sort_values("g", ignore_index=True)
+        )
+        want = (
+            pdf.sort_values("t").groupby("g").nth(n).reset_index(drop=True)
+            .sort_values("g", ignore_index=True)
+        )
+        assert list(got.g) == list(want.g), f"n={n}"
+        assert list(got.v) == list(want.v), f"n={n}"
+
+
+def test_groupby_ngroup_matches_pandas(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"g": ["b", "a", "c", "a", "b"], "v": range(5)})
+    got = (
+        ds.from_pandas(pdf).groupby("g").ngroup().compute()
+        .sort_values("v", ignore_index=True)
+    )
+    want = pdf.groupby("g").ngroup()
+    assert list(got.ngroup) == list(want)
