@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import pyspark.sql.functions as F
+from pyspark.sql import Column
 
 from dask_spark.frame import DaskFrame
 
@@ -65,6 +66,27 @@ class DArray:
                 if step != 1:
                     cond = cond & ((F.col("__row") - start) % step == 0)
                 sdf = idx.filter(cond).drop("__row")
+        elif isinstance(rows, (list, tuple)):
+            # fancy row indexing (reference: dask/array/slicing.py
+            # take): positions over id order via the global index, one
+            # isin filter — the position list is driver data like
+            # dask's index arrays
+            if self._id is None:
+                raise ValueError("fancy row indexing requires id_col")
+            if any(int(i) < 0 for i in rows):
+                raise ValueError("negative row indices unsupported")
+            from dask_spark.operators.sort import with_global_index
+
+            idx = with_global_index(sdf, self._id, "__row")
+            sdf = idx.filter(
+                F.col("__row").isin([int(i) for i in rows])
+            ).drop("__row")
+        elif isinstance(rows, Column):
+            # boolean-mask rows (dask x[mask]): any predicate Column
+            # over this array's frame — a plain pushdown-able filter
+            sdf = sdf.filter(rows)
+        elif hasattr(rows, "_expr"):  # Series boolean mask
+            sdf = sdf.filter(rows._expr)
         else:
             raise TypeError(f"unsupported row selector {rows!r}")
 
@@ -303,6 +325,38 @@ class DArray:
             base.mapInPandas(run, schema=f"{idc} {id_type}, {col} array<double>"),
             col, idc,
         )
+
+    def fft(self, out_re: str = "fft_re", out_im: str = "fft_im") -> DaskFrame:
+        """1-D DFT along the dim axis, one transform per row
+        (reference: dask/array/fft.py fft — dask requires the FFT axis
+        to be one chunk; here the dim axis is always in-row, so the
+        transform is embarrassingly parallel: Arrow batch → numpy
+        fft → re/im columns, map-only, no shuffle). Spark has no
+        complex type, so the result is a frame (id, re[], im[])."""
+        import numpy as np
+        import pandas as pd
+
+        if self._id is None:
+            raise ValueError("fft requires id_col (row identity)")
+        idc, col = self._id, self._col
+        id_type = dict(self._sdf.dtypes)[idc]
+
+        def run(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[col].tolist(), dtype="float64")
+                C = np.fft.fft(X, axis=1)
+                yield pd.DataFrame(
+                    {idc: pdf[idc], out_re: list(C.real), out_im: list(C.imag)}
+                )
+
+        out = self._sdf.select(idc, col).mapInPandas(
+            run,
+            schema=f"{idc} {id_type}, {out_re} array<double>, "
+                   f"{out_im} array<double>",
+        )
+        return DaskFrame(out)
 
     def _matmul_np(self, M) -> "DArray":
         """(n × d) @ literal (d × k) via ONE Arrow-batched numpy matmul

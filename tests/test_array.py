@@ -270,3 +270,29 @@ def test_solve_inv_cholesky(spark):
     )
     L2 = DArray(psdf, "vec", "rid").cholesky(of="self")
     assert np.allclose(L2 @ L2.T, SPD, atol=1e-10)
+
+
+def test_fancy_and_boolean_row_indexing(arr):
+    import pyspark.sql.functions as F
+
+    M, da = arr
+    # fancy: positions in vec_id order
+    sub = da[[0, 3, 5]].to_frame().compute().sort_values("vec_id")
+    ids = sorted(da.to_frame().compute().vec_id)
+    assert list(sub.vec_id) == [ids[0], ids[3], ids[5]]
+    # boolean mask: predicate Column over the array's frame
+    masked = da[F.col("vec_id") % 2 == 0].to_frame().compute()
+    assert all(v % 2 == 0 for v in masked.vec_id)
+    assert len(masked) == sum(1 for v in ids if v % 2 == 0)
+
+
+def test_fft_matches_numpy(arr):
+    M, da = arr
+    got = da.fft().compute().sort_values("vec_id")
+    pdf = da.to_frame().compute().sort_values("vec_id")
+    X = np.array(pdf.embedding.tolist(), dtype="float64")
+    C = np.fft.fft(X, axis=1)
+    R = np.array(got.fft_re.tolist())
+    I = np.array(got.fft_im.tolist())
+    assert np.allclose(R, C.real, atol=1e-8)
+    assert np.allclose(I, C.imag, atol=1e-8)
