@@ -422,29 +422,50 @@ def embedding_pairs_exact(frame, vec_col: str = "embedding",
 
 
 def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
-    """Word n-grams as strings via the relational shingle path (same
-    codegen shape as minhash_signatures: posexplode words → lead
-    window → concat). One shuffle on the doc id, reused by any
-    downstream groupBy(doc)."""
-    from pyspark.sql import Window
+    """DISTINCT word n-grams per doc, built ENTIRELY map-side with
+    array expressions — tokens never leave their row, so there is no
+    shuffle, no window, and no Expand anywhere in the gram path (the
+    earlier posexplode → lead-window formulation shuffled every word of
+    the corpus on the doc id; at 100 TB that exchange dwarfs the
+    benchmark probe it feeds).
 
-    words = sdf.repartition(F.col(id_col)).select(
+    Docs shorter than n words emit ONE gram of all their words — the
+    same contract as ngram_jaccard_pairs, so short docs are still
+    visible to contamination() instead of silently unflaggable. Empty
+    docs emit nothing.
+
+    The one exchange left is a COMPACT-doc repartition on the id —
+    whole rows, pre-explosion — purely to spread the gram build across
+    cores when the source arrives in few splits (small local files); a
+    real 100 TB scan already has thousands of splits and AQE keeps the
+    shuffle trivial relative to the text itself."""
+    # Tokenize into a REAL projected column before the gram lambda:
+    # referencing the split() expression tree inside transform() would
+    # re-tokenize the doc once per gram position (quadratic per doc —
+    # measured 3× slower); a column reference inside the lambda is one
+    # array read, and CollapseProject keeps multi-use non-cheap
+    # projections separate.
+    sdf = sdf.repartition(F.col(id_col)).select(
         id_col,
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w"),
-    ).filter(F.length("w") > 0)  # docs repartitioned compact (see minhash)
-    # Docs shorter than n words emit ONE gram of all their words
-    # (concat_ws skips the null leads; the rank cap keeps row 1 only) —
-    # the same contract as ngram_jaccard_pairs, so short docs are still
-    # visible to contamination() instead of silently unflaggable.
-    dwin = Window.partitionBy(id_col)
-    owin = dwin.orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(owin) for j in range(1, n)]
-    return (
-        words.withColumn("__sz", F.count(F.lit(1)).over(dwin))
-        .withColumn("__rank", F.row_number().over(owin))
-        .withColumn("gram", F.concat_ws(" ", *parts))
-        .filter(F.col("__rank") <= F.greatest(F.col("__sz") - n, F.lit(0)) + 1)
-        .select(id_col, "gram")
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    sz = F.size(toks)
+    grams = (
+        F.when(sz == 0, F.array().cast("array<string>"))
+        .when(sz < n, F.array(F.array_join(toks, " ")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    )
+    return sdf.select(
+        id_col, F.explode(F.array_distinct(grams)).alias("gram")
     )
 
 
@@ -457,11 +478,15 @@ def contamination(corpus, benchmark, text_col: str = "text",
     analog, brief-mandated extension class).
 
     Scale shape: the benchmark gram set is DISTINCT'd and broadcast
-    (eval suites are tiny next to a 100 TB corpus); corpus grams
-    stream through a map-side broadcast-hash membership probe, then
-    ONE groupBy(doc) counts distinct grams and distinct matched grams.
-    The contamination cut compares integers (2·hits ≥ total for
-    τ=0.5-style thresholds) so no float ratio can straddle engines.
+    (eval suites are tiny next to a 100 TB corpus); corpus grams are
+    deduped per doc IN-ROW (array_distinct, no shuffle), stream
+    through a map-side broadcast-hash membership probe, then ONE
+    groupBy(doc) of plain counts — already distinct, so no
+    countDistinct Expand, and the partial aggregate collapses each
+    doc to one row before the exchange (docs never split across input
+    partitions). The contamination cut compares integers (2·hits ≥
+    total for τ=0.5-style thresholds) so no float ratio can straddle
+    engines.
 
     Returns (id, total_grams, hit_grams, contaminated)."""
     from fractions import Fraction
@@ -475,10 +500,8 @@ def contamination(corpus, benchmark, text_col: str = "text",
     grams = _word_ngrams(corpus._sdf, text_col, id_col, ngram)
     probed = grams.join(F.broadcast(bench), on="gram", how="left")
     per_doc = probed.groupBy(id_col).agg(
-        F.countDistinct("gram").alias("total_grams"),
-        F.countDistinct(
-            F.when(F.col("__hit").isNotNull(), F.col("gram"))
-        ).alias("hit_grams"),
+        F.count("gram").alias("total_grams"),
+        F.count("__hit").alias("hit_grams"),
     )
     contaminated = (
         per_doc["hit_grams"] * F.lit(frac.denominator)
