@@ -13,7 +13,7 @@ Public surface mirrors ``dask.dataframe``::
 """
 
 from dask_spark.frame import (DaskFrame, Series, concat, sql,
-                              to_datetime, to_numeric)
+                              to_datetime, to_numeric, to_timedelta)
 from dask_spark.operators.groupby import Aggregation
 from dask_spark.session import get_spark
 from dask_spark.array import DArray
@@ -46,6 +46,7 @@ __all__ = [
     "concat",
     "to_datetime",
     "to_numeric",
+    "to_timedelta",
     "sql",
     "testing",
     "get_spark",

@@ -1227,11 +1227,13 @@ class DaskFrame:
               left_on: str | Sequence[str] | None = None,
               right_on: str | Sequence[str] | None = None,
               broadcast: bool | None = None,
-              suffixes: tuple[str, str] = ("_x", "_y")) -> "DaskFrame":
+              suffixes: tuple[str, str] = ("_x", "_y"),
+              indicator: bool = False) -> "DaskFrame":
         from dask_spark.operators.joins import merge
 
         return merge(self, right, how=how, on=on, left_on=left_on,
-                     right_on=right_on, broadcast=broadcast, suffixes=suffixes)
+                     right_on=right_on, broadcast=broadcast, suffixes=suffixes,
+                     indicator=indicator)
 
     def join(self, right: "DaskFrame", on: str | Sequence[str], how: str = "left") -> "DaskFrame":
         return self.merge(right, how=how, on=on)
@@ -1425,6 +1427,20 @@ def to_numeric(s: Series, errors: str = "raise") -> Series:
     expr = (s._expr.try_cast("double") if errors == "coerce"
             else s._expr.cast("double"))
     return Series(s._frame, expr, s._name)
+
+
+def to_timedelta(s: Series, unit: str = "s") -> Series:
+    """reference: dask dd.to_timedelta. Spark's timedelta is the
+    DayTimeIntervalType; built via make_interval from the numeric
+    value (unit: s/ms/us/m/h/d)."""
+    scale = {"d": 86400.0, "h": 3600.0, "m": 60.0, "s": 1.0,
+             "ms": 1e-3, "us": 1e-6}
+    if unit not in scale:
+        raise ValueError(f"unit must be one of {sorted(scale)}")
+    secs = s._expr.cast("double") * F.lit(scale[unit])
+    # make_dt_interval → DayTimeIntervalType (collects as timedelta64;
+    # make_interval's CalendarIntervalType cannot round-trip to pandas)
+    return Series(s._frame, F.make_dt_interval(secs=secs), s._name)
 
 
 def concat(frames: Sequence[DaskFrame], axis: int = 0,

@@ -35,16 +35,35 @@ _HOW = {
 
 
 def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
-          broadcast=None, suffixes=("_x", "_y")):
+          broadcast=None, suffixes=("_x", "_y"), indicator=False):
     from dask_spark.frame import DaskFrame
 
     lsdf, rsdf = left._sdf, right._sdf
     how = _HOW[how]
+    if indicator:
+        # pandas merge(indicator=True): per-row provenance. Constant
+        # presence flags on each side cost nothing and survive any
+        # join type.
+        lsdf = lsdf.withColumn("__from_l", F.lit(1))
+        rsdf = rsdf.withColumn("__from_r", F.lit(1))
     if broadcast:
         rsdf = B(rsdf)
 
+    def _with_indicator(out):
+        if not indicator:
+            return out
+        flag = (
+            F.when(
+                F.col("__from_l").isNotNull() & F.col("__from_r").isNotNull(),
+                "both",
+            )
+            .when(F.col("__from_l").isNotNull(), "left_only")
+            .otherwise("right_only")
+        )
+        return out.withColumn("_merge", flag).drop("__from_l", "__from_r")
+
     if how == "cross":
-        return DaskFrame(lsdf.crossJoin(rsdf))
+        return DaskFrame(_with_indicator(lsdf.crossJoin(rsdf)))
 
     if on is not None:
         keys = [on] if isinstance(on, str) else list(on)
@@ -55,7 +74,7 @@ def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
         for c in shared:
             lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
             rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
-        return DaskFrame(lsdf.join(rsdf, on=keys, how=how))
+        return DaskFrame(_with_indicator(lsdf.join(rsdf, on=keys, how=how)))
 
     lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
@@ -70,7 +89,7 @@ def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
         for lk, rk in zip(lkeys, rkeys)
     ]
     out = lsdf.join(rsdf, on=cond, how=how)
-    return DaskFrame(out)
+    return DaskFrame(_with_indicator(out))
 
 
 def salted_join(left, right, on: str, how: str = "inner", salt: int = 8):

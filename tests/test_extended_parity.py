@@ -244,3 +244,15 @@ def test_cat_accessor(spark, tables):
 
     # as_unknown drops the pinned list
     assert not known.cat.as_unknown().cat.known
+
+
+def test_to_timedelta(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"secs": [1.5, 90.0, 3600.0]})
+    f = ds.from_pandas(pdf)
+    out = f.assign(td=ds.to_timedelta(f.secs, unit="s")).compute()
+    want = pd.to_timedelta(pdf.secs, unit="s")
+    assert list(out.td) == list(want)

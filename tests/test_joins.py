@@ -259,3 +259,19 @@ def test_merge_asof_nearest_tolerance(spark):
         ds.from_pandas(right), on="t", direction="nearest", tolerance=6
     )
     assert_eq(got, want, sort_by=["t"])
+
+
+def test_merge_indicator(spark):
+    """pandas merge(indicator=True): per-row provenance column."""
+    import dask_spark as ds
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "rv": [200.0, 300.0, 400.0]})
+    got = (
+        ds.from_pandas(left)
+        .merge(ds.from_pandas(right), on="k", how="outer", indicator=True)
+        .compute()
+        .sort_values("k", ignore_index=True)
+    )
+    want = pd.merge(left, right, on="k", how="outer", indicator=True)
+    assert list(got._merge) == [str(v) for v in want.sort_values("k")._merge]

@@ -91,9 +91,11 @@ def test_keyless_rolling_matches_pandas(spark, vals, window):
 @given(
     lt=st.lists(st.integers(0, 500), min_size=1, max_size=80, unique=True),
     rt=st.lists(st.integers(0, 500), min_size=0, max_size=15, unique=True),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    allow_exact=st.booleans(),
 )
-def test_keyless_merge_asof_matches_pandas(spark, lt, rt, direction):
+def test_keyless_merge_asof_matches_pandas(spark, lt, rt, direction,
+                                           allow_exact):
     import dask_spark as ds
 
     left = pd.DataFrame({"t": sorted(lt), "lv": range(len(lt))})
@@ -103,9 +105,11 @@ def test_keyless_merge_asof_matches_pandas(spark, lt, rt, direction):
     )
     got = (
         ds.from_pandas(left)
-        .merge_asof(ds.from_pandas(right), on="t", direction=direction)
+        .merge_asof(ds.from_pandas(right), on="t", direction=direction,
+                    allow_exact_matches=allow_exact)
         .compute()
         .sort_values("t", ignore_index=True)
     )
-    want = pd.merge_asof(left, right, on="t", direction=direction)
+    want = pd.merge_asof(left, right, on="t", direction=direction,
+                         allow_exact_matches=allow_exact)
     assert _nn(got.rv) == _nn(want.rv)
