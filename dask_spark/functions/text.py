@@ -109,3 +109,70 @@ def fingerprint(text: Column, modulus: int = (1 << 61) - 1) -> Column:
         lambda acc, c: (acc * 257 + F.ascii(c)) % F.lit(modulus).cast("decimal(38,0)"),
     )
     return F.lower(F.conv(h.cast("string"), 10, 16))
+
+
+# PII patterns — deliberately RE2-compatible (no lookaround/backrefs)
+# so the SAME pattern runs in Spark (Java regex) and oracle engines.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact common PII shapes (emails, IPv4s, SSN-style ids, phone
+    numbers) with typed placeholders — the corpus-hygiene step every
+    training pipeline runs before publishing data. Pure chained
+    regexp_replace: JVM codegen, no Python, trivially map-only at any
+    scale. Order matters: emails first so user@host never half-matches
+    the phone pattern."""
+    out = text
+    for kind, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Count of each PII shape BEFORE scrubbing, as a map<string,int> —
+    feeds audit dashboards / filtering thresholds without a second
+    pass."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in _PII_PATTERNS]),
+        F.array(
+            *[F.size(F.regexp_extract_all(text, F.lit(p), 0))
+              for _, p in _PII_PATTERNS]
+        ),
+    )
+
+
+def chunk_spans(text: Column, max_tokens: int, overlap: int = 0) -> Column:
+    """Split a document into overlapping token windows for training-
+    example packing: array of structs (chunk_id, chunk_text, n_tokens).
+    Stride = max_tokens - overlap; the final partial window is kept.
+    All array expressions over an in-row token array — map-only, no
+    shuffle, no Python; explode downstream to get one row per chunk."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = word_tokens(text)
+    sz = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... < max(sz - overlap, 1)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.greatest(sz - F.lit(overlap + 1), F.lit(0))) / F.lit(stride),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(sz - i * stride, F.lit(max_tokens)).alias("n_tokens"),
+        ),
+    )

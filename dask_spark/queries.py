@@ -1424,6 +1424,74 @@ def text_fingerprint(spark, sf_dir):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+@q(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text,
+             '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction + audit counts (corpus hygiene; patterns are
+    RE2-compatible so Spark's Java regex and the oracle's RE2 agree).
+    Map-only chained regexp_replace — pure codegen."""
+    d = load(spark, sf_dir, "documents").to_spark()
+    counts = T.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.scrub_pii(F.col("text")).alias("scrubbed"),
+        counts.getItem("email").cast("bigint").alias("n_email"),
+        counts.getItem("ssn").cast("bigint").alias("n_ssn"),
+    )
+
+
+@q(
+    "text_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, len(toks) AS n, toks,
+             range(greatest(greatest(len(toks) - 33, 0) // 96, 0) + 1) AS ids
+      FROM t
+    )
+    SELECT doc_id,
+           unnest(ids)::BIGINT AS chunk_id,
+           unnest(list_transform(ids,
+             i -> array_to_string(list_slice(toks, i*96 + 1, i*96 + 128), ' ')
+           )) AS chunk_text,
+           unnest(list_transform(ids, i -> least(n - i*96, 128)))::BIGINT
+             AS n_tokens
+    FROM c
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Training-example chunking: 128-token windows, 32-token overlap
+    (stride 96), final partial window kept. In-row array expressions +
+    one explode — map-only, no shuffle (functions/text.py
+    chunk_spans)."""
+    d = load(spark, sf_dir, "documents").to_spark()
+    spans = T.chunk_spans(F.col("text"), max_tokens=128, overlap=32)
+    return d.select("doc_id", F.explode(spans).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

@@ -398,3 +398,62 @@ def test_connected_components_star_path_graph_log_rounds(spark):
         F.sum(F.abs(F.col("component"))).alias("s"),
     ).first()
     assert out["n"] == n and out["s"] == 0
+
+
+def test_scrub_pii_and_counts(spark):
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+    from dask_spark.functions.text import pii_counts, scrub_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail bob@example.com or call 555-123-4567, ssn 123-45-6789",
+                "server at 10.0.0.1 is clean",
+            ],
+        }
+    )
+    out = (
+        ds.from_pandas(pdf)
+        .to_spark()
+        .select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("s"),
+            pii_counts(F.col("text")).alias("c"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert out[0]["s"] == "mail <EMAIL> or call <PHONE>, ssn <SSN>"
+    assert out[0]["c"]["email"] == 1 and out[0]["c"]["ssn"] == 1
+    assert out[1]["s"] == "server at <IPV4> is clean"
+    assert out[1]["c"]["ipv4"] == 1 and out[1]["c"]["email"] == 0
+
+
+def test_chunk_spans_overlap(spark):
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+    from dask_spark.functions.text import chunk_spans
+
+    words = " ".join(f"w{i}" for i in range(25))
+    pdf = pd.DataFrame({"doc_id": [1], "text": [words]})
+    rows = (
+        ds.from_pandas(pdf)
+        .to_spark()
+        .select(F.explode(chunk_spans(F.col("text"), 10, 2)).alias("c"))
+        .select("c.chunk_id", "c.chunk_text", "c.n_tokens")
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # stride 8: starts 0, 8, 16 — 25 tokens → 3 chunks of 10/10/9
+    assert [r["n_tokens"] for r in rows] == [10, 10, 9]
+    assert rows[1]["chunk_text"].startswith("w8 ")
+    # overlap: last 2 tokens of chunk k = first 2 of chunk k+1
+    assert rows[0]["chunk_text"].split()[-2:] == rows[1]["chunk_text"].split()[:2]
