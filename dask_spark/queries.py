@@ -908,9 +908,13 @@ def drop_duplicates_keep_first(spark, sf_dir):
     return o.drop_duplicates(subset=["o_custkey"], keep="first").to_spark()
 
 
-@q("set_index", None)  # partitioning op — rows-only check
+@q("set_index", "SELECT * FROM orders")
 def set_index_q(spark, sf_dir):
-    """Range partition + in-partition sort (divisions invariant)."""
+    """Range partition + in-partition sort (divisions invariant).
+    Content is EXACTLY the input rows — the identity oracle plus the
+    driver's order-insensitive value hash checks nothing was dropped,
+    duplicated, or mangled by the partitioner; the ordering/divisions
+    contract itself is pytest-asserted (tests/test_window_sort_reshape)."""
     o = load(spark, sf_dir, "orders")
     return o.set_index("o_orderdate", npartitions=8).to_spark()
 
@@ -3355,8 +3359,41 @@ _R1_DRIVER_COVERED = [
     "pivot_table",
     "melt"
 ]
-_DRIVER_COVERED = _R2_DRIVER_COVERED + _R1_DRIVER_COVERED
+# queries the r4 driver window hash-checked (CORRECTNESS_r04.json)
+_R4_DRIVER_COVERED = [
+    "range_join", "corpus_pipeline", "window_rank", "arr_slice",
+    "arr_stack_mean", "arr_random_hist", "groupby_custom_agg",
+    "corr_matrix", "monotonic", "arr_tsqr", "arr_map_blocks",
+    "join_q14_promo", "join_q15_top_supplier", "join_q19_disjunctive",
+    "join_q22_idle_customers", "multimodal_framesample",
+    "multimodal_decode", "keyless_diff", "keyless_cumsum",
+    "keyless_ffill", "dedup_clusters", "ann_knn_join", "corpus_mix",
+]
+# Round-5 RE-CHECK set, floated to the very front of the sample window:
+# the three r4-broken-now-fixed event-time queries, queries whose
+# implementation changed this round (rolling_cov demeaning,
+# contamination gram path, set_index's new oracle), everything newly
+# registered in round 5, and the r4-tail additions no driver window has
+# seen yet.
+_R5_FRONT = [
+    "sessionize", "stream_window_batch", "merge_asof",
+    "rolling_cov", "contamination", "set_index",
+    "merge_asof_nearest", "groupby_nth", "groupby_ngroup",
+    "text_pii_scrub", "text_chunks", "arr_fft", "dedup_clusters_star",
+    "rolling_quantile", "rolling_skew", "rolling_kurt", "cat_codes",
+    "arr_cholesky",
+]
+_DRIVER_COVERED = [
+    n
+    for n in _R2_DRIVER_COVERED + _R1_DRIVER_COVERED + _R4_DRIVER_COVERED
+    if n not in set(_R5_FRONT)
+]
 REGISTRY = {
-    **{n: REGISTRY[n] for n in REGISTRY if n not in set(_DRIVER_COVERED)},
+    **{n: REGISTRY[n] for n in _R5_FRONT if n in REGISTRY},
+    **{
+        n: REGISTRY[n]
+        for n in REGISTRY
+        if n not in set(_DRIVER_COVERED) and n not in set(_R5_FRONT)
+    },
     **{n: REGISTRY[n] for n in _DRIVER_COVERED if n in REGISTRY},
 }
