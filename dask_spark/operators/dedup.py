@@ -62,30 +62,31 @@ _MERSENNE31 = (1 << 31) - 1  # prime modulus for the permutation family
 
 def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
                        shingle_k: int = 3, seed: int = 1234):
-    """MinHash signature per doc, computed on a FULLY CODEGEN'D path.
+    """MinHash signature per doc, computed ENTIRELY MAP-SIDE: tokens →
+    per-word xxhash64 → k-shingle hashes → ``num_hashes`` ×
+    ``array_min`` over the permuted gram hashes, all as in-row array
+    expressions. NO shuffle, NO window, NO aggregate — at 100 TB the
+    signature stage is pure scan-side work and the first exchange
+    anywhere in a dedup pipeline is the banding join's (band, sig, id)
+    rows.
 
-    Spark's array higher-order functions are interpreted (no
-    whole-stage codegen), which made an array-based formulation ~8×
-    slower — so shingling is done relationally instead:
-    posexplode words → xxhash64 per word (codegen) → word k-shingle
-    hash by combining k consecutive word-hashes with ``lead`` over a
-    (doc, pos) window → groupBy(doc) with ``num_hashes``
-    ``min((a_i·h+b_i) mod 2^31-1)`` aggregates (codegen hash-agg,
-    map-side partial min). The window and the groupBy share the doc-id
-    key, so Catalyst plans ONE shuffle; at 100 TB shuffle volume after
-    partial agg is one 64-long state per doc per map partition.
-    (Permutation family as in Spark MLlib MinHashLSH — public:
-    (a·h+b) mod p with PRIME p=2^31-1 and h < p, so the product wraps
-    the modulus ~2^31 times — a p > universe keeps the map near-monotone
-    in h and silently breaks the min-hash property.)
+    Each stage (tokens, word hashes, gram hashes) is materialized as a
+    REAL projected column before the next lambda references it:
+    embedding an expression tree inside a higher-order function
+    re-evaluates it once per element (the round-3 formulation measured
+    ~8× slower for exactly this reason — quadratic re-tokenization,
+    not interpretation overhead; with projection barriers the array
+    path beats the exploded window+aggregate formulation and drops its
+    doc-repartition exchange).
 
-    ANSI-safe: word hashes are reduced mod p before any multiply
-    (a·h ≤ (2^31-1)^2 < 2^63, no overflow).
-    MinHash is duplicate-insensitive, so no distinct step is needed.
-    Docs with fewer than ``shingle_k`` words yield no signature."""
+    Hash family as before (Spark MLlib MinHashLSH shape — public):
+    gram hash g = Σ_j (h_{i+j}·mix_j mod p) mod p over k consecutive
+    word hashes, signature slot i = min((a_i·g+b_i) mod p) with PRIME
+    p = 2^31-1; products stay < 2^63 (ANSI-safe). MinHash is
+    duplicate-insensitive, so no distinct step is needed. Docs with
+    fewer than ``shingle_k`` words yield no signature (same contract
+    as the prior formulation)."""
     import random as _random
-
-    from pyspark.sql import Window
 
     rng = _random.Random(seed)
     params = [
@@ -95,32 +96,40 @@ def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
     mix = [rng.randrange(1, _MERSENNE31) for _ in range(shingle_k)]
     m31 = F.lit(_MERSENNE31)
 
-    # hash-repartition COMPACT docs first: Generate preserves child
-    # partitioning, so the per-doc window then needs NO exchange of the
-    # exploded words — the shuffle moves ~1 row/doc instead of one row
-    # per word (r3 measurement: the word exchange dominated this path)
-    words = sdf.repartition(F.col(id_col)).select(
-        id_col, F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "w")
-    ).filter(F.length("w") > 0)
-    h = F.pmod(F.xxhash64("w"), m31)
-    win = Window.partitionBy(id_col).orderBy("pos")
-    gram_h = F.pmod(h * F.lit(mix[0]), m31)
-    for j in range(1, shingle_k):
-        gram_h = gram_h + F.pmod(F.lead(h, j).over(win) * F.lit(mix[j]), m31)
-    gram_h = F.pmod(gram_h, m31)
-    ex = words.select(id_col, gram_h.alias("__h")).filter(F.col("__h").isNotNull())
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), m31)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return (
-        ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col,
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
-        )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) > 0
     )
+    staged = sdf.select(id_col, toks.alias("__toks")).filter(
+        F.size("__toks") >= shingle_k
+    )
+    staged = staged.select(
+        id_col,
+        F.transform(
+            F.col("__toks"), lambda w: F.pmod(F.xxhash64(w), m31)
+        ).alias("__wh"),
+    )
+    wh = F.col("__wh")
+
+    def gram(i):
+        g = F.pmod(F.element_at(wh, i + 1) * F.lit(mix[0]), m31)
+        for j in range(1, shingle_k):
+            g = g + F.pmod(F.element_at(wh, i + 1 + j) * F.lit(mix[j]), m31)
+        return F.pmod(g, m31)
+
+    staged = staged.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wh) - shingle_k), gram
+        ).alias("__gh"),
+    )
+    gh = F.col("__gh")
+    def perm(a, b):
+        # closure factory, NOT default args: pyspark checks lambda
+        # arity and a default param would bind transform's element index
+        return lambda g: F.pmod(F.lit(a) * g + F.lit(b), m31)
+
+    slots = [F.array_min(F.transform(gh, perm(a, b))) for a, b in params]
+    return staged.select(id_col, F.array(*slots).alias("minhash"))
 
 
 def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
