@@ -284,37 +284,24 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     earlier stop-gram-cap approach both leaked d≈cap quadratic pairs
     AND silently dropped true pairs made of common grams only.
 
-    Shuffle shape at scale: gram-df count (1), per-doc prefix window
-    (1, by doc), candidate join keyed by rare grams (bounded d²),
-    verify joins by doc id with exact array_intersect."""
+    Shuffle shape at scale: grams are built MAP-SIDE per doc
+    (_word_ngram_arrays — no word-level exchange, no per-doc window,
+    no dedup shuffle; distinct-by-construction), then gram-df count
+    (1 shuffle), per-doc rarest-first prefix window (1, by doc),
+    candidate join keyed by rare grams (bounded d²), verify joins by
+    doc id with exact array_intersect."""
     from pyspark.sql import Window
 
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
-    # Grams built RELATIONALLY (posexplode → lead window → concat_ws),
-    # not with array higher-order fns: interpreted HOF lambdas re-eval
-    # the whole tokenization per element (no CSE), which measured ~40×
-    # slower. Docs shorter than n words produce one gram of all words
-    # (matching the array formulation's sequence(0, max(size-n, 0))).
-    words = sdf.repartition(F.col(id_col)).select(
-        id_col,
-        F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "w"),
-    ).filter(F.length("w") > 0)  # docs repartitioned compact (see minhash)
-    dwin = Window.partitionBy(id_col)
-    owin = dwin.orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(owin) for j in range(1, n)]
-    gram_rows = (
-        words.withColumn("__sz", F.count(F.lit(1)).over(dwin))
-        .withColumn("__rank", F.row_number().over(owin))
-        .withColumn("g", F.concat_ws(" ", *parts))
-        .filter(F.col("__rank") <= F.greatest(F.col("__sz") - n, F.lit(0)) + 1)
-        .select(id_col, "g")
+    docs0 = _word_ngram_arrays(sdf, text_col, id_col, n).filter(
+        F.size("grams") > 0
     )
-    inv0 = gram_rows.dropDuplicates([id_col, "g"]).persist()
-    docs = inv0.groupBy(id_col).agg(
-        F.collect_list("g").alias("grams"), F.count(F.lit(1)).alias("n_grams")
-    )
+    docs = docs0.select(
+        id_col, "grams", F.size("grams").alias("n_grams")
+    ).persist()
+    inv0 = docs.select(id_col, F.explode("grams").alias("g"))
     g_df = inv0.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     inv = inv0.join(
         docs.select(F.col(id_col), F.col("n_grams")), on=id_col
@@ -430,18 +417,19 @@ def embedding_pairs_exact(frame, vec_col: str = "embedding",
     return DaskFrame(out)
 
 
-def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
-    """DISTINCT word n-grams per doc, built ENTIRELY map-side with
-    array expressions — tokens never leave their row, so there is no
-    shuffle, no window, and no Expand anywhere in the gram path (the
-    earlier posexplode → lead-window formulation shuffled every word of
-    the corpus on the doc id; at 100 TB that exchange dwarfs the
-    benchmark probe it feeds).
+def _word_ngram_arrays(sdf, text_col: str, id_col: str, n: int,
+                       out: str = "grams"):
+    """DISTINCT word n-grams per doc as an ARRAY column, built ENTIRELY
+    map-side with array expressions — tokens never leave their row, so
+    there is no shuffle, no window, and no Expand anywhere in the gram
+    path (the earlier posexplode → lead-window formulation shuffled
+    every word of the corpus on the doc id; at 100 TB that exchange
+    dwarfs anything the grams feed).
 
-    Docs shorter than n words emit ONE gram of all their words — the
-    same contract as ngram_jaccard_pairs, so short docs are still
-    visible to contamination() instead of silently unflaggable. Empty
-    docs emit nothing.
+    Docs shorter than n words emit ONE gram of all their words — so
+    short docs are still visible to contamination()/jaccard instead of
+    silently unflaggable. Empty docs get an empty array (explode drops
+    them).
 
     The one exchange left is a COMPACT-doc repartition on the id —
     whole rows, pre-explosion — purely to spread the gram build across
@@ -473,8 +461,14 @@ def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
             )
         )
     )
-    return sdf.select(
-        id_col, F.explode(F.array_distinct(grams)).alias("gram")
+    return sdf.select(id_col, F.array_distinct(grams).alias(out))
+
+
+def _word_ngrams(sdf, text_col: str, id_col: str, n: int):
+    """Exploded (id, gram) rows of _word_ngram_arrays — distinct per
+    doc by construction."""
+    return _word_ngram_arrays(sdf, text_col, id_col, n).select(
+        id_col, F.explode("grams").alias("gram")
     )
 
 
