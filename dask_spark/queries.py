@@ -1122,6 +1122,56 @@ def rolling_cov_q(spark, sf_dir):
 
 
 @q(
+    "rolling_median",
+    """
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS value_roll_median
+    FROM events
+    """,
+)
+def rolling_median_q(spark, sf_dir):
+    """Rolling exact median (reference: dask_expr/_rolling.py
+    RollingMedian) — linear-interpolation percentile per frame."""
+    e = load(spark, sf_dir, "events")
+    out = e.rolling("1h", on="ts", by="user_id").median("value")
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_median", 4).alias("value_roll_median"),
+    )
+
+
+@q(
+    "rolling_corr",
+    """
+    SELECT event_id, user_id,
+           ROUND(corr(value, epoch_us(ts) / 1000000.0 - 1750000000) OVER (
+             PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS value_roll_corr
+    FROM events
+    """,
+)
+def rolling_corr_q(spark, sf_dir):
+    """Rolling Pearson correlation (reference: dask_expr/_rolling.py
+    RollingCorr) of value vs time-in-window; time demeaned by a fixed
+    base like rolling_cov so double cancellation stays far from the
+    rounding granularity."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    sdf = e.to_spark().withColumn(
+        "ts_s", epoch_us("ts") / F.lit(1_000_000.0) - F.lit(1_750_000_000)
+    )
+    out = DaskFrame(sdf).rolling("1h", on="ts", by="user_id").corr("value", "ts_s")
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_corr", 4).alias("value_roll_corr"),
+    )
+
+
+@q(
     "resample",
     """
     SELECT (epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 3600) AS bucket_s,
@@ -3380,8 +3430,8 @@ _R5_FRONT = [
     "rolling_cov", "contamination", "set_index",
     "merge_asof_nearest", "groupby_nth", "groupby_ngroup",
     "text_pii_scrub", "text_chunks", "arr_fft", "dedup_clusters_star",
-    "rolling_quantile", "rolling_skew", "rolling_kurt", "cat_codes",
-    "arr_cholesky",
+    "rolling_quantile", "rolling_skew", "rolling_kurt", "rolling_median",
+    "rolling_corr", "cat_codes", "arr_cholesky",
 ]
 _DRIVER_COVERED = [
     n
