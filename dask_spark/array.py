@@ -326,6 +326,46 @@ class DArray:
             col, idc,
         )
 
+    def cumsum(self, axis: int = 1) -> "DArray":
+        """Per-row prefix sums along the dim axis (reference:
+        dask/array/reductions.py cumsum). An in-row array scan via
+        ``F.aggregate`` — map-only; d is accessor-scale so the O(d)
+        interpreted fold per row is fine. axis=0 (down the rows) is
+        intentionally unsupported: it would need a global-order prefix
+        carry per dimension — use to_frame + the keyless cumulative
+        machinery per column instead."""
+        if axis != 1:
+            raise ValueError("cumsum supports axis=1 (per-row) only")
+        return self._unary(
+            lambda c: F.aggregate(
+                c,
+                F.array().cast("array<double>"),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(
+                        F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x
+                    ),
+                ),
+            )
+        )
+
+    def cumprod(self, axis: int = 1) -> "DArray":
+        """Per-row prefix products along the dim axis."""
+        if axis != 1:
+            raise ValueError("cumprod supports axis=1 (per-row) only")
+        return self._unary(
+            lambda c: F.aggregate(
+                c,
+                F.array().cast("array<double>"),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(
+                        F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(1.0)) * x
+                    ),
+                ),
+            )
+        )
+
     def fft(self, out_re: str = "fft_re", out_im: str = "fft_im") -> DaskFrame:
         """1-D DFT along the dim axis, one transform per row
         (reference: dask/array/fft.py fft — dask requires the FFT axis

@@ -296,3 +296,15 @@ def test_fft_matches_numpy(arr):
     I = np.array(got.fft_im.tolist())
     assert np.allclose(R, C.real, atol=1e-8)
     assert np.allclose(I, C.imag, atol=1e-8)
+
+
+def test_cumsum_cumprod_axis1(arr):
+    M, da = arr
+    got = da.cumsum(axis=1).compute()
+    assert np.allclose(got, np.cumsum(M, axis=1), atol=1e-6)
+    # cumprod on |values| <= 1-ish stays finite
+    small = da.map(lambda x: x / 10.0)
+    gotp = small.cumprod(axis=1).compute()
+    assert np.allclose(gotp, np.cumprod(M / 10.0, axis=1), atol=1e-8)
+    with pytest.raises(ValueError):
+        da.cumsum(axis=0)
