@@ -33,6 +33,10 @@ HEADLINE = [
     "groupby_custom_agg", # custom Aggregation: partial-Column triplets
     "corr_matrix",        # k*(k+1)/2 aggregates in one scan
     "contamination",      # n-gram decontamination pipeline
+    # round-5 additions (compare per-query across rounds, not totals)
+    "merge_asof_nearest", # nearest-direction asof: dual window fill
+    "text_chunks",        # map-only token-window chunking
+    "text_pii_scrub",     # chained codegen regex redaction
 ]
 
 

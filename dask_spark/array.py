@@ -781,3 +781,18 @@ def random_normal(spark, n: int, dim: int, seed: int = 0,
         )
     sdf = rng.select(F.col("id").alias("row_id"), F.array(*comps).alias("values"))
     return DArray(sdf, "values", "row_id")
+
+
+def from_array(x, id_col: str = "row_id", col: str = "x",
+               npartitions: int | None = None) -> DArray:
+    """dask.array.from_array analog: a local 2-D ndarray/list-of-rows →
+    distributed DArray (rows partitioned, dim in-row). Driver-side
+    source like dask's — for cluster-scale data use DArray.from_frame
+    over a parquet-backed vector column instead."""
+    import pandas as pd
+
+    from dask_spark.sources import from_pandas
+
+    pdf = pd.DataFrame({id_col: range(len(x)), col: [list(map(float, r)) for r in x]})
+    f = from_pandas(pdf, npartitions)
+    return DArray(f._sdf, col, id_col)

@@ -145,3 +145,14 @@ class Bag:
 
     def compute(self) -> list:
         return [r[0] for r in self._sdf.collect()]
+
+
+# dask.bag-shaped module-level constructors (reference: dask/bag/__init__.py)
+def from_sequence(items, npartitions: int | None = None) -> "Bag":
+    return Bag.from_sequence(items, npartitions)
+
+
+def read_text(path: str) -> "Bag":
+    from dask_spark.sources import read_text as _rt
+
+    return _rt(path)

@@ -256,3 +256,27 @@ def test_to_timedelta(spark):
     out = f.assign(td=ds.to_timedelta(f.secs, unit="s")).compute()
     want = pd.to_timedelta(pdf.secs, unit="s")
     assert list(out.td) == list(want)
+
+
+def test_dd_style_namespaces(spark):
+    """Reference users keep their import lines: dask_spark.dataframe /
+    .array / .bag expose the dask-shaped module surface."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark.array as da
+    import dask_spark.bag as db
+    import dask_spark.dataframe as dd
+
+    left = dd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]}))
+    right = dd.from_pandas(pd.DataFrame({"k": [2, 3], "w": [5.0, 6.0]}))
+    out = dd.merge(left, right, on="k", how="inner").compute()
+    assert list(out.k) == [2]
+
+    arr = da.from_array(np.arange(6, dtype="float64").reshape(3, 2))
+    s = arr.sum(axis=1).compute().sort_values("row_id")
+    assert list(s["sum"]) == [1.0, 5.0, 9.0]
+
+    b = db.from_sequence(["a", "b", "a"])
+    freq = b.frequencies().compute()
+    assert dict(zip(freq.item, freq["count"]))["a"] == 2
