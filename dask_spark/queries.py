@@ -1626,15 +1626,52 @@ def dedup_embed(spark, sf_dir):
     return embedding_pairs_exact(e, threshold=0.4).to_spark()
 
 
-@q("dedup_embed_lsh", None)  # banded LSH — probabilistic recall, rows-only
+def _dedup_embed_lsh_oracle() -> str:
+    """Banded LSH is deterministic given the seed (hyperplanes from a
+    seeded PRNG, shared bit/seed layout with lsh_band_signature_udf),
+    so the oracle rebuilds every band signature with the SAME plane
+    values as literals and replays candidate-join → cosine-verify —
+    a full value-hash check of the 'approximate' path."""
+    from dask_spark.functions.vector import random_hyperplanes
+
+    bands, planes, dim, seed, thr = 8, 10, 64, 7, 0.4
+    band_selects = []
+    for b in range(bands):
+        hps = random_hyperplanes(dim, planes, seed + 101 * b)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in h)}]::DOUBLE[]) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j, h in enumerate(hps)
+        )
+        band_selects.append(f"SELECT vec_id, v, {b} AS band, {bits} AS sig FROM s")
+    union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS ({union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.sig = c.sig
+                       AND a.vec_id < c.vec_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM cand
+    JOIN s x ON x.vec_id = cand.id_a
+    JOIN s y ON y.vec_id = cand.id_b
+    WHERE list_cosine_similarity(x.v, y.v) >= {thr}
+    """
+
+
+@q("dedup_embed_lsh", _dedup_embed_lsh_oracle())
 def dedup_embed_lsh(spark, sf_dir):
     from dask_spark.operators.dedup import embedding_dedup_pairs
 
     e = load(spark, sf_dir, "embeddings")
     # 10-bit buckets keep occupancy ~n/1024 so the per-band candidate
     # join stays near-linear; recall at this low threshold is the
-    # documented LSH trade-off (the exact twin above is the oracle path)
-    return embedding_dedup_pairs(e, threshold=0.4, planes=10, bands=8).to_spark()
+    # documented LSH trade-off (dedup_embed is the exact twin)
+    out = embedding_dedup_pairs(e, threshold=0.4, planes=10, bands=8).to_spark()
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 # --------------------------- vectors / similarity ---------------------------
@@ -1712,7 +1749,38 @@ def ann_bruteforce(spark, sf_dir):
     return brute_force_topk(e, QUERY_VEC, k=10).to_spark()
 
 
-@q("ann_lsh", None)  # approximate by design
+def _ann_lsh_oracle() -> str:
+    """The LSH bucket probe is fully deterministic given the seed: the
+    hyperplanes come from a seeded PRNG, so the oracle replicates the
+    exact signature math with the SAME plane values as SQL literals —
+    promoting ann_lsh from a rows-only check to a value-hash match."""
+    from dask_spark.functions.vector import random_hyperplanes
+
+    planes, seed, dim = 6, 7, 64
+    hps = random_hyperplanes(dim, planes, seed)
+    qsig = 0
+    for i, h in enumerate(hps):
+        if sum(a * b for a, b in zip(QUERY_VEC, h)) >= 0:
+            qsig |= 1 << i
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in h)}]::DOUBLE[]) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, h in enumerate(hps)
+    )
+    qv = "[" + ", ".join(repr(float(x)) for x in QUERY_VEC) + "]::DOUBLE[]"
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sig AS (
+      SELECT vec_id, v, {bit_terms} AS sigv FROM s
+    )
+    SELECT vec_id, ROUND(list_cosine_similarity(v, {qv}), 6) AS cosine
+    FROM sig WHERE sigv = {qsig}
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@q("ann_lsh", _ann_lsh_oracle())
 def ann_lsh(spark, sf_dir):
     from dask_spark.operators.similarity import lsh_topk
 
@@ -3431,7 +3499,8 @@ _R5_FRONT = [
     "merge_asof_nearest", "groupby_nth", "groupby_ngroup",
     "text_pii_scrub", "text_chunks", "arr_fft", "dedup_clusters_star",
     "rolling_quantile", "rolling_skew", "rolling_kurt", "rolling_median",
-    "rolling_corr", "cat_codes", "arr_cholesky",
+    "rolling_corr", "cat_codes", "arr_cholesky", "ann_lsh",
+    "dedup_embed_lsh",
 ]
 _DRIVER_COVERED = [
     n
