@@ -3330,11 +3330,53 @@ def dedup_clusters_star(spark, sf_dir):
     )
 
 
-@q("ann_knn_join", None)  # LSH-band approximate — rows-only by design
+def _ann_knn_join_oracle() -> str:
+    """Like _dedup_embed_lsh_oracle: the band layout is deterministic
+    (per-band seed ``7 + 101*b``), so the oracle replays signatures →
+    candidate join → cosine → per-left rank with the same plane
+    literals."""
+    from dask_spark.functions.vector import random_hyperplanes
+
+    bands, planes, dim, seed, k = 12, 4, 64, 7, 3
+    band_selects = []
+    for b in range(bands):
+        hps = random_hyperplanes(dim, planes, seed + 101 * b)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in h)}]::DOUBLE[]) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j, h in enumerate(hps)
+        )
+        band_selects.append(f"SELECT vec_id, v, {b} AS band, {bits} AS sig FROM s")
+    union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS ({union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS l_id, c.vec_id AS r_id
+      FROM b a JOIN b c ON a.band = c.band AND a.sig = c.sig
+                       AND a.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT cand.l_id, cand.r_id,
+             ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+      FROM cand
+      JOIN s x ON x.vec_id = cand.l_id
+      JOIN s y ON y.vec_id = cand.r_id
+    )
+    SELECT l_id, r_id, cosine, rank FROM (
+      SELECT l_id, r_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY l_id
+                                ORDER BY cosine DESC, r_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@q("ann_knn_join", _ann_knn_join_oracle())
 def ann_knn_join(spark, sf_dir):
     """Approximate k-NN join (both sides large): LSH-band candidates →
     exact cosine → per-left rank window. Deterministic for the fixed
-    seed but not SQL-expressible (numpy hyperplanes)."""
+    seed — the oracle replays the seeded signature math as SQL."""
     from dask_spark.operators.similarity import knn_join
 
     e = load(spark, sf_dir, "embeddings")
@@ -3500,7 +3542,7 @@ _R5_FRONT = [
     "text_pii_scrub", "text_chunks", "arr_fft", "dedup_clusters_star",
     "rolling_quantile", "rolling_skew", "rolling_kurt", "rolling_median",
     "rolling_corr", "cat_codes", "arr_cholesky", "ann_lsh",
-    "dedup_embed_lsh",
+    "dedup_embed_lsh", "ann_knn_join",
 ]
 _DRIVER_COVERED = [
     n
