@@ -255,3 +255,58 @@ def test_read_fwf(spark, tmp_path):
     assert list(got.name) == ["apple", "banana"]
     assert list(got.qty) == [3, 12]
     assert list(got.price) == [1.5, 0.25]
+
+
+def test_streaming_batch_parity_tumbling(spark, tmp_path):
+    """EXACTNESS: the streaming tumbling window over a finite file
+    stream (availableNow trigger, complete mode) must produce exactly
+    the batch twin's rows on the same data — not just a nonempty
+    schema-shaped answer."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.streaming.windows import (
+        tumbling_window_agg,
+        tumbling_window_stream,
+    )
+
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+        [i * 97 for i in range(500)], unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "event_type": [str(i % 3) for i in range(500)],
+            "value": [float(i % 17) for i in range(500)],
+        }
+    )
+    src = tmp_path / "events_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+
+    batch = (
+        tumbling_window_agg(ds.read_parquet(str(src)), "10 minutes")
+        .compute()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+
+    stream_sdf = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    out = tumbling_window_stream(stream_sdf, "10 minutes", "30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("t_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = (
+        spark.sql("select * from t_parity")
+        .toPandas()
+        .sort_values(["window_start", "event_type"], ignore_index=True)
+    )
+    assert len(got) == len(batch) and len(got) > 0
+    assert list(got.n) == list(batch.n)
+    assert list(got.total_value) == list(batch.total_value)
+    assert list(got.window_start) == list(batch.window_start)
