@@ -29,6 +29,19 @@ def _col(x: "Series | Column | Any") -> Column:
     return F.lit(x)
 
 
+class _PartitionIndexer:
+    """x.partitions[i] (reference: _collection.py partitions): filter
+    by spark_partition_id — a map-side predicate, no shuffle."""
+
+    def __init__(self, frame: "DaskFrame"):
+        self._frame = frame
+
+    def __getitem__(self, i: int) -> "DaskFrame":
+        return DaskFrame(
+            self._frame._sdf.filter(F.spark_partition_id() == int(i))
+        )
+
+
 class StrAccessor:
     """``.str`` — mirrors dask/pandas string accessor (reference:
     dask/dataframe/accessor.py StringAccessor) via JVM string fns."""
@@ -352,6 +365,46 @@ class Series:
 
     def __neg__(self):
         return Series(self._frame, -self._expr, self._name)
+
+    # named comparison forms (reference: _collection.py gt/ge/lt/le)
+    def gt(self, o):
+        return self.__gt__(o)
+
+    def ge(self, o):
+        return self.__ge__(o)
+
+    def lt(self, o):
+        return self.__lt__(o)
+
+    def le(self, o):
+        return self.__le__(o)
+
+    def eq(self, o):
+        return self.__eq__(o)
+
+    def ne(self, o):
+        return self.__ne__(o)
+
+    def dot(self, other: "Series"):
+        """Series dot product (reference: _collection.py dot): one
+        sum aggregate of the products — a scalar."""
+        return self._frame._sdf.agg(
+            F.sum(self._expr * other._expr)
+        ).first()[0]
+
+    def combine(self, other: "Series", func, dtype: str = "double") -> "Series":
+        """Pairwise combine with a python fn (reference: _collection.py
+        combine) — Arrow-batched pandas UDF over the two columns."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _c(a, b):
+            return pd.Series([func(x, y) for x, y in zip(a, b)])
+
+        _c.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                              "return": pd.Series}
+        u = pandas_udf(dtype)(_c)
+        return Series(self._frame, u(self._expr, other._expr), self._name)
 
     # ---- elementwise ------------------------------------------------
     def alias(self, name: str) -> "Series":
@@ -1327,6 +1380,133 @@ class DaskFrame:
         to_records). EAGER like dask's compute of the same — for a
         lazy bridge use to_bag()."""
         return self.compute().to_records(index=False)
+
+    # ---- small dask-surface parity (reference: _collection.py) ---------
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def empty(self) -> bool:
+        # dask raises for laziness reasons; one LIMIT-1 probe is cheap
+        return self._sdf.limit(1).count() == 0
+
+    @property
+    def shape(self):
+        """(rows, cols) — the row count is a real job, like computing
+        dask's delayed shape[0]."""
+        return (self._sdf.count(), len(self.columns))
+
+    @property
+    def size(self) -> int:
+        rows, cols = self.shape
+        return rows * cols
+
+    @property
+    def partitions(self) -> "_PartitionIndexer":
+        """x.partitions[i] — one partition as a frame (reference:
+        _collection.py partitions): a spark_partition_id filter, no
+        data movement for the untouched partitions."""
+        return _PartitionIndexer(self)
+
+    def median_approximate(self, col: str, accuracy: int = 10000):
+        """reference: _collection.py median_approximate →
+        percentile_approx."""
+        return self._sdf.agg(
+            F.percentile_approx(col, 0.5, accuracy)
+        ).first()[0]
+
+    def memory_usage_per_partition(self) -> "DaskFrame":
+        """Approximate bytes per partition (reference: _collection.py
+        memory_usage_per_partition; dask sums pandas memory_usage per
+        partition): per-partition row counts scaled by the Catalyst
+        plan-size estimate. The global window runs over #partitions
+        rows — divisions-scale, not data-scale."""
+        from dask_spark.plans import estimated_size_bytes
+
+        est = estimated_size_bytes(self)
+        per = self._sdf.groupBy(
+            F.spark_partition_id().alias("partition")
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.partitionBy()
+        bytes_col = (
+            F.col("__n") / F.sum("__n").over(w) * F.lit(float(est))
+        ).cast("bigint")
+        return DaskFrame(
+            per.select("partition", bytes_col.alias("bytes"))
+        )
+
+    def reduction(self, chunk: Callable, aggregate: Callable,
+                  schema: str):
+        """Custom partition-wise reduction (reference: _collection.py
+        reduction / dask's ACA): ``chunk`` runs per partition as an
+        Arrow batch fn returning a SMALL frame; ``aggregate`` combines
+        the concatenated chunk outputs on the driver (they are
+        aggregate-sized, dask does the same tree-finalize on one
+        worker)."""
+        import pandas as pd
+
+        def run(it):
+            parts = [c for c in it if len(c)]
+            if parts:
+                yield chunk(pd.concat(parts, ignore_index=True))
+
+        chunks = self._sdf.mapInPandas(run, schema=schema).toPandas()
+        return aggregate(chunks)
+
+    def iterrows(self):
+        """Driver-side row iterator (reference: _collection.py
+        iterrows) — streams partitions via toLocalIterator, never
+        materializing the whole frame on the driver."""
+        for row in self._sdf.toLocalIterator():
+            yield row.asDict()
+
+    def to_series(self) -> "Series":
+        if len(self.columns) != 1:
+            raise ValueError("to_series needs a single-column frame")
+        c = self.columns[0]
+        return Series(self, F.col(c), c)
+
+    def to_dask_array(self, cols: Sequence[str] | None = None,
+                      id_col: str | None = None):
+        """Numeric columns → DArray (reference: _collection.py
+        to_dask_array): rows stay partitioned, the selected columns
+        become the in-row dim axis."""
+        from dask_spark.array import DArray
+
+        cols = list(cols) if cols else [
+            c for c, t in self._sdf.dtypes
+            if t in ("double", "float", "int", "bigint", "smallint")
+            and c != id_col
+        ]
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        keep = [id_col] if id_col else []
+        return DArray(
+            self._sdf.select(*keep, arr.alias("x")), "x", id_col
+        )
+
+    def map_overlap(self, fn: Callable, schema: str, on: str,
+                    before: float = 0, after: float = 0,
+                    npartitions: int = 32) -> "DaskFrame":
+        from dask_spark.operators.window import map_overlap
+
+        return map_overlap(self, fn, schema, on, before, after, npartitions)
+
+    def categorize(self, column: str, **kw) -> "DaskFrame":
+        from dask_spark.operators.reshape import categorize
+
+        return categorize(self, column, **kw)
+
+    def to_string(self, n: int = 10) -> str:
+        return self._sdf.limit(n).toPandas().to_string()
+
+    def to_html(self, n: int = 10) -> str:
+        return self._sdf.limit(n).toPandas().to_html()
+
+    def to_hdf(self, path: str, key: str, **kw):
+        """Driver-side pandas write (HDF5 is not a cluster format —
+        reference dask also funnels through pandas per partition)."""
+        self.compute().to_hdf(path, key=key, **kw)
 
     # ---- terminal ----------------------------------------------------------
     def compute(self):

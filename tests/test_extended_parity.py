@@ -280,3 +280,50 @@ def test_dd_style_namespaces(spark):
     b = db.from_sequence(["a", "b", "a"])
     freq = b.frequencies().compute()
     assert dict(zip(freq.item, freq["count"]))["a"] == 2
+
+
+def test_small_surface_parity(spark):
+    """shape/size/empty/partitions/iterrows/to_series/dot/combine/
+    median_approximate/memory_usage_per_partition/to_dask_array — the
+    long tail of _collection.py surface."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [2.0, 2.0, 2.0, 2.0]})
+    f = ds.from_pandas(pdf, npartitions=2)
+
+    assert f.shape == (4, 2) and f.size == 8 and f.ndim == 2
+    assert not f.empty
+    assert f[f.a > 100].empty
+
+    total = sum(len(f.partitions[i].compute()) for i in range(f.npartitions))
+    assert total == 4
+
+    rows = list(f.iterrows())
+    assert len(rows) == 4 and {"a", "b"} <= set(rows[0])
+
+    assert f[["a"]].to_series().sum() == 10.0
+    assert f.a.dot(f.b) == 20.0
+    assert f.a.gt(2.0).astype("int").sum() == 2
+
+    c = f.assign(c=f.a.combine(f.b, lambda x, y: x * 10 + y)).compute()
+    assert sorted(c.c) == [12.0, 22.0, 32.0, 42.0]  # partition order is free
+
+    assert abs(f.median_approximate("a") - 2.0) <= 1.0
+
+    mu = f.memory_usage_per_partition().compute()
+    assert len(mu) == 2 and (mu["bytes"] > 0).all()
+
+    arr = f.to_dask_array(["a", "b"]).sum(axis=1).compute()
+    assert sorted(arr["sum"]) == [3.0, 4.0, 5.0, 6.0]
+
+    out = f.reduction(
+        chunk=lambda p: pd.DataFrame({"s": [p.a.sum()], "n": [len(p)]}),
+        aggregate=lambda chunks: chunks.s.sum() / chunks.n.sum(),
+        schema="s double, n long",
+    )
+    assert out == 2.5
+
+    assert "a" in f.to_string() and "<table" in f.to_html()
