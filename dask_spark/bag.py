@@ -131,6 +131,121 @@ class Bag:
         """Bernoulli sample (dask bag random_sample)."""
         return Bag(self._sdf.sample(prob, seed=seed), self._col)
 
+    # ---- numeric reductions (reference: bag/core.py sum/max/...) -----
+    def _num_agg(self, agg):
+        return self._sdf.agg(agg(F.col(self._col).cast("double"))).first()[0]
+
+    def sum(self):
+        return self._num_agg(F.sum)
+
+    def max(self):
+        return self._num_agg(F.max)
+
+    def min(self):
+        return self._num_agg(F.min)
+
+    def mean(self):
+        return self._num_agg(F.avg)
+
+    def std(self):
+        return self._num_agg(F.stddev_samp)
+
+    def var(self):
+        return self._num_agg(F.var_samp)
+
+    def product(self):
+        return self._num_agg(F.product)
+
+    def any(self) -> bool:
+        return bool(self._sdf.agg(F.max(F.col(self._col).cast("boolean"))).first()[0])
+
+    def all(self) -> bool:
+        return bool(self._sdf.agg(F.min(F.col(self._col).cast("boolean"))).first()[0])
+
+    def fold(self, binop: Callable, initial) -> object:
+        """ACA fold (reference: bag/core.py fold): ``binop`` folds
+        within each partition (Arrow batches), then the per-partition
+        partials — one value each — fold on the driver. ``binop`` must
+        be associative, like dask's contract."""
+        import functools
+
+        import pandas as pd
+
+        col, dtype = self._col, dict(self._sdf.dtypes)[self._col]
+
+        def run(it):
+            acc, seen = initial, False
+            for pdf in it:
+                for v in pdf[col]:
+                    acc, seen = binop(acc, v), True
+            if seen:
+                yield pd.DataFrame({col: [acc]})
+
+        partials = [
+            r[0] for r in self._sdf.mapInPandas(run, schema=f"{col} {dtype}").collect()
+        ]
+        return functools.reduce(binop, partials, initial)
+
+    def remove(self, fn) -> "Bag":
+        """Drop items where fn is true (reference: bag/core.py remove).
+        ``fn`` is a Column-builder predicate like filter's."""
+        return Bag(self._sdf.filter(~fn(F.col(self._col))), self._col)
+
+    def starmap(self, fn: Callable, dtype: str = "string") -> "Bag":
+        """fn(*item) per item of array/struct items (reference:
+        bag/core.py starmap) — Arrow-batched."""
+        import pandas as pd
+
+        col = self._col
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame({col: [fn(*v) for v in pdf[col]]})
+
+        return Bag(self._sdf.mapInPandas(gen, schema=f"{col} {dtype}"), col)
+
+    def map_partitions(self, fn: Callable, dtype: str | None = None) -> "Bag":
+        """fn over each partition's item list (reference: bag/core.py
+        map_partitions)."""
+        import pandas as pd
+
+        col = self._col
+        dtype = dtype or dict(self._sdf.dtypes)[col]
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield pd.DataFrame({col: list(fn(list(pdf[col])))})
+
+        return Bag(self._sdf.mapInPandas(gen, schema=f"{col} {dtype}"), col)
+
+    def repartition(self, npartitions: int) -> "Bag":
+        return Bag(self._sdf.repartition(npartitions), self._col)
+
+    def groupby(self, key_fn, key_dtype: str = "string") -> DaskFrame:
+        """Group items by a python key fn (reference: bag/core.py
+        groupby — dask warns it is a full shuffle; same here): one
+        Arrow-batched key projection + groupBy collect_list."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _k(s):
+            return pd.Series([key_fn(v) for v in s])
+
+        _k.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        u = pandas_udf(key_dtype)(_k)
+        return DaskFrame(
+            self._sdf.groupBy(u(F.col(self._col)).alias("key"))
+            .agg(F.collect_list(self._col).alias("items"))
+        )
+
+    def to_textfiles(self, path: str, mode: str = "overwrite"):
+        """One text line per item (reference: bag/text.py
+        to_textfiles)."""
+        self._sdf.select(
+            F.col(self._col).cast("string").alias("value")
+        ).write.mode(mode).text(path)
+
     def count(self) -> int:
         return self._sdf.count()
 

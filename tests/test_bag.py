@@ -73,3 +73,40 @@ def test_bag_random_sample(spark):
     bag = ds.Bag.from_sequence(list(range(200)))
     n = bag.random_sample(0.3).count()
     assert 20 < n < 120
+
+
+def test_bag_numeric_reductions_and_fold(spark):
+    import dask_spark.bag as db
+
+    b = db.from_sequence([1.0, 2.0, 3.0, 4.0], npartitions=2)
+    assert b.sum() == 10.0 and b.max() == 4.0 and b.min() == 1.0
+    assert b.mean() == 2.5 and b.product() == 24.0
+    assert abs(b.var() - 5.0 / 3.0) < 1e-9
+    assert b.fold(lambda a, x: a + x, 0.0) == 10.0
+
+    flags = db.from_sequence([True, True, False])
+    assert flags.any() and not flags.all()
+
+
+def test_bag_partition_ops(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    import dask_spark.bag as db
+
+    b = db.from_sequence(["aa", "b", "ccc"], npartitions=2)
+    kept = b.remove(lambda c: F.length(c) > 2).compute()
+    assert sorted(kept) == ["aa", "b"]
+
+    doubled = sorted(b.map_partitions(lambda items: [s * 2 for s in items]).compute())
+    assert doubled == ["aaaa", "bb", "cccccc"]
+
+    g = b.groupby(lambda s: str(len(s))).compute()
+    got = {r.key: sorted(r["items"]) for _, r in g.iterrows()}
+    assert got["1"] == ["b"] and got["2"] == ["aa"]
+
+    out = tmp_path / "txt"
+    b.to_textfiles(str(out))
+    back = sorted(db.read_text(str(out)).compute())
+    assert back == ["aa", "b", "ccc"]
+
+    assert b.repartition(1).count() == 3
