@@ -326,6 +326,75 @@ class DArray:
             col, idc,
         )
 
+    # ---- small dask.array-surface parity -------------------------------
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def shape(self):
+        """(rows, dim) — rows is a count job; dim from one row."""
+        first = self._sdf.select(F.size(F.col(self._col))).first()
+        d = int(first[0]) if first else 0
+        return (self._sdf.count(), d)
+
+    @property
+    def size(self) -> int:
+        n, d = self.shape
+        return n * d
+
+    @property
+    def dtype(self) -> str:
+        inner = dict(self._sdf.dtypes)[self._col]
+        return inner.removeprefix("array<").removesuffix(">")
+
+    @property
+    def nbytes(self) -> int:
+        from dask_spark.plans import estimated_size_bytes
+
+        return estimated_size_bytes(DaskFrame(self._sdf))
+
+    def astype(self, dtype: str) -> "DArray":
+        return self._unary(lambda c: c.cast(f"array<{dtype}>"))
+
+    def clip(self, lo, hi) -> "DArray":
+        return self.map(lambda x: F.least(F.greatest(x, F.lit(lo)), F.lit(hi)))
+
+    def round(self, n: int = 0) -> "DArray":
+        return self.map(lambda x: F.round(x, n))
+
+    def prod(self, axis: int = 1) -> DaskFrame:
+        if axis != 1:
+            raise ValueError("prod supports axis=1 (per-row)")
+        return self._reduce_rows(
+            lambda c: F.aggregate(c, F.lit(1.0), lambda a, x: a * x), "prod"
+        )
+
+    def var(self, axis: int = 0):
+        """Per-dimension sample variance (axis=0, like std)."""
+        if axis != 0:
+            raise ValueError("var supports axis=0")
+        return self._axis0("var", F.var_samp)
+
+    def argmin(self, axis: int = 1) -> DaskFrame:
+        from dask_spark.functions.vector import argmin as _argmin
+
+        if axis != 1:
+            raise ValueError("argmin supports axis=1")
+        return self._reduce_rows(_argmin, "argmin")
+
+    def topk(self, k: int, axis: int = 1) -> "DArray":
+        """k largest entries per row, descending (dask argtopk/topk
+        family) — in-row sort_array + slice, map-only."""
+        if axis != 1:
+            raise ValueError("topk supports axis=1 (per-row)")
+        return self._unary(
+            lambda c: F.slice(F.sort_array(c, asc=False), 1, k)
+        )
+
+    def to_dask_dataframe(self) -> DaskFrame:
+        return self.to_frame()
+
     def cumsum(self, axis: int = 1) -> "DArray":
         """Per-row prefix sums along the dim axis (reference:
         dask/array/reductions.py cumsum). An in-row array scan via

@@ -308,3 +308,44 @@ def test_cumsum_cumprod_axis1(arr):
     assert np.allclose(gotp, np.cumprod(M / 10.0, axis=1), atol=1e-8)
     with pytest.raises(ValueError):
         da.cumsum(axis=0)
+
+
+def test_small_array_surface(arr):
+    M, da = arr
+    n, d = da.shape
+    assert (n, d) == M.shape and da.ndim == 2 and da.size == n * d
+    assert da.dtype in ("float", "double")
+    assert da.nbytes > 0
+
+    r = da.round(1).compute()
+    assert np.allclose(r, np.round(M, 1), atol=1e-9)
+    c = da.clip(-0.1, 0.1).compute()
+    assert np.allclose(c, np.clip(M, -0.1, 0.1), atol=1e-9)
+
+    import pandas as pd
+
+    pdf = da.to_frame().compute()
+    am = da.argmin(axis=1).compute().merge(
+        pd.DataFrame(
+            {"vec_id": pdf.vec_id,
+             "want": [int(np.argmin(v)) for v in pdf.embedding]}
+        ),
+        on="vec_id",
+    )
+    assert (am.argmin == am.want).all()
+
+    pr = da.prod(axis=1).compute().merge(
+        pd.DataFrame(
+            {"vec_id": pdf.vec_id,
+             "want": [float(np.prod(v)) for v in pdf.embedding]}
+        ),
+        on="vec_id",
+    )
+    assert np.allclose(pr["prod"], pr.want, rtol=1e-6, atol=1e-30)
+
+    v = da.var(axis=0)
+    assert np.allclose(v, M.var(axis=0, ddof=1), atol=1e-4)
+
+    tk = da.topk(3).compute()
+    want = -np.sort(-M, axis=1)[:, :3]
+    assert np.allclose(np.sort(tk), np.sort(want), atol=1e-6)
