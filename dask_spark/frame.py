@@ -366,6 +366,22 @@ class Series:
     def __neg__(self):
         return Series(self._frame, -self._expr, self._name)
 
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def dtype(self) -> str:
+        return dict(
+            self._frame._sdf.select(self._expr.alias("__t")).dtypes
+        )["__t"]
+
+    @property
+    def values(self):
+        """Eager numpy values (dask raises on unknown shapes; here one
+        collect — same cost as .compute().values)."""
+        return self.compute().to_numpy()
+
     # named comparison forms (reference: _collection.py gt/ge/lt/le)
     def gt(self, o):
         return self.__gt__(o)

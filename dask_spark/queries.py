@@ -925,6 +925,30 @@ def sample_head(spark, sf_dir):
     return o.sample(0.1, random_state=42).head_frame(50).to_spark()
 
 
+@q(
+    "sample_hash_deterministic",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE md5(o_orderkey::VARCHAR) < '1a'
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic ~10% sample via an md5 threshold on the key — the
+    reproducible-sampling idiom for pipelines that must re-select the
+    SAME rows across engines and runs (Bernoulli sample() cannot be
+    oracle-checked; this can, exactly)."""
+    o = load(spark, sf_dir, "orders")
+    sdf = o.to_spark()
+    return (
+        sdf.filter(F.md5(F.col("o_orderkey").cast("string")) < "1a")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
 # ------------------------------ window family -------------------------------
 
 @q(

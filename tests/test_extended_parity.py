@@ -327,3 +327,14 @@ def test_small_surface_parity(spark):
     assert out == 2.5
 
     assert "a" in f.to_string() and "<table" in f.to_html()
+
+
+def test_series_attrs(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"a": [1.5, 2.5]}))
+    assert f.a.name == "a"
+    assert f.a.dtype == "double"
+    assert sorted(f.a.values.tolist()) == [1.5, 2.5]
