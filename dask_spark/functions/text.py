@@ -147,6 +147,81 @@ def pii_counts(text: Column) -> Column:
     )
 
 
+def repetition_stats(text: Column) -> Column:
+    """Gopher-style in-document repetition signals (public corpus-
+    filtering recipe: Rae et al. 2021 §A1.1) as ONE struct column:
+
+    - ``dup_word_frac``     1 - distinct/total tokens
+    - ``top_gram``          most frequent word 2-gram (lexicographically
+                            first among ties)
+    - ``top_gram_count``    its occurrence count
+    - ``top_gram_char_frac`` characters covered by that 2-gram / doc chars
+    - ``max_token_run``     longest run of identical consecutive tokens
+
+    Scale shape: everything is in-row array expressions — the 2-gram
+    mode is a sort + single fold over the sorted grams (O(k log k) per
+    doc), NOT an explode + groupBy(doc, gram) shuffle; map-only at any
+    corpus size."""
+    toks = word_tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    dup_word_frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        1.0 - F.array_size(F.array_distinct(toks)) / n_tok
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )
+    # mode of the gram array: sort, then one pass tracking run lengths.
+    # Strict `>` keeps the FIRST (= smallest) gram among count ties.
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"), F.lit("").alias("bestg"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                acc["best"],
+            ).alias("best"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["best"],
+                x,
+            ).otherwise(acc["bestg"]).alias("bestg"),
+        ),
+    )
+    top_char_frac = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        top["best"] * F.length(top["bestg"]) / n_chars
+    )
+    max_run = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                acc["best"],
+            ).alias("best"),
+        ),
+    )["best"]
+    return F.struct(
+        F.round(dup_word_frac, 6).alias("dup_word_frac"),
+        top["bestg"].alias("top_gram"),
+        top["best"].cast("bigint").alias("top_gram_count"),
+        F.round(top_char_frac, 6).alias("top_gram_char_frac"),
+        max_run.cast("bigint").alias("max_token_run"),
+    )
+
+
 def chunk_spans(text: Column, max_tokens: int, overlap: int = 0) -> Column:
     """Split a document into overlapping token windows for training-
     example packing: array of structs (chunk_id, chunk_text, n_tokens).

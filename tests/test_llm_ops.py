@@ -457,3 +457,44 @@ def test_chunk_spans_overlap(spark):
     assert rows[1]["chunk_text"].startswith("w8 ")
     # overlap: last 2 tokens of chunk k = first 2 of chunk k+1
     assert rows[0]["chunk_text"].split()[-2:] == rows[1]["chunk_text"].split()[:2]
+
+
+def test_repetition_stats(spark):
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+    from dask_spark.functions.text import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b a b a c c c",  # dup-heavy: top 2-gram "a b"×2, run ccc
+                "hello",            # single token
+                "one two three four five",  # no repetition
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ds.from_pandas(pdf)
+        .to_spark()
+        .withColumn("r", repetition_stats(F.col("text")))
+        .select("doc_id", "r.*")
+        .collect()
+    }
+    r1 = out[1]
+    assert r1["dup_word_frac"] == pytest.approx(1 - 3 / 8)
+    # ties at count 2 ("a b", "b a", "c c") → lexicographically first
+    assert r1["top_gram"] == "a b" and r1["top_gram_count"] == 2
+    assert r1["top_gram_char_frac"] == pytest.approx(2 * 3 / 15)
+    assert r1["max_token_run"] == 3
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_gram"] == "hello" and r2["top_gram_count"] == 1
+    assert r2["max_token_run"] == 1
+    r3 = out[3]
+    assert r3["dup_word_frac"] == 0.0
+    assert r3["top_gram_count"] == 1 and r3["max_token_run"] == 1
