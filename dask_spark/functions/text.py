@@ -147,6 +147,85 @@ def pii_counts(text: Column) -> Column:
     )
 
 
+# PERFORMANCE CONTRACT for the repetition helpers: no lambda captures
+# an outer array expression — higher-order functions are interpreted
+# (not codegen), and a captured array is RE-EVALUATED once per element,
+# turning a linear pass into O(k^2..k^3) per document. Every lambda
+# binds only its zip_with/filter/transform arguments; neighbor access
+# uses shifted-array copies built once per row.
+
+def _shift_left(arr: Column) -> Column:
+    """arr[i] -> arr[i+1], null-padded tail (one copy per row)."""
+    return F.concat(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+
+
+def _run_bests(arr: Column) -> Column:
+    """Run-length encode an array → array<struct(cnt, negidx)> of
+    (run length, -start index) per run of equal adjacent values."""
+    flags = F.zip_with(  # True where a run starts
+        arr,
+        F.concat(F.array(F.lit(None).cast("string")),
+                 F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))),
+        lambda a, p: p.isNull() | (a != p),
+    )
+    starts = F.filter(
+        F.zip_with(flags, F.sequence(F.lit(1), F.size(arr)),
+                   lambda f, i: F.when(f, i)),
+        lambda x: x.isNotNull(),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(arr) + 1),
+    )
+    return F.zip_with(
+        starts, ends,
+        lambda s, e: F.struct((e - s).alias("cnt"), (-s).alias("negidx")),
+    )
+
+
+def _sorted_grams(toks: Column) -> Column:
+    """Sorted word-2-gram array: zip each token with its successor,
+    keep k-1 grams (the lone token itself when k == 1), sort."""
+    return F.array_sort(
+        F.slice(
+            F.zip_with(toks, _shift_left(toks),
+                       lambda a, b: F.concat_ws(" ", a, b)),
+            1,
+            F.greatest(F.size(toks) - 1, F.lit(1)),
+        )
+    )
+
+
+def _repetition_fields(text, toks, g, best, max_run) -> list:
+    """The five aliased output columns, from (possibly staged) parts:
+    mode of the sorted gram array = array_max over its run encoding on
+    struct(cnt, -start) — max count, count ties broken toward the
+    smallest start = lexicographically FIRST sorted gram."""
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    dup_word_frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        1.0 - F.array_size(F.array_distinct(toks)) / n_tok
+    )
+    top_count = F.when(n_tok == 0, F.lit(0)).otherwise(best["cnt"])
+    top_gram = F.when(n_tok == 0, F.lit("")).otherwise(
+        F.try_element_at(g, -best["negidx"])
+    )
+    top_char_frac = F.when((n_chars == 0) | (n_tok == 0), F.lit(0.0)).otherwise(
+        top_count * F.length(top_gram) / n_chars
+    )
+    run = F.when(n_tok == 0, F.lit(0)).otherwise(max_run)
+    return [
+        F.round(dup_word_frac, 6).alias("dup_word_frac"),
+        top_gram.alias("top_gram"),
+        top_count.cast("bigint").alias("top_gram_count"),
+        F.round(top_char_frac, 6).alias("top_gram_char_frac"),
+        run.cast("bigint").alias("max_token_run"),
+    ]
+
+
 def repetition_stats(text: Column) -> Column:
     """Gopher-style in-document repetition signals (public corpus-
     filtering recipe: Rae et al. 2021 §A1.1) as ONE struct column:
@@ -159,67 +238,44 @@ def repetition_stats(text: Column) -> Column:
     - ``max_token_run``     longest run of identical consecutive tokens
 
     Scale shape: everything is in-row array expressions — the 2-gram
-    mode is a sort + single fold over the sorted grams (O(k log k) per
-    doc), NOT an explode + groupBy(doc, gram) shuffle; map-only at any
-    corpus size."""
+    mode is a sort + run-length encoding of the sorted grams (O(k log k)
+    per doc), NOT an explode + groupBy(doc, gram) shuffle; map-only at
+    any corpus size. Prefer :func:`with_repetition_stats` in pipelines:
+    it stages intermediates as columns so the chain is evaluated once
+    per row instead of once per output field."""
     toks = word_tokens(text)
-    n_tok = F.size(toks)
-    n_chars = F.length(text)
-    dup_word_frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        1.0 - F.array_size(F.array_distinct(toks)) / n_tok
+    g = _sorted_grams(toks)
+    return F.struct(*_repetition_fields(
+        text, toks, g, F.array_max(_run_bests(g)), F.array_max(
+            F.transform(_run_bests(toks), lambda r: r["cnt"])
+        )
+    ))
+
+
+def with_repetition_stats(sdf, text_col: str = "text"):
+    """Scale path for :func:`repetition_stats`: appends the five
+    repetition columns to ``sdf`` with intermediates STAGED as real
+    columns across separate projections. Catalyst's CollapseProject
+    keeps a non-cheap alias referenced more than once materialized, so
+    the token array / sorted-gram array / run encoding are each
+    computed ONCE per row — whereas extracting five fields from the
+    single-Column form re-evaluates the whole chain per field (~5×).
+    Map-only, no shuffle; use this form in pipelines."""
+    toks, g = F.col("__rs_toks"), F.col("__rs_g")
+    staged = (
+        sdf.withColumn("__rs_toks", word_tokens(F.col(text_col)))
+        .withColumn("__rs_g", _sorted_grams(toks))
+        .withColumn("__rs_best", F.array_max(_run_bests(g)))
+        .withColumn(
+            "__rs_maxrun",
+            F.array_max(F.transform(_run_bests(toks), lambda r: r["cnt"])),
+        )
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
-        ),
+    fields = _repetition_fields(
+        F.col(text_col), toks, g, F.col("__rs_best"), F.col("__rs_maxrun")
     )
-    # mode of the gram array: sort, then one pass tracking run lengths.
-    # Strict `>` keeps the FIRST (= smallest) gram among count ties.
-    top = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"),
-            F.lit(0).alias("best"), F.lit("").alias("bestg"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                acc["best"],
-            ).alias("best"),
-            F.when(
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-                > acc["best"],
-                x,
-            ).otherwise(acc["bestg"]).alias("bestg"),
-        ),
-    )
-    top_char_frac = F.when(n_chars == 0, F.lit(0.0)).otherwise(
-        top["best"] * F.length(top["bestg"]) / n_chars
-    )
-    max_run = F.aggregate(
-        toks,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                acc["best"],
-            ).alias("best"),
-        ),
-    )["best"]
-    return F.struct(
-        F.round(dup_word_frac, 6).alias("dup_word_frac"),
-        top["bestg"].alias("top_gram"),
-        top["best"].cast("bigint").alias("top_gram_count"),
-        F.round(top_char_frac, 6).alias("top_gram_char_frac"),
-        max_run.cast("bigint").alias("max_token_run"),
-    )
+    keep = [c for c in sdf.columns]
+    return staged.select(*keep, *fields)
 
 
 def chunk_spans(text: Column, max_tokens: int, overlap: int = 0) -> Column:

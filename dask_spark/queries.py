@@ -1582,7 +1582,7 @@ def text_chunks(spark, sf_dir):
       SELECT doc_id,
              unnest([array_to_string(w[i:i+1], ' ')
                      for i in generate_series(1, greatest(len(w)-1, 1))]) AS gram
-      FROM base
+      FROM base WHERE len(w) > 0
     ), gc AS (
       SELECT doc_id, gram, count(*) AS cnt FROM gr GROUP BY doc_id, gram
     ), top AS (
@@ -1601,13 +1601,13 @@ def text_chunks(spark, sf_dir):
            round(CASE WHEN len(b.w) = 0 THEN 0.0
                  ELSE 1.0 - len(list_distinct(b.w)) / len(b.w) END, 6)
              AS dup_word_frac,
-           t.gram AS top_gram,
-           t.cnt::BIGINT AS top_gram_count,
-           round(CASE WHEN b.n_chars = 0 THEN 0.0
+           coalesce(t.gram, '') AS top_gram,
+           coalesce(t.cnt, 0)::BIGINT AS top_gram_count,
+           round(CASE WHEN b.n_chars = 0 OR t.cnt IS NULL THEN 0.0
                  ELSE t.cnt * len(t.gram) / b.n_chars END, 6)
              AS top_gram_char_frac,
            coalesce(mr.max_run, 0)::BIGINT AS max_token_run
-    FROM base b JOIN top t USING (doc_id) LEFT JOIN mr USING (doc_id)
+    FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN mr USING (doc_id)
     """,
 )
 def text_repetition(spark, sf_dir):
@@ -1615,16 +1615,12 @@ def text_repetition(spark, sf_dir):
     frequent-2-gram coverage, longest identical-token run) — the
     in-document repetition signals a corpus pipeline thresholds on
     before training. Pure in-row array expressions: the 2-gram mode is
-    array_sort + one fold (O(k log k) per doc), never an explode +
-    groupBy(doc, gram) shuffle — map-only at 100 TB. Extends the
+    array_sort + run-length encoding (O(k log k) per doc), never an
+    explode + groupBy(doc, gram) shuffle — map-only at 100 TB. Extends the
     reference's accessor surface (dask/dataframe/accessor.py) the same
     way quality_score does."""
     d = load(spark, sf_dir, "documents").to_spark()
-    return d.withColumn("r", T.repetition_stats(F.col("text"))).select(
-        "doc_id",
-        "r.dup_word_frac", "r.top_gram", "r.top_gram_count",
-        "r.top_gram_char_frac", "r.max_token_run",
-    )
+    return T.with_repetition_stats(d.select("doc_id", "text")).drop("text")
 
 
 # ------------------------------ dedup family --------------------------------

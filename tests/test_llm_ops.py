@@ -498,3 +498,35 @@ def test_repetition_stats(spark):
     r3 = out[3]
     assert r3["dup_word_frac"] == 0.0
     assert r3["top_gram_count"] == 1 and r3["max_token_run"] == 1
+
+
+def test_repetition_stats_staged_parity(spark):
+    import random
+
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+    from dask_spark.functions.text import repetition_stats, with_repetition_stats
+
+    random.seed(3)
+    words = [f"w{i}" for i in range(40)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "text": [
+                " ".join(random.choice(words) for _ in range(random.randint(0, 25)))
+                for _ in range(50)
+            ],
+        }
+    )
+    sdf = ds.from_pandas(pdf).to_spark()
+    fast = with_repetition_stats(sdf).drop("text").orderBy("doc_id").collect()
+    slow = (
+        sdf.withColumn("r", repetition_stats(F.col("text")))
+        .select("doc_id", "r.*")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
