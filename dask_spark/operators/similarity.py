@@ -245,3 +245,65 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
         .filter(F.col("rank") <= k)
     )
     return DaskFrame(out)
+
+
+def bm25_topk(frame, terms: Sequence[str], k: int = 10, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 lexical retrieval over a document corpus (Robertson/Spärck
+    Jones; the standard keyword-search twin of the ANN family —
+    reference scope: dask has no search operator, brief-mandated
+    similarity-search extension).
+
+    100 TB shape: ONE map-side partial agg computes the corpus stats
+    (N, avgdl, per-term document frequency) as a single row that is
+    broadcast back via crossJoin — no shuffle of the corpus. Scoring is
+    then map-only in-row expressions (per-term tf over the token
+    array), and top-k is TakeOrdered — the corpus itself never
+    shuffles. Two scans total (stats + scoring); persist the tokenized
+    frame to make it one.
+    """
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.text import word_tokens
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    toked = sdf.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    # literal captures in element lambdas are fine (cheap re-eval);
+    # capturing an outer ARRAY expression would be O(k) per element.
+    # Closure factory, NOT a default arg — `lambda x, t=t` would make t
+    # a second lambda parameter and filter() would bind it to the index.
+    def _tf(t: str):
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+
+    tfs = [_tf(t) for t in terms]
+    scored_base = toked.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("__dl"),
+        *[tf.alias(f"__tf_{i}") for i, tf in enumerate(tfs)],
+    )
+    stats = scored_base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = scored_base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}")
+        idf = F.log(
+            1.0
+            + (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+        )
+        term = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+        score = term if score is None else score + term
+    out = joined.select(
+        F.col(id_col), F.round(score, 6).alias("score")
+    ).orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    return DaskFrame(out)

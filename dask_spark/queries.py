@@ -1623,6 +1623,49 @@ def text_repetition(spark, sf_dir):
     return T.with_repetition_stats(d.select("doc_id", "text")).drop("text")
 
 
+@q(
+    "bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark'))  AS tf0,
+             len(list_filter(w, x -> x = 'filter')) AS tf1,
+             len(list_filter(w, x -> x = 'join'))   AS tf2
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum((tf0 > 0)::BIGINT) AS df0,
+             sum((tf1 > 0)::BIGINT) AS df1,
+             sum((tf2 > 0)::BIGINT) AS df2
+      FROM base
+    )
+    SELECT doc_id, round(
+        ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+          / (tf0 + (1.2 * (0.25 + ((0.75 * dl) / avgdl))))
+      + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+          / (tf1 + (1.2 * (0.25 + ((0.75 * dl) / avgdl))))
+      + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+          / (tf2 + (1.2 * (0.25 + ((0.75 * dl) / avgdl)))), 6) AS score
+    FROM base, stats
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k for ['spark', 'filter', 'join'] — the keyword
+    twin of ann_bruteforce. One map-side stats agg broadcast back, then
+    map-only scoring + TakeOrdered; the corpus never shuffles
+    (operators/similarity.py bm25_topk)."""
+    from dask_spark.operators.similarity import bm25_topk as _bm25
+
+    d = load(spark, sf_dir, "documents")
+    return _bm25(d, ["spark", "filter", "join"], k=10).to_spark()
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

@@ -530,3 +530,41 @@ def test_repetition_stats_staged_parity(spark):
         .collect()
     )
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_bm25_matches_python_oracle(spark):
+    import math
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.similarity import bm25_topk
+
+    docs = {
+        1: "spark runs fast and spark scales",
+        2: "join the table with a hash join plan",
+        3: "filter rows then join",
+        4: "nothing relevant here at all",
+        5: "spark filter join spark filter join",
+    }
+    terms, k1, b = ["spark", "join"], 1.2, 0.75
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(map(len, toks.values())) / n
+    def score(i):
+        s = 0.0
+        for t in terms:
+            tf = toks[i].count(t)
+            df = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return round(s, 6)
+    expect = sorted(docs, key=lambda i: (-score(i), i))[:3]
+
+    frame = ds.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    got = bm25_topk(frame, terms, k=3).compute()
+    assert list(got.doc_id) == expect
+    for _, row in got.iterrows():
+        assert row["score"] == pytest.approx(score(row["doc_id"]), abs=1e-6)
