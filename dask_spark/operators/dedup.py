@@ -704,3 +704,47 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
             break
     edges.unpersist()
     return DaskFrame(labels)
+
+
+def canonicalize(docs, pairs, id_col: str = "doc_id",
+                 quality_col: str = "n_chars", id_a: str = "id_a",
+                 id_b: str = "id_b", algorithm: str = "label"):
+    """Pick ONE keeper per near-dup component — the member with the
+    highest ``quality_col`` (smallest id on ties) — the
+    canonicalization step that turns verified near-dup pairs into an
+    actual dedup decision (reference scope: dask has no analog;
+    brief-mandated dedup-pipeline extension).
+
+    Returns (id_col, component, keeper_id, is_keeper) for every doc
+    that appears in a pair; filter ``~is_keeper`` to get the drop list.
+
+    100 TB shape: connected components runs on the PAIR list (orders of
+    magnitude smaller than the corpus); the corpus joins that label set
+    once (inner — untouched docs never enter), then keeper selection is
+    one max_by agg on component and a component-keyed join that reuses
+    the agg's hash partitioning. The full corpus is never shuffled —
+    only cluster members."""
+    from dask_spark.frame import DaskFrame
+
+    comps = connected_components(
+        pairs, id_a, id_b, algorithm=algorithm
+    )._sdf
+    d = docs._sdf if isinstance(docs, DaskFrame) else docs
+    labeled = d.join(
+        comps, d[id_col] == comps["id"], "inner"
+    ).select(d[id_col], d[quality_col], comps["component"])
+    keepers = labeled.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+            ),
+        ).alias("keeper_id")
+    )
+    out = labeled.join(keepers, "component").select(
+        F.col(id_col),
+        "component",
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+    )
+    return DaskFrame(out)

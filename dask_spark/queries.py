@@ -1666,6 +1666,59 @@ def bm25_topk(spark, sf_dir):
     return _bm25(d, ["spark", "filter", "join"], k=10).to_spark()
 
 
+@q(
+    "dedup_canonicalize",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), gr AS (
+      SELECT doc_id, list_distinct(
+        [array_to_string(w[i:i+2], ' ')
+         for i in generate_series(1, greatest(len(w)-2, 1))]
+      ) AS grams FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb
+      FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))) >= 0.4
+    ), edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ), reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+      SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+    ), member AS (
+      SELECT d.doc_id, c.component, d.n_chars
+      FROM documents d JOIN comp c ON d.doc_id = c.id
+    ), keeper AS (
+      SELECT component, doc_id AS keeper_id FROM member
+      QUALIFY row_number() OVER (PARTITION BY component
+                                 ORDER BY n_chars DESC, doc_id ASC) = 1
+    )
+    SELECT m.doc_id, m.component::BIGINT AS component,
+           k.keeper_id::BIGINT AS keeper_id,
+           m.doc_id = k.keeper_id AS is_keeper
+    FROM member m JOIN keeper k USING (component)
+    """,
+)
+def dedup_canonicalize(spark, sf_dir):
+    """Near-dup canonicalization end-to-end: n-gram Jaccard pairs →
+    connected components → keep the highest-n_chars member per cluster
+    (min id on ties). The corpus is never shuffled — only cluster
+    members (operators/dedup.py canonicalize)."""
+    from dask_spark.operators.dedup import canonicalize, ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    prs = ngram_jaccard_pairs(d, n=3, threshold=0.4)
+    return canonicalize(d, prs).to_spark()
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

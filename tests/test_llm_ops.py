@@ -568,3 +568,33 @@ def test_bm25_matches_python_oracle(spark):
     assert list(got.doc_id) == expect
     for _, row in got.iterrows():
         assert row["score"] == pytest.approx(score(row["doc_id"]), abs=1e-6)
+
+
+def test_canonicalize_picks_best_per_cluster(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import canonicalize
+
+    docs = ds.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "n_chars": [10, 50, 50, 7, 9, 100],
+            }
+        )
+    )
+    # clusters: {1,2,3} (chain 1-2, 2-3) and {4,5}; 6 untouched
+    pairs = ds.from_pandas(
+        pd.DataFrame({"id_a": [1, 2, 4], "id_b": [2, 3, 5]})
+    )
+    out = (
+        canonicalize(docs, pairs, quality_col="n_chars")
+        .compute()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 3, 4, 5]  # doc 6 never enters
+    # cluster {1,2,3}: quality tie 2 vs 3 at 50 → min id 2 wins
+    assert list(out.keeper_id) == [2, 2, 2, 5, 5]
+    assert list(out.is_keeper) == [False, True, False, False, True]
