@@ -19,6 +19,7 @@ from dask_spark.session import get_spark
 from dask_spark.array import DArray
 from dask_spark.bag import Bag
 from dask_spark.sources import (
+    from_delayed,
     from_dict,
     from_pandas,
     read_avro,
@@ -63,5 +64,6 @@ __all__ = [
     "read_sql_table",
     "from_pandas",
     "from_dict",
+    "from_delayed",
     "timeseries",
 ]

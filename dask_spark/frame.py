@@ -1397,6 +1397,20 @@ class DaskFrame:
         lazy bridge use to_bag()."""
         return self.compute().to_records(index=False)
 
+    def to_delayed(self) -> list:
+        """One Delayed per partition, each computing that partition's
+        pandas DataFrame (reference: _collection.py:2501 to_delayed).
+        Lazy: nothing runs until .compute(); independent partitions
+        computed under the threaded scheduler submit concurrent Spark
+        jobs. Spark caveat vs dask: each partition fetch is a filtered
+        job over the plan — persist() this frame first if you will
+        compute many of them."""
+        from dask_spark.delayed import delayed
+
+        fetch = delayed(lambda i: self.get_partition(i).compute(),
+                        name="partition")
+        return [fetch(i) for i in range(self.npartitions)]
+
     # ---- small dask-surface parity (reference: _collection.py) ---------
     @property
     def ndim(self) -> int:

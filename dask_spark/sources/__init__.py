@@ -82,6 +82,28 @@ def from_pandas(pdf, npartitions: int | None = None) -> DaskFrame:
     return DaskFrame(sdf)
 
 
+def from_delayed(dfs, npartitions: int | None = None) -> DaskFrame:
+    """Build a DaskFrame from Delayed objects that each evaluate to a
+    pandas DataFrame (reference: dask/dataframe/io/io.py from_delayed).
+    The delayeds are computed ONCE (shared graph nodes deduplicated,
+    threaded scheduler → concurrent evaluation), concatenated, and
+    distributed. Driver-memory bound by design — the dask analog
+    builds the same per-partition pandas frames; use read_parquet/
+    read_csv for data that should never sit on one machine."""
+    import pandas as pd
+
+    from dask_spark.delayed import Delayed, compute
+
+    items = list(dfs) if isinstance(dfs, (list, tuple)) else [dfs]
+    results = compute(*[d for d in items if isinstance(d, Delayed)])
+    parts = []
+    ri = iter(results)
+    for d in items:
+        parts.append(next(ri) if isinstance(d, Delayed) else d)
+    pdf = pd.concat(parts, ignore_index=True)
+    return from_pandas(pdf, npartitions or max(1, len(parts)))
+
+
 def _pandas_dtype_to_spark(dtype):
     from pyspark.sql import types as T
 

@@ -127,3 +127,30 @@ def test_delayed_over_frames(spark, tables):
     big = pdf[pdf["o_totalprice"] > 100000]
     assert n == len(big)
     assert abs(tot - big["o_totalprice"].sum()) < 1e-6
+
+
+def test_to_delayed_from_delayed_roundtrip(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.delayed import delayed
+
+    pdf = pd.DataFrame({"k": list(range(20)), "v": [i * 0.5 for i in range(20)]})
+    frame = ds.from_pandas(pdf, npartitions=4)
+    parts = frame.to_delayed()
+    assert len(parts) == 4
+    computed = [p.compute() for p in parts]
+    assert sum(len(c) for c in computed) == 20
+
+    # from_delayed accepts delayed-producing functions (dask idiom)
+    @delayed
+    def make(lo, hi):
+        return pd.DataFrame({"k": range(lo, hi), "v": [0.5 * i for i in range(lo, hi)]})
+
+    back = ds.from_delayed([make(0, 10), make(10, 20)])
+    got = back.compute().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, pdf)
+
+    # roundtrip through to_delayed
+    rt = ds.from_delayed(parts).compute().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(rt, pdf)
