@@ -1719,6 +1719,88 @@ def dedup_canonicalize(spark, sf_dir):
     return canonicalize(d, prs).to_spark()
 
 
+@q(
+    "corpus_shard",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok::BIGINT AS n_tok,
+           floor((cum - n_tok) / 4096.0)::BIGINT AS shard
+    FROM c
+    """,
+)
+def corpus_shard(spark, sf_dir):
+    """Token-budget shard assignment (training-shard packing): docs in
+    id order are packed into ~4096-token shards via an EXCLUSIVE
+    running token count — shard = floor(prefix_tokens / 4096). Uses the
+    keyless two-pass prefix scan (per-bucket running agg + driver
+    offsets), so the global ORDER BY never funnels through one
+    partition. Integer sums → exact at any scale."""
+    from dask_spark.operators.window import cumulative
+
+    d = load(spark, sf_dir, "documents").assign(
+        n_tok=lambda f: T.token_count(F.col("text")).cast("bigint")
+    )[["doc_id", "n_tok"]]
+    c = cumulative(d, "n_tok", "sum", order_by="doc_id", out="cum")
+    return c.to_spark().select(
+        "doc_id", "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / 4096.0)
+        .cast("bigint").alias("shard"),
+    )
+
+
+@q(
+    "corpus_mix_temperature",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, n_tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_s
+      FROM t
+    )
+    SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS tokens
+    FROM r WHERE rn <= ceil(sqrt(n_s::DOUBLE) * 10.0)
+    GROUP BY source
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-weighted mixing (alpha=0.5): each source keeps
+    ceil(10·√N_s) docs selected in deterministic md5(id) order —
+    up-weights small sources vs proportional sampling, reproducible
+    across engines (operators/mixing.py temperature_mix: one shuffle,
+    count + rank windows share the exchange)."""
+    from dask_spark.operators.mixing import temperature_mix
+
+    d = load(spark, sf_dir, "documents").assign(
+        n_tok=lambda f: T.token_count(F.col("text")).cast("bigint")
+    )[["doc_id", "source", "n_tok"]]
+    mixed = temperature_mix(d, alpha=0.5, scale=10.0)
+    return (
+        mixed.groupby("source")
+        .agg(n_docs=("doc_id", "count"), tokens=("n_tok", "sum"))
+        .to_spark()
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("tokens").cast("bigint").alias("tokens"),
+        )
+    )
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

@@ -598,3 +598,22 @@ def test_canonicalize_picks_best_per_cluster(spark):
     # cluster {1,2,3}: quality tie 2 vs 3 at 50 → min id 2 wins
     assert list(out.keeper_id) == [2, 2, 2, 5, 5]
     assert list(out.is_keeper) == [False, True, False, False, True]
+
+
+def test_temperature_mix_quotas_and_plan(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.mixing import temperature_mix
+    from dask_spark.plans import shuffle_count
+
+    rows = [("a", i) for i in range(4)] + [("b", i + 100) for i in range(64)]
+    frame = ds.from_pandas(pd.DataFrame(rows, columns=["source", "doc_id"]))
+    out = temperature_mix(frame, scale=1.0).compute()
+    by = out.groupby("source").size().to_dict()
+    assert by == {"a": 2, "b": 8}  # ceil(sqrt(4))=2, ceil(sqrt(64))=8
+    # deterministic: same selection on re-run
+    again = temperature_mix(frame, scale=1.0).compute()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+    # count window + rank window share one exchange on source
+    assert shuffle_count(temperature_mix(frame, scale=1.0)) == 1
