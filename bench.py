@@ -37,6 +37,9 @@ HEADLINE = [
     "merge_asof_nearest", # nearest-direction asof: dual window fill
     "text_chunks",        # map-only token-window chunking
     "text_pii_scrub",     # chained codegen regex redaction
+    "text_repetition",    # staged RLE repetition stats (HOF-heavy)
+    "bm25_topk",          # lexical retrieval: stats agg + map scoring
+    "corpus_mix_temperature",  # one-exchange weighted mixing
 ]
 
 

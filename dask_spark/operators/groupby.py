@@ -337,6 +337,34 @@ class GroupBy:
             self._frame._sdf.withColumn(out or f"{col}_cumsum", F.sum(col).over(w))
         )
 
+    def ffill(self, cols, order_by: str) -> "DaskFrame":
+        """Per-group forward fill (reference: dask_expr/_groupby.py:1784
+        GroupBy.ffill) — delegates to the frame-level windowed fill
+        with the group keys; one sort-shuffle on the keys."""
+        return self._frame.ffill(cols, order_by, by=list(self._keys))
+
+    def bfill(self, cols, order_by: str) -> "DaskFrame":
+        """Per-group backward fill (_groupby.py GroupBy.bfill)."""
+        return self._frame.bfill(cols, order_by, by=list(self._keys))
+
+    def shift(self, col: str, periods: int = 1, order_by: str | None = None,
+              out: str | None = None) -> "DaskFrame":
+        """Per-group shift (_groupby.py:2081 GroupBy.shift)."""
+        return self._frame.shift(col, periods, order_by=order_by,
+                                 by=list(self._keys), out=out)
+
+    def diff(self, col: str, periods: int = 1, order_by: str | None = None,
+             out: str | None = None) -> "DaskFrame":
+        """Per-group diff (_groupby.py GroupBy.diff)."""
+        return self._frame.diff(col, periods, order_by=order_by,
+                                by=list(self._keys), out=out)
+
+    def cumprod(self, col: str, order_by: str,
+                out: str | None = None) -> "DaskFrame":
+        """Per-group cumulative product (_groupby.py cumprod)."""
+        return self._frame.cumprod(col, order_by, by=list(self._keys),
+                                   out=out)
+
     def cumcount(self, order_by: str, out: str = "cumcount") -> "DaskFrame":
         from dask_spark.frame import DaskFrame
 

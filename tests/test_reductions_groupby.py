@@ -420,3 +420,47 @@ def test_groupby_ngroup_matches_pandas(spark):
     )
     want = pdf.groupby("g").ngroup()
     assert list(got.ngroup) == list(want)
+
+
+def test_groupby_fill_shift_delegates(spark):
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "i": [1, 2, 3, 1, 2],
+            "v": [1.0, None, None, None, 5.0],
+        }
+    )
+    f = ds.from_pandas(pdf)
+    g = f.groupby("g")
+
+    def _eq(got, want):
+        return all(
+            (w is None and pd.isna(x)) or x == w for x, w in zip(got, want)
+        )
+
+    filled = g.ffill("v", "i").compute().sort_values(["g", "i"])
+    assert _eq(list(filled.v), [1.0, 1.0, 1.0, None, 5.0])  # no cross-group leak
+    bfilled = g.bfill("v", "i").compute().sort_values(["g", "i"])
+    assert _eq(list(bfilled.v), [1.0, None, None, 5.0, 5.0])
+
+    shifted = g.shift("v", 1, order_by="i", out="p").compute().sort_values(["g", "i"])
+    expect = pdf.sort_values(["g", "i"]).groupby("g").v.shift(1)
+    assert [
+        (a == b) or (np.isnan(a) and np.isnan(b))
+        for a, b in zip(shifted.p.fillna(float("nan")), expect.fillna(float("nan")))
+    ]
+
+    prod = (
+        ds.from_pandas(pd.DataFrame({"g": ["x", "x", "y"], "i": [1, 2, 1],
+                                     "v": [2.0, 3.0, 4.0]}))
+        .groupby("g")
+        .cumprod("v", "i", out="cp")
+        .compute()
+        .sort_values(["g", "i"])
+    )
+    assert list(prod.cp) == [2.0, 6.0, 4.0]
