@@ -251,6 +251,19 @@ class DArray:
         )
         return [r.v for r in per_dim]
 
+    def percentile(self, q: float, axis: int = 0,
+                   exact: bool = True) -> list:
+        """Per-component percentile across rows (reference:
+        dask/array/percentile.py percentile — dask's is approximate
+        from per-chunk percentiles; here ``exact=True`` uses Spark's
+        exact distributed percentile, ``exact=False`` the
+        percentile_approx sketch, both one posexplode + groupBy(dim)
+        shuffle of scalars, never vectors)."""
+        fn = (lambda c: F.percentile(c, F.lit(q))) if exact else (
+            lambda c: F.percentile_approx(c, F.lit(q))
+        )
+        return self._axis0(f"p{q}", fn)
+
     # ---- linalg-ish ---------------------------------------------------
     def dot(self, vector: Sequence[float]) -> DaskFrame:
         """(n × d) @ (d,) → n scalars; the vector is a plan literal."""

@@ -2703,6 +2703,38 @@ def vec_axis0_stats(spark, sf_dir):
 
 
 @q(
+    "arr_percentile",
+    """
+    WITH e AS (
+      SELECT unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    )
+    SELECT dim::INT AS dim,
+           round(quantile_cont(x, 0.5), 6) AS p50,
+           round(quantile_cont(x, 0.9), 6) AS p90
+    FROM e GROUP BY dim
+    """,
+)
+def arr_percentile(spark, sf_dir):
+    """dask.array.percentile parity (per-component, axis 0): EXACT
+    distributed percentile (Spark sorts per group; dask's is an
+    approximate chunk-merge — DArray.percentile(exact=False) exposes
+    the percentile_approx sketch as that twin). One posexplode +
+    groupBy(dim) shuffle of scalars — vectors never shuffle."""
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    x = F.col("x").cast("double")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.percentile(x, F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(x, F.lit(0.9)), 6).alias("p90"),
+        )
+    )
+
+
+@q(
     "join_q18_big_orders",
     """
     SELECT c_name, o_orderkey,

@@ -349,3 +349,23 @@ def test_small_array_surface(arr):
     tk = da.topk(3).compute()
     want = -np.sort(-M, axis=1)[:, :3]
     assert np.allclose(np.sort(tk), np.sort(want), atol=1e-6)
+
+
+def test_percentile_axis0(spark):
+    import numpy as np
+
+    import dask_spark as ds
+
+    import pandas as pd
+
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(7)
+    data = rng.randn(101, 4)
+    pdf = pd.DataFrame({"vec": [r.tolist() for r in data]})
+    arr = DArray(ds.from_pandas(pdf).to_spark(), "vec")
+    got = arr.percentile(0.5)
+    want = np.percentile(data, 50, axis=0)
+    assert np.allclose(got, want, atol=1e-9)
+    approx = arr.percentile(0.5, exact=False)
+    assert np.allclose(approx, want, atol=0.2)  # sketch: loose bound
