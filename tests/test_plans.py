@@ -389,3 +389,25 @@ def test_profiler_sql_metrics(spark):
 
     p = profile(f)
     assert p["shuffle_bytes_written"] > 0 and p["wall_sec"] >= 0
+
+
+def test_bm25_corpus_never_shuffles(tables):
+    """BM25's only exchanges are the 1-row stats agg and its broadcast
+    back — the scored corpus flows scan → map scoring → TakeOrdered
+    with no hash partitioning of doc rows."""
+    from dask_spark.operators.similarity import bm25_topk
+
+    out = bm25_topk(tables["documents"], ["spark", "join"], k=5)
+    plan = out.to_spark()._jdf.queryExecution().sparkPlan().toString()
+    assert "TakeOrdered" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hashpartitioning over doc_id / the token column anywhere
+    assert "hashpartitioning(doc_id" not in plan
+    assert "hashpartitioning(__toks" not in plan
+
+
+def test_temperature_mix_single_exchange(tables):
+    from dask_spark.operators.mixing import temperature_mix
+    from dask_spark.plans import shuffle_count
+
+    assert shuffle_count(temperature_mix(tables["documents"])) == 1
