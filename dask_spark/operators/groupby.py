@@ -337,6 +337,13 @@ class GroupBy:
             self._frame._sdf.withColumn(out or f"{col}_cumsum", F.sum(col).over(w))
         )
 
+    def rolling(self, window, on: str, min_periods: int | None = None):
+        """Per-group rolling (reference: dask_expr/_groupby.py:2141
+        GroupBy.rolling) — the keyed rolling window partitioned by the
+        group keys; row- and range-based windows both supported."""
+        return self._frame.rolling(window, on=on, by=list(self._keys),
+                                   min_periods=min_periods)
+
     def ffill(self, cols, order_by: str) -> "DaskFrame":
         """Per-group forward fill (reference: dask_expr/_groupby.py:1784
         GroupBy.ffill) — delegates to the frame-level windowed fill

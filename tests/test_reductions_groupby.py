@@ -464,3 +464,34 @@ def test_groupby_fill_shift_delegates(spark):
         .sort_values(["g", "i"])
     )
     assert list(prod.cp) == [2.0, 6.0, 4.0]
+
+
+def test_groupby_rolling_delegate(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "i": [1, 2, 3, 4, 1, 2, 3],
+            "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0],
+        }
+    )
+    out = (
+        ds.from_pandas(pdf)
+        .groupby("g")
+        .rolling(2, on="i")
+        .mean("v")
+        .compute()
+        .sort_values(["g", "i"])
+    )
+    expect = (
+        pdf.sort_values(["g", "i"])
+        .groupby("g")
+        .v.rolling(2, min_periods=1)
+        .mean()
+        .reset_index(drop=True)
+    )
+    col = [c for c in out.columns if "roll" in c or c not in ("g", "i", "v")][0]
+    assert list(out[col]) == list(expect)
