@@ -264,6 +264,74 @@ class DArray:
         )
         return self._axis0(f"p{q}", fn)
 
+    def gram(self):
+        """XᵀX as a small d×d numpy array (reference: dask.array's
+        ``X.T @ X`` blockwise contraction, array/routines.py matmul):
+        per-partition Gram blocks + column sums, summed on the driver —
+        the tsqr accumulation pattern. Shuffle-free: d²+d doubles per
+        partition travel to the driver, the n×d data never moves."""
+        import numpy as np
+        import pandas as pd
+
+        col = self._col
+
+        def local_g(it):
+            acc, sums, n = None, None, 0
+            for c in it:
+                if not len(c):
+                    continue
+                X = np.array(c[col].tolist(), dtype="float64")
+                g = X.T @ X
+                acc = g if acc is None else acc + g
+                sums = X.sum(0) if sums is None else sums + X.sum(0)
+                n += len(X)
+            if acc is not None:
+                yield pd.DataFrame(
+                    {
+                        "__i": list(range(len(acc))) + [-1],
+                        "__g": list(acc) + [sums],
+                        "__n": [n] * (len(acc) + 1),
+                    }
+                )
+
+        rows = self._sdf.select(col).mapInPandas(
+            local_g, schema="__i int, __g array<double>, __n long"
+        ).collect()
+        if not rows:
+            raise ValueError("gram of an empty array")
+        d = max(r["__i"] for r in rows) + 1
+        G = np.zeros((d, d))
+        sums = np.zeros(d)
+        n = 0
+        for r in rows:
+            if r["__i"] == -1:
+                sums += np.array(list(r["__g"]))
+                n += r["__n"]
+            else:
+                G[r["__i"]] += np.array(list(r["__g"]))
+        return G, sums, n
+
+    def cov(self, ddof: int = 1):
+        """d×d covariance of the components across rows (reference:
+        dask.array cov/corrcoef path) — one Gram pass:
+        (XᵀX − n·μμᵀ)/(n − ddof)."""
+        import numpy as np
+
+        G, sums, n = self.gram()
+        if n - ddof <= 0:
+            raise ValueError("need more rows than ddof")
+        mu = sums / n
+        return (G - n * np.outer(mu, mu)) / (n - ddof)
+
+    def corrcoef(self):
+        """Pearson correlation matrix from cov() (dask.array.corrcoef)."""
+        import numpy as np
+
+        c = self.cov(ddof=0)
+        sd = np.sqrt(np.diag(c))
+        sd[sd == 0] = 1.0
+        return c / np.outer(sd, sd)
+
     # ---- linalg-ish ---------------------------------------------------
     def dot(self, vector: Sequence[float]) -> DaskFrame:
         """(n × d) @ (d,) → n scalars; the vector is a plan literal."""

@@ -369,3 +369,18 @@ def test_percentile_axis0(spark):
     assert np.allclose(got, want, atol=1e-9)
     approx = arr.percentile(0.5, exact=False)
     assert np.allclose(approx, want, atol=0.2)  # sketch: loose bound
+
+
+def test_cov_corrcoef_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(11)
+    data = rng.randn(300, 5) @ rng.randn(5, 5)  # correlated components
+    pdf = pd.DataFrame({"vec": [r.tolist() for r in data]})
+    arr = DArray(ds.from_pandas(pdf, npartitions=4).to_spark(), "vec")
+    assert np.allclose(arr.cov(ddof=1), np.cov(data, rowvar=False), atol=1e-9)
+    assert np.allclose(arr.corrcoef(), np.corrcoef(data, rowvar=False), atol=1e-9)
