@@ -64,12 +64,31 @@ def sql_metrics(frame, action: str = "count") -> pd.DataFrame:
     adaptive plan, so AQE re-plans (broadcast conversions, coalesced
     shuffle reads, skew splits) are what you see — not the static
     guess."""
+    import pyspark.sql.functions as F
+
     sdf = frame._sdf if hasattr(frame, "_sdf") else frame
     if action == "collect":
-        sdf.collect()
+        target = sdf
     else:
-        sdf.count()
-    ep = sdf._jdf.queryExecution().executedPlan()
+        # A bare count() would execute a DERIVED Dataset: the walked
+        # plan below would never run and every metric would read 0 —
+        # and count() also lets Catalyst prune all columns, so the
+        # profiled plan would not be the plan a real consumer runs.
+        # Materialize through a checksum aggregate instead: every
+        # column is forced, one row reaches the driver, and the
+        # executed plan we walk is the one that ran (the two extra
+        # HashAggregate/checksum nodes at the root are the harness).
+        target = sdf.agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in sdf.columns]),
+                    F.lit(1_000_003),
+                )
+            ).alias("__checksum"),
+        )
+    target.collect()
+    ep = target._jdf.queryExecution().executedPlan()
     if "Adaptive" in ep.getClass().getName():
         ep = ep.executedPlan()
     walked: list[tuple[int, str, dict]] = []
@@ -100,9 +119,10 @@ def profile(frame, action: str = "count") -> dict[str, Any]:
         "shuffle_bytes_written": total("shuffleBytesWritten"),
         "spill_bytes": total("spillSize"),
         "exchange_rows": int(
-            m[(m.node.str.contains("Exchange")) & (m.metric == "numOutputRows")][
-                "value"
-            ].sum()
+            m[
+                (m.node.str.contains("Exchange"))
+                & (m.metric == "shuffleRecordsWritten")
+            ]["value"].sum()
         ),
         "exchange_data_bytes": int(exchanges["value"].sum()) if len(exchanges) else 0,
         "metrics": m,

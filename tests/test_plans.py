@@ -381,6 +381,12 @@ def test_profiler_sql_metrics(spark):
 
     pdf = pd.DataFrame({"k": [i % 5 for i in range(1000)], "v": range(1000)})
     f = ds.from_pandas(pdf, npartitions=4).groupby("k").sum(["v"])
+    # default (count-mode) profile on a FRESH frame must see real
+    # metrics — it executes its own checksum materialization, never a
+    # derived count whose plan would leave these accumulators at 0
+    p0 = profile(ds.from_pandas(pdf, npartitions=4).groupby("k").sum(["v"]))
+    assert p0["shuffle_bytes_written"] > 0
+    assert p0["exchange_rows"] > 0
     m = sql_metrics(f, action="collect")
     agg_rows = m[(m.node.str.contains("Aggregate")) & (m.metric == "numOutputRows")]
     # partial aggregate emits npartitions×groups rows; the FINAL one 5
