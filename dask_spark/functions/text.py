@@ -278,6 +278,37 @@ def with_repetition_stats(sdf, text_col: str = "text"):
     return staged.select(*keep, *fields)
 
 
+def with_token_entropy(sdf, text_col: str = "text", out: str = "entropy"):
+    """Unigram token entropy per document, in nats:
+    H = -Σ_t (c_t/n)·ln(c_t/n) — low entropy flags repetitive/boiler-
+    plate text, high entropy flags noise; a standard corpus-quality
+    signal alongside :func:`quality_score` and repetition stats.
+
+    Map-only: token counts come from run-length encoding the SORTED
+    token array in-row (the repetition-stats machinery) — never an
+    explode + groupBy(doc, token) shuffle. The fold runs in sorted-
+    token order, so an oracle that folds a sorted count list adds in
+    the SAME order and matches bit-for-bit. Intermediates are staged
+    as columns (see with_repetition_stats for why)."""
+    toks = F.col("__te_toks")
+    n = F.col("__te_n")
+    staged = (
+        sdf.withColumn("__te_toks", word_tokens(F.col(text_col)))
+        .withColumn("__te_n", F.size(toks).cast("double"))
+        .withColumn("__te_runs", _run_bests(F.array_sort(toks)))
+    )
+    ent = F.when(n == 0.0, F.lit(0.0)).otherwise(
+        -F.aggregate(
+            F.col("__te_runs"),
+            F.lit(0.0),
+            lambda acc, r: acc + (r["cnt"] / n) * F.log(r["cnt"] / n),
+        )
+    )
+    return staged.withColumn(out, F.round(ent, 6)).drop(
+        "__te_toks", "__te_n", "__te_runs"
+    )
+
+
 def chunk_spans(text: Column, max_tokens: int, overlap: int = 0) -> Column:
     """Split a document into overlapping token windows for training-
     example packing: array of structs (chunk_id, chunk_text, n_tokens).

@@ -1801,6 +1801,39 @@ def corpus_mix_temperature(spark, sf_dir):
     )
 
 
+@q(
+    "text_entropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(w) AS tok FROM toks
+    ), c AS (
+      SELECT doc_id, tok, count(*)::DOUBLE AS cnt FROM u GROUP BY doc_id, tok
+    ), l AS (
+      SELECT doc_id, list(cnt ORDER BY tok) AS cnts, sum(cnt) AS n
+      FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(coalesce(-list_reduce(
+             list_prepend(0.0, list_transform(l.cnts,
+                                              x -> (x / l.n) * ln(x / l.n))),
+             (a, b) -> a + b), 0.0), 6) AS entropy
+    FROM toks t LEFT JOIN l USING (doc_id)
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Unigram token entropy (nats) per doc — corpus-quality signal.
+    Counts via in-row RLE of the sorted token array (map-only, no
+    doc×token shuffle); the fold runs in sorted-token order so the
+    oracle's ordered list fold adds bit-identically
+    (functions/text.py with_token_entropy)."""
+    d = load(spark, sf_dir, "documents").to_spark()
+    return T.with_token_entropy(d.select("doc_id", "text")).drop("text")
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

@@ -617,3 +617,26 @@ def test_temperature_mix_quotas_and_plan(spark):
     assert sorted(out.doc_id) == sorted(again.doc_id)
     # count window + rank window share one exchange on source
     assert shuffle_count(temperature_mix(frame, scale=1.0)) == 1
+
+
+def test_token_entropy(spark):
+    import math
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.functions.text import with_token_entropy
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a a a", "a b c d", ""],
+        }
+    )
+    out = {
+        r["doc_id"]: r["entropy"]
+        for r in with_token_entropy(ds.from_pandas(pdf).to_spark()).collect()
+    }
+    assert out[1] == 0.0  # single repeated token: no entropy
+    assert out[2] == pytest.approx(math.log(4), abs=1e-6)  # uniform over 4
+    assert out[3] == 0.0  # empty doc guard
