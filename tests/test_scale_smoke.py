@@ -1,0 +1,52 @@
+"""Scale smoke: run the machinery most sensitive to partition count —
+keyless prefix scan, global sort, hash agg — at 5M rows (≈50× the
+bench documents table, 8× lineitem sf0.1) against CLOSED-FORM
+expected values. Catches anything that silently degrades to a
+single-partition plan or loses rows across bucket boundaries when the
+data no longer fits one task comfortably."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+N = 5_000_000
+MOD = 97
+CYCLE = MOD * (MOD - 1) // 2  # sum of 0..96
+
+
+def _frame(spark):
+    from dask_spark.frame import DaskFrame
+
+    sdf = spark.range(N).select(
+        "id", (F.col("id") % MOD).cast("double").alias("v")
+    )
+    return DaskFrame(sdf)
+
+
+def _closed_prefix(idx: int) -> float:
+    """sum_{i<=idx} (i % MOD), exact."""
+    full, rem = divmod(idx + 1, MOD)
+    return float(full * CYCLE + rem * (rem - 1) // 2)
+
+
+def test_keyless_cumsum_5m_closed_form(spark):
+    from dask_spark.operators.window import cumulative
+
+    out = cumulative(_frame(spark), "v", "sum", order_by="id", out="run")
+    probes = [0, 12_345, 2_000_000, N - 1]
+    got = {
+        r["id"]: r["run"]
+        for r in out.to_spark().filter(F.col("id").isin(probes)).collect()
+    }
+    assert got == {p: _closed_prefix(p) for p in probes}
+    # plan sanity: the scan actually split into many partitions
+    assert out.npartitions > 1
+
+
+def test_global_sort_and_agg_5m(spark):
+    f = _frame(spark)
+    head = f.sort_values(["v", "id"]).head_frame(3).compute()
+    assert list(head["id"]) == [0, MOD, 2 * MOD]  # v == 0 rows in id order
+    total = f.groupby("v").size().compute()
+    assert len(total) == MOD
+    assert int(total["size"].sum()) == N
