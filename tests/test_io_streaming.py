@@ -310,3 +310,48 @@ def test_streaming_batch_parity_tumbling(spark, tmp_path):
     assert list(got.n) == list(batch.n)
     assert list(got.total_value) == list(batch.total_value)
     assert list(got.window_start) == list(batch.window_start)
+
+
+def test_streaming_batch_parity_sessions(spark, tmp_path):
+    """EXACTNESS for sessionization: native session_window over a
+    finite file stream must carve the SAME sessions (per-user event
+    counts) as the batch gap-window twin at the same 30-minute gap."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.streaming.windows import sessionize_batch, sessionize_stream
+
+    # bursts with >30min gaps between them, interleaved across users
+    offs, bursts = [], [0]
+    for i in range(1, 120):
+        bursts.append(bursts[-1] + (3600 if i % 7 == 0 else 60))
+    ts = pd.to_datetime("2026-02-01") + pd.to_timedelta(bursts, unit="s")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(120),
+            "ts": ts,
+            "user_id": [i % 3 for i in range(120)],
+            "value": [float(i) for i in range(120)],
+        }
+    )
+    src = tmp_path / "sess_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+
+    batch = sessionize_batch(ds.read_parquet(str(src)), gap_seconds=1800).compute()
+    batch_counts = sorted(zip(batch.user_id, batch.n_events))
+
+    stream_sdf = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).parquet(str(src))
+    out = sessionize_stream(stream_sdf, "30 minutes", "2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("s_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = spark.sql("select * from s_parity").toPandas()
+    got_counts = sorted(zip(got.user_id, got.n_events))
+    assert got_counts == batch_counts and len(got_counts) > 3
