@@ -60,8 +60,39 @@ def exact_dedup(frame, text_col: str = "text", id_col: str = "doc_id"):
 _MERSENNE31 = (1 << 31) - 1  # prime modulus for the permutation family
 
 
+def _minhash_params(num_hashes: int, shingle_k: int, seed: int = 1234):
+    """The seeded (a_i, b_i) permutation pairs and gram mixing
+    constants — shared by the signature builder AND the SQL oracle
+    generator (queries.py) so both replay the identical hash family."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    params = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+    mix = [rng.randrange(1, _MERSENNE31) for _ in range(shingle_k)]
+    return params, mix
+
+
+def word_hash_expr(w, kind: str = "xxhash64"):
+    """Per-word hash → [0, 2^31-1). kind="xxhash64" is the fast JVM
+    default; kind="md5" ((first 15 md5 hex chars as int) mod p) costs a
+    digest per word but is bit-reproducible in ANY engine with md5 —
+    the oracle-checkable mode (DuckDB: ('0x'||substr(md5(w),1,15))::BIGINT)."""
+    if kind == "xxhash64":
+        return F.pmod(F.xxhash64(w), F.lit(_MERSENNE31))
+    if kind == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MERSENNE31),
+        )
+    raise ValueError("word_hash must be xxhash64|md5")
+
+
 def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
-                       shingle_k: int = 3, seed: int = 1234):
+                       shingle_k: int = 3, seed: int = 1234,
+                       word_hash: str = "xxhash64"):
     """MinHash signature per doc, computed ENTIRELY MAP-SIDE: tokens →
     per-word xxhash64 → k-shingle hashes → ``num_hashes`` ×
     ``array_min`` over the permuted gram hashes, all as in-row array
@@ -86,14 +117,7 @@ def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
     duplicate-insensitive, so no distinct step is needed. Docs with
     fewer than ``shingle_k`` words yield no signature (same contract
     as the prior formulation)."""
-    import random as _random
-
-    rng = _random.Random(seed)
-    params = [
-        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
-        for _ in range(num_hashes)
-    ]
-    mix = [rng.randrange(1, _MERSENNE31) for _ in range(shingle_k)]
+    params, mix = _minhash_params(num_hashes, shingle_k, seed)
     m31 = F.lit(_MERSENNE31)
 
     toks = F.filter(
@@ -107,7 +131,7 @@ def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
     staged = staged.select(
         id_col,
         F.transform(
-            F.col("__toks"), lambda w: F.pmod(F.xxhash64(w), m31)
+            F.col("__toks"), lambda w: word_hash_expr(w, word_hash)
         ).alias("__wh"),
     )
     wh = F.col("__wh")
@@ -149,7 +173,8 @@ def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
 
 def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                      jaccard_threshold: float = 0.6):
+                      jaccard_threshold: float = 0.6,
+                      word_hash: str = "xxhash64"):
     """MinHash + LSH banding near-dup candidate pairs, verified by
     signature-estimated Jaccard.
 
@@ -163,7 +188,8 @@ def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
 
     rows = num_hashes // bands
     sigs = minhash_signatures(
-        frame._sdf, text_col, id_col, num_hashes, shingle_k
+        frame._sdf, text_col, id_col, num_hashes, shingle_k,
+        word_hash=word_hash,
     ).persist()  # computed once, read by banding + both pair re-joins
     # shuffle only (band_hash, id) — signatures stay out of the wide join
     banded = sigs.select(
@@ -205,22 +231,34 @@ def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     return DaskFrame(out)
 
 
-def simhash(frame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64):
-    """64-bit SimHash over word tokens, fully codegen: explode words →
-    xxhash64 → ``bits`` per-bit vote SUMs in one hash aggregate
-    (map-side partial — shuffle state is 64 longs/doc), then fold votes
-    back into one 64-bit word. Array-HOF formulations are interpreted
+def simhash(frame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+            word_hash: str = "xxhash64"):
+    """SimHash over word tokens, fully codegen: explode words →
+    word hash → ``bits`` per-bit vote SUMs in one hash aggregate
+    (map-side partial — shuffle state is ``bits`` longs/doc), then fold
+    votes back into one word. Array-HOF formulations are interpreted
     and re-evaluate the tokenization per element, measured ~10× slower.
-    Emitted with the 4 16-bit sub-bands for hamming-bucketing (docs
+    Emitted with 4 sub-bands (width bits/4) for hamming-bucketing (docs
     within hamming distance 3 share ≥1 band — standard simhash dedup
-    recall trick). Empty docs hash to 0 (kept via left join)."""
+    recall trick). Empty docs hash to 0 (kept via left join).
+
+    word_hash="xxhash64": 64-bit JVM fast path (default).
+    word_hash="md5": 60-bit engine-portable hash (first 15 md5 hex
+    chars) — every stage replicable in plain SQL, so the whole
+    approximate pipeline is oracle-checkable; use bits=60."""
     from dask_spark.frame import DaskFrame
 
+    if word_hash == "md5" and bits > 60:
+        raise ValueError("md5 word hash carries 60 bits — pass bits<=60")
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     words = frame._sdf.select(
         id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("w")
     ).filter(F.length("w") > 0)
-    h = F.xxhash64("w")
+    h = (
+        F.xxhash64("w")
+        if word_hash == "xxhash64"
+        else F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+    )
     votes = [
         F.sum(
             F.when(h.bitwiseAND(F.lit(m).cast("bigint")) != 0, 1).otherwise(-1)
@@ -240,29 +278,33 @@ def simhash(frame, text_col: str = "text", id_col: str = "doc_id", bits: int = 6
         .join(hashed, on=id_col, how="left")
         .fillna({"simhash": 0})
     )
+    width = bits // 4
     for band in range(4):
         out = out.withColumn(
             f"band{band}",
-            F.shiftrightunsigned(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftrightunsigned(F.col("simhash"), band * width)
+            .bitwiseAND(F.lit((1 << width) - 1)),
         )
     return DaskFrame(out)
 
 
 def simhash_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
-    """Candidate pairs sharing a 16-bit simhash band, verified by exact
-    hamming distance ≤ max_hamming (bit_count of xor)."""
+                  max_hamming: int = 3, bits: int = 64,
+                  word_hash: str = "xxhash64"):
+    """Candidate pairs sharing a simhash band (width bits/4), verified
+    by exact hamming distance ≤ max_hamming (bit_count of xor)."""
     from dask_spark.frame import DaskFrame
 
     # persist: the self-join's two branches would otherwise recompute
     # the 64-aggregate signature plan twice
-    sh = simhash(frame, text_col, id_col)._sdf.persist()
+    sh = simhash(frame, text_col, id_col, bits, word_hash)._sdf.persist()
     # single long bucket key (band index folded into the value) — one
     # join key column instead of two
+    width = bits // 4
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
-            (F.lit(b * (1 << 16)) + F.col(f"band{b}")).cast("bigint")
+            (F.lit(b * (1 << width)) + F.col(f"band{b}")).cast("bigint")
             for b in range(4)
         ])).alias("bh"),
     )

@@ -1850,24 +1850,145 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(d).to_spark()
 
 
-@q("dedup_minhash", None)  # LSH candidates — validated by unit tests
+def _dedup_minhash_oracle() -> str:
+    """MinHash is deterministic given the seed, and in word_hash="md5"
+    mode every stage is engine-portable (md5-hex word hash, integer
+    mod arithmetic) — so the oracle replays the ENTIRE pipeline with
+    the same seeded (a, b, mix) constants as SQL literals: word hash →
+    gram hash → 32 min-aggregates → band grouping → signature-equality
+    candidates → estimated-Jaccard filter. A full value-hash check of
+    the 'approximate' path. (Banding joins on raw band signatures where
+    Spark joins on xxhash64(band slice) — identical grouping short of
+    a 2^-64 hash collision.)"""
+    from dask_spark.operators.dedup import _MERSENNE31, _minhash_params
+
+    nh, bands, k, thr = 32, 8, 5, 0.5
+    rows = nh // bands
+    params, mix = _minhash_params(nh, k)
+    p = _MERSENNE31
+    gram = "(" + " + ".join(
+        f"(h[i+{j}] * {mix[j]}) % {p}" for j in range(k)
+    ) + f") % {p}"
+    mins = ",\n             ".join(
+        f"min(({a} * gv + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM s".format(
+            b=b,
+            sig=" || '_' || ".join(f"m{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    return rf"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0),
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {p}) AS h
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [{gram} for i in generate_series(1, len(h) - {k - 1})] AS gh
+      FROM wh WHERE len(h) >= {k}
+    ), u AS (
+      SELECT doc_id, unnest(gh) AS gv FROM g
+    ), s AS (
+      SELECT doc_id,
+             {mins}
+      FROM u GROUP BY doc_id
+    ), b AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+      FROM b a JOIN b c ON a.band = c.band AND a.sig = c.sig
+                       AND a.doc_id < c.doc_id
+    )
+    SELECT cand.ida AS id_a, cand.idb AS id_b,
+           ({eq}) / {nh} AS jaccard_est
+    FROM cand JOIN s x ON x.doc_id = cand.ida
+              JOIN s y ON y.doc_id = cand.idb
+    WHERE ({eq}) / {nh} >= {thr}
+    """
+
+
+@q("dedup_minhash", _dedup_minhash_oracle())
 def dedup_minhash(spark, sf_dir):
     from dask_spark.operators.dedup import minhash_lsh_pairs
 
     d = load(spark, sf_dir, "documents")
     # 32×8 halves signature/codegen cost vs 64×16 with the same rows-
-    # per-band (4) — candidate recall at J≥0.5 is still ≈1-(1-0.5^4)^8≈0.96
+    # per-band (4) — candidate recall at J≥0.5 is still ≈1-(1-0.5^4)^8≈0.96.
+    # word_hash="md5" makes every stage engine-portable, so the oracle
+    # value-checks the full approximate pipeline (the xxhash64 default
+    # stays the fast path for API users).
     return minhash_lsh_pairs(
-        d, num_hashes=32, bands=8, jaccard_threshold=0.5
+        d, num_hashes=32, bands=8, jaccard_threshold=0.5, word_hash="md5"
     ).to_spark()
 
 
-@q("dedup_simhash", None)
+def _dedup_simhash_oracle() -> str:
+    """word_hash="md5" (60-bit) makes SimHash engine-portable, so the
+    oracle replays the FULL pipeline in SQL: word hash → 60 per-bit
+    vote sums → sign fold → 4×15-bit band buckets → candidate join →
+    exact hamming verify. Value-hash check of the approximate path."""
+    bits, width, maxham = 60, 15, 3
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (hv & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    buckets = ", ".join(
+        f"((simhash >> {b * width}) & {(1 << width) - 1}) + {b * (1 << width)}"
+        for b in range(4)
+    )
+    return rf"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS tok
+      FROM documents
+    ), hv AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM w
+    ), v AS (
+      SELECT doc_id,
+             {votes}
+      FROM hv GROUP BY doc_id
+    ), sig0 AS (
+      SELECT doc_id, ({fold})::BIGINT AS simhash FROM v
+    ), sig AS (
+      SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig0 s USING (doc_id)
+    ), b AS (
+      SELECT doc_id, simhash, unnest([{buckets}]) AS bh FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+    FROM b a JOIN b c ON a.bh = c.bh AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.simhash, c.simhash)) <= {maxham}
+    """
+
+
+@q("dedup_simhash", _dedup_simhash_oracle())
 def dedup_simhash(spark, sf_dir):
+    """word_hash="md5"/bits=60 is the engine-portable mode that lets
+    the oracle value-check the whole approximate pipeline; xxhash64/64
+    stays the fast default for API users."""
     from dask_spark.operators.dedup import simhash_pairs
 
     d = load(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=3).to_spark()
+    out = simhash_pairs(
+        d, max_hamming=3, bits=60, word_hash="md5"
+    ).to_spark()
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
 @q(
