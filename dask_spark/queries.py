@@ -2334,11 +2334,40 @@ def io_from_pandas(spark, sf_dir):
     return ds.from_pandas(pdf).to_spark()
 
 
-@q("io_timeseries", None)  # synthetic generator — schema/rows-only
+@q(
+    "io_timeseries",
+    r"""
+    WITH g AS (
+      SELECT unnest(generate_series(0, 3599))::BIGINT AS id
+    ), h AS (
+      SELECT id,
+             TIMESTAMP '2026-01-01' + id * INTERVAL 1 SECOND AS ts,
+             ('0x' || substr(md5(id::VARCHAR || '_42'), 1, 15))::BIGINT % 1000 AS uid,
+             ('0x' || substr(md5(id::VARCHAR || '_43'), 1, 15))::BIGINT % 4 AS ni,
+             ('0x' || substr(md5(id::VARCHAR || '_44'), 1, 15))::BIGINT % 1000 AS hx,
+             ('0x' || substr(md5(id::VARCHAR || '_45'), 1, 15))::BIGINT % 10000 AS hy
+      FROM g
+    )
+    SELECT ts, uid,
+           (['alice', 'bob', 'carol', 'dan'])[ni + 1] AS name,
+           round(sin(id / 100.0) + hx / 5000.0, 6) AS x,
+           hy / 10000.0 AS y
+    FROM h
+    """,
+)
 def io_timeseries(spark, sf_dir):
+    """dask.datasets.timeseries twin in hash_kind="md5" mode: every
+    pseudo-random column derives from md5(id||salt), so the oracle
+    regenerates the identical frame in SQL (sin() rounded on both sides
+    — the one libm call whose last ulp may differ across engines)."""
     import dask_spark as ds
 
-    return ds.timeseries("2026-01-01", "2026-01-01 01:00:00").to_spark()
+    out = ds.timeseries(
+        "2026-01-01", "2026-01-01 01:00:00", hash_kind="md5"
+    ).to_spark()
+    return out.select(
+        "ts", "uid", "name", F.round("x", 6).alias("x"), "y"
+    )
 
 
 @q(

@@ -138,24 +138,44 @@ def read_sql_table(table: str, url: str, properties: Mapping[str, str] | None = 
 
 
 def timeseries(start: str = "2026-01-01", end: str = "2026-01-02",
-               freq_seconds: int = 1, seed: int = 42) -> DaskFrame:
+               freq_seconds: int = 1, seed: int = 42,
+               hash_kind: str = "xxhash64") -> DaskFrame:
     """reference: dask/datasets.py timeseries — deterministic synthetic
-    (ts, id, name, x, y) frame via spark.range (no Python rowgen)."""
+    (ts, id, name, x, y) frame via spark.range (no Python rowgen).
+
+    hash_kind="xxhash64" is the JVM fast default; "md5" derives every
+    pseudo-random value from md5(id || '_' || salt) hex — bit-identical
+    in any engine with md5, so the whole generator is oracle-checkable
+    in plain SQL."""
     import pyspark.sql.functions as F
 
     spark = _spark()
+
+    def h(salt: int):
+        if hash_kind == "xxhash64":
+            return F.abs(F.xxhash64(F.col("id"), F.lit(salt)))
+        if hash_kind == "md5":
+            key = F.concat(F.col("id").cast("string"), F.lit(f"_{salt}"))
+            return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        raise ValueError("hash_kind must be xxhash64|md5")
+
+    uid = (
+        F.xxhash64(F.col("id"), F.lit(seed)) % 1000
+        if hash_kind == "xxhash64"
+        else h(seed) % 1000
+    )
     n_expr = f"timestampdiff(SECOND, timestamp'{start}', timestamp'{end}')"
     n = spark.sql(f"SELECT {n_expr} AS n").first()["n"] // freq_seconds
     sdf = spark.range(n).select(
         (F.expr(f"timestamp'{start}'") + F.make_interval(secs=F.col("id") * freq_seconds)).alias("ts"),
-        (F.xxhash64(F.col("id"), F.lit(seed)) % 1000).alias("uid"),
+        uid.alias("uid"),
         F.element_at(
             F.array(*[F.lit(x) for x in ["alice", "bob", "carol", "dan"]]),
-            (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 4 + 1).cast("int"),
+            (h(seed + 1) % 4 + 1).cast("int"),
         ).alias("name"),
         (F.sin(F.col("id").cast("double") / 100)
-         + (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 2))) % 1000).cast("double") / 5000).alias("x"),
-        ((F.abs(F.xxhash64(F.col("id"), F.lit(seed + 3))) % 10000).cast("double") / 10000).alias("y"),
+         + (h(seed + 2) % 1000).cast("double") / 5000).alias("x"),
+        ((h(seed + 3) % 10000).cast("double") / 10000).alias("y"),
     )
     return DaskFrame(sdf)
 
