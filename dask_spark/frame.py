@@ -1546,6 +1546,68 @@ class DaskFrame:
     def persist(self) -> "DaskFrame":
         return DaskFrame(self._sdf.cache())
 
+    def visualize(self, filename: str | None = None, mode: str = "formatted") -> str:
+        """dask renders the task graph; the Spark-native equivalent of
+        "show me what will run" is the Catalyst physical plan
+        (reference: _collection.py visualize). Returns the explain text;
+        writes it to ``filename`` when given."""
+        from dask_spark.plans import plan_text
+
+        txt = plan_text(self, mode)
+        if filename:
+            with open(filename, "w") as f:
+                f.write(txt)
+        return txt
+
+    @property
+    def axes(self) -> list:
+        """[row-position range placeholder, columns] (reference:
+        _collection.py axes; Spark frames carry no materialized index)."""
+        return [None, self.columns]
+
+    def isna(self) -> "DaskFrame":
+        """Frame-level null mask (reference: _collection.py isna)."""
+        return DaskFrame(
+            self._sdf.select(*[F.col(c).isNull().alias(c) for c in self.columns])
+        )
+
+    isnull = isna
+
+    def notna(self) -> "DaskFrame":
+        return DaskFrame(
+            self._sdf.select(
+                *[F.col(c).isNotNull().alias(c) for c in self.columns]
+            )
+        )
+
+    notnull = notna
+
+    def compute_current_divisions(self, col: str) -> tuple:
+        """ACTUAL partition boundaries of ``col`` (reference:
+        _collection.py compute_current_divisions — dask scans partition
+        edges; here one tiny job: per-partition min/max). Returns the
+        dask-style (n+1)-tuple of division values; meaningful after
+        set_index/repartitionByRange on ``col``."""
+        rows = (
+            self._sdf.select(
+                F.spark_partition_id().alias("__pid"), F.col(col)
+            )
+            .groupBy("__pid")
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .orderBy("__pid")
+            .collect()
+        )
+        if not rows:
+            return ()
+        return tuple([r["lo"] for r in rows] + [rows[-1]["hi"]])
+
+    def to_sql(self, table: str, url: str,
+               properties=None, mode: str = "append"):
+        """JDBC write delegate (reference: io/sql.py to_sql)."""
+        from dask_spark.sources import to_sql as _to_sql
+
+        return _to_sql(self, table, url, properties, mode)
+
     def to_view(self, name: str) -> "DaskFrame":
         """Register as a temp view for ``dask_spark.sql`` queries."""
         self._sdf.createOrReplaceTempView(name)

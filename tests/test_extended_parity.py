@@ -338,3 +338,33 @@ def test_series_attrs(spark):
     assert f.a.name == "a"
     assert f.a.dtype == "double"
     assert sorted(f.a.values.tolist()) == [1.5, 2.5]
+
+
+def test_frame_null_masks_axes_visualize(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [None, "x", "y"]})
+    f = ds.from_pandas(pdf)
+    na = f.isna().compute()
+    assert list(na.a) == [False, True, False]
+    assert list(na.b) == [True, False, False]
+    assert f.notna().compute().a.tolist() == [True, False, True]
+    assert f.isnull().compute().b.tolist() == [True, False, False]
+    assert f.axes[1] == ["a", "b"]
+    txt = f.visualize()
+    assert "Physical Plan" in txt or "Scan" in txt
+
+
+def test_compute_current_divisions(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": range(100), "v": range(100)})
+    f = ds.from_pandas(pdf).set_index("k", npartitions=4)
+    divs = f.compute_current_divisions("k")
+    assert len(divs) == 5
+    assert divs[0] == 0 and divs[-1] == 99
+    assert list(divs) == sorted(divs)  # monotone: range partitioning held
