@@ -473,6 +473,139 @@ class DArray:
             lambda c: F.slice(F.sort_array(c, asc=False), 1, k)
         )
 
+    # ---- cheap 2-D twins of dask.array routines (array/routines.py,
+    # array/reductions.py) — all in-row expressions, map-only ----------
+    def any(self, axis: int = 1) -> DaskFrame:
+        if axis != 1:
+            raise ValueError("any supports axis=1 (per-row)")
+        return self._reduce_rows(
+            lambda c: F.exists(c, lambda x: x != 0), "any"
+        )
+
+    def all(self, axis: int = 1) -> DaskFrame:
+        if axis != 1:
+            raise ValueError("all supports axis=1 (per-row)")
+        return self._reduce_rows(
+            lambda c: ~F.exists(c, lambda x: x == 0), "all"
+        )
+
+    def ptp(self, axis: int = 1) -> DaskFrame:
+        """Peak-to-peak (max - min) per row (array/reductions.py ptp)."""
+        if axis != 1:
+            raise ValueError("ptp supports axis=1 (per-row)")
+        return self._reduce_rows(
+            lambda c: F.array_max(c) - F.array_min(c), "ptp"
+        )
+
+    def average(self, weights: Sequence[float]) -> DaskFrame:
+        """Weighted per-row mean vs a literal weight vector
+        (array/routines.py average)."""
+        from dask_spark.functions.vector import dot as vdot
+
+        w = [float(x) for x in weights]
+        total = sum(w)
+        if total == 0:
+            raise ValueError("weights sum to zero")
+        q = F.array(*[F.lit(x) for x in w])
+        return self._reduce_rows(
+            lambda c: vdot(c, q) / F.lit(total), "average"
+        )
+
+    def diff(self, n: int = 1, axis: int = 1) -> "DArray":
+        """n-th discrete difference along the row (array/routines.py
+        diff): result dim shrinks by n."""
+        if axis != 1:
+            raise ValueError("diff supports axis=1 (per-row)")
+        out = self
+        for _ in range(n):
+            out = out._unary(
+                lambda c: F.zip_with(
+                    F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0))),
+                    F.slice(c, 1, F.greatest(F.size(c) - 1, F.lit(0))),
+                    lambda a, b: a - b,
+                )
+            )
+        return out
+
+    def roll(self, shift: int, axis: int = 1) -> "DArray":
+        """Circular shift along the row (array/routines.py roll)."""
+        if axis != 1:
+            raise ValueError("roll supports axis=1 (per-row)")
+
+        def build(c):
+            k = F.pmod(F.lit(-shift), F.size(c)) + 1  # 1-based split point
+            return F.concat(
+                F.slice(c, k, F.size(c) - k + 1), F.slice(c, 1, k - 1)
+            )
+
+        return self._unary(build)
+
+    def count_nonzero(self, axis: int = 1) -> DaskFrame:
+        if axis != 1:
+            raise ValueError("count_nonzero supports axis=1 (per-row)")
+        return self._reduce_rows(
+            lambda c: F.size(F.filter(c, lambda x: x != 0)), "count_nonzero"
+        )
+
+    def unique(self) -> list:
+        """Sorted distinct values across the whole array
+        (array/routines.py unique) — posexplode + distinct, a scalar
+        shuffle; values (not vectors) travel."""
+        rows = (
+            self._sdf.select(F.explode(F.col(self._col)).alias("x"))
+            .distinct()
+            .orderBy("x")
+            .collect()
+        )
+        return [r["x"] for r in rows]
+
+    def median(self, axis: int = 1) -> DaskFrame:
+        """Per-row exact median: in-row sort + middle (mean of the two
+        middles for even dim)."""
+        if axis != 1:
+            raise ValueError("median supports axis=1 (per-row); use "
+                             "percentile(0.5) for axis=0")
+
+        def build(c):
+            s = F.array_sort(c)
+            n = F.size(s)
+            lo = F.try_element_at(s, ((n + 1) / 2).cast("int"))
+            hi = F.try_element_at(s, (n / 2 + 1).cast("int"))
+            return (lo + hi) / 2
+
+        return self._reduce_rows(build, "median")
+
+    def nansum(self, axis: int = 1) -> DaskFrame:
+        """NaN/null-ignoring per-row sum (array/reductions.py nansum)."""
+        if axis != 1:
+            raise ValueError("nansum supports axis=1 (per-row)")
+        return self._reduce_rows(
+            lambda c: F.aggregate(
+                F.filter(c, lambda x: ~F.isnan(x) & x.isNotNull()),
+                F.lit(0.0), lambda a, x: a + x,
+            ),
+            "nansum",
+        )
+
+    def nanmean(self, axis: int = 1) -> DaskFrame:
+        if axis != 1:
+            raise ValueError("nanmean supports axis=1 (per-row)")
+
+        def build(c):
+            kept = F.filter(c, lambda x: ~F.isnan(x) & x.isNotNull())
+            return F.aggregate(kept, F.lit(0.0), lambda a, x: a + x) / F.size(kept)
+
+        return self._reduce_rows(build, "nanmean")
+
+    def isin(self, values: Sequence) -> "DArray":
+        """Per-element membership mask (array/routines.py isin)."""
+        vals = list(values)
+        return self._unary(
+            lambda c: F.transform(
+                c, lambda x: x.isin(*vals) if vals else F.lit(False)
+            )
+        )
+
     def to_dask_dataframe(self) -> DaskFrame:
         return self.to_frame()
 

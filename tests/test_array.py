@@ -384,3 +384,54 @@ def test_cov_corrcoef_matches_numpy(spark):
     arr = DArray(ds.from_pandas(pdf, npartitions=4).to_spark(), "vec")
     assert np.allclose(arr.cov(ddof=1), np.cov(data, rowvar=False), atol=1e-9)
     assert np.allclose(arr.corrcoef(), np.corrcoef(data, rowvar=False), atol=1e-9)
+
+
+def test_routines_2d_parity(spark):
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(3)
+    data = np.round(rng.randn(40, 6), 3)
+    data[5, 2] = 0.0  # exercise any/all/count_nonzero
+    pdf = pd.DataFrame({"rid": range(40), "vec": [r.tolist() for r in data]})
+    arr = DArray(ds.from_pandas(pdf, npartitions=3).to_spark(), "vec", "rid")
+
+    def col(df, name):
+        p = df.compute().sort_values("rid")
+        return np.array(p[name].tolist())
+
+    assert np.allclose(col(arr.ptp(), "ptp"), data.ptp(axis=1))
+    w = [1.0, 2.0, 0.5, 1.5, 1.0, 3.0]
+    assert np.allclose(col(arr.average(w), "average"),
+                       np.average(data, axis=1, weights=w))
+    assert np.allclose(col(arr.median(), "median"), np.median(data, axis=1))
+    assert np.allclose(col(arr.count_nonzero(), "count_nonzero"),
+                       np.count_nonzero(data, axis=1))
+    assert (col(arr.any(), "any") == data.astype(bool).any(axis=1)).all()
+    assert (col(arr.all(), "all") == data.astype(bool).all(axis=1)).all()
+
+    d1 = np.array(arr.diff().to_frame().compute().sort_values("rid")["vec"].tolist())
+    assert np.allclose(d1, np.diff(data, axis=1))
+    d2 = np.array(arr.diff(2).to_frame().compute().sort_values("rid")["vec"].tolist())
+    assert np.allclose(d2, np.diff(data, n=2, axis=1))
+
+    for s in (0, 1, -2, 7):
+        r = np.array(arr.roll(s).to_frame().compute().sort_values("rid")["vec"].tolist())
+        assert np.allclose(r, np.roll(data, s, axis=1)), s
+
+    assert arr.unique() == sorted(np.unique(data).tolist())
+
+    # nan-safe reductions
+    nd = data.copy()
+    nd[1, 1] = np.nan
+    npdf = pd.DataFrame({"rid": range(40), "vec": [r.tolist() for r in nd]})
+    narr = DArray(ds.from_pandas(npdf).to_spark(), "vec", "rid")
+    assert np.allclose(col(narr.nansum(), "nansum"), np.nansum(nd, axis=1))
+    assert np.allclose(col(narr.nanmean(), "nanmean"), np.nanmean(nd, axis=1))
+
+    mask = np.array(arr.isin([0.0, data[0, 0]]).to_frame().compute()
+                    .sort_values("rid")["vec"].tolist())
+    assert (mask == np.isin(data, [0.0, data[0, 0]])).all()
