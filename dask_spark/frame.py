@@ -633,6 +633,74 @@ class Series:
             self._frame._sdf.select(self._expr.alias(self._name)).distinct()
         )
 
+    # ---- frame-delegate parity (reference: _collection.py Series
+    # methods that dask exposes directly on the column) ----------------
+    def apply(self, fn, dtype: str = "string") -> "Series":
+        """Elementwise apply == map for a Series (reference
+        Series.apply)."""
+        return self.map(fn, dtype)
+
+    def corr(self, other: "Series") -> float:
+        return self._frame._sdf.agg(
+            F.corr(self._expr, other._expr)
+        ).first()[0]
+
+    def cov(self, other: "Series") -> float:
+        return self._frame._sdf.agg(
+            F.covar_samp(self._expr, other._expr)
+        ).first()[0]
+
+    def drop_duplicates(self) -> "DaskFrame":
+        return self.to_frame().drop_duplicates()
+
+    def dropna(self) -> "DaskFrame":
+        return self.to_frame().dropna()
+
+    def explode(self) -> "DaskFrame":
+        return self.to_frame().explode(self._name)
+
+    def groupby(self, by):
+        """Group the PARENT frame by ``by`` (reference Series.groupby
+        — dask also resolves the key against the parent collection)."""
+        return self._frame.groupby(by)
+
+    def mode(self) -> "DaskFrame":
+        return self.to_frame().mode(self._name)
+
+    def median_approximate(self, accuracy: int = 10000):
+        return self.to_frame().median_approximate(self._name, accuracy)
+
+    def memory_usage(self) -> int:
+        return self.to_frame().memory_usage()
+
+    @property
+    def nbytes(self) -> int:
+        return self.to_frame().memory_usage()
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def shape(self) -> tuple:
+        return (self._frame._sdf.count(),)
+
+    @property
+    def axes(self) -> list:
+        return [None]
+
+    def squeeze(self) -> "Series":
+        return self
+
+    def to_string(self, n: int = 10) -> str:
+        return self.to_frame().to_string(n)
+
+    def add_prefix(self, prefix: str) -> "Series":
+        return Series(self._frame, self._expr, f"{prefix}{self._name}")
+
+    def add_suffix(self, suffix: str) -> "Series":
+        return Series(self._frame, self._expr, f"{self._name}{suffix}")
+
     def compute(self):
         """Collect to a pandas Series (terminal action)."""
         return self.to_frame().compute()[self._name]

@@ -368,3 +368,27 @@ def test_compute_current_divisions(spark):
     assert len(divs) == 5
     assert divs[0] == 0 and divs[-1] == 99
     assert list(divs) == sorted(divs)  # monotone: range partitioning held
+
+
+def test_series_delegate_surface(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "b", "b"], "x": [1.0, 2.0, 3.0, 4.0],
+         "y": [2.0, 4.0, 6.0, 9.0]}
+    )
+    f = ds.from_pandas(pdf)
+    assert f.x.corr(f.y) == pytest.approx(pdf.x.corr(pdf.y))
+    assert f.x.cov(f.y) == pytest.approx(pdf.x.cov(pdf.y))
+    assert sorted(f.g.drop_duplicates().compute().g) == ["a", "b"]
+    assert f.x.ndim == 1 and f.x.shape == (4,)
+    assert f.x.squeeze()._name == "x"
+    got = f.x.groupby("g").sum(["x"]).compute().sort_values("g")
+    assert list(got.x) == [3.0, 7.0]
+    assert f.x.add_prefix("p_")._name == "p_x"
+    assert f.x.apply(lambda v: v * 2, "double").compute().tolist() == [2.0, 4.0, 6.0, 8.0]
+    assert f.x.mode().compute().shape[0] >= 1
+    assert isinstance(f.x.to_string(), str)
+    assert f.x.nbytes > 0
