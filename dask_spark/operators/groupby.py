@@ -30,6 +30,7 @@ _AGGS: dict[str, Callable[[str], Column]] = {
     "last": lambda c: F.last(c, ignorenulls=True),
     "nunique": lambda c: F.countDistinct(c),
     "nunique_approx": lambda c: F.approx_count_distinct(c),
+    "prod": lambda c: F.product(c),
     "median": lambda c: F.percentile_approx(c, 0.5),
     "list": lambda c: F.collect_list(c),
     "collect_list": lambda c: F.collect_list(c),
@@ -336,6 +337,78 @@ class GroupBy:
         return DaskFrame(
             self._frame._sdf.withColumn(out or f"{col}_cumsum", F.sum(col).over(w))
         )
+
+    def aggregate(self, *a, **kw):
+        """Alias of agg (reference _groupby.py aggregate)."""
+        return self.agg(*a, **kw)
+
+    def prod(self, cols=None):
+        return self._simple("prod", cols)
+
+    def median(self, col: str) -> "DaskFrame":
+        """Approximate per-group median (reference _groupby.py median —
+        dask's is approximate too via quantile machinery)."""
+        return self.quantile(col, 0.5)
+
+    def corr(self, c1: str, c2: str) -> "DaskFrame":
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(*self._keys).agg(
+                F.corr(c1, c2).alias("corr")
+            )
+        )
+
+    def cov(self, c1: str, c2: str) -> "DaskFrame":
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(*self._keys).agg(
+                F.covar_samp(c1, c2).alias("cov")
+            )
+        )
+
+    def unique(self, col: str) -> "DaskFrame":
+        """Sorted distinct values per group (reference _groupby.py
+        unique) — collect_set + array_sort, one shuffle."""
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(*self._keys).agg(
+                F.array_sort(F.collect_set(col)).alias(col)
+            )
+        )
+
+    def value_counts(self, col: str) -> "DaskFrame":
+        """Per-group value counts (reference _groupby.py value_counts)."""
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(*self._keys, col).agg(
+                F.count(F.lit(1)).alias("count")
+            )
+        )
+
+    def get_group(self, key) -> "DaskFrame":
+        """Rows of one group (reference _groupby.py get_group)."""
+        from dask_spark.frame import DaskFrame
+
+        keys = key if isinstance(key, (list, tuple)) else [key]
+        if len(keys) != len(self._keys):
+            raise ValueError("key arity must match the groupby keys")
+        cond = None
+        for k, v in zip(self._keys, keys):
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else cond & c
+        return DaskFrame(self._frame._sdf.filter(cond))
+
+    def head(self, n: int, order_by: str) -> "DaskFrame":
+        """First n rows per group in ``order_by`` order (reference
+        _groupby.py head) — rank window, one shuffle."""
+        return self.topk(n, by=order_by, ascending=True)
+
+    def tail(self, n: int, order_by: str) -> "DaskFrame":
+        return self.topk(n, by=order_by, ascending=False)
 
     def rolling(self, window, on: str, min_periods: int | None = None):
         """Per-group rolling (reference: dask_expr/_groupby.py:2141

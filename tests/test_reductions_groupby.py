@@ -495,3 +495,40 @@ def test_groupby_rolling_delegate(spark):
     )
     col = [c for c in out.columns if "roll" in c or c not in ("g", "i", "v")][0]
     assert list(out[col]) == list(expect)
+
+
+def test_groupby_delegate_surface(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "x": [1.0, 2.0, 2.0, 3.0, 4.0],
+            "y": [2.0, 4.0, 5.0, 6.0, 9.0],
+        }
+    )
+    g = ds.from_pandas(pdf).groupby("g")
+
+    prod = g.prod(["x"]).compute().sort_values("g")
+    assert list(prod.x) == [4.0, 12.0]
+    med = g.median("x").compute().sort_values("g")
+    assert list(med.x_q) == [2.0, 3.0]
+    corr = g.corr("x", "y").compute().sort_values("g")
+    expect = pdf.groupby("g").apply(
+        lambda d: d.x.corr(d.y), include_groups=False
+    )
+    assert corr["corr"].tolist() == pytest.approx(expect.tolist())
+    uq = g.unique("x").compute().sort_values("g")
+    assert [list(v) for v in uq.x] == [[1.0, 2.0], [3.0, 4.0]]
+    vc = g.value_counts("x").compute()
+    assert vc[(vc.g == "a") & (vc.x == 2.0)]["count"].iloc[0] == 2
+    got = g.get_group("b").compute()
+    assert sorted(got.x) == [3.0, 4.0]
+    h = g.head(1, order_by="x").compute().sort_values("g")
+    assert list(h.x) == [1.0, 3.0]
+    t = g.tail(1, order_by="x").compute().sort_values("g")
+    assert list(t.x) == [2.0, 4.0]
+    agg2 = g.aggregate({"x": "sum"}).compute().sort_values("g")
+    assert list(agg2.x_sum) == [5.0, 7.0]
