@@ -392,3 +392,23 @@ def test_series_delegate_surface(spark):
     assert f.x.mode().compute().shape[0] >= 1
     assert isinstance(f.x.to_string(), str)
     assert f.x.nbytes > 0
+
+
+def test_dd_namespace_module_functions(spark):
+    import pandas as pd
+
+    import dask_spark.dataframe as dd
+
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b"], "c": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}
+    )
+    f = dd.from_pandas(pdf)
+    p = dd.pivot_table(f, index="k", columns="c", values="v").compute()
+    assert p.shape[0] == 2
+    m = dd.melt(f, ["k"], ["v"]).compute()
+    assert set(m.columns) == {"k", "variable", "value"}
+    d = dd.get_dummies(f, "c").compute()
+    assert any(col.startswith("c_") for col in d.columns)
+    na = dd.isna(f.v).compute()
+    assert na.tolist() == [False, False, False]
+    assert callable(dd.from_delayed)
