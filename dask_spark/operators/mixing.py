@@ -5,25 +5,40 @@ the per-source weighting a data-mix recipe actually uses)."""
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 
 def temperature_mix(frame, source_col: str = "source",
                     id_col: str = "doc_id", alpha: float = 0.5,
-                    scale: float = 10.0):
-    """Temperature-weighted per-source sampling: keep
-    ``ceil(scale * N_s^alpha)`` docs from each source — alpha < 1
-    up-weights small sources relative to proportional sampling (the
-    standard multilingual/multi-domain mixing recipe). Selection order
-    is md5(id) — deterministic, unbiased by ingest order, reproducible
-    across engines and runs (same idiom as hash-threshold sampling).
+                    scale: float = 10.0, candidate_margin: float = 4.0):
+    """Temperature-weighted per-source sampling: keep EXACTLY
+    ``min(N_s, ceil(scale * N_s^alpha))`` docs from each source —
+    alpha < 1 up-weights small sources relative to proportional
+    sampling (the standard multilingual/multi-domain mixing recipe).
+    Selection order is md5(id) — deterministic, unbiased by ingest
+    order, reproducible across engines and runs.
 
-    100 TB shape: ONE shuffle on source — the per-source count and the
-    hash-rank window share the same partitioning, so Catalyst plans a
-    single exchange; no driver round-trip for the quotas. For alpha=0.5
-    the weight uses sqrt() (IEEE correctly-rounded in every engine) so
-    quota boundaries are oracle-exact.
+    100 TB shape — the selection is a rank-per-source problem, and a
+    bare ``row_number() OVER (PARTITION BY source)`` would ship EVERY
+    row of a source into one task (a 5 TB source = one dead executor).
+    Instead:
+
+    1. one tiny agg → per-source counts N_s (driver-scale: #sources);
+    2. map-only candidate filter: md5-uniform u = hash/2^60 ≤
+       margin·quota/N_s (clamped to 1) via a broadcast threshold join —
+       keeps ~margin×quota rows per source, never more than the source;
+    3. sufficiency check (one tiny agg): if a source with quota < N_s
+       got fewer than quota candidates — probability ~e^(-quota) at
+       margin 4 — the margin quadruples and the filter re-runs, so the
+       result is EXACT, not approximate;
+    4. the rank window then orders only the bounded candidate set.
+
+    The kept rows are exactly the quota smallest (md5, id) keys per
+    source — identical to the naive full-window formulation (the
+    DuckDB oracle runs that formulation) at any margin.
 
     Production note: to hit an exact global token budget M, set
     scale = M / Σ_s N_s^alpha (one tiny agg); keeping scale explicit
@@ -31,16 +46,54 @@ def temperature_mix(frame, source_col: str = "source",
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
-    w_n = Window.partitionBy(source_col)
+    spark = sdf.sparkSession
+
+    counts = {
+        r["s"]: r["n"]
+        for r in sdf.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weight = (lambda n: math.sqrt(n)) if alpha == 0.5 else (
+        lambda n: float(n) ** alpha
+    )
+    quotas = {s: min(n, int(math.ceil(weight(n) * scale)))
+              for s, n in counts.items()}
+
+    hv = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double")
+    u = hv / float(1 << 60)
+
+    margin = candidate_margin
+    while True:
+        thr = spark.createDataFrame(
+            [(s, min(1.0, margin * quotas[s] / counts[s]))
+             for s in counts],
+            [source_col, "__thr"],
+        )
+        cand = sdf.join(F.broadcast(thr), source_col).filter(
+            u <= F.col("__thr")
+        ).drop("__thr")
+        got = {
+            r["s"]: r["n"]
+            for r in cand.groupBy(F.col(source_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if all(got.get(s, 0) >= q for s, q in quotas.items()):
+            break
+        margin *= 4  # vanishingly rare; keeps the result exact
+
+    qdf = spark.createDataFrame(
+        list(quotas.items()), [source_col, "__quota"]
+    )
     w_r = Window.partitionBy(source_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
-    n_s = F.count(F.lit(1)).over(w_n).cast("double")
-    weight = F.sqrt(n_s) if alpha == 0.5 else F.pow(n_s, F.lit(alpha))
-    quota = F.ceil(weight * F.lit(scale))
     out = (
-        sdf.withColumn("__rn", F.row_number().over(w_r))
-        .withColumn("__quota", quota)
+        cand.join(F.broadcast(qdf), source_col)
+        .withColumn("__rn", F.row_number().over(w_r))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )

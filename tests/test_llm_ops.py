@@ -640,3 +640,19 @@ def test_token_entropy(spark):
     assert out[1] == 0.0  # single repeated token: no entropy
     assert out[2] == pytest.approx(math.log(4), abs=1e-6)  # uniform over 4
     assert out[3] == 0.0  # empty doc guard
+
+
+def test_temperature_mix_prefilter_margin_widens(spark):
+    """A deliberately-too-small candidate margin must widen until the
+    selection is exact — identical rows to the generous-margin run."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.mixing import temperature_mix
+
+    rows = [("s", i) for i in range(200)]
+    frame = ds.from_pandas(pd.DataFrame(rows, columns=["source", "doc_id"]))
+    full = temperature_mix(frame, scale=1.0, candidate_margin=4.0).compute()
+    tight = temperature_mix(frame, scale=1.0, candidate_margin=0.01).compute()
+    assert sorted(tight.doc_id) == sorted(full.doc_id)
+    assert len(full) == 15  # ceil(sqrt(200)) = 15
