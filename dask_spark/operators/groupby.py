@@ -289,17 +289,36 @@ class GroupBy:
     def topk(self, n: int, by: str, ascending: bool = False,
              tie_break: str | None = None) -> "DaskFrame":
         """Top-n rows per group by ``by`` (dask idiom:
-        groupby().apply(nlargest) — here a rank window, no Python).
-        One shuffle on the group keys; ``tie_break`` column makes the
-        cut deterministic."""
+        groupby().apply(nlargest) — here rank windows, no Python).
+        ``tie_break`` column makes the cut deterministic.
+
+        Scale shape: a single ``row_number() OVER (PARTITION BY key)``
+        ships EVERY row of a group into one task — a skewed group kills
+        the stage. Two-phase instead: phase 1 ranks within
+        (input-partition, key) — the exchange hashes on BOTH, so it is
+        skew-free by construction — and keeps ≤ n rows per (partition,
+        key); phase 2 ranks the survivors (≤ n·P rows per group) per
+        key. Ties at the phase-1 cut follow the same total order as
+        phase 2, so the kept set is identical to the one-window answer
+        whenever the order is total (unique ``by``, or ``tie_break``);
+        under genuinely tied orders the choice among ties is arbitrary
+        in BOTH formulations."""
         from dask_spark.frame import DaskFrame
 
         order = [F.col(by).asc() if ascending else F.col(by).desc()]
         if tie_break:
             order.append(F.col(tie_break).asc())
+        pre = Window.partitionBy(
+            F.spark_partition_id(), *self._keys
+        ).orderBy(*order)
+        pruned = (
+            self._frame._sdf.withColumn("__prn", F.row_number().over(pre))
+            .filter(F.col("__prn") <= n)
+            .drop("__prn")
+        )
         w = Window.partitionBy(*self._keys).orderBy(*order)
         return DaskFrame(
-            self._frame._sdf.withColumn("__rn", F.row_number().over(w))
+            pruned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n)
             .drop("__rn")
         )
