@@ -246,6 +246,34 @@ class Bag:
             F.col(self._col).cast("string").alias("value")
         ).write.mode(mode).text(path)
 
+    def zip(self, other: "Bag") -> "Bag":
+        """Positional zip (reference: dask/bag/core.py Bag.zip — dask
+        pairs the i-th items of equally-partitioned bags, partition by
+        partition). Same contract here: both bags must share partition
+        structure (built the same way); items pair within each
+        partition by scan position. One join keyed on (partition, pos)
+        — skew-free by construction."""
+        from pyspark.sql import Window
+
+        def tag(sdf, item_alias):
+            tagged = sdf.select(
+                F.col(self._col).alias(item_alias),
+                F.spark_partition_id().alias("__pid"),
+                F.monotonically_increasing_id().alias("__mid"),
+            )
+            w = Window.partitionBy("__pid").orderBy("__mid")
+            return tagged.withColumn(
+                "__pos", F.row_number().over(w)
+            ).drop("__mid")
+
+        left = tag(self._sdf, "__l")
+        right = tag(other._sdf, "__r")
+        out = left.join(right, ["__pid", "__pos"]).select(
+            F.struct(F.col("__l").alias("left"),
+                     F.col("__r").alias("right")).alias("item")
+        )
+        return Bag(out)
+
     def count(self) -> int:
         return self._sdf.count()
 

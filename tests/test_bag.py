@@ -110,3 +110,14 @@ def test_bag_partition_ops(spark, tmp_path):
     assert back == ["aa", "b", "ccc"]
 
     assert b.repartition(1).count() == 3
+
+
+def test_bag_zip_positional(spark):
+    from dask_spark.bag import from_sequence
+
+    a = from_sequence([1, 2, 3, 4, 5, 6], npartitions=3)
+    b = from_sequence([10, 20, 30, 40, 50, 60], npartitions=3)
+    pairs = sorted(
+        (r["left"], r["right"]) for r in a.zip(b).compute()
+    )
+    assert pairs == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)]
