@@ -259,17 +259,22 @@ class DArray:
         exact distributed percentile, ``exact=False`` the
         percentile_approx sketch, both one posexplode + groupBy(dim)
         shuffle of scalars, never vectors)."""
+        if axis != 0:
+            raise ValueError("percentile supports axis=0 (per-dim); "
+                             "use median() for per-row")
         fn = (lambda c: F.percentile(c, F.lit(q))) if exact else (
             lambda c: F.percentile_approx(c, F.lit(q))
         )
         return self._axis0(f"p{q}", fn)
 
     def gram(self):
-        """XᵀX as a small d×d numpy array (reference: dask.array's
-        ``X.T @ X`` blockwise contraction, array/routines.py matmul):
-        per-partition Gram blocks + column sums, summed on the driver —
-        the tsqr accumulation pattern. Shuffle-free: d²+d doubles per
-        partition travel to the driver, the n×d data never moves."""
+        """Returns ``(G, col_sums, n)`` where G = XᵀX as a small d×d
+        numpy array (reference: dask.array's ``X.T @ X`` blockwise
+        contraction, array/routines.py matmul): per-partition Gram
+        blocks + column sums, summed on the driver — the tsqr
+        accumulation pattern. Shuffle-free: d²+d doubles per partition
+        travel to the driver, the n×d data never moves. The sums/n
+        ride along so cov() needs no second pass."""
         import numpy as np
         import pandas as pd
 
@@ -534,9 +539,11 @@ class DArray:
 
         def build(c):
             k = F.pmod(F.lit(-shift), F.size(c)) + 1  # 1-based split point
-            return F.concat(
+            rolled = F.concat(
                 F.slice(c, k, F.size(c) - k + 1), F.slice(c, 1, k - 1)
             )
+            # pmod(x, 0) is null — keep empty rows empty, not null
+            return F.when(F.size(c) == 0, c).otherwise(rolled)
 
         return self._unary(build)
 
@@ -593,7 +600,11 @@ class DArray:
 
         def build(c):
             kept = F.filter(c, lambda x: ~F.isnan(x) & x.isNotNull())
-            return F.aggregate(kept, F.lit(0.0), lambda a, x: a + x) / F.size(kept)
+            mean = F.aggregate(
+                kept, F.lit(0.0), lambda a, x: a + x
+            ) / F.size(kept)
+            # all-NaN row: numpy returns NaN, not null / divide-by-zero
+            return F.when(F.size(kept) == 0, F.lit(float("nan"))).otherwise(mean)
 
         return self._reduce_rows(build, "nanmean")
 

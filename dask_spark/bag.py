@@ -255,9 +255,9 @@ class Bag:
         — skew-free by construction."""
         from pyspark.sql import Window
 
-        def tag(sdf, item_alias):
+        def tag(sdf, col, item_alias):
             tagged = sdf.select(
-                F.col(self._col).alias(item_alias),
+                F.col(col).alias(item_alias),
                 F.spark_partition_id().alias("__pid"),
                 F.monotonically_increasing_id().alias("__mid"),
             )
@@ -266,8 +266,8 @@ class Bag:
                 "__pos", F.row_number().over(w)
             ).drop("__mid")
 
-        left = tag(self._sdf, "__l")
-        right = tag(other._sdf, "__r")
+        left = tag(self._sdf, self._col, "__l")
+        right = tag(other._sdf, other._col, "__r")
         out = left.join(right, ["__pid", "__pos"]).select(
             F.struct(F.col("__l").alias("left"),
                      F.col("__r").alias("right")).alias("item")

@@ -35,3 +35,15 @@ def epoch_us(col: str | Column) -> Column:
     unconditionally on any event-time column."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def md5_prefix60(col: str | Column) -> Column:
+    """First 15 md5 hex chars as a non-negative 60-bit bigint — THE
+    engine-portable pseudo-random hash used wherever an output must be
+    replayable by a plain-SQL oracle (MinHash/SimHash md5 modes, the
+    timeseries generator, temperature_mix selection). DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``. The 15-char/60-bit
+    width is load-bearing for every one of those oracles — change it
+    here or nowhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")

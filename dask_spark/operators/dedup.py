@@ -83,10 +83,9 @@ def word_hash_expr(w, kind: str = "xxhash64"):
     if kind == "xxhash64":
         return F.pmod(F.xxhash64(w), F.lit(_MERSENNE31))
     if kind == "md5":
-        return F.pmod(
-            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
-            F.lit(_MERSENNE31),
-        )
+        from dask_spark.functions import md5_prefix60
+
+        return F.pmod(md5_prefix60(w), F.lit(_MERSENNE31))
     raise ValueError("word_hash must be xxhash64|md5")
 
 
@@ -250,15 +249,17 @@ def simhash(frame, text_col: str = "text", id_col: str = "doc_id", bits: int = 6
 
     if word_hash == "md5" and bits > 60:
         raise ValueError("md5 word hash carries 60 bits — pass bits<=60")
+    if bits % 4 != 0:
+        # 4 bands must cover EVERY bit or the hamming<=3 -> shared-band
+        # recall guarantee silently breaks for diffs in uncovered bits
+        raise ValueError("bits must be divisible by 4 (band coverage)")
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
     words = frame._sdf.select(
         id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("w")
     ).filter(F.length("w") > 0)
-    h = (
-        F.xxhash64("w")
-        if word_hash == "xxhash64"
-        else F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
-    )
+    from dask_spark.functions import md5_prefix60
+
+    h = F.xxhash64("w") if word_hash == "xxhash64" else md5_prefix60("w")
     votes = [
         F.sum(
             F.when(h.bitwiseAND(F.lit(m).cast("bigint")) != 0, 1).otherwise(-1)

@@ -47,6 +47,12 @@ def temperature_mix(frame, source_col: str = "source",
 
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     spark = sdf.sparkSession
+    # null source/id rows can never be selected (equi-joins and md5
+    # ordering both drop null keys) — exclude them up front so a null
+    # group can't earn an unfillable quota and hang the margin loop
+    sdf = sdf.filter(
+        F.col(source_col).isNotNull() & F.col(id_col).isNotNull()
+    )
 
     counts = {
         r["s"]: r["n"]
@@ -54,16 +60,17 @@ def temperature_mix(frame, source_col: str = "source",
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if not counts:  # empty input: createDataFrame([]) cannot infer
+        return DaskFrame(sdf)
     weight = (lambda n: math.sqrt(n)) if alpha == 0.5 else (
         lambda n: float(n) ** alpha
     )
     quotas = {s: min(n, int(math.ceil(weight(n) * scale)))
               for s, n in counts.items()}
 
-    hv = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("double")
-    u = hv / float(1 << 60)
+    from dask_spark.functions import md5_prefix60
+
+    u = md5_prefix60(F.col(id_col).cast("string")).cast("double") / float(1 << 60)
 
     margin = candidate_margin
     while True:

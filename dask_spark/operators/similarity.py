@@ -265,6 +265,8 @@ def bm25_topk(frame, terms: Sequence[str], k: int = 10, k1: float = 1.2,
     from dask_spark.frame import DaskFrame
     from dask_spark.functions.text import word_tokens
 
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     toked = sdf.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")

@@ -78,15 +78,26 @@ def sql_metrics(frame, action: str = "count") -> pd.DataFrame:
         # column is forced, one row reaches the driver, and the
         # executed plan we walk is the one that ran (the two extra
         # HashAggregate/checksum nodes at the root are the harness).
-        target = sdf.agg(
-            F.count(F.lit(1)).alias("__rows"),
-            F.sum(
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in sdf.columns]),
-                    F.lit(1_000_003),
-                )
-            ).alias("__checksum"),
-        )
+        # xxhash64 rejects map-typed columns (and needs >=1 arg) —
+        # hash the hashable columns, count() still forces the rest
+        hashable = [
+            c for c, t in sdf.dtypes if not t.startswith("map")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        aggs += [  # count(col) forces unhashable columns un-pruned
+            F.count(F.col(c)).alias(f"__n_{i}")
+            for i, (c, t) in enumerate(sdf.dtypes) if t.startswith("map")
+        ]
+        if hashable:
+            aggs.append(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in hashable]),
+                        F.lit(1_000_003),
+                    )
+                ).alias("__checksum")
+            )
+        target = sdf.agg(*aggs)
     target.collect()
     ep = target._jdf.queryExecution().executedPlan()
     if "Adaptive" in ep.getClass().getName():

@@ -155,8 +155,10 @@ def timeseries(start: str = "2026-01-01", end: str = "2026-01-02",
         if hash_kind == "xxhash64":
             return F.abs(F.xxhash64(F.col("id"), F.lit(salt)))
         if hash_kind == "md5":
+            from dask_spark.functions import md5_prefix60
+
             key = F.concat(F.col("id").cast("string"), F.lit(f"_{salt}"))
-            return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+            return md5_prefix60(key)
         raise ValueError("hash_kind must be xxhash64|md5")
 
     uid = (

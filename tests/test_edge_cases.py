@@ -296,3 +296,67 @@ def test_autocorr_releases_pinned_plan(tables):
     v = tables["events"].value.autocorr(lag=1, order_by="event_id")
     assert v is not None
     assert len(_PINNED) == before
+
+
+def test_code_review_round5_edges(spark):
+    """Regression pack for the round-5 review findings."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+    from dask_spark.bag import Bag, from_sequence
+    from dask_spark.operators.mixing import temperature_mix
+    from dask_spark.operators.similarity import bm25_topk
+    from dask_spark.plans.profiler import profile
+
+    # profiler: map-typed column must not break the checksum agg
+    mf = ds.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    from dask_spark.functions.text import pii_counts
+    import pyspark.sql.functions as F
+    mapped = ds.DaskFrame(mf.to_spark().withColumn("c", pii_counts(F.col("text"))))
+    assert profile(mapped)["wall_sec"] >= 0
+
+    # temperature_mix: null sources excluded, empty frame returned as-is
+    pdf = pd.DataFrame({"source": ["a", "a", None], "doc_id": [1, 2, 3]})
+    out = temperature_mix(ds.from_pandas(pdf), scale=10.0).compute()
+    assert None not in set(out.source) and len(out) == 2
+    empty = temperature_mix(
+        ds.from_pandas(pdf[pdf.source == "zzz"]), scale=1.0
+    ).compute()
+    assert len(empty) == 0
+
+    # percentile axis guard
+    arr = DArray(ds.from_pandas(
+        pd.DataFrame({"v": [[1.0, 2.0], [3.0, 4.0]]})).to_spark(), "v")
+    with pytest.raises(ValueError):
+        arr.percentile(0.5, axis=1)
+
+    # bag.zip with differently-named item columns
+    b1 = from_sequence([1, 2], npartitions=1)
+    b2_sdf = from_sequence([10, 20], npartitions=1)._sdf.withColumnRenamed(
+        "item", "thing")
+    pairs = sorted((r["left"], r["right"])
+                   for r in b1.zip(Bag(b2_sdf, "thing")).compute())
+    assert pairs == [(1, 10), (2, 20)]
+
+    # simhash bits must be band-coverable
+    from dask_spark.operators.dedup import simhash
+    with pytest.raises(ValueError):
+        simhash(mf, bits=58, word_hash="md5")
+
+    # bm25 empty terms
+    with pytest.raises(ValueError):
+        bm25_topk(mf, [])
+
+    # roll on an empty row stays empty; nanmean of all-NaN row is NaN
+    earr = DArray(ds.from_pandas(
+        pd.DataFrame({"v": [[], [1.0, 2.0]]})).to_spark(), "v")
+    rolled = earr.roll(1).to_frame().compute()["v"].tolist()
+    assert any(list(x) == [] for x in rolled)
+    nan_arr = DArray(ds.from_pandas(
+        pd.DataFrame({"v": [[float("nan")], [1.0, 3.0]]})).to_spark(), "v")
+    vals = sorted(nan_arr.nanmean().compute()["nanmean"].tolist(),
+                  key=lambda x: (not np.isnan(x), x))
+    assert np.isnan(vals[0]) and vals[1] == 2.0
