@@ -175,11 +175,21 @@ def brute_force_topk_batch(frame, queries, k: int = 10,
             cosine_sim(F.col(vec_col), F.col("__qv")), 6
         ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+    # Two-phase rank: a bare PARTITION BY query_id would ship the WHOLE
+    # scored corpus of every query into one task. Phase 1 keeps top-k
+    # per (input partition, query) — the exchange hashes on both, skew-
+    # free; phase 2 ranks <= k·P survivors per query. Identical output:
+    # the (cosine desc, id asc) order is total.
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    pre = Window.partitionBy(F.spark_partition_id(), query_id_col).orderBy(*order)
+    pruned = (
+        scored.withColumn("__prn", F.row_number().over(pre))
+        .filter(F.col("__prn") <= k)
+        .drop("__prn")
     )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return frame.__class__(
-        scored.withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
