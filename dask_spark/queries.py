@@ -4006,6 +4006,9 @@ _R4_DRIVER_COVERED = [
 # registered in round 5, and the r4-tail additions no driver window has
 # seen yet.
 _R5_FRONT = [
+    # md5-portable modes added late in round 5: these three were driver-
+    # covered as rows-only/old-impl — re-earn a hash-check row first
+    "dedup_minhash", "dedup_simhash", "io_timeseries",
     "sessionize", "stream_window_batch", "merge_asof",
     "rolling_cov", "contamination", "set_index",
     "merge_asof_nearest", "groupby_nth", "groupby_ngroup",
