@@ -228,10 +228,36 @@ class DArray:
 
         return self._reduce_rows(argmax, "argmax")
 
-    def norm(self) -> DaskFrame:
+    def norm(self, ord: int | float | str = 2) -> DaskFrame:
+        """Per-row vector norm (reference: dask/array/linalg.py norm):
+        ord 2 (default), 1 (sum |x|), inf (max |x|), or any p > 0."""
         from dask_spark.functions.vector import norm
 
-        return self._reduce_rows(norm, "norm")
+        if ord == 2:
+            return self._reduce_rows(norm, "norm")
+        if ord == 1:
+            return self._reduce_rows(
+                lambda c: F.aggregate(
+                    c, F.lit(0.0), lambda a, x: a + F.abs(x)
+                ),
+                "norm",
+            )
+        if ord in ("inf", float("inf")):
+            return self._reduce_rows(
+                lambda c: F.array_max(F.transform(c, F.abs)), "norm"
+            )
+        p = float(ord)
+        if p <= 0:
+            raise ValueError("ord must be positive, 'inf', 1 or 2")
+        return self._reduce_rows(
+            lambda c: F.pow(
+                F.aggregate(
+                    c, F.lit(0.0), lambda a, x: a + F.pow(F.abs(x), p)
+                ),
+                1.0 / p,
+            ),
+            "norm",
+        )
 
     def _reduce_rows(self, build, name: str) -> DaskFrame:
         return DaskFrame(

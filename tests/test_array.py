@@ -435,3 +435,26 @@ def test_routines_2d_parity(spark):
     mask = np.array(arr.isin([0.0, data[0, 0]]).to_frame().compute()
                     .sort_values("rid")["vec"].tolist())
     assert (mask == np.isin(data, [0.0, data[0, 0]])).all()
+
+
+def test_norm_orders(spark):
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(5)
+    data = rng.randn(30, 4)
+    pdf = pd.DataFrame({"rid": range(30), "vec": [r.tolist() for r in data]})
+    arr = DArray(ds.from_pandas(pdf).to_spark(), "vec", "rid")
+
+    def col(df):
+        return np.array(df.compute().sort_values("rid")["norm"].tolist())
+
+    assert np.allclose(col(arr.norm()), np.linalg.norm(data, axis=1))
+    assert np.allclose(col(arr.norm(1)), np.linalg.norm(data, 1, axis=1))
+    assert np.allclose(col(arr.norm("inf")),
+                       np.linalg.norm(data, np.inf, axis=1))
+    assert np.allclose(col(arr.norm(3)),
+                       (np.abs(data) ** 3).sum(axis=1) ** (1 / 3))
