@@ -15,6 +15,7 @@ from dask_spark.frame import (  # noqa: F401
     to_numeric,
     to_timedelta,
 )
+from dask_spark.operators.groupby import Aggregation  # noqa: F401
 from dask_spark.operators.joins import merge, merge_asof  # noqa: F401
 from dask_spark.sources import (  # noqa: F401
     from_delayed,
@@ -55,7 +56,7 @@ def isna(obj):
 
 
 __all__ = [
-    "DataFrame", "Series", "concat", "sql", "to_datetime", "to_numeric",
+    "DataFrame", "Series", "Aggregation", "concat", "sql", "to_datetime", "to_numeric",
     "to_timedelta", "merge", "merge_asof", "from_delayed", "from_dict", "from_pandas",
     "read_avro", "read_csv", "read_fwf", "read_hdf", "read_json",
     "read_orc", "read_parquet", "read_sql_table", "get_dummies", "pivot_table", "melt", "isna",
