@@ -74,10 +74,17 @@ def temperature_mix(frame, source_col: str = "source",
 
     margin = candidate_margin
     while True:
+        thr_map = {s: min(1.0, margin * quotas[s] / counts[s])
+                   for s in counts}
+        if all(t >= 1.0 for t in thr_map.values()):
+            # every quota is a large fraction of its source — the
+            # prefilter would keep everything, so skip the filter AND
+            # the sufficiency action (trivially satisfied). This is
+            # the local/small-scale fast path: one driver job total.
+            cand = sdf
+            break
         thr = spark.createDataFrame(
-            [(s, min(1.0, margin * quotas[s] / counts[s]))
-             for s in counts],
-            [source_col, "__thr"],
+            list(thr_map.items()), [source_col, "__thr"]
         )
         cand = sdf.join(F.broadcast(thr), source_col).filter(
             u <= F.col("__thr")
