@@ -458,3 +458,52 @@ def test_norm_orders(spark):
                        np.linalg.norm(data, np.inf, axis=1))
     assert np.allclose(col(arr.norm(3)),
                        (np.abs(data) ** 3).sum(axis=1) ** (1 / 3))
+
+
+def test_stats_module_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+    from dask_spark.functions import stats as dst
+
+    rng = np.random.RandomState(9)
+    a_np = rng.randn(200, 3) * [1.0, 2.0, 0.5] + [0.0, 1.0, -1.0]
+    b_np = rng.randn(150, 3)
+
+    def arr(x):
+        return DArray(
+            ds.from_pandas(
+                pd.DataFrame({"v": [r.tolist() for r in x]})
+            ).to_spark(),
+            "v",
+        )
+
+    a, b = arr(a_np), arr(b_np)
+
+    m2 = np.mean((a_np - a_np.mean(0)) ** 2, axis=0)
+    m3 = np.mean((a_np - a_np.mean(0)) ** 3, axis=0)
+    m4 = np.mean((a_np - a_np.mean(0)) ** 4, axis=0)
+    assert np.allclose(dst.moment(a, 2), m2, atol=1e-9)
+    assert np.allclose(dst.skew(a), m3 / m2**1.5, atol=1e-9)
+    assert np.allclose(dst.kurtosis(a), m4 / m2**2 - 3, atol=1e-9)
+
+    # one-sample t vs hand formula
+    got = dst.ttest_1samp(a, 0.0)
+    n = len(a_np)
+    want_t = a_np.mean(0) / np.sqrt(a_np.var(0, ddof=1) / n)
+    assert np.allclose([t for t, _, _ in got], want_t, atol=1e-9)
+    assert all(df == n - 1 for _, df, _ in got)
+
+    # two-sample pooled and Welch t vs hand formulas
+    for equal_var in (True, False):
+        got = dst.ttest_ind(a, b, equal_var=equal_var)
+        v1, v2 = a_np.var(0, ddof=1), b_np.var(0, ddof=1)
+        n1, n2 = len(a_np), len(b_np)
+        if equal_var:
+            sp = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+            want = (a_np.mean(0) - b_np.mean(0)) / np.sqrt(sp * (1 / n1 + 1 / n2))
+        else:
+            want = (a_np.mean(0) - b_np.mean(0)) / np.sqrt(v1 / n1 + v2 / n2)
+        assert np.allclose([t for t, _, _ in got], want, atol=1e-9)
