@@ -80,13 +80,13 @@ def sql_metrics(frame, action: str = "count") -> pd.DataFrame:
         # HashAggregate/checksum nodes at the root are the harness).
         # xxhash64 rejects map-typed columns (and needs >=1 arg) —
         # hash the hashable columns, count() still forces the rest
-        hashable = [
-            c for c, t in sdf.dtypes if not t.startswith("map")
+        hashable = [  # xxhash64 rejects MapType RECURSIVELY
+            c for c, t in sdf.dtypes if "map" not in t
         ]
         aggs = [F.count(F.lit(1)).alias("__rows")]
         aggs += [  # count(col) forces unhashable columns un-pruned
             F.count(F.col(c)).alias(f"__n_{i}")
-            for i, (c, t) in enumerate(sdf.dtypes) if t.startswith("map")
+            for i, (c, t) in enumerate(sdf.dtypes) if "map" in t
         ]
         if hashable:
             aggs.append(

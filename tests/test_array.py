@@ -507,3 +507,50 @@ def test_stats_module_matches_numpy(spark):
         else:
             want = (a_np.mean(0) - b_np.mean(0)) / np.sqrt(v1 / n1 + v2 / n2)
         assert np.allclose([t for t, _, _ in got], want, atol=1e-9)
+
+
+def test_stats_degenerate_inputs(spark):
+    import math
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+    from dask_spark.functions import stats as dst
+
+    # constant dim (zero variance, incl. FP-cancellation territory),
+    # plus a normal dim
+    rows = [[0.5, float(i)] for i in range(50)]
+    arr = DArray(
+        ds.from_pandas(pd.DataFrame({"v": rows})).to_spark(), "v"
+    )
+    sk = dst.skew(arr)
+    assert math.isnan(sk[0]) and not math.isnan(sk[1])
+    ku = dst.kurtosis(arr)
+    assert math.isnan(ku[0])
+    # zero-variance t: sign follows the mean difference
+    t_lo = dst.ttest_1samp(arr, 5.0)[0][0]
+    t_hi = dst.ttest_1samp(arr, -5.0)[0][0]
+    assert t_lo == float("-inf") and t_hi == float("inf")
+    assert math.isnan(dst.ttest_1samp(arr, 0.5)[0][0])
+
+    # width mismatch raises
+    narrow = DArray(
+        ds.from_pandas(pd.DataFrame({"v": [[1.0], [2.0]]})).to_spark(), "v"
+    )
+    import pytest
+    with pytest.raises(ValueError):
+        dst.ttest_ind(arr, narrow)
+    # n < 2 → nan row, not a crash
+    single = DArray(
+        ds.from_pandas(pd.DataFrame({"v": [[1.0, 2.0]]})).to_spark(), "v"
+    )
+    assert all(math.isnan(t) for t, _, _ in dst.ttest_1samp(single, 0.0))
+    # Welch both-constant → nan, not 0/0
+    const2 = DArray(
+        ds.from_pandas(
+            pd.DataFrame({"v": [[0.5, 1.0]] * 10})
+        ).to_spark(), "v"
+    )
+    w = dst.ttest_ind(arr, const2, equal_var=False)
+    assert math.isnan(w[0][0])
