@@ -267,6 +267,55 @@ class Resampler:
     def count(self, col: str):
         return self.agg({col: "count"})
 
+    def min(self, col: str):
+        return self.agg({col: "min"})
+
+    def max(self, col: str):
+        return self.agg({col: "max"})
+
+    def nunique(self, col: str):
+        return self.agg({col: "nunique"})
+
+    def size(self) -> "DaskFrame":
+        """Rows per bucket (reference: tseries/resample.py size)."""
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(
+                self._bucket().alias(f"{self._on}_bucket")
+            ).agg(F.count(F.lit(1)).alias("size"))
+        )
+
+    def sem(self, col: str) -> "DaskFrame":
+        """Standard error of the mean per bucket (resample.py sem)."""
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(
+                self._bucket().alias(f"{self._on}_bucket")
+            ).agg(
+                (F.stddev_samp(col) / F.sqrt(F.count(col)))
+                .alias(f"{col}_sem")
+            )
+        )
+
+    def ohlc(self, col: str) -> "DaskFrame":
+        """Open/high/low/close per bucket (resample.py ohlc):
+        open/close via min_by/max_by on the time column — pure
+        aggregates, exact ordered semantics with no window."""
+        from dask_spark.frame import DaskFrame
+
+        return DaskFrame(
+            self._frame._sdf.groupBy(
+                self._bucket().alias(f"{self._on}_bucket")
+            ).agg(
+                F.min_by(col, self._on).alias("open"),
+                F.max(col).alias("high"),
+                F.min(col).alias("low"),
+                F.max_by(col, self._on).alias("close"),
+            )
+        )
+
 
 def _by_list(by) -> list[str]:
     return [] if by is None else ([by] if isinstance(by, str) else list(by))

@@ -501,3 +501,31 @@ def test_rolling_quantile_family_parity(spark):
     np.testing.assert_allclose(
         got_sk["v_roll_skew"].to_numpy(), exp_sk.to_numpy(), rtol=1e-9, atol=1e-9
     )
+
+
+def test_resample_ohlc_sem_size(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+        [0, 10, 20, 3600, 3610], unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": [3.0, 1.0, 2.0, 5.0, 4.0]})
+    r = ds.from_pandas(pdf).resample("1h", on="ts")
+
+    o = r.ohlc("v").compute().sort_values("ts_bucket").reset_index(drop=True)
+    # bucket 1: values in time order 3,1,2 → open 3, high 3, low 1, close 2
+    assert (o.loc[0, ["open", "high", "low", "close"]].tolist()
+            == [3.0, 3.0, 1.0, 2.0])
+    # bucket 2: 5,4 → open 5, close 4
+    assert (o.loc[1, ["open", "high", "low", "close"]].tolist()
+            == [5.0, 5.0, 4.0, 4.0])
+
+    sz = r.size().compute().sort_values("ts_bucket")
+    assert list(sz["size"]) == [3, 2]
+
+    sem = r.sem("v").compute().sort_values("ts_bucket").reset_index(drop=True)
+    expect = pdf.set_index("ts").resample("1h")["v"].sem()
+    assert sem["v_sem"].tolist() == pytest.approx(expect.tolist())
+    assert list(r.nunique("v").compute().columns) == ["ts_bucket", "v_nunique"]
