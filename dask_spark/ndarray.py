@@ -1,0 +1,552 @@
+"""N-D dask.array analog (reference: dask/array/core.py Array,
+routines.py, slicing.py, rechunk.py, reshape.py) over Spark rows.
+
+Layout: axis 0 is the DISTRIBUTED rows axis (Spark partitions are the
+dask chunks along axis 0); every trailing axis lives INSIDE the row,
+stored flattened row-major in one ``array<double>`` column. The
+python-side ``inner_shape`` tuple carries the trailing extents, so a
+logical ``(n, 8, 8)`` tensor is n rows of 64-long arrays.
+
+The core trick: because ``inner_shape`` is static, every structural
+inner-axis op — transpose, slicing, flip, roll, diag, tril/triu,
+reshape, squeeze — reduces to a GATHER through a permutation that
+numpy computes ON THE DRIVER at plan-build time (``np.arange(size)
+.reshape(shape)`` + the numpy op + ``ravel()``). At run time the JVM
+evaluates one ``transform(lit(idx), i -> element_at(block, i))`` per
+row: no Python, no shuffle, no per-op UDF — dask's blockwise graph
+node becomes a Catalyst projection. Reductions along an inner axis
+use closed-form stride arithmetic inside ``aggregate``; reductions
+along axis 0 lower to posexplode + groupBy(position) exactly like
+DArray (only ``size`` scalars per row cross the wire).
+
+At 100 TB: axis 0 scales with the cluster (rechunk =
+repartitionByRange on the row index); inner blocks are one row's
+payload and must fit in a task — same contract as a dask chunk."""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import pyspark.sql.functions as F
+
+from dask_spark.frame import DaskFrame
+
+try:  # numpy is a hard dep of pyspark itself, but keep the gate cheap
+    import numpy as np
+except ImportError:  # pragma: no cover
+    np = None
+
+
+def _require_np():
+    if np is None:  # pragma: no cover
+        raise ImportError("ndarray ops require numpy")
+    return np
+
+
+class NDArray:
+    """Lazy N-D array: ``shape = (nrows, *inner_shape)``."""
+
+    def __init__(self, sdf, inner_shape: Sequence[int], col: str = "block",
+                 id_col: str | None = None):
+        self._sdf = sdf
+        self._col = col
+        self._id = id_col
+        self.inner_shape = tuple(int(s) for s in inner_shape)
+        if any(s <= 0 for s in self.inner_shape):
+            raise ValueError(f"bad inner shape {self.inner_shape}")
+
+    # ---- constructors -------------------------------------------------
+    @classmethod
+    def from_vectors(cls, frame: DaskFrame, col: str, dim: int,
+                     id_col: str | None = None) -> "NDArray":
+        """(n, dim) from a vector column — the DArray layout."""
+        sdf = frame._sdf.select(
+            *([id_col] if id_col else []),
+            F.col(col).cast("array<double>").alias("block"),
+        )
+        return cls(sdf, (dim,), "block", id_col)
+
+    @classmethod
+    def from_darray(cls, arr, dim: int) -> "NDArray":
+        return cls(
+            arr._sdf.select(
+                *([arr._id] if arr._id else []),
+                F.col(arr._col).cast("array<double>").alias("block"),
+            ),
+            (dim,), "block", arr._id,
+        )
+
+    def to_darray(self):
+        from dask_spark.array import DArray
+
+        if len(self.inner_shape) != 1:
+            raise ValueError(f"to_darray needs 1-D inner, got {self.inner_shape}")
+        return DArray(self._sdf, self._col, self._id)
+
+    def to_frame(self) -> DaskFrame:
+        return DaskFrame(self._sdf)
+
+    # ---- metadata -----------------------------------------------------
+    @property
+    def inner_size(self) -> int:
+        return math.prod(self.inner_shape)
+
+    @property
+    def ndim(self) -> int:
+        return 1 + len(self.inner_shape)
+
+    @property
+    def shape(self):
+        """(nrows, *inner). The row count is a COUNT job (dask shows
+        NaN for unknown chunks; we answer exactly on demand)."""
+        return (self._sdf.count(), *self.inner_shape)
+
+    def _keep(self):
+        return [self._id] if self._id else []
+
+    def _with_block(self, expr, inner_shape=None) -> "NDArray":
+        return NDArray(
+            self._sdf.select(*self._keep(), expr.alias(self._col)),
+            self.inner_shape if inner_shape is None else inner_shape,
+            self._col, self._id,
+        )
+
+    # ---- the driver-computed gather ----------------------------------
+    def _gather(self, flat_idx, inner_shape) -> "NDArray":
+        """One in-row gather through a literal 1-based index array —
+        the lowering target for every static structural op."""
+        idx = [int(i) + 1 for i in flat_idx]
+        b = F.col(self._col)
+        return self._with_block(
+            F.transform(F.lit(idx), lambda i: F.element_at(b, i)),
+            tuple(inner_shape),
+        )
+
+    def _index_tensor(self):
+        np = _require_np()
+        return np.arange(self.inner_size, dtype="int64").reshape(self.inner_shape)
+
+    # ---- structural ops (reference: dask/array/routines.py,
+    # slicing.py, reshape.py — each is one gather here) -----------------
+    def reshape(self, *shape) -> "NDArray":
+        """Inner-axes reshape (row-major): pure metadata — the flat
+        layout is unchanged, no expression is added. Reshaping ACROSS
+        axis 0 (changing the row extent) would be a global re-blocking
+        shuffle; like dask with unknown chunks, we refuse."""
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        shape = tuple(int(s) for s in shape)
+        if math.prod(shape) != self.inner_size:
+            raise ValueError(f"cannot reshape inner {self.inner_shape} -> {shape}")
+        return NDArray(self._sdf, shape, self._col, self._id)
+
+    def ravel(self) -> "NDArray":
+        return self.reshape(self.inner_size)
+
+    def transpose(self, axes: Sequence[int] | None = None) -> "NDArray":
+        """Permute INNER axes (axis 0 stays the distributed axis —
+        transposing the row axis into a row would need the full global
+        re-blocking dask also treats as a rechunk+shuffle)."""
+        m = len(self.inner_shape)
+        axes = tuple(range(m - 1, -1, -1)) if axes is None else tuple(axes)
+        if sorted(axes) != list(range(m)):
+            raise ValueError(f"bad axes {axes} for inner ndim {m}")
+        t = self._index_tensor().transpose(axes)
+        return self._gather(t.ravel(), t.shape)
+
+    def swapaxes(self, a1: int, a2: int) -> "NDArray":
+        m = len(self.inner_shape)
+        axes = list(range(m))
+        axes[a1 - 1], axes[a2 - 1] = axes[a2 - 1], axes[a1 - 1]
+        if a1 == 0 or a2 == 0:
+            raise ValueError("cannot swap the distributed row axis")
+        return self.transpose(axes)
+
+    def squeeze(self) -> "NDArray":
+        shape = tuple(s for s in self.inner_shape if s != 1) or (1,)
+        return self.reshape(shape)
+
+    def expand_dims(self, axis: int) -> "NDArray":
+        if axis == 0:
+            raise ValueError("cannot expand before the distributed row axis")
+        shape = list(self.inner_shape)
+        shape.insert(axis - 1, 1)
+        return self.reshape(shape)
+
+    def flip(self, axis: int) -> "NDArray":
+        np = _require_np()
+        if axis == 0:
+            raise ValueError("flip along rows: sort descending by the id instead")
+        t = np.flip(self._index_tensor(), axis=axis - 1)
+        return self._gather(t.ravel(), self.inner_shape)
+
+    def roll(self, shift: int, axis: int) -> "NDArray":
+        np = _require_np()
+        if axis == 0:
+            raise ValueError("roll along rows is a global index shift — use shift()")
+        t = np.roll(self._index_tensor(), shift, axis=axis - 1)
+        return self._gather(t.ravel(), self.inner_shape)
+
+    def diagonal(self) -> "NDArray":
+        np = _require_np()
+        if len(self.inner_shape) != 2:
+            raise ValueError("diagonal needs 2-D inner blocks")
+        t = np.diagonal(self._index_tensor())
+        return self._gather(t.ravel(), t.shape)
+
+    def _masked(self, mask) -> "NDArray":
+        """Zero-out via a literal 0/1 mask (tril/triu shape)."""
+        m = [int(v) for v in mask.ravel()]
+        b = F.col(self._col)
+        return self._with_block(
+            F.zip_with(b, F.lit(m).cast("array<double>"), lambda x, k: x * k)
+        )
+
+    def tril(self, k: int = 0) -> "NDArray":
+        np = _require_np()
+        if len(self.inner_shape) != 2:
+            raise ValueError("tril needs 2-D inner blocks")
+        return self._masked(np.tri(*self.inner_shape, k=k))
+
+    def triu(self, k: int = 0) -> "NDArray":
+        np = _require_np()
+        if len(self.inner_shape) != 2:
+            raise ValueError("triu needs 2-D inner blocks")
+        return self._masked(1 - np.tri(*self.inner_shape, k=k - 1))
+
+    def __getitem__(self, key) -> "NDArray":
+        """Per-axis basic+fancy indexing. Axis 0 selectors delegate to
+        the DArray row machinery (global index over id order — scale
+        safe); inner-axis selectors compose into ONE numpy-planned
+        gather."""
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) > self.ndim:
+            raise IndexError(f"too many indices for ndim {self.ndim}")
+        rows = key[0] if key else slice(None)
+        inner = key[1:]
+
+        sdf = self._sdf
+        if not (isinstance(rows, slice) and rows == slice(None)):
+            from dask_spark.array import DArray
+
+            d = DArray(sdf, self._col, self._id)[rows, :]
+            sdf = d._sdf
+        # ORTHOGONAL per-axis selection (dask refuses numpy's broadcast
+        # of multiple fancy indices too): numpy applies each selector
+        # to the index tensor one axis at a time, int axes are dropped
+        # from the output shape after the gather
+        np = _require_np()
+        t = self._index_tensor()
+        drop = []
+        for ax, k in enumerate(inner):
+            if isinstance(k, int):
+                t = np.take(t, [k], axis=ax)
+                drop.append(ax)
+            elif isinstance(k, (list, tuple)):
+                t = np.take(t, [int(i) for i in k], axis=ax)
+            elif isinstance(k, slice):
+                t = t[(slice(None),) * ax + (k,)]
+            else:
+                raise TypeError(f"unsupported inner selector {k!r}")
+        shape = tuple(s for i, s in enumerate(t.shape) if i not in drop) or (1,)
+        if t.size == self.inner_size and (t.ravel() == np.arange(t.size)).all():
+            return NDArray(sdf, shape, self._col, self._id)  # no-op selection
+        return NDArray(sdf, self.inner_shape, self._col, self._id)._gather(
+            t.ravel(), shape
+        )
+
+    # ---- elementwise --------------------------------------------------
+    def _unary(self, fn: Callable) -> "NDArray":
+        b = F.col(self._col)
+        return self._with_block(F.transform(b, lambda x: fn(x)))
+
+    def __add__(self, o):
+        return self._bin(o, lambda x, y: x + y)
+
+    def __sub__(self, o):
+        return self._bin(o, lambda x, y: x - y)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda x, y: x * y)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda x, y: x / y)
+
+    def _bin(self, o, fn) -> "NDArray":
+        """Scalar, or a numpy literal broadcastable to ``inner_shape``
+        (dask broadcasts small operands the same way: they ride the
+        graph as literals, never shuffle)."""
+        if isinstance(o, (int, float)):
+            return self._unary(lambda x: fn(x, F.lit(float(o))))
+        np = _require_np()
+        arr = np.broadcast_to(np.asarray(o, dtype="float64"), self.inner_shape)
+        lit = F.lit([float(v) for v in arr.ravel()])
+        b = F.col(self._col)
+        return self._with_block(F.zip_with(b, lit, fn))
+
+    def map(self, fn: Callable) -> "NDArray":
+        return self._unary(fn)
+
+    # ---- reductions ---------------------------------------------------
+    def _axis_strides(self, axis: int):
+        s = self.inner_shape
+        ai = axis - 1
+        rem = math.prod(s[ai + 1:]) if ai + 1 < len(s) else 1
+        return ai, rem
+
+    def sum(self, axis: int):
+        return self._reduce(axis, "sum")
+
+    def mean(self, axis: int):
+        return self._reduce(axis, "mean")
+
+    def max(self, axis: int):
+        return self._reduce(axis, "max")
+
+    def min(self, axis: int):
+        return self._reduce(axis, "min")
+
+    def _reduce(self, axis: int, how: str):
+        """axis>=1: closed-form stride walk inside ``aggregate`` — the
+        output cell ``o`` splits as (hi, lo) around the reduced axis,
+        so its source run is ``base + j*rem`` (no index tables needed,
+        any inner rank). axis==0: posexplode + groupBy(position) —
+        ``inner_size`` scalars per row is all that shuffles, partials
+        combine map-side; the single result row is rebuilt with an
+        in-agg sort, never on the driver."""
+        if axis == 0:
+            return self._reduce_rows(how)
+        ai, rem = self._axis_strides(axis)
+        k = self.inner_shape[ai]
+        out_shape = tuple(s for i, s in enumerate(self.inner_shape) if i != ai) or (1,)
+        out_size = math.prod(out_shape)
+        b = F.col(self._col)
+
+        def cell(o):
+            base = (o / F.lit(rem)).cast("long") * F.lit(k * rem) + o % F.lit(rem)
+            run = F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.element_at(b, (base + j * F.lit(rem) + 1).cast("int")),
+            )
+            if how == "sum":
+                return F.aggregate(run, F.lit(0.0), lambda a, x: a + x)
+            if how == "mean":
+                return F.aggregate(run, F.lit(0.0), lambda a, x: a + x) / k
+            if how == "max":
+                return F.array_max(run)
+            if how == "min":
+                return F.array_min(run)
+            raise ValueError(how)
+
+        return self._with_block(
+            F.transform(F.sequence(F.lit(0), F.lit(out_size - 1)), cell), out_shape
+        )
+
+    def _reduce_rows(self, how: str) -> "NDArray":
+        agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[how]
+        ex = self._sdf.select(
+            F.posexplode(F.col(self._col)).alias("__p", "__v")
+        )
+        per = ex.groupBy("__p").agg(agg("__v").alias("__a"))
+        one = per.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__a"))),
+                lambda s: s["__a"],
+            ).alias(self._col)
+        )
+        return NDArray(one, self.inner_shape, self._col, None)
+
+    # ---- contractions -------------------------------------------------
+    def matmul(self, mat) -> "NDArray":
+        """(n, …, a, b) @ literal (b, c) → (n, …, a, c). The matrix is
+        a plan literal (broadcast), each output cell is one fused
+        multiply-accumulate run — dask's (tall, small) blockwise
+        matmul without a graph."""
+        np = _require_np()
+        M = np.asarray(mat, dtype="float64")
+        if M.ndim != 2 or len(self.inner_shape) < 1:
+            raise ValueError("matmul: literal operand must be 2-D")
+        *lead, a_or_b = [*self.inner_shape]
+        if len(self.inner_shape) == 1:
+            a, b = 1, self.inner_shape[0]
+        else:
+            a, b = self.inner_shape[-2], self.inner_shape[-1]
+            lead = list(self.inner_shape[:-2])
+        if b != M.shape[0]:
+            raise ValueError(f"matmul shape mismatch {self.inner_shape} @ {M.shape}")
+        c = M.shape[1]
+        mlit = F.lit([float(v) for v in M.ravel()])
+        blk = F.col(self._col)
+        nlead = math.prod(lead) if lead else 1
+        out_size = nlead * a * c
+
+        def cell(o):
+            li = (o / F.lit(a * c)).cast("long")
+            i = ((o % F.lit(a * c)) / F.lit(c)).cast("long")
+            j = o % F.lit(c)
+            base = li * F.lit(a * b) + i * F.lit(b)
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(b - 1)),
+                F.lit(0.0),
+                lambda acc, kk: acc
+                + F.element_at(blk, (base + kk + 1).cast("int"))
+                * F.element_at(mlit, (kk * F.lit(c) + j + 1).cast("int")),
+            )
+
+        out_shape = (*lead, a, c) if len(self.inner_shape) > 1 else (c,)
+        return self._with_block(
+            F.transform(F.sequence(F.lit(0), F.lit(out_size - 1)), cell),
+            out_shape,
+        )
+
+    def tensordot(self, other, axes: int = 1) -> "NDArray":
+        """Contract the LAST ``axes`` inner dims against a literal
+        tensor's first ``axes`` dims (reference: routines.py tensordot)
+        — planned as move-contracted-axes-last (already last) +
+        flatten + matmul, all one projection."""
+        np = _require_np()
+        T = np.asarray(other, dtype="float64")
+        ck = self.inner_shape[len(self.inner_shape) - axes:]
+        if tuple(T.shape[:axes]) != ck:
+            raise ValueError(f"tensordot mismatch {ck} vs {T.shape[:axes]}")
+        keep = self.inner_shape[: len(self.inner_shape) - axes]
+        k = math.prod(ck)
+        flat = self.reshape(*(keep or (1,)), k)
+        res = flat.matmul(T.reshape(k, math.prod(T.shape[axes:]) or 1))
+        out = (*keep, *T.shape[axes:])
+        return res.reshape(out or (1,))
+
+    # ---- partitioning (reference: dask/array/rechunk.py) --------------
+    def rechunk(self, npartitions: int) -> "NDArray":
+        """Axis-0 rechunk = range repartition on the id (order-
+        preserving blocks, like dask rechunk keeping a sorted index);
+        inner axes are single-chunk by layout — rechunking them is a
+        no-op, exactly as dask treats an axis whose chunk already
+        spans it."""
+        if self._id is None:
+            sdf = self._sdf.repartition(npartitions)
+        else:
+            sdf = self._sdf.repartitionByRange(npartitions, F.col(self._id))
+        return NDArray(sdf, self.inner_shape, self._col, self._id)
+
+    # ---- python boundary ---------------------------------------------
+    def map_blocks(self, fn: Callable) -> "NDArray":
+        """fn(numpy (rows, *inner_shape)) -> same-leading-extent array;
+        whole-partition Arrow batches (reference: array/core.py
+        map_blocks). The one legitimate Python escape hatch."""
+        inner = self.inner_shape
+        col, keep = self._col, self._keep()
+        out_schema = ", ".join(
+            [*(f"{k} {dict(self._sdf.dtypes)[k]}" for k in keep),
+             f"{col} array<double>"]
+        )
+
+        def run(batches):
+            np = _require_np()
+            for pdf in batches:
+                blocks = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf[col]]
+                ).reshape(len(pdf), *inner)
+                res = np.asarray(fn(blocks), dtype="float64")
+                out = res.reshape(len(pdf), -1)
+                pdf = pdf.copy()
+                pdf[col] = list(out)
+                yield pdf
+
+        probe = _require_np().zeros((1, *inner))
+        out_inner = _require_np().asarray(fn(probe)).shape[1:]
+        return NDArray(
+            self._sdf.mapInPandas(run, out_schema),
+            tuple(int(s) for s in out_inner) or (1,),
+            col, self._id,
+        )
+
+    def explode(self, pos_col: str = "pos", val_col: str = "val") -> DaskFrame:
+        """(id?, pos, value) long form — the hash-checkable shape for
+        oracle comparison and the bridge into DataFrame land."""
+        return DaskFrame(
+            self._sdf.select(
+                *self._keep(),
+                F.posexplode(F.col(self._col)).alias(pos_col, val_col),
+            )
+        )
+
+    def compute(self):
+        """Materialize to one numpy array (id-ordered when available) —
+        driver-sized data only, like dask .compute()."""
+        np = _require_np()
+        sdf = self._sdf
+        if self._id:
+            sdf = sdf.orderBy(self._id)
+        rows = [r[self._col] for r in sdf.select(self._col).collect()]
+        return np.asarray(rows, dtype="float64").reshape(-1, *self.inner_shape)
+
+
+# ---- routines over scalar columns (reference: dask/array/routines.py)
+
+
+def digitize(frame: DaskFrame, col: str, bins: Sequence[float],
+             right: bool = False, out: str = "bucket") -> DaskFrame:
+    """np.digitize: index of the bin each value falls in — the bin
+    edges are literals, the lookup is a monotone sum of comparisons
+    (map-only, codegen; O(#bins) per row like numpy's searchsorted
+    over a handful of edges)."""
+    c = F.col(col)
+    expr = F.lit(0)
+    for b in bins:
+        hit = (c <= F.lit(float(b))) if right else (c < F.lit(float(b)))
+        expr = expr + F.when(~hit, 1).otherwise(0)
+    return DaskFrame(frame._sdf.withColumn(out, expr.cast("int")))
+
+
+def bincount(frame: DaskFrame, col: str, weights: str | None = None,
+             minlength: int = 0) -> DaskFrame:
+    """np.bincount over a non-negative int column → (bin, count|weight
+    sum). One small-key shuffle with map-side partials; missing bins
+    below minlength are filled via a range frame (divisions-scale)."""
+    sdf = frame._sdf
+    agg = (
+        F.sum(F.col(weights)).alias("count")
+        if weights
+        else F.count(F.lit(1)).cast("double").alias("count")
+    )
+    counts = sdf.groupBy(F.col(col).cast("long").alias("bin")).agg(agg)
+    if minlength:
+        spark = sdf.sparkSession
+        full = spark.range(minlength).select(F.col("id").alias("bin"))
+        counts = (
+            full.join(counts, "bin", "full_outer")
+            .select("bin", F.coalesce("count", F.lit(0.0)).alias("count"))
+        )
+    return DaskFrame(counts)
+
+
+def histogram2d(frame: DaskFrame, xcol: str, ycol: str, bins: int,
+                range_: tuple[tuple[float, float], tuple[float, float]],
+                ) -> DaskFrame:
+    """np.histogram2d with explicit ranges: fixed-width bucket ids are
+    pure arithmetic (map-only), then ONE groupBy over at most bins²
+    keys — numpy's last-bin-closed edge convention preserved."""
+    (x0, x1), (y0, y1) = range_
+
+    def bucket(c, lo, hi):
+        raw = F.floor((F.col(c) - F.lit(lo)) / F.lit((hi - lo) / bins))
+        return (
+            F.when(F.col(c) == F.lit(hi), F.lit(bins - 1))
+            .otherwise(raw)
+            .cast("int")
+        )
+
+    sdf = (
+        frame._sdf
+        .filter(
+            (F.col(xcol) >= x0) & (F.col(xcol) <= x1)
+            & (F.col(ycol) >= y0) & (F.col(ycol) <= y1)
+        )
+        .select(bucket(xcol, x0, x1).alias("bx"), bucket(ycol, y0, y1).alias("by"))
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return DaskFrame(sdf)

@@ -3916,6 +3916,152 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+# ------------------------- N-D array (ndarray.py) ---------------------------
+# 64-dim embeddings viewed as (n, 8, 8) tensors: structural ops lower
+# to driver-planned gathers, so the oracle replays the SAME flat-index
+# arithmetic as DuckDB list comprehensions — full value checks of the
+# N-D world.
+
+@q(
+    "arr_nd_transpose_sum",
+    """
+    SELECT vec_id, t.i AS pos,
+           ROUND(list_sum([ (embedding[j*8 + t.i + 1])::DOUBLE
+                            for j in generate_series(0, 7) ]), 6) AS val
+    FROM embeddings, generate_series(0, 7) t(i)
+    """,
+)
+def arr_nd_transpose_sum(spark, sf_dir):
+    """reshape (8,8) → transpose → sum(axis=2): the transpose is a
+    literal-index gather, the reduction a closed-form stride walk —
+    one map-only projection end to end (reference: dask/array/
+    routines.py transpose + reductions.py sum)."""
+    from dask_spark.ndarray import NDArray
+
+    e = load(spark, sf_dir, "embeddings")
+    nd = NDArray.from_vectors(e, "embedding", 64, id_col="vec_id")
+    out = nd.reshape(8, 8).transpose().sum(2)
+    return (
+        out.explode()
+        .to_spark()
+        .select("vec_id", "pos", F.round("val", 6).alias("val"))
+    )
+
+
+_ND_W = [((k * 2 + j) % 13 - 6) / 8.0 for k in range(8) for j in range(2)]
+_ND_W_SQL = "[" + ", ".join(f"{x}::DOUBLE" for x in _ND_W) + "]"
+
+
+@q(
+    "arr_nd_matmul",
+    f"""
+    WITH w AS (SELECT {_ND_W_SQL} AS w)
+    SELECT vec_id, t.i * 2 + u.j AS pos,
+           ROUND(list_sum([ (embedding[t.i*8 + k + 1])::DOUBLE
+                            * w[k*2 + u.j + 1]
+                            for k in generate_series(0, 7) ]), 6) AS val
+    FROM embeddings, w, generate_series(0, 7) t(i), generate_series(0, 1) u(j)
+    """,
+)
+def arr_nd_matmul(spark, sf_dir):
+    """(n,8,8) @ literal (8,2): the matrix rides the plan as a
+    literal (dask's broadcast small-operand blockwise matmul), each
+    output cell one fused multiply-accumulate run — map-only, the
+    oracle replays the identical double arithmetic (dyadic literals,
+    same accumulation order)."""
+    from dask_spark.ndarray import NDArray
+
+    e = load(spark, sf_dir, "embeddings")
+    nd = NDArray.from_vectors(e, "embedding", 64, id_col="vec_id")
+    W = [[_ND_W[k * 2 + j] for j in range(2)] for k in range(8)]
+    out = nd.reshape(8, 8).matmul(W)
+    return (
+        out.explode()
+        .to_spark()
+        .select("vec_id", "pos", F.round("val", 6).alias("val"))
+    )
+
+
+@q(
+    "arr_nd_axis0_mean",
+    """
+    SELECT t.j AS pos,
+           ROUND(AVG((embedding[2*8 + t.j + 1])::DOUBLE), 6) AS val
+    FROM embeddings, generate_series(0, 7) t(j)
+    GROUP BY t.j
+    """,
+)
+def arr_nd_axis0_mean(spark, sf_dir):
+    """(n,8,8) → inner row 2 → mean over the DISTRIBUTED axis:
+    posexplode + groupBy(position) with map-side partials — only 8
+    scalars per input row cross the wire (reference: dask/array/
+    reductions.py mean over axis 0)."""
+    from dask_spark.ndarray import NDArray
+
+    e = load(spark, sf_dir, "embeddings")
+    nd = NDArray.from_vectors(e, "embedding", 64, id_col="vec_id")
+    out = nd.reshape(8, 8)[:, 2].mean(0)
+    return (
+        out.explode()
+        .to_spark()
+        .select("pos", F.round("val", 6).alias("val"))
+    )
+
+
+@q(
+    "arr_digitize_bincount",
+    """
+    WITH d AS (
+      SELECT ((value >= -2.0)::INT + (value >= -1.0)::INT
+            + (value >= 0.0)::INT + (value >= 1.0)::INT
+            + (value >= 2.0)::INT) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), c AS (SELECT bin, COUNT(*)::DOUBLE AS count FROM d GROUP BY bin)
+    SELECT gs.i AS bin, COALESCE(c.count, 0)::DOUBLE AS count
+    FROM generate_series(0, 6) gs(i) LEFT JOIN c ON c.bin = gs.i
+    """,
+)
+def arr_digitize_bincount(spark, sf_dir):
+    """np.digitize (monotone comparison sum, map-only codegen) +
+    np.bincount (one small-key shuffle, minlength fill) — reference:
+    dask/array/routines.py:795 digitize, :750 bincount."""
+    from dask_spark.ndarray import bincount, digitize
+
+    ev = load(spark, sf_dir, "events")
+    ev = DaskFrame(ev._sdf.filter(F.col("value").isNotNull()))
+    d = digitize(ev, "value", [-2.0, -1.0, 0.0, 1.0, 2.0])
+    return bincount(d, "bucket", minlength=7).to_spark().select("bin", "count")
+
+
+@q(
+    "arr_histogram2d",
+    """
+    SELECT bx, by, COUNT(*) AS n FROM (
+      SELECT CASE WHEN l_quantity = 50.0 THEN 7
+                  ELSE CAST(FLOOR((l_quantity - 0.0)
+                       / ((50.0::DOUBLE - 0.0) / 8)) AS INT) END AS bx,
+             CASE WHEN l_discount = 0.1 THEN 7
+                  ELSE CAST(FLOOR((l_discount - 0.0)
+                       / ((0.1::DOUBLE - 0.0) / 8)) AS INT) END AS by
+      FROM lineitem
+      WHERE l_quantity BETWEEN 0.0 AND 50.0
+        AND l_discount BETWEEN 0.0 AND 0.1
+    ) GROUP BY bx, by
+    """,
+)
+def arr_histogram2d(spark, sf_dir):
+    """np.histogram2d (reference: dask/array/routines.py:1070):
+    fixed-width bucket arithmetic map-side, ONE groupBy over ≤ bins²
+    keys, numpy's closed-last-bin edge rule — the oracle replays the
+    identical double bucket math."""
+    from dask_spark.ndarray import histogram2d
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram2d(
+        li, "l_quantity", "l_discount", 8, ((0.0, 50.0), (0.0, 0.1))
+    ).to_spark()
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

@@ -1,0 +1,197 @@
+"""NDArray (N-D dask.array analog) numpy-parity tests: every
+structural op is checked against the same op applied by numpy to the
+collected data (the reference's assert_eq pattern,
+dask/array/tests/test_slicing.py style)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dask_spark.frame import DaskFrame
+from dask_spark.ndarray import NDArray, bincount, digitize, histogram2d
+
+
+@pytest.fixture(scope="module")
+def nd(spark):
+    """(12, 2, 3, 4) tensor: 12 rows of 24-long blocks, deterministic."""
+    rows = []
+    for r in range(12):
+        rows.append((r, [float((r * 24 + i) % 17) - 5.0 for i in range(24)]))
+    pdf = pd.DataFrame(rows, columns=["id", "block"])
+    sdf = spark.createDataFrame(pdf)
+    return NDArray(sdf, (2, 3, 4), "block", "id")
+
+
+@pytest.fixture(scope="module")
+def ref(nd):
+    return nd.compute()  # (12, 2, 3, 4)
+
+
+def _np(a: NDArray):
+    return a.compute()
+
+
+def test_shape_meta(nd):
+    assert nd.ndim == 4
+    assert nd.inner_shape == (2, 3, 4)
+    assert nd.inner_size == 24
+    assert nd.shape == (12, 2, 3, 4)
+
+
+def test_reshape_ravel(nd, ref):
+    np.testing.assert_allclose(_np(nd.reshape(6, 4)), ref.reshape(12, 6, 4))
+    np.testing.assert_allclose(_np(nd.ravel()), ref.reshape(12, 24))
+    with pytest.raises(ValueError):
+        nd.reshape(5, 5)
+
+
+def test_transpose_swapaxes(nd, ref):
+    np.testing.assert_allclose(
+        _np(nd.transpose((2, 0, 1))), ref.transpose(0, 3, 1, 2)
+    )
+    np.testing.assert_allclose(_np(nd.swapaxes(1, 3)), ref.swapaxes(1, 3))
+    with pytest.raises(ValueError):
+        nd.swapaxes(0, 1)
+
+
+def test_getitem_inner(nd, ref):
+    np.testing.assert_allclose(_np(nd[:, 1]), ref[:, 1])
+    np.testing.assert_allclose(_np(nd[:, :, 0:2]), ref[:, :, 0:2])
+    np.testing.assert_allclose(_np(nd[:, 1, [0, 2], ::2]), ref[:, 1][:, [0, 2]][:, :, ::2])
+
+
+def test_getitem_rows(nd, ref):
+    np.testing.assert_allclose(_np(nd[2:5]), ref[2:5])
+    np.testing.assert_allclose(_np(nd[[1, 3, 8], 0]), ref[[1, 3, 8], 0])
+
+
+def test_flip_roll(nd, ref):
+    np.testing.assert_allclose(_np(nd.flip(2)), np.flip(ref, axis=2))
+    np.testing.assert_allclose(_np(nd.roll(2, 3)), np.roll(ref, 2, axis=3))
+
+
+def test_squeeze_expand(nd, ref):
+    e = nd.expand_dims(2)
+    assert e.inner_shape == (2, 1, 3, 4)
+    np.testing.assert_allclose(_np(e.squeeze()), ref)
+
+
+def test_tril_triu_diag(spark):
+    pdf = pd.DataFrame(
+        [(r, [float(r * 9 + i) for i in range(9)]) for r in range(5)],
+        columns=["id", "block"],
+    )
+    a = NDArray(spark.createDataFrame(pdf), (3, 3), "block", "id")
+    ref = a.compute()
+    np.testing.assert_allclose(_np(a.tril()), np.tril(ref))
+    np.testing.assert_allclose(_np(a.triu(1)), np.triu(ref, 1))
+    np.testing.assert_allclose(_np(a.diagonal()), np.diagonal(ref, axis1=1, axis2=2))
+
+
+def test_elementwise_broadcast(nd, ref):
+    np.testing.assert_allclose(_np(nd + 1.5), ref + 1.5)
+    np.testing.assert_allclose(_np(nd * 2), ref * 2)
+    # broadcast a (4,) literal across the last axis
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(_np(nd * v), ref * v)
+    # broadcast a (3, 1) literal across middle axes
+    w = np.array([[1.0], [0.5], [2.0]])
+    np.testing.assert_allclose(_np(nd + w), ref + w)
+
+
+def test_reduce_inner_axes(nd, ref):
+    for axis in (1, 2, 3):
+        np.testing.assert_allclose(
+            _np(nd.sum(axis)), ref.sum(axis=axis), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            _np(nd.mean(axis)), ref.mean(axis=axis), rtol=1e-12
+        )
+        np.testing.assert_allclose(_np(nd.max(axis)), ref.max(axis=axis))
+        np.testing.assert_allclose(_np(nd.min(axis)), ref.min(axis=axis))
+
+
+def test_reduce_axis0(nd, ref):
+    got = _np(nd.sum(0))
+    np.testing.assert_allclose(got[0], ref.sum(axis=0), rtol=1e-9)
+    got = _np(nd.mean(0))
+    np.testing.assert_allclose(got[0], ref.mean(axis=0), rtol=1e-9)
+
+
+def test_matmul_tensordot(nd, ref):
+    M = np.arange(8, dtype="float64").reshape(4, 2) / 7.0
+    np.testing.assert_allclose(_np(nd.matmul(M)), ref @ M, rtol=1e-9)
+    T = np.arange(12, dtype="float64").reshape(3, 4) / 11.0
+    np.testing.assert_allclose(
+        _np(nd.tensordot(T, axes=2)),
+        np.tensordot(ref, T, axes=2),
+        rtol=1e-9,
+    )
+
+
+def test_chained_pipeline(nd, ref):
+    """transpose → slice → reduce composes into projections only (the
+    whole thing is one Catalyst plan, no shuffle)."""
+    got = _np(nd.transpose((2, 0, 1))[:, :, 1].sum(2))
+    want = ref.transpose(0, 3, 1, 2)[:, :, 1].sum(axis=2)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    plan = nd.transpose((2, 0, 1))[:, :, 1].sum(2)._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_map_blocks(nd, ref):
+    out = nd.map_blocks(lambda b: b.sum(axis=3) + 1.0)
+    np.testing.assert_allclose(_np(out), ref.sum(axis=3) + 1.0, rtol=1e-9)
+    assert out.inner_shape == (2, 3)
+
+
+def test_rechunk(nd):
+    r = nd.rechunk(3)
+    assert r._sdf.rdd.getNumPartitions() == 3
+    np.testing.assert_allclose(r.compute(), nd.compute())
+
+
+def test_from_vectors_roundtrip(tables):
+    emb = tables["embeddings"]
+    a = NDArray.from_vectors(emb, "embedding", 64, id_col="vec_id")
+    m = a.reshape(8, 8)
+    t = m.transpose()
+    back = t.transpose()
+    np.testing.assert_allclose(back.compute(), m.compute())
+    d = t.to_darray() if False else None  # 2-D inner can't be a DArray
+    assert m.ravel().inner_shape == (64,)
+
+
+def test_digitize_bincount(spark):
+    pdf = pd.DataFrame({"v": [-2.0, 0.1, 0.9, 1.5, 3.0, 7.2]})
+    f = DaskFrame(spark.createDataFrame(pdf))
+    bins = [0.0, 1.0, 2.0, 5.0]
+    got = (
+        digitize(f, "v", bins)
+        .to_spark()
+        .toPandas()
+        .sort_values("v")["bucket"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(got, np.digitize(sorted(pdf["v"]), bins))
+    bc = bincount(digitize(f, "v", bins), "bucket", minlength=6)
+    out = bc.to_spark().toPandas().sort_values("bin")
+    np.testing.assert_array_equal(
+        out["count"].to_numpy(),
+        np.bincount(np.digitize(pdf["v"], bins), minlength=6),
+    )
+
+
+def test_histogram2d(spark):
+    rng = np.random.RandomState(7)
+    x, y = rng.uniform(0, 10, 500), rng.uniform(-5, 5, 500)
+    f = DaskFrame(spark.createDataFrame(pd.DataFrame({"x": x, "y": y})))
+    got = histogram2d(f, "x", "y", 4, ((0.0, 10.0), (-5.0, 5.0)))
+    pdf = got.to_spark().toPandas()
+    H = np.zeros((4, 4))
+    for _, r in pdf.iterrows():
+        H[int(r["bx"]), int(r["by"])] = r["n"]
+    want, _, _ = np.histogram2d(x, y, bins=4, range=((0, 10), (-5, 5)))
+    np.testing.assert_array_equal(H, want)
