@@ -89,6 +89,15 @@ def main():
         fn, _ = REGISTRY[name]
         best, n = float("inf"), 0
         try:
+            # One UNTIMED pass at the TARGET sf first: the sf0.001
+            # warmup compiles different physical shapes (broadcast vs
+            # SMJ, single- vs multi-split scans), so the first target-
+            # sf run still pays whole-stage-codegen compile + C2
+            # tiering — measured 4.8s → 2.3s → 1.0s across reps for
+            # the codegen-heaviest query. The timed min-of-2 below is
+            # then genuinely steady-state throughput.
+            materialize(fn(spark, sf_dir))
+            spark.catalog.clearCache()
             for _rep in range(2):  # min-of-2: steady-state, GC-noise-resistant
                 t0 = time.time()
                 df = fn(spark, sf_dir)
