@@ -35,8 +35,10 @@ from dask_spark.sources import (
 )
 
 from dask_spark.delayed import Delayed, compute, delayed
+from dask_spark.ndarray import NDArray, bincount, digitize, histogram2d
 
 from dask_spark import testing
+from dask_spark.testing import assert_eq
 
 __version__ = "0.1.0"
 
@@ -66,4 +68,9 @@ __all__ = [
     "from_dict",
     "from_delayed",
     "timeseries",
+    "NDArray",
+    "bincount",
+    "digitize",
+    "histogram2d",
+    "assert_eq",
 ]

@@ -1650,6 +1650,57 @@ class DaskFrame:
 
     notnull = notna
 
+    # ---- divisions / expression-graph parity shims ---------------------
+    # (reference: _collection.py divisions/known_divisions/
+    # clear_divisions/enforce_runtime_divisions, _expr.py simplify/
+    # lower_once/optimize/pprint/analyze). Spark has no user-visible
+    # divisions metadata — range partitioning is a physical property
+    # Catalyst tracks internally — and the expression graph IS the
+    # Catalyst plan, so these map to honest no-ops / explain synonyms
+    # kept so ported dask code runs unchanged.
+    @property
+    def divisions(self) -> tuple:
+        """Unknown divisions (a tuple of Nones, dask's spelling for
+        "partitioned but boundaries unknown"). Use
+        ``compute_current_divisions(col)`` for the real edges."""
+        return (None,) * (self.npartitions + 1)
+
+    @property
+    def known_divisions(self) -> bool:
+        return False
+
+    def clear_divisions(self) -> "DaskFrame":
+        return self
+
+    def enforce_runtime_divisions(self) -> "DaskFrame":
+        """dask inserts runtime checks that rows respect divisions; the
+        range exchange already guarantees that here."""
+        return self
+
+    def simplify(self) -> "DaskFrame":
+        return self
+
+    def lower_once(self) -> "DaskFrame":
+        return self
+
+    def optimize(self) -> "DaskFrame":
+        """Catalyst optimizes at action time; explicit call is a no-op."""
+        return self
+
+    def pprint(self) -> None:
+        print(self.visualize(mode="simple"))
+
+    def analyze(self, filename: str | None = None) -> str:
+        """dask-expr's analyze = per-expression statistics; the Spark
+        equivalent is the executed-plan SQLMetrics profile."""
+        from dask_spark.plans.profiler import profile
+
+        txt = str(profile(self))
+        if filename:
+            with open(filename, "w") as f:
+                f.write(txt)
+        return txt
+
     def compute_current_divisions(self, col: str) -> tuple:
         """ACTUAL partition boundaries of ``col`` (reference:
         _collection.py compute_current_divisions — dask scans partition

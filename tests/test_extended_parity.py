@@ -412,3 +412,21 @@ def test_dd_namespace_module_functions(spark):
     na = dd.isna(f.v).compute()
     assert na.tolist() == [False, False, False]
     assert callable(dd.from_delayed)
+
+
+def test_divisions_and_expr_shims(tables):
+    """divisions metadata + dask-expr graph-method parity shims
+    (reference: _collection.py divisions/clear_divisions, _expr.py
+    simplify/lower_once/optimize): Spark tracks partitioning inside
+    Catalyst, so these are honest no-ops with the dask signatures."""
+    f = tables["nation"]
+    div = f.divisions
+    assert len(div) == f.npartitions + 1 and div[0] is None
+    assert f.known_divisions is False
+    assert f.clear_divisions() is f
+    assert f.enforce_runtime_divisions() is f
+    assert f.simplify() is f and f.lower_once() is f and f.optimize() is f
+    import dask_spark as ds
+
+    assert callable(ds.assert_eq)
+    assert isinstance(f.analyze(), str)
