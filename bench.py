@@ -40,6 +40,7 @@ HEADLINE = [
     "text_repetition",    # staged RLE repetition stats (HOF-heavy)
     "bm25_topk",          # lexical retrieval: stats agg + map scoring
     "corpus_mix_temperature",  # one-exchange weighted mixing
+    "text_classifier",    # hashed linear classifier inference (map-only)
 ]
 
 

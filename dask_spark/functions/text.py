@@ -338,3 +338,66 @@ def chunk_spans(text: Column, max_tokens: int, overlap: int = 0) -> Column:
             F.least(sz - i * stride, F.lit(max_tokens)).alias("n_tokens"),
         ),
     )
+
+
+def hashed_linear_scores(sdf, weights, biases, text_col: str = "text",
+                         labels=None, word_hash: str = "md5"):
+    """FastText-style linear classifier INFERENCE over hashed
+    bag-of-words features — the quality/domain-classifier scoring step
+    of an LLM data pipeline (CCNet/GPT-3-recipe shape, public), run
+    entirely as Column expressions with the model as plan literals.
+
+    Model: C classes × D hashed-feature weights (train offline, pass
+    the arrays here). Per doc: feature id = word_hash(token) mod D,
+    score_c = bias_c + mean over tokens of weights[c][feature] — the
+    fastText average-of-feature-embeddings collapsed to the linear
+    case. Adds ``score_<label>`` per class plus argmax ``label``.
+
+    100 TB shape: the model rides the plan as literals (a few KB —
+    like dask broadcasting a small sklearn model to every partition
+    via map_partitions); scoring is map-only, no shuffle, no Python.
+    word_hash="md5" (md5_prefix60) keeps inference engine-portable so
+    a SQL oracle can replay it bit-for-bit; "xxhash64" is the fast
+    JVM path.
+    """
+    from dask_spark.functions import md5_prefix60
+
+    C = len(weights)
+    D = len(weights[0])
+    if len(biases) != C or any(len(w) != D for w in weights):
+        raise ValueError("weights must be C×D and biases length C")
+    labels = labels or [f"c{i}" for i in range(C)]
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = sdf.withColumn("__toks", toks)
+    hfn = md5_prefix60 if word_hash == "md5" else F.xxhash64
+    feat = F.transform(
+        F.col("__toks"), lambda t: F.pmod(hfn(t), F.lit(D)).cast("int")
+    )
+    staged = staged.withColumn("__feat", feat).drop("__toks")
+    fcol = F.col("__feat")
+    n = F.size(fcol)
+
+    score_cols = []
+    for c in range(C):
+        w = F.lit([float(v) for v in weights[c]])
+        s = F.when(
+            n > 0,
+            F.lit(float(biases[c]))
+            + F.aggregate(
+                fcol, F.lit(0.0), lambda acc, f: acc + F.element_at(w, f + 1)
+            )
+            / n,
+        ).otherwise(F.lit(float(biases[c])))
+        score_cols.append(s.alias(f"score_{labels[c]}"))
+    out = staged.select("*", *score_cols).drop("__feat")
+    scores = F.array(*[F.col(f"score_{lab}") for lab in labels])
+    lab_arr = F.lit([str(lab) for lab in labels])
+    # first argmax (ties -> lowest class index, same rule as numpy)
+    out = out.withColumn(
+        "label",
+        F.element_at(lab_arr, F.array_position(scores, F.array_max(scores)).cast("int")),
+    )
+    return out

@@ -3916,6 +3916,72 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+# --------------------- classifier inference (text.py) -----------------------
+# Deterministic 3×64 toy model: the shape of a real offline-trained
+# quality classifier whose weights ride the plan as literals.
+_CLF_D, _CLF_LABELS = 64, ["high", "medium", "low"]
+_CLF_W = [
+    [(((f * 31 + c * 17 + 7) % 97) - 48) / 97.0 for f in range(_CLF_D)]
+    for c in range(3)
+]
+_CLF_B = [0.05, 0.0, -0.05]
+
+
+def _clf_oracle() -> str:
+    ws = [
+        "[" + ", ".join(repr(v) for v in _CLF_W[c]) + "]::DOUBLE[]"
+        for c in range(3)
+    ]
+    score = (
+        "CASE WHEN len(feat) > 0 THEN {b} + list_sum("
+        "[{w}[f + 1] for f in feat]) / len(feat) ELSE {b} END"
+    )
+    s = [score.format(b=repr(_CLF_B[c]), w=f"w{c}") for c in range(3)]
+    return rf"""
+    WITH wt AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2),
+    f AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0),
+               x -> (('0x' || substr(md5(x), 1, 15))::BIGINT % {_CLF_D})::INT
+             ) AS feat
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {s[0]} AS sh, {s[1]} AS sm, {s[2]} AS sl
+      FROM f, wt
+    )
+    SELECT doc_id,
+           ROUND(sh, 6) AS score_high,
+           ROUND(sm, 6) AS score_medium,
+           ROUND(sl, 6) AS score_low,
+           CASE WHEN sh >= sm AND sh >= sl THEN 'high'
+                WHEN sm >= sl THEN 'medium' ELSE 'low' END AS label
+    FROM s
+    """
+
+
+@q("text_classifier", _clf_oracle())
+def text_classifier(spark, sf_dir):
+    """FastText-style linear quality-classifier inference: hashed
+    bag-of-words features, model weights as plan literals, map-only
+    codegen scoring + argmax label — the oracle replays hash, fold,
+    and tie-break rule exactly (ties -> lowest class index)."""
+    from dask_spark.functions.text import hashed_linear_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = hashed_linear_scores(
+        d._sdf, _CLF_W, _CLF_B, text_col="text", labels=_CLF_LABELS
+    )
+    return out.select(
+        "doc_id",
+        F.round("score_high", 6).alias("score_high"),
+        F.round("score_medium", 6).alias("score_medium"),
+        F.round("score_low", 6).alias("score_low"),
+        "label",
+    )
+
+
 # ------------------------- N-D array (ndarray.py) ---------------------------
 # 64-dim embeddings viewed as (n, 8, 8) tensors: structural ops lower
 # to driver-planned gathers, so the oracle replays the SAME flat-index

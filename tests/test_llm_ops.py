@@ -656,3 +656,47 @@ def test_temperature_mix_prefilter_margin_widens(spark):
     tight = temperature_mix(frame, scale=1.0, candidate_margin=0.01).compute()
     assert sorted(tight.doc_id) == sorted(full.doc_id)
     assert len(full) == 15  # ceil(sqrt(200)) = 15
+
+
+def test_hashed_linear_classifier(spark):
+    """Linear classifier inference: scores match a python replay of
+    the same hashed-feature fold; empty docs get bias-only scores;
+    ties resolve to the lowest class index; xxhash64 fast path yields
+    the same schema."""
+    import hashlib
+
+    import pandas as pd
+
+    from dask_spark.functions.text import hashed_linear_scores
+
+    D = 16
+    W = [[(f * 3 + c) % 5 - 2.0 for f in range(D)] for c in range(2)]
+    B = [0.5, 0.5]
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta beta", "", "gamma"]}
+    )
+    out = (
+        hashed_linear_scores(
+            spark.createDataFrame(docs), W, B, labels=["a", "b"]
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+
+    for _, r in out.iterrows():
+        toks = [t for t in str(docs.text[r.doc_id]).lower().split() if t]
+        for c, lab in enumerate(["a", "b"]):
+            want = B[c] + (
+                sum(W[c][h(t)] for t in toks) / len(toks) if toks else 0.0
+            )
+            assert r[f"score_{lab}"] == pytest.approx(want, abs=1e-9)
+    # empty doc: bias-only, biases equal -> tie -> first label
+    assert out.loc[out.doc_id == 1, "label"].iloc[0] == "a"
+    fast = hashed_linear_scores(
+        spark.createDataFrame(docs), W, B, labels=["a", "b"],
+        word_hash="xxhash64",
+    )
+    assert {"score_a", "score_b", "label"} <= set(fast.columns)
