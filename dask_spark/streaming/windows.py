@@ -100,6 +100,82 @@ def stateful_running_max(stream_sdf: SparkDF, timeout_ms: int = 60000) -> SparkD
     )
 
 
+def stateful_user_stats(stream_sdf: SparkDF, ttl_minutes: int | None = None,
+                        value_col: str = "value") -> SparkDF:
+    """Per-key running (count, sum, max) via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-state API (typed value state, optional TTL,
+    RocksDB-backed in production). The modern successor of the
+    applyInPandasWithState scaffold above: state is schema'd and
+    evictable per entry instead of one opaque tuple per key.
+
+    100 TB shape: state lives in the state store keyed by the groupBy
+    key (RocksDB + changelog checkpointing on a real cluster — set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider and state spills to local SSD instead of executor heap);
+    TTL bounds state for unbounded key spaces.
+
+    Requires ``protobuf`` (the state-server wire protocol of the new
+    API) — raises a clear ImportError where it is absent, like
+    read_avro without the spark-avro package."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(google.protobuf); pip install protobuf — falling back to "
+            "stateful_running_max (applyInPandasWithState) works without it"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            ttl = ttl_minutes * 60_000 if ttl_minutes else None
+            self._st = handle.getValueState("agg", state_schema, ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total, mx = (
+                self._st.get() if self._st.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    total += float(pdf[value_col].sum())
+                    mx = max(mx, float(pdf[value_col].max()))
+            self._st.update((n, total, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_sdf.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType="user_id bigint, n bigint, total double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(left: SparkDF, right: SparkDF, on: str,
                        left_ts: str = "ts", right_ts: str = "ts",
                        watermark: str = "30 minutes",

@@ -355,3 +355,37 @@ def test_streaming_batch_parity_sessions(spark, tmp_path):
     got = spark.sql("select * from s_parity").toPandas()
     got_counts = sorted(zip(got.user_id, got.n_events))
     assert got_counts == batch_counts and len(got_counts) > 3
+
+
+def test_streaming_transform_with_state(spark):
+    """Spark 4 arbitrary-state API (transformWithStateInPandas): the
+    per-user running stats must appear and stay consistent (n >= 1,
+    max <= total for non-negative values)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf (absent in container)",
+    )
+    from dask_spark.streaming.windows import stateful_user_stats
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .withColumn("user_id", F.col("value") % 5)
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    out = stateful_user_stats(rate)
+    q = (
+        out.writeStream.format("memory").queryName("t_tws")
+        .outputMode("update").start()
+    )
+    try:
+        deadline = time.time() + 40
+        while time.time() < deadline:
+            if spark.sql("select * from t_tws").count() > 0:
+                break
+            time.sleep(1)
+        pdf = spark.sql("select * from t_tws").toPandas()
+        assert len(pdf) > 0
+        assert (pdf.n >= 1).all()
+        assert (pdf.max_value <= pdf.total + 1e-9).all()
+    finally:
+        q.stop()
