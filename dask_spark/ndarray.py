@@ -44,17 +44,47 @@ def _require_np():
     return np
 
 
+# Inner sizes at or below this stay pure-JVM Column expressions (no
+# Python workers — right for vector-sized blocks like embeddings);
+# bigger blocks switch to vectorized Arrow/numpy kernels: interpreted
+# higher-order functions cost ~100ns/element while numpy does the same
+# gather/reduce in ~1ns, and mapInPandas is also a projection barrier,
+# so a computed block column can never be re-inlined (CollapseProject
+# duplicating a block PRODUCER into every element read of a consumer
+# turns O(size) into O(size²) per row — measured: a 4096-wide computed
+# block made transpose().sum() hang vs 0.7s on a stored column).
+EXPR_FUSION_LIMIT = 512
+
+
 class NDArray:
-    """Lazy N-D array: ``shape = (nrows, *inner_shape)``."""
+    """Lazy N-D array: ``shape = (nrows, *inner_shape)``.
+
+    ``perm`` is the driver-side fusion state: a flat index array
+    mapping the LOGICAL layout to the stored source block. Structural
+    ops only compose ``perm`` in numpy (zero plan growth); the single
+    gather expression is emitted when a consumer actually needs the
+    block, and reductions/matmul skip even that by indirecting their
+    element reads through the perm literal — so
+    ``transpose()[...]:...].sum(k)`` is ONE O(inner_size) pass per row
+    no matter how many structural ops are chained (naively chaining
+    gather expressions lets CollapseProject inline the producer into
+    every consumer lambda — measured O(size²) per row at inner size
+    4096). This is dask's blockwise slice fusion, resolved at plan
+    time on the driver."""
 
     def __init__(self, sdf, inner_shape: Sequence[int], col: str = "block",
-                 id_col: str | None = None):
+                 id_col: str | None = None, perm=None):
         self._sdf = sdf
         self._col = col
         self._id = id_col
         self.inner_shape = tuple(int(s) for s in inner_shape)
         if any(s <= 0 for s in self.inner_shape):
             raise ValueError(f"bad inner shape {self.inner_shape}")
+        self._perm = (
+            None
+            if perm is None
+            else _require_np().asarray(perm, dtype="int64").ravel()
+        )
 
     # ---- constructors -------------------------------------------------
     @classmethod
@@ -82,10 +112,11 @@ class NDArray:
 
         if len(self.inner_shape) != 1:
             raise ValueError(f"to_darray needs 1-D inner, got {self.inner_shape}")
-        return DArray(self._sdf, self._col, self._id)
+        m = self._materialize()
+        return DArray(m._sdf, m._col, m._id)
 
     def to_frame(self) -> DaskFrame:
-        return DaskFrame(self._sdf)
+        return DaskFrame(self._materialize()._sdf)
 
     # ---- metadata -----------------------------------------------------
     @property
@@ -114,13 +145,78 @@ class NDArray:
 
     # ---- the driver-computed gather ----------------------------------
     def _gather(self, flat_idx, inner_shape) -> "NDArray":
-        """One in-row gather through a literal 1-based index array —
-        the lowering target for every static structural op."""
-        idx = [int(i) + 1 for i in flat_idx]
+        """Compose the structural op into ``perm`` — pure numpy on the
+        driver, NO expression is added (see class docstring)."""
+        np = _require_np()
+        flat_idx = np.asarray(flat_idx, dtype="int64").ravel()
+        perm = flat_idx if self._perm is None else self._perm[flat_idx]
+        return NDArray(
+            self._sdf, tuple(inner_shape), self._col, self._id, perm=perm
+        )
+
+    def _materialize(self) -> "NDArray":
+        """Emit the ONE pending gather. Small inner: a JVM transform
+        over an np-array literal (a single Literal node evaluated once
+        — a python list would become CreateArray with len(idx) literal
+        children built per row, measured 2× slower at inner size
+        4096). Large inner: the Arrow/numpy kernel path (see
+        EXPR_FUSION_LIMIT)."""
+        if self._perm is None:
+            return self
+        if self.inner_size > EXPR_FUSION_LIMIT:
+            return self._np_apply(lambda blk: blk)
+        idx = F.lit((self._perm + 1).astype("int32"))
         b = F.col(self._col)
-        return self._with_block(
-            F.transform(F.lit(idx), lambda i: F.element_at(b, i)),
-            tuple(inner_shape),
+        return self._with_block(F.transform(idx, lambda i: F.element_at(b, i)))
+
+    def _np_apply(self, fn: Callable, out_inner=None) -> "NDArray":
+        """Vectorized Arrow kernel: apply the pending perm (one numpy
+        take) then ``fn`` over the whole-partition (rows, *inner)
+        tensor. The mapInPandas boundary doubles as a projection
+        barrier, so upstream computed columns evaluate exactly once."""
+        np = _require_np()
+        perm, inner = self._perm, self.inner_shape
+        col, keep = self._col, self._keep()
+        out_schema = ", ".join(
+            [*(f"{k} {dict(self._sdf.dtypes)[k]}" for k in keep),
+             f"{col} array<double>"]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf[col]]
+                ).reshape(len(pdf), -1)
+                if perm is not None:
+                    raw = raw[:, perm]
+                res = np.asarray(
+                    fn(raw.reshape(len(pdf), *inner)), dtype="float64"
+                )
+                pdf = pdf.copy()
+                pdf[col] = list(res.reshape(len(pdf), -1))
+                yield pdf
+
+        if out_inner is None:
+            probe = np.zeros((1, *inner))
+            out_inner = np.asarray(fn(probe)).shape[1:]
+        return NDArray(
+            self._sdf.mapInPandas(run, out_schema),
+            tuple(int(s) for s in out_inner) or (1,),
+            col, self._id,
+        )
+
+    def _src(self):
+        """Element accessor for fused consumers: 0-based LOGICAL flat
+        position Column -> value Column, indirected through the perm
+        literal when a gather is pending."""
+        b = F.col(self._col)
+        if self._perm is None:
+            return lambda pos: F.element_at(b, (pos + 1).cast("int"))
+        plit = F.lit((self._perm + 1).astype("int32"))
+        return lambda pos: F.element_at(
+            b, F.element_at(plit, (pos + 1).cast("int"))
         )
 
     def _index_tensor(self):
@@ -139,7 +235,7 @@ class NDArray:
         shape = tuple(int(s) for s in shape)
         if math.prod(shape) != self.inner_size:
             raise ValueError(f"cannot reshape inner {self.inner_shape} -> {shape}")
-        return NDArray(self._sdf, shape, self._col, self._id)
+        return NDArray(self._sdf, shape, self._col, self._id, perm=self._perm)
 
     def ravel(self) -> "NDArray":
         return self.reshape(self.inner_size)
@@ -197,11 +293,11 @@ class NDArray:
 
     def _masked(self, mask) -> "NDArray":
         """Zero-out via a literal 0/1 mask (tril/triu shape)."""
-        m = [int(v) for v in mask.ravel()]
+        np = _require_np()
+        self = self._materialize()
+        m = F.lit(np.asarray(mask, dtype="float64").ravel())
         b = F.col(self._col)
-        return self._with_block(
-            F.zip_with(b, F.lit(m).cast("array<double>"), lambda x, k: x * k)
-        )
+        return self._with_block(F.zip_with(b, m, lambda x, k: x * k))
 
     def tril(self, k: int = 0) -> "NDArray":
         np = _require_np()
@@ -251,14 +347,16 @@ class NDArray:
             else:
                 raise TypeError(f"unsupported inner selector {k!r}")
         shape = tuple(s for i, s in enumerate(t.shape) if i not in drop) or (1,)
-        if t.size == self.inner_size and (t.ravel() == np.arange(t.size)).all():
-            return NDArray(sdf, shape, self._col, self._id)  # no-op selection
-        return NDArray(sdf, self.inner_shape, self._col, self._id)._gather(
-            t.ravel(), shape
+        picked = NDArray(
+            sdf, self.inner_shape, self._col, self._id, perm=self._perm
         )
+        if t.size == self.inner_size and (t.ravel() == np.arange(t.size)).all():
+            return NDArray(sdf, shape, self._col, self._id, perm=self._perm)
+        return picked._gather(t.ravel(), shape)
 
     # ---- elementwise --------------------------------------------------
     def _unary(self, fn: Callable) -> "NDArray":
+        self = self._materialize()
         b = F.col(self._col)
         return self._with_block(F.transform(b, lambda x: fn(x)))
 
@@ -281,8 +379,9 @@ class NDArray:
         if isinstance(o, (int, float)):
             return self._unary(lambda x: fn(x, F.lit(float(o))))
         np = _require_np()
+        self = self._materialize()
         arr = np.broadcast_to(np.asarray(o, dtype="float64"), self.inner_shape)
-        lit = F.lit([float(v) for v in arr.ravel()])
+        lit = F.lit(arr.ravel().copy())
         b = F.col(self._col)
         return self._with_block(F.zip_with(b, lit, fn))
 
@@ -317,18 +416,22 @@ class NDArray:
         combine map-side; the single result row is rebuilt with an
         in-agg sort, never on the driver."""
         if axis == 0:
-            return self._reduce_rows(how)
+            return self._materialize()._reduce_rows(how)
         ai, rem = self._axis_strides(axis)
+        if self.inner_size > EXPR_FUSION_LIMIT:
+            return self._np_apply(
+                lambda blk: getattr(blk, how)(axis=ai + 1)
+            )
         k = self.inner_shape[ai]
         out_shape = tuple(s for i, s in enumerate(self.inner_shape) if i != ai) or (1,)
         out_size = math.prod(out_shape)
-        b = F.col(self._col)
+        src = self._src()  # fused: reads through the pending perm
 
         def cell(o):
             base = (o / F.lit(rem)).cast("long") * F.lit(k * rem) + o % F.lit(rem)
             run = F.transform(
                 F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda j: F.element_at(b, (base + j * F.lit(rem) + 1).cast("int")),
+                lambda j: src(base + j * F.lit(rem)),
             )
             if how == "sum":
                 return F.aggregate(run, F.lit(0.0), lambda a, x: a + x)
@@ -377,10 +480,12 @@ class NDArray:
         if b != M.shape[0]:
             raise ValueError(f"matmul shape mismatch {self.inner_shape} @ {M.shape}")
         c = M.shape[1]
-        mlit = F.lit([float(v) for v in M.ravel()])
-        blk = F.col(self._col)
         nlead = math.prod(lead) if lead else 1
         out_size = nlead * a * c
+        if max(self.inner_size, out_size) > EXPR_FUSION_LIMIT:
+            return self._np_apply(lambda blk: blk @ M)
+        mlit = F.lit(M.ravel().copy())
+        src = self._src()  # fused: reads through the pending perm
 
         def cell(o):
             li = (o / F.lit(a * c)).cast("long")
@@ -391,7 +496,7 @@ class NDArray:
                 F.sequence(F.lit(0), F.lit(b - 1)),
                 F.lit(0.0),
                 lambda acc, kk: acc
-                + F.element_at(blk, (base + kk + 1).cast("int"))
+                + src(base + kk)
                 * F.element_at(mlit, (kk * F.lit(c) + j + 1).cast("int")),
             )
 
@@ -429,43 +534,22 @@ class NDArray:
             sdf = self._sdf.repartition(npartitions)
         else:
             sdf = self._sdf.repartitionByRange(npartitions, F.col(self._id))
-        return NDArray(sdf, self.inner_shape, self._col, self._id)
+        return NDArray(sdf, self.inner_shape, self._col, self._id,
+                       perm=self._perm)
 
     # ---- python boundary ---------------------------------------------
     def map_blocks(self, fn: Callable) -> "NDArray":
         """fn(numpy (rows, *inner_shape)) -> same-leading-extent array;
         whole-partition Arrow batches (reference: array/core.py
-        map_blocks). The one legitimate Python escape hatch."""
-        inner = self.inner_shape
-        col, keep = self._col, self._keep()
-        out_schema = ", ".join(
-            [*(f"{k} {dict(self._sdf.dtypes)[k]}" for k in keep),
-             f"{col} array<double>"]
-        )
-
-        def run(batches):
-            np = _require_np()
-            for pdf in batches:
-                blocks = np.asarray(
-                    [np.asarray(v, dtype="float64") for v in pdf[col]]
-                ).reshape(len(pdf), *inner)
-                res = np.asarray(fn(blocks), dtype="float64")
-                out = res.reshape(len(pdf), -1)
-                pdf = pdf.copy()
-                pdf[col] = list(out)
-                yield pdf
-
-        probe = _require_np().zeros((1, *inner))
-        out_inner = _require_np().asarray(fn(probe)).shape[1:]
-        return NDArray(
-            self._sdf.mapInPandas(run, out_schema),
-            tuple(int(s) for s in out_inner) or (1,),
-            col, self._id,
-        )
+        map_blocks). The one legitimate Python escape hatch — a pending
+        structural perm is folded into the same kernel (one numpy take,
+        never a separate plan stage)."""
+        return self._np_apply(fn)
 
     def explode(self, pos_col: str = "pos", val_col: str = "val") -> DaskFrame:
         """(id?, pos, value) long form — the hash-checkable shape for
         oracle comparison and the bridge into DataFrame land."""
+        self = self._materialize()
         return DaskFrame(
             self._sdf.select(
                 *self._keep(),
@@ -475,13 +559,18 @@ class NDArray:
 
     def compute(self):
         """Materialize to one numpy array (id-ordered when available) —
-        driver-sized data only, like dask .compute()."""
+        driver-sized data only, like dask .compute(). A pending perm is
+        applied in numpy on the collected rows (cheaper than shipping
+        the gather into the plan for a driver-bound result)."""
         np = _require_np()
         sdf = self._sdf
         if self._id:
             sdf = sdf.orderBy(self._id)
         rows = [r[self._col] for r in sdf.select(self._col).collect()]
-        return np.asarray(rows, dtype="float64").reshape(-1, *self.inner_shape)
+        arr = np.asarray(rows, dtype="float64")
+        if self._perm is not None:
+            arr = arr[:, self._perm]
+        return arr.reshape(-1, *self.inner_shape)
 
 
 # ---- routines over scalar columns (reference: dask/array/routines.py)

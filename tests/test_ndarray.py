@@ -195,3 +195,32 @@ def test_histogram2d(spark):
         H[int(r["bx"]), int(r["by"])] = r["n"]
     want, _, _ = np.histogram2d(x, y, bins=4, range=((0, 10), (-5, 5)))
     np.testing.assert_array_equal(H, want)
+
+
+def test_large_inner_arrow_path(spark):
+    """Inner sizes above EXPR_FUSION_LIMIT must route through the
+    Arrow/numpy kernel: a 4096-wide COMPUTED block column (the worst
+    case — an expression gather consumer would let CollapseProject
+    re-inline the producer per element read, O(size²) per row) both
+    completes and matches the closed form."""
+    import pyspark.sql.functions as F
+
+    n, size = 2000, 4096
+    sdf = spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(size - 1)),
+            lambda i: (F.col("id") * size + i).cast("double"),
+        ).alias("block"),
+    )
+    nd = NDArray(sdf, (64, 64), "block", "id")
+    total = (
+        nd.transpose().sum(2).explode().to_spark().agg({"val": "sum"}).first()[0]
+    )
+    want = float(np.arange(n * size, dtype="float64").sum())
+    assert total == pytest.approx(want, rel=1e-12)
+    # matmul big path: identity matrix roundtrip on a sampled row
+    got = nd.matmul(np.eye(64))[[7]].compute()
+    np.testing.assert_allclose(
+        got.ravel(), np.arange(7 * size, 8 * size, dtype="float64")
+    )
