@@ -546,6 +546,50 @@ class NDArray:
         never a separate plan stage)."""
         return self._np_apply(fn)
 
+    def map_overlap(self, fn: Callable, depth: int,
+                    npartitions: int = 32) -> "NDArray":
+        """Axis-0 stencil (reference: dask/array/overlap.py
+        map_overlap): ship ``depth`` neighboring rows into each range
+        bucket, apply ``fn`` over the (core+halo, *inner) tensor,
+        trim — delegates to the frame-level halo machinery (one range
+        shuffle of ~(1+ε)×N rows at any scale). ``depth`` is in id
+        units, so it matches row counts when ids are dense. ``fn``
+        must be row-aligned (same leading extent in as out), numpy
+        (rows, *inner) -> (rows, *out_inner)."""
+        if self._id is None:
+            raise ValueError("map_overlap needs id_col (row order)")
+        np = _require_np()
+        m = self._materialize()
+        inner, col, id_ = m.inner_shape, m._col, m._id
+        id_dt = dict(m._sdf.dtypes)[id_]
+
+        probe = np.zeros((1, *inner))
+        out_inner = tuple(
+            int(s) for s in np.asarray(fn(probe)).shape[1:]
+        ) or (1,)
+
+        def run(pdf):
+            blk = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[col]]
+            ).reshape(len(pdf), *inner)
+            res = np.asarray(fn(blk), dtype="float64").reshape(len(pdf), -1)
+            out = pdf.copy()
+            out[col] = list(res)
+            return out
+
+        from dask_spark.operators.window import map_overlap as frame_mo
+
+        out = frame_mo(
+            DaskFrame(m._sdf),
+            run,
+            schema=f"{id_} {id_dt}, {col} array<double>",
+            on=id_,
+            before=depth,
+            after=depth,
+            npartitions=npartitions,
+        )
+        return NDArray(out._sdf, out_inner, col, id_)
+
     def explode(self, pos_col: str = "pos", val_col: str = "val") -> DaskFrame:
         """(id?, pos, value) long form — the hash-checkable shape for
         oracle comparison and the bridge into DataFrame land."""
@@ -571,6 +615,65 @@ class NDArray:
         if self._perm is not None:
             arr = arr[:, self._perm]
         return arr.reshape(-1, *self.inner_shape)
+
+
+def concatenate(arrays: Sequence[NDArray], axis: int = 0) -> NDArray:
+    """np.concatenate (reference: dask/array/core.py concatenate).
+    axis 0 = unionByName of materialized blocks (row-id spaces are the
+    caller's concern, as with dask's unknown divisions); inner axes =
+    ONE id-equijoin per extra operand + a single numpy-planned gather
+    over the concatenated flat blocks — no Python at runtime."""
+    if not arrays:
+        raise ValueError("concatenate needs at least one array")
+    np = _require_np()
+    ms = [a._materialize() for a in arrays]
+    a0 = ms[0]
+    if axis == 0:
+        if any(m.inner_shape != a0.inner_shape for m in ms):
+            raise ValueError("axis-0 concatenate needs identical inner shapes")
+        sdf = ms[0]._sdf.select(*a0._keep(), a0._col)
+        for m in ms[1:]:
+            sdf = sdf.unionByName(m._sdf.select(*m._keep(), m._col))
+        return NDArray(sdf, a0.inner_shape, a0._col, a0._id)
+    ai = axis - 1
+    for m in ms:
+        if m._id is None:
+            raise ValueError("inner-axis concatenate joins by id_col")
+        if (
+            m.inner_shape[:ai] != a0.inner_shape[:ai]
+            or m.inner_shape[ai + 1:] != a0.inner_shape[ai + 1:]
+        ):
+            raise ValueError("non-concat axes must match")
+    joined = ms[0]._sdf.select(a0._id, F.col(a0._col).alias("__b0"))
+    for i, m in enumerate(ms[1:], 1):
+        joined = joined.join(
+            m._sdf.select(
+                F.col(m._id).alias(a0._id), F.col(m._col).alias(f"__b{i}")
+            ),
+            a0._id,
+        )
+    combined = F.concat(*[F.col(f"__b{i}") for i in range(len(ms))])
+    sdf = joined.select(a0._id, combined.alias(a0._col))
+    # numpy plans the interleave over the concatenated flat layout
+    offs, tensors = 0, []
+    for m in ms:
+        tensors.append(
+            np.arange(m.inner_size, dtype="int64").reshape(m.inner_shape) + offs
+        )
+        offs += m.inner_size
+    cat = np.concatenate(tensors, axis=ai)
+    return NDArray(
+        sdf, cat.shape, a0._col, a0._id, perm=cat.ravel()
+    )
+
+
+def stack(arrays: Sequence[NDArray], axis: int = 1) -> NDArray:
+    """np.stack along a NEW inner axis (reference: dask/array/core.py
+    stack) = expand_dims + concatenate. axis >= 1 (the distributed row
+    axis cannot become an inner axis without a global re-block)."""
+    if axis == 0:
+        raise ValueError("cannot stack along the distributed row axis")
+    return concatenate([a.expand_dims(axis) for a in arrays], axis=axis)
 
 
 # ---- routines over scalar columns (reference: dask/array/routines.py)

@@ -224,3 +224,48 @@ def test_large_inner_arrow_path(spark):
     np.testing.assert_allclose(
         got.ravel(), np.arange(7 * size, 8 * size, dtype="float64")
     )
+
+
+def test_concatenate_stack(nd, ref, spark):
+    from dask_spark.ndarray import concatenate, stack
+
+    both = concatenate([nd, nd], axis=0)
+    assert both.inner_shape == nd.inner_shape
+    assert both._sdf.count() == 2 * len(ref)
+    # inner-axis concat: (2,3,4) ++ (2,3,4) along axis 2 -> (2,6,4)
+    c = concatenate([nd, nd + 100.0], axis=2)
+    want = np.concatenate([ref, ref + 100.0], axis=2)
+    np.testing.assert_allclose(c.compute(), want)
+    # stack along a new axis -> (2, 2, 3, 4)
+    s = stack([nd, nd * 2], axis=1)
+    want = np.stack([ref, ref * 2], axis=1)
+    np.testing.assert_allclose(s.compute(), want)
+    with pytest.raises(ValueError):
+        stack([nd, nd], axis=0)
+
+
+def test_map_overlap_stencil(spark):
+    """Axis-0 moving mean over a 3-row window via halo shipping must
+    match the closed form away from the edges and complete without a
+    global single-partition step."""
+    import pyspark.sql.functions as F
+    from dask_spark.ndarray import NDArray
+
+    n, d = 200, 4
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": range(n), "block": [[float(r * d + i) for i in range(d)] for r in range(n)]}
+        )
+    )
+    nd = NDArray(sdf, (d,), "block", "id")
+
+    def smooth(blk):
+        out = blk.copy()
+        out[1:-1] = (blk[:-2] + blk[1:-1] + blk[2:]) / 3.0
+        return out
+
+    got = nd.map_overlap(smooth, depth=1, npartitions=8).compute()
+    full = nd.compute()
+    want = smooth(full)
+    # interior rows (away from every bucket's outer edge) must match
+    np.testing.assert_allclose(got[2:-2], want[2:-2], rtol=1e-12)
