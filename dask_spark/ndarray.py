@@ -667,6 +667,60 @@ def concatenate(arrays: Sequence[NDArray], axis: int = 0) -> NDArray:
     )
 
 
+def coarsen(reduction: str, x: NDArray, axes: dict, trim_excess: bool = False
+            ) -> NDArray:
+    """Block-reduction downsampling (reference: dask/array/routines.py
+    :2363 coarsen): shrink axis ``a`` by factor ``f`` applying
+    ``reduction`` ("sum"/"mean"/"max"/"min") over each f-block.
+
+    Inner axes: a row-major split reshape (pure metadata — axis s
+    splits contiguously into (s/f, f)) + the stride-walk reduce, so
+    any number of inner coarsens stay ONE map-only pass. Axis 0: rows
+    group as id//f — posexplode + groupBy((id//f), position), one
+    shuffle of inner_size scalars per row, result rebuilt in-agg."""
+    np = _require_np()
+    how = reduction
+    if how not in ("sum", "mean", "max", "min"):
+        raise ValueError(f"unsupported reduction {how!r}")
+    # inner axes first, one at a time (each reduce removes its split
+    # axis, so recompute positions as we go)
+    inner_axes = sorted(a for a in axes if a != 0)
+    for a in inner_axes:
+        f = int(axes[a])
+        s = list(x.inner_shape)
+        ai = a - 1
+        if s[ai] % f:
+            if not trim_excess:
+                raise ValueError(
+                    f"axis {a} extent {s[ai]} not divisible by {f} "
+                    "(pass trim_excess=True)"
+                )
+            keep = (s[ai] // f) * f
+            x = x[(slice(None),) * (a) + (slice(0, keep),)]
+            s = list(x.inner_shape)
+        split = s[:ai] + [s[ai] // f, f] + s[ai + 1:]
+        x = x.reshape(*split)._reduce(a + 1, how)
+    if 0 in axes:
+        f = int(axes[0])
+        m = x._materialize()
+        if m._id is None:
+            raise ValueError("axis-0 coarsen needs id_col")
+        gid = (F.col(m._id) / F.lit(f)).cast("long").alias("__g")
+        ex = m._sdf.select(
+            gid, F.posexplode(F.col(m._col)).alias("__p", "__v")
+        )
+        agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[how]
+        per = ex.groupBy("__g", "__p").agg(agg("__v").alias("__a"))
+        rows = per.groupBy("__g").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__a"))),
+                lambda s_: s_["__a"],
+            ).alias(m._col)
+        ).withColumnRenamed("__g", m._id)
+        x = NDArray(rows, x.inner_shape, m._col, m._id)
+    return x
+
+
 def stack(arrays: Sequence[NDArray], axis: int = 1) -> NDArray:
     """np.stack along a NEW inner axis (reference: dask/array/core.py
     stack) = expand_dims + concatenate. axis >= 1 (the distributed row

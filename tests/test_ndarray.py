@@ -269,3 +269,37 @@ def test_map_overlap_stencil(spark):
     want = smooth(full)
     # interior rows (away from every bucket's outer edge) must match
     np.testing.assert_allclose(got[2:-2], want[2:-2], rtol=1e-12)
+
+
+def test_coarsen(spark):
+    """coarsen matches dask/numpy block reduction on inner axes and on
+    the distributed row axis."""
+    from dask_spark.ndarray import NDArray, coarsen
+
+    n, s1, s2 = 8, 4, 6
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "block": [
+                [float((r * s1 * s2 + i) % 23) for i in range(s1 * s2)]
+                for r in range(n)
+            ],
+        }
+    )
+    nd = NDArray(spark.createDataFrame(pdf), (s1, s2), "block", "id")
+    ref = nd.compute()
+
+    got = coarsen("mean", nd, {1: 2, 2: 3}).compute()
+    want = ref.reshape(n, 2, 2, 2, 3).mean(axis=(2, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    got = coarsen("sum", nd, {0: 2}).compute()
+    want = ref.reshape(4, 2, s1, s2).sum(axis=1)  # rows group as id//2
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # trim_excess drops the ragged tail like dask
+    got = coarsen("max", nd, {2: 4}, trim_excess=True).compute()
+    want = ref[:, :, :4].reshape(n, s1, 1, 4).max(axis=3)
+    np.testing.assert_allclose(got, want)
+    with pytest.raises(ValueError):
+        coarsen("max", nd, {2: 4})
