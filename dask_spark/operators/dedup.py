@@ -426,7 +426,10 @@ def embedding_dedup_pairs(frame, vec_col: str = "embedding",
     from dask_spark.functions.vector import cosine_sim, lsh_band_signature_udf
 
     sdf = frame._sdf
-    dim = len(sdf.select(vec_col).first()[0])
+    # dim probe: one row. Empty corpus -> any dim works (zero rows flow
+    # through to an empty pair set with the right schema).
+    row = sdf.select(vec_col).first()
+    dim = len(row[0]) if row is not None and row[0] is not None else 1
     sig_udf = lsh_band_signature_udf(dim, planes, bands, seed)
     keyed = sdf.select(
         id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")

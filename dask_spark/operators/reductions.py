@@ -63,7 +63,11 @@ def histogram(frame, col: str, bins: int = 10,
 
     if range is None:
         lo, hi = frame._sdf.agg(F.min(col), F.max(col)).first()
+        if lo is None or hi is None:
+            lo, hi = 0.0, 1.0  # numpy's default range for empty input
         lo, hi = float(lo), float(hi)
+        if lo == hi:  # constant column: numpy widens to (v-0.5, v+0.5)
+            lo, hi = lo - 0.5, hi + 0.5
     else:
         lo, hi = float(range[0]), float(range[1])
     w = (hi - lo) / bins

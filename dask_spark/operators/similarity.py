@@ -109,6 +109,10 @@ def assign_clusters(frame, centroids, vec_col: str = "embedding"):
     literal-array distances (map-only)."""
     from dask_spark.frame import DaskFrame
 
+    if not centroids:
+        # empty corpus sampled no centroids: every (nonexistent) row
+        # belongs to cell 0, keeping the schema stable downstream
+        return DaskFrame(frame._sdf.withColumn("cluster", F.lit(0)))
     dists = [
         F.aggregate(
             F.zip_with(F.col(vec_col), _query_lit(c), lambda x, y: (x - y) * (x - y)),
@@ -220,7 +224,9 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
 
     from pyspark.sql import Window
 
-    dim = len(left._sdf.select(vec_col).first()[0])
+    # dim probe: one row; empty left side -> empty join output either way
+    row = left._sdf.select(vec_col).first()
+    dim = len(row[0]) if row is not None and row[0] is not None else 1
     sig = lsh_band_signature_udf(dim, planes, bands, seed)
 
     def banded(sdf, prefix):

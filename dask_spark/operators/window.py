@@ -568,7 +568,8 @@ def map_overlap(frame, fn, schema: str, on: str, before: float = 0,
         cuts = sdf.agg(
             F.percentile_approx(F.col(on).cast("double"), qs).alias("c")
         ).first()["c"]
-        cuts = sorted(set(float(c) for c in cuts if c is not None))
+        # percentile of an empty frame is null -> single bucket
+        cuts = sorted(set(float(c) for c in (cuts or []) if c is not None))
     else:
         cuts = []
     ocol = F.col(on).cast("double")

@@ -2536,7 +2536,10 @@ def autocorr(spark, sf_dir):
     values. Scalar result wrapped in a 1-row frame."""
     e = load(spark, sf_dir, "events")
     v = e.value.autocorr(lag=1, order_by="event_id")
-    return spark.createDataFrame([(round(v, 6),)], "autocorr double")
+    # corr of an empty/degenerate series is null (pandas: NaN)
+    return spark.createDataFrame(
+        [(round(v, 6) if v is not None else None,)], "autocorr double"
+    )
 
 
 @q(
@@ -3533,7 +3536,8 @@ def join_q22_idle_customers(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     o = o[o.o_totalprice > 400000][["o_custkey"]]
-    avg_bal = round(c[c.c_acctbal > 0.0].c_acctbal.mean(), 2)
+    m = c[c.c_acctbal > 0.0].c_acctbal.mean()
+    avg_bal = round(m, 2) if m is not None else 0.0  # empty: no rich rows
     rich = c[c.c_acctbal > avg_bal]
     idle = rich.merge(
         o, left_on="c_custkey", right_on="o_custkey", how="anti"

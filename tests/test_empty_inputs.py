@@ -1,0 +1,74 @@
+"""Empty-input hardening: every operator must either flow zero rows
+through to an empty result with a stable schema, or raise a CLEAR
+error where the math is undefined (numpy parity: factorizing an empty
+matrix). Mirrors the reference's empty-partition tests
+(dask/dataframe/tests/test_dataframe.py empty cases)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
+    return str(d)
+
+
+# the ops that previously crashed on zero rows (driver-side scalar
+# fetches returning None) — each must now yield an empty/null result
+PREVIOUSLY_BROKEN = [
+    "dedup_embed_lsh",
+    "ann_knn_join",
+    "ann_ivf",
+    "autocorr",
+    "histogram",
+    "map_overlap",
+    "join_q22_idle_customers",
+]
+
+
+@pytest.mark.parametrize("name", PREVIOUSLY_BROKEN)
+def test_empty_input_flows_through(spark, empty_dir, name):
+    import __spark_entry__ as E
+
+    df = E.queries()[name](spark, empty_dir)
+    rows = df.limit(5).collect()
+    if name == "autocorr":  # scalar query: one row, null value
+        assert len(rows) == 1 and rows[0][0] is None
+    else:
+        assert rows == []
+
+
+def test_empty_linalg_raises_clearly(spark, empty_dir):
+    """cholesky/tsqr of an empty array: a clear ValueError, not a
+    NoneType crash (numpy cannot factorize empty matrices either)."""
+    import __spark_entry__ as E
+
+    for name in ("arr_cholesky", "arr_tsqr"):
+        with pytest.raises(ValueError, match="empty"):
+            E.queries()[name](spark, empty_dir).limit(1).collect()
+
+
+def test_histogram_constant_column(spark):
+    """min == max: numpy widens the range to (v-0.5, v+0.5) instead of
+    a zero-width bin (division by zero)."""
+    import dask_spark as ds
+    from dask_spark.operators.reductions import histogram
+
+    f = ds.from_pandas(pd.DataFrame({"v": [3.0, 3.0, 3.0]}))
+    out = histogram(f, "v", bins=4).to_spark().toPandas()
+    assert out["n"].sum() == 3
+    assert (out["bin_lo"] >= 2.5).all() and (out["bin_hi"] <= 3.5).all()
