@@ -858,6 +858,13 @@ class DArray:
         if of == "gram":
             # R-only tsqr: reuse the partial-R tree without the Q pass
             R = self._tsqr_r_only()
+            if R.shape[0] != R.shape[1]:
+                # fewer rows than dims: the gram is rank-deficient and
+                # has no Cholesky factor (numpy raises LinAlgError too)
+                raise ValueError(
+                    f"cholesky of a rank-deficient gram: need >= dim "
+                    f"rows, R is {R.shape}"
+                )
             return R.T
         if of != "self":
             raise ValueError("of must be 'gram'|'self'")

@@ -72,3 +72,23 @@ def test_histogram_constant_column(spark):
     out = histogram(f, "v", bins=4).to_spark().toPandas()
     assert out["n"].sum() == 3
     assert (out["bin_lo"] >= 2.5).all() and (out["bin_hi"] <= 3.5).all()
+
+
+def test_single_row_sweep_contract(spark, tmp_path):
+    """One-row tables: degenerate stats must not crash with opaque
+    index errors — cholesky of a rank-deficient gram raises a clear
+    ValueError (the rest of the registry passes, checked by the
+    round's sweep)."""
+    import duckdb
+
+    import dask_spark as ds
+    from dask_spark.array import DArray
+
+    con = duckdb.connect()
+    con.sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet' "
+        f"LIMIT 1) TO '{tmp_path}/embeddings.parquet' (FORMAT parquet)"
+    )
+    e = ds.read_parquet(f"{tmp_path}/embeddings.parquet")
+    with pytest.raises(ValueError, match="rank-deficient"):
+        DArray.from_frame(e, "embedding", "vec_id").cholesky()
