@@ -61,9 +61,15 @@ def extract_meta(frame):
 def _fake_decode(blob: bytes, width: int, height: int, out_dim: int = 10) -> list[float]:
     """DETERMINISTIC FAKE decoder (no image libs in container).
     Real impl: PIL.Image.open(io.BytesIO(blob)) → resize → np.asarray.
-    Emits exactly ``out_dim`` floats: hashed-byte features then (w, h)."""
-    h = hashlib.sha256(blob).digest()
-    feats = [b / 255.0 for b in h[: max(out_dim - 2, 0)]] + [float(width), float(height)]
+    Emits exactly ``out_dim`` floats: hashed-byte features then (w, h).
+    A null/absent blob (corrupt upstream row) decodes to the empty-
+    bytes features rather than crashing the whole Arrow batch — the
+    real decoder would do the same (skip-and-flag, never fail the
+    task)."""
+    h = hashlib.sha256(blob if blob is not None else b"").digest()
+    feats = [b / 255.0 for b in h[: max(out_dim - 2, 0)]] + [
+        float(width or 0), float(height or 0)
+    ]
     return feats[:out_dim]
 
 

@@ -92,3 +92,31 @@ def test_single_row_sweep_contract(spark, tmp_path):
     e = ds.read_parquet(f"{tmp_path}/embeddings.parquet")
     with pytest.raises(ValueError, match="rank-deficient"):
         DArray.from_frame(e, "embedding", "vec_id").cholesky()
+
+
+def test_multimodal_decode_null_blob(spark):
+    """A corrupt row (null media / null dims) must decode to the
+    empty-bytes features, never crash the Arrow batch."""
+    import pandas as pd
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.multimodal import decode_features
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "media": [b"ok-bytes", None],
+            "meta": [
+                {"kind": "image", "width": 8, "height": 8, "n_frames": 1},
+                {"kind": "image", "width": None, "height": None, "n_frames": 1},
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        "doc_id bigint, media binary, "
+        "meta struct<kind:string,width:int,height:int,n_frames:int>",
+    )
+    out = decode_features(DaskFrame(sdf)).compute()
+    assert len(out) == 2
+    assert all(len(f) == 10 for f in out.features)
