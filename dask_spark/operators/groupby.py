@@ -361,6 +361,11 @@ class GroupBy:
         """Alias of agg (reference _groupby.py aggregate)."""
         return self.agg(*a, **kw)
 
+    def compute(self, *a, **kw):
+        """Eager collect of the grouped frame (reference: GroupBy
+        delegates compute to the underlying collection)."""
+        return self._frame.compute(*a, **kw)
+
     def prod(self, cols=None):
         return self._simple("prod", cols)
 

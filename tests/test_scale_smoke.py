@@ -50,3 +50,51 @@ def test_global_sort_and_agg_5m(spark):
     total = f.groupby("v").size().compute()
     assert len(total) == MOD
     assert int(total["size"].sum()) == N
+
+
+def test_ndarray_axis0_reduce_5m(spark):
+    """N-D axis-0 mean at 5M rows × dim 8 against the closed form:
+    component j holds (id % MOD + j) so mean_j = mean(id % MOD) + j.
+    Verifies the posexplode+groupBy(position) path map-combines rather
+    than funneling rows anywhere."""
+    from dask_spark.ndarray import NDArray
+
+    sdf = spark.range(N).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: ((F.col("id") % MOD) + j).cast("double"),
+        ).alias("block"),
+    )
+    nd = NDArray(sdf, (8,), "block", "id")
+    got = nd.mean(0).compute()[0]
+    full, rem = divmod(N, MOD)
+    mean_mod = (full * CYCLE + rem * (rem - 1) // 2) / N
+    for j in range(8):
+        assert abs(got[j] - (mean_mod + j)) < 1e-9
+
+
+def test_classifier_scores_5m_closed_form(spark):
+    """Linear classifier inference at 5M synthetic one-token docs:
+    every doc's score is bias + weights[hash(token) % D] exactly, and
+    the plan is map-only (no exchange before the final collect)."""
+    import hashlib
+
+    from dask_spark.functions.text import hashed_linear_scores
+
+    D = 8
+    W = [[float(f) for f in range(D)]]
+    sdf = spark.range(N).select(
+        "id", F.concat(F.lit("tok"), (F.col("id") % 10).cast("string")).alias("text")
+    )
+    out = hashed_linear_scores(sdf, W, [1.0], labels=["q"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {
+        r["id"]: r["score_q"]
+        for r in out.filter(F.col("id").isin([0, 9, 4_999_999])).collect()
+    }
+    for i, s in got.items():
+        tok = f"tok{i % 10}"
+        f = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+        assert s == 1.0 + W[0][f]
