@@ -794,3 +794,60 @@ def canonicalize(docs, pairs, id_col: str = "doc_id",
         (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
     )
     return DaskFrame(out)
+
+
+def semantic_dedup(frame, vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_clusters: int = 16, threshold: float = 0.95,
+                   centroids=None):
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    public): cluster the embedding space, then within each cluster
+    drop every point whose cosine to a LOWER-id member exceeds
+    ``threshold`` (the greedy keep-first rule). Composition of the
+    engine's own pieces — kmeans_centroids (deterministic driver
+    sample, k×dim literals) + assign_clusters (map-only argmin) + a
+    per-cluster pairwise verify.
+
+    Returns (id, cluster, keep) for every input row.
+
+    100 TB shape: ONE shuffle keyed by cluster id; the pairwise stage
+    is O(m²) per cluster, which is the SemDeDup contract — pick
+    n_clusters so m ≈ N/k stays in the 1e3–1e5 band (the paper uses
+    ~100k clusters at web scale), and AQE skew-join splits any
+    overgrown cell. Unlike the banded-LSH path (embedding_dedup_pairs,
+    recall-bounded), this is exhaustive WITHIN cells and deliberately
+    blind across them."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.vector import cosine_sim
+    from dask_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(frame, vec_col, n_clusters)
+    assigned = assign_clusters(frame, centroids, vec_col)._sdf.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a." + id_col) > F.col("b." + id_col)),
+        )
+        .filter(
+            cosine_sim(F.col("a." + vec_col), F.col("b." + vec_col))
+            >= F.lit(threshold)
+        )
+        .select(F.col("a." + id_col).alias("__drop_id"))
+        .distinct()
+    )
+    out = assigned.join(
+        dup_pairs, assigned[id_col] == dup_pairs["__drop_id"], "left"
+    ).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("__drop_id").isNull().alias("keep"),
+    )
+    return DaskFrame(out)

@@ -3920,6 +3920,21 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+@q("dedup_semantic", None)  # centroids are a driver kmeans — rows-only
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-shape semantic dedup: deterministic kmeans cells +
+    within-cell pairwise cosine, greedy keep-lowest-id. Rows-only in
+    the oracle (the kmeans runs on the driver), exact python-replay
+    parity asserted in tests/test_llm_ops.py."""
+    from dask_spark.operators.dedup import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        e, "embedding", "vec_id", n_clusters=8, threshold=0.9
+    )
+    return out.to_spark().select("vec_id", "cluster", "keep")
+
+
 # --------------------- classifier inference (text.py) -----------------------
 # Deterministic 3×64 toy model: the shape of a real offline-trained
 # quality classifier whose weights ride the plan as literals.

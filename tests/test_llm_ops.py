@@ -700,3 +700,56 @@ def test_hashed_linear_classifier(spark):
         word_hash="xxhash64",
     )
     assert {"score_a", "score_b", "label"} <= set(fast.columns)
+
+
+def test_semantic_dedup_matches_python_replay(spark, tables):
+    """semantic_dedup must EXACTLY reproduce a python replay: same
+    deterministic centroids, same argmin assignment, same greedy
+    keep-lowest-id rule within each cell."""
+    import numpy as np
+
+    from dask_spark.operators.dedup import semantic_dedup
+    from dask_spark.operators.similarity import kmeans_centroids
+
+    import dask_spark as ds
+    import pyspark.sql.functions as F
+
+    base = tables["embeddings"]
+    # union an id-offset copy: every vector gains an exact duplicate
+    # (cos = 1), so the greedy rule must drop the higher-id twin
+    copy = ds.DaskFrame(
+        base._sdf.select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    emb = ds.DaskFrame(
+        base._sdf.select("vec_id", "embedding").unionByName(copy._sdf)
+    )
+    cents = kmeans_centroids(emb, "embedding", n_clusters=8)
+    got = (
+        semantic_dedup(emb, "embedding", "vec_id", threshold=0.9,
+                       centroids=cents)
+        .compute()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    pdf = emb.compute().sort_values("vec_id").reset_index(drop=True)
+    V = np.asarray([np.asarray(v, dtype="float64") for v in pdf.embedding])
+    C = np.asarray(cents)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+    keep = np.ones(len(V), dtype=bool)
+    norms = np.linalg.norm(V, axis=1)
+    for c in range(len(C)):
+        idx = np.where(cluster == c)[0]
+        for pos, i in enumerate(idx):
+            for j in idx[:pos]:
+                cos = V[i] @ V[j] / (norms[i] * norms[j])
+                if cos >= 0.9:
+                    keep[i] = False
+                    break
+    assert (got.cluster.to_numpy() == cluster).all()
+    assert (got.keep.to_numpy() == keep).all()
+    # every duplicated vector keeps exactly its low-id twin
+    assert keep.sum() == len(V) // 2
