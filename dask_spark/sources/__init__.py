@@ -20,15 +20,54 @@ def _spark() -> SparkSession:
     return SparkSession.getActiveSession() or get_spark()
 
 
+def _dnf_to_column(filters):
+    """dask/pyarrow filter DNF → one Column predicate: a flat list of
+    (col, op, val) tuples is an AND; a list of such lists is an OR of
+    ANDs (reference: dask/dataframe/io/parquet filters kwarg)."""
+    import pyspark.sql.functions as F
+
+    OPS = {
+        "==": lambda c, v: c == v, "=": lambda c, v: c == v,
+        "!=": lambda c, v: c != v, "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(list(v)),
+        "not in": lambda c, v: ~c.isin(list(v)),
+    }
+
+    def conj(tuples):
+        cond = None
+        for col, op, val in tuples:
+            if op not in OPS:
+                raise ValueError(f"unsupported filter op {op!r}")
+            piece = OPS[op](F.col(col), val)
+            cond = piece if cond is None else (cond & piece)
+        return cond if cond is not None else F.lit(True)
+
+    if filters and isinstance(filters[0], (list, tuple)) and filters[0] \
+            and isinstance(filters[0][0], (list, tuple)):
+        out = None
+        for group in filters:
+            c = conj(group)
+            out = c if out is None else (out | c)
+        return out
+    return conj(filters)
+
+
 def read_parquet(path: str | Sequence[str], columns: Sequence[str] | None = None,
-                 filters: str | None = None) -> DaskFrame:
+                 filters=None) -> DaskFrame:
     """reference: dask/dataframe/io/parquet — engine-level pushdown of
-    `columns`/`filters`; here both also reach the scan via Catalyst."""
+    `columns`/`filters`; here both also reach the scan via Catalyst.
+    ``filters`` accepts a SQL predicate string OR dask's tuple DNF
+    ([("col", ">=", v), ...] / list-of-lists for OR-of-ANDs)."""
     from dask_spark.functions import normalize_ntz
 
     sdf = _spark().read.parquet(*([path] if isinstance(path, str) else path))
-    if filters:
-        sdf = sdf.filter(filters)
+    if filters is not None:
+        if isinstance(filters, str):
+            sdf = sdf.filter(filters)
+        else:
+            sdf = sdf.filter(_dnf_to_column(list(filters)))
     if columns:
         sdf = sdf.select(*columns)
     # writers disagree on timestamp flavor (LTZ vs NTZ); canonicalize at

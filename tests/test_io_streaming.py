@@ -389,3 +389,30 @@ def test_streaming_transform_with_state(spark):
         assert (pdf.max_value <= pdf.total + 1e-9).all()
     finally:
         q.stop()
+
+
+def test_read_parquet_dnf_filters(spark, sf_dir):
+    """dask's tuple-DNF filters kwarg: flat list = AND, list-of-lists
+    = OR of ANDs — and the predicate reaches the parquet scan."""
+    import dask_spark as ds
+
+    p = f"{sf_dir}/lineitem.parquet"
+    flat = ds.read_parquet(
+        p, columns=["l_quantity", "l_discount"],
+        filters=[("l_quantity", "<", 10.0), ("l_discount", ">=", 0.05)],
+    )
+    pdf = flat.compute()
+    assert (pdf.l_quantity < 10).all() and (pdf.l_discount >= 0.05).all()
+    plan = flat._sdf._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan
+
+    dnf = ds.read_parquet(
+        p, filters=[[("l_quantity", "==", 1.0)], [("l_quantity", "==", 2.0)]]
+    ).compute()
+    assert set(dnf.l_quantity.unique()) <= {1.0, 2.0}
+    assert len(dnf) > 0
+
+    inlist = ds.read_parquet(
+        p, filters=[("l_linestatus", "in", ["F"])]
+    ).compute()
+    assert set(inlist.l_linestatus.unique()) == {"F"}
