@@ -45,17 +45,21 @@ HEADLINE = [
 
 
 def materialize(df) -> int:
-    """Force FULL evaluation of every output column. A bare count()
-    lets Catalyst prune unused columns, so projection-only queries
-    would skip their expensive expressions entirely; instead aggregate
-    row count + an xxhash64 checksum over all columns (pmod-bounded so
-    the bigint sum cannot overflow under ANSI)."""
+    """Force FULL evaluation of every output column AND any output
+    ordering. A bare count() lets Catalyst prune unused columns, so
+    projection-only queries would skip their expensive expressions;
+    and a plain checksum aggregate lets EliminateSorts drop a final
+    orderBy (the sort_values bench never executed its sort, r1-r4).
+    The nondeterministic position column blocks sort elimination — a
+    real consumer collecting ordered results pays for the sort, so the
+    bench should too (the DuckDB oracle side executes its ORDER BY)."""
     import pyspark.sql.functions as F
 
-    r = df.agg(
+    w = df.withColumn("__pos", F.monotonically_increasing_id())
+    r = w.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_003))
+            F.pmod(F.xxhash64(*[F.col(c) for c in w.columns]), F.lit(1_000_003))
         ).alias("chk"),
     ).first()
     return r["n"]
