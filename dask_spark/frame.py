@@ -1780,10 +1780,35 @@ class _Loc:
             rows, cols = key
         else:
             rows, cols = key, None
+        idx = getattr(frame, "_index_col", None)
         if isinstance(rows, Series):
             frame = DaskFrame(frame._sdf.filter(rows._expr))
-        elif not (isinstance(rows, slice) and rows == slice(None)):
-            raise TypeError("loc rows must be a boolean Series or ':'")
+        elif isinstance(rows, slice) and rows == slice(None):
+            pass
+        elif isinstance(rows, slice) and idx is not None:
+            # dask loc value-range over the set_index column —
+            # INCLUSIVE of both ends (pandas/dask label semantics);
+            # a plain predicate, so it pushes to the scan and prunes
+            # range partitions exactly like dask prunes divisions
+            if rows.step is not None:
+                raise TypeError("loc slices take no step (label-based)")
+            cond = None
+            if rows.start is not None:
+                cond = F.col(idx) >= rows.start
+            if rows.stop is not None:
+                hi = F.col(idx) <= rows.stop
+                cond = hi if cond is None else (cond & hi)
+            if cond is not None:
+                frame = DaskFrame(frame._sdf.filter(cond))
+        elif idx is not None and not isinstance(rows, (slice, list, tuple)):
+            frame = DaskFrame(frame._sdf.filter(F.col(idx) == rows))
+        elif idx is not None and isinstance(rows, (list, tuple)):
+            frame = DaskFrame(frame._sdf.filter(F.col(idx).isin(list(rows))))
+        else:
+            raise TypeError(
+                "loc rows must be a boolean Series, ':', or (after "
+                "set_index) an index value / list / value-range slice"
+            )
         if cols is not None:
             cols = [cols] if isinstance(cols, str) else list(cols)
             frame = DaskFrame(frame._sdf.select(*cols))

@@ -25,7 +25,9 @@ def set_index(frame, col: str, npartitions: int | None = None):
         sdf = sdf.repartitionByRange(npartitions, F.col(col))
     else:
         sdf = sdf.repartitionByRange(F.col(col))
-    return DaskFrame(sdf.sortWithinPartitions(col))
+    out = DaskFrame(sdf.sortWithinPartitions(col))
+    out._index_col = col  # enables label-based .loc range slicing
+    return out
 
 
 def num_partitions(sdf) -> int:

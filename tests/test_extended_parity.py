@@ -430,3 +430,27 @@ def test_divisions_and_expr_shims(tables):
 
     assert callable(ds.assert_eq)
     assert isinstance(f.analyze(), str)
+
+
+def test_loc_label_slicing_after_set_index(tables):
+    """dask loc semantics on an indexed frame: value-range slices are
+    INCLUSIVE of both ends, scalars and lists filter by label, and the
+    predicate is a plain filter (pushdown-able, divisions-pruning
+    analog)."""
+    f = tables["orders"].set_index("o_orderkey")
+    pdf = f.loc[100:200].compute()
+    assert pdf.o_orderkey.between(100, 200).all()
+    assert (
+        tables["orders"].compute().o_orderkey.between(100, 200).sum()
+        == len(pdf)
+    )
+    one = f.loc[pdf.o_orderkey.iloc[0]].compute()
+    assert len(one) == 1
+    some = f.loc[list(pdf.o_orderkey.iloc[:3])].compute()
+    assert len(some) == 3
+    open_ended = f.loc[:200].compute()
+    assert (open_ended.o_orderkey <= 200).all()
+    import pytest as _pt
+
+    with _pt.raises(TypeError):
+        tables["orders"].loc[100:200]  # no index set -> label loc invalid
