@@ -701,8 +701,10 @@ class Series:
     def add_suffix(self, suffix: str) -> "Series":
         return Series(self._frame, self._expr, f"{self._name}{suffix}")
 
-    def compute(self):
-        """Collect to a pandas Series (terminal action)."""
+    def compute(self, **kwargs):
+        """Collect to a pandas Series (terminal action). Scheduler
+        kwargs (``scheduler=``, ``num_workers=``…) are accepted and
+        ignored — Spark's DAG scheduler is not selectable per call."""
         return self.to_frame().compute()[self._name]
 
 
@@ -1607,12 +1609,23 @@ class DaskFrame:
         self.compute().to_hdf(path, key=key, **kw)
 
     # ---- terminal ----------------------------------------------------------
-    def compute(self):
-        """Collect to pandas (== dask .compute())."""
+    def compute(self, **kwargs):
+        """Collect to pandas (== dask .compute()). Scheduler kwargs
+        (``scheduler=``, ``num_workers=``…) are accepted and ignored —
+        ported dask code passes them, Spark's scheduler is fixed."""
         return self._sdf.toPandas()
 
-    def persist(self) -> "DaskFrame":
+    def persist(self, **kwargs) -> "DaskFrame":
         return DaskFrame(self._sdf.cache())
+
+    def checkpoint(self, eager: bool = True) -> "DaskFrame":
+        """Truncate lineage (localCheckpoint): the plan so far is
+        materialized to executor storage and downstream plans re-start
+        from it. The Spark twin of persisting an intermediate dask
+        collection to cut a deep graph — essential for iterative
+        algorithms (the connected-components loop does exactly this
+        per round to stop O(rounds) plan growth)."""
+        return DaskFrame(self._sdf.localCheckpoint(eager=eager))
 
     def visualize(self, filename: str | None = None, mode: str = "formatted") -> str:
         """dask renders the task graph; the Spark-native equivalent of

