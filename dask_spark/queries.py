@@ -3920,6 +3920,69 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+@q(
+    "loc_label_range",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+    """,
+)
+def loc_label_range(spark, sf_dir):
+    """Label-based loc on an indexed frame: df.loc[a:b] is INCLUSIVE
+    of both ends (pandas/dask label semantics) and lowers to a plain
+    pushdown-able predicate — dask's divisions pruning without the
+    divisions metadata."""
+    o = load(spark, sf_dir, "orders")
+    f = o.set_index("o_orderkey").loc[1000:5000, ["o_orderkey", "o_custkey", "o_totalprice"]]
+    return f.to_spark().select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@q(
+    "concat_axis1",
+    """
+    SELECT a.o_orderkey,
+           a.n_items,
+           ROUND(b.revenue, 2) AS revenue
+    FROM (SELECT l_orderkey AS o_orderkey, COUNT(*)::BIGINT AS n_items
+          FROM lineitem GROUP BY l_orderkey) a
+    JOIN (SELECT l_orderkey AS o_orderkey,
+                 SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS revenue
+          FROM lineitem GROUP BY l_orderkey) b
+    USING (o_orderkey)
+    """,
+)
+def concat_axis1(spark, sf_dir):
+    """concat(axis=1): column-wise alignment of two derived frames on
+    the shared key (dask aligns on the index; the engine's index
+    analog is an explicit key column) — one key-equijoin, no
+    duplicate-column suffixing needed when names are distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (
+        li.groupby("l_orderkey")
+        .agg(n_items=("l_linenumber", "count"))
+        .rename(columns={"l_orderkey": "o_orderkey"})
+    )
+    b = DaskFrame(
+        li._sdf.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    out = concat([a, b], axis=1, on="o_orderkey", join="inner")
+    return out.to_spark().select(
+        "o_orderkey", "n_items", F.round("revenue", 2).alias("revenue")
+    )
+
+
 @q("dedup_semantic", None)  # centroids are a driver kmeans — rows-only
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-shape semantic dedup: deterministic kmeans cells +
