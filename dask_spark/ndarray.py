@@ -407,7 +407,30 @@ class NDArray:
     def min(self, axis: int):
         return self._reduce(axis, "min")
 
-    def _reduce(self, axis: int, how: str):
+    def prod(self, axis: int):
+        return self._reduce(axis, "prod")
+
+    def var(self, axis: int, ddof: int = 0):
+        """numpy-default population variance (ddof=0); the inner-axis
+        form folds (Σx, Σx²) in one pass — var = Σx²/k − (Σx/k)²,
+        rescaled for ddof."""
+        return self._reduce(axis, "var", ddof=ddof)
+
+    def std(self, axis: int, ddof: int = 0):
+        out = self.var(axis, ddof=ddof)
+        b = F.col(out._col)
+        return out._with_block(F.transform(b, lambda x: F.sqrt(x)))
+
+    def argmax(self, axis: int):
+        """Index of the max along an INNER axis (first hit, numpy
+        tie rule). Axis-0 argmax would be a per-position global argmax
+        over row ids — use explode()+groupBy(max_by) instead."""
+        return self._reduce(axis, "argmax")
+
+    def argmin(self, axis: int):
+        return self._reduce(axis, "argmin")
+
+    def _reduce(self, axis: int, how: str, ddof: int = 0):
         """axis>=1: closed-form stride walk inside ``aggregate`` — the
         output cell ``o`` splits as (hi, lo) around the reduced axis,
         so its source run is ``base + j*rem`` (no index tables needed,
@@ -416,9 +439,11 @@ class NDArray:
         combine map-side; the single result row is rebuilt with an
         in-agg sort, never on the driver."""
         if axis == 0:
-            return self._materialize()._reduce_rows(how)
+            return self._materialize()._reduce_rows(how, ddof)
         ai, rem = self._axis_strides(axis)
         if self.inner_size > EXPR_FUSION_LIMIT:
+            if how == "var":
+                return self._np_apply(lambda blk: blk.var(axis=ai + 1, ddof=ddof))
             return self._np_apply(
                 lambda blk: getattr(blk, how)(axis=ai + 1)
             )
@@ -441,14 +466,32 @@ class NDArray:
                 return F.array_max(run)
             if how == "min":
                 return F.array_min(run)
+            if how == "prod":
+                return F.aggregate(run, F.lit(1.0), lambda a, x: a * x)
+            if how == "var":
+                s1 = F.aggregate(run, F.lit(0.0), lambda a, x: a + x)
+                s2 = F.aggregate(run, F.lit(0.0), lambda a, x: a + x * x)
+                return (s2 - s1 * s1 / k) / (k - ddof)
+            if how in ("argmax", "argmin"):
+                best = F.array_max(run) if how == "argmax" else F.array_min(run)
+                return (F.array_position(run, best) - 1).cast("double")
             raise ValueError(how)
 
         return self._with_block(
             F.transform(F.sequence(F.lit(0), F.lit(out_size - 1)), cell), out_shape
         )
 
-    def _reduce_rows(self, how: str) -> "NDArray":
-        agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[how]
+    def _reduce_rows(self, how: str, ddof: int = 0) -> "NDArray":
+        if how in ("argmax", "argmin"):
+            raise ValueError(
+                "axis-0 argmax/argmin: use explode() + groupBy(pos) "
+                "with max_by(id, val) — row ids, not positions"
+            )
+        agg = {
+            "sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min,
+            "prod": F.product,
+            "var": F.var_samp if ddof else F.var_pop,
+        }[how]
         ex = self._sdf.select(
             F.posexplode(F.col(self._col)).alias("__p", "__v")
         )

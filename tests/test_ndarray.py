@@ -303,3 +303,24 @@ def test_coarsen(spark):
     np.testing.assert_allclose(got, want)
     with pytest.raises(ValueError):
         coarsen("max", nd, {2: 4})
+
+
+def test_reduce_extended_family(nd, ref):
+    """prod/var/std/argmax/argmin along inner axes + var/prod along
+    axis 0 match numpy (ddof semantics included)."""
+    np.testing.assert_allclose(_np(nd.prod(2)), ref.prod(axis=2), rtol=1e-12)
+    for ddof in (0, 1):
+        np.testing.assert_allclose(
+            _np(nd.var(3, ddof=ddof)), ref.var(axis=3, ddof=ddof), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            _np(nd.std(2, ddof=ddof)), ref.std(axis=2, ddof=ddof), rtol=1e-9
+        )
+    np.testing.assert_allclose(_np(nd.argmax(3)), ref.argmax(axis=3))
+    np.testing.assert_allclose(_np(nd.argmin(2)), ref.argmin(axis=2))
+    got = _np(nd.var(0))
+    np.testing.assert_allclose(got[0], ref.var(axis=0), rtol=1e-9)
+    got = _np(nd.prod(0))
+    np.testing.assert_allclose(got[0], ref.prod(axis=0), rtol=1e-9)
+    with pytest.raises(ValueError, match="argmax"):
+        nd.argmax(0)
