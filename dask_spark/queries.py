@@ -3946,11 +3946,11 @@ def loc_label_range(spark, sf_dir):
     """
     SELECT a.o_orderkey,
            a.n_items,
-           ROUND(b.revenue, 2) AS revenue
+           b.revenue
     FROM (SELECT l_orderkey AS o_orderkey, COUNT(*)::BIGINT AS n_items
           FROM lineitem GROUP BY l_orderkey) a
     JOIN (SELECT l_orderkey AS o_orderkey,
-                 SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE AS revenue
+                 ROUND(SUM((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
           FROM lineitem GROUP BY l_orderkey) b
     USING (o_orderkey)
     """,
@@ -3968,19 +3968,23 @@ def concat_axis1(spark, sf_dir):
     )
     b = DaskFrame(
         li._sdf.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
+            # round the EXACT decimal sum before the double cast: both
+            # engines use half-up on decimals, while double-rounding a
+            # .xx5 midpoint diverges (observed at sf0.01)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
             )
             .cast("double")
             .alias("revenue")
         )
     )
     out = concat([a, b], axis=1, on="o_orderkey", join="inner")
-    return out.to_spark().select(
-        "o_orderkey", "n_items", F.round("revenue", 2).alias("revenue")
-    )
+    return out.to_spark().select("o_orderkey", "n_items", "revenue")
 
 
 @q("dedup_semantic", None)  # centroids are a driver kmeans — rows-only
