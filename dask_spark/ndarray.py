@@ -311,6 +311,49 @@ class NDArray:
             raise ValueError("triu needs 2-D inner blocks")
         return self._masked(1 - np.tri(*self.inner_shape, k=k - 1))
 
+    def pad(self, pad_width, value: float = 0.0) -> "NDArray":
+        """np.pad constant mode over INNER axes (reference:
+        dask/array/creation.py pad). ``pad_width``: dict {axis:
+        (before, after)} or one (before, after) for the last axis.
+        Planned as a single gather whose index tensor carries a
+        sentinel at pad positions — the JVM emits the constant there,
+        still one map-only projection (any pending structural perm
+        composes in first)."""
+        np = _require_np()
+        if isinstance(pad_width, tuple):
+            pad_width = {len(self.inner_shape): pad_width}
+        if 0 in pad_width:
+            raise ValueError("cannot pad the distributed row axis")
+        widths = [
+            tuple(int(x) for x in pad_width.get(a, (0, 0)))
+            for a in range(1, len(self.inner_shape) + 1)
+        ]
+        t = self._index_tensor()
+        t = np.pad(t, widths, constant_values=-1)
+        if t.size > EXPR_FUSION_LIMIT:
+            return self._np_apply(
+                lambda blk: np.pad(
+                    blk, [(0, 0), *widths], constant_values=value
+                )
+            )
+        flat = t.ravel()
+        if self._perm is not None:
+            src = np.where(flat >= 0, self._perm[np.maximum(flat, 0)], -1)
+        else:
+            src = flat
+        idx = F.lit(np.where(src >= 0, src + 1, -1).astype("int32"))
+        b = F.col(self._col)
+        out = self._with_block(
+            F.transform(
+                idx,
+                lambda i: F.when(i > 0, F.element_at(b, i)).otherwise(
+                    F.lit(float(value))
+                ),
+            ),
+            t.shape,
+        )
+        return out
+
     def __getitem__(self, key) -> "NDArray":
         """Per-axis basic+fancy indexing. Axis 0 selectors delegate to
         the DArray row machinery (global index over id order — scale

@@ -324,3 +324,23 @@ def test_reduce_extended_family(nd, ref):
     np.testing.assert_allclose(got[0], ref.prod(axis=0), rtol=1e-9)
     with pytest.raises(ValueError, match="argmax"):
         nd.argmax(0)
+
+
+def test_pad(nd, ref):
+    from dask_spark.ndarray import NDArray  # noqa: F401
+
+    got = _np(nd.pad({2: (1, 2)}, value=-9.0))
+    want = np.pad(ref, [(0, 0), (0, 0), (1, 2), (0, 0)], constant_values=-9.0)
+    np.testing.assert_allclose(got, want)
+    # pad composes with a pending transpose perm
+    got = _np(nd.transpose((2, 0, 1)).pad({1: (0, 1)}))
+    want = np.pad(
+        ref.transpose(0, 3, 1, 2), [(0, 0), (0, 1), (0, 0), (0, 0)]
+    )
+    np.testing.assert_allclose(got, want)
+    # tuple form pads the last axis
+    got = _np(nd.pad((2, 0), value=1.5))
+    want = np.pad(ref, [(0, 0), (0, 0), (0, 0), (2, 0)], constant_values=1.5)
+    np.testing.assert_allclose(got, want)
+    with pytest.raises(ValueError):
+        nd.pad({0: (1, 1)})
