@@ -816,6 +816,27 @@ def stack(arrays: Sequence[NDArray], axis: int = 1) -> NDArray:
     return concatenate([a.expand_dims(axis) for a in arrays], axis=axis)
 
 
+def vstack(arrays: Sequence[NDArray]) -> NDArray:
+    """np.vstack = concatenate along the distributed row axis
+    (reference: routines.py:131)."""
+    return concatenate(arrays, axis=0)
+
+
+def hstack(arrays: Sequence[NDArray]) -> NDArray:
+    """np.hstack = concatenate along the first inner axis
+    (reference: routines.py:142)."""
+    return concatenate(arrays, axis=1)
+
+
+def dstack(arrays: Sequence[NDArray]) -> NDArray:
+    """np.dstack = concatenate along the second inner axis, expanding
+    1-D-inner operands first (reference: routines.py dstack)."""
+    arrays = [
+        a.expand_dims(2) if len(a.inner_shape) == 1 else a for a in arrays
+    ]
+    return concatenate(arrays, axis=2)
+
+
 # ---- routines over scalar columns (reference: dask/array/routines.py)
 
 

@@ -344,3 +344,19 @@ def test_pad(nd, ref):
     np.testing.assert_allclose(got, want)
     with pytest.raises(ValueError):
         nd.pad({0: (1, 1)})
+
+
+def test_stack_aliases(nd, ref):
+    from dask_spark.ndarray import dstack, hstack, vstack
+
+    assert vstack([nd, nd])._sdf.count() == 2 * len(ref)
+    h = hstack([nd, nd])
+    np.testing.assert_allclose(
+        h.compute(), np.concatenate([ref, ref], axis=1)
+    )
+    flat = nd.ravel()
+    d = dstack([flat, flat])
+    np.testing.assert_allclose(
+        d.compute(),
+        np.dstack([ref.reshape(12, 24), ref.reshape(12, 24)]),
+    )
