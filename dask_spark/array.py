@@ -646,6 +646,26 @@ class DArray:
     def to_dask_dataframe(self) -> DaskFrame:
         return self.to_frame()
 
+    def reshape(self, *inner_shape) -> "object":
+        """View the (n, dim) array as an (n, *inner_shape) NDArray —
+        the bridge into the N-D world (dask reshape keeping axis 0:
+        the row extent is unchanged, trailing dims restructure). The
+        product of ``inner_shape`` must equal the vector dim (checked
+        lazily at evaluation, like dask with unknown chunk sizes)."""
+        from dask_spark.ndarray import NDArray
+
+        if len(inner_shape) == 1 and isinstance(inner_shape[0], (tuple, list)):
+            inner_shape = tuple(inner_shape[0])
+        return NDArray(
+            self._sdf.select(
+                *([self._id] if self._id else []),
+                F.col(self._col).cast("array<double>").alias("block"),
+            ),
+            tuple(int(s) for s in inner_shape),
+            "block",
+            self._id,
+        )
+
     def cumsum(self, axis: int = 1) -> "DArray":
         """Per-row prefix sums along the dim axis (reference:
         dask/array/reductions.py cumsum). An in-row array scan via

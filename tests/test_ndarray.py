@@ -360,3 +360,13 @@ def test_stack_aliases(nd, ref):
         d.compute(),
         np.dstack([ref.reshape(12, 24), ref.reshape(12, 24)]),
     )
+
+
+def test_darray_reshape_bridge(tables):
+    from dask_spark.array import DArray
+
+    d = DArray.from_frame(tables["embeddings"], "embedding", "vec_id")
+    m = d.reshape(8, 8)
+    assert m.inner_shape == (8, 8)
+    got = m.transpose().transpose().compute()
+    np.testing.assert_allclose(got, d.reshape((64,)).compute().reshape(-1, 8, 8))
