@@ -547,6 +547,51 @@ class NDArray:
         )
         return NDArray(one, self.inner_shape, self._col, None)
 
+    def cumsum(self, axis: int) -> "NDArray":
+        """Cumulative sum (reference: dask/array/reductions.py cumsum).
+        Inner axes: the vectorized Arrow kernel (an in-row scan).
+        Axis 0: a running sum per position across rows — posexplode →
+        per-position window ordered by id → regroup: inner_size
+        INDEPENDENT scans run in parallel (partitioned by position,
+        never a single-partition window), two shuffles of inner_size
+        scalars per row."""
+        np = _require_np()
+        if axis == 0:
+            if self._id is None:
+                raise ValueError("axis-0 cumsum needs id_col (row order)")
+            from pyspark.sql import Window
+
+            m = self._materialize()
+            ex = m._sdf.select(
+                m._id, F.posexplode(F.col(m._col)).alias("__p", "__v")
+            )
+            w = (
+                Window.partitionBy("__p")
+                .orderBy(m._id)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            cs = ex.withColumn("__c", F.sum("__v").over(w))
+            rows = cs.groupBy(m._id).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__c"))),
+                    lambda s: s["__c"],
+                ).alias(m._col)
+            )
+            return NDArray(rows, self.inner_shape, m._col, m._id)
+        ai, _ = self._axis_strides(axis)
+        return self._np_apply(lambda blk: np.cumsum(blk, axis=ai + 1))
+
+    def cumprod(self, axis: int) -> "NDArray":
+        """Cumulative product along an INNER axis (Arrow kernel)."""
+        np = _require_np()
+        if axis == 0:
+            raise ValueError(
+                "axis-0 cumprod: compose log → cumsum(0) → exp for "
+                "positive data, or explode + product window"
+            )
+        ai, _ = self._axis_strides(axis)
+        return self._np_apply(lambda blk: np.cumprod(blk, axis=ai + 1))
+
     # ---- contractions -------------------------------------------------
     def matmul(self, mat) -> "NDArray":
         """(n, …, a, b) @ literal (b, c) → (n, …, a, c). The matrix is

@@ -112,3 +112,33 @@ def temperature_mix(frame, source_col: str = "source",
         .drop("__rn", "__quota")
     )
     return DaskFrame(out)
+
+
+def weighted_sample(frame, weight_col: str, rate: float,
+                    id_col: str = "doc_id", salt: str = "ws"):
+    """Deterministic importance sampling: keep a row iff
+    u(id) < rate · w / mean(w), the quality-weighted corpus-sampling
+    step (upsample high-quality docs toward a target rate) — u(id) is
+    the engine-portable md5 uniform in [0,1), so the SAME rows are
+    selected on every engine and every run, and a SQL oracle can
+    replay the selection exactly.
+
+    100 TB shape: ONE tiny agg for mean(w) (a driver scalar, like
+    dask's divisions stats), then a map-only filter — the corpus never
+    shuffles. mean(w) is rounded to 6 decimals on both engines so fp
+    summation order cannot flip a boundary row. Rows with p ≥ 1
+    (w ≥ mean/rate) are always kept — deterministic thinning cannot
+    replicate rows."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import md5_prefix60
+
+    sdf = frame._sdf
+    mean_w = sdf.agg(F.avg(F.col(weight_col))).first()[0]
+    if mean_w is None or mean_w <= 0:
+        return DaskFrame(sdf.filter(F.lit(False)))
+    mean_w = round(float(mean_w), 6)
+    u = md5_prefix60(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    ) / F.lit(float(1 << 60))
+    p = F.lit(rate) * F.col(weight_col) / F.lit(mean_w)
+    return DaskFrame(sdf.filter(u < p))

@@ -3987,6 +3987,82 @@ def concat_axis1(spark, sf_dir):
     return out.to_spark().select("o_orderkey", "n_items", "revenue")
 
 
+@q(
+    "corpus_weighted_sample",
+    """
+    WITH m AS (SELECT ROUND(AVG(n_chars), 6) AS mw FROM documents)
+    SELECT doc_id, n_chars
+    FROM documents, m
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR || '|ws'), 1, 15))::BIGINT
+           / 1152921504606846976.0) < 0.3 * n_chars / mw
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (importance sampling
+    toward a target rate): u(id) < rate·w/mean(w) with the portable
+    md5 uniform — same rows on every engine/run, map-only after one
+    tiny mean agg. Weight = n_chars here (longer docs upsampled)."""
+    from dask_spark.operators.mixing import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = weighted_sample(d, "n_chars", rate=0.3, id_col="doc_id")
+    return out.to_spark().select("doc_id", "n_chars")
+
+
+@q(
+    "text_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT unnest([t[i] || ' ' || t[i+1]
+                     for i in generate_series(1, len(t) - 1)]) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*)::BIGINT AS n
+    FROM pairs GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_bigrams(spark, sf_dir):
+    """Adjacent word-pair statistics — the counting step of BPE-style
+    tokenizer induction (most-frequent pair per merge round). Pairs
+    are built IN-ROW (zip with the shifted token array, no word-level
+    exchange); the only shuffle is the pair-count groupBy, and top-k
+    is TakeOrdered, never a global sort."""
+    from dask_spark.functions.text import _shift_left
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = d._sdf.select(toks.alias("__t"))
+    pairs = staged.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.slice(
+                    F.zip_with(
+                        F.col("__t"),
+                        _shift_left(F.col("__t")),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                    1,
+                    F.size("__t") - 1,
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
 @q("dedup_semantic", None)  # centroids are a driver kmeans — rows-only
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-shape semantic dedup: deterministic kmeans cells +

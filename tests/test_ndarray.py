@@ -370,3 +370,23 @@ def test_darray_reshape_bridge(tables):
     assert m.inner_shape == (8, 8)
     got = m.transpose().transpose().compute()
     np.testing.assert_allclose(got, d.reshape((64,)).compute().reshape(-1, 8, 8))
+
+
+def test_cumsum_cumprod(nd, ref):
+    np.testing.assert_allclose(
+        _np(nd.cumsum(2)), ref.cumsum(axis=2), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        _np(nd.cumprod(3)), ref.cumprod(axis=3), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        _np(nd.cumsum(0)), ref.cumsum(axis=0), rtol=1e-12
+    )
+    # composes with a pending structural perm
+    np.testing.assert_allclose(
+        _np(nd.transpose((2, 0, 1)).cumsum(1)),
+        ref.transpose(0, 3, 1, 2).cumsum(axis=1),
+        rtol=1e-12,
+    )
+    with pytest.raises(ValueError):
+        nd.cumprod(0)
