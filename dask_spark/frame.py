@@ -111,6 +111,123 @@ class StrAccessor:
         # split-size form which returned -2 under legacy sizeOfNull
         return self._wrap(F.regexp_count(self._s._expr, F.lit(pat)))
 
+    # ---- long tail (reference: accessor.py delegates every pandas
+    # str method; these are the remaining common ones, all JVM fns) ----
+    def title(self):
+        """Whitespace word-boundaries (JVM initcap). Python's title()
+        also capitalizes after digits/punctuation ("a1b" -> "A1B");
+        this keeps the Spark-native rule — same result for normal
+        prose, documented divergence on intra-word boundaries."""
+        return self._wrap(F.initcap(self._s._expr))
+
+    def capitalize(self):
+        e = self._s._expr
+        return self._wrap(
+            F.concat(F.upper(F.substring(e, 1, 1)), F.lower(F.substring(e, 2, 1 << 30)))
+        )
+
+    def _no_trunc(self, padded: Column, width: int) -> Column:
+        """pandas pads never truncate; JVM lpad/rpad do."""
+        e = self._s._expr
+        return F.when(F.length(e) >= width, e).otherwise(padded)
+
+    def zfill(self, width: int):
+        return self._wrap(
+            self._no_trunc(F.lpad(self._s._expr, width, "0"), width)
+        )
+
+    def repeat(self, n: int):
+        return self._wrap(F.repeat(self._s._expr, n))
+
+    def get(self, i: int):
+        """i-th CHARACTER (pandas str.get on strings)."""
+        return self._wrap(F.substring(self._s._expr, i + 1, 1))
+
+    def find(self, sub: str):
+        """First index of ``sub`` or -1 (locate is 1-based, 0=absent)."""
+        return self._wrap(F.locate(sub, self._s._expr) - 1)
+
+    def rfind(self, sub: str):
+        e = self._s._expr
+        rev = F.locate(sub[::-1], F.reverse(e))
+        return self._wrap(
+            F.when(rev == 0, F.lit(-1)).otherwise(
+                F.length(e) - rev - F.lit(len(sub) - 1)
+            )
+        )
+
+    def findall(self, pat: str):
+        # idx=0: the whole match (pandas findall with no groups)
+        return self._wrap(
+            F.regexp_extract_all(self._s._expr, F.lit(pat), F.lit(0))
+        )
+
+    def match(self, pat: str):
+        return self._wrap(self._s._expr.rlike("^(?:" + pat + ")"))
+
+    def fullmatch(self, pat: str):
+        return self._wrap(self._s._expr.rlike("^(?:" + pat + ")$"))
+
+    def removeprefix(self, prefix: str):
+        e = self._s._expr
+        return self._wrap(
+            F.when(
+                e.startswith(prefix), F.substring(e, len(prefix) + 1, 1 << 30)
+            ).otherwise(e)
+        )
+
+    def removesuffix(self, suffix: str):
+        e = self._s._expr
+        return self._wrap(
+            F.when(
+                e.endswith(suffix),
+                F.substring(e, 1, F.length(e) - len(suffix)),
+            ).otherwise(e)
+        )
+
+    def ljust(self, width: int, fillchar: str = " "):
+        return self._wrap(
+            self._no_trunc(F.rpad(self._s._expr, width, fillchar), width)
+        )
+
+    def rjust(self, width: int, fillchar: str = " "):
+        return self._wrap(
+            self._no_trunc(F.lpad(self._s._expr, width, fillchar), width)
+        )
+
+    def center(self, width: int, fillchar: str = " "):
+        # python semantics: the left pad gets floor((width-len)/2)
+        e = self._s._expr
+        left = F.floor((F.lit(width) - F.length(e)) / 2)
+        padded = F.rpad(
+            F.lpad(e, (F.length(e) + F.greatest(left, F.lit(0))).cast("int"), fillchar),
+            width,
+            fillchar,
+        )
+        return self._wrap(self._no_trunc(padded, width))
+
+    # char-class predicates: unicode-aware via Java \p classes (pandas
+    # semantics: true iff non-empty and every char in the class)
+    def isdigit(self):
+        return self._wrap(self._s._expr.rlike(r"^\p{Nd}+$"))
+
+    def isalpha(self):
+        return self._wrap(self._s._expr.rlike(r"^\p{L}+$"))
+
+    def isalnum(self):
+        return self._wrap(self._s._expr.rlike(r"^[\p{L}\p{Nd}]+$"))
+
+    def isspace(self):
+        return self._wrap(self._s._expr.rlike(r"^\s+$"))
+
+    def isupper(self):
+        e = self._s._expr
+        return self._wrap((e == F.upper(e)) & (e != F.lower(e)))
+
+    def islower(self):
+        e = self._s._expr
+        return self._wrap((e == F.lower(e)) & (e != F.upper(e)))
+
 
 class DtAccessor:
     """``.dt`` — datetime accessor (reference: accessor.py
@@ -177,6 +294,88 @@ class DtAccessor:
         for k, v in m.items():
             fmt = fmt.replace(k, v)
         return self._wrap(F.date_format(self._s._expr, fmt))
+
+    # ---- long tail (reference: accessor.py DatetimeAccessor
+    # delegates every pandas dt property) -------------------------------
+    @property
+    def weekday(self):
+        """Monday=0 (pandas) — Spark's dayofweek is Sunday=1."""
+        return self._wrap((F.dayofweek(self._s._expr) + 5) % 7)
+
+    @property
+    def weekofyear(self):
+        return self._wrap(F.weekofyear(self._s._expr))
+
+    week = weekofyear
+
+    @property
+    def days_in_month(self):
+        return self._wrap(F.dayofmonth(F.last_day(self._s._expr)))
+
+    daysinmonth = days_in_month
+
+    @property
+    def microsecond(self):
+        from dask_spark.functions import epoch_us
+
+        return self._wrap(epoch_us(self._s._expr) % F.lit(1_000_000))
+
+    @property
+    def is_month_start(self):
+        return self._wrap(F.dayofmonth(self._s._expr) == 1)
+
+    @property
+    def is_month_end(self):
+        e = self._s._expr
+        return self._wrap(F.to_date(e) == F.last_day(e))
+
+    @property
+    def is_quarter_start(self):
+        e = self._s._expr
+        return self._wrap(
+            (F.dayofmonth(e) == 1) & (F.month(e).isin([1, 4, 7, 10]))
+        )
+
+    @property
+    def is_quarter_end(self):
+        e = self._s._expr
+        return self._wrap(
+            (F.to_date(e) == F.last_day(e))
+            & (F.month(e).isin([3, 6, 9, 12]))
+        )
+
+    @property
+    def is_year_start(self):
+        e = self._s._expr
+        return self._wrap((F.dayofyear(e) == 1))
+
+    @property
+    def is_year_end(self):
+        e = self._s._expr
+        return self._wrap((F.month(e) == 12) & (F.dayofmonth(e) == 31))
+
+    @property
+    def time(self):
+        return self._wrap(F.date_format(self._s._expr, "HH:mm:ss"))
+
+    def month_name(self):
+        return self._wrap(F.date_format(self._s._expr, "MMMM"))
+
+    def day_name(self):
+        return self._wrap(F.date_format(self._s._expr, "EEEE"))
+
+    def normalize(self):
+        return self._wrap(F.date_trunc("day", self._s._expr))
+
+    def ceil(self, freq: str):
+        """Ceil to the unit: floor, +1 unit when not already aligned."""
+        fl = self.floor(freq)._expr
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute",
+                "S": "second"}.get(freq.rstrip("1"), freq)
+        e = self._s._expr
+        return self._wrap(
+            F.when(e == fl, e).otherwise(fl + F.expr(f"INTERVAL 1 {unit}"))
+        )
 
 
 class CatAccessor:

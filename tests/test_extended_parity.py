@@ -469,3 +469,76 @@ def test_compute_kwargs_and_checkpoint(tables):
     assert sorted(cp.compute().n_nationkey) == sorted(a.n_nationkey)
     plan = cp.visualize(mode="simple")
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or len(plan) > 0
+
+
+def test_str_accessor_long_tail(spark):
+    """Remaining common str methods match pandas on a pathological
+    sample (unicode, empty, mixed case)."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    vals = ["hello world", "ABC", "  pad  ", "a1b2", "42", "ÉCOLE",
+            "école", "", "ab", "xAbAx"]
+    pdf = pd.DataFrame({"s": vals})
+    f = ds.from_pandas(pdf)
+    ps = pdf.s
+
+    def got(series):
+        return series.compute().tolist()
+
+    # title: whitespace word-boundaries (documented divergence from
+    # python's any-non-alpha rule on strings like "a1b2")
+    prose = [v for v in vals if not any(c.isdigit() for c in v)]
+    pf = ds.from_pandas(pd.DataFrame({"s": prose}))
+    assert got(pf.s.str.title()) == pd.Series(prose).str.title().tolist()
+    assert got(f.s.str.zfill(5)) == ps.str.zfill(5).tolist()
+    assert got(f.s.str.repeat(2)) == (ps.str.repeat(2)).tolist()
+    assert got(f.s.str.get(1)) == [
+        v[1] if len(v) > 1 else "" for v in vals
+    ]  # pandas gives NaN past end; Spark substring gives ''
+    assert got(f.s.str.find("b")) == ps.str.find("b").tolist()
+    assert got(f.s.str.rfind("b")) == ps.str.rfind("b").tolist()
+    assert got(f.s.str.match("[aA]")) == ps.str.match("[aA]").tolist()
+    assert got(f.s.str.fullmatch("[0-9]+")) == ps.str.fullmatch("[0-9]+").tolist()
+    assert got(f.s.str.removeprefix("a")) == ps.str.removeprefix("a").tolist()
+    assert got(f.s.str.removesuffix("x")) == ps.str.removesuffix("x").tolist()
+    assert got(f.s.str.ljust(6, ".")) == ps.str.ljust(6, ".").tolist()
+    assert got(f.s.str.rjust(6, ".")) == ps.str.rjust(6, ".").tolist()
+    assert got(f.s.str.center(6, ".")) == ps.str.center(6, ".").tolist()
+    for meth in ("isdigit", "isalpha", "isalnum", "isspace", "isupper",
+                 "islower"):
+        assert got(getattr(f.s.str, meth)()) == getattr(ps.str, meth)().tolist(), meth
+    assert [list(v) for v in got(f.s.str.findall("[ab]"))] == ps.str.findall(
+        "[ab]"
+    ).tolist()
+
+
+def test_dt_accessor_long_tail(spark):
+    import pandas as pd
+
+    import dask_spark as ds
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:01", "2026-03-31 23:59:59", "2026-06-15 12:30:00",
+         "2026-12-31 00:00:00", "2024-02-29 08:00:00"]
+    )
+    pdf = pd.DataFrame({"t": ts})
+    f = ds.from_pandas(pdf)
+    ps = pdf.t
+
+    def got(series):
+        return series.compute().tolist()
+
+    assert got(f.t.dt.weekday) == ps.dt.weekday.tolist()
+    assert got(f.t.dt.days_in_month) == ps.dt.days_in_month.tolist()
+    assert got(f.t.dt.is_month_start) == ps.dt.is_month_start.tolist()
+    assert got(f.t.dt.is_month_end) == ps.dt.is_month_end.tolist()
+    assert got(f.t.dt.is_quarter_start) == ps.dt.is_quarter_start.tolist()
+    assert got(f.t.dt.is_quarter_end) == ps.dt.is_quarter_end.tolist()
+    assert got(f.t.dt.is_year_start) == ps.dt.is_year_start.tolist()
+    assert got(f.t.dt.is_year_end) == ps.dt.is_year_end.tolist()
+    assert got(f.t.dt.month_name()) == ps.dt.month_name().tolist()
+    assert got(f.t.dt.day_name()) == ps.dt.day_name().tolist()
+    assert got(f.t.dt.normalize()) == ps.dt.normalize().tolist()
+    assert got(f.t.dt.ceil("H")) == ps.dt.ceil("h").tolist()
