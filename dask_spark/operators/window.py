@@ -43,10 +43,16 @@ class Rolling:
     int window → rowsBetween(-(n-1), 0); str window ("7d") →
     rangeBetween on epoch seconds."""
 
-    def __init__(self, frame, window, on: str, by=None, min_periods: int | None = None):
+    def __init__(self, frame, window, on, by=None, min_periods: int | None = None):
         self._frame = frame
         self._window = window
-        self._on = on
+        # ``on`` may be a list [order_col, tiebreak...] for row windows
+        # (deterministic order under duplicate keys — pandas sorts a
+        # real index; an explicit tiebreak is this engine's analog)
+        self._ons = [on] if isinstance(on, str) else list(on)
+        self._on = self._ons[0]
+        if len(self._ons) > 1 and not isinstance(window, int):
+            raise ValueError("range windows order by ONE column")
         self._by = [] if by is None else ([by] if isinstance(by, str) else list(by))
         self._min_periods = min_periods
 
@@ -71,7 +77,9 @@ class Rolling:
             )
             part = ["__pid"]
         if isinstance(self._window, int):
-            w = Window.partitionBy(*part).orderBy(F.col(self._on))
+            w = Window.partitionBy(*part).orderBy(
+                *[F.col(c) for c in self._ons]
+            )
             return w.rowsBetween(-(self._window - 1), 0), tagged
         secs = _freq_to_seconds(self._window)
         w = Window.partitionBy(*part).orderBy(

@@ -4063,6 +4063,29 @@ def text_bigrams(spark, sf_dir):
     )
 
 
+@q(
+    "groupby_rolling",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value_mean
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def groupby_rolling(spark, sf_dir):
+    """GroupBy.rolling (reference: _groupby.py:2141): the keyed rolling
+    window partitioned by the group keys — one sort-shuffle on user_id,
+    the frame stays declarative."""
+    e = load(spark, sf_dir, "events")
+    e = DaskFrame(e._sdf.filter(F.col("value").isNotNull()))
+    out = e.groupby("user_id").rolling(3, on=["ts", "event_id"]).mean("value")
+    return out.to_spark().select(
+        "event_id", "user_id",
+        F.round("value_roll_mean", 6).alias("value_mean"),
+    )
+
+
 @q("dedup_semantic", None)  # centroids are a driver kmeans — rows-only
 def dedup_semantic(spark, sf_dir):
     """SemDeDup-shape semantic dedup: deterministic kmeans cells +
