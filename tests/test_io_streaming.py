@@ -416,3 +416,38 @@ def test_read_parquet_dnf_filters(spark, sf_dir):
         p, filters=[("l_linestatus", "in", ["F"])]
     ).compute()
     assert set(inlist.l_linestatus.unique()) == {"F"}
+
+
+def test_streaming_classifier_inference(spark):
+    """Map-only operators run unchanged on streams: the hashed linear
+    classifier scores a rate-source text stream (online quality
+    filtering for continuous corpus ingestion) — pure projection, no
+    state, no watermark needed."""
+    from dask_spark.functions.text import hashed_linear_scores
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+        .withColumn(
+            "text",
+            F.concat(F.lit("doc token"), (F.col("value") % 7).cast("string")),
+        )
+    )
+    W = [[float((f * 3 + c) % 5 - 2) for f in range(16)] for c in range(2)]
+    out = hashed_linear_scores(rate, W, [0.0, 0.1], labels=["keep", "drop"])
+    q = (
+        out.select("value", "score_keep", "score_drop", "label")
+        .writeStream.format("memory").queryName("t_clf")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from t_clf").count() > 0:
+                break
+            time.sleep(1)
+        pdf = spark.sql("select * from t_clf").toPandas()
+        assert len(pdf) > 0
+        assert set(pdf.label.unique()) <= {"keep", "drop"}
+        assert pdf.score_keep.notna().all()
+    finally:
+        q.stop()
