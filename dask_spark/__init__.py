@@ -40,7 +40,7 @@ from dask_spark.ndarray import NDArray, bincount, digitize, histogram2d
 from dask_spark import testing
 from dask_spark.testing import assert_eq
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Aggregation",
