@@ -83,25 +83,25 @@ def kmeans_centroids(frame, vec_col: str = "embedding", n_clusters: int = 16,
     ]
     import random as _random
 
+    import numpy as np
+
     rng = _random.Random(seed)
     cents = [list(v) for v in rng.sample(sample, min(n_clusters, len(sample)))]
+    if not cents:
+        return cents
+    # vectorized Lloyd's (same math as the scalar loop, numpy argmin
+    # over squared distances — the pure-python triple loop was the
+    # dominant driver cost of every IVF/semantic-dedup build)
+    S = np.asarray(sample, dtype="float64")
+    C = np.asarray(cents, dtype="float64")
     for _ in range(iters):
-        sums = [[0.0] * len(cents[0]) for _ in cents]
-        counts = [0] * len(cents)
-        for v in sample:
-            best, bd = 0, float("inf")
-            for ci, c in enumerate(cents):
-                d = sum((a - b) ** 2 for a, b in zip(v, c))
-                if d < bd:
-                    best, bd = ci, d
-            counts[best] += 1
-            for j, x in enumerate(v):
-                sums[best][j] += x
-        cents = [
-            [s / c for s in srow] if c else cents[ci]
-            for ci, (srow, c) in enumerate(zip(sums, counts))
-        ]
-    return cents
+        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d2.argmin(axis=1)
+        for ci in range(len(C)):
+            members = S[best == ci]
+            if len(members):
+                C[ci] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C]
 
 
 def assign_clusters(frame, centroids, vec_col: str = "embedding"):
@@ -121,13 +121,19 @@ def assign_clusters(frame, centroids, vec_col: str = "embedding"):
         )
         for c in centroids
     ]
-    best = F.lit(0)
-    best_d = dists[0]
-    for i in range(1, len(dists)):
-        cond = dists[i] < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, dists[i]).otherwise(best_d)
-    return DaskFrame(frame._sdf.withColumn("cluster", best))
+    # STAGED distance array + first-minimum position. The previous
+    # iterated when(d_i < best_d, ...) chain embedded the full best_d
+    # tree into every comparison — expression size 2^k by k centroids
+    # (k=16 measured 146s of analysis+codegen for a 2000-row count).
+    # array_position(min) keeps the same first-min tie rule at O(k).
+    sdf = frame._sdf.withColumn("__d", F.array(*dists))
+    sdf = sdf.withColumn(
+        "cluster",
+        (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1).cast(
+            "int"
+        ),
+    ).drop("__d")
+    return DaskFrame(sdf)
 
 
 def ivf_topk(frame, query: Sequence[float], k: int = 10, n_probe: int = 4,
