@@ -21,7 +21,11 @@ DArray (only ``size`` scalars per row cross the wire).
 
 At 100 TB: axis 0 scales with the cluster (rechunk =
 repartitionByRange on the row index); inner blocks are one row's
-payload and must fit in a task — same contract as a dask chunk."""
+payload and must fit in a task — same contract as a dask chunk. The
+Arrow kernel path is memory-safe for wide blocks: Spark 4 bounds
+Arrow batches by BYTES (spark.sql.execution.arrow.maxBytesPerBatch,
+64 MB default), so a 4096-double inner never inflates a batch past
+the cap regardless of the 10k-record default."""
 
 from __future__ import annotations
 
