@@ -753,3 +753,28 @@ def test_semantic_dedup_matches_python_replay(spark, tables):
     assert (got.keep.to_numpy() == keep).all()
     # every duplicated vector keeps exactly its low-id twin
     assert keep.sum() == len(V) // 2
+
+
+def test_minhash_precision_recall_vs_exact(tables):
+    """Corpus-level quality harness for the approximate path: MinHash-
+    LSH pairs vs the EXACT n-gram Jaccard join as truth on the real
+    documents table. The driver corpus's true near-dups are
+    high-similarity, so both precision and recall sit at 1.0 today;
+    the 0.9 floors leave margin for data drift while still catching a
+    broken hash family or banding bug immediately."""
+    from dask_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    truth = ngram_jaccard_pairs(docs, threshold=0.5).compute()
+    tset = set(map(tuple, truth[["id_a", "id_b"]].values))
+    pred = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_k=5, jaccard_threshold=0.5
+    ).compute()
+    pset = set(map(tuple, pred[["id_a", "id_b"]].values))
+    assert tset, "truth set empty — corpus has no near-dups?"
+    tp = len(tset & pset)
+    assert tp / max(len(pset), 1) >= 0.9, f"precision {tp}/{len(pset)}"
+    assert tp / len(tset) >= 0.9, f"recall {tp}/{len(tset)}"
