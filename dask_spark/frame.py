@@ -773,6 +773,163 @@ class Series:
     def median(self):
         return self.quantile(0.5)
 
+    def prod(self):
+        return self._agg_scalar(F.product(self._expr))
+
+    def sem(self, ddof: int = 1):
+        n = F.count(self._expr)
+        sd = F.stddev_samp(self._expr) if ddof else F.stddev_pop(self._expr)
+        return self._agg_scalar(sd / F.sqrt(n))
+
+    def skew(self):
+        return self._agg_scalar(F.skewness(self._expr))
+
+    def kurt(self):
+        return self._agg_scalar(F.kurtosis(self._expr))
+
+    kurtosis = kurt
+
+    def any(self):
+        return bool(self._agg_scalar(F.max(self._expr.cast("boolean"))))
+
+    def all(self):
+        v = self._agg_scalar(F.min(self._expr.cast("boolean")))
+        return True if v is None else bool(v)  # empty: pandas all()=True
+
+    def idxmax(self, id_col: str | None = None):
+        """Label of the max (reference: _reductions idxmax). dask reads
+        the index; the engine's analog is the set_index column or an
+        explicit ``id_col``."""
+        idc = id_col or getattr(self._frame, "_index_col", None)
+        if idc is None:
+            raise ValueError("idxmax needs set_index(...) or id_col=")
+        return self._agg_scalar(F.max_by(F.col(idc), self._expr))
+
+    def idxmin(self, id_col: str | None = None):
+        idc = id_col or getattr(self._frame, "_index_col", None)
+        if idc is None:
+            raise ValueError("idxmin needs set_index(...) or id_col=")
+        return self._agg_scalar(F.min_by(F.col(idc), self._expr))
+
+    # ---- named arithmetic (pandas method spellings) -------------------
+    def add(self, o):
+        return self + o
+
+    def radd(self, o):
+        return self.__radd__(o)
+
+    def sub(self, o):
+        return self - o
+
+    def rsub(self, o):
+        return self.__rsub__(o)
+
+    def mul(self, o):
+        return self * o
+
+    def div(self, o):
+        return self / o
+
+    truediv = div
+
+    def pow(self, o):
+        return self ** o
+
+    def mod(self, o):
+        return self % o
+
+    def floordiv(self, o):
+        return self._bin(o, lambda a, b: F.floor(a / b))
+
+    def pipe(self, fn, *a, **kw):
+        return fn(self, *a, **kw)
+
+    def replace(self, mapping: Mapping) -> "Series":
+        """Value replacement via a chained when (linear tree — the
+        accumulator never appears in a condition)."""
+        expr = self._expr
+        for old, new in mapping.items():
+            expr = F.when(self._expr == F.lit(old), F.lit(new)).otherwise(expr)
+        return Series(self._frame, expr, self._name)
+
+    def searchsorted(self, sorted_values: Sequence) -> "Series":
+        """np/pandas searchsorted(side='left') against a LITERAL sorted
+        array: count of values strictly below — a monotone comparison
+        sum, map-only (same lowering as ndarray.digitize)."""
+        expr = F.lit(0)
+        for v in sorted_values:
+            expr = expr + F.when(self._expr > F.lit(v), 1).otherwise(0)
+        return Series(self._frame, expr.cast("int"), self._name)
+
+    def head(self, n: int = 5):
+        return self.to_frame().head_frame(n).compute()[self._name]
+
+    def sample(self, frac: float, random_state: int | None = None) -> "Series":
+        sdf = self._frame._sdf.sample(frac, seed=random_state)
+        return Series(DaskFrame(sdf), self._expr, self._name)
+
+    # ---- order-dependent ops (explicit order_by — the engine has no
+    # implicit row order; same contract as autocorr) --------------------
+    def _frame_op(self, op: str, order_by: str, **kw) -> "Series":
+        out = getattr(self.to_frame_with(order_by), op)(
+            self._name, order_by=order_by, **kw
+        )
+        col = [c for c in out.columns if c not in (self._name, order_by)]
+        target = col[-1] if col else self._name
+        return Series(out, F.col(target), target)
+
+    def to_frame_with(self, *extra: str) -> "DaskFrame":
+        return DaskFrame(
+            self._frame._sdf.select(
+                *[F.col(c) for c in extra], self._expr.alias(self._name)
+            )
+        )
+
+    def shift(self, periods: int = 1, order_by: str | None = None) -> "Series":
+        return self._frame_op("shift", order_by or self._name, periods=periods)
+
+    def diff(self, periods: int = 1, order_by: str | None = None) -> "Series":
+        return self._frame_op("diff", order_by or self._name, periods=periods)
+
+    def cumsum(self, order_by: str) -> "Series":
+        return self._frame_op("cumsum", order_by)
+
+    def cummax(self, order_by: str) -> "Series":
+        return self._frame_op("cummax", order_by)
+
+    def pct_change(self, order_by: str) -> "Series":
+        return self._frame_op("pct_change", order_by)
+
+    def ffill(self, order_by: str) -> "Series":
+        out = self.to_frame_with(order_by).ffill([self._name], order_by)
+        return Series(out, F.col(self._name), self._name)
+
+    def bfill(self, order_by: str) -> "Series":
+        out = self.to_frame_with(order_by).bfill([self._name], order_by)
+        return Series(out, F.col(self._name), self._name)
+
+    def rank(self, method: str = "first", order_by: str | None = None):
+        """Global value rank WITHOUT a single-partition window: the
+        scale-safe global index over value order gives method="first";
+        method="min" assigns every tied value its group's minimum via
+        one extra value-keyed min join (dask rank is also a two-pass
+        affair over sorted partitions)."""
+        from dask_spark.operators.sort import release, with_global_index
+
+        base = self._frame._sdf.select(self._expr.alias(self._name))
+        idx = with_global_index(base, self._name, "__r")
+        out = idx.select(
+            self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
+        )
+        if method == "min":
+            mins = out.groupBy(self._name).agg(F.min("rank").alias("rank"))
+            out = out.drop("rank").join(mins, self._name)
+        elif method != "first":
+            raise ValueError("rank method must be 'first'|'min'")
+        if getattr(idx, "_ds_pinned", None) is not None:
+            release(idx._ds_pinned)
+        return DaskFrame(out)
+
     # ---- to frame ----------------------------------------------------
     def nlargest(self, n: int = 5) -> "DaskFrame":
         """Top-n values (TakeOrdered — never a global sort)."""
