@@ -897,6 +897,19 @@ class Series:
     def cummax(self, order_by: str) -> "Series":
         return self._frame_op("cummax", order_by)
 
+    def cummin(self, order_by: str) -> "Series":
+        return self._frame_op("cummin", order_by)
+
+    def cumprod(self, order_by: str) -> "Series":
+        return self._frame_op("cumprod", order_by)
+
+    def rolling(self, window, on: str, min_periods: int | None = None):
+        """Series rolling = frame rolling over just this column (the
+        order column rides along; same keyless-parallel machinery)."""
+        return self.to_frame_with(on).rolling(
+            window, on=on, min_periods=min_periods
+        )
+
     def pct_change(self, order_by: str) -> "Series":
         return self._frame_op("pct_change", order_by)
 

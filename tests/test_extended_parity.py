@@ -606,3 +606,19 @@ def test_series_long_tail(tables):
     rk = s.rank(method="min").compute()
     want = pdf.o_totalprice.rank(method="min")
     assert sorted(rk["rank"])[:5] == sorted(want.astype(int))[:5]
+
+
+def test_series_rolling_and_cum_delegates(tables):
+    o = tables["orders"]
+    r = (
+        o.o_totalprice.rolling(3, on="o_orderkey")
+        .mean("o_totalprice")
+        .compute()
+    )
+    assert "o_totalprice_roll_mean" in r.columns or "o_totalprice" in r.columns
+    cp = o.o_totalprice.cumprod(order_by="o_orderkey").to_frame().compute()
+    assert len(cp) == len(o.compute())
+    cm = o.o_totalprice.cummin(order_by="o_orderkey").to_frame().compute()
+    assert cm.iloc[:, 0].min() == pytest.approx(
+        o.compute().o_totalprice.min()
+    )
