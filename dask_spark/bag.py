@@ -24,12 +24,21 @@ class Bag:
     # ---- construction ------------------------------------------------
     @classmethod
     def from_sequence(cls, items, npartitions: int | None = None) -> "Bag":
+        """dask from_sequence slices CONTIGUOUSLY (partition 0 gets the
+        first chunk) — round-robin repartition would scramble the
+        sequence order that accumulate/fold observe, so partitioning
+        goes by range over the position."""
         from dask_spark.sources import _spark
 
-        sdf = _spark().createDataFrame([(x,) for x in items], ["item"])
+        sdf = _spark().createDataFrame(
+            [(i, x) for i, x in enumerate(items)], ["__i", "item"]
+        )
         if npartitions:
-            sdf = sdf.repartition(npartitions)
-        return cls(sdf)
+            sdf = (
+                sdf.repartitionByRange(npartitions, "__i")
+                .sortWithinPartitions("__i")
+            )
+        return cls(sdf.drop("__i"))
 
     # ---- transforms --------------------------------------------------
     def map(self, fn, dtype: str = "string") -> "Bag":
@@ -75,8 +84,16 @@ class Bag:
             self._sdf.mapInPandas(gen, schema=self._sdf.schema), col
         )
 
-    def pluck(self, field: str) -> "Bag":
-        """Project a field out of struct/map items (dask pluck)."""
+    def pluck(self, field) -> "Bag":
+        """Project a field out of struct/map items (dask pluck). An
+        int plucks by POSITION (tuple items arrive as structs with
+        _1/_2… field names — resolve through the schema)."""
+        if isinstance(field, int):
+            from pyspark.sql.types import StructType
+
+            dt = self._sdf.schema[self._col].dataType
+            if isinstance(dt, StructType):
+                field = dt.names[field]
         return Bag(
             self._sdf.select(F.col(f"{self._col}.{field}").alias(self._col)),
             self._col,
@@ -299,3 +316,143 @@ def read_text(path: str) -> "Bag":
     from dask_spark.sources import read_text as _rt
 
     return _rt(path)
+
+
+# ---- long tail (reference: dask/bag/core.py Bag) -----------------------
+
+def _pickle64(obj) -> str:
+    import base64
+    import pickle
+
+    return base64.b64encode(pickle.dumps(obj)).decode()
+
+
+def _unpickle64(s: str):
+    import base64
+    import pickle
+
+    return pickle.loads(base64.b64decode(s))
+
+
+def _bag_unzip(self, n: int):
+    """Bag of n-tuples → n Bags (reference: Bag.unzip) — each output
+    plucks one position; the plans share the parent scan."""
+    return tuple(self.pluck(i) for i in range(n))
+
+
+def _bag_reduction(self, perpartition: Callable, aggregate: Callable):
+    """Per-partition python fold + driver aggregate (reference:
+    Bag.reduction — dask's reduction tree collapsed to two levels:
+    ONE pickled value per partition crosses the wire)."""
+    import pandas as pd
+
+    col = self._col
+
+    def run(batches):
+        items = []
+        for pdf in batches:
+            items.extend(pdf[col].tolist())
+        if items:
+            yield pd.DataFrame({"part": [_pickle64(perpartition(items))]})
+
+    parts = [
+        _unpickle64(r["part"])
+        for r in self._sdf.mapInPandas(run, "part string").collect()
+    ]
+    return aggregate(parts)
+
+
+def _bag_join(self, other: "Bag", on_self: Callable,
+              on_other: Callable | None = None) -> "Bag":
+    """Equi-join two bags on computed keys (reference: Bag.join):
+    keys become real columns, the join is an ordinary shuffle join,
+    output items are (left, right) structs."""
+    import pandas as pd
+
+    key_other = on_other or on_self
+
+    def keyed(bag, key_fn, out):
+        col = bag._col
+        dt = dict(bag._sdf.dtypes)[col]
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"k": [str(key_fn(x)) for x in pdf[col]], out: pdf[col]}
+                )
+
+        return bag._sdf.mapInPandas(gen, f"k string, {out} {dt}")
+
+    left = keyed(self, on_self, "__l")
+    right = keyed(other, key_other, "__r")
+    joined = left.join(right, "k").select(
+        F.struct("__l", "__r").alias(self._col)
+    )
+    return Bag(joined, self._col)
+
+
+def _bag_accumulate(self, binop: Callable, initial) -> "Bag":
+    """Prefix scan: output[i] = fold of ``binop`` over items[0..i]
+    seeded with ``initial`` (reference: Bag.accumulate). Classic
+    two-pass cross-partition carry — per-partition UNSEEDED reduce
+    produces one pickled carry per partition, the driver prefix-
+    combines them (initial enters ONCE, so a non-identity initial
+    stays correct), then each partition rescans from its seed.
+    ``binop`` must be associative, as dask requires; partition order
+    follows spark_partition_id like the keyless window machinery."""
+    import functools
+
+    import pandas as pd
+
+    col = self._col
+    dt = dict(self._sdf.dtypes)[col]
+    part = self._sdf.select(
+        F.spark_partition_id().alias("__p"), F.col(col)
+    ).persist()
+
+    def totals(batches):
+        items, pid = [], None
+        for pdf in batches:
+            for p, x in zip(pdf["__p"], pdf[col]):
+                pid = int(p)
+                items.append(x)
+        if items:
+            yield pd.DataFrame(
+                {"p": [pid], "tot": [_pickle64(functools.reduce(binop, items))]}
+            )
+
+    rows = part.mapInPandas(totals, "p int, tot string").collect()
+    tot = {int(r["p"]): _unpickle64(r["tot"]) for r in rows}
+    seeds, acc = {}, initial
+    for p in sorted(tot):
+        seeds[p] = _pickle64(acc)
+        acc = binop(acc, tot[p])
+
+    def rescan(batches):
+        acc, started = None, False
+        for pdf in batches:
+            out = []
+            for p, x in zip(pdf["__p"], pdf[col]):
+                if not started:
+                    acc = _unpickle64(seeds[int(p)])
+                    started = True
+                acc = binop(acc, x)
+                out.append(acc)
+            if out:
+                yield pd.DataFrame({col: out})
+
+    res = part.mapInPandas(rescan, f"{col} {dt}")
+    part.unpersist()
+    return Bag(res, col)
+
+
+def _bag_to_delayed(self):
+    """One Delayed per partition (reference: Bag.to_delayed)."""
+    return DaskFrame(self._sdf).to_delayed()
+
+
+Bag.unzip = _bag_unzip
+Bag.reduction = _bag_reduction
+Bag.join = _bag_join
+Bag.accumulate = _bag_accumulate
+Bag.to_delayed = _bag_to_delayed

@@ -121,3 +121,44 @@ def test_bag_zip_positional(spark):
         (r["left"], r["right"]) for r in a.zip(b).compute()
     )
     assert pairs == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)]
+
+
+def test_bag_long_tail(spark):
+    """unzip / reduction / join / accumulate (reference: bag/core.py
+    Bag long tail) — accumulate's non-identity initial enters exactly
+    once across partitions."""
+    import operator
+
+    from dask_spark.bag import Bag
+
+    b = Bag.from_sequence(list(range(1, 11)), npartitions=4)
+
+    # reduction: two-level sum-of-squares
+    got = b.reduction(
+        lambda items: sum(x * x for x in items), lambda parts: sum(parts)
+    )
+    assert got == sum(x * x for x in range(1, 11))
+
+    # accumulate with a NON-identity initial: itertools semantics
+    import itertools
+
+    acc = b.accumulate(operator.add, initial=100).compute()
+    want = list(itertools.accumulate(range(1, 11), operator.add, initial=100))[1:]
+    assert acc == want  # contiguous slices: exact order match
+    assert max(acc) == 100 + 55
+
+    # join on computed key
+    a = Bag.from_sequence([1, 2, 3, 4])
+    c = Bag.from_sequence([10, 20, 31])
+    j = a.join(c, on_self=lambda x: x % 2, on_other=lambda x: x % 2).compute()
+    pairs = {(r["__l"], r["__r"]) for r in j}
+    assert (1, 31) in pairs and (2, 10) in pairs and (2, 20) in pairs
+
+    # unzip via pluck positions
+    t = Bag.from_sequence([(i, i * i) for i in range(5)])
+    left, right = t.unzip(2)
+    assert sorted(right.compute()) == [0, 1, 4, 9, 16]
+
+    # to_delayed roundtrip
+    parts = b.to_delayed()
+    assert len(parts) == 4
