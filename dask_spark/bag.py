@@ -377,8 +377,10 @@ def _bag_join(self, other: "Bag", on_self: Callable,
 
         def gen(batches):
             for pdf in batches:
+                # repr, not str: distinguishes 1 from "1" from None —
+                # str() would alias distinct keys into spurious matches
                 yield pd.DataFrame(
-                    {"k": [str(key_fn(x)) for x in pdf[col]], out: pdf[col]}
+                    {"k": [repr(key_fn(x)) for x in pdf[col]], out: pdf[col]}
                 )
 
         return bag._sdf.mapInPandas(gen, f"k string, {out} {dt}")
@@ -441,7 +443,11 @@ def _bag_accumulate(self, binop: Callable, initial) -> "Bag":
             if out:
                 yield pd.DataFrame({col: out})
 
-    res = part.mapInPandas(rescan, f"{col} {dt}")
+    # materialize BEFORE releasing the cache: the rescan must read the
+    # same partition contents the seeds were computed from (an eager
+    # unpersist would recompute `part` from lineage at collect time —
+    # wasted work, and wrong seeds if the lineage is nondeterministic)
+    res = part.mapInPandas(rescan, f"{col} {dt}").localCheckpoint(eager=True)
     part.unpersist()
     return Bag(res, col)
 

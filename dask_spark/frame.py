@@ -132,9 +132,15 @@ class StrAccessor:
         return F.when(F.length(e) >= width, e).otherwise(padded)
 
     def zfill(self, width: int):
-        return self._wrap(
-            self._no_trunc(F.lpad(self._s._expr, width, "0"), width)
-        )
+        """Python semantics: zeros go AFTER a leading +/- sign."""
+        e = self._s._expr
+        sign = F.substring(e, 1, 1)
+        signed = sign.isin("+", "-")
+        rest = F.substring(e, 2, 1 << 30)
+        padded = F.when(
+            signed, F.concat(sign, F.lpad(rest, width - 1, "0"))
+        ).otherwise(F.lpad(e, width, "0"))
+        return self._wrap(self._no_trunc(padded, width))
 
     def repeat(self, n: int):
         return self._wrap(F.repeat(self._s._expr, n))
@@ -196,9 +202,13 @@ class StrAccessor:
         )
 
     def center(self, width: int, fillchar: str = " "):
-        # python semantics: the left pad gets floor((width-len)/2)
+        # CPython rule: left = marg//2 + (marg & width & 1) — the odd
+        # extra char lands LEFT when width is also odd
         e = self._s._expr
-        left = F.floor((F.lit(width) - F.length(e)) / 2)
+        marg = F.lit(width) - F.length(e)
+        left = F.floor(marg / 2) + (
+            marg.cast("int").bitwiseAND(F.lit(width)).bitwiseAND(F.lit(1))
+        )
         padded = F.rpad(
             F.lpad(e, (F.length(e) + F.greatest(left, F.lit(0))).cast("int"), fillchar),
             width,
@@ -280,12 +290,41 @@ class DtAccessor:
     def date(self):
         return self._wrap(F.to_date(self._s._expr))
 
+    @staticmethod
+    def _parse_freq(freq: str):
+        """pandas offset alias → (count, unit_name, unit_seconds|None).
+        Handles multiplied sub-day aliases ("15min", "2H"); calendar
+        units (W/M/Y) have no fixed second span and only support n=1."""
+        import re
+
+        m = re.fullmatch(r"(\d*)\s*([A-Za-z]+)", freq)
+        if not m:
+            raise ValueError(f"unsupported freq {freq!r}")
+        n = int(m.group(1) or 1)
+        key = m.group(2)
+        unit = {"D": "day", "d": "day", "H": "hour", "h": "hour",
+                "T": "minute", "min": "minute", "S": "second", "s": "second",
+                "M": "month", "W": "week", "Y": "year"}.get(key)
+        if unit is None:
+            raise ValueError(f"unsupported freq unit {key!r}")
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(unit)
+        if n != 1 and secs is None:
+            raise ValueError(f"multiplied {unit} freq unsupported ({freq!r})")
+        return n, unit, secs
+
     def floor(self, freq: str):
-        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute",
-                "M": "month", "W": "week", "Y": "year", "S": "second"}.get(
-            freq.rstrip("1"), freq
+        """Multiplied sub-day frequencies ("15min") floor via epoch
+        arithmetic (UTC session tz: day-and-below units have fixed
+        spans); n=1 units use date_trunc."""
+        n, unit, secs = self._parse_freq(freq)
+        e = self._s._expr
+        if n == 1:
+            return self._wrap(F.date_trunc(unit, e))
+        step = n * secs
+        epoch = e.cast("timestamp").cast("long")
+        return self._wrap(
+            F.timestamp_seconds((epoch - epoch % step).cast("long"))
         )
-        return self._wrap(F.date_trunc(unit, self._s._expr))
 
     def strftime(self, fmt: str):
         # translate the common pandas directives to JVM pattern
@@ -368,14 +407,15 @@ class DtAccessor:
         return self._wrap(F.date_trunc("day", self._s._expr))
 
     def ceil(self, freq: str):
-        """Ceil to the unit: floor, +1 unit when not already aligned."""
+        """Ceil to the freq: floor, + one step when not aligned."""
+        n, unit, secs = self._parse_freq(freq)
         fl = self.floor(freq)._expr
-        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute",
-                "S": "second"}.get(freq.rstrip("1"), freq)
         e = self._s._expr
-        return self._wrap(
-            F.when(e == fl, e).otherwise(fl + F.expr(f"INTERVAL 1 {unit}"))
-        )
+        if secs is not None:
+            bump = fl + F.expr(f"INTERVAL {n * secs} SECOND")
+        else:
+            bump = fl + F.expr(f"INTERVAL 1 {unit}")
+        return self._wrap(F.when(e == fl, e).otherwise(bump))
 
 
 class CatAccessor:
@@ -878,10 +918,37 @@ class Series:
         target = col[-1] if col else self._name
         return Series(out, F.col(target), target)
 
+    def rank(self, method: str = "first"):
+        """Global value rank WITHOUT a single-partition window: the
+        scale-safe global index over value order gives method="first";
+        method="min" assigns every tied value its group's minimum via
+        one extra value-keyed min join (dask rank is also a two-pass
+        affair over sorted partitions)."""
+        from dask_spark.operators.sort import release, with_global_index
+
+        base = self._frame._sdf.select(self._expr.alias(self._name))
+        idx = with_global_index(base, self._name, "__r")
+        out = idx.select(
+            self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
+        )
+        if method == "min":
+            mins = out.groupBy(self._name).agg(F.min("rank").alias("rank"))
+            out = out.drop("rank").join(mins, self._name)
+        elif method != "first":
+            raise ValueError("rank method must be 'first'|'min'")
+        if getattr(idx, "_ds_pinned", None) is not None:
+            release(idx._ds_pinned)
+        return DaskFrame(out)
+
     def to_frame_with(self, *extra: str) -> "DaskFrame":
+        """Value column + carried order/key columns; an extra equal to
+        the series' own name is deduplicated (shift()'s default orders
+        by the value itself — selecting it twice would leave two
+        same-named columns and an AMBIGUOUS_REFERENCE downstream)."""
+        carried = [c for c in extra if c != self._name]
         return DaskFrame(
             self._frame._sdf.select(
-                *[F.col(c) for c in extra], self._expr.alias(self._name)
+                *[F.col(c) for c in carried], self._expr.alias(self._name)
             )
         )
 
@@ -920,28 +987,6 @@ class Series:
     def bfill(self, order_by: str) -> "Series":
         out = self.to_frame_with(order_by).bfill([self._name], order_by)
         return Series(out, F.col(self._name), self._name)
-
-    def rank(self, method: str = "first", order_by: str | None = None):
-        """Global value rank WITHOUT a single-partition window: the
-        scale-safe global index over value order gives method="first";
-        method="min" assigns every tied value its group's minimum via
-        one extra value-keyed min join (dask rank is also a two-pass
-        affair over sorted partitions)."""
-        from dask_spark.operators.sort import release, with_global_index
-
-        base = self._frame._sdf.select(self._expr.alias(self._name))
-        idx = with_global_index(base, self._name, "__r")
-        out = idx.select(
-            self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
-        )
-        if method == "min":
-            mins = out.groupBy(self._name).agg(F.min("rank").alias("rank"))
-            out = out.drop("rank").join(mins, self._name)
-        elif method != "first":
-            raise ValueError("rank method must be 'first'|'min'")
-        if getattr(idx, "_ds_pinned", None) is not None:
-            release(idx._ds_pinned)
-        return DaskFrame(out)
 
     # ---- to frame ----------------------------------------------------
     def nlargest(self, n: int = 5) -> "DaskFrame":

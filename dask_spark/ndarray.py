@@ -60,6 +60,16 @@ def _require_np():
 EXPR_FUSION_LIMIT = 512
 
 
+def _collect_block(pos_col: str, val_col: str):
+    """Rebuild a block array from (position, value) rows INSIDE an
+    aggregate (sorted in-agg, never on the driver) — shared by every
+    axis-0 family member (_reduce_rows, cumsum, coarsen)."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
+        lambda s: s[val_col],
+    )
+
+
 class NDArray:
     """Lazy N-D array: ``shape = (nrows, *inner_shape)``.
 
@@ -543,12 +553,7 @@ class NDArray:
             F.posexplode(F.col(self._col)).alias("__p", "__v")
         )
         per = ex.groupBy("__p").agg(agg("__v").alias("__a"))
-        one = per.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__a"))),
-                lambda s: s["__a"],
-            ).alias(self._col)
-        )
+        one = per.agg(_collect_block("__p", "__a").alias(self._col))
         return NDArray(one, self.inner_shape, self._col, None)
 
     def cumsum(self, axis: int) -> "NDArray":
@@ -576,10 +581,7 @@ class NDArray:
             )
             cs = ex.withColumn("__c", F.sum("__v").over(w))
             rows = cs.groupBy(m._id).agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__p", "__c"))),
-                    lambda s: s["__c"],
-                ).alias(m._col)
+                _collect_block("__p", "__c").alias(m._col)
             )
             return NDArray(rows, self.inner_shape, m._col, m._id)
         ai, _ = self._axis_strides(axis)
@@ -746,6 +748,8 @@ class NDArray:
         if self._id:
             sdf = sdf.orderBy(self._id)
         rows = [r[self._col] for r in sdf.select(self._col).collect()]
+        if not rows:  # empty result: collect gives a 1-D empty array
+            return np.empty((0, *self.inner_shape), dtype="float64")
         arr = np.asarray(rows, dtype="float64")
         if self._perm is not None:
             arr = arr[:, self._perm]
@@ -847,10 +851,7 @@ def coarsen(reduction: str, x: NDArray, axes: dict, trim_excess: bool = False
         agg = {"sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min}[how]
         per = ex.groupBy("__g", "__p").agg(agg("__v").alias("__a"))
         rows = per.groupBy("__g").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__a"))),
-                lambda s_: s_["__a"],
-            ).alias(m._col)
+            _collect_block("__p", "__a").alias(m._col)
         ).withColumnRenamed("__g", m._id)
         x = NDArray(rows, x.inner_shape, m._col, m._id)
     return x

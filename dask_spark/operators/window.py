@@ -68,7 +68,11 @@ class Rolling:
         if self._by:
             part, tagged = self._by, sdf
         elif isinstance(self._window, int):
-            tagged = ranged_with_halo(sdf, self._on,
+            # ship the FULL order-column list: the halo tail must be
+            # selected under the same (on, tiebreak...) order the
+            # window frame uses, or boundary rows see the wrong k
+            # predecessors under duplicate keys
+            tagged = ranged_with_halo(sdf, self._ons,
                                       before_rows=self._window - 1)
             part = ["__pid"]
         else:

@@ -622,3 +622,72 @@ def test_series_rolling_and_cum_delegates(tables):
     assert cm.iloc[:, 0].min() == pytest.approx(
         o.compute().o_totalprice.min()
     )
+
+
+def test_review_fixes_accessors_and_series(spark, tables):
+    """Round-5 review fixes: python zfill sign rule, CPython center
+    rule, multiplied dt freqs, Series.shift() default order, empty
+    NDArray compute with a pending perm."""
+    import dask_spark as ds
+
+    f = ds.from_pandas(pd.DataFrame({"s": ["-5", "+3", "7", "ab"]}))
+    ps = pd.Series(["-5", "+3", "7", "ab"])
+    assert f.s.str.zfill(4).compute().tolist() == ps.str.zfill(4).tolist()
+    g = ds.from_pandas(pd.DataFrame({"s": ["ab", "abc", "a"]}))
+    qs = pd.Series(["ab", "abc", "a"])
+    for w in (4, 5, 6, 7):
+        assert (
+            g.s.str.center(w, "*").compute().tolist()
+            == qs.str.center(w, "*").tolist()
+        ), w
+
+    t = pd.DataFrame(
+        {"t": pd.to_datetime(["2026-01-01 10:07:00", "2026-01-01 10:15:00"])}
+    )
+    ft = ds.from_pandas(t)
+    assert (
+        ft.t.dt.floor("15min").compute().tolist()
+        == t.t.dt.floor("15min").tolist()
+    )
+    assert (
+        ft.t.dt.ceil("15min").compute().tolist()
+        == t.t.dt.ceil("15min").tolist()
+    )
+    assert ft.t.dt.floor("1D").compute().tolist() == t.t.dt.floor("1D").tolist()
+
+    # Series.shift() with the default (value-order) must not crash
+    o = tables["orders"]
+    sh = o.o_totalprice.shift().to_frame().compute()
+    assert sh.isna().sum().iloc[0] >= 1
+
+    # empty NDArray with pending perm computes to an empty tensor
+    from dask_spark.ndarray import NDArray
+
+    nd = NDArray(
+        spark.createDataFrame([], "id bigint, block array<double>"),
+        (2, 2), "block", "id",
+    )
+    assert nd.transpose().compute().shape == (0, 2, 2)
+
+
+def test_keyless_rolling_tiebreak_halo(spark):
+    """Keyless rolling with tie-break columns: halo rows must be
+    selected under the SAME (on, tiebreak) order the window uses —
+    boundary rows previously saw arbitrary predecessors under
+    duplicate keys (review finding, reproduced)."""
+    import dask_spark as ds
+
+    n = 40
+    pdf = pd.DataFrame(
+        {"ts": [i // 4 for i in range(n)], "eid": range(n),
+         "v": [float(i) for i in range(n)]}
+    )
+    f = ds.from_pandas(pdf)
+    got = (
+        f.rolling(3, on=["ts", "eid"])
+        .mean("v")
+        .compute()
+        .sort_values(["ts", "eid"])
+    )
+    want = pdf.sort_values(["ts", "eid"]).v.rolling(3, min_periods=1).mean()
+    assert got["v_roll_mean"].tolist() == pytest.approx(want.tolist())
