@@ -201,11 +201,21 @@ class Rolling:
         )
 
     def corr(self, col: str, other: str, out: str | None = None):
-        """Rolling Pearson correlation of two columns."""
+        """Rolling Pearson correlation of two columns.
+
+        Formulated as covar/(sx·sy) with a nullif denominator rather
+        than native corr: window aggregates evaluate for EVERY frame
+        before any when() guard can skip them, and Spark's corr raises
+        ANSI DIVIDE_BY_ZERO on a zero-variance window (e.g. identical
+        timestamps inside one range frame — hit at sf0.1). A null
+        denominator yields NULL, matching pandas NaN and SQL corr."""
         from dask_spark.frame import DaskFrame
 
         w, sdf = self._win()
-        expr = F.corr(F.col(col), F.col(other)).over(w)
+        cov = F.covar_samp(F.col(col), F.col(other)).over(w)
+        sx = F.stddev_samp(F.col(col)).over(w)
+        sy = F.stddev_samp(F.col(other)).over(w)
+        expr = cov / F.nullif(sx * sy, F.lit(0.0))
         if self._min_periods:
             cnt = F.count(F.when(F.col(col).isNotNull()
                                  & F.col(other).isNotNull(), 1)).over(w)

@@ -529,3 +529,26 @@ def test_resample_ohlc_sem_size(spark):
     expect = pdf.set_index("ts").resample("1h")["v"].sem()
     assert sem["v_sem"].tolist() == pytest.approx(expect.tolist())
     assert list(r.nunique("v").compute().columns) == ["ts_bucket", "v_nunique"]
+
+
+def test_rolling_corr_zero_variance_window(spark):
+    """A window whose order column has zero variance (identical
+    timestamps in one range frame) must yield NULL, not an ANSI
+    DIVIDE_BY_ZERO — window aggregates evaluate before any when()
+    guard, so corr is formulated cov/nullif(sx*sy, 0) (sf0.1 repro)."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "u": [1] * 4,
+            "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 3 + ["2026-01-01 02:00:00"]),
+            "v": [1.0, 2.0, 3.0, 4.0],
+            "x": [5.0, 5.0, 5.0, 7.0],
+        }
+    )
+    f = ds.from_pandas(pdf)
+    out = f.rolling("1h", on="ts", by="u").corr("v", "x").compute()
+    # the all-identical-x window gives NULL; no exception raised
+    assert out["v_roll_corr"].isna().any()
