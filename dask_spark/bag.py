@@ -387,25 +387,38 @@ def _bag_join(self, other: "Bag", on_self: Callable,
 
     left = keyed(self, on_self, "__l")
     right = keyed(other, key_other, "__r")
+    # dask's join yields (other_element, self_element) tuples
+    # (reference: dask/bag/core.py:1184 doctest) — tuple-style _1/_2
+    # field names so positional pluck unpacks like the reference
     joined = left.join(right, "k").select(
-        F.struct("__l", "__r").alias(self._col)
+        F.struct(
+            F.col("__r").alias("_1"), F.col("__l").alias("_2")
+        ).alias(self._col)
     )
     return Bag(joined, self._col)
 
 
-def _bag_accumulate(self, binop: Callable, initial) -> "Bag":
-    """Prefix scan: output[i] = fold of ``binop`` over items[0..i]
-    seeded with ``initial`` (reference: Bag.accumulate). Classic
-    two-pass cross-partition carry — per-partition UNSEEDED reduce
-    produces one pickled carry per partition, the driver prefix-
-    combines them (initial enters ONCE, so a non-identity initial
-    stays correct), then each partition rescans from its seed.
-    ``binop`` must be associative, as dask requires; partition order
-    follows spark_partition_id like the keyless window machinery."""
+_accumulate_no_default = object()
+
+
+def _bag_accumulate(self, binop: Callable,
+                    initial=_accumulate_no_default) -> "Bag":
+    """Prefix scan with toolz/dask semantics (reference:
+    Bag.accumulate, dask/bag/core.py:1700): without ``initial``,
+    output[0] = items[0] and output[i] = binop(output[i-1], items[i]);
+    with ``initial``, the initial value itself is the FIRST output
+    element (n+1 items, e.g. [-1, 0, 2, 5, 9, 14]). Classic two-pass
+    cross-partition carry — per-partition UNSEEDED reduce produces one
+    pickled carry per partition, the driver prefix-combines them
+    (initial enters ONCE, so a non-identity initial stays correct),
+    then each partition rescans from its seed. ``binop`` must be
+    associative, as dask requires; partition order follows
+    spark_partition_id like the keyless window machinery."""
     import functools
 
     import pandas as pd
 
+    has_initial = initial is not _accumulate_no_default
     col = self._col
     dt = dict(self._sdf.dtypes)[col]
     part = self._sdf.select(
@@ -425,10 +438,18 @@ def _bag_accumulate(self, binop: Callable, initial) -> "Bag":
 
     rows = part.mapInPandas(totals, "p int, tot string").collect()
     tot = {int(r["p"]): _unpickle64(r["tot"]) for r in rows}
-    seeds, acc = {}, initial
+    if not tot:
+        part.unpersist()
+        return (Bag.from_sequence([initial], npartitions=1)
+                if has_initial else Bag(self._sdf, col))
+    first_pid = min(tot)
+    seeds, acc, seen_first = {}, initial, False
     for p in sorted(tot):
-        seeds[p] = _pickle64(acc)
-        acc = binop(acc, tot[p])
+        # the first non-empty partition is unseeded in the no-initial
+        # form: its scan starts at its own first item
+        seeds[p] = _pickle64(acc) if (has_initial or seen_first) else None
+        seen_first = True
+        acc = tot[p] if seeds[p] is None else binop(acc, tot[p])
 
     def rescan(batches):
         acc, started = None, False
@@ -436,8 +457,16 @@ def _bag_accumulate(self, binop: Callable, initial) -> "Bag":
             out = []
             for p, x in zip(pdf["__p"], pdf[col]):
                 if not started:
-                    acc = _unpickle64(seeds[int(p)])
+                    seed = seeds[int(p)]
                     started = True
+                    if has_initial and int(p) == first_pid:
+                        # toolz: the initial value leads the output
+                        out.append(_unpickle64(seed))
+                    if seed is None:
+                        acc = x
+                        out.append(acc)
+                        continue
+                    acc = _unpickle64(seed)
                 acc = binop(acc, x)
                 out.append(acc)
             if out:

@@ -938,7 +938,10 @@ class Series:
             raise ValueError("rank method must be 'first'|'min'")
         if getattr(idx, "_ds_pinned", None) is not None:
             release(idx._ds_pinned)
-        return DaskFrame(out)
+        # a Series, like pandas/dask rank — chaining Series ops works;
+        # ordering is by value (the engine has no implicit row order,
+        # so positional alignment to the source frame is not defined)
+        return Series(DaskFrame(out), F.col("rank"), self._name)
 
     def to_frame_with(self, *extra: str) -> "DaskFrame":
         """Value column + carried order/key columns; an extra equal to

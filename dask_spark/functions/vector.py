@@ -26,8 +26,11 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
         for t in terms[1:]:
             out = out + t
         return out
+    # cast BEFORE the multiply: float*float products lose ~1e-7
+    # relative precision vs a double-accumulating oracle, enough to
+    # straddle a fixed-dp rounding boundary in hash comparisons.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -37,7 +40,10 @@ def norm(a: Column, dim: int | None = None) -> Column:
     if dim:
         return F.sqrt(dot(a, a, dim))
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
 
 

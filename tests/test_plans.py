@@ -368,6 +368,56 @@ def test_lsh_band_join_exchange_is_ids_only(tables):
             k = hash_keys(arg)
             if ("band" in inp) or ("id_a" in k and "id_b" in k):
                 assert not vec_pat.search(inp), (arg, inp)
+        # TYPE-based guard on top of the name regex: NO array-typed
+        # column may ride a band-carrying or pair-id-hashed exchange,
+        # whatever alias it hides under
+        assert _band_exchange_array_offenders(q.to_spark()) == []
+
+
+def _band_exchange_array_offenders(sdf):
+    """Walk the JVM physical plan: every Exchange whose output carries
+    a band column, or whose hash partitioning covers both pair ids,
+    must carry NO array-typed attribute — alias-proof (the name-regex
+    guard alone would pass a vector smuggled back under a new name)."""
+    offenders = []
+
+    def attrs(node):
+        seq = node.output()
+        return [(seq.apply(i).name(), seq.apply(i).dataType().typeName())
+                for i in range(seq.size())]
+
+    def walk(node):
+        if "Exchange" in node.nodeName():
+            a = attrs(node)
+            names = [n for n, _ in a]
+            part = str(node.outputPartitioning().toString())
+            banded = "band" in names
+            pair_hashed = "id_a" in part and "id_b" in part
+            if banded or pair_hashed:
+                arrays = [n for n, t in a if t == "array"]
+                if arrays:
+                    offenders.append((node.nodeName(), part, arrays))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(sdf._jdf.queryExecution().sparkPlan())
+    return offenders
+
+
+def test_band_exchange_guard_catches_regression(tables):
+    """The guard itself must fire: a deliberately bad plan that
+    repartitions by a band key WITH the vector aboard is flagged."""
+    import pyspark.sql.functions as F
+
+    emb = tables["embeddings"].to_spark()
+    bad = (
+        emb.select("vec_id", "embedding")
+        .withColumn("band", F.pmod(F.xxhash64("vec_id"), F.lit(8)))
+        .repartition("band")
+    )
+    off = _band_exchange_array_offenders(bad)
+    assert off and any("embedding" in names for _, _, names in off)
 
 
 def test_profiler_sql_metrics(spark):
