@@ -35,6 +35,7 @@ from dask_spark.sources import (
 )
 
 from dask_spark.delayed import Delayed, compute, delayed
+from dask_spark.random import RandomState, default_rng
 from dask_spark.ndarray import NDArray, bincount, digitize, histogram2d
 
 from dask_spark import testing

@@ -1090,17 +1090,28 @@ _M31 = (1 << 31) - 1
 
 
 def _counter_uniform(id_col, j: int, k: int, seed: int):
-    """Counter-based uniform in (0,1): two LCG mixing rounds of
-    (row, dim, stream, seed) mod 2^31-1. Stateless — any engine (or
-    SQL dialect) reproduces it bit-for-bit, and the output is
-    partitioning-invariant (dask rechunk-invariance for random arrays).
-    ANSI-safe: every product stays < 2^63."""
-    h1 = F.pmod(
-        id_col * F.lit(1103515245) + F.lit(j * 12345 + k * 1013904223 + seed),
-        F.lit(_M31),
-    )
-    h2 = F.pmod(h1 * F.lit(69069) + F.lit(1), F.lit(_M31))
-    return (h2.cast("double") + F.lit(0.5)) / F.lit(float(_M31))
+    """Counter-based uniform in (0,1): a 31-bit xor-shift/multiply mix
+    of (row, dim, stream, seed). Stateless — any engine (or SQL
+    dialect) reproduces it bit-for-bit (random.counter_uniform_sql
+    emits the DuckDB twin), and the output is partitioning-invariant
+    (dask rechunk-invariance for random arrays). The xor rounds are
+    the point: a pure LCG mix is AFFINE in the counter, so any two
+    streams are affinely correlated (measured corr(u1,u2)=0.76 —
+    enough to visibly bias Box–Muller); the xor-shift rounds break
+    affinity (corr < 0.001). ANSI-safe: every product stays < 2^63
+    for row ids up to ~2^42."""
+    add = (j * 12345 + k * 1013904223 + (seed & _M31) * 2654435761) & _M31
+    x = (
+        id_col.bitwiseAND(F.lit(_M31)) * F.lit(1103515245)
+        + F.shiftright(id_col, 31) * F.lit(98765431)
+        + F.lit(add)
+    ).bitwiseAND(F.lit(_M31))
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * F.lit(69069)).bitwiseAND(F.lit(_M31))
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = (x * F.lit(1103515245)).bitwiseAND(F.lit(_M31))
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    return (x.cast("double") + F.lit(0.5)) / F.lit(float(_M31 + 1))
 
 
 def random_normal(spark, n: int, dim: int, seed: int = 0,

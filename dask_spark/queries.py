@@ -3134,16 +3134,13 @@ def arr_stack_mean(spark, sf_dir):
     )
 
 
-@q(
-    "arr_random_hist",
-    """
+def _arr_random_hist_oracle() -> str:
+    from dask_spark.random import counter_uniform_sql as cu
+
+    return f"""
     WITH z AS (
-      SELECT sqrt(-2 * ln(
-               ((((r.id * 1103515245 + t.j * 12345) % 2147483647)
-                  * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0))
-             * cos(2 * 3.141592653589793 *
-               ((((((r.id * 1103515245 + t.j * 12345 + 1013904223) % 2147483647)
-                  * 69069 + 1) % 2147483647 + 0.5) / 2147483647.0))) AS v
+      SELECT sqrt(-2 * ln({cu('r.id', 't.j', 0, 0)}))
+             * cos(2 * 3.141592653589793 * {cu('r.id', 't.j', 1, 0)}) AS v
       FROM range(10000) r(id), range(8) t(j)
     )
     SELECT CAST(floor((v + 4) / 0.5) AS BIGINT) AS bin,
@@ -3152,13 +3149,16 @@ def arr_stack_mean(spark, sf_dir):
     WHERE v > -4 AND v < 4
     GROUP BY bin
     ORDER BY bin
-    """,
-)
+    """
+
+
+@q("arr_random_hist", _arr_random_hist_oracle())
 def arr_random_hist(spark, sf_dir):
     """da.random.normal twin (reference: dask/array/random.py):
     counter-based Box–Muller on spark.range — stateless, map-only,
     partitioning-invariant, and REPRODUCIBLE BY THE ORACLE (the same
-    integer mix in ANSI SQL), histogrammed into 0.5-wide bins."""
+    xor-shift integer mix in ANSI SQL), histogrammed into 0.5-wide
+    bins."""
     from dask_spark.array import random_normal
 
     arr = random_normal(spark, 10_000, 8, seed=0)
@@ -3169,6 +3169,128 @@ def arr_random_hist(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bin")
     )
+
+
+def _arr_random_uniform_oracle() -> str:
+    from dask_spark.random import counter_uniform_sql as cu
+
+    return f"""
+    WITH z AS (
+      SELECT 2 + 3 * {cu('r.id', 't.j', 0, 0)} AS v
+      FROM range(10000) r(id), range(4) t(j)
+    )
+    SELECT CAST(floor((v - 2) / 0.25) AS BIGINT) AS bin, count(*) AS cnt
+    FROM z GROUP BY bin ORDER BY bin
+    """
+
+
+@q("arr_random_uniform", _arr_random_uniform_oracle())
+def arr_random_uniform(spark, sf_dir):
+    """da.random.uniform (reference: dask/array/random.py uniform):
+    counter-based inverse-CDF draw, map-only over spark.range,
+    partitioning-invariant; the oracle replays the xor-shift mix in
+    SQL and both engines histogram identical doubles."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=0).uniform(2, 5, n=10_000, dim=4)
+    vals = arr._sdf.select(F.explode("values").alias("v"))
+    return (
+        vals.groupBy(
+            F.floor((F.col("v") - 2) / 0.25).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+def _arr_random_poisson_oracle() -> str:
+    from dask_spark.random import RandomState, counter_uniform_sql as cu
+
+    cdf = RandomState.poisson_cdf(3.0)
+    u = cu("r.id", 0, 0, 11)
+    ks = " + ".join(f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in cdf)
+    return f"""
+    WITH z AS (SELECT {u} AS u FROM range(8000) r(id)),
+    d AS (SELECT ({ks})::DOUBLE AS v FROM z)
+    SELECT v, count(*) AS cnt FROM d GROUP BY v ORDER BY v
+    """
+
+
+@q("arr_random_poisson", _arr_random_poisson_oracle())
+def arr_random_poisson(spark, sf_dir):
+    """da.random.poisson (reference: dask/array/random.py poisson):
+    the CDF is a DRIVER literal (lam is a scalar), the draw a codegen
+    searchsorted comparison chain — the oracle rebuilds the same CDF
+    literals and counts the same comparisons."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=11).poisson(3.0, n=8_000)
+    return (
+        arr._sdf.select(F.explode("values").alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).orderBy("v")
+    )
+
+
+def _arr_random_choice_oracle() -> str:
+    from dask_spark.random import counter_uniform_sql as cu
+
+    # CDF of p=[.1,.2,.3,.4] built exactly as RandomState.choice does
+    p, tot = [0.1, 0.2, 0.3, 0.4], 1.0
+    cdf, acc = [], 0.0
+    for w in p[:-1]:
+        acc += w / tot
+        cdf.append(acc)
+    u = cu("r.id", 0, 0, 5)
+    idx = " + ".join(f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in cdf)
+    return f"""
+    WITH z AS (SELECT {u} AS u FROM range(10000) r(id)),
+    d AS (SELECT list_extract([10.0, 20.0, 30.0, 40.0], ({idx}) + 1) AS v
+          FROM z)
+    SELECT v, count(*) AS cnt FROM d GROUP BY v ORDER BY v
+    """
+
+
+@q("arr_random_choice", _arr_random_choice_oracle())
+def arr_random_choice(spark, sf_dir):
+    """da.random.choice with weights (reference: dask/array/random.py
+    choice): weighted inverse-CDF index into a literal population,
+    map-only; the oracle replays the CDF thresholds and the literal
+    list_extract."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=5).choice(
+        [10, 20, 30, 40], n=10_000, p=[0.1, 0.2, 0.3, 0.4]
+    )
+    return (
+        arr._sdf.select(F.explode("values").alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).orderBy("v")
+    )
+
+
+def _arr_random_permutation_oracle() -> str:
+    from dask_spark.random import counter_uniform_sql as cu
+
+    return f"""
+    WITH k AS (SELECT id, {cu('id', 0, 0, 3)} AS key FROM range(5000) t(id))
+    SELECT (row_number() OVER (ORDER BY key, id) - 1) AS row_id,
+           id::DOUBLE AS val
+    FROM k ORDER BY row_id
+    """
+
+
+@q("arr_random_permutation", _arr_random_permutation_oracle())
+def arr_random_permutation(spark, sf_dir):
+    """da.random.permutation (reference: dask/array/random.py
+    permutation → shuffle_slice): one counter key per element, the
+    scale-safe global index assigns positions (range-partition sort,
+    never a driver collect); the oracle replays key order with a
+    row_number window. Position→value mapping must match exactly."""
+    from dask_spark.random import RandomState
+
+    out = RandomState(spark, seed=3).permutation(5000)
+    return out._sdf.select(
+        "row_id", F.element_at("values", 1).alias("val")
+    ).orderBy("row_id")
 
 
 @q(

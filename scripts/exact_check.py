@@ -32,7 +32,9 @@ def main():
         a = qs[name](spark, sf).toPandas()
         b = con.sql(os_[name]).df()
         for df in (a, b):
-            pass
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime"):
+                    df[c] = df[c].astype("datetime64[us]")
         a = a.reindex(sorted(a.columns), axis=1).sort_values(
             sorted(a.columns), ignore_index=True)
         b = b.reindex(sorted(b.columns), axis=1).sort_values(

@@ -1,0 +1,160 @@
+"""da.random distribution family (reference: dask/array/random.py):
+moment parity against closed-form theory, determinism, and
+partitioning-invariance of the counter-based draws."""
+
+import math
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from dask_spark.random import RandomState
+
+
+def _vals(arr) -> np.ndarray:
+    pdf = arr._sdf.select(F.explode("values").alias("v")).toPandas()
+    return pdf["v"].to_numpy(dtype=float)
+
+
+N = 30_000
+
+# (name, draw(rs), theoretical mean, theoretical var)
+MOMENTS = [
+    ("uniform", lambda rs: rs.uniform(2, 5, N), 3.5, 0.75),
+    ("normal", lambda rs: rs.normal(1, 2, N), 1.0, 4.0),
+    ("lognormal", lambda rs: rs.lognormal(0, 0.5, N),
+     math.exp(0.125), (math.exp(0.25) - 1) * math.exp(0.25)),
+    ("exponential", lambda rs: rs.exponential(2, N), 2.0, 4.0),
+    ("rayleigh", lambda rs: rs.rayleigh(1, N),
+     math.sqrt(math.pi / 2), (4 - math.pi) / 2),
+    ("gumbel", lambda rs: rs.gumbel(0, 1, N),
+     0.5772156649, math.pi ** 2 / 6),
+    ("laplace", lambda rs: rs.laplace(0, 1, N), 0.0, 2.0),
+    ("logistic", lambda rs: rs.logistic(0, 1, N), 0.0, math.pi ** 2 / 3),
+    ("pareto", lambda rs: rs.pareto(3, N), 0.5, 0.75),
+    ("power", lambda rs: rs.power(2, N), 2 / 3, 1 / 18),
+    ("weibull", lambda rs: rs.weibull(2, N),
+     math.gamma(1.5), math.gamma(2) - math.gamma(1.5) ** 2),
+    ("triangular", lambda rs: rs.triangular(0, 1, 3, N), 4 / 3, 7 / 18),
+    ("geometric", lambda rs: rs.geometric(0.3, N), 1 / 0.3, 0.7 / 0.09),
+    ("poisson", lambda rs: rs.poisson(3.0, N), 3.0, 3.0),
+    ("binomial", lambda rs: rs.binomial(20, 0.3, N), 6.0, 4.2),
+    ("integers", lambda rs: rs.integers(5, 15, N), 9.5, (100 - 1) / 12),
+]
+
+
+def test_moment_parity(spark):
+    rs = RandomState(spark, seed=42)
+    for name, draw, mu, var in MOMENTS:
+        v = _vals(draw(rs))
+        assert len(v) == N, name
+        se_mean = math.sqrt(var / N)
+        assert abs(v.mean() - mu) < 6 * se_mean + 1e-9, (
+            name, v.mean(), mu)
+        # var tolerance: generous 10% (4th-moment SE varies by dist)
+        assert abs(v.var() - var) < 0.1 * var + 1e-9, (name, v.var(), var)
+
+
+def test_cauchy_quartiles(spark):
+    """Cauchy has no moments — check median ≈ 0 and IQR ≈ 2 (the
+    quartiles of standard Cauchy are ±1)."""
+    v = _vals(RandomState(spark, seed=1).standard_cauchy(40_000))
+    q1, q2, q3 = np.percentile(v, [25, 50, 75])
+    assert abs(q2) < 0.05
+    assert abs(q1 + 1) < 0.08 and abs(q3 - 1) < 0.08
+
+
+def test_determinism_and_partitioning_invariance(spark):
+    rs = RandomState(spark, seed=7)
+    a = _vals(rs.uniform(0, 1, 2000, dim=3, npartitions=2))
+    b = _vals(rs.uniform(0, 1, 2000, dim=3, npartitions=16))
+    assert np.array_equal(a, b)  # bit-for-bit across partitionings
+    c = _vals(RandomState(spark, seed=8).uniform(0, 1, 2000, dim=3))
+    assert not np.array_equal(a, c)  # seed actually enters the mix
+
+
+def test_uniform_bounds_and_integers_support(spark):
+    rs = RandomState(spark, seed=3)
+    u = _vals(rs.uniform(-2, -1, 5000))
+    assert u.min() >= -2 and u.max() <= -1
+    z = _vals(rs.integers(5, 15, 5000))
+    assert set(np.unique(z)) <= set(float(x) for x in range(5, 15))
+    assert len(np.unique(z)) == 10
+
+
+def test_poisson_pmf_shape(spark):
+    lam = 3.0
+    v = _vals(RandomState(spark, seed=11).poisson(lam, 20_000))
+    assert v.min() >= 0
+    counts = np.bincount(v.astype(int), minlength=10) / len(v)
+    pmf = [math.exp(-lam) * lam ** k / math.factorial(k) for k in range(10)]
+    assert np.abs(counts[:10] - pmf).max() < 0.01
+
+
+def test_binomial_edges(spark):
+    rs = RandomState(spark, seed=2)
+    assert set(_vals(rs.binomial(10, 0.0, 100))) == {0.0}
+    assert set(_vals(rs.binomial(10, 1.0, 100))) == {10.0}
+    v = _vals(rs.binomial(20, 0.3, 5000))
+    assert v.min() >= 0 and v.max() <= 20
+
+
+def test_choice_weighted_and_uniform(spark):
+    rs = RandomState(spark, seed=5)
+    v = _vals(rs.choice([10, 20, 30, 40], n=20_000,
+                        p=[0.1, 0.2, 0.3, 0.4]))
+    assert set(np.unique(v)) == {10.0, 20.0, 30.0, 40.0}
+    frac = {x: (v == x).mean() for x in (10.0, 20.0, 30.0, 40.0)}
+    for x, w in zip((10.0, 20.0, 30.0, 40.0), (0.1, 0.2, 0.3, 0.4)):
+        assert abs(frac[x] - w) < 0.02
+    u = _vals(rs.choice(5, n=10_000))  # int a → range(a), unweighted
+    assert set(np.unique(u)) == {0.0, 1.0, 2.0, 3.0, 4.0}
+
+
+def test_choice_without_replacement(spark):
+    rs = RandomState(spark, seed=9)
+    v = _vals(rs.choice(list(range(100)), n=30, replace=False))
+    assert len(v) == 30 and len(set(v)) == 30
+    assert set(v) <= set(float(x) for x in range(100))
+    v2 = _vals(RandomState(spark, seed=9).choice(
+        list(range(100)), n=30, replace=False))
+    assert np.array_equal(v, v2)  # seeded: reproducible
+    with pytest.raises(ValueError):
+        rs.choice([1, 2], n=5, replace=False)
+
+
+def test_permutation(spark):
+    rs = RandomState(spark, seed=3)
+    out = rs.permutation(5000)
+    pdf = out._sdf.select(
+        "row_id", F.element_at("values", 1).alias("v")
+    ).toPandas().sort_values("row_id")
+    vals = pdf["v"].to_numpy(dtype=float)
+    assert sorted(vals) == [float(i) for i in range(5000)]  # a permutation
+    assert not np.array_equal(vals, np.arange(5000.0))      # actually mixed
+    again = rs.permutation(5000)._sdf.select(
+        "row_id", F.element_at("values", 1).alias("v")
+    ).toPandas().sort_values("row_id")["v"].to_numpy(dtype=float)
+    assert np.array_equal(vals, again)
+
+
+def test_rejection_family_raises(spark):
+    rs = RandomState(spark, seed=0)
+    for meth in (rs.gamma, rs.beta, rs.chisquare, rs.vonmises, rs.wald):
+        with pytest.raises(NotImplementedError):
+            meth(1.0)
+
+
+def test_parameter_validation(spark):
+    rs = RandomState(spark, seed=0)
+    with pytest.raises(ValueError):
+        rs.geometric(0.0)
+    with pytest.raises(ValueError):
+        rs.poisson(2000.0)  # lam cap points at the normal approx
+    with pytest.raises(ValueError):
+        rs.binomial(5000, 0.5)
+    with pytest.raises(ValueError):
+        rs.integers(5, 5)
+    with pytest.raises(ValueError):
+        rs.choice([])
