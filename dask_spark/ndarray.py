@@ -59,6 +59,18 @@ def _require_np():
 # block made transpose().sum() hang vs 0.7s on a stored column).
 EXPR_FUSION_LIMIT = 512
 
+# Hard ceiling on one row's payload: inner axes are SINGLE-CHUNK by
+# layout (a block must fit a task — the same contract as a dask
+# chunk, reference dask/array/rechunk.py:270 rechunks any axis, this
+# engine only axis 0). 256 MiB of doubles per row is already ~2× a
+# dask default chunk; beyond it a (n, 100k, 100k) tensor would need a
+# chunked-inner design — a (row_id, block_id, block) layout where
+# inner-axis ops become block-id joins. That design costs a shuffle
+# on every inner-axis structural op, so it stays out until a workload
+# needs it; the error below documents the boundary instead of letting
+# an executor OOM discover it.
+INNER_BLOCK_LIMIT_BYTES = 256 * 1024 * 1024
+
 
 def _collect_block(pos_col: str, val_col: str):
     """Rebuild a block array from (position, value) rows INSIDE an
@@ -94,6 +106,17 @@ class NDArray:
         self.inner_shape = tuple(int(s) for s in inner_shape)
         if any(s <= 0 for s in self.inner_shape):
             raise ValueError(f"bad inner shape {self.inner_shape}")
+        inner_bytes = 8 * math.prod(self.inner_shape)
+        if inner_bytes > INNER_BLOCK_LIMIT_BYTES:
+            raise ValueError(
+                f"inner block of {self.inner_shape} is {inner_bytes >> 20}"
+                f" MiB/row — beyond the single-chunk inner-axis layout "
+                f"(limit {INNER_BLOCK_LIMIT_BYTES >> 20} MiB; a block "
+                f"must fit one task). Put the largest axis at position "
+                f"0 (the distributed axis), e.g. transpose the logical "
+                f"layout before construction; chunked inner axes need "
+                f"the (row_id, block_id) design — see the module note."
+            )
         self._perm = (
             None
             if perm is None
@@ -963,3 +986,151 @@ def histogram2d(frame: DaskFrame, xcol: str, ycol: str, bins: int,
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return DaskFrame(sdf)
+
+
+# ---- einsum (reference: dask/array/einsumfuncs.py:202) ----------------
+def _dedup_labels(labels: str) -> str:
+    out = []
+    for c in labels:
+        if c not in out:
+            out.append(c)
+    return "".join(out)
+
+
+def _einsum_single(labels: str, out: str, x: NDArray) -> NDArray:
+    """One-operand einsum over the inner axes: repeated labels become
+    a diagonal GATHER (np.einsum applied to the flat INDEX tensor — a
+    pure view op composed into the perm, zero plan growth), dropped
+    labels become inner-axis sums, and the final label order is one
+    transpose. The distributed row label (labels[0]) must lead the
+    output — contracting it is an axis-0 reduction the caller should
+    spell as .sum(axis=0)."""
+    np = _require_np()
+    r = labels[0]
+    if labels.count(r) != 1 or r in labels[1:]:
+        raise NotImplementedError(
+            f"label '{r}' indexes the distributed row axis and cannot "
+            "repeat (a row-axis diagonal would be a global shuffle)"
+        )
+    if not out or out[0] != r:
+        raise NotImplementedError(
+            f"output must keep the distributed row label '{r}' first "
+            "(contracting rows in-subscript is an axis-0 reduction — "
+            "compose .sum(axis=0) after the inner einsum)"
+        )
+    if r in out[1:]:
+        raise ValueError(f"duplicate output label '{r}'")
+    inner = labels[1:]
+    if len(inner) != len(x.inner_shape):
+        raise ValueError(
+            f"subscripts '{labels}' rank {len(labels)} vs array rank "
+            f"{1 + len(x.inner_shape)}"
+        )
+    for c in out[1:]:
+        if c not in inner:
+            raise ValueError(f"output label '{c}' not in input")
+    distinct = _dedup_labels(inner)
+    if inner != distinct:
+        # diagonal/reorder gather via the index tensor
+        idx = np.einsum(f"{inner}->{distinct}", x._index_tensor())
+        x = x._gather(idx.ravel(), idx.shape)
+    remaining = list(distinct)
+    # sum dropped labels, highest axis first so positions stay valid
+    for c in sorted(
+        (c for c in distinct if c not in out),
+        key=lambda c: -remaining.index(c),
+    ):
+        x = x.sum(axis=remaining.index(c) + 1)
+        remaining.remove(c)
+    if not remaining:
+        return x  # scalar-per-row: inner shape (1,)
+    target = [remaining.index(c) for c in out[1:]]
+    if target != list(range(len(remaining))):
+        x = x.transpose(target)
+    return x
+
+
+def einsum(subscripts: str, x: NDArray, y=None) -> NDArray:
+    """np.einsum over an NDArray, optionally contracted with a LITERAL
+    second operand (reference: dask/array/einsumfuncs.py:202 — dask
+    lowers to per-block np.einsum over a blockwise graph; here the
+    subscripts lower to the existing gather/sum/transpose/tensordot
+    kernels, so the whole contraction is one Catalyst projection).
+
+    Supported: any single-operand form that keeps the distributed row
+    label first ('nij->nji', 'nii->ni', 'nij->n', …), and two-operand
+    forms where the second operand is a driver literal ('nij,jk->nik',
+    'ni,ij->nj', 'nij,ij->n', outer products). Shared non-contracted
+    labels (batched elementwise) and a distributed second operand are
+    not expressible as one tensordot — both raise."""
+    np = _require_np()
+    subscripts = subscripts.replace(" ", "")
+    if "->" in subscripts:
+        lhs, out = subscripts.split("->")
+    else:
+        lhs = subscripts
+        once = [c for c in sorted(set(lhs.replace(",", "")))
+                if lhs.replace(",", "").count(c) == 1]
+        out = "".join(once)
+    terms = lhs.split(",")
+    if y is None:
+        if len(terms) != 1:
+            raise ValueError("one subscript term per operand")
+        return _einsum_single(terms[0], out, x)
+    if len(terms) != 2:
+        raise ValueError("one subscript term per operand")
+    if isinstance(y, NDArray):
+        raise NotImplementedError(
+            "einsum with two distributed operands: only a literal "
+            "second operand is plannable as one projection (matmul/"
+            "tensordot contract against plan literals); align the "
+            "second operand to rows and use the binary ops instead"
+        )
+    lx, ly = terms
+    r = lx[0]
+    if r in ly:
+        raise NotImplementedError(
+            f"label '{r}' indexes the distributed row axis; a literal "
+            "operand cannot align to it"
+        )
+    if not out or out[0] != r:
+        raise NotImplementedError(
+            f"output must keep the distributed row label '{r}' first"
+        )
+    y = np.asarray(y, dtype="float64")
+    dx = _dedup_labels(lx[1:])
+    dy = _dedup_labels(ly)
+    shared_kept = [c for c in dy if c in dx and c in out]
+    if shared_kept:
+        raise NotImplementedError(
+            f"batched shared labels {shared_kept} (elementwise over a "
+            "kept axis) are not one tensordot; expand the literal "
+            "into a diagonal matrix or use the elementwise ops"
+        )
+    contracted = "".join(c for c in dx if c in dy and c not in out)
+    kept_x = "".join(c for c in dx if c in out)
+    free_y = "".join(c for c in dy if c in out)
+    # x pre-pass: diagonals, x-only sums, order (r, kept_x, contracted)
+    x2 = _einsum_single(lx, r + kept_x + contracted, x)
+    # y pre-pass in numpy: diagonals, y-only sums, contracted first
+    y2 = np.einsum(f"{ly}->{contracted + free_y}", y)
+    res = (x2.tensordot(y2, axes=len(contracted)) if contracted
+           else _einsum_outer(x2, y2))
+    current = kept_x + free_y
+    if not current:
+        return res
+    target = [current.index(c) for c in out[1:]]
+    if target != list(range(len(current))):
+        res = res.transpose(target)
+    return res
+
+
+def _einsum_outer(x: NDArray, y) -> NDArray:
+    """Outer product against a literal: flatten both, matmul with the
+    literal as a (1, k) row, reshape back."""
+    np = _require_np()
+    y = np.asarray(y, dtype="float64")
+    keep = x.inner_shape
+    flat = x.reshape(*keep, 1) if y.size else x
+    res = flat.matmul(y.reshape(1, y.size))
+    return res.reshape(*keep, *y.shape) if y.ndim else res.reshape(keep)

@@ -4330,6 +4330,36 @@ _ND_W_SQL = "[" + ", ".join(f"{x}::DOUBLE" for x in _ND_W) + "]"
 
 
 @q(
+    "arr_einsum",
+    f"""
+    WITH w AS (SELECT {_ND_W_SQL} AS w)
+    SELECT vec_id, t.k * 8 + u.i AS pos,
+           ROUND(list_sum([ (embedding[u.i*8 + j + 1])::DOUBLE
+                            * w[j*2 + t.k + 1]
+                            for j in generate_series(0, 7) ]), 6) AS val
+    FROM embeddings, w, generate_series(0, 1) t(k), generate_series(0, 7) u(i)
+    """,
+)
+def arr_einsum(spark, sf_dir):
+    """einsum 'nij,jk->nki' (reference: dask/array/einsumfuncs.py:202):
+    subscripts lower to the existing gather/tensordot/transpose
+    kernels — contraction against a plan-literal matrix plus a final
+    output-order gather, all ONE map-only Catalyst projection. The
+    oracle replays the identical j-ascending multiply-accumulate."""
+    from dask_spark.ndarray import NDArray, einsum
+
+    e = load(spark, sf_dir, "embeddings")
+    nd = NDArray.from_vectors(e, "embedding", 64, id_col="vec_id")
+    W = [[_ND_W[k * 2 + j] for j in range(2)] for k in range(8)]
+    out = einsum("nij,jk->nki", nd.reshape(8, 8), W)
+    return (
+        out.explode()
+        .to_spark()
+        .select("vec_id", "pos", F.round("val", 6).alias("val"))
+    )
+
+
+@q(
     "arr_nd_matmul",
     f"""
     WITH w AS (SELECT {_ND_W_SQL} AS w)

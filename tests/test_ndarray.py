@@ -390,3 +390,95 @@ def test_cumsum_cumprod(nd, ref):
     )
     with pytest.raises(ValueError):
         nd.cumprod(0)
+
+
+def test_oversized_inner_block_raises(spark):
+    """Inner axes are single-chunk by layout: constructing a block
+    beyond INNER_BLOCK_LIMIT_BYTES must fail loudly with guidance
+    (reference: dask/array/rechunk.py:270 rechunks any axis; this
+    engine documents the boundary instead of OOMing an executor)."""
+    from dask_spark.ndarray import INNER_BLOCK_LIMIT_BYTES
+
+    sdf = spark.range(1).selectExpr("array(0.0) as block")
+    too_many = INNER_BLOCK_LIMIT_BYTES // 8 + 1
+    with pytest.raises(ValueError, match="single-chunk inner-axis"):
+        NDArray(sdf, (too_many,), "block")
+    with pytest.raises(ValueError, match="single-chunk inner-axis"):
+        NDArray(sdf, (100_000, 100_000), "block")
+
+
+def test_einsum_single_operand(nd, ref):
+    """einsum parity (reference: dask/array/einsumfuncs.py:202):
+    single-operand forms lower to gather/sum/transpose."""
+    from dask_spark.ndarray import einsum
+
+    cases = [
+        "nijk->nkij",        # pure transpose
+        "nijk->nij",         # sum last
+        "nijk->nk",          # sum two
+        "nijk->n",           # sum all inner
+        "nijk->nkj",         # sum + transpose
+    ]
+    for sub in cases:
+        got = np.asarray(einsum(sub, nd).compute())
+        want = np.einsum(sub.replace("n", "r"), ref)
+        np.testing.assert_allclose(got.reshape(want.shape), want,
+                                   err_msg=sub)
+    # diagonal: needs square inner axes
+    sq_ref = ref[:, :, :2, :2]  # (12, 2, 2, 2)
+    sq = nd[:, :, 0:2, 0:2]
+    got = np.asarray(einsum("nijj->nij", sq).compute())
+    want = np.einsum("rijj->rij", sq_ref)
+    np.testing.assert_allclose(got.reshape(want.shape), want)
+    got = np.asarray(einsum("nijj->ni", sq).compute())  # diag then sum
+    want = np.einsum("rijj->ri", sq_ref)
+    np.testing.assert_allclose(got.reshape(want.shape), want)
+
+
+def test_einsum_two_operand_literal(nd, ref):
+    from dask_spark.ndarray import einsum
+
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(4, 5))
+    got = np.asarray(einsum("nijk,kl->nijl", nd, M).compute())
+    want = np.einsum("rijk,kl->rijl", ref, M)
+    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-9)
+
+    # full contraction of the inner tensor against a literal
+    T = rng.normal(size=(2, 3, 4))
+    got = np.asarray(einsum("nijk,ijk->n", nd, T).compute())
+    want = np.einsum("rijk,ijk->r", ref, T)
+    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-9)
+
+    # contraction over a middle label with output reorder
+    A = rng.normal(size=(3, 2))
+    got = np.asarray(einsum("nijk,jl->nlki", nd, A).compute())
+    want = np.einsum("rijk,jl->rlki", ref, A)
+    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-9)
+
+    # outer product with a vector
+    v = rng.normal(size=3)
+    got = np.asarray(einsum("nk,j->nkj", nd.reshape(24), v).compute())
+    want = np.einsum("rk,j->rkj", ref.reshape(12, 24), v)
+    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-9)
+
+    # y-only label summed inside the literal pre-pass
+    B = rng.normal(size=(4, 6))
+    got = np.asarray(einsum("nijk,km->nij", nd, B).compute())
+    want = np.einsum("rijk,km->rij", ref, B)
+    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-9)
+
+
+def test_einsum_refusals(nd):
+    from dask_spark.ndarray import einsum
+
+    with pytest.raises(NotImplementedError):
+        einsum("nijk->ijk", nd)  # contracting the row axis
+    with pytest.raises(NotImplementedError):
+        einsum("nijk,nk->nij", nd, np.ones((12, 4)))  # row label in y
+    with pytest.raises(NotImplementedError):
+        einsum("nijk,kj->nijk", nd, np.ones((4, 3)))  # batched shared
+    with pytest.raises(NotImplementedError):
+        einsum("nijk,kl->nijl", nd, nd)  # two distributed operands
+    with pytest.raises(ValueError):
+        einsum("nij->ni", nd)  # rank mismatch

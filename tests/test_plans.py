@@ -467,3 +467,34 @@ def test_temperature_mix_single_exchange(tables):
     from dask_spark.plans import shuffle_count
 
     assert shuffle_count(temperature_mix(tables["documents"])) == 1
+
+
+def test_progress_bar(spark, tables):
+    """ProgressBar twin (reference: dask/diagnostics/progress.py:32):
+    the bar polls stage progress during any action inside the context
+    and draws a final 100% line; last_duration is recorded."""
+    import io
+
+    from dask_spark.plans.progress import ProgressBar, format_time
+
+    out = io.StringIO()
+    bar = ProgressBar(spark=spark, dt=0.02, out=out)
+    with bar:
+        # a multi-stage job so the poll thread sees active stages
+        tables["lineitem"].groupby("l_orderkey").sum(["l_quantity"]).compute()
+    text = out.getvalue()
+    assert "100% Completed" in text
+    assert "#" * 40 in text
+    assert bar.last_duration > 0
+    # minimum threshold suppresses the final draw for fast work
+    out2 = io.StringIO()
+    with ProgressBar(spark=spark, minimum=3600, out=out2):
+        pass
+    assert out2.getvalue() == ""
+    # register/unregister: bar survives across separate actions
+    out3 = io.StringIO()
+    b3 = ProgressBar(spark=spark, dt=0.02, out=out3).register()
+    tables["orders"].compute()
+    b3.unregister()
+    assert "%" in out3.getvalue() or out3.getvalue() == ""  # drew or idle
+    assert format_time(70) == " 1min 10.0s"
