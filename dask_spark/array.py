@@ -897,6 +897,88 @@ class DArray:
             raise ValueError(f"cholesky(of='self') needs square, got {A.shape}")
         return np.linalg.cholesky(A)
 
+    def _collect_matrix(self):
+        """Rows in id order as a driver ndarray — the small-matrix
+        escape hatch every d×d driver op shares (same d ≤ ~300
+        contract as tsqr's R)."""
+        import numpy as np
+
+        if self._id is None:
+            raise ValueError("driver matrix ops require id_col order")
+        rows = sorted(
+            self._sdf.select(self._id, self._col).collect(),
+            key=lambda r: r[self._id],
+        )
+        return np.array([list(r[self._col]) for r in rows], dtype="float64")
+
+    def lu(self):
+        """LU with partial pivoting of a SQUARE matrix, a = p @ l @ u
+        (reference: dask/array/linalg.py:978 lu — dask runs a blocked
+        right-looking LU over square chunks; in the rows×dim model a
+        square A is d×d DRIVER data by the same contract that bounds
+        tsqr's R, so the factorization is a driver op like solve/inv's
+        final stage). Returns (p, l, u) ndarrays: p a permutation,
+        l unit-lower-triangular, u upper-triangular."""
+        import numpy as np
+
+        A = self._collect_matrix()
+        d, d2 = A.shape
+        if d != d2:
+            raise ValueError(f"lu needs a square matrix, got {A.shape}")
+        U = A.copy()
+        L = np.eye(d)
+        piv = np.arange(d)
+        for k in range(d):
+            p = int(np.argmax(np.abs(U[k:, k]))) + k
+            if U[p, k] == 0.0:
+                raise np.linalg.LinAlgError("matrix is singular")
+            if p != k:
+                U[[k, p], k:] = U[[p, k], k:]
+                L[[k, p], :k] = L[[p, k], :k]
+                piv[[k, p]] = piv[[p, k]]
+            for i in range(k + 1, d):
+                L[i, k] = U[i, k] / U[k, k]
+                U[i, k:] -= L[i, k] * U[k, k:]
+                U[i, k] = 0.0
+        P = np.zeros((d, d))
+        P[piv, np.arange(d)] = 1.0
+        return P, L, U
+
+    def svd_compressed(self, k: int, n_power_iter: int = 0,
+                       n_oversamples: int = 10, seed: int = 7):
+        """Randomized truncated SVD (reference: dask/array/linalg.py:746
+        svd_compressed; Halko/Martinsson/Tropp). Spark shape, per
+        pass all map-only or tsqr:
+
+        1. Ω: a driver (d, k+p) Gaussian literal (seeded, broadcast).
+        2. Y = A@Ω — one map-only literal matmul.
+        3. optional power iterations Y ← A(AᵀY): AᵀY is a cross-gram
+           (per-partition numpy blocks, d(k+p) doubles to the driver),
+           the back-multiply another literal matmul.
+        4. Q, R = tsqr(Y) (two map passes, R driver-side).
+        5. B = QᵀA — one cross-gram, (k+p)×d on the driver.
+        6. driver SVD of B; U = Q@Ũ[:, :k] — one literal matmul.
+
+        Returns (U DArray row-aligned, s (k,), Vt (k, d))."""
+        import numpy as np
+
+        row = self._sdf.select(self._col).first()
+        if row is None:
+            raise ValueError("svd_compressed of an empty array")
+        d = len(row[0])
+        m = min(k + n_oversamples, d)
+        rng = np.random.default_rng(seed)
+        omega = rng.standard_normal((d, m))
+        Y = self.matmul(omega)
+        for _ in range(n_power_iter):
+            AtY = _cross_gram(self, Y)          # d × m
+            Y = self.matmul(AtY)
+        Q, _ = Y.tsqr()
+        B = _cross_gram(Q, self)                # m × d
+        Ub, s, Vt = np.linalg.svd(B, full_matrices=False)
+        U = Q.matmul(Ub[:, :k])
+        return U, s[:k], Vt[:k]
+
     def _tsqr_r_only(self):
         """The R half of tsqr without materializing Q: per-partition
         local QR emits d×d R blocks, one driver QR of the stacked
@@ -1029,6 +1111,80 @@ class DArray:
 
         rows = self._sdf.select(*self._keep(), self._col).collect()
         return np.array([list(r[self._col]) for r in rows])
+
+
+def _cross_gram(left: "DArray", right: "DArray"):
+    """LᵀR for two row-aligned DArrays: rows join on id, each
+    partition contributes ONE numpy L_pᵀR_p block, blocks sum on the
+    driver — the tsqr accumulation pattern (shuffle is the id join
+    only; dₗ·dᵣ doubles per partition travel, the n×d data never
+    re-shuffles beyond the join)."""
+    import numpy as np
+    import pandas as pd
+
+    if left._id is None or right._id is None:
+        raise ValueError("cross gram requires id_col alignment")
+    joined = left._sdf.select(
+        F.col(left._id).alias("__id"), F.col(left._col).alias("__l")
+    ).join(
+        right._sdf.select(
+            F.col(right._id).alias("__id"), F.col(right._col).alias("__r")
+        ),
+        on="__id",
+    )
+
+    def local(it):
+        acc = None
+        for c in it:
+            if not len(c):
+                continue
+            L = np.array(c["__l"].tolist(), dtype="float64")
+            R = np.array(c["__r"].tolist(), dtype="float64")
+            g = L.T @ R
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            yield pd.DataFrame(
+                {"__i": list(range(len(acc))), "__g": list(acc)}
+            )
+
+    rows = joined.select("__l", "__r").mapInPandas(
+        local, schema="__i int, __g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("cross gram of an empty array")
+    dl = max(r["__i"] for r in rows) + 1
+    dr = len(rows[0]["__g"])
+    G = np.zeros((dl, dr))
+    for r in rows:
+        G[r["__i"]] += np.array(list(r["__g"]))
+    return G
+
+
+def solve_triangular(a, b, lower: bool = False):
+    """Solve a triangular system a x = b (reference:
+    dask/array/linalg.py:1114 solve_triangular — dask substitutes
+    block-wise; the d×d triangular factor here is driver data by the
+    tsqr-R contract, so this is forward/back substitution in numpy).
+    ``a`` may be a DArray (collected in id order) or an ndarray; ``b``
+    an ndarray vector/matrix. Returns the ndarray solution."""
+    import numpy as np
+
+    A = a._collect_matrix() if isinstance(a, DArray) else (
+        np.asarray(a, dtype="float64"))
+    B = np.asarray(b, dtype="float64")
+    d = A.shape[0]
+    if A.shape != (d, d):
+        raise ValueError(f"triangular factor must be square, got {A.shape}")
+    vec = B.ndim == 1
+    X = np.zeros((d, 1 if vec else B.shape[1]))
+    Bm = B.reshape(d, -1)
+    order = range(d) if lower else range(d - 1, -1, -1)
+    for i in order:
+        if A[i, i] == 0.0:
+            raise np.linalg.LinAlgError("singular triangular factor")
+        known = A[i, :i] @ X[:i] if lower else A[i, i + 1:] @ X[i + 1:]
+        X[i] = (Bm[i] - known) / A[i, i]
+    return X.ravel() if vec else X
 
 
 # ---- constructors / combinators (reference: dask/array/creation.py,

@@ -491,3 +491,45 @@ Bag.reduction = _bag_reduction
 Bag.join = _bag_join
 Bag.accumulate = _bag_accumulate
 Bag.to_delayed = _bag_to_delayed
+
+
+# ---- bag.random (reference: dask/bag/random.py:12 sample, :40 choices)
+def sample(population: "Bag", k: int, seed: int = 0) -> "Bag":
+    """k unique random elements (reference: dask/bag/random.py:12 —
+    dask runs a two-level weighted reservoir reduction; here each
+    element draws one deterministic hash key over its row identity and
+    a TakeOrdered keeps the k smallest: one pass, exact k, no
+    reservoir state, reproducible for a fixed seed + partitioning).
+    Row identity (not value) keys the draw, so duplicate values keep
+    independent chances like real elements."""
+    col = population._col
+    keyed = population._sdf.select(
+        F.col(col),
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))
+        .alias("__k"),
+    )
+    out = keyed.orderBy("__k").limit(int(k)).select(col)
+    return Bag(out, col)
+
+
+def choices(population: "Bag", k: int = 1, seed: int = 0) -> "Bag":
+    """k elements WITH replacement (reference: dask/bag/random.py:40).
+    Draw j picks the element whose (identity, j, seed) hash is
+    minimal — k independent uniform picks in ONE map + one k-group
+    min_by aggregate (map-side partials; only k rows shuffle), instead
+    of k passes over the bag."""
+    col = population._col
+    ex = population._sdf.select(
+        F.col(col),
+        F.monotonically_increasing_id().alias("__mid"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("__d"),
+    )
+    out = (
+        ex.groupBy("__d")
+        .agg(F.min_by(
+            F.col(col),
+            F.xxhash64(F.col("__mid"), F.col("__d"), F.lit(seed)),
+        ).alias(col))
+        .select(col)
+    )
+    return Bag(out, col)

@@ -1134,3 +1134,145 @@ def _einsum_outer(x: NDArray, y) -> NDArray:
     flat = x.reshape(*keep, 1) if y.size else x
     res = flat.matmul(y.reshape(1, y.size))
     return res.reshape(*keep, *y.shape) if y.ndim else res.reshape(keep)
+
+
+# ---- apply_gufunc (reference: dask/array/gufunc.py:172) ---------------
+def _parse_gufunc_signature(signature: str):
+    import re
+
+    sig = signature.replace(" ", "")
+    if "->" not in sig:
+        raise ValueError(f"signature needs '->': {signature!r}")
+    ins, outs = sig.split("->")
+    term = re.compile(r"\(([^)]*)\)")
+
+    def terms(s):
+        return [tuple(t.split(",")) if t else () for t in term.findall(s)]
+
+    return terms(ins), terms(outs)
+
+
+def apply_gufunc(func, signature: str, *args, output_sizes=None,
+                 vectorize: bool = False):
+    """Apply a generalized ufunc over NDArray/literal operands
+    (reference: dask/array/gufunc.py:172 apply_gufunc — dask wraps
+    per-chunk np.apply_gufunc over a blockwise graph; here the loop
+    dimension IS the distributed rows axis, the core dimensions are
+    the inner axes, and the whole application is ONE Arrow-batched
+    mapInPandas pass).
+
+    ``func`` receives numpy arrays shaped (batch, *core_dims) for each
+    distributed operand and the bare core shape for literal operands —
+    it must vectorize over the leading loop axis in ufunc style (pass
+    ``vectorize=True`` to wrap it in np.vectorize with the same
+    signature instead). Multiple outputs (tuple signature) come back
+    as a tuple of NDArrays; scalar outputs '()' become scalar-per-row
+    arrays of inner shape (1,). Output labels not bound by any input
+    need ``output_sizes={label: size}`` (the reference's keyword)."""
+    np = _require_np()
+    in_specs, out_specs = _parse_gufunc_signature(signature)
+    if len(in_specs) != len(args):
+        raise ValueError(
+            f"{len(in_specs)} signature terms vs {len(args)} operands"
+        )
+    dist = [(i, a) for i, a in enumerate(args) if isinstance(a, NDArray)]
+    if not dist:
+        raise ValueError("at least one operand must be an NDArray")
+    # bind core-dim sizes
+    dims: dict[str, int] = dict(output_sizes or {})
+    for spec, a in zip(in_specs, args):
+        shape = (a.inner_shape if isinstance(a, NDArray)
+                 else np.asarray(a).shape)
+        if len(shape) != len(spec) and not (
+            spec == () and shape in ((), (1,))
+        ):
+            raise ValueError(
+                f"operand rank {len(shape)} vs core spec {spec}"
+            )
+        for label, size in zip(spec, shape):
+            if label.isdigit():
+                if int(label) != size:
+                    raise ValueError(f"fixed dim {label} vs size {size}")
+                continue
+            if dims.setdefault(label, size) != size:
+                raise ValueError(
+                    f"dim '{label}': {dims[label]} vs {size}"
+                )
+    out_shapes = []
+    for spec in out_specs:
+        shp = []
+        for label in spec:
+            if label.isdigit():
+                shp.append(int(label))
+            elif label in dims:
+                shp.append(dims[label])
+            else:
+                raise ValueError(
+                    f"output dim '{label}' unbound — pass output_sizes"
+                )
+        out_shapes.append(tuple(shp) or (1,))
+    # align the distributed operands on the first one's id column
+    first = dist[0][1]._materialize()
+    id_col = first._id
+    if len(dist) > 1 and any(d._id is None for _, d in dist):
+        raise ValueError("multiple distributed operands need id_col "
+                         "alignment")
+    sdf = first._sdf.select(
+        *( [F.col(id_col).alias("__id")] if id_col else
+           [F.monotonically_increasing_id().alias("__id")] ),
+        F.col(first._col).alias("__a0"),
+    )
+    shapes = {0: dist[0][1].inner_shape}
+    for pos, (i, a) in enumerate(dist[1:], start=1):
+        m = a._materialize()
+        sdf = sdf.join(
+            m._sdf.select(F.col(m._id).alias("__id"),
+                          F.col(m._col).alias(f"__a{pos}")),
+            on="__id",
+        )
+        shapes[pos] = a.inner_shape
+    dist_pos = {i: pos for pos, (i, _) in enumerate(dist)}
+    lits = {i: np.asarray(a, dtype="float64")
+            for i, a in enumerate(args) if not isinstance(a, NDArray)}
+    f = (np.vectorize(func, signature=signature.replace(" ", ""))
+         if vectorize else func)
+    n_args = len(args)  # the closure must not capture args itself —
+    # NDArray operands hold the SparkSession and cannot pickle
+    n_out = len(out_specs)
+    out_cols = [f"__o{i}" for i in range(n_out)]
+    schema = ", ".join(["__id " + dict(sdf.dtypes)["__id"],
+                        *(f"{c} array<double>" for c in out_cols)])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ops = []
+            B = len(pdf)
+            for i in range(n_args):
+                if i in dist_pos:
+                    pos = dist_pos[i]
+                    X = np.array(pdf[f"__a{pos}"].tolist(),
+                                 dtype="float64")
+                    ops.append(X.reshape(B, *shapes[pos]))
+                else:
+                    ops.append(lits[i])
+            res = f(*ops)
+            if n_out == 1:
+                res = (res,)
+            data = {"__id": pdf["__id"]}
+            for c, r, shp in zip(out_cols, res, out_shapes):
+                r = np.asarray(r, dtype="float64").reshape(B, -1)
+                data[c] = list(r)
+            yield pd.DataFrame(data)
+
+    out_sdf = sdf.mapInPandas(run, schema)
+    outs = tuple(
+        NDArray(out_sdf.select(F.col("__id"),
+                               F.col(c).alias("block")),
+                shp, "block", "__id")
+        for c, shp in zip(out_cols, out_shapes)
+    )
+    return outs[0] if n_out == 1 else outs

@@ -3478,6 +3478,75 @@ def arr_cholesky(spark, sf_dir):
     )
 
 
+@q("arr_lu", None)  # no SQL analog of a pivoted factorization — rows-only
+def arr_lu(spark, sf_dir):
+    """LU with partial pivoting of a square driver-scale matrix built
+    from the embeddings' Gram (reference: dask/array/linalg.py:978).
+    Emits per-row |U| diagonal magnitudes plus the reconstruction
+    residual — partial pivoting makes the factorization unique for a
+    fixed matrix, so the rows are run-stable."""
+    import numpy as np
+
+    from dask_spark.array import DArray, from_array
+
+    e = load(spark, sf_dir, "embeddings")
+    G, _, _ = DArray.from_frame(e, "embedding", "vec_id").gram()
+    A = G + np.eye(G.shape[0])  # well-conditioned square input
+    P, L, U = from_array(A).lu()
+    resid = float(np.abs(P @ L @ U - A).max())
+    return spark.createDataFrame(
+        [(i, round(float(abs(U[i, i])), 4), round(resid, 6))
+         for i in range(U.shape[0])],
+        "dim int, u_diag double, resid double",
+    )
+
+
+@q("arr_solve_triangular", None)  # rows-only: factorization family
+def arr_solve_triangular(spark, sf_dir):
+    """solve_triangular against the Gram Cholesky factor (reference:
+    dask/array/linalg.py:1114): forward then back substitution solves
+    the SPD system LLᵀx = b; emits x — unique, run-stable."""
+    import numpy as np
+
+    from dask_spark.array import DArray, solve_triangular
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = DArray.from_frame(e, "embedding", "vec_id")
+    L = arr.cholesky()
+    d = L.shape[0]
+    b = np.arange(1.0, d + 1.0)
+    y = solve_triangular(L, b, lower=True)
+    x = solve_triangular(L.T, y, lower=False)
+    return spark.createDataFrame(
+        [(i, round(float(x[i]), 4)) for i in range(d)],
+        "dim int, x double",
+    )
+
+
+@q("arr_svd_compressed", None)  # randomized projection — rows-only
+def arr_svd_compressed(spark, sf_dir):
+    """Randomized truncated SVD of the embeddings (reference:
+    dask/array/linalg.py:746 svd_compressed): seeded Gaussian range
+    finder + tsqr + driver SVD of the small projection. Emits the
+    top-k singular values (seed-deterministic) and U column norms
+    (≡1)."""
+    from dask_spark.array import DArray
+
+    e = load(spark, sf_dir, "embeddings")
+    arr = DArray.from_frame(e, "embedding", "vec_id")
+    U, s, Vt = arr.svd_compressed(k=5, n_power_iter=1, seed=1)
+    colnorm = U._sdf.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).groupBy("dim").agg(
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 6).alias("u_colnorm")
+    )
+    sv = spark.createDataFrame(
+        [(i, round(float(s[i]), 4)) for i in range(len(s))],
+        "dim int, sigma double",
+    )
+    return colnorm.join(sv, "dim").orderBy("dim")
+
+
 @q(
     "arr_map_blocks",
     """

@@ -554,3 +554,85 @@ def test_stats_degenerate_inputs(spark):
     )
     w = dst.ttest_ind(arr, const2, equal_var=False)
     assert math.isnan(w[0][0])
+
+
+def test_lu_plu_properties(spark):
+    """lu (reference: dask/array/linalg.py:978 + test_linalg test_lu):
+    a = p@l@u, l unit-lower, u upper, p a permutation."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(8, 8)
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(A)],
+        "rid bigint, vec array<double>",
+    ).repartition(4)
+    P, L, U = DArray(sdf, "vec", "rid").lu()
+    assert np.allclose(P @ L @ U, A, atol=1e-10)
+    assert np.allclose(L, np.tril(L)) and np.allclose(np.diag(L), 1.0)
+    assert np.allclose(U, np.triu(U))
+    assert np.allclose(P @ P.T, np.eye(8))
+    assert set(np.abs(P).sum(0)) == {1.0} and set(np.abs(P).sum(1)) == {1.0}
+
+
+def test_solve_triangular(spark):
+    """solve_triangular (reference: dask/array/linalg.py:1114):
+    forward and back substitution vs numpy solve, vector and matrix
+    rhs, and the DArray-factor form."""
+    import numpy as np
+
+    from dask_spark.array import DArray, solve_triangular
+
+    rng = np.random.RandomState(5)
+    L = np.tril(rng.randn(6, 6)) + 6 * np.eye(6)
+    U = L.T
+    b = rng.randn(6)
+    B = rng.randn(6, 3)
+    np.testing.assert_allclose(
+        solve_triangular(L, b, lower=True), np.linalg.solve(L, b),
+        rtol=1e-10)
+    np.testing.assert_allclose(
+        solve_triangular(U, B, lower=False), np.linalg.solve(U, B),
+        rtol=1e-10)
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(L)],
+        "rid bigint, vec array<double>",
+    )
+    np.testing.assert_allclose(
+        solve_triangular(DArray(sdf, "vec", "rid"), b, lower=True),
+        np.linalg.solve(L, b), rtol=1e-10)
+    with pytest.raises(np.linalg.LinAlgError):
+        solve_triangular(np.zeros((3, 3)), np.ones(3), lower=True)
+
+
+def test_svd_compressed(spark):
+    """svd_compressed (reference: dask/array/linalg.py:746 + its
+    test_linalg compression tests): on a matrix of known low rank the
+    randomized SVD recovers the spectrum and the reconstruction; U is
+    distributed and has orthonormal columns."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(11)
+    # rank-4 (600, 20) matrix + tiny noise
+    X = rng.randn(600, 4) @ rng.randn(4, 20)
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "rid bigint, vec array<double>",
+    ).repartition(8)
+    arr = DArray(sdf, "vec", "rid")
+    U, s, Vt = arr.svd_compressed(k=4, n_power_iter=1, seed=1)
+    assert s.shape == (4,) and Vt.shape == (4, 20)
+    exact = np.linalg.svd(X, compute_uv=False)
+    np.testing.assert_allclose(s, exact[:4], rtol=1e-6)
+    rows = U._sdf.orderBy("rid").collect()
+    Um = np.array([list(r["vec"]) for r in rows])
+    np.testing.assert_allclose(Um.T @ Um, np.eye(4), atol=1e-8)
+    np.testing.assert_allclose(
+        Um @ np.diag(s) @ Vt, X, atol=1e-6 * np.abs(X).max())
+    # determinism for a fixed seed
+    _, s2, _ = arr.svd_compressed(k=4, n_power_iter=1, seed=1)
+    np.testing.assert_array_equal(s, s2)

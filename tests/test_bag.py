@@ -172,3 +172,32 @@ def test_bag_long_tail(spark):
     # to_delayed roundtrip
     parts = b.to_delayed()
     assert len(parts) == 4
+
+
+def test_bag_random_sample_and_choices(spark):
+    """bag.random twins (reference: dask/bag/random.py:12,40):
+    sample is exactly-k unique elements; choices is k independent
+    picks with replacement; both seed-reproducible."""
+    from dask_spark.bag import Bag, choices, sample
+
+    b = Bag.from_sequence(list(range(100)), npartitions=5)
+
+    s = sample(b, 10, seed=1).compute()
+    assert len(s) == 10 and len(set(s)) == 10
+    assert set(s) <= set(range(100))
+    assert sample(b, 10, seed=1).compute() == s  # reproducible
+    assert set(sample(b, 10, seed=2).compute()) != set(s)
+
+    c = choices(b, 8, seed=3).compute()
+    assert len(c) == 8
+    assert set(c) <= set(range(100))
+    assert sorted(choices(b, 8, seed=3).compute()) == sorted(c)
+
+    # k > population: sample returns everything, choices still k
+    assert sorted(sample(b, 200, seed=0).compute()) == list(range(100))
+    assert len(choices(b, 150, seed=0).compute()) == 150
+
+    # with-replacement really replaces: over many draws from a tiny
+    # population some value must repeat
+    tiny = Bag.from_sequence([1, 2, 3])
+    assert len(choices(tiny, 20, seed=5).compute()) == 20

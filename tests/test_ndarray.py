@@ -482,3 +482,58 @@ def test_einsum_refusals(nd):
         einsum("nijk,kl->nijl", nd, nd)  # two distributed operands
     with pytest.raises(ValueError):
         einsum("nij->ni", nd)  # rank mismatch
+
+
+def test_apply_gufunc(nd, ref):
+    """apply_gufunc (reference: dask/array/gufunc.py:172): core dims
+    from the signature, the distributed rows axis as the loop dim."""
+    from dask_spark.ndarray import apply_gufunc
+
+    flat = nd.reshape(24)
+    fref = ref.reshape(12, 24)
+
+    # "(i)->()" reduction, func vectorized over the batch axis
+    got = apply_gufunc(lambda x: x.sum(axis=-1), "(i)->()", flat)
+    np.testing.assert_allclose(
+        np.asarray(got.compute()).ravel(), fref.sum(axis=1), rtol=1e-12)
+
+    # "(i,j),(j)->(i)" matvec against a literal
+    v = np.arange(4.0)
+    got = apply_gufunc(lambda a, b: a @ b, "(i,j),(j)->(i)",
+                       nd.reshape(6, 4), v)
+    want = fref.reshape(12, 6, 4) @ v
+    np.testing.assert_allclose(
+        np.asarray(got.compute()).reshape(want.shape), want, rtol=1e-12)
+
+    # vectorize=True wraps a per-element function
+    got = apply_gufunc(lambda x: x.max() - x.min(), "(i)->()", flat,
+                       vectorize=True)
+    np.testing.assert_allclose(
+        np.asarray(got.compute()).ravel(),
+        fref.max(axis=1) - fref.min(axis=1))
+
+    # two distributed operands, aligned on id
+    got = apply_gufunc(
+        lambda a, b: (a * b).sum(axis=-1), "(i),(i)->()", flat, flat)
+    np.testing.assert_allclose(
+        np.asarray(got.compute()).ravel(), (fref * fref).sum(axis=1),
+        rtol=1e-12)
+
+    # multiple outputs
+    mean, std = apply_gufunc(
+        lambda x: (x.mean(axis=-1), x.std(axis=-1)), "(i)->(),()", flat)
+    np.testing.assert_allclose(
+        np.asarray(mean.compute()).ravel(), fref.mean(axis=1), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(std.compute()).ravel(), fref.std(axis=1), rtol=1e-12)
+
+    # output label bound via output_sizes
+    got = apply_gufunc(
+        lambda x: np.stack([x.sum(axis=-1), x.prod(axis=-1) * 0], axis=-1),
+        "(i)->(k)", flat, output_sizes={"k": 2})
+    assert got.inner_shape == (2,)
+
+    with pytest.raises(ValueError):
+        apply_gufunc(lambda x: x, "(i)->(m)", flat)  # unbound output
+    with pytest.raises(ValueError):
+        apply_gufunc(lambda x, y: x, "(i),(j)->()", flat)  # arity
