@@ -252,15 +252,31 @@ def repetition_stats(text: Column) -> Column:
     ))
 
 
-def with_repetition_stats(sdf, text_col: str = "text"):
+def with_repetition_stats(sdf, text_col: str = "text",
+                          engine: str = "expr"):
     """Scale path for :func:`repetition_stats`: appends the five
-    repetition columns to ``sdf`` with intermediates STAGED as real
-    columns across separate projections. Catalyst's CollapseProject
-    keeps a non-cheap alias referenced more than once materialized, so
-    the token array / sorted-gram array / run encoding are each
-    computed ONCE per row — whereas extracting five fields from the
-    single-Column form re-evaluates the whole chain per field (~5×).
-    Map-only, no shuffle; use this form in pipelines."""
+    repetition columns to ``sdf``.
+
+    ``engine="expr"``: intermediates STAGED as real columns across
+    separate projections. Catalyst's CollapseProject keeps a non-cheap
+    alias referenced more than once materialized, so the token array /
+    sorted-gram array / run encoding are each computed ONCE per row —
+    whereas extracting five fields from the single-Column form
+    re-evaluates the whole chain per field (~5×).
+
+    ``engine="arrow"``: the same five signals from a Counter-based
+    Arrow kernel — O(k) per doc (no gram sort at all: the mode is a
+    hash count, ties broken by min gram = the expr engine's
+    lexicographically-first-sorted tie-break; UTF-8 byte order equals
+    codepoint order, so the tie-break agrees across engines). The
+    kernel emits RAW doubles and the 6-dp rounding stays a JVM
+    F.round, so both engines hash identically. Interpreted HOF
+    expressions cost ~100ns/element; the kernel exists because
+    text_repetition was the priciest map-only bench query (SURVEY §7).
+
+    Both map-only, no shuffle; use this form in pipelines."""
+    if engine == "arrow":
+        return _with_repetition_stats_arrow(sdf, text_col)
     toks, g = F.col("__rs_toks"), F.col("__rs_g")
     staged = (
         sdf.withColumn("__rs_toks", word_tokens(F.col(text_col)))
@@ -276,6 +292,78 @@ def with_repetition_stats(sdf, text_col: str = "text"):
     )
     keep = [c for c in sdf.columns]
     return staged.select(*keep, *fields)
+
+
+def _with_repetition_stats_arrow(sdf, text_col: str):
+    """Arrow engine for :func:`with_repetition_stats` — same outputs,
+    one python pass per doc. Tokenization replicates word_tokens
+    exactly: Java's \\s is ASCII, hence re.ASCII on the split."""
+    import re as _re
+
+    schema = ", ".join(
+        [*(f"`{f.name}` {f.dataType.simpleString()}"
+           for f in sdf.schema.fields),
+         "__rs_dup double", "__rs_gram string", "__rs_cnt bigint",
+         "__rs_run bigint"]
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+    cols = list(sdf.columns)
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            dup, gram, cnt, runs = [], [], [], []
+            for s in pdf[text_col]:
+                if s is None or not isinstance(s, str):
+                    # null text: the expr engine's size(null)=null makes
+                    # every field null — agree
+                    dup.append(None); gram.append(None); cnt.append(None)
+                    runs.append(None)
+                    continue
+                toks = [t for t in ws.split(s.lower()) if t]
+                n = len(toks)
+                if n == 0:
+                    dup.append(0.0); gram.append(""); cnt.append(0)
+                    runs.append(0)
+                    continue
+                dup.append(1.0 - len(set(toks)) / n)
+                grams = ([f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                         if n > 1 else [toks[0]])
+                counts = Counter(grams)
+                top = max(counts.values())
+                best = min(g for g, c in counts.items() if c == top)
+                gram.append(best); cnt.append(top)
+                best_run, r = 1, 1
+                for a, b in zip(toks, toks[1:]):
+                    r = r + 1 if a == b else 1
+                    if r > best_run:
+                        best_run = r
+                runs.append(best_run)
+            out = pd.DataFrame({c: pdf[c] for c in cols})
+            out["__rs_dup"] = dup
+            out["__rs_gram"] = gram
+            out["__rs_cnt"] = cnt
+            out["__rs_run"] = runs
+            yield out
+
+    staged = sdf.mapInPandas(run, schema)
+    n_chars = F.length(F.col(text_col))
+    char_frac = F.when(
+        (n_chars == 0) | (F.col("__rs_cnt") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("__rs_cnt").cast("int") * F.length("__rs_gram") / n_chars
+    )
+    return staged.select(
+        *cols,
+        F.round(F.col("__rs_dup"), 6).alias("dup_word_frac"),
+        F.col("__rs_gram").alias("top_gram"),
+        F.col("__rs_cnt").alias("top_gram_count"),
+        F.round(char_frac, 6).alias("top_gram_char_frac"),
+        F.col("__rs_run").alias("max_token_run"),
+    )
 
 
 def with_token_entropy(sdf, text_col: str = "text", out: str = "entropy"):

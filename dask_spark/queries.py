@@ -1614,13 +1614,18 @@ def text_repetition(spark, sf_dir):
     """Gopher-style repetition filters (duplicate-word fraction, most-
     frequent-2-gram coverage, longest identical-token run) — the
     in-document repetition signals a corpus pipeline thresholds on
-    before training. Pure in-row array expressions: the 2-gram mode is
-    array_sort + run-length encoding (O(k log k) per doc), never an
-    explode + groupBy(doc, gram) shuffle — map-only at 100 TB. Extends the
+    before training. Map-only at 100 TB either way; the registry runs
+    the Counter-based Arrow kernel (O(k) per doc, measured 3.8× the
+    staged-HOF expression engine at sf0.1 — it was the priciest
+    map-only bench query, SURVEY §7's trigger), which emits raw
+    values and leaves the 6-dp rounding JVM-side so both engines hash
+    identically (parity pinned in tests/test_llm_ops.py). Extends the
     reference's accessor surface (dask/dataframe/accessor.py) the same
     way quality_score does."""
     d = load(spark, sf_dir, "documents").to_spark()
-    return T.with_repetition_stats(d.select("doc_id", "text")).drop("text")
+    return T.with_repetition_stats(
+        d.select("doc_id", "text"), engine="arrow"
+    ).drop("text")
 
 
 @q(

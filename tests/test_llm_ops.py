@@ -821,3 +821,39 @@ def test_embedding_lsh_planted_pair_recall(spark):
     want = {(f"v{i:03d}", f"v{200 + i:03d}") for i in range(50)}
     assert len(got & want) >= 45  # ≥90% planted recall
     assert len(got - want) == 0  # exact verify: no false pairs
+
+
+def test_repetition_engines_agree_exactly(spark, tables):
+    """The Arrow Counter kernel and the staged-HOF expression engine
+    must emit IDENTICAL repetition stats (the kernel returns raw
+    values; rounding stays JVM-side) — including ties (min gram ==
+    lexicographically first sorted gram) and null/empty/whitespace
+    text."""
+    import pandas as pd
+
+    import dask_spark.functions.text as T
+
+    pdf = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [
+            "a b a b a b",          # clear 2-gram winner
+            "x y z x y z x",        # tie between 'x y' and 'y z'
+            "w w w w",              # token runs
+            "solo",                 # single token
+            "",                     # empty
+            None,                   # null text
+            "  \t  ",               # whitespace only
+            "Mixed CASE mixed case",  # lowercasing
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    a = (T.with_repetition_stats(sdf, engine="expr")
+         .drop("text").orderBy("doc_id").toPandas())
+    b = (T.with_repetition_stats(sdf, engine="arrow")
+         .drop("text").orderBy("doc_id").toPandas())
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype == object:
+            assert list(av.fillna("∅")) == list(bv.fillna("∅")), c
+        else:
+            assert list(av.fillna(-1)) == list(bv.fillna(-1)), c
