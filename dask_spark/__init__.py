@@ -36,7 +36,10 @@ from dask_spark.sources import (
 
 from dask_spark.delayed import Delayed, compute, delayed
 from dask_spark.random import RandomState, default_rng
-from dask_spark.ndarray import NDArray, bincount, digitize, histogram2d
+from dask_spark.array import solve_triangular
+from dask_spark.ndarray import (NDArray, apply_gufunc, bincount, digitize,
+                                einsum, histogram2d)
+from dask_spark.plans.progress import ProgressBar
 
 from dask_spark import testing
 from dask_spark.testing import assert_eq

@@ -3483,6 +3483,41 @@ def arr_cholesky(spark, sf_dir):
     )
 
 
+@q(
+    "arr_ma_stats",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding::DOUBLE[], x -> x >= 0.1))::BIGINT
+             AS n_valid,
+           ROUND(coalesce(list_sum(list_filter(embedding::DOUBLE[],
+                                               x -> x >= 0.1)), 0.0), 6)
+             AS sum_valid
+    FROM embeddings
+    """,
+)
+def arr_ma_stats(spark, sf_dir):
+    """Masked-array reductions (reference: dask/array/ma.py): mask
+    elements below a threshold (mask = NULL element), then
+    null-skipping per-row count and sum — one filter+fold JVM
+    expression per row, map-only. The oracle filters the same
+    predicate and folds the same left-to-right order."""
+    from dask_spark import ma
+    from dask_spark.ndarray import NDArray
+
+    e = load(spark, sf_dir, "embeddings")
+    nd = NDArray.from_vectors(e, "embedding", 64, id_col="vec_id")
+    mk = ma.masked_less(nd, 0.1)
+    cnt = ma.count(mk)._sdf.select(
+        "vec_id", F.element_at("block", 1).cast("bigint").alias("n_valid")
+    )
+    sm = ma.sum(mk)._sdf.select(
+        "vec_id",
+        F.round(F.coalesce(F.element_at("block", 1), F.lit(0.0)), 6)
+        .alias("sum_valid"),
+    )
+    return cnt.join(sm, "vec_id")
+
+
 @q("arr_lu", None)  # no SQL analog of a pivoted factorization — rows-only
 def arr_lu(spark, sf_dir):
     """LU with partial pivoting of a square driver-scale matrix built
@@ -4644,17 +4679,56 @@ _R5_FRONT = [
     "rolling_corr", "cat_codes", "arr_cholesky", "ann_lsh",
     "dedup_embed_lsh", "ann_knn_join",
 ]
+# queries the r5 driver window hash-checked (CORRECTNESS_r05.json —
+# every row except ann_knn_join's hash-fail)
+_R5_DRIVER_COVERED = [
+    "dedup_minhash", "dedup_simhash", "io_timeseries", "sessionize",
+    "stream_window_batch", "merge_asof", "rolling_cov", "contamination",
+    "set_index", "merge_asof_nearest", "groupby_nth", "groupby_ngroup",
+    "text_pii_scrub", "text_chunks", "arr_fft", "dedup_clusters_star",
+    "rolling_quantile", "rolling_skew", "rolling_kurt", "rolling_median",
+    "rolling_corr", "cat_codes", "arr_cholesky", "dedup_embed_lsh",
+    "sample_hash_deterministic", "bm25_topk", "dedup_canonicalize",
+    "corpus_shard", "corpus_mix_temperature", "text_entropy",
+    "arr_percentile", "loc_label_range", "concat_axis1",
+    "corpus_weighted_sample", "text_bigrams", "groupby_rolling",
+    "dedup_semantic", "text_classifier", "arr_nd_transpose_sum",
+    "arr_nd_matmul", "arr_nd_axis0_mean", "arr_digitize_bincount",
+    "arr_histogram2d",
+]
+# Round-6 RE-CHECK set, floated to the very front of the sample window:
+# the r5 hash-fail (now decimal-stable), every query whose engine
+# changed this round (arrow repetition kernel, the xor-shift counter
+# mix, the double-cast dot/norm paths), and everything newly
+# registered in round 6.
+_R6_FRONT = [
+    "ann_knn_join",            # the one red r5 row — fixed at 4dp
+    "text_repetition",         # arrow engine now drives the registry
+    "arr_random_hist",         # new xor-shift mix
+    "arr_random_uniform", "arr_random_poisson", "arr_random_choice",
+    "arr_random_permutation",  # new da.random family
+    "arr_einsum", "arr_ma_stats",            # new operators
+    "arr_lu", "arr_solve_triangular", "arr_svd_compressed",  # rows-only
+    # generic dot/norm now cast to double before multiplying:
+    "vec_cosine", "vec_norm", "ann_bruteforce", "ann_lsh", "ann_ivf",
+    "ann_batch", "dedup_embed", "dedup_embed_lsh",
+]
 _DRIVER_COVERED = [
     n
-    for n in _R2_DRIVER_COVERED + _R1_DRIVER_COVERED + _R4_DRIVER_COVERED
-    if n not in set(_R5_FRONT)
+    for n in (_R2_DRIVER_COVERED + _R1_DRIVER_COVERED
+              + _R4_DRIVER_COVERED + _R5_FRONT + _R5_DRIVER_COVERED)
+    if n not in set(_R6_FRONT)
+]
+_seen = set()
+_DRIVER_COVERED = [
+    n for n in _DRIVER_COVERED if not (n in _seen or _seen.add(n))
 ]
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R5_FRONT if n in REGISTRY},
+    **{n: REGISTRY[n] for n in _R6_FRONT if n in REGISTRY},
     **{
         n: REGISTRY[n]
         for n in REGISTRY
-        if n not in set(_DRIVER_COVERED) and n not in set(_R5_FRONT)
+        if n not in set(_DRIVER_COVERED) and n not in set(_R6_FRONT)
     },
     **{n: REGISTRY[n] for n in _DRIVER_COVERED if n in REGISTRY},
 }

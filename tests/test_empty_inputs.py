@@ -57,7 +57,8 @@ def test_empty_linalg_raises_clearly(spark, empty_dir):
     NoneType crash (numpy cannot factorize empty matrices either)."""
     import __spark_entry__ as E
 
-    for name in ("arr_cholesky", "arr_tsqr"):
+    for name in ("arr_cholesky", "arr_tsqr", "arr_lu",
+                 "arr_solve_triangular", "arr_svd_compressed"):
         with pytest.raises(ValueError, match="empty"):
             E.queries()[name](spark, empty_dir).limit(1).collect()
 

@@ -537,3 +537,68 @@ def test_apply_gufunc(nd, ref):
         apply_gufunc(lambda x: x, "(i)->(m)", flat)  # unbound output
     with pytest.raises(ValueError):
         apply_gufunc(lambda x, y: x, "(i),(j)->()", flat)  # arity
+
+
+def test_masked_arrays(spark):
+    """Masked-array family (reference: dask/array/ma.py) — the mask is
+    a NULL element; parity against numpy.ma on the same data."""
+    import numpy.ma as npma
+
+    from dask_spark import ma
+
+    data = np.array([
+        [1.0, -2.0, 3.0, 100.0],
+        [4.0, 5.0, -6.0, 7.0],
+        [np.nan, 8.0, 9.0, -10.0],
+    ])
+    pdf = pd.DataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        columns=["id", "block"],
+    )
+    nd = NDArray(spark.createDataFrame(pdf), (4,), "block", "id")
+
+    mk = ma.masked_less(ma.masked_invalid(nd), 0.0)
+    ref = npma.masked_less(npma.masked_invalid(data), 0.0)
+
+    def col(a, name="v"):
+        out = a._sdf.select(
+            "id", F.element_at("block", 1).alias(name)
+        ).orderBy("id").toPandas()
+        return out[name].to_numpy(dtype=float)
+
+    import pyspark.sql.functions as F
+
+    np.testing.assert_allclose(col(ma.sum(mk)), ref.sum(axis=1).filled(np.nan),
+                               equal_nan=True)
+    np.testing.assert_allclose(col(ma.mean(mk)), ref.mean(axis=1))
+    np.testing.assert_allclose(col(ma.count(mk)), ref.count(axis=1))
+    np.testing.assert_allclose(col(ma.max(mk)), ref.max(axis=1))
+    np.testing.assert_allclose(col(ma.min(mk)), ref.min(axis=1))
+
+    # filled / getmaskarray
+    np.testing.assert_allclose(
+        np.asarray(ma.filled(mk, -1.0).compute()), ref.filled(-1.0))
+    np.testing.assert_allclose(
+        np.asarray(ma.getmaskarray(mk).compute()),
+        npma.getmaskarray(ref).astype(float))
+
+    # weighted average drops masked weights like numpy.ma
+    w = [1.0, 2.0, 3.0, 4.0]
+    np.testing.assert_allclose(
+        col(ma.average(mk, weights=w)),
+        npma.average(ref, axis=1, weights=w))
+
+    # axis-0 null-skipping reductions
+    np.testing.assert_allclose(
+        np.asarray(ma.sum_axis0(mk).compute()).ravel(),
+        ref.sum(axis=0).filled(np.nan), equal_nan=True)
+    np.testing.assert_allclose(
+        np.asarray(ma.count_axis0(mk).compute()).ravel(),
+        ref.count(axis=0))
+
+    # masked_inside / masked_equal / masked_values region checks
+    mi = ma.masked_inside(nd, 3.0, 5.0)
+    assert np.isnan(np.asarray(ma.filled(mi, np.nan).compute())).sum() >= 3
+    me = ma.masked_equal(nd, 100.0)
+    np.testing.assert_allclose(
+        np.asarray(ma.filled(me, 0.0).compute())[0, 3], 0.0)
