@@ -451,3 +451,86 @@ def test_streaming_classifier_inference(spark):
         assert pdf.score_keep.notna().all()
     finally:
         q.stop()
+
+
+def test_parquet_file_sink_exactly_once(spark, tmp_path):
+    """FileStreamSink manifest = exactly-once: a RESTARTED query over
+    the same checkpoint must not duplicate rows already committed,
+    and reads through spark.read see only committed files."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.streaming.sinks import to_parquet_stream
+
+    src_dir, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.json(src_dir)
+    stream = spark.readStream.schema("id long, v long").json(src_dir)
+    q = to_parquet_stream(stream, out, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert spark.read.parquet(out).count() == 100
+    # restart over the same checkpoint: committed batches are skipped
+    stream2 = spark.readStream.schema("id long, v long").json(src_dir)
+    q2 = to_parquet_stream(stream2, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 100  # no duplicates
+    assert got.select(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_idempotent_batch_writer_replay(spark, tmp_path):
+    """The batch-id partition overwrite pattern: replaying the SAME
+    batch id rewrites its partition instead of appending a copy."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.streaming.sinks import idempotent_parquet_writer
+
+    path = str(tmp_path / "idem")
+    write = idempotent_parquet_writer(path)
+    batch = spark.range(0, 50).withColumn("v", F.col("id") + 1)
+    write(batch, 7)
+    write(batch, 7)          # replay after a simulated crash
+    write(batch.limit(10), 8)  # a different batch appends normally
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("__batch_id") == 7).count() == 50
+    assert got.count() == 60
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
+    """rocksdb_state_conf: the RocksDB provider (changelog
+    checkpointing on) must run a watermarked stateful aggregation and
+    produce the same counts as the default provider."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.streaming.sinks import rocksdb_state_conf
+
+    conf = rocksdb_state_conf(max_memory_mb=256)
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        src_dir = str(tmp_path / "src")
+        spark.range(0, 300).select(
+            (F.col("id") % 3).alias("k"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+            .alias("ts"),
+        ).write.json(src_dir)
+        stream = spark.readStream.schema("k long, ts timestamp").json(src_dir)
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("rocksdb_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = {r["k"]: r["n"] for r in spark.sql(
+            "SELECT * FROM rocksdb_counts").collect()}
+        assert rows == {0: 100, 1: 100, 2: 100}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
