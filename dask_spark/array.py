@@ -766,6 +766,29 @@ class DArray:
         )
 
     # ---- linalg: tall-skinny QR / SVD ---------------------------------
+    def qr(self):
+        """QR dispatch (reference: dask/array/linalg.py qr — tsqr for
+        tall-skinny, sfqr for short-fat). Tall (rows ≥ dim): the
+        distributed TSQR tree, Q a row-aligned DArray. Short-fat
+        (rows < dim): the matrix is n×d with FEW rows by definition —
+        driver numpy QR over the collected rows (dask's sfqr likewise
+        requires the row axis in one chunk), returning (Q, R) as
+        ndarrays with the same sign fix."""
+        import numpy as np
+
+        row = self._sdf.select(self._col).first()
+        if row is None:
+            raise ValueError("qr of an empty array")
+        d = len(row[0])
+        n = self._sdf.count()
+        if n >= d:
+            return self.tsqr()
+        A = self._collect_matrix()
+        Q, R = np.linalg.qr(A)
+        s = np.sign(np.diag(R))
+        s[s == 0] = 1.0
+        return Q * s, R * s[:, None]
+
     def tsqr(self):
         """Direct tall-and-skinny QR (reference: dask/array/linalg.py:60
         tsqr; Benson/Gleich/Demmel's communication-avoiding TSQR —

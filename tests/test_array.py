@@ -636,3 +636,38 @@ def test_svd_compressed(spark):
     # determinism for a fixed seed
     _, s2, _ = arr.svd_compressed(k=4, n_power_iter=1, seed=1)
     np.testing.assert_array_equal(s, s2)
+
+
+def test_qr_dispatch_tall_and_short_fat(spark):
+    """qr (reference: dask/array/linalg.py qr → tsqr | sfqr): tall
+    inputs route to the distributed TSQR (Q a DArray); short-fat
+    inputs (rows < dim) to the driver QR — both reconstruct and both
+    sign-fixed (non-negative R diagonal)."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+
+    rng = np.random.RandomState(2)
+
+    def darr(X, parts=4):
+        sdf = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "rid bigint, vec array<double>",
+        ).repartition(parts)
+        return DArray(sdf, "vec", "rid")
+
+    # tall: distributed
+    Xt = rng.randn(200, 5)
+    Q, R = darr(Xt).qr()
+    assert isinstance(Q, DArray) and R.shape == (5, 5)
+    assert (np.diag(R) >= 0).all()
+
+    # short-fat: driver numpy path
+    Xs = rng.randn(4, 9)
+    Q, R = darr(Xs, parts=2).qr()
+    assert isinstance(Q, np.ndarray) and Q.shape == (4, 4)
+    assert R.shape == (4, 9)
+    assert np.allclose(Q @ R, Xs, atol=1e-10)
+    assert np.allclose(Q.T @ Q, np.eye(4), atol=1e-10)
+    assert (np.diag(R) >= 0).all()
+    assert np.allclose(R[:, :4], np.triu(R[:, :4]))

@@ -834,7 +834,6 @@ def test_repetition_engines_agree_exactly(spark, tables):
     import dask_spark.functions.text as T
 
     pdf = pd.DataFrame({
-        "doc_id": list(range(8)),
         "text": [
             "a b a b a b",          # clear 2-gram winner
             "x y z x y z x",        # tie between 'x y' and 'y z'
@@ -844,8 +843,17 @@ def test_repetition_engines_agree_exactly(spark, tables):
             None,                   # null text
             "  \t  ",               # whitespace only
             "Mixed CASE mixed case",  # lowercasing
+        ] + [
+            # unicode: Java's \\s is ASCII (nbsp/ideographic space are
+            # TOKEN CHARS in both engines), locale-free lowercasing
+            "İstanbul İ İ sigma Σ ΣΣ",
+            "STRASSE ß ss STRASSE ß",
+            "nbsp separated words",
+            "ideograph　full　width",
+            "emoji 😀 😀 test 😀",
         ],
     })
+    pdf["doc_id"] = list(range(len(pdf)))
     sdf = spark.createDataFrame(pdf)
     a = (T.with_repetition_stats(sdf, engine="expr")
          .drop("text").orderBy("doc_id").toPandas())

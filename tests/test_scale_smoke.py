@@ -98,3 +98,48 @@ def test_classifier_scores_5m_closed_form(spark):
         tok = f"tok{i % 10}"
         f = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
         assert s == 1.0 + W[0][f]
+
+
+def test_random_family_5m_moments(spark):
+    """da.random at 5M draws: the counter mix is map-only — means
+    must land within 5 SE of theory and the draw must be identical
+    under a different partitioning (rechunk invariance at volume)."""
+    import math
+
+    from dask_spark.random import RandomState
+
+    rs = RandomState(spark, seed=99)
+    u = rs.uniform(2.0, 5.0, n=N, npartitions=32)
+    row = u._sdf.select(
+        F.avg(F.element_at("values", 1)).alias("m"),
+        F.var_pop(F.element_at("values", 1)).alias("v"),
+    ).first()
+    se = math.sqrt(0.75 / N)
+    assert abs(row["m"] - 3.5) < 5 * se
+    assert abs(row["v"] - 0.75) < 0.01
+    # partitioning invariance at volume: same checksum on 7 partitions
+    def cksum(arr):
+        h = F.xxhash64(F.round(F.element_at("values", 1), 9),
+                       F.col("row_id"))
+        # bound each term so a 5M-row ANSI sum cannot overflow bigint
+        return arr._sdf.select(F.sum(F.pmod(h, F.lit(10 ** 12)))).first()[0]
+
+    assert cksum(u) == cksum(rs.uniform(2.0, 5.0, n=N, npartitions=7))
+
+
+def test_permutation_1m_is_exact_permutation(spark):
+    """permutation(1M): distributed key-bucket path must emit every
+    value exactly once with positions 0..n-1 (closed-form sums)."""
+    from dask_spark.random import RandomState
+
+    n = 1_000_000
+    out = RandomState(spark, seed=4).permutation(n, npartitions=32)
+    row = out._sdf.select(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.element_at("values", 1)).alias("sv"),
+        F.sum("row_id").alias("sp"),
+        F.count_distinct(F.element_at("values", 1)).alias("dv"),
+    ).first()
+    want = n * (n - 1) // 2
+    assert row["cnt"] == n and row["dv"] == n
+    assert int(row["sv"]) == want and int(row["sp"]) == want
