@@ -86,16 +86,35 @@ class RandomState:
             npartitions or self._spark.sparkContext.defaultParallelism,
         )
 
-    def _draw(self, n: int, dim: int, fn, npartitions: int | None = None
+    def _draw(self, n, dim: int, fn, npartitions: int | None = None
               ) -> DArray:
-        """fn(id_column, stream_j) -> Column; one stream per dim."""
+        """fn(id_column, stream_j) -> Column; one stream per dim.
+        ``n`` may be a dask-style ``size`` tuple: (rows,) or
+        (rows, dim) produce the usual DArray; an N-tuple returns an
+        NDArray with the trailing axes as the inner shape (the draws
+        are identical to the flat (rows, prod(inner)) form — the
+        counter never sees the shape)."""
+        inner = None
+        if isinstance(n, (tuple, list)):
+            size = tuple(int(s) for s in n)
+            if len(size) == 0:
+                raise ValueError("empty size")
+            n = size[0]
+            dim = math.prod(size[1:]) if len(size) > 1 else 1
+            if len(size) > 2:
+                inner = size[1:]
         rng = self._range(n, npartitions)
         idc = F.col("id")
         comps = [fn(idc, j) for j in range(dim)]
         sdf = rng.select(
             F.col("id").alias("row_id"), F.array(*comps).alias("values")
         )
-        return DArray(sdf, "values", "row_id")
+        out = DArray(sdf, "values", "row_id")
+        if inner is not None:
+            from dask_spark.ndarray import NDArray
+
+            return NDArray.from_darray(out, math.prod(inner)).reshape(inner)
+        return out
 
     def _u(self, idc, j: int, k: int = 0) -> Column:
         return _counter_uniform(idc, j, k, self._seed)

@@ -158,3 +158,22 @@ def test_parameter_validation(spark):
         rs.integers(5, 5)
     with pytest.raises(ValueError):
         rs.choice([])
+
+
+def test_size_tuple_forms(spark):
+    """dask-style size tuples: (n,) / (n, d) give DArrays, an N-tuple
+    gives an NDArray with the trailing axes inner — identical draws to
+    the flat form (the counter never sees the shape)."""
+    from dask_spark.ndarray import NDArray
+
+    rs = RandomState(spark, seed=6)
+    flat = _vals(rs.uniform(0, 1, 120, dim=12))
+    shaped = rs.uniform(0, 1, (120, 3, 4))
+    assert isinstance(shaped, NDArray)
+    assert shaped.inner_shape == (3, 4)
+    got = np.asarray(shaped.compute()).reshape(120 * 12)
+    assert np.array_equal(got, flat)
+    two = rs.normal(0, 1, (50, 5))
+    assert two._sdf.count() == 50
+    one = rs.poisson(2.0, (30,))
+    assert len(_vals(one)) == 30
