@@ -117,8 +117,13 @@ def count(a: NDArray) -> NDArray:
 
 
 def sum(a: NDArray) -> NDArray:  # noqa: A001 - numpy.ma surface name
+    # a fully-masked row sums to NULL (numpy.ma returns `masked`, not 0)
     return _flat_fold(
-        a, lambda v: F.aggregate(v, F.lit(0.0), lambda acc, e: acc + e)
+        a,
+        lambda v: F.when(
+            F.size(v) > 0,
+            F.aggregate(v, F.lit(0.0), lambda acc, e: acc + e),
+        ),
     )
 
 

@@ -602,3 +602,27 @@ def test_masked_arrays(spark):
     me = ma.masked_equal(nd, 100.0)
     np.testing.assert_allclose(
         np.asarray(ma.filled(me, 0.0).compute())[0, 3], 0.0)
+
+
+def test_masked_fully_masked_row(spark):
+    """numpy.ma: a fully masked row's sum/max/min/mean are `masked`
+    (NULL here) and count is 0."""
+    from dask_spark import ma
+
+    pdf = pd.DataFrame(
+        [(0, [1.0, 2.0]), (1, [-1.0, -2.0])], columns=["id", "block"]
+    )
+    nd = NDArray(spark.createDataFrame(pdf), (2,), "block", "id")
+    mk = ma.masked_less(nd, 0.0)  # row 1 fully masked
+    import pyspark.sql.functions as F
+
+    def col(a):
+        out = a._sdf.select("id", F.element_at("block", 1).alias("v")) \
+            .orderBy("id").toPandas()
+        return out["v"].tolist()
+
+    s = col(ma.sum(mk))
+    assert s[0] == 3.0 and (s[1] is None or np.isnan(s[1]))
+    assert col(ma.count(mk)) == [2.0, 0.0]
+    m = col(ma.max(mk))
+    assert m[0] == 2.0 and (m[1] is None or np.isnan(m[1]))
