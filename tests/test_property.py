@@ -113,3 +113,56 @@ def test_keyless_merge_asof_matches_pandas(spark, lt, rt, direction,
     want = pd.merge_asof(left, right, on="t", direction=direction,
                          allow_exact_matches=allow_exact)
     assert _nn(got.rv) == _nn(want.rv)
+
+
+@settings(**SETTINGS)
+@given(
+    shape=st.lists(st.integers(1, 3), min_size=1, max_size=3),
+    data=st.data(),
+)
+def test_einsum_single_operand_matches_numpy(spark, shape, data):
+    """Random inner shapes × random single-operand einsum subscripts
+    (transpose / partial sums) vs np.einsum on the same tensor."""
+    import numpy as np
+
+    from dask_spark.ndarray import NDArray, einsum
+
+    labels = "ijk"[: len(shape)]
+    # random subset of labels to keep (order shuffled) — the rest sum
+    keep = data.draw(st.permutations(list(labels)))
+    cut = data.draw(st.integers(0, len(labels)))
+    out = "".join(keep[:cut])
+    sub = f"n{labels}->n{out}"
+
+    rows, size = 4, int(np.prod(shape))
+    X = np.arange(rows * size, dtype="float64").reshape(rows, *shape) % 7
+    sdf = spark.createDataFrame(
+        [(i, [float(v) for v in X[i].ravel()]) for i in range(rows)],
+        "id bigint, block array<double>",
+    )
+    nd = NDArray(sdf, tuple(shape), "block", "id")
+    got = np.asarray(einsum(sub, nd).compute())
+    want = np.einsum(sub.replace("n", "r"), X)
+    np.testing.assert_allclose(got.reshape(want.shape), want, rtol=1e-12,
+                               err_msg=sub)
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(1, 60),
+    seed=st.integers(0, 2**31),
+)
+def test_permutation_property(spark, n, seed):
+    """Any (n, seed): the output is a permutation of range(n) and is
+    reproducible."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dask_spark.random import RandomState
+
+    out = RandomState(spark, seed=seed).permutation(n)
+    pdf = out._sdf.select(
+        "row_id", F.element_at("values", 1).alias("v")
+    ).toPandas().sort_values("row_id")
+    assert list(pdf["row_id"]) == list(range(n))
+    assert sorted(pdf["v"].tolist()) == [float(i) for i in range(n)]
