@@ -498,3 +498,30 @@ def test_progress_bar(spark, tables):
     b3.unregister()
     assert "%" in out3.getvalue() or out3.getvalue() == ""  # drew or idle
     assert format_time(70) == " 1min 10.0s"
+
+
+def test_round6_query_plan_shapes(spark):
+    """100 TB plan shapes of the round-6 queries: the random draws and
+    einsum/ma kernels are map-only projections (their only exchange is
+    the final histogram/count groupBy — or none at all)."""
+    import __spark_entry__ as E
+    from dask_spark.plans import shuffle_count
+
+    class _W:  # shuffle_count takes the frame wrapper
+        def __init__(self, sdf):
+            self._sdf = sdf
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    # two exchanges at most: the histogram/value-count groupBy plus
+    # the presentation orderBy's range exchange — the DRAW itself is
+    # map-only (nothing shuffles before the aggregate)
+    for name in ("arr_random_uniform", "arr_random_poisson",
+                 "arr_random_choice"):
+        assert shuffle_count(_W(qs[name](spark, sf))) <= 2, name
+    # einsum is a pure projection over the scan: zero exchanges
+    assert shuffle_count(_W(qs["arr_einsum"](spark, sf))) == 0
+    # ma stats: two map-only branches meet on one id join; no
+    # aggregation exchange anywhere
+    ma_plan = qs["arr_ma_stats"](spark, sf)
+    assert shuffle_count(_W(ma_plan)) <= 2
