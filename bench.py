@@ -41,6 +41,11 @@ HEADLINE = [
     "bm25_topk",          # lexical retrieval: stats agg + map scoring
     "corpus_mix_temperature",  # one-exchange weighted mixing
     "text_classifier",    # hashed linear classifier inference (map-only)
+    # round-6 additions (compare per-query across rounds, not totals)
+    "arr_random_uniform", # counter-mix draw: map-only codegen
+    "arr_einsum",         # N-D contraction: one fused projection
+    "arr_ma_stats",       # masked filter+fold per row
+    "ann_knn_join",       # LSH-band k-NN join (the r5 gate fix)
 ]
 
 

@@ -632,11 +632,19 @@ class NDArray:
         return self._np_apply(lambda blk: np.cumprod(blk, axis=ai + 1))
 
     # ---- contractions -------------------------------------------------
-    def matmul(self, mat) -> "NDArray":
+    def matmul(self, mat, out_perm=None, out_shape=None) -> "NDArray":
         """(n, …, a, b) @ literal (b, c) → (n, …, a, c). The matrix is
         a plan literal (broadcast), each output cell is one fused
         multiply-accumulate run — dask's (tall, small) blockwise
-        matmul without a graph."""
+        matmul without a graph.
+
+        ``out_perm`` (driver int array) emits output cells DIRECTLY in
+        a permuted order: cell slot t computes matmul-output index
+        out_perm[t]. This is how einsum applies its final transpose —
+        a structural gather stacked ON TOP of the computed matmul
+        block would let CollapseProject re-inline the whole matmul
+        array into every element read (measured 10.7s → 0.5s on the
+        arr_einsum bench query at sf0.1)."""
         np = _require_np()
         M = np.asarray(mat, dtype="float64")
         if M.ndim != 2 or len(self.inner_shape) < 1:
@@ -652,8 +660,19 @@ class NDArray:
         c = M.shape[1]
         nlead = math.prod(lead) if lead else 1
         out_size = nlead * a * c
+        if out_perm is not None:
+            out_perm = np.asarray(out_perm, dtype="int64").ravel()
+        shape = out_shape if out_shape is not None else (
+            (*lead, a, c) if len(self.inner_shape) > 1 else (c,)
+        )
         if max(self.inner_size, out_size) > EXPR_FUSION_LIMIT:
-            return self._np_apply(lambda blk: blk @ M)
+            if out_perm is None:
+                return self._np_apply(lambda blk: blk @ M,
+                                      out_inner=tuple(shape))
+            return self._np_apply(
+                lambda blk: (blk @ M).reshape(len(blk), -1)[:, out_perm],
+                out_inner=tuple(shape),
+            )
         mlit = F.lit(M.ravel().copy())
         src = self._src()  # fused: reads through the pending perm
 
@@ -670,17 +689,18 @@ class NDArray:
                 * F.element_at(mlit, (kk * F.lit(c) + j + 1).cast("int")),
             )
 
-        out_shape = (*lead, a, c) if len(self.inner_shape) > 1 else (c,)
-        return self._with_block(
-            F.transform(F.sequence(F.lit(0), F.lit(out_size - 1)), cell),
-            out_shape,
-        )
+        idx = (F.sequence(F.lit(0), F.lit(out_size - 1))
+               if out_perm is None else F.lit(out_perm.copy()))
+        return self._with_block(F.transform(idx, cell), shape)
 
-    def tensordot(self, other, axes: int = 1) -> "NDArray":
+    def tensordot(self, other, axes: int = 1, out_perm=None,
+                  out_shape=None) -> "NDArray":
         """Contract the LAST ``axes`` inner dims against a literal
         tensor's first ``axes`` dims (reference: routines.py tensordot)
         — planned as move-contracted-axes-last (already last) +
-        flatten + matmul, all one projection."""
+        flatten + matmul, all one projection. ``out_perm``/``out_shape``
+        pass through to matmul so a consumer's output transpose emits
+        in place (see matmul's CollapseProject note)."""
         np = _require_np()
         T = np.asarray(other, dtype="float64")
         ck = self.inner_shape[len(self.inner_shape) - axes:]
@@ -689,9 +709,14 @@ class NDArray:
         keep = self.inner_shape[: len(self.inner_shape) - axes]
         k = math.prod(ck)
         flat = self.reshape(*(keep or (1,)), k)
-        res = flat.matmul(T.reshape(k, math.prod(T.shape[axes:]) or 1))
-        out = (*keep, *T.shape[axes:])
-        return res.reshape(out or (1,))
+        out = out_shape if out_shape is not None else (
+            (*keep, *T.shape[axes:]) or (1,)
+        )
+        res = flat.matmul(
+            T.reshape(k, math.prod(T.shape[axes:]) or 1),
+            out_perm=out_perm, out_shape=tuple(out),
+        )
+        return res
 
     # ---- partitioning (reference: dask/array/rechunk.py) --------------
     def rechunk(self, npartitions: int) -> "NDArray":
@@ -1114,26 +1139,37 @@ def einsum(subscripts: str, x: NDArray, y=None) -> NDArray:
     x2 = _einsum_single(lx, r + kept_x + contracted, x)
     # y pre-pass in numpy: diagonals, y-only sums, contracted first
     y2 = np.einsum(f"{ly}->{contracted + free_y}", y)
-    res = (x2.tensordot(y2, axes=len(contracted)) if contracted
-           else _einsum_outer(x2, y2))
+    # the output-order transpose is folded INTO the contraction via
+    # out_perm: a gather stacked on the computed contraction block
+    # would let CollapseProject re-inline the whole matmul per element
     current = kept_x + free_y
-    if not current:
-        return res
+    dims_cur = (*x2.inner_shape[:len(kept_x)],
+                *y2.shape[len(contracted):])
     target = [current.index(c) for c in out[1:]]
-    if target != list(range(len(current))):
-        res = res.transpose(target)
-    return res
+    perm = None
+    shape = dims_cur or (1,)
+    if current and target != list(range(len(current))):
+        t = np.arange(int(np.prod(dims_cur))).reshape(dims_cur)
+        t = t.transpose(target)
+        perm, shape = t.ravel(), t.shape
+    if contracted:
+        return x2.tensordot(y2, axes=len(contracted), out_perm=perm,
+                            out_shape=shape)
+    return _einsum_outer(x2, y2, out_perm=perm, out_shape=shape)
 
 
-def _einsum_outer(x: NDArray, y) -> NDArray:
+def _einsum_outer(x: NDArray, y, out_perm=None, out_shape=None) -> NDArray:
     """Outer product against a literal: flatten both, matmul with the
-    literal as a (1, k) row, reshape back."""
+    literal as a (1, k) row, reshape back (out_perm/out_shape pass
+    through like tensordot's)."""
     np = _require_np()
     y = np.asarray(y, dtype="float64")
     keep = x.inner_shape
+    if out_shape is None:
+        out_shape = (*keep, *y.shape) if y.ndim else keep
     flat = x.reshape(*keep, 1) if y.size else x
-    res = flat.matmul(y.reshape(1, y.size))
-    return res.reshape(*keep, *y.shape) if y.ndim else res.reshape(keep)
+    return flat.matmul(y.reshape(1, y.size), out_perm=out_perm,
+                       out_shape=tuple(out_shape))
 
 
 # ---- apply_gufunc (reference: dask/array/gufunc.py:172) ---------------

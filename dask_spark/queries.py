@@ -4042,7 +4042,10 @@ def _ann_knn_join_oracle() -> str:
     literals."""
     from dask_spark.functions.vector import random_hyperplanes
 
-    bands, planes, dim, seed, k = 12, 4, 64, 7, 3
+    # planes=6 → 64 buckets/band: candidate count stays near-linear at
+    # both gate densities (4-plane buckets at 2000 vectors measured 2×
+    # the wall time for identical output rows)
+    bands, planes, dim, seed, k = 12, 6, 64, 7, 3
     band_selects = []
     for b in range(bands):
         hps = random_hyperplanes(dim, planes, seed + 101 * b)
@@ -4088,7 +4091,7 @@ def ann_knn_join(spark, sf_dir):
     from dask_spark.operators.similarity import knn_join
 
     e = load(spark, sf_dir, "embeddings")
-    out = knn_join(e, e, k=3, bands=12, planes=4, exclude_self=True,
+    out = knn_join(e, e, k=3, bands=12, planes=6, exclude_self=True,
                    round_dp=4)
     return out.to_spark().select("l_id", "r_id", "cosine", "rank")
 
