@@ -55,9 +55,93 @@ def isna(obj):
     return obj.isna()
 
 
+from dask_spark.delayed import compute  # noqa: F401,E402
+from dask_spark.sources import (  # noqa: F401,E402
+    from_array,
+    from_dask_array,
+    from_map,
+    read_sql,
+    read_sql_query,
+    timeseries,
+)
+
+# dask's Index is a positional-label Series; the engine has no implicit
+# row order, so the Series type IS the closest collection (documented
+# import-parity alias, like Scalar below)
+Index = Series
+
+
+class Scalar:  # noqa: D401 - import-parity shim
+    """dask.dataframe.Scalar parity: the engine returns plain Python
+    scalars from reductions (compute() on a 1×1 frame), so this class
+    exists for isinstance-style imports only."""
+
+
+class _Demo:
+    """dask.dataframe.demo namespace (make_timeseries)."""
+
+    @staticmethod
+    def make_timeseries(start="2026-01-01", end="2026-01-02",
+                        freq_seconds: int = 1, seed: int = 42):
+        return timeseries(start, end, freq_seconds, seed)
+
+
+demo = _Demo()
+
+
+def map_partitions(func, frame, **kw):
+    """Module-level map_partitions (reference dask.dataframe
+    map_partitions)."""
+    return frame.map_partitions(func, **kw)
+
+
+def map_overlap(func, frame, before: int, after: int, **kw):
+    """Module-level map_overlap (reference dask.dataframe
+    map_overlap)."""
+    return frame.map_overlap(func, before=before, after=after, **kw)
+
+
+def repartition(frame, npartitions: int):
+    return frame.repartition(npartitions)
+
+
+def to_parquet(frame, path, **kw):
+    return frame.to_parquet(path, **kw)
+
+
+def to_csv(frame, path, **kw):
+    return frame.to_csv(path, **kw)
+
+
+def to_json(frame, path, **kw):
+    return frame.to_json(path, **kw)
+
+
+def to_orc(frame, path, **kw):
+    return frame.to_orc(path, **kw)
+
+
+def to_records(frame):
+    return frame.to_records()
+
+
+def to_bag(frame, format: str = "tuple"):
+    return frame.to_bag(format)
+
+
+def to_sql(frame, table: str, url: str, **kw):
+    return frame.to_sql(table, url, **kw)
+
+
 __all__ = [
-    "DataFrame", "Series", "Aggregation", "concat", "sql", "to_datetime", "to_numeric",
-    "to_timedelta", "merge", "merge_asof", "from_delayed", "from_dict", "from_pandas",
+    "DataFrame", "Series", "Index", "Scalar", "Aggregation", "concat",
+    "compute", "sql", "to_datetime", "to_numeric",
+    "to_timedelta", "merge", "merge_asof", "from_array", "from_dask_array",
+    "from_delayed", "from_dict", "from_map", "from_pandas",
     "read_avro", "read_csv", "read_fwf", "read_hdf", "read_json",
-    "read_orc", "read_parquet", "read_sql_table", "get_dummies", "pivot_table", "melt", "isna",
+    "read_orc", "read_parquet", "read_sql", "read_sql_query",
+    "read_sql_table", "get_dummies", "pivot_table", "melt", "isna",
+    "demo", "map_partitions", "map_overlap", "repartition",
+    "to_parquet", "to_csv", "to_json", "to_orc", "to_records", "to_bag",
+    "to_sql",
 ]

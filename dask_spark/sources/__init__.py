@@ -350,3 +350,110 @@ def read_hdf(path: str, key: str, columns: Sequence[str] | None = None,
             "read_hdf needs PyTables (pip install tables)"
         ) from e
     return from_pandas(pd.DataFrame(pdf), npartitions)
+
+
+def read_sql_query(sql: str, url: str,
+                   properties: Mapping[str, str] | None = None,
+                   partition_column: str | None = None,
+                   num_partitions: int = 8,
+                   lower_bound=None, upper_bound=None) -> DaskFrame:
+    """reference: dask/dataframe/io/sql.py read_sql_query — the query
+    rides JDBC as a derived table; partitioning options as
+    read_sql_table. Plumbing-only in this container (no DB)."""
+    return read_sql_table(
+        f"({sql}) AS __q", url, properties,
+        partition_column, num_partitions, lower_bound, upper_bound,
+    )
+
+
+def read_sql(sql_or_table: str, url: str, **kw) -> DaskFrame:
+    """reference: dask/dataframe/io/sql.py read_sql — dispatches on
+    whether the first argument looks like a SELECT."""
+    s = sql_or_table.lstrip().lower()
+    if s.startswith("select") or s.startswith("with"):
+        return read_sql_query(sql_or_table, url, **kw)
+    return read_sql_table(sql_or_table, url, **kw)
+
+
+def from_map(func, *iterables, meta=None, npartitions: int | None = None,
+             **kwargs) -> DaskFrame:
+    """reference: dask/dataframe/io/io.py from_map — one partition per
+    item, func(item) -> pandas DataFrame. Spark-first: items ship as
+    pickled rows (one per partition) and func runs INSIDE mapInPandas,
+    so partition materialization is distributed and lazy like dask's;
+    only the schema probe func(items[0]) runs on the driver (pass
+    ``meta`` — a pandas DataFrame or schema string — to skip it)."""
+    import base64
+    import pickle
+
+    import pandas as pd
+
+    items = list(zip(*iterables)) if len(iterables) > 1 else [
+        (x,) for x in iterables[0]
+    ]
+    if not items:
+        raise ValueError("from_map of no items")
+    if meta is None:
+        meta = func(*items[0], **kwargs)
+    if isinstance(meta, str):
+        schema = meta
+    else:
+        from dask_spark.frame import _SPARK_DTYPES
+
+        schema = ", ".join(
+            f"`{c}` {_SPARK_DTYPES.get(str(t), 'string')}"
+            for c, t in zip(meta.columns, meta.dtypes)
+        )
+    spark = _spark()
+    blobs = [
+        (i, base64.b64encode(pickle.dumps(it)).decode()) for i, it in
+        enumerate(items)
+    ]
+    src = spark.createDataFrame(blobs, "__i long, __blob string") \
+        .repartitionByRange(npartitions or len(items), "__i")
+
+    def run(batches):
+        for pdf in batches:
+            for blob in pdf["__blob"]:
+                args = pickle.loads(base64.b64decode(blob))
+                out = func(*args, **kwargs)
+                if len(out):
+                    yield pd.DataFrame(out)
+
+    return DaskFrame(src.mapInPandas(run, schema))
+
+
+def from_array(x, columns=None, npartitions: int | None = None) -> DaskFrame:
+    """reference: dask/dataframe/io/io.py from_array — a local 2-D
+    array becomes a DataFrame (one column per trailing dim)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(x)
+    if columns is not None:
+        pdf.columns = list(columns)
+    else:
+        pdf.columns = [str(c) for c in pdf.columns]
+    return from_pandas(pdf, npartitions)
+
+
+def from_dask_array(arr, columns=None) -> DaskFrame:
+    """reference: dask/dataframe/io/io.py from_dask_array — a
+    (rows × d) DArray becomes a d-column DaskFrame: one projection,
+    element_at per dim, no data movement."""
+    import pyspark.sql.functions as F
+
+    row = arr._sdf.select(arr._col).first()
+    if row is None:
+        raise ValueError("from_dask_array of an empty array")
+    d = len(row[0])
+    names = list(columns) if columns is not None else [str(i) for i in range(d)]
+    if len(names) != d:
+        raise ValueError(f"{len(names)} columns for dim {d}")
+    keep = [arr._id] if arr._id else []
+    return DaskFrame(
+        arr._sdf.select(
+            *keep,
+            *[F.element_at(F.col(arr._col), i + 1).alias(n)
+              for i, n in enumerate(names)],
+        )
+    )
