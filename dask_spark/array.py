@@ -10,6 +10,7 @@ chunked-vs-broadcast split dask uses for (tall, skinny) @ (small)."""
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -1333,3 +1334,130 @@ def from_array(x, id_col: str = "row_id", col: str = "x",
     pdf = pd.DataFrame({id_col: range(len(x)), col: [list(map(float, r)) for r in x]})
     f = from_pandas(pdf, npartitions)
     return DArray(f._sdf, col, id_col)
+
+
+# ---- creation functions (reference: dask/array/creation.py) -----------
+def _creation_spark():
+    from dask_spark.session import get_spark
+
+    return get_spark()
+
+
+def _shape_2d(shape):
+    """(n,) → (n, 1); (n, d) passes; longer shapes → (n, prod) with the
+    inner tuple returned for NDArray wrapping."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    shape = tuple(int(s) for s in shape)
+    n = shape[0]
+    inner = shape[1:]
+    dim = math.prod(inner) if inner else 1
+    return n, dim, (inner if len(inner) > 1 else None)
+
+
+def _wrap(sdf, inner):
+    arr = DArray(sdf, "values", "row_id")
+    if inner is None:
+        return arr
+    from dask_spark.ndarray import NDArray
+
+    return NDArray.from_darray(arr, math.prod(inner)).reshape(inner)
+
+
+def arange(start, stop=None, step=1, npartitions: int | None = None):
+    """da.arange (reference: dask/array/creation.py arange) — a 1-D
+    column-vector DArray straight off ``spark.range``: map-only,
+    partitioned like any range."""
+    if stop is None:
+        start, stop = 0, start
+    spark = _creation_spark()
+    n = max(0, -(-(int(stop) - int(start)) // int(step)))
+    rng = spark.range(0, n, 1,
+                      npartitions or spark.sparkContext.defaultParallelism)
+    sdf = rng.select(
+        F.col("id").alias("row_id"),
+        F.array(
+            (F.lit(float(start)) + F.col("id") * F.lit(float(step)))
+        ).alias("values"),
+    )
+    return DArray(sdf, "values", "row_id")
+
+
+def linspace(start: float, stop: float, num: int = 50,
+             endpoint: bool = True, npartitions: int | None = None):
+    """da.linspace (creation.py linspace)."""
+    spark = _creation_spark()
+    denom = (num - 1) if endpoint else num
+    step = (float(stop) - float(start)) / max(denom, 1)
+    rng = spark.range(0, num, 1,
+                      npartitions or spark.sparkContext.defaultParallelism)
+    sdf = rng.select(
+        F.col("id").alias("row_id"),
+        F.array(F.lit(float(start)) + F.col("id") * F.lit(step))
+        .alias("values"),
+    )
+    return DArray(sdf, "values", "row_id")
+
+
+def full(shape, fill_value: float, npartitions: int | None = None):
+    """da.full (creation.py full): constant blocks are one
+    array_repeat literal per row — nothing materializes driver-side."""
+    spark = _creation_spark()
+    n, dim, inner = _shape_2d(shape)
+    rng = spark.range(0, n, 1,
+                      npartitions or spark.sparkContext.defaultParallelism)
+    sdf = rng.select(
+        F.col("id").alias("row_id"),
+        F.array_repeat(F.lit(float(fill_value)), dim).alias("values"),
+    )
+    return _wrap(sdf, inner)
+
+
+def ones(shape, npartitions: int | None = None):
+    return full(shape, 1.0, npartitions)
+
+
+def zeros(shape, npartitions: int | None = None):
+    return full(shape, 0.0, npartitions)
+
+
+empty = zeros  # no uninitialized memory in a declarative plan
+
+
+def eye(N: int, M: int | None = None, k: int = 0,
+        npartitions: int | None = None):
+    """da.eye (creation.py eye): row i holds 1.0 at column i+k —
+    a map-only comparison inside transform."""
+    spark = _creation_spark()
+    M = N if M is None else int(M)
+    rng = spark.range(0, N, 1,
+                      npartitions or spark.sparkContext.defaultParallelism)
+    sdf = rng.select(
+        F.col("id").alias("row_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda j: F.when(j == F.col("id") + F.lit(int(k)),
+                             1.0).otherwise(0.0),
+        ).alias("values"),
+    )
+    return DArray(sdf, "values", "row_id")
+
+
+def _like_shape(a):
+    if hasattr(a, "inner_shape"):  # NDArray
+        return (a._sdf.count(), *a.inner_shape)
+    row = a._sdf.select(a._col).first()
+    d = len(row[0]) if row is not None and row[0] is not None else 1
+    return (a._sdf.count(), d)
+
+
+def ones_like(a):
+    return ones(_like_shape(a))
+
+
+def zeros_like(a):
+    return zeros(_like_shape(a))
+
+
+def full_like(a, fill_value: float):
+    return full(_like_shape(a), fill_value)

@@ -671,3 +671,49 @@ def test_qr_dispatch_tall_and_short_fat(spark):
     assert np.allclose(Q.T @ Q, np.eye(4), atol=1e-10)
     assert (np.diag(R) >= 0).all()
     assert np.allclose(R[:, :4], np.triu(R[:, :4]))
+
+
+def test_creation_functions(spark):
+    """da creation family (reference: dask/array/creation.py):
+    arange/linspace/ones/zeros/full/eye/_like — all map-only plans."""
+    import numpy as np
+
+    import dask_spark.array as da
+
+    a = da.arange(10)
+    np.testing.assert_allclose(
+        sorted(a.compute().ravel()), np.arange(10.0))
+    a2 = da.arange(3, 12, 2)
+    np.testing.assert_allclose(
+        sorted(a2.compute().ravel()), np.arange(3.0, 12.0, 2.0))
+
+    l = da.linspace(0, 1, 11)
+    np.testing.assert_allclose(sorted(l.compute().ravel()),
+                               np.linspace(0, 1, 11))
+
+    o = da.ones((5, 3))
+    assert o.compute().shape == (5, 3) and o.compute().sum() == 15.0
+    z = da.zeros((4, 2))
+    assert z.compute().sum() == 0.0
+    f = da.full((3, 2), 7.5)
+    assert f.compute().sum() == 45.0
+
+    e = da.eye(4)
+    E = np.zeros((4, 4))
+    rows = e._sdf.orderBy("row_id").collect()
+    for r in rows:
+        E[r["row_id"]] = list(r["values"])
+    np.testing.assert_allclose(E, np.eye(4))
+    ek = da.eye(3, 5, k=1)
+    rows = sorted(ek._sdf.collect(), key=lambda r: r["row_id"])
+    np.testing.assert_allclose(
+        np.array([list(r["values"]) for r in rows]), np.eye(3, 5, k=1))
+
+    # N-D shape → NDArray
+    nd = da.full((4, 2, 3), 2.0)
+    assert nd.inner_shape == (2, 3)
+    assert np.asarray(nd.compute()).sum() == 4 * 6 * 2.0
+
+    # _like twins
+    assert da.ones_like(o).compute().sum() == 15.0
+    assert da.full_like(z, 3.0).compute().sum() == 24.0
