@@ -1461,3 +1461,7 @@ def zeros_like(a):
 
 def full_like(a, fill_value: float):
     return full(_like_shape(a), fill_value)
+
+
+# ---- numpy-ufunc family (module level, reference dask/array/ufunc.py) --
+from dask_spark.ufunc import *  # noqa: F401,F403,E402

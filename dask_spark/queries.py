@@ -4581,6 +4581,41 @@ def arr_histogram2d(spark, sf_dir):
     ).to_spark()
 
 
+@q(
+    "ufunc_pipeline",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(POWER(SIN(l_quantity), 2)
+                 + FLOOR(l_extendedprice / 1000.0)
+                 + SIGN(l_discount - 0.05)
+                 + LN(1.0 + l_tax), 6) AS val
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def ufunc_pipeline(spark, sf_dir):
+    """Module-level ufunc family end-to-end (reference:
+    dask/array/ufunc.py — da.sin/floor/sign/log1p over a column,
+    composed like numpy expressions). Every call lowers to a JVM
+    Column expression on the SAME plan — one map-only projection, no
+    Python, no shuffle; the oracle replays the identical math in
+    DuckDB scalar SQL."""
+    import dask_spark.array as da
+
+    li = load(spark, sf_dir, "lineitem")
+    val = da.add(
+        da.add(
+            da.square(da.sin(li.l_quantity)),
+            da.floor(da.divide(li.l_extendedprice, 1000.0)),
+        ),
+        da.add(da.sign(da.subtract(li.l_discount, 0.05)),
+               da.log1p(li.l_tax)),
+    )
+    return li.to_spark().select(
+        "l_orderkey", "l_linenumber", F.round(val._expr, 6).alias("val")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
