@@ -1465,3 +1465,236 @@ def full_like(a, fill_value: float):
 
 # ---- numpy-ufunc family (module level, reference dask/array/ufunc.py) --
 from dask_spark.ufunc import *  # noqa: F401,F403,E402
+
+# ---- module-level routines (reference dask/array/routines.py) ----------
+from dask_spark.routines import *  # noqa: F401,F403,E402
+
+
+# ---- namespace shims (reference dask/array/__init__.py tail) -----------
+
+class PerformanceWarning(UserWarning):
+    """reference dask/array/core.py PerformanceWarning — emitted when
+    an operation falls off the fast path (e.g. a Python-kernel
+    escape hatch on a hot loop)."""
+
+
+#: reference dask.array.Array — the chunked-array class. The N-D
+#: NDArray is the general analog here (DArray is the 2-D fast path).
+from dask_spark.ndarray import NDArray as Array  # noqa: E402
+
+
+def asarray(x, npartitions: int | None = None):
+    """reference dask/array/core.py asarray: passthrough for existing
+    collections, driver numpy/list distributes over axis 0."""
+    if hasattr(x, "_col") or hasattr(x, "_expr"):
+        return x
+    from dask_spark.routines import _nd_from_numpy
+
+    return _nd_from_numpy(x, npartitions)
+
+
+def asanyarray(x, npartitions: int | None = None):
+    return asarray(x, npartitions)
+
+
+def result_type(*args):
+    """reference dask.array.result_type — numpy's promotion rules
+    (every block column here is float64, so this mainly serves
+    ported code)."""
+    import numpy as np
+
+    clean = [
+        np.float64 if (hasattr(a, "_col") or hasattr(a, "_expr")) else a
+        for a in args
+    ]
+    return np.result_type(*clean)
+
+
+def register_chunk_type(type_):
+    """reference dask/array/dispatch.py register_chunk_type — a no-op
+    here: the only chunk representation is the Arrow/numpy block."""
+    return type_
+
+
+def unify_chunks(*args):
+    """reference dask/array/core.py unify_chunks — partition layout
+    is Catalyst/AQE's job here, so operands pass through unchanged.
+    Accepts dask's (array, index, array, index, ...) calling
+    convention and returns ({}, [arrays])."""
+    arrays = [a for a in args if not isinstance(a, str)]
+    return {}, arrays
+
+
+def optimize(*args, **kwargs):
+    """reference dask/base.py optimize — Catalyst optimizes every
+    plan at execution; identity at this layer."""
+    return args if len(args) != 1 else args[0]
+
+
+def histogram(frame, col: str, bins: int = 10, range=None):
+    """Module-level histogram (reference dask/array/routines.py
+    histogram) — one map-side-combined groupBy."""
+    from dask_spark.operators.reductions import histogram as _h
+
+    return _h(frame, col, bins, range)
+
+
+def as_gufunc(signature: str, vectorize: bool = False, output_sizes=None):
+    """reference dask/array/gufunc.py as_gufunc — decorator form of
+    apply_gufunc."""
+    from dask_spark.ndarray import apply_gufunc
+
+    def deco(fn):
+        def wrapped(*args):
+            return apply_gufunc(
+                fn, signature, *args,
+                output_sizes=output_sizes, vectorize=vectorize,
+            )
+
+        wrapped.__name__ = getattr(fn, "__name__", "gufunc")
+        return wrapped
+
+    return deco
+
+
+def gufunc(fn, signature: str, vectorize: bool = False, output_sizes=None):
+    """reference dask/array/gufunc.py gufunc — wraps fn into a
+    callable applying apply_gufunc."""
+    return as_gufunc(signature, vectorize, output_sizes)(fn)
+
+
+def _lazy_submodules():
+    return {"linalg", "ma", "random"}
+
+
+def __getattr__(name):  # PEP 562: da.linalg / da.ma / da.random
+    if name in _lazy_submodules():
+        import importlib
+
+        return importlib.import_module(f"dask_spark.{name}")
+    raise AttributeError(f"module 'dask_spark.array' has no attribute {name!r}")
+
+
+# ---- final re-exports / stack wrappers ---------------------------------
+from dask_spark.ndarray import (  # noqa: E402,F401
+    apply_gufunc, bincount, digitize, einsum, histogram2d,
+)
+from dask_spark.testing import assert_eq  # noqa: E402,F401
+
+
+def array(x, npartitions: int | None = None):
+    """reference dask.array.array == asarray with copy semantics
+    (every collection here is immutable/lazy, so identical)."""
+    return asarray(x, npartitions)
+
+
+def vstack(arrays):
+    """reference dask/array/core.py vstack — concatenate along the
+    distributed rows axis (a unionByName, no shuffle)."""
+    from dask_spark.ndarray import concatenate as _cat
+
+    return _cat(list(arrays), axis=0)
+
+
+def hstack(arrays):
+    """reference hstack — concatenate along the first inner axis."""
+    from dask_spark.ndarray import concatenate as _cat
+
+    arrays = list(arrays)
+    ax = 1 if len(arrays[0].inner_shape) >= 1 else 0
+    return _cat(arrays, axis=ax)
+
+
+def dstack(arrays):
+    """reference dstack — concatenate along the third axis (inner
+    axis 2), expanding 2-D operands like numpy."""
+    from dask_spark.ndarray import concatenate as _cat
+
+    arrays = [
+        a if len(a.inner_shape) >= 2 else a.reshape(*a.inner_shape, 1)
+        for a in arrays
+    ]
+    return _cat(arrays, axis=2)
+
+
+def overlap(x, depth: int, boundary=None):
+    """reference dask/array/overlap.py overlap — the halo exchange
+    alone; here it is fused with the kernel in map_overlap (the halo
+    is one range shuffle), so this returns a callable-ready handle."""
+    def run(fn):
+        return x.map_overlap(fn, depth=depth)
+
+    return run
+
+
+def ravel_multi_index(multi_index, dims):
+    """reference routines.py ravel_multi_index. Series inputs lower
+    to closed-form stride arithmetic (one JVM expression); plain
+    sequences go to numpy."""
+    import numpy as np
+
+    from dask_spark.frame import Series
+
+    if not any(isinstance(ix, Series) for ix in multi_index):
+        return np.ravel_multi_index(multi_index, dims)
+    strides = []
+    acc = 1
+    for d in reversed(dims):
+        strides.append(acc)
+        acc *= int(d)
+    strides = list(reversed(strides))
+    expr = None
+    base = next(ix for ix in multi_index if isinstance(ix, Series))
+    for ix, st in zip(multi_index, strides):
+        e = (ix._expr if isinstance(ix, Series) else F.lit(int(ix))).cast("long") * st
+        expr = e if expr is None else expr + e
+    return Series(base._frame, expr, "flat_idx")
+
+
+def unravel_index(indices, dims):
+    """reference routines.py unravel_index — the inverse div/mod
+    chain; Series in, tuple of Series out."""
+    import numpy as np
+
+    from dask_spark.frame import Series
+
+    if not isinstance(indices, Series):
+        return np.unravel_index(indices, dims)
+    out = []
+    acc = 1
+    strides = []
+    for d in reversed(dims):
+        strides.append(acc)
+        acc *= int(d)
+    strides = list(reversed(strides))
+    for d, st in zip(dims, strides):
+        out.append(Series(
+            indices._frame,
+            (indices._expr.cast("long") / st).cast("long") % int(d),
+            f"idx_{len(out)}",
+        ))
+    return tuple(out)
+
+
+def from_delayed(value, shape, npartitions: int | None = None):
+    """reference dask/array/core.py from_delayed — materialize a
+    Delayed's result (driver numpy) and distribute it."""
+    v = value.compute() if hasattr(value, "compute") else value
+    return asarray(v, npartitions)
+
+
+# lib/backends: numpy passthrough shims (reference dask.array.lib
+# re-exports numpy.lib views; backends registers alternative chunk
+# types, which don't exist here)
+import numpy.lib as lib  # noqa: E402,F401
+
+
+class _Backends:
+    """reference dask/array/backends.py — a registry of chunk-type
+    backends; the only backend here is Arrow/numpy blocks."""
+
+    def __repr__(self):
+        return "<dask_spark.array.backends: arrow/numpy>"
+
+
+backends = _Backends()
