@@ -41,7 +41,18 @@ from dask_spark.ndarray import (NDArray, apply_gufunc, bincount, digitize,
                                 einsum, histogram2d)
 from dask_spark.plans.progress import ProgressBar
 
-from dask_spark import testing
+from dask_spark import datasets, testing
+from dask_spark.base import (
+    annotate,
+    annotations,
+    config,
+    get_annotations,
+    is_dask_collection,
+    istask,
+    optimize,
+    persist,
+    visualize,
+)
 from dask_spark.testing import assert_eq
 
 __version__ = "0.5.0"

@@ -533,3 +533,45 @@ def choices(population: "Bag", k: int = 1, seed: int = 0) -> "Bag":
         .select(col)
     )
     return Bag(out, col)
+
+
+class Item:
+    """reference dask/bag/core.py Item — a single lazy value derived
+    from a Bag computation (what fold/reduction return in dask). Thin
+    wrapper over Delayed with the Bag-facing name."""
+
+    def __init__(self, fn):
+        from dask_spark.delayed import delayed
+
+        self._delayed = delayed(fn)() if callable(fn) else fn
+
+    def compute(self):
+        return (
+            self._delayed.compute()
+            if hasattr(self._delayed, "compute")
+            else self._delayed
+        )
+
+    @classmethod
+    def from_delayed(cls, d) -> "Item":
+        out = cls.__new__(cls)
+        out._delayed = d
+        return out
+
+
+def from_url(url: str) -> "Bag":
+    """reference dask/bag/text.py from_url — lines of a remote text
+    resource as a Bag. The fetch is one driver-side HTTP GET (same as
+    dask: from_url reads the resource once, then the lines
+    distribute); the parallelize happens on the fetched lines."""
+    import urllib.request
+
+    from dask_spark.sources import _spark
+
+    with urllib.request.urlopen(url) as resp:  # noqa: S310
+        text = resp.read().decode("utf-8", errors="replace")
+    lines = text.splitlines()
+    sdf = _spark().createDataFrame(
+        [(ln,) for ln in lines], "item string"
+    )
+    return Bag(sdf, "item")

@@ -145,3 +145,38 @@ __all__ = [
     "to_parquet", "to_csv", "to_json", "to_orc", "to_records", "to_bag",
     "to_sql",
 ]
+
+
+def read_table(path: str, sep: str = "\t", **options):
+    """reference dask/dataframe read_table — delimited read with a
+    tab default; the same splittable CSV reader underneath."""
+    from dask_spark.sources import read_csv
+
+    return read_csv(path, sep=sep, **options)
+
+
+def to_hdf(frame, path_or_buf: str, key: str, mode: str = "a"):
+    """reference dask/dataframe to_hdf. h5py/pytables are absent in
+    this environment; with pandas' HDF support present this computes
+    and writes driver-side (HDF5 is not a parallel-writable format —
+    dask also serializes writes per key)."""
+    pdf = frame.compute()
+    try:
+        pdf.to_hdf(path_or_buf, key=key, mode=mode)
+    except ImportError as e:
+        raise ImportError(
+            "to_hdf needs the pytables package (pandas HDF backend)"
+        ) from e
+    return path_or_buf
+
+
+def get_collection_type(obj):
+    """reference dask/dataframe/dispatch.py get_collection_type —
+    the frame/series classes for a pandas-like object."""
+    import pandas as pd
+
+    from dask_spark.frame import DaskFrame, Series
+
+    if isinstance(obj, pd.Series):
+        return Series
+    return DaskFrame

@@ -154,3 +154,47 @@ def test_to_delayed_from_delayed_roundtrip(spark):
     # roundtrip through to_delayed
     rt = ds.from_delayed(parts).compute().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(rt, pdf)
+
+
+# ---- top-level dask namespace tail (base.py) ---------------------------
+
+def test_base_namespace(spark, tables):
+    import dask_spark as ds
+    from dask_spark import base
+
+    f = tables["region"]
+    assert ds.is_dask_collection(f) and not ds.is_dask_collection(42)
+    assert ds.istask((lambda: 1,)) is False
+    out = ds.persist(f)
+    assert out.compute().shape == f.compute().shape
+    txt = ds.visualize(f)
+    assert isinstance(txt, str) and txt
+    with ds.annotate(priority=3):
+        assert ds.get_annotations()["priority"] == "3"
+    assert "priority" not in ds.get_annotations()
+    ds.config.set({"a.b": 1})
+    assert ds.config.get("a.b") == 1
+    assert ds.config.get("spark.sql.shuffle.partitions") is not None
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        base.get({}, [])
+
+
+def test_datasets_make_people(spark):
+    from dask_spark.datasets import make_people
+
+    b = make_people(2, 10, seed=7)
+    rows = b.take(20)
+    assert len(rows) == 20
+    assert all(16 <= r["age"] < 99 for r in rows)
+    # deterministic across calls
+    b2 = make_people(2, 10, seed=7)
+    assert [r["age"] for r in b2.take(20)] == [r["age"] for r in rows]
+
+
+def test_bag_item_from_delayed(spark):
+    from dask_spark.bag import Item
+    from dask_spark.delayed import delayed
+
+    it = Item.from_delayed(delayed(lambda: 42)())
+    assert it.compute() == 42
