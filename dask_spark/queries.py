@@ -4057,7 +4057,10 @@ def _ann_knn_join_oracle() -> str:
         band_selects.append(f"SELECT vec_id, v, {b} AS band, {bits} AS sig FROM s")
     union = "\nUNION ALL\n".join(band_selects)
     return f"""
-    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      1.0 / sqrt(list_dot_product(
+                          embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+               FROM embeddings),
     b AS ({union}),
     cand AS (
       SELECT DISTINCT a.vec_id AS l_id, c.vec_id AS r_id
@@ -4066,7 +4069,7 @@ def _ann_knn_join_oracle() -> str:
     ),
     scored AS (
       SELECT cand.l_id, cand.r_id,
-             ROUND(list_cosine_similarity(x.v, y.v), 4) AS cosine
+             ROUND(list_dot_product(x.v, y.v) * x.inv * y.inv, 4) AS cosine
       FROM cand
       JOIN s x ON x.vec_id = cand.l_id
       JOIN s y ON y.vec_id = cand.r_id
@@ -4670,23 +4673,21 @@ def arr_nanreduce(spark, sf_dir):
     nanmax/nansum): negatives become runtime NaN in the engine, the
     nan* family skips them in-row — map-only, no Python; the oracle
     filters the same elements arithmetically."""
-    import dask_spark.routines as R
-    from dask_spark.array import DArray
-
     e = load(spark, sf_dir, "embeddings").to_spark()
-    base = e.select(
+    masked = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.when(x < 0, F.lit(float("nan"))).otherwise(x),
+    )
+    kept = F.filter(masked, lambda x: ~F.isnan(x) & x.isNotNull())
+    # both reductions in ONE projection over one scan — joining the
+    # two DArray result frames would re-scan and shuffle for nothing
+    return e.select(
         "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.when(x < 0, F.lit(float("nan"))).otherwise(x),
-        ).alias("emb"),
+        F.coalesce(F.array_max(kept), F.lit(float("nan"))).alias("nmax"),
+        F.round(
+            F.aggregate(kept, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("nsum"),
     )
-    arr = DArray(base, "emb", "vec_id")
-    mx = R.nanmax(arr).to_spark().withColumnRenamed("nanmax", "nmax")
-    sm = arr.nansum().to_spark().select(
-        "vec_id", F.round("nansum", 6).alias("nsum")
-    )
-    return mx.join(sm, on="vec_id")
 
 
 # ---- registry ordering --------------------------------------------------

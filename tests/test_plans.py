@@ -525,3 +525,38 @@ def test_round6_query_plan_shapes(spark):
     # aggregation exchange anywhere
     ma_plan = qs["arr_ma_stats"](spark, sf)
     assert shuffle_count(_W(ma_plan)) <= 2
+
+
+def test_diagnostics_profilers(spark, tables):
+    """Profiler/ResourceProfiler/CacheProfiler twins (reference:
+    dask/diagnostics/profile.py + __init__.py): each polls the Spark
+    signal matching dask's scheduler hooks — status tracker stages,
+    driver /proc resources, RDD storage info — and records rows an
+    assertion (or dask's visualize) can consume."""
+    from dask_spark.diagnostics import (
+        CacheProfiler, Profiler, ResourceProfiler, visualize,
+    )
+
+    li = tables["lineitem"]
+    with Profiler(spark=spark, dt=0.02) as prof, \
+            ResourceProfiler(spark=spark, dt=0.02) as rprof:
+        li.groupby("l_returnflag").agg({"l_quantity": "sum"}).compute()
+    assert len(prof.results) >= 1
+    assert all(r.end >= r.start and r.num_tasks >= 1 for r in prof.results)
+    assert len(rprof.results) >= 1
+    assert all(r.mem_mb > 0 for r in rprof.results)
+
+    with CacheProfiler(spark=spark, dt=0.02) as cprof:
+        p = li.persist()
+        p.compute()
+    assert any(c.mem_bytes > 0 for c in cprof.results)
+
+    txt = visualize([prof, rprof, cprof])
+    assert "Profiler" in txt and "ResourceProfiler" in txt
+
+    # register/unregister keep a profiler live across actions
+    prof2 = Profiler(spark=spark, dt=0.02)
+    prof2.register()
+    li.compute()
+    prof2.unregister()
+    assert len(prof2.results) >= 0  # no crash; results frozen
