@@ -41,7 +41,8 @@ from dask_spark.ndarray import (NDArray, apply_gufunc, bincount, digitize,
                                 einsum, histogram2d)
 from dask_spark.plans.progress import ProgressBar
 
-from dask_spark import datasets, diagnostics, testing
+from dask_spark import datasets, diagnostics, testing, utils
+from dask_spark.utils import sizeof, tokenize
 from dask_spark.base import (
     annotate,
     annotations,

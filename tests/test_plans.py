@@ -560,3 +560,70 @@ def test_diagnostics_profilers(spark, tables):
     li.compute()
     prof2.unregister()
     assert len(prof2.results) >= 0  # no crash; results frozen
+
+
+def _splan(sdf) -> str:
+    return sdf._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_routines_plan_shapes(spark, tables):
+    """Plan guardrails for the round-6 module-level routines: the
+    map-only families must stay Exchange-free, take(axis=0) must
+    broadcast its literal index list, and histogramdd must be one
+    hash aggregate (reference routines are all blockwise/tree ops in
+    dask/array/routines.py — these are the Spark equivalents)."""
+    import numpy as np
+
+    import dask_spark as ds
+    import dask_spark.array as da
+    from dask_spark.array import DArray
+
+    e = tables["embeddings"]
+    arr = DArray.from_frame(e, "embedding", "vec_id")
+
+    # ufuncs / argtopk / searchsorted / push / nan-reductions: map-only
+    assert "Exchange" not in _splan(da.sin(arr)._sdf)
+    assert "Exchange" not in _splan(da.argtopk(arr, 5)._sdf)
+    assert "Exchange" not in _splan(da.push(arr)._sdf)
+    assert "Exchange" not in _splan(da.nanmax(arr)._sdf)
+    ss = da.searchsorted([0.0, 0.5], e.label)
+    assert "Exchange" not in _splan(
+        ss._frame._sdf.select(ss._expr.alias("v"))
+    )
+
+    # gradient over an inner axis: one projection, no shuffle
+    nd = ds.NDArray.from_darray(arr, 64).reshape(8, 8)
+    assert "Exchange" not in _splan(da.gradient(nd, 2)._materialize()._sdf)
+
+    # take(axis=0): the literal index list must ride a broadcast join
+    tk = da.take(arr, [5, 1, 3], axis=0)
+    p = _splan(tk._sdf)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p[:800]
+
+    # histogramdd: exactly one aggregation exchange (bins**D keys)
+    li = tables["lineitem"]
+    h = da.histogramdd(li, ["l_quantity", "l_discount"], 4,
+                       [(0.0, 50.0), (0.0, 0.1)])
+    p = _splan(h._sdf)
+    assert p.count("Exchange") <= 2  # partial->final agg plus AQE read
+    assert "HashAggregate" in p
+
+
+def test_knn_join_scoring_plan(spark, tables):
+    """The knn-join fix stays fixed: the pair-level plan must carry
+    the precomputed inverse norms through the fetch joins (scalar
+    columns, not per-pair norm recomputation) and score in ONE Arrow
+    pass (a single mapInPandas/ArrowEvalPython over the joined
+    candidates)."""
+    from dask_spark.operators.similarity import knn_join
+
+    e = tables["embeddings"]
+    out = knn_join(e, e, k=3, bands=4, planes=4, exclude_self=True,
+                   round_dp=4)
+    p = _splan(out._sdf)
+    # the python scorer appears exactly once
+    assert p.count("MapInPandas") == 1, p[:2000]
+    # no unrolled per-pair norm: exactly one SQRT per side projection
+    # (a per-pair cosine would re-inline norm computations above the
+    # fetch joins)
+    assert p.upper().count("SQRT") == 2, p[:2000]
