@@ -1564,7 +1564,7 @@ def gufunc(fn, signature: str, vectorize: bool = False, output_sizes=None):
 
 
 def _lazy_submodules():
-    return {"linalg", "ma", "random"}
+    return {"fft", "linalg", "ma", "random"}
 
 
 def __getattr__(name):  # PEP 562: da.linalg / da.ma / da.random

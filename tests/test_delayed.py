@@ -198,3 +198,28 @@ def test_bag_item_from_delayed(spark):
 
     it = Item.from_delayed(delayed(lambda: 42)())
     assert it.compute() == 42
+
+
+def test_graph_manipulation(spark, tables):
+    """checkpoint/wait_on/bind/clone twins (reference:
+    dask/graph_manipulation.py): the ordering CONTRACT maps to
+    persist barriers — parents fully materialize before children
+    handles return; clone gives an independent recomputing copy."""
+    from dask_spark import graph_manipulation as gm
+
+    f = tables["region"]
+    cp = gm.checkpoint(f, tables["nation"])
+    assert cp.compute() is None
+
+    w = gm.wait_on(f)
+    assert w.compute().shape == f.compute().shape
+    a, b = gm.wait_on(f, tables["nation"])
+    assert len(a.compute()) == 5 and len(b.compute()) == 25
+
+    parent = type(f)(f._sdf)  # fresh handle
+
+    child = gm.bind(f, parent)
+    assert len(child.compute()) == 5
+
+    c = gm.clone(f)
+    assert c is not f and len(c.compute()) == 5

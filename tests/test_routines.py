@@ -388,3 +388,57 @@ def test_as_gufunc(spark):
     )
     vals = sorted(r[1][0] for r in rowsum(nd)._sdf.collect())
     assert vals == [3.0, 7.0]
+
+
+# ---- dask.array.fft submodule ------------------------------------------
+
+def test_fft_submodule_roundtrips(spark):
+    import dask_spark.fft as dfft
+
+    ref = np.random.RandomState(0).randn(3, 8)
+    arr = da.DArray(
+        ds.from_pandas(pd.DataFrame({
+            "rid": range(3), "vec": [list(r) for r in ref],
+        }))._sdf, "vec", "rid",
+    )
+    c = dfft.fft(arr)
+    rows = c._sdf.orderBy("rid").collect()
+    C = np.array([r["re"] for r in rows]) + 1j * np.array([r["im"] for r in rows])
+    assert np.allclose(C, np.fft.fft(ref, axis=1))
+    back = dfft.ifft(c)._sdf.orderBy("rid").collect()
+    assert np.allclose(np.array([r["re"] for r in back]), ref, atol=1e-12)
+    r = dfft.rfft(arr)
+    rr = r._sdf.orderBy("rid").collect()
+    R = np.array([x["re"] for x in rr]) + 1j * np.array([x["im"] for x in rr])
+    assert np.allclose(R, np.fft.rfft(ref, axis=1))
+    ir = dfft.irfft(r)._sdf.orderBy("rid").collect()
+    assert np.allclose(
+        np.array([x["values"] for x in ir]),
+        np.fft.irfft(np.fft.rfft(ref, axis=1), axis=1),
+    )
+
+
+def test_fftfreq_shift(spark):
+    import dask_spark.fft as dfft
+
+    fr = dfft.fftfreq(8, d=0.5).compute().sort_values("row_id")
+    assert np.allclose(fr["freq"], np.fft.fftfreq(8, d=0.5))
+    rfr = dfft.rfftfreq(9, d=2.0).compute().sort_values("row_id")
+    assert np.allclose(rfr["freq"], np.fft.rfftfreq(9, d=2.0))
+    # freq creation is pure JVM: no numpy kernel, no exchange
+    p = dfft.fftfreq(8)._sdf._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in p and "MapInPandas" not in p
+
+    ref = np.arange(24.0).reshape(3, 8)
+    nd = ds.NDArray.from_vectors(
+        ds.from_pandas(pd.DataFrame({
+            "rid": range(3), "vec": [list(r) for r in ref],
+        })), "vec", 8, "rid",
+    )
+    assert np.array_equal(
+        dfft.fftshift(nd, axes=1).compute(), np.fft.fftshift(ref, axes=1)
+    )
+    assert np.array_equal(
+        dfft.ifftshift(dfft.fftshift(nd, axes=1), axes=1).compute(), ref
+    )
+    assert da.fft is dfft  # lazy submodule wiring
