@@ -44,9 +44,14 @@ from dask_spark.plans.progress import ProgressBar
 from dask_spark import datasets, diagnostics, testing, utils
 from dask_spark.utils import sizeof, tokenize
 from dask_spark.base import (
+    Expr,
+    HLGExpr,
+    LLGExpr,
+    SingletonExpr,
     annotate,
     annotations,
     config,
+    get,
     get_annotations,
     is_dask_collection,
     istask,

@@ -1698,3 +1698,20 @@ class _Backends:
 
 
 backends = _Backends()
+
+
+# ---- numpy constant/dtype re-exports (reference dask.array exposes
+# numpy's scalars and constants at top level for ported code) -----------
+from numpy import (  # noqa: E402,F401
+    complex64, complex128, e, euler_gamma, float32, float64, inf,
+    int8, int16, int32, int64, nan, newaxis, pi,
+    uint8, uint16, uint32, uint64,
+)
+from dask_spark.ndarray import coarsen  # noqa: E402,F401
+
+
+def array_expr_enabled() -> bool:
+    """reference dask/array/__init__.py array_expr_enabled — the
+    expression backend toggle; this engine always plans through
+    Catalyst expressions, so it is always-on by construction."""
+    return True

@@ -149,3 +149,22 @@ class _Config:
 
 config = _Config()
 annotations = annotate  # dask exposes both names
+
+
+class Expr:
+    """reference dask/_expr.py Expr — the dask-expr node base. The
+    logical plan lives in Catalyst here, so these classes exist only
+    so ported isinstance checks and imports resolve; collections in
+    this engine are not Expr instances."""
+
+
+class HLGExpr(Expr):
+    pass
+
+
+class LLGExpr(Expr):
+    pass
+
+
+class SingletonExpr(Expr):
+    pass

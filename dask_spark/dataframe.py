@@ -180,3 +180,29 @@ def get_collection_type(obj):
     if isinstance(obj, pd.Series):
         return Series
     return DaskFrame
+
+
+from dask_spark.utils import Dispatch  # noqa: E402
+
+#: reference dask/dataframe/dispatch.py — extension registries. The
+#: only backend here is the Spark engine; the registries exist so
+#: ported registration code imports and no-ops cleanly.
+dispatch = Dispatch(name="dataframe_dispatch")
+
+
+class _DataFrameBackends:
+    def __repr__(self):
+        return "<dask_spark.dataframe.backends: spark>"
+
+
+backends = _DataFrameBackends()
+
+
+def from_graph(*args, **kwargs):
+    """reference dask/dataframe from_graph — raw HighLevelGraph
+    construction has no Spark analog; build from sources or
+    from_delayed instead."""
+    raise NotImplementedError(
+        "from_graph consumes a dask task graph; this engine plans "
+        "through Catalyst — use read_*/from_pandas/from_delayed"
+    )
