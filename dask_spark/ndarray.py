@@ -63,12 +63,12 @@ EXPR_FUSION_LIMIT = 512
 # layout (a block must fit a task — the same contract as a dask
 # chunk, reference dask/array/rechunk.py:270 rechunks any axis, this
 # engine only axis 0). 256 MiB of doubles per row is already ~2× a
-# dask default chunk; beyond it a (n, 100k, 100k) tensor would need a
-# chunked-inner design — a (row_id, block_id, block) layout where
-# inner-axis ops become block-id joins. That design costs a shuffle
-# on every inner-axis structural op, so it stays out until a workload
-# needs it; the error below documents the boundary instead of letting
-# an executor OOM discover it.
+# dask default chunk; beyond it, switch to the chunked-inner layout
+# (dask_spark.chunked.ChunkedNDArray): (row_id, chunk_id, tile) rows
+# whose cross-axis structural ops cost one full-tensor shuffle — the
+# reason it is opt-in rather than the default. The error below
+# documents the boundary instead of letting an executor OOM discover
+# it.
 INNER_BLOCK_LIMIT_BYTES = 256 * 1024 * 1024
 
 
@@ -114,8 +114,10 @@ class NDArray:
                 f"(limit {INNER_BLOCK_LIMIT_BYTES >> 20} MiB; a block "
                 f"must fit one task). Put the largest axis at position "
                 f"0 (the distributed axis), e.g. transpose the logical "
-                f"layout before construction; chunked inner axes need "
-                f"the (row_id, block_id) design — see the module note."
+                f"layout before construction; or use the chunked-inner "
+                f"layout (dask_spark.chunked.ChunkedNDArray), which "
+                f"splits the first inner axis into per-task tiles at "
+                f"the cost of one shuffle per cross-axis structural op."
             )
         self._perm = (
             None

@@ -4690,6 +4690,39 @@ def arr_nanreduce(spark, sf_dir):
     )
 
 
+@q(
+    "arr_nd_chunked_transpose",
+    """
+    SELECT vec_id, p.pos AS pos,
+           list_extract(embedding::DOUBLE[],
+                        (p.pos % 8) * 8 + (p.pos // 8) + 1) AS val
+    FROM embeddings, (SELECT UNNEST(range(64)) AS pos) p
+    ORDER BY vec_id, pos
+    """,
+)
+def arr_nd_chunked_transpose(spark, sf_dir):
+    """Chunked-inner transpose (reference dask/array/rechunk.py:270 —
+    rechunking across an axis; chunked.py is the documented
+    escalation past NDArray's single-chunk inner boundary). The 64-d
+    embedding becomes a logical (n, 8, 8) tensor stored as two
+    (4, 8) tiles per row; transpose is slice-map -> ONE
+    (row, out_chunk) shuffle -> ordered in-agg reassembly. The
+    oracle replays the flat transpose index arithmetic
+    (out[p] = in[(p%8)*8 + p/8]) directly on the original vector —
+    every element's journey through the tile shuffle is
+    value-checked."""
+    from dask_spark.chunked import ChunkedNDArray
+
+    e = load(spark, sf_dir, "embeddings")
+    ch = ChunkedNDArray.from_vectors(e, "embedding", (8, 8), 2, "vec_id")
+    out = ch.transpose(out_chunks=2).explode()
+    return (
+        out.to_spark()
+        .select(F.col("row_id").alias("vec_id"), "pos", "val")
+        .orderBy("vec_id", "pos")
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

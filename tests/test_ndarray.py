@@ -626,3 +626,85 @@ def test_masked_fully_masked_row(spark):
     assert col(ma.count(mk)) == [2.0, 0.0]
     m = col(ma.max(mk))
     assert m[0] == 2.0 and (m[1] is None or np.isnan(m[1]))
+
+
+# ---- chunked-inner layout (chunked.py) ---------------------------------
+
+class TestChunkedNDArray:
+    """The escalation path past the single-chunk inner boundary
+    (reference dask/array/rechunk.py:270 — cross-axis rechunk; see
+    ndarray.py module note and chunked.py cost model)."""
+
+    REF = np.arange(2 * 8 * 6, dtype="float64").reshape(2, 8, 6)
+
+    def _chunked(self, spark, chunks=4):
+        import dask_spark as ds
+        from dask_spark.chunked import ChunkedNDArray
+
+        nd = ds.NDArray.from_vectors(
+            ds.from_pandas(pd.DataFrame({
+                "rid": [0, 1],
+                "vec": [list(r.ravel()) for r in self.REF],
+            })), "vec", 48, "rid",
+        ).reshape(8, 6)
+        return ChunkedNDArray.from_ndarray(nd, chunks=chunks)
+
+    def test_roundtrip_and_elementwise(self, spark):
+        ch = self._chunked(spark)
+        assert np.array_equal(ch.compute(), self.REF)
+        assert np.array_equal((ch * 2.0 + 0.0).compute(), self.REF * 2)
+        assert ch.tile_shape == (2, 6)
+
+    def test_transpose_parity(self, spark):
+        ch = self._chunked(spark)
+        t = ch.transpose(out_chunks=2)
+        assert t.inner_shape == (6, 8) and t.chunks == 2
+        assert np.array_equal(t.compute(), np.transpose(self.REF, (0, 2, 1)))
+        # involution through a different chunking
+        assert np.array_equal(
+            t.transpose(out_chunks=4).compute(), self.REF
+        )
+
+    def test_reductions(self, spark):
+        ch = self._chunked(spark)
+        assert np.allclose(
+            ch.sum(axis=1).compute().reshape(2, 6), self.REF.sum(axis=1)
+        )
+        assert np.allclose(
+            ch.sum(axis=2).compute().reshape(2, 8), self.REF.sum(axis=2)
+        )
+
+    def test_guards(self, spark):
+        from dask_spark.chunked import ChunkedNDArray
+
+        ch = self._chunked(spark)
+        with pytest.raises(ValueError):
+            self._chunked(spark, chunks=3)  # 8 % 3 != 0
+        with pytest.raises(ValueError):
+            ch.transpose(out_chunks=4)  # 6 % 4 != 0
+        with pytest.raises(ValueError):
+            ch.sum(axis=0)
+
+    def test_transpose_is_one_shuffle(self, spark):
+        """The rechunk bill: exactly ONE exchange keyed by
+        (row, out_chunk) — no second pass, no driver reassembly."""
+        ch = self._chunked(spark)
+        t = ch.transpose(out_chunks=2)
+        plan = t._sdf._jdf.queryExecution().sparkPlan().toString()
+        n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_ex <= 2, plan[:1200]  # partial+final agg of one groupBy
+        assert "row_id" in plan and "__dst" in plan
+
+    def test_sum_axis1_shuffles_scalars_only(self, spark):
+        """axis-1 reduction must shuffle C partial B-vectors per row,
+        never tiles: the aggregate input carries only __part."""
+        ch = self._chunked(spark)
+        out = ch.sum(axis=1)
+        plan = out._sdf._jdf.queryExecution().sparkPlan().toString()
+        assert "__part" in plan
+        # the partial projection drops the tile before the exchange:
+        # no Exchange node lists the tile column in its output
+        import re as _re
+
+        for m in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+            assert "block" not in m.group(0), m.group(0)
