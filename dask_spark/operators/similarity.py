@@ -381,3 +381,50 @@ def bm25_topk(frame, terms: Sequence[str], k: int = 10, k1: float = 1.2,
         F.col(id_col), F.round(score, 6).alias("score")
     ).orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     return DaskFrame(out)
+
+
+def tfidf_topk(frame, terms: Sequence[str], k: int = 10,
+               text_col: str = "text", id_col: str = "doc_id"):
+    """TF-IDF lexical retrieval (smoothed idf: tf * ln((1+N)/(1+df)))
+    — BM25's simpler sibling, same brief-mandated similarity-search
+    family.
+
+    100 TB shape identical to bm25_topk: one map-side stats agg
+    (N + per-term document frequencies, a single broadcast row),
+    map-only per-term tf scoring over the token array, TakeOrdered
+    top-k — the corpus never shuffles."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.text import word_tokens
+
+    if not terms:
+        raise ValueError("tfidf_topk needs at least one query term")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    toked = sdf.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+
+    def _tf(t: str):  # closure factory — see bm25_topk's lambda note
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+
+    base = toked.select(
+        F.col(id_col),
+        *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        term = F.col(f"__tf_{i}") * F.log(
+            (F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col(f"__df_{i}"))
+        )
+        score = term if score is None else score + term
+    out = joined.select(
+        F.col(id_col), F.round(score, 6).alias("score")
+    ).orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    return DaskFrame(out)

