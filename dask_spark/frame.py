@@ -1751,17 +1751,180 @@ class DaskFrame:
 
     def where_frame(self, cond: "Series", other=None) -> "DaskFrame":
         """Frame-level where: rows failing ``cond`` get every column
-        replaced by ``other`` (pandas df.where semantics)."""
+        replaced by ``other`` (pandas df.where semantics). ONE select —
+        sequential withColumn would re-resolve ``cond`` against
+        already-replaced columns (a row masked on column a flips the
+        condition for column b; surfaced by mask())."""
         c = _col(cond)
-        sdf = self._sdf
-        for name in sdf.columns:
-            sdf = sdf.withColumn(
-                name,
-                F.when(c, F.col(name)).otherwise(
-                    F.lit(other).cast(dict(self._sdf.dtypes)[name])
-                ),
+        dt = dict(self._sdf.dtypes)
+        return DaskFrame(self._sdf.select(*[
+            F.when(c, F.col(n)).otherwise(F.lit(other).cast(dt[n])).alias(n)
+            for n in self._sdf.columns
+        ]))
+
+    def where(self, cond: "Series", other=None) -> "DaskFrame":
+        """pandas/dask df.where (reference _collection.py where)."""
+        return self.where_frame(cond, other)
+
+    def mask(self, cond: "Series", other=None) -> "DaskFrame":
+        """df.mask == where(~cond) (reference _collection.py mask)."""
+        return self.where_frame(~cond, other)
+
+    def _map_numeric(self, build) -> "DaskFrame":
+        out = [
+            build(F.col(c)).alias(c) if c in set(self._numeric_cols())
+            else F.col(c)
+            for c in self._sdf.columns
+        ]
+        return DaskFrame(self._sdf.select(*out))
+
+    def clip(self, lower=None, upper=None) -> "DaskFrame":
+        """Frame-level clip over numeric columns (reference
+        _collection.py clip)."""
+        def build(c):
+            if lower is not None:
+                c = F.greatest(c, F.lit(lower))
+            if upper is not None:
+                c = F.least(c, F.lit(upper))
+            return c
+
+        return self._map_numeric(build)
+
+    def abs(self) -> "DaskFrame":
+        return self._map_numeric(F.abs)
+
+    def isin(self, values: Iterable) -> "DaskFrame":
+        """pandas df.isin — a boolean frame, every column tested
+        against the literal list (reference _collection.py isin)."""
+        vals = list(values)
+        return DaskFrame(self._sdf.select(*[
+            (F.col(c).isin(*vals) if vals else F.lit(False)).alias(c)
+            for c in self._sdf.columns
+        ]))
+
+    def map(self, fn, na_action: str | None = None) -> "DaskFrame":
+        """pandas df.map (elementwise over every cell, reference
+        _collection.py map) — one Arrow pass, pandas' own map inside."""
+        import pandas as pd  # noqa: F401
+
+        schema = self._sdf.schema
+
+        def run(it):
+            for pdf in it:
+                mapped = pdf.map(fn, na_action=na_action) if hasattr(
+                    pdf, "map"
+                ) else pdf.applymap(fn)
+                yield mapped
+
+        return DaskFrame(self._sdf.mapInPandas(run, schema))
+
+    def median(self) -> "DaskFrame":
+        """Per-numeric-column exact median (reference _collection.py
+        median; dask computes it per column too)."""
+        return self._agg_all(lambda c: F.median(F.col(c)))
+
+    def nunique_approx(self, rsd: float = 0.01) -> "DaskFrame":
+        """Per-column HLL distinct estimate (reference
+        nunique_approx)."""
+        return DaskFrame(self._sdf.agg(*[
+            F.approx_count_distinct(c, rsd).alias(c)
+            for c in self._sdf.columns
+        ]))
+
+    def _cmp_frame(self, other, op) -> "DaskFrame":
+        return DaskFrame(self._sdf.select(*[
+            op(F.col(c), F.lit(other)).alias(c)
+            for c in self._numeric_cols()
+        ]))
+
+    def ge(self, other) -> "DaskFrame":
+        return self._cmp_frame(other, lambda a, b: a >= b)
+
+    def gt(self, other) -> "DaskFrame":
+        return self._cmp_frame(other, lambda a, b: a > b)
+
+    def le(self, other) -> "DaskFrame":
+        return self._cmp_frame(other, lambda a, b: a <= b)
+
+    def lt(self, other) -> "DaskFrame":
+        return self._cmp_frame(other, lambda a, b: a < b)
+
+    def combine(self, other: "DaskFrame", func, on) -> "DaskFrame":
+        """pandas df.combine aligned on a key (reference
+        _collection.py combine): join on ``on``, then ``func(left
+        Series, right Series)`` per shared non-key column — func
+        composes Column expressions, so the whole combine is one
+        join + one projection."""
+        on = [on] if isinstance(on, str) else list(on)
+        lcols = [c for c in self._sdf.columns if c not in on]
+        rcols = [c for c in other._sdf.columns if c not in on]
+        shared = [c for c in lcols if c in set(rcols)]
+        l = self._sdf.select(*on, *[F.col(c).alias(f"__l_{c}") for c in shared])
+        r = other._sdf.select(*on, *[F.col(c).alias(f"__r_{c}") for c in shared])
+        joined = DaskFrame(l.join(r, on=on, how="outer"))
+        out = joined._sdf.select(
+            *on,
+            *[
+                _col(func(
+                    Series(joined, F.col(f"__l_{c}"), c),
+                    Series(joined, F.col(f"__r_{c}"), c),
+                )).alias(c)
+                for c in shared
+            ],
+        )
+        return DaskFrame(out)
+
+    def dot(self, weights: Sequence[float]) -> "Series":
+        """Row-wise dot of the numeric columns with a literal weight
+        vector (reference _collection.py dot) — one projection."""
+        cols = self._numeric_cols()
+        if len(weights) != len(cols):
+            raise ValueError(f"{len(weights)} weights for {len(cols)} columns")
+        expr = None
+        for c, w in zip(cols, weights):
+            t = F.col(c) * float(w)
+            expr = t if expr is None else expr + t
+        return Series(self, expr, "dot")
+
+    @property
+    def index(self) -> "Series":
+        """The set_index column as a Series (reference FrameBase
+        .index); frames without an index raise like dask's default
+        RangeIndex would mislead here."""
+        idc = getattr(self, "_index_col", None)
+        if idc is None:
+            raise AttributeError(
+                "no index column: call set_index(col) first (no "
+                "implicit RangeIndex in a distributed frame)"
             )
-        return DaskFrame(sdf)
+        return Series(self, F.col(idc), idc)
+
+    @property
+    def expr(self):
+        """dask-expr handle analog: the Catalyst plan IS the
+        expression graph (reference FrameBase.expr)."""
+        return self._sdf
+
+    @property
+    def dask(self) -> str:
+        """Legacy .dask graph analog — the analyzed Catalyst plan
+        string (the object that plays the task graph's role here)."""
+        return self._sdf._jdf.queryExecution().analyzed().toString()
+
+    def to_backend(self, backend: str | None = None) -> "DaskFrame":
+        """reference to_backend — only one backend exists here."""
+        if backend not in (None, "spark", "pandas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        return self
+
+    def to_timestamp(self, col: str, unit: str = "s") -> "DaskFrame":
+        """Cast a numeric epoch column to timestamp (reference
+        _collection.py to_timestamp re-bases a PeriodIndex; the
+        engine analog is epoch→timestamp)."""
+        div = {"s": 1, "ms": 1000, "us": 1000000}[unit]
+        return DaskFrame(self._sdf.withColumn(
+            col, F.timestamp_seconds(F.col(col) / div)
+        ))
 
     def mask_frame(self, cond: "Series", other=None) -> "DaskFrame":
         return self.where_frame(~cond, other)

