@@ -815,6 +815,204 @@ class NDArray:
             arr = arr[:, self._perm]
         return arr.reshape(-1, *self.inner_shape)
 
+    # ---- dask.array.Array method/property tail (reference
+    # dask/array/core.py Array) — delegates onto the machinery above
+    # and the module-level routines ------------------------------------
+    @property
+    def T(self) -> "NDArray":
+        """Inner-axes reverse transpose (the distributed row axis
+        stays put, like every structural op here)."""
+        return self.transpose()
+
+    @property
+    def A(self) -> "NDArray":
+        return self
+
+    @property
+    def itemsize(self) -> int:
+        return 8  # float64 blocks throughout
+
+    @property
+    def name(self) -> str:
+        from dask_spark.utils import tokenize
+
+        return f"ndarray-{tokenize(DaskFrame(self._sdf))[:12]}"
+
+    @property
+    def npartitions(self) -> int:
+        from dask_spark.operators.sort import num_partitions
+
+        return num_partitions(self._sdf)
+
+    @property
+    def numblocks(self):
+        return (self.npartitions, *([1] * len(self.inner_shape)))
+
+    @property
+    def chunks(self):
+        """dask chunks tuple; row-chunk extents are unknown until
+        computed (dask prints nan there too)."""
+        return (
+            (float("nan"),) * self.npartitions,
+            *((s,) for s in self.inner_shape),
+        )
+
+    @property
+    def chunksize(self):
+        return (float("nan"), *self.inner_shape)
+
+    def compute_chunk_sizes(self) -> "NDArray":
+        """reference core.py compute_chunk_sizes — forces the count
+        job that resolves the unknown row extents."""
+        self._sdf.count()
+        return self
+
+    @property
+    def partitions(self):
+        """Indexable per-partition view (reference Array.partitions/
+        .blocks): ``arr.partitions[i]`` is the i-th row chunk as an
+        NDArray — one partition-id filter, map-only."""
+        def pick(i):
+            if isinstance(i, slice):
+                ids = list(range(*i.indices(self.npartitions)))
+            else:
+                ids = [int(i)]
+            sdf = self._sdf.withColumn(
+                "__pid", F.spark_partition_id()
+            ).filter(F.col("__pid").isin(ids)).drop("__pid")
+            return NDArray(sdf, self.inner_shape, self._col, self._id,
+                           perm=self._perm)
+
+        from dask_spark.utils import IndexCallable
+
+        return IndexCallable(pick)
+
+    blocks = partitions
+
+    @property
+    def vindex(self):
+        """Pointwise fancy indexing entry (reference Array.vindex) —
+        the same per-axis machinery as __getitem__."""
+        from dask_spark.utils import IndexCallable
+
+        return IndexCallable(lambda key: self[key])
+
+    def copy(self) -> "NDArray":
+        return NDArray(self._sdf, self.inner_shape, self._col, self._id,
+                       perm=self._perm)
+
+    def view(self, dtype=None) -> "NDArray":
+        """Blocks are always float64; dtype reinterpretation has no
+        Spark analog, so view is identity (dask's no-op case)."""
+        if dtype not in (None, "float64", float):
+            raise ValueError("view: float64 blocks only")
+        return self.copy()
+
+    def conj(self) -> "NDArray":
+        return self._unary(lambda x: x + F.lit(0.0))
+
+    def real(self) -> "NDArray":
+        return self.copy()
+
+    def imag(self) -> "NDArray":
+        return self._unary(lambda x: F.when(x.isNull(), x).otherwise(F.lit(0.0)))
+
+    def atleast_nd(self, n: int) -> "NDArray":
+        out = self
+        while out.ndim < n:
+            out = out.reshape(*out.inner_shape, 1)
+        return out
+
+    def argtopk(self, k: int):
+        from dask_spark.routines import argtopk as _argtopk
+
+        return _argtopk(self, k)
+
+    def choose(self, choices):
+        from dask_spark.routines import choose as _choose
+
+        return _choose(self, choices)
+
+    def nonzero(self):
+        from dask_spark.routines import nonzero as _nonzero
+
+        return _nonzero(self)
+
+    def repeat(self, repeats: int, axis: int) -> "NDArray":
+        from dask_spark.routines import repeat as _repeat
+
+        return _repeat(self, repeats, axis)
+
+    def trace(self, offset: int = 0):
+        from dask_spark.routines import trace as _trace
+
+        return _trace(self, offset)
+
+    def shuffle(self, indexer, axis: int) -> "NDArray":
+        from dask_spark.routines import shuffle as _shuffle
+
+        return _shuffle(self, indexer, axis)
+
+    def moment(self, order: int, axis: int = 0):
+        from dask_spark.routines import moment as _moment
+
+        return _moment(self.to_darray() if len(self.inner_shape) == 1
+                       else self, order, axis)
+
+    def store(self, target: str, mode: str = "overwrite"):
+        from dask_spark.routines import store as _store
+
+        return _store(self, target, mode)
+
+    def to_zarr(self, url: str):
+        from dask_spark.routines import to_zarr as _tz
+
+        return _tz(self, url)
+
+    def to_tiledb(self, uri: str):
+        from dask_spark.routines import to_tiledb as _tt
+
+        return _tt(self, uri)
+
+    def to_hdf5(self, filename: str, datapath: str):
+        from dask_spark.routines import to_hdf5 as _th
+
+        return _th(filename, datapath, self)
+
+    def to_delayed(self):
+        """One Delayed per row chunk (reference Array.to_delayed) —
+        each computes just its partition."""
+        from dask_spark.delayed import delayed
+
+        parts = self.partitions
+        return [
+            delayed(lambda i=i: parts[i].compute())()
+            for i in range(self.npartitions)
+        ]
+
+    def to_backend(self, backend: str | None = None) -> "NDArray":
+        if backend not in (None, "spark", "numpy"):
+            raise ValueError(f"unknown backend {backend!r}")
+        return self
+
+    def format_index(self) -> str:
+        return f"shape=({self._sdf.count()}, {', '.join(map(str, self.inner_shape))})"
+
+    def to_svg(self, size: int = 200) -> str:
+        """Chunk-grid sketch (reference array/svg.py): the row axis
+        split into npartitions bands, inner axes one block."""
+        n = max(self.npartitions, 1)
+        h = size // n
+        rects = "\n".join(
+            f'<rect x="0" y="{i * h}" width="{size}" height="{h}" '
+            f'style="fill:#ECB172;stroke:#8F4F06;"/>'
+            for i in range(n)
+        )
+        return (
+            f'<svg width="{size + 2}" height="{size + 2}" '
+            f'xmlns="http://www.w3.org/2000/svg">\n{rects}\n</svg>'
+        )
+
 
 def concatenate(arrays: Sequence[NDArray], axis: int = 0) -> NDArray:
     """np.concatenate (reference: dask/array/core.py concatenate).

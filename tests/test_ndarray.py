@@ -708,3 +708,42 @@ class TestChunkedNDArray:
 
         for m in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
             assert "block" not in m.group(0), m.group(0)
+
+
+def test_array_method_tail(spark):
+    """Array-class method/property tail (reference dask/array/core.py
+    Array): T/partitions/blocks/chunks/copy/conj/imag/atleast_nd/
+    argtopk/trace/to_delayed/to_svg/view/name — delegates onto the
+    existing structural machinery and module routines."""
+    import dask_spark as ds
+
+    ref = np.arange(24, dtype="float64").reshape(6, 4)
+    nd = ds.NDArray.from_vectors(
+        ds.from_pandas(pd.DataFrame({
+            "rid": range(6), "vec": [list(r) for r in ref],
+        }), npartitions=3),
+        "vec", 4, "rid",
+    ).reshape(2, 2)
+
+    assert np.array_equal(
+        nd.T.compute(), np.transpose(ref.reshape(6, 2, 2), (0, 2, 1))
+    )
+    assert nd.itemsize == 8 and nd.A is nd
+    assert len(nd.chunks) == 3 and nd.numblocks[1:] == (1, 1)
+    assert nd.partitions[0].compute().shape[1:] == (2, 2)
+    assert np.array_equal(nd.copy().compute(), nd.compute())
+    assert np.array_equal(nd.conj().compute(), nd.compute())
+    assert (nd.imag().compute() == 0).all()
+    assert nd.atleast_nd(4).inner_shape == (2, 2, 1)
+    assert nd.reshape(4).argtopk(2).inner_shape == (2,)
+    tr = sorted(r["trace"] for r in nd.trace()._sdf.collect())
+    assert tr == sorted(float(np.trace(r.reshape(2, 2))) for r in ref)
+    delayed_parts = nd.to_delayed()
+    assert sum(d.compute().shape[0] for d in delayed_parts) == 6
+    assert nd.to_svg().startswith("<svg")
+    assert nd.format_index() == "shape=(6, 2, 2)"
+    assert nd.view() is not nd and nd.to_backend() is nd
+    assert nd.name.startswith("ndarray-")
+    assert nd.compute_chunk_sizes() is nd
+    with pytest.raises(ValueError):
+        nd.view("int32")
