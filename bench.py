@@ -46,6 +46,9 @@ HEADLINE = [
     "arr_einsum",         # N-D contraction: one fused projection
     "arr_ma_stats",       # masked filter+fold per row
     "ann_knn_join",       # LSH-band k-NN join (the r5 gate fix)
+    "ufunc_pipeline",     # composed module-level ufuncs: one projection
+    "tfidf_topk",         # TF-IDF retrieval: stats agg + map scoring
+    "arr_nd_chunked_transpose",  # chunked-inner rechunk shuffle
 ]
 
 

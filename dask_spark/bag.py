@@ -575,3 +575,26 @@ def from_url(url: str) -> "Bag":
         [(ln,) for ln in lines], "item string"
     )
     return Bag(sdf, "item")
+
+
+def _bag_to_avro(self, path: str, **options):
+    """reference dask/bag/avro.py to_avro — writes the bag's records
+    via Spark's external avro writer; same option plumbing and absent-
+    package error as sources.read_avro (spark-avro is not baked into
+    this container)."""
+    w = self._sdf.write.format("avro").mode(options.pop("mode", "overwrite"))
+    for k, v in options.items():
+        w = w.option(k, v)
+    try:
+        w.save(path)
+    except Exception as e:
+        if "avro" in str(e).lower():
+            raise ImportError(
+                "to_avro needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>)"
+            ) from e
+        raise
+    return path
+
+
+Bag.to_avro = _bag_to_avro

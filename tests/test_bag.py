@@ -201,3 +201,14 @@ def test_bag_random_sample_and_choices(spark):
     # population some value must repeat
     tiny = Bag.from_sequence([1, 2, 3])
     assert len(choices(tiny, 20, seed=5).compute()) == 20
+
+
+def test_bag_to_avro_gated(spark):
+    """reference dask/bag/avro.py to_avro — spark-avro is absent in
+    this container, so the writer raises the documented ImportError
+    (same plumbing contract as sources.read_avro)."""
+    from dask_spark.bag import Bag
+
+    b = Bag.from_sequence([1, 2, 3])
+    with pytest.raises(ImportError):
+        b.to_avro("/tmp/bag_avro_out")
