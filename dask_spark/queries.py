@@ -4763,6 +4763,72 @@ def tfidf_topk(spark, sf_dir):
     return _tfidf(d, ["spark", "shuffle", "join"], k=10).to_spark()
 
 
+def _corpus_cluster_oracle(k: int = 4, iters: int = 2) -> str:
+    """Replays the FULL Lloyd's iteration in SQL: deterministic init
+    (k lowest ids), per-iteration assign (the identical
+    vv - 2*vc + cc double arithmetic, ties to the lower cluster) and
+    centroid update (per-dim avg rounded to 9 dp on both sides so
+    averaging order cannot drift), then the final assignment."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+          FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    dist = (
+        "(list_dot_product(x.v, x.v)"
+        " - 2 * list_dot_product(x.v, cp.cv))"
+        " + list_dot_product(cp.cv, cp.cv)"
+    )
+    for it in range(iters):
+        parts.append(f""",a{it} AS (
+          SELECT vec_id, v, c FROM (
+            SELECT x.vec_id, x.v, cp.c,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {dist}, cp.c) AS rn
+            FROM v x CROSS JOIN c{it} cp
+          ) WHERE rn = 1
+        ),m{it} AS (
+          SELECT c, dim, round(avg(x), 9) AS m FROM (
+            SELECT c, unnest(v) AS x,
+                   unnest(range(len(v))) AS dim
+            FROM a{it}
+          ) GROUP BY c, dim
+        ),c{it + 1} AS (
+          SELECT prev.c, COALESCE(n.cv, prev.cv) AS cv
+          FROM c{it} prev
+          LEFT JOIN (
+            SELECT c, list(m ORDER BY dim) AS cv FROM m{it} GROUP BY c
+          ) n ON n.c = prev.c
+        )""")
+    parts.append(f"""
+        SELECT vec_id, c AS cluster FROM (
+          SELECT x.vec_id, cp.c,
+                 row_number() OVER (PARTITION BY x.vec_id
+                                    ORDER BY {dist}, cp.c) AS rn
+          FROM v x CROSS JOIN c{iters} cp
+        ) WHERE rn = 1
+        ORDER BY vec_id
+    """)
+    return "\n".join(parts)
+
+
+@q("corpus_cluster", _corpus_cluster_oracle())
+def corpus_cluster(spark, sf_dir):
+    """Distributed Lloyd's k-means assignment (reference scope:
+    dask-ml KMeans's blockwise-assign + tree-reduce shape). Centroids
+    ride the plan as literals; assignment is map-only (staged
+    distance array + array_position argmin); the update groupBy has
+    k*dim keys so the tensor never shuffles. The oracle replays every
+    iteration bit-for-bit (operators/cluster.py kmeans)."""
+    from dask_spark.operators.cluster import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    out, _ = kmeans(e, "embedding", "vec_id", k=4, iters=2)
+    return out.to_spark().orderBy("vec_id")
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side

@@ -865,3 +865,59 @@ def test_repetition_engines_agree_exactly(spark, tables):
             assert list(av.fillna("∅")) == list(bv.fillna("∅")), c
         else:
             assert list(av.fillna(-1)) == list(bv.fillna(-1)), c
+
+
+def test_kmeans_numpy_replay_parity(spark, tables):
+    """Distributed Lloyd's (operators/cluster.py kmeans) vs a literal
+    numpy replay of the same algorithm (same init, same rounding,
+    same tie-break) — assignments and centroids must agree exactly."""
+    import numpy as np
+
+    from dask_spark.operators.cluster import kmeans
+
+    e = tables["embeddings"]
+    out, cents = kmeans(e, "embedding", "vec_id", k=4, iters=2)
+    got = {
+        r["vec_id"]: r["cluster"] for r in out.to_spark().collect()
+    }
+
+    rows = (
+        e.to_spark()
+        .selectExpr("vec_id", "cast(embedding as array<double>) v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["v"] for r in rows])
+    C = X[:4].copy()
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin takes the first (lowest) index
+
+    for _ in range(2):
+        a = assign(C)
+        for c in range(4):
+            if (a == c).any():
+                C[c] = np.round(X[a == c].mean(axis=0), 9)
+    final = assign(C)
+    exp = dict(zip(ids, final))
+    mismatch = [i for i in ids if got[i] != exp[i]]
+    assert not mismatch, mismatch[:5]
+    assert np.allclose(np.array(cents), C, atol=1e-9)
+
+
+def test_kmeans_guards_and_plan(spark, tables):
+    import pytest as _pt
+
+    from dask_spark.operators.cluster import kmeans
+
+    e = tables["embeddings"]
+    with _pt.raises(ValueError):
+        kmeans(e.head_frame(2), k=8, iters=1)
+    out, _ = kmeans(e, k=4, iters=1)
+    plan = out.to_spark()._jdf.queryExecution().sparkPlan().toString()
+    # the final assignment is MAP-ONLY: centroids are literals, no
+    # join/exchange in the assign plan
+    assert "Join" not in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
