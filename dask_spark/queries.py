@@ -4763,12 +4763,13 @@ def tfidf_topk(spark, sf_dir):
     return _tfidf(d, ["spark", "shuffle", "join"], k=10).to_spark()
 
 
-def _corpus_cluster_oracle(k: int = 4, iters: int = 2) -> str:
-    """Replays the FULL Lloyd's iteration in SQL: deterministic init
+def _kmeans_cte(k: int, iters: int) -> str:
+    """The shared Lloyd's-iteration CTE prefix: deterministic init
     (k lowest ids), per-iteration assign (the identical
     vv - 2*vc + cc double arithmetic, ties to the lower cluster) and
     centroid update (per-dim avg rounded to 9 dp on both sides so
-    averaging order cannot drift), then the final assignment."""
+    averaging order cannot drift). Ends defining ``aF(vec_id, v,
+    c)`` — the final assignment."""
     parts = [
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
         f"""c0 AS (
@@ -4802,16 +4803,22 @@ def _corpus_cluster_oracle(k: int = 4, iters: int = 2) -> str:
             SELECT c, list(m ORDER BY dim) AS cv FROM m{it} GROUP BY c
           ) n ON n.c = prev.c
         )""")
-    parts.append(f"""
-        SELECT vec_id, c AS cluster FROM (
-          SELECT x.vec_id, cp.c,
-                 row_number() OVER (PARTITION BY x.vec_id
-                                    ORDER BY {dist}, cp.c) AS rn
-          FROM v x CROSS JOIN c{iters} cp
-        ) WHERE rn = 1
-        ORDER BY vec_id
-    """)
+    parts.append(f""",aF AS (
+          SELECT vec_id, v, c FROM (
+            SELECT x.vec_id, x.v, cp.c,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {dist}, cp.c) AS rn
+            FROM v x CROSS JOIN c{iters} cp
+          ) WHERE rn = 1
+        )""")
     return "\n".join(parts)
+
+
+def _corpus_cluster_oracle(k: int = 4, iters: int = 2) -> str:
+    return (
+        _kmeans_cte(k, iters)
+        + "\nSELECT vec_id, c AS cluster FROM aF ORDER BY vec_id"
+    )
 
 
 @q("corpus_cluster", _corpus_cluster_oracle())
@@ -4827,6 +4834,77 @@ def corpus_cluster(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     out, _ = kmeans(e, "embedding", "vec_id", k=4, iters=2)
     return out.to_spark().orderBy("vec_id")
+
+
+@q(
+    "dedup_semantic_cells",
+    _kmeans_cte(4, 1) + """
+    ,aN AS (
+      SELECT vec_id, v, c,
+             1.0 / sqrt(list_dot_product(v, v)) AS inv
+      FROM aF
+    ),drops AS (
+      SELECT DISTINCT a.vec_id FROM aN a JOIN aN b
+        ON a.c = b.c AND a.vec_id > b.vec_id
+      WHERE list_dot_product(a.v, b.v) * a.inv * b.inv >= 0.9
+    )
+    SELECT aN.vec_id, aN.c AS cluster,
+           drops.vec_id IS NULL AS keep
+    FROM aN LEFT JOIN drops ON drops.vec_id = aN.vec_id
+    ORDER BY aN.vec_id
+    """,
+)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup with FULLY value-checked cells (the rows-only
+    dedup_semantic's oracle-exact sibling): cluster cells come from
+    the distributed Lloyd's kmeans (bit-replayed by the oracle), and
+    the within-cell drop rule uses the generic L2R cosine — so every
+    keep/drop decision, including ones at the 0.9 threshold
+    boundary, compares bit-identical doubles on both engines. ONE
+    cluster-keyed join; exhaustive within cells, blind across them —
+    the SemDeDup contract (dedup.py semantic_dedup's expr path +
+    cluster.py kmeans)."""
+    from dask_spark.functions.vector import dot as v_dot
+    from dask_spark.operators.cluster import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(e, "embedding", "vec_id", k=4, iters=1)
+    # knn-join's scoring lesson: 1/norm is a SCALAR computed on the
+    # n-row side (the join boundary keeps it from re-inlining per
+    # pair), the pair predicate is ONE unrolled dot and two multiplies
+    base = e.to_spark().select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.lit(1.0) / F.sqrt(v_dot(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"), 64,
+        ))).alias("inv"),
+    )
+    # runtime here is driver-side compile of the ~800-node assignment
+    # expression (zero stages >0.3s in the profile) — a fixed cost
+    # that amortizes with data size, like dedup_minhash's planning
+    av = assigned.to_spark().join(base, "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(
+            v_dot(F.col("a.v"), F.col("b.v"), 64)
+            * F.col("a.inv") * F.col("b.inv") >= 0.9
+        )
+        .select(F.col("a.vec_id").alias("__d"))
+        .distinct()
+    )
+    return (
+        av.join(drops, av["vec_id"] == drops["__d"], "left")
+        .select(
+            "vec_id", "cluster", F.col("__d").isNull().alias("keep")
+        )
+        .orderBy("vec_id")
+    )
 
 
 # ---- registry ordering --------------------------------------------------
