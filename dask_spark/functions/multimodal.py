@@ -108,3 +108,50 @@ def frame_sample(frame, every_n: int = 10):
         F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
     ).alias("frame_idx")
     return DaskFrame(sdf.select("doc_id", idx))
+
+
+def audio_windows(frame, win: int = 16, hop: int = 8):
+    """Audio frame windowing over the media column (the STFT-shaped
+    plumbing a spectrogram pipeline needs: sample extraction →
+    overlapping windows → per-window energy).
+
+    The DECODE here is the deterministic fake in JVM-expression form
+    — samples are the byte codes of the payload's sha2 hex digest —
+    which makes the WHOLE pipeline (decode included) replayable in
+    ANSI SQL, unlike the Arrow ``decode_features`` stub. The
+    windowing arithmetic is the real thing: ``n_win = 1 +
+    (n-win)/hop`` overlapping in-row slices, one posexplode, RMS per
+    window via an in-row fold — map-only, no Python, no shuffle.
+    Swap the sample expression for a real PCM decode and nothing
+    downstream changes."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    hexd = F.sha2(F.col("text"), 256)
+    chars = F.split(hexd, "")
+    n = 64  # digest length = fake sample count per doc
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.ascii(F.element_at(chars, (i + 1).cast("int")))
+        .cast("double"),
+    )
+    n_win = 1 + (n - win) // hop
+    windows = F.transform(
+        F.sequence(F.lit(0), F.lit(n_win - 1)),
+        lambda w: F.slice(samples, w * hop + 1, win),
+    )
+    out = sdf.select(
+        "doc_id", F.posexplode(windows).alias("win_idx", "__w")
+    ).select(
+        "doc_id",
+        "win_idx",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("__w"), F.lit(0.0), lambda a, x: a + x * x
+                ) / win
+            ),
+            6,
+        ).alias("rms"),
+    )
+    return DaskFrame(out)

@@ -4907,6 +4907,41 @@ def dedup_semantic_cells(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_audio_windows",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             [ord(substr(sha256(text), i + 1, 1))::DOUBLE
+              for i in range(64)] AS samples
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(range(7)) AS win_idx, samples FROM s
+    )
+    SELECT doc_id, win_idx,
+           round(sqrt(list_aggregate(
+               list_transform(samples[win_idx*8 + 1 : win_idx*8 + 16],
+                              x -> x * x), 'sum') / 16.0), 6) AS rms
+    FROM w
+    ORDER BY doc_id, win_idx
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio-frame windowing plumbing (STFT shape: decode → 16-sample
+    windows at hop 8 → per-window RMS). The deterministic fake decode
+    is a JVM expression over the sha2 digest, so the ENTIRE pipeline
+    — decode included — value-checks against the SQL replay; the
+    windowing arithmetic (overlapping in-row slices + one posexplode
+    + in-row fold) is the production shape
+    (functions/multimodal.py audio_windows)."""
+    from dask_spark.functions.multimodal import audio_windows
+
+    d = load(spark, sf_dir, "documents")
+    return audio_windows(d, win=16, hop=8).to_spark().orderBy(
+        "doc_id", "win_idx"
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
