@@ -48,7 +48,7 @@ def _is_nd(a) -> bool:
 
 # ---- selection ---------------------------------------------------------
 
-def where(cond, x, y):
+def where(cond, x=None, y=None):
     """np.where(cond, x, y) (reference dask/array/routines.py where).
 
     Series operands (same parent frame) lower to one ``CASE WHEN``;
@@ -229,6 +229,8 @@ def searchsorted(sorted_seq: Sequence[float], v, side: str = "left"):
     (reference routines.py searchsorted): insertion position as a
     count over the literal array — O(len(seq)) JVM ops per value,
     map-only."""
+    if not (_is_arr(v) or _is_series(v)):
+        return _np().searchsorted(sorted_seq, v, side=side)
     lits = F.array(*[F.lit(float(x)) for x in sorted_seq])
     if side == "left":
         build = lambda c: F.size(F.filter(lits, lambda e: e < c)).cast("double")  # noqa: E731
@@ -488,6 +490,15 @@ def repeat(a, repeats: int, axis: int):
     if _is_nd(a) and axis != 0:
         t = np.repeat(a._index_tensor(), repeats, axis=axis - 1)
         return a._gather(t.ravel(), t.shape)
+    if _is_arr(a) and not _is_nd(a) and axis != 0:
+        # DArray inner repeat: the same gather, planned flat
+        d_row = a._sdf.select(F.size(F.col(a._col)).alias("d")).first()
+        d = int(d_row["d"]) if d_row else 0
+        idx = np.repeat(np.arange(d), repeats) + 1
+        lit = F.lit(idx.astype("int32"))
+        return a._unary(
+            lambda c: F.transform(lit, lambda i: F.element_at(c, i))
+        )
     if (_is_nd(a) or _is_arr(a)) and axis == 0:
         m = a._materialize() if _is_nd(a) else a
         if m._id is None:

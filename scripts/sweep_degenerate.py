@@ -25,9 +25,15 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-# linalg contracts: factorizing empty / rank-deficient grams is
-# undefined — a clear ValueError is the REQUIRED behavior here
-EXPECTED_VALUEERROR = {"arr_cholesky", "arr_tsqr"}
+# linalg/clustering contracts: factorizing empty or rank-deficient
+# grams and clustering an empty/under-k corpus are undefined — a
+# clear ValueError is the REQUIRED behavior here
+EXPECTED_VALUEERROR = {
+    "arr_cholesky", "arr_tsqr",
+    # round-6 additions, same contract family:
+    "arr_lu", "arr_solve_triangular", "arr_svd_compressed",
+    "corpus_cluster", "dedup_semantic_cells",
+}
 
 
 def build(kind: str, base: str = "/root/testdata/sf0.001") -> str:

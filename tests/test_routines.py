@@ -442,3 +442,16 @@ def test_fftfreq_shift(spark):
         dfft.ifftshift(dfft.fftshift(nd, axes=1), axes=1).compute(), ref
     )
     assert da.fft is dfft  # lazy submodule wiring
+
+
+def test_round6_review_fixes(spark):
+    """Edge paths surfaced by self-review: one-arg where == nonzero,
+    plain-sequence searchsorted falls to numpy, DArray inner
+    repeat."""
+    f = ds.from_pandas(pd.DataFrame({"rid": [0], "vec": [[0.0, 3.0, 0.0, 7.0]]}))
+    arr = da.DArray(f._sdf, "vec", "rid")
+    nz = da.where(arr)
+    assert sorted(nz.compute()["pos"]) == [1, 3]
+    assert list(da.searchsorted([1.0, 5.0], [0.0, 2.0, 9.0])) == [0, 1, 2]
+    rp = da.repeat(arr, 2, axis=1)._sdf.first()["vec"]
+    assert rp == [0.0, 0.0, 3.0, 3.0, 0.0, 0.0, 7.0, 7.0]
