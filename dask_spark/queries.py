@@ -10,6 +10,8 @@ on both sides so fp addition order can't flip the value hash.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 
 from dask_spark.frame import DaskFrame, concat
@@ -4940,6 +4942,82 @@ def multimodal_audio_windows(spark, sf_dir):
     return audio_windows(d, win=16, hop=8).to_spark().orderBy(
         "doc_id", "win_idx"
     )
+
+
+def _ann_ivf_checked_oracle() -> str:
+    """IVF with fully replayable cells: the Lloyd's CTE produces the
+    9-dp centroids (c1 after one iteration); probe cells are the
+    n_probe centroids nearest the query (same vv-2vc+cc double
+    arithmetic, ties to the lower cell); scoring is the side-scalar
+    normalized dot at 4 dp."""
+    qv = ", ".join(repr(float(x)) for x in QUERY_VEC)
+    return _kmeans_cte(8, 1) + f"""
+    ,q AS (SELECT [{qv}]::DOUBLE[] AS qv)
+    ,probe AS (
+      SELECT c FROM c1, q
+      ORDER BY (list_dot_product(qv, qv)
+                - 2 * list_dot_product(qv, cv))
+               + list_dot_product(cv, cv), c
+      LIMIT 4
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(v, (SELECT qv FROM q))
+                 * (1.0 / sqrt(list_dot_product(v, v)))
+                 * (SELECT 1.0 / sqrt(list_dot_product(qv, qv)) FROM q),
+                 4) AS cosine
+    FROM aF WHERE c IN (SELECT c FROM probe)
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@q("ann_ivf_checked", _ann_ivf_checked_oracle())
+def ann_ivf_checked(spark, sf_dir):
+    """IVF ANN with VALUE-CHECKED cells (the rows-only ann_ivf's
+    oracle-exact sibling): cells come from the bit-replayed Lloyd's
+    kmeans, the probe choice replays the same centroid-distance
+    arithmetic, and scoring uses the knn-join side-scalar dot at
+    4 dp — probe + rank + every cosine all hash-checked. Same scale
+    shape as ivf_topk: map-only assign, cells filter, TakeOrdered."""
+    from dask_spark.functions.vector import dot as v_dot
+    from dask_spark.operators.cluster import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans(e, "embedding", "vec_id", k=8, iters=1)
+    q = QUERY_VEC
+    qq = sum(float(x) * float(x) for x in q)
+
+    def cdist(c):
+        vc = 0.0
+        for a, b in zip(q, c):
+            vc = vc + float(a) * float(b)
+        cc = 0.0
+        for x in c:
+            cc = cc + float(x) * float(x)
+        return (qq - 2.0 * vc) + cc
+
+    order = sorted(range(len(cents)), key=lambda i: (cdist(cents[i]), i))
+    probe = order[:4]
+    dim = len(q)
+    base = e.to_spark().select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    qinv = 1.0 / math.sqrt(qq)
+    scored = (
+        assigned.to_spark().join(base, "vec_id")
+        .filter(F.col("cluster").isin(probe))
+        .select(
+            "vec_id",
+            F.round(
+                v_dot(F.col("v"), qlit, dim)
+                * (F.lit(1.0) / F.sqrt(v_dot(F.col("v"), F.col("v"), dim)))
+                * F.lit(qinv),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
 
 
 # ---- registry ordering --------------------------------------------------
