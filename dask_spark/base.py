@@ -123,15 +123,45 @@ class _Config:
         return self._store.get(key, default)
 
     def set(self, arg: dict | None = None, **kwargs):
+        """Applies immediately AND returns a context manager that
+        restores the previous values on exit — dask.config.set's
+        documented dual contract (plain call = permanent, with-block
+        = scoped)."""
         updates = dict(arg or {}, **kwargs)
-        for k, v in updates.items():
+
+        def current(k):
             if k.startswith("spark."):
                 from dask_spark.session import get_spark
 
-                get_spark().conf.set(k, v)
+                return get_spark().conf.get(k, None)
+            return self._store.get(k)
+
+        def apply(k, v):
+            if k.startswith("spark."):
+                from dask_spark.session import get_spark
+
+                if v is None:
+                    get_spark().conf.unset(k)
+                else:
+                    get_spark().conf.set(k, v)
+            elif v is None:
+                self._store.pop(k, None)
             else:
                 self._store[k] = v
-        return contextlib.nullcontext()
+
+        old = {k: current(k) for k in updates}
+        for k, v in updates.items():
+            apply(k, v)
+
+        @contextlib.contextmanager
+        def restoring():
+            try:
+                yield self
+            finally:
+                for k, v in old.items():
+                    apply(k, v)
+
+        return restoring()
 
     @contextlib.contextmanager
     def ctx(self, **kwargs):

@@ -114,11 +114,65 @@ ihfft = _complex_transform("ihfft", real_in=True, real_out=False)
 
 
 def fft_wrap(fft_func, kind: str | None = None, dtype=None):
-    """reference dask/array/fft.py:118 fft_wrap — wrap any
-    numpy-fft-shaped callable as an in-row transform."""
+    """reference dask/array/fft.py:118 fft_wrap — wrap ANY
+    numpy-fft-shaped callable (scipy.fft.*, a custom transform) as an
+    in-row transform. The callable itself ships to the executors;
+    only the re/im framing is shared with the named transforms."""
+    import numpy as np
+    import pandas as pd
+
     name = kind or getattr(fft_func, "__name__", "fft")
     real_out = name in ("irfft", "hfft")
-    return _complex_transform(name, real_in=True, real_out=real_out)
+
+    def run_transform(x, re: str = "re", im: str = "im",
+                      n: int | None = None):
+        if hasattr(x, "_col"):
+            sdf, idc, col = x._sdf, x._id, x._col
+            if idc is None:
+                raise ValueError(f"{name} requires id_col (row identity)")
+        else:
+            sdf = x._sdf
+            idc = [c for c in sdf.columns if c not in (re, im)][0]
+            col = None
+        id_type = dict(sdf.dtypes)[idc]
+
+        def run(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                if col is not None:
+                    X = np.array(pdf[col].tolist(), dtype="float64")
+                else:
+                    X = (
+                        np.array(pdf[re].tolist(), dtype="float64")
+                        + 1j * np.array(pdf[im].tolist(), dtype="float64")
+                    )
+                C = (fft_func(X, n=n, axis=1) if n is not None
+                     else fft_func(X, axis=1))
+                C = np.asarray(C)
+                if real_out or not np.iscomplexobj(C):
+                    yield pd.DataFrame({idc: pdf[idc],
+                                        "values": list(C.real)})
+                else:
+                    yield pd.DataFrame({
+                        idc: pdf[idc],
+                        "re": list(np.ascontiguousarray(C.real)),
+                        "im": list(np.ascontiguousarray(C.imag)),
+                    })
+
+        # probe the output kind on a tiny input so the schema is fixed
+        pout = np.asarray(fft_func(np.zeros((1, 4)), axis=1))
+        complex_out = np.iscomplexobj(pout) and not real_out
+        schema = (
+            f"{idc} {id_type}, re array<double>, im array<double>"
+            if complex_out
+            else f"{idc} {id_type}, values array<double>"
+        )
+        src = sdf if col is None else sdf.select(idc, col)
+        return DaskFrame(src.mapInPandas(run, schema))
+
+    run_transform.__name__ = name
+    return run_transform
 
 
 def fftfreq(n: int, d: float = 1.0, npartitions: int | None = None):

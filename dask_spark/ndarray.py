@@ -909,13 +909,18 @@ class NDArray:
         return self.copy()
 
     def conj(self) -> "NDArray":
+        # numpy/dask: conj is a METHOD, real/imag are PROPERTIES
         return self._unary(lambda x: x + F.lit(0.0))
 
+    @property
     def real(self) -> "NDArray":
         return self.copy()
 
+    @property
     def imag(self) -> "NDArray":
-        return self._unary(lambda x: F.when(x.isNull(), x).otherwise(F.lit(0.0)))
+        return self._unary(
+            lambda x: F.when(x.isNull(), x).otherwise(F.lit(0.0))
+        )
 
     def atleast_nd(self, n: int) -> "NDArray":
         out = self

@@ -250,6 +250,8 @@ def take(a, indices: Sequence[int], axis: int = 0):
     numpy ``take`` at plan time)."""
     np = _np()
     if _is_nd(a):
+        if axis < 0:  # normalize: ndim includes the row axis
+            axis = a.ndim + axis
         if axis == 0:
             return _take_rows(a, indices)
         t = np.take(a._index_tensor(), np.asarray(indices), axis=axis - 1)
@@ -417,14 +419,21 @@ def moveaxis(a, source: int, destination: int):
     return a.transpose(order)
 
 
-def rollaxis(a, axis: int, start: int = 0):
-    """np.rollaxis (legacy numpy) — lowered to moveaxis semantics."""
+def rollaxis(a, axis: int, start: int = 1):
+    """np.rollaxis (legacy numpy) — lowered to moveaxis semantics
+    over the INNER axes. numpy's default start=0 would move the axis
+    to the distributed row position, which no structural op can do —
+    the default here is start=1 (front of the inner axes) and
+    start=0 raises instead of silently permuting the wrong axis."""
     _need_nd(a, "rollaxis")
-    if axis == 0:
-        raise ValueError("cannot roll the distributed row axis")
+    if axis == 0 or start == 0:
+        raise ValueError(
+            "cannot roll through the distributed row axis (position 0); "
+            "inner positions start at 1"
+        )
     m = len(a.inner_shape)
     ax = axis - 1
-    st = start - 1 if start > 0 else 0
+    st = start - 1
     order = list(range(m))
     order.remove(ax)
     if st > ax:
@@ -699,6 +708,7 @@ def fromfunction(func, shape: Sequence[int], npartitions: int | None = None):
 
     np = _np()
     shape = tuple(int(s) for s in shape)
+    one_d = len(shape) == 1  # np.fromfunction(f, (n,)) calls f(i) only
     inner = shape[1:] or (1,)
     inds = np.indices(inner).astype("float64")
     spark = get_spark()
@@ -712,8 +722,9 @@ def fromfunction(func, shape: Sequence[int], npartitions: int | None = None):
             ids = pdf["id"].to_numpy(dtype="float64")
             lead = ids.reshape((-1,) + (1,) * len(inner))
             args = [np.broadcast_to(lead, (len(ids), *inner))]
-            args += [np.broadcast_to(ix[None], (len(ids), *inner))
-                     for ix in inds]
+            if not one_d:
+                args += [np.broadcast_to(ix[None], (len(ids), *inner))
+                         for ix in inds]
             out = np.asarray(func(*args), dtype="float64")
             yield pd.DataFrame({
                 "row_id": pdf["id"],
@@ -1040,6 +1051,12 @@ def gradient(a, axis: int):
         v = v._materialize()
         col = v._col
     elif _is_arr(a):
+        if axis not in (1, -1):
+            raise ValueError(
+                "DArray gradient is in-row (axis 1); for the "
+                "across-rows gradient convert to NDArray "
+                "(from_darray) and use axis 0's map_overlap stencil"
+            )
         row = a._sdf.select(F.size(F.col(a._col)).alias("d")).first()
         d = int(row["d"]) if row else 0
         col = a._col
@@ -1268,8 +1285,13 @@ def to_npy_stack(dirname: str, x, axis: int = 0):
     if axis != 0:
         raise ValueError("npy stacks are partitioned along axis 0")
     m = x._materialize() if _is_nd(x) else x
-    inner = m.inner_shape if _is_nd(x) else None
     col = m._col
+    if _is_nd(x):
+        inner = m.inner_shape
+    else:  # DArray: record the vector width so the read side can
+        # restore (rows, d) instead of guessing (rows, 1)
+        row = m._sdf.select(F.size(F.col(col)).alias("d")).first()
+        inner = (int(row["d"]),) if row else (1,)
     os.makedirs(dirname, exist_ok=True)
 
     def run(batches):
@@ -1284,22 +1306,23 @@ def to_npy_stack(dirname: str, x, axis: int = 0):
                 ))
         if not chunks:
             return
-        arr = np.concatenate(chunks)
-        if inner is not None:
-            arr = arr.reshape(len(arr), *inner)
+        arr = np.concatenate(chunks).reshape(-1, *inner)
         path = os.path.join(dirname, f"{pid}.npy")
         np.save(path, arr)
         yield pd.DataFrame({"file": [path], "rows": [len(arr)]})
 
+    # numeric partition order: a lexicographic sort would interleave
+    # '10.npy' before '2.npy' and scramble row ids at 10+ partitions
     files = sorted(
-        (r["file"], r["rows"])
-        for r in m._sdf.select(col).mapInPandas(
-            run, "file string, rows long"
-        ).collect()
+        ((r["file"], r["rows"])
+         for r in m._sdf.select(col).mapInPandas(
+             run, "file string, rows long"
+         ).collect()),
+        key=lambda fr: int(os.path.splitext(os.path.basename(fr[0]))[0]),
     )
     with open(os.path.join(dirname, "meta.json"), "w") as fh:
         json.dump({
-            "inner_shape": list(inner) if inner else None,
+            "inner_shape": list(inner),
             "files": [f for f, _ in files],
             "rows": [int(r) for _, r in files],
         }, fh)

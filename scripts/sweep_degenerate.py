@@ -32,7 +32,7 @@ EXPECTED_VALUEERROR = {
     "arr_cholesky", "arr_tsqr",
     # round-6 additions, same contract family:
     "arr_lu", "arr_solve_triangular", "arr_svd_compressed",
-    "corpus_cluster", "dedup_semantic_cells",
+    "corpus_cluster", "dedup_semantic_cells", "ann_ivf_checked",
 }
 
 

@@ -733,7 +733,9 @@ def test_array_method_tail(spark):
     assert nd.partitions[0].compute().shape[1:] == (2, 2)
     assert np.array_equal(nd.copy().compute(), nd.compute())
     assert np.array_equal(nd.conj().compute(), nd.compute())
-    assert (nd.imag().compute() == 0).all()
+    # real/imag are PROPERTIES like numpy/dask (conj stays a method)
+    assert np.array_equal(nd.real.compute(), nd.compute())
+    assert (nd.imag.compute() == 0).all()
     assert nd.atleast_nd(4).inner_shape == (2, 2, 1)
     assert nd.reshape(4).argtopk(2).inner_shape == (2,)
     tr = sorted(r["trace"] for r in nd.trace()._sdf.collect())

@@ -455,3 +455,69 @@ def test_round6_review_fixes(spark):
     assert list(da.searchsorted([1.0, 5.0], [0.0, 2.0, 9.0])) == [0, 1, 2]
     rp = da.repeat(arr, 2, axis=1)._sdf.first()["vec"]
     assert rp == [0.0, 0.0, 3.0, 3.0, 0.0, 0.0, 7.0, 7.0]
+
+
+def test_review_round2_fixes(spark, nd):
+    """Second review pass: rollaxis start=0 guard, 1-D fromfunction,
+    take with negative axis, DArray gradient axis guard, fft_wrap
+    honoring its callable, config.set context restore."""
+    # rollaxis: start=0 (the numpy default, = roll to the distributed
+    # position) must raise, not silently permute inner axes
+    with pytest.raises(ValueError):
+        da.rollaxis(nd, 2, 0)
+    # 1-D fromfunction calls func with ONE argument
+    ff = da.fromfunction(lambda i: i * 3.0, (5,)).compute()
+    assert np.array_equal(ff.ravel(), np.arange(5.0) * 3)
+    # negative inner axis on take
+    got = da.take(nd, [1, 0], axis=-1).compute()
+    assert np.array_equal(got, np.take(REF3, [1, 0], axis=-1))
+    # DArray gradient ignores axis no more
+    f = ds.from_pandas(pd.DataFrame({"rid": [0], "vec": [[1.0, 2.0, 4.0]]}))
+    arr = da.DArray(f._sdf, "vec", "rid")
+    with pytest.raises(ValueError):
+        da.gradient(arr, 0)
+    # fft_wrap uses the callable it was given
+    import dask_spark.fft as dfft
+
+    calls = []
+
+    def my_fft(X, axis=1, n=None):
+        calls.append(len(X))
+        return np.fft.fft(X, axis=axis)
+
+    w = dfft.fft_wrap(my_fft, kind="fft")
+    out = w(arr)
+    rows = out._sdf.collect()
+    assert calls and len(rows) == 1
+    C = np.array(rows[0]["re"]) + 1j * np.array(rows[0]["im"])
+    assert np.allclose(C, np.fft.fft([1.0, 2.0, 4.0]))
+    # config.set as a context manager restores on exit
+    import dask_spark as _ds
+
+    _ds.config.set({"review.key": 1})
+    with _ds.config.set({"review.key": 2}):
+        assert _ds.config.get("review.key") == 2
+    assert _ds.config.get("review.key") == 1
+
+
+def test_npy_stack_darray_and_many_partitions(spark, tmp_path):
+    """Review fixes: DArray stacks record the vector width, and
+    partition files sort numerically (12 partitions would interleave
+    lexicographically)."""
+    import dask_spark.routines as R
+
+    ref = np.arange(48, dtype="float64").reshape(24, 2)
+    arr = da.DArray(
+        ds.from_pandas(pd.DataFrame({
+            "rid": range(24), "vec": [list(r) for r in ref],
+        }), npartitions=12)._sdf, "vec", "rid",
+    )
+    d = str(tmp_path / "dstack")
+    R.to_npy_stack(d, arr)
+    back = R.from_npy_stack(d)
+    got = back.compute().reshape(-1, 2)
+    assert got.shape == (24, 2)
+    assert sorted(map(tuple, got.tolist())) == sorted(map(tuple, ref.tolist()))
+    # row ids are unique and dense after the numeric-sorted reload
+    ids = sorted(r["row_id"] for r in back._sdf.select("row_id").collect())
+    assert ids == list(range(24))
