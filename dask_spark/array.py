@@ -1715,3 +1715,10 @@ def array_expr_enabled() -> bool:
     expression backend toggle; this engine always plans through
     Catalyst expressions, so it is always-on by construction."""
     return True
+
+
+# numpy interop (reference dask Array.__array_ufunc__): np.sin(arr)
+# routes to the JVM ufunc twin
+from dask_spark.ufunc import array_ufunc_dispatch as _array_ufunc  # noqa: E402
+
+DArray.__array_ufunc__ = _array_ufunc

@@ -2485,3 +2485,10 @@ def concat(frames: Sequence[DaskFrame], axis: int = 0,
             out = sdf if out is None else out.join(sdf, on=on, how=how)
         return DaskFrame(out)
     raise ValueError(f"axis must be 0 or 1, got {axis}")
+
+
+# numpy interop: np.sin(series) routes to the JVM ufunc twin
+# (reference: dask collections' __array_ufunc__)
+from dask_spark.ufunc import array_ufunc_dispatch as _array_ufunc  # noqa: E402
+
+Series.__array_ufunc__ = _array_ufunc

@@ -1517,3 +1517,9 @@ def apply_gufunc(func, signature: str, *args, output_sizes=None,
         for c, shp in zip(out_cols, out_shapes)
     )
     return outs[0] if n_out == 1 else outs
+
+
+# numpy interop (reference dask/array/core.py Array.__array_ufunc__)
+from dask_spark.ufunc import array_ufunc_dispatch as _array_ufunc  # noqa: E402
+
+NDArray.__array_ufunc__ = _array_ufunc

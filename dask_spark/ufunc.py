@@ -421,3 +421,22 @@ def frompyfunc(fn, nin: int = 1, nout: int = 1):
 
 
 __all__ += ["modf", "frexp", "divmod", "nextafter", "spacing", "frompyfunc"]
+
+
+def array_ufunc_dispatch(self, ufunc, method, *inputs, **kwargs):
+    """``__array_ufunc__`` body shared by Series/DArray/NDArray
+    (reference: dask collections implement __array_ufunc__ so
+    ``np.sin(x)`` builds the lazy graph instead of materializing —
+    dask/array/core.py Array.__array_ufunc__). numpy calls this when
+    any operand is one of our collections; we route to the
+    Column-builder twin of the same name. Unsupported ufuncs/methods
+    return NotImplemented so numpy raises its standard TypeError."""
+    if method != "__call__" or kwargs.get("out") is not None:
+        return NotImplemented
+    fn = globals().get(ufunc.__name__)
+    if fn is None or not callable(fn):
+        return NotImplemented
+    try:
+        return fn(*inputs)
+    except TypeError:
+        return NotImplemented

@@ -270,3 +270,26 @@ def test_scalar_fallthrough():
     assert da.sin(0.5) == np.sin(0.5)
     assert da.hypot(3.0, 4.0) == 5.0
     assert uf.floor_divide(7.0, 2.0) == 3.0
+
+
+def test_numpy_ufunc_interop(spark):
+    """np.<ufunc>(collection) dispatches through __array_ufunc__ to
+    the JVM twin (reference: dask collections implement
+    __array_ufunc__ so numpy calls stay lazy)."""
+    f = ds.from_pandas(pd.DataFrame({"x": [0.5, -1.0]}))
+    s = np.sin(f.x)
+    assert np.allclose(_series_vals(s), np.sin([0.5, -1.0]))
+    h = np.hypot(f.x, 2.0)
+    assert np.allclose(_series_vals(h), np.hypot([0.5, -1.0], 2.0))
+    r = np.add(3.0, f.x)  # reflected operand order
+    assert np.allclose(_series_vals(r), [3.5, 2.0])
+    arr = _darray(spark, BASE)
+    assert np.allclose(_darray_vals(np.sqrt(np.abs(arr)))[0], np.sqrt(np.abs(BASE)))
+    nd = ds.NDArray.from_vectors(
+        ds.from_pandas(pd.DataFrame({"rid": [0], "vec": [[1.0, 4.0]]})),
+        "vec", 2, "rid",
+    )
+    assert np.allclose(np.exp(nd).compute().ravel(), np.exp([1.0, 4.0]))
+    # unsupported method -> numpy's standard error, not a crash
+    with pytest.raises(TypeError):
+        np.add.reduce(f.x)
