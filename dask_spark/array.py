@@ -1722,3 +1722,12 @@ def array_expr_enabled() -> bool:
 from dask_spark.ufunc import array_ufunc_dispatch as _array_ufunc  # noqa: E402
 
 DArray.__array_ufunc__ = _array_ufunc
+
+
+def _array_function(self, func, types, args, kwargs):
+    from dask_spark.routines import array_function_dispatch
+
+    return array_function_dispatch(self, func, types, args, kwargs)
+
+
+DArray.__array_function__ = _array_function

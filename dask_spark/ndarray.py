@@ -1523,3 +1523,12 @@ def apply_gufunc(func, signature: str, *args, output_sizes=None,
 from dask_spark.ufunc import array_ufunc_dispatch as _array_ufunc  # noqa: E402
 
 NDArray.__array_ufunc__ = _array_ufunc
+
+
+def _array_function(self, func, types, args, kwargs):
+    from dask_spark.routines import array_function_dispatch
+
+    return array_function_dispatch(self, func, types, args, kwargs)
+
+
+NDArray.__array_function__ = _array_function

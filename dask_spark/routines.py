@@ -1434,3 +1434,30 @@ __all__ += [
     "store", "to_npy_stack", "from_npy_stack", "to_zarr", "from_zarr",
     "to_tiledb", "from_tiledb", "to_hdf5",
 ]
+
+
+def array_function_dispatch(self, func, types, args, kwargs):
+    """``__array_function__`` body shared by the collections
+    (reference: dask Array.__array_function__ — numpy routines like
+    ``np.where``/``np.take``/``np.concatenate`` route to the lazy
+    twins instead of materializing). Resolution order: this module's
+    routines, then the ufunc family, then the dask_spark.array
+    namespace (stack wrappers, creation twins). Unknown names return
+    NotImplemented for numpy's standard TypeError."""
+    name = getattr(func, "__name__", None)
+    if not name:
+        return NotImplemented
+    target = globals().get(name)
+    if target is None:
+        import dask_spark.array as _da
+
+        target = getattr(_da, name, None)
+    if target is None or not callable(target):
+        return NotImplemented
+    try:
+        return target(*args, **kwargs)
+    except TypeError:
+        return NotImplemented
+
+
+__all__ += ["array_function_dispatch"]

@@ -521,3 +521,23 @@ def test_npy_stack_darray_and_many_partitions(spark, tmp_path):
     # row ids are unique and dense after the numeric-sorted reload
     ids = sorted(r["row_id"] for r in back._sdf.select("row_id").collect())
     assert ids == list(range(24))
+
+
+def test_numpy_function_interop(spark, nd):
+    """np.<routine>(collection) dispatches through
+    __array_function__ to the lazy twins (reference dask
+    Array.__array_function__)."""
+    assert np.array_equal(
+        np.take(nd, [2, 1], axis=2).compute(),
+        np.take(REF3, [2, 1], axis=2),
+    )
+    assert np.array_equal(
+        np.moveaxis(nd, 1, 2).compute(), np.moveaxis(REF3, 1, 2)
+    )
+    assert np.array_equal(
+        np.rot90(nd, 1, axes=(1, 2)).compute(),
+        np.rot90(REF3, 1, axes=(1, 2)),
+    )
+    f = ds.from_pandas(pd.DataFrame({"rid": [0], "vec": [[3.0, 1.0, 4.0]]}))
+    arr = da.DArray(f._sdf, "vec", "rid")
+    assert np.take(arr, [2, 0], axis=1)._sdf.first()["vec"] == [4.0, 3.0]
