@@ -1731,3 +1731,95 @@ def _array_function(self, func, types, args, kwargs):
 
 
 DArray.__array_function__ = _array_function
+
+
+# ---- module-level method twins (reference dask/array/__init__.py:490-
+# 560 re-exports every reduction/structural op as a function, so
+# ``da.sum(x)`` and ``x.sum()`` build the same graph; here both build
+# the same Catalyst plan). The twin resolves the method on the
+# collection it is handed — DArray (2-D vector world) and NDArray each
+# carry the subset that makes sense for their layout, and a missing
+# method raises a typed error instead of numpy-coercing the input. ----
+
+def _method_twin(name: str):
+    def twin(a, *args, **kwargs):
+        f = getattr(a, name, None)
+        if f is None or not callable(f):
+            raise TypeError(
+                f"dask_spark.array.{name}: {type(a).__name__} has no "
+                f"{name}; see the DArray/NDArray split in SURVEY §2.9"
+            )
+        return f(*args, **kwargs)
+
+    twin.__name__ = name
+    twin.__qualname__ = name
+    twin.__doc__ = (
+        f"Module-level twin of the ``{name}`` collection method "
+        f"(reference dask/array/__init__.py re-export)."
+    )
+    return twin
+
+
+_TWIN_NAMES = (
+    "sum", "mean", "max", "min", "prod", "std", "var", "all", "any",
+    "argmax", "argmin", "cumsum", "cumprod", "transpose", "reshape",
+    "ravel", "squeeze", "swapaxes", "roll", "flip", "pad", "tril",
+    "triu", "rechunk", "map_blocks", "map_overlap", "topk", "median",
+    "percentile", "dot", "matmul", "tensordot", "unique", "diagonal",
+    "expand_dims", "diff", "isin", "round", "ptp", "average", "cov",
+    "corrcoef", "nansum", "nanmean",
+)
+
+
+def ndim(a) -> int:
+    """reference dask.array ndim — shape-only probe, no job."""
+    if hasattr(a, "ndim"):
+        return a.ndim
+    import numpy as np
+
+    return np.ndim(a)
+
+
+def shape(a):
+    if hasattr(a, "shape"):
+        return a.shape
+    import numpy as np
+
+    return np.shape(a)
+
+
+# dask.config.get("array.query-planning") toggle twin: this engine
+# always plans through Catalyst expressions, so the flag is pinned on.
+ARRAY_EXPR_ENABLED = True
+
+
+def __getattr__(name: str):
+    """Module-level twins served lazily (reference dask/array/
+    __init__.py:490-560 re-exports every reduction/structural op as a
+    function, so ``da.sum(x)`` and ``x.sum()`` build the same plan).
+    Served through ``__getattr__`` rather than module globals so the
+    twins never shadow the builtins (``sum``/``any``/``max``/…) that
+    this module's own code uses."""
+    if name in _TWIN_NAMES:
+        return _method_twin(name)
+    if name in ("fft", "linalg", "ma", "random"):
+        import importlib
+
+        return importlib.import_module(f"dask_spark.{name}")
+    if name == "bool":  # dask exports numpy's scalar under the py name
+        from numpy import bool_
+
+        return bool_
+    if name == "compute":
+        from dask_spark.delayed import compute as _compute
+
+        return _compute
+    raise AttributeError(f"module dask_spark.array has no attribute {name}")
+
+
+def __dir__():
+    return sorted(
+        set(globals())
+        | set(_TWIN_NAMES)
+        | {"fft", "linalg", "ma", "random", "bool", "compute"}
+    )

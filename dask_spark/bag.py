@@ -9,6 +9,7 @@ mapInPandas — dask's model, the slow path)."""
 
 from __future__ import annotations
 
+import builtins as _builtins
 from typing import Callable
 
 import pyspark.sql.functions as F
@@ -337,7 +338,7 @@ def _unpickle64(s: str):
 def _bag_unzip(self, n: int):
     """Bag of n-tuples → n Bags (reference: Bag.unzip) — each output
     plucks one position; the plans share the parent scan."""
-    return tuple(self.pluck(i) for i in range(n))
+    return tuple(self.pluck(i) for i in _builtins.range(n))
 
 
 def _bag_reduction(self, perpartition: Callable, aggregate: Callable):
@@ -428,7 +429,7 @@ def _bag_accumulate(self, binop: Callable,
     def totals(batches):
         items, pid = [], None
         for pdf in batches:
-            for p, x in zip(pdf["__p"], pdf[col]):
+            for p, x in _builtins.zip(pdf["__p"], pdf[col]):
                 pid = int(p)
                 items.append(x)
         if items:
@@ -455,7 +456,7 @@ def _bag_accumulate(self, binop: Callable,
         acc, started = None, False
         for pdf in batches:
             out = []
-            for p, x in zip(pdf["__p"], pdf[col]):
+            for p, x in _builtins.zip(pdf["__p"], pdf[col]):
                 if not started:
                     seed = seeds[int(p)]
                     started = True
@@ -588,7 +589,12 @@ def _bag_to_avro(self, path: str, **options):
     try:
         w.save(path)
     except Exception as e:
-        if "avro" in str(e).lower():
+        # only the actual missing-data-source markers — the user's
+        # own path may contain the substring "avro"
+        msg = str(e)
+        if ("DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "ClassNotFoundException" in msg):
             raise ImportError(
                 "to_avro needs the spark-avro package on the classpath "
                 "(--packages org.apache.spark:spark-avro_2.13:<version>)"
@@ -598,3 +604,116 @@ def _bag_to_avro(self, path: str, **options):
 
 
 Bag.to_avro = _bag_to_avro
+
+
+# ---- module-level twins (reference dask/bag/__init__.py __all__:
+# map/range/zip/concat/from_delayed/map_partitions/to_textfiles/
+# read_avro/assert_eq/compute — the full import-parity surface for
+# ``import dask_spark.bag as db``). -------------------------------------
+def concat(bags) -> "Bag":
+    """reference dask/bag/core.py concat — one bag holding every
+    element of the inputs, partition structure preserved (a unionAll,
+    no shuffle)."""
+    bags = list(bags)
+    if not bags:
+        raise ValueError("concat needs at least one bag")
+    col = bags[0]._col
+    out = bags[0]._sdf.select(F.col(col).alias("item"))
+    for b in bags[1:]:
+        out = out.union(b._sdf.select(F.col(b._col).alias("item")))
+    return Bag(out, "item")
+
+
+def map(fn, bag, *rest, **kwargs) -> "Bag":
+    """reference dask/bag/core.py bag_map — apply ``fn`` elementwise.
+    One bag maps directly; two bags zip positionally then starmap;
+    plain-python extra arguments broadcast via kwargs."""
+    if kwargs:
+        import functools
+
+        fn = functools.partial(fn, **kwargs)
+    if not rest:
+        return bag.map(fn)
+    if len(rest) == 1:
+        z = bag.zip(rest[0])
+        c = z._col
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame({c: [
+                    fn(s["left"], s["right"]) for s in pdf[c]
+                ]})
+
+        return Bag(z._sdf.mapInPandas(gen, schema=f"{c} string"), c)
+    raise NotImplementedError("map over >2 bags: zip then starmap")
+
+
+def range(n: int, npartitions: int | None = None) -> "Bag":
+    """reference dask/bag/core.py bag_range — 0..n-1. spark.range is
+    the planner-native path (no driver list, splittable)."""
+    from dask_spark.sources import _spark
+
+    sdf = _spark().range(int(n))
+    if npartitions:
+        sdf = sdf.repartitionByRange(npartitions, "id")
+    return Bag(sdf.select(F.col("id").alias("item")), "item")
+
+
+def zip(*bags) -> "Bag":
+    """reference dask/bag/core.py bag_zip — positional n-way zip.
+    Pairs delegate to Bag.zip; wider zips fold left with the same
+    (partition, scan-position) join key."""
+    if len(bags) < 2:
+        raise ValueError("zip needs at least two bags")
+    out = bags[0]
+    for b in bags[1:]:
+        out = out.zip(b)
+    return out
+
+
+def map_partitions(fn, bag, **kwargs) -> "Bag":
+    return bag.map_partitions(fn, **kwargs)
+
+
+def to_textfiles(bag, path: str, **kwargs):
+    return bag.to_textfiles(path, **kwargs)
+
+
+def from_delayed(values) -> "Bag":
+    """reference dask/bag/core.py from_delayed — one partition per
+    delayed list. The delayeds run driver-side (they are plain python
+    thunks); the result distributes via from_sequence with the same
+    partition boundaries."""
+    values = list(values)
+    parts = [v.compute() if hasattr(v, "compute") else list(v)
+             for v in values]
+    items = [x for p in parts for x in p]
+    return from_sequence(items, npartitions=max(len(parts), 1))
+
+
+def read_avro(path: str, **options) -> "Bag":
+    """reference dask/bag/avro.py read_avro — bag of record structs
+    over the external spark-avro reader (same absent-package gate as
+    sources.read_avro)."""
+    from dask_spark.sources import read_avro as _read_frame
+
+    f = _read_frame(path, **options)
+    sdf = f._sdf.select(F.struct(*f._sdf.columns).alias("item"))
+    return Bag(sdf, "item")
+
+
+def assert_eq(a, b, **kwargs) -> None:
+    """reference dask/bag/utils.py assert_eq — computed contents must
+    match; order-insensitive like the reference's sorted comparison."""
+    ca = a.compute() if hasattr(a, "compute") else list(a)
+    cb = b.compute() if hasattr(b, "compute") else list(b)
+    try:
+        sa, sb = sorted(ca), sorted(cb)
+    except TypeError:  # unorderable mixed items — compare as-is
+        sa, sb = ca, cb
+    assert sa == sb, f"bags differ: {sa[:5]!r}... != {sb[:5]!r}..."
+
+
+from dask_spark.delayed import compute  # noqa: E402,F401

@@ -206,3 +206,7 @@ def from_graph(*args, **kwargs):
         "from_graph consumes a dask task graph; this engine plans "
         "through Catalyst — use read_*/from_pandas/from_delayed"
     )
+
+
+# reference dask/dataframe/__init__.py exports the test helper too
+from dask_spark.testing import assert_eq  # noqa: E402,F401

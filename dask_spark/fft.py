@@ -30,9 +30,8 @@ def _complex_transform(np_name: str, real_in: bool, real_out: bool):
         import numpy as np
         import pandas as pd
 
-        if hasattr(x, "_col"):  # DArray: real input
-            if not real_in and np_name not in ("fft", "rfft"):
-                pass  # numpy accepts real input for any transform
+        if hasattr(x, "_col"):  # DArray: real input (numpy accepts
+            # real input for every transform, so no gate needed)
             sdf = x._sdf
             idc, col = x._id, x._col
             if idc is None:

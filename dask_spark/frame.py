@@ -1794,11 +1794,34 @@ class DaskFrame:
         return self._map_numeric(F.abs)
 
     def isin(self, values: Iterable) -> "DaskFrame":
-        """pandas df.isin — a boolean frame, every column tested
-        against the literal list (reference _collection.py isin)."""
+        """pandas df.isin — a boolean frame, every ATOMIC column
+        tested against the literal list; array/struct/map/binary
+        columns are False like pandas' non-comparable cells (an IN
+        over an array column is an AnalysisException, and frames
+        here routinely carry embedding/token columns)."""
         vals = list(values)
+        num = ("tinyint", "smallint", "int", "bigint", "float",
+               "double", "decimal")
+
+        def usable(t: str):
+            """Type-compatible literals only — pandas lets an int list
+            probe a string column (nothing matches); Spark's IN would
+            instead raise a malformed-cast error mid-job."""
+            if t.startswith(("array", "struct", "map", "binary")):
+                return []
+            if t.startswith(num):
+                return [v for v in vals
+                        if isinstance(v, (int, float)) and not
+                        isinstance(v, bool)]
+            if t == "string":
+                return [v for v in vals if isinstance(v, str)]
+            if t == "boolean":
+                return [v for v in vals if isinstance(v, bool)]
+            return vals
+
+        use = {c: usable(t) for c, t in self._sdf.dtypes}
         return DaskFrame(self._sdf.select(*[
-            (F.col(c).isin(*vals) if vals else F.lit(False)).alias(c)
+            (F.col(c).isin(*use[c]) if use[c] else F.lit(False)).alias(c)
             for c in self._sdf.columns
         ]))
 
@@ -1889,11 +1912,14 @@ class DaskFrame:
     @property
     def index(self) -> "Series":
         """The set_index column as a Series (reference FrameBase
-        .index); frames without an index raise like dask's default
-        RangeIndex would mislead here."""
+        .index); falls back to a column literally named 'index', else
+        raises TypeError — an AttributeError here would be swallowed
+        by __getattr__'s column fallback and lose the guidance."""
         idc = getattr(self, "_index_col", None)
         if idc is None:
-            raise AttributeError(
+            if "index" in self._sdf.columns:
+                return Series(self, F.col("index"), "index")
+            raise TypeError(
                 "no index column: call set_index(col) first (no "
                 "implicit RangeIndex in a distributed frame)"
             )
@@ -2492,3 +2518,12 @@ def concat(frames: Sequence[DaskFrame], axis: int = 0,
 from dask_spark.ufunc import array_ufunc_dispatch as _array_ufunc  # noqa: E402
 
 Series.__array_ufunc__ = _array_ufunc
+
+
+def _series_array_function(self, func, types, args, kwargs):
+    from dask_spark.routines import array_function_dispatch
+
+    return array_function_dispatch(self, func, types, args, kwargs)
+
+
+Series.__array_function__ = _series_array_function

@@ -24,7 +24,11 @@ from dask_spark.delayed import Delayed, delayed
 
 
 def _materialize(c):
-    """Persist + force one full pass; returns the persisted handle."""
+    """Persist + force one full pass; returns the persisted handle.
+    Collections without their own persist() (DArray/NDArray/Bag)
+    persist their underlying DataFrame in place — a driver-side
+    compute() here would collect the whole tensor and cache
+    nothing."""
     if hasattr(c, "persist"):
         p = c.persist()
         sdf = getattr(p, "_sdf", None)
@@ -33,7 +37,12 @@ def _materialize(c):
         elif hasattr(p, "compute"):
             p.compute()
         return p
-    if hasattr(c, "compute"):
+    sdf = getattr(c, "_sdf", None)
+    if sdf is not None:
+        sdf.persist()
+        sdf.count()
+        return c
+    if hasattr(c, "compute"):  # Delayed scalars
         c.compute()
     return c
 
@@ -82,8 +91,11 @@ def clone(*collections, omit=None, seed=None, assume_layers: bool = True):
             return c
         cls = type(c)
         fresh = sdf.select("*")
-        if hasattr(c, "inner_shape"):  # NDArray
-            return cls(fresh, c.inner_shape, c._col, c._id)
+        if hasattr(c, "chunks") and hasattr(c, "_ck"):  # ChunkedNDArray
+            return cls(fresh, c.inner_shape, c.chunks, c._col, c._id, c._ck)
+        if hasattr(c, "inner_shape"):  # NDArray: keep the pending perm
+            return cls(fresh, c.inner_shape, c._col, c._id,
+                       perm=getattr(c, "_perm", None))
         if hasattr(c, "_col"):  # DArray / Bag
             if hasattr(c, "_id"):
                 return cls(fresh, c._col, c._id)

@@ -850,21 +850,27 @@ class NDArray:
 
     @property
     def chunks(self):
-        """dask chunks tuple; row-chunk extents are unknown until
-        computed (dask prints nan there too)."""
-        return (
-            (float("nan"),) * self.npartitions,
-            *((s,) for s in self.inner_shape),
-        )
+        """dask chunks tuple; row-chunk extents are unknown (nan,
+        like dask) until compute_chunk_sizes() resolves them."""
+        rows = getattr(self, "_chunk_rows", None)
+        if rows is None:
+            rows = (float("nan"),) * self.npartitions
+        return (tuple(rows), *((s,) for s in self.inner_shape))
 
     @property
     def chunksize(self):
         return (float("nan"), *self.inner_shape)
 
     def compute_chunk_sizes(self) -> "NDArray":
-        """reference core.py compute_chunk_sizes — forces the count
-        job that resolves the unknown row extents."""
-        self._sdf.count()
+        """reference core.py compute_chunk_sizes — resolves the
+        unknown row extents: one per-partition count job whose result
+        is CACHED so ``.chunks`` reports concrete numbers afterwards
+        (dask's contract; discarding the count would leave NaN)."""
+        rows = (
+            self._sdf.groupBy(F.spark_partition_id().alias("__p"))
+            .count().orderBy("__p").collect()
+        )
+        self._chunk_rows = tuple(int(r["count"]) for r in rows) or (0,)
         return self
 
     @property
@@ -891,11 +897,39 @@ class NDArray:
 
     @property
     def vindex(self):
-        """Pointwise fancy indexing entry (reference Array.vindex) —
-        the same per-axis machinery as __getitem__."""
+        """POINTWISE fancy indexing (reference Array.vindex — dask's
+        vindex zips integer arrays coordinate-wise, unlike
+        __getitem__'s orthogonal outer product). Supported form: a
+        full slice on the rows axis + equal-length integer lists on
+        every inner axis — one driver-planned gather of the zipped
+        coordinates. Other forms raise rather than silently fall back
+        to outer-product semantics."""
+        np = _require_np()
+
+        def pick(key):
+            if not isinstance(key, tuple):
+                key = (key,)
+            if len(key) != self.ndim or not (
+                isinstance(key[0], slice) and key[0] == slice(None)
+            ):
+                raise NotImplementedError(
+                    "vindex needs [:, idx_list, ...] — a full rows "
+                    "slice plus integer lists for every inner axis"
+                )
+            coords = [np.asarray(k, dtype="int64") for k in key[1:]]
+            if any(c.ndim != 1 for c in coords) or len(
+                {len(c) for c in coords}
+            ) != 1:
+                raise NotImplementedError(
+                    "vindex inner selectors must be equal-length 1-D "
+                    "integer lists"
+                )
+            flat = np.ravel_multi_index(coords, self.inner_shape)
+            return self._gather(flat, (len(flat),))
+
         from dask_spark.utils import IndexCallable
 
-        return IndexCallable(lambda key: self[key])
+        return IndexCallable(pick)
 
     def copy(self) -> "NDArray":
         return NDArray(self._sdf, self.inner_shape, self._col, self._id,

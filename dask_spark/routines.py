@@ -57,6 +57,8 @@ def where(cond, x=None, y=None):
     ``nonzero(cond)``, like numpy."""
     if x is None and y is None:
         return nonzero(cond)
+    if x is None or y is None:  # numpy: both or neither
+        raise ValueError("where: either both or neither of x and y")
     if _is_series(cond):
         xe = x._expr if _is_series(x) else F.lit(x)
         ye = y._expr if _is_series(y) else F.lit(y)

@@ -326,7 +326,12 @@ def read_avro(path: str, **options) -> DaskFrame:
     try:
         return DaskFrame(r.load(path))
     except Exception as e:  # AnalysisException: failed to find source
-        if "avro" in str(e).lower():
+        # match the actual missing-data-source markers only — a user's
+        # own path may contain the substring "avro"
+        msg = str(e)
+        if ("DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "ClassNotFoundException" in msg):
             raise ImportError(
                 "read_avro needs the spark-avro package "
                 "(--packages org.apache.spark:spark-avro_2.13:<spark version>)"

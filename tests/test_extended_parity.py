@@ -749,8 +749,8 @@ def test_frame_method_tail_round6(spark):
     ) == [1, 2, 3]
     import pytest as _pt
 
-    with _pt.raises(AttributeError):
-        f.index
+    with _pt.raises(TypeError):  # AttributeError would be swallowed by
+        f.index                  # __getattr__'s column fallback
 
     w = f.where(da.greater(f.a, 0), 0.0).compute().sort_values("a")
     assert list(w["b"]) == [0.0, 2.0, -1.0] or sorted(w["b"]) == [-1.0, 0.0, 2.0]

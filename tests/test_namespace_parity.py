@@ -1,0 +1,132 @@
+"""Namespace-parity audit: every public name the reference's package
+``__init__`` files import/define must resolve on the corresponding
+``dask_spark`` module (reference: dask/__init__.py, dask/array/
+__init__.py, dask/dataframe/__init__.py, dask/bag/__init__.py). The
+reference tree is parsed with ``ast`` (it is not importable here — its
+runtime deps aren't in the container), so the audit is source-level
+and cheap; it is the regression gate for the module surface a user's
+``import dask.array as da`` port touches."""
+
+from __future__ import annotations
+
+import ast
+import importlib
+import os
+
+import pytest
+
+REF = "/root/reference/dask"
+
+# Reference-internal helpers its __init__ defines for its own plumbing
+# (error factories, config probes, exception locals) — not public API.
+_NOISE = {
+    "msg",  # ImportError reraise local
+    "da",  # intra-init alias
+    "inner_func", "raise_not_implemented_error",  # stub factory
+    "use_array_expr", "use_dask_expr",  # config locals
+    "annotations",  # __future__ import
+}
+
+
+def _exported(initfile: str) -> set[str]:
+    tree = ast.parse(open(initfile).read())
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            for a in node.names:
+                names.add(a.asname or a.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.add(t.id)
+        elif isinstance(node, ast.AnnAssign):
+            if isinstance(node.target, ast.Name):
+                names.add(node.target.id)
+        elif isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+            names.add(node.name)
+    return {
+        n for n in names
+        if not n.startswith("_") and n != "*" and n not in _NOISE
+    }
+
+
+@pytest.mark.parametrize("ref_init,ours", [
+    (os.path.join(REF, "__init__.py"), "dask_spark"),
+    (os.path.join(REF, "array", "__init__.py"), "dask_spark.array"),
+    (os.path.join(REF, "dataframe", "__init__.py"), "dask_spark.dataframe"),
+    (os.path.join(REF, "bag", "__init__.py"), "dask_spark.bag"),
+])
+def test_namespace_parity(ref_init, ours):
+    if not os.path.exists(ref_init):
+        pytest.skip(f"reference init missing: {ref_init}")
+    want = _exported(ref_init)
+    mod = importlib.import_module(ours)
+    missing = sorted(
+        n for n in want
+        if not hasattr(mod, n)  # hasattr honors module __getattr__
+    )
+    assert not missing, (
+        f"{ours} is missing {len(missing)} reference public names: "
+        f"{missing}"
+    )
+
+
+def test_array_module_twins_build_plans(spark):
+    """The module-level method twins are real plan builders, not bare
+    attributes: da.sum(x) == x.sum() on the same frame."""
+    import pandas as pd
+
+    import dask_spark as ds
+    import dask_spark.array as da
+
+    f = ds.from_pandas(pd.DataFrame({
+        "rid": [0, 1], "vec": [[1.0, 2.0], [3.0, 4.0]],
+    }))
+    x = da.DArray(f._sdf, "vec", "rid")
+    got, want = da.sum(x, axis=0), x.sum(axis=0)
+    got = got.compute() if hasattr(got, "compute") else got
+    want = want.compute() if hasattr(want, "compute") else want
+    import numpy as np
+
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    nd = ds.NDArray.from_vectors(f, "vec", 2, "rid")
+    t = da.transpose(nd)  # reverse of a 1-axis inner = identity
+    assert t.inner_shape == (2,)
+
+    with pytest.raises(TypeError):
+        da.tensordot(x, x, axes=1)  # DArray has no tensordot method
+
+
+def test_bag_module_functions(spark):
+    """The bag module twins do real work: range/zip/concat/map/
+    from_delayed/assert_eq (reference dask/bag/__init__.py exports)."""
+    import dask_spark.bag as db
+
+    r = db.range(6, npartitions=2)
+    assert sorted(r.compute()) == [0, 1, 2, 3, 4, 5]
+
+    a = db.from_sequence([1, 2, 3], npartitions=1)
+    b = db.from_sequence([10, 20, 30], npartitions=1)
+    z = db.zip(a, b).compute()
+    assert sorted((t["left"], t["right"]) for t in z) == [
+        (1, 10), (2, 20), (3, 30)]
+
+    c = db.concat([a, b])
+    assert sorted(c.compute()) == [1, 2, 3, 10, 20, 30]
+
+    m = db.map(lambda l, r2: str(l + r2), a, b)
+    assert sorted(m.compute()) == ["11", "22", "33"]
+
+    from dask_spark.delayed import delayed
+    fd = db.from_delayed([delayed(lambda: [1, 2])(),
+                          delayed(lambda: [3])()])
+    assert sorted(fd.compute()) == [1, 2, 3]
+
+    db.assert_eq(a, [3, 2, 1])
+    with pytest.raises(AssertionError):
+        db.assert_eq(a, [1, 2])
+
+    import pytest as _pt
+    with _pt.raises(ImportError):
+        db.read_avro("/tmp/nonexistent-avro-dir")

@@ -541,3 +541,64 @@ def test_numpy_function_interop(spark, nd):
     f = ds.from_pandas(pd.DataFrame({"rid": [0], "vec": [[3.0, 1.0, 4.0]]}))
     arr = da.DArray(f._sdf, "vec", "rid")
     assert np.take(arr, [2, 0], axis=1)._sdf.first()["vec"] == [4.0, 3.0]
+
+
+def test_numpy_function_interop_series(spark):
+    """Series also speaks __array_function__: np.where and
+    np.searchsorted route to the Column twins."""
+    f = ds.from_pandas(pd.DataFrame({"x": [1.0, -2.0, 5.0]}))
+    w = np.where(da.greater(f.x, 0), f.x, -1.0)
+    assert _series_vals(w) == [1.0, -1.0, 5.0]
+    ss = np.searchsorted([0.0, 2.0], f.x)
+    assert _series_vals(ss) == [1.0, 0.0, 2.0]
+
+
+def test_review_round3_fixes(spark, nd):
+    """Second review pass: clone keeps pending perms and handles the
+    chunked layout, vindex is pointwise, frame.isin skips
+    non-atomic columns, where with one branch raises, chunk sizes
+    resolve, frame.index guidance survives __getattr__."""
+    from dask_spark import graph_manipulation as gm
+    from dask_spark.chunked import ChunkedNDArray
+
+    # clone of an array with a PENDING transpose must keep the perm
+    t = nd.transpose((1, 0))  # inner-axes swap (axis 0 stays rows)
+    c = gm.clone(t)
+    assert np.array_equal(c.compute(), t.compute())
+    assert np.array_equal(t.compute(), REF3.transpose(0, 2, 1))
+    # clone of the chunked layout round-trips
+    ch = ChunkedNDArray.from_vectors(
+        ds.from_pandas(pd.DataFrame({
+            "rid": [0], "vec": [list(range(8))],
+        })), "vec", (4, 2), 2, "rid",
+    )
+    cc = gm.clone(ch)
+    assert np.array_equal(cc.compute(), ch.compute())
+
+    # vindex: pointwise, not outer-product
+    got = nd.vindex[:, [0, 1], [0, 1]].compute()
+    exp = REF3[:, [0, 1], [0, 1]]
+    assert np.array_equal(got, exp), (got.shape, exp.shape)
+    with pytest.raises(NotImplementedError):
+        nd.vindex[[0], [0], [0]]
+
+    # frame.isin with an array column: False, not AnalysisException
+    f = ds.from_pandas(pd.DataFrame({
+        "id": [1, 2], "toks": [["a", "b"], ["c"]],
+    }))
+    iv = f.isin([1, "a"]).compute()
+    assert list(iv["toks"]) == [False, False]
+    assert sorted(iv["id"]) == [False, True]
+
+    with pytest.raises(ValueError):
+        da.where(da.greater(f.id, 0), 5)
+
+    # chunk sizes resolve after compute_chunk_sizes
+    r = nd.compute_chunk_sizes()
+    assert sum(r.chunks[0]) == 2 and not any(
+        x != x for x in r.chunks[0]  # no NaN
+    )
+
+    # frame.index without set_index: TypeError with guidance
+    with pytest.raises(TypeError):
+        f.index
