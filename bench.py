@@ -49,6 +49,9 @@ HEADLINE = [
     "ufunc_pipeline",     # composed module-level ufuncs: one projection
     "tfidf_topk",         # TF-IDF retrieval: stats agg + map scoring
     "arr_nd_chunked_transpose",  # chunked-inner rechunk shuffle
+    "text_span_dedup",    # CCNet span scrub: count + anti-join + rebuild
+    "contamination_bloom",  # constant-size filter, exchange-free probe
+    "embed_quantize",     # int8 absmax quantization: map-only HOFs
 ]
 
 

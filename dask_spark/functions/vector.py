@@ -186,3 +186,29 @@ def std_vector(frame, vec_col: str = "embedding"):
         F.array_sort(F.collect_list(F.struct("dim", "sd"))).alias("__s")
     ).select(F.transform("__s", lambda s: s["sd"]).alias("std_vec"))
     return DaskFrame(out)
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 quantization of an embedding — the 4× memory
+    compression an ANN index applies before sharding (public recipe:
+    per-vector absmax scaling, q_i = round(v_i/scale), dequant =
+    q_i·scale). Returns struct(scale double, q array<int>); pure
+    higher-order Column expressions, map-only, zero Python.
+
+    Engine-portable by construction: the float→double cast happens
+    BEFORE any arithmetic (float32 ops would diverge from a
+    double-computing oracle), rounding is floor(x+0.5) — identical on
+    Spark and DuckDB, no banker's-rounding ambiguity — and |v_i/scale|
+    ≤ 127 by definition of absmax so no clamp is needed. Zero vectors
+    quantize with scale=1.0 (all-zero codes) instead of dividing by
+    zero."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Inverse of quantize_int8: struct(scale, q) → array<double>."""
+    return F.transform(qs["q"], lambda qi: qi.cast("double") * qs["scale"])

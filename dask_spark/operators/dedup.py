@@ -947,3 +947,170 @@ def semantic_dedup(frame, vec_col: str = "embedding", id_col: str = "vec_id",
         F.col("__drop_id").isNull().alias("keep"),
     )
     return DaskFrame(out)
+
+
+def span_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
+               span_tokens: int = 8, max_count: int = 1):
+    """CCNet-style duplicated-span removal (Wenzek et al. 2020's
+    paragraph dedup, re-shaped for span granularity): split every
+    document into consecutive non-overlapping ``span_tokens``-token
+    spans, count each span corpus-wide, strip spans occurring more
+    than ``max_count`` times, and reassemble the surviving text in
+    original order. The boilerplate/duplicated-content scrub a
+    training pipeline runs before near-dup detection (no dask analog,
+    brief-mandated extension class).
+
+    Scale shape (100 TB): the span build is in-row (tokens never leave
+    their row); the exploded spans shuffle ONCE into a map-side-
+    combined ``groupBy(span).count()`` whose output is filtered to the
+    duplicated set — normally a tiny fraction of the corpus, so the
+    LEFT ANTI join back is broadcastable (AQE decides); the reassembly
+    is one groupBy(doc) of already-compact (pos, span) rows. A
+    hyper-duplicated span ("click here to subscribe" × 10⁹) is safe:
+    counting happens in the partial aggregate, never a window, so the
+    skewed key collapses map-side.
+
+    Returns (id, kept_text, n_spans, n_removed) — documents whose
+    every span was stripped stay in the output with empty text, so the
+    corpus row count is stable through the scrub."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    staged = _tokens_staged(sdf, text_col, id_col)
+    s = F.lit(int(span_tokens))
+    n_spans = F.ceil(F.size("__toks") / s).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * s + 1, s), " "),
+    )
+    docs = staged.select(
+        id_col,
+        F.when(F.size("__toks") == 0, F.array().cast("array<string>"))
+        .otherwise(spans_arr).alias("__spans"),
+    )
+    spans = docs.select(
+        id_col, F.posexplode("__spans").alias("__pos", "__span")
+    )
+    dup = (
+        spans.groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > int(max_count))
+        .select("__span")
+    )
+    kept = spans.join(dup, on="__span", how="left_anti")
+    ka = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__span"))),
+                lambda x: x["__span"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    out = (
+        docs.select(id_col, F.size("__spans").alias("n_spans"))
+        .join(ka, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            (F.col("n_spans") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+        )
+    )
+    return DaskFrame(out)
+
+
+def _bloom_position(gram, j: int, m_bits: int):
+    """Engine-portable bloom hash j: md5-60-bit of ``gram#j`` mod m.
+    DuckDB twin: ('0x'||substr(md5(g||'#j'),1,15))::BIGINT % m."""
+    from dask_spark.functions import md5_prefix60
+
+    return F.pmod(
+        md5_prefix60(F.concat(gram, F.lit(f"#{j}"))), F.lit(int(m_bits))
+    ).cast("int")
+
+
+def contamination_bloom(corpus, benchmark, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        m_bits: int = 4096, k: int = 3,
+                        threshold: float = 0.5):
+    """Bloom-filter decontamination: like ``contamination`` but the
+    benchmark gram set is compressed into a CONSTANT-SIZE bit array
+    before probing. ``contamination`` broadcasts the eval grams as a
+    hash relation — right when the eval suite is small; at the scale
+    where the blocklist itself is huge (every eval suite ever
+    published, a competitor-corpus blocklist), the broadcast grows
+    with it. The bloom filter bounds the shipped state at ``m_bits``
+    REGARDLESS of blocklist size, trading a bounded false-positive
+    rate (~(1-e^(-kn/m))^k, one-sided: no false negatives) for that
+    constant.
+
+    Scale shape (100 TB): the build is one distinct-positions job
+    whose driver collect is bounded by m_bits (a few KB, never by the
+    blocklist); the probe is ENTIRELY in-row — per-doc distinct grams
+    as an array, k bit-tests per gram against the literal bit words,
+    counted with one in-row filter — zero exchanges end to end, the
+    plan is scan → project. Compare: the exact path shuffles every
+    doc's grams through a groupBy(doc).
+
+    Returns (id, total_grams, hit_grams, contaminated); hit_grams
+    counts bloom-POSITIVE grams (superset of true hits). Docs with no
+    grams (empty text) are dropped, matching ``contamination``."""
+    from fractions import Fraction
+
+    from dask_spark.frame import DaskFrame
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    bench_sdf = benchmark._sdf if hasattr(benchmark, "_sdf") else benchmark
+    corpus_sdf = corpus._sdf if hasattr(corpus, "_sdf") else corpus
+
+    bench_grams = _word_ngrams(bench_sdf, text_col, id_col, ngram)
+    pos_rows = (
+        bench_grams.select(
+            F.explode(
+                F.array(*[
+                    _bloom_position(F.col("gram"), j, m_bits)
+                    for j in range(k)
+                ])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # bounded by m_bits — constant, never blocklist-sized
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement fold into signed 64-bit plan literals
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitset = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    def is_set(pos):
+        # F.get is 0-based and takes a Column index; the PySpark
+        # shiftright wrapper only takes a literal shift, so resolve
+        # the SQL function directly for the column-valued bit offset
+        word = F.get(bitset, (pos / 64).cast("int"))
+        return F.call_function(
+            "shiftright", word, pos % 64
+        ).bitwiseAND(F.lit(1)) == 1
+
+    def flagged(gram):
+        cond = is_set(_bloom_position(gram, 0, m_bits))
+        for j in range(1, k):
+            cond = cond & is_set(_bloom_position(gram, j, m_bits))
+        return cond
+
+    staged = _word_ngram_arrays(corpus_sdf, text_col, id_col, ngram)
+    per_doc = staged.filter(F.size("grams") > 0).select(
+        id_col,
+        F.size("grams").cast("bigint").alias("total_grams"),
+        F.size(F.filter(F.col("grams"), flagged)).cast("bigint")
+        .alias("hit_grams"),
+    )
+    contaminated = (
+        per_doc["hit_grams"] * F.lit(frac.denominator)
+        >= per_doc["total_grams"] * F.lit(frac.numerator)
+    )
+    return DaskFrame(per_doc.withColumn("contaminated", contaminated))

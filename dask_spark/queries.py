@@ -5020,6 +5020,197 @@ def ann_ivf_checked(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
 
 
+@q(
+    "text_span_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             [array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+              for i in range((len(toks) + 7) // 8)] AS spans
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(spans) AS span,
+             generate_subscripts(spans, 1) AS pos
+      FROM s
+    ), dup AS (
+      SELECT span FROM e GROUP BY span HAVING count(*) > 1
+    ), kept AS (
+      SELECT * FROM e WHERE span NOT IN (SELECT span FROM dup)
+    ), ka AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(ka.kept_text, '') AS kept_text,
+           len(s.spans)::BIGINT AS n_spans,
+           (len(s.spans) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed
+    FROM s LEFT JOIN ka USING (doc_id)
+    """,
+)
+def text_span_dedup(spark, sf_dir):
+    """CCNet-style duplicated-span scrub: 8-token non-overlapping
+    spans, any span occurring >1× corpus-wide is stripped from every
+    document, survivors reassemble in order. In-row span build, ONE
+    map-side-combined groupBy(span) count, anti-join against the
+    (small) duplicated set, one groupBy(doc) reassembly — the
+    boilerplate-removal pass of a training-corpus pipeline
+    (operators/dedup.span_dedup; scale notes there)."""
+    from dask_spark.operators.dedup import span_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return span_dedup(d, span_tokens=8, max_count=1).to_spark()
+
+
+@q(
+    "contamination_bloom",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> length(w) > 0) AS arr
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, concat_ws(' ', arr[j], arr[j + 1], arr[j + 2]) AS g
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS j
+            FROM t WHERE len(arr) >= 1)
+    ), bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 20),
+    pos AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(b.g || '#' || j::VARCHAR), 1, 15))::BIGINT % 4096
+          AS p
+      FROM bench b CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), dg AS (
+      SELECT DISTINCT doc_id, g FROM g2 WHERE doc_id >= 20
+    ), pr AS (
+      SELECT doc_id, g,
+        ('0x' || substr(md5(g || '#' || j::VARCHAR), 1, 15))::BIGINT % 4096
+          AS hp
+      FROM dg CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), fl AS (
+      SELECT pr.doc_id, pr.g, count(pos.p) = 3 AS flagged
+      FROM pr LEFT JOIN pos ON pos.p = pr.hp
+      GROUP BY pr.doc_id, pr.g
+    )
+    SELECT doc_id, count(*)::BIGINT AS total_grams,
+           sum(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS hit_grams,
+           (sum(CASE WHEN flagged THEN 1 ELSE 0 END) * 2 >= count(*))
+             AS contaminated
+    FROM fl GROUP BY doc_id
+    """,
+)
+def contamination_bloom_q(spark, sf_dir):
+    """Bloom-filter decontamination: the benchmark gram set (docs
+    0-19) compressed to a 4096-bit filter (k=3 md5-derived probes),
+    corpus docs probed ENTIRELY in-row — zero exchanges in the probe
+    plan, and the shipped state is bounded by m_bits no matter how
+    large the blocklist grows (operators/dedup.contamination_bloom;
+    the exact-broadcast twin is `contamination`). The oracle replays
+    the positions as a set-membership join — bit-for-bit the same
+    flags, INCLUDING the filter's false positives."""
+    from dask_spark.operators.dedup import contamination_bloom
+
+    d = load(spark, sf_dir, "documents")
+    bench = d[d.doc_id < 20]
+    corpus = d[d.doc_id >= 20]
+    return contamination_bloom(
+        corpus, bench, ngram=3, m_bits=4096, k=3, threshold=0.5
+    ).to_spark()
+
+
+@q(
+    "embed_quantize",
+    r"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+             END AS scale
+      FROM v
+    ), m AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5)) AS q,
+             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS d
+      FROM s
+    ), f AS (
+      SELECT vec_id, scale,
+        list_reduce(list_prepend(0, list_transform(q, x -> abs(x)::BIGINT)),
+                    (a, b) -> a + b)::BIGINT AS q_l1,
+        list_reduce(list_prepend(0.0,
+          [ (v[i] - d[i]) * (v[i] - d[i])
+            for i in generate_series(1, len(v)) ]), (a, b) -> a + b)
+          / len(v) AS mse,
+        list_reduce(list_prepend(0.0,
+          [ v[i] * d[i] for i in generate_series(1, len(v)) ]),
+          (a, b) -> a + b) AS vd,
+        sqrt(list_reduce(list_prepend(0.0,
+          [ v[i] * v[i] for i in generate_series(1, len(v)) ]),
+          (a, b) -> a + b)) AS nv,
+        sqrt(list_reduce(list_prepend(0.0,
+          [ d[i] * d[i] for i in generate_series(1, len(v)) ]),
+          (a, b) -> a + b)) AS nd
+      FROM m
+    )
+    SELECT vec_id, scale, q_l1, round(mse, 6) AS mse,
+           round(CASE WHEN nv * nd = 0 THEN 1.0 ELSE vd / (nv * nd) END, 6)
+             AS cos_dq
+    FROM f
+    """,
+)
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization + reconstruction audit
+    (per-vector absmax scale, the 4× compression an ANN index applies
+    before sharding) — map-only higher-order expressions, zero Python,
+    zero shuffle (functions/vector.quantize_int8). Reported: scale
+    (exact — max/divide only), quantized L1 mass (integer-exact), and
+    6-dp-rounded reconstruction MSE + cosine(orig, dequant); folds are
+    ordered so both engines accumulate bit-identically, zero vectors
+    take scale=1.0 and cosine=1.0 on both sides."""
+    from dask_spark.functions.vector import dequantize_int8, quantize_int8
+
+    e = load(spark, sf_dir, "embeddings").to_spark()
+    st1 = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+        quantize_int8(F.col("embedding")).alias("__qs"),
+    )
+    st2 = st1.select(
+        "vec_id", "__v",
+        F.col("__qs")["scale"].alias("scale"),
+        F.col("__qs")["q"].alias("__q"),
+        dequantize_int8(F.col("__qs")).alias("__d"),
+    )
+    nv = V.norm(F.col("__v"))
+    nd = V.norm(F.col("__d"))
+    return st2.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "__q", F.lit(0).cast("bigint"),
+            lambda acc, qi: acc + F.abs(qi).cast("bigint"),
+        ).alias("q_l1"),
+        F.round(
+            F.aggregate(
+                F.zip_with("__v", "__d", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, t: acc + t,
+            ) / F.size("__v"),
+            6,
+        ).alias("mse"),
+        F.round(
+            F.when(nv * nd == 0.0, F.lit(1.0))
+            .otherwise(V.dot(F.col("__v"), F.col("__d")) / (nv * nd)),
+            6,
+        ).alias("cos_dq"),
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
@@ -5154,6 +5345,8 @@ _R6_FRONT = [
     # generic dot/norm now cast to double before multiplying:
     "vec_cosine", "vec_norm", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "ann_batch", "dedup_embed", "dedup_embed_lsh",
+    # round-6 late registrations (no driver row yet):
+    "text_span_dedup", "contamination_bloom", "embed_quantize",
 ]
 _DRIVER_COVERED = [
     n

@@ -921,3 +921,147 @@ def test_kmeans_guards_and_plan(spark, tables):
     # join/exchange in the assign plan
     assert "Join" not in plan, plan[:800]
     assert "Exchange" not in plan, plan[:800]
+
+
+def test_span_dedup_strips_shared_spans(spark):
+    """A span duplicated across docs disappears from BOTH; unique
+    spans survive in order; a fully-duplicated doc stays in the
+    output with empty text."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import span_dedup
+
+    dup8 = "a b c d e f g h"           # one exact 8-token span
+    rows = [
+        ("d1", dup8 + " unique tail one two three four five six"),
+        ("d2", dup8 + " other ending seven eight nine ten eleven twelve"),
+        ("d3", dup8),                    # nothing but the shared span
+        ("d4", "fully distinct words nobody else repeats anywhere at all"),
+        ("d5", ""),                      # empty doc
+    ]
+    f = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        span_dedup(f, span_tokens=8, max_count=1)
+        .compute().set_index("doc_id").sort_index()
+    )
+    assert len(out) == 5                       # row count stable
+    assert out.loc["d1", "kept_text"] == "unique tail one two three four five six"
+    assert out.loc["d1", "n_spans"] == 2 and out.loc["d1", "n_removed"] == 1
+    assert out.loc["d3", "kept_text"] == "" and out.loc["d3", "n_removed"] == 1
+    assert out.loc["d4", "n_removed"] == 0
+    assert out.loc["d4", "kept_text"] == rows[3][1]
+    assert out.loc["d5", "n_spans"] == 0 and out.loc["d5", "kept_text"] == ""
+
+
+def test_span_dedup_order_preserved(spark):
+    """Survivor spans reassemble in original span order even when the
+    removed span sits in the middle."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import span_dedup
+
+    shared = "x1 x2 x3 x4"
+    rows = [
+        ("a", "alpha beta gamma delta " + shared + " omega psi chi phi"),
+        ("b", shared),
+    ]
+    f = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        span_dedup(f, span_tokens=4, max_count=1)
+        .compute().set_index("doc_id")
+    )
+    assert out.loc["a", "kept_text"] == "alpha beta gamma delta omega psi chi phi"
+
+
+def test_bloom_contamination_no_false_negatives(spark, corpus):
+    """Bloom flags are a SUPERSET of exact flags (one-sided error):
+    every exact hit gram is bloom-positive, per doc hit_grams_bloom >=
+    hit_grams_exact, and with m=4096 on this tiny set there is room
+    for zero false positives to dominate."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import contamination, contamination_bloom
+
+    bench_rows = [("b1", "the quick brown fox jumps over the lazy dog")]
+    bench = ds.from_pandas(
+        pd.DataFrame(bench_rows, columns=["doc_id", "text"])
+    )
+    exact = (
+        contamination(corpus, bench, ngram=3, threshold=0.5)
+        .compute().set_index("doc_id")
+    )
+    bloom = (
+        contamination_bloom(corpus, bench, ngram=3, m_bits=4096, k=3,
+                            threshold=0.5)
+        .compute().set_index("doc_id")
+    )
+    assert set(bloom.index) == set(exact.index)
+    for d in exact.index:
+        assert bloom.loc[d, "total_grams"] == exact.loc[d, "total_grams"]
+        assert bloom.loc[d, "hit_grams"] >= exact.loc[d, "hit_grams"]
+        if exact.loc[d, "contaminated"]:
+            assert bloom.loc[d, "contaminated"]
+    # the planted overlap is found by both paths (7 of d1's 16 grams —
+    # under the 0.5 ratio cut, but every one must be bloom-positive)
+    assert exact.loc["d1", "hit_grams"] == 7
+    assert bloom.loc["d1", "hit_grams"] >= 7
+
+
+def test_bloom_probe_plan_is_exchange_free(spark, corpus):
+    """The 100 TB property the bloom variant buys: the probe side has
+    NO exchange of any kind — scan → in-row project. (The build job
+    collects ≤ m_bits positions separately.)"""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import contamination_bloom
+
+    bench = ds.from_pandas(
+        pd.DataFrame([("b1", "the quick brown fox")],
+                     columns=["doc_id", "text"])
+    )
+    out = contamination_bloom(corpus, bench, ngram=3)
+    sdf = out.to_spark()
+    txt = sdf._jdf.queryExecution().executedPlan().toString()
+    # the only allowed exchange is the compact-doc repartition the
+    # token stage performs on small local inputs; no aggregate/join
+    # exchange may appear
+    assert "BroadcastExchange" not in txt
+    assert "HashAggregate" not in txt and "SortMergeJoin" not in txt
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Quantization reconstructs within the absmax/254 grid bound and
+    cosine(orig, dequant) stays near 1; zero vectors take scale=1 and
+    all-zero codes."""
+    import dask_spark as ds
+    import pyspark.sql.functions as F
+    from dask_spark.functions.vector import dequantize_int8, quantize_int8
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(16).astype("float32").tolist() for _ in range(20)]
+    vecs.append([0.0] * 16)
+    pdf = pd.DataFrame({"vec_id": list(range(21)), "embedding": vecs})
+    f = ds.from_pandas(pdf)
+    out = (
+        f.to_spark()
+        .select(
+            "vec_id",
+            quantize_int8(F.col("embedding")).alias("qs"),
+        )
+        .select(
+            "vec_id",
+            F.col("qs")["scale"].alias("scale"),
+            F.col("qs")["q"].alias("q"),
+            dequantize_int8(F.col("qs")).alias("d"),
+        )
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    for i in range(20):
+        v = np.array(vecs[i], dtype=np.float64)
+        d = np.array(out.loc[i, "d"], dtype=np.float64)
+        q = np.array(out.loc[i, "q"])
+        scale = out.loc[i, "scale"]
+        assert np.abs(q).max() <= 127
+        # half-step reconstruction bound
+        assert np.abs(v - d).max() <= scale / 2 + 1e-12
+        denom = np.linalg.norm(v) * np.linalg.norm(d)
+        assert v @ d / denom > 0.999
+    assert out.loc[20, "scale"] == 1.0 and not np.any(out.loc[20, "q"])
