@@ -33,14 +33,24 @@ from dask_spark.frame import DaskFrame
 
 
 def _sqdist(vv, v, cent: Sequence[float], dim: int):
-    """|v - c|^2 = v·v - 2 v·c + c·c, dim-unrolled, double, L2R —
-    the exact arithmetic the DuckDB oracle replays."""
-    terms = [
-        v.getItem(i).cast("double") * float(cent[i]) for i in range(dim)
-    ]
-    vc = terms[0]
-    for t in terms[1:]:
-        vc = vc + t
+    """|v - c|^2 = v·v - 2 v·c + c·c, double, strictly left-to-right —
+    the exact arithmetic the DuckDB oracle replays.
+
+    v·c is an ordered ``aggregate(zip_with)`` fold: 0.0 + t0 + t1 + ...
+    produces bit-identical doubles to the earlier dim-unrolled
+    t0 + t1 + ... (IEEE: 0.0 + x == x for every finite x; a -0.0 first
+    product flips to +0.0 but vv - 2*vc is unchanged either way), at
+    O(1) expression size per centroid. The unrolled form embedded
+    ~dim×k multiply-adds per assignment (again per iteration) and blew
+    the whole-stage-codegen limit — Janino failed on a ~6,900-line
+    processNext(), silently falling back to interpreted eval with
+    1-2 MiB task binaries (round-6 VERDICT finding #1)."""
+    clit = F.array(*[F.lit(float(x)) for x in cent])
+    vc = F.aggregate(
+        F.zip_with(v, clit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
     cc = 0.0
     for x in cent:  # driver-side, exact same L2R order as the SQL sum
         cc = cc + float(x) * float(x)

@@ -80,3 +80,23 @@ def partition_filters(frame) -> str:
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_text(frame))
     return m.group(1) if m else ""
+
+
+def codegen_failure_lines(log_text: str) -> list[str]:
+    """Lines in a driver log that mark a SILENT whole-stage-codegen
+    fallback: Janino compile failures (``ERROR CodeGenerator: Failed
+    to compile``) and oversize-bytecode bailouts. These never fail the
+    query — Spark quietly runs the stage interpreted, a ~10× constant
+    factor that survives every correctness gate (round-6 finding:
+    6,900-line generated processNext() on the k-means cell family).
+    scripts/verify_local.py re-execs itself with stderr piped through
+    this scanner so a fallback can never land unnoticed again."""
+    hits = []
+    for line in log_text.splitlines():
+        if "CodeGenerator" in line and (
+            "Failed to compile" in line or "failed to compile" in line
+        ):
+            hits.append(line.strip())
+        elif "hugeMethodLimit" in line and "exceeds" in line:
+            hits.append(line.strip())
+    return hits

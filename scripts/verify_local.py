@@ -2,12 +2,20 @@
 queries() entry on Spark and its oracle_sql() on DuckDB at the given
 SF, compare row count, column names, and order-insensitive values.
 
+Also a CODEGEN GUARD: the parent process re-execs itself with stderr
+piped through plans.codegen_failure_lines, so a whole-stage-codegen
+compile failure (which Spark silently downgrades to interpreted eval
+— it passes every correctness check while running ~10× slow) fails
+the sweep with rc=3. Disable with DS_NO_CODEGEN_GUARD=1.
+
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -65,7 +73,43 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
     return None
 
 
+def _codegen_guard_reexec() -> None:
+    """Re-run this script as a child with stderr scanned for silent
+    whole-stage-codegen fallbacks; exit with the child's rc, or 3 if
+    the run "passed" but a generated stage failed to compile."""
+    from dask_spark.plans import codegen_failure_lines
+
+    env = dict(os.environ, _DS_CG_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable] + sys.argv,
+        env=env,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    hits: list[str] = []
+    assert proc.stderr is not None
+    for line in proc.stderr:
+        sys.stderr.write(line)
+        hits.extend(codegen_failure_lines(line))
+    rc = proc.wait()
+    if hits:
+        print(
+            f"\nCODEGEN GUARD: {len(hits)} whole-stage compile "
+            "failure(s) silently fell back to interpreted eval:",
+            flush=True,
+        )
+        for h in hits[:5]:
+            print(f"  {h}")
+        sys.exit(rc or 3)
+    sys.exit(rc)
+
+
 def main():
+    if (
+        os.environ.get("_DS_CG_CHILD") != "1"
+        and os.environ.get("DS_NO_CODEGEN_GUARD") != "1"
+    ):
+        _codegen_guard_reexec()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 

@@ -627,3 +627,25 @@ def test_knn_join_scoring_plan(spark, tables):
     # (a per-pair cosine would re-inline norm computations above the
     # fetch joins)
     assert p.upper().count("SQRT") == 2, p[:2000]
+
+
+def test_codegen_failure_scanner():
+    # the exact shapes Spark logs on a silent interpreted fallback
+    from dask_spark.plans import codegen_failure_lines
+
+    log = "\n".join([
+        "26/08/14 12:00:00 ERROR CodeGenerator: Failed to compile the "
+        "generated Java code.",
+        "org.codehaus.commons.compiler.InternalCompilerException: ...",
+        "26/08/14 12:00:01 INFO CodeGenerator: Code generated in 12 ms",
+        "26/08/14 12:00:02 INFO WholeStageCodegenExec: Found too long "
+        "generated codes and JVM bytecode of compiled methods exceeds "
+        "spark.sql.codegen.hugeMethodLimit: 65535",
+        "26/08/14 12:00:03 WARN TaskSetManager: Broadcasting large task "
+        "binary with size 1292.4 KiB",
+    ])
+    hits = codegen_failure_lines(log)
+    assert len(hits) == 2
+    assert "Failed to compile" in hits[0]
+    assert "hugeMethodLimit" in hits[1]
+    assert codegen_failure_lines("all good\nINFO CodeGenerator: ok") == []
