@@ -1022,20 +1022,93 @@ def span_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
     return DaskFrame(out)
 
 
-def _bloom_position(gram, j: int, m_bits: int):
-    """Engine-portable bloom hash j: md5-60-bit of ``gram#j`` mod m.
-    DuckDB twin: ('0x'||substr(md5(g||'#j'),1,15))::BIGINT % m."""
-    from dask_spark.functions import md5_prefix60
+def _bloom_hash_pair(gram, hash_kind: str):
+    """[h1, h2] base hashes for one gram — the Kirsch–Mitzenmacher
+    layout: all k bloom positions derive as (h1 + j*(h2|1)) mod m from
+    ONE digest (forcing h2 odd keeps the j-positions distinct for
+    power-of-two m and preserves the asymptotic false-positive rate).
+    The previous layout paid k independent md5 digests per distinct
+    gram, which made contamination_bloom the most expensive bench
+    query (6.0s at sf0.1 ≈ 20% of the 32-query total).
 
-    return F.pmod(
-        md5_prefix60(F.concat(gram, F.lit(f"#{j}"))), F.lit(int(m_bits))
-    ).cast("int")
+    hash_kind="md5": h1 = md5 hex chars 1-15, h2 = chars 16-30 — the
+    engine-portable mode the DuckDB oracle replays verbatim.
+    hash_kind="xxhash64": h1/h2 split from one JVM xxhash64 — the
+    production mode (dedup_minhash's word_hash pattern)."""
+    if hash_kind == "md5":
+        d = F.md5(gram)
+        return F.array(
+            F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"),
+            F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
+        )
+    if hash_kind == "xxhash64":
+        x = F.xxhash64(gram)
+        return F.array(
+            F.shiftrightunsigned(x, 33),
+            x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("bigint"),
+        )
+    raise ValueError("hash_kind must be xxhash64|md5")
+
+
+def _bloom_positions_from_pair(pair, k: int, m_bits: int):
+    """The k probe positions for one [h1, h2] pair."""
+    h1, h2 = pair.getItem(0), pair.getItem(1).bitwiseOR(F.lit(1))
+    return [
+        F.pmod(h1 + j * h2, F.lit(int(m_bits))).cast("int")
+        for j in range(k)
+    ]
+
+
+def _bloom_hits_udf(words: list[int], k: int, m_bits: int):
+    """Vectorized bloom probe: per-row count of grams whose k
+    Kirsch–Mitzenmacher positions are all set. Pure int64 numpy —
+    bit-identical to the expression engine (no floats anywhere), one
+    flat pass per Arrow batch instead of ~30 interpreted expression
+    nodes per probe (the probe filter alone was ~3.7s of the 6.0s
+    sf0.1 bench time). Closure state is the m_bits/64 signed words —
+    a few hundred bytes riding the task like any plan literal."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    wordsarr = np.array(words, dtype=np.int64)
+    kk, mb = int(k), int(m_bits)
+
+    def bloom_hits(h1s, h2s):
+        n = len(h1s)
+        lens = np.fromiter((len(a) for a in h1s), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        f1 = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in h1s if len(a)]
+        )
+        f2 = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in h2s if len(a)]
+        ) | 1
+        hit = np.ones(total, dtype=bool)
+        for j in range(kk):
+            p = (f1 + j * f2) % mb
+            # arithmetic >> on signed words keeps the low bits intact
+            hit &= ((wordsarr[p >> 6] >> (p & 63)) & 1).astype(bool)
+        cs = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        ends = np.cumsum(lens)
+        return pd.Series(cs[ends] - cs[ends - lens])
+
+    # annotations set as objects: module-wide `from __future__ import
+    # annotations` stringifies hints, which pandas_udf can't resolve
+    bloom_hits.__annotations__ = {
+        "h1s": pd.Series, "h2s": pd.Series, "return": pd.Series,
+    }
+    return pandas_udf("bigint")(bloom_hits)
 
 
 def contamination_bloom(corpus, benchmark, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
                         m_bits: int = 4096, k: int = 3,
-                        threshold: float = 0.5):
+                        threshold: float = 0.5,
+                        hash_kind: str = "md5",
+                        engine: str = "arrow"):
     """Bloom-filter decontamination: like ``contamination`` but the
     benchmark gram set is compressed into a CONSTANT-SIZE bit array
     before probing. ``contamination`` broadcasts the eval grams as a
@@ -1057,7 +1130,20 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
 
     Returns (id, total_grams, hit_grams, contaminated); hit_grams
     counts bloom-POSITIVE grams (superset of true hits). Docs with no
-    grams (empty text) are dropped, matching ``contamination``."""
+    grams (empty text) are dropped, matching ``contamination``.
+
+    ``hash_kind``: "md5" (default) is the engine-portable mode the
+    DuckDB oracle replays; "xxhash64" is the production mode (one JVM
+    hash, no digest — dedup_minhash's word_hash pattern). Either way
+    the k probe positions are Kirsch–Mitzenmacher-derived from ONE
+    digest: pos_j = (h1 + j*(h2|1)) mod m.
+
+    ``engine``: "arrow" (default) counts the probes in a vectorized
+    numpy kernel over the JVM-staged (h1, h2) arrays — pure int64
+    arithmetic, bit-identical to "expr", which keeps the whole probe
+    in Catalyst expressions (k bit-tests inside an interpreted HOF
+    lambda — the text_repetition trade: ~4× slower at sf0.1 but zero
+    Python; both modes hash-match the oracle)."""
     from fractions import Fraction
 
     from dask_spark.frame import DaskFrame
@@ -1067,13 +1153,11 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
     corpus_sdf = corpus._sdf if hasattr(corpus, "_sdf") else corpus
 
     bench_grams = _word_ngrams(bench_sdf, text_col, id_col, ngram)
+    bench_pair = _bloom_hash_pair(F.col("gram"), hash_kind)
     pos_rows = (
         bench_grams.select(
             F.explode(
-                F.array(*[
-                    _bloom_position(F.col("gram"), j, m_bits)
-                    for j in range(k)
-                ])
+                F.array(*_bloom_positions_from_pair(bench_pair, k, m_bits))
             ).alias("p")
         )
         .distinct()
@@ -1085,7 +1169,11 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
         words[p // 64] |= 1 << (p % 64)
     # two's-complement fold into signed 64-bit plan literals
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitset = F.array(*[F.lit(w).cast("bigint") for w in words])
+    # ONE array literal, not F.array(64 lit children): CreateArray
+    # re-builds the array on every evaluation, and inside the
+    # interpreted probe lambda that's a fresh 64-word allocation per
+    # bit-test per gram; Literal.create is a constant
+    bitset = F.lit([int(w) for w in words])
 
     def is_set(pos):
         # F.get is 0-based and takes a Column index; the PySpark
@@ -1096,18 +1184,71 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
             "shiftright", word, pos % 64
         ).bitwiseAND(F.lit(1)) == 1
 
-    def flagged(gram):
-        cond = is_set(_bloom_position(gram, 0, m_bits))
-        for j in range(1, k):
-            cond = cond & is_set(_bloom_position(gram, j, m_bits))
+    def flagged(h1, h2):
+        h2o = h2.bitwiseOR(F.lit(1))
+        cond = None
+        for j in range(k):
+            test = is_set(F.pmod(h1 + j * h2o, F.lit(int(m_bits))))
+            cond = test if cond is None else cond & test
         return cond
 
-    staged = _word_ngram_arrays(corpus_sdf, text_col, id_col, ngram)
-    per_doc = staged.filter(F.size("grams") > 0).select(
+    # Drop gram-less docs on a CHEAP text predicate BEFORE the gram
+    # build. The natural filter — size(grams) > 0 AFTER staging — gets
+    # predicate-pushed below the projection with the gram expression
+    # substituted into the condition, so the whole tokenize+gram
+    # pipeline re-evaluates inside the Filter node (and again for
+    # every later size(grams) reference): measured 3.99s for
+    # filter+sizes vs 1.16s for the staged build itself at sf0.1.
+    # text RLIKE \S is exactly equivalent (any non-whitespace char →
+    # ≥1 token → ≥1 gram; null/blank text → dropped) and reaches the
+    # parquet scan as a data filter.
+    live = corpus_sdf.filter(F.col(text_col).rlike(r"\S"))
+    # Stage the digest per gram as ARRAY DATA (a transform's output is
+    # materialized, so the digest is computed exactly once per gram —
+    # an expression reused inside the probe lambda would re-evaluate
+    # per probe: interpreted HOF eval does no subexpression reuse);
+    # __digs is used by BOTH h1/h2 transforms and grams by BOTH __ng
+    # and __digs, and CollapseProject keeps twice-referenced non-cheap
+    # projections staged.
+    grams = _word_ngram_arrays(live, text_col, id_col, ngram)
+    digest = (
+        (lambda g: F.md5(g)) if hash_kind == "md5"
+        else (lambda g: F.xxhash64(g))
+    )
+    staged = grams.select(
         id_col,
-        F.size("grams").cast("bigint").alias("total_grams"),
-        F.size(F.filter(F.col("grams"), flagged)).cast("bigint")
-        .alias("hit_grams"),
+        F.size("grams").cast("bigint").alias("__ng"),
+        F.transform(F.col("grams"), digest).alias("__digs"),
+    )
+    if hash_kind == "md5":
+        h1s = F.transform(
+            F.col("__digs"),
+            lambda d: F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"),
+        )
+        h2s = F.transform(
+            F.col("__digs"),
+            lambda d: F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
+        )
+    else:
+        h1s = F.transform(
+            F.col("__digs"), lambda x: F.shiftrightunsigned(x, 33)
+        )
+        h2s = F.transform(
+            F.col("__digs"),
+            lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("bigint"),
+        )
+
+    if engine == "arrow":
+        hits = _bloom_hits_udf(words, k, m_bits)(h1s, h2s)
+    elif engine == "expr":
+        flags = F.zip_with(h1s, h2s, flagged)
+        hits = F.size(F.filter(flags, lambda b: b))
+    else:
+        raise ValueError("engine must be arrow|expr")
+    per_doc = staged.select(
+        id_col,
+        F.col("__ng").alias("total_grams"),
+        hits.cast("bigint").alias("hit_grams"),
     )
     contaminated = (
         per_doc["hit_grams"] * F.lit(frac.denominator)

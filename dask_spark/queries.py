@@ -5081,14 +5081,16 @@ def text_span_dedup(spark, sf_dir):
     ), bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 20),
     pos AS (
       SELECT DISTINCT
-        ('0x' || substr(md5(b.g || '#' || j::VARCHAR), 1, 15))::BIGINT % 4096
+        (('0x' || substr(md5(b.g), 1, 15))::BIGINT
+         + j * ((('0x' || substr(md5(b.g), 16, 15))::BIGINT) | 1)) % 4096
           AS p
       FROM bench b CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
     ), dg AS (
       SELECT DISTINCT doc_id, g FROM g2 WHERE doc_id >= 20
     ), pr AS (
       SELECT doc_id, g,
-        ('0x' || substr(md5(g || '#' || j::VARCHAR), 1, 15))::BIGINT % 4096
+        (('0x' || substr(md5(g), 1, 15))::BIGINT
+         + j * ((('0x' || substr(md5(g), 16, 15))::BIGINT) | 1)) % 4096
           AS hp
       FROM dg CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
     ), fl AS (
@@ -5105,13 +5107,17 @@ def text_span_dedup(spark, sf_dir):
 )
 def contamination_bloom_q(spark, sf_dir):
     """Bloom-filter decontamination: the benchmark gram set (docs
-    0-19) compressed to a 4096-bit filter (k=3 md5-derived probes),
-    corpus docs probed ENTIRELY in-row — zero exchanges in the probe
-    plan, and the shipped state is bounded by m_bits no matter how
-    large the blocklist grows (operators/dedup.contamination_bloom;
-    the exact-broadcast twin is `contamination`). The oracle replays
-    the positions as a set-membership join — bit-for-bit the same
-    flags, INCLUDING the filter's false positives."""
+    0-19) compressed to a 4096-bit filter, corpus docs probed
+    ENTIRELY in-row — zero exchanges in the probe plan, and the
+    shipped state is bounded by m_bits no matter how large the
+    blocklist grows (operators/dedup.contamination_bloom; the
+    exact-broadcast twin is `contamination`). k=3 probes are
+    Kirsch–Mitzenmacher-derived from ONE md5 digest per gram
+    (h1 + j*(h2|1) mod m — was 3 digests/gram, the priciest r6
+    bench query); production mode hash_kind="xxhash64" drops the
+    digest entirely. The oracle replays the positions as a
+    set-membership join — bit-for-bit the same flags, INCLUDING
+    the filter's false positives."""
     from dask_spark.operators.dedup import contamination_bloom
 
     d = load(spark, sf_dir, "documents")

@@ -1065,3 +1065,41 @@ def test_quantize_int8_roundtrip(spark):
         denom = np.linalg.norm(v) * np.linalg.norm(d)
         assert v @ d / denom > 0.999
     assert out.loc[20, "scale"] == 1.0 and not np.any(out.loc[20, "q"])
+
+
+def test_bloom_engine_and_hash_modes(spark, corpus):
+    """The Arrow probe kernel is bit-identical to the expression
+    engine (pure int64 arithmetic on both sides), in both hash modes;
+    xxhash64 keeps the one-sided-error contract; bad args raise."""
+    import pytest
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import contamination, contamination_bloom
+
+    bench = ds.from_pandas(
+        pd.DataFrame([("b1", "the quick brown fox jumps over the lazy dog")],
+                     columns=["doc_id", "text"])
+    )
+
+    def run(**kw):
+        return (
+            contamination_bloom(corpus, bench, ngram=3, **kw)
+            .compute().sort_values("doc_id").reset_index(drop=True)
+        )
+
+    assert run(engine="arrow").equals(run(engine="expr"))
+    ax = run(hash_kind="xxhash64", engine="arrow")
+    assert ax.equals(run(hash_kind="xxhash64", engine="expr"))
+    # superset-of-exact also holds under the production hash
+    exact = (
+        contamination(corpus, bench, ngram=3)
+        .compute().set_index("doc_id")
+    )
+    axi = ax.set_index("doc_id")
+    assert set(axi.index) == set(exact.index)
+    for d in exact.index:
+        assert axi.loc[d, "hit_grams"] >= exact.loc[d, "hit_grams"]
+    with pytest.raises(ValueError, match="hash_kind"):
+        run(hash_kind="sha1")
+    with pytest.raises(ValueError, match="engine"):
+        run(engine="rdd")
