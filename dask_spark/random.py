@@ -86,14 +86,11 @@ class RandomState:
             npartitions or self._spark.sparkContext.defaultParallelism,
         )
 
-    def _draw(self, n, dim: int, fn, npartitions: int | None = None
-              ) -> DArray:
-        """fn(id_column, stream_j) -> Column; one stream per dim.
-        ``n`` may be a dask-style ``size`` tuple: (rows,) or
-        (rows, dim) produce the usual DArray; an N-tuple returns an
-        NDArray with the trailing axes as the inner shape (the draws
-        are identical to the flat (rows, prod(inner)) form — the
-        counter never sees the shape)."""
+    @staticmethod
+    def _parse_size(n, dim: int):
+        """dask-style ``size``: (rows,) or (rows, dim) → flat draw;
+        an N-tuple also returns the trailing inner shape so the caller
+        can reshape to an NDArray."""
         inner = None
         if isinstance(n, (tuple, list)):
             size = tuple(int(s) for s in n)
@@ -103,6 +100,17 @@ class RandomState:
             dim = math.prod(size[1:]) if len(size) > 1 else 1
             if len(size) > 2:
                 inner = size[1:]
+        return n, dim, inner
+
+    def _draw(self, n, dim: int, fn, npartitions: int | None = None
+              ) -> DArray:
+        """fn(id_column, stream_j) -> Column; one stream per dim.
+        ``n`` may be a dask-style ``size`` tuple: (rows,) or
+        (rows, dim) produce the usual DArray; an N-tuple returns an
+        NDArray with the trailing axes as the inner shape (the draws
+        are identical to the flat (rows, prod(inner)) form — the
+        counter never sees the shape)."""
+        n, dim, inner = self._parse_size(n, dim)
         rng = self._range(n, npartitions)
         idc = F.col("id")
         comps = [fn(idc, j) for j in range(dim)]
