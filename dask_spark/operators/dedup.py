@@ -1034,27 +1034,50 @@ def _bloom_hash_pair(gram, hash_kind: str):
     hash_kind="md5": h1 = md5 hex chars 1-15, h2 = chars 16-30 — the
     engine-portable mode the DuckDB oracle replays verbatim.
     hash_kind="xxhash64": h1/h2 split from one JVM xxhash64 — the
-    production mode (dedup_minhash's word_hash pattern)."""
+    production mode (dedup_minhash's word_hash pattern).
+
+    Build and probe BOTH derive (h1, h2) from _bloom_digest/_bloom_h1/
+    _bloom_h2 — one shared formula, so the two sides cannot silently
+    diverge (the no-false-negative contract rests on build positions
+    == probe positions)."""
+    d = _bloom_digest(gram, hash_kind)
+    return F.array(_bloom_h1(d, hash_kind), _bloom_h2(d, hash_kind))
+
+
+def _bloom_digest(gram, hash_kind: str):
+    """One digest column per gram — the single hash every bloom
+    position derives from."""
     if hash_kind == "md5":
-        d = F.md5(gram)
-        return F.array(
-            F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"),
-            F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
-        )
+        return F.md5(gram)
     if hash_kind == "xxhash64":
-        x = F.xxhash64(gram)
-        return F.array(
-            F.shiftrightunsigned(x, 33),
-            x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("bigint"),
-        )
+        return F.xxhash64(gram)
     raise ValueError("hash_kind must be xxhash64|md5")
 
 
+def _bloom_h1(digest, hash_kind: str):
+    if hash_kind == "md5":
+        return F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+    return F.shiftrightunsigned(digest, 33)
+
+
+def _bloom_h2(digest, hash_kind: str):
+    if hash_kind == "md5":
+        return F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint")
+    return digest.bitwiseAND(F.lit(0x7FFFFFFF)).cast("bigint")
+
+
 def _bloom_positions_from_pair(pair, k: int, m_bits: int):
-    """The k probe positions for one [h1, h2] pair."""
-    h1, h2 = pair.getItem(0), pair.getItem(1).bitwiseOR(F.lit(1))
+    """The k probe positions for one [h1, h2] pair. h1 and h2|1 are
+    pre-reduced mod m before the j*h2 combination — mathematically
+    identical positions ((a mod m + j*(b mod m)) mod m == (a + j*b)
+    mod m), but every intermediate stays < k*m: the raw md5-mode
+    h1/h2 are 60-bit, so j*(h2|1) overflowed int64 for k >= 9 and
+    ANSI mode raised while the numpy kernel wrapped silently."""
+    m = F.lit(int(m_bits))
+    h1 = F.pmod(pair.getItem(0), m)
+    h2 = F.pmod(pair.getItem(1).bitwiseOR(F.lit(1)), m)
     return [
-        F.pmod(h1 + j * h2, F.lit(int(m_bits))).cast("int")
+        F.pmod(h1 + j * h2, m).cast("int")
         for j in range(k)
     ]
 
@@ -1086,6 +1109,11 @@ def _bloom_hits_udf(words: list[int], k: int, m_bits: int):
         f2 = np.concatenate(
             [np.asarray(a, dtype=np.int64) for a in h2s if len(a)]
         ) | 1
+        # same mod-m pre-reduction as _bloom_positions_from_pair: the
+        # raw 60-bit md5 pair made j*f2 wrap int64 for k >= 9 here
+        # while the expression engine raised under ANSI mode
+        f1 = f1 % mb
+        f2 = f2 % mb
         hit = np.ones(total, dtype=bool)
         for j in range(kk):
             p = (f1 + j * f2) % mb
@@ -1185,10 +1213,14 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
         ).bitwiseAND(F.lit(1)) == 1
 
     def flagged(h1, h2):
-        h2o = h2.bitwiseOR(F.lit(1))
+        # mod-m pre-reduction, same as _bloom_positions_from_pair:
+        # keeps j*h2 inside int64 for any k
+        m = F.lit(int(m_bits))
+        h1m = F.pmod(h1, m)
+        h2m = F.pmod(h2.bitwiseOR(F.lit(1)), m)
         cond = None
         for j in range(k):
-            test = is_set(F.pmod(h1 + j * h2o, F.lit(int(m_bits))))
+            test = is_set(F.pmod(h1m + j * h2m, m))
             cond = test if cond is None else cond & test
         return cond
 
@@ -1211,32 +1243,17 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
     # and __digs, and CollapseProject keeps twice-referenced non-cheap
     # projections staged.
     grams = _word_ngram_arrays(live, text_col, id_col, ngram)
-    digest = (
-        (lambda g: F.md5(g)) if hash_kind == "md5"
-        else (lambda g: F.xxhash64(g))
-    )
     staged = grams.select(
         id_col,
         F.size("grams").cast("bigint").alias("__ng"),
-        F.transform(F.col("grams"), digest).alias("__digs"),
+        F.transform(
+            F.col("grams"), lambda g: _bloom_digest(g, hash_kind)
+        ).alias("__digs"),
     )
-    if hash_kind == "md5":
-        h1s = F.transform(
-            F.col("__digs"),
-            lambda d: F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"),
-        )
-        h2s = F.transform(
-            F.col("__digs"),
-            lambda d: F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
-        )
-    else:
-        h1s = F.transform(
-            F.col("__digs"), lambda x: F.shiftrightunsigned(x, 33)
-        )
-        h2s = F.transform(
-            F.col("__digs"),
-            lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("bigint"),
-        )
+    # probe (h1, h2) come from the SAME per-digest helpers the build
+    # side uses (_bloom_hash_pair) — one formula, no silent divergence
+    h1s = F.transform(F.col("__digs"), lambda d: _bloom_h1(d, hash_kind))
+    h2s = F.transform(F.col("__digs"), lambda d: _bloom_h2(d, hash_kind))
 
     if engine == "arrow":
         hits = _bloom_hits_udf(words, k, m_bits)(h1s, h2s)

@@ -95,8 +95,18 @@ def codegen_failure_lines(log_text: str) -> list[str]:
     for line in log_text.splitlines():
         if "CodeGenerator" in line and (
             "Failed to compile" in line or "failed to compile" in line
+            or "ERROR CodeGenerator" in line
         ):
             hits.append(line.strip())
         elif "hugeMethodLimit" in line and "exceeds" in line:
+            hits.append(line.strip())
+        elif "Whole-stage codegen disabled" in line:
+            # WholeStageCodegenExec's generic bailout WARN (covers
+            # Janino method-split failures that never reach the
+            # ERROR-level compile path)
+            hits.append(line.strip())
+        elif "grows beyond 64 KB" in line:
+            # Janino oversize-method message, sometimes surfaced via
+            # CodegenError WARNs rather than 'Failed to compile'
             hits.append(line.strip())
     return hits

@@ -5081,16 +5081,18 @@ def text_span_dedup(spark, sf_dir):
     ), bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id < 20),
     pos AS (
       SELECT DISTINCT
-        (('0x' || substr(md5(b.g), 1, 15))::BIGINT
-         + j * ((('0x' || substr(md5(b.g), 16, 15))::BIGINT) | 1)) % 4096
+        ((('0x' || substr(md5(b.g), 1, 15))::BIGINT % 4096)
+         + j * (((('0x' || substr(md5(b.g), 16, 15))::BIGINT) | 1)
+                % 4096)) % 4096
           AS p
       FROM bench b CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
     ), dg AS (
       SELECT DISTINCT doc_id, g FROM g2 WHERE doc_id >= 20
     ), pr AS (
       SELECT doc_id, g,
-        (('0x' || substr(md5(g), 1, 15))::BIGINT
-         + j * ((('0x' || substr(md5(g), 16, 15))::BIGINT) | 1)) % 4096
+        ((('0x' || substr(md5(g), 1, 15))::BIGINT % 4096)
+         + j * (((('0x' || substr(md5(g), 16, 15))::BIGINT) | 1)
+                % 4096)) % 4096
           AS hp
       FROM dg CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
     ), fl AS (
