@@ -52,6 +52,10 @@ HEADLINE = [
     "text_span_dedup",    # CCNet span scrub: count + anti-join + rebuild
     "contamination_bloom",  # constant-size filter, exchange-free probe
     "embed_quantize",     # int8 absmax quantization: map-only HOFs
+    # round-8 additions (compare per-query across rounds, not totals)
+    "corpus_cluster",     # k-means: ordered Arrow assign + k·d partials
+    "dedup_semantic_cells",  # SemDeDup cells over the kmeans kernel
+    "ann_ivf_checked",    # IVF probe replay over the kmeans kernel
 ]
 
 

@@ -949,6 +949,66 @@ def semantic_dedup(frame, vec_col: str = "embedding", id_col: str = "vec_id",
     return DaskFrame(out)
 
 
+def semantic_keep_exact(sdf, id_col: str = "vec_id", vec_col: str = "v",
+                        cluster_col: str = "cluster",
+                        threshold: float = 0.9):
+    """Within-cell greedy keep with BIT-EXACT expression-engine
+    arithmetic, as ONE cluster-keyed applyInPandas kernel.
+
+    Replaces the m²-row self-join (a.cluster = b.cluster AND
+    a.id > b.id, filter dot*inv_a*inv_b >= t) that materialized every
+    candidate pair — with its two d-double arrays — through an
+    exchange. Here the only exchange carries the m input rows per
+    cell; the Gram matrix lives entirely inside the Arrow batch.
+
+    Arithmetic contract (what the DuckDB oracle replays):
+      dot(a,b) = a0*b0 + a1*b1 + ...   (left-to-right, dims in order)
+      inv      = 1.0 / sqrt(dot(v,v))
+      score    = (dot(a,b) * inv_a) * inv_b
+      drop(a)  = any b with b.id < a.id and score >= threshold
+    The kernel accumulates the Gram matrix one dim-outer-product at a
+    time — D += outer(V[:,i], V[:,i]) in dim order — so every element
+    follows the identical scalar L2R chain (first term unseeded, like
+    functions.vector.dot's unrolled form), and diag(D) IS the ordered
+    self-dot the inverse norm needs. IEEE doubles therefore agree
+    exactly with the unrolled codegen expression the oracle mirrors,
+    including decisions at the threshold boundary.
+
+    100 TB shape: one shuffle keyed by cluster; O(m²) doubles per cell
+    in kernel memory — the SemDeDup contract (pick n_clusters so
+    m ≈ N/k stays ~1e3-1e5; the paper runs ~100k cells at web scale).
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    id_dt = dict(sdf.dtypes)[id_col]
+
+    def per_cell(pdf):
+        order = _np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        V = _np.asarray(
+            [_np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+        )
+        m, d = V.shape
+        D = _np.multiply.outer(V[:, 0], V[:, 0])
+        for i in range(1, d):  # ordered accumulation, dim order
+            D = D + _np.multiply.outer(V[:, i], V[:, i])
+        inv = 1.0 / _np.sqrt(_np.diag(D))
+        S = (D * inv[:, None]) * inv[None, :]  # (dot*inv_a)*inv_b
+        drop = (_np.tril(S, -1) >= threshold).any(axis=1)
+        return _pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                cluster_col: pdf[cluster_col].to_numpy(),
+                "keep": ~drop,
+            }
+        )
+
+    return sdf.groupBy(cluster_col).applyInPandas(
+        per_cell, f"{id_col} {id_dt}, {cluster_col} int, keep boolean"
+    )
+
+
 def span_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
                span_tokens: int = 8, max_count: int = 1):
     """CCNet-style duplicated-span removal (Wenzek et al. 2020's

@@ -4863,50 +4863,24 @@ def dedup_semantic_cells(spark, sf_dir):
     the within-cell drop rule uses the generic L2R cosine — so every
     keep/drop decision, including ones at the 0.9 threshold
     boundary, compares bit-identical doubles on both engines. ONE
-    cluster-keyed join; exhaustive within cells, blind across them —
-    the SemDeDup contract (dedup.py semantic_dedup's expr path +
-    cluster.py kmeans)."""
-    from dask_spark.functions.vector import dot as v_dot
+    cluster-keyed exchange into the ordered-Gram Arrow kernel —
+    exhaustive within cells, blind across them — the SemDeDup
+    contract (dedup.py semantic_keep_exact + cluster.py kmeans)."""
     from dask_spark.operators.cluster import kmeans
+    from dask_spark.operators.dedup import semantic_keep_exact
 
     e = load(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(e, "embedding", "vec_id", k=4, iters=1)
-    # knn-join's scoring lesson: 1/norm is a SCALAR computed on the
-    # n-row side (the join boundary keeps it from re-inlining per
-    # pair), the pair predicate is ONE unrolled dot and two multiplies
     base = e.to_spark().select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        (F.lit(1.0) / F.sqrt(v_dot(
-            F.col("embedding").cast("array<double>"),
-            F.col("embedding").cast("array<double>"), 64,
-        ))).alias("inv"),
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # runtime here is driver-side compile of the ~800-node assignment
-    # expression (zero stages >0.3s in the profile) — a fixed cost
-    # that amortizes with data size, like dedup_minhash's planning
+    # the within-cell m² Gram lives inside the Arrow batch — the only
+    # exchange carries the m input rows per cell (was an m²-row
+    # self-join materializing two 64-double arrays per candidate pair)
     av = assigned.to_spark().join(base, "vec_id")
-    a, b = av.alias("a"), av.alias("b")
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") > F.col("b.vec_id")),
-        )
-        .filter(
-            v_dot(F.col("a.v"), F.col("b.v"), 64)
-            * F.col("a.inv") * F.col("b.inv") >= 0.9
-        )
-        .select(F.col("a.vec_id").alias("__d"))
-        .distinct()
-    )
-    return (
-        av.join(drops, av["vec_id"] == drops["__d"], "left")
-        .select(
-            "vec_id", "cluster", F.col("__d").isNull().alias("keep")
-        )
-        .orderBy("vec_id")
-    )
+    return semantic_keep_exact(
+        av, "vec_id", "v", "cluster", 0.9
+    ).orderBy("vec_id")
 
 
 @q(
