@@ -3300,6 +3300,130 @@ def arr_random_permutation(spark, sf_dir):
     ).orderBy("row_id")
 
 
+@q("arr_random_gamma", None)  # rejection loop: not SQL-expressible
+def arr_random_gamma(spark, sf_dir):
+    """da.random.gamma (reference: dask/array/random.py:171):
+    Marsaglia–Tsang rejection inside the counter-kernel — attempt t of
+    element (row, dim) consumes streams 4t..4t+2, so the draw stays
+    partitioning-invariant (dask's per-chunk bitgen is not). Rows-only
+    by design: a SQL oracle cannot replay an unbounded rejection loop.
+    The histogram shape doubles as a weak distribution check."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=21).gamma(2.0, 1.5, n=12_000)
+    vals = arr._sdf.select(F.explode("values").alias("v"))
+    return (
+        vals.filter(F.col("v") < 20)
+        .groupBy(F.floor(F.col("v") / 0.5).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+def _arr_random_wald_oracle() -> str:
+    from dask_spark.random import counter_uniform_sql as cu
+
+    mu, lam = 2.0, 3.0
+    a, b = mu * mu / (2.0 * lam), mu / (2.0 * lam)
+    c, d = 4.0 * mu * lam, mu * mu
+    return f"""
+    WITH g AS (
+      SELECT sqrt(-2.0 * ln({cu('r.id', 0, 0, 13)}))
+             * cos(2 * 3.141592653589793 * {cu('r.id', 0, 1, 13)}) AS gz,
+             {cu('r.id', 0, 2, 13)} AS u3
+      FROM range(8000) r(id)
+    ), t AS (
+      SELECT ({mu!r} + {a!r} * (gz * gz))
+             - {b!r} * sqrt({c!r} * (gz * gz)
+                            + ({d!r} * (gz * gz)) * (gz * gz)) AS x,
+             u3
+      FROM g
+    ), v AS (
+      SELECT CASE WHEN u3 <= {mu!r} / ({mu!r} + x)
+                  THEN x ELSE {d!r} / x END AS v
+      FROM t
+    )
+    SELECT CAST(floor(v / 0.25) AS BIGINT) AS bin, count(*) AS cnt
+    FROM v WHERE v < 12 GROUP BY bin ORDER BY bin
+    """
+
+
+@q("arr_random_wald", _arr_random_wald_oracle())
+def arr_random_wald(spark, sf_dir):
+    """da.random.wald (reference: dask/array/random.py:380): the
+    Michael–Schucany–Haas inverse-Gaussian transform is CLOSED FORM
+    (3 uniforms, no rejection), so unlike its gamma/beta siblings it
+    stays in the fully-oracled expression family — the oracle replays
+    Box–Muller + the root transform + the u3 branch bit-for-bit."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=13).wald(2.0, 3.0, n=8_000)
+    vals = arr._sdf.select(F.explode("values").alias("v"))
+    return (
+        vals.filter(F.col("v") < 12)
+        .groupBy(F.floor(F.col("v") / 0.25).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+def _arr_random_logseries_oracle() -> str:
+    from dask_spark.random import RandomState, counter_uniform_sql as cu
+
+    cdf = RandomState.logseries_cdf(0.6)
+    u = cu("r.id", 0, 0, 17)
+    ks = " + ".join(f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in cdf)
+    return f"""
+    WITH z AS (SELECT {u} AS u FROM range(8000) r(id)),
+    d AS (SELECT (1 + ({ks}))::DOUBLE AS v FROM z)
+    SELECT v, count(*) AS cnt FROM d GROUP BY v ORDER BY v
+    """
+
+
+@q("arr_random_logseries", _arr_random_logseries_oracle())
+def arr_random_logseries(spark, sf_dir):
+    """da.random.logseries (reference: dask/array/random.py:241):
+    scalar p makes the CDF a driver literal (geometric tail, truncated
+    at 1e-12 mass) — the draw is the same searchsorted comparison
+    chain as poisson, shifted to support {1, 2, …}; the oracle
+    rebuilds identical thresholds."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=17).logseries(0.6, n=8_000)
+    return (
+        arr._sdf.select(F.explode("values").alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).orderBy("v")
+    )
+
+
+def _arr_random_hypergeom_oracle() -> str:
+    from dask_spark.random import RandomState, counter_uniform_sql as cu
+
+    lo, cdf = RandomState.hypergeometric_cdf(12, 25, 10)
+    u = cu("r.id", 0, 0, 19)
+    ks = " + ".join(f"(CASE WHEN u > {c!r} THEN 1 ELSE 0 END)" for c in cdf)
+    return f"""
+    WITH z AS (SELECT {u} AS u FROM range(8000) r(id)),
+    d AS (SELECT (({ks}) + {float(lo)!r})::DOUBLE AS v FROM z)
+    SELECT v, count(*) AS cnt FROM d GROUP BY v ORDER BY v
+    """
+
+
+@q("arr_random_hypergeom", _arr_random_hypergeom_oracle())
+def arr_random_hypergeom(spark, sf_dir):
+    """da.random.hypergeometric (reference: dask/array/random.py:187):
+    scalar (ngood, nbad, nsample) make the CDF a driver literal via a
+    log-space pmf recurrence — support-bounded searchsorted chain,
+    value-replayed by the oracle."""
+    from dask_spark.random import RandomState
+
+    arr = RandomState(spark, seed=19).hypergeometric(12, 25, 10, n=8_000)
+    return (
+        arr._sdf.select(F.explode("values").alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).orderBy("v")
+    )
+
+
 @q(
     "groupby_custom_agg",
     """

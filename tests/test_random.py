@@ -139,11 +139,109 @@ def test_permutation(spark):
     assert np.array_equal(vals, again)
 
 
-def test_rejection_family_raises(spark):
+NR = 12_000
+
+# Kernel rejection family: (name, draw, mean, var) — same moment
+# harness as the closed-form family, tighter N (kernel draws cost a
+# Python batch per partition).
+REJECTION_MOMENTS = [
+    ("gamma", lambda rs: rs.gamma(2.0, 1.5, NR), 3.0, 4.5),
+    ("gamma_sub1", lambda rs: rs.gamma(0.4, 1.0, NR), 0.4, 0.4),
+    ("standard_gamma", lambda rs: rs.standard_gamma(3.0, NR), 3.0, 3.0),
+    ("beta", lambda rs: rs.beta(2.0, 5.0, NR), 2 / 7,
+     (2 * 5) / (49 * 8)),
+    ("chisquare", lambda rs: rs.chisquare(4.0, NR), 4.0, 8.0),
+    ("standard_t", lambda rs: rs.standard_t(8.0, NR), 0.0, 8 / 6),
+    ("f", lambda rs: rs.f(6.0, 12.0, NR), 12 / 10,
+     2 * 12 ** 2 * 16 / (6 * 10 ** 2 * 8)),
+    ("noncentral_chisquare",
+     lambda rs: rs.noncentral_chisquare(3.0, 2.0, NR), 5.0, 14.0),
+    ("noncentral_chisquare_sub1",
+     lambda rs: rs.noncentral_chisquare(0.5, 2.0, NR), 2.5, 9.0),
+    ("negative_binomial",
+     lambda rs: rs.negative_binomial(4.0, 0.4, NR), 6.0, 15.0),
+    ("wald", lambda rs: rs.wald(2.0, 3.0, NR), 2.0, 8 / 3),
+    ("logseries", lambda rs: rs.logseries(0.5, NR),
+     -0.5 / (0.5 * math.log(0.5)),
+     -0.5 * (0.5 + math.log(0.5)) / (0.5 * math.log(0.5)) ** 2),
+    ("hypergeometric",
+     lambda rs: rs.hypergeometric(10, 20, 9, NR), 3.0,
+     9 * (10 / 30) * (20 / 30) * (21 / 29)),
+]
+
+
+def test_rejection_family_moments(spark):
+    rs = RandomState(spark, seed=42)
+    for name, draw, mu, var in REJECTION_MOMENTS:
+        v = _vals(draw(rs))
+        assert len(v) == NR, name
+        se_mean = math.sqrt(var / NR)
+        assert abs(v.mean() - mu) < 6 * se_mean + 1e-9, (
+            name, v.mean(), mu)
+        assert abs(v.var() - var) < 0.12 * var + 1e-9, (name, v.var(), var)
+
+
+def test_rejection_family_support(spark):
+    rs = RandomState(spark, seed=9)
+    assert _vals(rs.gamma(0.3, 1.0, 4000)).min() > 0
+    b = _vals(rs.beta(0.5, 0.5, 4000))
+    assert b.min() > 0 and b.max() < 1
+    z = _vals(rs.zipf(3.0, 20_000))
+    assert z.min() >= 1 and np.array_equal(z, np.floor(z))
+    # zipf pmf head: P(1) = 1/zeta(3)
+    assert abs((z == 1).mean() - 0.8319) < 0.02
+    v = _vals(rs.vonmises(0.5, 2.0, 20_000))
+    assert v.min() >= -math.pi and v.max() <= math.pi
+    circ = math.atan2(np.sin(v).mean(), np.cos(v).mean())
+    assert abs(circ - 0.5) < 0.05
+    w = _vals(rs.wald(2.0, 3.0, 4000))
+    assert w.min() > 0
+
+
+def test_rejection_family_invariance(spark):
+    """Kernel draws keep the counter contract: bit-identical across
+    partitionings and between repeated runs; seed enters the mix."""
+    rs = RandomState(spark, seed=7)
+    a = _vals(rs.gamma(2.0, 1.0, 3000, npartitions=2))
+    b = _vals(rs.gamma(2.0, 1.0, 3000, npartitions=16))
+    assert np.array_equal(a, b)
+    c = _vals(RandomState(spark, seed=8).gamma(2.0, 1.0, 3000))
+    assert not np.array_equal(a, c)
+    t1 = _vals(rs.standard_t(5.0, 1500, npartitions=3))
+    t2 = _vals(rs.standard_t(5.0, 1500, npartitions=11))
+    assert np.array_equal(t1, t2)
+
+
+def test_multinomial(spark):
+    rs = RandomState(spark, seed=5)
+    arr = rs.multinomial(20, [0.2, 0.3, 0.5], n=2500)
+    rows = arr._sdf.select("row_id", "values").collect()
+    m = np.array([r["values"] for r in rows])
+    assert m.shape == (2500, 3)
+    assert (m.sum(axis=1) == 20).all()
+    assert np.allclose(m.mean(axis=0), [4.0, 6.0, 10.0], atol=0.3)
+    with pytest.raises(ValueError):
+        rs.multinomial(20, [0.5, 0.6], n=10)
+    with pytest.raises(ValueError):
+        rs.multinomial(20_001, [0.5, 0.5], n=10)
+
+
+def test_rejection_family_validation(spark):
     rs = RandomState(spark, seed=0)
-    for meth in (rs.gamma, rs.beta, rs.chisquare, rs.vonmises, rs.wald):
-        with pytest.raises(NotImplementedError):
-            meth(1.0)
+    with pytest.raises(ValueError):
+        _vals(rs.gamma(-1.0, 1.0, 100))
+    with pytest.raises(ValueError):
+        rs.zipf(1.0, 100)._sdf.collect()
+    with pytest.raises(ValueError):
+        rs.negative_binomial(3.0, 0.0, 100)
+    with pytest.raises(ValueError):
+        rs.wald(-1.0, 1.0, 100)
+    with pytest.raises(ValueError):
+        rs.logseries(0.999, 100)  # cap points at the kernel path
+    with pytest.raises(ValueError):
+        rs.hypergeometric(10_000, 10_000, 9000, 100)  # support cap
+    with pytest.raises(ValueError):
+        rs.hypergeometric(3, 3, 10, 100)
 
 
 def test_parameter_validation(spark):
