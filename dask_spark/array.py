@@ -1622,7 +1622,7 @@ def overlap(x, depth: int, boundary=None):
     alone; here it is fused with the kernel in map_overlap (the halo
     is one range shuffle), so this returns a callable-ready handle."""
     def run(fn):
-        return x.map_overlap(fn, depth=depth)
+        return x.map_overlap(fn, depth=depth, boundary=boundary)
 
     return run
 

@@ -2019,10 +2019,11 @@ class DaskFrame:
 
         return Rolling(self, window, on, by, min_periods)
 
-    def resample(self, rule: str, on: str):
+    def resample(self, rule: str, on: str, closed: str | None = None,
+                 label: str | None = None):
         from dask_spark.operators.window import Resampler
 
-        return Resampler(self, rule, on)
+        return Resampler(self, rule, on, closed=closed, label=label)
 
     def merge_asof(self, right: "DaskFrame", on: str,
                    by: str | Sequence[str] | None = None,

@@ -744,7 +744,7 @@ class NDArray:
         return self._np_apply(fn)
 
     def map_overlap(self, fn: Callable, depth: int,
-                    npartitions: int = 32) -> "NDArray":
+                    npartitions: int = 32, boundary=None) -> "NDArray":
         """Axis-0 stencil (reference: dask/array/overlap.py
         map_overlap): ship ``depth`` neighboring rows into each range
         bucket, apply ``fn`` over the (core+halo, *inner) tensor,
@@ -752,7 +752,22 @@ class NDArray:
         shuffle of ~(1+ε)×N rows at any scale). ``depth`` is in id
         units, so it matches row counts when ids are dense. ``fn``
         must be row-aligned (same leading extent in as out), numpy
-        (rows, *inner) -> (rows, *out_inner)."""
+        (rows, *inner) -> (rows, *out_inner).
+
+        ``boundary`` (reference dask/array/overlap.py:180,204,234 +
+        coerce_boundary:807, default "none"):
+        - None / "none": true edges — the first/last bucket sees a
+          smaller halo (dask's default);
+        - "periodic": the array wraps (last rows pad the front);
+        - "reflect": edge rows mirror outward, edge included;
+        - "nearest": the edge row repeats ``depth`` times;
+        - a number: constant-value pad rows.
+        Spark shape: the pad is 2·depth SYNTHESIZED rows built by
+        remapping the edge rows' ids outside [0, n) and unioned in
+        before the range shuffle — a filter-pushdown scan of the edge
+        slivers, never a driver collect of data rows; fn's outputs for
+        pad rows are trimmed by an id-range filter afterward, so the
+        result stays row-aligned with the original array."""
         if self._id is None:
             raise ValueError("map_overlap needs id_col (row order)")
         np = _require_np()
@@ -774,10 +789,56 @@ class NDArray:
             out[col] = list(res)
             return out
 
+        base = m._sdf.select(id_, col)
+        n_keep = None
+        if boundary is not None and boundary != "none":
+            d = int(depth)
+            n = base.count()  # ids are dense 0..n-1 (one tiny job)
+            if d > n:
+                raise ValueError("depth exceeds array length")
+            idc = F.col(id_)
+            if boundary == "periodic":
+                pre = base.filter(idc >= n - d).withColumn(
+                    id_, (idc - F.lit(n)).cast(id_dt))
+                post = base.filter(idc < d).withColumn(
+                    id_, (idc + F.lit(n)).cast(id_dt))
+            elif boundary == "reflect":
+                pre = base.filter(idc < d).withColumn(
+                    id_, (F.lit(-1) - idc).cast(id_dt))
+                post = base.filter(idc >= n - d).withColumn(
+                    id_, (F.lit(2 * n - 1) - idc).cast(id_dt))
+            elif boundary == "nearest":
+                ks = F.explode(
+                    F.sequence(F.lit(1), F.lit(d))
+                ).alias("__k")
+                pre = base.filter(idc == 0).select(ks, id_, col).select(
+                    (idc - F.col("__k")).cast(id_dt).alias(id_), col)
+                post = base.filter(idc == n - 1).select(
+                    ks, id_, col
+                ).select(
+                    (idc + F.col("__k")).cast(id_dt).alias(id_), col)
+            elif isinstance(boundary, (int, float)):
+                spark = base.sparkSession
+                width = int(np.prod(inner)) if inner else 1
+                cvec = F.array_repeat(
+                    F.lit(float(boundary)), width
+                ).cast(dict(base.dtypes)[col])
+                pre = spark.range(-d, 0).select(
+                    F.col("id").cast(id_dt).alias(id_), cvec.alias(col))
+                post = spark.range(n, n + d).select(
+                    F.col("id").cast(id_dt).alias(id_), cvec.alias(col))
+            else:
+                raise ValueError(
+                    f"unknown boundary {boundary!r}: use 'none', "
+                    "'periodic', 'reflect', 'nearest', or a constant"
+                )
+            base = base.unionByName(pre).unionByName(post)
+            n_keep = n
+
         from dask_spark.operators.window import map_overlap as frame_mo
 
         out = frame_mo(
-            DaskFrame(m._sdf),
+            DaskFrame(base),
             run,
             schema=f"{id_} {id_dt}, {col} array<double>",
             on=id_,
@@ -785,7 +846,12 @@ class NDArray:
             after=depth,
             npartitions=npartitions,
         )
-        return NDArray(out._sdf, out_inner, col, id_)
+        osdf = out._sdf
+        if n_keep is not None:
+            osdf = osdf.filter(
+                (F.col(id_) >= 0) & (F.col(id_) < n_keep)
+            )
+        return NDArray(osdf, out_inner, col, id_)
 
     def explode(self, pos_col: str = "pos", val_col: str = "val") -> DaskFrame:
         """(id?, pos, value) long form — the hash-checkable shape for

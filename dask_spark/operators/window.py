@@ -27,7 +27,7 @@ _ROLL_AGGS = {
 _FREQ_SECONDS = {"s": 1, "min": 60, "t": 60, "h": 3600, "d": 86400, "w": 604800}
 
 
-def _freq_to_seconds(rule: str) -> int:
+def _freq_parse(rule: str) -> tuple[int, str]:
     import re
 
     m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", rule.strip())
@@ -35,7 +35,15 @@ def _freq_to_seconds(rule: str) -> int:
         raise ValueError(f"bad frequency {rule!r}")
     n = int(m.group(1) or 1)
     unit = m.group(2).lower()
-    return n * _FREQ_SECONDS[unit]
+    return n * _FREQ_SECONDS[unit], unit
+
+
+def _freq_to_seconds(rule: str) -> int:
+    return _freq_parse(rule)[0]
+
+
+def _freq_unit(rule: str) -> str:
+    return _freq_parse(rule)[1]
 
 
 class Rolling:
@@ -253,18 +261,62 @@ class Rolling:
 
 class Resampler:
     """``frame.resample("1h", on="ts").agg({"value": "mean"})`` →
-    date_trunc-style bucketing + groupBy. Bucket start is emitted as
-    column ``<on>_bucket`` (timestamp)."""
+    date_trunc-style bucketing + groupBy. Bucket label is emitted as
+    column ``<on>_bucket`` (timestamp).
 
-    def __init__(self, frame, rule: str, on: str):
+    ``closed``/``label`` follow pandas (reference:
+    dask/dataframe/tseries/resample.py:66 threads both straight to
+    pandas resample): ``closed`` picks which bin edge is inclusive,
+    ``label`` which edge names the bucket. Defaults are pandas':
+    left/left for sub-weekly rules, right/right for "W" (whose bins
+    also anchor to SUNDAY midnight — epoch + 3 days — not the epoch,
+    so weekly buckets land on pandas' W-SUN edges). All still ONE
+    map-side bucket expression + one groupBy: the closed/label shift
+    is driver-side arithmetic on the same epoch modulus."""
+
+    # epoch (Thu Jan 1 1970) → first Sunday 00:00 is Jan 4: anchor
+    # weekly bins to pandas' W-SUN edges
+    _W_ANCHOR = 259_200
+
+    def __init__(self, frame, rule: str, on: str,
+                 closed: str | None = None, label: str | None = None):
         self._frame = frame
         self._rule = rule
         self._on = on
+        unit = _freq_unit(rule)
+        default = "right" if unit == "w" else "left"
+        self._unit = unit
+        self._closed = closed or default
+        self._label = label or default
+        if self._closed not in ("left", "right"):
+            raise ValueError("closed must be 'left' or 'right'")
+        if self._label not in ("left", "right"):
+            raise ValueError("label must be 'left' or 'right'")
+        self._anchor = self._W_ANCHOR if unit == "w" else 0
 
     def _bucket(self) -> Column:
         secs = _freq_to_seconds(self._rule)
-        epoch = F.col(self._on).cast("timestamp").cast("long")
-        return F.timestamp_seconds((epoch - epoch % secs))
+        off = self._anchor % secs
+        closed, shift = self._closed, 0
+        if self._unit == "w" and closed == "right":
+            # pandas _adjust_bin_edges: W (and M/Q/Y) right-closed bins
+            # include the FULL label day — the Sunday-labeled bin ends
+            # at the END of Sunday, not at Sunday midnight. Equivalent
+            # arithmetic: left-closed bins anchored MONDAY with labels
+            # a day earlier. (Sub-daily rules keep pure edge
+            # semantics: pandas only adjusts day-calendar freqs.)
+            off = (off + 86_400) % secs
+            closed = "left"
+            shift = -86_400
+        e = F.col(self._on).cast("timestamp").cast("long") - F.lit(off)
+        rem = F.pmod(e, F.lit(secs))
+        left = e - rem
+        if closed == "right":
+            # an edge timestamp belongs to the bin it ENDS
+            left = F.when(rem == 0, e - F.lit(secs)).otherwise(left)
+        if self._label == "right":
+            left = left + F.lit(secs)
+        return F.timestamp_seconds(left + F.lit(off + shift))
 
     def agg(self, spec: dict[str, object]) -> "DaskFrame":
         from dask_spark.frame import DaskFrame

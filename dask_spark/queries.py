@@ -1217,6 +1217,39 @@ def resample_q(spark, sf_dir):
 
 
 @q(
+    "resample_closed",
+    """
+    WITH e AS (SELECT epoch_us(ts) // 1000000 AS es, value FROM events),
+    b AS (
+      SELECT CASE WHEN es % 3600 = 0 THEN es - 3600
+                  ELSE es - es % 3600 END + 3600 AS bucket_s,
+             value
+      FROM e
+    )
+    SELECT bucket_s, ROUND(AVG(value), 4) AS value_mean,
+           COUNT(*)::BIGINT AS value_count
+    FROM b GROUP BY bucket_s
+    """,
+)
+def resample_closed(spark, sf_dir):
+    """resample(closed='right', label='right') (reference:
+    dask/dataframe/tseries/resample.py:66 — pandas' right-closed
+    intervals, the default for W/M rules): an edge timestamp belongs
+    to the bucket it ENDS, and the bucket is named by its right edge.
+    Same ONE map-side bucket expression + one groupBy as the
+    left-closed default; the oracle replays the edge CASE exactly."""
+    e = load(spark, sf_dir, "events")
+    out = e.resample("1h", on="ts", closed="right", label="right").agg(
+        {"value": ["mean", "size"]}
+    )
+    return out.to_spark().select(
+        F.col("ts_bucket").cast("long").alias("bucket_s"),
+        F.round("value_mean", 4).alias("value_mean"),
+        F.col("value_size").alias("value_count"),
+    )
+
+
+@q(
     "groupby_transform",
     """
     SELECT event_id, user_id,

@@ -271,6 +271,52 @@ def test_map_overlap_stencil(spark):
     np.testing.assert_allclose(got[2:-2], want[2:-2], rtol=1e-12)
 
 
+def test_map_overlap_boundary_modes(spark):
+    """boundary='periodic'/'reflect'/'nearest'/constant must match
+    numpy's pad-then-stencil-then-trim closed form EVERYWHERE,
+    including the outermost rows (reference dask/array/overlap.py
+    periodic:180, reflect:204, nearest:234)."""
+    from dask_spark.ndarray import NDArray
+
+    n, d, depth = 60, 3, 2
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(n, d)).round(3)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"id": range(n), "block": [list(r) for r in data]})
+    )
+    nd = NDArray(sdf, (d,), "block", "id")
+
+    def smooth(blk):
+        out = blk.copy()
+        for r in range(len(blk)):
+            lo, hi = max(0, r - depth), min(len(blk), r + depth + 1)
+            out[r] = blk[lo:hi].mean(axis=0)
+        return out
+
+    np_mode = {"periodic": "wrap", "reflect": "symmetric",
+               "nearest": "edge"}
+    for mode, npm in np_mode.items():
+        padded = np.pad(data, ((depth, depth), (0, 0)), mode=npm)
+        want = smooth(padded)[depth:-depth]
+        got = nd.map_overlap(
+            smooth, depth=depth, npartitions=6, boundary=mode
+        ).compute()
+        np.testing.assert_allclose(got, want, rtol=1e-12, err_msg=mode)
+
+    padded = np.pad(data, ((depth, depth), (0, 0)),
+                    mode="constant", constant_values=7.5)
+    want = smooth(padded)[depth:-depth]
+    got = nd.map_overlap(
+        smooth, depth=depth, npartitions=6, boundary=7.5
+    ).compute()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    with pytest.raises(ValueError):
+        nd.map_overlap(smooth, depth=2, boundary="bogus")
+    with pytest.raises(ValueError):
+        nd.map_overlap(smooth, depth=n + 1, boundary="reflect")
+
+
 def test_coarsen(spark):
     """coarsen matches dask/numpy block reduction on inner axes and on
     the distributed row axis."""

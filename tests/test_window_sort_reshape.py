@@ -85,6 +85,69 @@ def test_resample(tables, pdf_tables):
     assert_eq(got, want, sort_by=["ts_bucket"])
 
 
+def test_resample_closed_label(tables, pdf_tables):
+    """closed=/label= parity with pandas (reference:
+    dask/dataframe/tseries/resample.py:66 threads both to pandas),
+    including the right-closed boundary rule (edge timestamps belong
+    to the bin they END) and the W-SUN anchored weekly default."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    esdf = tables["events"].to_spark()
+    if dict(esdf.dtypes).get("ts") == "bigint":
+        esdf = esdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    e = DaskFrame(esdf)
+    p = pdf_tables["events"]
+    pi = p.set_index(pd.to_datetime(p.ts))
+
+    cases = [
+        ("1h", {"closed": "right"}),
+        ("1h", {"closed": "right", "label": "right"}),
+        ("6h", {"closed": "left", "label": "right"}),
+        ("1d", {"closed": "right", "label": "left"}),
+        ("1w", {}),                      # pandas default: right/right
+        ("1w", {"closed": "left", "label": "left"}),
+    ]
+    for rule, kw in cases:
+        got = e.resample(rule, on="ts", **kw).agg(
+            {"value": ["sum", "count"]}
+        )
+        want = (
+            pi.resample(rule.lstrip("1").replace("w", "W"), **kw)
+            .agg(value_sum=("value", "sum"),
+                 value_count=("value", "count"))
+            .reset_index()
+            .rename(columns={"ts": "ts_bucket"})
+        )
+        want = want[want.value_count > 0]
+        assert_eq(got, want, sort_by=["ts_bucket"])
+
+
+def test_resample_closed_boundary_rows(spark):
+    """Hand-built boundary: a timestamp exactly on a bin edge flips
+    buckets between closed='left' and closed='right'."""
+    from dask_spark.frame import DaskFrame
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 12:00", "2024-01-02 00:00"]
+        ),
+        "v": [1.0, 1.0, 1.0],
+    })
+    e = DaskFrame(spark.createDataFrame(pdf))
+    left = e.resample("1d", on="ts").agg({"v": "sum"}).compute()
+    right = e.resample("1d", on="ts", closed="right").agg(
+        {"v": "sum"}
+    ).compute()
+    lm = dict(zip(pd.to_datetime(left["ts_bucket"]), left["v_sum"]))
+    rm = dict(zip(pd.to_datetime(right["ts_bucket"]), right["v_sum"]))
+    assert lm == {pd.Timestamp("2024-01-01"): 2.0,
+                  pd.Timestamp("2024-01-02"): 1.0}
+    assert rm == {pd.Timestamp("2023-12-31"): 1.0,
+                  pd.Timestamp("2024-01-01"): 2.0}
+
+
 def test_sort_values_global(tables, pdf_tables):
     li = tables["lineitem"]
     got = li.sort_values(["l_extendedprice"], ascending=False)[
