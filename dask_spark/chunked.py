@@ -5,12 +5,14 @@ this design and its cost model).
 
 Layout: a logical (n, A, B) tensor whose rows exceed the one-task
 block budget stores as ``(row_id, chunk_id, block)`` rows — the FIRST
-inner axis splits into ``chunks`` even slices of a = A/chunks rows
-each, so one stored block is an (a, B) tile, flattened row-major.
-Tiles of one logical row live on (potentially) different executors:
-the 256 MiB/row ceiling becomes a 256 MiB/TILE ceiling, and a
-(n, 100k, 100k) tensor is representable at ~80 GB/row spread over
-~300 tiles.
+inner axis splits into per-chunk row counts ``chunk_rows`` (RAGGED
+allowed: any sizes summing to A; an int asks for numpy
+``array_split`` distribution, so uneven counts like 8 rows into 3
+chunks give (3, 3, 2)). One stored block is an (a_c, B) tile,
+flattened row-major. Tiles of one logical row live on (potentially)
+different executors: the 256 MiB/row ceiling becomes a 256 MiB/TILE
+ceiling, and a (n, 100k, 100k) tensor is representable at ~80 GB/row
+spread over ~300 tiles.
 
 Cost model (the reason this is NOT the default layout): elementwise
 ops and reductions along the non-chunked axis stay map-only, but any
@@ -20,9 +22,12 @@ exactly dask's rechunk shuffle. The single-chunk NDArray does those
 same ops as a free driver-side permutation, which is why it remains
 the default and this class is opt-in for oversized inners.
 
-Restrictions (documented, enforced): 2-D inner tiles, even chunking
-(A % chunks == 0; transpose also needs B % out_chunks == 0). Ragged
-chunks need per-chunk gather literals — a mechanical extension."""
+Ragged mechanics: every per-chunk quantity (tile row count a_c, row
+offset) is either folded into the driver-built expression for that
+chunk or read from an O(#chunks) sizes/offsets ARRAY LITERAL indexed
+by the chunk-id column — the gather/scatter indices themselves are
+closed-form stride arithmetic (k%a_c, k/a_c), so plan size stays
+O(#chunks), never O(elements). Restriction kept: 2-D inner tiles."""
 
 from __future__ import annotations
 
@@ -40,10 +45,34 @@ def _require_np():
     return np
 
 
-class ChunkedNDArray:
-    """Lazy (n, A, B) tensor stored as even (A/chunks, B) tiles."""
+def _coerce_chunk_rows(extent: int, chunks) -> tuple[int, ...]:
+    """int -> numpy array_split distribution over ``extent`` rows;
+    sequence -> explicit per-chunk sizes (must sum to extent)."""
+    if isinstance(chunks, int):
+        if chunks < 1 or chunks > extent:
+            raise ValueError(f"bad chunk count {chunks} for {extent} rows")
+        big, rest = divmod(extent, chunks)
+        return tuple([big + 1] * rest + [big] * (chunks - rest))
+    sizes = tuple(int(s) for s in chunks)
+    if any(s < 1 for s in sizes) or sum(sizes) != extent:
+        raise ValueError(
+            f"chunk sizes {sizes} must be positive and sum to {extent}"
+        )
+    return sizes
 
-    def __init__(self, sdf, inner_shape: Sequence[int], chunks: int,
+
+def _offsets(sizes: Sequence[int]) -> tuple[int, ...]:
+    out, acc = [], 0
+    for s in sizes:
+        out.append(acc)
+        acc += s
+    return tuple(out)
+
+
+class ChunkedNDArray:
+    """Lazy (n, A, B) tensor stored as (a_c, B) tiles, ragged-aware."""
+
+    def __init__(self, sdf, inner_shape: Sequence[int], chunks,
                  col: str = "block", id_col: str = "row_id",
                  chunk_col: str = "chunk_id"):
         self._sdf = sdf
@@ -51,46 +80,43 @@ class ChunkedNDArray:
         self._id = id_col
         self._ck = chunk_col
         self.inner_shape = tuple(int(s) for s in inner_shape)
-        self.chunks = int(chunks)
         if len(self.inner_shape) != 2:
             raise ValueError("ChunkedNDArray: 2-D inner tiles only")
         A, B = self.inner_shape
-        if A % self.chunks:
-            raise ValueError(
-                f"even chunking required: {A} rows into {self.chunks} chunks"
-            )
+        self.chunk_rows = _coerce_chunk_rows(A, chunks)
+        self.chunks = len(self.chunk_rows)
 
     # ---- constructors --------------------------------------------------
     @classmethod
-    def from_ndarray(cls, nd, chunks: int) -> "ChunkedNDArray":
+    def from_ndarray(cls, nd, chunks) -> "ChunkedNDArray":
         """Split a single-chunk NDArray's first inner axis: axis-1
         chunks of a row-major (A, B) block are CONTIGUOUS flat
         ranges, so the explode is C in-row slices — map-only, no
-        shuffle."""
+        shuffle. ``chunks``: int (array_split sizes) or explicit
+        per-chunk row counts (ragged fine; reference rechunk.py:270
+        accepts any chunk tuple)."""
         if len(nd.inner_shape) != 2:
             raise ValueError("from_ndarray needs 2-D inner")
         A, B = nd.inner_shape
-        if A % chunks:
-            raise ValueError(f"even chunking required: {A} / {chunks}")
-        a = A // chunks
+        sizes = _coerce_chunk_rows(A, chunks)
+        offs = _offsets(sizes)
         m = nd._materialize()
         if m._id is None:
             raise ValueError("chunking needs an id column")
-        tile = a * B
         sdf = m._sdf.select(
             F.col(m._id).alias("row_id"),
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(chunks - 1)),
-                    lambda c: F.slice(F.col(m._col), c * tile + 1, tile),
-                )
+                F.array(*[
+                    F.slice(F.col(m._col), offs[c] * B + 1, sizes[c] * B)
+                    for c in range(len(sizes))
+                ])
             ).alias("chunk_id", "block"),
         )
-        return cls(sdf, (A, B), chunks)
+        return cls(sdf, (A, B), sizes)
 
     @classmethod
     def from_vectors(cls, frame: DaskFrame, col: str, inner_shape,
-                     chunks: int, id_col: str) -> "ChunkedNDArray":
+                     chunks, id_col: str) -> "ChunkedNDArray":
         from dask_spark.ndarray import NDArray
 
         A, B = inner_shape
@@ -100,12 +126,19 @@ class ChunkedNDArray:
     # ---- metadata ------------------------------------------------------
     @property
     def tile_shape(self):
-        A, B = self.inner_shape
-        return (A // self.chunks, B)
+        """(max tile rows, B) — tiles are ragged; this is the bound."""
+        return (max(self.chunk_rows), self.inner_shape[1])
 
     @property
     def ndim(self) -> int:
         return 3
+
+    def _sizes_lit(self):
+        """O(#chunks) array literal: a_c by chunk id (1-based at)."""
+        return F.array(*[F.lit(int(s)) for s in self.chunk_rows])
+
+    def _offs_lit(self):
+        return F.array(*[F.lit(int(o)) for o in _offsets(self.chunk_rows)])
 
     # ---- elementwise (map-only, chunking invisible) --------------------
     def map(self, fn) -> "ChunkedNDArray":
@@ -113,7 +146,7 @@ class ChunkedNDArray:
             self._id, self._ck,
             F.transform(F.col(self._col), lambda x: fn(x)).alias(self._col),
         )
-        return ChunkedNDArray(out, self.inner_shape, self.chunks,
+        return ChunkedNDArray(out, self.inner_shape, self.chunk_rows,
                               self._col, self._id, self._ck)
 
     def __add__(self, o):
@@ -127,49 +160,60 @@ class ChunkedNDArray:
         return self.map(lambda x: x * F.lit(float(o)))
 
     # ---- the rechunk shuffle: inner transpose --------------------------
-    def transpose(self, out_chunks: int | None = None) -> "ChunkedNDArray":
+    def transpose(self, out_chunks=None) -> "ChunkedNDArray":
         """(n, A, B) -> (n, B, A) with the output chunked along B.
 
         The one genuinely-moving structural op: every output tile
         needs columns from EVERY input tile of its row, so the plan
         is slice-map (each input tile emits its contribution to each
-        output tile as one driver-planned gather) -> ONE shuffle
+        output tile via closed-form stride arithmetic) -> ONE shuffle
         keyed (row, out_chunk) -> ordered in-agg reassembly. Shuffle
         volume = the tensor, once — the same bill dask's rechunk
-        pays for a cross-axis rechunk (rechunk.py:270)."""
-        np = _require_np()
+        pays for a cross-axis rechunk (rechunk.py:270). Ragged on
+        BOTH sides: the source tile height a_c is read from the
+        O(#chunks) sizes literal by the chunk-id column, so no gather
+        literal ever materializes O(elements) plan state."""
         A, B = self.inner_shape
-        C = self.chunks
-        a = A // C
-        Cp = out_chunks or C
-        if B % Cp:
-            raise ValueError(f"even chunking required: {B} / {Cp}")
-        b = B // Cp
-
-        # gather literal for output chunk j, same for every input tile:
-        # piece[r, c] = tile[c, j*b + r]  (flat: c*B + j*b + r), 1-based
-        pieces = []
-        for j in range(Cp):
-            idx = np.empty(b * a, dtype="int32")
-            k = 0
-            for r in range(b):
-                for c in range(a):
-                    idx[k] = c * B + j * b + r + 1
-                    k += 1
-            pieces.append(F.lit(idx))
+        out_sizes = _coerce_chunk_rows(
+            B, out_chunks if out_chunks is not None else self.chunks
+        )
+        out_offs = _offsets(out_sizes)
         blk = F.col(self._col)
+        asz = F.element_at(self._sizes_lit(), F.col(self._ck) + 1)
+
+        # contribution of a source (a_c, B) tile to output chunk j —
+        # an (out_sizes[j], a_c) sub-tile, row-major:
+        #   piece[k] = tile[(k % a_c) * B + boff_j + k / a_c]
+        def piece(j: int):
+            bj, boff = out_sizes[j], out_offs[j]
+
+            def gat(k):
+                return F.element_at(
+                    blk,
+                    ((k % asz) * B + F.lit(boff)
+                     + F.floor(k / asz)).cast("int") + 1,
+                )
+
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(bj) * asz - 1), gat
+            )
+
         contrib = self._sdf.select(
             F.col(self._id),
             F.col(self._ck).alias("__src"),
             F.posexplode(
-                F.array(*[
-                    F.transform(p, lambda i: F.element_at(blk, i))
-                    for p in pieces
-                ])
+                F.array(*[piece(j) for j in range(len(out_sizes))])
             ).alias("__dst", "__piece"),
         )
-        # reassemble: out tile (b, A) row r = concat over src tiles of
-        # piece[r*a : (r+1)*a] — ordered in-agg, never on the driver
+        # reassemble: out tile (b_j, A) row r = concat over src tiles
+        # (chunk order) of piece[r*a_src : (r+1)*a_src] — a_src read
+        # from the sizes literal per source; ordered in-agg, never on
+        # the driver
+        szs = self._sizes_lit()
+
+        def src_rows(p):
+            return F.element_at(szs, p["__src"] + 1)
+
         assembled = (
             contrib.groupBy(self._id, "__dst")
             .agg(
@@ -182,12 +226,20 @@ class ChunkedNDArray:
                 F.col("__dst").alias(self._ck),
                 F.flatten(
                     F.transform(
-                        F.sequence(F.lit(0), F.lit(b - 1)),
+                        F.sequence(
+                            F.lit(0),
+                            F.element_at(
+                                F.array(*[F.lit(s) for s in out_sizes]),
+                                F.col("__dst") + 1,
+                            ) - 1,
+                        ),
                         lambda r: F.flatten(
                             F.transform(
                                 F.col("__ps"),
                                 lambda p: F.slice(
-                                    p["__piece"], r * a + 1, a
+                                    p["__piece"],
+                                    (r * src_rows(p)).cast("int") + 1,
+                                    src_rows(p).cast("int"),
                                 ),
                             )
                         ),
@@ -195,7 +247,7 @@ class ChunkedNDArray:
                 ).alias(self._col),
             )
         )
-        return ChunkedNDArray(assembled, (B, A), Cp,
+        return ChunkedNDArray(assembled, (B, A), out_sizes,
                               self._col, self._id, self._ck)
 
     # ---- reductions ----------------------------------------------------
@@ -205,28 +257,35 @@ class ChunkedNDArray:
         zip_with-add of C partial B-vectors — only C*B scalars per
         row cross the wire, never the tensor. axis 2: per-tile row
         sums, reassembled to the (n, A) single-chunk layout by an
-        ordered concat."""
+        ordered concat. Ragged: the per-tile extent a_c comes from
+        the sizes literal."""
         from dask_spark.ndarray import NDArray
 
-        np = _require_np()
         A, B = self.inner_shape
-        a = A // self.chunks
         blk = F.col(self._col)
+        asz = F.element_at(self._sizes_lit(), F.col(self._ck) + 1)
         if axis == 1:
             colsum = F.transform(
                 F.sequence(F.lit(0), F.lit(B - 1)),
                 lambda q: F.aggregate(
-                    F.sequence(F.lit(0), F.lit(a - 1)),
+                    F.sequence(F.lit(0), asz - 1),
                     F.lit(0.0),
                     lambda acc, p: acc + F.element_at(
                         blk, (p * B + q + 1).cast("int")
                     ),
                 ),
             )
-            partial = self._sdf.select(self._id, colsum.alias("__part"))
+            partial = self._sdf.select(
+                self._id, self._ck, colsum.alias("__part")
+            )
             out = partial.groupBy(self._id).agg(
                 F.aggregate(
-                    F.collect_list("__part"),
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(self._ck, "__part"))
+                        ),
+                        lambda s: s["__part"],
+                    ),
                     F.array_repeat(F.lit(0.0), B),
                     lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
                 ).alias("block")
@@ -237,9 +296,9 @@ class ChunkedNDArray:
             )
         if axis == 2:
             rowsum = F.transform(
-                F.sequence(F.lit(0), F.lit(a - 1)),
+                F.sequence(F.lit(0), asz - 1),
                 lambda p: F.aggregate(
-                    F.slice(blk, p * B + 1, B), F.lit(0.0),
+                    F.slice(blk, (p * B).cast("int") + 1, B), F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),
             )
@@ -291,17 +350,18 @@ class ChunkedNDArray:
     def explode(self) -> DaskFrame:
         """(row, flat position, value) long form — the hash-checkable
         oracle bridge: flat position folds (chunk, in-tile pos) back
-        to the LOGICAL row-major index."""
-        A, B = self.inner_shape
-        a = A // self.chunks
-        tile = a * B
+        to the LOGICAL row-major index via the offsets literal."""
+        B = self.inner_shape[1]
         sdf = self._sdf.select(
             self._id,
             self._ck,
             F.posexplode(F.col(self._col)).alias("tpos", "val"),
         ).select(
             self._id,
-            (F.col(self._ck).cast("long") * tile + F.col("tpos")).alias("pos"),
+            (
+                F.element_at(self._offs_lit(), F.col(self._ck) + 1)
+                .cast("long") * B + F.col("tpos")
+            ).alias("pos"),
             "val",
         )
         return DaskFrame(sdf)

@@ -4863,18 +4863,21 @@ def arr_nd_chunked_transpose(spark, sf_dir):
     """Chunked-inner transpose (reference dask/array/rechunk.py:270 —
     rechunking across an axis; chunked.py is the documented
     escalation past NDArray's single-chunk inner boundary). The 64-d
-    embedding becomes a logical (n, 8, 8) tensor stored as two
-    (4, 8) tiles per row; transpose is slice-map -> ONE
-    (row, out_chunk) shuffle -> ordered in-agg reassembly. The
-    oracle replays the flat transpose index arithmetic
+    embedding becomes a logical (n, 8, 8) tensor stored as RAGGED
+    (3, 8) + (5, 8) tiles per row; transpose moves every element
+    through slice-map -> ONE (row, out_chunk) shuffle -> ordered
+    in-agg reassembly into a ragged (5, 3) output tiling. The oracle
+    replays the flat transpose index arithmetic
     (out[p] = in[(p%8)*8 + p/8]) directly on the original vector —
-    every element's journey through the tile shuffle is
-    value-checked."""
+    chunking must be invisible in the values, so every element's
+    journey through the ragged tile shuffle is value-checked."""
     from dask_spark.chunked import ChunkedNDArray
 
     e = load(spark, sf_dir, "embeddings")
-    ch = ChunkedNDArray.from_vectors(e, "embedding", (8, 8), 2, "vec_id")
-    out = ch.transpose(out_chunks=2).explode()
+    ch = ChunkedNDArray.from_vectors(
+        e, "embedding", (8, 8), (3, 5), "vec_id"
+    )
+    out = ch.transpose(out_chunks=(5, 3)).explode()
     return (
         out.to_spark()
         .select(F.col("row_id").alias("vec_id"), "pos", "val")

@@ -721,15 +721,55 @@ class TestChunkedNDArray:
         )
 
     def test_guards(self, spark):
-        from dask_spark.chunked import ChunkedNDArray
-
         ch = self._chunked(spark)
         with pytest.raises(ValueError):
-            self._chunked(spark, chunks=3)  # 8 % 3 != 0
-        with pytest.raises(ValueError):
-            ch.transpose(out_chunks=4)  # 6 % 4 != 0
-        with pytest.raises(ValueError):
             ch.sum(axis=0)
+        with pytest.raises(ValueError):
+            self._chunked(spark, chunks=9)  # more chunks than rows
+        with pytest.raises(ValueError):
+            self._chunked(spark, chunks=(4, 3))  # sizes must sum to 8
+        with pytest.raises(ValueError):
+            self._chunked(spark, chunks=(8, 0))  # positive sizes only
+
+    def test_ragged_chunks(self, spark):
+        """Uneven splits (reference dask/array/rechunk.py:270 accepts
+        any chunk tuple): int counts use array_split distribution,
+        explicit ragged size tuples round-trip, transpose moves data
+        correctly across ragged tilings on BOTH sides, and reductions
+        read per-tile extents from the sizes literal."""
+        # 8 rows into 3 chunks -> (3, 3, 2)
+        ch = self._chunked(spark, chunks=3)
+        assert ch.chunk_rows == (3, 3, 2)
+        assert np.array_equal(ch.compute(), self.REF)
+        assert np.array_equal((ch * 3.0).compute(), self.REF * 3)
+
+        # explicit ragged sizes
+        ch = self._chunked(spark, chunks=(1, 5, 2))
+        assert ch.chunk_rows == (1, 5, 2)
+        assert np.array_equal(ch.compute(), self.REF)
+
+        # ragged transpose: 6 output rows into ragged (4, 2)
+        t = ch.transpose(out_chunks=(4, 2))
+        assert t.inner_shape == (6, 8) and t.chunk_rows == (4, 2)
+        assert np.array_equal(t.compute(), np.transpose(self.REF, (0, 2, 1)))
+        # involution back through yet another ragged chunking
+        assert np.array_equal(
+            t.transpose(out_chunks=(2, 3, 3)).compute(), self.REF
+        )
+
+        # reductions over ragged tiles
+        assert np.allclose(
+            ch.sum(axis=1).compute().reshape(2, 6), self.REF.sum(axis=1)
+        )
+        assert np.allclose(
+            ch.sum(axis=2).compute().reshape(2, 8), self.REF.sum(axis=2)
+        )
+
+        # flat-index replay on a ragged layout
+        ex = ch.explode().compute()
+        for _, row in ex.iterrows():
+            r, p = int(row["row_id"]), int(row["pos"])
+            assert row["val"] == self.REF[r].ravel()[p]
 
     def test_transpose_is_one_shuffle(self, spark):
         """The rechunk bill: exactly ONE exchange keyed by
