@@ -623,18 +623,36 @@ class RandomState:
         if not vals:
             raise ValueError("a must be non-empty")
         if not replace:
-            if p is not None:
-                raise NotImplementedError(
-                    "weighted choice without replacement: compose "
-                    "permutation over exponential(1/w) keys instead"
-                )
             if n > len(vals):
                 raise ValueError("cannot take more than len(a) without "
                                  "replacement")
-            keyed = sorted(
-                range(len(vals)),
-                key=lambda i: _py_uniform(i, 0, 0, self._seed),
-            )
+            if p is not None:
+                # Efraimidis–Spirakis A-Res weighted reservoir: item i
+                # keys u_i^(1/w_i), take the n LARGEST keys — the
+                # standard one-pass weighted sample without
+                # replacement. Same driver replay of the counter mix
+                # as the uniform path (population is driver data by
+                # contract), so engine draws reproduce bit-for-bit.
+                if len(p) != len(vals):
+                    raise ValueError("p length must match a")
+                if any(w < 0 for w in p):
+                    raise ValueError("weights must be non-negative")
+                if sum(1 for w in p if w > 0) < n:
+                    raise ValueError(
+                        "fewer positive-weight items than draws"
+                    )
+                keyed = sorted(
+                    range(len(vals)),
+                    key=lambda i: -(
+                        _py_uniform(i, 0, 0, self._seed)
+                        ** (1.0 / p[i]) if p[i] > 0 else 0.0
+                    ),
+                )
+            else:
+                keyed = sorted(
+                    range(len(vals)),
+                    key=lambda i: _py_uniform(i, 0, 0, self._seed),
+                )
             chosen = [float(vals[i]) for i in keyed[:n]]
             rng = self._range(n, npartitions)
             lit = F.array(*[F.lit(v) for v in chosen])
@@ -682,10 +700,33 @@ class RandomState:
         from pyspark.sql import Window
 
         if not isinstance(x, int):
-            raise NotImplementedError(
-                "permutation of an existing DArray: permute row ids "
-                "with permutation(n) and join on id"
+            # permute an existing DArray/NDArray along axis 0
+            # (reference random.py:301 delegates to shuffle_slice):
+            # draw a permutation of the dense row ids and JOIN — one
+            # shuffle carries the collection, the permutation side is
+            # the tiny (n, 1) id map. out[dst] = x[perm[dst]].
+            m = x._materialize() if hasattr(x, "_materialize") else x
+            sdf, col, id_ = m._sdf, m._col, m._id
+            if id_ is None:
+                raise ValueError("permutation needs dense 0-based ids")
+            n = sdf.count()
+            perm = self.permutation(n, npartitions)
+            id_dt = dict(sdf.dtypes)[id_]
+            src = perm._sdf.select(
+                F.col("row_id").alias("__dst"),
+                F.element_at("values", 1).cast(id_dt).alias("__srcid"),
             )
+            out_sdf = (
+                src.join(sdf, src["__srcid"] == sdf[id_])
+                .select(
+                    F.col("__dst").cast(id_dt).alias(id_), F.col(col)
+                )
+            )
+            if hasattr(x, "inner_shape"):
+                from dask_spark.ndarray import NDArray
+
+                return NDArray(out_sdf, m.inner_shape, col, id_)
+            return DArray(out_sdf, col, id_)
         nb = (npartitions
               or self._spark.sparkContext.defaultParallelism or 2)
         rng = self._range(x, npartitions)

@@ -139,6 +139,63 @@ def test_permutation(spark):
     assert np.array_equal(vals, again)
 
 
+def test_choice_weighted_without_replacement(spark):
+    """Efraimidis–Spirakis weighted sample without replacement:
+    distinct draws from the population, seeded-reproducible, and
+    high-weight items dominate inclusion frequency across seeds."""
+    pop = list(range(20))
+    w = [100.0 if i < 2 else 1.0 for i in pop]
+    v = _vals(RandomState(spark, seed=4).choice(
+        pop, n=5, replace=False, p=w))
+    assert len(v) == 5 and len(set(v)) == 5
+    assert set(v) <= set(float(x) for x in pop)
+    v2 = _vals(RandomState(spark, seed=4).choice(
+        pop, n=5, replace=False, p=w))
+    assert np.array_equal(v, v2)
+    hits = 0
+    for seed in range(40):
+        s = _vals(RandomState(spark, seed=seed).choice(
+            pop, n=5, replace=False, p=w))
+        hits += (0.0 in s) + (1.0 in s)
+    # P(high-weight item in sample) ~ 1 under 100:1 weights
+    assert hits >= 70, hits
+    with pytest.raises(ValueError):
+        RandomState(spark, seed=0).choice(
+            pop, n=5, replace=False, p=[-1.0] * 20)
+    with pytest.raises(ValueError):
+        RandomState(spark, seed=0).choice(
+            pop, n=5, replace=False, p=[1.0] + [0.0] * 19)
+
+
+def test_permutation_of_darray(spark):
+    """Permuting an existing collection (reference random.py:301 →
+    shuffle_slice): values are a permutation of the input along axis
+    0, placement matches permutation(n)'s id map exactly, and the
+    draw is seeded-reproducible."""
+    rs = RandomState(spark, seed=11)
+    base = rs.uniform(0, 1, 800, dim=2)
+    bvals = _vals(base).reshape(800, 2)
+    out = rs.permutation(base)
+    pdf = out._sdf.select("row_id", "values").toPandas()
+    pdf = pdf.sort_values("row_id")
+    got = np.array([list(v) for v in pdf["values"]])
+    assert sorted(map(tuple, got)) == sorted(map(tuple, bvals))
+    # exact placement: out[dst] = base[perm[dst]]
+    perm = RandomState(spark, seed=11).permutation(800)
+    pp = perm._sdf.select(
+        "row_id", F.element_at("values", 1).alias("v")
+    ).toPandas().sort_values("row_id")
+    idx = pp["v"].to_numpy(dtype=int)
+    assert np.array_equal(got, bvals[idx])
+    # NDArray round-trip keeps the inner shape
+    nd = rs.chisquare(3.0, n=(60, 2, 2))
+    pnd = rs.permutation(nd)
+    assert pnd.inner_shape == (2, 2)
+    a = np.asarray(nd.compute()).reshape(60, -1)
+    b = np.asarray(pnd.compute()).reshape(60, -1)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 NR = 12_000
 
 # Kernel rejection family: (name, draw, mean, var) — same moment
