@@ -56,6 +56,7 @@ HEADLINE = [
     "corpus_cluster",     # k-means: ordered Arrow assign + k·d partials
     "dedup_semantic_cells",  # SemDeDup cells over the kmeans kernel
     "ann_ivf_checked",    # IVF probe replay over the kmeans kernel
+    "dedup_canonicalize", # pairs -> components -> keeper selection
 ]
 
 
