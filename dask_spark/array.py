@@ -1158,20 +1158,25 @@ def _cross_gram(left: "DArray", right: "DArray"):
     )
 
     def local(it):
-        acc = None
-        for c in it:
-            if not len(c):
-                continue
-            L = np.array(c["__l"].tolist(), dtype="float64")
-            R = np.array(c["__r"].tolist(), dtype="float64")
-            g = L.T @ R
-            acc = g if acc is None else acc + g
-        if acc is not None:
-            yield pd.DataFrame(
-                {"__i": list(range(len(acc))), "__g": list(acc)}
-            )
+        # Shuffle-read fetch order is nondeterministic, so the rows of
+        # a join partition arrive in a different order run to run; the
+        # BLAS sum inside LᵀR is order-sensitive at the ulp level. Sort
+        # the partition by id before the matmul — partition MEMBERSHIP
+        # is hash(id)-deterministic, so the gram is now bit-stable.
+        chunks = [c for c in it if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "__id", ignore_index=True
+        )
+        L = np.array(pdf["__l"].tolist(), dtype="float64")
+        R = np.array(pdf["__r"].tolist(), dtype="float64")
+        acc = L.T @ R
+        yield pd.DataFrame(
+            {"__i": list(range(len(acc))), "__g": list(acc)}
+        )
 
-    rows = joined.select("__l", "__r").mapInPandas(
+    rows = joined.select("__id", "__l", "__r").mapInPandas(
         local, schema="__i int, __g array<double>"
     ).collect()
     if not rows:

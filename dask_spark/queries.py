@@ -3942,6 +3942,642 @@ def join_q22_idle_customers(spark, sf_dir):
 
 
 @q(
+    "join_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    eu_supply AS (
+      SELECT l_partkey, l_suppkey, cost, s_name, s_acctbal, n_name
+      FROM supply JOIN eu ON l_suppkey = s_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(cost) AS min_cost FROM eu_supply GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+    FROM eu_supply
+    JOIN best ON eu_supply.l_partkey = best.l_partkey AND cost = min_cost
+    JOIN part ON p_partkey = eu_supply.l_partkey
+    WHERE p_size <= 10
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def join_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape — correlated-min subquery: cheapest regional
+    supplier per part (lineitem min-price stands in for partsupp,
+    which the testdata lacks). The per-(part,supplier) agg shuffles
+    once on its key; the per-part min is a second agg REUSING the same
+    partitioning (no extra exchange of the wide side); supplier /
+    nation / region / part dims all broadcast; min-cost matching is an
+    exact-value equijoin (MIN is exact — no FP rounding can flip
+    membership). Reference: dask merge+groupby composition
+    (dask/dataframe/dask_expr/_collection.py merge/groupby)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+
+    supply = (
+        li.groupby(["l_partkey", "l_suppkey"])
+        .agg(cost=("l_extendedprice", "min"))
+    )
+    eu = (
+        s.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                broadcast=True)
+        .merge(r[r.r_name == "EUROPE"], left_on="n_regionkey",
+               right_on="r_regionkey", broadcast=True)
+    )[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+    eu_supply = supply.merge(
+        eu, left_on="l_suppkey", right_on="s_suppkey", broadcast=True
+    )
+    best = (
+        eu_supply.groupby("l_partkey").agg(min_cost=("cost", "min"))
+    )
+    pk = p[p.p_size <= 10][
+        ["p_partkey", "p_type"]
+    ]
+    out = (
+        eu_supply.merge(best, on="l_partkey")
+        .merge(pk, left_on="l_partkey", right_on="p_partkey",
+               broadcast=True)
+    )
+    out = out[out.cost == out.min_cost][
+        ["s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost"]
+    ]
+    return (
+        out.to_spark()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "join_q8_market_share",
+    """
+    WITH flat AS (
+      SELECT year(o_orderdate)::INT AS o_year,
+             (l_extendedprice * (1 - l_discount))::DECIMAL(18,6) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0::DECIMAL(18,6) END)::DOUBLE
+                 / SUM(volume)::DOUBLE, 6) AS mkt_share
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def join_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: conditional share of
+    one supplier nation inside a regional market, per order year.
+    Only lineitem⋈orders shuffles (both fact-sized); customer,
+    supplier, part and both nation legs broadcast; the share is one
+    conditional agg (no second scan). Decimal sums; the final divide
+    is double/double on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    nc = load(spark, sf_dir, "nation").rename(
+        columns={"n_nationkey": "nck", "n_regionkey": "nc_rk"}
+    )[["nck", "nc_rk"]]
+    ns = load(spark, sf_dir, "nation").rename(
+        columns={"n_nationkey": "nsk", "n_name": "supp_nation"}
+    )[["nsk", "supp_nation"]]
+    r = load(spark, sf_dir, "region")
+
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(nc, left_on="c_nationkey", right_on="nck", broadcast=True)
+        .merge(r[r.r_name == "ASIA"], left_on="nc_rk",
+               right_on="r_regionkey", broadcast=True)
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey",
+               broadcast=True)
+        .merge(ns, left_on="s_nationkey", right_on="nsk", broadcast=True)
+        .merge(p[p.p_type == "STANDARD"], left_on="l_partkey",
+               right_on="p_partkey", broadcast=True)
+        .assign(
+            o_year=lambda d: d.o_orderdate.dt.year,
+            volume=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+            ).astype("decimal(18,6)"),
+        )
+    )
+    sdf = j.to_spark()
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        sdf.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2",
+                           F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "join_q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+           ROUND(SUM((l_extendedprice * (1 - l_discount)
+                      - l_quantity * p_retailprice * 0.1)::DECIMAL(18,6)),
+                 2)::DOUBLE AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def join_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by nation and year
+    (p_retailprice*0.1 stands in for ps_supplycost; no partsupp in the
+    testdata). The part name filter prunes lineitem via the broadcast
+    hash join BEFORE the orders shuffle — the only exchange carries
+    pre-filtered rows; supplier/nation/part broadcast. Decimal profit
+    sum pins associativity on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")[["o_orderkey", "o_orderdate"]]
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part")
+    p = p[p.p_name.str.contains("red", regex=False)][
+        ["p_partkey", "p_retailprice"]
+    ]
+    j = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey",
+                 broadcast=True)
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey",
+               broadcast=True)
+        .merge(n, left_on="s_nationkey", right_on="n_nationkey",
+               broadcast=True)
+        .merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .assign(
+            o_year=lambda d: d.o_orderdate.dt.year,
+            profit=lambda d: (
+                d.l_extendedprice * (1 - d.l_discount)
+                - d.l_quantity * d.p_retailprice * 0.1
+            ).astype("decimal(18,6)"),
+        )
+        .rename(columns={"n_name": "nation"})
+    )
+    out = (
+        j.groupby(["nation", "o_year"])
+        .agg(sum_profit=("profit", "sum"))
+        .assign(sum_profit=lambda d: d.sum_profit.round(2).astype("double"))
+    )
+    return out.to_spark().orderBy("nation", F.col("o_year").desc())
+
+
+@q(
+    "join_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM((l_extendedprice * l_quantity)::DECIMAL(18,6)) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_7', 'NATION_12')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 2)::DOUBLE AS value
+    FROM val
+    WHERE value * 2500 > (SELECT SUM(value) FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def join_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape — important stock: per-part value held by
+    suppliers of two nations, kept where the part exceeds a FRACTION
+    of the global total (scalar-subquery HAVING). The global total is
+    a one-row agg over the ALREADY-AGGREGATED per-part frame (tiny),
+    broadcast back as a literal; the threshold compare is
+    value*2500 > total in EXACT decimal — integer-multiplier form, so
+    no engine's rounding can flip membership at the boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    nat = n[n.n_name.isin(["NATION_7", "NATION_12"])]
+    j = (
+        li.merge(s, left_on="l_suppkey", right_on="s_suppkey",
+                 broadcast=True)
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey",
+               broadcast=True)
+        .assign(
+            v=lambda d: (d.l_extendedprice * d.l_quantity).astype(
+                "decimal(18,6)"
+            )
+        )
+    )
+    val = j.groupby("l_partkey").agg(value=("v", "sum"))
+    sdf = val.to_spark()
+    total = sdf.agg(F.sum("value").alias("t")).collect()[0]["t"]
+    out = (
+        sdf.filter(F.col("value") * F.lit(2500) > F.lit(total))
+        .select(
+            "l_partkey",
+            F.round(F.col("value"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+    return out
+
+
+@q(
+    "join_q12_late_priority",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def join_q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape — late-shipment priority counts by line status
+    (l_linestatus stands in for l_shipmode; ship-after-order+60d for
+    the commit/receipt comparison — neither column exists in the
+    testdata). The l_shipdate range filter is pushed to the scan; the
+    cross-column date predicate evaluates post-join; ONE orderkey
+    shuffle then a two-way conditional count in a single agg."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    li = li[
+        (li.l_shipdate >= "1996-01-01") & (li.l_shipdate < "1998-01-01")
+    ]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    sdf = j.to_spark().filter(
+        F.col("l_shipdate")
+        >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        sdf.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@q(
+    "join_q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def join_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT join
+    with the filter INSIDE the join condition (customers with zero
+    qualifying orders must survive with count 0 — filtering orders
+    BEFORE the join keeps outer semantics), double aggregation
+    (per-customer count, then histogram of counts). First agg reuses
+    the join's custkey partitioning; the second exchanges only
+    (count, 1) pairs — output-bounded."""
+    c = load(spark, sf_dir, "customer")[["c_custkey"]]
+    o = load(spark, sf_dir, "orders")
+    o = o[o.o_orderpriority != "4-NOT SPECIFIED"][
+        ["o_custkey", "o_orderkey"]
+    ]
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey", how="left")
+    per_cust = j.groupby("c_custkey").agg(c_count=("o_orderkey", "count"))
+    out = (
+        per_cust.groupby("c_count").agg(custdist=("c_custkey", "count"))
+    )
+    return (
+        out.to_spark()
+        .select(F.col("c_count").cast("long").alias("c_count"),
+                F.col("custdist").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "join_q16_supplier_cnt",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def join_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape — supplier counts per part attribute with a
+    NOT-IN exclusion (negative-balance suppliers stand in for the
+    complaints filter). The distinct (part, supplier) pair agg
+    collapses lineitem FIRST (map-side combine on the widest input);
+    the exclusion is a broadcast anti join (NOT IN with non-null keys
+    ≡ anti); part broadcasts; COUNT(DISTINCT) rides the final
+    group-key exchange."""
+    li = load(spark, sf_dir, "lineitem")[["l_partkey", "l_suppkey"]]
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    pairs = li.drop_duplicates()
+    bad = s[s.s_acctbal < 0][["s_suppkey"]]
+    pf = p[
+        (p.p_brand != "Brand#13")
+        & (p.p_type != "PROMO")
+        & (p.p_size.isin([1, 9, 14, 19, 23, 36, 45, 49]))
+    ][["p_partkey", "p_brand", "p_type", "p_size"]]
+    j = (
+        pairs.merge(bad, left_on="l_suppkey", right_on="s_suppkey",
+                    how="anti")
+        .merge(pf, left_on="l_partkey", right_on="p_partkey",
+               broadcast=True)
+    )
+    out = (
+        j.groupby(["p_brand", "p_type", "p_size"])
+        .agg(supplier_cnt=("l_suppkey", "nunique"))
+    )
+    return (
+        out.to_spark()
+        .select(
+            "p_brand", "p_type", "p_size",
+            F.col("supplier_cnt").cast("long").alias("supplier_cnt"),
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@q(
+    "join_q17_small_qty",
+    """
+    WITH stats AS (
+      SELECT l_partkey,
+             SUM(l_quantity::DECIMAL(18,6)) AS sum_qty,
+             COUNT(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l_extendedprice::DECIMAL(18,6)) / 7.0, 2)::DOUBLE
+             AS avg_yearly
+    FROM lineitem
+    JOIN part  ON p_partkey = l_partkey
+    JOIN stats ON stats.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#11' AND p_type = 'SMALL'
+      AND (l_quantity::DECIMAL(18,6) * 2 * cnt) < sum_qty
+    """,
+)
+def join_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape — small-quantity revenue vs a correlated
+    per-part average: qty < 0.5·avg(qty) is algebraized to
+    qty·2·cnt < sum_qty in EXACT decimal (avg is a double division
+    whose ulp could flip boundary rows between engines; the
+    multiplied form cannot). The per-part stats agg and the probe
+    reuse the same partkey hash partitioning — one exchange each,
+    then a broadcast part filter and a global one-row sum."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pf = p[(p.p_brand == "Brand#11") & (p.p_type == "SMALL")][
+        ["p_partkey"]
+    ]
+    stats = (
+        li.assign(qd=lambda d: d.l_quantity.astype("decimal(18,6)"))
+        .groupby("l_partkey")
+        .agg(sum_qty=("qd", "sum"), cnt=("l_quantity", "count"))
+        .rename(columns={"l_partkey": "sp"})
+    )
+    j = (
+        li.merge(pf, left_on="l_partkey", right_on="p_partkey",
+                 broadcast=True)
+        .merge(stats, left_on="l_partkey", right_on="sp")
+    )
+    sdf = j.to_spark().filter(
+        F.col("l_quantity").cast("decimal(18,6)")
+        * F.lit(2)
+        * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return sdf.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            / F.lit(7.0),
+            2,
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@q(
+    "join_q20_excess_stock",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    bolt_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+    ),
+    qualified AS (
+      SELECT DISTINCT l_suppkey
+      FROM shipped JOIN bolt_parts ON l_partkey = p_partkey
+      WHERE qty > 50
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM qualified)
+    ORDER BY s_name
+    """,
+)
+def join_q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape — nested semi-join chain: suppliers in a region
+    who shipped > 50 units of any '%bolt%' part in 1997 (shipped
+    volume stands in for partsupp availqty). The part-name filter
+    broadcasts into the (part,supplier) agg; qualification is DISTINCT
+    suppkeys (tiny) semi-joined into the supplier dim — the fact table
+    contributes only its post-agg key set to the final join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+
+    li = li[
+        (li.l_shipdate >= "1997-01-01") & (li.l_shipdate < "1998-01-01")
+    ]
+    bolt = p[p.p_name.str.contains("bolt", regex=False)][["p_partkey"]]
+    shipped = (
+        li.merge(bolt, left_on="l_partkey", right_on="p_partkey",
+                 broadcast=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .agg(qty=("l_quantity", "sum"))
+    )
+    qualified = shipped[shipped.qty > 50][["l_suppkey"]].drop_duplicates()
+    asia = (
+        s.merge(n, left_on="s_nationkey", right_on="n_nationkey",
+                broadcast=True)
+        .merge(r[r.r_name == "ASIA"], left_on="n_regionkey",
+               right_on="r_regionkey", broadcast=True)
+    )
+    out = asia.merge(
+        qualified, left_on="s_suppkey", right_on="l_suppkey", how="semi"
+    )[["s_name", "n_name"]]
+    return out.to_spark().orderBy("s_name")
+
+
+@q(
+    "join_q21_sole_returns",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM l1
+    JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def join_q21_sole_returns(spark, sf_dir):
+    """TPC-H Q21 shape — EXISTS + NOT-EXISTS correlated self-joins:
+    suppliers who were the ONLY supplier with a return in a
+    multi-supplier finished order (returnflag stands in for the
+    receipt>commit lateness predicate — those columns don't exist in
+    the testdata). Both correlated subqueries become orderkey-equi
+    semi/anti joins with a suppkey inequality residual; all three
+    lineitem legs share ONE orderkey hash partitioning (no re-shuffle
+    between them); orders semi-filters, supplier/nation broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    l1 = li[li.l_returnflag == "R"][["l_orderkey", "l_suppkey"]].to_spark()
+    l2 = (
+        li[["l_orderkey", "l_suppkey"]]
+        .to_spark()
+        .select(
+            F.col("l_orderkey").alias("k2"),
+            F.col("l_suppkey").alias("s2"),
+        )
+    )
+    l3 = (
+        li[li.l_returnflag == "R"][["l_orderkey", "l_suppkey"]]
+        .to_spark()
+        .select(
+            F.col("l_orderkey").alias("k3"),
+            F.col("l_suppkey").alias("s3"),
+        )
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    of = o[o.o_orderstatus == "F"][["o_orderkey"]].to_spark()
+    sn = (
+        s.merge(
+            n[n.n_name == "NATION_3"],
+            left_on="s_nationkey",
+            right_on="n_nationkey",
+            broadcast=True,
+        )[["s_suppkey", "s_name"]]
+        .to_spark()
+    )
+    out = (
+        cand.join(of, F.col("l_orderkey") == F.col("o_orderkey"),
+                  "left_semi")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+    return out
+
+
+@q(
     "contamination",
     r"""
     WITH t AS (
