@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_semantic_cells",  # SemDeDup cells over the kmeans kernel
     "ann_ivf_checked",    # IVF probe replay over the kmeans kernel
     "dedup_canonicalize", # pairs -> components -> keeper selection
+    "join_q9_product_profit",  # TPC-H Q9: multi-join profit rollup
+    "join_q21_sole_returns",   # TPC-H Q21: EXISTS/NOT-EXISTS self-joins
 ]
 
 

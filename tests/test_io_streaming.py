@@ -136,22 +136,31 @@ def test_streaming_stateful_running_max(spark):
         .withColumn("value", F.col("value").cast("double"))
     )
     out = stateful_running_max(rate)
-    q = (
-        out.writeStream.format("memory").queryName("t_state")
-        .outputMode("update").start()
-    )
-    try:
-        deadline = time.time() + 30
-        while time.time() < deadline:
-            if spark.sql("select * from t_state").count() > 0:
-                break
-            time.sleep(1)
-        pdf = spark.sql("select * from t_state").toPandas()
-        assert len(pdf) > 0
-        # running max per user is monotone ≥ user_id (values start at 0)
-        assert (pdf.max_value >= 0).all()
-    finally:
-        q.stop()
+    # One retry: under heavy parallel-session load the first microbatch's
+    # HDFS-backed state commit can abort (CANNOT_WRITE_STATE_STORE) — an
+    # environment artifact of many temp state stores on one local disk,
+    # not a semantics failure. A fresh query gets a fresh checkpoint.
+    pdf = None
+    for attempt in range(2):
+        name = f"t_state_{attempt}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        try:
+            deadline = time.time() + 45
+            while time.time() < deadline and q.isActive:
+                if spark.sql(f"select * from {name}").count() > 0:
+                    break
+                time.sleep(1)
+            pdf = spark.sql(f"select * from {name}").toPandas()
+        finally:
+            q.stop()
+        if len(pdf) > 0:
+            break
+    assert pdf is not None and len(pdf) > 0
+    # running max per user is monotone ≥ user_id (values start at 0)
+    assert (pdf.max_value >= 0).all()
 
 
 import pyspark.sql.functions as F  # noqa: E402  (used in streaming tests)
