@@ -8,6 +8,8 @@ fingerprinting."""
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -489,3 +491,102 @@ def hashed_linear_scores(sdf, weights, biases, text_col: str = "text",
         F.element_at(lab_arr, F.array_position(scores, F.array_max(scores)).cast("int")),
     )
     return out
+
+
+# --------------------------- unigram LM quality ---------------------------
+
+class UnigramLM:
+    """Fitted add-alpha unigram language model: ``logprobs`` maps the
+    top-``vocab_size`` tokens to ln p(tok); everything else scores
+    ``oov_logprob`` (one collapsed OOV bucket, so the model is a
+    proper distribution over nv+1 types). A bounded MODEL artifact —
+    CCNet (Wenzek et al. 2020) ships a pretrained LM for its
+    perplexity quality gate; fitting on the corpus itself gives the
+    same boilerplate-vs-noise signal with no external file."""
+
+    def __init__(self, logprobs: dict, oov_logprob: float,
+                 alpha: float, total_tokens: float):
+        self.logprobs = logprobs
+        self.oov_logprob = oov_logprob
+        self.alpha = alpha
+        self.total_tokens = total_tokens
+
+
+def fit_unigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
+                   alpha: float = 1.0) -> UnigramLM:
+    """Fit the LM with one wordcount: explode → groupBy(token) (the
+    map-side combine collapses each partition to its distinct-token
+    set, so the exchange carries vocabulary, never corpus), top-V by
+    (count desc, token asc — deterministic ties), collected bounded by
+    ``vocab_size`` rows plus one scalar total. p(tok) =
+    (c + alpha) / (T + alpha·(nv+1)); the OOV bucket keeps the mass
+    T - Σ c_vocab, so rare-token docs score low instead of crashing."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be positive")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (unsmoothed OOV has "
+                         "zero mass and -inf logprob)")
+    toks = sdf.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").count().persist()
+    top = (
+        counts.orderBy(F.col("count").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .collect()
+    )
+    n_types, total = counts.agg(
+        F.count(F.lit(1)), F.sum("count")
+    ).first()
+    counts.unpersist()
+    total = float(total or 0)
+    nv = len(top)
+    denom = total + alpha * (nv + 1)
+    logprobs = {
+        r["tok"]: math.log((r["count"] + alpha) / denom) for r in top
+    }
+    # spread the OOV bucket's mass uniformly over the OBSERVED
+    # out-of-vocab type count — without the spread, a collapsed
+    # bucket can out-score in-vocab tokens and invert the quality
+    # signal (rare tokens must be improbable)
+    rest = total - float(sum(r["count"] for r in top))
+    oov = math.log(
+        (rest + alpha) / denom / max(float(n_types - nv), 1.0)
+    )
+    return UnigramLM(logprobs, oov, alpha, total)
+
+
+def with_lm_perplexity(sdf, lm: UnigramLM, text_col: str = "text",
+                       out: str = "perplexity"):
+    """Per-doc unigram perplexity exp(-(1/n)·Σ ln p(tok)) under a
+    fitted :class:`UnigramLM` — the CCNet quality gate: LOW = fluent/
+    common text, HIGH = noise (and boilerplate scores low, pairing
+    with entropy/repetition for the full filter bank).
+
+    Map-only: the token→logprob map is a LITERAL (bounded by
+    vocab_size) staged once per row; the fold runs over the SORTED
+    token array left-to-right, so an oracle that sums per-token
+    logprobs in sorted order adds bit-identically (equal tokens are
+    adjacent with equal addends, so order within ties cannot move the
+    double). Lookup is O(vocab) per token — fine for the few-hundred-
+    entry literal; past ~10k entries move the scoring into an Arrow
+    kernel with a dict (same sorted fold, same doubles).
+    Empty docs score 1.0 (exp(0) — zero tokens, zero surprisal)."""
+    entries = []
+    for t in sorted(lm.logprobs):
+        entries.extend([F.lit(t), F.lit(lm.logprobs[t])])
+    oov = F.lit(lm.oov_logprob)
+    staged = (
+        sdf.withColumn("__lm_toks", F.array_sort(word_tokens(F.col(text_col))))
+        .withColumn("__lm_n", F.size("__lm_toks").cast("double"))
+        .withColumn("__lm_map", F.create_map(*entries))
+    )
+    lp_sum = F.aggregate(
+        F.col("__lm_toks"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(F.col("__lm_map"), t), oov),
+    )
+    n = F.col("__lm_n")
+    ppl = F.when(n == 0.0, F.lit(1.0)).otherwise(F.exp(-lp_sum / n))
+    return staged.withColumn(out, F.round(ppl, 6)).drop(
+        "__lm_toks", "__lm_n", "__lm_map"
+    )

@@ -1874,6 +1874,55 @@ def text_entropy(spark, sf_dir):
     return T.with_token_entropy(d.select("doc_id", "text")).drop("text")
 
 
+@q(
+    "text_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(w) AS tok FROM toks
+    ), tot AS (
+      SELECT count(*)::DOUBLE AS t FROM u
+    ), vocab AS (
+      SELECT tok, count(*)::DOUBLE AS c FROM u GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT 256
+    ), vs AS (
+      SELECT sum(c) AS cv, count(*)::DOUBLE AS nv FROM vocab
+    ), ty AS (
+      SELECT count(DISTINCT tok)::DOUBLE AS nt FROM u
+    ), lp AS (
+      SELECT u.doc_id, u.tok,
+             coalesce(ln((v.c + 1.0) / (tot.t + (vs.nv + 1.0))),
+                      ln((tot.t - vs.cv + 1.0) / (tot.t + (vs.nv + 1.0))
+                         / greatest(ty.nt - vs.nv, 1.0))) AS l
+      FROM u LEFT JOIN vocab v USING (tok), tot, vs, ty
+    ), per AS (
+      SELECT doc_id, list(l ORDER BY tok) AS ls, count(*)::DOUBLE AS n
+      FROM lp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(CASE WHEN per.n IS NULL THEN 1.0
+                 ELSE exp(-list_reduce(list_prepend(0.0, per.ls),
+                                       (a, b) -> a + b) / per.n)
+                 END, 6) AS perplexity
+    FROM toks t LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity quality gate (Wenzek et al.
+    2020): fit a bounded add-one unigram LM on the corpus (ONE
+    wordcount shuffle + a vocab_size-bounded driver collect — the
+    model is a broadcastable artifact), then score every doc map-only
+    as exp(-(1/n)·Σ ln p(tok)) folded over the SORTED token array so
+    the oracle's ordered list fold adds bit-identically
+    (functions/text.py fit_unigram_lm / with_lm_perplexity)."""
+    d = load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+    lm = T.fit_unigram_lm(d, vocab_size=256, alpha=1.0)
+    return T.with_lm_perplexity(d, lm).drop("text")
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

@@ -154,32 +154,82 @@ def _np_gamma(ids, j: int, shape, seed: int, base: int):
     return out
 
 
+_LGAMMA = np.frompyfunc(math.lgamma, 1, 1)
+
+
 def _np_poisson(ids, j: int, lam, seed: int, base: int):
-    """Poisson with per-element rate via the inverse-CDF recurrence —
-    k = #{cdf thresholds < u}, the same searchsorted semantics as the
-    scalar-lam driver-literal path, just accumulated in the kernel
-    because lam varies per element (gamma–Poisson mixtures). One
-    uniform per element; the loop runs max(k) times over the batch."""
+    """Poisson with per-element rate. lam < 10: inverse-CDF recurrence
+    — k = #{cdf thresholds < u}, the same searchsorted semantics as
+    the scalar-lam driver-literal path (one uniform at stream base;
+    the loop runs max(k) times over the batch). lam >= 10: Hörmann's
+    PTRS transformed rejection (1993) — attempt t consumes streams
+    base+1+2t, base+2+2t with acceptance > 0.9 per attempt and NO
+    upper rate limit, so gamma–Poisson mixtures can't crash on an
+    unlucky tail draw (the old exp(-lam) recurrence underflowed past
+    lam ~ 700 — reachable stochastically for negative_binomial with
+    large nsucc). Both branches stay pure functions of
+    (row, dim, stream, seed), so partitioning invariance holds."""
+    ids = np.asarray(ids, dtype=np.int64)
     lam = np.broadcast_to(np.asarray(lam, dtype=np.float64),
                           np.shape(ids))
-    if np.any(lam > 700.0):
-        # exp(-lam) underflows; numpy switches algorithm here too
-        raise ValueError(
-            "poisson mixture with rate > 700: use the normal "
-            "approximation (mean=lam, sd=sqrt(lam))"
-        )
-    u = _np_uniform(ids, j, base, seed)
-    k = np.zeros(np.shape(ids), dtype=np.float64)
-    pmf = np.exp(-lam)
-    cdf = pmf.copy()
-    for it in range(1, 100_000):
-        active = u > cdf
-        if not active.any():
-            break
-        pmf = pmf * (lam / it)
-        cdf = cdf + pmf
-        k = k + active
-    return k
+    if np.any(lam < 0.0):
+        raise ValueError("poisson rate must be non-negative")
+    out = np.zeros(np.shape(ids), dtype=np.float64)
+    small = lam < 10.0
+    if small.any():
+        si = np.flatnonzero(small)
+        lm = lam[si]
+        u = _np_uniform(ids[si], j, base, seed)
+        k = np.zeros(len(si), dtype=np.float64)
+        pmf = np.exp(-lm)
+        cdf = pmf.copy()
+        for it in range(1, 100_000):
+            active = u > cdf
+            if not active.any():
+                break
+            pmf = pmf * (lm / it)
+            cdf = cdf + pmf
+            k = k + active
+        out[si] = k
+    if not small.all():
+        bi = np.flatnonzero(~small)
+        lm = lam[bi]
+        loglam = np.log(lm)
+        b = 0.931 + 2.53 * np.sqrt(lm)
+        a = -0.059 + 0.02483 * b
+        inv_alpha = 1.1239 + 1.1328 / (b - 3.4)
+        v_r = 0.9277 - 3.6224 / (b - 2.0)
+        pending = np.ones(len(bi), dtype=bool)
+        for t in range(_MAX_REJECT):
+            if not pending.any():
+                break
+            idx = np.flatnonzero(pending)
+            ii = ids[bi[idx]]
+            u = _np_uniform(ii, j, base + 1 + 2 * t, seed) - 0.5
+            v = _np_uniform(ii, j, base + 2 + 2 * t, seed)
+            us = 0.5 - np.abs(u)
+            kk = np.floor(
+                (2.0 * a[idx] / us + b[idx]) * u + lm[idx] + 0.43
+            )
+            fast = (us >= 0.07) & (v <= v_r[idx]) & (kk >= 0.0)
+            squeeze_out = (kk < 0.0) | ((us < 0.013) & (v > us))
+            lhs = np.log(
+                v * inv_alpha[idx] / (a[idx] / (us * us) + b[idx])
+            )
+            # clamp for the lgamma ufunc: kk < 0 rows are already
+            # squeeze-rejected, but lgamma(<=0) raises a domain error
+            kk_safe = np.where(kk >= 0.0, kk, 0.0)
+            rhs = (
+                kk_safe * loglam[idx] - lm[idx]
+                - _LGAMMA(kk_safe + 1.0).astype(np.float64)
+            )
+            ok = fast | (~squeeze_out & (lhs <= rhs))
+            acc = idx[ok]
+            out[bi[acc]] = kk[ok]
+            pending[acc] = False
+        if pending.any():
+            raise RuntimeError("poisson rejection failed to converge")
+    return out
 
 
 def _np_vonmises(ids, j: int, mu: float, kappa: float, seed: int,
@@ -526,8 +576,8 @@ class RandomState:
         if lam > 1000:
             raise ValueError(
                 "poisson with lam > 1000: the CDF literal has O(lam) "
-                "terms — use normal(loc=lam, scale=sqrt(lam)) rounded, "
-                "the standard large-lam approximation"
+                "terms — poisson() routes such rates to the PTRS "
+                "rejection kernel instead of this literal path"
             )
         pmf = math.exp(-lam)
         cdf, acc, k = [], pmf, 0
@@ -593,7 +643,20 @@ class RandomState:
 
     def poisson(self, lam: float = 1.0, n: int = 1, dim: int = 1,
                 npartitions: int | None = None) -> DArray:
-        cdf = self.poisson_cdf(float(lam))
+        """lam <= 1000: driver-literal CDF → codegen searchsorted
+        chain (fully SQL-replayable). Larger rates route to the PTRS
+        rejection kernel (_np_poisson) — same counter contract and
+        partitioning invariance, just not expressible in the oracle,
+        like the gamma family."""
+        lam = float(lam)
+        if lam > 1000:
+            seed = self._seed
+            return self._draw_np(
+                n, dim,
+                lambda ids, j: _np_poisson(ids, j, lam, seed, 0),
+                npartitions,
+            )
+        cdf = self.poisson_cdf(lam)
         return self._draw(
             n, dim,
             lambda i, j: self._searchsorted(self._u(i, j), cdf),

@@ -642,6 +642,62 @@ def test_token_entropy(spark):
     assert out[3] == 0.0  # empty doc guard
 
 
+def test_lm_perplexity(spark):
+    """Unigram-LM quality gate: a Python replay of the exact model —
+    add-one logprobs over the fitted vocab + OOV bucket, sorted-order
+    fold — must match per doc; common-token docs score LOWER than
+    rare/OOV docs (the CCNet signal); empty docs score exp(0)=1."""
+    import math
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.functions.text import fit_unigram_lm, with_lm_perplexity
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a a a b",          # mostly the modal token
+                "a b q r",            # half OOV-ish rare tokens
+                "zz yy xx ww vv uu",  # all outside a small vocab
+                "",                   # empty guard
+            ],
+        }
+    )
+    sdf = ds.from_pandas(pdf).to_spark()
+    lm = fit_unigram_lm(sdf, vocab_size=2, alpha=1.0)
+    # vocab = top-2 by (count desc, token asc): a(5), b(2)
+    assert set(lm.logprobs) == {"a", "b"}
+    total = 15.0
+    denom = total + 1.0 * 3
+    assert lm.logprobs["a"] == math.log(6.0 / denom)
+    # 10 observed types, 2 in vocab: OOV mass spreads over 8
+    assert lm.oov_logprob == math.log((total - 7.0 + 1.0) / denom / 8.0)
+    out = {
+        r["doc_id"]: r["perplexity"]
+        for r in with_lm_perplexity(sdf, lm).collect()
+    }
+
+    def replay(text):
+        toks = sorted(text.split())
+        if not toks:
+            return 1.0
+        s = 0.0
+        for t in toks:
+            s += lm.logprobs.get(t, lm.oov_logprob)
+        return round(math.exp(-s / len(toks)), 6)
+
+    for i, text in zip(pdf.doc_id, pdf.text):
+        assert out[i] == replay(text), (i, out[i], replay(text))
+    assert out[1] < out[2] < out[3]
+    assert out[4] == 1.0
+    with pytest.raises(ValueError):
+        fit_unigram_lm(sdf, vocab_size=0)
+    with pytest.raises(ValueError):
+        fit_unigram_lm(sdf, alpha=0.0)
+
+
 def test_temperature_mix_prefilter_margin_widens(spark):
     """A deliberately-too-small candidate margin must widen until the
     selection is exact — identical rows to the generous-margin run."""

@@ -301,12 +301,36 @@ def test_rejection_family_validation(spark):
         rs.hypergeometric(3, 3, 10, 100)
 
 
+def test_poisson_ptrs_large_rate(spark):
+    """PTRS kernel branch (lam >= 10): moments, integer support,
+    partitioning invariance — and the compositions that used to crash
+    past the old exp(-lam) recurrence cap (negative_binomial's
+    gamma-Poisson mixture draws lam ~ nsucc(1-p)/p with an unbounded
+    gamma tail; the public poisson routes lam > 1000 here too)."""
+    rs = RandomState(spark, seed=13)
+    for lam, nn in ((50.0, 20_000), (5000.0, 8000)):
+        v = _vals(rs.poisson(lam, nn))
+        assert np.array_equal(v, np.floor(v)) and v.min() >= 0
+        assert abs(v.mean() - lam) < 6 * math.sqrt(lam / nn)
+        assert abs(v.var() - lam) < 0.1 * lam
+    a = _vals(rs.poisson(5000.0, 3000, npartitions=2))
+    b = _vals(rs.poisson(5000.0, 3000, npartitions=16))
+    assert np.array_equal(a, b)
+    # nsucc=600, p=0.5: mixture rate ~ Gamma(600) — mean 600, 4-sigma
+    # excursions past 700 were a stochastic ValueError before PTRS
+    nb = _vals(rs.negative_binomial(600.0, 0.5, 8000))
+    assert abs(nb.mean() - 600.0) < 6 * math.sqrt(1200.0 / 8000) + 2.0
+    assert abs(nb.var() - 1200.0) < 0.12 * 1200.0
+
+
 def test_parameter_validation(spark):
     rs = RandomState(spark, seed=0)
     with pytest.raises(ValueError):
         rs.geometric(0.0)
+    # lam > 1000 routes to the PTRS kernel (no literal-CDF raise);
+    # the literal helper itself still enforces its O(lam) cap
     with pytest.raises(ValueError):
-        rs.poisson(2000.0)  # lam cap points at the normal approx
+        RandomState.poisson_cdf(2000.0)
     with pytest.raises(ValueError):
         rs.binomial(5000, 0.5)
     with pytest.raises(ValueError):
