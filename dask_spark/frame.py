@@ -1018,8 +1018,14 @@ class Series:
         )
 
     def value_counts(self, sort: bool = True, ascending: bool = False,
-                     normalize: bool = False) -> "DaskFrame":
-        out = self._frame._sdf.groupBy(self._expr.alias(self._name)).agg(
+                     normalize: bool = False,
+                     dropna: bool = True) -> "DaskFrame":
+        base = self._frame._sdf.select(self._expr.alias(self._name))
+        if dropna:
+            # pandas default: null values form no bucket (and don't
+            # enter the normalize denominator)
+            base = base.filter(F.col(self._name).isNotNull())
+        out = base.groupBy(self._name).agg(
             F.count(F.lit(1)).alias("count")
         )
         if normalize:
@@ -1258,10 +1264,24 @@ class DaskFrame:
 
         return drop_duplicates(self, subset=subset, keep=keep)
 
-    def sort_values(self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True) -> "DaskFrame":
+    def sort_values(self, by: str | Sequence[str],
+                    ascending: bool | Sequence[bool] = True,
+                    na_position: str = "last") -> "DaskFrame":
+        """pandas/dask sort_values (reference dask_expr/_collection.py
+        sort_values): nulls go LAST by default in BOTH directions —
+        Spark's bare asc() is nulls-first, so the null placement must
+        be pinned explicitly or ascending sorts diverge from pandas."""
+        if na_position not in ("first", "last"):
+            raise ValueError("na_position must be 'first' or 'last'")
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
-        cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(by, asc)]
+        last = na_position == "last"
+        cols = [
+            (F.col(c).asc_nulls_last() if last else F.col(c).asc_nulls_first())
+            if a else
+            (F.col(c).desc_nulls_last() if last else F.col(c).desc_nulls_first())
+            for c, a in zip(by, asc)
+        ]
         return DaskFrame(self._sdf.orderBy(*cols))
 
     def nlargest(self, n: int, columns: str | Sequence[str]) -> "DaskFrame":
@@ -1962,10 +1982,15 @@ class DaskFrame:
         return self[col] != other
 
     # ---- groupby / joins / reshape (delegated) -----------------------------
-    def groupby(self, by: str | Sequence[str]):
+    def groupby(self, by: str | Sequence[str], dropna: bool = True):
+        """reference dask groupby(dropna=True) default: null-keyed
+        rows form no group; dropna=False keeps the null group (Spark's
+        native behavior)."""
         from dask_spark.operators.groupby import GroupBy
 
-        return GroupBy(self, [by] if isinstance(by, str) else list(by))
+        return GroupBy(
+            self, [by] if isinstance(by, str) else list(by), dropna
+        )
 
     def merge(self, right: "DaskFrame", how: str = "inner",
               on: str | Sequence[str] | None = None,

@@ -94,9 +94,22 @@ class Aggregation:
 
 
 class GroupBy:
-    def __init__(self, frame, keys: Sequence[str]):
-        self._frame = frame
+    def __init__(self, frame, keys: Sequence[str], dropna: bool = True):
         self._keys = list(keys)
+        if dropna and self._keys:
+            # pandas/dask groupby(dropna=True) default: rows with a
+            # null in ANY group key never form a group. Spark's
+            # groupBy keeps the null group, so the contract must be
+            # pinned with an explicit prefilter (pushdown-friendly:
+            # it lands in the scan as IsNotNull).
+            cond = None
+            for k in self._keys:
+                c = F.col(k).isNotNull()
+                cond = c if cond is None else cond & c
+            from dask_spark.frame import DaskFrame
+
+            frame = DaskFrame(frame._sdf.filter(cond))
+        self._frame = frame
 
     # ---- declarative aggregation -------------------------------------
     def agg(self, spec: Mapping[str, object] | None = None,

@@ -532,3 +532,32 @@ def test_groupby_delegate_surface(spark):
     assert list(t.x) == [2.0, 4.0]
     agg2 = g.aggregate({"x": "sum"}).compute().sort_values("g")
     assert list(agg2.x_sum) == [5.0, 7.0]
+
+
+def test_groupby_and_value_counts_dropna(spark):
+    """pandas parity for null keys: groupby(dropna=True) default drops
+    null-keyed rows (Spark's groupBy natively KEEPS the null group);
+    dropna=False keeps it. Same contract for value_counts, including
+    the normalize denominator."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {"g": ["a", None, "a", "b", None], "x": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    frame = ds.from_pandas(pdf)
+    got = frame.groupby("g").agg({"x": "sum"}).compute().sort_values("g")
+    want = pdf.groupby("g").x.sum()  # pandas drops the null group
+    assert got.g.tolist() == ["a", "b"]
+    assert got.x_sum.tolist() == want.tolist()
+    kept = frame.groupby("g", dropna=False).agg({"x": "sum"}).compute()
+    assert len(kept) == 3
+    assert kept[kept.g.isna()].x_sum.iloc[0] == 7.0
+
+    vc = frame["g"].value_counts().compute()
+    assert vc.g.tolist() == ["a", "b"] and vc["count"].tolist() == [2, 1]
+    vc_all = frame["g"].value_counts(dropna=False).compute()
+    assert len(vc_all) == 3
+    norm = frame["g"].value_counts(normalize=True).compute()
+    assert norm.proportion.tolist() == [2 / 3, 1 / 3]

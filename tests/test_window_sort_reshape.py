@@ -164,6 +164,24 @@ def test_sort_values_global(tables, pdf_tables):
     assert got.l_extendedprice.tolist() == want.l_extendedprice.tolist()
 
 
+def test_sort_values_na_position(spark):
+    """pandas parity: NaNs sort LAST by default in BOTH directions
+    (Spark's bare asc() is nulls-first — the placement must be
+    pinned); na_position='first' flips both."""
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [3.0, None, 1.0, 2.0, None], "v": range(5)})
+    frame = ds.from_pandas(pdf)
+    for asc in (True, False):
+        for pos in ("last", "first"):
+            got = frame.sort_values("k", ascending=asc,
+                                    na_position=pos).compute()
+            want = pdf.sort_values("k", ascending=asc, na_position=pos)
+            assert got.v.tolist() == want.v.tolist(), (asc, pos)
+    with pytest.raises(ValueError):
+        frame.sort_values("k", na_position="middle")
+
+
 def test_topk(tables, pdf_tables):
     got = tables["orders"].nlargest(5, "o_totalprice").compute()
     want = pdf_tables["orders"].nlargest(5, "o_totalprice")
