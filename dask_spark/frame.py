@@ -1017,6 +1017,45 @@ class Series:
             self._frame._sdf.select(self._expr.alias(name or self._name))
         )
 
+    # ---- FrameBase inheritance (reference: dask Series inherits the
+    # FULL FrameBase surface, dask_expr/_collection.py) — delegated to
+    # the single-column frame: persist/repartition/IO/plan introspection
+    # behave exactly like the frame twin over the projected column.
+    _FRAME_DELEGATES = frozenset({
+        "align", "analyze", "clear_divisions", "columns",
+        "compute_current_divisions", "copy", "dask", "divisions",
+        "dtypes", "enforce_runtime_divisions", "from_dict",
+        "expr", "explain", "get_partition", "index", "known_divisions",
+        "loc", "lower_once", "map_overlap", "map_partitions",
+        "memory_usage_per_partition", "npartitions", "optimize",
+        "partitions", "persist", "pprint", "random_split", "reduction",
+        "rename_axis", "repartition", "resample", "reset_index", "shuffle",
+        "simplify", "size", "tail", "to_backend", "to_bag", "to_csv",
+        "to_dask_array", "to_delayed", "to_hdf", "to_json", "to_orc",
+        "to_records", "to_sql", "to_timestamp", "visualize",
+    })
+
+    def combine_first(self, other: "Series") -> "Series":
+        """reference Series.combine_first: self's values, nulls filled
+        from ``other`` — coalesce when both ride the same parent frame
+        (map-only); key-aligned frames go through the frame twin."""
+        if isinstance(other, Series) and other._frame is self._frame:
+            return Series(
+                self._frame, F.coalesce(self._expr, other._expr), self._name
+            )
+        raise ValueError(
+            "combine_first across frames needs a key: use "
+            "frame.combine_first(other_frame, on=...)"
+        )
+
+    def __getattr__(self, name: str):
+        if name in Series._FRAME_DELEGATES:
+            return getattr(self.to_frame(), name)
+        raise AttributeError(f"'Series' object has no attribute {name!r}")
+
+    def __dir__(self):
+        return sorted(set(super().__dir__()) | Series._FRAME_DELEGATES)
+
     def value_counts(self, sort: bool = True, ascending: bool = False,
                      normalize: bool = False,
                      dropna: bool = True) -> "DaskFrame":
@@ -2198,6 +2237,26 @@ class DaskFrame:
             raise ValueError("to_series needs a single-column frame")
         c = self.columns[0]
         return Series(self, F.col(c), c)
+
+    @classmethod
+    def from_dict(cls, data, npartitions: int | None = None,
+                  orient: str = "columns") -> "DaskFrame":
+        """reference FrameBase.from_dict classmethod (the module-level
+        from_dict twin): dict → pandas (honoring orient) → distributed
+        frame."""
+        import pandas as pd
+
+        from dask_spark.sources import from_pandas
+
+        return from_pandas(
+            pd.DataFrame.from_dict(data, orient=orient), npartitions
+        )
+
+    @property
+    def values(self):
+        """reference FrameBase.values: the numeric columns as a dask
+        array (to_dask_array with defaults)."""
+        return self.to_dask_array()
 
     def to_dask_array(self, cols: Sequence[str] | None = None,
                       id_col: str | None = None):

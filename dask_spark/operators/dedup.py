@@ -20,14 +20,26 @@ import pyspark.sql.functions as F
 from dask_spark.functions.text import shingles, word_tokens
 
 
-def drop_duplicates(frame, subset: Sequence[str] | None = None, keep: str = "any"):
+def drop_duplicates(frame, subset: Sequence[str] | None = None, keep="any"):
     """keep="any": Spark dropDuplicates (fastest — partial dedup
     map-side). keep="first"/"last": deterministic via min_by/max_by on a
     tie-break of all remaining columns (Spark has no row order, so
-    "first" is defined by the natural sort of the other columns)."""
+    "first" is defined by the natural sort of the other columns).
+    keep=False (pandas): drop EVERY row whose key appears more than
+    once — one key-partitioned count + a left-semi join on the same
+    keys (co-partitioned, so the second exchange is reused)."""
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
+    if keep is False:
+        keys = list(subset) if subset is not None else list(sdf.columns)
+        uniq = (
+            sdf.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") == 1)
+            .drop("__c")
+        )
+        return DaskFrame(sdf.join(uniq, keys, "left_semi"))
     if subset is None or keep == "any":
         return DaskFrame(sdf.dropDuplicates(subset))
     subset = list(subset)

@@ -429,3 +429,49 @@ def test_dd_namespace_surface(spark, tmp_path):
     # module-level delegates
     assert len(dd.repartition(fa, 2).compute()) == 4
     assert dd.isna(fa).compute().values.sum() == 0
+
+
+def test_series_framebase_delegation(spark):
+    """Series inherits dask's FrameBase surface via its single-column
+    frame: persist/repartition/IO/plan properties resolve and behave
+    like the frame twin over the projected column."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.frame import DaskFrame
+
+    pdf = pd.DataFrame({"x": [3.0, None, 1.0], "y": [1, 2, 3]})
+    frame = ds.from_pandas(pdf, npartitions=2)
+    s = frame["x"]
+    assert s.npartitions == 2
+    assert s.columns == ["x"]
+    assert list(s.dtypes)  # resolves on the one-column frame
+    assert s.tail(1).shape[1] == 1  # tail is an eager driver action
+    s.explain()  # resolves, no raise
+    assert isinstance(
+        s.map_partitions(lambda p: p, schema="x double"), DaskFrame
+    )
+    filled = (s.combine_first(frame["y"].astype("double"))).compute()
+    assert sorted(filled.tolist()) == [1.0, 2.0, 3.0]  # null filled from y
+    with pytest.raises(AttributeError):
+        s.definitely_not_a_method
+    # classmethod twins + values
+    f2 = DaskFrame.from_dict({"a": [1, 2, 3]}, npartitions=2)
+    assert sorted(f2.compute().a.tolist()) == [1, 2, 3]
+    assert f2.values.shape[0] == 3
+
+
+def test_drop_duplicates_keep_false(spark):
+    """pandas keep=False: every row whose key appears more than once
+    is dropped entirely."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "v": range(6)})
+    got = (
+        ds.from_pandas(pdf).drop_duplicates(subset=["k"], keep=False)
+        .compute()
+    )
+    want = pdf.drop_duplicates(subset=["k"], keep=False)
+    assert sorted(got.k.tolist()) == want.k.tolist() == [2]

@@ -130,3 +130,44 @@ def test_bag_module_functions(spark):
     import pytest as _pt
     with _pt.raises(ImportError):
         db.read_avro("/tmp/nonexistent-avro-dir")
+
+
+def test_collection_method_parity():
+    """Method-level twin of the module audit: every public method the
+    reference defines on FrameBase/DataFrame/Series
+    (dask_expr/_collection.py) must resolve on DaskFrame/Series —
+    Series inherits dask's full FrameBase surface via its frame
+    delegation."""
+    colfile = os.path.join(
+        REF, "dataframe", "dask_expr", "_collection.py"
+    )
+    if not os.path.exists(colfile):
+        pytest.skip("reference collection module missing")
+    tree = ast.parse(open(colfile).read())
+    classes: dict[str, set[str]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name in (
+            "FrameBase", "DataFrame", "Series"
+        ):
+            classes[node.name] = {
+                n.name
+                for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not n.name.startswith("_")
+            }
+    from dask_spark.frame import DaskFrame, Series
+
+    base = classes.get("FrameBase", set())
+    missing_f = [
+        m for m in sorted(base | classes.get("DataFrame", set()))
+        if not hasattr(DaskFrame, m)
+    ]
+    probe = Series.__new__(Series)  # hasattr on the class misses __getattr__
+    probe._frame = probe._expr = None
+    probe._name = "x"
+    missing_s = [
+        m for m in sorted(base | classes.get("Series", set()))
+        if not (hasattr(Series, m) or m in Series._FRAME_DELEGATES)
+    ]
+    assert not missing_f, f"DaskFrame missing: {missing_f}"
+    assert not missing_s, f"Series missing: {missing_s}"

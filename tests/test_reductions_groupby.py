@@ -190,19 +190,22 @@ def test_groupby_idxminmax(tables, pdf_tables):
 
 
 def test_groupby_nulls_in_keys(spark):
-    """Null group keys must form their own group (pandas dropna=False)."""
+    """dropna=False keeps the null group; the default (pandas
+    dropna=True) drops null-keyed rows entirely."""
     import dask_spark as ds
 
     pdf = pd.DataFrame({"k": ["a", None, "a", None, "b"], "v": [1, 2, 3, 4, 5]})
+    frame = ds.from_pandas(pdf)
     got = (
-        ds.from_pandas(pdf)
-        .groupby("k")
+        frame.groupby("k", dropna=False)
         .agg({"v": "sum"})
         .compute()
         .sort_values("k", ignore_index=True, na_position="last")
     )
     assert len(got) == 3
     assert got.v_sum.sum() == 15
+    dropped = frame.groupby("k").agg({"v": "sum"}).compute()
+    assert len(dropped) == 2 and dropped.v_sum.sum() == 9
 
 
 def test_groupby_topk(tables, pdf_tables):
