@@ -171,3 +171,75 @@ def test_collection_method_parity():
     ]
     assert not missing_f, f"DaskFrame missing: {missing_f}"
     assert not missing_s, f"Series missing: {missing_s}"
+
+
+def test_array_method_parity():
+    """Every public method on the reference's Array class
+    (array/core.py) must resolve on DArray or NDArray."""
+    corefile = os.path.join(REF, "array", "core.py")
+    if not os.path.exists(corefile):
+        pytest.skip("reference array core missing")
+    tree = ast.parse(open(corefile).read())
+    meths: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == "Array":
+            meths = {
+                n.name
+                for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not n.name.startswith("_")
+            }
+    from dask_spark.array import DArray
+    from dask_spark.ndarray import NDArray
+
+    missing = [
+        m for m in sorted(meths)
+        if not (hasattr(DArray, m) or hasattr(NDArray, m))
+    ]
+    assert not missing, f"Array surface missing: {missing}"
+
+
+def test_bag_method_parity():
+    """Every public method on the reference's Bag class (bag/core.py)
+    must resolve on Bag."""
+    bagfile = os.path.join(REF, "bag", "core.py")
+    if not os.path.exists(bagfile):
+        pytest.skip("reference bag core missing")
+    tree = ast.parse(open(bagfile).read())
+    meths: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == "Bag":
+            meths = {
+                n.name
+                for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not n.name.startswith("_")
+            }
+    from dask_spark.bag import Bag
+
+    missing = [m for m in sorted(meths) if not hasattr(Bag, m)]
+    assert not missing, f"Bag surface missing: {missing}"
+
+
+def test_groupby_method_parity():
+    """Every public method on the reference's GroupBy/SeriesGroupBy
+    (dask_expr/_groupby.py) must resolve on GroupBy."""
+    gfile = os.path.join(REF, "dataframe", "dask_expr", "_groupby.py")
+    if not os.path.exists(gfile):
+        pytest.skip("reference groupby module missing")
+    tree = ast.parse(open(gfile).read())
+    ref: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name in (
+            "GroupBy", "SeriesGroupBy"
+        ):
+            ref |= {
+                n.name
+                for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not n.name.startswith("_")
+            }
+    from dask_spark.operators.groupby import GroupBy
+
+    missing = [m for m in sorted(ref) if not hasattr(GroupBy, m)]
+    assert not missing, f"GroupBy surface missing: {missing}"
