@@ -669,6 +669,103 @@ def contamination(corpus, benchmark, text_col: str = "text",
     return DaskFrame(per_doc.withColumn("contaminated", contaminated))
 
 
+def contamination_minhash(corpus, benchmark, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 32,
+                          bands: int = 8, shingle_k: int = 5,
+                          jaccard_threshold: float = 0.25,
+                          word_hash: str = "xxhash64"):
+    """FUZZY benchmark decontamination: flag corpus docs whose
+    MinHash-estimated Jaccard against ANY benchmark doc reaches the
+    threshold — catches paraphrased / truncated / lightly-edited eval
+    leakage that the exact n-gram overlap (:func:`contamination`) and
+    bloom variants miss. The cross-frame twin of
+    :func:`minhash_lsh_pairs`.
+
+    Scale shape: both sides run the map-side signature pipeline
+    (minhash_signatures — zero shuffle before banding); the benchmark
+    side is an eval suite (thousands of docs), so its banded rows AND
+    its signatures BROADCAST — the corpus explodes its band hashes
+    map-side into a broadcast-hash join and never shuffles its text.
+    The only exchanges carry candidate pairs: one groupBy(corpus doc)
+    for the best match, one join back for the min-id tie-break —
+    both bounded by the contamination rate, not the corpus.
+
+    jaccard_est is quantized to 1/num_hashes (num_hashes a power of
+    two keeps the division exact), and the best-match tie-break is
+    min benchmark id at the max estimate — fully deterministic, so
+    the md5 word-hash mode is oracle-replayable end to end.
+
+    Returns (id, match_id, jaccard_est) for flagged corpus docs."""
+    from dask_spark.frame import DaskFrame
+
+    rows = num_hashes // bands
+    sig_c = minhash_signatures(
+        corpus._sdf, text_col, id_col, num_hashes, shingle_k,
+        word_hash=word_hash,
+    ).persist()
+    sig_b = minhash_signatures(
+        benchmark._sdf, text_col, id_col, num_hashes, shingle_k,
+        word_hash=word_hash,
+    ).persist()
+
+    def banded(sigs, out_id):
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.slice(
+                                F.col("minhash"), b * rows + 1, rows
+                            ).cast("string"),
+                            F.lit(b),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+
+    cand = (
+        banded(sig_c, "__cid")
+        .join(F.broadcast(banded(sig_b, "__bid")), "bh")
+        .select("__cid", "__bid")
+        .dropDuplicates(["__cid", "__bid"])
+    )
+    pairs = cand.join(
+        sig_c.select(F.col(id_col).alias("__cid"),
+                     F.col("minhash").alias("__mc")), "__cid"
+    ).join(
+        F.broadcast(
+            sig_b.select(F.col(id_col).alias("__bid"),
+                         F.col("minhash").alias("__mb"))
+        ),
+        "__bid",
+    )
+    eq = F.aggregate(
+        F.zip_with("__mc", "__mb",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select(
+        "__cid", "__bid", (eq / F.lit(num_hashes)).alias("__j")
+    ).filter(F.col("__j") >= F.lit(jaccard_threshold)).persist()
+    best = scored.groupBy("__cid").agg(F.max("__j").alias("jaccard_est"))
+    s, b = scored.alias("s"), best.alias("b")
+    out = (
+        s.join(
+            b,
+            (F.col("s.__cid") == F.col("b.__cid"))
+            & (F.col("s.__j") == F.col("b.jaccard_est")),
+        )
+        .groupBy(F.col("s.__cid").alias(id_col), F.col("b.jaccard_est"))
+        .agg(F.min(F.col("s.__bid")).alias("match_id"))
+        .select(id_col, "match_id", "jaccard_est")
+    )
+    return DaskFrame(out)
+
+
 def _star_round(edges, large: bool):
     """One large-star / small-star step over a directed-pair edge set
     (public algorithm: Kiveris et al., "Connected Components in

@@ -2005,6 +2005,94 @@ def _dedup_minhash_oracle() -> str:
     """
 
 
+def _contamination_minhash_oracle() -> str:
+    """Cross-frame twin of _dedup_minhash_oracle: replays the FULL
+    fuzzy-decontamination pipeline in SQL — md5 word hash → gram hash →
+    32 min-aggregates → band rows per side (corpus doc_id >= 20,
+    benchmark < 20, the contamination-family convention) → band-equality
+    candidates → signature-estimated Jaccard (exact: eq/32, a power of
+    two) → per-corpus-doc max with min-benchmark-id tie-break. Spark
+    joins on xxhash64(band slice); the oracle joins on the raw slice —
+    identical grouping short of a 2^-64 collision."""
+    from dask_spark.operators.dedup import _MERSENNE31, _minhash_params
+
+    nh, bands, k, thr = 32, 8, 5, 0.25
+    rows = nh // bands
+    params, mix = _minhash_params(nh, k)
+    p = _MERSENNE31
+    gram = "(" + " + ".join(
+        f"(h[i+{j}] * {mix[j]}) % {p}" for j in range(k)
+    ) + f") % {p}"
+    mins = ",\n             ".join(
+        f"min(({a} * gv + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM s".format(
+            b=b,
+            sig=" || '_' || ".join(f"m{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)" for i in range(nh)
+    )
+    return rf"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0),
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {p}) AS h
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             [{gram} for i in generate_series(1, len(h) - {k - 1})] AS gh
+      FROM wh WHERE len(h) >= {k}
+    ), u AS (
+      SELECT doc_id, unnest(gh) AS gv FROM g
+    ), s AS (
+      SELECT doc_id,
+             {mins}
+      FROM u GROUP BY doc_id
+    ), br AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS cid, e.doc_id AS bid
+      FROM br c JOIN br e ON c.band = e.band AND c.sig = e.sig
+      WHERE c.doc_id >= 20 AND e.doc_id < 20
+    ), sc AS (
+      SELECT cand.cid, cand.bid, ({eq}) / {nh} AS j
+      FROM cand JOIN s x ON x.doc_id = cand.cid
+                JOIN s y ON y.doc_id = cand.bid
+      WHERE ({eq}) / {nh} >= {thr}
+    ), best AS (
+      SELECT cid, max(j) AS jmax FROM sc GROUP BY cid
+    )
+    SELECT sc.cid AS doc_id, min(sc.bid)::BIGINT AS match_id,
+           best.jmax AS jaccard_est
+    FROM sc JOIN best ON sc.cid = best.cid AND sc.j = best.jmax
+    GROUP BY sc.cid, best.jmax
+    """
+
+
+@q("contamination_minhash", _contamination_minhash_oracle())
+def contamination_minhash_q(spark, sf_dir):
+    """Fuzzy benchmark decontamination: MinHash-estimated Jaccard of
+    every corpus doc (doc_id >= 20) against the eval stand-in (doc_id
+    < 20) via a BROADCAST band join — catches paraphrased/truncated
+    leakage the exact n-gram contamination misses; md5 word-hash mode
+    makes the whole approximate pipeline oracle-replayable
+    (operators/dedup.contamination_minhash)."""
+    from dask_spark.operators.dedup import contamination_minhash
+
+    d = load(spark, sf_dir, "documents")
+    return contamination_minhash(
+        d[d["doc_id"] >= 20], d[d["doc_id"] < 20], word_hash="md5",
+        jaccard_threshold=0.25,
+    ).to_spark()
+
+
 @q("dedup_minhash", _dedup_minhash_oracle())
 def dedup_minhash(spark, sf_dir):
     from dask_spark.operators.dedup import minhash_lsh_pairs

@@ -1159,3 +1159,27 @@ def test_bloom_engine_and_hash_modes(spark, corpus):
         run(hash_kind="sha1")
     with pytest.raises(ValueError, match="engine"):
         run(engine="rdd")
+
+
+def test_contamination_minhash(corpus):
+    """Fuzzy decontamination: the exact dup and the one-word-edit
+    near-dup of the benchmark doc must flag (near-dup at high but
+    sub-1.0 estimated Jaccard); unrelated and cross-language docs must
+    not."""
+    from dask_spark.operators.dedup import contamination_minhash
+
+    bench = corpus[corpus["doc_id"] == "d1"]
+    rest = corpus[corpus["doc_id"] != "d1"]
+    out = contamination_minhash(
+        rest, bench, jaccard_threshold=0.25
+    ).compute()
+    flagged = dict(zip(out.doc_id, out.jaccard_est))
+    assert flagged.get("d2") == 1.0          # exact duplicate
+    assert 0.25 <= flagged.get("d3", 0) <= 1.0  # one-word edit
+    assert "d4" not in flagged and "d5" not in flagged
+    assert (out.match_id == "d1").all()
+    # md5 mode produces the same decisions (engine-portable twin)
+    out2 = contamination_minhash(
+        rest, bench, jaccard_threshold=0.25, word_hash="md5"
+    ).compute()
+    assert set(out2.doc_id) == set(out.doc_id)
