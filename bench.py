@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_canonicalize", # pairs -> components -> keeper selection
     "join_q9_product_profit",  # TPC-H Q9: multi-join profit rollup
     "join_q21_sole_returns",   # TPC-H Q21: EXISTS/NOT-EXISTS self-joins
+    "text_perplexity",    # unigram-LM fit + map-only scoring
+    "contamination_minhash",  # fuzzy decontamination: broadcast band join
 ]
 
 

@@ -2037,12 +2037,13 @@ class DaskFrame:
               right_on: str | Sequence[str] | None = None,
               broadcast: bool | None = None,
               suffixes: tuple[str, str] = ("_x", "_y"),
-              indicator: bool = False) -> "DaskFrame":
+              indicator: bool = False,
+              validate: str | None = None) -> "DaskFrame":
         from dask_spark.operators.joins import merge
 
         return merge(self, right, how=how, on=on, left_on=left_on,
                      right_on=right_on, broadcast=broadcast, suffixes=suffixes,
-                     indicator=indicator)
+                     indicator=indicator, validate=validate)
 
     def join(self, right: "DaskFrame", on: str | Sequence[str], how: str = "left") -> "DaskFrame":
         return self.merge(right, how=how, on=on)

@@ -34,12 +34,56 @@ _HOW = {
 }
 
 
+class MergeError(ValueError):
+    """pandas.errors.MergeError twin: merge(validate=...) violation."""
+
+
+def _validate_merge(lsdf, rsdf, lkeys, rkeys, validate: str) -> None:
+    """pandas merge(validate=): check merge-key uniqueness EAGERLY —
+    one key-grouped count per side that must be unique (limit-1
+    early-exit), nothing collected beyond a scalar."""
+    norm = {
+        "1:1": "11", "one_to_one": "11",
+        "1:m": "1m", "one_to_many": "1m",
+        "m:1": "m1", "many_to_one": "m1",
+        "m:m": "mm", "many_to_many": "mm",
+    }
+    if validate not in norm:
+        raise ValueError(f"invalid validate argument: {validate!r}")
+    v = norm[validate]
+
+    def has_dups(sdf, keys) -> bool:
+        return (
+            sdf.select(*keys).groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1).limit(1).count() > 0
+        )
+
+    if v in ("11", "1m") and has_dups(lsdf, lkeys):
+        raise MergeError(
+            "Merge keys are not unique in left dataset; "
+            f"not a {validate} merge"
+        )
+    if v in ("11", "m1") and has_dups(rsdf, rkeys):
+        raise MergeError(
+            "Merge keys are not unique in right dataset; "
+            f"not a {validate} merge"
+        )
+
+
 def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
-          broadcast=None, suffixes=("_x", "_y"), indicator=False):
+          broadcast=None, suffixes=("_x", "_y"), indicator=False,
+          validate=None):
     from dask_spark.frame import DaskFrame
 
     lsdf, rsdf = left._sdf, right._sdf
     how = _HOW[how]
+    if validate is not None and how != "cross":
+        lk = ([on] if isinstance(on, str) else list(on)) if on is not None \
+            else ([left_on] if isinstance(left_on, str) else list(left_on))
+        rk = ([on] if isinstance(on, str) else list(on)) if on is not None \
+            else ([right_on] if isinstance(right_on, str) else list(right_on))
+        _validate_merge(lsdf, rsdf, lk, rk, validate)
     if indicator:
         # pandas merge(indicator=True): per-row provenance. Constant
         # presence flags on each side cost nothing and survive any

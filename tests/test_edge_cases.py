@@ -30,8 +30,11 @@ def test_groupby_sum_all_null_group(nullish):
     # group "b" is all-null → sum is null (Spark) / 0.0 (pandas sum min_count=0)
     row = got[got.k == "b"]
     assert row.v_sum.isna().all()
-    # null keys form their own group
-    assert len(got) == 4
+    # null keys are dropped by default (pandas dropna=True);
+    # dropna=False keeps the null group
+    assert len(got) == 3
+    kept = f.groupby("k", dropna=False).agg({"v": "sum"}).compute()
+    assert len(kept) == 4
 
 
 def test_empty_frame_ops(spark):

@@ -332,3 +332,30 @@ def test_tpch_q13_left_join_keeps_zero_customers(spark, sf_dir):
         f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet'"
     ).fetchone()[0]
     assert total == ncust  # every customer lands in exactly one bucket
+
+
+def test_merge_validate(spark):
+    """pandas merge(validate=): uniqueness contracts checked eagerly,
+    MergeError (a ValueError) on violation."""
+    import pandas as pd
+    import pytest
+
+    import dask_spark as ds
+    from dask_spark.operators.joins import MergeError
+
+    uniq = ds.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [1, 2, 3]}))
+    dup = ds.from_pandas(pd.DataFrame({"k": [1, 1, 2], "w": [1, 2, 3]}))
+    # valid contracts pass through
+    assert len(uniq.merge(dup, on="k", validate="1:m").compute()) == 3
+    assert len(dup.merge(uniq, on="k", validate="m:1").compute()) == 3
+    assert len(uniq.merge(uniq, on="k", validate="one_to_one",
+                          suffixes=("_a", "_b")).compute()) == 3
+    with pytest.raises(MergeError):
+        uniq.merge(dup, on="k", validate="1:1")
+    with pytest.raises(MergeError):
+        dup.merge(uniq, on="k", validate="one_to_many")
+    with pytest.raises(ValueError):
+        uniq.merge(dup, on="k", validate="bogus")
+    # left_on/right_on path
+    with pytest.raises(MergeError):
+        uniq.merge(dup, left_on="k", right_on="k", validate="m:1")
