@@ -543,3 +543,62 @@ def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_batch_parity_decontamination(spark, tmp_path):
+    """EXACTNESS: bloom decontamination is a stateless scan→project
+    plan, so the streaming run over a finite file stream must produce
+    EXACTLY the batch twin's rows — same flags, same (possibly
+    false-positive) hit counts."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import contamination_bloom
+    from dask_spark.streaming.hygiene import decontaminate_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(200):
+        if i % 7 == 0:
+            rows.append((i, base))                      # leaked eval doc
+        elif i % 7 == 1:
+            rows.append((i, base.replace("iota", "x"))) # partial overlap
+        else:
+            rows.append((i, f"doc {i} " + " ".join(
+                f"w{(i * 31 + j) % 997}" for j in range(12)
+            )))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = tmp_path / "corpus_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+    bench = ds.from_pandas(pd.DataFrame({"doc_id": [0], "text": [base]}))
+
+    batch = (
+        contamination_bloom(
+            ds.read_parquet(str(src)), bench, hash_kind="xxhash64"
+        )  # same hash as the stream default: false positives must align
+        .compute()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert batch.contaminated.sum() > 0  # the leak is detectable
+
+    stream_sdf = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(src))
+    out = decontaminate_stream(stream_sdf, bench)
+    q = (
+        out.writeStream.format("memory").queryName("t_decontam")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = (
+        spark.sql("select * from t_decontam")
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == len(batch)
+    assert list(got.doc_id) == list(batch.doc_id)
+    assert list(got.hit_grams) == list(batch.hit_grams)
+    assert list(got.contaminated) == list(batch.contaminated)
