@@ -2256,7 +2256,12 @@ class DaskFrame:
     @property
     def values(self):
         """reference FrameBase.values: the numeric columns as a dask
-        array (to_dask_array with defaults)."""
+        array (to_dask_array with defaults). A column literally named
+        'values' wins (pre-existing attribute-access behavior — the
+        DArray backing frames use that very column name, and a
+        property always shadows __getattr__)."""
+        if "values" in self._sdf.columns:
+            return self["values"]
         return self.to_dask_array()
 
     def to_dask_array(self, cols: Sequence[str] | None = None,

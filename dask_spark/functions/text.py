@@ -582,8 +582,10 @@ def with_lm_perplexity(sdf, lm: UnigramLM, text_col: str = "text",
     lp_sum = F.aggregate(
         F.col("__lm_toks"),
         F.lit(0.0),
+        # try_element_at: ANSI mode makes element_at THROW on a
+        # missing map key, so the OOV coalesce would never be reached
         lambda acc, t: acc
-        + F.coalesce(F.element_at(F.col("__lm_map"), t), oov),
+        + F.coalesce(F.try_element_at(F.col("__lm_map"), t), oov),
     )
     n = F.col("__lm_n")
     ppl = F.when(n == 0.0, F.lit(1.0)).otherwise(F.exp(-lp_sum / n))

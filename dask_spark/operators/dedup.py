@@ -37,9 +37,16 @@ def drop_duplicates(frame, subset: Sequence[str] | None = None, keep="any"):
             sdf.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") == 1)
-            .drop("__c")
+            .select(*[F.col(k).alias(f"__u{i}") for i, k in enumerate(keys)])
         )
-        return DaskFrame(sdf.join(uniq, keys, "left_semi"))
+        # eqNullSafe: groupBy treats null keys as equal (pandas too),
+        # so the semi join must as well or unique null-keyed rows
+        # silently vanish through null-unsafe equality
+        cond = None
+        for i, k in enumerate(keys):
+            c = sdf[k].eqNullSafe(uniq[f"__u{i}"])
+            cond = c if cond is None else cond & c
+        return DaskFrame(sdf.join(uniq, cond, "left_semi"))
     if subset is None or keep == "any":
         return DaskFrame(sdf.dropDuplicates(subset))
     subset = list(subset)
@@ -197,6 +204,8 @@ def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     implementations); everything JVM-side."""
     from dask_spark.frame import DaskFrame
 
+    if bands < 1 or num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
     sigs = minhash_signatures(
         frame._sdf, text_col, id_col, num_hashes, shingle_k,
@@ -698,6 +707,11 @@ def contamination_minhash(corpus, benchmark, text_col: str = "text",
     Returns (id, match_id, jaccard_est) for flagged corpus docs."""
     from dask_spark.frame import DaskFrame
 
+    if bands < 1 or num_hashes % bands:
+        # rows=0 would make every band slice empty (all band hashes
+        # equal → full cross product); a remainder silently drops
+        # hash slots from banding (lower recall than requested)
+        raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
     sig_c = minhash_signatures(
         corpus._sdf, text_col, id_col, num_hashes, shingle_k,

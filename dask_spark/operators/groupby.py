@@ -96,12 +96,18 @@ class Aggregation:
 class GroupBy:
     def __init__(self, frame, keys: Sequence[str], dropna: bool = True):
         self._keys = list(keys)
-        if dropna and self._keys:
+        self._raw = frame
+        self._dropna = bool(dropna) and bool(self._keys)
+        if self._dropna:
             # pandas/dask groupby(dropna=True) default: rows with a
             # null in ANY group key never form a group. Spark's
-            # groupBy keeps the null group, so the contract must be
-            # pinned with an explicit prefilter (pushdown-friendly:
-            # it lands in the scan as IsNotNull).
+            # groupBy keeps the null group, so GROUP-PRODUCING ops
+            # (agg/apply/topk/head/rolling/...) run over this
+            # prefiltered frame (pushdown-friendly: it lands in the
+            # scan as IsNotNull). SHAPE-PRESERVING ops (transform,
+            # cumulatives, shift/diff, ffill/bfill, ngroup/cumcount)
+            # instead keep every row and null the RESULT for null-key
+            # rows — pandas' contract — via _shape_preserving.
             cond = None
             for k in self._keys:
                 c = F.col(k).isNotNull()
@@ -110,6 +116,32 @@ class GroupBy:
 
             frame = DaskFrame(frame._sdf.filter(cond))
         self._frame = frame
+
+    def _null_key(self):
+        cond = None
+        for k in self._keys:
+            c = F.col(k).isNull()
+            cond = c if cond is None else cond | c
+        return cond
+
+    def _shape_preserving(self, mask_cols, build):
+        """Run a row-count-preserving group op over the UNFILTERED
+        frame, then null out ``mask_cols`` on null-key rows (pandas
+        dropna=True keeps the rows; their results are NaN). Null-key
+        rows form their own Spark window partition during the build,
+        so non-null groups are unaffected."""
+        out = build(self._raw)
+        if not self._dropna:
+            return out
+        from dask_spark.frame import DaskFrame
+
+        sdf = out._sdf
+        cond = self._null_key()
+        for c in mask_cols:
+            sdf = sdf.withColumn(
+                c, F.when(cond, F.lit(None)).otherwise(F.col(c))
+            )
+        return DaskFrame(sdf)
 
     # ---- declarative aggregation -------------------------------------
     def agg(self, spec: Mapping[str, object] | None = None,
@@ -350,25 +382,28 @@ class GroupBy:
     # ---- window-backed (no second shuffle) ----------------------------
     def transform(self, fn: str, col: str, out: str | None = None) -> "DaskFrame":
         """Group-aggregate broadcast back onto rows — window function
-        instead of agg+join (one shuffle, not two)."""
+        instead of agg+join (one shuffle, not two). Shape-preserving:
+        null-key rows stay, with null results (pandas dropna)."""
         from dask_spark.frame import DaskFrame
 
+        name = out or f"{col}_{fn}"
         w = Window.partitionBy(*self._keys)
-        return DaskFrame(
-            self._frame._sdf.withColumn(out or f"{col}_{fn}", _AGGS[fn](col).over(w))
-        )
+        return self._shape_preserving([name], lambda f: DaskFrame(
+            f._sdf.withColumn(name, _AGGS[fn](col).over(w))
+        ))
 
     def cumsum(self, col: str, order_by: str, out: str | None = None) -> "DaskFrame":
         from dask_spark.frame import DaskFrame
 
+        name = out or f"{col}_cumsum"
         w = (
             Window.partitionBy(*self._keys)
             .orderBy(order_by)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return DaskFrame(
-            self._frame._sdf.withColumn(out or f"{col}_cumsum", F.sum(col).over(w))
-        )
+        return self._shape_preserving([name], lambda f: DaskFrame(
+            f._sdf.withColumn(name, F.sum(col).over(w))
+        ))
 
     def aggregate(self, *a, **kw):
         """Alias of agg (reference _groupby.py aggregate)."""
@@ -458,37 +493,49 @@ class GroupBy:
         """Per-group forward fill (reference: dask_expr/_groupby.py:1784
         GroupBy.ffill) — delegates to the frame-level windowed fill
         with the group keys; one sort-shuffle on the keys."""
-        return self._frame.ffill(cols, order_by, by=list(self._keys))
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return self._shape_preserving(
+            cols, lambda f: f.ffill(cols, order_by, by=list(self._keys))
+        )
 
     def bfill(self, cols, order_by: str) -> "DaskFrame":
         """Per-group backward fill (_groupby.py GroupBy.bfill)."""
-        return self._frame.bfill(cols, order_by, by=list(self._keys))
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        return self._shape_preserving(
+            cols, lambda f: f.bfill(cols, order_by, by=list(self._keys))
+        )
 
     def shift(self, col: str, periods: int = 1, order_by: str | None = None,
               out: str | None = None) -> "DaskFrame":
         """Per-group shift (_groupby.py:2081 GroupBy.shift)."""
-        return self._frame.shift(col, periods, order_by=order_by,
-                                 by=list(self._keys), out=out)
+        name = out or f"{col}_shift"
+        return self._shape_preserving([name], lambda f: f.shift(
+            col, periods, order_by=order_by, by=list(self._keys), out=name
+        ))
 
     def diff(self, col: str, periods: int = 1, order_by: str | None = None,
              out: str | None = None) -> "DaskFrame":
         """Per-group diff (_groupby.py GroupBy.diff)."""
-        return self._frame.diff(col, periods, order_by=order_by,
-                                by=list(self._keys), out=out)
+        name = out or f"{col}_diff"
+        return self._shape_preserving([name], lambda f: f.diff(
+            col, periods, order_by=order_by, by=list(self._keys), out=name
+        ))
 
     def cumprod(self, col: str, order_by: str,
                 out: str | None = None) -> "DaskFrame":
         """Per-group cumulative product (_groupby.py cumprod)."""
-        return self._frame.cumprod(col, order_by, by=list(self._keys),
-                                   out=out)
+        name = out or f"{col}_cumprod"
+        return self._shape_preserving([name], lambda f: f.cumprod(
+            col, order_by, by=list(self._keys), out=name
+        ))
 
     def cumcount(self, order_by: str, out: str = "cumcount") -> "DaskFrame":
         from dask_spark.frame import DaskFrame
 
         w = Window.partitionBy(*self._keys).orderBy(order_by)
-        return DaskFrame(
-            self._frame._sdf.withColumn(out, F.row_number().over(w) - F.lit(1))
-        )
+        return self._shape_preserving([out], lambda f: DaskFrame(
+            f._sdf.withColumn(out, F.row_number().over(w) - F.lit(1))
+        ))
 
     def nth(self, n: int, order_by: str | Sequence[str]) -> "DaskFrame":
         """The n-th row of each group in ``order_by`` order (reference:
@@ -524,7 +571,24 @@ class GroupBy:
         from dask_spark.frame import DaskFrame
 
         keys = list(self._keys)
+        # distinct keys from the FILTERED frame (a null key must not
+        # occupy a group number — pandas skips it from the count);
+        # rows come from the raw frame via a null-safe LEFT join:
+        # under dropna null-key rows survive with a null ngroup
+        # (pandas NaN), under dropna=False they match dk's null entry
+        # (a null-UNSAFE equi-join would silently drop them)
         dk = self._frame._sdf.select(*keys).distinct()
         w = Window.orderBy(*[F.col(k).asc() for k in keys])
         ranked = dk.withColumn(out, F.dense_rank().over(w) - F.lit(1))
-        return DaskFrame(self._frame._sdf.join(ranked, on=keys))
+        ranked = ranked.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)], out
+        )
+        raw = self._raw._sdf
+        cond = None
+        for i, k in enumerate(keys):
+            c = raw[k].eqNullSafe(ranked[f"__k{i}"])
+            cond = c if cond is None else cond & c
+        return DaskFrame(
+            raw.join(ranked, cond, "left")
+            .drop(*[f"__k{i}" for i in range(len(keys))])
+        )

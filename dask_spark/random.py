@@ -573,11 +573,16 @@ class RandomState:
         clamp to the last bucket — probability < 1e-12)."""
         if lam <= 0:
             raise ValueError("lam must be positive")
-        if lam > 1000:
+        if lam > 700:
+            # exp(-lam) underflows to 0.0 past ~745 (all thresholds
+            # collapse to 0 and every draw returns the clamp bucket),
+            # and leaves denormal tail mass well before that — the
+            # literal path is only trustworthy while exp(-lam) is a
+            # normal double. poisson() routes larger rates to PTRS.
             raise ValueError(
-                "poisson with lam > 1000: the CDF literal has O(lam) "
-                "terms — poisson() routes such rates to the PTRS "
-                "rejection kernel instead of this literal path"
+                "poisson with lam > 700: exp(-lam) underflow breaks "
+                "the CDF literal — poisson() routes such rates to the "
+                "PTRS rejection kernel instead of this literal path"
             )
         pmf = math.exp(-lam)
         cdf, acc, k = [], pmf, 0
@@ -643,13 +648,13 @@ class RandomState:
 
     def poisson(self, lam: float = 1.0, n: int = 1, dim: int = 1,
                 npartitions: int | None = None) -> DArray:
-        """lam <= 1000: driver-literal CDF → codegen searchsorted
-        chain (fully SQL-replayable). Larger rates route to the PTRS
-        rejection kernel (_np_poisson) — same counter contract and
-        partitioning invariance, just not expressible in the oracle,
-        like the gamma family."""
+        """lam <= 700: driver-literal CDF → codegen searchsorted
+        chain (fully SQL-replayable; exp(-lam) still a normal double).
+        Larger rates route to the PTRS rejection kernel (_np_poisson)
+        — same counter contract and partitioning invariance, just not
+        expressible in the oracle, like the gamma family."""
         lam = float(lam)
-        if lam > 1000:
+        if lam > 700:
             seed = self._seed
             return self._draw_np(
                 n, dim,

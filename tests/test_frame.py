@@ -475,3 +475,41 @@ def test_drop_duplicates_keep_false(spark):
     )
     want = pdf.drop_duplicates(subset=["k"], keep=False)
     assert sorted(got.k.tolist()) == want.k.tolist() == [2]
+
+
+def test_drop_duplicates_keep_false_null_keys(spark):
+    """keep=False must treat null keys as equal on BOTH sides: a
+    unique null-keyed row survives (pandas parity), duplicate nulls
+    drop."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [1.0, None, 2.0, 2.0], "v": [1, 2, 3, 4]})
+    got = (
+        ds.from_pandas(pdf).drop_duplicates(subset=["k"], keep=False)
+        .compute().sort_values("v")
+    )
+    want = pdf.drop_duplicates(subset=["k"], keep=False)
+    assert got.v.tolist() == want.v.tolist() == [1, 2]
+    pdf2 = pd.DataFrame({"k": [None, None, 3.0], "v": [1, 2, 3]})
+    got2 = (
+        ds.from_pandas(pdf2).drop_duplicates(subset=["k"], keep=False)
+        .compute()
+    )
+    assert got2.v.tolist() == [3]
+
+
+def test_values_property_column_shadow(spark):
+    """A column literally named 'values' still resolves attribute-style
+    to that column (the DArray backing frames depend on it); frames
+    without one get the dask values-as-array semantics."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.frame import Series
+
+    f = ds.from_pandas(pd.DataFrame({"values": [1.0, 2.0], "x": [3, 4]}))
+    assert isinstance(f.values, Series)
+    f2 = ds.from_pandas(pd.DataFrame({"x": [3.0, 4.0]}))
+    assert not isinstance(f2.values, Series)

@@ -1183,3 +1183,15 @@ def test_contamination_minhash(corpus):
         rest, bench, jaccard_threshold=0.25, word_hash="md5"
     ).compute()
     assert set(out2.doc_id) == set(out.doc_id)
+
+
+def test_minhash_band_validation(corpus):
+    from dask_spark.operators.dedup import (
+        contamination_minhash,
+        minhash_lsh_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(corpus, num_hashes=32, bands=7)
+    with pytest.raises(ValueError):
+        contamination_minhash(corpus, corpus, num_hashes=32, bands=64)

@@ -162,9 +162,6 @@ def test_collection_method_parity():
         m for m in sorted(base | classes.get("DataFrame", set()))
         if not hasattr(DaskFrame, m)
     ]
-    probe = Series.__new__(Series)  # hasattr on the class misses __getattr__
-    probe._frame = probe._expr = None
-    probe._name = "x"
     missing_s = [
         m for m in sorted(base | classes.get("Series", set()))
         if not (hasattr(Series, m) or m in Series._FRAME_DELEGATES)

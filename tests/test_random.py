@@ -356,3 +356,16 @@ def test_size_tuple_forms(spark):
     assert two._sdf.count() == 50
     one = rs.poisson(2.0, (30,))
     assert len(_vals(one)) == 30
+
+
+def test_poisson_underflow_band_routes_to_kernel(spark):
+    """lam in (700, 1000] used to build an all-zero CDF literal
+    (exp(-lam) underflow) that returned a constant for every draw —
+    now routed to PTRS like any large rate."""
+    rs = RandomState(spark, seed=3)
+    v = _vals(rs.poisson(800.0, 8000))
+    assert v.std() > 0  # the broken path returned one constant
+    assert abs(v.mean() - 800.0) < 6 * math.sqrt(800.0 / 8000)
+    assert abs(v.var() - 800.0) < 0.1 * 800.0
+    with pytest.raises(ValueError):
+        RandomState.poisson_cdf(800.0)

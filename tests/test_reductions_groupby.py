@@ -564,3 +564,44 @@ def test_groupby_and_value_counts_dropna(spark):
     assert len(vc_all) == 3
     norm = frame["g"].value_counts(normalize=True).compute()
     assert norm.proportion.tolist() == [2 / 3, 1 / 3]
+
+
+def test_groupby_dropna_shape_preserving(spark):
+    """pandas contract: with dropna=True, SHAPE-PRESERVING group ops
+    (transform/cumsum/shift/ffill/cumcount/ngroup) keep null-key rows
+    and give them null results; group-producing ops drop the rows."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", None, "a", "b", None],
+            "o": [1, 2, 3, 4, 5],
+            "v": [1.0, 2.0, 3.0, 4.0, None],
+        }
+    )
+    g = ds.from_pandas(pdf).groupby("k")
+    t = g.transform("sum", "v").compute().sort_values("o")
+    assert len(t) == 5
+    assert t.v_sum.tolist()[0] == 4.0 and pd.isna(t.v_sum.tolist()[1])
+    want = pdf.groupby("k").v.transform("sum")
+    assert [(a == b) or (pd.isna(a) and pd.isna(b))
+            for a, b in zip(t.v_sum.tolist(), want.tolist())]
+    c = g.cumsum("v", order_by="o").compute().sort_values("o")
+    assert len(c) == 5 and pd.isna(c.v_cumsum.tolist()[1])
+    s = g.shift("v", order_by="o").compute().sort_values("o")
+    assert len(s) == 5 and pd.isna(s.v_shift.tolist()[4])
+    f = g.ffill("v", order_by="o").compute().sort_values("o")
+    assert len(f) == 5 and pd.isna(f.v.tolist()[4])  # null-key row: NaN
+    cc = g.cumcount(order_by="o").compute().sort_values("o")
+    assert len(cc) == 5 and pd.isna(cc.cumcount.tolist()[1])
+    ng = g.ngroup().compute().sort_values("o")
+    assert len(ng) == 5
+    want_ng = pdf.groupby("k").ngroup()  # -1 marks dropped in pandas<2.1
+    got = ng.ngroup.tolist()
+    assert got[0] == got[2] == 0 and got[3] == 1
+    assert pd.isna(got[1]) and pd.isna(got[4])
+    # dropna=False: ngroup numbers the null group too
+    ng2 = ds.from_pandas(pdf).groupby("k", dropna=False).ngroup().compute()
+    assert ng2.ngroup.notna().all() and ng2.ngroup.nunique() == 3
