@@ -1013,19 +1013,27 @@ class DArray:
         col = self._col
 
         def local_r(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             chunks = [c for c in it if len(c)]
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
             X = np.array(pdf[col].tolist(), dtype="float64")
             R = np.linalg.qr(X, mode="r")
-            yield pd.DataFrame({"__i": range(len(R)), "__r": list(R)})
+            yield pd.DataFrame(
+                {"__p": pid, "__i": range(len(R)), "__r": list(R)}
+            )
 
         rows = self._sdf.select(col).mapInPandas(
-            local_r, schema="__i int, __r array<double>"
+            local_r, schema="__p int, __i int, __r array<double>"
         ).collect()
         if not rows:
             raise ValueError("cholesky of an empty array")
+        # stack in explicit (partition, row) order so the driver QR
+        # never depends on collect order
+        rows = sorted(rows, key=lambda r: (r["__p"], r["__i"]))
         stacked = np.array([list(r["__r"]) for r in rows], dtype="float64")
         R = np.linalg.qr(stacked, mode="r")
         s = np.sign(np.diag(R))
@@ -1163,6 +1171,9 @@ def _cross_gram(left: "DArray", right: "DArray"):
         # BLAS sum inside LᵀR is order-sensitive at the ulp level. Sort
         # the partition by id before the matmul — partition MEMBERSHIP
         # is hash(id)-deterministic, so the gram is now bit-stable.
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         chunks = [c for c in it if len(c)]
         if not chunks:
             return
@@ -1173,14 +1184,18 @@ def _cross_gram(left: "DArray", right: "DArray"):
         R = np.array(pdf["__r"].tolist(), dtype="float64")
         acc = L.T @ R
         yield pd.DataFrame(
-            {"__i": list(range(len(acc))), "__g": list(acc)}
+            {"__p": pid, "__i": list(range(len(acc))), "__g": list(acc)}
         )
 
     rows = joined.select("__id", "__l", "__r").mapInPandas(
-        local, schema="__i int, __g array<double>"
+        local, schema="__p int, __i int, __g array<double>"
     ).collect()
     if not rows:
         raise ValueError("cross gram of an empty array")
+    # fold in explicit (partition, row) order — collect USUALLY returns
+    # partition order, but the block sum must not depend on it (the
+    # driver += is the other order-sensitive sum in this pattern)
+    rows = sorted(rows, key=lambda r: (r["__p"], r["__i"]))
     dl = max(r["__i"] for r in rows) + 1
     dr = len(rows[0]["__g"])
     G = np.zeros((dl, dr))

@@ -719,13 +719,32 @@ class Series:
     def abs(self) -> "Series":
         return Series(self._frame, F.abs(self._expr), self._name)
 
-    def map(self, fn, dtype: str = "string") -> "Series":
-        """Row-wise Python fn — Arrow pandas UDF (slow path by design)."""
+    def map(self, fn, dtype: str = "string", na_action: str | None = None
+            ) -> "Series":
+        """pandas Series.map. A dict/Mapping lowers to a JVM literal-map
+        lookup (try_element_at — no Python, missing keys → null exactly
+        like pandas' NaN; ANSI-safe). A callable runs as an Arrow pandas
+        UDF (slow path by design); na_action='ignore' skips nulls."""
+        from collections.abc import Mapping as _Mapping
+
+        if isinstance(fn, _Mapping):
+            entries = []
+            for k in fn:
+                entries.extend([F.lit(k), F.lit(fn[k])])
+            if not entries:
+                return Series(
+                    self._frame, F.lit(None).cast(dtype), self._name
+                )
+            return Series(
+                self._frame,
+                F.try_element_at(F.create_map(*entries), self._expr),
+                self._name,
+            )
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf(dtype)
         def _udf(s):
-            return s.map(fn)
+            return s.map(fn, na_action=na_action)
 
         return Series(self._frame, _udf(self._expr), self._name)
 

@@ -513,3 +513,29 @@ def test_values_property_column_shadow(spark):
     assert isinstance(f.values, Series)
     f2 = ds.from_pandas(pd.DataFrame({"x": [3.0, 4.0]}))
     assert not isinstance(f2.values, Series)
+
+
+def test_series_map_dict_jvm_path(spark):
+    """Series.map(dict) lowers to a literal-map lookup (no Python):
+    pandas values for present keys, null for missing — and the plan
+    contains no Arrow/Python evaluation node."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"s": ["a", "b", "c", None]})
+    f = ds.from_pandas(pdf)
+    got = f.assign(m=f.s.map({"a": 10, "b": 20})).compute()
+    want = pdf.s.map({"a": 10, "b": 20})
+    assert [(x == y) or (pd.isna(x) and pd.isna(y))
+            for x, y in zip(got.m.tolist(), want.tolist())]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        f.assign(m=f.s.map({"a": 10})).to_spark().explain()
+    assert "ArrowEvalPython" not in buf.getvalue()
+    # empty mapping: all null (pandas gives all-NaN)
+    allnull = f.assign(m=f.s.map({}, dtype="int")).compute()
+    assert allnull.m.isna().all()
