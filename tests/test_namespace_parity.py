@@ -240,3 +240,43 @@ def test_groupby_method_parity():
 
     missing = [m for m in sorted(ref) if not hasattr(GroupBy, m)]
     assert not missing, f"GroupBy surface missing: {missing}"
+
+
+def test_accessor_method_parity():
+    """The reference's String/Datetime accessor surfaces (explicit
+    defs + the _accessor_methods/_accessor_properties name lists in
+    dataframe/accessor.py) must resolve on StrAccessor/DtAccessor."""
+    accfile = os.path.join(REF, "dataframe", "accessor.py")
+    if not os.path.exists(accfile):
+        pytest.skip("reference accessor module missing")
+    tree = ast.parse(open(accfile).read())
+    info: dict[str, set[str]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef):
+            names = {
+                n.name
+                for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not n.name.startswith("_")
+            }
+            for n in node.body:
+                if isinstance(n, ast.Assign):
+                    for t in n.targets:
+                        if isinstance(t, ast.Name) and t.id in (
+                            "_accessor_methods", "_accessor_properties"
+                        ):
+                            try:
+                                names |= set(ast.literal_eval(n.value))
+                            except (ValueError, SyntaxError):
+                                pass
+            info[node.name] = names
+    from dask_spark.frame import DtAccessor, StrAccessor
+
+    for refname, cls in (
+        ("StringAccessor", StrAccessor), ("DatetimeAccessor", DtAccessor)
+    ):
+        missing = [
+            m for m in sorted(info.get(refname, set()))
+            if not hasattr(cls, m)
+        ]
+        assert not missing, f"{refname} missing: {missing}"
