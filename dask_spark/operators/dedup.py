@@ -764,17 +764,21 @@ def contamination_minhash(corpus, benchmark, text_col: str = "text",
     )
     scored = pairs.select(
         "__cid", "__bid", (eq / F.lit(num_hashes)).alias("__j")
-    ).filter(F.col("__j") >= F.lit(jaccard_threshold)).persist()
-    best = scored.groupBy("__cid").agg(F.max("__j").alias("jaccard_est"))
-    s, b = scored.alias("s"), best.alias("b")
+    ).filter(F.col("__j") >= F.lit(jaccard_threshold))
+    # best match in ONE aggregate: min_by over (-j, bid) is "min bid
+    # among the max-j rows" — (cid, bid) pairs are distinct so the
+    # struct order has no ties and the pick is deterministic
     out = (
-        s.join(
-            b,
-            (F.col("s.__cid") == F.col("b.__cid"))
-            & (F.col("s.__j") == F.col("b.jaccard_est")),
+        scored.groupBy(F.col("__cid").alias(id_col))
+        .agg(
+            F.max("__j").alias("jaccard_est"),
+            F.min_by(
+                "__bid",
+                F.struct(
+                    (-F.col("__j")).alias("nj"), F.col("__bid").alias("b")
+                ),
+            ).alias("match_id"),
         )
-        .groupBy(F.col("s.__cid").alias(id_col), F.col("b.jaccard_est"))
-        .agg(F.min(F.col("s.__bid")).alias("match_id"))
         .select(id_col, "match_id", "jaccard_est")
     )
     return DaskFrame(out)
