@@ -728,18 +728,27 @@ class Series:
         from collections.abc import Mapping as _Mapping
 
         if isinstance(fn, _Mapping):
-            entries = []
-            for k in fn:
-                entries.extend([F.lit(k), F.lit(fn[k])])
-            if not entries:
+            # lowerable = non-null keys, homogeneous key/value types
+            # (Spark maps reject null keys and mixed types); anything
+            # else falls back to the pandas-UDF path, which handles
+            # every dict pandas does
+            kt = {type(k) for k in fn}
+            vt = {type(v) for v in fn.values() if v is not None}
+            if len(kt) <= 1 and None not in fn and len(vt) <= 1:
+                entries = []
+                for k in fn:
+                    entries.extend([F.lit(k), F.lit(fn[k])])
+                if not entries:
+                    return Series(
+                        self._frame, F.lit(None).cast(dtype), self._name
+                    )
                 return Series(
-                    self._frame, F.lit(None).cast(dtype), self._name
+                    self._frame,
+                    F.try_element_at(F.create_map(*entries), self._expr),
+                    self._name,
                 )
-            return Series(
-                self._frame,
-                F.try_element_at(F.create_map(*entries), self._expr),
-                self._name,
-            )
+            mapping = dict(fn)
+            fn = lambda x: mapping.get(x)  # noqa: E731
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf(dtype)
@@ -2275,12 +2284,10 @@ class DaskFrame:
     @property
     def values(self):
         """reference FrameBase.values: the numeric columns as a dask
-        array (to_dask_array with defaults). A column literally named
-        'values' wins (pre-existing attribute-access behavior — the
-        DArray backing frames use that very column name, and a
-        property always shadows __getattr__)."""
-        if "values" in self._sdf.columns:
-            return self["values"]
+        array (to_dask_array with defaults) — ALWAYS the array, like
+        pandas/dask, even when a column is literally named 'values'
+        (a data-dependent return type on a public property would be
+        worse than the shadow; use frame['values'] for the column)."""
         return self.to_dask_array()
 
     def to_dask_array(self, cols: Sequence[str] | None = None,

@@ -108,6 +108,16 @@ def word_hash_expr(w, kind: str = "xxhash64"):
     raise ValueError("word_hash must be xxhash64|md5")
 
 
+def _check_bands(num_hashes: int, bands: int) -> int:
+    """rows-per-band guard shared by every banding entry point:
+    rows=0 would make every band slice empty (all band hashes equal →
+    full cross product); a remainder silently drops hash slots from
+    banding (lower recall than requested)."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    return num_hashes // bands
+
+
 def minhash_signatures(sdf, text_col: str, id_col: str, num_hashes: int = 64,
                        shingle_k: int = 3, seed: int = 1234,
                        word_hash: str = "xxhash64"):
@@ -204,9 +214,7 @@ def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     implementations); everything JVM-side."""
     from dask_spark.frame import DaskFrame
 
-    if bands < 1 or num_hashes % bands:
-        raise ValueError("bands must divide num_hashes")
-    rows = num_hashes // bands
+    rows = _check_bands(num_hashes, bands)
     sigs = minhash_signatures(
         frame._sdf, text_col, id_col, num_hashes, shingle_k,
         word_hash=word_hash,
@@ -707,12 +715,7 @@ def contamination_minhash(corpus, benchmark, text_col: str = "text",
     Returns (id, match_id, jaccard_est) for flagged corpus docs."""
     from dask_spark.frame import DaskFrame
 
-    if bands < 1 or num_hashes % bands:
-        # rows=0 would make every band slice empty (all band hashes
-        # equal → full cross product); a remainder silently drops
-        # hash slots from banding (lower recall than requested)
-        raise ValueError("bands must divide num_hashes")
-    rows = num_hashes // bands
+    rows = _check_bands(num_hashes, bands)
     sig_c = minhash_signatures(
         corpus._sdf, text_col, id_col, num_hashes, shingle_k,
         word_hash=word_hash,

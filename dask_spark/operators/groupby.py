@@ -578,7 +578,10 @@ class GroupBy:
         # (pandas NaN), under dropna=False they match dk's null entry
         # (a null-UNSAFE equi-join would silently drop them)
         dk = self._frame._sdf.select(*keys).distinct()
-        w = Window.orderBy(*[F.col(k).asc() for k in keys])
+        # nulls LAST: with dropna=False pandas numbers the NaN group
+        # after every real group (Spark asc() is nulls-first, which
+        # would shift every non-null group's number by one)
+        w = Window.orderBy(*[F.col(k).asc_nulls_last() for k in keys])
         ranked = dk.withColumn(out, F.dense_rank().over(w) - F.lit(1))
         ranked = ranked.select(
             *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)], out

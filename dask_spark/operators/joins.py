@@ -53,9 +53,10 @@ def _validate_merge(lsdf, rsdf, lkeys, rkeys, validate: str) -> None:
     v = norm[validate]
 
     def has_dups(sdf, keys) -> bool:
+        # empty keys = the cross-merge case: "unique" means <= 1 row
+        grouped = sdf.groupBy(*keys) if keys else sdf.groupBy()
         return (
-            sdf.select(*keys).groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
+            grouped.agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1).limit(1).count() > 0
         )
 
@@ -78,11 +79,19 @@ def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
 
     lsdf, rsdf = left._sdf, right._sdf
     how = _HOW[how]
-    if validate is not None and how != "cross":
-        lk = ([on] if isinstance(on, str) else list(on)) if on is not None \
-            else ([left_on] if isinstance(left_on, str) else list(left_on))
-        rk = ([on] if isinstance(on, str) else list(on)) if on is not None \
-            else ([right_on] if isinstance(right_on, str) else list(right_on))
+    if validate is not None:
+        if how == "cross":
+            # pandas: a cross merge is 1:1 only when each side has at
+            # most one row — validated on the EMPTY key
+            lk = rk = []
+        else:
+            lk = ([on] if isinstance(on, str) else list(on)) \
+                if on is not None \
+                else ([left_on] if isinstance(left_on, str) else list(left_on))
+            rk = ([on] if isinstance(on, str) else list(on)) \
+                if on is not None \
+                else ([right_on] if isinstance(right_on, str)
+                      else list(right_on))
         _validate_merge(lsdf, rsdf, lk, rk, validate)
     if indicator:
         # pandas merge(indicator=True): per-row provenance. Constant

@@ -17,12 +17,16 @@ def decontaminate_stream(stream_sdf, benchmark, text_col: str = "text",
                          id_col: str = "doc_id", ngram: int = 3,
                          m_bits: int = 4096, k: int = 3,
                          threshold: float = 0.5,
-                         hash_kind: str = "xxhash64",
+                         hash_kind: str = "md5",
                          engine: str = "arrow"):
     """Apply bloom decontamination to a streaming corpus. ``benchmark``
     is a static DaskFrame/DataFrame (the eval blocklist); returns a
     streaming DataFrame of (id, total_grams, hit_grams, contaminated)
-    — filter ``contaminated`` in the sink to quarantine leaks."""
+    — filter ``contaminated`` in the sink to quarantine leaks.
+    Defaults mirror the batch twin exactly (same hash_kind, so bloom
+    false positives align between a stream and its batch validation
+    run); pass hash_kind="xxhash64" for the faster production mode on
+    BOTH sides."""
     from dask_spark.operators.dedup import contamination_bloom
 
     return contamination_bloom(

@@ -501,16 +501,17 @@ def test_drop_duplicates_keep_false_null_keys(spark):
 
 
 def test_values_property_column_shadow(spark):
-    """A column literally named 'values' still resolves attribute-style
-    to that column (the DArray backing frames depend on it); frames
-    without one get the dask values-as-array semantics."""
+    """FrameBase.values is ALWAYS the dask array (pandas/dask contract
+    — no data-dependent return type); a column literally named
+    'values' is reachable via frame['values']."""
     import pandas as pd
 
     import dask_spark as ds
     from dask_spark.frame import Series
 
     f = ds.from_pandas(pd.DataFrame({"values": [1.0, 2.0], "x": [3, 4]}))
-    assert isinstance(f.values, Series)
+    assert not isinstance(f.values, Series)  # dask contract: the array
+    assert isinstance(f["values"], Series)   # the column, explicitly
     f2 = ds.from_pandas(pd.DataFrame({"x": [3.0, 4.0]}))
     assert not isinstance(f2.values, Series)
 
@@ -527,8 +528,10 @@ def test_series_map_dict_jvm_path(spark):
     f = ds.from_pandas(pdf)
     got = f.assign(m=f.s.map({"a": 10, "b": 20})).compute()
     want = pdf.s.map({"a": 10, "b": 20})
-    assert [(x == y) or (pd.isna(x) and pd.isna(y))
-            for x, y in zip(got.m.tolist(), want.tolist())]
+    assert all(
+        (x == y) or (pd.isna(x) and pd.isna(y))
+        for x, y in zip(got.m.tolist(), want.tolist())
+    )
     import io
     from contextlib import redirect_stdout
 
@@ -539,3 +542,8 @@ def test_series_map_dict_jvm_path(spark):
     # empty mapping: all null (pandas gives all-NaN)
     allnull = f.assign(m=f.s.map({}, dtype="int")).compute()
     assert allnull.m.isna().all()
+    # non-lowerable dicts fall back to the pandas-UDF path:
+    # a None key (Spark maps reject null keys)
+    nk = f.assign(m=f.s.map({None: "X", "a": "A"})).compute()
+    nkm = dict(zip(nk.s.where(nk.s.notna(), None), nk.m))
+    assert nkm["a"] == "A" and nkm[None] == "X"

@@ -573,9 +573,9 @@ def test_streaming_batch_parity_decontamination(spark, tmp_path):
     bench = ds.from_pandas(pd.DataFrame({"doc_id": [0], "text": [base]}))
 
     batch = (
-        contamination_bloom(
-            ds.read_parquet(str(src)), bench, hash_kind="xxhash64"
-        )  # same hash as the stream default: false positives must align
+        contamination_bloom(ds.read_parquet(str(src)), bench)
+        # both sides at DEFAULTS: the stream wrapper mirrors the batch
+        # twin's hash_kind, so false positives must align
         .compute()
         .sort_values("doc_id", ignore_index=True)
     )

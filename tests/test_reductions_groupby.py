@@ -586,8 +586,10 @@ def test_groupby_dropna_shape_preserving(spark):
     assert len(t) == 5
     assert t.v_sum.tolist()[0] == 4.0 and pd.isna(t.v_sum.tolist()[1])
     want = pdf.groupby("k").v.transform("sum")
-    assert [(a == b) or (pd.isna(a) and pd.isna(b))
-            for a, b in zip(t.v_sum.tolist(), want.tolist())]
+    assert all(
+        (a == b) or (pd.isna(a) and pd.isna(b))
+        for a, b in zip(t.v_sum.tolist(), want.tolist())
+    )
     c = g.cumsum("v", order_by="o").compute().sort_values("o")
     assert len(c) == 5 and pd.isna(c.v_cumsum.tolist()[1])
     s = g.shift("v", order_by="o").compute().sort_values("o")
@@ -602,6 +604,10 @@ def test_groupby_dropna_shape_preserving(spark):
     got = ng.ngroup.tolist()
     assert got[0] == got[2] == 0 and got[3] == 1
     assert pd.isna(got[1]) and pd.isna(got[4])
-    # dropna=False: ngroup numbers the null group too
-    ng2 = ds.from_pandas(pdf).groupby("k", dropna=False).ngroup().compute()
-    assert ng2.ngroup.notna().all() and ng2.ngroup.nunique() == 3
+    # dropna=False: pandas numbers the null group LAST
+    ng2 = (
+        ds.from_pandas(pdf).groupby("k", dropna=False).ngroup()
+        .compute().sort_values("o")
+    )
+    want2 = pdf.groupby("k", dropna=False).ngroup()
+    assert ng2.ngroup.tolist() == want2.tolist() == [0, 2, 0, 1, 2]
