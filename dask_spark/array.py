@@ -1551,12 +1551,14 @@ def optimize(*args, **kwargs):
     return args if len(args) != 1 else args[0]
 
 
-def histogram(frame, col: str, bins: int = 10, range=None):
+def histogram(frame, col: str, bins: int = 10, range=None,
+              weights: str | None = None, density: bool = False):
     """Module-level histogram (reference dask/array/routines.py
-    histogram) — one map-side-combined groupBy."""
+    histogram, incl. weights=/density=) — one map-side-combined
+    groupBy."""
     from dask_spark.operators.reductions import histogram as _h
 
-    return _h(frame, col, bins, range)
+    return _h(frame, col, bins, range, weights=weights, density=density)
 
 
 def as_gufunc(signature: str, vectorize: bool = False, output_sizes=None):

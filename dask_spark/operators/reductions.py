@@ -51,12 +51,19 @@ def describe(frame):
 
 
 def histogram(frame, col: str, bins: int = 10,
-              range: tuple[float, float] | None = None):
+              range: tuple[float, float] | None = None,
+              weights: str | None = None, density: bool = False):
     """dask.array.histogram parity: fixed-width histogram as ONE
     map-side-combined groupBy over floor((x-lo)/w) (clamped to the last
     bin, values outside [lo, hi] dropped — numpy semantics). When
     ``range`` is omitted a first tiny agg job finds (min, max), same as
-    dask needing known range for lazy histograms."""
+    dask needing known range for lazy histograms.
+
+    ``weights``: a column name — each sample contributes its weight
+    instead of 1 (reference routines.py:861 weights=). ``density``:
+    normalize so the integral over the range is 1 (n / (total·width));
+    the normalizing total comes from an unpartitioned window over the
+    POST-AGG frame (≤ bins rows — safe at any input scale)."""
     import pyspark.sql.functions as F
 
     from dask_spark.frame import DaskFrame
@@ -73,11 +80,20 @@ def histogram(frame, col: str, bins: int = 10,
     w = (hi - lo) / bins
     x = F.col(col).cast("double")
     bucket = F.least(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(bins - 1))
+    agg = (
+        F.count(F.lit(1)) if weights is None
+        else F.sum(F.col(weights).cast("double"))
+    )
     out = (
         frame._sdf.filter((x >= lo) & (x <= hi))
         .groupBy(bucket.cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(agg.alias("n"))
         .withColumn("bin_lo", F.lit(lo) + F.col("bucket") * F.lit(w))
         .withColumn("bin_hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(w))
     )
+    if density:
+        from pyspark.sql import Window
+
+        total = F.sum("n").over(Window.partitionBy())
+        out = out.withColumn("n", F.col("n") / (total * F.lit(w)))
     return DaskFrame(out)

@@ -602,3 +602,36 @@ def test_review_round3_fixes(spark, nd):
     # frame.index without set_index: TypeError with guidance
     with pytest.raises(TypeError):
         f.index
+
+
+def test_histogram_weights_density(spark):
+    """numpy parity for histogram(weights=), histogram(density=), and
+    the two combined (reference array/routines.py:861)."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.reductions import histogram
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(0, 10, 500)
+    w = rng.uniform(0.1, 2.0, 500)
+    f = ds.from_pandas(pd.DataFrame({"x": x, "w": w}))
+
+    def got(**kw):
+        out = histogram(f, "x", bins=8, range=(0.0, 10.0), **kw).compute()
+        full = np.zeros(8)
+        for _, r in out.iterrows():
+            full[int(r.bucket)] = r.n
+        return full
+
+    base, _ = np.histogram(x, bins=8, range=(0, 10))
+    np.testing.assert_allclose(got(), base)
+    ww, _ = np.histogram(x, bins=8, range=(0, 10), weights=w)
+    np.testing.assert_allclose(got(weights="w"), ww, rtol=1e-12)
+    dd, _ = np.histogram(x, bins=8, range=(0, 10), density=True)
+    np.testing.assert_allclose(got(density=True), dd, rtol=1e-12)
+    both, _ = np.histogram(x, bins=8, range=(0, 10), weights=w,
+                           density=True)
+    np.testing.assert_allclose(got(weights="w", density=True), both,
+                               rtol=1e-12)
