@@ -1291,10 +1291,14 @@ def bincount(frame: DaskFrame, col: str, weights: str | None = None,
 
 def histogram2d(frame: DaskFrame, xcol: str, ycol: str, bins: int,
                 range_: tuple[tuple[float, float], tuple[float, float]],
-                ) -> DaskFrame:
+                weights: str | None = None,
+                density: bool = False) -> DaskFrame:
     """np.histogram2d with explicit ranges: fixed-width bucket ids are
     pure arithmetic (map-only), then ONE groupBy over at most bins²
-    keys — numpy's last-bin-closed edge convention preserved."""
+    keys — numpy's last-bin-closed edge convention preserved.
+    ``weights``/``density`` follow numpy (density divides by
+    total·cell-area; the total comes from an unpartitioned window over
+    the ≤ bins² post-agg rows)."""
     (x0, x1), (y0, y1) = range_
 
     def bucket(c, lo, hi):
@@ -1311,10 +1315,23 @@ def histogram2d(frame: DaskFrame, xcol: str, ycol: str, bins: int,
             (F.col(xcol) >= x0) & (F.col(xcol) <= x1)
             & (F.col(ycol) >= y0) & (F.col(ycol) <= y1)
         )
-        .select(bucket(xcol, x0, x1).alias("bx"), bucket(ycol, y0, y1).alias("by"))
+        .select(
+            bucket(xcol, x0, x1).alias("bx"),
+            bucket(ycol, y0, y1).alias("by"),
+            *([F.col(weights).alias("__w")] if weights else []),
+        )
         .groupBy("bx", "by")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            (F.sum(F.col("__w").cast("double")) if weights
+             else F.count(F.lit(1))).alias("n")
+        )
     )
+    if density:
+        from pyspark.sql import Window
+
+        area = ((x1 - x0) / bins) * ((y1 - y0) / bins)
+        total = F.sum("n").over(Window.partitionBy())
+        sdf = sdf.withColumn("n", F.col("n") / (total * F.lit(area)))
     return DaskFrame(sdf)
 
 

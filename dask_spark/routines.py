@@ -1135,17 +1135,22 @@ def apply_over_axes(func, a, axes):
 
 
 def histogramdd(frame, cols: Sequence[str], bins: int,
-                ranges: Sequence[tuple]):
+                ranges: Sequence[tuple], weights: str | None = None,
+                density: bool = False):
     """D-dimensional histogram (reference dask/array/routines.py
-    histogramdd): fixed-width bucket arithmetic map-side, one groupBy
-    over <= bins**D keys — the same shape as histogram2d generalized.
-    numpy's closed-last-bin edge rule applies per dimension."""
+    histogramdd, incl. weights=/density=): fixed-width bucket
+    arithmetic map-side, one groupBy over <= bins**D keys — the same
+    shape as histogram2d generalized. numpy's closed-last-bin edge
+    rule applies per dimension; density divides by total·cell-volume
+    via an unpartitioned window over the tiny post-agg frame."""
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
     keys = []
+    volume = 1.0
     for c, (lo, hi) in zip(cols, ranges):
         w = (float(hi) - float(lo)) / bins
+        volume *= w
         b = F.when(F.col(c) == float(hi), bins - 1).otherwise(
             F.floor((F.col(c) - float(lo)) / w).cast("int")
         )
@@ -1153,11 +1158,23 @@ def histogramdd(frame, cols: Sequence[str], bins: int,
             (F.col(c) >= float(lo)) & (F.col(c) <= float(hi))
         )
         keys.append(b.alias(f"b_{c}"))
+    if weights:
+        keys.append(F.col(weights).alias("__w"))
     out = (
         sdf.select(*keys)
         .groupBy(*[f"b_{c}" for c in cols])
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(
+            (F.sum(F.col("__w").cast("double")) if weights
+             else F.count(F.lit(1))).alias("count")
+        )
     )
+    if density:
+        from pyspark.sql import Window
+
+        total = F.sum("count").over(Window.partitionBy())
+        out = out.withColumn(
+            "count", F.col("count") / (total * F.lit(volume))
+        )
     return DaskFrame(out)
 
 

@@ -635,3 +635,47 @@ def test_histogram_weights_density(spark):
                            density=True)
     np.testing.assert_allclose(got(weights="w", density=True), both,
                                rtol=1e-12)
+
+
+def test_histogram2d_dd_weights_density(spark):
+    """numpy parity for the weights=/density= kwargs on histogram2d
+    and histogramdd (reference routines.py:1070/1182)."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.ndarray import histogram2d
+    from dask_spark.routines import histogramdd
+
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0, 4, 400)
+    y = rng.uniform(-1, 1, 400)
+    w = rng.uniform(0.5, 1.5, 400)
+    f = ds.from_pandas(pd.DataFrame({"x": x, "y": y, "w": w}))
+
+    def grid2d(out):
+        g = np.zeros((4, 4))
+        for _, r in out.iterrows():
+            g[int(r.bx), int(r.by)] = r.n
+        return g
+
+    ww, _, _ = np.histogram2d(x, y, bins=4, range=((0, 4), (-1, 1)),
+                              weights=w)
+    got = grid2d(histogram2d(f, "x", "y", 4, ((0, 4), (-1, 1)),
+                             weights="w").compute())
+    np.testing.assert_allclose(got, ww, rtol=1e-12)
+    dd, _, _ = np.histogram2d(x, y, bins=4, range=((0, 4), (-1, 1)),
+                              density=True)
+    got = grid2d(histogram2d(f, "x", "y", 4, ((0, 4), (-1, 1)),
+                             density=True).compute())
+    np.testing.assert_allclose(got, dd, rtol=1e-12)
+
+    wdd, _ = np.histogramdd(np.stack([x, y], axis=1), bins=4,
+                            range=((0, 4), (-1, 1)), weights=w,
+                            density=True)
+    out = histogramdd(f, ["x", "y"], 4, [(0, 4), (-1, 1)],
+                      weights="w", density=True).compute()
+    g = np.zeros((4, 4))
+    for _, r in out.iterrows():
+        g[int(r.b_x), int(r.b_y)] = r["count"]
+    np.testing.assert_allclose(g, wdd, rtol=1e-12)
