@@ -1035,10 +1035,10 @@ class Series:
             .limit(n)
         )
 
-    def describe(self) -> "DaskFrame":
+    def describe(self, percentiles=None) -> "DaskFrame":
         """Single-column describe (long form, same schema as frame
         describe)."""
-        return self.to_frame().describe()
+        return self.to_frame().describe(percentiles)
 
     def to_frame(self, name: str | None = None) -> "DaskFrame":
         return DaskFrame(
@@ -1453,11 +1453,11 @@ class DaskFrame:
     def count(self):
         return self._agg_all(lambda c: F.count(F.col(c)))
 
-    def describe(self) -> "DaskFrame":
+    def describe(self, percentiles=None) -> "DaskFrame":
         """Long-form describe: one row per numeric column."""
         from dask_spark.operators.reductions import describe
 
-        return describe(self)
+        return describe(self, percentiles)
 
     def quantile(self, q: float = 0.5) -> "DaskFrame":
         cols = self._numeric_cols()

@@ -10,12 +10,26 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 
-def describe(frame):
+def describe(frame, percentiles=None):
     """Long-form describe: one row per numeric column with
-    count/mean/std/min/q25/q50/q75/max. Long form (not pandas' wide
-    form) so the schema is stable for the oracle compare."""
+    count/mean/std/min/<quantiles>/max. Long form (not pandas' wide
+    form) so the schema is stable for the oracle compare.
+
+    ``percentiles`` (reference dask_expr/_describe.py parameter):
+    quantile levels to report instead of the default
+    (0.25, 0.5, 0.75); labels are q25/q50/q75-style (q5_5 for 0.055),
+    so the default schema is unchanged."""
     from dask_spark.frame import DaskFrame
 
+    pcts = (
+        [0.25, 0.5, 0.75] if percentiles is None
+        else sorted(float(p) for p in percentiles)
+    )
+    if any(not 0.0 <= p <= 1.0 for p in pcts):
+        raise ValueError("percentiles must be in [0, 1]")
+    labels = [("q" + f"{p * 100:g}".replace(".", "_")) for p in pcts]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate percentiles")
     cols = frame._numeric_cols()
     sdf = frame._sdf
     # one pass: aggregate every stat for every column, then unpivot
@@ -26,9 +40,11 @@ def describe(frame):
             F.avg(c).alias(f"{c}__mean"),
             F.stddev_samp(c).alias(f"{c}__std"),
             F.min(c).cast("double").alias(f"{c}__min"),
-            F.percentile(c, F.lit(0.25)).cast("double").alias(f"{c}__q25"),
-            F.percentile(c, F.lit(0.5)).cast("double").alias(f"{c}__q50"),
-            F.percentile(c, F.lit(0.75)).cast("double").alias(f"{c}__q75"),
+            *[
+                F.percentile(c, F.lit(p)).cast("double")
+                .alias(f"{c}__{lab}")
+                for p, lab in zip(pcts, labels)
+            ],
             F.max(c).cast("double").alias(f"{c}__max"),
         ]
     wide = sdf.agg(*aggs)
@@ -39,9 +55,7 @@ def describe(frame):
             F.col(f"{c}__mean").alias("mean"),
             F.col(f"{c}__std").alias("std"),
             F.col(f"{c}__min").alias("min"),
-            F.col(f"{c}__q25").alias("q25"),
-            F.col(f"{c}__q50").alias("q50"),
-            F.col(f"{c}__q75").alias("q75"),
+            *[F.col(f"{c}__{lab}").alias(lab) for lab in labels],
             F.col(f"{c}__max").alias("max"),
         )
         for c in cols

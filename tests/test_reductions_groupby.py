@@ -611,3 +611,21 @@ def test_groupby_dropna_shape_preserving(spark):
     )
     want2 = pdf.groupby("k", dropna=False).ngroup()
     assert ng2.ngroup.tolist() == want2.tolist() == [0, 2, 0, 1, 2]
+
+
+def test_describe_percentiles(tables, pdf_tables):
+    """describe(percentiles=) reports the requested quantile levels
+    (reference dask_expr/_describe.py parameter), pandas-exact for the
+    linear-interpolation percentile."""
+    out = (
+        tables["lineitem"][["l_quantity"]]
+        .describe(percentiles=[0.05, 0.5, 0.95])
+        .compute()
+    )
+    assert {"q5", "q50", "q95"} <= set(out.columns)
+    p = pdf_tables["lineitem"].l_quantity
+    row = out.iloc[0]
+    assert row["q5"] == pytest.approx(p.quantile(0.05))
+    assert row["q95"] == pytest.approx(p.quantile(0.95))
+    with pytest.raises(ValueError):
+        tables["lineitem"].describe(percentiles=[1.5])
