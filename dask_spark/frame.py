@@ -834,8 +834,19 @@ class Series:
     def is_monotonic_decreasing(self, order_by: str) -> bool:
         return self._frame._is_monotonic(self._name, order_by, increasing=False)
 
-    def quantile(self, q: float = 0.5):
-        """reference: dask/dataframe/partitionquantiles.py → GK sketch."""
+    def quantile(self, q=0.5):
+        """reference: dask/dataframe/partitionquantiles.py → GK sketch.
+        A LIST of levels runs in the same single sketch pass
+        (percentile_approx takes an array) and returns an eager pandas
+        Series indexed by level, like the scalar form is eager."""
+        if isinstance(q, (list, tuple)):
+            import pandas as pd
+
+            levels = [float(x) for x in q]
+            arr = self._frame._sdf.agg(
+                F.percentile_approx(self._expr, levels).alias("v")
+            ).first()["v"]
+            return pd.Series(list(arr), index=levels, name=self._name)
         return self._agg_scalar(F.percentile_approx(self._expr, q))
 
     def median(self):
@@ -1459,8 +1470,25 @@ class DaskFrame:
 
         return describe(self, percentiles)
 
-    def quantile(self, q: float = 0.5) -> "DaskFrame":
+    def quantile(self, q=0.5):
+        """Per-numeric-column quantiles in one sketch pass. A LIST of
+        levels returns an eager pandas frame indexed by level (dask's
+        DataFrame-of-quantiles shape); a scalar stays a lazy one-row
+        frame."""
         cols = self._numeric_cols()
+        if isinstance(q, (list, tuple)):
+            import pandas as pd
+
+            levels = [float(x) for x in q]
+            row = self._sdf.agg(
+                *[
+                    F.percentile_approx(F.col(c), levels).alias(c)
+                    for c in cols
+                ]
+            ).first()
+            return pd.DataFrame(
+                {c: list(row[c]) for c in cols}, index=levels
+            )
         return DaskFrame(
             self._sdf.agg(
                 *[F.percentile_approx(F.col(c), q).alias(c) for c in cols]

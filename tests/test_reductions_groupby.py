@@ -629,3 +629,19 @@ def test_describe_percentiles(tables, pdf_tables):
     assert row["q95"] == pytest.approx(p.quantile(0.95))
     with pytest.raises(ValueError):
         tables["lineitem"].describe(percentiles=[1.5])
+
+
+def test_quantile_list(tables, pdf_tables):
+    """quantile with a LIST of levels: one sketch pass, pandas-shaped
+    result indexed by level."""
+    li = tables["lineitem"]
+    p = pdf_tables["lineitem"]
+    s = li.l_extendedprice.quantile([0.1, 0.5, 0.9])
+    assert list(s.index) == [0.1, 0.5, 0.9]
+    for lev in (0.1, 0.5, 0.9):
+        want = p.l_extendedprice.quantile(lev)
+        assert abs(s[lev] - want) / want < 0.02  # GK sketch tolerance
+    df = li[["l_quantity", "l_extendedprice"]].quantile([0.25, 0.75])
+    assert list(df.index) == [0.25, 0.75]
+    assert set(df.columns) == {"l_quantity", "l_extendedprice"}
+    assert df.l_quantity[0.25] <= df.l_quantity[0.75]
