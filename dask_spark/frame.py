@@ -960,21 +960,52 @@ class Series:
     def rank(self, method: str = "first"):
         """Global value rank WITHOUT a single-partition window: the
         scale-safe global index over value order gives method="first";
-        method="min" assigns every tied value its group's minimum via
-        one extra value-keyed min join (dask rank is also a two-pass
-        affair over sorted partitions)."""
+        the pandas tie methods (min/max/average/dense) all derive from
+        ONE value-keyed aggregate over that index — min rank + tie
+        count give max (= min+cnt-1) and average (= min+(cnt-1)/2) in
+        closed form, and dense is the global index over the DISTINCT
+        value set (dask rank is also a two-pass affair over sorted
+        partitions)."""
         from dask_spark.operators.sort import release, with_global_index
 
         base = self._frame._sdf.select(self._expr.alias(self._name))
+        if method == "dense":
+            distinct = base.distinct()
+            idx = with_global_index(distinct, self._name, "__r")
+            dense = idx.select(
+                self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
+            )
+            out = base.join(dense, self._name)
+            if getattr(idx, "_ds_pinned", None) is not None:
+                release(idx._ds_pinned)
+            return Series(DaskFrame(out), F.col("rank"), self._name)
         idx = with_global_index(base, self._name, "__r")
         out = idx.select(
             self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
         )
-        if method == "min":
-            mins = out.groupBy(self._name).agg(F.min("rank").alias("rank"))
-            out = out.drop("rank").join(mins, self._name)
+        if method in ("min", "max", "average"):
+            ties = out.groupBy(self._name).agg(
+                F.min("rank").alias("__mn"),
+                F.count(F.lit(1)).alias("__cnt"),
+            )
+            expr = {
+                "min": F.col("__mn"),
+                "max": F.col("__mn") + F.col("__cnt") - 1,
+                "average": (
+                    F.col("__mn").cast("double")
+                    + (F.col("__cnt") - 1) / F.lit(2.0)
+                ),
+            }[method]
+            out = (
+                out.drop("rank")
+                .join(ties, self._name)
+                .withColumn("rank", expr)
+                .drop("__mn", "__cnt")
+            )
         elif method != "first":
-            raise ValueError("rank method must be 'first'|'min'")
+            raise ValueError(
+                "rank method must be 'first'|'min'|'max'|'average'|'dense'"
+            )
         if getattr(idx, "_ds_pinned", None) is not None:
             release(idx._ds_pinned)
         # a Series, like pandas/dask rank — chaining Series ops works;

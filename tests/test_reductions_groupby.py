@@ -645,3 +645,26 @@ def test_quantile_list(tables, pdf_tables):
     assert list(df.index) == [0.25, 0.75]
     assert set(df.columns) == {"l_quantity", "l_extendedprice"}
     assert df.l_quantity[0.25] <= df.l_quantity[0.75]
+
+
+def test_rank_methods(spark):
+    """pandas tie-method parity for Series.rank: min/max/average/dense
+    all derive from one value-keyed aggregate; first stays the global
+    index."""
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"x": [10.0, 20.0, 10.0, 30.0, 20.0, 10.0]})
+    f = ds.from_pandas(pdf)
+    for method in ("min", "max", "average", "dense"):
+        got = (
+            f.x.rank(method=method)._frame.compute()
+            .sort_values(["x", "rank"], ignore_index=True)
+        )
+        want = (
+            pd.DataFrame({"x": pdf.x, "rank": pdf.x.rank(method=method)})
+            .sort_values(["x", "rank"], ignore_index=True)
+        )
+        assert got["rank"].astype(float).tolist() == \
+            want["rank"].tolist(), method
+    with pytest.raises(ValueError):
+        f.x.rank(method="bogus")
