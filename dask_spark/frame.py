@@ -957,7 +957,8 @@ class Series:
         target = col[-1] if col else self._name
         return Series(out, F.col(target), target)
 
-    def rank(self, method: str = "first"):
+    def rank(self, method: str = "first", pct: bool = False,
+             na_option: str = "keep"):
         """Global value rank WITHOUT a single-partition window: the
         scale-safe global index over value order gives method="first";
         the pandas tie methods (min/max/average/dense) all derive from
@@ -965,10 +966,31 @@ class Series:
         count give max (= min+cnt-1) and average (= min+(cnt-1)/2) in
         closed form, and dense is the global index over the DISTINCT
         value set (dask rank is also a two-pass affair over sorted
-        partitions)."""
+        partitions). Nulls are excluded from ranking and keep a null
+        rank (pandas na_option='keep'); ``pct`` divides by the
+        non-null count (one broadcast scalar)."""
         from dask_spark.operators.sort import release, with_global_index
 
-        base = self._frame._sdf.select(self._expr.alias(self._name))
+        if na_option != "keep":
+            raise ValueError("only na_option='keep' is supported")
+        full = self._frame._sdf.select(self._expr.alias(self._name))
+        base = full.filter(F.col(self._name).isNotNull())
+        def _finish(out, idx):
+            nulls = full.filter(F.col(self._name).isNull()).withColumn(
+                "rank", F.lit(None).cast(dict(out.dtypes)["rank"])
+            )
+            out = out.unionByName(nulls)
+            if pct:
+                total = base.agg(
+                    F.count(F.lit(1)).cast("double").alias("__n")
+                )
+                out = out.crossJoin(F.broadcast(total)).withColumn(
+                    "rank", F.col("rank") / F.col("__n")
+                ).drop("__n")
+            if getattr(idx, "_ds_pinned", None) is not None:
+                release(idx._ds_pinned)
+            return Series(DaskFrame(out), F.col("rank"), self._name)
+
         if method == "dense":
             distinct = base.distinct()
             idx = with_global_index(distinct, self._name, "__r")
@@ -976,9 +998,7 @@ class Series:
                 self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
             )
             out = base.join(dense, self._name)
-            if getattr(idx, "_ds_pinned", None) is not None:
-                release(idx._ds_pinned)
-            return Series(DaskFrame(out), F.col("rank"), self._name)
+            return _finish(out, idx)
         idx = with_global_index(base, self._name, "__r")
         out = idx.select(
             self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
@@ -1006,12 +1026,10 @@ class Series:
             raise ValueError(
                 "rank method must be 'first'|'min'|'max'|'average'|'dense'"
             )
-        if getattr(idx, "_ds_pinned", None) is not None:
-            release(idx._ds_pinned)
         # a Series, like pandas/dask rank — chaining Series ops works;
         # ordering is by value (the engine has no implicit row order,
         # so positional alignment to the source frame is not defined)
-        return Series(DaskFrame(out), F.col("rank"), self._name)
+        return _finish(out, idx)
 
     def to_frame_with(self, *extra: str) -> "DaskFrame":
         """Value column + carried order/key columns; an extra equal to

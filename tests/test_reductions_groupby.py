@@ -668,3 +668,19 @@ def test_rank_methods(spark):
             want["rank"].tolist(), method
     with pytest.raises(ValueError):
         f.x.rank(method="bogus")
+    # nulls keep a null rank and never shift non-null ranks; pct
+    # divides by the non-null count (pandas na_option='keep', pct=True)
+    pdf2 = pd.DataFrame({"x": [10.0, None, 20.0, 10.0]})
+    f2 = ds.from_pandas(pdf2)
+    got = (
+        f2.x.rank(method="min", pct=True)._frame.compute()
+        .sort_values(["x", "rank"], ignore_index=True, na_position="last")
+    )
+    want = (
+        pd.DataFrame({"x": pdf2.x, "rank": pdf2.x.rank(method="min", pct=True)})
+        .sort_values(["x", "rank"], ignore_index=True, na_position="last")
+    )
+    assert all(
+        (a == b) or (pd.isna(a) and pd.isna(b))
+        for a, b in zip(got["rank"].tolist(), want["rank"].tolist())
+    )
