@@ -668,6 +668,14 @@ class Series:
     rename = alias
 
     def isin(self, values: Iterable) -> "Series":
+        if isinstance(values, (Series, DaskFrame)):
+            # dask-faithful: dask Series.isin also rejects dask
+            # collections (the membership side must be concrete)
+            raise TypeError(
+                "isin with a distributed collection: compute() the "
+                "values first, or express it as a semi join "
+                "(merge(..., how='semi'))"
+            )
         return Series(self._frame, self._expr.isin(list(values)), self._name)
 
     def between(self, lo, hi) -> "Series":
