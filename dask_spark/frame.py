@@ -742,7 +742,27 @@ class Series:
             # every dict pandas does
             kt = {type(k) for k in fn}
             vt = {type(v) for v in fn.values() if v is not None}
-            if len(kt) <= 1 and None not in fn and len(vt) <= 1:
+            # the lookup key must be castable to the literal-map key
+            # type or Catalyst rejects the plan (pandas just returns
+            # all-NaN for e.g. int keys over a string column) — probe
+            # the resolved column type and fall back when they clash
+            keys_ok = True
+            if len(kt) == 1:
+                from pyspark.sql import types as T
+
+                coldt = self._frame._sdf.select(
+                    self._expr.alias("__t")
+                ).schema[0].dataType
+                pyt = next(iter(kt))
+                numeric = (T.NumericType,)
+                compat = {
+                    bool: (T.BooleanType,) + numeric,
+                    int: numeric,
+                    float: numeric,
+                    str: (T.StringType,),
+                }
+                keys_ok = isinstance(coldt, compat.get(pyt, ()))
+            if len(kt) <= 1 and None not in fn and len(vt) <= 1 and keys_ok:
                 entries = []
                 for k in fn:
                     entries.extend([F.lit(k), F.lit(fn[k])])
@@ -976,20 +996,22 @@ class Series:
         value set (dask rank is also a two-pass affair over sorted
         partitions). Nulls are excluded from ranking and keep a null
         rank (pandas na_option='keep'); ``pct`` divides by the
-        non-null count (one broadcast scalar)."""
+        non-null count (one broadcast scalar) — except dense, which
+        pandas normalizes by the DISTINCT non-null count (so the top
+        dense rank is exactly 1.0)."""
         from dask_spark.operators.sort import release, with_global_index
 
         if na_option != "keep":
             raise ValueError("only na_option='keep' is supported")
         full = self._frame._sdf.select(self._expr.alias(self._name))
         base = full.filter(F.col(self._name).isNotNull())
-        def _finish(out, idx):
+        def _finish(out, idx, denom=None):
             nulls = full.filter(F.col(self._name).isNull()).withColumn(
                 "rank", F.lit(None).cast(dict(out.dtypes)["rank"])
             )
             out = out.unionByName(nulls)
             if pct:
-                total = base.agg(
+                total = (denom if denom is not None else base).agg(
                     F.count(F.lit(1)).cast("double").alias("__n")
                 )
                 out = out.crossJoin(F.broadcast(total)).withColumn(
@@ -1006,7 +1028,8 @@ class Series:
                 self._name, (F.col("__r") + 1).cast("bigint").alias("rank")
             )
             out = base.join(dense, self._name)
-            return _finish(out, idx)
+            # pandas pct for dense divides by nunique, not n
+            return _finish(out, idx, denom=distinct)
         idx = with_global_index(base, self._name, "__r")
         out = idx.select(
             self._name, (F.col("__r") + 1).cast("bigint").alias("rank")

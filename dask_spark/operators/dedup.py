@@ -214,11 +214,16 @@ def minhash_lsh_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     implementations); everything JVM-side."""
     from dask_spark.frame import DaskFrame
 
+    from dask_spark.operators.sort import _pin
+
     rows = _check_bands(num_hashes, bands)
-    sigs = minhash_signatures(
+    # computed once, read by banding + both pair re-joins; pinned via
+    # the bounded FIFO (operators/sort.py) — eviction recomputes the
+    # pure signature plan, it never leaks for the app lifetime
+    sigs = _pin(minhash_signatures(
         frame._sdf, text_col, id_col, num_hashes, shingle_k,
         word_hash=word_hash,
-    ).persist()  # computed once, read by banding + both pair re-joins
+    ))
     # shuffle only (band_hash, id) — signatures stay out of the wide join
     banded = sigs.select(
         F.col(id_col),
@@ -325,9 +330,12 @@ def simhash_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     by exact hamming distance ≤ max_hamming (bit_count of xor)."""
     from dask_spark.frame import DaskFrame
 
-    # persist: the self-join's two branches would otherwise recompute
-    # the 64-aggregate signature plan twice
-    sh = simhash(frame, text_col, id_col, bits, word_hash)._sdf.persist()
+    from dask_spark.operators.sort import _pin
+
+    # pin: the self-join's two branches would otherwise recompute the
+    # 64-aggregate signature plan twice (bounded FIFO, no app-lifetime
+    # cache leak; eviction recomputes the pure plan)
+    sh = _pin(simhash(frame, text_col, id_col, bits, word_hash)._sdf)
     # single long bucket key (band index folded into the value) — one
     # join key column instead of two
     width = bits // 4
@@ -389,10 +397,11 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
     # pushed below the exchange with the whole gram expression inlined
     # (see _word_ngrams); empty-gram docs are harmless — explode drops
     # them and every downstream join is inner
-    docs = (
+    from dask_spark.operators.sort import _pin
+
+    docs = _pin(
         _word_ngram_arrays(sdf, text_col, id_col, n)
         .select(id_col, "grams", F.size("grams").alias("n_grams"))
-        .persist()
     )
     inv0 = docs.select(id_col, "n_grams", F.explode("grams").alias("g"))
     g_df = inv0.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -715,15 +724,22 @@ def contamination_minhash(corpus, benchmark, text_col: str = "text",
     Returns (id, match_id, jaccard_est) for flagged corpus docs."""
     from dask_spark.frame import DaskFrame
 
+    from dask_spark.operators.sort import _pin
+
     rows = _check_bands(num_hashes, bands)
-    sig_c = minhash_signatures(
+    # the corpus signatures feed banding + the pair re-join: pin via
+    # the bounded FIFO so the cache is reclaimed instead of living for
+    # the application lifetime. The benchmark side is broadcast-sized
+    # (an eval suite) — recomputing its signature plan for the second
+    # read is cheaper than holding executor cache for it.
+    sig_c = _pin(minhash_signatures(
         corpus._sdf, text_col, id_col, num_hashes, shingle_k,
         word_hash=word_hash,
-    ).persist()
+    ))
     sig_b = minhash_signatures(
         benchmark._sdf, text_col, id_col, num_hashes, shingle_k,
         word_hash=word_hash,
-    ).persist()
+    )
 
     def banded(sigs, out_id):
         return sigs.select(

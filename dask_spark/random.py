@@ -705,6 +705,8 @@ class RandomState:
                     raise ValueError("p length must match a")
                 if any(w < 0 for w in p):
                     raise ValueError("weights must be non-negative")
+                if abs(sum(p) - 1.0) > 1e-8:
+                    raise ValueError("probabilities do not sum to 1")
                 if sum(1 for w in p if w > 0) < n:
                     raise ValueError(
                         "fewer positive-weight items than draws"
@@ -739,6 +741,10 @@ class RandomState:
         else:
             if len(p) != len(vals):
                 raise ValueError("p length must match a")
+            if any(w < 0 for w in p):
+                raise ValueError("weights must be non-negative")
+            if abs(sum(p) - 1.0) > 1e-8:
+                raise ValueError("probabilities do not sum to 1")
             tot = float(sum(p))
             cdf, acc = [], 0.0
             for w in p[:-1]:

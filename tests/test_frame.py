@@ -547,3 +547,14 @@ def test_series_map_dict_jvm_path(spark):
     nk = f.assign(m=f.s.map({None: "X", "a": "A"})).compute()
     nkm = dict(zip(nk.s.where(nk.s.notna(), None), nk.m))
     assert nkm["a"] == "A" and nkm[None] == "X"
+    # a key type incompatible with the column type (int keys over a
+    # string column): pandas returns all-NaN; the JVM literal-map
+    # lookup would raise at plan time, so this must take the UDF path
+    mis = f.assign(m=f.s.map({1: "one", 2: "two"})).compute()
+    assert mis.m.isna().all()
+    fnum = ds.from_pandas(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+    mis2 = fnum.assign(m=fnum.x.map({"a": 9})).compute()
+    assert mis2.m.isna().all()
+    # numeric keys over a numeric column still lower to the JVM path
+    okn = fnum.assign(m=fnum.x.map({1: 10, 2: 20}, dtype="int")).compute()
+    assert okn.m.fillna(-1).tolist() == [10, 20, -1]

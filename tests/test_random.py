@@ -145,6 +145,7 @@ def test_choice_weighted_without_replacement(spark):
     high-weight items dominate inclusion frequency across seeds."""
     pop = list(range(20))
     w = [100.0 if i < 2 else 1.0 for i in pop]
+    w = [x / sum(w) for x in w]  # numpy requires sum(p) == 1
     v = _vals(RandomState(spark, seed=4).choice(
         pop, n=5, replace=False, p=w))
     assert len(v) == 5 and len(set(v)) == 5
@@ -165,6 +166,12 @@ def test_choice_weighted_without_replacement(spark):
     with pytest.raises(ValueError):
         RandomState(spark, seed=0).choice(
             pop, n=5, replace=False, p=[1.0] + [0.0] * 19)
+    with pytest.raises(ValueError, match="sum"):  # numpy error contract
+        RandomState(spark, seed=0).choice(
+            pop, n=5, replace=False, p=[1.0] * 20)
+    with pytest.raises(ValueError, match="sum"):
+        RandomState(spark, seed=0).choice(
+            pop, n=5, replace=True, p=[1.0] * 20)
 
 
 def test_permutation_of_darray(spark):

@@ -684,3 +684,23 @@ def test_rank_methods(spark):
         (a == b) or (pd.isna(a) and pd.isna(b))
         for a, b in zip(got["rank"].tolist(), want["rank"].tolist())
     )
+    # dense pct divides by the DISTINCT non-null count (pandas:
+    # [10,10,20,30].rank('dense', pct=True) == [1/3,1/3,2/3,1])
+    pdf3 = pd.DataFrame({"x": [10.0, 10.0, 20.0, 30.0, None]})
+    f3 = ds.from_pandas(pdf3)
+    for method in ("dense", "average", "max"):
+        got = (
+            f3.x.rank(method=method, pct=True)._frame.compute()
+            .sort_values(["x", "rank"], ignore_index=True,
+                         na_position="last")
+        )
+        want = (
+            pd.DataFrame({"x": pdf3.x,
+                          "rank": pdf3.x.rank(method=method, pct=True)})
+            .sort_values(["x", "rank"], ignore_index=True,
+                         na_position="last")
+        )
+        assert all(
+            (abs(a - b) < 1e-12) or (pd.isna(a) and pd.isna(b))
+            for a, b in zip(got["rank"].tolist(), want["rank"].tolist())
+        ), method
