@@ -884,8 +884,43 @@ def _cc_star(edges, max_iter: int = 50):
     return labels, rounds
 
 
+def _cc_driver(base, id_a: str, id_b: str):
+    """Vectorized driver-side connected components over a SMALL edge
+    list (the caller gates on edge count): hash-to-min label sweeps +
+    pointer jumping in numpy — O(E) per round, O(log d) rounds, all
+    C-speed. Node codes are assigned in SORTED id order so the min
+    CODE in a component is the min ORIGINAL id, matching the
+    distributed paths bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = base.toPandas()
+    ids = pd.concat([pdf[id_a], pdf[id_b]], ignore_index=True)
+    codes, uniq = pd.factorize(ids, sort=True)
+    n = len(uniq)
+    a, b = codes[: len(pdf)], codes[len(pdf):]
+    keep = a != b
+    a, b = a[keep], b[keep]
+    label = np.arange(n, dtype="int64")
+    while True:
+        old = label.copy()
+        np.minimum.at(label, b, label[a])
+        np.minimum.at(label, a, label[b])
+        label = np.minimum(label, label[label])  # pointer jump
+        if np.array_equal(old, label):
+            break
+    # resolve to roots (pointer jumping may leave 1-step chains)
+    while True:
+        nxt = label[label]
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    return pd.DataFrame({"id": uniq, "component": uniq[label]})
+
+
 def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 50, algorithm: str = "label"):
+                         max_iter: int = 50, algorithm: str = "label",
+                         driver_edges: int = 2_000_000):
     """Cluster near-dup pairs into components (the canonicalization
     step after pair verification in a dedup pipeline — pick one doc
     per component; dask has no analog, brief-mandated extension
@@ -912,12 +947,35 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     knows; at toy scale both pay a per-round driver-action floor
     that amortizes away with data size.
 
+    Size gate: the pair list is orders of magnitude smaller than the
+    corpus (bounded by the near-dup rate), and BOTH distributed
+    algorithms pay a per-round job floor that dwarfs the actual work
+    on small graphs. When the edge count (one action over the input,
+    which round 1 would materialize anyway) is ≤ ``driver_edges``
+    (default 2M ≈ tens of MB), components run DRIVER-SIDE as
+    vectorized numpy hash-to-min + pointer jumping — identical
+    min-id components, ~ms instead of seconds. Pass driver_edges=0
+    to force the distributed path. Above the gate the distributed
+    label/star machinery runs unchanged — the 100 TB shape is intact.
+
     Returns (id, component) for every id that appears in a pair;
     component = the smallest id in the component (deterministic,
-    identical for both algorithms)."""
+    identical for all paths)."""
     from dask_spark.frame import DaskFrame
+    from dask_spark.operators.sort import _pin
 
-    base = pairs._sdf.select(id_a, id_b)
+    base = _pin(pairs._sdf.select(id_a, id_b))
+    if base.count() <= driver_edges:
+        out_pdf = _cc_driver(base, id_a, id_b)
+        from pyspark.sql import types as T
+
+        dt = base.schema[0].dataType
+        schema = T.StructType(
+            [T.StructField("id", dt), T.StructField("component", dt)]
+        )
+        spark = pairs._sdf.sparkSession
+        sdf = spark.createDataFrame(out_pdf, schema)
+        return DaskFrame(sdf)
     if algorithm == "star":
         edges0 = (
             base.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -956,6 +1014,21 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         )
         .persist()
     )
+    # convergence check: under min-propagation labels only ever
+    # DECREASE, so for numeric ids an exact decimal label-sum is a
+    # strict monotone — "sum unchanged" ⇔ "no label changed", one
+    # tiny agg per round instead of a labels⋈new_labels diff join.
+    # Non-numeric ids keep the generic diff-join check.
+    from pyspark.sql import types as T
+
+    numeric = isinstance(labels.schema["component"].dataType, T.NumericType)
+
+    def _label_sum(df):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels) if numeric else None
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -966,15 +1039,20 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        changed = (
-            labels.withColumnRenamed("component", "__old")
-            .join(new_labels, "id")
-            .filter(F.col("__old") != F.col("component"))
-            .count()
-        )
+        if numeric:
+            new_sum = _label_sum(new_labels)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
+        else:
+            changed = (
+                labels.withColumnRenamed("component", "__old")
+                .join(new_labels, "id")
+                .filter(F.col("__old") != F.col("component"))
+                .count()
+            ) > 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     edges.unpersist()
     return DaskFrame(labels)

@@ -4925,7 +4925,11 @@ def dedup_clusters(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     prs = embedding_pairs_exact(e, threshold=0.4)
-    return connected_components(prs).to_spark().select("id", "component")
+    # driver_edges=0 keeps the DISTRIBUTED label rounds value-checked
+    # (dedup_canonicalize covers the size-gated driver path)
+    return connected_components(prs, driver_edges=0).to_spark().select(
+        "id", "component"
+    )
 
 
 @q(
@@ -4962,9 +4966,11 @@ def dedup_clusters_star(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     prs = embedding_pairs_exact(e, threshold=0.4)
-    return connected_components(prs, algorithm="star").to_spark().select(
-        "id", "component"
-    )
+    # driver_edges=0: this query exists to value-check the DISTRIBUTED
+    # star rounds (the size gate would route a toy graph driver-side)
+    return connected_components(
+        prs, algorithm="star", driver_edges=0
+    ).to_spark().select("id", "component")
 
 
 def _ann_knn_join_oracle() -> str:

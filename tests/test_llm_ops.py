@@ -327,11 +327,12 @@ def test_connected_components_clusters(spark):
         {"id_a": [1, 2, 3, 10, 11, 10, 20],
          "id_b": [2, 3, 4, 11, 12, 12, 21]}
     )
-    got = connected_components(ds.from_pandas(pairs)).compute()
-    comp = dict(zip(got.id, got.component))
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
-                    10: 10, 11: 10, 12: 10,
-                    20: 20, 21: 20}
+    for kw in ({}, {"driver_edges": 0}):  # driver gate AND distributed
+        got = connected_components(ds.from_pandas(pairs), **kw).compute()
+        comp = dict(zip(got.id, got.component))
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                        10: 10, 11: 10, 12: 10,
+                        20: 20, 21: 20}, kw
 
 
 def test_knn_join_recall_vs_bruteforce(tables):
@@ -369,7 +370,7 @@ def test_connected_components_star_matches_label(spark):
          "id_b": [2, 3, 4, 11, 12, 12, 21]}
     )
     got = connected_components(
-        ds.from_pandas(pairs), algorithm="star"
+        ds.from_pandas(pairs), algorithm="star", driver_edges=0
     ).compute()
     comp = dict(zip(got.id, got.component))
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
