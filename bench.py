@@ -61,6 +61,9 @@ HEADLINE = [
     "join_q21_sole_returns",   # TPC-H Q21: EXISTS/NOT-EXISTS self-joins
     "text_perplexity",    # unigram-LM fit + map-only scoring
     "contamination_minhash",  # fuzzy decontamination: broadcast band join
+    # round-9 additions (compare per-query across rounds, not totals)
+    "dedup_substring",    # ExactSubstr window scrub: stride-1 windows
+    "dedup_clusters_star",  # forced-DISTRIBUTED pointer-doubling CC
 ]
 
 

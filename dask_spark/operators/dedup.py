@@ -1323,6 +1323,142 @@ def span_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
     return DaskFrame(out)
 
 
+def substring_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
+                    window_tokens: int = 8, max_count: int = 1,
+                    window_hash: str = "text"):
+    """Alignment-free duplicated-substring scrub — the distributed
+    window formulation of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better";
+    reference scope: dask has no analog, brief-mandated extension).
+    :func:`span_dedup` (CCNet) counts NON-overlapping aligned spans,
+    so a duplicate passage shifted by one token escapes it; here every
+    STRIDE-1 window of ``window_tokens`` tokens is counted, which is
+    exactly the suffix-array guarantee at window granularity: any
+    duplicated token run of length ≥ w contains a duplicated w-window
+    at every offset, so the full run is detected and removed no matter
+    how the copies are aligned.
+
+    Pipeline: in-row sliding windows (tokens never leave their row) →
+    ONE map-side-combined ``groupBy(window).count()`` → duplicated
+    positions per doc (ids+pos exchange, bounded by the dup rate) →
+    gaps-and-islands merge into MAXIMAL duplicated spans (per-doc
+    window functions over the few duplicated positions) → spans
+    aggregate to one array per doc → in-row token filter (a (t, i)
+    HOF against the span array) rebuilds the text. A hyper-duplicated
+    window collapses in the partial aggregate, never a window
+    function, so skew is map-side like span_dedup's.
+
+    ``window_hash``: "text" counts the raw window string — every stage
+    replicable in ANSI SQL (the oracle mode). "xxhash64" counts the
+    64-bit hash instead, shrinking the count-shuffle payload from
+    w words to 8 bytes per window — the production mode at scale
+    (collision odds ~n²/2⁶⁵, the standard engineering trade).
+
+    Returns (id, kept_text, n_tokens, n_removed) — docs shorter than
+    one window pass through untouched, fully-duplicated docs stay as
+    empty-text rows, so corpus row count is stable through the scrub.
+    """
+    from pyspark.sql import Window
+
+    from dask_spark.frame import DaskFrame
+
+    if window_hash not in ("text", "xxhash64"):
+        raise ValueError("window_hash must be text|xxhash64")
+    sdf = frame._sdf if hasattr(frame, "_sdf") else frame
+    w = int(window_tokens)
+    staged = _tokens_staged(sdf, text_col, id_col)
+    sz = F.size("__toks")
+    # explode the window POSITIONS, then build each window string with
+    # plain slice+array_join per exploded row — regular codegen-able
+    # expressions. (Building an array<string> of windows with a
+    # transform() lambda and posexploding it keeps the whole build
+    # inside an interpreted HOF under the Generate — measured 11.7s vs
+    # 0.7s for the 235k windows of sf0.1.)
+    pos_arr = F.when(
+        sz < w, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(0), sz - w))
+    docs = staged.select(id_col, "__toks")
+    wtext = F.array_join(F.slice("__toks", F.col("__pos") + 1, w), " ")
+    key = F.xxhash64(wtext) if window_hash == "xxhash64" else wtext
+    ex = (
+        staged.select(id_col, "__toks", F.explode(pos_arr).alias("__pos"))
+        .select(id_col, "__pos", key.alias("__wk"))
+    )
+    dup = (
+        ex.groupBy("__wk")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > int(max_count))
+        .select("__wk")
+    )
+    dpos = ex.join(dup, on="__wk").select(id_col, "__pos")
+    # gaps-and-islands: a window starts a new maximal span when its
+    # start clears the running max end of everything before it
+    ws = Window.partitionBy(id_col).orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + w).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dpos.withColumn(
+        "__brk",
+        F.when(
+            prev_end.isNull() | (F.col("__pos") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        flagged.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").cast("bigint").alias("s"),
+            (F.max("__pos") + w).cast("bigint").alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__spans"))
+    )
+    joined = docs.select(id_col, "__toks").join(spans, on=id_col, how="left")
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    # token scrub by GAP SLICING, not a per-token filter: the spans are
+    # sorted and disjoint, so the kept text is the concatenation of the
+    # token slices BETWEEN them — gap starts are (0, e_1, …, e_k), gap
+    # ends are (s_1, …, s_k, n). Every lambda here runs once per SPAN
+    # (a handful per doc); slice/flatten/array_join stay JVM built-ins.
+    # (A filter(toks, (t, i) -> !exists(spans, …)) formulation runs the
+    # interpreted exists per TOKEN — measured 13.5s vs ~1s at sf0.1.)
+    n_l = F.size("__toks").cast("bigint")
+    gap_starts = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.transform(sp, lambda x: x["e"]),
+    )
+    gap_ends = F.concat(F.transform(sp, lambda x: x["s"]), F.array(n_l))
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts, gap_ends,
+            lambda a, b: F.slice(
+                F.col("__toks"), (a + 1).cast("int"), (b - a).cast("int")
+            ),
+        )
+    )
+    # n_removed from the span lengths (disjoint ⇒ sum of e-s), so the
+    # kept array is evaluated exactly once in the final projection
+    removed = F.coalesce(
+        F.aggregate(
+            sp, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + (x["e"] - x["s"]),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("kept_text"),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        removed.alias("n_removed"),
+    )
+    return DaskFrame(out)
+
+
 def _bloom_hash_pair(gram, hash_kind: str):
     """[h1, h2] base hashes for one gram — the Kirsch–Mitzenmacher
     layout: all k bloom positions derive as (h1 + j*(h2|1)) mod m from

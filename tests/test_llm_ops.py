@@ -1028,6 +1028,71 @@ def test_span_dedup_order_preserved(spark):
     assert out.loc["a", "kept_text"] == "alpha beta gamma delta omega psi chi phi"
 
 
+def test_substring_dedup_alignment_free(spark):
+    """The ExactSubstr window scrub catches a duplicate passage at
+    DIFFERENT offsets in each doc (the case aligned span_dedup
+    misses), merges overlapping windows into one maximal span, and
+    leaves short/unique docs untouched."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import span_dedup, substring_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("d1", "intro words here " + shared + " tail one"),
+        ("d2", "x " + shared + " completely different ending text"),
+        ("d3", "tiny doc"),
+        ("d4", "unique content that appears nowhere else in the corpus"),
+        ("d5", ""),
+    ]
+    f = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        substring_dedup(f, window_tokens=8)
+        .compute().set_index("doc_id").sort_index()
+    )
+    assert len(out) == 5                          # row count stable
+    # the 12 shared tokens vanish from BOTH docs despite the offset
+    assert out.loc["d1", "kept_text"] == "intro words here tail one"
+    assert out.loc["d2", "kept_text"] == "x completely different ending text"
+    assert out.loc["d1", "n_removed"] == 12
+    assert out.loc["d2", "n_removed"] == 12
+    assert out.loc["d3", "n_removed"] == 0 and out.loc["d3", "kept_text"] == "tiny doc"
+    assert out.loc["d4", "n_removed"] == 0
+    assert out.loc["d5", "n_tokens"] == 0 and out.loc["d5", "kept_text"] == ""
+    # aligned span_dedup misses the shifted copy entirely (both docs
+    # keep everything) — the motivating gap
+    aligned = (
+        span_dedup(f, span_tokens=8, max_count=1)
+        .compute().set_index("doc_id")
+    )
+    assert aligned.loc["d1", "n_removed"] == 0
+    # production hash mode produces identical output on a clean corpus
+    xx = (
+        substring_dedup(f, window_tokens=8, window_hash="xxhash64")
+        .compute().set_index("doc_id").sort_index()
+    )
+    assert (xx["kept_text"] == out["kept_text"]).all()
+    assert (xx["n_removed"] == out["n_removed"]).all()
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    """A window repeated INSIDE one doc counts as duplicated (count
+    counts occurrences, not docs) and both copies are scrubbed."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import substring_dedup
+
+    w8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [("r1", w8 + " middle filler words go here " + w8),
+            ("r2", "some other totally unrelated document text here now")]
+    f = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        substring_dedup(f, window_tokens=8)
+        .compute().set_index("doc_id")
+    )
+    assert out.loc["r1", "kept_text"] == "middle filler words go here"
+    assert out.loc["r1", "n_removed"] == 16
+    assert out.loc["r2", "n_removed"] == 0
+
+
 def test_bloom_contamination_no_false_negatives(spark, corpus):
     """Bloom flags are a SUPERSET of exact flags (one-sided error):
     every exact hit gram is bloom-positive, per doc hit_grams_bloom >=
