@@ -412,11 +412,27 @@ def ngram_jaccard_pairs(frame, text_col: str = "text", id_col: str = "doc_id",
         ),
     )
     prefix_len = F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "g")
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        id_col, "g", "pos", "n_grams"
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional + length filters (exact — they only drop pairs
+    # that provably cannot reach the required overlap α = ⌈t/(1+t)·
+    # (na+nb)⌉): a match at sorted positions (pa, pb) leaves at most
+    # min(na-pa, nb-pb)+1 shared grams, and J ≥ t forces t·nb ≤ na.
+    # The 1e-9 slack keeps exact float boundaries from over-pruning.
+    na, nb = F.col("a.n_grams"), F.col("b.n_grams")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+    )
     cands = (
-        a.join(b, on=[F.col("a.g") == F.col("b.g"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        a.join(b, on=[
+            F.col("a.g") == F.col("b.g"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            na >= F.lit(threshold) * nb - F.lit(1e-9),
+            nb >= F.lit(threshold) * na - F.lit(1e-9),
+            F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + 1 >= alpha,
+        ])
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
