@@ -1164,31 +1164,31 @@ def _cross_gram(left: "DArray", right: "DArray"):
         ),
         on="__id",
     )
+    # Gram blocks are formed per LOGICAL GROUP (xxhash64(id) % 256),
+    # never per physical partition: block membership is a pure row
+    # function, so every double in the driver block-sum is bit-stable
+    # across runs, AQE decisions, and cluster sizes. (Earlier shapes
+    # keyed blocks on TaskContext.partitionId — the runtime may
+    # coalesce the exchange read into fewer tasks run-to-run, which
+    # re-splits the BLAS sums and drifted svd_compressed by 1 ulp for
+    # the same seed. Rows sort by id inside the group: shuffle fetch
+    # order is nondeterministic, the gemm sum is order-sensitive.)
+    bucketed = joined.withColumn(
+        "__b", F.pmod(F.xxhash64(F.col("__id")), F.lit(256)).cast("int")
+    )
 
-    def local(it):
-        # Shuffle-read fetch order is nondeterministic, so the rows of
-        # a join partition arrive in a different order run to run; the
-        # BLAS sum inside LᵀR is order-sensitive at the ulp level. Sort
-        # the partition by id before the matmul — partition MEMBERSHIP
-        # is hash(id)-deterministic, so the gram is now bit-stable.
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        chunks = [c for c in it if len(c)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            "__id", ignore_index=True
-        )
+    def per_group(pdf):
+        pdf = pdf.sort_values("__id", ignore_index=True)
         L = np.array(pdf["__l"].tolist(), dtype="float64")
         R = np.array(pdf["__r"].tolist(), dtype="float64")
         acc = L.T @ R
-        yield pd.DataFrame(
-            {"__p": pid, "__i": list(range(len(acc))), "__g": list(acc)}
+        return pd.DataFrame(
+            {"__p": int(pdf["__b"].iloc[0]),
+             "__i": list(range(len(acc))), "__g": list(acc)}
         )
 
-    rows = joined.select("__id", "__l", "__r").mapInPandas(
-        local, schema="__p int, __i int, __g array<double>"
+    rows = bucketed.groupBy("__b").applyInPandas(
+        per_group, schema="__p int, __i int, __g array<double>"
     ).collect()
     if not rows:
         raise ValueError("cross gram of an empty array")

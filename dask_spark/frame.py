@@ -994,29 +994,117 @@ class Series:
         count give max (= min+cnt-1) and average (= min+(cnt-1)/2) in
         closed form, and dense is the global index over the DISTINCT
         value set (dask rank is also a two-pass affair over sorted
-        partitions). Nulls are excluded from ranking and keep a null
-        rank (pandas na_option='keep'); ``pct`` divides by the
-        non-null count (one broadcast scalar) — except dense, which
-        pandas normalizes by the DISTINCT non-null count (so the top
-        dense rank is exactly 1.0)."""
+        partitions). ``na_option``: 'keep' leaves nulls a null rank;
+        'top'/'bottom' rank the nulls as ONE tie group before/after
+        every value (pandas semantics — closed-form shifts from two
+        broadcast count scalars, no extra shuffle). 'first' with
+        top/bottom needs pandas' positional order among the nulls,
+        which this engine deliberately has no notion of — raise.
+        ``pct`` divides by the non-null count ('keep') or total count
+        (top/bottom) — except dense, which pandas normalizes by the
+        DISTINCT value count (nulls counting as one value when
+        ranked)."""
         from dask_spark.operators.sort import release, with_global_index
 
-        if na_option != "keep":
-            raise ValueError("only na_option='keep' is supported")
+        if na_option not in ("keep", "top", "bottom"):
+            raise ValueError("na_option must be keep|top|bottom")
+        if na_option != "keep" and method == "first":
+            raise ValueError(
+                "rank(method='first', na_option='top'/'bottom') needs a "
+                "positional order among the nulls, which this engine "
+                "does not define — use min/max/average/dense"
+            )
         full = self._frame._sdf.select(self._expr.alias(self._name))
         base = full.filter(F.col(self._name).isNotNull())
+        # one broadcast row: total n, non-null nn (null count = n - nn)
+        stats = full.agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.count(self._name).cast("bigint").alias("__nn"),
+        )
+
         def _finish(out, idx, denom=None):
-            nulls = full.filter(F.col(self._name).isNull()).withColumn(
-                "rank", F.lit(None).cast(dict(out.dtypes)["rank"])
-            )
-            out = out.unionByName(nulls)
-            if pct:
-                total = (denom if denom is not None else base).agg(
-                    F.count(F.lit(1)).cast("double").alias("__n")
+            nn_rank = F.col("rank")
+            n_null = F.col("__n") - F.col("__nn")
+            if na_option == "keep":
+                null_rank = F.lit(None).cast(dict(out.dtypes)["rank"])
+                shift = None
+            else:
+                is_dense = method == "dense"
+                if na_option == "top":
+                    shift = (
+                        F.when(n_null > 0, F.lit(1)).otherwise(F.lit(0))
+                        if is_dense else n_null
+                    )
+                    null_rank = {
+                        "min": F.lit(1).cast("bigint"),
+                        "max": n_null,
+                        "average": (F.lit(1) + n_null) / F.lit(2.0),
+                        "dense": F.lit(1).cast("bigint"),
+                    }[method]
+                else:  # bottom
+                    shift = F.lit(0)
+                    null_rank = {
+                        "min": F.col("__nn") + 1,
+                        "max": F.col("__n"),
+                        "average": (
+                            (F.col("__nn") + 1 + F.col("__n")) / F.lit(2.0)
+                        ),
+                        "dense": F.col("__nd") + 1,
+                    }[method]
+            if na_option == "keep" and not pct:
+                nulls = full.filter(F.col(self._name).isNull()).withColumn(
+                    "rank", null_rank
                 )
-                out = out.crossJoin(F.broadcast(total)).withColumn(
-                    "rank", F.col("rank") / F.col("__n")
-                ).drop("__n")
+                out = out.unionByName(nulls)
+            else:
+                st = stats
+                if method == "dense" and (pct or na_option == "bottom"):
+                    # distinct non-null count (dense denominator / the
+                    # bottom null-group dense rank)
+                    st = st.crossJoin(
+                        F.broadcast(
+                            denom.agg(
+                                F.count(F.lit(1)).cast("bigint")
+                                .alias("__nd")
+                            )
+                        )
+                    )
+                rdt = (
+                    "double" if method == "average" else
+                    dict(out.dtypes)["rank"]
+                )
+                if shift is not None:
+                    nn_rank = (F.col("rank") + shift).cast(rdt)
+                ranked = out.crossJoin(F.broadcast(st)).withColumn(
+                    "rank", nn_rank.cast(rdt)
+                )
+                nulls = (
+                    full.filter(F.col(self._name).isNull())
+                    .crossJoin(F.broadcast(st))
+                    .withColumn("rank", null_rank.cast(rdt))
+                )
+                both = ranked.unionByName(nulls)
+                if pct:
+                    if method == "dense":
+                        dden = (
+                            F.col("__nd")
+                            + (
+                                F.lit(0) if na_option == "keep"
+                                else F.when(
+                                    F.col("__n") > F.col("__nn"), 1
+                                ).otherwise(0)
+                            )
+                        ).cast("double")
+                    elif na_option == "keep":
+                        dden = F.col("__nn").cast("double")
+                    else:
+                        dden = F.col("__n").cast("double")
+                    both = both.withColumn(
+                        "rank", F.col("rank") / dden
+                    )
+                out = both.drop("__n", "__nn", "__nd") if (
+                    "__nd" in both.columns
+                ) else both.drop("__n", "__nn")
             if getattr(idx, "_ds_pinned", None) is not None:
                 release(idx._ds_pinned)
             return Series(DaskFrame(out), F.col("rank"), self._name)

@@ -142,3 +142,94 @@ def weighted_sample(frame, weight_col: str, rate: float,
     ) / F.lit(float(1 << 60))
     p = F.lit(rate) * F.col(weight_col) / F.lit(mean_w)
     return DaskFrame(sdf.filter(u < p))
+
+
+def dsir_scores(corpus, target, text_col: str = "text",
+                id_col: str = "doc_id", n_buckets: int = 1024,
+                alpha: float = 1.0, word_hash: str = "md5"):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public): score every raw-corpus doc by how much more likely
+    its hashed bag-of-words is under a TARGET-corpus unigram model
+    than under the raw-corpus model; the standard pretraining-data
+    curation step ("select web text that looks like Wikipedia"). The
+    paper resamples by these weights; the deterministic engine
+    primitive is the log importance weight itself —
+    log w(doc) = Σ_tokens [ln p_target(b(tok)) − ln p_raw(b(tok))]
+    over ``n_buckets`` hashed features with add-``alpha`` smoothing.
+    Compose with :func:`weighted_sample` / TakeOrdered for the
+    resample/top-k step.
+
+    100 TB shape: each side's bucket histogram is ONE map-side-
+    combined groupBy over ≤ n_buckets keys (a driver-bounded model,
+    like dask broadcasting sklearn artifacts); the log-ratio table
+    rides the scoring plan as a length-B literal; scoring is map-only
+    over the corpus — no corpus shuffle, no Python. The fold runs
+    over the SORTED feature array so its double accumulation is
+    order-deterministic and a SQL oracle replays it bit-for-bit
+    (word_hash="md5" is the engine-portable mode; "xxhash64" the fast
+    JVM path).
+
+    Returns (id, n_tokens, dsir_logweight) for every corpus doc
+    (empty docs score 0.0 — no evidence either way)."""
+    import math
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import md5_prefix60
+
+    B = int(n_buckets)
+    hfn = md5_prefix60 if word_hash == "md5" else F.xxhash64
+
+    def feats(sdf):
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+        return sdf.select(
+            F.col(id_col),
+            F.transform(
+                toks, lambda t: F.pmod(hfn(t), F.lit(B)).cast("int")
+            ).alias("__feat"),
+        )
+
+    def histogram(sdf):
+        counts = (
+            feats(sdf)
+            .select(F.explode("__feat").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        ct = {r["b"]: r["c"] for r in counts}
+        total = sum(ct.values())
+        return ct, total
+
+    ct_t, tot_t = histogram(target._sdf if hasattr(target, "_sdf")
+                            else target)
+    ct_r, tot_r = histogram(corpus._sdf if hasattr(corpus, "_sdf")
+                            else corpus)
+    a = float(alpha)
+    # per-bucket ln ratio, rounded to 9 dp so the oracle's ln/round
+    # replays the table exactly (same contract as kmeans centroids)
+    lam = [
+        round(
+            math.log((ct_t.get(b, 0) + a) / (tot_t + a * B))
+            - math.log((ct_r.get(b, 0) + a) / (tot_r + a * B)),
+            9,
+        )
+        for b in range(B)
+    ]
+    lam_lit = F.lit(lam)
+    fcol = F.array_sort("__feat")
+    score = F.when(
+        F.size("__feat") > 0,
+        F.aggregate(
+            fcol, F.lit(0.0),
+            lambda acc, f: acc + F.element_at(lam_lit, f + 1),
+        ),
+    ).otherwise(F.lit(0.0))
+    out = feats(corpus._sdf if hasattr(corpus, "_sdf") else corpus).select(
+        F.col(id_col),
+        F.size("__feat").cast("bigint").alias("n_tokens"),
+        F.round(score, 6).alias("dsir_logweight"),
+    )
+    return DaskFrame(out)

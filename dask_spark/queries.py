@@ -1798,6 +1798,61 @@ def corpus_shard(spark, sf_dir):
 
 
 @q(
+    "corpus_dsir",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+    ), tu AS (
+      SELECT b FROM u WHERE doc_id % 20 = 0
+    ), tcnt AS (
+      SELECT b, count(*)::DOUBLE AS c FROM tu GROUP BY b
+    ), ttot AS (SELECT count(*)::DOUBLE AS t FROM tu),
+    rcnt AS (
+      SELECT b, count(*)::DOUBLE AS c FROM u GROUP BY b
+    ), rtot AS (SELECT count(*)::DOUBLE AS t FROM u),
+    lamtab AS (
+      SELECT g.b,
+             round(ln((coalesce(tc.c, 0) + 1.0) / (ttot.t + 1024.0))
+                   - ln((coalesce(rc.c, 0) + 1.0) / (rtot.t + 1024.0)),
+                   9) AS lam
+      FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+      LEFT JOIN tcnt tc ON g.b = tc.b
+      LEFT JOIN rcnt rc ON g.b = rc.b, ttot, rtot
+    ), per AS (
+      SELECT u.doc_id, list(l.lam ORDER BY u.b) AS ls
+      FROM u JOIN lamtab l ON u.b = l.b
+      GROUP BY u.doc_id
+    )
+    SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+           round(CASE WHEN per.ls IS NULL THEN 0.0
+                 ELSE list_reduce(list_prepend(0.0, per.ls),
+                                  (a, b) -> a + b) END, 6)
+             AS dsir_logweight
+    FROM toks t LEFT JOIN per USING (doc_id)
+    """,
+)
+def corpus_dsir(spark, sf_dir):
+    """DSIR importance scoring (Xie et al. 2023): hashed unigram
+    models fit on a target slice (doc_id % 20 = 0) and on the raw
+    corpus — two ≤1024-key map-side-combined histograms — then every
+    doc scores Σ ln(p_target/p_raw) over its hashed tokens, folded in
+    sorted-bucket order so the oracle's ordered list fold adds
+    bit-identically; the log-ratio table rides as a length-1024 plan
+    literal and scoring is map-only (operators/mixing.dsir_scores)."""
+    from dask_spark.operators.mixing import dsir_scores
+
+    d = load(spark, sf_dir, "documents")
+    target = d.to_spark().filter(F.col("doc_id") % 20 == 0)
+    return dsir_scores(d, target).to_spark()
+
+
+@q(
     "corpus_mix_temperature",
     r"""
     WITH t AS (

@@ -601,6 +601,39 @@ def test_canonicalize_picks_best_per_cluster(spark):
     assert list(out.is_keeper) == [False, True, False, False, True]
 
 
+def test_dsir_scores_target_affinity(spark):
+    """DSIR log importance weights: docs sharing the target's
+    vocabulary score strictly above docs that don't; empty docs score
+    exactly 0; the md5 and xxhash64 modes agree on the ORDERING (the
+    bucket layouts differ, the evidence is the same)."""
+    import dask_spark as ds
+    from dask_spark.operators.mixing import dsir_scores
+
+    target_text = "spark sql query engine optimizer catalyst plan"
+    rows = [
+        ("c1", "spark sql query engine shuffles the optimizer plan"),
+        ("c2", "banana bread recipe flour butter sugar oven bake"),
+        ("c3", ""),
+    ]
+    corpus = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    target = ds.from_pandas(pd.DataFrame(
+        [("t1", target_text), ("t2", target_text + " spark catalyst")],
+        columns=["doc_id", "text"],
+    ))
+    got = (
+        dsir_scores(corpus, target, n_buckets=256)
+        .compute().set_index("doc_id")
+    )
+    assert got.loc["c1", "dsir_logweight"] > got.loc["c2", "dsir_logweight"]
+    assert got.loc["c3", "dsir_logweight"] == 0.0
+    assert got.loc["c3", "n_tokens"] == 0
+    xx = (
+        dsir_scores(corpus, target, n_buckets=256, word_hash="xxhash64")
+        .compute().set_index("doc_id")
+    )
+    assert xx.loc["c1", "dsir_logweight"] > xx.loc["c2", "dsir_logweight"]
+
+
 def test_temperature_mix_quotas_and_plan(spark):
     import pandas as pd
 

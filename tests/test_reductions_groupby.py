@@ -704,3 +704,50 @@ def test_rank_methods(spark):
             (abs(a - b) < 1e-12) or (pd.isna(a) and pd.isna(b))
             for a, b in zip(got["rank"].tolist(), want["rank"].tolist())
         ), method
+
+
+def test_rank_na_option_top_bottom(spark):
+    """na_option='top'/'bottom' rank the nulls as one tie group before
+    or after every value (closed-form shifts from broadcast counts);
+    pct denominators follow pandas (total n; distinct+1 for dense).
+    method='first' with ranked nulls needs a positional order the
+    engine does not define — it raises."""
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"x": [10.0, 10.0, 20.0, None, None, 5.0]})
+    f = ds.from_pandas(pdf)
+    for na in ("top", "bottom"):
+        for method in ("min", "max", "average", "dense"):
+            for pct in (False, True):
+                got = (
+                    f.x.rank(method=method, na_option=na, pct=pct)
+                    ._frame.compute()
+                    .sort_values(["x", "rank"], ignore_index=True,
+                                 na_position="last")
+                )
+                want = (
+                    pd.DataFrame({
+                        "x": pdf.x,
+                        "rank": pdf.x.rank(method=method, na_option=na,
+                                           pct=pct),
+                    })
+                    .sort_values(["x", "rank"], ignore_index=True,
+                                 na_position="last")
+                )
+                assert [
+                    round(float(v), 9) for v in got["rank"].tolist()
+                ] == [
+                    round(float(v), 9) for v in want["rank"].tolist()
+                ], (na, method, pct)
+    # no nulls: top/bottom are no-ops, identical to keep
+    pdf2 = pd.DataFrame({"x": [3.0, 1.0, 2.0]})
+    f2 = ds.from_pandas(pdf2)
+    got = (
+        f2.x.rank(method="min", na_option="top")._frame.compute()
+        .sort_values("x", ignore_index=True)
+    )
+    assert got["rank"].tolist() == [1, 2, 3]
+    with pytest.raises(ValueError):
+        f.x.rank(method="first", na_option="top")
+    with pytest.raises(ValueError):
+        f.x.rank(na_option="bogus")
