@@ -64,6 +64,7 @@ HEADLINE = [
     # round-9 additions (compare per-query across rounds, not totals)
     "dedup_substring",    # ExactSubstr window scrub: stride-1 windows
     "dedup_clusters_star",  # forced-DISTRIBUTED pointer-doubling CC
+    "corpus_dsir",        # DSIR importance scoring: 2 histograms + map
 ]
 
 
