@@ -233,3 +233,44 @@ def dsir_scores(corpus, target, text_col: str = "text",
         F.round(score, 6).alias("dsir_logweight"),
     )
     return DaskFrame(out)
+
+
+def dsir_resample(corpus, target, k: int, text_col: str = "text",
+                  id_col: str = "doc_id", n_buckets: int = 1024,
+                  alpha: float = 1.0, word_hash: str = "md5",
+                  salt: str = "dsir"):
+    """The resample step of DSIR (Xie et al. 2023): draw ``k`` docs
+    WITHOUT replacement with probability ∝ the importance weight, via
+    the Gumbel-top-k trick (public: Kool et al. 2019) — key_i =
+    log w_i + Gumbel_i, take the k largest. Gumbel noise comes from
+    the engine-portable md5 uniform (−ln(−ln u), u = md5(id|salt) /
+    2⁶⁰), so the SAME k docs come out on every engine and every run,
+    and a SQL oracle replays the draw exactly.
+
+    100 TB shape: :func:`dsir_scores` is map-only over the corpus;
+    the key is one more map expression; top-k is TakeOrdered (never a
+    global sort). Ties break on id — total order, deterministic.
+
+    Returns the k selected (id, n_tokens, dsir_logweight, gumbel_key)
+    rows."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import md5_prefix60
+
+    scored = dsir_scores(
+        corpus, target, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, alpha=alpha, word_hash=word_hash,
+    )._sdf
+    u = (
+        md5_prefix60(
+            F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+        ).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 60))  # (0,1): +0.5 keeps ln(u) finite at 0
+    key = F.round(
+        F.col("dsir_logweight") - F.log(-F.log(u)), 6
+    ).alias("gumbel_key")
+    out = (
+        scored.select(id_col, "n_tokens", "dsir_logweight", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    return DaskFrame(out)

@@ -1852,6 +1852,73 @@ def corpus_dsir(spark, sf_dir):
     return dsir_scores(d, target).to_spark()
 
 
+_DSIR_CTES = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+    ), tu AS (
+      SELECT b FROM u WHERE doc_id % 20 = 0
+    ), tcnt AS (
+      SELECT b, count(*)::DOUBLE AS c FROM tu GROUP BY b
+    ), ttot AS (SELECT count(*)::DOUBLE AS t FROM tu),
+    rcnt AS (
+      SELECT b, count(*)::DOUBLE AS c FROM u GROUP BY b
+    ), rtot AS (SELECT count(*)::DOUBLE AS t FROM u),
+    lamtab AS (
+      SELECT g.b,
+             round(ln((coalesce(tc.c, 0) + 1.0) / (ttot.t + 1024.0))
+                   - ln((coalesce(rc.c, 0) + 1.0) / (rtot.t + 1024.0)),
+                   9) AS lam
+      FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+      LEFT JOIN tcnt tc ON g.b = tc.b
+      LEFT JOIN rcnt rc ON g.b = rc.b, ttot, rtot
+    ), per AS (
+      SELECT u.doc_id, list(l.lam ORDER BY u.b) AS ls
+      FROM u JOIN lamtab l ON u.b = l.b
+      GROUP BY u.doc_id
+    ), scored AS (
+      SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+             round(CASE WHEN per.ls IS NULL THEN 0.0
+                   ELSE list_reduce(list_prepend(0.0, per.ls),
+                                    (a, b) -> a + b) END, 6)
+               AS dsir_logweight
+      FROM toks t LEFT JOIN per USING (doc_id)
+    )
+"""
+
+
+@q(
+    "corpus_dsir_resample",
+    _DSIR_CTES + r"""
+    SELECT doc_id, n_tokens, dsir_logweight,
+           round(dsir_logweight
+                 - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || '|dsir'),
+                                           1, 15))::BIGINT::DOUBLE + 0.5)
+                          / 1152921504606846976.0)), 6) AS gumbel_key
+    FROM scored
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT 64
+    """,
+)
+def corpus_dsir_resample(spark, sf_dir):
+    """DSIR's resample step via the Gumbel-top-k trick (Kool et al.
+    2019): key = log w + Gumbel from the engine-portable md5 uniform,
+    take the 64 largest — a seeded sample WITHOUT replacement ∝ the
+    importance weights, map-only + TakeOrdered; the oracle replays
+    weights, noise, and tie-break exactly
+    (operators/mixing.dsir_resample)."""
+    from dask_spark.operators.mixing import dsir_resample
+
+    d = load(spark, sf_dir, "documents")
+    target = d.to_spark().filter(F.col("doc_id") % 20 == 0)
+    return dsir_resample(d, target, k=64).to_spark()
+
+
 @q(
     "corpus_mix_temperature",
     r"""

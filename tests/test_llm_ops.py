@@ -634,6 +634,40 @@ def test_dsir_scores_target_affinity(spark):
     assert xx.loc["c1", "dsir_logweight"] > xx.loc["c2", "dsir_logweight"]
 
 
+def test_dsir_resample_gumbel_topk(spark):
+    """Gumbel-top-k resample: k distinct docs, seeded-reproducible,
+    and under a 40-seed sweep high-weight docs are selected far more
+    often than low-weight ones (sampling ∝ importance weight)."""
+    import dask_spark as ds
+    from dask_spark.operators.mixing import dsir_resample
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(f"t{i}", target_text) for i in range(3)]
+    target = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    corpus_rows = [
+        ("hit%d" % i, target_text) for i in range(4)
+    ] + [
+        ("miss%d" % i, "unrelated words nothing shared here at all %d" % i)
+        for i in range(12)
+    ]
+    corpus = ds.from_pandas(
+        pd.DataFrame(corpus_rows, columns=["doc_id", "text"])
+    )
+    out = dsir_resample(corpus, target, k=4, n_buckets=256).compute()
+    assert len(out) == 4 and out["doc_id"].is_unique
+    again = dsir_resample(corpus, target, k=4, n_buckets=256).compute()
+    assert out["doc_id"].tolist() == again["doc_id"].tolist()
+    hits = 0
+    for s in range(12):
+        sel = dsir_resample(
+            corpus, target, k=4, n_buckets=256, salt=f"s{s}"
+        ).compute()
+        hits += sum(1 for d in sel["doc_id"] if d.startswith("hit"))
+    # 4 target-alike docs out of 16 with far higher weights: they
+    # should dominate the draws (random would give ~12 of 48)
+    assert hits >= 30, hits
+
+
 def test_temperature_mix_quotas_and_plan(spark):
     import pandas as pd
 
