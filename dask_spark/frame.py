@@ -745,9 +745,15 @@ class Series:
             # the lookup key must be castable to the literal-map key
             # type or Catalyst rejects the plan (pandas just returns
             # all-NaN for e.g. int keys over a string column) — probe
-            # the resolved column type and fall back when they clash
+            # the resolved column type and fall back when they clash.
+            # Key types NOT in the table keep the JVM path (the
+            # pre-gate behavior): F.lit supports date/datetime/
+            # Decimal/bytes and those lowerings were already valid.
             keys_ok = True
             if len(kt) == 1:
+                import datetime as _dt
+                import decimal as _dec
+
                 from pyspark.sql import types as T
 
                 coldt = self._frame._sdf.select(
@@ -756,12 +762,20 @@ class Series:
                 pyt = next(iter(kt))
                 numeric = (T.NumericType,)
                 compat = {
-                    bool: (T.BooleanType,) + numeric,
+                    # bool is NOT coercible to numeric map keys
+                    # (element_at(map<boolean,_>, int) has no implicit
+                    # cast — DATATYPE_MISMATCH at plan time)
+                    bool: (T.BooleanType,),
                     int: numeric,
                     float: numeric,
+                    _dec.Decimal: numeric,
                     str: (T.StringType,),
+                    _dt.date: (T.DateType,),
+                    _dt.datetime: (T.TimestampType, T.TimestampNTZType),
+                    bytes: (T.BinaryType,),
                 }
-                keys_ok = isinstance(coldt, compat.get(pyt, ()))
+                if pyt in compat:
+                    keys_ok = isinstance(coldt, compat[pyt])
             if len(kt) <= 1 and None not in fn and len(vt) <= 1 and keys_ok:
                 entries = []
                 for k in fn:

@@ -974,13 +974,22 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     to force the distributed path. Above the gate the distributed
     label/star machinery runs unchanged — the 100 TB shape is intact.
 
-    Returns (id, component) for every id that appears in a pair;
-    component = the smallest id in the component (deterministic,
-    identical for all paths)."""
+    Returns (id, component) for every id that appears in a NULL-FREE
+    pair; component = the smallest id in the component (deterministic,
+    identical for all paths). Pairs with a null endpoint carry no
+    linkage information and are dropped up front (pandas drops NaN
+    group keys the same way) — pd.factorize would otherwise code a
+    null as -1, which wraps to the LAST node in the driver kernel and
+    silently fuses unrelated components."""
     from dask_spark.frame import DaskFrame
     from dask_spark.operators.sort import _pin
 
-    base = _pin(pairs._sdf.select(id_a, id_b))
+    if algorithm not in ("label", "star"):
+        raise ValueError("algorithm must be label|star")
+    base = _pin(
+        pairs._sdf.select(id_a, id_b)
+        .filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+    )
     if base.count() <= driver_edges:
         out_pdf = _cc_driver(base, id_a, id_b)
         from pyspark.sql import types as T
@@ -1008,8 +1017,6 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
             "id", F.coalesce("component", "id").alias("component")
         )
         return DaskFrame(full)
-    if algorithm != "label":
-        raise ValueError("algorithm must be label|star")
     edges = (
         base.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -1031,13 +1038,19 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         .persist()
     )
     # convergence check: under min-propagation labels only ever
-    # DECREASE, so for numeric ids an exact decimal label-sum is a
+    # DECREASE, so for INTEGRAL ids an exact decimal label-sum is a
     # strict monotone — "sum unchanged" ⇔ "no label changed", one
     # tiny agg per round instead of a labels⋈new_labels diff join.
-    # Non-numeric ids keep the generic diff-join check.
+    # Fractional/decimal ids would ROUND inside the decimal(38,0)
+    # cast (a changed round could keep the sum constant and exit
+    # early with wrong components), so they keep the generic
+    # diff-join check along with non-numeric ids.
     from pyspark.sql import types as T
 
-    numeric = isinstance(labels.schema["component"].dataType, T.NumericType)
+    numeric = isinstance(
+        labels.schema["component"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
 
     def _label_sum(df):
         return df.agg(
@@ -1396,7 +1409,13 @@ def substring_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
     docs = staged.select(id_col, "__toks")
     wtext = F.array_join(F.slice("__toks", F.col("__pos") + 1, w), " ")
     key = F.xxhash64(wtext) if window_hash == "xxhash64" else wtext
-    ex = (
+    from dask_spark.operators.sort import _pin
+
+    # ex feeds BOTH the duplicate-count aggregate and the position
+    # join-back: pin it (bounded FIFO) so the tokenize+explode window
+    # build — the dominant map stage — runs once, not twice (measured
+    # 3.5s → 2.0s warm at sf0.1; eviction recomputes the pure plan)
+    ex = _pin(
         staged.select(id_col, "__toks", F.explode(pos_arr).alias("__pos"))
         .select(id_col, "__pos", key.alias("__wk"))
     )

@@ -558,3 +558,26 @@ def test_series_map_dict_jvm_path(spark):
     # numeric keys over a numeric column still lower to the JVM path
     okn = fnum.assign(m=fnum.x.map({1: 10, 2: 20}, dtype="int")).compute()
     assert okn.m.fillna(-1).tolist() == [10, 20, -1]
+    # bool keys over a NUMERIC column: no implicit map-key coercion in
+    # Catalyst (DATATYPE_MISMATCH) — must take the UDF path, and since
+    # bool hash-equals int 1/0 in Python, pandas maps 1.0 -> the True
+    # value (reproduces pandas exactly)
+    okb = fnum.assign(m=fnum.x.map({True: "T", False: "F"})).compute()
+    assert okb.m.tolist() == ["T", None, None]
+    # a date-keyed dict over a DateType column keeps the fast JVM path
+    import datetime as _dt
+
+    fdt = ds.from_pandas(
+        pd.DataFrame({"d": pd.to_datetime(["2024-01-01",
+                                           "2024-01-02"]).date})
+    )
+    okd = fdt.assign(m=fdt.d.map({_dt.date(2024, 1, 1): 7}, dtype="int"))
+    mm = okd.compute()
+    assert mm.m.fillna(-1).tolist() == [7, -1]
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    buf2 = _io.StringIO()
+    with _rs(buf2):
+        okd.to_spark().explain()
+    assert "ArrowEvalPython" not in buf2.getvalue()

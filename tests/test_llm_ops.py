@@ -333,6 +333,37 @@ def test_connected_components_clusters(spark):
         assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                         10: 10, 11: 10, 12: 10,
                         20: 20, 21: 20}, kw
+    with pytest.raises(ValueError):  # validated BEFORE the size gate
+        connected_components(ds.from_pandas(pairs), algorithm="lable")
+
+
+def test_connected_components_fractional_and_null_ids(spark):
+    """Two review-confirmed hazards: (a) fractional ids must not trip
+    the decimal label-sum convergence shortcut (0.1..0.5 all round to
+    0 — an early exit returned wrong components); (b) a pair with a
+    null endpoint carries no linkage and is dropped on EVERY path
+    (pd.factorize would code the null as -1, aliasing it to the LAST
+    node and fusing unrelated clusters)."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import connected_components
+
+    # (a) 5-node path graph over fractional double ids
+    chain = pd.DataFrame({"id_a": [0.1, 0.2, 0.3, 0.4],
+                          "id_b": [0.2, 0.3, 0.4, 0.5]})
+    for kw in ({}, {"driver_edges": 0}):
+        got = connected_components(ds.from_pandas(chain), **kw).compute()
+        comp = dict(zip(got.id, got.component))
+        assert comp == {x / 10: 0.1 for x in range(1, 6)}, kw
+    # (b) null endpoint: {10,11} must stay its own component
+    nullp = pd.DataFrame({"id_a": [1.0, 10.0, None],
+                          "id_b": [2.0, 11.0, 1.0]})
+    for kw in ({}, {"driver_edges": 0}):
+        got = connected_components(ds.from_pandas(nullp), **kw).compute()
+        comp = {k: v for k, v in zip(got.id, got.component)
+                if pd.notna(k)}
+        assert comp == {1.0: 1.0, 2.0: 1.0, 10.0: 10.0, 11.0: 10.0}, kw
 
 
 def test_knn_join_recall_vs_bruteforce(tables):
