@@ -207,3 +207,50 @@ def test_chunked_transpose_1m_tiles(spark):
     for row in probes:
         r, p, v = row["row_id"], row["pos"], row["val"]
         assert v == r * 64 + (p % 8) * 8 + p // 8, row
+
+
+def test_substring_dedup_200k_closed_form(spark):
+    """Alignment-free substring scrub at 200k docs / ~5.6M tokens with
+    a PLANTED 12-token passage shared by every 100th doc at token
+    offset 8: exactly the 5 interior 8-windows duplicate, the island
+    merge must recover the full [8, 20) span, and every planted doc
+    loses exactly 12 tokens while all others lose none. Verifies the
+    window count map-combines and the position exchange carries only
+    the duplicated fraction at scale."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.dedup import substring_dedup
+
+    n = 200_000
+    shared = " ".join(f"s{i}" for i in range(12))
+    uid = F.col("id").cast("string")
+    # 8 doc-unique prefix tokens + 12 shared-or-unique + 8 unique tail
+    pre = F.concat_ws(
+        " ", *[F.concat(F.lit(f"p{j}x"), uid) for j in range(8)]
+    )
+    tail = F.concat_ws(
+        " ", *[F.concat(F.lit(f"t{j}x"), uid) for j in range(8)]
+    )
+    mid = F.when(F.col("id") % 100 == 0, F.lit(shared)).otherwise(
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"m{j}x"), uid) for j in range(12)]
+        )
+    )
+    sdf = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", pre, mid, tail).alias("text"),
+    )
+    out = substring_dedup(
+        DaskFrame(sdf), window_tokens=8, window_hash="xxhash64"
+    ).to_spark()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_removed").alias("removed"),
+        F.sum((F.col("n_removed") == 12).cast("int")).alias("hit12"),
+        F.sum((F.col("n_removed") == 0).cast("int")).alias("hit0"),
+        F.min("n_tokens").alias("mintok"),
+    ).first()
+    planted = n // 100
+    assert agg["rows"] == n
+    assert agg["hit12"] == planted and agg["hit0"] == n - planted
+    assert agg["removed"] == 12 * planted
+    assert agg["mintok"] == 28
