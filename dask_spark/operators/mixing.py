@@ -171,46 +171,64 @@ def dsir_scores(corpus, target, text_col: str = "text",
 
     Returns (id, n_tokens, dsir_logweight) for every corpus doc
     (empty docs score 0.0 — no evidence either way)."""
-    import math
-
     from dask_spark.frame import DaskFrame
+
+    lam = dsir_fit(
+        target, corpus, text_col=text_col, n_buckets=n_buckets,
+        alpha=alpha, word_hash=word_hash,
+    )
+    out = _dsir_apply(
+        corpus._sdf if hasattr(corpus, "_sdf") else corpus,
+        lam, text_col=text_col, id_col=id_col, word_hash=word_hash,
+    )
+    return DaskFrame(out)
+
+
+def _dsir_feats(sdf, text_col: str, id_col: str, B: int, word_hash: str):
     from dask_spark.functions import md5_prefix60
 
-    B = int(n_buckets)
     hfn = md5_prefix60 if word_hash == "md5" else F.xxhash64
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return sdf.select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda t: F.pmod(hfn(t), F.lit(B)).cast("int")
+        ).alias("__feat"),
+    )
 
-    def feats(sdf):
-        toks = F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: F.length(t) > 0,
-        )
-        return sdf.select(
-            F.col(id_col),
-            F.transform(
-                toks, lambda t: F.pmod(hfn(t), F.lit(B)).cast("int")
-            ).alias("__feat"),
-        )
 
-    def histogram(sdf):
+def dsir_fit(target, raw, text_col: str = "text", id_col: str = "doc_id",
+             n_buckets: int = 1024, alpha: float = 1.0,
+             word_hash: str = "md5"):
+    """Fit the DSIR log-ratio table from two STATIC frames: returns
+    the length-``n_buckets`` list λ[b] = ln p_target(b) − ln p_raw(b)
+    (add-``alpha`` smoothing) — a driver-bounded model artifact. Each
+    side is ONE map-side-combined ≤n_buckets-key histogram."""
+    import math
+
+    B = int(n_buckets)
+
+    def histogram(frame):
+        sdf = frame._sdf if hasattr(frame, "_sdf") else frame
         counts = (
-            feats(sdf)
+            _dsir_feats(sdf, text_col, id_col, B, word_hash)
             .select(F.explode("__feat").alias("b"))
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )
         ct = {r["b"]: r["c"] for r in counts}
-        total = sum(ct.values())
-        return ct, total
+        return ct, sum(ct.values())
 
-    ct_t, tot_t = histogram(target._sdf if hasattr(target, "_sdf")
-                            else target)
-    ct_r, tot_r = histogram(corpus._sdf if hasattr(corpus, "_sdf")
-                            else corpus)
+    ct_t, tot_t = histogram(target)
+    ct_r, tot_r = histogram(raw)
     a = float(alpha)
     # per-bucket ln ratio, rounded to 9 dp so the oracle's ln/round
     # replays the table exactly (same contract as kmeans centroids)
-    lam = [
+    return [
         round(
             math.log((ct_t.get(b, 0) + a) / (tot_t + a * B))
             - math.log((ct_r.get(b, 0) + a) / (tot_r + a * B)),
@@ -218,7 +236,13 @@ def dsir_scores(corpus, target, text_col: str = "text",
         )
         for b in range(B)
     ]
-    lam_lit = F.lit(lam)
+
+
+def _dsir_apply(sdf, lam, text_col: str, id_col: str, word_hash: str):
+    """Map-only scoring plan: Σ λ[bucket] folded over the SORTED
+    feature array (order-deterministic doubles). Works unchanged on a
+    STREAMING DataFrame — no aggregation state, no shuffle."""
+    lam_lit = F.lit(list(lam))
     fcol = F.array_sort("__feat")
     score = F.when(
         F.size("__feat") > 0,
@@ -227,12 +251,11 @@ def dsir_scores(corpus, target, text_col: str = "text",
             lambda acc, f: acc + F.element_at(lam_lit, f + 1),
         ),
     ).otherwise(F.lit(0.0))
-    out = feats(corpus._sdf if hasattr(corpus, "_sdf") else corpus).select(
+    return _dsir_feats(sdf, text_col, id_col, len(lam), word_hash).select(
         F.col(id_col),
         F.size("__feat").cast("bigint").alias("n_tokens"),
         F.round(score, 6).alias("dsir_logweight"),
     )
-    return DaskFrame(out)
 
 
 def dsir_resample(corpus, target, k: int, text_col: str = "text",

@@ -34,3 +34,28 @@ def decontaminate_stream(stream_sdf, benchmark, text_col: str = "text",
         ngram=ngram, m_bits=m_bits, k=k, threshold=threshold,
         hash_kind=hash_kind, engine=engine,
     )._sdf
+
+
+def dsir_score_stream(stream_sdf, target, raw_sample,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 1024, alpha: float = 1.0,
+                      word_hash: str = "md5"):
+    """DSIR importance scoring on an INGEST stream (ingest-time
+    quality gating: keep web text that looks like the target corpus).
+    The log-ratio table fits ONCE from two STATIC frames — ``target``
+    (the reference corpus) and ``raw_sample`` (a static sample of the
+    ingest distribution) — then rides the streaming plan as a
+    length-n_buckets literal; scoring is a stateless scan→project per
+    microbatch (no state store, no watermark, exactly the batch
+    semantics per row). Returns a streaming DataFrame of
+    (id, n_tokens, dsir_logweight) — threshold in the sink."""
+    from dask_spark.operators.mixing import _dsir_apply, dsir_fit
+
+    lam = dsir_fit(
+        target, raw_sample, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, alpha=alpha, word_hash=word_hash,
+    )
+    return _dsir_apply(
+        stream_sdf, lam, text_col=text_col, id_col=id_col,
+        word_hash=word_hash,
+    )

@@ -602,3 +602,55 @@ def test_streaming_batch_parity_decontamination(spark, tmp_path):
     assert list(got.doc_id) == list(batch.doc_id)
     assert list(got.hit_grams) == list(batch.hit_grams)
     assert list(got.contaminated) == list(batch.contaminated)
+
+
+def test_streaming_batch_parity_dsir(spark, tmp_path):
+    """EXACTNESS: DSIR scoring is a stateless scan→project once the
+    log-ratio table is fitted from static frames, so the streaming run
+    over a finite file stream must produce EXACTLY the batch scores."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.mixing import dsir_scores
+    from dask_spark.streaming.hygiene import dsir_score_stream
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (i, target_text if i % 5 == 0
+         else f"doc {i} " + " ".join(f"w{(i * 17 + j) % 499}"
+                                     for j in range(10)))
+        for i in range(150)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = tmp_path / "dsir_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+    corpus = ds.read_parquet(str(src))
+    target = ds.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1], "text": [target_text] * 2})
+    )
+
+    batch = (
+        dsir_scores(corpus, target, n_buckets=256)
+        .compute().sort_values("doc_id", ignore_index=True)
+    )
+    assert batch.dsir_logweight.abs().sum() > 0
+
+    stream_sdf = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(src))
+    out = dsir_score_stream(stream_sdf, target, corpus, n_buckets=256)
+    q = (
+        out.writeStream.format("memory").queryName("t_dsir")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = (
+        spark.sql("select * from t_dsir").toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == len(batch)
+    assert list(got.doc_id) == list(batch.doc_id)
+    assert list(got.dsir_logweight) == list(batch.dsir_logweight)
