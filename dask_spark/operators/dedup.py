@@ -1354,7 +1354,7 @@ def span_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
 
 def substring_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
                     window_tokens: int = 8, max_count: int = 1,
-                    window_hash: str = "text"):
+                    window_hash: str = "text", keep: str = "all"):
     """Alignment-free duplicated-substring scrub — the distributed
     window formulation of ExactSubstr dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better";
@@ -1383,6 +1383,14 @@ def substring_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
     w words to 8 bytes per window — the production mode at scale
     (collision odds ~n²/2⁶⁵, the standard engineering trade).
 
+    ``keep``: "all" (default) strips every occurrence of a duplicated
+    window (the CCNet-style scrub); "one" keeps the CANONICAL
+    occurrence — the globally first (min doc id, then min position) —
+    and strips the rest, which is Lee et al.'s actual dedup contract
+    (at least one copy of any passage survives the corpus). The
+    canonical pick is one min-struct in the same count aggregate; the
+    exchange shape is unchanged.
+
     Returns (id, kept_text, n_tokens, n_removed) — docs shorter than
     one window pass through untouched, fully-duplicated docs stay as
     empty-text rows, so corpus row count is stable through the scrub.
@@ -1393,6 +1401,8 @@ def substring_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
 
     if window_hash not in ("text", "xxhash64"):
         raise ValueError("window_hash must be text|xxhash64")
+    if keep not in ("all", "one"):
+        raise ValueError("keep must be all|one")
     sdf = frame._sdf if hasattr(frame, "_sdf") else frame
     w = int(window_tokens)
     staged = _tokens_staged(sdf, text_col, id_col)
@@ -1419,13 +1429,26 @@ def substring_dedup(frame, text_col: str = "text", id_col: str = "doc_id",
         staged.select(id_col, "__toks", F.explode(pos_arr).alias("__pos"))
         .select(id_col, "__pos", key.alias("__wk"))
     )
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if keep == "one":
+        aggs.append(
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("__pos").alias("p"))).alias("__can")
+        )
     dup = (
         ex.groupBy("__wk")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(*aggs)
         .filter(F.col("__cnt") > int(max_count))
-        .select("__wk")
+        .drop("__cnt")
     )
-    dpos = ex.join(dup, on="__wk").select(id_col, "__pos")
+    dpos = ex.join(dup, on="__wk")
+    if keep == "one":
+        # the canonical (first) occurrence keeps its windows
+        dpos = dpos.filter(
+            ~((F.col(id_col) == F.col("__can.i"))
+              & (F.col("__pos") == F.col("__can.p")))
+        )
+    dpos = dpos.select(id_col, "__pos")
     # gaps-and-islands: a window starts a new maximal span when its
     # start clears the running max end of everything before it
     ws = Window.partitionBy(id_col).orderBy("__pos")

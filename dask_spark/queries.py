@@ -6178,6 +6178,87 @@ def dedup_substring(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_keep1",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS toks
+      FROM documents
+    ), win AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 8 THEN
+               [array_to_string(list_slice(toks, i, i + 7), ' ')
+                for i in generate_series(1, len(toks) - 7)]
+             ELSE [] END AS wins
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(wins) AS wtext,
+             generate_subscripts(wins, 1) - 1 AS pos
+      FROM win
+    ), ranked AS (
+      SELECT doc_id, wtext, pos,
+             count(*) OVER (PARTITION BY wtext) AS cnt,
+             row_number() OVER (PARTITION BY wtext
+                                ORDER BY doc_id, pos) AS rn
+      FROM e
+    ), dpos AS (
+      SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER w1 IS NULL
+                    OR pos > max(pos + 8) OVER w1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dpos
+      WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), tok_e AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS tpos
+      FROM t
+    ), kept AS (
+      SELECT te.doc_id, te.tok, te.tpos
+      FROM tok_e te
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = te.doc_id AND te.tpos >= s.s AND te.tpos < s.e
+      )
+    ), ka AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS kept_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(ka.kept_text, '') AS kept_text,
+           len(t.toks)::BIGINT AS n_tokens,
+           (len(t.toks) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed
+    FROM t LEFT JOIN ka USING (doc_id)
+    """,
+)
+def dedup_substring_keep1(spark, sf_dir):
+    """The keep-one variant — Lee et al.'s actual dedup contract: the
+    globally FIRST occurrence (min doc id, then min position) of each
+    duplicated window keeps its tokens, every other occurrence is
+    scrubbed, so at least one copy of any passage survives the corpus.
+    The canonical pick is one min-struct folded into the same count
+    aggregate; exchange shape identical to dedup_substring
+    (operators/dedup.substring_dedup keep='one')."""
+    from dask_spark.operators.dedup import substring_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return substring_dedup(
+        d, window_tokens=8, max_count=1, keep="one"
+    ).to_spark()
+
+
+@q(
     "contamination_bloom",
     r"""
     WITH t AS (

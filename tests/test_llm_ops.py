@@ -1172,6 +1172,42 @@ def test_substring_dedup_alignment_free(spark):
     assert (xx["n_removed"] == out["n_removed"]).all()
 
 
+def test_substring_dedup_keep_one(spark):
+    """keep='one' (Lee et al.'s contract): the globally first
+    occurrence (min doc id, min pos) of a duplicated passage survives,
+    all other copies are scrubbed — at least one copy always remains;
+    within one doc the FIRST copy wins."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import substring_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("a", "intro words here " + shared + " tail one"),
+        ("b", "x " + shared + " completely different ending text"),
+        ("c", "unique content that appears nowhere else whatsoever here"),
+    ]
+    f = ds.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        substring_dedup(f, window_tokens=8, keep="one")
+        .compute().set_index("doc_id")
+    )
+    assert out.loc["a", "n_removed"] == 0          # canonical copy kept
+    assert shared in out.loc["a", "kept_text"]
+    assert out.loc["b", "n_removed"] == 12         # later copy scrubbed
+    assert out.loc["b", "kept_text"] == "x completely different ending text"
+    assert out.loc["c", "n_removed"] == 0
+    # within-doc repeat: first occurrence wins
+    w8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    f2 = ds.from_pandas(pd.DataFrame(
+        [("r1", w8 + " middle filler words go here " + w8)],
+        columns=["doc_id", "text"],
+    ))
+    got = substring_dedup(f2, window_tokens=8, keep="one").compute()
+    assert got.iloc[0]["kept_text"] == w8 + " middle filler words go here"
+    with pytest.raises(ValueError):
+        substring_dedup(f, keep="bogus")
+
+
 def test_substring_dedup_within_doc_repeat(spark):
     """A window repeated INSIDE one doc counts as duplicated (count
     counts occurrences, not docs) and both copies are scrubbed."""
