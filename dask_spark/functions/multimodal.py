@@ -97,6 +97,52 @@ def decode_features(frame, out_dim: int = 10):
     return DaskFrame(frame._sdf.mapInPandas(gen, schema=schema))
 
 
+def resize_media(frame, width: int, height: int):
+    """Image/video RESIZE plumbing: binary → binary with updated
+    (width, height) metadata, over Arrow batches. The pixel resample
+    itself is the DETERMINISTIC FAKE (real impl: PIL resize /
+    cv2.resize on the decoded array — libs absent in this container):
+    the output payload is sha256(blob | target dims) truncated/tiled
+    to a size proportional to the new pixel count, so downstream
+    stages see a real binary column whose LENGTH scales the way a
+    resized image's would. Schema/batching/metadata plumbing is the
+    real thing — swap _fake bytes for the real codec and nothing
+    downstream changes. Map-only, no shuffle; a null blob passes
+    through as null (skip-and-flag, never fail the task)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf
+    meta_t = sdf.schema["meta"].dataType.simpleString()
+    schema = f"doc_id bigint, media binary, meta {meta_t}"
+
+    def gen(batches):
+        import pandas as pd
+
+        target = max(1, (int(width) * int(height)) // 64)
+
+        def fake_resize(blob):
+            if blob is None:
+                return None
+            h = hashlib.sha256(
+                bytes(blob) + f"|{width}x{height}".encode()
+            ).digest()
+            return (h * (target // len(h) + 1))[:target]
+
+        for pdf in batches:
+            meta = [
+                {**(dict(s) if s is not None else {}),
+                 "width": int(width), "height": int(height)}
+                for s in pdf["meta"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [fake_resize(b) for b in pdf["media"]],
+                "meta": meta,
+            })
+
+    return DaskFrame(sdf.mapInPandas(gen, schema=schema))
+
+
 def frame_sample(frame, every_n: int = 10):
     """Video frame-sampling contract: emit (doc_id, frame_idx) rows for
     every n-th frame — pure JVM via sequence+explode; the decode of the

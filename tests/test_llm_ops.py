@@ -218,6 +218,22 @@ def test_multimodal_plumbing(tables):
     assert {"kind", "width", "height", "n_bytes"} <= set(meta.columns)
     feats = decode_features(media, out_dim=6).compute()
     assert all(len(v) == 6 for v in feats.features)
+    # resize: binary out, metadata updated, payload length scales with
+    # the new pixel count, deterministic for identical inputs
+    from dask_spark.functions.multimodal import resize_media
+
+    small = resize_media(media, 32, 32)
+    big = resize_media(media, 64, 64)
+    sm = small.compute()
+    assert dict(small.to_spark().dtypes)["media"] == "binary"
+    m0 = extract_meta(small).compute()
+    assert set(m0.width) == {32} and set(m0.height) == {32}
+    bl = {d: len(m) for d, m in zip(big.compute().doc_id,
+                                    big.compute().media)}
+    sl = {d: len(m) for d, m in zip(sm.doc_id, sm.media)}
+    assert all(bl[d] == 4 * sl[d] for d in sl)  # 4x pixels -> 4x bytes
+    again = resize_media(media, 32, 32).compute()
+    assert list(again.media) == list(sm.media)  # deterministic fake
 
 
 def test_ann_batch_matches_per_query(vectors):
