@@ -79,23 +79,52 @@ def _distinct_guarded(sdf, column: str, max_categories: int, op: str):
     return sorted(r[0] for r in rows if r[0] is not None)
 
 
-def get_dummies(frame, column: str, prefix: str | None = None,
+def get_dummies(frame, column: str | Sequence[str] | None = None,
+                prefix: str | None = None,
                 values: Sequence[str] | None = None,
-                max_categories: int = 1024):
-    """One-hot encode. Like dask (reference: reshape.py get_dummies
-    requires known categories), the category set must be supplied or is
-    computed with one small distinct job — never per-row Python.
-    Auto-discovery is capped at ``max_categories``."""
+                max_categories: int = 1024, prefix_sep: str = "_",
+                dummy_na: bool = False, drop_first: bool = False,
+                dtype: str = "int", columns: Sequence[str] | None = None):
+    """One-hot encode. Like dask (reference: dask_expr/_dummies.py
+    get_dummies requires known categories), the category set must be
+    supplied or is computed with one small distinct job — never
+    per-row Python. Auto-discovery is capped at ``max_categories``.
+
+    pandas/dask kwarg depth: ``prefix_sep`` joins prefix and value;
+    ``dummy_na`` adds a <prefix><sep>nan indicator for nulls (without
+    it null rows are all-zero, the pandas contract); ``drop_first``
+    drops the first (sorted) category per column (k-1 encoding);
+    ``dtype`` sets the indicator column type (pandas defaults bool,
+    dask keeps uint8-era ints — "int" here, pass "boolean" for
+    pandas-2 parity); ``columns`` one-hot-encodes several columns in
+    one projection (each with its own prefix defaulting to the column
+    name)."""
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf
-    if values is None:
-        values = _distinct_guarded(sdf, column, max_categories, "get_dummies")
-    prefix = prefix if prefix is not None else column
-    cols = [
-        F.when(F.col(column) == v, 1).otherwise(0).alias(f"{prefix}_{v}")
-        for v in values
-    ]
+    todo = list(columns) if columns is not None else [column]
+    if any(c is None for c in todo):
+        raise ValueError("get_dummies needs column or columns")
+    cols = []
+    for col in todo:
+        vals = values
+        if vals is None or columns is not None:
+            vals = _distinct_guarded(sdf, col, max_categories,
+                                     "get_dummies")
+        vals = sorted(vals)
+        if drop_first:
+            vals = vals[1:]
+        pfx = prefix if (prefix is not None and columns is None) else col
+        for v in vals:
+            cols.append(
+                F.when(F.col(col) == v, 1).otherwise(0)
+                .cast(dtype).alias(f"{pfx}{prefix_sep}{v}")
+            )
+        if dummy_na:
+            cols.append(
+                F.when(F.col(col).isNull(), 1).otherwise(0)
+                .cast(dtype).alias(f"{pfx}{prefix_sep}nan")
+            )
     return DaskFrame(sdf.select(*sdf.columns, *cols))
 
 

@@ -633,3 +633,31 @@ def test_rolling_corr_zero_variance_window(spark):
     out = f.rolling("1h", on="ts", by="u").corr("v", "x").compute()
     # the all-identical-x window gives NULL; no exception raised
     assert out["v_roll_corr"].isna().any()
+
+
+def test_get_dummies_kwarg_depth(spark):
+    """pandas/dask kwargs: prefix_sep, dummy_na (null indicator —
+    without it null rows are all-zero), drop_first (k-1 encoding),
+    dtype, and multi-column columns= in one projection."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.reshape import get_dummies
+
+    pdf = pd.DataFrame({"c": ["b", "a", None, "b"], "d": ["x", "y", "x", "x"]})
+    f = ds.from_pandas(pdf)
+    out = get_dummies(f, "c", prefix_sep="|", dummy_na=True).compute()
+    assert {"c|a", "c|b", "c|nan"} <= set(out.columns)
+    assert out["c|nan"].tolist() == [0, 0, 1, 0]
+    assert out["c|a"].tolist() == [0, 1, 0, 0]
+    # pandas parity on the same input
+    want = pd.get_dummies(pdf, columns=["c"], prefix_sep="|",
+                          dummy_na=True, dtype=int)
+    assert out["c|b"].tolist() == want["c|b"].tolist()
+    # drop_first drops the first sorted category
+    k1 = get_dummies(f, "c", drop_first=True).compute()
+    assert "c_a" not in k1.columns and "c_b" in k1.columns
+    # dtype + multi-column
+    mc = get_dummies(f, columns=["c", "d"], dtype="boolean").compute()
+    assert {"c_a", "c_b", "d_x", "d_y"} <= set(mc.columns)
+    assert mc["d_x"].dtype == bool or str(mc["d_x"].dtype) == "boolean"
