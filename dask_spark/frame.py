@@ -89,8 +89,27 @@ class StrAccessor:
         )
         return self._wrap(out)
 
-    def split(self, pat: str = r"\s+"):
-        return self._wrap(F.split(self._s._expr, pat))
+    def split(self, pat: str = r"\s+", n: int = -1, expand: bool = False):
+        """pandas str.split. ``n`` caps the number of splits (Spark's
+        split limit = n+1 parts, same contract as pandas). ``expand``
+        returns a FRAME of n+1 element columns named 0..n (dask also
+        requires n= with expand — the output schema must be static)."""
+        if not expand:
+            limit = -1 if n is None or n < 0 else int(n) + 1
+            return self._wrap(F.split(self._s._expr, pat, limit))
+        if n is None or n < 0:
+            raise ValueError(
+                "split(expand=True) requires n= (static output schema; "
+                "same contract as dask)"
+            )
+        arr = F.split(self._s._expr, pat, int(n) + 1)
+        # try_element_at: rows with fewer parts fill with null (ANSI
+        # element_at throws past the end; pandas fills None)
+        cols = [
+            F.try_element_at(arr, F.lit(i + 1)).alias(str(i))
+            for i in range(int(n) + 1)
+        ]
+        return DaskFrame(self._s._frame._sdf.select(*cols))
 
     def extract(self, pat: str, group: int = 1):
         return self._wrap(F.regexp_extract(self._s._expr, pat, group))
@@ -2259,15 +2278,29 @@ class DaskFrame:
         return self[col] != other
 
     # ---- groupby / joins / reshape (delegated) -----------------------------
-    def groupby(self, by: str | Sequence[str], dropna: bool = True):
+    def groupby(self, by: str | Sequence[str], dropna: bool = True,
+                sort: bool | None = None, group_keys: bool = True,
+                observed: bool | None = None):
         """reference dask groupby(dropna=True) default: null-keyed
         rows form no group; dropna=False keeps the null group (Spark's
-        native behavior)."""
+        native behavior).
+
+        dask-parity kwargs (reference dask_expr/_collection.py:3031):
+        ``sort`` — aggregation OUTPUT sorted by group keys when True
+        (pandas default; dask defaults None = engine order, which is
+        this engine's shuffle order — both accepted); ``group_keys``
+        and ``observed`` are accepted for signature parity and
+        recorded, but group_keys only changes pandas' index layering
+        (no index here) and observed only matters for unobserved
+        pandas Categoricals (categories here are plain values — every
+        group is observed)."""
         from dask_spark.operators.groupby import GroupBy
 
-        return GroupBy(
+        g = GroupBy(
             self, [by] if isinstance(by, str) else list(by), dropna
         )
+        g._sort_output = bool(sort)
+        return g
 
     def merge(self, right: "DaskFrame", how: str = "inner",
               on: str | Sequence[str] | None = None,

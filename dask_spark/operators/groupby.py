@@ -206,6 +206,11 @@ class GroupBy:
         out_sdf = out_sdf.select(*self._keys, *finals)
         if split_out is not None:
             out_sdf = out_sdf.repartition(split_out, *[F.col(k) for k in self._keys])
+        if getattr(self, "_sort_output", False):
+            # groupby(sort=True): pandas sorts the output by the group
+            # keys; the agg result is key-cardinality-sized, so the
+            # sort is cheap relative to the aggregation exchange
+            out_sdf = out_sdf.orderBy(*self._keys)
         return DaskFrame(out_sdf)
 
     def _agg_pandas(self, items) -> "DaskFrame":

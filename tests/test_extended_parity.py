@@ -471,6 +471,37 @@ def test_compute_kwargs_and_checkpoint(tables):
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or len(plan) > 0
 
 
+def test_str_split_expand_and_groupby_sort(spark):
+    """str.split(n=, expand=True) returns n+1 null-padded element
+    columns matching pandas; without expand, n caps the split count;
+    groupby(sort=True) sorts the aggregation output by group keys
+    (pandas default order)."""
+    import pandas as pd
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"g": ["b", "a", "a"], "v": [1.0, 2.0, 3.0],
+                        "s": ["x-y-z", "p-q", "r"]})
+    f = ds.from_pandas(pdf)
+    sp = f.s.str.split("-", n=2, expand=True).compute()
+    want = pdf.s.str.split("-", n=2, expand=True)
+    assert sp.columns.tolist() == ["0", "1", "2"]
+    assert [[None if pd.isna(x) else x for x in r]
+            for r in sp.values.tolist()] == \
+        [[None if pd.isna(x) else x for x in r]
+         for r in want.values.tolist()]
+    capped = f.assign(parts=f.s.str.split("-", n=1)).compute()
+    assert capped.parts.map(list).tolist() == \
+        pdf.s.str.split("-", n=1).tolist()
+    with pytest.raises(ValueError):
+        f.s.str.split("-", expand=True)  # needs n= (static schema)
+    out = f.groupby("g", sort=True).agg({"v": "sum"}).compute()
+    assert out.g.tolist() == ["a", "b"]
+    assert out.v_sum.tolist() == [5.0, 1.0]
+    # parity kwargs accepted
+    f.groupby("g", group_keys=False, observed=True).agg({"v": "max"})
+
+
 def test_str_accessor_long_tail(spark):
     """Remaining common str methods match pandas on a pathological
     sample (unicode, empty, mixed case)."""
