@@ -241,3 +241,61 @@ def test_ufunc_logaddexp_stable(spark, vals):
     got = [r[0] for r in la._frame._sdf.select(la._expr.alias("v")).collect()]
     exp = np.logaddexp(np.array(xs), np.array(ys))
     assert np.allclose(got, exp, rtol=1e-12)
+
+
+def _ref_substring_dedup(texts, w=3, keep="all"):
+    """Brute-force reference for substring_dedup: stride-1 w-token
+    windows, corpus-wide counts, merge duplicated positions to maximal
+    spans, strip covered tokens."""
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    occ = {}
+    for i, ts in toks.items():
+        for p in range(max(0, len(ts) - w + 1)):
+            occ.setdefault(" ".join(ts[p:p + w]), []).append((i, p))
+    out = {}
+    for i, ts in toks.items():
+        dup = []
+        for p in range(max(0, len(ts) - w + 1)):
+            key = " ".join(ts[p:p + w])
+            hits = occ[key]
+            if len(hits) > 1 and not (
+                keep == "one" and min(hits) == (i, p)
+            ):
+                dup.append(p)
+        covered = set()
+        for p in dup:
+            covered.update(range(p, p + w))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0,
+                 max_size=12).map(" ".join),
+        min_size=1, max_size=10,
+    ),
+    keep=st.sampled_from(["all", "one"]),
+)
+def test_substring_dedup_matches_bruteforce(spark, docs, keep):
+    """substring_dedup(w=3) over random tiny-alphabet corpora (heavy
+    window collisions by construction, incl. within-doc repeats and
+    empty docs) matches a brute-force python reference row for row in
+    BOTH keep modes."""
+    import dask_spark as ds
+    from dask_spark.operators.dedup import substring_dedup
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = (
+        substring_dedup(ds.from_pandas(pdf), window_tokens=3, keep=keep)
+        .compute().set_index("doc_id").sort_index()
+    )
+    want = _ref_substring_dedup(docs, w=3, keep=keep)
+    assert len(got) == len(docs)
+    for i in range(len(docs)):
+        kt, nt, nr = want[i]
+        assert got.loc[i, "kept_text"] == kt, (i, docs, keep)
+        assert got.loc[i, "n_tokens"] == nt
+        assert got.loc[i, "n_removed"] == nr
