@@ -1847,16 +1847,52 @@ class DaskFrame:
             lambda c: F.stddev_samp(F.col(c)) / F.sqrt(F.count(F.col(c)))
         )
 
-    def mode(self, column: str) -> "DaskFrame":
-        """Most frequent value (ties → smallest value). One shuffle
-        (count per value) + TakeOrdered(1)."""
-        return DaskFrame(
-            self._sdf.groupBy(column)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col(column).asc())
-            .limit(1)
-            .select(column)
-        )
+    def mode(self, column: str | None = None, dropna: bool = True,
+             keep_ties: bool = True) -> "DaskFrame":
+        """pandas/dask mode. With ``column``: ALL tied most-frequent
+        values of that column, sorted ascending (pandas Series.mode —
+        one count shuffle, the max count broadcast back; keep_ties=
+        False keeps the pre-round-9 single-winner form, smallest value
+        on ties). Without ``column`` (reference dask_expr
+        _collection.py:3670): per-column modes assembled side by side,
+        shorter columns null-padded to the longest — each column is
+        one bounded driver collect of its tied values (#ties ≪ rows).
+        ``dropna=False`` lets null count as a value (pandas
+        contract)."""
+        if column is not None:
+            counts = self._sdf
+            if dropna:
+                counts = counts.filter(F.col(column).isNotNull())
+            counts = counts.groupBy(column).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            if not keep_ties:
+                return DaskFrame(
+                    counts.orderBy(F.col("__n").desc(),
+                                   F.col(column).asc())
+                    .limit(1).select(column)
+                )
+            mx = counts.agg(F.max("__n").alias("__mx"))
+            return DaskFrame(
+                counts.crossJoin(F.broadcast(mx))
+                .filter(F.col("__n") == F.col("__mx"))
+                .select(column)
+                .orderBy(F.col(column).asc())
+            )
+        import pandas as pd
+
+        per = {
+            c: self.mode(c, dropna=dropna).compute()[c].tolist()
+            for c in self.columns
+        }
+        width = max((len(v) for v in per.values()), default=0)
+        pdf = pd.DataFrame({
+            c: v + [None] * (width - len(v)) for c, v in per.items()
+        })
+        spark = self._sdf.sparkSession
+        out = spark.createDataFrame(pdf, schema=self._sdf.schema) \
+            if width else spark.createDataFrame([], self._sdf.schema)
+        return DaskFrame(out)
 
     def idxmin(self, value_col: str, id_col: str):
         """id at the minimum of value_col (dask idxmin ≈ min_by)."""

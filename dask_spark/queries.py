@@ -2785,11 +2785,18 @@ def case_when(spark, sf_dir):
 @q(
     "mode",
     """
-    SELECT l_quantity FROM lineitem
-    GROUP BY l_quantity ORDER BY count(*) DESC, l_quantity ASC LIMIT 1
+    WITH c AS (
+      SELECT l_quantity, count(*) AS n FROM lineitem
+      WHERE l_quantity IS NOT NULL GROUP BY l_quantity
+    )
+    SELECT l_quantity FROM c
+    WHERE n = (SELECT max(n) FROM c)
+    ORDER BY l_quantity
     """,
 )
 def mode(spark, sf_dir):
+    """pandas mode: ALL tied most-frequent values, sorted (one count
+    shuffle + a broadcast max — ties are kept, unlike a LIMIT 1)."""
     li = load(spark, sf_dir, "lineitem")
     return li.mode("l_quantity").to_spark()
 

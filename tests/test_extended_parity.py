@@ -81,8 +81,24 @@ def test_case_when(spark):
 def test_mode(spark):
     import dask_spark as ds
 
-    f = ds.from_pandas(pd.DataFrame({"x": [3, 1, 1, 2, 2]}))
-    assert f.mode("x").compute().x.tolist() == [1]  # tie → smallest
+    pdf = pd.DataFrame({"x": [3, 1, 1, 2, 2]})
+    f = ds.from_pandas(pdf)
+    # pandas: ties are ALL returned, sorted — [1, 2]
+    assert f.mode("x").compute().x.tolist() == pdf.x.mode().tolist()
+    # pre-round-9 single-winner form still available
+    assert f.mode("x", keep_ties=False).compute().x.tolist() == [1]
+    # no-arg all-columns form: null-padded to the longest mode list
+    pdf2 = pd.DataFrame({"x": [3, 1, 1, 2, 2], "y": [9, 9, 8, 8, 8]})
+    f2 = ds.from_pandas(pdf2)
+    got = f2.mode().compute()
+    want = pdf2.mode()
+    assert got.x.fillna(-1).tolist() == want.x.fillna(-1).tolist()
+    assert got.y.fillna(-1).tolist() == want.y.fillna(-1).tolist()
+    # dropna=False: nulls count as a value (pandas contract)
+    pdf3 = pd.DataFrame({"x": [None, None, 5.0]})
+    f3 = ds.from_pandas(pdf3)
+    got3 = f3.mode("x", dropna=False).compute().x
+    assert got3.isna().all() and len(got3) == 1
 
 
 def test_skew_kurt_sem(tables, pdf_tables):
