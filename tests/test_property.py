@@ -299,3 +299,68 @@ def test_substring_dedup_matches_bruteforce(spark, docs, keep):
         assert got.loc[i, "kept_text"] == kt, (i, docs, keep)
         assert got.loc[i, "n_tokens"] == nt
         assert got.loc[i, "n_removed"] == nr
+
+
+def _ref_dsir(corpus, target, B=64, alpha=1.0):
+    """Independent python reference for dsir_scores (md5 mode)."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    def hist(texts):
+        ct = {}
+        for t in texts:
+            for tok in t.lower().split():
+                b = bucket(tok)
+                ct[b] = ct.get(b, 0) + 1
+        return ct, sum(ct.values())
+
+    ct_t, tt = hist(target)
+    ct_r, tr = hist(corpus)
+    lam = [
+        round(
+            math.log((ct_t.get(b, 0) + alpha) / (tt + alpha * B))
+            - math.log((ct_r.get(b, 0) + alpha) / (tr + alpha * B)), 9)
+        for b in range(B)
+    ]
+    out = []
+    for t in corpus:
+        toks = t.lower().split()
+        acc = 0.0
+        for b in sorted(bucket(tok) for tok in toks):
+            acc = acc + lam[b]
+        out.append((len(toks), round(acc, 6) if toks else 0.0))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff".split()),
+                 min_size=0, max_size=10).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    tsel=st.integers(0, 3),
+)
+def test_dsir_scores_match_bruteforce(spark, corpus, tsel):
+    """dsir_scores (md5 mode) matches an independent python reference
+    bit-for-bit on random corpora — buckets, smoothing, 9-dp λ round,
+    sorted-order fold, and the 6-dp final round."""
+    import dask_spark as ds
+    from dask_spark.operators.mixing import dsir_scores
+
+    target = [corpus[tsel % len(corpus)], "aa bb"]
+    cf = ds.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(corpus)), "text": corpus}))
+    tf = ds.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(target)), "text": target}))
+    got = (
+        dsir_scores(cf, tf, n_buckets=64)
+        .compute().set_index("doc_id").sort_index()
+    )
+    want = _ref_dsir(corpus, target, B=64)
+    for i, (nt, lw) in enumerate(want):
+        assert got.loc[i, "n_tokens"] == nt, (i, corpus)
+        assert abs(got.loc[i, "dsir_logweight"] - lw) < 1e-12, (i, corpus)
