@@ -529,9 +529,20 @@ class DArray:
             lambda c: F.array_max(c) - F.array_min(c), "ptp"
         )
 
-    def average(self, weights: Sequence[float]) -> DaskFrame:
+    def average(self, weights: Sequence[float] | None = None) -> DaskFrame:
         """Weighted per-row mean vs a literal weight vector
-        (array/routines.py average)."""
+        (array/routines.py:2561 average); weights=None is the plain
+        mean, numpy's default."""
+        if weights is None:
+            return self._reduce_rows(
+                lambda c: F.when(
+                    F.size(c) > 0,
+                    F.aggregate(
+                        c, F.lit(0.0), lambda acc, x: acc + x
+                    ) / F.size(c),
+                ),
+                "average",
+            )
         from dask_spark.functions.vector import dot as vdot
 
         w = [float(x) for x in weights]
@@ -581,10 +592,33 @@ class DArray:
             lambda c: F.size(F.filter(c, lambda x: x != 0)), "count_nonzero"
         )
 
-    def unique(self) -> list:
+    def unique(self, return_counts: bool = False,
+               return_index: bool = False, return_inverse: bool = False):
         """Sorted distinct values across the whole array
-        (array/routines.py unique) — posexplode + distinct, a scalar
-        shuffle; values (not vectors) travel."""
+        (array/routines.py:1769 unique) — explode + distinct (or a
+        count aggregate for return_counts), a scalar shuffle; values
+        (not vectors) travel. return_index/return_inverse need a flat
+        POSITIONAL order across rows, which this engine deliberately
+        does not define — raise with guidance (compose with the id
+        column and a join instead)."""
+        if return_index or return_inverse:
+            raise NotImplementedError(
+                "unique(return_index/return_inverse) needs a flat "
+                "positional order; join on the id column instead"
+            )
+        import numpy as np
+
+        if return_counts:
+            rows = (
+                self._sdf.select(F.explode(F.col(self._col)).alias("x"))
+                .groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("x")
+                .collect()
+            )
+            return (
+                np.array([r["x"] for r in rows]),
+                np.array([r["n"] for r in rows], dtype="int64"),
+            )
         rows = (
             self._sdf.select(F.explode(F.col(self._col)).alias("x"))
             .distinct()

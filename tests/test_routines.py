@@ -679,3 +679,25 @@ def test_histogram2d_dd_weights_density(spark):
     for _, r in out.iterrows():
         g[int(r.b_x), int(r.b_y)] = r["count"]
     np.testing.assert_allclose(g, wdd, rtol=1e-12)
+
+
+def test_unique_return_counts_and_plain_average(spark):
+    """numpy kwarg depth: unique(return_counts=True) returns sorted
+    (values, counts); average() without weights is the plain per-row
+    mean; positional return_index/inverse raise with guidance."""
+    import numpy as np
+    import pandas as pd
+
+    import dask_spark as ds
+    import dask_spark.array as da
+
+    f = ds.from_pandas(pd.DataFrame(
+        {"rid": [0, 1], "vec": [[1.0, 2.0, 2.0], [3.0, 1.0, 3.0]]}))
+    x = da.DArray(f._sdf, "vec", "rid")
+    v, c = x.unique(return_counts=True)
+    assert v.tolist() == [1.0, 2.0, 3.0]
+    assert c.tolist() == [2, 2, 2]
+    got = x.average().compute().sort_values("rid")
+    assert np.allclose(got.average.tolist(), [5.0 / 3, 7.0 / 3])
+    with pytest.raises(NotImplementedError):
+        x.unique(return_index=True)
