@@ -5724,6 +5724,30 @@ def arr_histogramdd(spark, sf_dir):
 
 
 @q(
+    "arr_unique_counts",
+    """
+    SELECT round(x, 2) AS val, count(*)::BIGINT AS n
+    FROM (SELECT round(unnest(embedding::DOUBLE[]), 2) AS x
+          FROM embeddings)
+    GROUP BY round(x, 2) ORDER BY val
+    """,
+)
+def arr_unique_counts(spark, sf_dir):
+    """da.unique(return_counts=True) machinery value-checked: explode
+    → count aggregate over scalar values (the vectors never travel),
+    2-dp quantization so both engines bucket identically
+    (array.py DArray.unique; reference dask/array/routines.py:1769)."""
+    e = load(spark, sf_dir, "embeddings")
+    vals = e.to_spark().select(
+        F.explode(F.col("embedding").cast("array<double>")).alias("x")
+    ).select(F.round("x", 2).alias("val"))
+    return (
+        vals.groupBy("val").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("val")
+    )
+
+
+@q(
     "arr_nanreduce",
     """
     SELECT vec_id,
