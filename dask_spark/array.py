@@ -200,12 +200,17 @@ class DArray:
             )
         return self._axis0("sum", F.sum)
 
-    def mean(self, axis: int = 1):
+    def mean(self, axis: int = 1, _name: str = "mean"):
         if axis == 1:
+            # empty-row guard: numpy mean([]) is nan; without it the
+            # 0/0 division errors under ANSI (Spark 4 default)
             return self._reduce_rows(
-                lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)
-                / F.size(c),
-                "mean",
+                lambda c: F.when(
+                    F.size(c) > 0,
+                    F.aggregate(c, F.lit(0.0), lambda a, x: a + x)
+                    / F.size(c),
+                ),
+                _name,
             )
         return self._axis0("mean", F.avg)
 
@@ -532,17 +537,10 @@ class DArray:
     def average(self, weights: Sequence[float] | None = None) -> DaskFrame:
         """Weighted per-row mean vs a literal weight vector
         (array/routines.py:2561 average); weights=None is the plain
-        mean, numpy's default."""
+        mean, numpy's default (delegates — one guarded reduction, not
+        two copies)."""
         if weights is None:
-            return self._reduce_rows(
-                lambda c: F.when(
-                    F.size(c) > 0,
-                    F.aggregate(
-                        c, F.lit(0.0), lambda acc, x: acc + x
-                    ) / F.size(c),
-                ),
-                "average",
-            )
+            return self.mean(axis=1, _name="average")
         from dask_spark.functions.vector import dot as vdot
 
         w = [float(x) for x in weights]

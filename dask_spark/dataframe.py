@@ -32,9 +32,11 @@ from dask_spark.sources import (  # noqa: F401
 )
 
 def get_dummies(frame, column, prefix=None, values=None,
-                max_categories: int = 1024):
-    """Module-level get_dummies (reference dask.dataframe.get_dummies)."""
-    return frame.get_dummies(column, prefix, values, max_categories)
+                max_categories: int = 1024, **kw):
+    """Module-level get_dummies (reference dask.dataframe.get_dummies);
+    full pandas kwarg depth passes through (prefix_sep/dummy_na/
+    drop_first/dtype/columns)."""
+    return frame.get_dummies(column, prefix, values, max_categories, **kw)
 
 
 def pivot_table(frame, index, columns, values, aggfunc: str = "mean"):

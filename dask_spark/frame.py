@@ -91,16 +91,17 @@ class StrAccessor:
 
     def split(self, pat: str = r"\s+", n: int = -1, expand: bool = False):
         """pandas str.split. ``n`` caps the number of splits (Spark's
-        split limit = n+1 parts, same contract as pandas). ``expand``
+        split limit = n+1 parts, same contract as pandas; pandas
+        treats n in (None, 0, -1) all as "all splits"). ``expand``
         returns a FRAME of n+1 element columns named 0..n (dask also
         requires n= with expand — the output schema must be static)."""
         if not expand:
-            limit = -1 if n is None or n < 0 else int(n) + 1
+            limit = -1 if n is None or n <= 0 else int(n) + 1
             return self._wrap(F.split(self._s._expr, pat, limit))
-        if n is None or n < 0:
+        if n is None or n < 1:
             raise ValueError(
-                "split(expand=True) requires n= (static output schema; "
-                "same contract as dask)"
+                "split(expand=True) requires n >= 1 (static output "
+                "schema; same contract as dask)"
             )
         arr = F.split(self._s._expr, pat, int(n) + 1)
         # try_element_at: rows with fewer parts fill with null (ANSI
@@ -1869,29 +1870,38 @@ class DaskFrame:
             if not keep_ties:
                 return DaskFrame(
                     counts.orderBy(F.col("__n").desc(),
-                                   F.col(column).asc())
+                                   F.col(column).asc_nulls_last())
                     .limit(1).select(column)
                 )
             mx = counts.agg(F.max("__n").alias("__mx"))
+            # nulls LAST: pandas places the NaN mode after every value
+            # (Spark's bare asc() is nulls-first)
             return DaskFrame(
                 counts.crossJoin(F.broadcast(mx))
                 .filter(F.col("__n") == F.col("__mx"))
                 .select(column)
-                .orderBy(F.col(column).asc())
+                .orderBy(F.col(column).asc_nulls_last())
             )
         import pandas as pd
+        from pyspark.sql import types as T
 
         per = {
-            c: self.mode(c, dropna=dropna).compute()[c].tolist()
+            c: self.mode(c, dropna=dropna, keep_ties=keep_ties)
+            .compute()[c].tolist()
             for c in self.columns
         }
         width = max((len(v) for v in per.values()), default=0)
         pdf = pd.DataFrame({
             c: v + [None] * (width - len(v)) for c, v in per.items()
         })
+        # null-padding must be legal: same names/types, nullable=True
+        schema = T.StructType([
+            T.StructField(f.name, f.dataType, True)
+            for f in self._sdf.schema.fields
+        ])
         spark = self._sdf.sparkSession
-        out = spark.createDataFrame(pdf, schema=self._sdf.schema) \
-            if width else spark.createDataFrame([], self._sdf.schema)
+        out = spark.createDataFrame(pdf, schema=schema) \
+            if width else spark.createDataFrame([], schema)
         return DaskFrame(out)
 
     def idxmin(self, value_col: str, id_col: str):
@@ -2374,15 +2384,19 @@ class DaskFrame:
     def get_dummies(self, column: str | Sequence[str],
                     prefix: str | None = None,
                     values: Sequence[str] | None = None,
-                    max_categories: int = 1024) -> "DaskFrame":
+                    max_categories: int = 1024, **kw) -> "DaskFrame":
+        """Delegates to operators.reshape.get_dummies — the full
+        pandas/dask kwarg depth (prefix_sep/dummy_na/drop_first/dtype/
+        columns) passes through; a list column is the columns= form."""
         from dask_spark.operators.reshape import get_dummies
 
         if isinstance(column, (list, tuple)):
-            out = self
-            for c in column:
-                out = get_dummies(out, c, None, None, max_categories)
-            return out
-        return get_dummies(self, column, prefix, values, max_categories)
+            return get_dummies(
+                self, columns=list(column),
+                max_categories=max_categories, **kw
+            )
+        return get_dummies(self, column, prefix, values,
+                           max_categories, **kw)
 
     def rolling(self, window: int | str, on: str,
                 by: str | Sequence[str] | None = None,

@@ -206,10 +206,12 @@ class GroupBy:
         out_sdf = out_sdf.select(*self._keys, *finals)
         if split_out is not None:
             out_sdf = out_sdf.repartition(split_out, *[F.col(k) for k in self._keys])
-        if getattr(self, "_sort_output", False):
+        elif getattr(self, "_sort_output", False):
             # groupby(sort=True): pandas sorts the output by the group
             # keys; the agg result is key-cardinality-sized, so the
-            # sort is cheap relative to the aggregation exchange
+            # sort is cheap relative to the aggregation exchange.
+            # split_out supersedes sort — an explicit output
+            # partitioning request would be destroyed by a global sort.
             out_sdf = out_sdf.orderBy(*self._keys)
         return DaskFrame(out_sdf)
 
@@ -268,7 +270,10 @@ class GroupBy:
                 if c not in self._keys
             ]
         exprs = [_AGGS[fn](c).alias(c) for c in cols]
-        return DaskFrame(self._frame._sdf.groupBy(*self._keys).agg(*exprs))
+        out = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
+        if getattr(self, "_sort_output", False):
+            out = out.orderBy(*self._keys)
+        return DaskFrame(out)
 
     def sum(self, cols=None):
         return self._simple("sum", cols)

@@ -184,7 +184,10 @@ def dsir_scores(corpus, target, text_col: str = "text",
     return DaskFrame(out)
 
 
-def _dsir_feats(sdf, text_col: str, id_col: str, B: int, word_hash: str):
+def _dsir_feat_expr(text_col: str, B: int, word_hash: str):
+    """Hashed-bucket feature array as a pure Column expression — no id
+    dependence, so histogram fitting works on frames that carry only
+    the text column."""
     from dask_spark.functions import md5_prefix60
 
     hfn = md5_prefix60 if word_hash == "md5" else F.xxhash64
@@ -192,21 +195,26 @@ def _dsir_feats(sdf, text_col: str, id_col: str, B: int, word_hash: str):
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda t: F.length(t) > 0,
     )
-    return sdf.select(
-        F.col(id_col),
-        F.transform(
-            toks, lambda t: F.pmod(hfn(t), F.lit(B)).cast("int")
-        ).alias("__feat"),
+    return F.transform(
+        toks, lambda t: F.pmod(hfn(t), F.lit(B)).cast("int")
     )
 
 
-def dsir_fit(target, raw, text_col: str = "text", id_col: str = "doc_id",
+def _dsir_feats(sdf, text_col: str, id_col: str, B: int, word_hash: str):
+    return sdf.select(
+        F.col(id_col),
+        _dsir_feat_expr(text_col, B, word_hash).alias("__feat"),
+    )
+
+
+def dsir_fit(target, raw, text_col: str = "text",
              n_buckets: int = 1024, alpha: float = 1.0,
              word_hash: str = "md5"):
     """Fit the DSIR log-ratio table from two STATIC frames: returns
     the length-``n_buckets`` list λ[b] = ln p_target(b) − ln p_raw(b)
     (add-``alpha`` smoothing) — a driver-bounded model artifact. Each
-    side is ONE map-side-combined ≤n_buckets-key histogram."""
+    side is ONE map-side-combined ≤n_buckets-key histogram over the
+    text column alone (no id column required)."""
     import math
 
     B = int(n_buckets)
@@ -214,8 +222,11 @@ def dsir_fit(target, raw, text_col: str = "text", id_col: str = "doc_id",
     def histogram(frame):
         sdf = frame._sdf if hasattr(frame, "_sdf") else frame
         counts = (
-            _dsir_feats(sdf, text_col, id_col, B, word_hash)
-            .select(F.explode("__feat").alias("b"))
+            sdf.select(
+                F.explode(
+                    _dsir_feat_expr(text_col, B, word_hash)
+                ).alias("b")
+            )
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()

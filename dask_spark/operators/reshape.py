@@ -105,10 +105,18 @@ def get_dummies(frame, column: str | Sequence[str] | None = None,
     todo = list(columns) if columns is not None else [column]
     if any(c is None for c in todo):
         raise ValueError("get_dummies needs column or columns")
+    if values is not None and columns is not None:
+        # a single category set cannot apply to several columns;
+        # silently re-running the distinct scan would defeat the
+        # point of passing values= — make the conflict loud
+        raise ValueError(
+            "get_dummies: values= applies to the single-column form; "
+            "with columns= the category set is discovered per column"
+        )
     cols = []
     for col in todo:
         vals = values
-        if vals is None or columns is not None:
+        if vals is None:
             vals = _distinct_guarded(sdf, col, max_categories,
                                      "get_dummies")
         vals = sorted(vals)

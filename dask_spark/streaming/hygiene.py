@@ -52,7 +52,7 @@ def dsir_score_stream(stream_sdf, target, raw_sample,
     from dask_spark.operators.mixing import _dsir_apply, dsir_fit
 
     lam = dsir_fit(
-        target, raw_sample, text_col=text_col, id_col=id_col,
+        target, raw_sample, text_col=text_col,
         n_buckets=n_buckets, alpha=alpha, word_hash=word_hash,
     )
     return _dsir_apply(
