@@ -1062,11 +1062,18 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "component")
+        # localCheckpoint, not persist: persist keeps the LOGICAL plan
+        # nesting one level per round, and a deep-diameter graph (many
+        # rounds) blows Catalyst analysis up until the driver OOMs
+        # just formatting the tree (observed at ~30 rounds on a
+        # 920-edge chain graph). Checkpointing truncates lineage the
+        # same way _cc_star already does; labels are id+component
+        # rows, so the materialization is tiny.
         new_labels = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         if numeric:
             new_sum = _label_sum(new_labels)
