@@ -884,6 +884,11 @@ def _cc_star(edges, max_iter: int = 50):
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        raise ValueError(
+            f"star components did not converge in max_iter={max_iter} "
+            "rounds — raise max_iter (rounds needed ≈ log2(diameter))"
+        )
     # converged: edges form stars (child -> root). Root nodes appear
     # only as dst; every node labels itself min(Γ⁺).
     sym = edges.unionByName(
@@ -1090,6 +1095,13 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         labels = new_labels
         if not changed:
             break
+    else:
+        edges.unpersist()
+        raise ValueError(
+            f"label components did not converge in max_iter={max_iter} "
+            "rounds (rounds needed ≈ component diameter) — raise "
+            "max_iter or use algorithm='star' (O(log diameter))"
+        )
     edges.unpersist()
     return DaskFrame(labels)
 

@@ -353,6 +353,31 @@ def test_connected_components_clusters(spark):
         connected_components(ds.from_pandas(pairs), algorithm="lable")
 
 
+def test_connected_components_deep_chain_and_convergence_guard(spark):
+    """A 120-node path graph (diameter 119): label propagation now
+    survives ~119 rounds (per-round lineage truncation — plan nesting
+    used to OOM the driver around round 30), and BOTH algorithms
+    raise instead of silently returning wrong components when
+    max_iter is too small."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.dedup import connected_components
+
+    n = 120
+    pairs = pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    f = ds.from_pandas(pairs)
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(f, max_iter=10, driver_edges=0).compute()
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(
+            f, max_iter=2, driver_edges=0, algorithm="star"
+        ).compute()
+    out = connected_components(f, max_iter=200, driver_edges=0).compute()
+    assert len(out) == n and out.component.nunique() == 1
+    assert set(out.component) == {0}
+
+
 def test_connected_components_fractional_and_null_ids(spark):
     """Two review-confirmed hazards: (a) fractional ids must not trip
     the decimal label-sum convergence shortcut (0.1..0.5 all round to
