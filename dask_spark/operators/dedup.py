@@ -1108,7 +1108,8 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
 def canonicalize(docs, pairs, id_col: str = "doc_id",
                  quality_col: str = "n_chars", id_a: str = "id_a",
-                 id_b: str = "id_b", algorithm: str = "label"):
+                 id_b: str = "id_b", algorithm: str = "label",
+                 max_iter: int = 50, driver_edges: int = 2_000_000):
     """Pick ONE keeper per near-dup component — the member with the
     highest ``quality_col`` (smallest id on ties) — the
     canonicalization step that turns verified near-dup pairs into an
@@ -1127,7 +1128,8 @@ def canonicalize(docs, pairs, id_col: str = "doc_id",
     from dask_spark.frame import DaskFrame
 
     comps = connected_components(
-        pairs, id_a, id_b, algorithm=algorithm
+        pairs, id_a, id_b, max_iter=max_iter, algorithm=algorithm,
+        driver_edges=driver_edges,
     )._sdf
     d = docs._sdf if isinstance(docs, DaskFrame) else docs
     labeled = d.join(
