@@ -951,8 +951,17 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     symmetrized edge list — each round is one shuffle join (labels ⋈
     edges) + a min aggregate, then a TINY count action for the
     convergence check; rounds ≈ component diameter, and near-dup
-    clusters are shallow (a handful of hops). Labels are persisted per
-    round so lineage stays bounded.
+    clusters are shallow (a handful of hops). Each round's labels are
+    lazily localCheckpointed so lineage stays bounded on deep graphs
+    (persist alone nests the logical plan one level per round —
+    ~30-round graphs OOMed the driver); the trade is that a lost
+    block mid-loop fails the job instead of recomputing, same as the
+    star path.
+
+    BOTH algorithms raise ValueError when ``max_iter`` rounds pass
+    without convergence — stale labels are wrong components, never
+    returned silently. Size rounds from the diameter: label needs
+    ≈ diameter rounds, star ≈ log2(diameter).
 
     algorithm="star": pointer-doubling via alternating large-star /
     small-star rounds (_cc_star) — O(log d) rounds, the scale path
@@ -1072,13 +1081,20 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         # rounds) blows Catalyst analysis up until the driver OOMs
         # just formatting the tree (observed at ~30 rounds on a
         # 920-edge chain graph). Checkpointing truncates lineage the
-        # same way _cc_star already does; labels are id+component
-        # rows, so the materialization is tiny.
+        # same way _cc_star already does. eager=False: the convergence
+        # action below materializes the round, keeping ONE job per
+        # round. Trade-offs, both deliberate: (a) truncated lineage
+        # cannot recompute a lost block — executor loss mid-loop fails
+        # the job instead of silently recomputing (same contract as
+        # _cc_star); (b) checkpoint blocks are released by the
+        # ContextCleaner/GC, not by the unpersist below (which only
+        # frees the round-1 persisted seed) — labels are id+component
+        # rows, so the lingering copies are tiny.
         new_labels = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if numeric:
             new_sum = _label_sum(new_labels)
