@@ -331,7 +331,11 @@ def _ref_dsir(corpus, target, B=64, alpha=1.0):
         acc = 0.0
         for b in sorted(bucket(tok) for tok in toks):
             acc = acc + lam[b]
-        out.append((len(toks), round(acc, 6) if toks else 0.0))
+        # UNROUNDED: the engine's final F.round follows Spark's
+        # shortest-decimal HALF_UP, which differs from python round()
+        # exactly at .xxxxx5 boundaries — the caller asserts the
+        # engine's rounded value is within half a 6dp unit of this
+        out.append((len(toks), acc if toks else 0.0))
     return out
 
 
@@ -363,4 +367,8 @@ def test_dsir_scores_match_bruteforce(spark, corpus, tsel):
     want = _ref_dsir(corpus, target, B=64)
     for i, (nt, lw) in enumerate(want):
         assert got.loc[i, "n_tokens"] == nt, (i, corpus)
-        assert abs(got.loc[i, "dsir_logweight"] - lw) < 1e-12, (i, corpus)
+        # engine value is round(lw, 6) under Spark's rounding rule —
+        # half a 6dp unit of slack covers the boundary cases where
+        # python round() and Spark's shortest-decimal HALF_UP differ
+        assert abs(got.loc[i, "dsir_logweight"] - lw) <= 5.001e-7, \
+            (i, corpus)
