@@ -871,9 +871,11 @@ def _cc_star(edges, max_iter: int = 50):
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        # eager=False: the signature aggregate below materializes the
+        # round — one driver job per round instead of two
         edges = _star_round(
             _star_round(edges, large=True), large=False
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # bit_xor: order-insensitive, overflow-free (ANSI sum over 64-bit
         # hashes throws); edge set is distinct so XOR cancellation is safe
         sig = tuple(
