@@ -115,6 +115,151 @@ def _assign_kernel(cents: Sequence[Sequence[float]], dim: int,
     return schema, kernel
 
 
+def _pq_kernel(books, dsub: int, m: int, id_col: str, id_dt: str,
+               out_cols: Sequence[str]):
+    """(schema, mapInPandas generator) for per-subspace nearest-code
+    assignment — the product-quantization twin of ``_assign_kernel``.
+
+    Same arithmetic contract (the DuckDB oracle replays it
+    bit-for-bit), applied independently to each dsub-wide slice of
+    the vector: for subspace s the distance to code c is
+    (vv_s - 2.0*vc_sc) + cc_sc with strictly left-to-right
+    accumulation, code = first index of the minimum. Training mode
+    (out_cols = partials) combines map-side INSIDE the kernel so the
+    update exchange carries ≤ m·ks·dsub scalars per batch."""
+    import numpy as np
+    import pandas as pd
+
+    B = [[[float(x) for x in c] for c in book] for book in books]
+    ccs = []
+    for book in B:
+        row = []
+        for c in book:
+            cc = 0.0
+            for x in c:  # driver-side, same L2R order as the SQL sum
+                cc = cc + x * x
+            row.append(cc)
+        ccs.append(row)
+    ks = len(B[0])
+    partials = tuple(out_cols) == ("s", "code", "dim", "sm", "n")
+    types = {id_col: id_dt, "codes": "array<int>", "s": "int",
+             "code": "int", "dim": "int", "sm": "double", "n": "bigint"}
+    schema = ", ".join(f"{c} {types[c]}" for c in out_cols)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["__v"]]
+            )
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                vv = Vs[:, 0] * Vs[:, 0]
+                for i in range(1, dsub):  # ordered accumulation
+                    vv = vv + Vs[:, i] * Vs[:, i]
+                D = np.empty((len(pdf), ks), dtype="float64")
+                for ci in range(ks):
+                    c = B[s][ci]
+                    vc = np.zeros(len(pdf), dtype="float64")
+                    for i in range(dsub):
+                        vc = vc + Vs[:, i] * c[i]
+                    D[:, ci] = (vv - 2.0 * vc) + ccs[s][ci]
+                codes[:, s] = D.argmin(axis=1)  # first minimum
+            if partials:
+                rows = {"s": [], "code": [], "dim": [], "sm": [], "n": []}
+                for s in range(m):
+                    Vs = V[:, s * dsub:(s + 1) * dsub]
+                    cl = codes[:, s]
+                    for ci in np.unique(cl):
+                        M = Vs[cl == ci]
+                        cnt = M.shape[0]
+                        for i in range(dsub):
+                            rows["s"].append(s)
+                            rows["code"].append(int(ci))
+                            rows["dim"].append(i)
+                            rows["sm"].append(float(M[:, i].sum()))
+                            rows["n"].append(cnt)
+                yield pd.DataFrame(rows)
+                continue
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return schema, kernel
+
+
+def pq_codebooks(frame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", m: int = 4, ks: int = 4,
+                 iters: int = 1):
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", TPAMI — public): split
+    the dim axis into m contiguous dsub-wide subspaces and train an
+    independent ks-centroid Lloyd's codebook per subspace.
+
+    ONE pass per iteration trains ALL m books simultaneously (the
+    naive form scans the corpus m times); the update exchange carries
+    ≤ m·ks·dsub partial scalars per batch — the tensor never
+    shuffles, exactly the kmeans() shape. Deterministic init: the
+    subvectors of the ks lowest ids (same rows for every subspace).
+    Returns books[m][ks][dsub] with 9-dp-rounded means so the DuckDB
+    oracle's per-subspace averaging order cannot drift."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    row = sdf.select(vec_col).first()
+    if row is None:
+        raise ValueError("pq_codebooks on an empty frame")
+    dim = len(row[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    init = (
+        sdf.orderBy(id_col).limit(ks)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if len(init) < ks:
+        raise ValueError(f"only {len(init)} rows for ks={ks}")
+    books = [
+        [[float(x) for x in r[0][s * dsub:(s + 1) * dsub]] for r in init]
+        for s in range(m)
+    ]
+
+    base = sdf.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    id_dt = dict(base.dtypes)[id_col]
+    for _ in range(iters):
+        schema, kernel = _pq_kernel(books, dsub, m, id_col, id_dt,
+                                    ("s", "code", "dim", "sm", "n"))
+        per = (
+            base.mapInPandas(kernel, schema=schema)
+            .groupBy("s", "code", "dim")
+            .agg(F.round(F.sum("sm") / F.sum("n"), 9).alias("mv"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]  # empty: keep
+        for r in per:
+            new[r["s"]][r["code"]][r["dim"]] = float(r["mv"])
+        books = new
+    return books
+
+
+def pq_encode(frame, books, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Encode each vector to its m nearest-code ids (array<int>) —
+    map-only; the m·log2(ks)-bit code replaces the 4·dim-byte vector
+    (the 4-32x index-compression step PQ exists for)."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    m = len(books)
+    dsub = len(books[0][0])
+    base = sdf.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    id_dt = dict(base.dtypes)[id_col]
+    schema, kernel = _pq_kernel(books, dsub, m, id_col, id_dt,
+                                (id_col, "codes"))
+    return DaskFrame(base.mapInPandas(kernel, schema=schema))
+
+
 def kmeans(frame, vec_col: str = "embedding", id_col: str = "vec_id",
            k: int = 8, iters: int = 3):
     """Returns (assignments DaskFrame(id, cluster), centroids list).

@@ -159,6 +159,67 @@ def ivf_topk(frame, query: Sequence[float], k: int = 10, n_probe: int = 4,
     return DaskFrame(scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
+def pq_topk(frame, query: Sequence[float], k: int = 10, m: int = 4,
+            ks: int = 4, iters: int = 1, vec_col: str = "embedding",
+            id_col: str = "vec_id", books=None):
+    """Product-quantization ANN (Jégou et al. 2011 TPAMI):
+    asymmetric-distance (ADC) top-k via per-subspace codebooks.
+
+    100 TB shape:
+    - training: one pass per Lloyd's iteration trains all m subspace
+      books at once; the update exchange carries ≤ m·ks·dsub scalars
+      per batch (operators/cluster.py pq_codebooks);
+    - encode: map-only — the m-code array (m·log2(ks) bits) replaces
+      the 4·dim-byte vector, the 4-32x index compression PQ buys;
+    - scoring: the per-query distance table (m·ks doubles) is a
+      DRIVER literal computed with the same left-to-right chain the
+      kernels use; adc = an unrolled codegen sum of m element_at
+      lookups (no HOF, stays whole-stage codegen) + TakeOrdered(k).
+      The corpus never shuffles; per-query state is m·ks doubles.
+
+    Deterministic end to end — the DuckDB oracle replays training,
+    code assignment, table arithmetic, and the ordered ADC fold
+    bit-for-bit (queries.py ann_pq)."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.cluster import pq_codebooks, pq_encode
+
+    if books is None:
+        books = pq_codebooks(frame, vec_col, id_col, m, ks, iters)
+    m = len(books)
+    ks = len(books[0])
+    dsub = len(books[0][0])
+    # per-query ADC table: tbl[s*ks + c] = |q_s - book[s][c]|^2 with
+    # the kernels' exact accumulation order (qq from q0*q0; qc and cc
+    # folded from 0.0 — adding 0.0 is exact, so both starts match
+    # DuckDB's list_dot_product fold)
+    tbl = []
+    for s in range(m):
+        qs = [float(x) for x in query[s * dsub:(s + 1) * dsub]]
+        qq = qs[0] * qs[0]
+        for i in range(1, dsub):
+            qq = qq + qs[i] * qs[i]
+        for c in books[s]:
+            qc = 0.0
+            for a, b in zip(qs, c):
+                qc = qc + a * b
+            cc = 0.0
+            for x in c:
+                cc = cc + x * x
+            tbl.append((qq - 2.0 * qc) + cc)
+
+    enc = pq_encode(frame, books, vec_col, id_col)._sdf
+    t = F.array(*[F.lit(float(x)) for x in tbl])
+    adc = F.lit(0.0)
+    for s in range(m):  # unrolled ordered fold — pure codegen
+        adc = adc + F.element_at(
+            t, F.lit(s * ks) + F.element_at(F.col("codes"), s + 1) + 1
+        )
+    scored = enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+    return DaskFrame(
+        scored.orderBy(F.col("adc").asc(), F.col(id_col)).limit(k)
+    )
+
+
 def brute_force_topk_batch(frame, queries, k: int = 10,
                            vec_col: str = "embedding", id_col: str = "vec_id",
                            query_id_col: str = "query_id"):

@@ -6086,6 +6086,111 @@ def ann_ivf_checked(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
 
 
+def _pq_cte(m: int, ks: int, iters: int, dim: int = 64):
+    """Per-subspace Lloyd's replay for product quantization — the
+    _kmeans_cte shape applied independently to each dsub-wide slice
+    v[lo+1 : lo+dsub] (DuckDB list slices are 1-based inclusive).
+    Ends defining s{s}aF(vec_id, c) per subspace and s{s}c{iters}
+    (the trained codebook)."""
+    dsub = dim // m
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ]
+    for s in range(m):
+        lo = s * dsub
+        parts.append(
+            f",s{s}v AS (SELECT vec_id, v[{lo + 1}:{lo + dsub}] AS sv FROM v)"
+        )
+        parts.append(f""",s{s}c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv AS cv
+          FROM (SELECT vec_id, sv FROM s{s}v ORDER BY vec_id LIMIT {ks})
+        )""")
+        dist = (
+            "(list_dot_product(x.sv, x.sv)"
+            " - 2 * list_dot_product(x.sv, cp.cv))"
+            " + list_dot_product(cp.cv, cp.cv)"
+        )
+        for it in range(iters):
+            parts.append(f""",s{s}a{it} AS (
+              SELECT vec_id, sv, c FROM (
+                SELECT x.vec_id, x.sv, cp.c,
+                       row_number() OVER (PARTITION BY x.vec_id
+                                          ORDER BY {dist}, cp.c) AS rn
+                FROM s{s}v x CROSS JOIN s{s}c{it} cp
+              ) WHERE rn = 1
+            ),s{s}m{it} AS (
+              SELECT c, dim, round(avg(x), 9) AS mv FROM (
+                SELECT c, unnest(sv) AS x,
+                       unnest(range(len(sv))) AS dim
+                FROM s{s}a{it}
+              ) GROUP BY c, dim
+            ),s{s}c{it + 1} AS (
+              SELECT prev.c, COALESCE(n.cv, prev.cv) AS cv
+              FROM s{s}c{it} prev
+              LEFT JOIN (
+                SELECT c, list(mv ORDER BY dim) AS cv
+                FROM s{s}m{it} GROUP BY c
+              ) n ON n.c = prev.c
+            )""")
+        parts.append(f""",s{s}aF AS (
+          SELECT vec_id, c FROM (
+            SELECT x.vec_id, cp.c,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {dist}, cp.c) AS rn
+            FROM s{s}v x CROSS JOIN s{s}c{iters} cp
+          ) WHERE rn = 1
+        )""")
+    return "\n".join(parts), dsub
+
+
+def _ann_pq_oracle(m: int = 4, ks: int = 4, iters: int = 1,
+                   k: int = 10) -> str:
+    cte, dsub = _pq_cte(m, ks, iters)
+    tbls, joins = [], []
+    adc = "0.0"
+    for s in range(m):
+        qs = ", ".join(
+            repr(float(x)) for x in QUERY_VEC[s * dsub:(s + 1) * dsub]
+        )
+        tbls.append(f""",q{s} AS (SELECT [{qs}]::DOUBLE[] AS qv)
+        ,tbl{s} AS (
+          SELECT c, (list_dot_product(qv, qv)
+                     - 2 * list_dot_product(qv, cv))
+                    + list_dot_product(cv, cv) AS d
+          FROM s{s}c{iters}, q{s}
+        )""")
+        joins.append(
+            f"JOIN s{s}aF ON s{s}aF.vec_id = v.vec_id "
+            f"JOIN tbl{s} t{s} ON t{s}.c = s{s}aF.c"
+        )
+        adc = f"({adc} + t{s}.d)"
+    return (
+        cte + "".join(tbls)
+        + f"""
+    SELECT v.vec_id, round({adc}, 6) AS adc
+    FROM v {' '.join(joins)}
+    ORDER BY adc, v.vec_id LIMIT {k}
+    """
+    )
+
+
+@q("ann_pq", _ann_pq_oracle())
+def ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): 4 subspaces x 4
+    codes trained by one multi-subspace Lloyd's pass, vectors encoded
+    to 4-code arrays (map-only), asymmetric-distance scoring via a
+    driver-literal m*ks table with an unrolled codegen fold,
+    TakeOrdered top-k. The oracle replays training, per-subspace code
+    assignment, the table arithmetic, and the ordered ADC sum
+    bit-for-bit (operators/similarity.py pq_topk)."""
+    from dask_spark.operators.similarity import pq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, QUERY_VEC, k=10, m=4, ks=4, iters=1
+    ).to_spark().orderBy("adc", "vec_id")
+
+
 @q(
     "text_span_dedup",
     r"""

@@ -1103,6 +1103,93 @@ def test_kmeans_numpy_replay_parity(spark, tables):
     assert np.allclose(np.array(cents), C, atol=1e-9)
 
 
+def test_pq_numpy_replay_parity(spark, tables):
+    """Product-quantization train/encode/score (cluster.py
+    pq_codebooks/pq_encode, similarity.py pq_topk) vs a literal numpy
+    replay — codebooks, codes, and 6-dp ADC distances must agree
+    exactly; top-k ordering included."""
+    import numpy as np
+
+    from dask_spark.operators.cluster import pq_codebooks, pq_encode
+    from dask_spark.operators.similarity import pq_topk
+
+    m, ks, dsub = 4, 4, 16
+    query = [((i * 37 + 11) % 64) / 64.0 - 0.5 for i in range(64)]
+    e = tables["embeddings"]
+    books = pq_codebooks(e, "embedding", "vec_id", m=m, ks=ks, iters=2)
+    enc = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(e, books).to_spark().collect()
+    }
+    top = pq_topk(e, query, k=10, books=books).to_spark().collect()
+
+    rows = (
+        e.to_spark()
+        .selectExpr("vec_id", "cast(embedding as array<double>) v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["v"] for r in rows])
+    B = np.stack([X[:ks, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    def assign(B):
+        codes = np.empty((len(X), m), dtype=int)
+        for s in range(m):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            d = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d.argmin(axis=1)  # first minimum
+        return codes
+
+    for _ in range(2):
+        a = assign(B)
+        for s in range(m):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            for c in range(ks):
+                if (a[:, s] == c).any():
+                    B[s][c] = np.round(Xs[a[:, s] == c].mean(axis=0), 9)
+    codes = assign(B)
+    assert np.allclose(np.array(books), B, atol=1e-9)
+    exp = dict(zip(ids, codes.tolist()))
+    mismatch = [i for i in ids if enc[i] != exp[i]]
+    assert not mismatch, mismatch[:5]
+
+    q = np.asarray(query)
+    tbl = np.stack([
+        ((q[s * dsub:(s + 1) * dsub][None, :] - B[s]) ** 2).sum(axis=1)
+        for s in range(m)
+    ])
+    adc = {
+        i: round(sum(tbl[s][exp[i][s]] for s in range(m)), 6) for i in ids
+    }
+    order = sorted(ids, key=lambda i: (adc[i], i))[:10]
+    assert [r["vec_id"] for r in top] == order
+    for r in top:
+        assert abs(r["adc"] - adc[r["vec_id"]]) < 1e-9, r
+
+
+def test_pq_guards_and_plan(spark, tables):
+    import pytest as _pt
+
+    from dask_spark.operators.cluster import pq_codebooks, pq_encode
+
+    e = tables["embeddings"]
+    with _pt.raises(ValueError):
+        pq_codebooks(e, m=7)  # 64 % 7 != 0
+    with _pt.raises(ValueError):
+        pq_codebooks(e.head_frame(2), ks=8)
+    books = pq_codebooks(e, m=4, ks=4, iters=1)
+    assert len(books) == 4 and len(books[0]) == 4
+    assert len(books[0][0]) == 16
+    plan = (
+        pq_encode(e, books).to_spark()
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    # encode is MAP-ONLY: books ride as closure literals
+    assert "Join" not in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
+
+
 def test_kmeans_guards_and_plan(spark, tables):
     import pytest as _pt
 
