@@ -6395,6 +6395,60 @@ def dedup_substring_keep1(spark, sf_dir):
 
 
 @q(
+    "text_cms_heavy",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> length(w) > 0) AS arr
+      FROM documents
+    ), t AS (
+      SELECT unnest(arr) AS term FROM toks
+    ), h AS (
+      SELECT term,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS h1,
+             ((('0x' || substr(md5(term), 16, 15))::BIGINT) | 1)
+               % 1024 AS h2
+      FROM t
+    ), cells AS (
+      SELECT j, (h1 + j * h2) % 1024 AS col, count(*) AS ccnt
+      FROM h CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+      GROUP BY j, col
+    ), dist AS (
+      SELECT term, count(*) AS cnt, min(h1) AS h1, min(h2) AS h2
+      FROM h GROUP BY term
+    ), probe AS (
+      SELECT d.term, d.cnt, min(c.ccnt) AS est
+      FROM dist d
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS jj) js
+      JOIN cells c ON c.j = js.jj
+                  AND c.col = (d.h1 + js.jj * d.h2) % 1024
+      GROUP BY d.term, d.cnt
+    )
+    SELECT term, est::BIGINT AS est, cnt::BIGINT AS cnt
+    FROM probe WHERE est >= 40
+    ORDER BY est DESC, term
+    """,
+)
+def text_cms_heavy(spark, sf_dir):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    the sketch build's exchange is bounded by depth*width cells (the
+    token stream never shuffles on term), the probe is map-only
+    against the collected table shipped as ONE array literal, and the
+    est >= threshold filter runs BEFORE any term-keyed exchange — so
+    exact counts ride along for free on the surviving candidate set.
+    K-M double hashing shared with the bloom filter; md5 mode lets
+    the oracle replay every cell, every min-estimate, and the
+    one-sided-error false positives (operators/sketch.py
+    cms_heavy_hitters)."""
+    from dask_spark.operators.sketch import cms_heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    return cms_heavy_hitters(
+        d, "text", min_count=40, depth=3, width=1024, hash_kind="md5"
+    ).to_spark()
+
+
+@q(
     "contamination_bloom",
     r"""
     WITH t AS (

@@ -1103,6 +1103,63 @@ def test_kmeans_numpy_replay_parity(spark, tables):
     assert np.allclose(np.array(cents), C, atol=1e-9)
 
 
+def test_cms_overestimates_and_superset(spark, tables):
+    """CMS one-sided error contract: est(t) >= true count for EVERY
+    term, and heavy_hitters is a superset of the true >= min_count
+    set; the exact cnt column matches a straight wordcount. Both
+    hash kinds."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import word_tokens
+    from dask_spark.operators.sketch import cms_counts, cms_heavy_hitters
+
+    d = tables["documents"]
+    truth = {
+        r["term"]: r["cnt"]
+        for r in d.to_spark()
+        .select(F.explode(word_tokens(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("cnt")).collect()
+    }
+    for hk in ("md5", "xxhash64"):
+        # narrow width forces collisions — the contract must hold
+        got = {
+            r["term"]: (r["est"], r["cnt"])
+            for r in cms_heavy_hitters(
+                d, min_count=20, depth=3, width=64, hash_kind=hk
+            ).to_spark().collect()
+        }
+        for t, (est, cnt) in got.items():
+            assert cnt == truth[t], (hk, t)
+            assert est >= cnt, (hk, t, est, cnt)
+        heavy = {t for t, c in truth.items() if c >= 20}
+        assert heavy <= set(got), (hk, heavy - set(got))
+        flat = cms_counts(d, depth=3, width=64, hash_kind=hk)
+        # total mass per sketch row == total token count
+        n_tokens = sum(truth.values())
+        for j in range(3):
+            assert sum(flat[j * 64:(j + 1) * 64]) == n_tokens, (hk, j)
+
+
+def test_cms_probe_plan_map_only(spark, tables):
+    """The probe/filter side ships the sketch as a literal — scan ->
+    project/filter with no join; the only exchange is the candidate
+    groupBy."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sketch import cms_counts, cms_estimate
+    from dask_spark.functions.text import word_tokens
+
+    d = tables["documents"]
+    flat = cms_counts(d, depth=3, width=64)
+    probe = d.to_spark().select(
+        F.explode(word_tokens(F.col("text"))).alias("term")
+    ).select(cms_estimate(F.col("term"), flat, depth=3, width=64)
+             .alias("est"))
+    plan = probe._jdf.queryExecution().sparkPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]
+
+
 def test_pq_numpy_replay_parity(spark, tables):
     """Product-quantization train/encode/score (cluster.py
     pq_codebooks/pq_encode, similarity.py pq_topk) vs a literal numpy
