@@ -6395,6 +6395,66 @@ def dedup_substring_keep1(spark, sf_dir):
 
 
 @q(
+    "text_bpe_pairs",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> length(w) > 0) AS arr
+      FROM documents
+    ), t AS (
+      SELECT unnest(arr) AS word FROM toks
+    ), wc AS (
+      SELECT word, count(*) AS freq FROM t GROUP BY word
+    ), sym AS (
+      SELECT freq,
+             list_append([substr(word, i + 1, 1)
+                          for i in range(length(word))], '</w>') AS s
+      FROM wc
+    ), pairs AS (
+      SELECT freq,
+             unnest([s[i + 1] || ' ' || s[i + 2]
+                     for i in range(len(s) - 1)]) AS pair
+      FROM sym
+    )
+    SELECT pair, sum(freq)::BIGINT AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """BPE induction, iteration-1 pair statistics (Sennrich et al.
+    2016): corpus wordcount (the one corpus-sized exchange) ->
+    char+'</w>' symbol arrays -> adjacent pairs built in-row
+    (zip_with of two slices) -> weighted map-side-combined
+    groupBy(pair) -> TakeOrdered(20). Pure JVM expressions end to
+    end; the oracle replays tokenization, symbolization, pairing,
+    and the weighted counts (operators/bpe.py pair_stats)."""
+    from dask_spark.operators.bpe import pair_stats
+
+    d = load(spark, sf_dir, "documents")
+    return pair_stats(d, "text", top=20).to_spark()
+
+
+@q("text_bpe_merges", None)
+def text_bpe_merges(spark, sf_dir):
+    """Full BPE merge loop (6 ranks): per-iteration weighted pair
+    counts over the persisted word-type table with merges-so-far
+    applied by an Arrow kernel (driver merge state, independent jobs
+    — no lineage growth), TakeOrdered(1) winner per rank. Greedy
+    left-to-right merge application is not ANSI-SQL-expressible, so
+    this is rows-only; the literal python replay parity test pins
+    every rank (tests/test_llm_ops.py
+    test_bpe_learn_python_replay_parity)."""
+    from dask_spark.operators.bpe import bpe_learn
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_learn(d, "text", n_merges=6)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, freq bigint"
+    ).orderBy("rank")
+
+
+@q(
     "text_cms_heavy",
     r"""
     WITH toks AS (

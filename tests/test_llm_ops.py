@@ -1103,6 +1103,55 @@ def test_kmeans_numpy_replay_parity(spark, tables):
     assert np.allclose(np.array(cents), C, atol=1e-9)
 
 
+def test_bpe_learn_python_replay_parity(spark, tables):
+    """bpe_learn (operators/bpe.py) vs a literal python replay of
+    Sennrich et al.'s algorithm (wordcount -> weighted pair counts
+    -> greedy merge, ties to lexicographically-first pair) — every
+    rank's (left, right, freq) must agree exactly."""
+    from collections import Counter
+
+    from dask_spark.operators.bpe import apply_merges, bpe_learn
+
+    d = tables["documents"]
+    got = bpe_learn(d, "text", n_merges=6)
+
+    wc = Counter()
+    for r in d.to_spark().select("text").collect():
+        for w in r["text"].lower().split():
+            if w:
+                wc[w] += 1
+    merges = []
+    exp = []
+    for rank in range(6):
+        pc = Counter()
+        for w, f in wc.items():
+            syms = apply_merges(list(w) + ["</w>"], merges)
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        if best[1] < 2:
+            break
+        merges.append(best[0])
+        exp.append((rank, best[0][0], best[0][1], best[1]))
+    assert got == exp, (got[:3], exp[:3])
+
+
+def test_bpe_apply_merges_greedy_contract(spark):
+    """Merge application: leftmost-first, non-overlapping, ranks in
+    order; a merged token participates in later ranks."""
+    from dask_spark.operators.bpe import apply_merges
+
+    # aaa + (a,a) -> [aa, a]: greedy non-overlapping from the left
+    assert apply_merges(list("aaa"), [("a", "a")]) == ["aa", "a"]
+    assert apply_merges(list("aaaa"), [("a", "a")]) == ["aa", "aa"]
+    # rank order: (a,a) then (aa,a) chains
+    assert apply_merges(list("aaa"), [("a", "a"), ("aa", "a")]) == ["aaa"]
+    # marker participates
+    assert apply_merges(["h", "i", "</w>"], [("i", "</w>")]) == ["h", "i</w>"]
+
+
 def test_cms_overestimates_and_superset(spark, tables):
     """CMS one-sided error contract: est(t) >= true count for EVERY
     term, and heavy_hitters is a superset of the true >= min_count
