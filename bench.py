@@ -65,6 +65,10 @@ HEADLINE = [
     "dedup_substring",    # ExactSubstr window scrub: stride-1 windows
     "dedup_clusters_star",  # forced-DISTRIBUTED pointer-doubling CC
     "corpus_dsir",        # DSIR importance scoring: 2 histograms + map
+    # round-10 additions (compare per-query across rounds, not totals)
+    "ann_pq",             # product quantization: train + encode + ADC
+    "text_cms_heavy",     # count-min sketch build + map-side probe
+    "text_bpe_pairs",     # BPE iteration-1 weighted pair counts
 ]
 
 

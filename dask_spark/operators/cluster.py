@@ -260,6 +260,68 @@ def pq_encode(frame, books, vec_col: str = "embedding",
     return DaskFrame(base.mapInPandas(kernel, schema=schema))
 
 
+def pca_fit(frame, vec_col: str = "embedding", n_components: int = 2,
+            ddof: int = 1):
+    """PCA of an embedding column — the dimensionality-reduction
+    preprocessing step ahead of semantic dedup / clustering (public
+    shape: sklearn PCA / dask-ml's tsqr-backed variant).
+
+    One shuffle-free Gram pass (per-partition XᵀX blocks + column
+    sums to the driver — d²+d doubles per partition, the n×d data
+    never moves; array.py DArray.gram) → driver covariance + eigh.
+    Deterministic output: eigenvalues sorted descending with index
+    tie-break, each component's largest-|entry| made positive (the
+    tsqr sign-fix contract).
+
+    Returns (components[p][d], mean[d], explained_var[p])."""
+    import numpy as np
+
+    from dask_spark.array import DArray
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    arr = DArray(
+        sdf.select(F.col(vec_col).cast("array<double>").alias("__v")),
+        "__v",
+    )
+    G, sums, n = arr.gram()
+    if n - ddof <= 0:
+        raise ValueError("need more rows than ddof for pca_fit")
+    mu = sums / n
+    cov = (G - n * np.outer(mu, mu)) / (n - ddof)
+    w, V = np.linalg.eigh(cov)  # ascending, orthonormal
+    order = np.argsort(-w, kind="stable")[:n_components]
+    comps = V[:, order].T.copy()
+    for i in range(len(comps)):  # sign-fix: largest-|x| entry positive
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return comps.tolist(), mu.tolist(), w[order].tolist()
+
+
+def pca_project(frame, components, mean, vec_col: str = "embedding",
+                id_col: str = "vec_id", round_dp: int | None = 6):
+    """Map-only projection onto fitted components: for component c,
+    score = v·c − μ·c with the dim-unrolled double dot (μ·c folded
+    driver-side) — pure codegen, zero shuffle, zero Python. Returns
+    DaskFrame(id, pc0..pc{p-1})."""
+    from dask_spark.functions.vector import dot as v_dot
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    dim = len(mean)
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for p, c in enumerate(components):
+        mc = 0.0
+        for a, b in zip(mean, c):  # driver L2R, matches the test replay
+            mc = mc + float(a) * float(b)
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        proj = v_dot(v, clit, dim) - F.lit(mc)
+        if round_dp is not None:
+            proj = F.round(proj, round_dp)
+        cols.append(proj.alias(f"pc{p}"))
+    return DaskFrame(sdf.select(*cols))
+
+
 def kmeans(frame, vec_col: str = "embedding", id_col: str = "vec_id",
            k: int = 8, iters: int = 3):
     """Returns (assignments DaskFrame(id, cluster), centroids list).

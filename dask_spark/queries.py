@@ -6191,6 +6191,25 @@ def ann_pq(spark, sf_dir):
     ).to_spark().orderBy("adc", "vec_id")
 
 
+@q("embed_pca", None)
+def embed_pca(spark, sf_dir):
+    """PCA projection of the embedding corpus onto its top-2
+    principal components — dimensionality reduction ahead of
+    semantic dedup/clustering. Fit = ONE shuffle-free Gram pass
+    (d²+d doubles per partition to the driver) + driver eigh with
+    deterministic ordering and sign; projection = map-only unrolled
+    double dots. Eigendecomposition is not ANSI-SQL-expressible →
+    rows-only; the numpy-parity pytest pins fit AND projection
+    (operators/cluster.py pca_fit/pca_project)."""
+    from dask_spark.operators.cluster import pca_fit, pca_project
+
+    e = load(spark, sf_dir, "embeddings")
+    comps, mu, _ = pca_fit(e, "embedding", n_components=2)
+    return pca_project(
+        e, comps, mu, "embedding", "vec_id"
+    ).to_spark().orderBy("vec_id")
+
+
 @q(
     "text_span_dedup",
     r"""

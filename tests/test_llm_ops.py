@@ -1103,6 +1103,48 @@ def test_kmeans_numpy_replay_parity(spark, tables):
     assert np.allclose(np.array(cents), C, atol=1e-9)
 
 
+def test_pca_numpy_parity(spark, tables):
+    """pca_fit/pca_project (operators/cluster.py) vs numpy: cov eigh
+    on the collected matrix, same descending order and sign-fix —
+    components, explained variance, and per-row projections must
+    agree to float tolerance; projection plan is map-only."""
+    import numpy as np
+
+    from dask_spark.operators.cluster import pca_fit, pca_project
+
+    e = tables["embeddings"]
+    comps, mu, ev = pca_fit(e, "embedding", n_components=3)
+    rows = (
+        e.to_spark()
+        .selectExpr("vec_id", "cast(embedding as array<double>) v")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows])
+    C = np.cov(X, rowvar=False, ddof=1)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(-w, kind="stable")[:3]
+    EC = V[:, order].T.copy()
+    for i in range(3):
+        j = int(np.argmax(np.abs(EC[i])))
+        if EC[i][j] < 0:
+            EC[i] = -EC[i]
+    assert np.allclose(np.array(mu), X.mean(axis=0), atol=1e-9)
+    assert np.allclose(np.array(ev), w[order], atol=1e-8)
+    assert np.allclose(np.array(comps), EC, atol=1e-7)
+
+    proj = pca_project(e, comps, mu, round_dp=None).to_spark()
+    plan = proj._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan[:800]
+    got = {r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"])
+           for r in proj.collect()}
+    P = (X - X.mean(axis=0)) @ np.array(comps).T
+    for i, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], P[i], atol=1e-6), i
+    # variance captured by pc0 should dominate any single input dim
+    assert ev[0] >= C.diagonal().max() - 1e-9
+
+
 def test_bpe_learn_python_replay_parity(spark, tables):
     """bpe_learn (operators/bpe.py) vs a literal python replay of
     Sennrich et al.'s algorithm (wordcount -> weighted pair counts
