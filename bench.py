@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_pq",             # product quantization: train + encode + ADC
     "text_cms_heavy",     # count-min sketch build + map-side probe
     "text_bpe_pairs",     # BPE iteration-1 weighted pair counts
+    "reduce_hll_distinct",  # portable HLL: 2^p-bounded register exchange
 ]
 
 

@@ -1,12 +1,17 @@
-"""Count-min sketch frequency estimation over token streams — the
-heavy-hitter / frequency-lookup primitive a 100 TB corpus pipeline
-needs when a term-keyed groupBy over every token type is the
-bottleneck (Cormode & Muthukrishnan 2005, "An improved data stream
-summary: the count-min sketch and its applications" — public).
+"""Bounded-state sketches over distributed data: count-min frequency
+estimation (Cormode & Muthukrishnan 2005, "An improved data stream
+summary: the count-min sketch and its applications" — public) and
+HyperLogLog distinct counting (Flajolet, Fusy, Gandouet, Meunier
+2007, "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm" — public).
 
-Reference scope: dask has no sketch operator; its approximate
-reductions (hyperloglog nunique, partition quantiles) set the
-pattern — a bounded-state summary replacing an exact shuffle.
+Reference scope: dask's approximate reductions set the pattern — a
+bounded-state summary replacing an exact shuffle. nunique_approx is
+HLL-backed in dask (dask/dataframe/hyperloglog.py: per-chunk 2^b
+register arrays reduced by elementwise max); the repo's frame-level
+nunique_approx delegates to Spark's native approx_count_distinct,
+while hll_count_distinct below is the engine-PORTABLE variant whose
+md5 mode the DuckDB oracle replays register-for-register.
 
 100 TB shape:
 - BUILD: each token contributes ``depth`` (row, col) cell increments;
@@ -227,5 +232,119 @@ def cms_heavy_hitters(frame, text_col: str = "text",
         )
         .filter(F.col("est") >= int(min_count))
         .orderBy(F.col("est").desc(), F.col("term"))
+    )
+    return DaskFrame(out)
+
+
+# ------------------------------ HyperLogLog ------------------------------
+#
+# 100 TB shape (same bill as the CMS build): one digest per row at the
+# scan, groupBy on the 2^p register ids with map-side combine, so the
+# exchange carries <= 2^p (register, max_rho) pairs per partition
+# regardless of input size; the estimator runs over the <= 2^p-row
+# register table. The register MERGE is elementwise max — exactly the
+# per-chunk reduce dask's hyperloglog.py performs — which Spark's
+# partial max aggregation gives for free.
+#
+# Determinism across engines (md5 mode): rho uses INTEGER bit-length
+# (length of the base-2 string — Spark conv(w,10,2), DuckDB bin(w)),
+# never floating log2, and the harmonic sum is computed in SCALED
+# INTEGER arithmetic: sum(2^(52 - M_j)) as int64 (exact, order-free)
+# with one final double division — so the estimate is bit-identical
+# in Spark and DuckDB and ROUND(est, 6) hash-matches.
+
+_HLL_BITS = 60  # md5 mode: 15 hex chars -> 60-bit nonnegative int64
+_HLL_SCALE = 52  # 2^(52 - rho) stays integral for rho <= 52 = wp+1 max
+
+
+def _hll_hash(value: Column, hash_kind: str) -> Column:
+    """60-bit nonnegative hash of the value's string form — md5 mode
+    is the engine-portable digest (same 15-hex-char extraction as the
+    bloom/CMS family), xxhash64 the digest-free production mode
+    (top 60 bits of the signed 64)."""
+    s = value.cast("string")
+    if hash_kind == "md5":
+        return F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint")
+    if hash_kind == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(s), 64 - _HLL_BITS)
+    raise ValueError("hash_kind must be xxhash64|md5")
+
+
+def hll_registers(frame, value_col: str, p: int = 9,
+                  hash_kind: str = "md5"):
+    """Distributed HLL register table → DaskFrame(register, max_rho)
+    with at most 2^p rows. register = h mod 2^p; rho = leading-zero
+    rank of the remaining wp = 60-p bits (wp+1 when they are all
+    zero), via integer bit-length. One exchange of <= 2^p pairs per
+    partition; union-merge of two sketches is a further groupBy-max
+    over the same key space."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    m = 1 << int(p)
+    wp = _HLL_BITS - int(p)
+    hh = sdf.select(_hll_hash(F.col(value_col), hash_kind).alias("__h"))
+    staged = hh.select(
+        F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("register"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(wp + 1)).otherwise(
+        F.lit(wp + 1)
+        - F.length(F.conv(F.col("__w").cast("string"), 10, 2))
+    )
+    reg = staged.select("register", rho.cast("int").alias("__rho"))
+    return DaskFrame(
+        reg.groupBy("register").agg(F.max("__rho").alias("max_rho"))
+    )
+
+
+def hll_alpha(p: int) -> float:
+    """Bias-correction constant alpha_m (Flajolet et al. 2007 §4) —
+    embedded as a full-precision literal in both engines."""
+    m = 1 << int(p)
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_count_distinct(frame, value_col: str, p: int = 9,
+                       hash_kind: str = "md5"):
+    """One-row DaskFrame(est_distinct, sum_scaled, nonzero_registers):
+    est = alpha_m * m^2 / sum_j 2^(-M_j), with the harmonic sum held
+    as the exact int64 ``sum_scaled`` = sum_j 2^(52 - M_j) (empty
+    registers contribute 2^52) so the only floating-point steps are
+    one bigint->double cast and one division — bit-identical across
+    engines. Small-range (linear counting) correction applies below
+    2.5*m when empty registers remain, per the paper."""
+    m = 1 << int(p)
+    regs = hll_registers(frame, value_col, p, hash_kind)._sdf
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("bigint"),
+        F.lit(_HLL_SCALE) - F.col("max_rho"),
+    )
+    agg = regs.agg(
+        F.sum(term).alias("__sp"),
+        F.count(F.lit(1)).cast("int").alias("__np"),
+    )
+    full = F.coalesce(F.col("__sp"), F.lit(0).cast("bigint")) + (
+        (F.lit(m) - F.col("__np")).cast("bigint")
+        * F.lit(1 << _HLL_SCALE).cast("bigint")
+    )
+    num = hll_alpha(p) * m * m * float(1 << _HLL_SCALE)
+    raw = F.lit(num) / full.cast("double")
+    zeros = (F.lit(m) - F.col("__np")).cast("int")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    out = agg.select(
+        F.round(est, 6).alias("est_distinct"),
+        full.alias("sum_scaled"),
+        F.col("__np").alias("nonzero_registers"),
     )
     return DaskFrame(out)

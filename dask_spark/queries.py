@@ -281,6 +281,68 @@ def reduce_nunique_approx(spark, sf_dir):
     )
 
 
+def _hll_oracle(col: str, table: str, p: int = 9) -> str:
+    """Generated DuckDB replay of operators/sketch.py hll_count_distinct
+    (md5 mode): same 60-bit digest extraction, integer bit-length rho,
+    scaled-int64 harmonic sum, and ONE double division — bit-identical
+    with Spark, so ROUND(est, 6) hash-matches. The linear-counting
+    branch is replayed too (ln only runs when zeros remain AND the raw
+    estimate is small; the registered column keeps it dormant — the
+    branch is pinned by pytest instead)."""
+    from dask_spark.operators.sketch import _HLL_BITS, _HLL_SCALE, hll_alpha
+
+    m = 1 << p
+    wp = _HLL_BITS - p
+    num = repr(hll_alpha(p) * m * m * float(1 << _HLL_SCALE))
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM {table}
+    ), s AS (
+      SELECT hv % {m} AS register, hv // {m} AS w FROM h
+    ), r AS (
+      SELECT register,
+             MAX(CASE WHEN w = 0 THEN {wp + 1}
+                      ELSE {wp + 1} - length(bin(w)) END) AS max_rho
+      FROM s GROUP BY register
+    ), a AS (
+      SELECT SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - max_rho)) AS sp,
+             COUNT(*) AS np
+      FROM r
+    )
+    SELECT
+      ROUND(
+        CASE WHEN {num} / CAST(sp + ({m} - np) *
+                   (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS DOUBLE)
+                 <= {repr(2.5 * m)} AND np < {m}
+             THEN {float(m)!r} * ln({float(m)!r} /
+                    CAST({m} - np AS DOUBLE))
+             ELSE {num} / CAST(sp + ({m} - np) *
+                    (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS DOUBLE)
+        END, 6) AS est_distinct,
+      sp + ({m} - np) * (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS sum_scaled,
+      np::INT AS nonzero_registers
+    FROM a
+    """
+
+
+@q("reduce_hll_distinct", _hll_oracle("l_orderkey", "lineitem"))
+def reduce_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog distinct count (Flajolet et al.
+    2007; dask's nunique_approx shape, dask/dataframe/
+    hyperloglog.py): one digest per row at the scan, groupBy on 2^p
+    register ids (map-side combined — the exchange is <= 2^p pairs
+    per partition regardless of input size), estimator over the
+    register table with the harmonic sum held in exact scaled int64
+    so Spark and DuckDB produce bit-identical estimates
+    (operators/sketch.py hll_count_distinct)."""
+    from dask_spark.operators.sketch import hll_count_distinct
+
+    li = load(spark, sf_dir, "lineitem")
+    return hll_count_distinct(li, "l_orderkey", p=9).to_spark()
+
+
 @q(
     "reduce_quantile",
     """

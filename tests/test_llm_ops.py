@@ -1671,3 +1671,80 @@ def test_minhash_band_validation(corpus):
         minhash_lsh_pairs(corpus, num_hashes=32, bands=7)
     with pytest.raises(ValueError):
         contamination_minhash(corpus, corpus, num_hashes=32, bands=64)
+
+
+def test_hll_python_replay_exact(spark, tables):
+    """hll_registers/hll_count_distinct (md5 mode) vs a literal
+    hashlib replay: every register's max_rho matches exactly, and the
+    estimate is bit-identical through the scaled-integer harmonic sum
+    (one double division on the same int64 operands)."""
+    import hashlib
+
+    from dask_spark.operators.sketch import (
+        _HLL_BITS,
+        _HLL_SCALE,
+        hll_alpha,
+        hll_count_distinct,
+        hll_registers,
+    )
+
+    o = tables["orders"]
+    vals = [r["o_custkey"] for r in
+            o.to_spark().select("o_custkey").collect()]
+    p, m = 7, 128
+    wp = _HLL_BITS - p
+    ref = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        reg, w = h % m, h // m
+        rho = (wp + 1) if w == 0 else (wp + 1 - w.bit_length())
+        ref[reg] = max(ref.get(reg, 0), rho)
+    got = {r["register"]: r["max_rho"]
+           for r in hll_registers(o, "o_custkey", p=p).to_spark().collect()}
+    assert got == ref
+    sp = sum(1 << (_HLL_SCALE - r) for r in ref.values())
+    full = sp + (m - len(ref)) * (1 << _HLL_SCALE)
+    raw = (hll_alpha(p) * m * m * float(1 << _HLL_SCALE)) / float(full)
+    zeros = m - len(ref)
+    import math
+    exp = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    row = hll_count_distinct(o, "o_custkey", p=p).to_spark().first()
+    assert row["sum_scaled"] == full
+    assert row["nonzero_registers"] == len(ref)
+    assert row["est_distinct"] == pytest.approx(round(exp, 6), rel=1e-12)
+
+
+def test_hll_estimate_within_error_bound(spark, tables):
+    """Both hash kinds: the estimate lands within 3x the standard
+    error 1.04/sqrt(m) of the true distinct count (m=512), and the
+    register exchange is bounded by m rows."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sketch import hll_count_distinct, hll_registers
+
+    li = tables["lineitem"]
+    true = li.to_spark().select("l_orderkey").distinct().count()
+    for hk in ("md5", "xxhash64"):
+        est = hll_count_distinct(
+            li, "l_orderkey", p=9, hash_kind=hk
+        ).to_spark().first()["est_distinct"]
+        assert abs(est - true) / true < 3 * 1.04 / (512 ** 0.5), (hk, est, true)
+        assert hll_registers(li, "l_orderkey", p=9, hash_kind=hk) \
+            .to_spark().count() <= 512
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities route through the linear-counting
+    correction: est = m * ln(m / zero_registers), checked against the
+    python form and close to truth."""
+    import math
+
+    from dask_spark.operators.sketch import hll_count_distinct, hll_registers
+
+    df = spark.createDataFrame([(i % 20,) for i in range(1000)], "v int")
+    row = hll_count_distinct(df, "v", p=9).to_spark().first()
+    nz = hll_registers(df, "v", p=9).to_spark().count()
+    assert row["nonzero_registers"] == nz
+    exp = 512 * math.log(512 / (512 - nz))
+    assert row["est_distinct"] == pytest.approx(round(exp, 6), rel=1e-9)
+    assert abs(row["est_distinct"] - 20) / 20 < 0.35
