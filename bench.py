@@ -70,6 +70,7 @@ HEADLINE = [
     "text_cms_heavy",     # count-min sketch build + map-side probe
     "text_bpe_pairs",     # BPE iteration-1 weighted pair counts
     "reduce_hll_distinct",  # portable HLL: 2^p-bounded register exchange
+    "classifier_train",   # distributed logreg fit: D+2-key gradient agg
 ]
 
 

@@ -592,3 +592,135 @@ def with_lm_perplexity(sdf, lm: UnigramLM, text_col: str = "text",
     return staged.withColumn(out, F.round(ppl, 6)).drop(
         "__lm_toks", "__lm_n", "__lm_map"
     )
+
+
+# ----------------------- distributed classifier training -----------------------
+
+
+def _round_half_up6(x: float) -> float:
+    """Driver-side twin of Spark's F.round(col, 6): shortest decimal
+    repr -> decimal HALF_UP at 6 dp (java BigDecimal.valueOf path).
+    Python's built-in round() works on the binary value with banker's
+    ties, which diverges exactly at shortest-repr boundary values (the
+    round-9 DSIR lesson) — gradient rounding is part of the training
+    ALGORITHM here, so it must match what the SQL oracle's ROUND
+    produces."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _double_array_literal(values) -> Column:
+    """One JVM-side parse of ``array(v0D,v1D,...)`` — F.lit(list) pays a
+    py4j round trip per element; repr(float) round-trips exactly
+    through Spark's double-literal parser (verified incl. subnormals),
+    and ConstantFolding collapses the all-literal CreateArray to one
+    Literal before execution (same rationale as the CMS count table,
+    operators/sketch.py _int64_array_literal)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+    )
+
+
+def hashed_logreg_fit(sdf, label, text_col: str = "text",
+                      n_features: int = 64, lr: float = 0.5,
+                      iters: int = 2, word_hash: str = "md5"):
+    """Distributed logistic-regression TRAINING over hashed
+    bag-of-words features — the quality-classifier fit step whose
+    inference twin is hashed_linear_scores (fastText-linear shape;
+    dask's analog trains driver-side sklearn and broadcasts, which
+    caps the training set at one machine — here the data never leaves
+    the cluster and only D+2 gradient scalars reach the driver per
+    iteration).
+
+    Full-batch gradient descent: per iteration ONE pass over the
+    corpus — per doc z = b + sum(w[h(tok)])/n_toks (ordered fold over
+    the staged feature array, model as plan literals), err = sigma(z)
+    - y, then every (feature, err/n) contribution plus two pseudo-keys
+    (-1: bias gradient err, -2: log-loss) explodes into a groupBy(j)
+    sum — map-side combined, so the exchange carries <= D+2 partials
+    per partition regardless of corpus size (the k-means update
+    shape, operators/cluster.py). Weight update w -= lr *
+    round(grad/N, 6): the 6-dp gradient round is part of the
+    ALGORITHM so an independent engine replaying the arithmetic
+    (including IEEE exp/ln, verified bit-identical Spark/DuckDB/
+    python on this platform) reproduces the trajectory exactly; with
+    lr a power of two the update itself adds one exact halving and
+    one rounding.
+
+    ``label``: Column (or column name) of 0/1 doubles. Docs with zero
+    tokens are dropped (their features are undefined). Returns
+    (weights list[D], bias, losses list[iters] — mean log-loss of the
+    model ENTERING each iteration).
+    """
+    from dask_spark.functions import md5_prefix60
+
+    D = int(n_features)
+    y = F.col(label) if isinstance(label, str) else label
+    hfn = md5_prefix60 if word_hash == "md5" else F.xxhash64
+    feat = F.transform(
+        word_tokens(F.col(text_col)),
+        lambda t: F.pmod(hfn(t), F.lit(D)).cast("int"),
+    )
+    base = (
+        sdf.select(y.cast("double").alias("__y"), feat.alias("__feat"))
+        .filter(F.size("__feat") > 0)
+    )
+    w = [0.0] * D
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(int(iters)):
+        wlit = _double_array_literal(w)
+        n = F.size("__feat").cast("double")
+        z = F.lit(float(b)) + F.aggregate(
+            F.col("__feat"), F.lit(0.0),
+            lambda acc, f: acc + F.element_at(wlit, f + 1),
+        ) / n
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        loss = (F.col("__y") * F.log(F.lit(1.0) + F.exp(-z))
+                + (F.lit(1.0) - F.col("__y"))
+                * F.log(F.lit(1.0) + F.exp(z)))
+        # err staged as a REAL column: the fold is non-cheap, so the
+        # downstream explode references the attribute, not the tree
+        scored = base.select(
+            "__feat", n.alias("__n"),
+            (sig - F.col("__y")).alias("__err"), loss.alias("__loss"),
+        )
+        contrib = F.concat(
+            F.transform(
+                F.col("__feat"),
+                lambda f: F.struct(
+                    f.alias("j"),
+                    (F.col("__err") / F.col("__n")).alias("c"),
+                ),
+            ),
+            F.array(
+                F.struct(F.lit(-1).alias("j"), F.col("__err").alias("c")),
+                F.struct(F.lit(-2).alias("j"), F.col("__loss").alias("c")),
+            ),
+        )
+        rows = (
+            scored.select(F.explode(contrib).alias("p"))
+            .select(F.col("p.j").alias("j"), F.col("p.c").alias("c"))
+            .groupBy("j")
+            .agg(F.sum("c").alias("g"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_j = {int(r["j"]): (float(r["g"]), int(r["cnt"])) for r in rows}
+        if -1 not in by_j:
+            raise ValueError(
+                "hashed_logreg_fit: no documents with tokens to train on"
+            )
+        N = by_j[-1][1]  # one bias row per surviving doc
+        w = [
+            w[j] - lr * _round_half_up6(by_j[j][0] / N)
+            if j in by_j else w[j]
+            for j in range(D)
+        ]
+        b = b - lr * _round_half_up6(by_j[-1][0] / N)
+        losses.append(by_j[-2][0] / N)
+    return w, b, losses

@@ -174,3 +174,60 @@ def bpe_learn(frame, text_col: str = "text", n_merges: int = 8,
         return out
     finally:
         wc_sdf.unpersist()
+
+
+def bpe_encode(frame, merges, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Apply a learned merge list to every document → DaskFrame(id,
+    tokens array<string>, n_tokens) — the ENCODE half of the
+    tokenizer pair (bpe_learn trains, this applies; together they
+    close the loop a corpus pipeline needs before token-budget
+    accounting).
+
+    ``merges`` accepts bpe_learn's (rank, left, right, freq) rows or
+    bare (left, right) pairs.
+
+    100 TB shape: map-only, zero shuffle — the merge table rides as
+    closure literals (driver state, a few KB), and a per-task
+    WORD-TYPE memo collapses the greedy merge cost from tokens to
+    distinct words (Zipf: the memo hit rate approaches 1 on web
+    text), the same type-table economics the trainer uses. Greedy
+    left-to-right application is not ANSI-SQL-expressible, so the
+    registered query is rows-only; exact token output is pinned by
+    the literal python replay in tests."""
+    import pandas as pd
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    M = [
+        (m[1], m[2]) if len(m) == 4 else (m[0], m[1])
+        for m in (tuple(m) for m in merges)
+    ]
+
+    def kernel(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks_out, counts = [], []
+            for txt in pdf[text_col]:
+                enc: list[str] = []
+                for w in str(txt).lower().split():
+                    e = memo.get(w)
+                    if e is None:
+                        e = apply_merges(list(w) + [END], M)
+                        memo[w] = e
+                    enc.extend(e)
+                toks_out.append(enc)
+                counts.append(len(enc))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "tokens": toks_out,
+                "n_tokens": counts,
+            })
+
+    return DaskFrame(
+        sdf.select(id_col, text_col).mapInPandas(
+            kernel,
+            schema=f"{id_col} bigint, tokens array<string>, n_tokens int",
+        )
+    )

@@ -5537,6 +5537,107 @@ def text_classifier(spark, sf_dir):
     )
 
 
+def _logreg_oracle(D: int = 64, lr: float = 0.5) -> str:
+    """Generated DuckDB replay of BOTH full-batch GD iterations of
+    functions/text.py hashed_logreg_fit: iteration 1 closes in exact
+    arithmetic (w0 = 0 -> sigma = 0.5, no transcendentals), iteration
+    2 scores each doc against the CTE-derived w1 list (ordered
+    list_sum fold = Spark's aggregate fold; exp/ln verified
+    bit-identical Spark/DuckDB on this platform) — the 6-dp gradient
+    ROUND is part of the algorithm on both sides, so the trajectories
+    coincide and the displayed weights hash-match."""
+    hlr = repr(float(lr))
+    return rf"""
+    WITH f0 AS (
+      SELECT CAST(text LIKE '%slow%' AS DOUBLE) AS y,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0),
+               x -> (('0x' || substr(md5(x), 1, 15))::BIGINT % {D})::INT
+             ) AS feat
+      FROM documents
+    ), fk AS (
+      SELECT y, feat, CAST(len(feat) AS DOUBLE) AS n
+      FROM f0 WHERE len(feat) > 0
+    ), s1 AS (
+      SELECT SUM(0.5 - y) AS ge, COUNT(*) AS nn FROM fk
+    ), g1 AS (
+      SELECT u.j AS j, SUM((0.5 - fk.y) / fk.n) AS g
+      FROM fk, unnest(fk.feat) AS u(j) GROUP BY u.j
+    ), grid1 AS (
+      SELECT d.j AS j, COALESCE(g1.g, 0.0) AS g
+      FROM generate_series(0, {D - 1}) AS d(j)
+      LEFT JOIN g1 ON g1.j = d.j
+    ), w1 AS (
+      SELECT list(0.0 - {hlr} * ROUND(grid1.g / s1.nn, 6)
+                  ORDER BY grid1.j) AS w
+      FROM grid1, s1
+    ), b1 AS (
+      SELECT 0.0 - {hlr} * ROUND(ge / nn, 6) AS b FROM s1
+    ), i2 AS (
+      SELECT fk.y, fk.feat, fk.n,
+             b1.b + list_sum([w1.w[ff + 1] for ff in fk.feat]) / fk.n AS z
+      FROM fk, w1, b1
+    ), e2 AS (
+      SELECT y, feat, n,
+             1.0 / (1.0 + exp(-z)) - y AS err,
+             y * ln(1.0 + exp(-z)) + (1.0 - y) * ln(1.0 + exp(z)) AS loss
+      FROM i2
+    ), s2 AS (
+      SELECT SUM(err) AS ge, SUM(loss) AS ls, COUNT(*) AS nn FROM e2
+    ), g2 AS (
+      SELECT u.j AS j, SUM(e2.err / e2.n) AS g
+      FROM e2, unnest(e2.feat) AS u(j) GROUP BY u.j
+    ), grid2 AS (
+      SELECT d.j AS j, COALESCE(g2.g, 0.0) AS g
+      FROM generate_series(0, {D - 1}) AS d(j)
+      LEFT JOIN g2 ON g2.j = d.j
+    ), outw AS (
+      SELECT grid2.j AS feature,
+             ROUND(w1.w[grid2.j + 1]
+                   - {hlr} * ROUND(grid2.g / s2.nn, 6), 6) AS weight
+      FROM grid2, w1, s2
+      UNION ALL
+      SELECT -1, ROUND(b1.b - {hlr} * ROUND(s2.ge / s2.nn, 6), 6)
+      FROM b1, s2
+      UNION ALL
+      SELECT -2, ROUND(s2.ls / s2.nn, 6) FROM s2
+    )
+    SELECT feature, weight FROM outw ORDER BY feature
+    """
+
+
+@q("classifier_train", _logreg_oracle())
+def classifier_train(spark, sf_dir):
+    """Distributed quality-classifier TRAINING: logistic regression on
+    hashed bag-of-words features via full-batch gradient descent —
+    the fit step whose inference twin is text_classifier. Per
+    iteration ONE corpus pass: map-only scoring with the model as
+    plan literals, then every (feature, err/n) contribution plus bias
+    and loss pseudo-keys explodes into a D+2-key groupBy (map-side
+    combined: the exchange carries <= D+2 partials per partition at
+    any corpus size — the k-means update shape); only those scalars
+    reach the driver. The oracle replays BOTH iterations including
+    the 6-dp gradient rounding and the iteration-2 sigmoid
+    (functions/text.py hashed_logreg_fit). Output: the D weights
+    (feature 0..D-1), bias (-1), and the entering-loss of the final
+    iteration (-2)."""
+    from dask_spark.functions.text import hashed_logreg_fit
+
+    d = load(spark, sf_dir, "documents")
+    w, b, losses = hashed_logreg_fit(
+        d._sdf, F.col("text").contains("slow").cast("int"),
+        n_features=64, lr=0.5, iters=2,
+    )
+    rows = [(j, float(wj)) for j, wj in enumerate(w)]
+    rows.append((-1, float(b)))
+    rows.append((-2, float(losses[-1])))
+    out = spark.createDataFrame(rows, "feature int, weight double")
+    return out.select(
+        "feature", F.round("weight", 6).alias("weight")
+    ).orderBy("feature")
+
+
 # ------------------------- N-D array (ndarray.py) ---------------------------
 # 64-dim embeddings viewed as (n, 8, 8) tensors: structural ops lower
 # to driver-planned gathers, so the oracle replays the SAME flat-index
@@ -6533,6 +6634,26 @@ def text_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq bigint"
     ).orderBy("rank")
+
+
+@q("text_bpe_encode", None)
+def text_bpe_encode(spark, sf_dir):
+    """ENCODE half of the tokenizer pair: learn 6 merges, then apply
+    them to every document map-only (merge table as closure
+    literals, per-task word-type memo — Zipf collapses greedy-merge
+    cost from tokens to types; zero shuffle). Greedy application is
+    not ANSI-SQL-expressible → rows-only; exact token output pinned
+    by tests/test_llm_ops.py test_bpe_encode_python_replay_parity
+    (operators/bpe.py bpe_encode)."""
+    from dask_spark.operators.bpe import bpe_encode, bpe_learn
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_learn(d, "text", n_merges=6)
+    enc = bpe_encode(d, merges).to_spark()
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.concat_ws(" ", F.slice("tokens", 1, 12)).alias("head_tokens"),
+    ).orderBy("doc_id")
 
 
 @q(

@@ -1748,3 +1748,126 @@ def test_hll_small_range_linear_counting(spark):
     exp = 512 * math.log(512 / (512 - nz))
     assert row["est_distinct"] == pytest.approx(round(exp, 6), rel=1e-9)
     assert abs(row["est_distinct"] - 20) / 20 < 0.35
+
+
+def test_logreg_fit_python_replay_parity(spark, tables):
+    """hashed_logreg_fit vs a literal python replay (hashlib features,
+    decimal HALF_UP gradient rounding — the F.round twin): weights,
+    bias, and losses must match bit-for-bit across 3 iterations, and
+    the loss must strictly decrease."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import _round_half_up6, hashed_logreg_fit
+
+    d = tables["documents"].to_spark()
+    w, b, losses = hashed_logreg_fit(
+        d, F.col("text").contains("slow").cast("int"),
+        n_features=64, lr=0.5, iters=3,
+    )
+    docs = []
+    for r in d.select("text").collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        if not toks:
+            continue
+        feats = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64
+                 for t in toks]
+        docs.append((1.0 if "slow" in r["text"] else 0.0, feats))
+    W, B, N, LS = [0.0] * 64, 0.0, len(docs), []
+    for _ in range(3):
+        g, ge, ls = [0.0] * 64, 0.0, 0.0
+        for yv, feats in docs:
+            n = float(len(feats))
+            acc = 0.0
+            for f in feats:  # ordered fold, same as F.aggregate
+                acc = acc + W[f]
+            z = B + acc / n
+            sig = 1.0 / (1.0 + math.exp(-z))
+            ls += (yv * math.log(1.0 + math.exp(-z))
+                   + (1.0 - yv) * math.log(1.0 + math.exp(z)))
+            ge += sig - yv
+            for f in feats:
+                g[f] += (sig - yv) / n
+        W = [W[j] - 0.5 * _round_half_up6(g[j] / N) for j in range(64)]
+        B = B - 0.5 * _round_half_up6(ge / N)
+        LS.append(ls / N)
+    assert w == W and b == B
+    assert losses == pytest.approx(LS, rel=1e-12)
+    assert losses[0] == pytest.approx(math.log(2.0))  # zero model
+    assert losses[2] < losses[1] < losses[0]
+
+
+def test_logreg_fit_separates_and_feeds_inference(spark, tables):
+    """The trained model separates the classes through the inference
+    twin: mean sigmoid score of positive docs exceeds negatives, and
+    hashed_linear_scores with [w] reproduces the training-side z."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.text import (
+        hashed_linear_scores,
+        hashed_logreg_fit,
+    )
+
+    d = tables["documents"].to_spark()
+    y = F.col("text").contains("slow").cast("int")
+    w, b, _ = hashed_logreg_fit(d, y, iters=3)
+    scored = hashed_linear_scores(
+        d.withColumn("__y", y.cast("double")),
+        [w], [b], labels=["pos"],
+    )
+    agg = scored.filter(F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda t: F.length(t) > 0)) > 0) \
+        .groupBy("__y").agg(F.avg("score_pos").alias("s")).collect()
+    by_y = {r["__y"]: r["s"] for r in agg}
+    assert by_y[1.0] > by_y[0.0]
+
+
+def test_bpe_encode_python_replay_parity(spark, tables):
+    """bpe_encode vs literal python: learn merges on the corpus, then
+    every doc's token array and count must match a direct
+    apply_merges replay; total tokens = chars + words - merge hits."""
+    from dask_spark.operators.bpe import (
+        END,
+        apply_merges,
+        bpe_encode,
+        bpe_learn,
+    )
+
+    d = tables["documents"]
+    merges = bpe_learn(d, "text", n_merges=5)
+    assert merges, "corpus should yield at least one merge"
+    pairs = [(m[1], m[2]) for m in merges]
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode(d, merges).to_spark().collect()
+    }
+    rows = d.to_spark().select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        exp = []
+        for w in r["text"].lower().split():
+            exp.extend(apply_merges(list(w) + [END], pairs))
+        toks, n = got[r["doc_id"]]
+        assert toks == exp, r["doc_id"]
+        assert n == len(exp)
+    # merges actually fired somewhere
+    merged = [t for toks, _ in got.values() for t in toks if len(t) > 1
+              and t != END]
+    assert merged
+
+
+def test_bpe_encode_accepts_bare_pairs_and_is_map_only(spark, tables):
+    """(left, right) pairs work like bpe_learn rows, and the encode
+    plan has no exchange — map-only at any scale."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.bpe import bpe_encode
+
+    d = tables["documents"]
+    out = bpe_encode(d, [("t", "h"), ("th", "e")]).to_spark()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:500]
+    row = out.filter(F.col("n_tokens") > 0).first()
+    assert row is not None and len(row["tokens"]) == row["n_tokens"]
