@@ -71,6 +71,8 @@ HEADLINE = [
     "text_bpe_pairs",     # BPE iteration-1 weighted pair counts
     "reduce_hll_distinct",  # portable HLL: 2^p-bounded register exchange
     "classifier_train",   # distributed logreg fit: D+2-key gradient agg
+    "ann_ivfpq",          # IVF-ADC: residual PQ + per-cell ADC tables
+    "reduce_hll_by_group",  # keyed HLL: groups*2^p-bounded exchange
 ]
 
 

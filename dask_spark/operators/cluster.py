@@ -299,18 +299,33 @@ def pca_fit(frame, vec_col: str = "embedding", n_components: int = 2,
 
 
 def pca_project(frame, components, mean, vec_col: str = "embedding",
-                id_col: str = "vec_id", round_dp: int | None = 6):
+                id_col: str = "vec_id", round_dp: int | None = 6,
+                explained_var=None, whiten: bool = False,
+                ddof_eps: float = 0.0):
     """Map-only projection onto fitted components: for component c,
     score = v·c − μ·c with the dim-unrolled double dot (μ·c folded
     driver-side) — pure codegen, zero shuffle, zero Python. Returns
-    DaskFrame(id, pc0..pc{p-1})."""
+    DaskFrame(id, pc0..pc{p-1}).
+
+    ``whiten=True`` divides each score by sqrt(explained_var[p] +
+    ddof_eps) (pass pca_fit's third return) — unit-variance
+    components, the standard preprocessing before cosine-metric
+    clustering; the scale folds into the driver-side constants, so
+    the plan shape is unchanged."""
     from dask_spark.functions.vector import dot as v_dot
 
+    if whiten and explained_var is None:
+        raise ValueError("whiten=True needs explained_var from pca_fit")
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     dim = len(mean)
     v = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
     for p, c in enumerate(components):
+        if whiten:
+            import math
+
+            s = 1.0 / math.sqrt(float(explained_var[p]) + float(ddof_eps))
+            c = [float(x) * s for x in c]
         mc = 0.0
         for a, b in zip(mean, c):  # driver L2R, matches the test replay
             mc = mc + float(a) * float(b)

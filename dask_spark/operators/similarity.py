@@ -489,3 +489,131 @@ def tfidf_topk(frame, terms: Sequence[str], k: int = 10,
         F.col(id_col), F.round(score, 6).alias("score")
     ).orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     return DaskFrame(out)
+
+
+def _double_matrix_literal(rows):
+    """kc×dim nested array literal via ONE F.expr parse (F.lit pays a
+    py4j round trip per element — see sketch.py _int64_array_literal;
+    repr(float) round-trips exactly through the double parser)."""
+    inner = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+        for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def ivfpq_topk(frame, query: Sequence[float], k: int = 10, kc: int = 8,
+               n_probe: int = 4, m: int = 4, ks: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF-ADC — the FAISS IVFPQ composition (Jégou et al. 2011 §IV):
+    coarse k-means cells prune the corpus, product quantization over
+    the RESIDUALS (v − centroid[cell]) compresses what remains, and
+    the query scores probed cells through per-cell ADC tables built
+    on the query residual. The realistic billion-vector serving
+    index: IVF bounds the scan, PQ bounds the memory.
+
+    100 TB shape (every stage inherits its component's bill):
+    - coarse train: k·d scalars per partition per iteration
+      (operators/cluster.py kmeans);
+    - residuals: map-only zip_with against the kc×dim centroid
+      literal (one F.expr parse) — exact elementwise subtraction, no
+      shuffle, recomputed per PQ pass instead of materialized;
+    - PQ train/encode on residuals: ≤ m·ks·dsub update scalars per
+      batch; the stored index row is (id, cell, m codes) — the
+      4·dim-byte vector never persists;
+    - query: probe choice and the n_probe·m·ks ADC table are DRIVER
+      arithmetic (same left-to-right chains as the kernels); scoring
+      is an unrolled codegen sum of m element_at lookups over cell-
+      selected table slices + TakeOrdered(k). Corpus never shuffles.
+
+    Deterministic end to end: coarse cells, residuals, codebooks,
+    probe set, and every ADC distance replay bit-for-bit in the
+    DuckDB oracle (queries.py ann_ivfpq)."""
+    import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.cluster import kmeans, pq_codebooks, pq_encode
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    assigned, cents = kmeans(frame, vec_col, id_col, k=kc, iters=1)
+    kc = len(cents)
+    dim = len(cents[0])
+    cmat = _double_matrix_literal(cents)
+    res = (
+        sdf.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .join(assigned._sdf.select(id_col, "cluster"), id_col)
+        .select(
+            id_col, "cluster",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(cmat, F.col("cluster") + 1),
+                lambda a, b: a - b,
+            ).alias("__r"),
+        )
+    )
+    resfr = DaskFrame(res)
+    books = pq_codebooks(resfr, "__r", id_col, m=m, ks=ks, iters=1)
+    dsub = len(books[0][0])
+
+    # probe choice: same centroid-distance double arithmetic as the
+    # oracle (vv - 2vc + cc, each dot folded left to right), ties to
+    # the lower cell
+    q = [float(x) for x in query]
+    qq = q[0] * q[0]
+    for i in range(1, dim):
+        qq = qq + q[i] * q[i]
+    dists = []
+    for ci, c in enumerate(cents):
+        qc = 0.0
+        for a, b in zip(q, c):
+            qc = qc + a * b
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x
+        dists.append(((qq - 2.0 * qc) + cc, ci))
+    probe = [ci for _, ci in sorted(dists)[:n_probe]]
+
+    # per-probed-cell ADC tables on the query residual, flattened to
+    # ONE literal indexed [pidx][s][code] — n_probe*m*ks doubles
+    tbl = []
+    for ci in probe:
+        qr = [a - b for a, b in zip(q, cents[ci])]
+        for s in range(m):
+            qs = qr[s * dsub:(s + 1) * dsub]
+            sqq = qs[0] * qs[0]
+            for i in range(1, dsub):
+                sqq = sqq + qs[i] * qs[i]
+            for c in books[s]:
+                qc = 0.0
+                for a, b in zip(qs, c):
+                    qc = qc + a * b
+                cc = 0.0
+                for x in c:
+                    cc = cc + x * x
+                tbl.append((sqq - 2.0 * qc) + cc)
+
+    from dask_spark.functions.text import _double_array_literal
+
+    t = _double_array_literal(tbl)
+    enc = (
+        pq_encode(resfr, books, "__r", id_col)._sdf
+        .join(assigned._sdf.select(id_col, "cluster"), id_col)
+        .filter(F.col("cluster").isin([int(c) for c in probe]))
+    )
+    pidx = F.lit(0)
+    for i, ci in enumerate(probe):  # tiny when-chain, n_probe branches
+        pidx = F.when(F.col("cluster") == int(ci), i).otherwise(pidx)
+    adc = F.lit(0.0)
+    for s in range(m):  # unrolled ordered fold — pure codegen
+        adc = adc + F.element_at(
+            t,
+            pidx * (m * ks) + F.lit(s * ks)
+            + F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    scored = enc.select(
+        F.col(id_col), F.col("cluster").alias("cell"),
+        F.round(adc, 6).alias("adc"),
+    )
+    return DaskFrame(
+        scored.orderBy(F.col("adc").asc(), F.col(id_col)).limit(k)
+    )

@@ -273,18 +273,25 @@ def _hll_hash(value: Column, hash_kind: str) -> Column:
 
 
 def hll_registers(frame, value_col: str, p: int = 9,
-                  hash_kind: str = "md5"):
-    """Distributed HLL register table → DaskFrame(register, max_rho)
-    with at most 2^p rows. register = h mod 2^p; rho = leading-zero
-    rank of the remaining wp = 60-p bits (wp+1 when they are all
-    zero), via integer bit-length. One exchange of <= 2^p pairs per
-    partition; union-merge of two sketches is a further groupBy-max
-    over the same key space."""
+                  hash_kind: str = "md5", group_cols: Sequence = ()):
+    """Distributed HLL register table → DaskFrame([groups...,]
+    register, max_rho) with at most 2^p rows per group. register =
+    h mod 2^p; rho = leading-zero rank of the remaining wp = 60-p
+    bits (wp+1 when they are all zero), via integer bit-length. One
+    exchange of <= groups·2^p pairs per partition; union-merge of two
+    sketches is a further groupBy-max over the same key space.
+    ``group_cols`` turns this into the keyed form (distinct-per-group
+    — e.g. unique users per day — at a bounded-state exchange where
+    countDistinct would shuffle every (group, value) pair)."""
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    gc = list(group_cols)
     m = 1 << int(p)
     wp = _HLL_BITS - int(p)
-    hh = sdf.select(_hll_hash(F.col(value_col), hash_kind).alias("__h"))
+    hh = sdf.select(
+        *gc, _hll_hash(F.col(value_col), hash_kind).alias("__h")
+    )
     staged = hh.select(
+        *gc,
         F.pmod(F.col("__h"), F.lit(m)).cast("int").alias("register"),
         F.expr(f"__h div {m}").alias("__w"),
     )
@@ -292,9 +299,9 @@ def hll_registers(frame, value_col: str, p: int = 9,
         F.lit(wp + 1)
         - F.length(F.conv(F.col("__w").cast("string"), 10, 2))
     )
-    reg = staged.select("register", rho.cast("int").alias("__rho"))
+    reg = staged.select(*gc, "register", rho.cast("int").alias("__rho"))
     return DaskFrame(
-        reg.groupBy("register").agg(F.max("__rho").alias("max_rho"))
+        reg.groupBy(*gc, "register").agg(F.max("__rho").alias("max_rho"))
     )
 
 
@@ -312,22 +319,25 @@ def hll_alpha(p: int) -> float:
 
 
 def hll_count_distinct(frame, value_col: str, p: int = 9,
-                       hash_kind: str = "md5"):
-    """One-row DaskFrame(est_distinct, sum_scaled, nonzero_registers):
-    est = alpha_m * m^2 / sum_j 2^(-M_j), with the harmonic sum held
-    as the exact int64 ``sum_scaled`` = sum_j 2^(52 - M_j) (empty
-    registers contribute 2^52) so the only floating-point steps are
-    one bigint->double cast and one division — bit-identical across
-    engines. Small-range (linear counting) correction applies below
-    2.5*m when empty registers remain, per the paper."""
+                       hash_kind: str = "md5", group_cols: Sequence = ()):
+    """DaskFrame([groups...,] est_distinct, sum_scaled,
+    nonzero_registers) — one row per group (one row total without
+    ``group_cols``): est = alpha_m * m^2 / sum_j 2^(-M_j), with the
+    harmonic sum held as the exact int64 ``sum_scaled`` = sum_j
+    2^(52 - M_j) (empty registers contribute 2^52) so the only
+    floating-point steps are one bigint->double cast and one division
+    — bit-identical across engines. Small-range (linear counting)
+    correction applies below 2.5*m when empty registers remain, per
+    the paper."""
+    gc = list(group_cols)
     m = 1 << int(p)
-    regs = hll_registers(frame, value_col, p, hash_kind)._sdf
+    regs = hll_registers(frame, value_col, p, hash_kind, gc)._sdf
     term = F.call_function(
         "shiftleft",
         F.lit(1).cast("bigint"),
         F.lit(_HLL_SCALE) - F.col("max_rho"),
     )
-    agg = regs.agg(
+    agg = regs.groupBy(*gc).agg(
         F.sum(term).alias("__sp"),
         F.count(F.lit(1)).cast("int").alias("__np"),
     )
@@ -343,8 +353,44 @@ def hll_count_distinct(frame, value_col: str, p: int = 9,
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     out = agg.select(
+        *gc,
         F.round(est, 6).alias("est_distinct"),
         full.alias("sum_scaled"),
         F.col("__np").alias("nonzero_registers"),
     )
     return DaskFrame(out)
+
+
+def cms_doc_heavy_fraction(frame, counts: Sequence[int],
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_count: int = 100, depth: int = 3,
+                           width: int = 1024, hash_kind: str = "md5",
+                           round_dp: int = 6):
+    """Per-document heavy-token fraction against a PREBUILT sketch —
+    the boilerplate gate: documents dominated by corpus-wide
+    heavy-hitter tokens are templates/navigation, not prose.
+
+    STATELESS scan→project: the sketch (built once, batch) rides as a
+    literal, tokens never leave their row (in-row filter + size, no
+    explode, no shuffle, no aggregation state) — so the same Column
+    program runs unchanged under Structured Streaming
+    (streaming/hygiene.py cms_heavy_stream; stream/batch exactness
+    pinned in tests). Returns (id, n_tokens, heavy_frac) — heavy_frac
+    null for token-less docs."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    staged = sdf.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    heavy = F.size(F.filter(
+        F.col("__toks"),
+        lambda t: cms_estimate(t, counts, depth, width, hash_kind)
+        >= int(min_count),
+    ))
+    n = F.size(F.col("__toks"))
+    frac = F.when(
+        n > 0, F.round(heavy.cast("double") / n, round_dp)
+    )
+    return DaskFrame(staged.select(
+        F.col(id_col), n.alias("n_tokens"), frac.alias("heavy_frac")
+    ))

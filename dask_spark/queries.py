@@ -281,37 +281,45 @@ def reduce_nunique_approx(spark, sf_dir):
     )
 
 
-def _hll_oracle(col: str, table: str, p: int = 9) -> str:
+def _hll_oracle(col: str, table: str, p: int = 9,
+                group_expr: str | None = None,
+                group_alias: str = "grp") -> str:
     """Generated DuckDB replay of operators/sketch.py hll_count_distinct
     (md5 mode): same 60-bit digest extraction, integer bit-length rho,
     scaled-int64 harmonic sum, and ONE double division — bit-identical
     with Spark, so ROUND(est, 6) hash-matches. The linear-counting
     branch is replayed too (ln only runs when zeros remain AND the raw
-    estimate is small; the registered column keeps it dormant — the
-    branch is pinned by pytest instead)."""
+    estimate is small). ``group_expr`` generates the keyed form."""
     from dask_spark.operators.sketch import _HLL_BITS, _HLL_SCALE, hll_alpha
 
     m = 1 << p
     wp = _HLL_BITS - p
     num = repr(hll_alpha(p) * m * m * float(1 << _HLL_SCALE))
+    gsel = f"{group_expr} AS {group_alias}, " if group_expr else ""
+    gcol = f"{group_alias}, " if group_expr else ""
+    gby = f"GROUP BY {group_alias}" if group_expr else ""
+    gby_reg = f"{group_alias}, register" if group_expr else "register"
+    order = f"ORDER BY {group_alias}" if group_expr else ""
     return f"""
     WITH h AS (
-      SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT
+      SELECT {gsel}
+             ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT
                AS hv
       FROM {table}
     ), s AS (
-      SELECT hv % {m} AS register, hv // {m} AS w FROM h
+      SELECT {gcol}hv % {m} AS register, hv // {m} AS w FROM h
     ), r AS (
-      SELECT register,
+      SELECT {gcol}register,
              MAX(CASE WHEN w = 0 THEN {wp + 1}
                       ELSE {wp + 1} - length(bin(w)) END) AS max_rho
-      FROM s GROUP BY register
+      FROM s GROUP BY {gby_reg}
     ), a AS (
-      SELECT SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - max_rho)) AS sp,
+      SELECT {gcol}
+             SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - max_rho)) AS sp,
              COUNT(*) AS np
-      FROM r
+      FROM r {gby}
     )
-    SELECT
+    SELECT {gcol}
       ROUND(
         CASE WHEN {num} / CAST(sp + ({m} - np) *
                    (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS DOUBLE)
@@ -323,8 +331,34 @@ def _hll_oracle(col: str, table: str, p: int = 9) -> str:
         END, 6) AS est_distinct,
       sp + ({m} - np) * (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS sum_scaled,
       np::INT AS nonzero_registers
-    FROM a
+    FROM a {order}
     """
+
+
+@q(
+    "reduce_hll_by_group",
+    _hll_oracle(
+        "o_custkey", "orders", p=7,
+        group_expr="substr(CAST(o_orderdate AS VARCHAR), 1, 4)",
+        group_alias="order_year",
+    ),
+)
+def reduce_hll_by_group(spark, sf_dir):
+    """Keyed HyperLogLog — distinct customers per order year: the
+    exchange carries <= groups*2^p (group, register, max_rho) rows
+    per partition at any input size, where countDistinct would
+    shuffle every (group, value) pair. Same bit-identical
+    scaled-int64 estimator per group (operators/sketch.py
+    hll_count_distinct(group_cols=...))."""
+    from dask_spark.operators.sketch import hll_count_distinct
+
+    o = load(spark, sf_dir, "orders")
+    keyed = o._sdf.withColumn(
+        "order_year", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+    )
+    return hll_count_distinct(
+        keyed, "o_custkey", p=7, group_cols=["order_year"]
+    ).to_spark().orderBy("order_year")
 
 
 @q("reduce_hll_distinct", _hll_oracle("l_orderkey", "lineitem"))
@@ -6249,20 +6283,30 @@ def ann_ivf_checked(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(10)
 
 
-def _pq_cte(m: int, ks: int, iters: int, dim: int = 64):
+def _pq_cte(m: int, ks: int, iters: int, dim: int = 64,
+            base: str | None = None):
     """Per-subspace Lloyd's replay for product quantization — the
     _kmeans_cte shape applied independently to each dsub-wide slice
     v[lo+1 : lo+dsub] (DuckDB list slices are 1-based inclusive).
     Ends defining s{s}aF(vec_id, c) per subspace and s{s}c{iters}
-    (the trained codebook)."""
+    (the trained codebook). ``base``: name of an existing CTE with
+    (vec_id, v) to train on (e.g. IVF residuals) — the default emits
+    its own WITH over raw embeddings."""
     dsub = dim // m
-    parts = [
-        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
-    ]
+    if base is None:
+        parts = [
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+            " FROM embeddings)"
+        ]
+        src = "v"
+    else:
+        parts = []
+        src = base
     for s in range(m):
         lo = s * dsub
         parts.append(
-            f",s{s}v AS (SELECT vec_id, v[{lo + 1}:{lo + dsub}] AS sv FROM v)"
+            f",s{s}v AS (SELECT vec_id, v[{lo + 1}:{lo + dsub}] AS sv"
+            f" FROM {src})"
         )
         parts.append(f""",s{s}c0 AS (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv AS cv
@@ -6351,6 +6395,88 @@ def ann_pq(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return pq_topk(
         e, QUERY_VEC, k=10, m=4, ks=4, iters=1
+    ).to_spark().orderBy("adc", "vec_id")
+
+
+def _ann_ivfpq_oracle(kc: int = 8, n_probe: int = 4, m: int = 4,
+                      ks: int = 4, k: int = 10, dim: int = 64) -> str:
+    """IVF-ADC replay: coarse Lloyd's cells (_kmeans_cte), residuals
+    v − centroid[cell] as a list comprehension, product quantization
+    trained on the residual table (_pq_cte(base='r')), probe = the
+    n_probe nearest centroids (same vv−2vc+cc double arithmetic,
+    lower-cell ties), per-cell ADC tables on the query residual, and
+    the 0.0-seeded left-to-right ADC fold — every stage bit-identical
+    with operators/similarity.py ivfpq_topk."""
+    dsub = dim // m
+    qv = ", ".join(repr(float(x)) for x in QUERY_VEC)
+    parts = [_kmeans_cte(kc, 1)]
+    parts.append(f""",r AS (
+      SELECT a2.vec_id,
+             [a2.v[i + 1] - cc.cv[i + 1]
+              for i in generate_series(0, {dim - 1})] AS v
+      FROM aF a2 JOIN c1 cc ON cc.c = a2.c
+    )""")
+    pq, _ = _pq_cte(m, ks, 1, dim, base="r")
+    parts.append(pq)
+    parts.append(f""",q AS (SELECT [{qv}]::DOUBLE[] AS qv)
+    ,probe AS (
+      SELECT c FROM (
+        SELECT cp.c,
+               row_number() OVER (ORDER BY
+                 (list_dot_product(q.qv, q.qv)
+                  - 2 * list_dot_product(q.qv, cp.cv))
+                 + list_dot_product(cp.cv, cp.cv), cp.c) AS rn
+        FROM c1 cp, q
+      ) WHERE rn <= {n_probe}
+    )
+    ,qr AS (
+      SELECT p.c AS cell,
+             [q.qv[i + 1] - cc.cv[i + 1]
+              for i in generate_series(0, {dim - 1})] AS qres
+      FROM probe p JOIN c1 cc ON cc.c = p.c, q
+    )""")
+    joins = []
+    adc = "0.0"
+    for s in range(m):
+        lo = s * dsub
+        parts.append(f""",tbl{s} AS (
+          SELECT sq.cell, bk.c AS code,
+                 (list_dot_product(sq.qrs, sq.qrs)
+                  - 2 * list_dot_product(sq.qrs, bk.cv))
+                 + list_dot_product(bk.cv, bk.cv) AS d
+          FROM (SELECT cell, qres[{lo + 1}:{lo + dsub}] AS qrs FROM qr) sq
+          CROSS JOIN s{s}c1 bk
+        )""")
+        joins.append(
+            f"JOIN s{s}aF e{s} ON e{s}.vec_id = aF.vec_id "
+            f"JOIN tbl{s} ON tbl{s}.cell = aF.c AND tbl{s}.code = e{s}.c"
+        )
+        adc += f" + tbl{s}.d"
+    parts.append(f"""
+    SELECT aF.vec_id, aF.c AS cell, ROUND({adc}, 6) AS adc
+    FROM aF {' '.join(joins)}
+    WHERE aF.c IN (SELECT c FROM probe)
+    ORDER BY adc, aF.vec_id LIMIT {k}
+    """)
+    return "\n".join(parts)
+
+
+@q("ann_ivfpq", _ann_ivfpq_oracle())
+def ann_ivfpq(spark, sf_dir):
+    """IVF-ADC — the FAISS IVFPQ composition (Jégou et al. 2011 §IV):
+    coarse k-means cells prune the scan, product quantization over
+    the RESIDUALS compresses the index row to (id, cell, m codes),
+    probed cells score through per-cell ADC tables on the query
+    residual — the billion-vector serving shape built from the two
+    oracle-replayable components (corpus_cluster's Lloyd's + ann_pq's
+    PQ). Every stage — cells, residuals, codebooks, probe set, ADC
+    distances — hash-checks against the SQL replay
+    (operators/similarity.py ivfpq_topk)."""
+    from dask_spark.operators.similarity import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, QUERY_VEC, k=10, kc=8, n_probe=4, m=4, ks=4
     ).to_spark().orderBy("adc", "vec_id")
 
 
@@ -6654,6 +6780,68 @@ def text_bpe_encode(spark, sf_dir):
         "doc_id", "n_tokens",
         F.concat_ws(" ", F.slice("tokens", 1, 12)).alias("head_tokens"),
     ).orderBy("doc_id")
+
+
+@q(
+    "text_cms_boilerplate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         w -> length(w) > 0) AS arr
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(arr) AS term FROM toks
+    ), h AS (
+      SELECT doc_id, term,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS h1,
+             ((('0x' || substr(md5(term), 16, 15))::BIGINT) | 1)
+               % 1024 AS h2
+      FROM t
+    ), cells AS (
+      SELECT j, (h1 + j * h2) % 1024 AS col, count(*) AS ccnt
+      FROM h CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+      GROUP BY j, col
+    ), d AS (
+      SELECT doc_id, term, count(*) AS occ, min(h1) AS h1, min(h2) AS h2
+      FROM h GROUP BY doc_id, term
+    ), probe AS (
+      SELECT d.doc_id, d.term, d.occ, min(c.ccnt) AS est
+      FROM d
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS jj) js
+      JOIN cells c ON c.j = js.jj
+                  AND c.col = (d.h1 + js.jj * d.h2) % 1024
+      GROUP BY d.doc_id, d.term, d.occ
+    ), a AS (
+      SELECT doc_id,
+             SUM(CASE WHEN est >= 40 THEN occ ELSE 0 END) AS heavy
+      FROM probe GROUP BY doc_id
+    )
+    SELECT toks.doc_id, len(arr)::INT AS n_tokens,
+           CASE WHEN len(arr) > 0
+                THEN ROUND(CAST(COALESCE(a.heavy, 0) AS DOUBLE)
+                           / len(arr), 6) END AS heavy_frac
+    FROM toks LEFT JOIN a ON a.doc_id = toks.doc_id
+    ORDER BY toks.doc_id
+    """,
+)
+def text_cms_boilerplate(spark, sf_dir):
+    """Per-document heavy-token fraction against the corpus CMS — the
+    boilerplate gate (documents dominated by corpus-wide heavy
+    hitters are templates, not prose). STATELESS scan→project after
+    the one bounded sketch build: the sketch rides as a literal,
+    tokens never leave their row (in-row filter + size — no explode,
+    no shuffle), so the identical Column program runs under
+    Structured Streaming (streaming/hygiene.py cms_heavy_stream,
+    stream/batch exactness pinned) (operators/sketch.py
+    cms_doc_heavy_fraction)."""
+    from dask_spark.operators.sketch import cms_counts, cms_doc_heavy_fraction
+
+    d = load(spark, sf_dir, "documents")
+    counts = cms_counts(d, "text", depth=3, width=1024, hash_kind="md5")
+    return cms_doc_heavy_fraction(
+        d, counts, min_count=40, depth=3, width=1024, hash_kind="md5"
+    ).to_spark().orderBy("doc_id")
 
 
 @q(

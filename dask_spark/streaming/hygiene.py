@@ -59,3 +59,28 @@ def dsir_score_stream(stream_sdf, target, raw_sample,
         stream_sdf, lam, text_col=text_col, id_col=id_col,
         word_hash=word_hash,
     )
+
+
+def cms_heavy_stream(stream_sdf, static_corpus, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 100,
+                     depth: int = 3, width: int = 1024,
+                     hash_kind: str = "md5"):
+    """Heavy-hitter boilerplate scoring on an INGEST stream: the
+    count-min sketch builds ONCE from a static corpus (a batch
+    action, depth*width bounded), then every microbatch scores
+    map-only — the sketch is a plan literal, tokens never leave
+    their row, no state store, no watermark, exactly the batch
+    semantics per row (operators/sketch.py cms_doc_heavy_fraction;
+    stream/batch exactness pinned in tests/test_io_streaming.py).
+    Returns a streaming DataFrame of (id, n_tokens, heavy_frac)."""
+    from dask_spark.operators.sketch import (
+        cms_counts,
+        cms_doc_heavy_fraction,
+    )
+
+    counts = cms_counts(static_corpus, text_col, depth, width, hash_kind)
+    return cms_doc_heavy_fraction(
+        stream_sdf, counts, text_col=text_col, id_col=id_col,
+        min_count=min_count, depth=depth, width=width,
+        hash_kind=hash_kind,
+    )._sdf

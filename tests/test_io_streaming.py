@@ -654,3 +654,55 @@ def test_streaming_batch_parity_dsir(spark, tmp_path):
     assert len(got) == len(batch)
     assert list(got.doc_id) == list(batch.doc_id)
     assert list(got.dsir_logweight) == list(batch.dsir_logweight)
+
+
+def test_cms_heavy_stream_matches_batch(spark, tmp_path):
+    """Streaming heavy-token boilerplate scoring == the batch twin,
+    value-for-value: the sketch builds once from the static corpus
+    and the per-doc scan is stateless, so microbatching cannot change
+    a single fraction."""
+    import dask_spark as ds
+    from dask_spark.operators.sketch import cms_counts, cms_doc_heavy_fraction
+    from dask_spark.streaming.hygiene import cms_heavy_stream
+
+    rows = [
+        (i, ("common " * (1 + i % 3)
+             + " ".join(f"rare{i}_{j}" for j in range(i % 4))).strip())
+        for i in range(120)
+    ] + [(990, ""), (991, "   ")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = tmp_path / "cms_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+    corpus = ds.read_parquet(str(src))
+
+    counts = cms_counts(corpus, "text", depth=3, width=64)
+    batch = (
+        cms_doc_heavy_fraction(corpus, counts, min_count=50,
+                               depth=3, width=64)
+        .compute().sort_values("doc_id", ignore_index=True)
+    )
+    assert batch.heavy_frac.notna().sum() > 0
+    assert batch.heavy_frac.isna().sum() == 2  # token-less docs
+
+    stream_sdf = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(src))
+    out = cms_heavy_stream(stream_sdf, corpus, min_count=50,
+                           depth=3, width=64)
+    q = (
+        out.writeStream.format("memory").queryName("t_cmsheavy")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = (
+        spark.sql("select * from t_cmsheavy").toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == len(batch)
+    assert list(got.doc_id) == list(batch.doc_id)
+    assert list(got.n_tokens) == list(batch.n_tokens)
+    assert got.heavy_frac.fillna(-1).tolist() == \
+        batch.heavy_frac.fillna(-1).tolist()

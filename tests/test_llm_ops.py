@@ -1871,3 +1871,128 @@ def test_bpe_encode_accepts_bare_pairs_and_is_map_only(spark, tables):
     assert "Exchange" not in plan, plan[:500]
     row = out.filter(F.col("n_tokens") > 0).first()
     assert row is not None and len(row["tokens"]) == row["n_tokens"]
+
+
+def test_hll_by_group_matches_per_group_replay(spark, tables):
+    """Keyed HLL == running the global estimator on each group's
+    slice separately (same registers, same estimate), and every
+    group's estimate is within 3x the m=128 standard error."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sketch import hll_count_distinct
+
+    o = tables["orders"].to_spark().withColumn(
+        "yr", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+    )
+    got = {
+        r["yr"]: (r["est_distinct"], r["sum_scaled"], r["nonzero_registers"])
+        for r in hll_count_distinct(
+            o, "o_custkey", p=7, group_cols=["yr"]
+        ).to_spark().collect()
+    }
+    years = [r["yr"] for r in o.select("yr").distinct().collect()]
+    assert set(got) == set(years)
+    for yr in years:
+        sl = o.filter(F.col("yr") == yr)
+        solo = hll_count_distinct(sl, "o_custkey", p=7).to_spark().first()
+        assert got[yr] == (solo["est_distinct"], solo["sum_scaled"],
+                           solo["nonzero_registers"]), yr
+        true = sl.select("o_custkey").distinct().count()
+        assert abs(got[yr][0] - true) / true < 3 * 1.04 / (128 ** 0.5), yr
+
+
+def test_ivfpq_contract_and_python_replay(spark, tables):
+    """ivfpq_topk: probed cells replay in python (same centroid
+    distance arithmetic), every output row's cell is in the probe
+    set, adc is ascending with id tie-break, and each row's ADC
+    distance equals the python table lookup bit-for-bit (residual ->
+    per-cell table -> sum, the oracle arithmetic)."""
+    from dask_spark.operators.cluster import kmeans, pq_codebooks, pq_encode
+    from dask_spark.operators.similarity import ivfpq_topk
+    from dask_spark.queries import QUERY_VEC
+
+    e = tables["embeddings"]
+    out = ivfpq_topk(e, QUERY_VEC, k=10, kc=8, n_probe=4).to_spark() \
+        .orderBy("adc", "vec_id").collect()
+    assert len(out) == 10
+    adcs = [r["adc"] for r in out]
+    assert adcs == sorted(adcs)
+
+    # independent replay of probe + tables over the SAME components
+    import pyspark.sql.functions as F
+
+    assigned, cents = kmeans(e, "embedding", "vec_id", k=8, iters=1)
+    q = [float(x) for x in QUERY_VEC]
+    dim = len(cents[0])
+
+    def l2r_dot(a, b):
+        acc = a[0] * b[0]
+        for i in range(1, len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    dists = sorted(
+        ((l2r_dot(q, q) - 2.0 * l2r_dot(q, c)) + l2r_dot(c, c), ci)
+        for ci, c in enumerate(cents)
+    )
+    probe = [ci for _, ci in dists[:4]]
+    assert {r["cell"] for r in out} <= set(probe)
+
+    cmat = {ci: cents[ci] for ci in range(len(cents))}
+    res = e.to_spark().select("vec_id", "embedding") \
+        .join(assigned._sdf, "vec_id").collect()
+    resmap = {
+        r["vec_id"]: (
+            r["cluster"],
+            [float(a) - cmat[r["cluster"]][i]
+             for i, a in enumerate(r["embedding"])],
+        )
+        for r in res
+    }
+    import dask_spark as ds
+    resfr = spark.createDataFrame(
+        [(i, v) for i, (c, v) in sorted(resmap.items())],
+        "vec_id bigint, r array<double>",
+    )
+    from dask_spark.frame import DaskFrame
+    books = pq_codebooks(DaskFrame(resfr), "r", "vec_id", m=4, ks=4, iters=1)
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(DaskFrame(resfr), books, "r", "vec_id")
+        .to_spark().collect()
+    }
+    dsub = dim // 4
+    for r in out:
+        cell, vid = r["cell"], r["vec_id"]
+        qr = [a - b for a, b in zip(q, cmat[cell])]
+        adc = 0.0
+        for s in range(4):
+            qs = qr[s * dsub:(s + 1) * dsub]
+            c = books[s][codes[vid][s]]
+            adc = adc + (
+                (l2r_dot(qs, qs) - 2.0 * l2r_dot(qs, c)) + l2r_dot(c, c)
+            )
+        assert abs(r["adc"] - adc) < 5e-7, (vid, r["adc"], adc)
+
+
+def test_pca_whiten_unit_variance(spark, tables):
+    """whiten=True yields unit-variance scores (ddof=1 to match the
+    fit) and equals the plain projection scaled by 1/sqrt(var)."""
+    import numpy as np
+
+    from dask_spark.operators.cluster import pca_fit, pca_project
+
+    e = tables["embeddings"]
+    comps, mu, var = pca_fit(e, "embedding", n_components=2)
+    plain = pca_project(e, comps, mu, round_dp=None).to_spark() \
+        .orderBy("vec_id").collect()
+    white = pca_project(e, comps, mu, round_dp=None,
+                        explained_var=var, whiten=True).to_spark() \
+        .orderBy("vec_id").collect()
+    P = np.array([[r["pc0"], r["pc1"]] for r in plain])
+    W = np.array([[r["pc0"], r["pc1"]] for r in white])
+    assert np.allclose(W.var(axis=0, ddof=1), 1.0, rtol=1e-9)
+    assert np.allclose(W, P / np.sqrt(np.asarray(var)), rtol=1e-9)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pca_project(e, comps, mu, whiten=True)
