@@ -73,6 +73,7 @@ HEADLINE = [
     "classifier_train",   # distributed logreg fit: D+2-key gradient agg
     "ann_ivfpq",          # IVF-ADC: residual PQ + per-cell ADC tables
     "reduce_hll_by_group",  # keyed HLL: groups*2^p-bounded exchange
+    "text_cms_boilerplate",  # stateless per-doc heavy-token fraction
 ]
 
 

@@ -685,27 +685,28 @@ def hashed_logreg_fit(sdf, label, text_col: str = "text",
                 + (F.lit(1.0) - F.col("__y"))
                 * F.log(F.lit(1.0) + F.exp(z)))
         # err staged as a REAL column: the fold is non-cheap, so the
-        # downstream explode references the attribute, not the tree
+        # downstream explode references the attribute, not the tree.
+        # The bias/loss pseudo-keys ride the SAME explode as two extra
+        # int elements (concat of int arrays + a when-chain on the
+        # exploded key — no struct-building HOF, the Generate stays
+        # codegen; one scan, so the fold evaluates once per doc)
         scored = base.select(
             "__feat", n.alias("__n"),
             (sig - F.col("__y")).alias("__err"), loss.alias("__loss"),
         )
-        contrib = F.concat(
-            F.transform(
-                F.col("__feat"),
-                lambda f: F.struct(
-                    f.alias("j"),
-                    (F.col("__err") / F.col("__n")).alias("c"),
-                ),
-            ),
-            F.array(
-                F.struct(F.lit(-1).alias("j"), F.col("__err").alias("c")),
-                F.struct(F.lit(-2).alias("j"), F.col("__loss").alias("c")),
-            ),
+        keys = F.concat(
+            F.col("__feat"), F.array(F.lit(-1), F.lit(-2))
+        )
+        c = (
+            F.when(F.col("j") == -1, F.col("__err"))
+            .when(F.col("j") == -2, F.col("__loss"))
+            .otherwise(F.col("__err") / F.col("__n"))
         )
         rows = (
-            scored.select(F.explode(contrib).alias("p"))
-            .select(F.col("p.j").alias("j"), F.col("p.c").alias("c"))
+            scored.select(
+                F.explode(keys).alias("j"), "__err", "__loss", "__n"
+            )
+            .select("j", c.alias("c"))
             .groupBy("j")
             .agg(F.sum("c").alias("g"), F.count(F.lit(1)).alias("cnt"))
             .collect()

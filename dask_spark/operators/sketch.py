@@ -394,3 +394,24 @@ def cms_doc_heavy_fraction(frame, counts: Sequence[int],
     return DaskFrame(staged.select(
         F.col(id_col), n.alias("n_tokens"), frac.alias("heavy_frac")
     ))
+
+
+def hll_estimate_registers(max_rhos: Sequence[int], p: int = 9):
+    """Driver-side estimator over a collected register list — the
+    exact python twin of hll_count_distinct's Column arithmetic
+    (scaled-int64 harmonic sum, one float division, linear-counting
+    branch), for sinks that hold the register table outside a plan
+    (e.g. the streaming register state). Returns (est_distinct,
+    sum_scaled, nonzero_registers)."""
+    import math
+
+    m = 1 << int(p)
+    sp = sum(1 << (_HLL_SCALE - int(r)) for r in max_rhos)
+    full = sp + (m - len(max_rhos)) * (1 << _HLL_SCALE)
+    raw = (hll_alpha(p) * m * m * float(1 << _HLL_SCALE)) / float(full)
+    zeros = m - len(max_rhos)
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / float(zeros))
+    else:
+        est = raw
+    return round(est, 6), full, len(max_rhos)

@@ -84,3 +84,20 @@ def cms_heavy_stream(stream_sdf, static_corpus, text_col: str = "text",
         min_count=min_count, depth=depth, width=width,
         hash_kind=hash_kind,
     )._sdf
+
+
+def hll_distinct_stream(stream_sdf, value_col: str, p: int = 9,
+                        hash_kind: str = "md5"):
+    """Running distinct count on an INGEST stream with BOUNDED state:
+    the streaming aggregate keys on the 2^p HLL register ids and
+    keeps max(rho) — state is <= 2^p rows forever, where a streaming
+    dropDuplicates would grow with the distinct count. Returns the
+    streaming register table (register, max_rho); sink it with
+    outputMode("update"/"complete") and feed the rows to
+    operators/sketch.py hll_estimate_registers for the estimate —
+    identical to the batch hll_count_distinct arithmetic, so a stream
+    and its batch validation run agree bit-for-bit (pinned in
+    tests/test_io_streaming.py)."""
+    from dask_spark.operators.sketch import hll_registers
+
+    return hll_registers(stream_sdf, value_col, p, hash_kind)._sdf

@@ -706,3 +706,54 @@ def test_cms_heavy_stream_matches_batch(spark, tmp_path):
     assert list(got.n_tokens) == list(batch.n_tokens)
     assert got.heavy_frac.fillna(-1).tolist() == \
         batch.heavy_frac.fillna(-1).tolist()
+
+
+def test_hll_distinct_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL registers (bounded <= 2^p state) == the batch
+    register table after the stream drains, and the driver estimator
+    over the streamed registers equals batch hll_count_distinct
+    bit-for-bit."""
+    import dask_spark as ds
+    from dask_spark.operators.sketch import (
+        hll_count_distinct,
+        hll_estimate_registers,
+        hll_registers,
+    )
+    from dask_spark.streaming.hygiene import hll_distinct_stream
+
+    pdf = pd.DataFrame({
+        "doc_id": range(400),
+        "user": [f"u{(i * 13) % 97}" for i in range(400)],
+    })
+    src = tmp_path / "hll_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+    corpus = ds.read_parquet(str(src))
+
+    batch_regs = {
+        r["register"]: r["max_rho"]
+        for r in hll_registers(corpus, "user", p=7).to_spark().collect()
+    }
+    batch_row = hll_count_distinct(corpus, "user", p=7).to_spark().first()
+
+    stream_sdf = spark.readStream.schema(
+        "doc_id long, user string"
+    ).parquet(str(src))
+    out = hll_distinct_stream(stream_sdf, "user", p=7)
+    q = (
+        out.writeStream.format("memory").queryName("t_hll")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {
+        r["register"]: r["max_rho"]
+        for r in spark.sql("select * from t_hll").collect()
+    }
+    assert got == batch_regs
+    est, full, nz = hll_estimate_registers(list(got.values()), p=7)
+    assert est == batch_row["est_distinct"]
+    assert full == batch_row["sum_scaled"]
+    assert nz == batch_row["nonzero_registers"]
+    assert len(got) <= 128
