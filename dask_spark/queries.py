@@ -5641,7 +5641,7 @@ def _logreg_oracle(D: int = 64, lr: float = 0.5) -> str:
     """
 
 
-@q("classifier_train", _logreg_oracle())
+@q("classifier_train", _logreg_oracle(lr=1.0))
 def classifier_train(spark, sf_dir):
     """Distributed quality-classifier TRAINING: logistic regression on
     hashed bag-of-words features via full-batch gradient descent —
@@ -5661,8 +5661,16 @@ def classifier_train(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     w, b, losses = hashed_logreg_fit(
         d._sdf, F.col("text").contains("slow").cast("int"),
-        n_features=64, lr=0.5, iters=2,
+        n_features=64, lr=1.0, iters=2,
     )
+    # lr=1.0 is LOAD-BEARING for the exact-float gate: weights are
+    # sums of lr-scaled 6-dp-rounded gradients, so integer lr keeps
+    # every weight on the 1e-6 decimal grid where the 6-dp display
+    # round is tie-free. A fractional lr (0.5) put weights on the
+    # 5e-7 grid, whose shortest repr ends in a 7th-digit '5' -
+    # exactly where Spark's shortest-repr HALF_UP and DuckDB's
+    # binary-value ROUND disagree (scripts/exact_check.py caught one
+    # weight of 66 off by 1e-6 at sf0.01).
     rows = [(j, float(wj)) for j, wj in enumerate(w)]
     rows.append((-1, float(b)))
     rows.append((-2, float(losses[-1])))

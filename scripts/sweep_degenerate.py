@@ -33,6 +33,9 @@ EXPECTED_VALUEERROR = {
     # round-6 additions, same contract family:
     "arr_lu", "arr_solve_triangular", "arr_svd_compressed",
     "corpus_cluster", "dedup_semantic_cells", "ann_ivf_checked",
+    # round-10 additions: training/factorization on empty or under-k
+    # corpora is undefined — clear ValueError is the contract
+    "ann_pq", "ann_ivfpq", "embed_pca", "classifier_train",
 }
 
 
