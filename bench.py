@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_ivfpq",          # IVF-ADC: residual PQ + per-cell ADC tables
     "reduce_hll_by_group",  # keyed HLL: groups*2^p-bounded exchange
     "text_cms_boilerplate",  # stateless per-doc heavy-token fraction
+    "text_bigram_perplexity",  # interpolated bigram LM quality gate
 ]
 
 

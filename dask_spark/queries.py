@@ -2141,6 +2141,100 @@ def text_perplexity(spark, sf_dir):
     return T.with_lm_perplexity(d, lm).drop("text")
 
 
+@q(
+    "text_bigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(w) AS tok FROM toks
+    ), tot AS (
+      SELECT count(*)::DOUBLE AS t FROM u
+    ), vocab AS (
+      SELECT tok, count(*)::DOUBLE AS c FROM u GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT 256
+    ), vs AS (
+      SELECT sum(c) AS cv, count(*)::DOUBLE AS nv FROM vocab
+    ), ty AS (
+      SELECT count(DISTINCT tok)::DOUBLE AS nt FROM u
+    ), unip AS (
+      SELECT tok, (c + 1.0) / (tot.t + (vs.nv + 1.0)) AS p
+      FROM vocab, tot, vs
+    ), oovp AS (
+      SELECT (tot.t - vs.cv + 1.0) / (tot.t + (vs.nv + 1.0))
+             / greatest(ty.nt - vs.nv, 1.0) AS p
+      FROM tot, vs, ty
+    ), pr AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i + 1]
+              for i in generate_series(1, len(w) - 1)] AS ps
+      FROM toks WHERE len(w) >= 2
+    ), bg AS (
+      SELECT unnest(ps) AS pair FROM pr
+    ), bgc AS (
+      SELECT pair, count(*)::DOUBLE AS c FROM bg GROUP BY pair
+      ORDER BY count(*) DESC, pair LIMIT 512
+    ), lc AS (
+      SELECT split_part(pair, ' ', 1) AS w1, count(*)::DOUBLE AS n
+      FROM bg
+      WHERE split_part(pair, ' ', 1) IN
+            (SELECT DISTINCT split_part(pair, ' ', 1) FROM bgc)
+      GROUP BY 1
+    ), bgp AS (
+      SELECT bgc.pair, bgc.c / lc.n AS p
+      FROM bgc JOIN lc ON lc.w1 = split_part(bgc.pair, ' ', 1)
+    ), mbi AS (
+      SELECT split_part(pair, ' ', 1) AS w1,
+             map(list(split_part(pair, ' ', 2) ORDER BY pair),
+                 list(p ORDER BY pair)) AS im
+      FROM bgp GROUP BY 1
+    ), mb AS (
+      SELECT map(list(w1 ORDER BY w1), list(im ORDER BY w1)) AS m
+      FROM mbi
+    ), mu AS (
+      SELECT map(list(tok ORDER BY tok), list(p ORDER BY tok)) AS m
+      FROM unip
+    ), per AS (
+      SELECT pr.doc_id,
+             list_reduce(
+               list_prepend(0.0, list_sort(
+                 [ln(0.75 * coalesce(
+                       element_at(
+                         element_at(mb.m, split_part(pp, ' ', 1))[1],
+                         split_part(pp, ' ', 2))[1], 0.0)
+                     + 0.25 * coalesce(
+                         element_at(mu.m, split_part(pp, ' ', 2))[1],
+                         oovp.p))
+                  for pp in pr.ps])),
+               (a, b) -> a + b) AS lp,
+             len(pr.ps)::DOUBLE AS np
+      FROM pr, mb, mu, oovp
+    )
+    SELECT t.doc_id,
+           round(CASE WHEN per.np IS NULL THEN 1.0
+                 ELSE exp(-per.lp / per.np) END, 6) AS bigram_perplexity
+    FROM toks t LEFT JOIN per USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """Interpolated bigram-LM perplexity — the step up from the
+    unigram CCNet gate (catches shuffled-word salads the unigram
+    model scores fluent): p(w2|w1) = 0.75·p_ML from a bounded top-512
+    bigram table + 0.25·add-one unigram backoff. Fit = three bounded
+    map-side-combined shuffles (wordcount, in-row-pair count,
+    left-context count); scoring map-only with both model maps as
+    literals, per-pair log probs sorted BY VALUE before the fold so
+    both engines add bit-identically (functions/text.py
+    fit_bigram_lm / with_bigram_perplexity)."""
+    d = load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+    lm = T.fit_bigram_lm(d, vocab_size=256, table_size=512,
+                         alpha=1.0, lam=0.75)
+    return T.with_bigram_perplexity(d, lm).drop("text").orderBy("doc_id")
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

@@ -1996,3 +1996,57 @@ def test_pca_whiten_unit_variance(spark, tables):
     import pytest as _pt
     with _pt.raises(ValueError):
         pca_project(e, comps, mu, whiten=True)
+
+
+def test_bigram_lm_python_replay_and_salad_detection(spark):
+    """fit_bigram_lm vs a literal python replay on a toy corpus
+    (bigram conditionals, unigram backoff, OOV spread), and the gate's
+    point: a shuffled-word salad of fluent bigrams scores WORSE
+    (higher ppl) than the fluent original, while the unigram model
+    cannot tell them apart."""
+    import math
+
+    from dask_spark.functions.text import (
+        fit_bigram_lm,
+        fit_unigram_lm,
+        with_bigram_perplexity,
+        with_lm_perplexity,
+    )
+
+    fluent = "the cat sat on the mat"
+    salad = "mat the on sat cat the"
+    rows = [(i, fluent) for i in range(40)] + [
+        (100, salad), (101, "one"), (102, "")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lm = fit_bigram_lm(sdf, vocab_size=16, table_size=32)
+    # python replay of the fit
+    toks = [t for _, txt in rows for t in txt.lower().split()]
+    from collections import Counter
+    uc = Counter(toks)
+    top = sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    total = float(len(toks))
+    nv = len(top)
+    denom = total + 1.0 * (nv + 1)
+    exp_uni = {t: (c + 1.0) / denom for t, c in top}
+    assert lm.unigram_probs == exp_uni
+    pairs = []
+    for _, txt in rows:
+        w = txt.lower().split()
+        pairs += [f"{a} {b}" for a, b in zip(w, w[1:])]
+    bc = Counter(pairs)
+    topb = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    lefts = {p.split(" ", 1)[0] for p, _ in topb}
+    lc = Counter(p.split(" ", 1)[0] for p in pairs
+                 if p.split(" ", 1)[0] in lefts)
+    exp_big = {p: float(c) / lc[p.split(" ", 1)[0]] for p, c in topb}
+    assert lm.bigram_probs == exp_big
+
+    out = {r["doc_id"]: r["ppl"]
+           for r in with_bigram_perplexity(sdf, lm, out="ppl").collect()}
+    assert out[101] == 1.0 and out[102] == 1.0  # <2 tokens
+    assert out[100] > out[0], (out[100], out[0])  # salad caught
+    ulm = fit_unigram_lm(sdf, vocab_size=16)
+    uout = {r["doc_id"]: r["perplexity"]
+            for r in with_lm_perplexity(sdf, ulm).collect()}
+    assert uout[100] == uout[0]  # unigram is order-blind
