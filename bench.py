@@ -75,6 +75,7 @@ HEADLINE = [
     "reduce_hll_by_group",  # keyed HLL: groups*2^p-bounded exchange
     "text_cms_boilerplate",  # stateless per-doc heavy-token fraction
     "text_bigram_perplexity",  # interpolated bigram LM quality gate
+    "reduce_quantile_hist",  # histogram-sketch quantiles: bins-bounded
 ]
 
 

@@ -108,6 +108,40 @@ def word_hash_expr(w, kind: str = "xxhash64"):
     raise ValueError("word_hash must be xxhash64|md5")
 
 
+def lsh_tune(num_hashes: int, threshold: float,
+             fp_weight: float = 0.5) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard ``threshold`` — the
+    datasketch-style parameter search (public): over every factoring
+    b*r = num_hashes, minimize the weighted false-positive +
+    false-negative probability mass of the S-curve
+    P(candidate | s) = 1 - (1 - s^r)^b, integrated numerically below
+    and above the threshold. fp_weight trades precision (higher)
+    against recall. Feed the result straight into minhash_lsh_pairs /
+    contamination_minhash bands=."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best, best_err = None, None
+    steps = 200
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best_err is None or err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 def _check_bands(num_hashes: int, bands: int) -> int:
     """rows-per-band guard shared by every banding entry point:
     rows=0 would make every band slice empty (all band hashes equal →

@@ -415,3 +415,80 @@ def hll_estimate_registers(max_rhos: Sequence[int], p: int = 9):
     else:
         est = raw
     return round(est, 6), full, len(max_rhos)
+
+
+# ------------------------- histogram quantiles -------------------------
+
+
+def histogram_quantiles(frame, value_col: str, qs: Sequence[float] = (
+        0.25, 0.5, 0.75, 0.99), bins: int = 1024):
+    """Approximate quantiles from a fixed-width histogram — the
+    bounded-state sibling of the exact sort-based percentile (dask's
+    percentile is likewise approximate, via per-chunk tdigests;
+    dask/array/percentile.py sets the pattern).
+
+    100 TB shape: one (min, max, count) aggregate, then one
+    groupBy(bucket) count whose exchange carries <= bins partials per
+    partition regardless of input size; the estimator interpolates
+    inside the selected bucket over the <= bins collected rows —
+    error bounded by one bucket width. Every arithmetic step (width
+    division, bucket floor-clamp, ceil rank, in-bucket interpolation)
+    is written identically in the SQL oracle, so the estimates are
+    bit-identical across engines.
+
+    Returns a one-row DaskFrame(q_<pct> double ...); all-null row on
+    empty input (the percentile contract)."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    spark = sdf.sparkSession
+    B = int(bins)
+    x = F.col(value_col).cast("double")
+    base = sdf.select(x.alias("__x")).filter(F.col("__x").isNotNull())
+    mn, mx, n = base.agg(
+        F.min("__x"), F.max("__x"), F.count(F.lit(1))
+    ).first()
+
+    def name(q):
+        return "q_" + repr(float(q)).replace("0.", "").replace(".", "_")
+
+    schema = ", ".join(f"{name(q)} double" for q in qs)
+    if not n:
+        return DaskFrame(
+            spark.createDataFrame([tuple(None for _ in qs)], schema)
+        )
+    mn, mx = float(mn), float(mx)
+    from dask_spark.functions.text import _round_half_up6
+
+    if mx == mn:
+        return DaskFrame(spark.createDataFrame(
+            [tuple(_round_half_up6(mn) for _ in qs)], schema
+        ))
+    width = (mx - mn) / B
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("__x") - F.lit(mn)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(B - 1),
+    ).cast("int")
+    counts = {
+        r["b"]: int(r["c"])
+        for r in base.select(bucket.alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import math
+
+    vals = []
+    for q in qs:
+        r = float(math.ceil(float(q) * n))
+        cum = 0.0
+        for b in range(B):
+            c = counts.get(b, 0)
+            if not c:
+                continue
+            if cum + c >= r:
+                est = mn + width * (float(b) + (r - cum) / float(c))
+                vals.append(_round_half_up6(est))
+                break
+            cum += c
+        else:
+            vals.append(_round_half_up6(mx))
+    return DaskFrame(spark.createDataFrame([tuple(vals)], schema))

