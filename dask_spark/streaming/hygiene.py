@@ -76,13 +76,21 @@ def cms_heavy_stream(stream_sdf, static_corpus, text_col: str = "text",
     from dask_spark.operators.sketch import (
         cms_counts,
         cms_doc_heavy_fraction,
+        cms_heavy_hitters,
     )
 
     counts = cms_counts(static_corpus, text_col, depth, width, hash_kind)
+    terms = [
+        r["term"]
+        for r in cms_heavy_hitters(
+            static_corpus, text_col, min_count=min_count, depth=depth,
+            width=width, hash_kind=hash_kind, counts=counts,
+        ).to_spark().collect()
+    ]
     return cms_doc_heavy_fraction(
         stream_sdf, counts, text_col=text_col, id_col=id_col,
         min_count=min_count, depth=depth, width=width,
-        hash_kind=hash_kind,
+        hash_kind=hash_kind, heavy_terms=terms,
     )._sdf
 
 

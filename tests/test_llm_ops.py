@@ -2103,3 +2103,27 @@ def test_lsh_tune_parameter_search():
         lsh_tune(64, 1.5)
     with _pt.raises(ValueError):
         lsh_tune(1, 0.5)
+
+
+def test_cms_heavy_fraction_set_path_equals_estimate_path(spark, tables):
+    """heavy_terms membership == per-token estimation when scoring
+    the corpus the sketch was built from (est >= c is a pure term
+    function), value-for-value."""
+    from dask_spark.operators.sketch import (
+        cms_counts,
+        cms_doc_heavy_fraction,
+        cms_heavy_hitters,
+    )
+
+    d = tables["documents"]
+    counts = cms_counts(d, depth=3, width=64)
+    terms = [r["term"] for r in cms_heavy_hitters(
+        d, min_count=20, depth=3, width=64, counts=counts
+    ).to_spark().collect()]
+    a = cms_doc_heavy_fraction(
+        d, counts, min_count=20, depth=3, width=64
+    ).to_spark().orderBy("doc_id").collect()
+    b = cms_doc_heavy_fraction(
+        d, counts, min_count=20, depth=3, width=64, heavy_terms=terms
+    ).to_spark().orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
