@@ -76,6 +76,7 @@ HEADLINE = [
     "text_cms_boilerplate",  # stateless per-doc heavy-token fraction
     "text_bigram_perplexity",  # interpolated bigram LM quality gate
     "reduce_quantile_hist",  # histogram-sketch quantiles: bins-bounded
+    "reduce_quantile_hist_group",  # keyed: groups*bins-bounded exchange
 ]
 
 

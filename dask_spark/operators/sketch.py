@@ -512,3 +512,104 @@ def histogram_quantiles(frame, value_col: str, qs: Sequence[float] = (
         else:
             vals.append(_round_half_up6(mx))
     return DaskFrame(spark.createDataFrame([tuple(vals)], schema))
+
+
+def histogram_quantiles_by_group(frame, value_col: str, group_col: str,
+                                 qs: Sequence[float] = (0.25, 0.5, 0.75),
+                                 bins: int = 256):
+    """Keyed histogram quantiles — one row per group (e.g. per-source
+    token-count percentiles), where an exact per-group percentile
+    sorts every group's values.
+
+    100 TB shape: one groupBy(group) stats aggregate (bounded by the
+    group cardinality — the value_counts collect contract: the group
+    column must be driver-bounded), then one groupBy(group, bucket)
+    count whose exchange carries <= groups*bins partials per
+    partition; per-group stats ride back as literal MAPS (no join),
+    and the estimator interpolates over the collected <= groups*bins
+    rows with the same arithmetic as histogram_quantiles. Groups with
+    a single distinct value short-circuit to that value. Empty input
+    -> empty frame."""
+    from dask_spark.functions.text import (
+        _double_map_literal,
+        _round_half_up6,
+    )
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    spark = sdf.sparkSession
+    B = int(bins)
+    g = F.col(group_col).cast("string")
+    x = F.col(value_col).cast("double")
+    base = (
+        sdf.select(g.alias("__g"), x.alias("__x"))
+        .filter(F.col("__x").isNotNull() & F.col("__g").isNotNull())
+    )
+    stats = {
+        r["__g"]: (float(r["mn"]), float(r["mx"]), int(r["n"]))
+        for r in base.groupBy("__g").agg(
+            F.min("__x").alias("mn"), F.max("__x").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+    }
+
+    def name(q):
+        return "q_" + repr(float(q)).replace("0.", "").replace(".", "_")
+
+    schema = f"{group_col} string, " + ", ".join(
+        f"{name(q)} double" for q in qs
+    )
+    if not stats:
+        return DaskFrame(spark.createDataFrame([], schema))
+    widths = {
+        k: (mx - mn) / B for k, (mn, mx, _) in stats.items() if mx > mn
+    }
+    counts: dict = {}
+    if widths:
+        mn_map = _double_map_literal(
+            {k: stats[k][0] for k in widths}
+        )
+        w_map = _double_map_literal(widths)
+        bucket = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("__x") - F.element_at(mn_map, F.col("__g")))
+                    / F.element_at(w_map, F.col("__g"))
+                ),
+                F.lit(0),
+            ),
+            F.lit(B - 1),
+        ).cast("int")
+        for r in (
+            base.filter(F.col("__g").isin(list(widths)))
+            .select("__g", bucket.alias("b"))
+            .groupBy("__g", "b").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            counts.setdefault(r["__g"], {})[r["b"]] = int(r["c"])
+
+    import math
+
+    rows = []
+    for k in sorted(stats):
+        mn, mx, n = stats[k]
+        if k not in widths:  # single distinct value
+            rows.append(tuple([k] + [_round_half_up6(mn)] * len(qs)))
+            continue
+        width = widths[k]
+        bc = counts.get(k, {})
+        vals = []
+        for q in qs:
+            r = float(math.ceil(float(q) * n))
+            cum = 0.0
+            est = mx
+            for b in range(B):
+                c = bc.get(b, 0)
+                if not c:
+                    continue
+                if cum + c >= r:
+                    est = mn + width * (float(b) + (r - cum) / float(c))
+                    break
+                cum += c
+            vals.append(_round_half_up6(est))
+        rows.append(tuple([k] + vals))
+    return DaskFrame(spark.createDataFrame(rows, schema))

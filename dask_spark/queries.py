@@ -391,6 +391,76 @@ def reduce_quantile_hist(spark, sf_dir):
 
 
 @q(
+    "reduce_quantile_hist_group",
+    """
+    WITH base AS (
+      SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS g,
+             o_totalprice::DOUBLE AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), st AS (
+      SELECT g, min(x) AS mn, max(x) AS mx, count(*)::DOUBLE AS n
+      FROM base GROUP BY g
+    ), w AS (
+      SELECT g, mn, mx, n, (mx - mn) / 256 AS width FROM st
+    ), bc AS (
+      SELECT b.g,
+             LEAST(GREATEST(floor((b.x - w.mn) / w.width), 0), 255)::INT
+               AS bk,
+             count(*)::DOUBLE AS c
+      FROM base b JOIN w ON w.g = b.g AND w.mx > w.mn
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, bk, c,
+             coalesce(SUM(c) OVER (
+               PARTITION BY g ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS cb
+      FROM bc
+    ), qq AS (
+      SELECT unnest([0.25, 0.5, 0.75]) AS q
+    ), pick AS (
+      SELECT w.g, qq.q,
+             w.mn + w.width * (CAST(cum.bk AS DOUBLE)
+                               + (ceil(qq.q * w.n) - cum.cb) / cum.c)
+               AS e,
+             row_number() OVER (PARTITION BY w.g, qq.q
+                                ORDER BY cum.bk) AS rn
+      FROM w JOIN cum ON cum.g = w.g, qq
+      WHERE cum.cb + cum.c >= ceil(qq.q * w.n)
+    ), est AS (
+      SELECT g, q, e FROM pick WHERE rn = 1
+    )
+    SELECT w.g AS order_year,
+      round(CASE WHEN w.mx = w.mn THEN w.mn ELSE e25.e END, 6) AS q_25,
+      round(CASE WHEN w.mx = w.mn THEN w.mn ELSE e50.e END, 6) AS q_5,
+      round(CASE WHEN w.mx = w.mn THEN w.mn ELSE e75.e END, 6) AS q_75
+    FROM w
+    LEFT JOIN est e25 ON e25.g = w.g AND e25.q = 0.25
+    LEFT JOIN est e50 ON e50.g = w.g AND e50.q = 0.5
+    LEFT JOIN est e75 ON e75.g = w.g AND e75.q = 0.75
+    ORDER BY w.g
+    """,
+)
+def reduce_quantile_hist_group(spark, sf_dir):
+    """Keyed histogram-sketch quantiles — per-order-year price
+    percentiles at a groups×bins-bounded exchange where an exact
+    per-group percentile sorts every group's values; per-group stats
+    ride back as literal maps, no join on the data path. Same
+    engine-identical arithmetic as reduce_quantile_hist
+    (operators/sketch.py histogram_quantiles_by_group)."""
+    from dask_spark.operators.sketch import histogram_quantiles_by_group
+
+    o = load(spark, sf_dir, "orders")
+    keyed = o._sdf.withColumn(
+        "order_year", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+    )
+    return histogram_quantiles_by_group(
+        keyed, "o_totalprice", "order_year",
+        qs=(0.25, 0.5, 0.75), bins=256,
+    ).to_spark().orderBy("order_year")
+
+
+@q(
     "reduce_hll_by_group",
     _hll_oracle(
         "o_custkey", "orders", p=7,

@@ -2127,3 +2127,50 @@ def test_cms_heavy_fraction_set_path_equals_estimate_path(spark, tables):
         d, counts, min_count=20, depth=3, width=64, heavy_terms=terms
     ).to_spark().orderBy("doc_id").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_histogram_quantiles_by_group_matches_per_slice(spark, tables):
+    """Keyed histogram quantiles == the global estimator run on each
+    group's slice (same stats, same buckets, same interpolation),
+    and each estimate lands within 1.5 bucket widths of the exact
+    per-group percentile."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_quantiles_by_group,
+    )
+
+    o = tables["orders"].to_spark().withColumn(
+        "yr", F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+    )
+    got = {
+        r["yr"]: (r["q_25"], r["q_5"], r["q_75"])
+        for r in histogram_quantiles_by_group(
+            o, "o_totalprice", "yr", qs=(0.25, 0.5, 0.75), bins=256
+        ).to_spark().collect()
+    }
+    years = [r["yr"] for r in o.select("yr").distinct().collect()]
+    assert set(got) == set(years)
+    for yr in years:
+        sl = o.filter(F.col("yr") == yr)
+        solo = histogram_quantiles(
+            sl, "o_totalprice", qs=(0.25, 0.5, 0.75), bins=256
+        ).to_spark().first()
+        assert got[yr] == (solo["q_25"], solo["q_5"], solo["q_75"]), yr
+        st = sl.agg(
+            F.min("o_totalprice"), F.max("o_totalprice"),
+            *[F.percentile("o_totalprice", F.lit(p))
+              for p in (0.25, 0.5, 0.75)],
+        ).first()
+        width = (st[1] - st[0]) / 256
+        for i in range(3):
+            assert abs(got[yr][i] - st[2 + i]) <= 1.5 * width, yr
+    # constant group short-circuits
+    cg = spark.createDataFrame(
+        [("a", 3.5)] * 5 + [("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    rows = {r["g"]: r for r in histogram_quantiles_by_group(
+        cg, "v", "g", qs=(0.5,), bins=16).to_spark().collect()}
+    assert rows["a"]["q_5"] == 3.5
+    assert 1.0 <= rows["b"]["q_5"] <= 2.0
