@@ -529,8 +529,6 @@ def ivfpq_topk(frame, query: Sequence[float], k: int = 10, kc: int = 8,
     Deterministic end to end: coarse cells, residuals, codebooks,
     probe set, and every ADC distance replay bit-for-bit in the
     DuckDB oracle (queries.py ann_ivfpq)."""
-    import pyspark.sql.functions as F  # noqa: F811 (module-level alias)
-
     from dask_spark.frame import DaskFrame
     from dask_spark.operators.cluster import kmeans, pq_codebooks, pq_encode
 

@@ -458,6 +458,8 @@ def histogram_quantiles(frame, value_col: str, qs: Sequence[float] = (
 
     Returns a one-row DaskFrame(q_<pct> double ...); all-null row on
     empty input (the percentile contract)."""
+    if not qs or any(not 0.0 < float(q) <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty with every q in (0, 1]")
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     spark = sdf.sparkSession
     B = int(bins)
@@ -530,6 +532,8 @@ def histogram_quantiles_by_group(frame, value_col: str, group_col: str,
     rows with the same arithmetic as histogram_quantiles. Groups with
     a single distinct value short-circuit to that value. Empty input
     -> empty frame."""
+    if not qs or any(not 0.0 < float(q) <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty with every q in (0, 1]")
     from dask_spark.functions.text import (
         _double_map_literal,
         _round_half_up6,
