@@ -865,6 +865,20 @@ class Series:
         is ~10 KB per agg — negligible even with millions of groups."""
         return self._agg_scalar(F.approx_count_distinct(self._expr, rsd))
 
+    def nunique_hll(self, p: int = 9, hash_kind: str = "md5") -> float:
+        """Engine-PORTABLE HyperLogLog distinct estimate — unlike
+        nunique_approx (Spark-native HLL++, opaque sketch), this is
+        the replayable variant whose md5 mode a plain-SQL engine
+        reproduces register-for-register and bit-for-bit
+        (operators/sketch.py hll_count_distinct; exchange bounded by
+        2^p register pairs per partition)."""
+        from dask_spark.operators.sketch import hll_count_distinct
+
+        sel = self._frame._sdf.select(self._expr.alias("__v"))
+        return hll_count_distinct(
+            sel, "__v", p=p, hash_kind=hash_kind
+        ).to_spark().first()["est_distinct"]
+
     def autocorr(self, lag: int = 1, order_by: str | None = None):
         """Pearson corr of (x_t, x_{t+lag}) (reference: _collection.py
         autocorr). NO single-partition window: rows get a scale-safe

@@ -2174,3 +2174,18 @@ def test_histogram_quantiles_by_group_matches_per_slice(spark, tables):
         cg, "v", "g", qs=(0.5,), bins=16).to_spark().collect()}
     assert rows["a"]["q_5"] == 3.5
     assert 1.0 <= rows["b"]["q_5"] <= 2.0
+
+
+def test_series_nunique_hll_api(spark, tables):
+    """Frame-level portable HLL == the operator on the same column,
+    and within the m=512 error bound of the exact count."""
+    from dask_spark.operators.sketch import hll_count_distinct
+
+    li = tables["lineitem"]
+    est = li["l_orderkey"].nunique_hll()
+    op = hll_count_distinct(
+        li.to_spark().select("l_orderkey"), "l_orderkey", p=9
+    ).to_spark().first()["est_distinct"]
+    assert est == op
+    true = li["l_orderkey"].nunique()
+    assert abs(est - true) / true < 3 * 1.04 / (512 ** 0.5)
