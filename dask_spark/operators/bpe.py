@@ -35,6 +35,8 @@ not expressible in ANSI SQL."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
@@ -203,6 +205,12 @@ def bpe_encode(frame, merges, text_col: str = "text",
         for m in (tuple(m) for m in merges)
     ]
 
+    # ASCII-whitespace split matching the JVM \s+ regex that word
+    # tokenization (and therefore bpe_learn's training vocabulary)
+    # uses — python str.split also breaks on NBSP/U+2028 etc., which
+    # would produce word types the merge table never saw.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def kernel(batches):
         memo: dict[str, list[str]] = {}
         for pdf in batches:
@@ -211,7 +219,11 @@ def bpe_encode(frame, merges, text_col: str = "text",
             toks_out, counts = [], []
             for txt in pdf[text_col]:
                 enc: list[str] = []
-                for w in str(txt).lower().split():
+                words = (
+                    [] if txt is None or (isinstance(txt, float) and txt != txt)
+                    else [w for w in ws.split(str(txt).lower()) if w]
+                )
+                for w in words:
                     e = memo.get(w)
                     if e is None:
                         e = apply_merges(list(w) + [END], M)

@@ -189,13 +189,13 @@ def cms_heavy_hitters(frame, text_col: str = "text",
     """Tokens whose CMS estimate reaches min_count, with their EXACT
     counts → DaskFrame(term, est, cnt), est desc / term asc.
 
-    The est filter runs map-side on the raw stream (estimate is a
-    pure function of the term, so a term survives with all its
-    occurrences or not at all); only candidate heavy terms reach the
-    term-keyed exchange, so the exact cnt on the survivors IS the
-    true corpus count. Output is a superset of the true >= min_count
-    set (CMS one-sided error); downstream re-filters on cnt if exact
-    membership is needed.
+    The est filter runs AFTER the term aggregate (see below), so every
+    term reaches the term-keyed exchange once per occurrence — but the
+    exchange is map-side combined, so what actually moves is one
+    (term, partial-count) pair per term per partition, and the exact
+    cnt on the survivors IS the true corpus count. Output is a
+    superset of the true >= min_count set (CMS one-sided error);
+    downstream re-filters on cnt if exact membership is needed.
 
     The probe computes the digest ONCE per token (staged h1/h2
     columns; the depth table lookups are cheap arithmetic over those
@@ -284,10 +284,20 @@ def hll_registers(frame, value_col: str, p: int = 9,
     — e.g. unique users per day — at a bounded-state exchange where
     countDistinct would shuffle every (group, value) pair)."""
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    if not 4 <= int(p) <= 10:
+        # p <= 10 keeps the empty-register term (m - np) * 2^52 under
+        # 2^62, so the scaled-int64 harmonic sum can never overflow
+        # signed int64 (and never trips ANSI mode); p >= 4 is the
+        # smallest register count the alpha_m table covers.
+        raise ValueError(f"p must be in [4, 10], got {p}")
     gc = list(group_cols)
     m = 1 << int(p)
     wp = _HLL_BITS - int(p)
-    hh = sdf.select(
+    # nulls never reach a register: approx_count_distinct, nunique and
+    # the DuckDB oracle all ignore them — an unfiltered null would
+    # hash to a null register whose max_rho is null, inflating
+    # nonzero_registers while contributing nothing to the sum.
+    hh = sdf.filter(F.col(value_col).isNotNull()).select(
         *gc, _hll_hash(F.col(value_col), hash_kind).alias("__h")
     )
     staged = hh.select(
@@ -396,7 +406,12 @@ def cms_doc_heavy_fraction(frame, counts: Sequence[int],
     staged = sdf.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
     )
-    if heavy_terms is not None:
+    if heavy_terms is not None and len(list(heavy_terms)) == 0:
+        # F.array() with no children is array<void>; array_contains
+        # against it fails analysis. No heavy terms => no token is
+        # heavy, so the count is a constant 0.
+        heavy = F.lit(0)
+    elif heavy_terms is not None:
         hs = F.array(*[F.lit(str(t)) for t in sorted(heavy_terms)])
         heavy = F.size(F.filter(
             F.col("__toks"), lambda t: F.array_contains(hs, t)

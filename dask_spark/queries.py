@@ -305,7 +305,7 @@ def _hll_oracle(col: str, table: str, p: int = 9,
       SELECT {gsel}
              ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT
                AS hv
-      FROM {table}
+      FROM {table} WHERE {col} IS NOT NULL
     ), s AS (
       SELECT {gcol}hv % {m} AS register, hv // {m} AS w FROM h
     ), r AS (
@@ -315,7 +315,11 @@ def _hll_oracle(col: str, table: str, p: int = 9,
       FROM s GROUP BY {gby_reg}
     ), a AS (
       SELECT {gcol}
-             SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - max_rho)) AS sp,
+             -- DuckDB SUM(BIGINT) widens to HUGEINT, which pandas
+             -- renders as float64 and loses exactness past 2^53;
+             -- the true sum is <= m * 2^52 < 2^63, so BIGINT is safe
+             CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - max_rho))
+                  AS BIGINT) AS sp,
              COUNT(*) AS np
       FROM r {gby}
     )

@@ -44,6 +44,16 @@ def main():
         mism = []
         for c in a.columns:
             av, bv = a[c].values, b[c].values
+            # int-vs-float dtype divergence is a hash risk the float
+            # compare below can't see: the driver hashes each value's
+            # string form, and a DuckDB HUGEINT (SUM(BIGINT) widens)
+            # comes back as float64 — "2.3e+18" never hashes like
+            # "2305843009213693952" even when numerically equal.
+            ka = a[c].dtype.kind
+            kb = b[c].dtype.kind
+            if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                mism.append((c, f"dtype {a[c].dtype} vs {b[c].dtype}"))
+                continue
             try:
                 avf = av.astype(float); bvf = bv.astype(float)
                 eq = (avf == bvf) | (np.isnan(avf) & np.isnan(bvf))

@@ -2189,3 +2189,76 @@ def test_series_nunique_hll_api(spark, tables):
     assert est == op
     true = li["l_orderkey"].nunique()
     assert abs(est - true) / true < 3 * 1.04 / (512 ** 0.5)
+
+
+def test_hll_ignores_nulls(spark):
+    """Nulls never reach a register (approx_count_distinct / nunique /
+    oracle semantics): estimate and register table are identical with
+    and without null rows, and no null register row appears."""
+    from dask_spark.operators.sketch import hll_count_distinct, hll_registers
+
+    clean = spark.createDataFrame([(i % 50,) for i in range(500)], "v int")
+    dirty = clean.unionAll(
+        spark.createDataFrame([(None,)] * 40, "v int")
+    )
+    a = hll_count_distinct(clean, "v", p=7).to_spark().first()
+    b = hll_count_distinct(dirty, "v", p=7).to_spark().first()
+    assert tuple(a) == tuple(b)
+    regs = hll_registers(dirty, "v", p=7).to_spark().collect()
+    assert all(r["register"] is not None and r["max_rho"] is not None
+               for r in regs)
+
+
+def test_hll_p_bounds_validated(spark):
+    """p outside [4, 10] raises: p=11 would push the empty-register
+    scaled term to 2^63 (signed-int64 overflow); p=3 is below the
+    alpha_m table."""
+    from dask_spark.operators.sketch import hll_count_distinct, hll_registers
+
+    df = spark.createDataFrame([(1,)], "v int")
+    for bad in (3, 11, 12):
+        with pytest.raises(ValueError, match=r"\[4, 10\]"):
+            hll_registers(df, "v", p=bad)
+        with pytest.raises(ValueError, match=r"\[4, 10\]"):
+            hll_count_distinct(df, "v", p=bad)
+
+
+def test_cms_heavy_fraction_empty_heavy_set(spark, tables):
+    """heavy_terms=[] (e.g. min_count above every corpus count) must
+    not fail analysis (F.array() is array<void>): every doc with
+    tokens scores heavy_frac 0.0."""
+    from dask_spark.operators.sketch import cms_counts, cms_doc_heavy_fraction
+
+    d = tables["documents"]
+    counts = cms_counts(d, depth=3, width=64)
+    rows = cms_doc_heavy_fraction(
+        d, counts, min_count=10**9, depth=3, width=64, heavy_terms=[]
+    ).to_spark().collect()
+    assert len(rows) > 0
+    assert all(r["heavy_frac"] == 0.0 for r in rows if r["n_tokens"] > 0)
+
+
+def test_bpe_encode_null_text_and_unicode_whitespace(spark, tables):
+    """bpe_encode's kernel split matches the JVM \\s+ the trainer
+    tokenizes with: NULL text encodes to zero tokens (not the literal
+    'none'), and NBSP / U+2028 do NOT split a word (ASCII-only
+    whitespace), matching word_tokens' JVM regex."""
+    from dask_spark.operators.bpe import bpe_encode, bpe_learn
+
+    d = tables["documents"]
+    merges = bpe_learn(d, "text", n_merges=8)
+    nbsp, ls = "\u00a0", "\u2028"
+    df = spark.createDataFrame(
+        [(1, None), (2, "aa" + nbsp + "bb"), (3, "aa" + chr(32) + "bb"),
+         (4, "x" + ls + "y")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           bpe_encode(df, merges).to_spark().collect()}
+    assert out[1]["tokens"] == [] and out[1]["n_tokens"] == 0
+    # NBSP / U+2028 are not JVM \\s: those docs stay ONE word => one
+    # end-of-word marker; the ASCII-space doc yields two.
+    n_words = lambda toks: sum(t.endswith("</w>") for t in toks)
+    assert n_words(out[2]["tokens"]) == 1
+    assert n_words(out[3]["tokens"]) == 2
+    assert n_words(out[4]["tokens"]) == 1
