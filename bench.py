@@ -77,6 +77,9 @@ HEADLINE = [
     "text_bigram_perplexity",  # interpolated bigram LM quality gate
     "reduce_quantile_hist",  # histogram-sketch quantiles: bins-bounded
     "reduce_quantile_hist_group",  # keyed: groups*bins-bounded exchange
+    # round-11 additions (compare per-query across rounds, not totals)
+    "corpus_pagerank",    # integer-exact power iteration on edge graph
+    "corpus_domain_cap",  # per-domain cap: prefilter + bounded window
 ]
 
 

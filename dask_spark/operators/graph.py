@@ -1,0 +1,111 @@
+"""Link-graph operators for corpus quality signals.
+
+PageRank is the classic web-corpus quality prior (Page et al. 1999;
+Common-Crawl-scale pipelines rank hosts with it before sampling).
+The reference engine has no graph module — its nearest machinery is
+the iterative min-label propagation this repo already ships for
+near-dup components (operators/dedup.py connected_components) — so
+this follows the same Spark-first shape: a driver loop of
+join + map-side-combined aggregate rounds over DataFrames, lineage
+truncated per round (the round-9 label-propagation lesson:
+localCheckpoint, or Catalyst tree formatting OOMs on deep plans).
+
+Exactness contract (the registry/oracle bar): ranks are held in
+SCALED INTEGER arithmetic — contributions are ``rank div outdeg``
+(bigint), the in-neighbor sum is an exact int64 aggregate (order-free,
+so partitioning/fetch order can never move the value), and damping is
+``(num * s) div den`` — so every iteration is bit-identical between
+Spark and the DuckDB oracle's unrolled-CTE replay, with zero floating
+point anywhere.
+
+100 TB shape: the per-iteration bill is ONE shuffle join of the edge
+table with the node-keyed rank table on src (edges are pre-joined
+with out-degrees once and persisted, partitioned by src so only the
+rank side exchanges) and ONE dst-keyed aggregate whose exchange is
+map-side combined — per-partition state is one partial sum per
+distinct dst in the partition, and celebrity in-degree skew collapses
+map-side exactly like any skewed groupBy-sum. Rank state is
+nodes-sized and stays distributed end to end; nothing node- or
+edge-sized ever reaches the driver. Overflow headroom: the damped
+in-sum is bounded by num · N · scale, so pick scale ≤ 2^62 / (num·N)
+— at 10^9 nodes, scale = 10^8 still leaves 8 exact digits per rank.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dask_spark.frame import DaskFrame
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 3, scale: int = 10 ** 12,
+             damping_num: int = 85, damping_den: int = 100,
+             symmetric: bool = False):
+    """Integer-exact PageRank over an edge list → DaskFrame(node,
+    rank) with rank on the ``scale`` grid (initial rank = scale per
+    node; teleport share = scale·(den-num) div den).
+
+    ``symmetric=True`` unions the reversed edges first (the bipartite
+    / undirected case — e.g. order↔part co-occurrence — where raw
+    directed edges would make every sink node dangling). Dangling
+    nodes (no out-edges after symmetrization) leak their rank mass,
+    the standard simplification when PageRank is a relative quality
+    signal rather than a probability distribution; document or
+    symmetrize as the graph demands.
+
+    Determinism: every arithmetic step is int64 (div = truncating
+    integer division on nonnegative operands in both engines), so the
+    result is a pure function of the edge SET — partition counts,
+    fetch order and AQE decisions cannot move it.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    e = sdf.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if symmetric:
+        # one distinct AFTER the union subsumes a pre-union distinct
+        # (same edge set, one fewer full-edge exchange)
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))).distinct()
+    else:
+        e = e.distinct()
+    # out-degrees ride WITH the edges (one join, once) so an iteration
+    # only has to bring the current ranks to the edge partitioning;
+    # the src-keyed join output is ALREADY hash-partitioned on src, so
+    # no explicit repartition (an extra full-edge exchange) is needed.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").persist()
+    if symmetric:
+        # every node appears as a src (its reversed edge), so deg's
+        # key set IS the node set — skip the union-distinct scan; and
+        # every node also has an in-edge, so the per-round left join
+        # below is skipped too (the in-sum covers all nodes).
+        nodes = deg.select(F.col("src").alias("node")).persist()
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct().persist()
+        )
+
+    teleport = (int(scale) * (damping_den - damping_num)) // damping_den
+    damp = F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+    new_r = (F.lit(teleport).cast("bigint") + damp).alias("r")
+    ranks = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("r"))
+    for _ in range(int(iters)):
+        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            "dst", F.expr("r div outdeg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        if symmetric:
+            ranks = insum.select(F.col("dst").alias("node"), new_r)
+        else:
+            ranks = nodes.join(
+                insum, nodes["node"] == insum["dst"], "left"
+            ).select("node", new_r)
+        ranks = ranks.localCheckpoint(eager=False)
+    return DaskFrame(ranks.select("node", F.col("r").alias("rank")))

@@ -114,6 +114,25 @@ def temperature_mix(frame, source_col: str = "source",
     return DaskFrame(out)
 
 
+def stratified_cap(frame, group_col: str = "source", n: int = 100,
+                   id_col: str = "doc_id"):
+    """Per-group cap: keep at most ``n`` rows from each group, selected
+    in deterministic md5(id) order — the domain-balancing step a web
+    corpus needs before training (a single crawl domain must not
+    dominate the mix; C4/Gopher both cap per-domain contributions).
+    Equivalent to ``temperature_mix(alpha=0, scale=n)`` (N_s^0 = 1, so
+    every group's quota is min(N_s, n)) and shares its 100 TB shape:
+    a broadcast-threshold candidate prefilter bounds each group to
+    ~margin·n rows BEFORE the rank window, so a 5 TB group never ships
+    into one task; the window then orders only the bounded candidates
+    (and Spark's InferWindowGroupLimit keeps per-partition state at n
+    rows per group even on the fallback path)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return temperature_mix(frame, source_col=group_col, id_col=id_col,
+                           alpha=0.0, scale=float(n))
+
+
 def weighted_sample(frame, weight_col: str, rate: float,
                     id_col: str = "doc_id", salt: str = "ws"):
     """Deterministic importance sampling: keep a row iff

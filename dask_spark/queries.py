@@ -2189,6 +2189,104 @@ def corpus_mix_temperature(spark, sf_dir):
 
 
 @q(
+    "corpus_domain_cap",
+    """
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 8
+    """,
+)
+def corpus_domain_cap(spark, sf_dir):
+    """Per-domain cap (C4/Gopher-style domain balancing): keep at most
+    8 docs per source in deterministic md5(id) order — no crawl domain
+    dominates the mix, reproducible across engines and runs
+    (operators/mixing.py stratified_cap = temperature_mix at alpha=0:
+    broadcast-threshold candidate prefilter bounds every group BEFORE
+    the rank window, so a 5 TB domain never ships into one task)."""
+    from dask_spark.operators.mixing import stratified_cap
+
+    d = load(spark, sf_dir, "documents")[
+        ["doc_id", "source", "lang", "n_chars"]
+    ]
+    return stratified_cap(d, group_col="source", n=8).to_spark()
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10 ** 9,
+                     num: int = 85, den: int = 100,
+                     topk: int = 100) -> str:
+    """Generated DuckDB replay of operators/graph.py pagerank over the
+    symmetrized order↔part graph: identical scaled-integer arithmetic
+    per unrolled iteration (contrib = r // outdeg, exact int64 in-sum,
+    damping as (num·s) // den), so every rank is bit-identical with
+    Spark. Every SUM is cast back to BIGINT (DuckDB widens to HUGEINT,
+    which pandas floats past 2^53)."""
+    teleport = int(scale) * (den - num) // den
+    prev, its = "r0", []
+    for i in range(1, int(iters) + 1):
+        its.append(f"""i{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM({prev}.r // d.outdeg) AS BIGINT) AS s
+      FROM e JOIN d ON d.src = e.src
+             JOIN {prev} ON {prev}.node = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.node,
+             CAST({teleport} + ({num} * COALESCE(i{i}.s, 0)) // {den}
+                  AS BIGINT) AS r
+      FROM n LEFT JOIN i{i} ON i{i}.node = n.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ), d AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ), n AS (
+      SELECT DISTINCT src AS node FROM e
+    ), r0 AS (
+      SELECT node, CAST({int(scale)} AS BIGINT) AS r FROM n
+    ), {', '.join(its)}
+    SELECT node, r AS rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT {topk}
+    """
+
+
+@q("corpus_pagerank", _pagerank_oracle())
+def corpus_pagerank(spark, sf_dir):
+    """PageRank quality prior over the symmetrized order↔part
+    co-occurrence graph (ids disambiguated to even/odd), 3 iterations
+    in scaled-INTEGER arithmetic (contrib = rank div outdeg, exact
+    int64 in-sums, damping 85/100 as integer mul-div) — bit-identical
+    to the oracle's unrolled replay, zero floating point. Top 100
+    nodes by (rank desc, node). 100 TB shape: one src-keyed edge join
+    + one map-side-combined dst aggregate per iteration, rank state
+    stays distributed, lineage truncated per round
+    (operators/graph.py pagerank)."""
+    from dask_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")._sdf
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    pr = pagerank(edges, iters=3, scale=10 ** 9, symmetric=True)
+    return (
+        pr.to_spark()
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
+@q(
     "text_entropy",
     r"""
     WITH toks AS (

@@ -2262,3 +2262,102 @@ def test_bpe_encode_null_text_and_unicode_whitespace(spark, tables):
     assert n_words(out[2]["tokens"]) == 1
     assert n_words(out[3]["tokens"]) == 2
     assert n_words(out[4]["tokens"]) == 1
+
+
+def _pagerank_py(edges, iters, scale, num=85, den=100):
+    """Pure-python integer replay of operators/graph.py pagerank."""
+    from collections import defaultdict
+
+    eset = sorted(set(edges))
+    outdeg = defaultdict(int)
+    for s, _ in eset:
+        outdeg[s] += 1
+    nodes = sorted({n for e in eset for n in e})
+    teleport = scale * (den - num) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for a, b in eset:
+            s[b] += r[a] // outdeg[a]
+        r = {n: teleport + (num * s[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_python_replay_parity(spark):
+    """pagerank vs a literal integer replay on a small directed graph
+    WITH a dangling node and a rank sink: every node's rank matches
+    exactly (the arithmetic is int64 end to end, so there is no
+    tolerance to hide behind)."""
+    from dask_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 1), (1, 2)]
+    # node 6 appears only as a dst => dangling (no out-edges)
+    edges.append((3, 6))
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=4, scale=10 ** 9).to_spark().collect()}
+    exp = _pagerank_py(edges, iters=4, scale=10 ** 9)
+    assert got == exp
+
+
+def test_pagerank_symmetric_matches_reversed_union(spark):
+    """symmetric=True == running the directed form on edges ∪
+    reversed(edges), and on a star graph the hub out-ranks every
+    leaf."""
+    from dask_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sym = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=3, scale=10 ** 9, symmetric=True)
+           .to_spark().collect()}
+    both = edges + [(b, a) for a, b in edges]
+    exp = _pagerank_py(both, iters=3, scale=10 ** 9)
+    assert sym == exp
+    assert all(sym[0] > sym[i] for i in range(1, 9))
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The result is a pure function of the edge SET: 1-partition and
+    32-partition layouts produce identical ranks (integer aggregation
+    is order-free)."""
+    from dask_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    one = spark.createDataFrame(edges, "src bigint, dst bigint").coalesce(1)
+    many = spark.createDataFrame(edges, "src bigint, dst bigint") \
+        .repartition(32)
+    ra = sorted(map(tuple, pagerank(one, iters=3).to_spark().collect()))
+    rb = sorted(map(tuple, pagerank(many, iters=3).to_spark().collect()))
+    assert ra == rb
+
+
+def test_stratified_cap_exact_selection(spark, tables):
+    """stratified_cap keeps EXACTLY min(N_s, n) rows per group, and
+    they are the n smallest (md5(id), id) keys — the deterministic
+    domain-balancing contract."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.mixing import stratified_cap
+
+    d = tables["documents"]
+    rows = d.to_spark().select("doc_id", "source").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    n = 2
+    exp = {
+        s: set(sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))[:n])
+        for s, ids in by_src.items()
+    }
+    got = {}
+    out = stratified_cap(d, group_col="source", n=n).to_spark().collect()
+    for r in out:
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert got == exp
+    with pytest.raises(ValueError):
+        stratified_cap(d, n=0)
