@@ -80,6 +80,7 @@ HEADLINE = [
     # round-11 additions (compare per-query across rounds, not totals)
     "corpus_pagerank",    # integer-exact power iteration on edge graph
     "corpus_domain_cap",  # per-domain cap: prefilter + bounded window
+    "text_trigram_perplexity",  # KN-style trigram gate: 4 literal maps
 ]
 
 

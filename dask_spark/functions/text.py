@@ -905,3 +905,145 @@ def with_bigram_perplexity(sdf, lm: BigramLM, text_col: str = "text",
     return staged.withColumn(out, F.round(ppl, 6)).drop(
         "__bg_toks", "__bg_map", "__bg_uni"
     )
+
+
+# ----------------------- KN-style trigram LM quality -----------------------
+
+
+class TrigramLM:
+    """Fitted trigram LM with absolute discounting (Kneser-Ney's
+    discount/continuation shape, Chen & Goodman 1999) over a bounded
+    top-``table_size`` trigram table, interpolating into the shipped
+    BigramLM: p(w3|w1 w2) = (c3 - D)/c2 + (D * N1+(w1 w2 *)/c2) *
+    p_bg(w3|w2) when the trigram is in the table, else p_bg — the
+    bounded-table analogue of the bigram model's clipped p_ML (like
+    it, the distribution is not renormalized over the full vocab;
+    it's a quality signal, not a generator). All stored
+    probabilities are exact divisions of integer corpus counts, so
+    an engine replaying the counts divides to bit-identical
+    doubles."""
+
+    def __init__(self, tri_disc: dict, ctx_lambda: dict, D: float,
+                 bigram: BigramLM):
+        self.tri_disc = tri_disc        # (ctx "w1 w2") -> {w3: disc}
+        self.ctx_lambda = ctx_lambda    # ctx -> D * N1+ / c2
+        self.D = D
+        self.bigram = bigram
+
+
+def fit_trigram_lm(sdf, text_col: str = "text", table_size: int = 512,
+                   D: float = 0.75, bigram: BigramLM | None = None,
+                   **bigram_kw) -> TrigramLM:
+    """Fit the trigram layer with ONE additional bounded shuffle on
+    top of fit_bigram_lm's three: an in-row trigram build (tokens
+    never leave their row before the explode) feeding one
+    (ctx, w3)-keyed count whose single persisted aggregate supplies
+    BOTH the top table and the per-context stats (c2 = sum of counts,
+    N1+ = distinct-w3 row count) — no second corpus scan. Driver
+    state: table_size + |contexts| scalars, a broadcastable model
+    artifact (KenLM's shipped-model shape)."""
+    if not 0.0 < D < 1.0:
+        raise ValueError("D must be in (0, 1)")
+    if bigram is None:
+        bigram = fit_bigram_lm(sdf, text_col, **bigram_kw)
+    w = F.col("__w")
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))
+    ctxs = F.zip_with(
+        F.slice(w, 1, n3), F.slice(w, 2, n3),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tris = F.zip_with(
+        ctxs, F.slice(w, 3, n3),
+        lambda c, t: F.struct(c.alias("ctx"), t.alias("w3")),
+    )
+    staged = sdf.select(word_tokens(F.col(text_col)).alias("__w"))
+    tc = (
+        staged.select(F.explode(tris).alias("t"))
+        .select("t.ctx", "t.w3")
+        .groupBy("ctx", "w3").count().persist()
+    )
+    top = (
+        tc.orderBy(F.col("count").desc(), F.col("ctx"), F.col("w3"))
+        .limit(table_size).collect()
+    )
+    ctx_set = sorted({r["ctx"] for r in top})
+    stats = {
+        r["ctx"]: (float(r["c2"]), float(r["n1p"]))
+        for r in tc.filter(F.col("ctx").isin(ctx_set))
+        .groupBy("ctx")
+        .agg(F.sum("count").alias("c2"), F.count(F.lit(1)).alias("n1p"))
+        .collect()
+    }
+    tc.unpersist()
+    tri_disc: dict = {}
+    for r in top:
+        c2 = stats[r["ctx"]][0]
+        tri_disc.setdefault(r["ctx"], {})[r["w3"]] = \
+            (float(r["count"]) - D) / c2
+    ctx_lambda = {c: D * n1p / c2 for c, (c2, n1p) in stats.items()}
+    return TrigramLM(tri_disc, ctx_lambda, D, bigram)
+
+
+def with_trigram_perplexity(sdf, lm: TrigramLM, text_col: str = "text",
+                            out: str = "trigram_perplexity"):
+    """Per-doc trigram perplexity exp(-(1/(n-2)) * sum of
+    ln p(w3|w1 w2)) — the step up from the bigram gate: catches
+    locally-plausible bigram chains with no three-word coherence.
+
+    Map-only; all four model maps (trigram discounts, context
+    lambdas, bigram table, unigram backoff) ride as bounded literals.
+    Per-triple log probs are SORTED BY VALUE before the fold (the
+    bigram scorer's determinism contract), so both engines add
+    bit-identically. Docs with fewer than three tokens score 1.0."""
+    bg = lm.bigram
+    oov = F.lit(float(bg.oov_prob))
+    lam_bg = F.lit(float(bg.lam))
+    one_m = F.lit(1.0 - float(bg.lam))
+    nested_bg: dict = {}
+    for pair, p in bg.bigram_probs.items():
+        w1, w2 = pair.split(" ", 1)
+        nested_bg.setdefault(w1, {})[w2] = p
+
+    w = F.col("__tg_toks")
+    n3 = F.greatest(F.size(w) - 2, F.lit(0))
+    ctxs = F.zip_with(
+        F.slice(w, 1, n3), F.slice(w, 2, n3),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    staged = (
+        sdf.withColumn("__tg_toks", word_tokens(F.col(text_col)))
+        .withColumn("__tg_tri", _nested_map_literal(lm.tri_disc))
+        .withColumn("__tg_lam", _double_map_literal(lm.ctx_lambda))
+        .withColumn("__tg_bg", _nested_map_literal(nested_bg))
+        .withColumn("__tg_uni", _double_map_literal(bg.unigram_probs))
+    )
+
+    def logp(ctx, w3):
+        w2 = F.split_part(ctx, F.lit(" "), F.lit(2))
+        pbg = lam_bg * F.coalesce(
+            F.try_element_at(
+                F.try_element_at(F.col("__tg_bg"), w2), w3
+            ),
+            F.lit(0.0),
+        ) + one_m * F.coalesce(
+            F.try_element_at(F.col("__tg_uni"), w3), oov
+        )
+        disc = F.try_element_at(
+            F.try_element_at(F.col("__tg_tri"), ctx), w3
+        )
+        return F.log(
+            F.when(
+                disc.isNotNull(),
+                disc + F.try_element_at(F.col("__tg_lam"), ctx) * pbg,
+            ).otherwise(pbg)
+        )
+
+    lps = F.zip_with(ctxs, F.slice(w, 3, n3), logp)
+    lp_sum = F.aggregate(
+        F.array_sort(lps), F.lit(0.0), lambda acc, v: acc + v
+    )
+    n = n3.cast("double")
+    ppl = F.when(n == 0.0, F.lit(1.0)).otherwise(F.exp(-lp_sum / n))
+    return staged.withColumn(out, F.round(ppl, 6)).drop(
+        "__tg_toks", "__tg_tri", "__tg_lam", "__tg_bg", "__tg_uni"
+    )

@@ -2462,6 +2462,140 @@ def text_bigram_perplexity(spark, sf_dir):
     return T.with_bigram_perplexity(d, lm).drop("text").orderBy("doc_id")
 
 
+@q(
+    "text_trigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(w) AS tok FROM toks
+    ), tot AS (
+      SELECT count(*)::DOUBLE AS t FROM u
+    ), vocab AS (
+      SELECT tok, count(*)::DOUBLE AS c FROM u GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT 256
+    ), vs AS (
+      SELECT sum(c) AS cv, count(*)::DOUBLE AS nv FROM vocab
+    ), ty AS (
+      SELECT count(DISTINCT tok)::DOUBLE AS nt FROM u
+    ), unip AS (
+      SELECT tok, (c + 1.0) / (tot.t + (vs.nv + 1.0)) AS p
+      FROM vocab, tot, vs
+    ), oovp AS (
+      SELECT (tot.t - vs.cv + 1.0) / (tot.t + (vs.nv + 1.0))
+             / greatest(ty.nt - vs.nv, 1.0) AS p
+      FROM tot, vs, ty
+    ), prb AS (
+      SELECT [w[i] || ' ' || w[i + 1]
+              for i in generate_series(1, len(w) - 1)] AS ps
+      FROM toks WHERE len(w) >= 2
+    ), bg AS (
+      SELECT unnest(ps) AS pair FROM prb
+    ), bgc AS (
+      SELECT pair, count(*)::DOUBLE AS c FROM bg GROUP BY pair
+      ORDER BY count(*) DESC, pair LIMIT 512
+    ), lc AS (
+      SELECT split_part(pair, ' ', 1) AS w1, count(*)::DOUBLE AS n
+      FROM bg
+      WHERE split_part(pair, ' ', 1) IN
+            (SELECT DISTINCT split_part(pair, ' ', 1) FROM bgc)
+      GROUP BY 1
+    ), bgp AS (
+      SELECT bgc.pair, bgc.c / lc.n AS p
+      FROM bgc JOIN lc ON lc.w1 = split_part(bgc.pair, ' ', 1)
+    ), mbi AS (
+      SELECT split_part(pair, ' ', 1) AS w1,
+             map(list(split_part(pair, ' ', 2) ORDER BY pair),
+                 list(p ORDER BY pair)) AS im
+      FROM bgp GROUP BY 1
+    ), mb AS (
+      SELECT map(list(w1 ORDER BY w1), list(im ORDER BY w1)) AS m
+      FROM mbi
+    ), mu AS (
+      SELECT map(list(tok ORDER BY tok), list(p ORDER BY tok)) AS m
+      FROM unip
+    ), pr3 AS (
+      SELECT [w[i] || ' ' || w[i + 1]
+              for i in generate_series(1, len(w) - 2)] AS cs,
+             [w[i + 2] for i in generate_series(1, len(w) - 2)] AS ts
+      FROM toks WHERE len(w) >= 3
+    ), tg AS (
+      SELECT unnest(cs) AS ctx, unnest(ts) AS w3 FROM pr3
+    ), tgc AS (
+      SELECT ctx, w3, count(*)::DOUBLE AS c FROM tg GROUP BY ctx, w3
+    ), top3 AS (
+      SELECT ctx, w3, c FROM tgc ORDER BY c DESC, ctx, w3 LIMIT 512
+    ), cst AS (
+      SELECT ctx, sum(c) AS c2, count(*)::DOUBLE AS n1p FROM tgc
+      WHERE ctx IN (SELECT DISTINCT ctx FROM top3) GROUP BY ctx
+    ), tdisc AS (
+      SELECT t.ctx, t.w3, (t.c - 0.75) / cst.c2 AS d
+      FROM top3 t JOIN cst USING (ctx)
+    ), mti AS (
+      SELECT ctx, map(list(w3 ORDER BY w3), list(d ORDER BY w3)) AS im
+      FROM tdisc GROUP BY ctx
+    ), mt AS (
+      SELECT map(list(ctx ORDER BY ctx), list(im ORDER BY ctx)) AS m
+      FROM mti
+    ), ml AS (
+      SELECT map(list(ctx ORDER BY ctx),
+                 list(0.75 * n1p / c2 ORDER BY ctx)) AS m
+      FROM cst
+    ), per AS (
+      SELECT toks.doc_id,
+             list_reduce(
+               list_prepend(0.0, list_sort(
+                 [ln(CASE WHEN element_at(
+                            element_at(mt.m, w[i] || ' ' || w[i + 1])[1],
+                            w[i + 2])[1] IS NOT NULL
+                     THEN element_at(
+                            element_at(mt.m, w[i] || ' ' || w[i + 1])[1],
+                            w[i + 2])[1]
+                          + element_at(ml.m, w[i] || ' ' || w[i + 1])[1]
+                          * (0.75 * coalesce(
+                               element_at(
+                                 element_at(mb.m, w[i + 1])[1],
+                                 w[i + 2])[1], 0.0)
+                             + 0.25 * coalesce(
+                                 element_at(mu.m, w[i + 2])[1], oovp.p))
+                     ELSE 0.75 * coalesce(
+                            element_at(
+                              element_at(mb.m, w[i + 1])[1],
+                              w[i + 2])[1], 0.0)
+                          + 0.25 * coalesce(
+                              element_at(mu.m, w[i + 2])[1], oovp.p)
+                     END)
+                  for i in generate_series(1, len(w) - 2)])),
+               (a, b) -> a + b) AS lp,
+             (len(w) - 2)::DOUBLE AS np
+      FROM toks, mt, ml, mb, mu, oovp
+      WHERE len(w) >= 3
+    )
+    SELECT t.doc_id,
+           round(CASE WHEN per.np IS NULL THEN 1.0
+                 ELSE exp(-per.lp / per.np) END, 6) AS trigram_perplexity
+    FROM toks t LEFT JOIN per USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def text_trigram_perplexity(spark, sf_dir):
+    """KN-style trigram perplexity (absolute discounting, Chen &
+    Goodman 1999 — the KenLM-standard smoothing shape): p(w3|w1 w2) =
+    (c3 - D)/c2 + (D·N1+(ctx·)/c2)·p_bg for table trigrams, full
+    interpolated-bigram backoff outside it. Fit = ONE additional
+    (ctx,w3)-keyed bounded shuffle over fit_bigram_lm's three, whose
+    single persisted aggregate supplies both the top table and the
+    per-context stats; scoring map-only with all four model maps as
+    bounded literals, per-triple log probs sorted BY VALUE before the
+    fold so both engines add bit-identically (functions/text.py
+    fit_trigram_lm / with_trigram_perplexity)."""
+    d = load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+    lm = T.fit_trigram_lm(d, table_size=512, D=0.75)
+    return T.with_trigram_perplexity(d, lm).drop("text").orderBy("doc_id")
+
+
 # ------------------------------ dedup family --------------------------------
 
 @q(

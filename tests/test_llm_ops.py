@@ -2361,3 +2361,60 @@ def test_stratified_cap_exact_selection(spark, tables):
     assert got == exp
     with pytest.raises(ValueError):
         stratified_cap(d, n=0)
+
+
+def test_trigram_lm_python_replay_and_bigram_salad(spark):
+    """fit_trigram_lm vs a literal python replay (top-table discounts,
+    per-context lambdas), and the gate's point: a text stitched from
+    FLUENT BIGRAMS but with no three-word coherence scores worse than
+    the original, while the bigram model rates both similarly."""
+    import math
+    from collections import Counter
+
+    from dask_spark.functions.text import (
+        fit_trigram_lm,
+        with_bigram_perplexity,
+        with_trigram_perplexity,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    # every adjacent pair below occurs in `fluent`, but no triple does
+    # in this order: bigram-fluent, trigram-incoherent
+    chain = "the mat and the rug the cat sat on the dog sat on the"
+    rows = [(i, fluent) for i in range(40)] + [
+        (100, chain), (101, "one two"), (102, "")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    D = 0.75
+    lm = fit_trigram_lm(sdf, table_size=32, D=D,
+                        vocab_size=16)
+    # python replay of the trigram layer
+    tris = []
+    for _, txt in rows:
+        w = txt.lower().split()
+        tris += [(f"{a} {b}", c) for a, b, c in zip(w, w[1:], w[2:])]
+    tc = Counter(tris)
+    top = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:32]
+    ctxs = {ctx for (ctx, _), _ in top}
+    c2 = Counter()
+    n1p = Counter()
+    for (ctx, w3), c in tc.items():
+        if ctx in ctxs:
+            c2[ctx] += c
+            n1p[ctx] += 1
+    exp_disc = {}
+    for (ctx, w3), c in top:
+        exp_disc.setdefault(ctx, {})[w3] = (float(c) - D) / float(c2[ctx])
+    exp_lam = {ctx: D * float(n1p[ctx]) / float(c2[ctx]) for ctx in ctxs}
+    assert lm.tri_disc == exp_disc
+    assert lm.ctx_lambda == exp_lam
+
+    out = {r["doc_id"]: r["ppl"]
+           for r in with_trigram_perplexity(sdf, lm, out="ppl").collect()}
+    assert out[101] == 1.0 and out[102] == 1.0  # <3 tokens
+    assert out[100] > out[0] * 1.5, (out[100], out[0])
+    bout = {r["doc_id"]: r["ppl"]
+            for r in with_bigram_perplexity(sdf, lm.bigram, out="ppl")
+            .collect()}
+    # the bigram gate separates them far less than the trigram gate
+    assert (bout[100] / bout[0]) < (out[100] / out[0])
