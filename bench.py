@@ -81,6 +81,9 @@ HEADLINE = [
     "corpus_pagerank",    # integer-exact power iteration on edge graph
     "corpus_domain_cap",  # per-domain cap: prefilter + bounded window
     "text_trigram_perplexity",  # KN-style trigram gate: 4 literal maps
+    "graph_triangles",    # degree-oriented wedge join, ids-only
+    "events_funnel",      # chained user-keyed step mins, one lazy plan
+    "events_retention",   # cohort distinct counts, (user,week) collapsed
 ]
 
 

@@ -1,0 +1,163 @@
+"""Event-sequence analytics over user activity streams: ordered
+funnels and cohort retention — the two queries every product/event
+warehouse runs daily, and at 100 TB the ones most tempting to write
+wrong (a per-user sort of the full event log). The reference engine
+expresses these as groupby-apply over pandas chunks
+(dask/dataframe/groupby.py apply); here they lower to chained
+user-keyed min-aggregations and date-bucketed distinct counts —
+pure Catalyst plans, no Python in the path.
+
+100 TB shape: every exchange is user-keyed or (cohort, offset)-keyed
+and map-side combined. The funnel filters each step to its event type
+AT THE SCAN (predicate pushdown — a step's exchange carries only that
+step's matching events, not the log), and each chaining join moves
+one row per user who reached the previous step. Retention moves one
+(user, week) pair per active user-week into a cohort-keyed count.
+Nothing is ever sorted per user and nothing event-sized reaches the
+driver; counts are exact integers, so results are pure functions of
+the row set and replay exactly in SQL."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+
+from dask_spark.frame import DaskFrame
+
+
+def funnel(events, steps: Sequence[str], user_col: str = "user_id",
+           type_col: str = "event_type", ts_col: str = "ts",
+           within_seconds: int | None = None):
+    """Ordered-funnel report → DaskFrame(step_idx, step, users):
+    users reaching step i completed steps 1..i in STRICT timestamp
+    order (t_i = the user's earliest ``steps[i]`` event with
+    ts > t_{i-1}), the standard windowed-funnel semantics. With
+    ``within_seconds``, every step must land within that window of
+    the user's step-1 time (conversion window).
+
+    Strict ``>`` chaining makes the result tie-unambiguous: two
+    events on the same timestamp cannot witness consecutive steps,
+    so no engine- or order-dependent tiebreak exists to diverge
+    on."""
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    u = F.col(user_col)
+
+    def step_events(s):
+        return sdf.filter(F.col(type_col) == s).select(
+            u.alias("u"), F.col(ts_col).alias("t")
+        )
+
+    cur = step_events(steps[0]).groupBy("u").agg(F.min("t").alias("tprev"))
+    if within_seconds is not None:
+        cur = cur.withColumn(
+            "tmax",
+            (F.col("tprev").cast("double")
+             + F.lit(float(within_seconds))).cast("timestamp"),
+        )
+    legs = [cur.select(F.lit(1).alias("step_idx"), F.col("u"))]
+    prev = cur
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = step_events(s).join(prev.drop("t"), "u").filter(
+            F.col("t") > F.col("tprev")
+        )
+        if within_seconds is not None:
+            nxt = nxt.filter(F.col("t") <= F.col("tmax"))
+        agg = [F.min("t").alias("tprev")]
+        if within_seconds is not None:
+            agg.append(F.first("tmax").alias("tmax"))
+        prev = nxt.groupBy("u").agg(*agg)
+        legs.append(prev.select(F.lit(i).alias("step_idx"), F.col("u")))
+    reached = legs[0]
+    for leg in legs[1:]:
+        reached = reached.unionAll(leg)
+    counts = reached.groupBy("step_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users")
+    )
+    spark = sdf.sparkSession
+    names = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string",
+    )
+    # left join from the step table keeps zero-user steps in the
+    # report; everything stays one lazy plan (no per-step driver jobs)
+    out = names.join(F.broadcast(counts), "step_idx", "left").select(
+        "step_idx", "step",
+        F.coalesce("users", F.lit(0).cast("bigint")).alias("users"),
+    ).orderBy("step_idx")
+    return DaskFrame(out)
+
+
+def funnel_users(events, steps: Sequence[str], user_col: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts"):
+    """Per-user funnel depth → DaskFrame(user, max_step): the highest
+    step index (1-based) each step-1 user reached under funnel()'s
+    strict-order semantics — the row-level form feeding user-list
+    exports and drop-off joins. Same chained user-keyed plan; the
+    step columns ride one DataFrame so the engine shares the
+    scans."""
+    steps = list(steps)
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    u = F.col(user_col)
+
+    def step_events(s):
+        return sdf.filter(F.col(type_col) == s).select(
+            u.alias("u"), F.col(ts_col).alias("t")
+        )
+
+    prev = step_events(steps[0]).groupBy("u").agg(F.min("t").alias("tprev"))
+    depth = prev.select("u", F.lit(1).alias("max_step"))
+    for i, s in enumerate(steps[1:], start=2):
+        prev = (
+            step_events(s).join(prev, "u")
+            .filter(F.col("t") > F.col("tprev"))
+            .groupBy("u").agg(F.min("t").alias("tprev"))
+        )
+        depth = depth.join(
+            prev.select("u", F.lit(i).alias("__s")), "u", "left"
+        ).select(
+            "u",
+            F.greatest("max_step", F.coalesce("__s", F.lit(0)))
+            .alias("max_step"),
+        )
+    return DaskFrame(depth.select(F.col("u").alias("user"), "max_step"))
+
+
+def cohort_retention(events, user_col: str = "user_id",
+                     ts_col: str = "ts", max_weeks: int | None = None):
+    """Weekly cohort retention → DaskFrame(cohort_week, week_k,
+    users): cohort_week is the Monday of the user's FIRST event;
+    users counts the cohort's distinct users active in week
+    cohort_week + k (week_k = 0 is the cohort size). Exact integer
+    week offsets (datediff div 7 on date_trunc'd Mondays), so both
+    engines bucket identically.
+
+    Two user-keyed aggregates + one (cohort, k)-keyed distinct count;
+    the distinct collapses to (user, week) pairs map-side before the
+    exchange."""
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    u = F.col(user_col)
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = sdf.groupBy(u.alias("u")).agg(
+        F.min(wk).alias("cohort_week")
+    )
+    act = sdf.select(u.alias("u"), wk.alias("w")).distinct()
+    j = act.join(first, "u").select(
+        "u", "cohort_week",
+        (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+        .cast("int").alias("week_k"),
+    )
+    if max_weeks is not None:
+        j = j.filter(F.col("week_k") <= int(max_weeks))
+    out = (
+        j.groupBy("cohort_week", "week_k")
+        .agg(F.countDistinct("u").cast("bigint").alias("users"))
+    )
+    return DaskFrame(out)

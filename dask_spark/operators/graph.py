@@ -109,3 +109,56 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
             ).select("node", new_r)
         ranks = ranks.localCheckpoint(eager=False)
     return DaskFrame(ranks.select("node", F.col("r").alias("rank")))
+
+
+def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
+    """Per-node triangle counts over an UNDIRECTED edge list →
+    DaskFrame(node, triangles), nodes without triangles omitted.
+
+    Degree-oriented wedge join (the "compact-forward" shape, Latapy
+    2008 — the standard distributed formulation): canonicalize +
+    dedupe edges, orient each from the lower (degree, id) endpoint to
+    the higher, self-join oriented adjacency on the wedge center, and
+    close each wedge against the oriented edge set. The orientation
+    bounds every node's out-degree by O(sqrt E) (graph arboricity), so
+    the wedge exchange is O(E^1.5) worst-case instead of the
+    sum-of-degree-squares a naive neighbor join pays — the difference
+    between feasible and dead on a power-law web graph. Every
+    exchange carries ids only; counts are exact integers, so the
+    result is a pure function of the edge set and the DuckDB oracle
+    replays it row-for-row."""
+    sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    e = sdf.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).persist()
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return DaskFrame(per_node)

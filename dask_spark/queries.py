@@ -2463,6 +2463,138 @@ def text_bigram_perplexity(spark, sf_dir):
 
 
 @q(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      JOIN s2 ON s2.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+    )
+    SELECT 1 AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1)::BIGINT AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+    ORDER BY step_idx
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel with strict timestamp
+    chaining (t_i = earliest step-i event AFTER t_{i-1} — the
+    tie-unambiguous windowed-funnel semantics). Each step filters to
+    its event type at the scan and the chaining joins move one row
+    per surviving user; the whole report is ONE lazy plan, no
+    per-step driver jobs (operators/behavior.py funnel)."""
+    from dask_spark.operators.behavior import funnel
+
+    e = load(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"]).to_spark()
+
+
+@q(
+    "events_retention",
+    """
+    WITH first AS (
+      SELECT user_id AS u,
+             min(date_trunc('week', ts))::DATE AS cw
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS w
+      FROM events
+    )
+    SELECT f.cw::VARCHAR AS cohort_week,
+           ((a.w - f.cw) // 7)::INT AS week_k,
+           count(DISTINCT a.u)::BIGINT AS users
+    FROM act a JOIN first f ON f.u = a.u
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_k
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = Monday of the user's first
+    event; users = the cohort's distinct users active k weeks later
+    (week_k 0 is cohort size). Exact integer week offsets on
+    date_trunc'd Mondays, two user-keyed aggregates + one
+    (cohort, k)-keyed distinct count that collapses to (user, week)
+    pairs map-side (operators/behavior.py cohort_retention)."""
+    from dask_spark.operators.behavior import cohort_retention
+
+    e = load(spark, sf_dir, "events")
+    return (
+        cohort_retention(e).to_spark()
+        # date -> string: a DATE output column round-trips as
+        # python date objects on one engine and datetime64 on the
+        # other — the value hash needs one canonical form
+        .withColumn("cohort_week", F.col("cohort_week").cast("string"))
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+@q(
+    "graph_triangles",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tri AS (
+      SELECT w1.p1 AS x, w1.p2 AS y, w2.p2 AS z
+      FROM e0 w1
+      JOIN e0 w2 ON w1.p1 = w2.p1 AND w1.p2 < w2.p2
+      JOIN e0 cl ON cl.p1 = w1.p2 AND cl.p2 = w2.p2
+    ), pn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, triangles FROM pn
+    ORDER BY triangles DESC, node LIMIT 100
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts on the part co-purchase graph (parts
+    co-occurring in >= 2 orders — the frequent-pair support threshold
+    that keeps a co-occurrence graph from densifying into noise), top
+    100 by (triangles desc, node). Spark runs the degree-ORIENTED
+    wedge join (out-degree bounded by O(sqrt E), so the wedge exchange
+    is O(E^1.5) instead of sum-of-degree-squares); the oracle counts
+    the same triangles with the naive ordered formulation — counts
+    are exact integers, so any correct algorithm agrees row-for-row
+    (operators/graph.py triangle_count)."""
+    from dask_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    tc = triangle_count(edges, "p1", "p2")
+    return (
+        tc.to_spark()
+        .orderBy(F.col("triangles").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
+@q(
     "text_trigram_perplexity",
     r"""
     WITH toks AS (

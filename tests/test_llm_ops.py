@@ -2418,3 +2418,98 @@ def test_trigram_lm_python_replay_and_bigram_salad(spark):
             .collect()}
     # the bigram gate separates them far less than the trigram gate
     assert (bout[100] / bout[0]) < (out[100] / out[0])
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), a 4-cycle (none), and a
+    5-node bowtie (center in 2, wings in 1) — input given with
+    duplicate and reversed edges to pin canonicalization."""
+    from dask_spark.operators.graph import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        return {r["node"]: r["triangles"]
+                for r in triangle_count(df).to_spark().collect()}
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    # noise: reversed + duplicated edges must not change counts
+    assert run(k4 + [(j, i) for i, j in k4] + k4[:2]) == {
+        0: 3, 1: 3, 2: 3, 3: 3}
+    assert run([(0, 1), (1, 2), (2, 3), (3, 0)]) == {}
+    bowtie = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    assert run(bowtie) == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_funnel_strict_order_and_window(spark):
+    """Strict-> chaining: a click BEFORE the first view does not
+    count; ties on the same timestamp do not advance; within_seconds
+    drops conversions outside the window; zero-user steps stay in
+    the report with users=0."""
+    from datetime import datetime as DT
+
+    from dask_spark.operators.behavior import funnel, funnel_users
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, "view", DT(2024, 1, 1, 10)), (1, "click", DT(2024, 1, 1, 11)),
+        (1, "purchase", DT(2024, 1, 1, 12)),
+        # u2: click precedes the first view -> stalls at view
+        (2, "click", DT(2024, 1, 1, 9)), (2, "view", DT(2024, 1, 1, 10)),
+        # u3: click at the SAME instant as view -> tie does not count
+        (3, "view", DT(2024, 1, 1, 10)), (3, "click", DT(2024, 1, 1, 10)),
+        # u4: converts but outside a 1h window
+        (4, "view", DT(2024, 1, 1, 10)), (4, "click", DT(2024, 1, 1, 13)),
+        # u5: never views -> not even step 1
+        (5, "click", DT(2024, 1, 1, 10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    rep = {r["step"]: r["users"]
+           for r in funnel(df, ["view", "click", "purchase"]).to_spark()
+           .collect()}
+    assert rep == {"view": 4, "click": 2, "purchase": 1}
+    rep_w = {r["step"]: r["users"]
+             for r in funnel(df, ["view", "click", "purchase"],
+                             within_seconds=3600).to_spark().collect()}
+    # u1's purchase lands at t1+2h, outside the 1h window; the click
+    # at exactly t1+3600 is inclusive
+    assert rep_w == {"view": 4, "click": 1, "purchase": 0}
+    # a step nobody reaches stays in the report at 0
+    rep_z = {r["step"]: r["users"]
+             for r in funnel(df, ["view", "signup"]).to_spark().collect()}
+    assert rep_z == {"view": 4, "signup": 0}
+    depth = {r["user"]: r["max_step"]
+             for r in funnel_users(df, ["view", "click", "purchase"])
+             .to_spark().collect()}
+    assert depth == {1: 3, 2: 1, 3: 1, 4: 2}
+
+
+def test_cohort_retention_replay(spark):
+    """cohort_retention vs a literal replay: Monday-anchored cohorts,
+    integer week offsets, distinct-user counts."""
+    from datetime import datetime as DT
+
+    from dask_spark.operators.behavior import cohort_retention
+
+    rows = [
+        (1, DT(2024, 1, 2)),   # cohort Mon 2024-01-01
+        (1, DT(2024, 1, 9)),   # week 1
+        (1, DT(2024, 1, 10)),  # same week 1 (distinct collapses)
+        (2, DT(2024, 1, 3)),   # cohort Mon 2024-01-01
+        (2, DT(2024, 1, 17)),  # week 2
+        (3, DT(2024, 1, 8)),   # cohort Mon 2024-01-08
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {(str(r["cohort_week"]), r["week_k"]): r["users"]
+           for r in cohort_retention(df).to_spark().collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+    got_cap = {(str(r["cohort_week"]), r["week_k"]): r["users"]
+               for r in cohort_retention(df, max_weeks=1).to_spark().collect()}
+    assert set(got_cap) == {("2024-01-01", 0), ("2024-01-01", 1),
+                            ("2024-01-08", 0)}
