@@ -161,3 +161,42 @@ def cohort_retention(events, user_col: str = "user_id",
         .agg(F.countDistinct("u").cast("bigint").alias("users"))
     )
     return DaskFrame(out)
+
+
+def transition_matrix(events, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id", round_dp: int = 6):
+    """First-order Markov transitions between consecutive events of
+    each user → DaskFrame(from_type, to_type, cnt, prob): cnt counts
+    adjacent (by timestamp) event pairs, prob = cnt / Σ cnt per
+    from_type, rounded on both engines so the ratio of exact integer
+    counts hashes identically.
+
+    Ordering is (ts, id) — the unique id breaks timestamp ties, so
+    the pair set is deterministic. One user-keyed window (the lag)
+    + one (from, to)-keyed count (map-side combined; state is at most
+    |event types|² per partition) + a broadcast-size per-from total
+    joined back via a window over the tiny transition table."""
+    from pyspark.sql import Window
+
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    pairs = sdf.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(F.col(type_col)).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = Window.partitionBy("from_type")
+    out = counts.select(
+        "from_type", "to_type", "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(tot).cast("double"),
+            round_dp,
+        ).alias("prob"),
+    )
+    return DaskFrame(out)

@@ -2539,6 +2539,97 @@ def events_retention(spark, sf_dir):
 
 
 @q(
+    "events_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*)::DOUBLE
+                 / (sum(count(*)) OVER (PARTITION BY from_type))::DOUBLE,
+                 6) AS prob
+    FROM p WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY from_type, to_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix between consecutive user
+    events, ordered by (ts, event_id) so timestamp ties are
+    deterministic: one user-keyed window + one (from, to)-keyed
+    map-side-combined count (state <= |event types|² per partition);
+    prob is one division of exact integer counts, rounded on both
+    engines (operators/behavior.py transition_matrix)."""
+    from dask_spark.operators.behavior import transition_matrix
+
+    e = load(spark, sf_dir, "events")
+    return (
+        transition_matrix(e).to_spark()
+        .orderBy("from_type", "to_type")
+    )
+
+
+@q(
+    "assoc_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), nb AS (
+      SELECT count(DISTINCT b)::DOUBLE AS n FROM bi
+    ), isup AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS sup FROM bi GROUP BY i
+    ), ps AS (
+      SELECT a.i AS x, c.i AS y, CAST(count(*) AS BIGINT) AS sup_xy
+      FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), r AS (
+      SELECT ps.x AS antecedent, ps.y AS consequent,
+             ps.sup_xy AS support,
+             round(ps.sup_xy::DOUBLE / sx.sup::DOUBLE, 6) AS confidence,
+             round(ps.sup_xy::DOUBLE / sx.sup::DOUBLE * nb.n
+                   / sy.sup::DOUBLE, 6) AS lift
+      FROM ps JOIN isup sx ON sx.i = ps.x
+              JOIN isup sy ON sy.i = ps.y, nb
+      UNION ALL
+      SELECT ps.y, ps.x, ps.sup_xy,
+             round(ps.sup_xy::DOUBLE / sy.sup::DOUBLE, 6),
+             round(ps.sup_xy::DOUBLE / sy.sup::DOUBLE * nb.n
+                   / sx.sup::DOUBLE, 6)
+      FROM ps JOIN isup sx ON sx.i = ps.x
+              JOIN isup sy ON sy.i = ps.y, nb
+    )
+    SELECT antecedent, consequent, support, confidence, lift
+    FROM r ORDER BY lift DESC, antecedent, consequent LIMIT 50
+    """,
+)
+def assoc_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets
+    (support/confidence/lift, both rule directions), top 50 by
+    (lift desc, antecedent, consequent). Baskets dedupe to distinct
+    items first; the pair count is basket-keyed and the min-support
+    filter runs on the aggregate; item supports broadcast to the
+    pair side. All metrics are single divisions of exact integer
+    supports, rounded on both engines (operators/assoc.py
+    association_rules)."""
+    from dask_spark.operators.assoc import association_rules
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    r = association_rules(li, min_support=2)
+    return (
+        r.to_spark()
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(50)
+    )
+
+
+@q(
     "graph_triangles",
     """
     WITH e0 AS (

@@ -2513,3 +2513,59 @@ def test_cohort_retention_replay(spark):
                for r in cohort_retention(df, max_weeks=1).to_spark().collect()}
     assert set(got_cap) == {("2024-01-01", 0), ("2024-01-01", 1),
                             ("2024-01-08", 0)}
+
+
+def test_transition_matrix_replay(spark):
+    """transition_matrix vs a literal replay, with a timestamp tie
+    broken by event_id and per-from probabilities summing to 1."""
+    from datetime import datetime as DT
+
+    from dask_spark.operators.behavior import transition_matrix
+
+    rows = [
+        (1, 1, "a", DT(2024, 1, 1, 10)),
+        (2, 1, "b", DT(2024, 1, 1, 11)),
+        (3, 1, "a", DT(2024, 1, 1, 12)),
+        # tie at 12:00 for user 2: event_id orders c before d
+        (4, 2, "c", DT(2024, 1, 1, 12)),
+        (5, 2, "d", DT(2024, 1, 1, 12)),
+        (6, 3, "a", DT(2024, 1, 1, 9)),   # single event: no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "ts timestamp"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["cnt"], r["prob"])
+           for r in transition_matrix(df).to_spark().collect()}
+    assert got == {("a", "b"): (1, 1.0), ("b", "a"): (1, 1.0),
+                   ("c", "d"): (1, 1.0)}
+
+
+def test_association_rules_replay(spark):
+    """association_rules vs hand-computed supports on four baskets,
+    including duplicate (basket, item) rows that must collapse and
+    the min-support gate."""
+    from dask_spark.operators.assoc import association_rules
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),        # dup item collapses
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    got = {(r["antecedent"], r["consequent"]):
+           (r["support"], r["confidence"], r["lift"])
+           for r in association_rules(df, min_support=2).to_spark()
+           .collect()}
+    # supports: x=3, y=2, z=3, n=4; xy=2, xz=2, yz=1 (below min)
+    assert got == {
+        ("x", "y"): (2, round(2 / 3, 6), round(2 / 3 * 4 / 2, 6)),
+        ("y", "x"): (2, 1.0, round(1.0 * 4 / 3, 6)),
+        ("x", "z"): (2, round(2 / 3, 6), round(2 / 3 * 4 / 3, 6)),
+        ("z", "x"): (2, round(2 / 3, 6), round(2 / 3 * 4 / 3, 6)),
+    }
+    import pytest as _pt
+    empty = spark.createDataFrame([], "basket bigint, item string")
+    with _pt.raises(ValueError, match="no non-null baskets"):
+        association_rules(empty)
