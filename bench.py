@@ -84,6 +84,9 @@ HEADLINE = [
     "graph_triangles",    # degree-oriented wedge join, ids-only
     "events_funnel",      # chained user-keyed step mins, one lazy plan
     "events_retention",   # cohort distinct counts, (user,week) collapsed
+    "events_transitions", # user-keyed lag window + typed-pair count
+    "assoc_rules",        # basket pair supports + broadcast item table
+    "graph_ppr",          # personalized weighted power iteration
 ]
 
 

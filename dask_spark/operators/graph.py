@@ -41,7 +41,8 @@ from dask_spark.frame import DaskFrame
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
              iters: int = 3, scale: int = 10 ** 12,
              damping_num: int = 85, damping_den: int = 100,
-             symmetric: bool = False):
+             symmetric: bool = False, weight_col: str | None = None,
+             seed_fn=None):
     """Integer-exact PageRank over an edge list → DaskFrame(node,
     rank) with rank on the ``scale`` grid (initial rank = scale per
     node; teleport share = scale·(den-num) div den).
@@ -54,30 +55,56 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
     signal rather than a probability distribution; document or
     symmetrize as the graph demands.
 
+    ``weight_col`` names a POSITIVE INTEGER edge weight: parallel
+    edges sum their weights (so raw event rows weight-1 give
+    multiplicity weighting), and a src's rank splits as
+    (r·w) div Σw — still pure int64. ``seed_fn`` (node Column →
+    boolean Column) personalizes: teleport mass lands ONLY on seed
+    nodes and initial rank is scale on seeds / 0 elsewhere — the
+    personalized-PageRank form (topic/domain-centric importance).
+
     Determinism: every arithmetic step is int64 (div = truncating
     integer division on nonnegative operands in both engines), so the
-    result is a pure function of the edge SET — partition counts,
-    fetch order and AQE decisions cannot move it.
+    result is a pure function of the weighted edge SET — partition
+    counts, fetch order and AQE decisions cannot move it. Overflow
+    budget: num · Σranks and r · w_max must stay under 2^63 — shrink
+    ``scale`` as N grows (10^8 at 10^9 nodes still keeps 8 exact
+    digits).
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
-    e = sdf.select(
+    cols = [
         F.col(src_col).cast("bigint").alias("src"),
         F.col(dst_col).cast("bigint").alias("dst"),
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("bigint").alias("w"))
+    e = sdf.select(*cols).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if weight_col is not None:
+        e = e.filter(F.col("w") > 0)
     if symmetric:
-        # one distinct AFTER the union subsumes a pre-union distinct
+        # one dedup AFTER the union subsumes a pre-union dedup
         # (same edge set, one fewer full-edge exchange)
-        e = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst"))).distinct()
+        rev = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        if weight_col is not None:
+            rev.append(F.col("w"))
+        e = e.unionAll(e.select(*rev))
+    if weight_col is not None:
+        # parallel edges merge by SUMMING weight (multiplicity)
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     else:
         e = e.distinct()
     # out-degrees ride WITH the edges (one join, once) so an iteration
     # only has to bring the current ranks to the edge partitioning;
     # the src-keyed join output is ALREADY hash-partitioned on src, so
     # no explicit repartition (an extra full-edge exchange) is needed.
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight_col is not None:
+        deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    else:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, "src").persist()
     if symmetric:
         # every node appears as a src (its reversed edge), so deg's
@@ -94,19 +121,36 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
 
     teleport = (int(scale) * (damping_den - damping_num)) // damping_den
     damp = F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
-    new_r = (F.lit(teleport).cast("bigint") + damp).alias("r")
-    ranks = nodes.select("node", F.lit(int(scale)).cast("bigint").alias("r"))
+
+    def tele_expr():
+        t = F.lit(teleport).cast("bigint")
+        if seed_fn is None:
+            return t
+        return F.when(seed_fn(F.col("node")), t).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    init = F.lit(int(scale)).cast("bigint")
+    if seed_fn is not None:
+        init = F.when(seed_fn(F.col("node")), init).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    contrib_expr = (
+        "(r * w) div outdeg" if weight_col is not None else "r div outdeg"
+    )
+    ranks = nodes.select("node", init.alias("r"))
     for _ in range(int(iters)):
         contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
-            "dst", F.expr("r div outdeg").alias("c")
+            "dst", F.expr(contrib_expr).alias("c")
         )
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         if symmetric:
-            ranks = insum.select(F.col("dst").alias("node"), new_r)
+            ranks = insum.select(F.col("dst").alias("node"),
+                                 (tele_expr() + damp).alias("r"))
         else:
             ranks = nodes.join(
                 insum, nodes["node"] == insum["dst"], "left"
-            ).select("node", new_r)
+            ).select("node", (tele_expr() + damp).alias("r"))
         ranks = ranks.localCheckpoint(eager=False)
     return DaskFrame(ranks.select("node", F.col("r").alias("rank")))
 

@@ -2538,6 +2538,84 @@ def events_retention(spark, sf_dir):
     )
 
 
+def _ppr_oracle(iters: int = 3, scale: int = 10 ** 9,
+                num: int = 85, den: int = 100, topk: int = 100) -> str:
+    """Generated DuckDB replay of the personalized + weighted
+    pagerank form: weight = edge multiplicity (raw rows union
+    reversed, then count per directed pair), contributions
+    (r·w) // Σw, teleport only on part nodes (odd ids), initial rank
+    scale on seeds / 0 elsewhere. Every SUM cast back to BIGINT."""
+    teleport = int(scale) * (den - num) // den
+    prev, its = "r0", []
+    for i in range(1, int(iters) + 1):
+        its.append(f"""i{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(({prev}.r * e.w) // d.wsum) AS BIGINT) AS s
+      FROM e JOIN d ON d.src = e.src
+             JOIN {prev} ON {prev}.node = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node % 2 = 1 THEN {teleport} ELSE 0 END
+                  + ({num} * COALESCE(i{i}.s, 0)) // {den}
+                  AS BIGINT) AS r
+      FROM n LEFT JOIN i{i} ON i{i}.node = n.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH raw AS (
+      SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst
+      FROM lineitem
+    ), e AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM raw GROUP BY src, dst
+    ), d AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY src
+    ), n AS (
+      SELECT DISTINCT src AS node FROM e
+    ), r0 AS (
+      SELECT node,
+             CAST(CASE WHEN node % 2 = 1 THEN {int(scale)} ELSE 0 END
+                  AS BIGINT) AS r
+      FROM n
+    ), {', '.join(its)}
+    SELECT node, r AS rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT {topk}
+    """
+
+
+@q("graph_ppr", _ppr_oracle())
+def graph_ppr(spark, sf_dir):
+    """Personalized, weighted PageRank: teleport mass lands only on
+    PART nodes (odd ids — domain-centric importance) and every edge
+    carries its lineitem multiplicity as an integer weight, so a
+    part ordered twice in an order pulls twice the rank share
+    ((r·w) div Σw — still pure int64, bit-identical to the oracle's
+    unrolled replay). Same one-join + one-aggregate iteration bill as
+    corpus_pagerank (operators/graph.py pagerank(weight_col=,
+    seed_fn=))."""
+    from dask_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")._sdf
+    edges = li.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    pr = pagerank(
+        edges, iters=3, scale=10 ** 9, symmetric=True,
+        weight_col="w", seed_fn=lambda n: n % 2 == 1,
+    )
+    return (
+        pr.to_spark()
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
 @q(
     "events_transitions",
     """

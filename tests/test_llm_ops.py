@@ -2569,3 +2569,39 @@ def test_association_rules_replay(spark):
     empty = spark.createDataFrame([], "basket bigint, item string")
     with _pt.raises(ValueError, match="no non-null baskets"):
         association_rules(empty)
+
+
+def test_pagerank_weighted_and_personalized(spark):
+    """Weighted + seeded pagerank vs a literal integer replay:
+    parallel edges sum their weights, contributions split as
+    (r*w) // wsum, teleport and initial mass land only on seeds."""
+    from collections import defaultdict
+
+    from dask_spark.operators.graph import pagerank
+
+    raw = [(1, 2, 1), (1, 2, 2), (1, 3, 1), (2, 3, 5), (3, 1, 1),
+           (4, 1, 3)]
+    seeds = {1, 3}
+    df = spark.createDataFrame(raw, "src bigint, dst bigint, w bigint")
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=4, scale=10 ** 9, weight_col="w",
+                    seed_fn=lambda n: n.isin([1, 3]))
+           .to_spark().collect()}
+
+    scale, num, den = 10 ** 9, 85, 100
+    tele = scale * (den - num) // den
+    ew = defaultdict(int)
+    for s, d, w in raw:
+        ew[(s, d)] += w
+    wsum = defaultdict(int)
+    for (s, _), w in ew.items():
+        wsum[s] += w
+    nodes = sorted({n for e in ew for n in e})
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(4):
+        acc = defaultdict(int)
+        for (s, d), w in ew.items():
+            acc[d] += (r[s] * w) // wsum[s]
+        r = {n: (tele if n in seeds else 0) + (num * acc[n]) // den
+             for n in nodes}
+    assert got == r
