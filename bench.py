@@ -87,6 +87,7 @@ HEADLINE = [
     "events_transitions", # user-keyed lag window + typed-pair count
     "assoc_rules",        # basket pair supports + broadcast item table
     "graph_ppr",          # personalized weighted power iteration
+    "graph_clustering",   # cc = 2T/(d(d-1)) over oriented wedges
 ]
 
 

@@ -206,3 +206,42 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )
     return DaskFrame(per_node)
+
+
+def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
+                           round_dp: int = 6):
+    """Local clustering coefficient per node → DaskFrame(node, deg,
+    triangles, cc): cc = 2·T / (d·(d−1)) — the fraction of a node's
+    neighbor pairs that are themselves connected (Watts & Strogatz
+    1998), the standard graph-cohesion quality signal. Degree-1 nodes
+    have no neighbor pair and score 0.
+
+    Rides triangle_count's oriented wedge join (same O(E^1.5) bill)
+    plus one node-keyed degree aggregate; cc is ONE division of exact
+    integers, rounded on both engines."""
+    sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    e = sdf.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tri = triangle_count(e, "a", "b")._sdf
+    out = deg.join(tri, "node", "left").select(
+        "node", "deg",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))
+        .alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+                .cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                round_dp,
+            ),
+        ).otherwise(F.lit(0.0)).alias("cc"),
+    )
+    return DaskFrame(out)

@@ -2764,6 +2764,68 @@ def graph_triangles(spark, sf_dir):
 
 
 @q(
+    "graph_clustering",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT p1 AS node FROM e0 UNION ALL SELECT p2 FROM e0
+      ) GROUP BY node
+    ), tri AS (
+      SELECT w1.p1 AS x, w1.p2 AS y, w2.p2 AS z
+      FROM e0 w1
+      JOIN e0 w2 ON w1.p1 = w2.p1 AND w1.p2 < w2.p2
+      JOIN e0 cl ON cl.p1 = w1.p2 AND cl.p2 = w2.p2
+    ), pn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.node, deg.deg,
+           coalesce(pn.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN deg.deg >= 2
+                THEN round(2.0 * coalesce(pn.triangles, 0)::DOUBLE
+                           / (deg.deg * (deg.deg - 1))::DOUBLE, 6)
+                ELSE 0.0 END AS cc
+    FROM deg LEFT JOIN pn USING (node)
+    ORDER BY cc DESC, deg DESC, node LIMIT 100
+    """,
+)
+def graph_clustering(spark, sf_dir):
+    """Local clustering coefficient (Watts & Strogatz 1998) on the
+    support>=2 part co-purchase graph, top 100 by (cc desc, deg desc,
+    node): cc = 2T/(d(d-1)) — one division of exact integers over the
+    degree-oriented triangle counts, rounded on both engines
+    (operators/graph.py clustering_coefficient)."""
+    from dask_spark.operators.graph import clustering_coefficient
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    cc = clustering_coefficient(edges, "p1", "p2")
+    return (
+        cc.to_spark()
+        .orderBy(F.col("cc").desc(), F.col("deg").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
+@q(
     "text_trigram_perplexity",
     r"""
     WITH toks AS (

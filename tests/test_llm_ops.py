@@ -2565,10 +2565,8 @@ def test_association_rules_replay(spark):
         ("x", "z"): (2, round(2 / 3, 6), round(2 / 3 * 4 / 3, 6)),
         ("z", "x"): (2, round(2 / 3, 6), round(2 / 3 * 4 / 3, 6)),
     }
-    import pytest as _pt
     empty = spark.createDataFrame([], "basket bigint, item string")
-    with _pt.raises(ValueError, match="no non-null baskets"):
-        association_rules(empty)
+    assert association_rules(empty).to_spark().count() == 0
 
 
 def test_pagerank_weighted_and_personalized(spark):
@@ -2605,3 +2603,21 @@ def test_pagerank_weighted_and_personalized(spark):
         r = {n: (tele if n in seeds else 0) + (num * acc[n]) // den
              for n in nodes}
     assert got == r
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """K4: every node cc=1; bowtie: wings 1.0, center 2*2/(4*3);
+    a path endpoint (deg 1) scores 0 by contract."""
+    from dask_spark.operators.graph import clustering_coefficient
+
+    edges = ([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]  # bowtie
+             + [(4, 5)])                                        # tail
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r["node"]: (r["deg"], r["triangles"], r["cc"])
+           for r in clustering_coefficient(df).to_spark().collect()}
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (4, 2, round(4 / 12, 6))
+    assert got[3] == (2, 1, 1.0)
+    assert got[4] == (3, 1, round(2 / 6, 6))
+    assert got[5] == (1, 0, 0.0)
