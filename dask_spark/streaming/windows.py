@@ -220,3 +220,52 @@ def foreach_batch_sink(stream_sdf: SparkDF, fn, checkpoint: str,
     if trigger_seconds:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+def funnel_stream(stream_sdf: SparkDF, steps, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id") -> SparkDF:
+    """Streaming ordered funnel: per-user funnel depth maintained as
+    ARBITRARY STATE across micro-batches via applyInPandasWithState —
+    the streaming twin of operators/behavior.py funnel_users. State
+    per user is two scalars (current step, last matched timestamp in
+    ns), so total state is users × 16 bytes regardless of stream
+    length.
+
+    Semantics: strict > chaining on (ts, id)-ordered events — a
+    greedy in-order scan reproduces the batch earliest-qualifying
+    chain exactly, so for in-timestamp-order arrival (the exactness
+    test's finite file stream) the final per-user depth equals
+    funnel_users on the same rows. Late (out-of-order) events can
+    only under-advance, never corrupt state — the documented
+    at-most trade of a greedy streaming funnel."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_list = [str(s) for s in steps]
+    if len(step_list) < 1:
+        raise ValueError("funnel needs at least one step")
+    out_schema = f"{user_col} bigint, max_step int"
+    state_schema = "step int, tprev_ns bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        step, tprev = (state.get if state.exists else (0, -1))
+        rows = [p for p in pdf_iter if len(p)]
+        if rows:
+            pdf = pd.concat(rows).sort_values([ts_col, id_col])
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            types = pdf[type_col].to_numpy()
+            for t, et in zip(ts_ns, types):
+                if step >= len(step_list):
+                    break
+                if et == step_list[step] and (step == 0 or t > tprev):
+                    tprev = int(t)
+                    step += 1
+            state.update((step, tprev))
+        yield pd.DataFrame({user_col: [key[0]], "max_step": [step]})
+
+    return stream_sdf.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -757,3 +757,67 @@ def test_hll_distinct_stream_matches_batch(spark, tmp_path):
     assert full == batch_row["sum_scaled"]
     assert nz == batch_row["nonzero_registers"]
     assert len(got) <= 128
+
+
+def test_streaming_batch_parity_funnel(spark, tmp_path):
+    """EXACTNESS for the stateful streaming funnel: per-user depth
+    after a finite in-order file stream equals funnel_users on the
+    same rows (greedy in-order scan == earliest-qualifying chain),
+    including a user who stalls and a user with a pre-step-1 click."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.behavior import funnel_users
+    from dask_spark.streaming.windows import funnel_stream
+
+    base = pd.Timestamp("2026-03-01")
+    rows = []
+    eid = 0
+
+    def ev(u, et, minutes):
+        nonlocal eid
+        rows.append((eid, base + pd.Timedelta(minutes=minutes), u, et))
+        eid += 1
+
+    for u in range(6):
+        ev(u, "click", 0)          # pre-view click: must not count
+        ev(u, "view", 1)
+        if u % 2 == 0:
+            ev(u, "click", 2)
+        if u % 3 == 0:
+            ev(u, "purchase", 3)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+    src = tmp_path / "funnel_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+
+    steps = ["view", "click", "purchase"]
+    batch = {
+        r["user"]: r["max_step"]
+        for r in funnel_users(
+            ds.read_parquet(str(src)), steps
+        ).to_spark().collect()
+    }
+
+    stream_sdf = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).parquet(str(src))
+    out = funnel_stream(stream_sdf, steps)
+    q = (
+        out.writeStream.format("memory").queryName("f_parity")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got_pdf = spark.sql(
+        "select user_id, max_step from f_parity"
+    ).toPandas()
+    # update mode may emit once per batch; the LAST row per user is
+    # the final state (availableNow drains in order)
+    got = {int(r.user_id): int(r.max_step)
+           for r in got_pdf.itertuples()}
+    assert got == batch and len(got) == 6
+    # spot-check semantics: u0 completes, u1 stalls at view
+    assert batch[0] == 3 and batch[1] == 1
