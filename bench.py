@@ -88,6 +88,8 @@ HEADLINE = [
     "assoc_rules",        # basket pair supports + broadcast item table
     "graph_ppr",          # personalized weighted power iteration
     "graph_clustering",   # cc = 2T/(d(d-1)) over oriented wedges
+    "graph_kcore",        # 10 fixed peel rounds, adjacency-bounded
+    "text_pmi_bigrams",   # PMI collocations: 2 counts + vocab joins
 ]
 
 

@@ -1047,3 +1047,78 @@ def with_trigram_perplexity(sdf, lm: TrigramLM, text_col: str = "text",
     return staged.withColumn(out, F.round(ppl, 6)).drop(
         "__tg_toks", "__tg_tri", "__tg_lam", "__tg_bg", "__tg_uni"
     )
+
+
+# ------------------------------ PMI phrases ------------------------------
+
+
+def pmi_bigrams(sdf, text_col: str = "text", min_count: int = 5,
+                topk: int = 50, round_dp: int = 6):
+    """Pointwise mutual information over adjacent word pairs — the
+    classic phrase-mining statistic (Church & Hanks 1990; the
+    word2vec-era phrase detector): pmi(x, y) = ln(p(x,y)/(p(x)p(y)))
+    with p(x,y) from the in-row adjacent-pair stream and p(x) from
+    the token stream. High-PMI pairs co-occur far above chance —
+    collocations worth fusing into single tokens before training.
+
+    Spark DataFrame in → DataFrame(bigram, n, pmi), top-k by
+    (pmi desc, bigram), pairs below ``min_count`` dropped (PMI is
+    noise-dominated at tiny counts). Exchanges: one vocabulary-keyed
+    wordcount + one pair-keyed count (both map-side combined), then
+    the pair table joins the unigram counts on each side's word —
+    vocabulary-bounded joins AQE broadcasts at registry scale. The
+    pmi double is computed with ONE pinned expression shape
+    (c_xy·N·N as the numerator product, N_pairs·c_x·c_y as the
+    denominator, one division, one ln) so an independent engine
+    reproduces it bit-for-bit; both scalar totals are exact integer
+    aggregates."""
+    toks = sdf.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    n_tok = uni.agg(F.sum("c")).first()[0] or 0
+
+    w = F.col("__w")
+    npairs = F.greatest(F.size(w) - 1, F.lit(0))
+    pair_arr = F.zip_with(
+        F.slice(w, 1, npairs), F.slice(w, 2, npairs),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    pairs = (
+        sdf.select(word_tokens(F.col(text_col)).alias("__w"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.x", "p.y")
+    )
+    pc = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    ).persist()
+    n_pairs = pc.agg(F.sum("cxy")).first()[0] or 0
+    if n_tok == 0 or n_pairs == 0:
+        uni.unpersist(); pc.unpersist()
+        return pc.select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("cxy").alias("n"), F.lit(0.0).alias("pmi"),
+        ).filter(F.lit(False))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    nt = F.lit(float(n_tok))
+    npr = F.lit(float(n_pairs))
+    out = (
+        pc.filter(F.col("cxy") >= int(min_count))
+        .join(ux, "x").join(uy, "y")
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("cxy").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("cxy").cast("double") * nt * nt)
+                    / (npr * F.col("cx").cast("double")
+                       * F.col("cy").cast("double"))
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(int(topk))
+    )
+    return out

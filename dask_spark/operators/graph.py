@@ -245,3 +245,65 @@ def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
         ).otherwise(F.lit(0.0)).alias("cc"),
     )
     return DaskFrame(out)
+
+
+def k_core(edges, k: int, a_col: str = "a", b_col: str = "b",
+           rounds: int | None = None, max_rounds: int = 100):
+    """k-core decomposition (Seidman 1983): iteratively peel nodes of
+    degree < k until the remaining induced subgraph has min-degree k
+    → DaskFrame(node, core_deg) of surviving nodes with their
+    in-core degree (empty when the graph has no k-core).
+
+    Per peel round: one node-keyed degree aggregate (map-side
+    combined) + two semi joins restricting the adjacency to
+    surviving endpoints — adjacency-bounded exchanges, lineage
+    truncated per round. ``rounds=None`` peels to convergence with
+    one tiny count per round (rounds ≤ peel depth ≤ |V|);
+    ``rounds=R`` runs EXACTLY R rounds (post-convergence rounds are
+    no-ops), the replayable form an unrolled SQL oracle can mirror
+    round-for-round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    e = sdf.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=False)
+
+    def degs(a):
+        return a.groupBy("u").agg(
+            F.count(F.lit(1)).cast("bigint").alias("core_deg")
+        )
+
+    n_alive = None
+    i = 0
+    while True:
+        keep = degs(adj).filter(F.col("core_deg") >= int(k))
+        alive = keep.select("u")
+        adj = adj.join(alive, "u", "semi").join(
+            alive.select(F.col("u").alias("v")), "v", "semi"
+        )
+        i += 1
+        # checkpoint every few rounds, not every round: a 3-round
+        # nested join+agg plan is cheap for Catalyst, while a
+        # per-round checkpoint pays a whole job's scheduling floor
+        # per round (36s -> ~4s at sf0.001 for the 10-round replay)
+        if i % 3 == 0:
+            adj = adj.localCheckpoint(eager=False)
+        if rounds is not None:
+            if i >= int(rounds):
+                break
+        else:
+            cnt = alive.count()
+            if n_alive is not None and cnt == n_alive:
+                break
+            n_alive = cnt
+            if i >= int(max_rounds):
+                raise ValueError(
+                    f"k_core did not converge within {max_rounds} rounds"
+                )
+    out = degs(adj).filter(F.col("core_deg") >= int(k))
+    return DaskFrame(out.select(F.col("u").alias("node"), "core_deg"))

@@ -2763,6 +2763,75 @@ def graph_triangles(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+    """Generated DuckDB replay of operators/graph.py k_core with a
+    FIXED round count (post-convergence rounds are no-ops): round i
+    keeps nodes whose degree within the round-(i-1)-alive induced
+    adjacency is >= k; output is the in-core degree table after the
+    final restriction."""
+    # AS MATERIALIZED is load-bearing: every a_i is referenced twice
+    # (the u and v joins), so CTE inlining would duplicate the chain
+    # per round — 2^rounds plan copies — and never finish
+    its, alive = [], None
+    for i in range(1, int(rounds) + 1):
+        if alive is None:
+            its.append(f"""a{i} AS MATERIALIZED (
+      SELECT adj.u FROM adj GROUP BY adj.u HAVING count(*) >= {k}
+    )""")
+        else:
+            its.append(f"""a{i} AS MATERIALIZED (
+      SELECT adj.u FROM adj
+      JOIN {alive} x ON x.u = adj.u
+      JOIN {alive} y ON y.u = adj.v
+      GROUP BY adj.u HAVING count(*) >= {k}
+    )""")
+        alive = f"a{i}"
+    return f"""
+    WITH e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), adj AS MATERIALIZED (
+      SELECT p1 AS u, p2 AS v FROM e0
+      UNION ALL SELECT p2, p1 FROM e0
+    ), {', '.join(its)}
+    SELECT adj.u AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM adj
+    JOIN {alive} x ON x.u = adj.u
+    JOIN {alive} y ON y.u = adj.v
+    GROUP BY adj.u HAVING count(*) >= {k}
+    ORDER BY node
+    """
+
+
+@q("graph_kcore", _kcore_oracle(k=3, rounds=10))
+def graph_kcore(spark, sf_dir):
+    """3-core of the support>=2 part co-purchase graph (Seidman 1983
+    — the standard dense-substructure filter): iteratively peel
+    nodes of in-core degree < 3, run at a FIXED 10 rounds (>= the
+    peel depth at every tested SF; extra rounds are no-ops) so the
+    unrolled oracle replays round-for-round. Per round one node-keyed
+    degree aggregate + two semi joins; exchanges adjacency-bounded
+    (operators/graph.py k_core)."""
+    from dask_spark.operators.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    return k_core(edges, k=3, a_col="p1", b_col="p2", rounds=10) \
+        .to_spark().orderBy("node")
+
+
 @q(
     "graph_clustering",
     """
@@ -6283,6 +6352,52 @@ def text_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+@q(
+    "text_pmi_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ), u AS (
+      SELECT unnest(t) AS tok FROM toks
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT)::DOUBLE AS n FROM uni
+    ), pr AS (
+      SELECT [struct_pack(x := t[i], y := t[i+1])
+              for i in generate_series(1, len(t) - 1)] AS ps
+      FROM toks WHERE len(t) >= 2
+    ), pe AS (
+      SELECT unnest(ps, recursive := true) FROM pr
+    ), pc AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM pe GROUP BY x, y
+    ), np AS (
+      SELECT CAST(SUM(cxy) AS BIGINT)::DOUBLE AS n FROM pc
+    )
+    SELECT pc.x || ' ' || pc.y AS bigram, pc.cxy AS n,
+           round(ln((pc.cxy::DOUBLE * nt.n * nt.n)
+                    / (np.n * ux.c::DOUBLE * uy.c::DOUBLE)), 6) AS pmi
+    FROM pc
+    JOIN uni ux ON ux.tok = pc.x
+    JOIN uni uy ON uy.tok = pc.y, nt, np
+    WHERE pc.cxy >= 5
+    ORDER BY pmi DESC, bigram LIMIT 50
+    """,
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """PMI phrase mining (Church & Hanks 1990 — the word2vec-era
+    collocation detector): adjacent pairs co-occurring far above
+    chance, min-count 5, top 50 by (pmi desc, bigram). One wordcount
+    + one in-row pair count (both map-side combined) + vocabulary-
+    bounded unigram joins; the pmi double is one pinned
+    product/division/ln expression so both engines reproduce it
+    bit-for-bit (functions/text.py pmi_bigrams)."""
+    d = load(spark, sf_dir, "documents").to_spark()
+    return T.pmi_bigrams(d, min_count=5, topk=50)
 
 
 @q(

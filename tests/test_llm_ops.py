@@ -2621,3 +2621,27 @@ def test_clustering_coefficient_known_graphs(spark):
     assert got[3] == (2, 1, 1.0)
     assert got[4] == (3, 1, round(2 / 6, 6))
     assert got[5] == (1, 0, 0.0)
+
+
+def test_k_core_known_graphs(spark):
+    """K4 with a pendant tail: the 3-core is exactly the K4 nodes at
+    in-core degree 3; a cycle has a 2-core but no 3-core; fixed
+    rounds (past peel depth) == convergence mode."""
+    from dask_spark.operators.graph import k_core
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(3, 4), (4, 5)]
+    df = spark.createDataFrame(k4 + tail, "a bigint, b bigint")
+    got = {r["node"]: r["core_deg"]
+           for r in k_core(df, k=3).to_spark().collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    fixed = {r["node"]: r["core_deg"]
+             for r in k_core(df, k=3, rounds=6).to_spark().collect()}
+    assert fixed == got
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "a bigint, b bigint"
+    )
+    assert k_core(cyc, k=2).to_spark().count() == 4
+    assert k_core(cyc, k=3).to_spark().count() == 0
+    with pytest.raises(ValueError):
+        k_core(cyc, k=0)
