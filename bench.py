@@ -90,6 +90,8 @@ HEADLINE = [
     "graph_clustering",   # cc = 2T/(d(d-1)) over oriented wedges
     "graph_kcore",        # 10 fixed peel rounds, adjacency-bounded
     "text_pmi_bigrams",   # PMI collocations: 2 counts + vocab joins
+    "events_peak_concurrency",  # +1/-1 sweep on the keyless scan
+    "text_length_outliers",     # per-group exact median + MAD gate
 ]
 
 

@@ -200,3 +200,87 @@ def transition_matrix(events, user_col: str = "user_id",
         ).alias("prob"),
     )
     return DaskFrame(out)
+
+
+def peak_concurrency(events, window_seconds: int = 1800,
+                     ts_col: str = "ts"):
+    """Daily peak concurrency → DaskFrame(day, peak): each event
+    opens a half-open activity interval [ts, ts + window_seconds);
+    peak is the maximum number of simultaneously open intervals per
+    calendar day — the classic +1/−1 interval sweep (max concurrent
+    sessions / capacity planning).
+
+    The running sum uses the DISTRIBUTED keyless prefix scan
+    (operators/window.py cumulative: range-bucket + per-bucket window
+    + driver-combined bucket offsets — never a single-partition
+    window). The sort key encodes the marker type in its low bit
+    (ends even, starts odd) so an expiring interval releases BEFORE a
+    same-instant start counts; ties within one key share a sign, so
+    the per-day MAX over start rows is tie-order invariant — the
+    result is a pure function of the event multiset."""
+    from dask_spark.operators.window import cumulative
+
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    sdf = sdf.filter(F.col(ts_col).isNotNull())
+    us = F.unix_micros(F.col(ts_col))
+    w_us = int(window_seconds) * 1_000_000
+    starts = sdf.select(
+        F.col(ts_col).alias("t"),
+        (us * 2 + 1).alias("k"),
+        F.lit(1).cast("bigint").alias("d"),
+    )
+    ends = sdf.select(
+        F.timestamp_micros(us + w_us).alias("t"),
+        ((us + w_us) * 2).alias("k"),
+        F.lit(-1).cast("bigint").alias("d"),
+    )
+    m = DaskFrame(starts.unionAll(ends))
+    r = cumulative(m, "d", "sum", order_by="k", out="c")._sdf
+    out = (
+        r.filter(F.col("d") == 1)
+        .groupBy(F.col("t").cast("date").cast("string").alias("day"))
+        .agg(F.max("c").cast("bigint").alias("peak"))
+    )
+    return DaskFrame(out)
+
+
+def length_outliers(docs, group_col: str = "source",
+                    value_col: str = "n_chars", id_col: str = "doc_id",
+                    thresh: float = 3.0, round_dp: int = 6):
+    """Per-group robust outlier gate → DaskFrame(id, group, value,
+    med, mad, deviation, is_outlier): flag rows whose |x − median|
+    exceeds ``thresh`` × MAD (median absolute deviation) of their
+    group — the standard robust alternative to z-scores for
+    length-based document cleaning (means/stds are themselves skewed
+    by the outliers being hunted). Degenerate groups (MAD = 0, i.e.
+    over half the group identical) flag nothing by contract.
+
+    Two group-keyed exact-percentile aggregates (median, then MAD on
+    the deviations) with the per-group stats joined back broadcast —
+    the group-stats table is |groups|-bounded."""
+    sdf = docs._sdf if isinstance(docs, DaskFrame) else docs
+    sdf = sdf.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    x = F.col(value_col).cast("double")
+    med = sdf.groupBy(group_col).agg(
+        F.percentile(x, F.lit(0.5)).alias("med")
+    )
+    j = sdf.join(F.broadcast(med), group_col)
+    dev = F.abs(x - F.col("med"))
+    mad = j.groupBy(group_col).agg(
+        F.percentile(F.abs(x - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    out = j.join(F.broadcast(mad), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.round(F.col("med"), round_dp).alias("med"),
+        F.round(F.col("mad"), round_dp).alias("mad"),
+        F.round(dev, round_dp).alias("deviation"),
+        (
+            (F.col("mad") > 0)
+            & (dev > F.lit(float(thresh)) * F.col("mad"))
+        ).alias("is_outlier"),
+    )
+    return DaskFrame(out)

@@ -2617,6 +2617,79 @@ def graph_ppr(spark, sf_dir):
 
 
 @q(
+    "events_peak_concurrency",
+    """
+    WITH m AS (
+      SELECT ts AS t, epoch_us(ts) * 2 + 1 AS k, 1::BIGINT AS d
+      FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 30 MINUTE AS t,
+             epoch_us(ts + INTERVAL 30 MINUTE) * 2 AS k, -1::BIGINT AS d
+      FROM events
+    ), r AS (
+      SELECT t, d,
+             SUM(d) OVER (ORDER BY k
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM m
+    )
+    SELECT CAST(t::DATE AS VARCHAR) AS day, CAST(max(c) AS BIGINT) AS peak
+    FROM r WHERE d = 1 GROUP BY 1 ORDER BY day
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Daily peak concurrency via the +1/−1 interval sweep (30-minute
+    activity windows): the running sum rides the DISTRIBUTED keyless
+    prefix scan (range-bucket + per-bucket window + driver-combined
+    offsets — never a single-partition window); the sort key's low
+    bit orders same-instant expiries before starts, and same-key ties
+    share a sign so the per-day max is tie-order invariant
+    (operators/behavior.py peak_concurrency)."""
+    from dask_spark.operators.behavior import peak_concurrency
+
+    e = load(spark, sf_dir, "events")
+    return peak_concurrency(e, window_seconds=1800).to_spark() \
+        .orderBy("day")
+
+
+@q(
+    "text_length_outliers",
+    """
+    WITH base AS (
+      SELECT doc_id, source, n_chars, n_chars::DOUBLE AS x
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ), med AS (
+      SELECT source, quantile_cont(x, 0.5) AS med FROM base GROUP BY 1
+    ), j AS (
+      SELECT base.*, med.med FROM base JOIN med USING (source)
+    ), mad AS (
+      SELECT source, quantile_cont(abs(x - med), 0.5) AS mad
+      FROM j GROUP BY 1
+    )
+    SELECT j.doc_id, j.source, j.n_chars,
+           round(j.med, 6) AS med, round(mad.mad, 6) AS mad,
+           round(abs(j.x - j.med), 6) AS deviation,
+           (mad.mad > 0 AND abs(j.x - j.med) > 3.0 * mad.mad)
+             AS is_outlier
+    FROM j JOIN mad USING (source)
+    ORDER BY doc_id
+    """,
+)
+def text_length_outliers(spark, sf_dir):
+    """Per-source robust length-outlier gate: |len − median| >
+    3 × MAD flags truncated/concatenated documents without the
+    mean/std being skewed by the very outliers being hunted; MAD = 0
+    groups flag nothing by contract. Two group-keyed exact
+    percentiles + broadcast stat joins (operators/behavior.py
+    length_outliers)."""
+    from dask_spark.operators.behavior import length_outliers
+
+    d = load(spark, sf_dir, "documents")
+    return length_outliers(d).to_spark().orderBy("doc_id")
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

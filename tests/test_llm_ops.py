@@ -2645,3 +2645,48 @@ def test_k_core_known_graphs(spark):
     assert k_core(cyc, k=3).to_spark().count() == 0
     with pytest.raises(ValueError):
         k_core(cyc, k=0)
+
+
+def test_peak_concurrency_sweep(spark):
+    """Hand-built intervals: three overlapping events peak at 3; an
+    event starting exactly at another's expiry does NOT overlap it
+    (half-open windows — the expiry releases first); days split."""
+    from datetime import datetime as DT
+
+    from dask_spark.operators.behavior import peak_concurrency
+
+    rows = [
+        (1, DT(2024, 1, 1, 10, 0)),
+        (2, DT(2024, 1, 1, 10, 10)),
+        (3, DT(2024, 1, 1, 10, 20)),   # all three open at 10:20
+        (4, DT(2024, 1, 1, 10, 30)),   # starts exactly at #1's expiry
+        (5, DT(2024, 1, 2, 9, 0)),     # separate day
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    got = {r["day"]: r["peak"]
+           for r in peak_concurrency(df, window_seconds=1800)
+           .to_spark().collect()}
+    assert got == {"2024-01-01": 3, "2024-01-02": 1}
+
+
+def test_length_outliers_mad_gate(spark):
+    """Known median/MAD on one group; a MAD=0 (constant-majority)
+    group flags nothing by contract."""
+    from dask_spark.operators.behavior import length_outliers
+
+    rows = (
+        [(i, "a", v) for i, v in enumerate([10, 12, 14, 16, 100])]
+        # group b: >half identical => MAD 0 => no outliers
+        + [(10 + i, "b", v) for i, v in enumerate([5, 5, 5, 900])]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, "
+                                     "n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           length_outliers(df).to_spark().collect()}
+    # group a: median 14, deviations [4,2,0,2,86], MAD 2 => only 100
+    # exceeds 3*2
+    assert out[4]["is_outlier"] and out[4]["med"] == 14.0 \
+        and out[4]["mad"] == 2.0
+    assert not any(out[i]["is_outlier"] for i in range(4))
+    assert all(not out[10 + i]["is_outlier"] for i in range(4))
+    assert out[13]["mad"] == 0.0
