@@ -2690,3 +2690,36 @@ def test_length_outliers_mad_gate(spark):
     assert not any(out[i]["is_outlier"] for i in range(4))
     assert all(not out[10 + i]["is_outlier"] for i in range(4))
     assert out[13]["mad"] == 0.0
+
+
+def test_pmi_bigrams_replay(spark):
+    """pmi_bigrams vs a literal replay: counts, the pinned pmi
+    expression, min-count gate, and that a glued pair out-scores a
+    chance pair."""
+    import math
+    from collections import Counter
+
+    from dask_spark.functions.text import pmi_bigrams
+
+    # "zx qv" always glued; "the" pairs with everything
+    docs = [(i, "the zx qv the a" if i % 2 else "the a zx qv the")
+            for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["bigram"]: (r["n"], r["pmi"])
+           for r in pmi_bigrams(df, min_count=5, topk=50).collect()}
+    toks, pairs = [], []
+    for _, t in docs:
+        w = t.split()
+        toks += w
+        pairs += list(zip(w, w[1:]))
+    uc, pc = Counter(toks), Counter(pairs)
+    nt, np_ = len(toks), len(pairs)
+    exp = {}
+    for (x, y), c in pc.items():
+        if c >= 5:
+            exp[f"{x} {y}"] = (c, round(
+                math.log((c * float(nt) * float(nt))
+                         / (float(np_) * uc[x] * uc[y])), 6))
+    assert got == dict(sorted(exp.items(),
+                              key=lambda kv: (-kv[1][1], kv[0]))[:50])
+    assert got["zx qv"][1] > got["the a"][1]
