@@ -92,6 +92,7 @@ HEADLINE = [
     "text_pmi_bigrams",   # PMI collocations: 2 counts + vocab joins
     "events_peak_concurrency",  # +1/-1 sweep on the keyless scan
     "text_length_outliers",     # per-group exact median + MAD gate
+    "drift_psi",                # PSI drift gate: 2 bucket counts
 ]
 
 

@@ -1,0 +1,82 @@
+"""Data-drift monitoring: Population Stability Index between a
+reference snapshot and a current batch — the standard production
+gate for "has this column's distribution moved" (credit-risk
+heritage, now ML-ops boilerplate). A training-data pipeline runs it
+per ingest batch against the curated corpus it trained on.
+
+100 TB shape: ONE (min, max, count) aggregate on the reference + two
+bucket-count aggregates (map-side combined, exchange ≤ bins partials
+per partition at any input size); the only driver data is ≤ bins
+scalars per side — the histogram_quantiles bill. The PSI fold runs
+driver-side over the bucket-ordered contribution list (strict
+left-to-right, the exact-sum pattern every sketch op here uses), so
+the result is bit-identical to the oracle's list_reduce replay."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from dask_spark.frame import DaskFrame
+
+
+def _bucket_counts(sdf, value_col: str, mn: float, width: float,
+                   bins: int) -> dict[int, int]:
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(mn)) / F.lit(width)), F.lit(0)),
+        F.lit(int(bins) - 1),
+    ).cast("int")
+    rows = (
+        sdf.filter(x.isNotNull())
+        .select(b.alias("__b"))
+        .groupBy("__b").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    return {r["__b"]: r["c"] for r in rows}
+
+
+def psi_drift(reference, current, value_col: str, bins: int = 20):
+    """PSI between ``reference`` and ``current`` on ``value_col`` →
+    one-row DaskFrame(psi, n_ref, n_cur, n_buckets). Buckets are
+    ``bins`` fixed-width intervals over the REFERENCE min/max
+    (current-batch values outside the reference range clamp into the
+    edge buckets — out-of-range drift lands in the tails, where PSI
+    should see it); both sides use Laplace-smoothed shares
+    p_i = (c_i + 0.5) / (n + 0.5·bins) so empty buckets contribute a
+    finite, deterministic term instead of ln(0).
+
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i), folded in bucket order with the
+    same left-to-right double chain the SQL oracle replays. Common
+    reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    cur = current._sdf if isinstance(current, DaskFrame) else current
+    x = F.col(value_col).cast("double")
+    mn, mx, n_ref = (
+        ref.filter(x.isNotNull())
+        .agg(F.min(x), F.max(x), F.count(F.lit(1))).first()
+    )
+    if not n_ref:
+        raise ValueError("psi_drift: empty reference")
+    mn, mx = float(mn), float(mx)
+    B = int(bins)
+    width = (mx - mn) / B if mx > mn else 1.0
+    rc = _bucket_counts(ref, value_col, mn, width, B)
+    cc = _bucket_counts(cur, value_col, mn, width, B)
+    n_cur = sum(cc.values())
+    if not n_cur:
+        raise ValueError("psi_drift: empty current batch")
+    psi = 0.0
+    for i in range(B):
+        p = (rc.get(i, 0) + 0.5) / (n_ref + 0.5 * B)
+        q = (cc.get(i, 0) + 0.5) / (n_cur + 0.5 * B)
+        psi = psi + (p - q) * math.log(p / q)
+    spark = ref.sparkSession
+    out = spark.createDataFrame(
+        [(round(psi, 6), int(n_ref), int(n_cur), B)],
+        "psi double, n_ref bigint, n_cur bigint, n_buckets int",
+    )
+    return DaskFrame(out)

@@ -2690,6 +2690,66 @@ def text_length_outliers(spark, sf_dir):
 
 
 @q(
+    "drift_psi",
+    """
+    WITH ref AS (
+      SELECT o_totalprice::DOUBLE AS x FROM orders
+      WHERE o_orderdate < DATE '1996-01-01' AND o_totalprice IS NOT NULL
+    ), cur AS (
+      SELECT o_totalprice::DOUBLE AS x FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_totalprice IS NOT NULL
+    ), st AS (
+      SELECT min(x) AS mn, max(x) AS mx, count(*)::BIGINT AS n FROM ref
+    ), w AS (
+      SELECT mn, CASE WHEN mx > mn THEN (mx - mn) / 20 ELSE 1.0 END
+               AS width, n
+      FROM st
+    ), rb AS (
+      SELECT LEAST(GREATEST(floor((x - w.mn) / w.width), 0), 19)::INT
+               AS b, count(*)::BIGINT AS c
+      FROM ref, w GROUP BY 1
+    ), cb AS (
+      SELECT LEAST(GREATEST(floor((x - w.mn) / w.width), 0), 19)::INT
+               AS b, count(*)::BIGINT AS c
+      FROM cur, w GROUP BY 1
+    ), nc AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cb
+    ), g AS (
+      SELECT i FROM generate_series(0, 19) t(i)
+    ), contrib AS (
+      SELECT g.i,
+        ((coalesce(rb.c, 0) + 0.5) / (w.n + 0.5 * 20)
+         - (coalesce(cb.c, 0) + 0.5) / (nc.n + 0.5 * 20))
+        * ln(((coalesce(rb.c, 0) + 0.5) / (w.n + 0.5 * 20))
+             / ((coalesce(cb.c, 0) + 0.5) / (nc.n + 0.5 * 20))) AS v
+      FROM g LEFT JOIN rb ON rb.b = g.i LEFT JOIN cb ON cb.b = g.i,
+           w, nc
+    )
+    SELECT round(list_reduce(list_prepend(0.0, list(v ORDER BY i)),
+                             (a, b) -> a + b), 6) AS psi,
+           (SELECT n FROM w) AS n_ref,
+           (SELECT n FROM nc) AS n_cur,
+           20 AS n_buckets
+    FROM contrib
+    """,
+)
+def drift_psi(spark, sf_dir):
+    """Population Stability Index — the production drift gate: PSI
+    between pre-1996 and 1996+ order totals over 20 fixed-width
+    buckets anchored on the REFERENCE min/max (out-of-range current
+    values clamp into the tails), Laplace-smoothed shares so empty
+    buckets stay finite; the fold runs in bucket order with the same
+    left-to-right double chain the oracle's list_reduce replays
+    (operators/monitor.py psi_drift)."""
+    from dask_spark.operators.monitor import psi_drift
+
+    o = load(spark, sf_dir, "orders")._sdf
+    ref = o.filter(F.col("o_orderdate") < "1996-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    return psi_drift(ref, cur, "o_totalprice", bins=20).to_spark()
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

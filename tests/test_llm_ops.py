@@ -2723,3 +2723,44 @@ def test_pmi_bigrams_replay(spark):
     assert got == dict(sorted(exp.items(),
                               key=lambda kv: (-kv[1][1], kv[0]))[:50])
     assert got["zx qv"][1] > got["the a"][1]
+
+
+def test_psi_drift_replay_and_sensitivity(spark):
+    """psi_drift vs a literal replay on hand-built samples; identical
+    distributions score ~0, a location shift scores large; empty
+    sides raise the contract error."""
+    import math
+
+    from dask_spark.operators.monitor import psi_drift
+
+    ref_vals = [float(v) for v in range(100)]
+    same = [float(v) for v in range(100)]
+    shifted = [float(v) + 60.0 for v in range(100)]
+    mk = lambda vs: spark.createDataFrame([(v,) for v in vs], "x double")
+
+    def replay(rv, cv, B=10):
+        mn, mx = min(rv), max(rv)
+        width = (mx - mn) / B
+        bkt = lambda x: min(max(math.floor((x - mn) / width), 0), B - 1)
+        rc, cc = {}, {}
+        for x in rv: rc[bkt(x)] = rc.get(bkt(x), 0) + 1
+        for x in cv: cc[bkt(x)] = cc.get(bkt(x), 0) + 1
+        psi = 0.0
+        for i in range(B):
+            p = (rc.get(i, 0) + 0.5) / (len(rv) + 0.5 * B)
+            q = (cc.get(i, 0) + 0.5) / (len(cv) + 0.5 * B)
+            psi = psi + (p - q) * math.log(p / q)
+        return round(psi, 6)
+
+    low = psi_drift(mk(ref_vals), mk(same), "x", bins=10) \
+        .to_spark().first()
+    assert low["psi"] == replay(ref_vals, same)
+    assert low["psi"] < 0.01 and low["n_ref"] == 100
+    hi = psi_drift(mk(ref_vals), mk(shifted), "x", bins=10) \
+        .to_spark().first()
+    assert hi["psi"] == replay(ref_vals, shifted)
+    assert hi["psi"] > 0.25
+    with pytest.raises(ValueError, match="empty"):
+        psi_drift(mk([]), mk(same), "x")
+    with pytest.raises(ValueError, match="bins"):
+        psi_drift(mk(ref_vals), mk(same), "x", bins=1)
