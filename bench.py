@@ -93,6 +93,7 @@ HEADLINE = [
     "events_peak_concurrency",  # +1/-1 sweep on the keyless scan
     "text_length_outliers",     # per-group exact median + MAD gate
     "drift_psi",                # PSI drift gate: 2 bucket counts
+    "drift_ks",                 # KS: int-exact max on keyless scan
 ]
 
 

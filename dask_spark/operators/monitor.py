@@ -80,3 +80,55 @@ def psi_drift(reference, current, value_col: str, bins: int = 20):
         "psi double, n_ref bigint, n_cur bigint, n_buckets int",
     )
     return DaskFrame(out)
+
+
+def ks_drift(reference, current, value_col: str, round_dp: int = 6):
+    """Two-sample Kolmogorov–Smirnov statistic → one-row
+    DaskFrame(d_stat, d_num, n_ref, n_cur): D = max over sample
+    points of |F_ref(x) − F_cur(x)| — PSI's binning-free companion
+    (PSI is bucket-resolution-bounded; KS sees any shape change but
+    needs the order statistics).
+
+    EXACT-INTEGER form: with cumulative counts r1, r2 at each
+    distinct value, D = max|r1·n2 − r2·n1| / (n1·n2) — the max runs
+    over int64 products (exact while n1·n2 < 2^63; at larger scales
+    pre-aggregate or sample, documented), so the statistic is a pure
+    function of the two multisets and the one float step is the
+    final division. Plan: one (value)-keyed count per side collapsed
+    map-side, then the DISTRIBUTED keyless prefix scan over the
+    distinct-value table (range-bucket + per-bucket window +
+    driver-combined offsets) — the exchange is distinct-values-
+    bounded, never row-bounded, and nothing data-sized reaches the
+    driver."""
+    from dask_spark.operators.window import cumulative
+
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    cur = current._sdf if isinstance(current, DaskFrame) else current
+    x = F.col(value_col).cast("double")
+    r = ref.filter(x.isNotNull()).select(x.alias("v"),
+                                         F.lit(1).alias("isr"))
+    c = cur.filter(x.isNotNull()).select(x.alias("v"),
+                                         F.lit(0).alias("isr"))
+    u = r.unionAll(c)
+    g = u.groupBy("v").agg(
+        F.sum("isr").cast("bigint").alias("cr"),
+        F.sum(1 - F.col("isr")).cast("bigint").alias("cc"),
+    )
+    n_ref, n_cur = [
+        int(t or 0) for t in g.agg(F.sum("cr"), F.sum("cc")).first()
+    ]
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError("ks_drift: empty reference or current sample")
+    s1 = cumulative(DaskFrame(g), "cr", "sum", order_by="v", out="r1")
+    s2 = cumulative(s1, "cc", "sum", order_by="v", out="r2")
+    diff = F.abs(
+        F.col("r1") * F.lit(n_cur) - F.col("r2") * F.lit(n_ref)
+    )
+    d_num = s2._sdf.agg(F.max(diff)).first()[0]
+    d = round(float(d_num) / (float(n_ref) * float(n_cur)), round_dp)
+    spark = ref.sparkSession
+    out = spark.createDataFrame(
+        [(d, int(d_num), n_ref, n_cur)],
+        "d_stat double, d_num bigint, n_ref bigint, n_cur bigint",
+    )
+    return DaskFrame(out)

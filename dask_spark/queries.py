@@ -2750,6 +2750,57 @@ def drift_psi(spark, sf_dir):
 
 
 @q(
+    "drift_ks",
+    """
+    WITH ref AS (
+      SELECT o_totalprice::DOUBLE AS v FROM orders
+      WHERE o_orderdate < DATE '1996-01-01' AND o_totalprice IS NOT NULL
+    ), cur AS (
+      SELECT o_totalprice::DOUBLE AS v FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_totalprice IS NOT NULL
+    ), g AS (
+      SELECT v,
+             CAST(SUM(isr) AS BIGINT) AS cr,
+             CAST(SUM(1 - isr) AS BIGINT) AS cc
+      FROM (SELECT v, 1 AS isr FROM ref
+            UNION ALL SELECT v, 0 FROM cur)
+      GROUP BY v
+    ), n AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS n1,
+             CAST(SUM(cc) AS BIGINT) AS n2 FROM g
+    ), s AS (
+      SELECT CAST(SUM(cr) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS r1,
+             CAST(SUM(cc) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS r2
+      FROM g
+    )
+    SELECT round(CAST(MAX(abs(s.r1 * n.n2 - s.r2 * n.n1)) AS BIGINT)
+                 / (n.n1::DOUBLE * n.n2::DOUBLE), 6) AS d_stat,
+           CAST(MAX(abs(s.r1 * n.n2 - s.r2 * n.n1)) AS BIGINT) AS d_num,
+           n.n1 AS n_ref, n.n2 AS n_cur
+    FROM s, n GROUP BY n.n1, n.n2
+    """,
+)
+def drift_ks(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic (PSI's
+    binning-free companion) between pre-1996 and 1996+ order totals:
+    D = max|r1·n2 − r2·n1|/(n1·n2) over cumulative counts at each
+    distinct value — the max is an exact int64 reduction (order-free)
+    and the single float step is the final division. Cumulative
+    counts ride the DISTRIBUTED keyless prefix scan; the exchange is
+    distinct-values-bounded (operators/monitor.py ks_drift)."""
+    from dask_spark.operators.monitor import ks_drift
+
+    o = load(spark, sf_dir, "orders")._sdf
+    ref = o.filter(F.col("o_orderdate") < "1996-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    return ks_drift(ref, cur, "o_totalprice").to_spark()
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

@@ -2764,3 +2764,35 @@ def test_psi_drift_replay_and_sensitivity(spark):
         psi_drift(mk([]), mk(same), "x")
     with pytest.raises(ValueError, match="bins"):
         psi_drift(mk(ref_vals), mk(same), "x", bins=1)
+
+
+def test_ks_drift_exact_replay(spark):
+    """ks_drift vs scipy-free literal replay on small samples with
+    ties and disjoint supports: identical samples D=0; fully
+    disjoint D=1; a known interleaving matches the exact rational."""
+    from dask_spark.operators.monitor import ks_drift
+
+    mk = lambda vs: spark.createDataFrame([(float(v),) for v in vs],
+                                          "x double")
+
+    def replay(a, b):
+        pts = sorted(set(a) | set(b))
+        r1 = r2 = 0
+        best = 0
+        for v in pts:
+            r1 += sum(1 for t in a if t == v)
+            r2 += sum(1 for t in b if t == v)
+            best = max(best, abs(r1 * len(b) - r2 * len(a)))
+        return best
+
+    a = [1, 2, 2, 3, 5, 8, 8, 9]
+    b = [2, 3, 3, 4, 4, 7, 10]
+    row = ks_drift(mk(a), mk(b), "x").to_spark().first()
+    assert row["d_num"] == replay(a, b)
+    assert row["d_stat"] == round(replay(a, b) / (len(a) * len(b)), 6)
+    same = ks_drift(mk(a), mk(a), "x").to_spark().first()
+    assert same["d_stat"] == 0.0
+    disj = ks_drift(mk([1, 2, 3]), mk([10, 11]), "x").to_spark().first()
+    assert disj["d_stat"] == 1.0
+    with pytest.raises(ValueError, match="empty"):
+        ks_drift(mk([]), mk(a), "x")
