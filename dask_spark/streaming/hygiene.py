@@ -109,3 +109,64 @@ def hll_distinct_stream(stream_sdf, value_col: str, p: int = 9,
     from dask_spark.operators.sketch import hll_registers
 
     return hll_registers(stream_sdf, value_col, p, hash_kind)._sdf
+
+
+def psi_bucket_stream(stream_sdf, reference, value_col: str,
+                      bins: int = 20):
+    """PSI drift monitoring on an INGEST stream with BOUNDED state:
+    bucket boundaries fit ONCE from the STATIC ``reference`` frame
+    (min/width ride the streaming plan as literals — a stateless
+    scan→project per row), then the streaming aggregate keys on the
+    bucket id — state is <= ``bins`` rows forever. Returns
+    (streaming bucket-count DataFrame (bucket, c), finish) where
+    ``finish(rows)`` maps the sunk bucket counts to the PSI value
+    with EXACTLY the batch psi_drift arithmetic (bucket-ordered
+    left-to-right fold), so a stream and its batch validation run
+    agree bit-for-bit (pinned in tests/test_io_streaming.py)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.monitor import _bucket_counts
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    from dask_spark.frame import DaskFrame
+
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    x = F.col(value_col).cast("double")
+    mn, mx, n_ref = (
+        ref.filter(x.isNotNull())
+        .agg(F.min(x), F.max(x), F.count(F.lit(1))).first()
+    )
+    if not n_ref:
+        raise ValueError("psi_bucket_stream: empty reference")
+    mn, mx = float(mn), float(mx)
+    B = int(bins)
+    width = (mx - mn) / B if mx > mn else 1.0
+    rc = _bucket_counts(ref, value_col, mn, width, B)
+
+    sx = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((sx - F.lit(mn)) / F.lit(width)), F.lit(0)),
+        F.lit(B - 1),
+    ).cast("int")
+    counts = (
+        stream_sdf.filter(sx.isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def finish(rows) -> float:
+        cc = {int(r["bucket"]): int(r["c"]) for r in rows}
+        n_cur = sum(cc.values())
+        if not n_cur:
+            raise ValueError("psi finish: empty current batch")
+        psi = 0.0
+        for i in range(B):
+            p = (rc.get(i, 0) + 0.5) / (n_ref + 0.5 * B)
+            q = (cc.get(i, 0) + 0.5) / (n_cur + 0.5 * B)
+            psi = psi + (p - q) * math.log(p / q)
+        return round(psi, 6)
+
+    return counts, finish

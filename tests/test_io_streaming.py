@@ -821,3 +821,40 @@ def test_streaming_batch_parity_funnel(spark, tmp_path):
     assert got == batch and len(got) == 6
     # spot-check semantics: u0 completes, u1 stalls at view
     assert batch[0] == 3 and batch[1] == 1
+
+
+def test_streaming_batch_parity_psi(spark, tmp_path):
+    """EXACTNESS for the streaming PSI monitor: bucket counts
+    aggregated over a finite file stream (state <= bins rows) +
+    the finish() fold equal the batch psi_drift value bit-for-bit."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.monitor import psi_drift
+    from dask_spark.streaming.hygiene import psi_bucket_stream
+
+    ref_pdf = pd.DataFrame({"x": [float(v % 97) for v in range(500)]})
+    cur_pdf = pd.DataFrame({"x": [float((v % 83) + 20) for v in range(400)]})
+    ref_src = tmp_path / "psi_ref"
+    cur_src = tmp_path / "psi_cur"
+    ds.from_pandas(ref_pdf).to_parquet(str(ref_src))
+    ds.from_pandas(cur_pdf).to_parquet(str(cur_src))
+
+    ref = spark.read.parquet(str(ref_src))
+    batch = psi_drift(
+        ref, spark.read.parquet(str(cur_src)), "x", bins=16
+    ).to_spark().first()["psi"]
+
+    stream_sdf = spark.readStream.schema("x double").parquet(str(cur_src))
+    counts, finish = psi_bucket_stream(stream_sdf, ref, "x", bins=16)
+    q = (
+        counts.writeStream.format("memory").queryName("psi_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from psi_parity").collect()
+    assert len(rows) <= 16  # bounded state
+    assert finish(rows) == batch
