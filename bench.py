@@ -94,6 +94,7 @@ HEADLINE = [
     "text_length_outliers",     # per-group exact median + MAD gate
     "drift_psi",                # PSI drift gate: 2 bucket counts
     "drift_ks",                 # KS: int-exact max on keyless scan
+    "drift_chi2",               # categorical mix-shift contingency
 ]
 
 

@@ -132,3 +132,51 @@ def ks_drift(reference, current, value_col: str, round_dp: int = 6):
         "d_stat double, d_num bigint, n_ref bigint, n_cur bigint",
     )
     return DaskFrame(out)
+
+
+def chi2_drift(reference, current, cat_col: str, round_dp: int = 6):
+    """Two-sample chi-square homogeneity statistic over a categorical
+    column → one-row DaskFrame(chi2, dof, n_ref, n_cur): the 2×C
+    contingency form chi2 = Σ_cells (O − E)²/E with E from the
+    margins — the categorical companion of the numeric PSI/KS gates
+    (event-type mix shift, language mix shift, source mix shift).
+
+    One category-keyed count per side (map-side combined; the driver
+    sees ≤ |categories| scalars per side); the float fold runs
+    driver-side in sorted-category order (ref cell then cur cell per
+    category — the exact left-to-right chain the oracle's list_reduce
+    replays). dof = C − 1 over the union category set."""
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    cur = current._sdf if isinstance(current, DaskFrame) else current
+
+    def counts(sdf):
+        return {
+            r["k"]: r["c"]
+            for r in sdf.filter(F.col(cat_col).isNotNull())
+            .groupBy(F.col(cat_col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+
+    rc, cc = counts(ref), counts(cur)
+    n_ref, n_cur = sum(rc.values()), sum(cc.values())
+    if n_ref == 0 or n_cur == 0:
+        raise ValueError("chi2_drift: empty reference or current sample")
+    cats = sorted(set(rc) | set(cc))
+    n = float(n_ref + n_cur)
+    chi2 = 0.0
+    for k in cats:
+        row = float(rc.get(k, 0) + cc.get(k, 0))
+        e_ref = row * n_ref / n
+        e_cur = row * n_cur / n
+        d1 = rc.get(k, 0) - e_ref
+        d2 = cc.get(k, 0) - e_cur
+        # per-category cell pair sums FIRST, then joins the fold —
+        # (a + t1) + t2 and a + (t1 + t2) differ at the ulp level,
+        # and the oracle folds one v per category
+        chi2 = chi2 + ((d1 * d1) / e_ref + (d2 * d2) / e_cur)
+    spark = ref.sparkSession
+    out = spark.createDataFrame(
+        [(round(chi2, round_dp), len(cats) - 1, int(n_ref), int(n_cur))],
+        "chi2 double, dof int, n_ref bigint, n_cur bigint",
+    )
+    return DaskFrame(out)

@@ -2801,6 +2801,63 @@ def drift_ks(spark, sf_dir):
 
 
 @q(
+    "drift_chi2",
+    """
+    WITH ref AS (
+      SELECT event_type AS k FROM events
+      WHERE event_id % 2 = 0 AND event_type IS NOT NULL
+    ), cur AS (
+      SELECT event_type AS k FROM events
+      WHERE event_id % 2 = 1 AND event_type IS NOT NULL
+    ), rc AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY k
+    ), cc AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS c FROM cur GROUP BY k
+    ), nn AS (
+      SELECT (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM rc) AS n1,
+             (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM cc) AS n2
+    ), cats AS (
+      SELECT k FROM rc UNION SELECT k FROM cc
+    ), cells AS (
+      SELECT cats.k,
+             coalesce(rc.c, 0)::DOUBLE AS o1,
+             coalesce(cc.c, 0)::DOUBLE AS o2,
+             (coalesce(rc.c, 0) + coalesce(cc.c, 0))::DOUBLE AS row_t
+      FROM cats LEFT JOIN rc USING (k) LEFT JOIN cc USING (k)
+    ), contrib AS (
+      SELECT k,
+        ((o1 - row_t * nn.n1 / (nn.n1 + nn.n2))
+         * (o1 - row_t * nn.n1 / (nn.n1 + nn.n2)))
+          / (row_t * nn.n1 / (nn.n1 + nn.n2))
+        + ((o2 - row_t * nn.n2 / (nn.n1 + nn.n2))
+           * (o2 - row_t * nn.n2 / (nn.n1 + nn.n2)))
+          / (row_t * nn.n2 / (nn.n1 + nn.n2)) AS v
+      FROM cells, nn
+    )
+    SELECT round(list_reduce(list_prepend(0.0, list(v ORDER BY k)),
+                             (a, b) -> a + b), 6) AS chi2,
+           (SELECT count(*)::INT - 1 FROM cats) AS dof,
+           (SELECT n1 FROM nn) AS n_ref,
+           (SELECT n2 FROM nn) AS n_cur
+    FROM contrib
+    """,
+)
+def drift_chi2(spark, sf_dir):
+    """Two-sample chi-square homogeneity over the event-type mix
+    (even vs odd event ids — the categorical companion of the
+    PSI/KS numeric gates): 2×C contingency cells with margin-derived
+    expectations, folded in sorted-category order with the exact
+    left-to-right chain the oracle's list_reduce replays
+    (operators/monitor.py chi2_drift)."""
+    from dask_spark.operators.monitor import chi2_drift
+
+    e = load(spark, sf_dir, "events")._sdf
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return chi2_drift(ref, cur, "event_type").to_spark()
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

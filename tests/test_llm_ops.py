@@ -2796,3 +2796,36 @@ def test_ks_drift_exact_replay(spark):
     assert disj["d_stat"] == 1.0
     with pytest.raises(ValueError, match="empty"):
         ks_drift(mk([]), mk(a), "x")
+
+
+def test_chi2_drift_replay(spark):
+    """chi2_drift vs a literal contingency replay; identical mixes
+    score 0; categories exclusive to one side are handled; empty
+    raises the contract error."""
+    from dask_spark.operators.monitor import chi2_drift
+
+    mk = lambda vs: spark.createDataFrame([(v,) for v in vs], "k string")
+    ref = ["a"] * 50 + ["b"] * 30 + ["c"] * 20
+    cur = ["a"] * 20 + ["b"] * 50 + ["d"] * 30
+
+    def replay(rv, cv):
+        from collections import Counter
+        rc, cc = Counter(rv), Counter(cv)
+        n1, n2 = len(rv), len(cv)
+        n = float(n1 + n2)
+        chi2 = 0.0
+        for k in sorted(set(rc) | set(cc)):
+            row = float(rc[k] + cc[k])
+            e1, e2 = row * n1 / n, row * n2 / n
+            d1, d2 = rc[k] - e1, cc[k] - e2
+            chi2 = chi2 + ((d1 * d1) / e1 + (d2 * d2) / e2)
+        return round(chi2, 6), len(set(rc) | set(cc)) - 1
+
+    row = chi2_drift(mk(ref), mk(cur), "k").to_spark().first()
+    exp_chi2, exp_dof = replay(ref, cur)
+    assert row["chi2"] == exp_chi2 and row["dof"] == exp_dof
+    assert row["n_ref"] == 100 and row["n_cur"] == 100
+    same = chi2_drift(mk(ref), mk(ref), "k").to_spark().first()
+    assert same["chi2"] == 0.0
+    with pytest.raises(ValueError, match="empty"):
+        chi2_drift(mk([]), mk(ref), "k")
