@@ -95,6 +95,7 @@ HEADLINE = [
     "drift_psi",                # PSI drift gate: 2 bucket counts
     "drift_ks",                 # KS: int-exact max on keyless scan
     "drift_chi2",               # categorical mix-shift contingency
+    "events_cusum",             # scaled-int CUSUM on two keyless scans
 ]
 
 

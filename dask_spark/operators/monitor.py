@@ -180,3 +180,64 @@ def chi2_drift(reference, current, cat_col: str, round_dp: int = 6):
         "chi2 double, dof int, n_ref bigint, n_cur bigint",
     )
     return DaskFrame(out)
+
+
+def cusum_alarms(events, ts_col: str = "ts", slack: float = 0.5,
+                 threshold: float = 5.0, round_dp: int = 6):
+    """One-sided CUSUM changepoint detection over the DAILY event-count
+    series → DaskFrame(day, x, stat, alarm): S_t = max(0, S_{t-1} +
+    (x_t − μ − k·σ)) with μ, σ the series mean/stddev (rounded
+    driver scalars) and k the slack — the classic sequential
+    drift/changepoint monitor (Page 1954). Alarm when S_t > h·σ.
+
+    The recurrence looks sequential but decomposes: S_t = P_t −
+    min(0, min_{j≤t} P_j) with P the prefix sums of (x − μ − k·σ), so
+    it lowers to cumsum + running-min — BOTH distributed keyless
+    prefix scans (range-bucket + per-bucket window + driver-combined
+    offsets; the day series is dates-bounded, but the same plan holds
+    for any resolution).
+
+    Exactness: the scans run on SCALED INT64 — the drift term
+    μ + k·σ rounds once to micro-units, then every prefix sum and
+    min is exact integer arithmetic (associative, so bucket
+    boundaries and partition order cannot move a value at the ulp
+    level the way double prefix sums would); the one float step per
+    row is the final /1e6, and the alarm compares scaled
+    integers."""
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    daily = (
+        sdf.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(ts_col).cast("date").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    # μ and σ derive from EXACT integer sums with one pinned float
+    # formula — a builtin stddev_pop differs between engines at the
+    # ulp level (different moment accumulations), which would move
+    # drift6 by a micro-unit and break the replay
+    sx, sx2, nd = daily.agg(
+        F.sum("x"), F.sum(F.col("x") * F.col("x")), F.count(F.lit(1))
+    ).first()
+    if not nd:
+        raise ValueError("cusum_alarms: no events")
+    mu = float(sx) / float(nd)
+    var = float(sx2) / float(nd) - mu * mu
+    sd = math.sqrt(var) if var > 0 else 0.0
+    drift6 = int(math.floor(
+        (mu + float(slack) * sd) * 1_000_000 + 0.5
+    ))
+    h6 = int(math.floor(float(threshold) * sd * 1_000_000 + 0.5))
+    staged = DaskFrame(daily.withColumn(
+        "__d", F.col("x") * F.lit(1_000_000) - F.lit(drift6)
+    ))
+    from dask_spark.operators.window import cumulative
+
+    p = cumulative(staged, "__d", "sum", order_by="day", out="__p")
+    m = cumulative(p, "__p", "min", order_by="day", out="__m")
+    s6 = F.col("__p") - F.least(F.lit(0).cast("bigint"), F.col("__m"))
+    out = m._sdf.select(
+        "day", "x",
+        F.round(s6.cast("double") / F.lit(1_000_000.0),
+                round_dp).alias("stat"),
+        (s6 > F.lit(h6)).alias("alarm"),
+    )
+    return DaskFrame(out)

@@ -2858,6 +2858,68 @@ def drift_chi2(spark, sf_dir):
 
 
 @q(
+    "events_cusum",
+    """
+    WITH daily AS (
+      SELECT CAST(ts::DATE AS VARCHAR) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), st AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             count(*)::BIGINT AS nd
+      FROM daily
+    ), m AS (
+      SELECT sx::DOUBLE / nd::DOUBLE AS mu,
+             sx2::DOUBLE / nd::DOUBLE AS m2
+      FROM st
+    ), v AS (
+      SELECT mu,
+             CASE WHEN m2 - mu * mu > 0
+                  THEN sqrt(m2 - mu * mu) ELSE 0.0 END AS sd
+      FROM m
+    ), prm AS (
+      SELECT floor((mu + 0.5 * sd) * 1000000 + 0.5)::BIGINT AS drift6,
+             floor(5.0 * sd * 1000000 + 0.5)::BIGINT AS h6
+      FROM v
+    ), scan AS (
+      SELECT day, x,
+             CAST(SUM(x * 1000000 - prm.drift6) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS p
+      FROM daily, prm
+    ), mm AS (
+      SELECT day, x, p,
+             CAST(MIN(p) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS mn
+      FROM scan
+    )
+    SELECT day, x,
+           round((p - LEAST(0, mn))::DOUBLE / 1000000.0, 6) AS stat,
+           (p - LEAST(0, mn)) > (SELECT h6 FROM prm) AS alarm
+    FROM mm ORDER BY day
+    """,
+)
+def events_cusum(spark, sf_dir):
+    """One-sided CUSUM changepoint monitor (Page 1954) over the daily
+    event-count series: the sequential recurrence decomposes to
+    cumsum + running-min (S_t = P_t − min(0, min P_j)) — both on the
+    DISTRIBUTED keyless prefix scan — and every scan runs on SCALED
+    INT64 (drift term rounded once to micro-units), so bucket
+    boundaries and partition order cannot move a value; μ/σ derive
+    from exact integer sums with one pinned float formula
+    (operators/monitor.py cusum_alarms)."""
+    from dask_spark.operators.monitor import cusum_alarms
+
+    e = load(spark, sf_dir, "events")
+    return cusum_alarms(e, slack=0.5, threshold=5.0).to_spark() \
+        .orderBy("day")
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

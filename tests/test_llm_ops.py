@@ -2829,3 +2829,43 @@ def test_chi2_drift_replay(spark):
     assert same["chi2"] == 0.0
     with pytest.raises(ValueError, match="empty"):
         chi2_drift(mk([]), mk(ref), "k")
+
+
+def test_cusum_detects_level_shift(spark):
+    """A flat series with a sustained late level shift: the statistic
+    stays near zero before the shift and alarms after it; the
+    python recurrence replay matches exactly."""
+    import math
+    from datetime import datetime as DT, timedelta
+
+    from dask_spark.operators.monitor import cusum_alarms
+
+    # 20 days at 10 events/day, then 10 days at 30
+    rows, eid = [], 0
+    for d in range(30):
+        n = 10 if d < 20 else 30
+        for _ in range(n):
+            rows.append((eid, DT(2024, 1, 1) + timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = {r["day"]: r for r in
+           cusum_alarms(df, slack=0.5, threshold=5.0)
+           .to_spark().collect()}
+    assert len(out) == 30
+
+    # literal replay (scaled-int recurrence)
+    xs = [10] * 20 + [30] * 10
+    nd = len(xs)
+    mu = float(sum(xs)) / nd
+    m2 = float(sum(v * v for v in xs)) / nd
+    sd = math.sqrt(m2 - mu * mu)
+    drift6 = int(math.floor((mu + 0.5 * sd) * 1_000_000 + 0.5))
+    h6 = int(math.floor(5.0 * sd * 1_000_000 + 0.5))
+    s = 0
+    for d, x in enumerate(xs):
+        s = max(0, s + x * 1_000_000 - drift6)
+        day = (DT(2024, 1, 1) + timedelta(days=d)).strftime("%Y-%m-%d")
+        assert out[day]["stat"] == round(s / 1_000_000.0, 6), day
+        assert out[day]["alarm"] == (s > h6), day
+    assert not out["2024-01-15"]["alarm"]
+    assert out["2024-01-30"]["alarm"]
