@@ -96,6 +96,7 @@ HEADLINE = [
     "drift_ks",                 # KS: int-exact max on keyless scan
     "drift_chi2",               # categorical mix-shift contingency
     "events_cusum",             # scaled-int CUSUM on two keyless scans
+    "assoc_triples",            # Apriori L3: closure-pruned candidates
 ]
 
 

@@ -3011,6 +3011,50 @@ def assoc_rules(spark, sf_dir):
 
 
 @q(
+    "assoc_triples",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), po AS (
+      SELECT a.b, a.i AS x, c.i AS y
+      FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+    ), fp AS MATERIALIZED (
+      SELECT x, y FROM po GROUP BY x, y HAVING count(*) >= 2
+    ), bp AS (
+      SELECT po.b, po.x, po.y FROM po SEMI JOIN fp USING (x, y)
+    ), tri AS (
+      SELECT bp.x, bp.y, c.i AS z
+      FROM bp JOIN bi c ON c.b = bp.b AND bp.y < c.i
+      SEMI JOIN fp f2 ON f2.x = bp.x AND f2.y = c.i
+      SEMI JOIN fp f3 ON f3.x = bp.y AND f3.y = c.i
+    )
+    SELECT x, y, z, CAST(count(*) AS BIGINT) AS support
+    FROM tri GROUP BY x, y, z HAVING count(*) >= 2
+    ORDER BY support DESC, x, y, z LIMIT 50
+    """,
+)
+def assoc_triples(spark, sf_dir):
+    """Apriori 3-itemsets over order baskets (support >= 2, top 50 by
+    (support desc, x, y, z)): downward-closure pruning — only triples
+    whose three pairs are all frequent reach the counting join, so
+    the basket join runs over candidate occurrences, never the raw
+    k³ triple space; supports are exact integers (operators/assoc.py
+    frequent_triples)."""
+    from dask_spark.operators.assoc import frequent_triples
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    )
+    t = frequent_triples(li, min_support=2)
+    return (
+        t.to_spark()
+        .orderBy(F.col("support").desc(), "x", "y", "z")
+        .limit(50)
+    )
+
+
+@q(
     "graph_triangles",
     """
     WITH e0 AS (

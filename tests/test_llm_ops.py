@@ -2869,3 +2869,35 @@ def test_cusum_detects_level_shift(spark):
         assert out[day]["alarm"] == (s > h6), day
     assert not out["2024-01-15"]["alarm"]
     assert out["2024-01-30"]["alarm"]
+
+
+def test_frequent_triples_apriori(spark):
+    """frequent_triples vs a brute-force replay on hand-built baskets
+    — the downward-closure prune must not lose any qualifying triple,
+    and a triple whose pair support fails the floor is excluded even
+    if the triple count itself would pass (impossible by closure, so
+    assert equality with brute force instead)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from dask_spark.operators.assoc import frequent_triples
+
+    baskets = {
+        1: ["a", "b", "c", "d"],
+        2: ["a", "b", "c"],
+        3: ["a", "b", "d"],
+        4: ["b", "c", "d"],
+        5: ["a", "c"],
+        6: ["x", "y"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    got = {(r["x"], r["y"], r["z"]): r["support"]
+           for r in frequent_triples(df, min_support=2)
+           .to_spark().collect()}
+    brute = Counter()
+    for items in baskets.values():
+        for t in combinations(sorted(set(items)), 3):
+            brute[t] += 1
+    exp = {t: c for t, c in brute.items() if c >= 2}
+    assert got == exp and len(exp) > 0
