@@ -371,6 +371,81 @@ def hll_count_distinct(frame, value_col: str, p: int = 9,
     return DaskFrame(out)
 
 
+def _hll_estimate_expr(p: int):
+    """(est, sum_scaled, nonzero) Columns over an aggregated register
+    frame exposing __sp/__np — the hll_count_distinct estimator body,
+    shared with the set-algebra entry point so union/intersection
+    estimates can never drift from the single-sketch arithmetic."""
+    m = 1 << int(p)
+    full = F.coalesce(F.col("__sp"), F.lit(0).cast("bigint")) + (
+        (F.lit(m) - F.col("__np")).cast("bigint")
+        * F.lit(1 << _HLL_SCALE).cast("bigint")
+    )
+    num = hll_alpha(p) * m * m * float(1 << _HLL_SCALE)
+    raw = F.lit(num) / full.cast("double")
+    zeros = (F.lit(m) - F.col("__np")).cast("int")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return est, full, F.col("__np")
+
+
+def hll_set_estimates(frame_a, frame_b, value_col: str,
+                      value_col_b: str | None = None, p: int = 9,
+                      hash_kind: str = "md5"):
+    """HLL set algebra between two frames → one-row DaskFrame
+    (est_a, est_b, est_union, est_intersect): the sketches for A and
+    B are the usual 2^p register tables; the UNION sketch is their
+    element-wise register max — exactly the sketch a single pass over
+    A ∪ B would have built, because max is the register merge (the
+    mergeability that makes HLL the distributed-distinct workhorse) —
+    and the intersection estimate is inclusion–exclusion over the
+    three ROUNDED estimates (est_a + est_b − est_union; negative
+    small-overlap noise clamps to 0).
+
+    100 TB shape: each side pays one bounded register aggregate
+    (≤ 2^p pairs per partition); the merge and the three estimator
+    folds run over ≤ 3·2^p rows total. This is the "how many repeat
+    users / how much corpus overlap" question answered without ever
+    shuffling raw values — the same register tables can be persisted
+    per day and unioned across arbitrary date ranges later."""
+    vb = value_col_b or value_col
+    ra = hll_registers(frame_a, value_col, p, hash_kind)._sdf
+    rb = hll_registers(frame_b, vb, p, hash_kind)._sdf
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    )
+
+    term = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("bigint"),
+        F.lit(_HLL_SCALE) - F.col("max_rho"),
+    )
+
+    def one(regs, name):
+        agg = regs.groupBy().agg(
+            F.sum(term).alias("__sp"),
+            F.count(F.lit(1)).cast("int").alias("__np"),
+        )
+        est, _, _ = _hll_estimate_expr(p)
+        return agg.select(F.round(est, 6).alias(name))
+
+    out = (
+        one(ra, "est_a")
+        .crossJoin(one(rb, "est_b"))
+        .crossJoin(one(ru, "est_union"))
+    )
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return DaskFrame(out.select(
+        "est_a", "est_b", "est_union", inter.alias("est_intersect"),
+    ))
+
+
 def cms_doc_heavy_fraction(frame, counts: Sequence[int],
                            text_col: str = "text",
                            id_col: str = "doc_id",

@@ -339,6 +339,103 @@ def _hll_oracle(col: str, table: str, p: int = 9,
     """
 
 
+def _hll_setops_oracle(col_a: str, table_a: str, filt_a: str,
+                       col_b: str, table_b: str, filt_b: str,
+                       p: int = 7) -> str:
+    """Generated DuckDB replay of operators/sketch.py
+    hll_set_estimates: two register tables from the same 60-bit md5
+    digest, union = element-wise register max, three identical
+    estimator folds (incl. the linear-counting branch), intersection
+    by inclusion-exclusion over the ROUNDED estimates."""
+    from dask_spark.operators.sketch import (_HLL_BITS, _HLL_SCALE,
+                                             hll_alpha)
+
+    m = 1 << p
+    wp = _HLL_BITS - p
+    num = repr(hll_alpha(p) * m * m * float(1 << _HLL_SCALE))
+
+    def est(agg_cte: str) -> str:
+        return f"""
+      SELECT ROUND(
+        CASE WHEN {num} / CAST(sp + ({m} - np) *
+                   (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS DOUBLE)
+                 <= {repr(2.5 * m)} AND np < {m}
+             THEN {float(m)!r} * ln({float(m)!r} /
+                    CAST({m} - np AS DOUBLE))
+             ELSE {num} / CAST(sp + ({m} - np) *
+                    (CAST(1 AS BIGINT) << {_HLL_SCALE}) AS DOUBLE)
+        END, 6) AS e FROM {agg_cte}"""
+
+    def regs(h_cte: str) -> str:
+        return f"""
+      SELECT hv % {m} AS register,
+             MAX(CASE WHEN hv // {m} = 0 THEN {wp + 1}
+                      ELSE {wp + 1} - length(bin(hv // {m})) END)
+               AS max_rho
+      FROM {h_cte} GROUP BY 1"""
+
+    def agg(r_cte: str) -> str:
+        return f"""
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - max_rho))
+                  AS BIGINT) AS sp,
+             COUNT(*) AS np
+      FROM {r_cte}"""
+
+    return f"""
+    WITH ha AS (
+      SELECT ('0x' || substr(md5(CAST({col_a} AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM {table_a} WHERE {col_a} IS NOT NULL AND ({filt_a})
+    ), hb AS (
+      SELECT ('0x' || substr(md5(CAST({col_b} AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM {table_b} WHERE {col_b} IS NOT NULL AND ({filt_b})
+    ), ra AS ({regs("ha")}
+    ), rb AS ({regs("hb")}
+    ), ru AS (
+      SELECT register, MAX(max_rho) AS max_rho
+      FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1
+    ), aa AS ({agg("ra")}
+    ), ab AS ({agg("rb")}
+    ), au AS ({agg("ru")}
+    ), ea AS ({est("aa")}
+    ), eb AS ({est("ab")}
+    ), eu AS ({est("au")})
+    SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           GREATEST(ROUND(ea.e + eb.e - eu.e, 6), 0.0) AS est_intersect
+    FROM ea, eb, eu
+    """
+
+
+@q(
+    "reduce_hll_setops",
+    _hll_setops_oracle(
+        "o_custkey", "orders", "o_orderpriority = '1-URGENT'",
+        "c_custkey", "customer", "c_mktsegment = 'BUILDING'",
+        p=7,
+    ),
+)
+def reduce_hll_setops(spark, sf_dir):
+    """HLL set algebra — estimated overlap between urgent-order
+    customers and the BUILDING segment without shuffling raw keys:
+    per-side bounded register aggregates, union sketch = element-wise
+    register max (the HLL merge), intersection by inclusion-exclusion
+    over the rounded estimates. The register tables are the
+    persistable per-day artifacts of a 100 TB dedup-accounting
+    pipeline (operators/sketch.py hll_set_estimates)."""
+    from dask_spark.operators.sketch import hll_set_estimates
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    c = load(spark, sf_dir, "customer")._sdf.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return hll_set_estimates(
+        o, c, "o_custkey", value_col_b="c_custkey", p=7
+    ).to_spark()
+
+
 @q(
     "reduce_quantile_hist",
     """

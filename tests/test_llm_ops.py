@@ -2901,3 +2901,50 @@ def test_frequent_triples_apriori(spark):
             brute[t] += 1
     exp = {t: c for t, c in brute.items() if c >= 2}
     assert got == exp and len(exp) > 0
+
+
+def test_hll_set_estimates_algebra(spark):
+    """Union sketch == the sketch of the concatenated input (register
+    max IS the HLL merge), disjoint sets give est_intersect ~ 0 and
+    identical sets give est_intersect == est_a == est_union; the
+    inclusion-exclusion clamp never goes negative."""
+    from dask_spark.operators.sketch import (hll_count_distinct,
+                                             hll_set_estimates)
+
+    a = spark.createDataFrame([(i,) for i in range(300)], "v int")
+    b = spark.createDataFrame([(i,) for i in range(200, 500)], "v int")
+
+    row = hll_set_estimates(a, b, "v", p=8).to_spark().first()
+    both = hll_count_distinct(a.unionAll(b), "v", p=8).to_spark().first()
+    assert row["est_union"] == both["est_distinct"]
+    assert row["est_intersect"] >= 0.0
+    assert row["est_intersect"] == round(
+        row["est_a"] + row["est_b"] - row["est_union"], 6
+    )
+    # ~100/500 true overlap: the p=8 estimate should land in the
+    # right neighbourhood (rel err of each component <= ~2/sqrt(256))
+    assert 40 <= row["est_intersect"] <= 160
+
+    same = hll_set_estimates(a, a, "v", p=8).to_spark().first()
+    assert same["est_a"] == same["est_b"] == same["est_union"]
+    assert same["est_intersect"] == same["est_a"]
+
+    disj = hll_set_estimates(
+        a, spark.createDataFrame([(i,) for i in range(10_000, 10_300)],
+                                 "v int"),
+        "v", p=8,
+    ).to_spark().first()
+    assert disj["est_intersect"] <= 60.0
+
+
+def test_hll_set_estimates_cross_column(spark):
+    """value_col_b maps a differently-named key on the B side onto
+    the same digest space, so identical key SETS estimate as
+    identical regardless of column name."""
+    from dask_spark.operators.sketch import hll_set_estimates
+
+    a = spark.createDataFrame([(i,) for i in range(256)], "u int")
+    b = spark.createDataFrame([(i,) for i in range(256)], "w int")
+    row = hll_set_estimates(a, b, "u", value_col_b="w", p=7
+                            ).to_spark().first()
+    assert row["est_a"] == row["est_b"] == row["est_union"]
