@@ -241,3 +241,97 @@ def cusum_alarms(events, ts_col: str = "ts", slack: float = 0.5,
         (s6 > F.lit(h6)).alias("alarm"),
     )
     return DaskFrame(out)
+
+
+def ewma_smooth(events, value_col: str = "value", ts_col: str = "ts",
+                group_col: str = "event_type", alpha: float = 0.3,
+                round_dp: int = 6):
+    """Exponentially-weighted moving average of the DAILY mean of
+    ``value_col`` per ``group_col`` → DaskFrame(group, day, x, ewma):
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}, seeded y_0 = x_0 — the
+    classic noise-robust trend line the drift family (PSI/KS/chi2/
+    CUSUM) alarms against.
+
+    100 TB shape: the raw stream collapses map-side into ONE
+    (group, day)-keyed aggregate (exchange <= groups*days partials per
+    partition at any input size); the sequential recursion then runs
+    IN-ROW over each group's bounded day series (a decade of days =
+    ~3.7k elements), so no window ever sees the raw events and no
+    state scales with input.
+
+    Exactness: daily means derive from an exact int64 micro-unit sum
+    (value rounds once to 6 dp — floor(x*1e6 + 0.5), the CUSUM
+    conversion, so partition order can never move a bit) with one
+    pinned float division chain; the EWMA fold is the same
+    left-to-right alpha*x + (1-alpha)*y chain the oracle's recursive
+    CTE replays, so results are bit-identical across engines."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    v = F.col(value_col)
+    scaled = F.expr(
+        f"CAST(floor(round({value_col}, 6) * 1000000 + 0.5) AS BIGINT)"
+    )
+    daily = (
+        sdf.filter(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("date").cast("string").alias("day"),
+        )
+        .agg(
+            F.sum(scaled).alias("s6"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    x = (
+        F.col("s6").cast("double") / F.col("n").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    series = daily.select("grp", F.struct("day", x.alias("x")).alias("__e"))
+    packed = series.groupBy("grp").agg(
+        F.array_sort(F.collect_list("__e")).alias("__s")
+    )
+    # in-row scan: acc = (y, rows); each step folds the recursion and
+    # appends (day, x, ewma). y < 0 sentinel never occurs naturally
+    # because the seed uses a null marker via empty rows.
+    a = float(alpha)
+    scan = F.aggregate(
+        F.col("__s"),
+        F.struct(
+            F.lit(None).cast("double").alias("y"),
+            F.expr(
+                "CAST(array() AS "
+                "ARRAY<STRUCT<day: STRING, x: DOUBLE, ewma: DOUBLE>>)"
+            ).alias("rows"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(
+                acc["y"].isNull(), e["x"]
+            ).otherwise(
+                F.lit(a) * e["x"] + F.lit(1.0 - a) * acc["y"]
+            ).alias("y"),
+            F.array_append(
+                acc["rows"],
+                F.struct(
+                    e["day"].alias("day"),
+                    e["x"].alias("x"),
+                    F.when(
+                        acc["y"].isNull(), e["x"]
+                    ).otherwise(
+                        F.lit(a) * e["x"] + F.lit(1.0 - a) * acc["y"]
+                    ).alias("ewma"),
+                ),
+            ).alias("rows"),
+        ),
+        lambda acc: acc["rows"],
+    )
+    out = (
+        packed.select("grp", F.explode(scan).alias("__r"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("__r.day").alias("day"),
+            F.round(F.col("__r.x"), round_dp).alias("x"),
+            F.round(F.col("__r.ewma"), round_dp).alias("ewma"),
+        )
+    )
+    return DaskFrame(out)

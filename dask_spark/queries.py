@@ -3017,6 +3017,50 @@ def events_cusum(spark, sf_dir):
 
 
 @q(
+    "events_ewma",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(ts::DATE AS VARCHAR) AS day,
+             CAST(SUM(CAST(floor(round(value, 6) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s6,
+             count(*)::BIGINT AS n
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), x AS (
+      SELECT event_type, day,
+             s6::DOUBLE / n::DOUBLE / 1000000.0 AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS i
+      FROM daily
+    ), r AS (
+      SELECT event_type, day, i, x, x AS y FROM x WHERE i = 1
+      UNION ALL
+      SELECT x.event_type, x.day, x.i, x.x,
+             0.3 * x.x + 0.7 * r.y
+      FROM r JOIN x ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type, day, round(x, 6) AS x, round(y, 6) AS ewma
+    FROM r ORDER BY event_type, day
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """EWMA-smoothed daily mean value per event type — the trend line
+    the drift gates alarm against: the raw stream collapses map-side
+    into one (type, day) aggregate (exact micro-unit int64 sums, so
+    partition order can't move a bit), then the sequential recursion
+    y = 0.3x + 0.7y runs IN-ROW over each type's bounded day series —
+    the same left-to-right chain the oracle's recursive CTE replays
+    (operators/monitor.py ewma_smooth)."""
+    from dask_spark.operators.monitor import ewma_smooth
+
+    e = load(spark, sf_dir, "events")
+    return ewma_smooth(e, alpha=0.3).to_spark() \
+        .orderBy("event_type", "day")
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

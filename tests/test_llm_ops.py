@@ -2948,3 +2948,80 @@ def test_hll_set_estimates_cross_column(spark):
     row = hll_set_estimates(a, b, "u", value_col_b="w", p=7
                             ).to_spark().first()
     assert row["est_a"] == row["est_b"] == row["est_union"]
+
+
+def test_ewma_smooth_python_replay(spark):
+    """The in-row EWMA fold reproduces the sequential recursion
+    bit-for-bit, seeds y_0 = x_0, and daily means come from exact
+    micro-unit sums."""
+    import datetime as dt
+
+    from dask_spark.operators.monitor import ewma_smooth
+
+    rows = []
+    vals = {}
+    for d in range(5):
+        day = dt.datetime(2024, 1, 1 + d, 12, 0, 0)
+        for j, v in enumerate([1.25, 2.5, 3.125][: d + 1]):
+            rows.append(("a", day, v + d))
+            vals.setdefault(d, []).append(v + d)
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {
+        r["day"]: (r["x"], r["ewma"])
+        for r in ewma_smooth(df, alpha=0.3).to_spark().collect()
+    }
+
+    def r6(v):  # Spark F.round / DuckDB round are decimal HALF_UP
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    y = None
+    for d in range(5):
+        xs = vals[d]
+        s6 = sum(int((round(v, 6) * 1_000_000) + 0.5) for v in xs)
+        x = float(s6) / float(len(xs)) / 1_000_000.0
+        y = x if y is None else 0.3 * x + 0.7 * y
+        day = f"2024-01-{1 + d:02d}"
+        assert out[day] == (r6(x), r6(y))
+
+
+def test_ewma_smooth_groups_independent_and_validated(spark):
+    """Each group's recursion is independent; null ts/value rows drop;
+    alpha outside (0, 1] raises."""
+    import datetime as dt
+
+    import pytest
+
+    from dask_spark.operators.monitor import ewma_smooth
+
+    t0 = dt.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", t0, 10.0),
+            ("b", t0, 100.0),
+            ("a", t0 + dt.timedelta(days=1), 20.0),
+            ("b", t0 + dt.timedelta(days=1), 200.0),
+            ("a", None, 999.0),
+            ("a", t0, None),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = ewma_smooth(df, alpha=0.5).to_spark().collect()
+    got = {(r["event_type"], r["day"]): r["ewma"] for r in rows}
+    assert got == {
+        ("a", "2024-03-01"): 10.0,
+        ("a", "2024-03-02"): 15.0,
+        ("b", "2024-03-01"): 100.0,
+        ("b", "2024-03-02"): 150.0,
+    }
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_smooth(df, alpha=bad)
