@@ -1122,3 +1122,117 @@ def pmi_bigrams(sdf, text_col: str = "text", min_count: int = 5,
         .limit(int(topk))
     )
     return out
+
+
+class NaiveBayesModel:
+    """Fitted multinomial Naive Bayes over hashed bag-of-words:
+    ``labels`` (sorted ascending — the tie-break order), per-class
+    ``log_priors`` ln(n_c/N) and ``logliks`` C×D ln((c+α)/(t_c+αD)).
+    A bounded artifact (C·D doubles) that rides prediction plans as
+    literals, like the fastText-linear weights."""
+
+    def __init__(self, labels, log_priors, logliks, n_features, alpha,
+                 word_hash):
+        self.labels = labels
+        self.log_priors = log_priors
+        self.logliks = logliks
+        self.n_features = n_features
+        self.alpha = alpha
+        self.word_hash = word_hash
+
+
+def hashed_nb_fit(sdf, label_col: str, text_col: str = "text",
+                  n_features: int = 64, alpha: float = 1.0,
+                  word_hash: str = "md5") -> NaiveBayesModel:
+    """Multinomial Naive Bayes TRAINING over hashed bag-of-words —
+    the counting-only sibling of hashed_logreg_fit (one corpus pass,
+    no iterations; the classic fast baseline for language/domain/
+    quality routing).
+
+    100 TB shape: ONE explode → groupBy(label, feature) count — the
+    map-side combine collapses every partition to ≤ C·D partials, so
+    the exchange is model-sized, never corpus-sized; priors are a
+    C-key count. The driver sees C·D + C exact integers and takes
+    every ln in python (IEEE ln is bit-identical python↔Spark↔DuckDB
+    on this platform — the classifier_train contract), so a SQL
+    oracle recomputing the same counts reproduces the model
+    bit-for-bit."""
+    import math
+
+    from dask_spark.functions import md5_prefix60
+
+    D = int(n_features)
+    if D < 1:
+        raise ValueError(f"n_features must be >= 1, got {D}")
+    a = float(alpha)
+    hfn = md5_prefix60 if word_hash == "md5" else F.xxhash64
+    base = sdf.filter(F.col(label_col).isNotNull())
+    feat = F.transform(
+        word_tokens(F.col(text_col)),
+        lambda t: F.pmod(hfn(t), F.lit(D)).cast("int"),
+    )
+    pri = {
+        r["__l"]: r["__n"]
+        for r in base.groupBy(F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    cnt = {
+        (r["__l"], r["__f"]): r["__c"]
+        for r in base.select(
+            F.col(label_col).alias("__l"), F.explode(feat).alias("__f")
+        )
+        .groupBy("__l", "__f").agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    labels = sorted(pri)
+    N = sum(pri.values())
+    log_priors = [math.log(float(pri[lbl]) / float(N)) for lbl in labels]
+    logliks = []
+    for lbl in labels:
+        tot = sum(cnt.get((lbl, f), 0) for f in range(D))
+        logliks.append([
+            math.log((cnt.get((lbl, f), 0) + a) / (tot + a * D))
+            for f in range(D)
+        ])
+    return NaiveBayesModel(labels, log_priors, logliks, D, a, word_hash)
+
+
+def hashed_nb_predict(sdf, model: NaiveBayesModel,
+                      text_col: str = "text", round_dp: int = 6):
+    """Score every row against a fitted NaiveBayesModel → adds
+    ``pred`` (argmax class, first-max tie-break in label order) and
+    ``score`` (winning log-posterior, rounded). Map-only: the model
+    rides as C+1 one-parse array literals, the per-class fold runs
+    over the SORTED hashed-feature array so an oracle's ordered list
+    fold adds bit-identically; token-less docs score priors only."""
+    from dask_spark.functions import md5_prefix60
+
+    D = model.n_features
+    hfn = md5_prefix60 if model.word_hash == "md5" else F.xxhash64
+    feat = F.array_sort(F.transform(
+        word_tokens(F.col(text_col)),
+        lambda t: F.pmod(hfn(t), F.lit(D)).cast("int"),
+    ))
+    staged = sdf.withColumn("__feat", feat)
+    def _fold(w):  # closure factory: a default arg would become a
+        return lambda acc, f: acc + F.element_at(w, f + 1)  # 3rd lambda param
+
+    score_cols = []
+    for c, lbl in enumerate(model.labels):
+        wlit = _double_array_literal(model.logliks[c])
+        s = F.lit(float(model.log_priors[c])) + F.aggregate(
+            F.col("__feat"), F.lit(0.0), _fold(wlit),
+        )
+        score_cols.append(s.alias(f"__s{c}"))
+    staged = staged.select("*", *score_cols)
+    scores = F.array(*[F.col(f"__s{c}") for c in range(len(model.labels))])
+    lab_arr = F.lit([str(lbl) for lbl in model.labels])
+    out = staged.select(
+        *[c for c in sdf.columns],
+        F.element_at(
+            lab_arr,
+            F.array_position(scores, F.array_max(scores)).cast("int"),
+        ).alias("pred"),
+        F.round(F.array_max(scores), round_dp).alias("score"),
+    )
+    return out

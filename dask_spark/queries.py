@@ -7062,6 +7062,88 @@ def _logreg_oracle(D: int = 64, lr: float = 0.5) -> str:
     """
 
 
+@q(
+    "classifier_nb",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents WHERE lang IS NOT NULL
+    ), u AS (
+      SELECT doc_id, lang, unnest(w) AS tok FROM toks
+    ), f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS f
+      FROM u
+    ), cls AS (
+      SELECT lang AS lbl, count(*)::BIGINT AS nd FROM toks GROUP BY 1
+    ), nn AS (
+      SELECT CAST(SUM(nd) AS BIGINT) AS n FROM cls
+    ), cnt AS (
+      SELECT lang AS lbl, f, count(*)::BIGINT AS c FROM f GROUP BY 1, 2
+    ), tot AS (
+      SELECT lbl, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT cls.lbl, g.i AS f
+      FROM cls, generate_series(0, 63) g(i)
+    ), mdl AS (
+      SELECT grid.lbl, grid.f,
+             ln((coalesce(cnt.c, 0) + 1.0)
+                / (coalesce(tot.t, 0) + 64.0)) AS ll
+      FROM grid
+      LEFT JOIN cnt ON cnt.lbl = grid.lbl AND cnt.f = grid.f
+      LEFT JOIN tot ON tot.lbl = grid.lbl
+    ), wts AS (
+      SELECT lbl, (list(ll ORDER BY f))::DOUBLE[] AS wl
+      FROM mdl GROUP BY 1
+    ), pri AS (
+      SELECT cls.lbl, ln(cls.nd::DOUBLE / nn.n::DOUBLE) AS lp
+      FROM cls, nn
+    ), dl AS (
+      SELECT doc_id, list_sort(list(f)) AS fl FROM f GROUP BY 1
+    ), sc AS (
+      SELECT t.doc_id, t.lang, p.lbl,
+             p.lp + list_reduce(
+               list_prepend(0.0, list_transform(
+                 coalesce(dl.fl, []), x -> wts.wl[x + 1])),
+               (a, b) -> a + b) AS s
+      FROM toks t
+      LEFT JOIN dl USING (doc_id)
+      CROSS JOIN pri p
+      JOIN wts ON wts.lbl = p.lbl
+    ), best AS (
+      SELECT doc_id, lang, lbl, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lbl ASC) AS rn
+      FROM sc
+    )
+    SELECT doc_id, lang, lbl AS pred, round(s, 6) AS score
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def classifier_nb(spark, sf_dir):
+    """Multinomial Naive Bayes — the counting-only classifier
+    baseline beside the gradient-descent twin (classifier_train):
+    fit = ONE explode → groupBy(label, feature) count whose map-side
+    combine bounds the exchange at C·D partials per partition, priors
+    a C-key count, every ln taken once on the driver (IEEE-identical
+    python↔DuckDB); predict = map-only argmax over per-class ordered
+    folds with the model as C+1 one-parse literals
+    (functions/text.py hashed_nb_fit / hashed_nb_predict)."""
+    from dask_spark.functions.text import hashed_nb_fit, hashed_nb_predict
+
+    d = (
+        load(spark, sf_dir, "documents").to_spark()
+        .filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    model = hashed_nb_fit(d, "lang", n_features=64, alpha=1.0)
+    return (
+        hashed_nb_predict(d, model).drop("text").orderBy("doc_id")
+    )
+
+
 @q("classifier_train", _logreg_oracle(lr=1.0))
 def classifier_train(spark, sf_dir):
     """Distributed quality-classifier TRAINING: logistic regression on

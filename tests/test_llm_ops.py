@@ -3025,3 +3025,77 @@ def test_ewma_smooth_groups_independent_and_validated(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError, match="alpha"):
             ewma_smooth(df, alpha=bad)
+
+
+def test_nb_fit_predict_separates_classes(spark):
+    """NB trained on two disjoint vocabularies routes held-out docs
+    to the right class; token-less docs fall back to the prior
+    argmax; model shapes are C x D with labels sorted."""
+    from dask_spark.functions.text import hashed_nb_fit, hashed_nb_predict
+
+    rows = [("spam " * 5 + "offer win", "spam") for _ in range(6)]
+    rows += [("meeting notes agenda review", "ham") for _ in range(4)]
+    df = spark.createDataFrame(rows, "text string, y string")
+    m = hashed_nb_fit(df, "y", n_features=32)
+    assert m.labels == ["ham", "spam"]
+    assert len(m.logliks) == 2 and len(m.logliks[0]) == 32
+    import math
+
+    assert abs(math.exp(m.log_priors[0]) - 0.4) < 1e-12
+
+    test = spark.createDataFrame(
+        [("win offer spam",), ("agenda meeting",), ("",)],
+        "text string",
+    )
+    out = hashed_nb_predict(test, m).collect()
+    assert out[0]["pred"] == "spam"
+    assert out[1]["pred"] == "ham"
+    # empty doc: score = max prior, spam (p=.6) wins
+    assert out[2]["pred"] == "spam"
+    assert out[2]["score"] == round(
+        __import__("math").log(0.6), 6
+    )
+
+
+def test_nb_python_replay_exact(spark):
+    """The plan-literal fold reproduces a python replay of the
+    sorted-feature score chain bit-for-bit (same md5 hash, same
+    addition order)."""
+    import hashlib
+    import math
+
+    from dask_spark.functions.text import hashed_nb_fit, hashed_nb_predict
+
+    rows = [("alpha beta gamma", "a"), ("beta beta delta", "a"),
+            ("omega psi chi", "b"), ("psi psi omega", "b")]
+    df = spark.createDataFrame(rows, "text string, y string")
+    D = 16
+    m = hashed_nb_fit(df, "y", n_features=D)
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % D
+
+    # replay the fit
+    cnt, tot, pri = {}, {"a": 0, "b": 0}, {"a": 2, "b": 2}
+    for text, y in rows:
+        for t in text.split():
+            cnt[(y, h(t))] = cnt.get((y, h(t)), 0) + 1
+            tot[y] += 1
+    for ci, lbl in enumerate(["a", "b"]):
+        assert m.log_priors[ci] == math.log(pri[lbl] / 4.0)
+        for f in range(D):
+            want = math.log((cnt.get((lbl, f), 0) + 1.0) / (tot[lbl] + D))
+            assert m.logliks[ci][f] == want
+
+    out = hashed_nb_predict(df, m).collect()
+    for r, (text, y) in zip(out, rows):
+        feats = sorted(h(t) for t in text.split())
+        best = None
+        for ci, lbl in enumerate(["a", "b"]):
+            s = m.log_priors[ci]
+            for f in feats:
+                s = s + m.logliks[ci][f]
+            if best is None or s > best[1]:
+                best = (lbl, s)
+        assert r["pred"] == best[0]
+        assert r["pred"] == y
