@@ -307,3 +307,143 @@ def k_core(edges, k: int, a_col: str = "a", b_col: str = "b",
                 )
     out = degs(adj).filter(F.col("core_deg") >= int(k))
     return DaskFrame(out.select(F.col("u").alias("node"), "core_deg"))
+
+
+def modularity(edges, communities, a_col: str = "a", b_col: str = "b",
+               node_col: str = "node", com_col: str = "community",
+               round_dp: int = 6):
+    """Newman modularity decomposition of a community assignment →
+    DaskFrame(community, n_nodes, internal_edges, degree_sum,
+    contribution): Q = Σ_c [e_c/m − (D_c/2m)²] (Newman & Girvan 2004)
+    — per-community ``contribution`` terms over an UNDIRECTED edge
+    list, the standard "is this partition better than chance" score
+    for community detection / attribute-assortativity checks (are
+    co-purchased parts the same brand? do linked hosts share a TLD?).
+
+    100 TB shape: canonicalize+dedupe edges, TWO node-keyed joins tag
+    each edge's endpoint communities (the community map usually
+    broadcasts — it is nodes-sized), then everything collapses into
+    community-keyed integer aggregates (exchange ≤ |communities|
+    partials per partition): e_c, D_c, n_c and the global m are EXACT
+    int64, and each contribution is one pinned float expression of
+    them — no fold, no order sensitivity, bit-identical across
+    engines. Nodes absent from the community map drop (inner join);
+    their edges still count in m and in their partner's degree."""
+    esdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    csdf = (communities._sdf if isinstance(communities, DaskFrame)
+            else communities)
+    e = esdf.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    cmap = csdf.select(
+        F.col(node_col).cast("bigint").alias("n"),
+        F.col(com_col).alias("c"),
+    ).distinct()
+    m_agg = e.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+
+    tagged = (
+        e.join(cmap.select(F.col("n").alias("a"),
+                           F.col("c").alias("ca")), "a")
+        .join(cmap.select(F.col("n").alias("b"),
+                          F.col("c").alias("cb")), "b")
+    )
+    internal = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    per_com = (
+        cmap.join(deg, "n", "left")
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0).cast("bigint")))
+            .cast("bigint").alias("degree_sum"),
+        )
+    )
+    joined = (
+        per_com.join(internal, "community", "left")
+        .withColumn(
+            "internal_edges",
+            F.coalesce(F.col("internal_edges"), F.lit(0).cast("bigint")),
+        )
+        .crossJoin(F.broadcast(m_agg))
+    )
+    frac = (F.col("degree_sum").cast("double")
+            / (F.col("m") * F.lit(2)).cast("double"))
+    contrib = (
+        F.col("internal_edges").cast("double") / F.col("m").cast("double")
+        - frac * frac
+    )
+    out = joined.select(
+        "community", "n_nodes", "internal_edges", "degree_sum",
+        F.round(contrib, round_dp).alias("contribution"),
+    )
+    return DaskFrame(out)
+
+
+def jaccard_similarity(edges, a_col: str = "a", b_col: str = "b",
+                       min_common: int = 1,
+                       max_center_degree: int | None = None,
+                       round_dp: int = 6):
+    """Neighborhood Jaccard similarity for node pairs →
+    DaskFrame(x, y, common, deg_x, deg_y, jaccard) with x < y and
+    jaccard = |N(x)∩N(y)| / |N(x)∪N(y)| — the classic link-prediction
+    / related-item score (co-purchase "customers also bought").
+
+    Common neighbors come from the wedge self-join on the shared
+    center (exchange O(Σ d_u²) — the inherent bill of enumerating
+    co-neighbor pairs); ``max_center_degree`` prunes hub centers
+    before the join (a degree-10⁶ hub contributes 10¹² wedge pairs of
+    near-zero signal — dropping super-hubs is the standard industrial
+    mitigation, and it changes ``common`` only for pairs whose shared
+    neighbor IS a hub, documented semantics). Degrees join from the
+    full graph either way; all counts exact int64, jaccard one pinned
+    division rounded on both engines."""
+    sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    e = sdf.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    centers = adj
+    if max_center_degree is not None:
+        keep = deg.filter(F.col("d") <= int(max_center_degree)).select(
+            F.col("n").alias("u")
+        )
+        centers = adj.join(F.broadcast(keep), "u")
+    w1 = centers.select("u", F.col("v").alias("x"))
+    w2 = centers.select("u", F.col("v").alias("y"))
+    common = (
+        w1.join(w2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= int(min_common))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("deg_y"))
+    out = (
+        common.join(dx, "x").join(dy, "y")
+        .select(
+            "x", "y", "common", "deg_x", "deg_y",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common"))
+                .cast("double"),
+                round_dp,
+            ).alias("jaccard"),
+        )
+    )
+    return DaskFrame(out)

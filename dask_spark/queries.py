@@ -3251,6 +3251,130 @@ def graph_triangles(spark, sf_dir):
     )
 
 
+@q(
+    "graph_modularity",
+    """
+    WITH e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), m AS (
+      SELECT count(*)::BIGINT AS m FROM e
+    ), cmap AS (
+      SELECT p_partkey AS n, p_brand AS c FROM part
+    ), deg AS (
+      SELECT n, count(*)::BIGINT AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY n
+    ), internal AS (
+      SELECT ca.c AS community, count(*)::BIGINT AS internal_edges
+      FROM e JOIN cmap ca ON ca.n = e.a JOIN cmap cb ON cb.n = e.b
+      WHERE ca.c = cb.c GROUP BY 1
+    ), per AS (
+      SELECT cmap.c AS community,
+             count(*)::BIGINT AS n_nodes,
+             CAST(coalesce(SUM(deg.d), 0) AS BIGINT) AS degree_sum
+      FROM cmap LEFT JOIN deg ON deg.n = cmap.n
+      GROUP BY 1
+    )
+    SELECT per.community, per.n_nodes,
+           coalesce(internal.internal_edges, 0)::BIGINT AS internal_edges,
+           per.degree_sum,
+           round(coalesce(internal.internal_edges, 0)::DOUBLE
+                   / m.m::DOUBLE
+                 - (per.degree_sum::DOUBLE / (2 * m.m)::DOUBLE)
+                   * (per.degree_sum::DOUBLE / (2 * m.m)::DOUBLE),
+                 6) AS contribution
+    FROM per LEFT JOIN internal USING (community), m
+    ORDER BY community
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity decomposition of the part co-purchase graph
+    under the BRAND partition — "are co-purchased parts the same
+    brand?": Q = Σ_c [e_c/m − (D_c/2m)²] emitted as per-community
+    contribution terms. Two node-keyed community joins, then
+    everything collapses into |communities|-bounded exact-int64
+    aggregates; each contribution is one pinned float expression —
+    no fold, no order sensitivity (operators/graph.py modularity)."""
+    from dask_spark.operators.graph import modularity
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    coms = load(spark, sf_dir, "part")._sdf.select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"),
+    )
+    return (
+        modularity(edges, coms, "p1", "p2")
+        .to_spark().orderBy("community")
+    )
+
+
+@q(
+    "graph_jaccard",
+    """
+    WITH e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT u AS n, count(*)::BIGINT AS d FROM adj GROUP BY 1
+    ), common AS (
+      SELECT w1.v AS x, w2.v AS y, count(*)::BIGINT AS common
+      FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT c.x, c.y, c.common, dx.d AS deg_x, dy.d AS deg_y,
+           round(c.common::DOUBLE
+                 / (dx.d + dy.d - c.common)::DOUBLE, 6) AS jaccard
+    FROM common c JOIN deg dx ON dx.n = c.x JOIN deg dy ON dy.n = c.y
+    ORDER BY jaccard DESC, x, y LIMIT 100
+    """,
+)
+def graph_jaccard(spark, sf_dir):
+    """Neighborhood Jaccard similarity on the part co-purchase graph
+    (common >= 2), top 100 — the link-prediction / "customers also
+    bought" score: common neighbors from the wedge self-join on the
+    shared center, degrees from the full graph, jaccard =
+    common/(dx+dy−common) as one pinned division of exact int64
+    counts (operators/graph.py jaccard_similarity)."""
+    from dask_spark.operators.graph import jaccard_similarity
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    j = jaccard_similarity(edges, "p1", "p2", min_common=2)
+    return (
+        j.to_spark()
+        .orderBy(F.col("jaccard").desc(), "x", "y")
+        .limit(100)
+    )
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
     """Generated DuckDB replay of operators/graph.py k_core with a
     FIXED round count (post-convergence rounds are no-ops): round i

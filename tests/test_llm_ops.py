@@ -3099,3 +3099,57 @@ def test_nb_python_replay_exact(spark):
                 best = (lbl, s)
         assert r["pred"] == best[0]
         assert r["pred"] == y
+
+
+def test_modularity_two_cliques(spark):
+    """Two triangles joined by one bridge edge under the natural
+    partition: m=7, each community has e_c=3 internal edges and
+    degree sum 7 -> contribution = 3/7 - (7/14)^2 = 0.178571; the
+    total Q = 0.357143 ~ the strong-community regime. Assigning ALL
+    nodes one community gives Q = 0 exactly (e_c = m, D_c = 2m)."""
+    from dask_spark.operators.graph import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    coms = spark.createDataFrame(
+        [(n, "left" if n <= 3 else "right") for n in range(1, 7)],
+        "node bigint, community string",
+    )
+    rows = {r["community"]: r for r in
+            modularity(e, coms).to_spark().collect()}
+    for c in ("left", "right"):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["internal_edges"] == 3
+        assert rows[c]["degree_sum"] == 7
+        assert rows[c]["contribution"] == round(3 / 7 - (7 / 14) ** 2, 6)
+
+    allone = spark.createDataFrame(
+        [(n, "all") for n in range(1, 7)], "node bigint, community string"
+    )
+    q = modularity(e, allone).to_spark().collect()[0]
+    assert q["contribution"] == 0.0
+
+
+def test_jaccard_similarity_square_with_diagonal(spark):
+    """Square 1-2-3-4 plus diagonal 1-3: nodes 2 and 4 share exactly
+    {1, 3} and have degree 2 each -> jaccard = 2/(2+2-2) = 1.0; the
+    hub cap drops pairs whose ONLY shared neighbors are hubs."""
+    from dask_spark.operators.graph import jaccard_similarity
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "a bigint, b bigint"
+    )
+    rows = {(r["x"], r["y"]): r for r in
+            jaccard_similarity(e).to_spark().collect()}
+    r24 = rows[(2, 4)]
+    assert (r24["common"], r24["deg_x"], r24["deg_y"]) == (2, 2, 2)
+    assert r24["jaccard"] == 1.0
+    # 1 and 3 share {2, 4}: deg 3 each -> 2/(3+3-2) = 0.5
+    assert rows[(1, 3)]["jaccard"] == 0.5
+
+    # cap out the degree-3 centers 1 and 3: pair (2,4) loses both
+    # shared neighbors and disappears; (1,3) keeps centers 2 and 4
+    capped = {(r["x"], r["y"]): r for r in jaccard_similarity(
+        e, max_center_degree=2).to_spark().collect()}
+    assert (2, 4) not in capped
+    assert capped[(1, 3)]["common"] == 2
