@@ -227,3 +227,47 @@ def quantize_int8(vec: Column) -> Column:
 def dequantize_int8(qs: Column) -> Column:
     """Inverse of quantize_int8: struct(scale, q) → array<double>."""
     return F.transform(qs["q"], lambda qi: qi.cast("double") * qs["scale"])
+
+
+def jl_gaussian_matrix(dim: int, k: int, seed: int) -> list[list[float]]:
+    """Deterministic k×dim Johnson–Lindenstrauss projection matrix:
+    N(0,1) entries pre-scaled by 1/sqrt(k) (so E[|Px|²] = |x|²),
+    generated driver-side from a seeded PRNG — a k·dim-double
+    constant that rides projection plans as literals, like the LSH
+    hyperplanes and PCA components."""
+    rng = random.Random(seed)
+    s = 1.0 / math.sqrt(float(k))
+    return [
+        [rng.gauss(0, 1) * s for _ in range(dim)] for _ in range(k)
+    ]
+
+
+def jl_project(frame, vec_col: str = "embedding",
+               id_col: str = "vec_id", dim: int = 64, k: int = 8,
+               seed: int = 7, round_dp: int | None = 6):
+    """Johnson–Lindenstrauss random projection → DaskFrame(id,
+    jl0..jl{k-1}): dimensionality reduction with distance-preservation
+    guarantees (Johnson & Lindenstrauss 1984; Achlioptas 2003 for the
+    database-friendly variants) — the cheap pre-step before ANN
+    indexing / clustering when PCA's data pass is not worth it (JL
+    needs NO fit: the matrix is data-independent).
+
+    100 TB shape: map-only — the k×dim matrix is a driver literal
+    (like dask broadcasting a sklearn GaussianRandomProjection via
+    map_partitions), each output is a dim-unrolled codegen double dot
+    (the pca_project shape), zero shuffle, zero Python, and the plan
+    is identical on every partition. Deterministic in ``seed``, so an
+    oracle embedding the same literals replays it bit-for-bit."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    mat = jl_gaussian_matrix(int(dim), int(k), int(seed))
+    v = F.col(vec_col)
+    cols = [F.col(id_col)]
+    for j, row in enumerate(mat):
+        rlit = F.array(*[F.lit(float(x)) for x in row])
+        proj = dot(v, rlit, int(dim))
+        if round_dp is not None:
+            proj = F.round(proj, round_dp)
+        cols.append(proj.alias(f"jl{j}"))
+    return DaskFrame(sdf.select(*cols))

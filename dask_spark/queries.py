@@ -8612,6 +8612,40 @@ def contamination_bloom_q(spark, sf_dir):
     ).to_spark()
 
 
+def _jl_oracle(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    """Generated DuckDB replay of functions/vector.py jl_project: the
+    SAME seeded k×dim Gaussian literals, each output an identically
+    left-associated chain of element-double products."""
+    from dask_spark.functions.vector import jl_gaussian_matrix
+
+    mat = jl_gaussian_matrix(dim, k, seed)
+    cols = []
+    for j, row in enumerate(mat):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {x!r}"
+            for i, x in enumerate(row)
+        )
+        cols.append(f"round({terms}, 6) AS jl{j}")
+    return ("SELECT vec_id, " + ", ".join(cols)
+            + " FROM embeddings ORDER BY vec_id")
+
+
+@q("embed_jl", _jl_oracle(dim=64, k=8, seed=7))
+def embed_jl(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection of the embedding table
+    to 8 dims — the fit-free dimensionality reduction before ANN
+    indexing (the matrix is data-independent, so unlike PCA there is
+    NO corpus pass): map-only, the seeded k×dim Gaussian rides as
+    literals, each output a dim-unrolled codegen double dot
+    (functions/vector.py jl_project)."""
+    from dask_spark.functions.vector import jl_project
+
+    e = load(spark, sf_dir, "embeddings")
+    return jl_project(
+        e, "embedding", "vec_id", dim=64, k=8, seed=7
+    ).to_spark().orderBy("vec_id")
+
+
 @q(
     "embed_quantize",
     r"""

@@ -3153,3 +3153,36 @@ def test_jaccard_similarity_square_with_diagonal(spark):
         e, max_center_degree=2).to_spark().collect()}
     assert (2, 4) not in capped
     assert capped[(1, 3)]["common"] == 2
+
+
+def test_jl_project_numpy_parity_and_distance_preservation(spark):
+    """jl_project == numpy X @ W.T (L2R fold tolerance), is seed-
+    deterministic, and roughly preserves pairwise distances (the JL
+    guarantee, loose 3x band at k=16)."""
+    import numpy as np
+
+    from dask_spark.functions.vector import (jl_gaussian_matrix,
+                                             jl_project)
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 32).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    k = 16
+    out = jl_project(df, dim=32, k=k, seed=11, round_dp=None) \
+        .to_spark().orderBy("vec_id").toPandas()
+    W = np.array(jl_gaussian_matrix(32, k, 11))
+    P = X.astype("float64") @ W.T
+    got = out[[f"jl{j}" for j in range(k)]].to_numpy()
+    assert np.allclose(got, P, rtol=1e-9, atol=1e-9)
+
+    # determinism + distance preservation on a few pairs
+    out2 = jl_project(df, dim=32, k=k, seed=11, round_dp=None) \
+        .to_spark().orderBy("vec_id").toPandas()
+    assert (out.to_numpy() == out2.to_numpy()).all()
+    for i, j in [(0, 1), (5, 9), (20, 33)]:
+        d_hi = np.linalg.norm(X[i].astype("float64") - X[j])
+        d_lo = np.linalg.norm(got[i] - got[j])
+        assert d_hi / 3 <= d_lo <= d_hi * 3
