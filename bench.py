@@ -97,6 +97,14 @@ HEADLINE = [
     "drift_chi2",               # categorical mix-shift contingency
     "events_cusum",             # scaled-int CUSUM on two keyless scans
     "assoc_triples",            # Apriori L3: closure-pruned candidates
+    # round-11b additions (compare per-query across rounds, not totals)
+    "classifier_nb",      # NB fit (C*D-bounded count) + literal predict
+    "events_ewma",        # (group,day) micro-unit agg + in-row scan
+    "graph_modularity",   # community-bounded exact-int aggregates
+    "graph_jaccard",      # wedge self-join common-neighbor pairs
+    "embed_jl",           # map-only k x dim literal projection
+    "reduce_hll_setops",  # two register tables + merged estimator
+    "events_trend",       # exact-int OLS moments per group
 ]
 
 

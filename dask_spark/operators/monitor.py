@@ -335,3 +335,71 @@ def ewma_smooth(events, value_col: str = "value", ts_col: str = "ts",
         )
     )
     return DaskFrame(out)
+
+
+def linear_trend(events, ts_col: str = "ts",
+                 group_col: str = "event_type", round_dp: int = 6):
+    """Per-group OLS trend of the DAILY event-count series →
+    DaskFrame(group, n_days, slope, intercept, r2): is this event
+    type growing, and how fast — the monitoring companion of the
+    drift gates (they say "moved", this says "moving at b/day").
+
+    100 TB shape: the raw stream collapses map-side into ONE
+    (group, day) count, then the five regression moments (Σx, Σy,
+    Σxy, Σx², Σy² with x = epoch-day, y = count) collapse into a
+    groups-bounded second aggregate — EXACT int64 end to end (epoch
+    days ~2e4, daily counts bounded by partition math; n·Σxy stays
+    under 2^63 for any realistic series), so partition order cannot
+    move a bit. The only float steps are the closed-form divisions:
+    slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (Σy−slope·Σx)/n,
+    r² = num²/(den·(nΣy²−(Σy)²)) — each one pinned expression
+    replayed identically by the oracle. Single-day groups emit null
+    slope/intercept/r2 (den = 0); zero-variance-y groups emit r2
+    null (0/0)."""
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    daily = (
+        sdf.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .select(
+            "grp",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint").alias("x"),
+            "y",
+        )
+    )
+    m = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    )
+    intercept = F.when(
+        den != 0,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    r2 = F.when(
+        (den != 0) & (deny != 0),
+        (num.cast("double") * num.cast("double"))
+        / (den.cast("double") * deny.cast("double")),
+    )
+    out = m.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_days"),
+        F.round(slope, round_dp).alias("slope"),
+        F.round(intercept, round_dp).alias("intercept"),
+        F.round(r2, round_dp).alias("r2"),
+    )
+    return DaskFrame(out)

@@ -3061,6 +3061,61 @@ def events_ewma(spark, sf_dir):
 
 
 @q(
+    "events_trend",
+    """
+    WITH daily AS (
+      SELECT event_type AS grp,
+             CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT grp,
+             count(*)::BIGINT AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY grp
+    ), d AS (
+      SELECT grp, n,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             n * syy - sy * sy AS deny,
+             sx, sy
+      FROM m
+    ), s AS (
+      SELECT grp, n, num, den, deny, sx, sy,
+             CASE WHEN den != 0
+                  THEN num::DOUBLE / den::DOUBLE END AS slope
+      FROM d
+    )
+    SELECT grp AS event_type, n AS n_days,
+           round(slope, 6) AS slope,
+           round(CASE WHEN den != 0
+                 THEN (sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE
+                 END, 6) AS intercept,
+           round(CASE WHEN den != 0 AND deny != 0
+                 THEN (num::DOUBLE * num::DOUBLE)
+                      / (den::DOUBLE * deny::DOUBLE)
+                 END, 6) AS r2
+    FROM s ORDER BY event_type
+    """,
+)
+def events_trend(spark, sf_dir):
+    """Per-type OLS trend of the daily event-count series — "is this
+    event type growing, at what rate, how linear": five regression
+    moments as EXACT int64 sums over a (type, day)-bounded aggregate
+    (partition order can't move a bit), then slope/intercept/r² as
+    pinned closed-form divisions; single-day and zero-variance groups
+    yield nulls by contract (operators/monitor.py linear_trend)."""
+    from dask_spark.operators.monitor import linear_trend
+
+    e = load(spark, sf_dir, "events")
+    return linear_trend(e).to_spark().orderBy("event_type")
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

@@ -170,3 +170,56 @@ def psi_bucket_stream(stream_sdf, reference, value_col: str,
         return round(psi, 6)
 
     return counts, finish
+
+
+def chi2_category_stream(stream_sdf, reference, cat_col: str):
+    """Chi-square categorical drift on an INGEST stream with BOUNDED
+    state — the streaming twin of operators/monitor.py chi2_drift
+    (event-type / language / source mix shift at ingest time):
+    reference counts collect ONCE from the static frame, the
+    streaming aggregate keys on the category — state is
+    <= |categories| rows forever (a streaming dropDuplicates or raw
+    collect grows with the stream). Returns (streaming count
+    DataFrame (k, c), finish) where ``finish(rows)`` folds the sunk
+    category counts with EXACTLY the batch chi2_drift arithmetic
+    (sorted-category order, per-category cell-pair sums first), so a
+    stream and its batch validation run agree bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    rc = {
+        r["k"]: r["c"]
+        for r in ref.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_ref = sum(rc.values())
+    if not n_ref:
+        raise ValueError("chi2_category_stream: empty reference")
+
+    counts = (
+        stream_sdf.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def finish(rows):
+        cc = {r["k"]: int(r["c"]) for r in rows}
+        n_cur = sum(cc.values())
+        if not n_cur:
+            raise ValueError("chi2 finish: empty current batch")
+        cats = sorted(set(rc) | set(cc))
+        n = float(n_ref + n_cur)
+        chi2 = 0.0
+        for k in cats:
+            row = float(rc.get(k, 0) + cc.get(k, 0))
+            e_ref = row * n_ref / n
+            e_cur = row * n_cur / n
+            d1 = rc.get(k, 0) - e_ref
+            d2 = cc.get(k, 0) - e_cur
+            chi2 = chi2 + ((d1 * d1) / e_ref + (d2 * d2) / e_cur)
+        return round(chi2, 6), len(cats) - 1, n_ref, n_cur
+
+    return counts, finish

@@ -858,3 +858,50 @@ def test_streaming_batch_parity_psi(spark, tmp_path):
     rows = spark.sql("select * from psi_parity").collect()
     assert len(rows) <= 16  # bounded state
     assert finish(rows) == batch
+
+
+def test_streaming_batch_parity_chi2(spark, tmp_path):
+    """EXACTNESS for the streaming chi-square gate: category counts
+    aggregated over a finite file stream (state <= |categories| rows)
+    + the finish() fold equal the batch chi2_drift row bit-for-bit,
+    including dof over the UNION category set (a stream-only category
+    must widen dof)."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.monitor import chi2_drift
+    from dask_spark.streaming.hygiene import chi2_category_stream
+
+    ref_pdf = pd.DataFrame(
+        {"k": (["click"] * 300 + ["view"] * 500 + ["buy"] * 50)}
+    )
+    cur_pdf = pd.DataFrame(
+        {"k": (["click"] * 100 + ["view"] * 600 + ["refund"] * 30)}
+    )
+    ref_src = tmp_path / "chi_ref"
+    cur_src = tmp_path / "chi_cur"
+    ds.from_pandas(ref_pdf).to_parquet(str(ref_src))
+    ds.from_pandas(cur_pdf).to_parquet(str(cur_src))
+
+    ref = spark.read.parquet(str(ref_src))
+    b = chi2_drift(
+        ref, spark.read.parquet(str(cur_src)), "k"
+    ).to_spark().first()
+
+    stream_sdf = spark.readStream.schema("k string").parquet(str(cur_src))
+    counts, finish = chi2_category_stream(stream_sdf, ref, "k")
+    q = (
+        counts.writeStream.format("memory").queryName("chi2_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from chi2_parity").collect()
+    assert len(rows) <= 4  # bounded state: stream categories only
+    chi2, dof, n_ref, n_cur = finish(rows)
+    assert (chi2, dof, n_ref, n_cur) == (
+        b["chi2"], b["dof"], b["n_ref"], b["n_cur"]
+    )
+    assert dof == 3  # union of {click,view,buy} and {click,view,refund}

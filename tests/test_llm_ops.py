@@ -3186,3 +3186,44 @@ def test_jl_project_numpy_parity_and_distance_preservation(spark):
         d_hi = np.linalg.norm(X[i].astype("float64") - X[j])
         d_lo = np.linalg.norm(got[i] - got[j])
         assert d_hi / 3 <= d_lo <= d_hi * 3
+
+
+def test_linear_trend_numpy_parity_and_degenerates(spark):
+    """slope/intercept/r2 match numpy polyfit/corrcoef on a known
+    daily series; a single-day group yields null slope/intercept/r2
+    and a zero-variance-y group yields slope 0 with null r2."""
+    import datetime as dt
+
+    import numpy as np
+
+    from dask_spark.operators.monitor import linear_trend
+
+    rows = []
+    counts = [3, 5, 4, 8, 9, 13, 12]
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append(("grow", dt.datetime(2024, 1, 1 + d, 8, i)))
+    rows.append(("single", dt.datetime(2024, 1, 1)))
+    for d in range(3):
+        rows.append(("flat", dt.datetime(2024, 2, 1 + d)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    out = {r["event_type"]: r for r in linear_trend(df).to_spark().collect()}
+
+    x = np.array([(dt.date(2024, 1, 1 + d) - dt.date(1970, 1, 1)).days
+                  for d in range(7)], dtype=float)
+    y = np.array(counts, dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    g = out["grow"]
+    assert g["n_days"] == 7
+    assert abs(g["slope"] - slope) < 1e-6
+    assert abs(g["intercept"] - intercept) < 1e-4
+    assert abs(g["r2"] - r2) < 1e-6
+
+    s = out["single"]
+    assert s["n_days"] == 1
+    assert s["slope"] is None and s["intercept"] is None and s["r2"] is None
+
+    f = out["flat"]
+    assert f["slope"] == 0.0 and f["r2"] is None
