@@ -604,6 +604,55 @@ def reduce_hll_distinct(spark, sf_dir):
 
 
 @q(
+    "reduce_weighted_quantile",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ), pos AS (
+      SELECT g, v, w FROM base WHERE w > 0
+    ), vw AS (
+      SELECT g, v, CAST(SUM(w) AS BIGINT) AS wv FROM pos GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v, wv,
+             CAST(SUM(wv) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw
+      FROM vw
+    ), tot AS (
+      SELECT g, CAST(SUM(wv) AS BIGINT) AS tw FROM vw GROUP BY 1
+    )
+    SELECT cum.g AS l_returnflag,
+      MIN(CASE WHEN cw >= CAST(ceil(0.25 * tw::DOUBLE) AS BIGINT)
+               THEN v END) AS wq_25,
+      MIN(CASE WHEN cw >= CAST(ceil(0.5 * tw::DOUBLE) AS BIGINT)
+               THEN v END) AS wq_5,
+      MIN(CASE WHEN cw >= CAST(ceil(0.75 * tw::DOUBLE) AS BIGINT)
+               THEN v END) AS wq_75
+    FROM cum JOIN tot ON tot.g = cum.g
+    GROUP BY cum.g ORDER BY cum.g
+    """,
+)
+def reduce_weighted_quantile(spark, sf_dir):
+    """EXACT weighted quantiles per return flag — price percentiles
+    weighted by quantity ("the median dollar", not the median row):
+    duplicate values collapse map-side, cumulative weights ride the
+    per-group window (keyless form uses the distributed prefix scan),
+    thresholds ceil(q·W) computed IN-PLAN from broadcast group totals
+    — every comparison exact int64
+    (operators/reductions.py weighted_quantiles)."""
+    from dask_spark.operators.reductions import weighted_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity",
+        qs=(0.25, 0.5, 0.75), group_cols=["l_returnflag"],
+    ).to_spark().orderBy("l_returnflag")
+
+
+@q(
     "reduce_quantile",
     """
     SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,

@@ -3227,3 +3227,34 @@ def test_linear_trend_numpy_parity_and_degenerates(spark):
 
     f = out["flat"]
     assert f["slope"] == 0.0 and f["r2"] is None
+
+
+def test_weighted_quantiles_exact_semantics(spark):
+    """Weighted median = smallest value whose cumulative weight
+    reaches ceil(q*W); keyless and keyed paths agree; zero/negative/
+    null weights drop; a dominant weight pins every quantile."""
+    import pytest
+
+    from dask_spark.operators.reductions import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 8.0),
+         ("a", 4.0, 0.0), ("a", 5.0, None),
+         ("b", 10.0, 3.0), ("b", 20.0, 1.0)],
+        "g string, v double, w double",
+    )
+    keyed = {r["g"]: r for r in weighted_quantiles(
+        df, "v", "w", qs=(0.5, 0.75), group_cols=["g"]
+    ).to_spark().collect()}
+    # group a: weights 1,1,8 -> W=10; ceil(.5*10)=5 -> v=3 (cum 1,2,10)
+    assert keyed["a"]["wq_5"] == 3.0 and keyed["a"]["wq_75"] == 3.0
+    # group b: W=4; ceil(2)=2 -> 10 (cum 3); ceil(3)=3 -> 10
+    assert keyed["b"]["wq_5"] == 10.0 and keyed["b"]["wq_75"] == 10.0
+
+    solo = weighted_quantiles(
+        df.filter("g = 'a'"), "v", "w", qs=(0.5,)
+    ).to_spark().first()
+    assert solo["wq_5"] == keyed["a"]["wq_5"]
+
+    with pytest.raises(ValueError, match="quantiles"):
+        weighted_quantiles(df, "v", "w", qs=(0.0,))
