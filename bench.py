@@ -105,6 +105,8 @@ HEADLINE = [
     "embed_jl",           # map-only k x dim literal projection
     "reduce_hll_setops",  # two register tables + merged estimator
     "events_trend",       # exact-int OLS moments per group
+    "quality_gate",       # 7 expectation rules in one scan + FK join
+    "reduce_weighted_quantile",  # prefix-scan exact weighted quantiles
 ]
 
 

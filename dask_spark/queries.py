@@ -2836,6 +2836,98 @@ def text_length_outliers(spark, sf_dir):
 
 
 @q(
+    "quality_gate",
+    """
+    WITH src AS (SELECT * FROM lineitem)
+    SELECT rule, n_checked, n_violations,
+           CASE WHEN n_checked > 0 THEN
+             round(n_violations::DOUBLE / n_checked::DOUBLE, 6)
+           END AS violation_rate
+    FROM (
+      SELECT 'shipdate_present' AS rule, 0 AS ord,
+             count(*)::BIGINT AS n_checked,
+             CAST(coalesce(SUM(CASE WHEN l_shipdate IS NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+      FROM src
+      UNION ALL
+      SELECT 'qty_in_band', 1,
+             CAST(coalesce(SUM(CASE WHEN l_quantity IS NOT NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(coalesce(SUM(CASE WHEN l_quantity IS NOT NULL
+                  AND (l_quantity < 1 OR l_quantity > 49)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM src
+      UNION ALL
+      SELECT 'positive_price', 2, count(*)::BIGINT,
+             CAST(coalesce(SUM(CASE WHEN NOT
+                  coalesce(l_extendedprice > 0, FALSE)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM src
+      UNION ALL
+      SELECT 'returnflag_domain', 3,
+             CAST(coalesce(SUM(CASE WHEN l_returnflag IS NOT NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(coalesce(SUM(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM src
+      UNION ALL
+      SELECT 'linestatus_shape', 4,
+             CAST(coalesce(SUM(CASE WHEN l_linestatus IS NOT NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(coalesce(SUM(CASE WHEN l_linestatus IS NOT NULL
+                  AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM src
+      UNION ALL
+      SELECT 'line_pk_unique', 5, count(*)::BIGINT,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                  AS BIGINT)
+      FROM src
+      UNION ALL
+      SELECT 'order_fk', 6,
+             (SELECT count(*)::BIGINT FROM src
+              WHERE l_orderkey IS NOT NULL),
+             (SELECT count(*)::BIGINT FROM src
+              WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders
+                     WHERE o_orderkey IS NOT NULL))
+    ) ORDER BY ord
+    """,
+)
+def quality_gate(spark, sf_dir):
+    """Declarative data-quality gate over lineitem — the expectations
+    run every production ingest pays before data reaches training:
+    seven rules (presence, band, predicate, domain, regex shape,
+    composite-key uniqueness, FK integrity) compile into ONE
+    scan-and-aggregate (each row rule is a conditional-count pair in
+    the same agg; uniqueness shares it via countDistinct) plus one
+    broadcast left-anti join for the FK; output is a bounded per-rule
+    summary of exact int64 counts (operators/quality.py validate)."""
+    from dask_spark.operators.quality import validate
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "not_null", "name": "shipdate_present",
+         "col": "l_shipdate"},
+        {"rule": "in_range", "name": "qty_in_band",
+         "col": "l_quantity", "min": 1, "max": 49},
+        {"rule": "expr", "name": "positive_price",
+         "expr": "l_extendedprice > 0"},
+        {"rule": "in_set", "name": "returnflag_domain",
+         "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"rule": "regex_match", "name": "linestatus_shape",
+         "col": "l_linestatus", "pattern": "^[OF]$"},
+        {"rule": "unique", "name": "line_pk_unique",
+         "cols": ["l_orderkey", "l_linenumber"]},
+        {"rule": "ref_integrity", "name": "order_fk",
+         "col": "l_orderkey", "ref": o, "ref_col": "o_orderkey"},
+    ]
+    return validate(li, rules).to_spark()
+
+
+@q(
     "drift_psi",
     """
     WITH ref AS (

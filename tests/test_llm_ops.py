@@ -3258,3 +3258,50 @@ def test_weighted_quantiles_exact_semantics(spark):
 
     with pytest.raises(ValueError, match="quantiles"):
         weighted_quantiles(df, "v", "w", qs=(0.0,))
+
+
+def test_validate_rules_exact_counts(spark):
+    """Each rule kind counts exactly: presence, band (nulls skip),
+    expr (null predicate = violation), domain, regex, uniqueness
+    (extra copies), FK (non-null misses); duplicate names and empty
+    rule lists raise."""
+    import pytest
+
+    from dask_spark.operators.quality import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A", "ok1"), (1, 60.0, "A", "bad"),
+         (2, None, "B", "ok2"), (3, 5.0, "Z", None),
+         (3, 5.0, "A", "ok3")],
+        "k bigint, v double, flag string, tag string",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk bigint")
+    rules = [
+        {"rule": "not_null", "name": "v_present", "col": "v"},
+        {"rule": "in_range", "name": "v_band", "col": "v",
+         "min": 0, "max": 50},
+        {"rule": "expr", "name": "v_pos", "expr": "v > 0"},
+        {"rule": "in_set", "name": "flag_dom", "col": "flag",
+         "values": ["A", "B"]},
+        {"rule": "regex_match", "name": "tag_shape", "col": "tag",
+         "pattern": "^ok[0-9]$"},
+        {"rule": "unique", "name": "k_unique", "cols": ["k"]},
+        {"rule": "ref_integrity", "name": "k_fk", "col": "k",
+         "ref": ref, "ref_col": "rk"},
+    ]
+    rows = validate(df, rules).to_spark().collect()
+    got = {r["rule"]: (r["n_checked"], r["n_violations"],
+                       r["violation_rate"]) for r in rows}
+    assert [r["rule"] for r in rows] == [r["name"] for r in rules]
+    assert got["v_present"] == (5, 1, 0.2)
+    assert got["v_band"] == (4, 1, 0.25)       # null v skipped
+    assert got["v_pos"] == (5, 1, 0.2)         # null predicate fails
+    assert got["flag_dom"] == (5, 1, 0.2)
+    assert got["tag_shape"] == (4, 1, 0.25)    # null tag skipped
+    assert got["k_unique"] == (5, 2, 0.4)      # two extra copies
+    assert got["k_fk"] == (5, 2, 0.4)          # two k=3 rows miss
+
+    with pytest.raises(ValueError, match="duplicate"):
+        validate(df, [rules[0], dict(rules[0])])
+    with pytest.raises(ValueError, match="empty"):
+        validate(df, [])
