@@ -1845,3 +1845,52 @@ def contamination_bloom(corpus, benchmark, text_col: str = "text",
         >= per_doc["total_grams"] * F.lit(frac.numerator)
     )
     return DaskFrame(per_doc.withColumn("contaminated", contaminated))
+
+
+def fuzzy_name_pairs(frame, name_col: str, max_distance: int = 4,
+                     min_count: int = 1):
+    """Entity-resolution candidate pairs by edit distance →
+    DaskFrame(name_a, name_b, distance, count_a, count_b) with
+    name_a < name_b — the record-linkage step (Fellegi–Sunter
+    blocking heritage) that catches typo'd vendor/product/author
+    variants exact dedup misses.
+
+    Scale-correct shape: the quadratic work runs over the DISTINCT
+    NAME TABLE, never the rows — names dedupe map-side with their
+    multiplicities (a 100 TB catalog has ~1e6 distinct names, 1e-6×
+    the rows), then a BLOCKED self-join (block = last whitespace
+    token, the head noun; standard blocking trades recall across
+    blocks for tractability) with the exactness-preserving length
+    filter |len_a − len_b| <= d pruning before the O(len²) DP
+    levenshtein evaluates. Both engines implement classic edit
+    distance, so every surviving pair is replayable."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    d = int(max_distance)
+    if d < 0:
+        raise ValueError(f"max_distance must be >= 0, got {d}")
+    names = (
+        sdf.filter(F.col(name_col).isNotNull())
+        .groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .withColumn("blk", F.substring_index(F.col("name"), " ", -1))
+    )
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("cnt").alias("count_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("cnt").alias("count_b"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(d)
+        )
+        .withColumn("distance",
+                    F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("distance") <= F.lit(d))
+    )
+    return DaskFrame(pairs.select(
+        "name_a", "name_b", "distance", "count_a", "count_b"
+    ))

@@ -6893,6 +6893,42 @@ def dedup_clusters_star(spark, sf_dir):
     ).to_spark().select("id", "component")
 
 
+@q(
+    "dedup_fuzzy_name",
+    """
+    WITH names AS (
+      SELECT p_name AS name, count(*)::BIGINT AS cnt,
+             CASE WHEN strpos(p_name, ' ') > 0
+                  THEN split_part(p_name, ' ', -1)
+                  ELSE p_name END AS blk
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS distance,
+           a.cnt AS count_a, b.cnt AS count_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= 3
+    WHERE levenshtein(a.name, b.name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def dedup_fuzzy_name(spark, sf_dir):
+    """Entity-resolution fuzzy pairs over part names (edit distance
+    <= 3, blocked on the head noun): the quadratic work runs over the
+    DISTINCT NAME table — names dedupe map-side with multiplicities
+    (1e-6× the rows on a real catalog) — with the exactness-
+    preserving |len_a − len_b| length filter pruning ahead of the
+    O(len²) DP (operators/dedup.py fuzzy_name_pairs)."""
+    from dask_spark.operators.dedup import fuzzy_name_pairs
+
+    p = load(spark, sf_dir, "part")
+    return (
+        fuzzy_name_pairs(p, "p_name", max_distance=3)
+        .to_spark().orderBy("name_a", "name_b")
+    )
+
+
 def _ann_knn_join_oracle() -> str:
     """Like _dedup_embed_lsh_oracle: the band layout is deterministic
     (per-band seed ``7 + 101*b``), so the oracle replays signatures →

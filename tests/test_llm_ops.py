@@ -3305,3 +3305,35 @@ def test_validate_rules_exact_counts(spark):
         validate(df, [rules[0], dict(rules[0])])
     with pytest.raises(ValueError, match="empty"):
         validate(df, [])
+
+
+def test_fuzzy_name_pairs_semantics(spark):
+    """Blocking on the head noun, the length filter, and the
+    levenshtein threshold: 'cold widget'~'bold widget' (d=1) pairs,
+    cross-block 'cold widget'/'cold bolt' never pairs, counts carry
+    multiplicities, and max_distance=0 finds only exact-name pairs
+    (none after the distinct collapse)."""
+    import pytest
+
+    from dask_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [("cold widget",), ("cold widget",), ("bold widget",),
+         ("cold bolt",), ("giant widget",), (None,)],
+        "name string",
+    )
+    rows = {(r["name_a"], r["name_b"]): r for r in fuzzy_name_pairs(
+        df, "name", max_distance=2).to_spark().collect()}
+    key = ("bold widget", "cold widget")
+    assert key in rows
+    assert rows[key]["distance"] == 1
+    assert rows[key]["count_a"] == 1 and rows[key]["count_b"] == 2
+    assert all(a.endswith("widget") and b.endswith("widget")
+               for a, b in rows)  # blocking: no cross-block pair
+    assert ("cold widget", "giant widget") not in rows  # d=4 > 2
+
+    none = fuzzy_name_pairs(df, "name", max_distance=0) \
+        .to_spark().collect()
+    assert none == []
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_name_pairs(df, "name", max_distance=-1)
