@@ -447,3 +447,49 @@ def jaccard_similarity(edges, a_col: str = "a", b_col: str = "b",
         )
     )
     return DaskFrame(out)
+
+
+def bfs_hops(edges, source, a_col: str = "a", b_col: str = "b",
+             rounds: int = 6):
+    """Bounded-round BFS hop distance from ``source`` over an
+    UNDIRECTED edge list → DaskFrame(node, dist) for every node
+    reached within ``rounds`` hops (source at dist 0) — the
+    neighborhood-expansion primitive (how close is this part to the
+    seed product? which hosts sit within 3 links of a spam hub?).
+
+    Frontier form: per round ONE src-keyed join of the CURRENT
+    frontier (never the visited set) against adjacency + one anti
+    join against visited — exchanges carry ids only and are bounded
+    by frontier×degree; lineage checkpoints every 3 rounds (the
+    k_core lesson: per-round checkpoints pay a whole job's scheduling
+    floor each). Hop distances are exact integers, a pure function of
+    the edge set, so any correct BFS — including a recursive-CTE
+    oracle — agrees row-for-row."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
+    e = sdf.select(
+        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).localCheckpoint(eager=False)
+    spark = sdf.sparkSession
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node bigint, dist int"
+    )
+    frontier = visited.select("node")
+    for r in range(1, int(rounds) + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node")).distinct()
+            .join(visited.select("node"), "node", "anti")
+        )
+        step = nxt.select("node", F.lit(r).cast("int").alias("dist"))
+        visited = visited.unionByName(step)
+        frontier = step.select("node")
+        if r % 3 == 0:
+            visited = visited.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return DaskFrame(visited)

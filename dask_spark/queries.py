@@ -3571,6 +3571,57 @@ def graph_jaccard(spark, sf_dir):
     )
 
 
+@q(
+    "graph_bfs",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), sm AS (
+      SELECT MIN(u) AS s FROM adj
+    ), walk(node, dist) AS (
+      SELECT s, 0 FROM sm
+      UNION
+      SELECT adj.v, walk.dist + 1
+      FROM walk JOIN adj ON adj.u = walk.node
+      WHERE walk.dist < 6
+    )
+    SELECT node, MIN(dist)::INT AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs(spark, sf_dir):
+    """Bounded BFS hop distance from the lowest part in the
+    co-purchase graph (6 rounds): frontier-form expansion — per round
+    one frontier×adjacency join + one anti join against visited, ids
+    only, lineage checkpointed every 3 rounds; hop distances are
+    exact integers, so the recursive-CTE oracle (min over all walk
+    depths) agrees row-for-row (operators/graph.py bfs_hops)."""
+    from dask_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf_dir, "lineitem")._sdf.select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("p1", "p2")
+    )
+    seed = edges.agg(F.min(F.least("p1", "p2"))).first()[0]
+    return (
+        bfs_hops(edges, seed, "p1", "p2", rounds=6)
+        .to_spark().orderBy("node")
+    )
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
     """Generated DuckDB replay of operators/graph.py k_core with a
     FIXED round count (post-convergence rounds are no-ops): round i

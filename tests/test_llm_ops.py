@@ -3337,3 +3337,27 @@ def test_fuzzy_name_pairs_semantics(spark):
     assert none == []
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_name_pairs(df, "name", max_distance=-1)
+
+
+def test_bfs_hops_known_graph(spark):
+    """Path 1-2-3-4-5 plus chord 1-3: BFS from 1 gives dists
+    0,1,1,2,3 (the chord shortcuts 3); rounds cap truncates the
+    frontier; disconnected node 99 never appears."""
+    import pytest
+
+    from dask_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (99, 98)],
+        "a bigint, b bigint",
+    )
+    got = {r["node"]: r["dist"] for r in
+           bfs_hops(e, 1, rounds=6).to_spark().collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    capped = {r["node"]: r["dist"] for r in
+              bfs_hops(e, 1, rounds=2).to_spark().collect()}
+    assert capped == {1: 0, 2: 1, 3: 1, 4: 2}
+
+    with pytest.raises(ValueError, match="rounds"):
+        bfs_hops(e, 1, rounds=-1)
