@@ -1894,3 +1894,34 @@ def fuzzy_name_pairs(frame, name_col: str, max_distance: int = 4,
     return DaskFrame(pairs.select(
         "name_a", "name_b", "distance", "count_a", "count_b"
     ))
+
+
+def incremental_dedup(batch, corpus, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Ingest-time exact dedup of a NEW batch against an EXISTING
+    corpus → the batch rows that survive: content-hash
+    (sha2-256) left-anti join against the corpus hash set, plus
+    within-batch keep-first (min id per hash) — the delta-ingestion
+    twin of dedup_exact for continuously-growing corpora (recompute
+    nothing over the old data; at 100 TB the corpus side is a
+    HASH-ONLY projection, pushed down to two columns, and the
+    exchange carries the batch + corpus digests, never text).
+
+    Returns the surviving batch rows with their ``content_hash``."""
+    from dask_spark.frame import DaskFrame
+
+    b = batch._sdf if isinstance(batch, DaskFrame) else batch
+    c = corpus._sdf if isinstance(corpus, DaskFrame) else corpus
+    h = F.sha2(F.col(text_col).cast("string"), 256)
+    bh = b.withColumn("content_hash", h)
+    ch = c.select(h.alias("content_hash")).distinct()
+    fresh = bh.join(ch, "content_hash", "left_anti")
+    keep = fresh.groupBy("content_hash").agg(
+        F.min(F.col(id_col)).alias("__keep")
+    )
+    out = (
+        fresh.join(keep, "content_hash")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+    return DaskFrame(out)

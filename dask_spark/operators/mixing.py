@@ -327,3 +327,45 @@ def dsir_resample(corpus, target, k: int, text_col: str = "text",
         .limit(int(k))
     )
     return DaskFrame(out)
+
+
+def split_assign(frame, id_col: str, ratios=None, salt: str = "split"):
+    """Deterministic train/valid/test assignment → adds ``split``:
+    the row's engine-portable uniform u = md5_prefix60(salt:id)/2^60
+    lands in consecutive ratio intervals — the split every training
+    pipeline needs to be REPRODUCIBLE across engines, runs, and
+    re-ingests (a Bernoulli sample() reshuffles on every retry;
+    this re-derives the same label from the id forever, and adding
+    new rows never moves an old row's split).
+
+    Map-only, zero shuffle: thresholds floor(cum_ratio·2^60) are
+    int64 literals, the comparison is pure integer. Ratios must sum
+    to 1 (±1e-9); labels keep dict order, last label absorbs the
+    rounding tail."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import md5_prefix60
+
+    if ratios is None:
+        ratios = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    if abs(sum(ratios.values()) - 1.0) > 1e-9:
+        raise ValueError(f"ratios must sum to 1, got {ratios}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    u = md5_prefix60(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    labels = list(ratios)
+    cuts = []
+    acc = 0.0
+    for lab in labels[:-1]:
+        acc += float(ratios[lab])
+        cuts.append(int(acc * float(1 << 60)))
+    # forward when-chain: the FIRST interval whose upper cut exceeds
+    # u wins, so intervals are [0,c1), [c1,c2), ..., [c_{k-1}, 2^60)
+    expr = None
+    for lab, cut in zip(labels[:-1], cuts):
+        cond = u < F.lit(cut)
+        expr = F.when(cond, F.lit(lab)) if expr is None \
+            else expr.when(cond, F.lit(lab))
+    expr = (expr.otherwise(F.lit(labels[-1])) if expr is not None
+            else F.lit(labels[-1]))
+    return DaskFrame(sdf.withColumn("split", expr))

@@ -174,3 +174,39 @@ def weighted_quantiles(frame, value_col: str, weight_col: str,
         )
     out = joined.groupBy(*gc).agg(*aggs) if gc else joined.agg(*aggs)
     return DaskFrame(out)
+
+
+def quantile_bucketize(frame, col: str, buckets: int = 4,
+                       out: str = "bucket"):
+    """Equal-frequency binning (the ML QuantileDiscretizer): adds
+    ``out`` = the row's quantile bucket [0, buckets), with boundaries
+    the EXACT percentiles at i/buckets — the preprocessing step for
+    monotone-feature models and stratified diagnostics.
+
+    One exact-percentile aggregate collects buckets−1 boundary
+    scalars to the driver (Spark percentile() and DuckDB
+    quantile_cont produce bit-identical doubles, the length_outliers
+    contract), then the assignment is a map-only literal CASE chain:
+    bucket i = (b_{i-1}, b_i], bucket 0 = (-inf, b_1]. Null values
+    get a null bucket. Ties across a boundary land LEFT (<= cut),
+    identical in both engines."""
+    from dask_spark.frame import DaskFrame
+
+    b = int(buckets)
+    if b < 2:
+        raise ValueError(f"buckets must be >= 2, got {b}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    x = F.col(col).cast("double")
+    qs = [i / b for i in range(1, b)]
+    cuts = list(
+        sdf.filter(x.isNotNull())
+        .agg(F.percentile(x, F.lit(qs)).alias("c")).first()["c"]
+    )
+    expr = None
+    for i, cut in enumerate(cuts):
+        cond = x <= F.lit(float(cut))
+        expr = F.when(cond, F.lit(i)) if expr is None \
+            else expr.when(cond, F.lit(i))
+    expr = expr.otherwise(F.lit(b - 1))
+    expr = F.when(x.isNotNull(), expr).cast("int")
+    return DaskFrame(sdf.withColumn(out, expr))

@@ -6980,6 +6980,131 @@ def dedup_fuzzy_name(spark, sf_dir):
     )
 
 
+def _corpus_split_oracle() -> str:
+    """Generated replay of operators/mixing.py split_assign's integer
+    thresholds (floor(cum_ratio * 2^60) — computed HERE so both
+    engines compare against the same int64 literals)."""
+    c1 = int(0.8 * float(1 << 60))
+    c2 = int((0.8 + 0.1) * float(1 << 60))
+    return f"""
+    WITH u AS (
+      SELECT source,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN h < {c1} THEN 'train'
+                WHEN h < {c2} THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n
+    FROM u GROUP BY 1, 2 ORDER BY source, split
+    """
+
+
+@q("corpus_split", _corpus_split_oracle())
+def corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test assignment, counted
+    per source: split = the engine-portable md5 uniform of (salt:id)
+    against int64 cumulative-ratio thresholds — reproducible across
+    engines, runs, and re-ingests (new rows never move an old row's
+    split), map-only zero-shuffle assignment
+    (operators/mixing.py split_assign)."""
+    from dask_spark.operators.mixing import split_assign
+
+    d = load(spark, sf_dir, "documents")
+    out = split_assign(d, "doc_id", salt="split").to_spark()
+    return (
+        out.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+@q(
+    "ml_quantile_bucket",
+    """
+    WITH base AS (
+      SELECT o_totalprice::DOUBLE AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), cut AS (
+      SELECT quantile_cont(x, 0.25) AS c1,
+             quantile_cont(x, 0.5) AS c2,
+             quantile_cont(x, 0.75) AS c3
+      FROM base
+    )
+    SELECT CASE WHEN x <= c1 THEN 0
+                WHEN x <= c2 THEN 1
+                WHEN x <= c3 THEN 2
+                ELSE 3 END AS bucket,
+           count(*)::BIGINT AS n,
+           min(x) AS lo, max(x) AS hi
+    FROM base, cut
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_quantile_bucket(spark, sf_dir):
+    """Equal-frequency binning of order totals (the ML
+    QuantileDiscretizer): one exact-percentile aggregate collects 3
+    boundary scalars (Spark percentile() == DuckDB quantile_cont
+    bit-for-bit), assignment is a map-only literal CASE chain —
+    summarized per bucket with exact counts and min/max
+    (operators/reductions.py quantile_bucketize)."""
+    from dask_spark.operators.reductions import quantile_bucketize
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    b = quantile_bucketize(o, "o_totalprice", buckets=4).to_spark()
+    x = F.col("o_totalprice").cast("double")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(x).alias("lo"), F.max(x).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "dedup_incremental",
+    """
+    WITH corpus AS (
+      SELECT sha256(text) AS content_hash FROM documents
+      WHERE doc_id < 250 GROUP BY 1
+    ), batch AS (
+      SELECT doc_id, sha256(text) AS content_hash FROM documents
+      WHERE doc_id >= 250
+    ), fresh AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE c.content_hash = b.content_hash)
+    )
+    SELECT doc_id, content_hash FROM fresh f
+    WHERE doc_id = (SELECT MIN(doc_id) FROM fresh g
+                    WHERE g.content_hash = f.content_hash)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time exact dedup of a new batch (doc_id >= 250) against
+    the existing corpus: sha2-256 content-hash left-anti join (the
+    corpus side is a hash-only two-column pushdown projection — at
+    100 TB nothing text-sized moves) plus within-batch keep-first —
+    the delta-ingestion twin of dedup_exact
+    (operators/dedup.py incremental_dedup)."""
+    from dask_spark.operators.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")._sdf
+    corpus = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    return (
+        incremental_dedup(batch, corpus).to_spark()
+        .select("doc_id", "content_hash").orderBy("doc_id")
+    )
+
+
 def _ann_knn_join_oracle() -> str:
     """Like _dedup_embed_lsh_oracle: the band layout is deterministic
     (per-band seed ``7 + 101*b``), so the oracle replays signatures →

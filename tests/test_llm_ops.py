@@ -3361,3 +3361,76 @@ def test_bfs_hops_known_graph(spark):
 
     with pytest.raises(ValueError, match="rounds"):
         bfs_hops(e, 1, rounds=-1)
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    """Same ids -> same splits on every call; ratios land near
+    80/10/10; appending rows never moves an existing row's split;
+    bad ratios raise."""
+    import pytest
+
+    from dask_spark.operators.mixing import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    a = {r["id"]: r["split"] for r in
+         split_assign(df, "id").to_spark().collect()}
+    b = {r["id"]: r["split"] for r in
+         split_assign(df, "id").to_spark().collect()}
+    assert a == b
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert 0.75 <= shares["train"] / 2000 <= 0.85
+    assert 0.06 <= shares["valid"] / 2000 <= 0.14
+    assert 0.06 <= shares["test"] / 2000 <= 0.14
+
+    bigger = spark.createDataFrame([(i,) for i in range(4000)], "id bigint")
+    c = {r["id"]: r["split"] for r in
+         split_assign(bigger, "id").to_spark().collect()}
+    assert all(c[i] == a[i] for i in range(2000))
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "id", ratios={"a": 0.5, "b": 0.4})
+
+
+def test_quantile_bucketize_equal_frequency(spark):
+    """4 buckets over 0..999 are the exact quartiles (ties land
+    left), each ~250 rows; nulls bucket null; buckets<2 raises."""
+    import pytest
+
+    from dask_spark.operators.reductions import quantile_bucketize
+
+    rows = [(float(i),) for i in range(1000)] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = quantile_bucketize(df, "x", buckets=4).to_spark().collect()
+    from collections import Counter
+
+    counts = Counter(r["bucket"] for r in out)
+    assert counts[None] == 1
+    assert all(240 <= counts[i] <= 260 for i in range(4))
+    by_val = {r["x"]: r["bucket"] for r in out if r["x"] is not None}
+    assert by_val[0.0] == 0 and by_val[999.0] == 3
+    assert by_val[249.75 // 1] == 0  # below the .25 boundary
+
+    with pytest.raises(ValueError, match="buckets"):
+        quantile_bucketize(df, "x", buckets=1)
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    """Batch rows whose text exists in the corpus drop; within-batch
+    duplicates keep the lowest id; unique new docs survive with
+    their hash."""
+    from dask_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "old text"), (2, "boiler")], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "old text"), (11, "brand new"), (12, "brand new"),
+         (13, "another")],
+        "doc_id bigint, text string",
+    )
+    out = incremental_dedup(batch, corpus).to_spark().collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [11, 13]
+    assert all(len(r["content_hash"]) == 64 for r in out)
