@@ -107,6 +107,11 @@ HEADLINE = [
     "events_trend",       # exact-int OLS moments per group
     "quality_gate",       # 7 expectation rules in one scan + FK join
     "reduce_weighted_quantile",  # prefix-scan exact weighted quantiles
+    "dedup_fuzzy_name",   # blocked levenshtein over distinct names
+    "graph_bfs",          # 6-round frontier expansion, ids only
+    "corpus_split",       # md5-threshold split assignment, map-only
+    "ml_quantile_bucket", # exact-percentile literal CASE binning
+    "dedup_incremental",  # hash anti-join delta ingestion
 ]
 
 

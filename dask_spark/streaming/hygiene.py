@@ -223,3 +223,31 @@ def chi2_category_stream(stream_sdf, reference, cat_col: str):
         return round(chi2, 6), len(cats) - 1, n_ref, n_cur
 
     return counts, finish
+
+
+def hll_distinct_windowed_stream(stream_sdf, value_col: str,
+                                 ts_col: str = "ts",
+                                 window: str = "1 day",
+                                 watermark: str = "1 day",
+                                 p: int = 9, hash_kind: str = "md5"):
+    """PER-WINDOW distinct count on an INGEST stream with BOUNDED
+    state — "daily unique users" without a per-user state store: the
+    streaming aggregate keys on (event-time window, HLL register), so
+    state is <= windows_in_flight * 2^p rows, and the watermark
+    retires closed windows (streaming dropDuplicates state grows with
+    distinct users per window; this never does). Returns the
+    streaming register table (window_start, register, max_rho); feed
+    each window's rows to operators/sketch.py hll_estimate_registers
+    — identical arithmetic to the batch keyed hll_count_distinct, so
+    stream == batch bit-for-bit (pinned in
+    tests/test_io_streaming.py)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.sketch import hll_registers
+
+    wm = stream_sdf.withWatermark(ts_col, watermark)
+    staged = wm.withColumn("__win", F.window(F.col(ts_col), window))
+    regs = hll_registers(staged, value_col, p, hash_kind, ["__win"])._sdf
+    return regs.select(
+        F.col("__win.start").alias("window_start"), "register", "max_rho"
+    )

@@ -905,3 +905,77 @@ def test_streaming_batch_parity_chi2(spark, tmp_path):
         b["chi2"], b["dof"], b["n_ref"], b["n_cur"]
     )
     assert dof == 3  # union of {click,view,buy} and {click,view,refund}
+
+
+def test_hll_windowed_stream_matches_batch(spark, tmp_path):
+    """Windowed streaming HLL: per-day register tables over a finite
+    file stream equal the batch keyed hll_registers, and the
+    per-window estimator equals batch hll_count_distinct(group_cols)
+    bit-for-bit; state is bounded by windows * 2^p."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.sketch import (
+        hll_count_distinct,
+        hll_estimate_registers,
+    )
+    from dask_spark.streaming.hygiene import hll_distinct_windowed_stream
+
+    rows = []
+    for d in range(3):
+        for u in range(120 + 40 * d):
+            rows.append(
+                (dt.datetime(2024, 5, 1 + d, 9, u % 60), f"u{u % (80 + d)}")
+            )
+    pdf = pd.DataFrame(rows, columns=["ts", "user"])
+    src = tmp_path / "hll_win"
+    ds.from_pandas(pdf).to_parquet(str(src))
+
+    import pyspark.sql.functions as F
+
+    batch = spark.read.parquet(str(src)).withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    batch_rows = {
+        (r["day"], r["register"]): r["max_rho"]
+        for r in __import__("dask_spark.operators.sketch",
+                            fromlist=["hll_registers"])
+        .hll_registers(batch, "user", p=7, group_cols=["day"])
+        .to_spark().collect()
+    }
+    batch_est = {
+        r["day"]: r["est_distinct"]
+        for r in hll_count_distinct(
+            batch, "user", p=7, group_cols=["day"]
+        ).to_spark().collect()
+    }
+
+    stream_sdf = spark.readStream.schema("ts timestamp, user string") \
+        .parquet(str(src))
+    out = hll_distinct_windowed_stream(
+        stream_sdf, "user", ts_col="ts", window="1 day", p=7
+    )
+    q = (
+        out.writeStream.format("memory").queryName("hllwin_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = spark.sql("select * from hllwin_parity").collect()
+    assert len(got) <= 3 * 128  # bounded state
+    got_regs = {(r["window_start"], r["register"]): r["max_rho"]
+                for r in got}
+    assert got_regs == batch_rows
+
+    from collections import defaultdict
+
+    per_win = defaultdict(list)
+    for r in got:
+        per_win[r["window_start"]].append(r["max_rho"])
+    for day, rhos in per_win.items():
+        est, _, _ = hll_estimate_registers(rhos, p=7)
+        assert est == batch_est[day]
