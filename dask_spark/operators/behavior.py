@@ -284,3 +284,63 @@ def length_outliers(docs, group_col: str = "source",
         ).alias("is_outlier"),
     )
     return DaskFrame(out)
+
+
+def last_touch_attribution(events, conversion_type: str = "purchase",
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts", id_col: str = "event_id",
+                           within_seconds: int | None = None):
+    """Last-touch conversion attribution → DaskFrame(attributed_type,
+    conversions): each conversion event credits the user's MOST
+    RECENT preceding non-conversion event (strictly earlier in
+    (ts, id) order — the unique id makes same-instant ties
+    deterministic); conversions with no qualifying touch (first
+    event, or outside ``within_seconds``) credit '(none)'. The
+    marketing-analytics staple beside funnels and retention.
+
+    100 TB shape: ONE user-keyed window pass carries the last
+    non-conversion (ts, type) struct forward (last(ignorenulls) over
+    rows 1 PRECEDING — no self-join, no per-conversion scan), then a
+    |types|-bounded count; the only exchange is the user-keyed sort
+    the window family already pays, so the plan survives any event
+    volume with per-user partition state."""
+    from pyspark.sql import Window
+
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    w = (
+        Window.partitionBy(F.col(user_col))
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col(type_col) != F.lit(conversion_type),
+            F.struct(F.col(ts_col).alias("t"),
+                     F.col(type_col).alias("k")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    staged = (
+        sdf.filter(
+            F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+        )
+        .withColumn("__touch", touch)
+        .filter(F.col(type_col) == F.lit(conversion_type))
+    )
+    ok = F.col("__touch").isNotNull()
+    if within_seconds is not None:
+        ok = ok & (
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.col("__touch.t"))
+            <= F.lit(int(within_seconds))
+        )
+    out = (
+        staged.select(
+            F.when(ok, F.col("__touch.k"))
+            .otherwise(F.lit("(none)")).alias("attributed_type")
+        )
+        .groupBy("attributed_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("conversions"))
+    )
+    return DaskFrame(out)

@@ -3202,6 +3202,45 @@ def events_ewma(spark, sf_dir):
 
 
 @q(
+    "events_attribution",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), carried AS (
+      SELECT user_id, event_type, ts,
+             last(CASE WHEN event_type != 'purchase'
+                       THEN struct_pack(t := ts, k := event_type) END
+                  IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM base
+    )
+    SELECT CASE WHEN touch IS NOT NULL
+                 AND epoch(ts) - epoch(touch.t) <= 3600
+                THEN touch.k ELSE '(none)' END AS attributed_type,
+           count(*)::BIGINT AS conversions
+    FROM carried WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution within one hour: each purchase credits
+    the user's most recent preceding non-purchase event ((ts, id)
+    order — same-instant ties deterministic), '(none)' when no touch
+    qualifies. ONE user-keyed window carries the last touch struct
+    forward (no self-join), then a |types|-bounded count
+    (operators/behavior.py last_touch_attribution)."""
+    from dask_spark.operators.behavior import last_touch_attribution
+
+    e = load(spark, sf_dir, "events")
+    return last_touch_attribution(
+        e, conversion_type="purchase", within_seconds=3600
+    ).to_spark().orderBy("attributed_type")
+
+
+@q(
     "events_trend",
     """
     WITH daily AS (

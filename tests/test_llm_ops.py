@@ -3434,3 +3434,40 @@ def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
     ids = sorted(r["doc_id"] for r in out)
     assert ids == [11, 13]
     assert all(len(r["content_hash"]) == 64 for r in out)
+
+
+def test_last_touch_attribution_semantics(spark):
+    """The most recent preceding non-conversion event wins; the
+    window cap demotes stale touches to '(none)'; a user's first
+    event converting credits '(none)'; consecutive purchases each
+    re-attribute independently."""
+    import datetime as dt
+
+    from dask_spark.operators.behavior import last_touch_attribution
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, "u1", s(0), "click"),
+        (2, "u1", s(10), "view"),
+        (3, "u1", s(20), "purchase"),     # -> view
+        (4, "u1", s(30), "purchase"),     # -> view (purchases skip)
+        (5, "u2", s(0), "purchase"),      # first event -> (none)
+        (6, "u3", s(0), "click"),
+        (7, "u3", s(5000), "purchase"),   # outside 3600s -> (none)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id string, ts timestamp, "
+              "event_type string",
+    )
+    got = {r["attributed_type"]: r["conversions"]
+           for r in last_touch_attribution(
+               df, within_seconds=3600).to_spark().collect()}
+    assert got == {"view": 2, "(none)": 2}
+
+    uncapped = {r["attributed_type"]: r["conversions"]
+                for r in last_touch_attribution(df).to_spark().collect()}
+    assert uncapped == {"view": 2, "(none)": 1, "click": 1}
