@@ -210,3 +210,51 @@ def quantile_bucketize(frame, col: str, buckets: int = 4,
     expr = expr.otherwise(F.lit(b - 1))
     expr = F.when(x.isNotNull(), expr).cast("int")
     return DaskFrame(sdf.withColumn(out, expr))
+
+
+def target_encode(frame, cat_col: str, target_col: str,
+                  smoothing: float = 10.0, round_dp: int = 6):
+    """Smoothed mean-target encoding (the classic categorical→numeric
+    ML feature; micci-barreca 2001 shape, public) →
+    DaskFrame(category, n, enc): enc = (Σy + m·ȳ) / (n + m) — the
+    category mean shrunk toward the global mean by pseudo-count m,
+    so rare categories don't memorize their few labels.
+
+    One |categories|-bounded aggregate; Σy is held EXACT (target
+    rounds once to micro-unit int64 — the CUSUM conversion — so
+    partition order can't move a bit) and ȳ/enc are pinned float
+    chains replayed by the oracle. Null categories and null targets
+    drop by contract."""
+    from dask_spark.frame import DaskFrame
+
+    m = float(smoothing)
+    if m < 0:
+        raise ValueError(f"smoothing must be >= 0, got {m}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    y6 = F.expr(
+        f"CAST(floor(round({target_col}, 6) * 1000000 + 0.5) AS BIGINT)"
+    )
+    base = sdf.filter(
+        F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
+    ).select(F.col(cat_col).alias("category"), y6.alias("__y6"))
+    per = base.groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y6").alias("__s6"),
+    )
+    tot = base.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__gn"),
+        # NOTE: names must differ case-insensitively from per-category
+        # aliases — Spark resolves references case-insensitively
+        F.sum("__y6").alias("__gs6"),
+    )
+    g_mean = (F.col("__gs6").cast("double") / F.col("__gn").cast("double")
+              / F.lit(1_000_000.0))
+    cat_sum = F.col("__s6").cast("double") / F.lit(1_000_000.0)
+    enc = (cat_sum + F.lit(m) * g_mean) / (
+        F.col("n").cast("double") + F.lit(m)
+    )
+    out = (
+        per.crossJoin(F.broadcast(tot))
+        .select("category", "n", F.round(enc, round_dp).alias("enc"))
+    )
+    return DaskFrame(out)

@@ -604,6 +604,44 @@ def reduce_hll_distinct(spark, sf_dir):
 
 
 @q(
+    "ml_target_encode",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS category,
+             CAST(floor(round(l_quantity, 6) * 1000000 + 0.5) AS BIGINT)
+               AS y6
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    ), per AS (
+      SELECT category, count(*)::BIGINT AS n,
+             CAST(SUM(y6) AS BIGINT) AS s6
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT count(*)::BIGINT AS nn, CAST(SUM(y6) AS BIGINT) AS ss6
+      FROM base
+    )
+    SELECT category, n,
+           round((s6::DOUBLE / 1000000.0
+                  + 10.0 * (ss6::DOUBLE / nn::DOUBLE / 1000000.0))
+                 / (n::DOUBLE + 10.0), 6) AS enc
+    FROM per, tot ORDER BY category
+    """,
+)
+def ml_target_encode(spark, sf_dir):
+    """Smoothed mean-target encoding of return flag against quantity
+    (pseudo-count m = 10): one |categories|-bounded aggregate with Σy
+    held exact in micro-unit int64 (partition order can't move a
+    bit) and the shrinkage a pinned float chain
+    (operators/reductions.py target_encode)."""
+    from dask_spark.operators.reductions import target_encode
+
+    li = load(spark, sf_dir, "lineitem")
+    return target_encode(
+        li, "l_returnflag", "l_quantity", smoothing=10.0
+    ).to_spark().orderBy("category")
+
+
+@q(
     "reduce_weighted_quantile",
     """
     WITH base AS (

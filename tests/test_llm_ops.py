@@ -3471,3 +3471,30 @@ def test_last_touch_attribution_semantics(spark):
     uncapped = {r["attributed_type"]: r["conversions"]
                 for r in last_touch_attribution(df).to_spark().collect()}
     assert uncapped == {"view": 2, "(none)": 1, "click": 1}
+
+
+def test_target_encode_shrinkage(spark):
+    """enc = (sum_y + m*global_mean)/(n + m): a large category sits
+    near its own mean, a 1-row category shrinks most of the way to
+    the global mean; m=0 gives the raw category means; negative m
+    raises."""
+    import pytest
+
+    from dask_spark.operators.reductions import target_encode
+
+    rows = [("big", 10.0)] * 99 + [("rare", 100.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {r["category"]: r for r in target_encode(
+        df, "cat", "y", smoothing=10.0).to_spark().collect()}
+    g = (99 * 10.0 + 100.0) / 100
+    assert got["big"]["n"] == 99
+    assert abs(got["big"]["enc"] - (990 + 10 * g) / 109) < 1e-6
+    assert abs(got["rare"]["enc"] - (100 + 10 * g) / 11) < 1e-6
+    assert got["rare"]["enc"] < 100.0 / 2  # heavy shrinkage
+
+    raw = {r["category"]: r["enc"] for r in target_encode(
+        df, "cat", "y", smoothing=0.0).to_spark().collect()}
+    assert raw == {"big": 10.0, "rare": 100.0}
+
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode(df, "cat", "y", smoothing=-1)
