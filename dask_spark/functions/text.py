@@ -748,7 +748,7 @@ class BigramLM:
 
 def fit_bigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
                   table_size: int = 512, alpha: float = 1.0,
-                  lam: float = 0.75) -> BigramLM:
+                  lam: float = 0.75, _staged=None) -> BigramLM:
     """Fit the interpolated bigram LM with THREE bounded shuffles:
     one wordcount (vocabulary-keyed, map-side combined — the unigram
     backoff), one bigram count over IN-ROW adjacent pairs (pair-keyed;
@@ -761,7 +761,13 @@ def fit_bigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
         raise ValueError("alpha must be positive")
     if not 0.0 < lam < 1.0:
         raise ValueError("lam must be in (0, 1)")
-    toks = sdf.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
+    # tokenize the corpus ONCE for both the wordcount and the pair
+    # count (and, via _staged, the trigram layer): the interpreted
+    # tokenizer HOF was the dominant per-scan cost of the LM fits
+    own_staged = _staged is None
+    staged = (sdf.select(word_tokens(F.col(text_col)).alias("__w"))
+              .persist() if own_staged else _staged)
+    toks = staged.select(F.explode(F.col("__w")).alias("tok"))
     counts = toks.groupBy("tok").count().persist()
     top = (
         counts.orderBy(F.col("count").desc(), F.col("tok"))
@@ -785,7 +791,6 @@ def fit_bigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
         F.slice(w, 2, npairs),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    staged = sdf.select(word_tokens(F.col(text_col)).alias("__w"))
     pairs = staged.select(F.explode(pair_arr).alias("pair"))
     # one pair-count aggregation feeds BOTH the top table and the
     # left-context totals (sum of pair counts grouped by w1 == the
@@ -810,6 +815,8 @@ def fit_bigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
         r["pair"]: float(r["count"]) / lc[r["pair"].split(" ", 1)[0]]
         for r in top_bg
     }
+    if own_staged:
+        staged.unpersist()
     return BigramLM(bigram_probs, unigram_probs, oov_prob, lam)
 
 
@@ -944,8 +951,9 @@ def fit_trigram_lm(sdf, text_col: str = "text", table_size: int = 512,
     artifact (KenLM's shipped-model shape)."""
     if not 0.0 < D < 1.0:
         raise ValueError("D must be in (0, 1)")
+    staged = sdf.select(word_tokens(F.col(text_col)).alias("__w")).persist()
     if bigram is None:
-        bigram = fit_bigram_lm(sdf, text_col, **bigram_kw)
+        bigram = fit_bigram_lm(sdf, text_col, _staged=staged, **bigram_kw)
     w = F.col("__w")
     n3 = F.greatest(F.size(w) - 2, F.lit(0))
     ctxs = F.zip_with(
@@ -956,7 +964,6 @@ def fit_trigram_lm(sdf, text_col: str = "text", table_size: int = 512,
         ctxs, F.slice(w, 3, n3),
         lambda c, t: F.struct(c.alias("ctx"), t.alias("w3")),
     )
-    staged = sdf.select(word_tokens(F.col(text_col)).alias("__w"))
     tc = (
         staged.select(F.explode(tris).alias("t"))
         .select("t.ctx", "t.w3")
@@ -975,6 +982,7 @@ def fit_trigram_lm(sdf, text_col: str = "text", table_size: int = 512,
         .collect()
     }
     tc.unpersist()
+    staged.unpersist()
     tri_disc: dict = {}
     for r in top:
         c2 = stats[r["ctx"]][0]
