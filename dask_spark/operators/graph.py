@@ -381,6 +381,9 @@ def modularity(edges, communities, a_col: str = "a", b_col: str = "b",
         F.col("internal_edges").cast("double") / F.col("m").cast("double")
         - frac * frac
     )
+    # m = 0 (no edges at all): modularity is undefined — emit null
+    # contributions instead of an ANSI divide-by-zero mid-job
+    contrib = F.when(F.col("m") > 0, contrib)
     out = joined.select(
         "community", "n_nodes", "internal_edges", "degree_sum",
         F.round(contrib, round_dp).alias("contribution"),
@@ -467,6 +470,12 @@ def bfs_hops(edges, source, a_col: str = "a", b_col: str = "b",
     oracle — agrees row-for-row."""
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    if source is None:
+        raise ValueError(
+            "bfs_hops: source is None — empty edge set? (the usual "
+            "caller bug: seeding from MIN(node) of a graph with no "
+            "qualifying edges)"
+        )
     sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
     e = sdf.select(
         F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
