@@ -112,6 +112,8 @@ HEADLINE = [
     "corpus_split",       # md5-threshold split assignment, map-only
     "ml_quantile_bucket", # exact-percentile literal CASE binning
     "dedup_incremental",  # hash anti-join delta ingestion
+    "events_attribution", # one-window last-touch carry
+    "ml_target_encode",   # exact micro-unit category shrinkage
 ]
 
 

@@ -649,3 +649,44 @@ def test_codegen_failure_scanner():
     assert "Failed to compile" in hits[0]
     assert "hugeMethodLimit" in hits[1]
     assert codegen_failure_lines("all good\nINFO CodeGenerator: ok") == []
+
+
+def test_round11b_plan_shapes(tables):
+    """Plan-shape guards for the round-11b ops: JL projection and
+    split assignment are exchange-free map-only projections; the
+    quality gate's row rules share ONE aggregation (its exchange
+    count stays at the agg + distinct + FK joins, never per-rule);
+    NB prediction adds no exchange on top of the scan."""
+    from dask_spark.functions.text import NaiveBayesModel, hashed_nb_predict
+    from dask_spark.functions.vector import jl_project
+    from dask_spark.operators.mixing import split_assign
+    from dask_spark.operators.quality import validate
+    from dask_spark.plans import shuffle_count
+
+    emb = tables["embeddings"]
+    assert shuffle_count(jl_project(emb, dim=64, k=4, seed=3)) == 0
+
+    docs = tables["documents"]
+    assert shuffle_count(split_assign(docs, "doc_id")) == 0
+
+    from dask_spark.frame import DaskFrame
+
+    model = NaiveBayesModel(
+        ["a", "b"], [-0.5, -0.9], [[-1.0] * 8, [-2.0] * 8], 8, 1.0, "md5"
+    )
+    assert shuffle_count(
+        DaskFrame(hashed_nb_predict(docs._sdf, model))
+    ) == 0
+
+    li = tables["lineitem"]
+    rules = [
+        {"rule": "not_null", "name": "r1", "col": "l_shipdate"},
+        {"rule": "in_range", "name": "r2", "col": "l_quantity",
+         "min": 1, "max": 49},
+        {"rule": "expr", "name": "r3", "expr": "l_extendedprice > 0"},
+        {"rule": "in_set", "name": "r4", "col": "l_returnflag",
+         "values": ["A", "N", "R"]},
+    ]
+    # 4 row rules, no unique/FK: one global aggregate = one exchange
+    # (plus the tiny order-join broadcast, which is not an exchange)
+    assert shuffle_count(validate(li, rules)) <= 1
