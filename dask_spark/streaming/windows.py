@@ -269,3 +269,63 @@ def funnel_stream(stream_sdf: SparkDF, steps, user_col: str = "user_id",
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_stream(stream_sdf: SparkDF,
+                       conversion_type: str = "purchase",
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       within_seconds: int | None = None) -> SparkDF:
+    """Streaming last-touch attribution: per-user the LAST
+    non-conversion touch rides as arbitrary state (type + ns
+    timestamp — two scalars per user at any stream length) and every
+    conversion event emits one attribution row; the streaming twin of
+    operators/behavior.py last_touch_attribution.
+
+    Semantics: a greedy in-(ts, id)-order scan per micro-batch. For
+    in-order arrival the emitted credits equal the batch window
+    exactly (pinned in tests); a late-arriving touch can only MISS
+    credit for conversions already emitted — the documented at-most
+    trade every streaming attributor makes. Aggregate the emitted
+    rows downstream for the per-type conversion counts."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} bigint, attributed_type string, n int"
+    state_schema = "touch_type string, touch_ns bigint"
+    win_ns = (None if within_seconds is None
+              else int(within_seconds) * 1_000_000_000)
+
+    def update(key, pdf_iter, state: GroupState):
+        touch_type, touch_ns = (
+            state.get if state.exists else (None, -1)
+        )
+        credits: dict = {}
+        rows = [p for p in pdf_iter if len(p)]
+        if rows:
+            pdf = pd.concat(rows).sort_values([ts_col, id_col])
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            types = pdf[type_col].to_numpy()
+            for t, et in zip(ts_ns, types):
+                if et == conversion_type:
+                    ok = touch_type is not None and (
+                        win_ns is None or int(t) - touch_ns <= win_ns
+                    )
+                    k = touch_type if ok else "(none)"
+                    credits[k] = credits.get(k, 0) + 1
+                else:
+                    touch_type, touch_ns = str(et), int(t)
+            state.update((touch_type, touch_ns))
+        out = pd.DataFrame({
+            user_col: [key[0]] * len(credits),
+            "attributed_type": list(credits),
+            "n": list(credits.values()),
+        })
+        yield out
+
+    return stream_sdf.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -979,3 +979,58 @@ def test_hll_windowed_stream_matches_batch(spark, tmp_path):
     for day, rhos in per_win.items():
         est, _, _ = hll_estimate_registers(rhos, p=7)
         assert est == batch_est[day]
+
+
+def test_streaming_batch_parity_attribution(spark, tmp_path):
+    """Streaming last-touch attribution over a finite in-order file
+    stream aggregates to EXACTLY the batch last_touch_attribution
+    counts, including the within-window demotion to '(none)'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.behavior import last_touch_attribution
+    from dask_spark.streaming.windows import attribution_stream
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for k, (sec, et) in enumerate([
+            (0, "click"), (10, "view"), (20, "purchase"),
+            (30, "purchase"), (9000, "purchase"),
+        ]):
+            eid += 1
+            rows.append((eid, u, t0 + dt.timedelta(seconds=sec + u), et))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    src = tmp_path / "attr_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+
+    batch = {
+        r["attributed_type"]: r["conversions"]
+        for r in last_touch_attribution(
+            spark.read.parquet(str(src)), within_seconds=3600
+        ).to_spark().collect()
+    }
+
+    stream_sdf = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    ).parquet(str(src))
+    out = attribution_stream(stream_sdf, within_seconds=3600)
+    q = (
+        out.writeStream.format("memory").queryName("attr_parity")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got_rows = spark.sql(
+        "select attributed_type, sum(n) as c from attr_parity group by 1"
+    ).collect()
+    got = {r["attributed_type"]: int(r["c"]) for r in got_rows}
+    assert got == batch
+    # and the shape is right: views credit 2 per user, nones 1
+    assert got["view"] == 12 and got["(none)"] == 6
