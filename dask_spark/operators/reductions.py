@@ -258,3 +258,70 @@ def target_encode(frame, cat_col: str, target_col: str,
         .select("category", "n", F.round(enc, round_dp).alias("enc"))
     )
     return DaskFrame(out)
+
+
+def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
+    """Spearman rank correlation → one-row DaskFrame(rho, n):
+    Pearson's formula over AVERAGE ranks (ties share their rank
+    block's mean) — the outlier-robust correlation the monitoring
+    family wants when Pearson's moments are skew-dominated.
+
+    EXACT-INTEGER form: ranks ride as 2·avg_rank = 2·cum − cnt + 1
+    (an integer — the ×2 scaling clears the tie half-steps), built
+    from per-value counts + the DISTRIBUTED keyless prefix scan
+    (distinct-values-bounded, the ks_drift shape) and joined back on
+    the value; the five moment sums are int64 on the executors and
+    combine EXACTLY in arbitrary-precision python on the driver, so
+    the one float step is the final division. int64-exact while
+    4n³ < 2^63 (n ≲ 1.3e6 rows — pre-aggregate or sample beyond,
+    the documented KS trade)."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.window import cumulative
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    base = (
+        sdf.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .select(F.col(col_x).cast("double").alias("__x"),
+                F.col(col_y).cast("double").alias("__y"))
+    )
+
+    def rank2(col):
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        cum = cumulative(
+            DaskFrame(g), "__c", "sum", order_by=col, out="__cum"
+        )._sdf
+        return cum.select(
+            F.col(col),
+            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+            .cast("bigint").alias(f"__r{col}"),
+        )
+
+    joined = (
+        base.join(rank2("__x"), "__x").join(rank2("__y"), "__y")
+    )
+    rx, ry = F.col("__r__x"), F.col("__r__y")
+    row = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx).alias("sx"), F.sum(ry).alias("sy"),
+        F.sum(rx * ry).alias("sxy"),
+        F.sum(rx * rx).alias("sxx"), F.sum(ry * ry).alias("syy"),
+    ).first()
+    n = int(row["n"] or 0)
+    spark = sdf.sparkSession
+    if n == 0:
+        raise ValueError("spearman_corr: no non-null pairs")
+    sx, sy = int(row["sx"]), int(row["sy"])
+    sxy, sxx, syy = int(row["sxy"]), int(row["sxx"]), int(row["syy"])
+    num = n * sxy - sx * sy          # exact big-int python arithmetic
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    if denx == 0 or deny == 0:
+        rho = None
+    else:
+        import math
+
+        rho = round(
+            float(num) / math.sqrt(float(denx) * float(deny)), round_dp
+        )
+    out = spark.createDataFrame([(rho, n)], "rho double, n bigint")
+    return DaskFrame(out)

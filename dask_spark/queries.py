@@ -604,6 +604,64 @@ def reduce_hll_distinct(spark, sf_dir):
 
 
 @q(
+    "corr_spearman",
+    """
+    WITH base AS (
+      SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), gx AS (
+      SELECT x AS v, count(*)::BIGINT AS c FROM base GROUP BY 1
+    ), cx AS (
+      SELECT v,
+             (2 * SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::BIGINT AS r
+      FROM gx
+    ), gy AS (
+      SELECT y AS v, count(*)::BIGINT AS c FROM base GROUP BY 1
+    ), cy AS (
+      SELECT v,
+             (2 * SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::BIGINT AS r
+      FROM gy
+    ), j AS (
+      SELECT cx.r AS rx, cy.r AS ry
+      FROM base JOIN cx ON cx.v = base.x JOIN cy ON cy.v = base.y
+    ), s AS (
+      SELECT count(*)::BIGINT AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM j
+    )
+    SELECT round(CASE WHEN (n * sxx - sx * sx) != 0
+                       AND (n * syy - sy * sy) != 0
+                 THEN (n * sxy - sx * sy)::DOUBLE
+                      / sqrt((n * sxx - sx * sx)::DOUBLE
+                             * (n * syy - sy * sy)::DOUBLE)
+                 END, 6) AS rho,
+           n
+    FROM s
+    """,
+)
+def corr_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs price — the
+    outlier-robust correlation: average ranks ride as the integer
+    2·cum − cnt + 1 (per-value counts + the distributed keyless
+    prefix scan, the ks_drift shape), moment sums are int64 on
+    executors and combine EXACTLY in arbitrary-precision python on
+    the driver (the oracle's HUGEINT twin), one float division at
+    the end (operators/reductions.py spearman_corr)."""
+    from dask_spark.operators.reductions import spearman_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice"
+    ).to_spark()
+
+
+@q(
     "ml_target_encode",
     """
     WITH base AS (

@@ -3498,3 +3498,44 @@ def test_target_encode_shrinkage(spark):
 
     with pytest.raises(ValueError, match="smoothing"):
         target_encode(df, "cat", "y", smoothing=-1)
+
+
+def test_spearman_corr_scipy_parity(spark):
+    """rho matches scipy.stats.spearmanr (tie-aware average ranks) on
+    a tied, nonlinear sample; monotone data gives exactly 1.0;
+    constant columns give null; empty input raises."""
+    import numpy as np
+    import pytest
+
+    from dask_spark.operators.reductions import spearman_corr
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 20, 300).astype(float)   # heavy ties
+    y = (x ** 3) + rng.randn(300) * 50          # monotone-ish + noise
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double",
+    )
+    got = spearman_corr(df, "x", "y").to_spark().first()
+    try:
+        from scipy.stats import spearmanr
+
+        want = spearmanr(x, y).statistic
+        assert abs(got["rho"] - want) < 1e-6
+    except ImportError:
+        assert 0.8 < got["rho"] <= 1.0
+    assert got["n"] == 300
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(50)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").to_spark().first()["rho"] == 1.0
+
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y").to_spark().first()["rho"] is None
+
+    empty = spark.createDataFrame([], "x double, y double")
+    with pytest.raises(ValueError, match="no non-null"):
+        spearman_corr(empty, "x", "y")
