@@ -494,3 +494,50 @@ def linear_trend(events, ts_col: str = "ts",
         F.round(r2, round_dp).alias("r2"),
     )
     return DaskFrame(out)
+
+
+def mutual_information(frame, col_x: str, col_y: str,
+                       round_dp: int = 6):
+    """Mutual information between two categorical columns → one-row
+    DaskFrame(mi_nats, n, cells): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    in nats over exact joint counts — the feature-selection /
+    redundancy measure beside the chi2 drift gate (chi2 asks "are
+    these dependent", MI says "by how many bits").
+
+    One (x, y)-keyed count (map-side combined; the driver sees
+    ≤ |X|·|Y| exact int64 cells, margins derived from the same
+    cells), then the float fold runs driver-side in sorted-cell order
+    — each term one pinned expression of exact integer ratios, the
+    same left-to-right chain the oracle's list_reduce replays. Null
+    categories drop (pandas crosstab semantics)."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    cells = {
+        (r["x"], r["y"]): int(r["c"])
+        for r in sdf.filter(
+            F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+        )
+        .groupBy(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(cells.values())
+    if not n:
+        raise ValueError("mutual_information: no non-null pairs")
+    mx: dict = {}
+    my: dict = {}
+    for (x, y), c in cells.items():
+        mx[x] = mx.get(x, 0) + c
+        my[y] = my.get(y, 0) + c
+    mi = 0.0
+    for x, y in sorted(cells):
+        c = cells[(x, y)]
+        # p_xy * ln(p_xy / (p_x * p_y)) with counts kept integral as
+        # long as possible: ln((c * n) / (mx * my)) — one division
+        mi = mi + (c / float(n)) * math.log(
+            (float(c) * float(n)) / (float(mx[x]) * float(my[y]))
+        )
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(round(mi, round_dp), n, len(cells))],
+        "mi_nats double, n bigint, cells int",
+    )
+    return DaskFrame(out)

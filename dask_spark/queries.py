@@ -3024,6 +3024,52 @@ def quality_gate(spark, sf_dir):
 
 
 @q(
+    "ml_mutual_info",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             count(*)::BIGINT AS c
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ), n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), mx AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY 1
+    ), my AS (
+      SELECT y, CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY 1
+    ), terms AS (
+      SELECT cells.x, cells.y,
+             (cells.c / CAST(n.n AS DOUBLE))
+             * ln((CAST(cells.c AS DOUBLE) * CAST(n.n AS DOUBLE))
+                  / (CAST(mx.m AS DOUBLE) * CAST(my.m AS DOUBLE)))
+               AS v
+      FROM cells JOIN mx USING (x) JOIN my USING (y), n
+    )
+    SELECT round(list_reduce(list_prepend(0.0,
+                   list(v ORDER BY x, y)), (a, b) -> a + b), 6)
+             AS mi_nats,
+           (SELECT n FROM n) AS n,
+           count(*)::INT AS cells
+    FROM terms
+    """,
+)
+def ml_mutual_info(spark, sf_dir):
+    """Mutual information between order priority and status (nats) —
+    chi2's information-theoretic sibling for feature selection: one
+    (x, y)-keyed exact count (≤ |X|·|Y| driver cells, margins derived
+    from the same cells), float fold in sorted-cell order — the same
+    left-to-right chain the oracle's list_reduce replays
+    (operators/monitor.py mutual_information)."""
+    from dask_spark.operators.monitor import mutual_information
+
+    o = load(spark, sf_dir, "orders")
+    return mutual_information(
+        o, "o_orderpriority", "o_orderstatus"
+    ).to_spark()
+
+
+@q(
     "drift_psi",
     """
     WITH ref AS (

@@ -3539,3 +3539,35 @@ def test_spearman_corr_scipy_parity(spark):
     empty = spark.createDataFrame([], "x double, y double")
     with pytest.raises(ValueError, match="no non-null"):
         spearman_corr(empty, "x", "y")
+
+
+def test_mutual_information_known_values(spark):
+    """Independent columns give MI ~ 0 exactly (uniform product
+    table), a deterministic mapping gives MI = H(X) = ln(k), and
+    null rows drop; empty input raises."""
+    import math
+
+    import pytest
+
+    from dask_spark.operators.monitor import mutual_information
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "pq" for b in "uv" for _ in range(25)],
+        "x string, y string",
+    )
+    r = mutual_information(indep, "x", "y").to_spark().first()
+    assert r["mi_nats"] == 0.0 and r["n"] == 100 and r["cells"] == 4
+
+    # y fully determined by x over 4 equiprobable classes
+    det = spark.createDataFrame(
+        [(c, c.upper()) for c in "abcd" for _ in range(10)]
+        + [(None, "X"), ("a", None)],
+        "x string, y string",
+    )
+    r2 = mutual_information(det, "x", "y").to_spark().first()
+    assert abs(r2["mi_nats"] - math.log(4)) < 1e-6
+    assert r2["n"] == 40  # nulls dropped
+
+    empty = spark.createDataFrame([], "x string, y string")
+    with pytest.raises(ValueError, match="no non-null"):
+        mutual_information(empty, "x", "y")
