@@ -369,3 +369,43 @@ def split_assign(frame, id_col: str, ratios=None, salt: str = "split"):
     expr = (expr.otherwise(F.lit(labels[-1])) if expr is not None
             else F.lit(labels[-1]))
     return DaskFrame(sdf.withColumn("split", expr))
+
+
+def source_concentration(frame, group_col: str = "source",
+                         top_k: int = 3, round_dp: int = 6):
+    """Corpus concentration diagnostics → one-row DaskFrame(
+    n_sources, n_docs, hhi, topk_share): HHI = Σ share_i² (the
+    Herfindahl index — 1/n_sources for a perfectly balanced mix, 1.0
+    for a single-source corpus) and the share of the ``top_k``
+    largest sources — the "is one crawl eating the mixture"
+    monitoring companion of temperature_mix / stratified_cap.
+
+    One |sources|-bounded exact count; both statistics fold
+    driver-side over the (count desc, source) sorted share list —
+    exact int64 counts, pinned float chain, the same order the
+    oracle's list_reduce replays. Null groups drop."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    counts = {
+        r["g"]: int(r["c"])
+        for r in sdf.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    if not counts:
+        raise ValueError("source_concentration: no non-null groups")
+    n = sum(counts.values())
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    hhi = 0.0
+    for _, c in ordered:
+        s = c / float(n)
+        hhi = hhi + s * s
+    top = sum(c for _, c in ordered[: int(top_k)])
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(len(counts), n, round(hhi, round_dp),
+          round(top / float(n), round_dp))],
+        "n_sources int, n_docs bigint, hhi double, topk_share double",
+    )
+    return DaskFrame(out)

@@ -4063,7 +4063,15 @@ def text_trigram_perplexity(spark, sf_dir):
     bounded literals, per-triple log probs sorted BY VALUE before the
     fold so both engines add bit-identically (functions/text.py
     fit_trigram_lm / with_trigram_perplexity)."""
-    d = load(spark, sf_dir, "documents").to_spark().select("doc_id", "text")
+    # documents.parquet at bench SFs is ONE split, so the fit's
+    # tokenizing scans and the map-only scorer (the plan's dominant
+    # interpreted-HOF costs) would run on one core; fan the tiny row
+    # set across the executors first. At cluster scale the file's
+    # own splits make this a no-op-sized exchange.
+    d = (
+        load(spark, sf_dir, "documents").to_spark()
+        .select("doc_id", "text").repartition(32, "doc_id")
+    )
     lm = T.fit_trigram_lm(d, table_size=512, D=0.75)
     return T.with_trigram_perplexity(d, lm).drop("text").orderBy("doc_id")
 
