@@ -3024,6 +3024,44 @@ def quality_gate(spark, sf_dir):
 
 
 @q(
+    "corpus_concentration",
+    """
+    WITH c AS (
+      SELECT source AS g, count(*)::BIGINT AS c FROM documents
+      WHERE source IS NOT NULL GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c
+    ), ordered AS (
+      SELECT g, c, row_number() OVER (ORDER BY c DESC, g) AS rk
+      FROM c
+    ), terms AS (
+      SELECT (c / CAST(n.n AS DOUBLE)) * (c / CAST(n.n AS DOUBLE)) AS v,
+             rk
+      FROM ordered, n
+    )
+    SELECT (SELECT count(*)::INT FROM c) AS n_sources,
+           (SELECT n FROM n) AS n_docs,
+           round(list_reduce(list_prepend(0.0, list(v ORDER BY rk)),
+                             (a, b) -> a + b), 6) AS hhi,
+           round((SELECT CAST(SUM(c) AS BIGINT) FROM ordered
+                  WHERE rk <= 3)::DOUBLE
+                 / (SELECT n FROM n)::DOUBLE, 6) AS topk_share
+    FROM terms LIMIT 1
+    """,
+)
+def corpus_concentration(spark, sf_dir):
+    """Source-concentration diagnostics — "is one crawl eating the
+    mixture": HHI = Σ share² plus the top-3 source share, from ONE
+    |sources|-bounded exact count; both statistics fold driver-side
+    in (count desc, source) order — the same chain the oracle's
+    list_reduce replays (operators/mixing.py source_concentration)."""
+    from dask_spark.operators.mixing import source_concentration
+
+    d = load(spark, sf_dir, "documents")
+    return source_concentration(d, "source", top_k=3).to_spark()
+
+
+@q(
     "ml_mutual_info",
     """
     WITH cells AS (

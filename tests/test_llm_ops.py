@@ -3571,3 +3571,32 @@ def test_mutual_information_known_values(spark):
     empty = spark.createDataFrame([], "x string, y string")
     with pytest.raises(ValueError, match="no non-null"):
         mutual_information(empty, "x", "y")
+
+
+def test_source_concentration_known_values(spark):
+    """Balanced mix gives HHI = 1/k; a dominant source pushes HHI and
+    topk_share toward 1; nulls drop; empty input raises."""
+    import pytest
+
+    from dask_spark.operators.mixing import source_concentration
+
+    balanced = spark.createDataFrame(
+        [(s,) for s in "abcd" for _ in range(25)], "source string"
+    )
+    r = source_concentration(balanced, top_k=2).to_spark().first()
+    assert (r["n_sources"], r["n_docs"]) == (4, 100)
+    assert r["hhi"] == 0.25
+    assert r["topk_share"] == 0.5
+
+    skewed = spark.createDataFrame(
+        [("big",)] * 90 + [("s1",)] * 5 + [("s2",)] * 5 + [(None,)],
+        "source string",
+    )
+    r2 = source_concentration(skewed, top_k=1).to_spark().first()
+    assert r2["n_docs"] == 100  # null dropped
+    assert r2["hhi"] == round(0.9 ** 2 + 2 * 0.05 ** 2, 6)
+    assert r2["topk_share"] == 0.9
+
+    with pytest.raises(ValueError, match="no non-null"):
+        source_concentration(
+            spark.createDataFrame([], "source string"))
