@@ -114,6 +114,9 @@ HEADLINE = [
     "dedup_incremental",  # hash anti-join delta ingestion
     "events_attribution", # one-window last-touch carry
     "ml_target_encode",   # exact micro-unit category shrinkage
+    "corr_spearman",      # integer avg-ranks + driver-exact combine
+    "ml_mutual_info",     # contingency cells + sorted driver fold
+    "corpus_concentration",  # HHI from one bounded count
 ]
 
 

@@ -270,11 +270,12 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
     (an integer — the ×2 scaling clears the tie half-steps), built
     from per-value counts + the DISTRIBUTED keyless prefix scan
     (distinct-values-bounded, the ks_drift shape) and joined back on
-    the value; the five moment sums are int64 on the executors and
-    combine EXACTLY in arbitrary-precision python on the driver, so
-    the one float step is the final division. int64-exact while
-    4n³ < 2^63 (n ≲ 1.3e6 rows — pre-aggregate or sample beyond,
-    the documented KS trade)."""
+    the value; the five moment sums run in exact DECIMAL(38,0) on
+    the executors (4n³ outgrows int64 past n ≈ 1.3e6 — the 10×
+    scaling probe caught the ANSI overflow; 38 digits hold to
+    n ≈ 1e12, the oracle's HUGEINT twin) and combine EXACTLY in
+    arbitrary-precision python on the driver, so the one float step
+    is the final division."""
     from dask_spark.frame import DaskFrame
     from dask_spark.operators.window import cumulative
 
@@ -299,7 +300,12 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
     joined = (
         base.join(rank2("__x"), "__x").join(rank2("__y"), "__y")
     )
-    rx, ry = F.col("__r__x"), F.col("__r__y")
+    # moment sums in DECIMAL(38,0): rx·ry ~ 4n² and Σ ~ 4n³ overflow
+    # int64 past n ≈ 1.3e6 (the 10× probe tripped ANSI overflow at
+    # 6M rows) — 38-digit exact decimals push the bound to n ≈ 1e12,
+    # matching the oracle's HUGEINT
+    rx = F.col("__r__x").cast("decimal(38,0)")
+    ry = F.col("__r__y").cast("decimal(38,0)")
     row = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(rx).alias("sx"), F.sum(ry).alias("sy"),
