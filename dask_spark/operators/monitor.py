@@ -541,3 +541,120 @@ def mutual_information(frame, col_x: str, col_y: str,
         "mi_nats double, n bigint, cells int",
     )
     return DaskFrame(out)
+
+
+BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_digits(frame, value_col: str, round_dp: int = 6):
+    """Benford first-digit audit → DaskFrame(digit, n, share,
+    benford_p, deviation) for digits 1-9 — the classic
+    fabricated-/corrupted-numbers screen (naturally-grown magnitudes
+    follow P(d) = log10(1 + 1/d); synthetic or truncated feeds
+    don't). Rows with value < 1 are excluded (their first significant
+    digit needs scale normalization — documented contract).
+
+    The digit is EXACT string arithmetic on the floored int64 value
+    (both engines format integers identically — never floating
+    log10), one 9-key map-side-combined count, and share/deviation
+    are single pinned divisions against python-computed Benford
+    literals embedded in both engines. Missing digits emit n = 0
+    rows, so the schema is always 9 rows."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    x = F.col(value_col).cast("double")
+    digit = F.substring(
+        F.expr(f"CAST(CAST(floor({value_col}) AS BIGINT) AS STRING)"),
+        1, 1,
+    ).cast("int")
+    counts = {
+        int(r["d"]): int(r["c"])
+        for r in sdf.filter(x.isNotNull() & (x >= 1))
+        .select(digit.alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n = sum(counts.values())
+    if not n:
+        raise ValueError("benford_digits: no values >= 1")
+    rows = []
+    for d in range(1, 10):
+        c = counts.get(d, 0)
+        share = round(c / float(n), round_dp)
+        p = BENFORD_P[d - 1]
+        rows.append((d, c, share, round(p, round_dp),
+                     round(c / float(n) - p, round_dp)))
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        rows,
+        "digit int, n bigint, share double, benford_p double, "
+        "deviation double",
+    )
+    return DaskFrame(out)
+
+
+def gini_coefficient(frame, value_col: str, key_col: str,
+                     round_dp: int = 6):
+    """Gini coefficient of ``value_col`` aggregated per ``key_col`` →
+    one-row DaskFrame(gini, n_keys): G = 2·Σ(i·x_(i)) / (n·Σx) −
+    (n+1)/n over the ascending-sorted per-key totals — the inequality
+    measure ("do 1% of customers carry 50% of spend"; for a corpus,
+    token-mass concentration across sources/domains).
+
+    EXACT pipeline: per-key totals sum in micro-unit int64 (one
+    key-bounded aggregate), the global rank i rides the DISTRIBUTED
+    keyless prefix scan over (total, key) order, Σ i·x accumulates in
+    DECIMAL(38,0) (i·x outgrows int64 past ~1e6 keys — the
+    spearman_corr lesson), and the closing formula combines exact
+    python integers with one float division. Ties are order-safe:
+    equal totals contribute x·Σi whatever their relative order."""
+    from dask_spark.operators.window import cumulative
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    v6 = F.expr(
+        f"CAST(floor(round({value_col}, 6) * 1000000 + 0.5) AS BIGINT)"
+    )
+    # Gini is defined for non-negative distributions; negative rows
+    # drop by contract (and the hex sort key below requires x6 >= 0)
+    per = (
+        sdf.filter(F.col(value_col).isNotNull()
+                   & (F.col(value_col) >= 0)
+                   & F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.sum(v6).alias("x6"))
+    )
+    # dense global index: rank = cumulative row count in (x6, k) order
+    staged = per.select(
+        "k", "x6",
+        F.concat(
+            F.lpad(F.conv(F.col("x6").cast("string"), 10, 16), 16, "0"),
+            F.col("k").cast("string"),
+        ).alias("__ord"),
+        F.lit(1).alias("__one"),
+    )
+    idx = cumulative(
+        DaskFrame(staged), "__one", "sum", order_by="__ord", out="__i"
+    )._sdf
+    row = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x6").cast("decimal(38,0)")).alias("t"),
+        F.sum(
+            F.col("__i").cast("decimal(38,0)")
+            * F.col("x6").cast("decimal(38,0)")
+        ).alias("s"),
+    ).first()
+    n = int(row["n"] or 0)
+    if n == 0:
+        raise ValueError("gini_coefficient: no non-null keys")
+    t, s = int(row["t"]), int(row["s"])
+    if t == 0:
+        gini = None
+    else:
+        gini = round(
+            2.0 * float(s) / (float(n) * float(t))
+            - (float(n) + 1.0) / float(n),
+            round_dp,
+        )
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(gini, n)], "gini double, n_keys bigint"
+    )
+    return DaskFrame(out)

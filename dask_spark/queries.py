@@ -3061,6 +3061,96 @@ def corpus_concentration(spark, sf_dir):
     return source_concentration(d, "source", top_k=3).to_spark()
 
 
+def _benford_oracle(col: str, table: str) -> str:
+    """Generated replay of operators/monitor.py benford_digits — the
+    Benford probabilities are PYTHON-computed literals embedded in
+    both engines (full precision inside the deviation subtraction,
+    6 dp for the benford_p column)."""
+    from dask_spark.operators.monitor import BENFORD_P
+
+    p_col = " ".join(
+        f"WHEN {d} THEN {round(BENFORD_P[d - 1], 6)!r}"
+        for d in range(1, 10)
+    )
+    dev = " ".join(
+        f"WHEN {d} THEN round(coalesce(c.c, 0)::DOUBLE / tot.n::DOUBLE"
+        f" - {BENFORD_P[d - 1]!r}, 6)"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(CAST(floor({col}) AS BIGINT) AS VARCHAR) AS s
+      FROM {table} WHERE {col} IS NOT NULL AND {col} >= 1
+    ), c AS (
+      SELECT CAST(substr(s, 1, 1) AS INT) AS digit,
+             count(*)::BIGINT AS c
+      FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c
+    ), g AS (
+      SELECT i AS digit FROM generate_series(1, 9) t(i)
+    )
+    SELECT g.digit, coalesce(c.c, 0)::BIGINT AS n,
+           round(coalesce(c.c, 0)::DOUBLE / tot.n::DOUBLE, 6) AS share,
+           CASE g.digit {p_col} END AS benford_p,
+           CASE g.digit {dev} END AS deviation
+    FROM g LEFT JOIN c USING (digit), tot
+    ORDER BY g.digit
+    """
+
+
+@q("drift_benford", _benford_oracle("o_totalprice", "orders"))
+def drift_benford(spark, sf_dir):
+    """Benford first-digit audit of order totals — the classic
+    fabricated-/corrupted-feed screen: exact string arithmetic on the
+    floored int64 value (never floating log10), one 9-key count,
+    shares and deviations as pinned divisions against python-computed
+    Benford literals embedded in both engines
+    (operators/monitor.py benford_digits)."""
+    from dask_spark.operators.monitor import benford_digits
+
+    o = load(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice").to_spark().orderBy("digit")
+
+
+@q(
+    "reduce_gini",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(floor(round(o_totalprice, 6) * 1000000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS x6
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+        AND o_custkey IS NOT NULL
+      GROUP BY 1
+    ), r AS (
+      SELECT x6, row_number() OVER (ORDER BY x6, k) AS i FROM per
+    ), s AS (
+      SELECT count(*)::BIGINT AS n, SUM(x6) AS t, SUM(i * x6) AS s
+      FROM r
+    )
+    SELECT round(2.0 * s::DOUBLE / (n::DOUBLE * t::DOUBLE)
+                 - (n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini,
+           n AS n_keys
+    FROM s
+    """,
+)
+def reduce_gini(spark, sf_dir):
+    """Gini coefficient of per-customer spend — "how concentrated is
+    the mass": per-key micro-unit int64 totals, global rank on the
+    distributed keyless prefix scan, Σ i·x in DECIMAL(38,0) (the
+    spearman lesson: i·x outgrows int64 past ~1e6 keys), closing
+    formula over exact python integers with one float division
+    (operators/monitor.py gini_coefficient)."""
+    from dask_spark.operators.monitor import gini_coefficient
+
+    o = load(spark, sf_dir, "orders")
+    return gini_coefficient(
+        o, "o_totalprice", "o_custkey"
+    ).to_spark()
+
+
 @q(
     "ml_mutual_info",
     """

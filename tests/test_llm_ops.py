@@ -3600,3 +3600,55 @@ def test_source_concentration_known_values(spark):
     with pytest.raises(ValueError, match="no non-null"):
         source_concentration(
             spark.createDataFrame([], "source string"))
+
+
+def test_benford_digits_semantics(spark):
+    """Powers-of-magnitude data matches Benford closely; sub-1 values
+    are excluded; a degenerate all-ones feed puts all mass on digit
+    1; schema is always 9 rows."""
+    import math
+
+    import pytest
+
+    from dask_spark.operators.monitor import benford_digits
+
+    # geometric ramp ~ Benford-distributed first digits
+    vals = [(1.5 ** i,) for i in range(1, 60)] + [(0.5,), (None,)]
+    df = spark.createDataFrame(vals, "v double")
+    rows = benford_digits(df, "v").to_spark().orderBy("digit").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["n"] for r in rows) == 59  # 0.5 and null excluded
+    assert rows[0]["benford_p"] == round(math.log10(2), 6)
+    assert all(abs(r["deviation"]) < 0.12 for r in rows)
+
+    ones = spark.createDataFrame([(1.0,)] * 10, "v double")
+    r1 = benford_digits(ones, "v").to_spark().orderBy("digit").collect()
+    assert r1[0]["share"] == 1.0 and all(r["n"] == 0 for r in r1[1:])
+
+    with pytest.raises(ValueError, match="no values"):
+        benford_digits(
+            spark.createDataFrame([(0.2,)], "v double"), "v")
+
+
+def test_gini_coefficient_known_values(spark):
+    """Perfect equality gives G = 0 exactly; total concentration on
+    one of n keys gives (n-1)/n; negative rows drop by contract."""
+    from dask_spark.operators.monitor import gini_coefficient
+
+    eq = spark.createDataFrame(
+        [(k, 10.0) for k in range(8)], "k bigint, v double"
+    )
+    assert gini_coefficient(eq, "v", "k").to_spark().first()["gini"] == 0.0
+
+    conc = spark.createDataFrame(
+        [(0, 100.0)] + [(k, 0.0) for k in range(1, 10)],
+        "k bigint, v double",
+    )
+    r = gini_coefficient(conc, "v", "k").to_spark().first()
+    assert r["gini"] == 0.9 and r["n_keys"] == 10
+
+    neg = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, -99.0)], "k bigint, v double"
+    )
+    r2 = gini_coefficient(neg, "v", "k").to_spark().first()
+    assert r2["n_keys"] == 2 and r2["gini"] == 0.0
