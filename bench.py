@@ -117,6 +117,9 @@ HEADLINE = [
     "corr_spearman",      # integer avg-ranks + driver-exact combine
     "ml_mutual_info",     # contingency cells + sorted driver fold
     "corpus_concentration",  # HHI from one bounded count
+    "drift_benford",      # 9-key first-digit audit
+    "reduce_gini",        # prefix-scan rank + decimal moment
+    "events_anomaly",     # in-plan OLS residual top-k
 ]
 
 

@@ -658,3 +658,74 @@ def gini_coefficient(frame, value_col: str, key_col: str,
         [(gini, n)], "gini double, n_keys bigint"
     )
     return DaskFrame(out)
+
+
+def trend_residual_outliers(events, ts_col: str = "ts",
+                            group_col: str = "event_type",
+                            k: int = 10, round_dp: int = 6):
+    """Top-k anomalous days vs each group's OLS trend →
+    DaskFrame(group, day, x, expected, residual): fit y = a + b·x
+    per group on the daily counts (the linear_trend moments), then
+    rank days by |y − ŷ| — "which days broke their trend line", the
+    anomaly triage view on top of the drift gates.
+
+    Fully IN-PLAN exactness: the five moments are exact int64
+    aggregates, slope/intercept are single pinned float expressions
+    of them (bit-identical across engines — no driver literals), the
+    residual is one more pinned chain, and the ranking key is
+    |residual| on those bit-identical doubles — so TakeOrdered k and
+    the oracle's ORDER BY ... LIMIT k select the same rows
+    ((group, day) tie-break). Single-day groups drop (no trend).
+    Rounding touches OUTPUT columns only."""
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    daily = (
+        sdf.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(ts_col).cast("date").cast("string").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .withColumn(
+            "x",
+            F.datediff(F.col("day").cast("date"),
+                       F.lit("1970-01-01").cast("date")).cast("bigint"),
+        )
+    )
+    m = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    stats = m.filter(den != 0).select(
+        "grp",
+        (num.cast("double") / den.cast("double")).alias("__b"),
+        "n", "sx", "sy", "sxy", "sxx",
+    ).withColumn(
+        "__a",
+        (F.col("sy").cast("double")
+         - F.col("__b") * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    ).select("grp", "__a", "__b")
+    scored = (
+        daily.join(F.broadcast(stats), "grp")
+        .withColumn(
+            "__exp", F.col("__a") + F.col("__b") * F.col("x").cast("double")
+        )
+        .withColumn("__res", F.col("y").cast("double") - F.col("__exp"))
+    )
+    out = (
+        scored.orderBy(
+            F.abs(F.col("__res")).desc(), F.col("grp"), F.col("day")
+        )
+        .limit(int(k))
+        .select(
+            F.col("grp").alias(group_col), "day",
+            F.col("y").alias("x"),
+            F.round(F.col("__exp"), round_dp).alias("expected"),
+            F.round(F.col("__res"), round_dp).alias("residual"),
+        )
+    )
+    return DaskFrame(out)

@@ -3511,6 +3511,58 @@ def events_attribution(spark, sf_dir):
 
 
 @q(
+    "events_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type AS grp,
+             CAST(ts::DATE AS VARCHAR) AS day,
+             CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT grp, count(*)::BIGINT AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY grp
+    ), st AS (
+      SELECT grp,
+             (n * sxy - sx * sy)::DOUBLE
+               / (n * sxx - sx * sx)::DOUBLE AS b,
+             n, sx, sy
+      FROM m WHERE (n * sxx - sx * sx) != 0
+    ), ab AS (
+      SELECT grp, b,
+             (sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE AS a
+      FROM st
+    ), scored AS (
+      SELECT d.grp, d.day, d.y,
+             ab.a + ab.b * d.x::DOUBLE AS e,
+             d.y::DOUBLE - (ab.a + ab.b * d.x::DOUBLE) AS r
+      FROM daily d JOIN ab USING (grp)
+    )
+    SELECT grp AS event_type, day, y AS x,
+           round(e, 6) AS expected, round(r, 6) AS residual
+    FROM scored
+    ORDER BY abs(r) DESC, grp, day LIMIT 10
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Top-10 days that broke their type's trend line — anomaly
+    triage composed on the OLS machinery: exact int64 moments,
+    slope/intercept/residual as pinned in-plan float chains
+    (bit-identical across engines, no driver literals), ranking on
+    |residual| with (type, day) tie-break so TakeOrdered and the
+    oracle's ORDER BY ... LIMIT select the same rows
+    (operators/monitor.py trend_residual_outliers)."""
+    from dask_spark.operators.monitor import trend_residual_outliers
+
+    e = load(spark, sf_dir, "events")
+    return trend_residual_outliers(e, k=10).to_spark()
+
+
+@q(
     "events_trend",
     """
     WITH daily AS (

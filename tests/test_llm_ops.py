@@ -3652,3 +3652,26 @@ def test_gini_coefficient_known_values(spark):
     )
     r2 = gini_coefficient(neg, "v", "k").to_spark().first()
     assert r2["n_keys"] == 2 and r2["gini"] == 0.0
+
+
+def test_trend_residual_outliers_finds_spike(spark):
+    """A planted spike day dominates the residual ranking; clean
+    linear growth yields near-zero residuals; single-day groups are
+    excluded (no trend to break)."""
+    import datetime as dt
+
+    from dask_spark.operators.monitor import trend_residual_outliers
+
+    rows = []
+    for d in range(10):
+        n = 10 + 2 * d + (50 if d == 6 else 0)  # spike on day 7
+        for i in range(n):
+            rows.append(("steady", dt.datetime(2024, 1, 1 + d, 8, i % 60)))
+    rows.append(("lonely", dt.datetime(2024, 2, 1)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    out = trend_residual_outliers(df, k=3).to_spark().collect()
+    assert out[0]["day"] == "2024-01-07"
+    assert out[0]["residual"] > 30
+    assert all(r["event_type"] == "steady" for r in out)  # lonely dropped
+    assert abs(out[1]["residual"]) < out[0]["residual"]
