@@ -2338,6 +2338,22 @@ class DaskFrame:
         return self[col] != other
 
     # ---- groupby / joins / reshape (delegated) -----------------------------
+    def rollup(self, by, spec, grouping_flags: bool = True):
+        """Hierarchical subtotal aggregation (SQL ROLLUP) — see
+        operators/groupby.py grouping_agg."""
+        from dask_spark.operators.groupby import grouping_agg
+
+        keys = [by] if isinstance(by, str) else list(by)
+        return grouping_agg(self, keys, spec, "rollup", grouping_flags)
+
+    def cube(self, by, spec, grouping_flags: bool = True):
+        """Every-subset subtotal aggregation (SQL CUBE) — see
+        operators/groupby.py grouping_agg."""
+        from dask_spark.operators.groupby import grouping_agg
+
+        keys = [by] if isinstance(by, str) else list(by)
+        return grouping_agg(self, keys, spec, "cube", grouping_flags)
+
     def groupby(self, by: str | Sequence[str], dropna: bool = True,
                 sort: bool | None = None, group_keys: bool = True,
                 observed: bool | None = None):

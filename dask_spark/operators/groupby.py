@@ -605,3 +605,46 @@ class GroupBy:
             raw.join(ranked, cond, "left")
             .drop(*[f"__k{i}" for i in range(len(keys))])
         )
+
+
+def grouping_agg(frame, keys: Sequence[str], spec: Mapping[str, object],
+                 mode: str = "rollup", grouping_flags: bool = True):
+    """OLAP subtotal aggregation — ``mode="rollup"`` (hierarchical
+    subtotals: (a,b), (a), ()) or ``mode="cube"`` (every key subset)
+    → DaskFrame(keys..., [<key>_grouping flags,] <col>_<fn>...).
+    The reporting shape dask lacks but any analytics engine needs;
+    Catalyst's Expand operator computes ALL grouping sets in ONE scan
+    + one shuffle (it replicates each input row per set map-side —
+    sets× the exchange, never sets× the scan).
+
+    Subtotal rows carry NULL group keys (the SQL convention);
+    ``grouping_flags`` adds an int ``<key>_grouping`` per key (1 on
+    subtotal rows — SQL GROUPING()) so real-null keys stay
+    distinguishable from subtotals. Spec is the dict form of
+    GroupBy.agg: {"col": "fn"} or {"col": [fns...]}, same
+    ``<col>_<fn>`` output names."""
+    from dask_spark.frame import DaskFrame
+
+    if mode not in ("rollup", "cube"):
+        raise ValueError("mode must be rollup|cube")
+    ks = list(keys)
+    if not ks:
+        raise ValueError("grouping_agg needs at least one key")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    exprs = []
+    for col, fns in spec.items():
+        for fn in [fns] if isinstance(fns, str) else fns:
+            exprs.append(_AGGS[fn](col).alias(f"{col}_{fn}"))
+    if not exprs:
+        raise ValueError("no aggregations given")
+    grouped = (sdf.rollup(*ks) if mode == "rollup" else sdf.cube(*ks))
+    cols = [*ks]
+    if grouping_flags:
+        exprs = [
+            *[F.grouping(k).cast("int").alias(f"{k}_grouping")
+              for k in ks],
+            *exprs,
+        ]
+    out = grouped.agg(*exprs)
+    return DaskFrame(out.select(*cols, *[e for e in out.columns
+                                         if e not in ks]))

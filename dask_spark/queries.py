@@ -72,6 +72,53 @@ def q(name: str, oracle: str | None):
 # ---------------------------- groupby / reductions -------------------------
 
 @q(
+    "groupby_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CASE WHEN GROUPING(l_returnflag) THEN 1 ELSE 0 END
+             AS l_returnflag_grouping,
+           CASE WHEN GROUPING(l_linestatus) THEN 1 ELSE 0 END
+             AS l_linestatus_grouping,
+           ROUND(SUM(l_quantity::DECIMAL(18,6)), 2)::DOUBLE
+             AS l_quantity_sum,
+           COUNT(l_extendedprice)::BIGINT AS l_extendedprice_count
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+             l_returnflag_grouping, l_linestatus_grouping
+    """,
+)
+def groupby_rollup(spark, sf_dir):
+    """SQL ROLLUP — hierarchical subtotals ((flag,status), (flag),
+    ()) in ONE scan + one shuffle via Catalyst's Expand (each input
+    row replicates per grouping set map-side); GROUPING() flags keep
+    real-null keys distinguishable from subtotal nulls. The reporting
+    shape dask lacks but an analytics engine needs
+    (operators/groupby.py grouping_agg; DaskFrame.rollup/.cube)."""
+    li = load(spark, sf_dir, "lineitem")
+    # decimal-cast BEFORE the sum: a double sum is addition-order-
+    # dependent across the Expand replication, the decimal sum exact
+    staged = DaskFrame(li._sdf.withColumn(
+        "l_quantity", F.col("l_quantity").cast("decimal(18,6)")
+    ))
+    out = staged.rollup(
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum", "l_extendedprice": "count"},
+    ).to_spark()
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        "l_returnflag_grouping", "l_linestatus_grouping",
+        F.round(F.col("l_quantity_sum"), 2)
+        .cast("double").alias("l_quantity_sum"),
+        F.col("l_extendedprice_count").cast("bigint")
+        .alias("l_extendedprice_count"),
+    ).orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
+        "l_returnflag_grouping", "l_linestatus_grouping",
+    )
+
+@q(
     "groupby_agg",
     """
     SELECT l_returnflag, l_linestatus,

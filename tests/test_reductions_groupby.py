@@ -751,3 +751,36 @@ def test_rank_na_option_top_bottom(spark):
         f.x.rank(method="first", na_option="top")
     with pytest.raises(ValueError):
         f.x.rank(na_option="bogus")
+
+
+def test_rollup_and_cube_semantics(spark, tables):
+    """rollup emits hierarchy subtotals ((a,b),(a),()), cube every
+    subset; GROUPING flags distinguish subtotal nulls from real-null
+    keys; grand-total row equals the global aggregate."""
+    import pyspark.sql.functions as F
+
+    import dask_spark as ds
+
+    pdf_rows = [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0),
+                (None, "x", 8.0)]
+    df = ds.from_pandas(
+        __import__("pandas").DataFrame(
+            pdf_rows, columns=["g1", "g2", "v"])
+    )
+    roll = df.rollup(["g1", "g2"], {"v": "sum"}).to_spark().collect()
+    cube = df.cube(["g1", "g2"], {"v": "sum"}).to_spark().collect()
+
+    def key(r):
+        return (r["g1"], r["g2"], r["g1_grouping"], r["g2_grouping"])
+
+    rmap = {key(r): r["v_sum"] for r in roll}
+    # leaf cells, per-g1 subtotals, grand total
+    assert rmap[("a", "x", 0, 0)] == 1.0
+    assert rmap[("a", None, 0, 1)] == 3.0
+    assert rmap[(None, None, 0, 1)] == 8.0   # REAL null g1 subtotal
+    assert rmap[(None, None, 1, 1)] == 15.0  # grand total
+    # rollup has no (None, 'x') g2-only subtotal; cube does
+    assert (None, "x", 1, 0) not in rmap
+    cmap = {key(r): r["v_sum"] for r in cube}
+    assert cmap[(None, "x", 1, 0)] == 13.0
+    assert len(cube) > len(roll)
