@@ -120,6 +120,8 @@ HEADLINE = [
     "drift_benford",      # 9-key first-digit audit
     "reduce_gini",        # prefix-scan rank + decimal moment
     "events_anomaly",     # in-plan OLS residual top-k
+    "groupby_rollup",     # Expand grouping sets, one scan
+    "text_readability",   # map-only Flesch chain
 ]
 
 

@@ -1244,3 +1244,43 @@ def hashed_nb_predict(sdf, model: NaiveBayesModel,
         F.round(F.array_max(scores), round_dp).alias("score"),
     )
     return out
+
+
+def readability_stats(text: Column):
+    """(n_words, n_sentences, n_syllables, flesch) Columns — the
+    Flesch reading-ease gate (Flesch 1948; Kincaid's military-manual
+    recalibrations made it the standard automated readability
+    screen): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words). Very low scores flag legalese/boilerplate,
+    absurdly high ones flag word salad — a cheap corpus-quality axis
+    orthogonal to the LM-perplexity gates.
+
+    Pure JVM expressions, map-only: sentences = runs of [.!?]
+    (min 1 so fragments still score), syllables = vowel-group count
+    (the classic approximation — hyphenation dictionaries don't
+    distribute); word-less docs score null. The float chain is one
+    pinned left-to-right expression, identical in an ANSI oracle."""
+    toks = word_tokens(text)
+    w = F.size(toks)
+    s = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syl = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), 0)
+    )
+    flesch = F.when(
+        w > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+            - F.lit(84.6) * (syl.cast("double") / w.cast("double")),
+            6,
+        ),
+    )
+    return (
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -3071,6 +3071,46 @@ def quality_gate(spark, sf_dir):
 
 
 @q(
+    "text_readability",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> len(x) > 0))::INT AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::INT
+             AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::INT
+             AS n_syllables,
+           CASE WHEN len(list_filter(string_split_regex(lower(text),
+                        '\s+'), x -> len(x) > 0)) > 0
+           THEN round(206.835
+             - 1.015 * (len(list_filter(string_split_regex(lower(text),
+                          '\s+'), x -> len(x) > 0))::DOUBLE
+                        / greatest(len(regexp_extract_all(text,
+                            '[.!?]+')), 1)::DOUBLE)
+             - 84.6 * (len(regexp_extract_all(lower(text),
+                         '[aeiouy]+'))::DOUBLE
+                       / len(list_filter(string_split_regex(lower(text),
+                           '\s+'), x -> len(x) > 0))::DOUBLE), 6)
+           END AS flesch
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document — the readability quality
+    axis orthogonal to the LM-perplexity gates (legalese scores low,
+    word salad absurdly high): sentences = [.!?] runs (min 1),
+    syllables = vowel-group count, one pinned left-to-right float
+    chain — map-only, zero shuffle
+    (functions/text.py readability_stats)."""
+    from dask_spark.functions.text import readability_stats
+
+    d = load(spark, sf_dir, "documents").to_spark()
+    return d.select(
+        "doc_id", *readability_stats(F.col("text"))
+    ).orderBy("doc_id")
+
+
+@q(
     "corpus_concentration",
     """
     WITH c AS (

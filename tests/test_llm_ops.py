@@ -3675,3 +3675,27 @@ def test_trend_residual_outliers_finds_spike(spark):
     assert out[0]["residual"] > 30
     assert all(r["event_type"] == "steady" for r in out)  # lonely dropped
     assert abs(out[1]["residual"]) < out[0]["residual"]
+
+
+def test_readability_stats_known_text(spark):
+    """Hand-computed Flesch on a two-sentence text; fragments get
+    min-1 sentences; empty text scores null words->null flesch."""
+    from dask_spark.functions.text import readability_stats
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "no punctuation here"),
+         (3, "")],
+        "id bigint, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id", *readability_stats(F.col("text"))).collect()}
+    r1 = rows[1]
+    # words=6, sentences=2, vowel groups: e-a-a-e-o-a = 6
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 6)
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r1["flesch"] - want) < 1e-6
+    assert rows[2]["n_sentences"] == 1  # min-1 fragment rule
+    assert rows[3]["n_words"] == 0 and rows[3]["flesch"] is None
