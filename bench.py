@@ -122,6 +122,7 @@ HEADLINE = [
     "events_anomaly",     # in-plan OLS residual top-k
     "groupby_rollup",     # Expand grouping sets, one scan
     "text_readability",   # map-only Flesch chain
+    "events_session_stats",  # gap sessions + one keyed rollup
 ]
 
 

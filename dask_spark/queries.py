@@ -4835,6 +4835,48 @@ def sessionize(spark, sf_dir):
 
 
 @q(
+    "events_session_stats",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(floor((MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                      / 1000000) AS BIGINT) AS duration_s,
+           COUNT(DISTINCT event_type)::BIGINT AS n_types,
+           CAST(MAX(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BOOLEAN) AS converted
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_session_stats(spark, sf_dir):
+    """Per-session engagement rollup (events, exact-integer duration
+    seconds, type breadth, conversion flag) on gap-based sessions —
+    one user-keyed window pass for the break assignment + one
+    (user, session)-keyed aggregate
+    (streaming/windows.py session_stats)."""
+    from dask_spark.streaming.windows import session_stats
+
+    e = load(spark, sf_dir, "events")
+    return session_stats(e, gap_seconds=1800).to_spark()
+
+
+@q(
     "stream_window_batch",
     """
     SELECT (epoch_us(ts) // 1000000 - (epoch_us(ts) // 1000000) % 600) AS window_start_s,

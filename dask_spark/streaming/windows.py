@@ -65,6 +65,49 @@ def sessionize_batch(frame, gap_seconds: int = 1800):
     return DaskFrame(out)
 
 
+def session_stats(frame, gap_seconds: int = 1800,
+                  conversion_type: str = "purchase"):
+    """Session-level behavior table → DaskFrame(user_id, session_id,
+    n_events, duration_s, n_types, converted): the per-session rollup
+    (engagement length, breadth, conversion flag) product analytics
+    reads off sessionized logs — one user-keyed window pass for the
+    gap-break assignment (the sessionize_batch machinery) + ONE
+    (user, session)-keyed aggregate.
+
+    duration_s is exact integer seconds (max−min of epoch
+    microseconds, one division by 1e6 both engines truncate
+    identically via floor on nonnegative values); n_types is an exact
+    distinct count inside the same aggregate."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import epoch_us, normalize_ntz
+
+    sdf = normalize_ntz(frame._sdf if isinstance(frame, DaskFrame)
+                        else frame)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
+    marked = sdf.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1)
+        .otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(wsum).cast("bigint")
+    )
+    out = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.floor(
+            (F.max(epoch_us("ts")) - F.min(epoch_us("ts")))
+            / F.lit(1_000_000)
+        ).cast("bigint").alias("duration_s"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.max(
+            (F.col("event_type") == F.lit(conversion_type)).cast("int")
+        ).cast("boolean").alias("converted"),
+    )
+    return DaskFrame(out)
+
+
 def sessionize_stream(stream_sdf: SparkDF, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> SparkDF:
     """Streaming sessionization via native session_window state."""

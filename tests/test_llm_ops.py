@@ -3699,3 +3699,38 @@ def test_readability_stats_known_text(spark):
     assert abs(r1["flesch"] - want) < 1e-6
     assert rows[2]["n_sentences"] == 1  # min-1 fragment rule
     assert rows[3]["n_words"] == 0 and rows[3]["flesch"] is None
+
+
+def test_session_stats_semantics(spark):
+    """Gap > threshold splits sessions; duration is exact integer
+    seconds within a session; converted flags only purchase-bearing
+    sessions; n_types counts distinct event types."""
+    import datetime as dt
+
+    from dask_spark.streaming.windows import session_stats
+
+    t0 = dt.datetime(2024, 7, 1, 10, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, 7, s(0), "view"), (2, 7, s(60), "click"),
+        (3, 7, s(90), "purchase"),
+        # 1h gap -> new session
+        (4, 7, s(3700), "view"), (5, 7, s(3710), "view"),
+        (6, 8, s(0), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, "
+              "event_type string",
+    )
+    got = {(r["user_id"], r["session_id"]): r for r in
+           session_stats(df, gap_seconds=1800).to_spark().collect()}
+    s1 = got[(7, 1)]
+    assert (s1["n_events"], s1["duration_s"], s1["n_types"],
+            s1["converted"]) == (3, 90, 3, True)
+    s2 = got[(7, 2)]
+    assert (s2["n_events"], s2["duration_s"], s2["converted"]) == (
+        2, 10, False)
+    assert got[(8, 1)]["duration_s"] == 0
