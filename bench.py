@@ -123,6 +123,7 @@ HEADLINE = [
     "groupby_rollup",     # Expand grouping sets, one scan
     "text_readability",   # map-only Flesch chain
     "events_session_stats",  # gap sessions + one keyed rollup
+    "ab_proportion",      # 2-key exact arms + pinned z chain
 ]
 
 

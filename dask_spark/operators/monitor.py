@@ -729,3 +729,50 @@ def trend_residual_outliers(events, ts_col: str = "ts",
         )
     )
     return DaskFrame(out)
+
+
+def ab_proportion_test(frame, group_expr, success_expr,
+                       round_dp: int = 6):
+    """Two-proportion z-test → one-row DaskFrame(n_a, k_a, n_b, k_b,
+    rate_a, rate_b, lift, z): the A/B readout (did the treatment move
+    the conversion rate, and by how many sigmas) — group_expr must
+    yield 'A'/'B' labels, success_expr a boolean.
+
+    ONE 2-key aggregate of exact int64 (n, k) per arm; rates, lift
+    and z = (p_a − p_b)/sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) are pinned
+    float chains of those four integers — bit-identical across
+    engines. z is null when either arm is empty or the pooled rate
+    is degenerate (0 or 1 — no variance)."""
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    g = group_expr if not isinstance(group_expr, str) \
+        else F.expr(group_expr)
+    s = success_expr if not isinstance(success_expr, str) \
+        else F.expr(success_expr)
+    rows = {
+        r["g"]: (int(r["n"]), int(r["k"]))
+        for r in sdf.select(g.alias("g"), s.cast("int").alias("s"))
+        .filter(F.col("g").isin("A", "B") & F.col("s").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s").alias("k"))
+        .collect()
+    }
+    n_a, k_a = rows.get("A", (0, 0))
+    n_b, k_b = rows.get("B", (0, 0))
+    rate_a = k_a / float(n_a) if n_a else None
+    rate_b = k_b / float(n_b) if n_b else None
+    lift = (rate_a - rate_b) if n_a and n_b else None
+    z = None
+    if n_a and n_b:
+        p = (k_a + k_b) / (float(n_a) + float(n_b))
+        if 0.0 < p < 1.0:
+            z = (rate_a - rate_b) / math.sqrt(
+                p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)
+            )
+    r6 = lambda v: None if v is None else round(v, round_dp)  # noqa: E731
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(n_a, k_a, n_b, k_b, r6(rate_a), r6(rate_b), r6(lift), r6(z))],
+        "n_a bigint, k_a bigint, n_b bigint, k_b bigint, "
+        "rate_a double, rate_b double, lift double, z double",
+    )
+    return DaskFrame(out)

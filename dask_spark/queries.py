@@ -3239,6 +3239,56 @@ def reduce_gini(spark, sf_dir):
 
 
 @q(
+    "ab_proportion",
+    """
+    WITH base AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A'
+                  ELSE 'B' END AS g,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS s
+      FROM orders WHERE o_orderpriority IS NOT NULL
+    ), arms AS (
+      SELECT g, count(*)::BIGINT AS n, CAST(SUM(s) AS BIGINT) AS k
+      FROM base GROUP BY g
+    ), w AS (
+      SELECT MAX(CASE WHEN g = 'A' THEN n END) AS n_a,
+             MAX(CASE WHEN g = 'A' THEN k END) AS k_a,
+             MAX(CASE WHEN g = 'B' THEN n END) AS n_b,
+             MAX(CASE WHEN g = 'B' THEN k END) AS k_b
+      FROM arms
+    ), c AS (
+      SELECT n_a, k_a, n_b, k_b,
+             k_a / CAST(n_a AS DOUBLE) AS ra,
+             k_b / CAST(n_b AS DOUBLE) AS rb,
+             (k_a + k_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               AS p
+      FROM w
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+           round(ra - rb, 6) AS lift,
+           CASE WHEN p > 0 AND p < 1 THEN
+             round((ra - rb) / sqrt(p * (1.0 - p)
+                   * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS z
+    FROM c
+    """,
+)
+def ab_proportion(spark, sf_dir):
+    """Two-proportion z-test — urgent (A) vs other (B) orders'
+    high-value rate: ONE 2-key aggregate of exact int64 (n, k) per
+    arm, rates/lift/z as pinned float chains of those four integers
+    (operators/monitor.py ab_proportion_test)."""
+    from dask_spark.operators.monitor import ab_proportion_test
+
+    o = load(spark, sf_dir, "orders")
+    return ab_proportion_test(
+        o,
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END",
+        "o_totalprice > 150000",
+    ).to_spark()
+
+
+@q(
     "ml_mutual_info",
     """
     WITH cells AS (

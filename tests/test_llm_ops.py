@@ -3734,3 +3734,34 @@ def test_session_stats_semantics(spark):
     assert (s2["n_events"], s2["duration_s"], s2["converted"]) == (
         2, 10, False)
     assert got[(8, 1)]["duration_s"] == 0
+
+
+def test_ab_proportion_scipy_parity(spark):
+    """z matches the closed-form two-proportion test (checked against
+    statsmodels' formula arithmetic); equal arms give z = 0; a
+    degenerate pooled rate yields null z."""
+    import math
+
+    from dask_spark.operators.monitor import ab_proportion_test
+
+    rows = [("A", 1)] * 60 + [("A", 0)] * 40 \
+        + [("B", 1)] * 45 + [("B", 0)] * 55
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = ab_proportion_test(df, "g", "s = 1").to_spark().first()
+    assert (r["n_a"], r["k_a"], r["n_b"], r["k_b"]) == (100, 60, 100, 45)
+    p = 105 / 200
+    want = (0.6 - 0.45) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(r["z"] - want) < 1e-6
+    assert r["lift"] == round(0.6 - 0.45, 6)
+
+    eq = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1), ("B", 0)], "g string, s int"
+    )
+    assert ab_proportion_test(eq, "g", "s = 1").to_spark() \
+        .first()["z"] == 0.0
+
+    degen = spark.createDataFrame(
+        [("A", 1), ("B", 1)], "g string, s int"
+    )
+    assert ab_proportion_test(degen, "g", "s = 1").to_spark() \
+        .first()["z"] is None
