@@ -124,6 +124,7 @@ HEADLINE = [
     "text_readability",   # map-only Flesch chain
     "events_session_stats",  # gap sessions + one keyed rollup
     "ab_proportion",      # 2-key exact arms + pinned z chain
+    "ml_lift_table",      # decile buckets + capture fold
 ]
 
 

@@ -331,3 +331,63 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
         )
     out = spark.createDataFrame([(rho, n)], "rho double, n bigint")
     return DaskFrame(out)
+
+
+def lift_table(frame, score_col: str, label_expr, buckets: int = 10,
+               round_dp: int = 6):
+    """Decile lift table → DaskFrame(bucket, n, positives, rate,
+    lift, cum_capture): rank rows by ``score_col`` into
+    equal-frequency buckets (bucket 0 = LOWEST scores, buckets-1 =
+    highest — quantile_bucketize's boundary contract) and report each
+    bucket's positive rate vs the global rate plus the
+    top-down cumulative capture share — the standard "is this score
+    actually ordering the positives" model-evaluation readout.
+
+    One exact-percentile aggregate (buckets−1 boundary scalars) + one
+    buckets-keyed exact count pair; rate/lift/capture are pinned
+    float chains of exact int64 (the driver sees ≤ buckets rows and
+    folds capture top-down in bucket order — the order the oracle's
+    window replays)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    lab = label_expr if not isinstance(label_expr, str) \
+        else F.expr(label_expr)
+    staged = sdf.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("__score"),
+        lab.cast("int").alias("__y"),
+    ).filter(F.col("__y").isNotNull())
+    bucketed = quantile_bucketize(
+        DaskFrame(staged), "__score", buckets=buckets, out="__b"
+    )._sdf
+    rows = {
+        int(r["__b"]): (int(r["n"]), int(r["k"]))
+        for r in bucketed.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__y").alias("k")
+        ).collect()
+    }
+    n_tot = sum(n for n, _ in rows.values())
+    k_tot = sum(k for _, k in rows.values())
+    if not n_tot:
+        raise ValueError("lift_table: no scored rows")
+    g_rate = k_tot / float(n_tot)
+    out_rows = []
+    cum_k = 0
+    for b in range(int(buckets) - 1, -1, -1):  # capture folds top-down
+        n, k = rows.get(b, (0, 0))
+        cum_k += k
+        rate = k / float(n) if n else None
+        out_rows.append((
+            b, n, k,
+            None if rate is None else round(rate, round_dp),
+            None if rate is None or g_rate == 0
+            else round(rate / g_rate, round_dp),
+            round(cum_k / float(k_tot), round_dp) if k_tot else None,
+        ))
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        sorted(out_rows),
+        "bucket int, n bigint, positives bigint, rate double, "
+        "lift double, cum_capture double",
+    )
+    return DaskFrame(out)

@@ -709,6 +709,67 @@ def corr_spearman(spark, sf_dir):
 
 
 @q(
+    "ml_lift_table",
+    """
+    WITH base AS (
+      SELECT o_totalprice::DOUBLE AS score,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), cuts AS (
+      SELECT [quantile_cont(score, 0.1), quantile_cont(score, 0.2),
+              quantile_cont(score, 0.3), quantile_cont(score, 0.4),
+              quantile_cont(score, 0.5), quantile_cont(score, 0.6),
+              quantile_cont(score, 0.7), quantile_cont(score, 0.8),
+              quantile_cont(score, 0.9)] AS c
+      FROM base
+    ), bk AS (
+      SELECT y,
+             (CASE WHEN score <= c[1] THEN 0 WHEN score <= c[2] THEN 1
+                   WHEN score <= c[3] THEN 2 WHEN score <= c[4] THEN 3
+                   WHEN score <= c[5] THEN 4 WHEN score <= c[6] THEN 5
+                   WHEN score <= c[7] THEN 6 WHEN score <= c[8] THEN 7
+                   WHEN score <= c[9] THEN 8 ELSE 9 END)::INT AS b
+      FROM base, cuts
+    ), per AS (
+      SELECT b, count(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS k
+      FROM bk GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt
+      FROM per
+    ), cum AS (
+      SELECT b, n, k,
+             CAST(SUM(k) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ck
+      FROM per
+    )
+    SELECT b AS bucket, n, k AS positives,
+           round(k / CAST(n AS DOUBLE), 6) AS rate,
+           round((k / CAST(n AS DOUBLE))
+                 / (tot.kt / CAST(tot.nt AS DOUBLE)), 6) AS lift,
+           round(ck / CAST(tot.kt AS DOUBLE), 6) AS cum_capture
+    FROM cum, tot ORDER BY bucket
+    """,
+)
+def ml_lift_table(spark, sf_dir):
+    """Decile lift table — "does price actually order the urgent
+    orders": exact-percentile bucket boundaries (Spark percentile ==
+    DuckDB quantile_cont), one buckets-keyed exact count pair,
+    rate/lift/top-down cumulative capture as pinned float chains of
+    exact int64 (operators/reductions.py lift_table)."""
+    from dask_spark.operators.reductions import lift_table
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    return lift_table(
+        o, "o_totalprice", "o_orderpriority = '1-URGENT'", buckets=10
+    ).to_spark().orderBy("bucket")
+
+
+@q(
     "ml_target_encode",
     """
     WITH base AS (

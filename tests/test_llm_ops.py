@@ -3765,3 +3765,22 @@ def test_ab_proportion_scipy_parity(spark):
     )
     assert ab_proportion_test(degen, "g", "s = 1").to_spark() \
         .first()["z"] is None
+
+
+def test_lift_table_orders_positives(spark):
+    """A score that perfectly orders positives puts lift ~buckets in
+    the top decile and ~0 at the bottom; cum_capture reaches 1.0 at
+    bucket 0 (top-down fold); bucket counts are equal-frequency."""
+    from dask_spark.operators.reductions import lift_table
+
+    # top 10% of scores are exactly the positives
+    rows = [(float(i), 1 if i >= 900 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = lift_table(df, "score", "y = 1", buckets=10) \
+        .to_spark().orderBy("bucket").collect()
+    assert [r["bucket"] for r in out] == list(range(10))
+    assert all(abs(r["n"] - 100) <= 1 for r in out)
+    top = out[-1]
+    assert top["rate"] >= 0.99 and top["lift"] >= 9.9
+    assert top["cum_capture"] == round(top["positives"] / 100, 6)
+    assert out[0]["positives"] == 0 and out[0]["cum_capture"] == 1.0
