@@ -125,6 +125,7 @@ HEADLINE = [
     "events_session_stats",  # gap sessions + one keyed rollup
     "ab_proportion",      # 2-key exact arms + pinned z chain
     "ml_lift_table",      # decile buckets + capture fold
+    "ml_auc",             # rank-form AUC on the prefix scan
 ]
 
 

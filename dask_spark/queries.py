@@ -709,6 +709,53 @@ def corr_spearman(spark, sf_dir):
 
 
 @q(
+    "ml_auc",
+    """
+    WITH base AS (
+      SELECT o_totalprice::DOUBLE AS s,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), g AS (
+      SELECT s, count(*)::BIGINT AS c FROM base GROUP BY 1
+    ), r AS (
+      SELECT s,
+             (2 * SUM(c) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::BIGINT AS r2
+      FROM g
+    ), agg AS (
+      SELECT SUM(CASE WHEN y = 1 THEN r2 END) AS rp,
+             CAST(SUM(y) AS BIGINT) AS np,
+             count(*)::BIGINT AS n
+      FROM base JOIN r USING (s)
+    )
+    SELECT CASE WHEN np > 0 AND n - np > 0 THEN
+             round((rp - np * (np + 1))::DOUBLE
+                   / (2.0 * np::DOUBLE * (n - np)::DOUBLE), 6)
+           END AS auc,
+           np AS n_pos, (n - np)::BIGINT AS n_neg
+    FROM agg
+    """,
+)
+def ml_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC of price as an urgency score —
+    the Mann–Whitney rank form on the spearman machinery: integer
+    2·avg-ranks from per-score counts + the distributed prefix scan,
+    positives' rank sum in DECIMAL(38,0), one final float division
+    (operators/reductions.py roc_auc)."""
+    from dask_spark.operators.reductions import roc_auc
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    return roc_auc(
+        o, "o_totalprice", "o_orderpriority = '1-URGENT'"
+    ).to_spark()
+
+
+@q(
     "ml_lift_table",
     """
     WITH base AS (

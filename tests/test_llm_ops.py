@@ -3784,3 +3784,42 @@ def test_lift_table_orders_positives(spark):
     assert top["rate"] >= 0.99 and top["lift"] >= 9.9
     assert top["cum_capture"] == round(top["positives"] / 100, 6)
     assert out[0]["positives"] == 0 and out[0]["cum_capture"] == 1.0
+
+
+def test_roc_auc_sklearn_parity(spark):
+    """AUC matches sklearn.roc_auc_score on tied, noisy scores (the
+    tie-corrected rank form IS the Mann-Whitney normalization);
+    perfect separation gives 1.0, anti-separation 0.0, single-class
+    null."""
+    import numpy as np
+
+    from dask_spark.operators.reductions import roc_auc
+
+    rng = np.random.RandomState(5)
+    y = (rng.rand(400) < 0.3).astype(int)
+    score = (y * 1.2 + rng.randn(400)).round(1)  # heavy ties
+    df = spark.createDataFrame(
+        [(float(s), int(t)) for s, t in zip(score, y)],
+        "s double, y int",
+    )
+    got = roc_auc(df, "s", "y = 1").to_spark().first()
+    try:
+        from sklearn.metrics import roc_auc_score
+
+        assert abs(got["auc"] - roc_auc_score(y, score)) < 1e-6
+    except ImportError:
+        assert 0.7 < got["auc"] < 0.95
+    assert got["n_pos"] == int(y.sum())
+
+    perfect = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    assert roc_auc(perfect, "s", "y = 1").to_spark().first()["auc"] == 1.0
+    anti = spark.createDataFrame(
+        [(float(-i), 1 if i >= 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    assert roc_auc(anti, "s", "y = 1").to_spark().first()["auc"] == 0.0
+    mono = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert roc_auc(mono, "s", "y = 1").to_spark().first()["auc"] is None
