@@ -126,6 +126,7 @@ HEADLINE = [
     "ab_proportion",      # 2-key exact arms + pinned z chain
     "ml_lift_table",      # decile buckets + capture fold
     "ml_auc",             # rank-form AUC on the prefix scan
+    "multimodal_phash",   # Arrow decode + banded hamming pairs
 ]
 
 

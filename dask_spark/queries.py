@@ -3218,6 +3218,74 @@ def text_readability(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _phash_oracle(dim: int = 32, band_bits: int = 8,
+                  max_hamming: int = 6) -> str:
+    """Generated replay of functions/multimodal.py phash_near_dup on
+    the deterministic fake media: blob = sha2(text) hex, features =
+    sha256(blob) bytes / 255 + (w, h), mean folded left-to-right, bit
+    i = f_i > mean (the bit SUM is order-free integers), 8-bit bands,
+    exact hamming verify."""
+    nb = dim // band_bits
+    mask = (1 << band_bits) - 1
+    feats = ", ".join(
+        f"('0x' || substr(d2, {2 * i + 1}, 2))::INT / 255.0"
+        for i in range(dim)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, sha256(sha256(text)) AS d2
+      FROM documents
+    ), f AS (
+      SELECT doc_id, [{feats}] AS fl,
+             list_reduce(list_prepend(0.0, [{feats}]),
+                         (a, b) -> a + b) / {float(dim)!r} AS mean
+      FROM m
+    ), ph AS (
+      SELECT f.doc_id,
+             CAST(SUM(CASE WHEN fl[g.i] > mean
+                  THEN (CAST(1 AS BIGINT) << (g.i - 1))
+                  ELSE 0 END) AS BIGINT) AS ph
+      FROM f, generate_series(1, {dim}) g(i)
+      GROUP BY f.doc_id
+    ), bands AS (
+      SELECT doc_id, ph, u.band, u.sig FROM ph,
+        UNNEST([{", ".join(
+            f"struct_pack(band := {b}, sig := (ph >> {b * band_bits})"
+            f" & {mask})" for b in range(nb))}])
+        AS t(u)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ph AS ph_a, b.ph AS ph_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           bit_count(xor(ph_a, ph_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@q("multimodal_phash", _phash_oracle(32, 8, 6))
+def multimodal_phash(spark, sf_dir):
+    """Perceptual-hash near-duplicate media pairs over the synthetic
+    binary payloads — the image-dedup pipeline with REAL plumbing
+    (Arrow decode kernel → expression-level threshold hash → LSH
+    bands → exact hamming verify; the deterministic fake decoder
+    swaps for PIL behind the same signature). Media bytes never
+    shuffle — only (band, sig, id) tuples and candidate ids
+    (functions/multimodal.py phash_near_dup)."""
+    from dask_spark.functions.multimodal import (attach_fake_media,
+                                                 phash_near_dup)
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_fake_media(d)
+    return (
+        phash_near_dup(media, dim=32, band_bits=8, max_hamming=6)
+        .to_spark().orderBy("id_a", "id_b")
+    )
+
+
 @q(
     "corpus_concentration",
     """

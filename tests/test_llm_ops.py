@@ -3823,3 +3823,26 @@ def test_roc_auc_sklearn_parity(spark):
     assert roc_auc(anti, "s", "y = 1").to_spark().first()["auc"] == 0.0
     mono = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
     assert roc_auc(mono, "s", "y = 1").to_spark().first()["auc"] is None
+
+
+def test_phash_near_dup_finds_planted_duplicates(spark):
+    """Identical media blobs hash identically (hamming 0) and pair;
+    random distinct blobs rarely pass max_hamming; bands guarantee
+    recall at hamming 0 (a 0-distance pair collides on EVERY band)."""
+    import dask_spark as ds
+    from dask_spark.functions.multimodal import (attach_fake_media,
+                                                 phash_near_dup)
+
+    import pandas as pd
+
+    texts = [f"unique document number {i} body" for i in range(60)]
+    texts[41] = texts[7]   # planted duplicate blob (same text)
+    texts[55] = texts[7]
+    pdf = pd.DataFrame({"doc_id": range(60), "text": texts})
+    media = attach_fake_media(ds.from_pandas(pdf))
+    pairs = phash_near_dup(media, dim=32, band_bits=8, max_hamming=4) \
+        .to_spark().collect()
+    got0 = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
+    assert {(7, 41), (7, 55), (41, 55)} <= got0
+    # selectivity: far fewer pairs than C(60,2) = 1770
+    assert len(pairs) < 60
