@@ -127,6 +127,8 @@ HEADLINE = [
     "ml_lift_table",      # decile buckets + capture fold
     "ml_auc",             # rank-form AUC on the prefix scan
     "multimodal_phash",   # Arrow decode + banded hamming pairs
+    "dedup_cluster_sizes",  # CC + two bounded rollups
+    "embed_pair_hist",    # sampled exact-cosine geometry bins
 ]
 
 

@@ -3287,6 +3287,55 @@ def multimodal_phash(spark, sf_dir):
 
 
 @q(
+    "embed_pair_hist",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE md5(vec_id::VARCHAR) < '26'
+    ), pairs AS (
+      SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT LEAST(GREATEST(floor((c + 1.0) / 0.1), 0), 19)::INT AS bin,
+           count(*)::BIGINT AS n
+    FROM pairs GROUP BY 1 ORDER BY 1
+    """,
+)
+def embed_pair_hist(spark, sf_dir):
+    """Pairwise-cosine histogram over a DETERMINISTIC md5-sampled
+    vector subset (~15%) — the corpus-geometry diagnostic (a
+    collapsed/anisotropic embedding space piles mass near 1.0; a
+    healthy one spreads): the subset is the engine-portable md5
+    threshold (same vectors every run/engine), exact unrolled double
+    cosines at 6 dp (the dedup_embed parity contract), 0.1-wide bins
+    over [-1, 1] — pair count is quadratic only in the SAMPLE
+    (fraction² · n², tunable), never the corpus."""
+    from dask_spark.functions.vector import cosine_sim
+
+    e = load(spark, sf_dir, "embeddings")._sdf
+    s = e.filter(F.md5(F.col("vec_id").cast("string")) < "26").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    a = s.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ida") < F.col("idb")).select(
+        F.round(
+            cosine_sim(F.col("va"), F.col("vb"), dim=64), 6
+        ).alias("c")
+    )
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("c") + F.lit(1.0)) / F.lit(0.1)),
+                   F.lit(0)),
+        F.lit(19),
+    ).cast("int")
+    return (
+        pairs.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("bin")
+    )
+
+
+@q(
     "corpus_concentration",
     """
     WITH c AS (
@@ -7584,6 +7633,65 @@ def keyless_ffill(spark, sf_dir):
         )
     )
     return masked.ffill("v", order_by="event_id").to_spark().select("event_id", "v")
+
+
+@q(
+    "dedup_cluster_sizes",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT ida AS src, idb AS dst FROM pairs
+      UNION ALL SELECT idb, ida FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS id, MIN(dst)::BIGINT AS component
+      FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT component, count(*)::BIGINT AS sz FROM comp GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-SIZE distribution — the dedup-health
+    diagnostic ("are we removing singleton pairs or collapsing
+    thousand-doc boilerplate blobs?"): components via the verified CC
+    machinery, then two tiny size rollups — exchanges bounded by
+    #components then #distinct sizes
+    (operators/dedup.py connected_components + groupBy)."""
+    from dask_spark.operators.dedup import (
+        connected_components,
+        embedding_pairs_exact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    prs = embedding_pairs_exact(e, threshold=0.4)
+    comp = connected_components(prs).to_spark()
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 @q(
