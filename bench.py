@@ -129,6 +129,7 @@ HEADLINE = [
     "multimodal_phash",   # Arrow decode + banded hamming pairs
     "dedup_cluster_sizes",  # CC + two bounded rollups
     "embed_pair_hist",    # sampled exact-cosine geometry bins
+    "ql_topk",            # Dirichlet QL: stats agg + map scoring
 ]
 
 

@@ -615,3 +615,67 @@ def ivfpq_topk(frame, query: Sequence[float], k: int = 10, kc: int = 8,
     return DaskFrame(
         scored.orderBy(F.col("adc").asc(), F.col(id_col)).limit(k)
     )
+
+
+def ql_topk(frame, terms: Sequence[str], k: int = 10, mu: float = 2000.0,
+            text_col: str = "text", id_col: str = "doc_id"):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001 — the language-modeling alternative to BM25; the
+    standard second scorer in IR eval): score(q, d) =
+    Σ_t ln((tf_td + μ·p(t|C)) / (|d| + μ)), p(t|C) = collection term
+    count / collection length.
+
+    Same 100 TB shape as bm25_topk: ONE map-side stats aggregate
+    (collection length + per-query-term collection counts — query-
+    bounded scalars, never the vocabulary) broadcast back, then
+    map-only per-term tf scoring and TakeOrdered k. The per-term log
+    sum is a FIXED-ORDER chain (term list order), bit-identical in an
+    ANSI oracle. Token-less docs with μ > 0 still score (pure
+    collection model)."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.text import word_tokens
+
+    if not terms:
+        raise ValueError("ql_topk needs at least one query term")
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    toked = sdf.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+
+    def _tf(t: str):  # closure factory — see bm25_topk's lambda note
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+
+    base = toked.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).alias("__dl"),
+        *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.sum("__dl").cast("bigint").alias("__cl"),
+        *[
+            F.sum(F.col(f"__tf_{i}")).cast("bigint").alias(f"__cf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        # add-one on the collection count keeps unseen query terms
+        # finite (standard practice); p(t|C) = (cf+1)/(cl+1)
+        p_c = (
+            (F.col(f"__cf_{i}") + F.lit(1)).cast("double")
+            / (F.col("__cl") + F.lit(1)).cast("double")
+        )
+        term = F.log(
+            (F.col(f"__tf_{i}").cast("double") + F.lit(float(mu)) * p_c)
+            / (F.col("__dl").cast("double") + F.lit(float(mu)))
+        )
+        score = term if score is None else score + term
+    out = (
+        joined.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+    return DaskFrame(out)

@@ -2286,6 +2286,50 @@ def text_repetition(spark, sf_dir):
 
 
 @q(
+    "ql_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS dl,
+             len(list_filter(w, x -> x = 'spark'))  AS tf0,
+             len(list_filter(w, x -> x = 'filter')) AS tf1,
+             len(list_filter(w, x -> x = 'join'))   AS tf2
+      FROM toks
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS cl,
+             CAST(SUM(tf0) AS BIGINT) AS cf0,
+             CAST(SUM(tf1) AS BIGINT) AS cf1,
+             CAST(SUM(tf2) AS BIGINT) AS cf2
+      FROM base
+    )
+    SELECT doc_id, round(
+        ln((tf0::DOUBLE + 2000.0 * ((cf0 + 1)::DOUBLE / (cl + 1)::DOUBLE))
+           / (dl::DOUBLE + 2000.0))
+      + ln((tf1::DOUBLE + 2000.0 * ((cf1 + 1)::DOUBLE / (cl + 1)::DOUBLE))
+           / (dl::DOUBLE + 2000.0))
+      + ln((tf2::DOUBLE + 2000.0 * ((cf2 + 1)::DOUBLE / (cl + 1)::DOUBLE))
+           / (dl::DOUBLE + 2000.0)), 6) AS score
+    FROM base, stats
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def ql_topk(spark, sf_dir):
+    """Dirichlet query-likelihood top-k for ['spark', 'filter',
+    'join'] (Zhai & Lafferty 2001) — the language-modeling second
+    scorer beside BM25: one query-bounded stats aggregate broadcast
+    back, map-only fixed-order log-sum scoring, TakeOrdered — the
+    corpus never shuffles (operators/similarity.py ql_topk)."""
+    from dask_spark.operators.similarity import ql_topk as _ql
+
+    d = load(spark, sf_dir, "documents")
+    return _ql(d, ["spark", "filter", "join"], k=10, mu=2000.0).to_spark()
+
+
+@q(
     "bm25_topk",
     r"""
     WITH toks AS (

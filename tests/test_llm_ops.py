@@ -3846,3 +3846,30 @@ def test_phash_near_dup_finds_planted_duplicates(spark):
     assert {(7, 41), (7, 55), (41, 55)} <= got0
     # selectivity: far fewer pairs than C(60,2) = 1770
     assert len(pairs) < 60
+
+
+def test_ql_topk_ranks_term_density(spark):
+    """QL-Dirichlet ranks the term-dense doc first, shrinks toward
+    the collection model with huge mu, and validates inputs."""
+    import pytest
+
+    from dask_spark.operators.similarity import ql_topk
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark join filter"),
+         (2, "spark and other words about data"),
+         (3, "completely unrelated text body here")],
+        "doc_id bigint, text string",
+    )
+    out = ql_topk(df, ["spark"], k=3, mu=10.0).to_spark().collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] > out[1]["score"] > out[2]["score"]
+
+    # mu -> huge: scores converge (collection model dominates)
+    flat = ql_topk(df, ["spark"], k=3, mu=1e9).to_spark().collect()
+    assert abs(flat[0]["score"] - flat[-1]["score"]) < 1e-6
+
+    with pytest.raises(ValueError, match="at least one"):
+        ql_topk(df, [], k=3)
+    with pytest.raises(ValueError, match="mu"):
+        ql_topk(df, ["spark"], mu=0)
