@@ -130,6 +130,7 @@ HEADLINE = [
     "dedup_cluster_sizes",  # CC + two bounded rollups
     "embed_pair_hist",    # sampled exact-cosine geometry bins
     "ql_topk",            # Dirichlet QL: stats agg + map scoring
+    "events_theilsen",    # pairwise slopes on the bounded day series
 ]
 
 

@@ -3969,6 +3969,49 @@ def events_anomaly(spark, sf_dir):
 
 
 @q(
+    "events_theilsen",
+    """
+    WITH daily AS (
+      SELECT event_type AS grp,
+             CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS x,
+             count(*)::BIGINT AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.grp, a.x AS xi, b.x AS xj,
+             (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS s
+      FROM daily a JOIN daily b ON a.grp = b.grp AND a.x < b.x
+    ), ranked AS (
+      SELECT grp, s,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY s, xi, xj) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n_pairs
+      FROM pairs
+    ), days AS (
+      SELECT grp, count(*)::BIGINT AS n_days FROM daily GROUP BY 1
+    )
+    SELECT d.grp AS event_type, d.n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           round(r.s, 6) AS slope
+    FROM days d JOIN ranked r
+      ON r.grp = d.grp AND r.rn = CAST(ceil(r.n_pairs / 2.0) AS BIGINT)
+    ORDER BY event_type
+    """,
+)
+def events_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend per event type — the lower median of
+    pairwise daily-count slopes (29% outlier breakdown resistance
+    where OLS chases every spike): the O(days²) pairwise stage runs
+    on the BOUNDED day series (never events), each slope one division
+    of exact int64 deltas, the median a deterministic (slope, xi, xj)
+    rank selection both engines replay
+    (operators/monitor.py theil_sen_trend)."""
+    from dask_spark.operators.monitor import theil_sen_trend
+
+    e = load(spark, sf_dir, "events")
+    return theil_sen_trend(e).to_spark().orderBy("event_type")
+
+
+@q(
     "events_trend",
     """
     WITH daily AS (

@@ -3873,3 +3873,33 @@ def test_ql_topk_ranks_term_density(spark):
         ql_topk(df, [], k=3)
     with pytest.raises(ValueError, match="mu"):
         ql_topk(df, ["spark"], mu=0)
+
+
+def test_theil_sen_robust_to_spike(spark):
+    """On clean linear growth Theil-Sen == the true slope exactly; a
+    massive single-day spike barely moves it while OLS jumps; lonely
+    single-day groups drop."""
+    import datetime as dt
+
+    from dask_spark.operators.monitor import (linear_trend,
+                                              theil_sen_trend)
+
+    rows = []
+    for d in range(11):
+        n = 10 + 3 * d + (400 if d == 10 else 0)  # end spike: max leverage
+        for i in range(n):
+            rows.append(("spiky", dt.datetime(2024, 1, 1 + d, 9, i % 60)))
+        for i in range(10 + 2 * d):
+            rows.append(("clean", dt.datetime(2024, 1, 1 + d, 9, i % 60)))
+    rows.append(("lonely", dt.datetime(2024, 3, 1)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    ts = {r["event_type"]: r for r in
+          theil_sen_trend(df).to_spark().collect()}
+    ols = {r["event_type"]: r for r in
+           linear_trend(df).to_spark().collect()}
+    assert "lonely" not in ts
+    assert ts["clean"]["slope"] == 2.0
+    assert ts["clean"]["n_pairs"] == 55  # C(11,2)
+    assert abs(ts["spiky"]["slope"] - 3.0) <= 1.0   # robust
+    assert abs(ols["spiky"]["slope"] - 3.0) > 2.0   # OLS dragged
