@@ -372,3 +372,73 @@ def attribution_stream(stream_sdf: SparkDF,
         update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_stream(stream_sdf: SparkDF, value_col: str = "value",
+                group_col: str = "event_type", ts_col: str = "ts",
+                alpha: float = 0.3) -> SparkDF:
+    """Streaming EWMA of the daily mean per group — the monitor
+    family's trend line maintained as ARBITRARY STATE
+    (applyInPandasWithState): per group the state is FOUR scalars
+    (open day, its micro-unit sum + count, current y), so state never
+    scales with stream length or day count.
+
+    Semantics: days close when a later day arrives IN ORDER (the
+    funnel_stream contract) — each micro-batch folds its complete
+    days with EXACTLY the batch ewma_smooth arithmetic (micro-unit
+    int64 day sums, y = alpha*x + (1-alpha)*y left-to-right), so for
+    in-order arrival the emitted (day, x, ewma) rows equal the batch
+    operator bit-for-bit (pinned in tests); the still-open day stays
+    in state until its successor shows up. Late events for a CLOSED
+    day are dropped — the at-most trade every streaming smoother
+    makes."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {a}")
+    out_schema = f"{group_col} string, day string, x double, ewma double"
+    state_schema = "open_day string, s6 long, n long, y double, has_y int"
+
+    def update(key, pdf_iter, state: GroupState):
+        open_day, s6, n, y, has_y = (
+            state.get if state.exists else (None, 0, 0, 0.0, 0)
+        )
+        out_days, out_x, out_e = [], [], []
+
+        def close_day():
+            nonlocal y, has_y
+            x = float(s6) / float(n) / 1_000_000.0
+            y = x if not has_y else a * x + (1.0 - a) * y
+            has_y = 1
+            out_days.append(open_day)
+            out_x.append(round(x, 6))
+            out_e.append(round(y, 6))
+
+        rows = [p for p in pdf_iter if len(p)]
+        if rows:
+            pdf = pd.concat(rows).dropna(subset=[ts_col, value_col])
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                day = str(pd.Timestamp(ts).date())
+                if open_day is None:
+                    open_day, s6, n = day, 0, 0
+                elif day > open_day:
+                    close_day()
+                    open_day, s6, n = day, 0, 0
+                elif day < open_day:
+                    continue  # late event for a closed day: dropped
+                s6 += int((round(float(v), 6) * 1_000_000) + 0.5)
+                n += 1
+            state.update((open_day, s6, n, y, has_y))
+        yield pd.DataFrame({
+            group_col: [key[0]] * len(out_days),
+            "day": out_days, "x": out_x, "ewma": out_e,
+        })
+
+    return stream_sdf.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1034,3 +1034,55 @@ def test_streaming_batch_parity_attribution(spark, tmp_path):
     assert got == batch
     # and the shape is right: views credit 2 per user, nones 1
     assert got["view"] == 12 and got["(none)"] == 6
+
+
+def test_streaming_batch_parity_ewma(spark, tmp_path):
+    """Streaming EWMA emits, for every CLOSED day, exactly the batch
+    ewma_smooth row (bit-for-bit micro-unit means and fold); the
+    still-open last day stays in state."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.monitor import ewma_smooth
+    from dask_spark.streaming.windows import ewma_stream
+
+    rows = []
+    eid = 0
+    for d in range(4):
+        for i, v in enumerate([1.25, 2.5, 3.125][: d + 1]):
+            eid += 1
+            rows.append(
+                ("a", dt.datetime(2024, 1, 1 + d, 9, i), v + d, eid)
+            )
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts", "value",
+                                      "event_id"])
+    src = tmp_path / "ewma_stream"
+    ds.from_pandas(pdf).to_parquet(str(src))
+
+    batch = {
+        r["day"]: (r["x"], r["ewma"])
+        for r in ewma_smooth(
+            spark.read.parquet(str(src)), alpha=0.3
+        ).to_spark().collect()
+    }
+
+    stream_sdf = spark.readStream.schema(
+        "event_type string, ts timestamp, value double, event_id bigint"
+    ).parquet(str(src))
+    out = ewma_stream(stream_sdf, alpha=0.3)
+    q = (
+        out.writeStream.format("memory").queryName("ewma_parity")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {r["day"]: (r["x"], r["ewma"])
+           for r in spark.sql("select * from ewma_parity").collect()}
+    # closed days = all but the last
+    assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    for day, pair in got.items():
+        assert pair == batch[day]
