@@ -131,6 +131,7 @@ HEADLINE = [
     "embed_pair_hist",    # sampled exact-cosine geometry bins
     "ql_topk",            # Dirichlet QL: stats agg + map scoring
     "events_theilsen",    # pairwise slopes on the bounded day series
+    "reduce_robust_mean", # percentile cut + one micro-unit scan
 ]
 
 

@@ -450,3 +450,70 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6):
         [(auc, n_pos, n_neg)], "auc double, n_pos bigint, n_neg bigint"
     )
     return DaskFrame(out)
+
+
+def robust_mean(frame, col: str, lower: float = 0.05,
+                upper: float = 0.95, round_dp: int = 6):
+    """Robust locations → one-row DaskFrame(n, mean, trimmed_mean,
+    winsorized_mean): the plain mean beside its two standard
+    outlier-resistant variants — TRIM drops values outside the exact
+    [p_lower, p_upper] percentiles, WINSOR clamps them to the
+    boundaries (Tukey's recipes; the length/price sanity statistics a
+    corpus report wants when a few giants skew the mean).
+
+    One exact-percentile aggregate (2 boundary scalars, the
+    quantile_cont-parity contract) + ONE scan computing all three
+    sums in micro-unit int64 (values round once to 6 dp — partition
+    order can't move a bit); each mean is one pinned float chain."""
+    from dask_spark.frame import DaskFrame
+
+    if not 0.0 <= float(lower) < float(upper) <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    x = F.col(col).cast("double")
+    base = sdf.filter(x.isNotNull())
+    lo, hi = base.agg(
+        F.percentile(x, F.lit(float(lower))),
+        F.percentile(x, F.lit(float(upper))),
+    ).first()
+    if lo is None:
+        raise ValueError("robust_mean: empty input")
+    lo, hi = float(lo), float(hi)
+
+    def u6(c):
+        return F.expr(
+            f"CAST(floor(round({c}, 6) * 1000000 + 0.5) AS BIGINT)"
+        )
+
+    inside = (x >= F.lit(lo)) & (x <= F.lit(hi))
+    staged = base.select(
+        u6(col).alias("__a6"),
+        F.expr(
+            "CAST(floor(round(least(greatest(CAST({c} AS DOUBLE), "
+            "{lo!r}), {hi!r}), 6) * 1000000 + 0.5) AS BIGINT)".format(
+                c=col, lo=lo, hi=hi
+            )
+        ).alias("__w6"),
+        F.when(inside, u6(col)).alias("__t6"),
+    )
+    row = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__a6").alias("sa"),
+        F.sum("__w6").alias("sw"),
+        F.sum("__t6").alias("st"),
+        F.count("__t6").cast("bigint").alias("nt"),
+    ).first()
+    n = int(row["n"])
+
+    def m(s, k):
+        return (None if not k else
+                round(float(s) / float(k) / 1_000_000.0, round_dp))
+
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        [(n, m(row["sa"], n), m(row["st"], int(row["nt"])),
+          m(row["sw"], n))],
+        "n bigint, mean double, trimmed_mean double, "
+        "winsorized_mean double",
+    )
+    return DaskFrame(out)

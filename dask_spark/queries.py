@@ -855,6 +855,47 @@ def ml_target_encode(spark, sf_dir):
 
 
 @q(
+    "reduce_robust_mean",
+    """
+    WITH base AS (
+      SELECT o_totalprice::DOUBLE AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), cut AS (
+      SELECT quantile_cont(x, 0.05) AS lo,
+             quantile_cont(x, 0.95) AS hi
+      FROM base
+    ), staged AS (
+      SELECT CAST(floor(round(x, 6) * 1000000 + 0.5) AS BIGINT) AS a6,
+             CAST(floor(round(least(greatest(x, lo), hi), 6)
+                        * 1000000 + 0.5) AS BIGINT) AS w6,
+             CASE WHEN x >= lo AND x <= hi THEN
+               CAST(floor(round(x, 6) * 1000000 + 0.5) AS BIGINT)
+             END AS t6
+      FROM base, cut
+    )
+    SELECT count(*)::BIGINT AS n,
+           round(CAST(SUM(a6) AS BIGINT)::DOUBLE
+                 / count(*)::DOUBLE / 1000000.0, 6) AS mean,
+           round(CAST(SUM(t6) AS BIGINT)::DOUBLE
+                 / count(t6)::DOUBLE / 1000000.0, 6) AS trimmed_mean,
+           round(CAST(SUM(w6) AS BIGINT)::DOUBLE
+                 / count(*)::DOUBLE / 1000000.0, 6) AS winsorized_mean
+    FROM staged
+    """,
+)
+def reduce_robust_mean(spark, sf_dir):
+    """Mean / 5-95 trimmed mean / winsorized mean of order totals
+    (Tukey's outlier-resistant locations): one exact-percentile
+    aggregate + ONE scan computing all three micro-unit int64 sums —
+    partition order can't move a bit
+    (operators/reductions.py robust_mean)."""
+    from dask_spark.operators.reductions import robust_mean
+
+    o = load(spark, sf_dir, "orders")
+    return robust_mean(o, "o_totalprice", 0.05, 0.95).to_spark()
+
+
+@q(
     "reduce_weighted_quantile",
     """
     WITH base AS (

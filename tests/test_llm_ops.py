@@ -3903,3 +3903,31 @@ def test_theil_sen_robust_to_spike(spark):
     assert ts["clean"]["n_pairs"] == 55  # C(11,2)
     assert abs(ts["spiky"]["slope"] - 3.0) <= 1.0   # robust
     assert abs(ols["spiky"]["slope"] - 3.0) > 2.0   # OLS dragged
+
+
+def test_robust_mean_resists_outlier(spark):
+    """A planted giant outlier drags the mean but not the trimmed /
+    winsorized variants; on clean data all three agree; bad bounds
+    raise."""
+    import pytest
+
+    from dask_spark.operators.reductions import robust_mean
+
+    clean = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "x double"
+    )
+    r = robust_mean(clean, "x", 0.05, 0.95).to_spark().first()
+    assert abs(r["mean"] - 50.5) < 1e-9
+    assert abs(r["trimmed_mean"] - r["mean"]) < 3
+    assert abs(r["winsorized_mean"] - r["mean"]) < 1
+
+    dirty = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)] + [(1e9,)], "x double"
+    )
+    d = robust_mean(dirty, "x", 0.05, 0.95).to_spark().first()
+    assert d["mean"] > 1e6               # dragged
+    assert d["trimmed_mean"] < 100       # resistant
+    assert d["winsorized_mean"] < 200    # clamped
+
+    with pytest.raises(ValueError, match="lower"):
+        robust_mean(clean, "x", 0.9, 0.1)
