@@ -132,6 +132,7 @@ HEADLINE = [
     "ql_topk",            # Dirichlet QL: stats agg + map scoring
     "events_theilsen",    # pairwise slopes on the bounded day series
     "reduce_robust_mean", # percentile cut + one micro-unit scan
+    "text_zipf",          # wordcount + rank-ordered OLS fold
 ]
 
 

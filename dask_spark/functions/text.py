@@ -1284,3 +1284,49 @@ def readability_stats(text: Column):
         syl.alias("n_syllables"),
         flesch.alias("flesch"),
     )
+
+
+def zipf_fit(sdf, text_col: str = "text", top_k: int = 256):
+    """Zipf-law fit over the top-``top_k`` token frequencies → one-row
+    DataFrame(n_types, slope, r2): OLS of ln(freq) on ln(rank) —
+    natural language sits near slope −1 with high r² (Zipf 1949);
+    synthetic/templated corpora bend the curve. A corpus-health gate
+    beside entropy and the LM-perplexity family.
+
+    One wordcount shuffle (vocabulary-keyed, map-side combined) +
+    a top_k-bounded driver collect with (count desc, token asc)
+    deterministic ties; the four OLS sums fold LEFT-TO-RIGHT in rank
+    order over IEEE ln values (bit-identical engines), so an oracle's
+    ordered list_reduce replays the fit exactly."""
+    import math
+
+    toks = sdf.select(F.explode(word_tokens(F.col(text_col))).alias("t"))
+    top = (
+        toks.groupBy("t").count()
+        .orderBy(F.col("count").desc(), F.col("t"))
+        .limit(int(top_k)).collect()
+    )
+    n = len(top)
+    if n < 2:
+        raise ValueError("zipf_fit: need at least 2 token types")
+    sx = sy = sxy = sxx = syy = 0.0
+    for rank, r in enumerate(top, start=1):
+        lx = math.log(float(rank))
+        ly = math.log(float(r["count"]))
+        sx = sx + lx
+        sy = sy + ly
+        sxy = sxy + lx * ly
+        sxx = sxx + lx * lx
+        syy = syy + ly * ly
+    den = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / den
+    r2 = (
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (den * deny)
+        if deny != 0 else None
+    )
+    spark = sdf.sparkSession
+    return spark.createDataFrame(
+        [(n, round(slope, 6), None if r2 is None else round(r2, 6))],
+        "n_types int, slope double, r2 double",
+    )

@@ -3264,6 +3264,57 @@ def quality_gate(spark, sf_dir):
 
 
 @q(
+    "text_zipf",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS t
+      FROM documents
+    ), top AS (
+      SELECT t, count(*)::BIGINT AS c FROM toks GROUP BY t
+      ORDER BY count(*) DESC, t LIMIT 256
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk FROM top
+    ), folded AS (
+      SELECT count(*)::INT AS n,
+             list_reduce(list_prepend(0.0,
+               list(ln(rk::DOUBLE) ORDER BY rk)), (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(0.0,
+               list(ln(c::DOUBLE) ORDER BY rk)), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(0.0,
+               list(ln(rk::DOUBLE) * ln(c::DOUBLE) ORDER BY rk)),
+               (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(0.0,
+               list(ln(rk::DOUBLE) * ln(rk::DOUBLE) ORDER BY rk)),
+               (a, b) -> a + b) AS sxx,
+             list_reduce(list_prepend(0.0,
+               list(ln(c::DOUBLE) * ln(c::DOUBLE) ORDER BY rk)),
+               (a, b) -> a + b) AS syy
+      FROM ranked
+    )
+    SELECT n AS n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           CASE WHEN (n * syy - sy * sy) != 0 THEN
+             round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM folded
+    """,
+)
+def text_zipf(spark, sf_dir):
+    """Zipf-law fit over the top-256 token frequencies — natural
+    language sits near slope −1 with high r²; templated corpora bend
+    the curve: one vocabulary-keyed wordcount + a bounded collect,
+    the four OLS sums folded LEFT-TO-RIGHT in rank order over IEEE
+    ln values — the same chain the oracle's ordered list_reduce
+    replays (functions/text.py zipf_fit)."""
+    from dask_spark.functions.text import zipf_fit
+
+    d = load(spark, sf_dir, "documents").to_spark()
+    return zipf_fit(d, top_k=256)
+
+
+@q(
     "text_readability",
     r"""
     SELECT doc_id,

@@ -3931,3 +3931,33 @@ def test_robust_mean_resists_outlier(spark):
 
     with pytest.raises(ValueError, match="lower"):
         robust_mean(clean, "x", 0.9, 0.1)
+
+
+def test_zipf_fit_detects_power_law(spark):
+    """A synthetic corpus with freq(rank) = round(1000/rank) fits
+    slope ~ -1 with r2 ~ 1; a flat (uniform) corpus fits slope ~ 0;
+    sub-2-type corpora raise."""
+    import pytest
+
+    from dask_spark.functions.text import zipf_fit
+
+    zipf_words = []
+    for rank in range(1, 41):
+        zipf_words += [f"w{rank:03d}"] * max(round(1000 / rank), 1)
+    df = spark.createDataFrame(
+        [(" ".join(zipf_words),)], "text string"
+    )
+    r = zipf_fit(df, top_k=40).first()
+    assert r["n_types"] == 40
+    assert -1.05 <= r["slope"] <= -0.93
+    assert r["r2"] > 0.99
+
+    flat = spark.createDataFrame(
+        [(" ".join(f"t{i}" for i in range(30)) + " ",)] * 5,
+        "text string",
+    )
+    rf = zipf_fit(flat, top_k=30).first()
+    assert abs(rf["slope"]) < 0.05 or rf["r2"] is None
+
+    with pytest.raises(ValueError, match="2 token types"):
+        zipf_fit(spark.createDataFrame([("hello",)], "text string"))
