@@ -133,6 +133,7 @@ HEADLINE = [
     "events_theilsen",    # pairwise slopes on the bounded day series
     "reduce_robust_mean", # percentile cut + one micro-unit scan
     "text_zipf",          # wordcount + rank-ordered OLS fold
+    "incremental_agg",    # partials + full-outer merge == recompute
 ]
 
 

@@ -648,3 +648,77 @@ def grouping_agg(frame, keys: Sequence[str], spec: Mapping[str, object],
     out = grouped.agg(*exprs)
     return DaskFrame(out.select(*cols, *[e for e in out.columns
                                          if e not in ks]))
+
+
+_MERGEABLE = ("sum", "count", "min", "max")
+
+
+def aggregate_partials(frame, keys: Sequence[str],
+                       spec: Mapping[str, Sequence[str]]):
+    """Partial-aggregate a raw frame for incremental maintenance:
+    DaskFrame(keys..., <col>_<fn>...) with fns limited to the
+    DECOMPOSABLE set (sum/count/min/max — the algebra a mergeable
+    state needs; mean/var derive from sum+count downstream)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    aggs = []
+    for col, fns in spec.items():
+        for fn in [fns] if isinstance(fns, str) else fns:
+            if fn not in _MERGEABLE:
+                raise ValueError(
+                    f"aggregate_partials: {fn!r} is not mergeable "
+                    f"(use {_MERGEABLE})"
+                )
+            aggs.append(_AGGS[fn](col).alias(f"{col}_{fn}"))
+    return DaskFrame(sdf.groupBy(*keys).agg(*aggs))
+
+
+def merge_partials(state, batch_partials, keys: Sequence[str]):
+    """Merge a NEW batch's partial aggregates into a persisted state
+    table → the same schema — incremental materialized-aggregate
+    maintenance (the warehouse pattern: never rescan history, merge
+    the delta; what dask recomputes from scratch every time).
+
+    FULL OUTER join on the keys (new keys append, old keys update),
+    then per column: ``*_sum``/``*_count`` add with null→0 coalesce,
+    ``*_min``/``*_max`` combine null-safely via least/greatest —
+    every combine is the aggregate's own merge function, so
+    merge(agg(A), agg(B)) == agg(A ∪ B) EXACTLY for integer-exact
+    columns (and to reassociation for float sums — keep money in
+    micro-unit int64, the repo-wide rule). The exchange is
+    state-keys-bounded, never history-bounded."""
+    from dask_spark.frame import DaskFrame
+
+    s = state._sdf if isinstance(state, DaskFrame) else state
+    b = (batch_partials._sdf if isinstance(batch_partials, DaskFrame)
+         else batch_partials)
+    ks = list(keys)
+    val_cols = [c for c in s.columns if c not in ks]
+    if set(s.columns) != set(b.columns):
+        raise ValueError(
+            "merge_partials: state and batch schemas differ: "
+            f"{sorted(s.columns)} vs {sorted(b.columns)}"
+        )
+    a = s.select(*ks, *[F.col(c).alias(f"__a_{c}") for c in val_cols])
+    c2 = b.select(*ks, *[F.col(c).alias(f"__b_{c}") for c in val_cols])
+    j = a.join(c2, ks, "full_outer")
+    outs = []
+    for c in val_cols:
+        fn = c.rsplit("_", 1)[-1]
+        x, y = F.col(f"__a_{c}"), F.col(f"__b_{c}")
+        if fn in ("sum", "count"):
+            zero = F.lit(0).cast("bigint")
+            # both-null stays null (an all-null-values group recomputes
+            # to a null sum — the merge must agree with the recompute)
+            merged = F.when(
+                x.isNull() & y.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(x, zero) + F.coalesce(y, zero))
+        elif fn == "min":
+            merged = F.least(x, y)  # least/greatest skip nulls
+        elif fn == "max":
+            merged = F.greatest(x, y)
+        else:
+            raise ValueError(f"merge_partials: unmergeable column {c!r}")
+        outs.append(merged.alias(c))
+    return DaskFrame(j.select(*ks, *outs))

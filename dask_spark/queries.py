@@ -4104,6 +4104,57 @@ def events_theilsen(spark, sf_dir):
 
 
 @q(
+    "incremental_agg",
+    """
+    SELECT event_type,
+           CAST(ts::DATE AS VARCHAR) AS day,
+           count(*)::BIGINT AS event_id_count,
+           CAST(SUM(CAST(floor(round(value, 6) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS v6_sum,
+           CAST(MIN(CAST(floor(round(value, 6) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS v6_min,
+           CAST(MAX(CAST(floor(round(value, 6) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS v6_max
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: the per-day
+    per-type state built from HISTORY, then the newest day's batch
+    partials MERGED in (full-outer key join; sums/counts add, min/max
+    combine null-safely) — merge(agg(A), agg(B)) == agg(A∪B) exactly
+    on integer-exact columns, which is what the oracle's full
+    recompute checks. The warehouse delta pattern: history never
+    rescans (operators/groupby.py aggregate_partials /
+    merge_partials)."""
+    from dask_spark.operators.groupby import (aggregate_partials,
+                                              merge_partials)
+
+    e = load(spark, sf_dir, "events")._sdf.filter(
+        F.col("ts").isNotNull()
+    )
+    staged = e.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_id",
+        F.expr("CAST(floor(round(value, 6) * 1000000 + 0.5) AS BIGINT)")
+        .alias("v6"),
+    )
+    cutoff = staged.agg(F.max("day")).first()[0]
+    hist = staged.filter(F.col("day") < cutoff)
+    batch = staged.filter(F.col("day") >= cutoff)
+    spec = {"event_id": "count", "v6": ["sum", "min", "max"]}
+    keys = ["event_type", "day"]
+    state = aggregate_partials(hist, keys, spec)
+    delta = aggregate_partials(batch, keys, spec)
+    return (
+        merge_partials(state, delta, keys)
+        .to_spark().orderBy("event_type", "day")
+    )
+
+
+@q(
     "events_trend",
     """
     WITH daily AS (

@@ -784,3 +784,41 @@ def test_rollup_and_cube_semantics(spark, tables):
     cmap = {key(r): r["v_sum"] for r in cube}
     assert cmap[(None, "x", 1, 0)] == 13.0
     assert len(cube) > len(roll)
+
+
+def test_merge_partials_equals_full_recompute(spark):
+    """merge(agg(A), agg(B)) == agg(A ∪ B) for sum/count/min/max —
+    overlapping keys combine, disjoint keys pass through, an
+    all-null-values group keeps its null sum; schema drift and
+    non-mergeable fns raise."""
+    import pytest
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.groupby import (aggregate_partials,
+                                              merge_partials)
+
+    a = spark.createDataFrame(
+        [("x", 1), ("x", 5), ("y", 2), ("n", None)],
+        "k string, v int",
+    )
+    b = spark.createDataFrame(
+        [("x", 7), ("z", 3), ("n", None)], "k string, v int"
+    )
+    spec = {"v": ["sum", "count", "min", "max"]}
+    # NB: count fn counts rows via count(1)-style agg on the column?
+    sa = aggregate_partials(DaskFrame(a), ["k"], spec)
+    sb = aggregate_partials(DaskFrame(b), ["k"], spec)
+    merged = {r["k"]: r for r in
+              merge_partials(sa, sb, ["k"]).to_spark().collect()}
+    full = {r["k"]: r for r in aggregate_partials(
+        DaskFrame(a.unionAll(b)), ["k"], spec).to_spark().collect()}
+    assert set(merged) == set(full)
+    for k in full:
+        for c in ("v_sum", "v_count", "v_min", "v_max"):
+            assert merged[k][c] == full[k][c], (k, c)
+
+    with pytest.raises(ValueError, match="not mergeable"):
+        aggregate_partials(DaskFrame(a), ["k"], {"v": "mean"})
+    bad = sb.to_spark().withColumnRenamed("v_sum", "v_total")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_partials(sa, DaskFrame(bad), ["k"])
