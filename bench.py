@@ -134,6 +134,7 @@ HEADLINE = [
     "reduce_robust_mean", # percentile cut + one micro-unit scan
     "text_zipf",          # wordcount + rank-ordered OLS fold
     "incremental_agg",    # partials + full-outer merge == recompute
+    "corpus_negatives",   # map-only hashed partner assignment
 ]
 
 

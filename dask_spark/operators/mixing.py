@@ -409,3 +409,44 @@ def source_concentration(frame, group_col: str = "source",
         "n_sources int, n_docs bigint, hhi double, topk_share double",
     )
     return DaskFrame(out)
+
+
+def contrastive_negatives(frame, id_col: str = "vec_id", k: int = 3,
+                          salt: str = "neg"):
+    """Deterministic negative sampling for contrastive training →
+    DaskFrame(anchor_id, neg_rank, neg_id): negative j of anchor i is
+    md5(salt:i:j) mod N over the DENSE id space (ids must be
+    0..N−1 — the embeddings-table layout), bumped by one (mod N) on
+    an anchor collision — so every (anchor, rank) resolves to the
+    SAME partner on every engine/run/retry (a random sampler reshards
+    the pairs every epoch, breaking caching and reproducibility).
+
+    Map-only after one tiny count: N rides as a literal, the k
+    negatives explode from a sequence — no shuffle, no join; the
+    training pipeline equi-joins features afterwards."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions import md5_prefix60
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    n = sdf.filter(F.col(id_col).isNotNull()).count()
+    if n < 2:
+        raise ValueError("contrastive_negatives: need >= 2 rows")
+    base = sdf.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("anchor_id")
+    )
+    ranks = F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
+    staged = base.select("anchor_id", ranks.alias("neg_rank"))
+    h = md5_prefix60(
+        F.concat_ws(":", F.lit(salt), F.col("anchor_id"),
+                    F.col("neg_rank"))
+    )
+    raw = F.pmod(h, F.lit(n))
+    neg = F.when(
+        raw == F.col("anchor_id"), F.pmod(raw + 1, F.lit(n))
+    ).otherwise(raw)
+    return DaskFrame(
+        staged.select("anchor_id", "neg_rank",
+                      neg.cast("bigint").alias("neg_id"))
+    )

@@ -3423,6 +3423,46 @@ def multimodal_phash(spark, sf_dir):
 
 
 @q(
+    "corpus_negatives",
+    """
+    WITH n AS (
+      SELECT count(*)::BIGINT AS n FROM embeddings
+      WHERE vec_id IS NOT NULL
+    ), staged AS (
+      SELECT vec_id AS anchor_id, g.i AS neg_rank
+      FROM embeddings, generate_series(0, 2) g(i)
+      WHERE vec_id IS NOT NULL
+    ), hashed AS (
+      SELECT anchor_id, neg_rank::INT AS neg_rank,
+             ('0x' || substr(md5('neg' || ':' || anchor_id || ':'
+                                 || neg_rank), 1, 15))::BIGINT
+               % n.n AS raw,
+             n.n AS n
+      FROM staged, n
+    )
+    SELECT anchor_id, neg_rank,
+           CASE WHEN raw = anchor_id THEN (raw + 1) % n
+                ELSE raw END AS neg_id
+    FROM hashed ORDER BY anchor_id, neg_rank
+    """,
+)
+def corpus_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling (k=3) over the
+    dense embedding ids: neg = md5(salt:anchor:rank) mod N with a
+    +1-mod-N anchor-collision bump — the same partners on every
+    engine/run/retry (a random sampler reshards pairs every epoch);
+    map-only after one tiny count
+    (operators/mixing.py contrastive_negatives)."""
+    from dask_spark.operators.mixing import contrastive_negatives
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        contrastive_negatives(e, "vec_id", k=3)
+        .to_spark().orderBy("anchor_id", "neg_rank")
+    )
+
+
+@q(
     "embed_pair_hist",
     """
     WITH s AS (

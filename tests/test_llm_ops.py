@@ -3961,3 +3961,28 @@ def test_zipf_fit_detects_power_law(spark):
 
     with pytest.raises(ValueError, match="2 token types"):
         zipf_fit(spark.createDataFrame([("hello",)], "text string"))
+
+
+def test_contrastive_negatives_deterministic(spark):
+    """Every anchor gets exactly k negatives, none equal to the
+    anchor, all in the dense id space, and the assignment is
+    identical across calls; undersized inputs raise."""
+    import pytest
+
+    from dask_spark.operators.mixing import contrastive_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "vec_id bigint")
+    a = contrastive_negatives(df, k=4).to_spark().collect()
+    b = contrastive_negatives(df, k=4).to_spark().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 200
+    for r in a:
+        assert r["neg_id"] != r["anchor_id"]
+        assert 0 <= r["neg_id"] < 50
+    # a different salt reshuffles partners
+    c = contrastive_negatives(df, k=4, salt="other").to_spark().collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        contrastive_negatives(
+            spark.createDataFrame([(0,)], "vec_id bigint"))
