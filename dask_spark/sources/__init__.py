@@ -55,14 +55,21 @@ def _dnf_to_column(filters):
 
 
 def read_parquet(path: str | Sequence[str], columns: Sequence[str] | None = None,
-                 filters=None) -> DaskFrame:
+                 filters=None, merge_schema: bool = False) -> DaskFrame:
     """reference: dask/dataframe/io/parquet — engine-level pushdown of
     `columns`/`filters`; here both also reach the scan via Catalyst.
     ``filters`` accepts a SQL predicate string OR dask's tuple DNF
-    ([("col", ">=", v), ...] / list-of-lists for OR-of-ANDs)."""
+    ([("col", ">=", v), ...] / list-of-lists for OR-of-ANDs).
+    ``merge_schema=True`` unifies evolved file schemas across the
+    dataset (columns added over time arrive null-padded on old files
+    — dask's pyarrow-dataset schema unification; Spark's default
+    reads only the first footer's schema)."""
     from dask_spark.functions import normalize_ntz
 
-    sdf = _spark().read.parquet(*([path] if isinstance(path, str) else path))
+    r = _spark().read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    sdf = r.parquet(*([path] if isinstance(path, str) else path))
     if filters is not None:
         if isinstance(filters, str):
             sdf = sdf.filter(filters)

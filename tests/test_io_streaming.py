@@ -1086,3 +1086,27 @@ def test_streaming_batch_parity_ewma(spark, tmp_path):
     assert set(got) == {"2024-01-01", "2024-01-02", "2024-01-03"}
     for day, pair in got.items():
         assert pair == batch[day]
+
+
+def test_read_parquet_merge_schema(spark, tmp_path):
+    """Schema evolution across files: merge_schema=True unifies the
+    widened schema (old files null-pad the new column), matching
+    dask's pyarrow-dataset unification."""
+    import dask_spark as ds
+
+    import pandas as pd
+
+    p = tmp_path / "evolve"
+    ds.from_pandas(pd.DataFrame({"id": [1, 2]})).to_parquet(
+        str(p / "part0"))
+    ds.from_pandas(pd.DataFrame({"id": [3], "extra": ["x"]})).to_parquet(
+        str(p / "part1"))
+
+    merged = ds.read_parquet(
+        [str(p / "part0"), str(p / "part1")], merge_schema=True
+    )
+    pdf = merged.to_spark().orderBy("id").toPandas()
+    assert list(pdf.columns) == ["id", "extra"] or \
+        sorted(pdf.columns) == ["extra", "id"]
+    assert pdf[pdf["id"] == 1]["extra"].isna().all()
+    assert pdf[pdf["id"] == 3]["extra"].iloc[0] == "x"
