@@ -1110,3 +1110,50 @@ def test_read_parquet_merge_schema(spark, tmp_path):
         sorted(pdf.columns) == ["extra", "id"]
     assert pdf[pdf["id"] == 1]["extra"].isna().all()
     assert pdf[pdf["id"] == 3]["extra"].iloc[0] == "x"
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static dimension enrichment: each micro-batch equi-joins
+    the static dim (broadcast — no state store involved) and the
+    drained result equals the batch join exactly."""
+    import pandas as pd
+
+    import dask_spark as ds
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "enrich_stream"
+    ds.from_pandas(pd.DataFrame({
+        "event_id": range(8),
+        "event_type": ["click", "view", "purchase", "click",
+                       "error", "view", "signup", "purchase"],
+    })).to_parquet(str(src))
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"),
+         ("purchase", "convert"), ("signup", "convert")],
+        "event_type string, category string",
+    )
+
+    batch = {
+        (r["event_id"], r["category"])
+        for r in spark.read.parquet(str(src))
+        .join(F.broadcast(dim), "event_type", "left")
+        .select("event_id", "category").collect()
+    }
+
+    stream_sdf = spark.readStream.schema(
+        "event_id bigint, event_type string"
+    ).parquet(str(src))
+    out = stream_sdf.join(F.broadcast(dim), "event_type", "left") \
+        .select("event_id", "category")
+    q = (
+        out.writeStream.format("memory").queryName("enrich_parity")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {(r["event_id"], r["category"])
+           for r in spark.sql("select * from enrich_parity").collect()}
+    assert got == batch
+    assert (4, None) in got  # 'error' has no dim row -> null category
