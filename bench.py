@@ -135,6 +135,7 @@ HEADLINE = [
     "text_zipf",          # wordcount + rank-ordered OLS fold
     "incremental_agg",    # partials + full-outer merge == recompute
     "corpus_negatives",   # map-only hashed partner assignment
+    "events_time_to_convert",  # two keyed mins + exact percentiles
 ]
 
 

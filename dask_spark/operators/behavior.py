@@ -344,3 +344,59 @@ def last_touch_attribution(events, conversion_type: str = "purchase",
         .agg(F.count(F.lit(1)).cast("bigint").alias("conversions"))
     )
     return DaskFrame(out)
+
+
+def time_to_convert(events, from_type: str = "signup",
+                    to_type: str = "purchase",
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    qs=(0.25, 0.5, 0.75)):
+    """Time-to-conversion summary → one-row DaskFrame(n_users,
+    n_converted, ttc_25/_5/_75 seconds): per user, the delta between
+    the FIRST ``from_type`` event and the first ``to_type`` event
+    strictly after it — "how long from signup to purchase", the
+    funnel family's duration readout.
+
+    Two user-keyed aggregates (first-from via min; first-to-after via
+    a conditional min against the broadcast first-from), deltas are
+    EXACT integer seconds (epoch-second min/max arithmetic), and the
+    percentiles are Spark percentile() == DuckDB quantile_cont
+    bit-for-bit over those integers (the length_outliers contract).
+    Users who never convert count in n_users only."""
+    from pyspark.sql import functions as F
+
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    base = sdf.filter(
+        F.col(ts_col).isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col(user_col).alias("u"), "event_type",
+        F.unix_timestamp(F.col(ts_col)).alias("es"),
+    )
+    first_from = (
+        base.filter(F.col("event_type") == from_type)
+        .groupBy("u").agg(F.min("es").alias("t0"))
+    )
+    joined = base.filter(F.col("event_type") == to_type).join(
+        F.broadcast(first_from), "u"
+    )
+    first_to = (
+        joined.filter(F.col("es") > F.col("t0"))
+        .groupBy("u").agg(
+            F.min("es").alias("t1"), F.first("t0").alias("t0")
+        )
+    )
+    deltas = first_to.select(
+        (F.col("t1") - F.col("t0")).cast("double").alias("d")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        *[
+            F.percentile(F.col("d"), F.lit(float(q)))
+            .alias("ttc_" + f"{float(q):g}".replace("0.", ""))
+            for q in qs
+        ],
+    ]
+    conv = deltas.agg(*aggs)
+    nu = first_from.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return DaskFrame(nu.crossJoin(conv))

@@ -4250,6 +4250,45 @@ def events_trend(spark, sf_dir):
 
 
 @q(
+    "events_time_to_convert",
+    """
+    WITH base AS (
+      SELECT user_id AS u, event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), ff AS (
+      SELECT u, MIN(es) AS t0 FROM base
+      WHERE event_type = 'signup' GROUP BY 1
+    ), ft AS (
+      SELECT b.u, MIN(b.es) AS t1, MIN(ff.t0) AS t0
+      FROM base b JOIN ff ON ff.u = b.u
+      WHERE b.event_type = 'purchase' AND b.es > ff.t0
+      GROUP BY 1
+    ), d AS (
+      SELECT (t1 - t0)::DOUBLE AS d FROM ft
+    )
+    SELECT (SELECT count(*)::BIGINT FROM ff) AS n_users,
+           count(*)::BIGINT AS n_converted,
+           quantile_cont(d, 0.25) AS ttc_25,
+           quantile_cont(d, 0.5) AS ttc_5,
+           quantile_cont(d, 0.75) AS ttc_75
+    FROM d
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Signup→purchase time-to-conversion summary — the funnel
+    family's duration readout: first-from via one user-keyed min,
+    first-to-after via a conditional min against the broadcast
+    first-from, deltas exact integer seconds, percentiles the Spark
+    percentile() == DuckDB quantile_cont contract
+    (operators/behavior.py time_to_convert)."""
+    from dask_spark.operators.behavior import time_to_convert
+
+    e = load(spark, sf_dir, "events")
+    return time_to_convert(e).to_spark()
+
+
+@q(
     "events_transitions",
     """
     WITH p AS (

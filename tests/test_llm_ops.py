@@ -3986,3 +3986,37 @@ def test_contrastive_negatives_deterministic(spark):
     with pytest.raises(ValueError, match=">= 2 rows"):
         contrastive_negatives(
             spark.createDataFrame([(0,)], "vec_id bigint"))
+
+
+def test_time_to_convert_semantics(spark):
+    """First signup -> first purchase strictly after; pre-signup
+    purchases don't count; never-converters appear in n_users only;
+    the median is the exact middle delta."""
+    import datetime as dt
+
+    from dask_spark.operators.behavior import time_to_convert
+
+    t0 = dt.datetime(2024, 8, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: signup at 0, purchase at 100 -> delta 100
+        (1, "signup", s(0)), (1, "purchase", s(100)),
+        # u2: purchase BEFORE signup (ignored), then at +300
+        (2, "purchase", s(0)), (2, "signup", s(50)),
+        (2, "purchase", s(350)),
+        # u3: signs up, never converts
+        (3, "signup", s(0)),
+        # u4: two signups — the FIRST anchors; purchase at +500
+        (4, "signup", s(0)), (4, "signup", s(400)),
+        (4, "purchase", s(500)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    r = time_to_convert(df).to_spark().first()
+    assert r["n_users"] == 4 and r["n_converted"] == 3
+    assert r["ttc_5"] == 300.0  # deltas 100, 300, 500
+    assert r["ttc_25"] == 200.0 and r["ttc_75"] == 400.0
