@@ -136,6 +136,7 @@ HEADLINE = [
     "incremental_agg",    # partials + full-outer merge == recompute
     "corpus_negatives",   # map-only hashed partner assignment
     "events_time_to_convert",  # two keyed mins + exact percentiles
+    "corpus_diff",        # id+digest full-outer reconciliation
 ]
 
 

@@ -1925,3 +1925,37 @@ def incremental_dedup(batch, corpus, text_col: str = "text",
         .drop("__keep")
     )
     return DaskFrame(out)
+
+
+def snapshot_diff(old, new, id_col: str = "doc_id",
+                  content_col: str = "text"):
+    """Dataset-version reconciliation → DaskFrame(status, n) with
+    status ∈ added/removed/changed/unchanged — the diff report every
+    versioned-corpus release pipeline prints ("what moved between
+    snapshot A and B") without ever comparing content bytes across
+    the wire: each side reduces to (id, sha2-256) map-side, the FULL
+    OUTER id join compares digests, and the status counts collapse
+    into a 4-key aggregate. Exchange = 2×(id, 32-byte digest), never
+    content."""
+    from dask_spark.frame import DaskFrame
+
+    o = old._sdf if isinstance(old, DaskFrame) else old
+    n = new._sdf if isinstance(new, DaskFrame) else new
+    h = F.sha2(F.col(content_col).cast("string"), 256)
+    oh = o.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), h.alias("__ho")
+    )
+    nh = n.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), h.alias("__hn")
+    )
+    j = oh.join(nh, "__id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return DaskFrame(out)

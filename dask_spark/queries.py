@@ -7945,6 +7945,50 @@ def keyless_ffill(spark, sf_dir):
 
 
 @q(
+    "corpus_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS h FROM documents
+      WHERE doc_id % 7 != 3
+    ), new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 11 = 0
+                         THEN text || ' [edited]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 != 2
+    ), j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS id, o.h AS ho, n.h AS hn
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT CASE WHEN ho IS NULL THEN 'added'
+                WHEN hn IS NULL THEN 'removed'
+                WHEN ho = hn THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*)::BIGINT AS n
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_diff(spark, sf_dir):
+    """Snapshot reconciliation between two derived corpus versions
+    (a deletion slice, an addition slice, an edited slice) →
+    added/removed/changed/unchanged counts: each side reduces to
+    (id, sha2) map-side, one full-outer id join compares digests —
+    the exchange is id+digest, never content
+    (operators/dedup.py snapshot_diff)."""
+    from dask_spark.operators.dedup import snapshot_diff
+
+    d = load(spark, sf_dir, "documents")._sdf
+    old = d.filter(F.col("doc_id") % 7 != 3)
+    new = d.filter(F.col("doc_id") % 5 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new).to_spark().orderBy("status")
+
+
+@q(
     "dedup_cluster_sizes",
     """
     WITH RECURSIVE pairs AS (

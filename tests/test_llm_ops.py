@@ -4020,3 +4020,27 @@ def test_time_to_convert_semantics(spark):
     assert r["n_users"] == 4 and r["n_converted"] == 3
     assert r["ttc_5"] == 300.0  # deltas 100, 300, 500
     assert r["ttc_25"] == 200.0 and r["ttc_75"] == 400.0
+
+
+def test_snapshot_diff_statuses(spark):
+    """Hand-built snapshots: one added, one removed, one changed, two
+    unchanged — counts exact; identical snapshots are all
+    unchanged."""
+    from dask_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, "D-edited"), (5, "e")],
+        "doc_id bigint, text string",
+    )
+    got = {r["status"]: r["n"] for r in
+           snapshot_diff(old, new).to_spark().collect()}
+    assert got == {"added": 1, "removed": 1, "changed": 1,
+                   "unchanged": 2}
+
+    same = {r["status"]: r["n"] for r in
+            snapshot_diff(old, old).to_spark().collect()}
+    assert same == {"unchanged": 4}
