@@ -254,3 +254,43 @@ def test_substring_dedup_200k_closed_form(spark):
     assert agg["hit12"] == planted and agg["hit0"] == n - planted
     assert agg["removed"] == 12 * planted
     assert agg["mintok"] == 28
+
+
+def test_round11b_scan_machinery_2m_closed_form(spark):
+    """The continuation's prefix-scan consumers at 2M rows against
+    closed forms: exact weighted median of id%97 (uniform weights) is
+    48; Gini over equal per-key totals is exactly 0; Spearman of a
+    column against itself is exactly 1; KS of a distribution against
+    itself is exactly 0."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.monitor import gini_coefficient, ks_drift
+    from dask_spark.operators.reductions import (spearman_corr,
+                                                 weighted_quantiles)
+
+    n = 97 * 20_000  # divisible by 97: every key equally frequent
+    sdf = spark.range(n).select(
+        "id",
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+
+    wq = weighted_quantiles(
+        DaskFrame(sdf), "v", "w", qs=(0.5,)
+    ).to_spark().first()
+    assert wq["wq_5"] == 48.0
+
+    gi = gini_coefficient(
+        sdf.select((F.col("id") % 97).alias("k"), F.lit(10.0).alias("x")),
+        "x", "k",
+    ).to_spark().first()
+    assert gi["gini"] == 0.0 and gi["n_keys"] == 97
+
+    rho = spearman_corr(sdf, "v", "v").to_spark().first()
+    assert rho["rho"] == 1.0
+
+    half = sdf.filter(F.col("id") < n // 2)
+    other = sdf.filter(F.col("id") >= n // 2)
+    ks = ks_drift(half, other, "v").to_spark().first()
+    # same uniform-97 distribution on both halves (counts differ by
+    # at most the partial cycle): D is tiny but n1*n2-scaled exact
+    assert ks["d_stat"] < 0.001
