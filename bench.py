@@ -137,6 +137,7 @@ HEADLINE = [
     "corpus_negatives",   # map-only hashed partner assignment
     "events_time_to_convert",  # two keyed mins + exact percentiles
     "corpus_diff",        # id+digest full-outer reconciliation
+    "groupby_nunique_skewsafe",  # salted two-phase exact distinct
 ]
 
 

@@ -722,3 +722,36 @@ def merge_partials(state, batch_partials, keys: Sequence[str]):
             raise ValueError(f"merge_partials: unmergeable column {c!r}")
         outs.append(merged.alias(c))
     return DaskFrame(j.select(*ks, *outs))
+
+
+def skew_safe_nunique(frame, key_col: str, value_col: str,
+                      buckets: int = 32):
+    """EXACT per-key distinct count that survives a skewed key →
+    DaskFrame(key, nunique): values pre-bucket by a hash salt, the
+    first aggregate counts distincts per (key, salt-bucket) — value
+    buckets are DISJOINT, so the per-bucket distinct counts SUM to
+    the true distinct count — and the second collapses buckets.
+
+    Why: a plain groupBy(key).countDistinct(value) must co-locate
+    EVERY (key, value) pair of a hot key in one task (Spark's
+    distinct-aggregate expands then reshuffles on the full pair); the
+    salted form splits a 5-billion-row key across ``buckets`` tasks
+    while staying exact — the classic two-level skew mitigation, here
+    as a first-class operator the optimizer can't derive itself."""
+    from dask_spark.frame import DaskFrame
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    base = sdf.filter(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(int(buckets)))
+    per_bucket = (
+        base.groupBy(F.col(key_col).alias("key"), salt.alias("__b"))
+        .agg(F.countDistinct(F.col(value_col)).alias("__d"))
+    )
+    out = per_bucket.groupBy("key").agg(
+        F.sum("__d").cast("bigint").alias("nunique")
+    )
+    return DaskFrame(out)

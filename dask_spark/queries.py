@@ -4144,6 +4144,33 @@ def events_theilsen(spark, sf_dir):
 
 
 @q(
+    "groupby_nunique_skewsafe",
+    """
+    SELECT o_orderpriority AS key,
+           COUNT(DISTINCT o_custkey)::BIGINT AS nunique
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def groupby_nunique_skewsafe(spark, sf_dir):
+    """Skew-safe exact distinct customers per priority: values
+    pre-bucket by a hash salt so the first aggregate counts distincts
+    per (key, bucket) over DISJOINT value sets — their sum IS the
+    exact distinct count, but a 5-billion-row hot key splits across
+    buckets tasks instead of landing whole in one. The oracle is the
+    PLAIN countDistinct, proving the decomposition exact
+    (operators/groupby.py skew_safe_nunique)."""
+    from dask_spark.operators.groupby import skew_safe_nunique
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        skew_safe_nunique(o, "o_orderpriority", "o_custkey", buckets=32)
+        .to_spark().orderBy("key")
+    )
+
+
+@q(
     "incremental_agg",
     """
     SELECT event_type,

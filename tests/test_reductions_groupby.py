@@ -822,3 +822,31 @@ def test_merge_partials_equals_full_recompute(spark):
     bad = sb.to_spark().withColumnRenamed("v_sum", "v_total")
     with pytest.raises(ValueError, match="schemas differ"):
         merge_partials(sa, DaskFrame(bad), ["k"])
+
+
+def test_skew_safe_nunique_exact(spark):
+    """Salted two-phase distinct == plain countDistinct for every
+    bucket count (incl. buckets=1 degenerating to the plain form);
+    null keys/values drop; invalid buckets raise."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.groupby import skew_safe_nunique
+
+    sdf = spark.range(20_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 1777).alias("v"),
+    ).unionAll(spark.createDataFrame(
+        [(None, 1), ("0", None)], "k string, v bigint"))
+    want = {
+        r["k"]: r["n"]
+        for r in sdf.filter("k is not null and v is not null")
+        .groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for b in (1, 7, 32):
+        got = {r["key"]: r["nunique"] for r in skew_safe_nunique(
+            sdf, "k", "v", buckets=b).to_spark().collect()}
+        assert got == want, b
+    with pytest.raises(ValueError, match="buckets"):
+        skew_safe_nunique(sdf, "k", "v", buckets=0)
