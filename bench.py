@@ -138,6 +138,7 @@ HEADLINE = [
     "events_time_to_convert",  # two keyed mins + exact percentiles
     "corpus_diff",        # id+digest full-outer reconciliation
     "groupby_nunique_skewsafe",  # salted two-phase exact distinct
+    "join_salted",        # row-pure salt + replicated dim
 ]
 
 

@@ -146,13 +146,19 @@ def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
 
 
 def salted_join(left, right, on: str, how: str = "inner", salt: int = 8):
-    """Skew mitigation: replicate the (small-ish) right side ``salt``
-    times and scatter left rows across salt buckets. Use when AQE's
-    skew-join split is not enough (one monster key).
-
-    Only inner/left are supported: the right side is replicated, so
-    right/full-outer would emit every unmatched right row ``salt``
-    times."""
+    """Skew-mitigated equi-join for a hot key against a medium dim
+    (too big to broadcast, too hot for one sort-merge task — the case
+    AQE's skew split handles only per shuffle partition): the BIG
+    side salts each row with pmod(xxhash64(<all big-side columns>),
+    S) — a pure function of the row, so it is identical under task
+    retries (rand() is not) and uniform enough to split a hot key
+    whose rows differ anywhere (fully-duplicate rows share a salt and
+    stay together — the documented limit without a row id); the
+    SMALL side replicates each row S times (explode over sequence)
+    and the join runs on the compound (key, salt) — the result is
+    EXACTLY the plain join's multiset for inner/left joins, at S×
+    the dim exchange in return for S-way parallelism on the hot
+    key."""
     from dask_spark.frame import DaskFrame
 
     if how not in ("inner", "left"):
@@ -384,4 +390,52 @@ def range_join(left, right, by, on: str, lower, upper,
     out = lsdf.join(rsdf, on=by, how="inner").filter(
         (ron >= lo_expr) & (ron <= hi_expr)
     )
+    return DaskFrame(out)
+
+
+def salted_join(big, small, on: str, salt: int = 16, how: str = "inner"):
+    """Skew-mitigated equi-join: the BIG side salts each row with
+    hash(whole row context-free: a uniform xxhash64 of its join key
+    AND a per-row nonce) — here simply a uniform bucket from
+    monotonically-unstable sources is WRONG, so the salt derives from
+    xxhash64 over the row's own join key plus spark_partition_id and
+    a row counter is unnecessary: a plain pmod over a per-row uniform
+    (rand is non-deterministic under retries) must not be used either.
+    The deterministic choice: salt = pmod(xxhash64(key, secondary
+    columns...), S) would collapse per key. So the big side salts by
+    pmod(xxhash64(monotonic row id), S)? Also retry-unstable.
+
+    THE actually-safe construction used here: the SMALL side
+    replicates each row S times (explode over sequence), the big side
+    computes salt = pmod(crc32(cast(join key as string)) + pmod(
+    monotonically_increasing_id(), S), S)? No — see below.
+
+    Final contract (simple and retry-deterministic): the big side
+    salts with pmod(xxhash64(<all big-side columns>), S) — a pure
+    function of the ROW (identical on retries), uniform enough to
+    split a hot key whose rows differ anywhere; fully-duplicate rows
+    share a salt (they cannot be split deterministically without an
+    id, documented). The small side explodes S copies keyed
+    (key, salt), the join runs on the compound key, and the result
+    is EXACTLY the plain join's multiset for inner/left joins.
+
+    Mitigates the case AQE's skew handling misses: a single hot KEY
+    inside one shuffle partition of a sort-merge join against a
+    medium dim that is too big to broadcast."""
+    from dask_spark.frame import DaskFrame
+
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner|left")
+    b = big._sdf if isinstance(big, DaskFrame) else big
+    s = small._sdf if isinstance(small, DaskFrame) else small
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in b.columns]), F.lit(int(salt))
+    ).cast("int")
+    bs = b.withColumn("__salt", salt_col)
+    ss = s.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = bs.join(ss, [on, "__salt"], how).drop("__salt")
     return DaskFrame(out)

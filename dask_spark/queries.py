@@ -4144,6 +4144,49 @@ def events_theilsen(spark, sf_dir):
 
 
 @q(
+    "join_salted",
+    """
+    SELECT n_name,
+           count(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
+             AS total
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Salted skew join: orders salted by a row-pure hash, the
+    customer×nation dim replicated S=8 times, joined on the compound
+    key — the explicit mitigation for a hot key in a sort-merge join
+    against a non-broadcastable dim. The oracle is the PLAIN join
+    aggregate, proving multiset equality
+    (operators/joins.py salted_join)."""
+    from dask_spark.operators.joins import salted_join
+
+    o = load(spark, sf_dir, "orders")._sdf.withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    c = load(spark, sf_dir, "customer")._sdf
+    n = load(spark, sf_dir, "nation")._sdf
+    dim = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "n_name"
+    )
+    joined = salted_join(o, dim, "c_custkey", salt=8).to_spark()
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+            ).cast("double").alias("total"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
     "groupby_nunique_skewsafe",
     """
     SELECT o_orderpriority AS key,

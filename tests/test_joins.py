@@ -359,3 +359,33 @@ def test_merge_validate(spark):
     # left_on/right_on path
     with pytest.raises(MergeError):
         uniq.merge(dup, left_on="k", right_on="k", validate="m:1")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Inner and left salted joins reproduce the plain join's multiset
+    exactly (incl. unmatched-left nulls and duplicate dim keys); the
+    salt column never leaks; invalid args raise."""
+    import pytest
+
+    from dask_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 7)],
+        "k bigint, payload bigint",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (2, "warm2"), (9, "unused")],
+        "k bigint, label string",
+    )
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, salted_join(
+            big, dim, "k", salt=8, how=how).to_spark().collect()))
+        want = sorted(map(tuple, big.join(dim, "k", how).collect()))
+        assert got == want, how
+        assert "__salt" not in salted_join(
+            big, dim, "k", salt=8, how=how).to_spark().columns
+
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(big, dim, "k", salt=0)
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(big, dim, "k", how="outer")
