@@ -145,37 +145,6 @@ def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
     return DaskFrame(_with_indicator(out))
 
 
-def salted_join(left, right, on: str, how: str = "inner", salt: int = 8):
-    """Skew-mitigated equi-join for a hot key against a medium dim
-    (too big to broadcast, too hot for one sort-merge task — the case
-    AQE's skew split handles only per shuffle partition): the BIG
-    side salts each row with pmod(xxhash64(<all big-side columns>),
-    S) — a pure function of the row, so it is identical under task
-    retries (rand() is not) and uniform enough to split a hot key
-    whose rows differ anywhere (fully-duplicate rows share a salt and
-    stay together — the documented limit without a row id); the
-    SMALL side replicates each row S times (explode over sequence)
-    and the join runs on the compound (key, salt) — the result is
-    EXACTLY the plain join's multiset for inner/left joins, at S×
-    the dim exchange in return for S-way parallelism on the hot
-    key."""
-    from dask_spark.frame import DaskFrame
-
-    if how not in ("inner", "left"):
-        raise ValueError(
-            f"salted_join supports how='inner'|'left', got {how!r}: the "
-            "replicated right side would duplicate unmatched right rows"
-        )
-    lsdf = left._sdf.withColumn(
-        "__salt", (F.abs(F.hash(F.col(on), F.monotonically_increasing_id())) % salt)
-    )
-    rsdf = right._sdf.withColumn(
-        "__salt_arr", F.sequence(F.lit(0), F.lit(salt - 1))
-    ).withColumn("__salt", F.explode("__salt_arr")).drop("__salt_arr")
-    out = lsdf.join(rsdf, on=[on, "__salt"], how=how).drop("__salt")
-    return DaskFrame(out)
-
-
 def _asof_keyless_base(unioned, on: str, payload, direction: str):
     """Keyless as-of support: range-bucket the tagged union by ``on``
     (parallel — NEVER a single-partition window) and seed each bucket
@@ -439,3 +408,53 @@ def salted_join(big, small, on: str, salt: int = 16, how: str = "inner"):
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = bs.join(ss, [on, "__salt"], how).drop("__salt")
     return DaskFrame(out)
+
+
+def apply_cdc(state, changes, key: str, seq_col: str = "seq",
+              op_col: str = "op"):
+    """Change-data-capture apply → the NEW state: Delta/Iceberg's
+    MERGE INTO re-expressed as one window — union the current state
+    (implicit op 'I', seq −∞) with the change log (op ∈ 'I'/'U'/'D',
+    monotone ``seq_col``), keep each key's LATEST record by
+    (seq, op) and drop it if that record is a delete.
+
+    Exchange = one key-keyed window over state + changes (the change
+    log is normally ≪ state, and the window's per-key frame is the
+    key's record count — no driver data, no second pass). Ties on
+    seq break by op (D > U > I alphabetically reversed — a delete at
+    the same sequence wins, the conservative CDC reading,
+    documented)."""
+    from dask_spark.frame import DaskFrame
+    from pyspark.sql import Window
+
+    s = state._sdf if isinstance(state, DaskFrame) else state
+    c = changes._sdf if isinstance(changes, DaskFrame) else changes
+    base_cols = [x for x in s.columns]
+    if sorted(c.drop(seq_col, op_col).columns) != sorted(base_cols):
+        raise ValueError(
+            "apply_cdc: changes must carry the state schema plus "
+            f"{seq_col!r}/{op_col!r}"
+        )
+    s0 = s.select(
+        *base_cols,
+        F.lit(-1).cast("bigint").alias("__seq"),
+        F.lit("I").alias("__op"),
+    )
+    c0 = c.select(
+        *base_cols,
+        F.col(seq_col).cast("bigint").alias("__seq"),
+        F.col(op_col).alias("__op"),
+    )
+    if c0.filter(F.col("__seq") < 0).limit(1).count():
+        raise ValueError("apply_cdc: seq must be >= 0")
+    u = s0.unionByName(c0)
+    w = Window.partitionBy(key).orderBy(
+        F.col("__seq").desc(), F.col("__op").desc()
+    )
+    latest = (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("__op") != "D")
+        .select(*base_cols)
+    )
+    return DaskFrame(latest)
