@@ -139,6 +139,7 @@ HEADLINE = [
     "corpus_diff",        # id+digest full-outer reconciliation
     "groupby_nunique_skewsafe",  # salted two-phase exact distinct
     "join_salted",        # row-pure salt + replicated dim
+    "cdc_apply",          # one-window MERGE INTO latest-wins
 ]
 
 

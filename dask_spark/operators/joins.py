@@ -421,9 +421,8 @@ def apply_cdc(state, changes, key: str, seq_col: str = "seq",
     Exchange = one key-keyed window over state + changes (the change
     log is normally ≪ state, and the window's per-key frame is the
     key's record count — no driver data, no second pass). Ties on
-    seq break by op (D > U > I alphabetically reversed — a delete at
-    the same sequence wins, the conservative CDC reading,
-    documented)."""
+    seq break by an explicit op priority D > U > I — a delete at the
+    same sequence wins, the conservative CDC reading."""
     from dask_spark.frame import DaskFrame
     from pyspark.sql import Window
 
@@ -448,8 +447,13 @@ def apply_cdc(state, changes, key: str, seq_col: str = "seq",
     if c0.filter(F.col("__seq") < 0).limit(1).count():
         raise ValueError("apply_cdc: seq must be >= 0")
     u = s0.unionByName(c0)
+    prio = (
+        F.when(F.col("__op") == "D", 2)
+        .when(F.col("__op") == "U", 1)
+        .otherwise(0)
+    )
     w = Window.partitionBy(key).orderBy(
-        F.col("__seq").desc(), F.col("__op").desc()
+        F.col("__seq").desc(), prio.desc()
     )
     latest = (
         u.withColumn("__rn", F.row_number().over(w))

@@ -4144,6 +4144,84 @@ def events_theilsen(spark, sf_dir):
 
 
 @q(
+    "cdc_apply",
+    """
+    WITH state AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(-1 AS BIGINT) AS seq, 'I' AS op
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             CAST(1 AS BIGINT) AS seq, 'U' AS op
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(2 AS BIGINT) AS seq, 'D' AS op
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 42.0,
+             CAST(3 AS BIGINT) AS seq, 'I' AS op
+      FROM orders WHERE o_orderkey % 19 = 0
+    ), unioned AS (
+      SELECT * FROM state UNION ALL SELECT * FROM changes
+    ), latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC,
+                        CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1
+                                ELSE 0 END DESC) AS rn
+      FROM unioned
+    ), applied AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM latest WHERE rn = 1 AND op != 'D'
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           CAST(SUM(CAST(floor(round(o_totalprice, 6) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS price6_sum,
+           CAST(SUM(CASE WHEN o_orderkey >= 100000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+    FROM applied
+    """,
+)
+def cdc_apply(spark, sf_dir):
+    """Change-data-capture apply — MERGE INTO re-expressed as ONE
+    key-keyed window: state unions the change log (updates double a
+    13-slice's price, deletes drop a 17-slice, inserts add a
+    19-slice under new keys), each key keeps its latest (seq, op)
+    record, deletes drop; summarized as exact counts + a micro-unit
+    price checksum (operators/joins.py apply_cdc)."""
+    from dask_spark.operators.joins import apply_cdc
+
+    o = load(spark, sf_dir, "orders")._sdf.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(1).cast("bigint").alias("seq"), F.lit("U").alias("op"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lit(2).cast("bigint").alias("seq"), F.lit("D").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", F.lit(42.0).alias("o_totalprice"),
+        F.lit(3).cast("bigint").alias("seq"), F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    applied = apply_cdc(o, changes, "o_orderkey").to_spark()
+    return applied.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr(
+            "CAST(floor(round(o_totalprice, 6) * 1000000 + 0.5) "
+            "AS BIGINT)"
+        )).cast("bigint").alias("price6_sum"),
+        F.sum((F.col("o_orderkey") >= 100000000).cast("int"))
+        .cast("bigint").alias("n_inserted"),
+    )
+
+
+@q(
     "join_salted",
     """
     SELECT n_name,

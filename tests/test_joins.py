@@ -389,3 +389,38 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(big, dim, "k", salt=0)
     with pytest.raises(ValueError, match="inner|left"):
         salted_join(big, dim, "k", how="outer")
+
+
+def test_apply_cdc_semantics(spark):
+    """Latest-seq wins per key, deletes drop, inserts append, an
+    untouched key passes through, same-seq delete beats update (the
+    conservative tie), and schema drift raises."""
+    import pytest
+
+    from dask_spark.operators.joins import apply_cdc
+
+    state = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "k bigint, v string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"), (1, "a3", 5, "U"),  # latest seq wins
+            (2, "b", 2, "D"),                       # delete
+            (5, "e", 3, "I"),                       # insert
+            (3, "c-tie", 7, "U"), (3, "c", 7, "D"),  # tie: D wins
+        ],
+        "k bigint, v string, seq bigint, op string",
+    )
+    got = {r["k"]: r["v"] for r in
+           apply_cdc(state, changes, "k").to_spark().collect()}
+    assert got == {1: "a3", 4: "d", 5: "e"}
+
+    bad = changes.withColumnRenamed("v", "w")
+    with pytest.raises(ValueError, match="state schema"):
+        apply_cdc(state, bad, "k")
+    neg = spark.createDataFrame(
+        [(1, "x", -5, "U")], "k bigint, v string, seq bigint, op string"
+    )
+    with pytest.raises(ValueError, match="seq must be"):
+        apply_cdc(state, neg, "k")
