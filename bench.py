@@ -140,6 +140,7 @@ HEADLINE = [
     "groupby_nunique_skewsafe",  # salted two-phase exact distinct
     "join_salted",        # row-pure salt + replicated dim
     "cdc_apply",          # one-window MERGE INTO latest-wins
+    "scd2_history",       # gaps-and-islands dimension history
 ]
 
 

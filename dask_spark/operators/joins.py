@@ -462,3 +462,46 @@ def apply_cdc(state, changes, key: str, seq_col: str = "seq",
         .select(*base_cols)
     )
     return DaskFrame(latest)
+
+
+def scd2_intervals(observations, key: str, attr: str, ts_col: str):
+    """Slowly-changing-dimension (Type 2) history from an observation
+    log → DaskFrame(key, attr, valid_from, valid_to, is_current):
+    consecutive equal attribute observations collapse into ONE
+    validity interval (gaps-and-islands over the per-key timeline),
+    valid_to = the next interval's start (null while current) — the
+    dimension-history builder every warehouse maintains beside CDC.
+
+    One key-keyed window pass: change flags via lag, island ids via
+    a running sum of flags, then a (key, island) aggregate and a lead
+    for valid_to. Duplicate same-instant observations are broken by
+    the attribute value (deterministic; document upstream dedup for
+    true simultaneity). Null attrs count as a value (a NULL phase is
+    itself history)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = (observations._sdf if isinstance(observations, DaskFrame)
+           else observations)
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(attr))
+    prev = F.lag(F.col(attr)).over(w)
+    # row-1 detection must not rely on lag(ts) being null (a NULL
+    # attr would also null a naive comparison chain): count the
+    # window position instead, and compare attrs NULL-SAFELY
+    pos = F.row_number().over(w)
+    changed = (pos == 1) | ~F.col(attr).eqNullSafe(prev)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        sdf.filter(F.col(ts_col).isNotNull() & F.col(key).isNotNull())
+        .withColumn("__chg", changed.cast("int"))
+        .withColumn("__isl", F.sum("__chg").over(wrun))
+    )
+    islands = marked.groupBy(key, "__isl").agg(
+        F.first(F.col(attr)).alias(attr),
+        F.min(F.col(ts_col)).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key).orderBy("__isl")
+    out = islands.select(
+        key, attr, "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    return DaskFrame(out)

@@ -4144,6 +4144,63 @@ def events_theilsen(spark, sf_dir):
 
 
 @q(
+    "scd2_history",
+    """
+    WITH obs AS (
+      SELECT o_custkey AS k, o_orderpriority AS attr,
+             o_orderdate AS ts
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_custkey % 50 = 0
+    ), marked AS (
+      SELECT k, attr, ts,
+             CASE WHEN row_number() OVER w = 1
+                  OR attr IS DISTINCT FROM lag(attr) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM obs WINDOW w AS (PARTITION BY k ORDER BY ts, attr)
+    ), isl AS (
+      SELECT k, attr, ts,
+             SUM(chg) OVER (PARTITION BY k ORDER BY ts, attr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+      FROM marked
+    ), islands AS (
+      SELECT k, i, MIN(attr) AS attr, MIN(ts) AS vf
+      FROM isl GROUP BY k, i
+    )
+    SELECT k AS o_custkey, attr AS o_orderpriority,
+           CAST(vf AS VARCHAR) AS valid_from,
+           CAST(lead(vf) OVER (PARTITION BY k ORDER BY i) AS VARCHAR)
+             AS valid_to,
+           lead(vf) OVER (PARTITION BY k ORDER BY i) IS NULL
+             AS is_current
+    FROM islands
+    ORDER BY o_custkey, valid_from, o_orderpriority
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD Type-2 history of each (sampled) customer's order
+    priority: consecutive equal observations collapse into validity
+    intervals (gaps-and-islands over the per-key timeline), valid_to
+    = the next interval's start, null while current — one key-keyed
+    window pass + one island aggregate
+    (operators/joins.py scd2_intervals)."""
+    from dask_spark.operators.joins import scd2_intervals
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_custkey") % 50 == 0
+    ).select("o_custkey", "o_orderpriority", "o_orderdate")
+    out = scd2_intervals(
+        o, "o_custkey", "o_orderpriority", "o_orderdate"
+    ).to_spark()
+    return out.select(
+        "o_custkey", "o_orderpriority",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    ).orderBy("o_custkey", "valid_from", "o_orderpriority")
+
+
+@q(
     "cdc_apply",
     """
     WITH state AS (

@@ -424,3 +424,35 @@ def test_apply_cdc_semantics(spark):
     )
     with pytest.raises(ValueError, match="seq must be"):
         apply_cdc(state, neg, "k")
+
+
+def test_scd2_intervals_semantics(spark):
+    """Consecutive equal observations collapse; a change opens a new
+    interval whose valid_from is the change time and closes the
+    previous; the last interval is current; a NULL phase is its own
+    interval."""
+    import datetime as dt
+
+    from dask_spark.operators.joins import scd2_intervals
+
+    d = dt.date
+    rows = [
+        (1, "gold", d(2024, 1, 1)), (1, "gold", d(2024, 2, 1)),
+        (1, "silver", d(2024, 3, 1)), (1, "gold", d(2024, 5, 1)),
+        (2, None, d(2024, 1, 1)), (2, "bronze", d(2024, 4, 1)),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, tier string, ts date")
+    out = sorted(
+        scd2_intervals(df, "k", "tier", "ts").to_spark().collect(),
+        key=lambda r: (r["k"], str(r["valid_from"])),
+    )
+    got = [(r["k"], r["tier"], str(r["valid_from"]),
+            None if r["valid_to"] is None else str(r["valid_to"]),
+            r["is_current"]) for r in out]
+    assert got == [
+        (1, "gold", "2024-01-01", "2024-03-01", False),
+        (1, "silver", "2024-03-01", "2024-05-01", False),
+        (1, "gold", "2024-05-01", None, True),
+        (2, None, "2024-01-01", "2024-04-01", False),
+        (2, "bronze", "2024-04-01", None, True),
+    ]
