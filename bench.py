@@ -141,6 +141,7 @@ HEADLINE = [
     "join_salted",        # row-pure salt + replicated dim
     "cdc_apply",          # one-window MERGE INTO latest-wins
     "scd2_history",       # gaps-and-islands dimension history
+    "events_rolling_wau", # pair explode x7 + exact distinct per day
 ]
 
 

@@ -400,3 +400,47 @@ def time_to_convert(events, from_type: str = "signup",
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
     return DaskFrame(nu.crossJoin(conv))
+
+
+def rolling_active_users(events, window_days: int = 7,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts"):
+    """Rolling N-day active users per day → DaskFrame(day, wau):
+    distinct users seen in [day − N + 1, day] for every observed day
+    — the WAU/MAU product metric.
+
+    Shape: events collapse map-side to DISTINCT (day, user) pairs
+    first (the big win — a user's thousandth event that day is
+    free), each pair then contributes to the N target days it covers
+    (one in-row explode — the exchange is N × |day-user pairs|, the
+    metric's inherent bill), and one (day)-keyed exact distinct
+    count finishes. Days beyond the last observed day are clipped
+    (no ghost trailing windows)."""
+    from pyspark.sql import functions as F
+
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    pairs = (
+        sdf.filter(F.col(ts_col).isNotNull()
+                   & F.col(user_col).isNotNull())
+        .select(
+            F.col(ts_col).cast("date").alias("d"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+    )
+    max_day = pairs.agg(F.max("d")).first()[0]
+    if max_day is None:
+        raise ValueError("rolling_active_users: no events")
+    n = int(window_days)
+    if n < 1:
+        raise ValueError(f"window_days must be >= 1, got {n}")
+    targets = F.explode(
+        F.sequence(F.col("d"), F.date_add(F.col("d"), n - 1))
+    )
+    contrib = pairs.select(targets.alias("day"), "u").filter(
+        F.col("day") <= F.lit(max_day)
+    )
+    out = contrib.groupBy("day").agg(
+        F.countDistinct("u").cast("bigint").alias("wau")
+    ).select(F.col("day").cast("string").alias("day"), "wau")
+    return DaskFrame(out)

@@ -4455,6 +4455,37 @@ def events_trend(spark, sf_dir):
 
 
 @q(
+    "events_rolling_wau",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT ts::DATE AS d, user_id AS u FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), mx AS (
+      SELECT MAX(d) AS m FROM pairs
+    ), contrib AS (
+      SELECT (d + CAST(g.i AS INT))::DATE AS day, u
+      FROM pairs, generate_series(0, 6) g(i), mx
+      WHERE d + CAST(g.i AS INT) <= mx.m
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           COUNT(DISTINCT u)::BIGINT AS wau
+    FROM contrib GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users per day — the WAU product metric:
+    events collapse to distinct (day, user) pairs map-side, each
+    pair explodes to its 7 target days (the metric's inherent N×
+    pair exchange), one exact distinct count per day; trailing ghost
+    windows clip at the last observed day
+    (operators/behavior.py rolling_active_users)."""
+    from dask_spark.operators.behavior import rolling_active_users
+
+    e = load(spark, sf_dir, "events")
+    return rolling_active_users(e, 7).to_spark().orderBy("day")
+
+
+@q(
     "events_time_to_convert",
     """
     WITH base AS (

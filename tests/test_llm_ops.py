@@ -4044,3 +4044,33 @@ def test_snapshot_diff_statuses(spark):
     same = {r["status"]: r["n"] for r in
             snapshot_diff(old, old).to_spark().collect()}
     assert same == {"unchanged": 4}
+
+
+def test_rolling_active_users_window_math(spark):
+    """A user active on day d counts toward days d..d+6 (clipped at
+    the last observed day); multiple events per day count once; the
+    window length changes the answer."""
+    import datetime as dt
+
+    from dask_spark.operators.behavior import rolling_active_users
+
+    d0 = dt.datetime(2024, 9, 1, 10)
+    rows = [
+        (1, d0), (1, d0), (1, d0),                       # dup events
+        (2, d0 + dt.timedelta(days=3)),
+        (3, d0 + dt.timedelta(days=10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {r["day"]: r["wau"] for r in
+           rolling_active_users(df, 7).to_spark().collect()}
+    # coverage: u1 -> 09-01..09-07, u2 -> 09-04..09-10, u3 -> 09-11
+    assert got["2024-09-01"] == 1
+    assert got["2024-09-04"] == 2           # u1 and u2 overlap
+    assert got["2024-09-08"] == 1           # u1 aged out, u2 remains
+    assert got["2024-09-10"] == 1           # u2's last covered day
+    assert got["2024-09-11"] == 1           # u3 only
+    assert max(got) == "2024-09-11"         # clipped at last observed day
+
+    daily = {r["day"]: r["wau"] for r in
+             rolling_active_users(df, 1).to_spark().collect()}
+    assert daily == {"2024-09-01": 1, "2024-09-04": 1, "2024-09-11": 1}
