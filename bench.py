@@ -142,6 +142,7 @@ HEADLINE = [
     "cdc_apply",          # one-window MERGE INTO latest-wins
     "scd2_history",       # gaps-and-islands dimension history
     "events_rolling_wau", # pair explode x7 + exact distinct per day
+    "events_top_paths",   # lead-chain trigrams + bounded count
 ]
 
 

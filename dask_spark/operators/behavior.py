@@ -444,3 +444,44 @@ def rolling_active_users(events, window_days: int = 7,
         F.countDistinct("u").cast("bigint").alias("wau")
     ).select(F.col("day").cast("string").alias("day"), "wau")
     return DaskFrame(out)
+
+
+def top_paths(events, length: int = 3, k: int = 10,
+              user_col: str = "user_id", type_col: str = "event_type",
+              ts_col: str = "ts", id_col: str = "event_id"):
+    """Most frequent length-N event paths → DaskFrame(path, n): the
+    consecutive event-type sequences users actually walk (the
+    "view > click > purchase vs view > error > exit" product
+    question), counted over every user's (ts, id)-ordered stream.
+
+    Shape: per-user windows build the N-grams via lead chains (the
+    user-keyed sort the window family already pays — events never
+    collect to the driver), the (path)-keyed count collapses
+    map-side (≤ |types|^N keys), TakeOrdered k with a path tie-break
+    finishes. Paths never span users."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    base = sdf.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    steps = [F.col(type_col)]
+    for i in range(1, int(length)):
+        steps.append(F.lead(F.col(type_col), i).over(w))
+    staged = base.select(
+        F.concat_ws(" > ", *steps).alias("path"),
+        steps[-1].isNotNull().alias("__complete"),
+    )
+    out = (
+        staged.filter(F.col("__complete"))
+        .groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(int(k))
+    )
+    return DaskFrame(out)

@@ -4455,6 +4455,35 @@ def events_trend(spark, sf_dir):
 
 
 @q(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+           count(*)::BIGINT AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top-10 three-step event paths — the sequence-mining product
+    view: per-user lead chains build the trigrams (events never
+    leave their user-keyed window sort), a ≤|types|³-key count
+    collapses map-side, TakeOrdered with a path tie-break finishes
+    (operators/behavior.py top_paths)."""
+    from dask_spark.operators.behavior import top_paths
+
+    e = load(spark, sf_dir, "events")
+    return top_paths(e, length=3, k=10).to_spark()
+
+
+@q(
     "events_rolling_wau",
     """
     WITH pairs AS (

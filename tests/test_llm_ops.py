@@ -4074,3 +4074,35 @@ def test_rolling_active_users_window_math(spark):
     daily = {r["day"]: r["wau"] for r in
              rolling_active_users(df, 1).to_spark().collect()}
     assert daily == {"2024-09-01": 1, "2024-09-04": 1, "2024-09-11": 1}
+
+
+def test_top_paths_sequences(spark):
+    """Per-user trigram paths: a repeated funnel dominates, paths
+    never span users, incomplete tails drop, length=2 gives
+    bigrams."""
+    import datetime as dt
+
+    from dask_spark.operators.behavior import top_paths
+
+    t0 = dt.datetime(2024, 10, 1, 9)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i, et in enumerate(["view", "click", "purchase"]):
+            eid += 1
+            rows.append((eid, u, t0 + dt.timedelta(seconds=i), et))
+    # one user with a different tail
+    rows.append((100, 9, t0, "view"))
+    rows.append((101, 9, t0 + dt.timedelta(seconds=1), "error"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, "
+              "event_type string",
+    )
+    out = top_paths(df, 3, 5).to_spark().collect()
+    assert out[0]["path"] == "view > click > purchase"
+    assert out[0]["n"] == 5
+    assert len(out) == 1  # u9's 2-event stream yields no trigram
+
+    bi = {r["path"]: r["n"] for r in
+          top_paths(df, 2, 5).to_spark().collect()}
+    assert bi["view > click"] == 5 and bi["view > error"] == 1
