@@ -690,3 +690,31 @@ def test_round11b_plan_shapes(tables):
     # 4 row rules, no unique/FK: one global aggregate = one exchange
     # (plus the tiny order-join broadcast, which is not an exchange)
     assert shuffle_count(validate(li, rules)) <= 1
+
+
+def test_warehouse_ops_plan_shapes(spark):
+    """Exchange-count guards for the warehouse primitives: CDC apply
+    and SCD2 pay ONE key exchange (union/window, no second pass);
+    merge_partials is the two input aggs + the full-outer join —
+    never a rescan of raw history."""
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.joins import apply_cdc, scd2_intervals
+    from dask_spark.plans import shuffle_count
+
+    state = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, v double"
+    )
+    changes = spark.createDataFrame(
+        [(1, 9.0, 1, "U"), (2, 0.0, 2, "D")],
+        "k bigint, v double, seq bigint, op string",
+    )
+    assert shuffle_count(apply_cdc(state, changes, "k")) <= 2
+
+    import datetime as dt
+
+    obs = spark.createDataFrame(
+        [(1, "a", dt.date(2024, 1, 1)), (1, "b", dt.date(2024, 2, 1))],
+        "k bigint, attr string, ts date",
+    )
+    # islands + lead share the key partitioning: window+agg+window
+    assert shuffle_count(scd2_intervals(obs, "k", "attr", "ts")) <= 2
