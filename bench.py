@@ -143,6 +143,7 @@ HEADLINE = [
     "scd2_history",       # gaps-and-islands dimension history
     "events_rolling_wau", # pair explode x7 + exact distinct per day
     "events_top_paths",   # lead-chain trigrams + bounded count
+    "events_stickiness",  # two rolling passes + one day join
 ]
 
 

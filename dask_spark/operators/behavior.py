@@ -485,3 +485,29 @@ def top_paths(events, length: int = 3, k: int = 10,
         .limit(int(k))
     )
     return DaskFrame(out)
+
+
+def stickiness(events, short_days: int = 1, long_days: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               round_dp: int = 6):
+    """DAU/MAU stickiness per day → DaskFrame(day, dau, mau,
+    stickiness): the engagement-quality ratio (what share of the
+    month's actives show up on a given day) — composes two
+    rolling_active_users passes over the SAME distinct (day, user)
+    pair table and one day-keyed join; the ratio is one pinned
+    division of exact int64 counts."""
+    from pyspark.sql import functions as F
+
+    short = rolling_active_users(
+        events, short_days, user_col, ts_col
+    )._sdf.withColumnRenamed("wau", "dau")
+    long = rolling_active_users(
+        events, long_days, user_col, ts_col
+    )._sdf.withColumnRenamed("wau", "mau")
+    out = short.join(long, "day").select(
+        "day", "dau", "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), round_dp
+        ).alias("stickiness"),
+    )
+    return DaskFrame(out)

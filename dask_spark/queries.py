@@ -4484,6 +4484,41 @@ def events_top_paths(spark, sf_dir):
 
 
 @q(
+    "events_stickiness",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT ts::DATE AS d, user_id AS u FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), mx AS (
+      SELECT MAX(d) AS m FROM pairs
+    ), dau AS (
+      SELECT d AS day, COUNT(DISTINCT u)::BIGINT AS dau
+      FROM pairs GROUP BY 1
+    ), mau AS (
+      SELECT (d + CAST(g.i AS INT))::DATE AS day,
+             COUNT(DISTINCT u)::BIGINT AS mau
+      FROM pairs, generate_series(0, 29) g(i), mx
+      WHERE d + CAST(g.i AS INT) <= mx.m
+      GROUP BY 1
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, mau.mau,
+           round(dau.dau::DOUBLE / mau.mau::DOUBLE, 6) AS stickiness
+    FROM dau JOIN mau ON mau.day = dau.day
+    ORDER BY day
+    """,
+)
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — the engagement-quality ratio:
+    two rolling-active passes over the same distinct (day, user)
+    pairs + one day-keyed join, the ratio one pinned division of
+    exact int64 counts (operators/behavior.py stickiness)."""
+    from dask_spark.operators.behavior import stickiness
+
+    e = load(spark, sf_dir, "events")
+    return stickiness(e, 1, 30).to_spark().orderBy("day")
+
+
+@q(
     "events_rolling_wau",
     """
     WITH pairs AS (

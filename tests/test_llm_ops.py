@@ -4106,3 +4106,28 @@ def test_top_paths_sequences(spark):
     bi = {r["path"]: r["n"] for r in
           top_paths(df, 2, 5).to_spark().collect()}
     assert bi["view > click"] == 5 and bi["view > error"] == 1
+
+
+def test_stickiness_ratio(spark):
+    """DAU/MAU: with every user active daily the ratio is 1.0; a
+    user active once depresses later days' ratios within the 30-day
+    trail."""
+    import datetime as dt
+
+    from dask_spark.operators.behavior import stickiness
+
+    t0 = dt.datetime(2024, 11, 1, 8)
+    rows = []
+    for d in range(5):
+        for u in (1, 2):
+            rows.append((u, t0 + dt.timedelta(days=d)))
+    rows.append((3, t0))  # one-shot user on day 1
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {r["day"]: r for r in
+           stickiness(df, 1, 30).to_spark().collect()}
+    assert got["2024-11-01"]["dau"] == 3
+    assert got["2024-11-01"]["mau"] == 3
+    assert got["2024-11-01"]["stickiness"] == 1.0
+    assert got["2024-11-03"]["dau"] == 2
+    assert got["2024-11-03"]["mau"] == 3  # u3 still in the 30d trail
+    assert got["2024-11-03"]["stickiness"] == round(2 / 3, 6)
