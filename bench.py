@@ -144,6 +144,7 @@ HEADLINE = [
     "events_rolling_wau", # pair explode x7 + exact distinct per day
     "events_top_paths",   # lead-chain trigrams + bounded count
     "events_stickiness",  # two rolling passes + one day join
+    "events_error_rate",  # day-keyed (n,k) + Wilson chain
 ]
 
 

@@ -844,3 +844,48 @@ def theil_sen_trend(events, ts_col: str = "ts",
                 "slope")
     )
     return DaskFrame(out)
+
+
+def rate_with_wilson(events, flag_expr, ts_col: str = "ts",
+                     z: float = 1.96, round_dp: int = 6):
+    """Per-day flagged-event rate with Wilson score bounds →
+    DaskFrame(day, n, flagged, rate, lo, hi): the monitoring readout
+    that stays honest on thin days (a 1/3 error day shows its huge
+    interval where the raw rate panics) — Wilson (1927), the interval
+    agresti-coull/prop.test default.
+
+    One day-keyed exact (n, k) count; rate and both bounds are one
+    pinned float chain per row of the bounded per-day table:
+    center = (p̂ + z²/2n) / (1 + z²/n), half = z·√(p̂(1−p̂)/n +
+    z²/4n²) / (1 + z²/n)."""
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    flag = flag_expr if not isinstance(flag_expr, str) \
+        else F.expr(flag_expr)
+    per = (
+        sdf.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(ts_col).cast("date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(flag.cast("int")).cast("bigint").alias("flagged"),
+        )
+    )
+    zz = float(z) * float(z)
+    n = F.col("n").cast("double")
+    p = F.col("flagged").cast("double") / n
+    denom = F.lit(1.0) + F.lit(zz) / n
+    center = (p + F.lit(zz) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n
+                 + F.lit(zz) / (F.lit(4.0) * n * n))
+        / denom
+    )
+    out = per.select(
+        "day", "n", "flagged",
+        F.round(p, round_dp).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), round_dp)
+        .alias("lo"),
+        F.round(F.least(center + half, F.lit(1.0)), round_dp)
+        .alias("hi"),
+    )
+    return DaskFrame(out)

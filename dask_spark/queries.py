@@ -3966,6 +3966,50 @@ def events_cusum(spark, sf_dir):
 
 
 @q(
+    "events_error_rate",
+    """
+    WITH per AS (
+      SELECT CAST(ts::DATE AS VARCHAR) AS day,
+             count(*)::BIGINT AS n,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT day, n, flagged,
+           round(flagged::DOUBLE / n::DOUBLE, 6) AS rate,
+           round(GREATEST(
+             ((flagged::DOUBLE / n::DOUBLE)
+              + 3.8415999999999997 / (2.0 * n::DOUBLE))
+             / (1.0 + 3.8415999999999997 / n::DOUBLE)
+             - 1.96 * sqrt((flagged::DOUBLE / n::DOUBLE)
+                 * (1.0 - flagged::DOUBLE / n::DOUBLE) / n::DOUBLE
+                 + 3.8415999999999997 / (4.0 * n::DOUBLE * n::DOUBLE))
+               / (1.0 + 3.8415999999999997 / n::DOUBLE), 0.0), 6) AS lo,
+           round(LEAST(
+             ((flagged::DOUBLE / n::DOUBLE)
+              + 3.8415999999999997 / (2.0 * n::DOUBLE))
+             / (1.0 + 3.8415999999999997 / n::DOUBLE)
+             + 1.96 * sqrt((flagged::DOUBLE / n::DOUBLE)
+                 * (1.0 - flagged::DOUBLE / n::DOUBLE) / n::DOUBLE
+                 + 3.8415999999999997 / (4.0 * n::DOUBLE * n::DOUBLE))
+               / (1.0 + 3.8415999999999997 / n::DOUBLE), 1.0), 6) AS hi
+    FROM per ORDER BY day
+    """,
+)
+def events_error_rate(spark, sf_dir):
+    """Daily error rate with Wilson 95% bounds — honest on thin days
+    where the raw rate panics: one day-keyed exact (n, k) count, the
+    interval one pinned float chain per bounded per-day row
+    (operators/monitor.py rate_with_wilson)."""
+    from dask_spark.operators.monitor import rate_with_wilson
+
+    e = load(spark, sf_dir, "events")
+    return rate_with_wilson(
+        e, "event_type = 'error'", z=1.96
+    ).to_spark().orderBy("day")
+
+
+@q(
     "events_ewma",
     """
     WITH RECURSIVE daily AS (

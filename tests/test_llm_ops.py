@@ -4131,3 +4131,37 @@ def test_stickiness_ratio(spark):
     assert got["2024-11-03"]["dau"] == 2
     assert got["2024-11-03"]["mau"] == 3  # u3 still in the 30d trail
     assert got["2024-11-03"]["stickiness"] == round(2 / 3, 6)
+
+
+def test_rate_with_wilson_bounds(spark):
+    """Wilson bounds match statsmodels' closed form on a hand case,
+    clamp to [0, 1], and a thin day shows a wide interval containing
+    the rate."""
+    import datetime as dt
+    import math
+
+    from dask_spark.operators.monitor import rate_with_wilson
+
+    t0 = dt.datetime(2024, 12, 1, 9)
+    rows = [("error" if i < 20 else "view", t0) for i in range(100)]
+    rows += [("error", t0 + dt.timedelta(days=1)),
+             ("view", t0 + dt.timedelta(days=1)),
+             ("view", t0 + dt.timedelta(days=1))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["day"]: r for r in rate_with_wilson(
+        df, "event_type = 'error'").to_spark().collect()}
+
+    r = got["2024-12-01"]
+    p, n, z = 0.2, 100.0, 1.96
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert r["rate"] == 0.2
+    assert abs(r["lo"] - (center - half)) < 1e-6
+    assert abs(r["hi"] - (center + half)) < 1e-6
+
+    thin = got["2024-12-02"]
+    assert thin["n"] == 3
+    assert thin["hi"] - thin["lo"] > 0.5        # honest wide interval
+    assert thin["lo"] <= thin["rate"] <= thin["hi"]
+    assert 0.0 <= thin["lo"] and thin["hi"] <= 1.0
