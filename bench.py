@@ -145,6 +145,7 @@ HEADLINE = [
     "events_top_paths",   # lead-chain trigrams + bounded count
     "events_stickiness",  # two rolling passes + one day join
     "events_error_rate",  # day-keyed (n,k) + Wilson chain
+    "events_hourly_profile",  # 168-key seasonality heatmap
 ]
 
 

@@ -511,3 +511,36 @@ def stickiness(events, short_days: int = 1, long_days: int = 30,
         ).alias("stickiness"),
     )
     return DaskFrame(out)
+
+
+def hourly_profile(events, ts_col: str = "ts", round_dp: int = 6):
+    """Hour-of-day × day-of-week activity heatmap →
+    DaskFrame(dow, hour, n, share, lift): the seasonality profile
+    behind anomaly baselines (an alert at 3am Sunday means something
+    different than at 2pm Tuesday); lift = observed share / uniform
+    share (1/168).
+
+    One ≤168-key exact count (map-side combined); share and lift are
+    pinned divisions. dow is 1=Sunday..7=Saturday (Spark dayofweek ==
+    DuckDB's dayofweek+1 — the oracle aligns explicitly)."""
+    sdf = events._sdf if isinstance(events, DaskFrame) else events
+    per = (
+        sdf.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = per.groupBy().agg(F.sum("n").cast("bigint").alias("__t"))
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", "n",
+        F.round(F.col("n").cast("double") / F.col("__t").cast("double"),
+                round_dp).alias("share"),
+        F.round(
+            F.col("n").cast("double") / F.col("__t").cast("double")
+            * F.lit(168.0),
+            round_dp,
+        ).alias("lift"),
+    )
+    return DaskFrame(out)

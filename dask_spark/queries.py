@@ -3966,6 +3966,34 @@ def events_cusum(spark, sf_dir):
 
 
 @q(
+    "events_hourly_profile",
+    """
+    WITH per AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+             count(*)::BIGINT AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM per
+    )
+    SELECT dow::INT AS dow, hour::INT AS hour, n,
+           round(n::DOUBLE / tot.t::DOUBLE, 6) AS share,
+           round(n::DOUBLE / tot.t::DOUBLE * 168.0, 6) AS lift
+    FROM per, tot ORDER BY dow, hour
+    """,
+)
+def events_hourly_profile(spark, sf_dir):
+    """Hour × weekday seasonality heatmap (the anomaly baseline — a
+    3am-Sunday alert differs from a 2pm-Tuesday one): one ≤168-key
+    exact count, share/lift pinned divisions; DuckDB's 0-based
+    dayofweek aligns to Spark's 1=Sunday explicitly
+    (operators/behavior.py hourly_profile)."""
+    from dask_spark.operators.behavior import hourly_profile
+
+    e = load(spark, sf_dir, "events")
+    return hourly_profile(e).to_spark().orderBy("dow", "hour")
+
+
+@q(
     "events_error_rate",
     """
     WITH per AS (

@@ -4165,3 +4165,25 @@ def test_rate_with_wilson_bounds(spark):
     assert thin["hi"] - thin["lo"] > 0.5        # honest wide interval
     assert thin["lo"] <= thin["rate"] <= thin["hi"]
     assert 0.0 <= thin["lo"] and thin["hi"] <= 1.0
+
+
+def test_hourly_profile_alignment(spark):
+    """dow/hour bucketing: a Sunday-03:00 event lands in (1, 3), a
+    Tuesday-14:00 in (3, 14); shares sum to 1 and lift is share*168."""
+    import datetime as dt
+
+    from dask_spark.operators.behavior import hourly_profile
+
+    rows = [
+        (dt.datetime(2024, 9, 1, 3, 5),),   # a Sunday
+        (dt.datetime(2024, 9, 3, 14, 30),),  # a Tuesday
+        (dt.datetime(2024, 9, 3, 14, 45),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {(r["dow"], r["hour"]): r for r in
+           hourly_profile(df).to_spark().collect()}
+    assert got[(1, 3)]["n"] == 1
+    assert got[(3, 14)]["n"] == 2
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-6
+    r = got[(3, 14)]
+    assert abs(r["lift"] - r["share"] * 168) < 1e-4
