@@ -261,54 +261,84 @@ class StrAccessor:
 
 class DtAccessor:
     """``.dt`` — datetime accessor (reference: accessor.py
-    DatetimeAccessor) via JVM datetime fns."""
+    DatetimeAccessor; name surface: dask_expr/_datetime.py:17-74)
+    via JVM datetime fns.
+
+    Timezone model (engine NTZ policy, tests/test_ntz.py): naive
+    series are UTC wall-clock instants. A tz-aware series is stored
+    as the same UTC instant plus a ``_tz`` tag on the Series; every
+    field accessor below reads through ``self._e``, which localizes
+    aware series to their zone's wall-clock first — so ``.dt.hour``
+    on an aware series is the local hour, exactly as pandas."""
 
     def __init__(self, s: "Series"):
         self._s = s
+        tz = getattr(s, "_tz", None)
+        # Localized view: aware series expose zone wall-clock fields.
+        self._e = F.from_utc_timestamp(s._expr, tz) if tz else s._expr
 
     def _wrap(self, expr: Column) -> "Series":
         return Series(self._s._frame, expr, self._s._name)
 
+    def _wrap_ts(self, local_expr: Column) -> "Series":
+        """Wrap a timestamp-valued result computed in local wall-clock:
+        aware series re-anchor to the stored UTC instant + tag."""
+        tz = getattr(self._s, "_tz", None)
+        if tz:
+            out = Series(
+                self._s._frame, F.to_utc_timestamp(local_expr, tz),
+                self._s._name,
+            )
+            out._tz = tz
+            return out
+        return self._wrap(local_expr)
+
+    def _td_us(self) -> Column:
+        """Total signed microseconds of a timedelta (day-time interval)
+        series — ``unix_micros(epoch + itv)`` is exact incl. negatives
+        and sub-second fractions (cast-to-bigint truncates)."""
+        return F.unix_micros(F.timestamp_seconds(F.lit(0)) + self._s._expr)
+
     @property
     def year(self):
-        return self._wrap(F.year(self._s._expr))
+        return self._wrap(F.year(self._e))
 
     @property
     def month(self):
-        return self._wrap(F.month(self._s._expr))
+        return self._wrap(F.month(self._e))
 
     @property
     def day(self):
-        return self._wrap(F.dayofmonth(self._s._expr))
+        return self._wrap(F.dayofmonth(self._e))
 
     @property
     def hour(self):
-        return self._wrap(F.hour(self._s._expr))
+        return self._wrap(F.hour(self._e))
 
     @property
     def minute(self):
-        return self._wrap(F.minute(self._s._expr))
+        return self._wrap(F.minute(self._e))
 
     @property
     def second(self):
-        return self._wrap(F.second(self._s._expr))
+        return self._wrap(F.second(self._e))
 
     @property
     def dayofweek(self):
         # pandas: Monday=0; Spark dayofweek: Sunday=1
-        return self._wrap((F.dayofweek(self._s._expr) + 5) % 7)
+        return self._wrap((F.dayofweek(self._e) + 5) % 7)
 
     @property
     def dayofyear(self):
-        return self._wrap(F.dayofyear(self._s._expr))
+        return self._wrap(F.dayofyear(self._e))
 
     @property
     def quarter(self):
-        return self._wrap(F.quarter(self._s._expr))
+        return self._wrap(F.quarter(self._e))
 
     @property
     def date(self):
-        return self._wrap(F.to_date(self._s._expr))
+        return self._wrap(F.to_date(self._e))
 
     @staticmethod
     def _parse_freq(freq: str):
@@ -337,14 +367,15 @@ class DtAccessor:
         arithmetic (UTC session tz: day-and-below units have fixed
         spans); n=1 units use date_trunc."""
         n, unit, secs = self._parse_freq(freq)
-        e = self._s._expr
+        return self._wrap_ts(self._floor_local(self._e, n, unit, secs))
+
+    @staticmethod
+    def _floor_local(e: Column, n: int, unit: str, secs) -> Column:
         if n == 1:
-            return self._wrap(F.date_trunc(unit, e))
+            return F.date_trunc(unit, e)
         step = n * secs
         epoch = e.cast("timestamp").cast("long")
-        return self._wrap(
-            F.timestamp_seconds((epoch - epoch % step).cast("long"))
-        )
+        return F.timestamp_seconds((epoch - epoch % step).cast("long"))
 
     def strftime(self, fmt: str):
         # translate the common pandas directives to JVM pattern
@@ -352,24 +383,24 @@ class DtAccessor:
              "%M": "mm", "%S": "ss"}
         for k, v in m.items():
             fmt = fmt.replace(k, v)
-        return self._wrap(F.date_format(self._s._expr, fmt))
+        return self._wrap(F.date_format(self._e, fmt))
 
     # ---- long tail (reference: accessor.py DatetimeAccessor
     # delegates every pandas dt property) -------------------------------
     @property
     def weekday(self):
         """Monday=0 (pandas) — Spark's dayofweek is Sunday=1."""
-        return self._wrap((F.dayofweek(self._s._expr) + 5) % 7)
+        return self._wrap((F.dayofweek(self._e) + 5) % 7)
 
     @property
     def weekofyear(self):
-        return self._wrap(F.weekofyear(self._s._expr))
+        return self._wrap(F.weekofyear(self._e))
 
     week = weekofyear
 
     @property
     def days_in_month(self):
-        return self._wrap(F.dayofmonth(F.last_day(self._s._expr)))
+        return self._wrap(F.dayofmonth(F.last_day(self._e)))
 
     daysinmonth = days_in_month
 
@@ -377,27 +408,27 @@ class DtAccessor:
     def microsecond(self):
         from dask_spark.functions import epoch_us
 
-        return self._wrap(epoch_us(self._s._expr) % F.lit(1_000_000))
+        return self._wrap(epoch_us(self._e) % F.lit(1_000_000))
 
     @property
     def is_month_start(self):
-        return self._wrap(F.dayofmonth(self._s._expr) == 1)
+        return self._wrap(F.dayofmonth(self._e) == 1)
 
     @property
     def is_month_end(self):
-        e = self._s._expr
+        e = self._e
         return self._wrap(F.to_date(e) == F.last_day(e))
 
     @property
     def is_quarter_start(self):
-        e = self._s._expr
+        e = self._e
         return self._wrap(
             (F.dayofmonth(e) == 1) & (F.month(e).isin([1, 4, 7, 10]))
         )
 
     @property
     def is_quarter_end(self):
-        e = self._s._expr
+        e = self._e
         return self._wrap(
             (F.to_date(e) == F.last_day(e))
             & (F.month(e).isin([3, 6, 9, 12]))
@@ -405,37 +436,289 @@ class DtAccessor:
 
     @property
     def is_year_start(self):
-        e = self._s._expr
+        e = self._e
         return self._wrap((F.dayofyear(e) == 1))
 
     @property
     def is_year_end(self):
-        e = self._s._expr
+        e = self._e
         return self._wrap((F.month(e) == 12) & (F.dayofmonth(e) == 31))
 
     @property
     def time(self):
-        return self._wrap(F.date_format(self._s._expr, "HH:mm:ss"))
+        return self._wrap(F.date_format(self._e, "HH:mm:ss"))
 
     def month_name(self):
-        return self._wrap(F.date_format(self._s._expr, "MMMM"))
+        return self._wrap(F.date_format(self._e, "MMMM"))
 
     def day_name(self):
-        return self._wrap(F.date_format(self._s._expr, "EEEE"))
+        return self._wrap(F.date_format(self._e, "EEEE"))
 
     def normalize(self):
-        return self._wrap(F.date_trunc("day", self._s._expr))
+        return self._wrap_ts(F.date_trunc("day", self._e))
 
     def ceil(self, freq: str):
         """Ceil to the freq: floor, + one step when not aligned."""
         n, unit, secs = self._parse_freq(freq)
-        fl = self.floor(freq)._expr
-        e = self._s._expr
+        # floor() may have re-anchored an aware series; redo in local.
+        fl = DtAccessor._floor_local(self._e, n, unit, secs)
+        e = self._e
         if secs is not None:
             bump = fl + F.expr(f"INTERVAL {n * secs} SECOND")
         else:
             bump = fl + F.expr(f"INTERVAL 1 {unit}")
-        return self._wrap(F.when(e == fl, e).otherwise(bump))
+        return self._wrap_ts(F.when(e == fl, e).otherwise(bump))
+
+    def round(self, freq: str):
+        """Round to the nearest freq multiple, half-to-even on exact
+        ties (pandas Timestamp.round banker's rule). Epoch arithmetic
+        in the series' local wall-clock; calendar units (n=1 M/W/Y)
+        have no fixed span and are rejected like pandas rejects
+        non-fixed frequencies for round."""
+        n, unit, secs = self._parse_freq(freq)
+        if secs is None:
+            raise ValueError(
+                f"round requires a fixed frequency, got {freq!r} "
+                "(pandas: <M8 non-fixed offsets are invalid for round)"
+            )
+        step = n * secs
+        e = self._e
+        us = F.unix_micros(e.cast("timestamp"))
+        step_us = F.lit(step * 1_000_000).cast("long")
+        q = F.floor(us / step_us).cast("long")
+        r = us - q * step_us
+        half = step_us / F.lit(2)
+        up = (r > half) | ((r == half) & (q % 2 != 0))
+        rounded = (q + F.when(up, 1).otherwise(0)) * step_us
+        return self._wrap_ts(F.timestamp_micros(rounded))
+
+    # ---- timezone surface (reference: dask_expr/_datetime.py:31-32
+    # proxies pandas tz_convert/tz_localize) ---------------------------
+    @property
+    def tz(self):
+        """The zone tag of an aware series, or None (pandas: .dt.tz)."""
+        return getattr(self._s, "_tz", None)
+
+    def tz_localize(self, tz, ambiguous=True, nonexistent="shift_forward"):
+        """Interpret naive wall-clock values as zone ``tz`` and return
+        an aware series (stored as UTC instant + tag; engine NTZ
+        policy keeps the physical column TIMESTAMP in the UTC
+        session).
+
+        DST semantics are the JVM zone rules (``to_utc_timestamp``):
+        ambiguous fall-back times resolve to the EARLIER offset
+        (== pandas ``ambiguous=True``); nonexistent spring-forward
+        times shift forward BY THE GAP LENGTH (02:30 in a 1h gap →
+        03:30 local), where pandas ``nonexistent='shift_forward'``
+        snaps to the gap END (03:00). Tested at both boundaries in
+        tests/test_dt_tz.py. pandas' 'raise' modes are unsupported —
+        detecting them needs a per-row round-trip probe."""
+        cur = getattr(self._s, "_tz", None)
+        if tz is None:
+            if cur is None:
+                raise TypeError(
+                    "Already tz-naive — tz_localize(None) removes a "
+                    "timezone and this series has none"
+                )
+            out = Series(
+                self._s._frame,
+                F.from_utc_timestamp(self._s._expr, cur),
+                self._s._name,
+            )
+            out._tz = None
+            return out
+        if cur is not None:
+            raise TypeError(
+                f"Already tz-aware ({cur}); use tz_convert to convert"
+            )
+        if ambiguous is not True or nonexistent != "shift_forward":
+            raise NotImplementedError(
+                "JVM zone rules pin ambiguous=True / "
+                "nonexistent='shift_forward' (gap-length shift); other "
+                "pandas modes need per-row probes Spark cannot express "
+                "in one codegen expression"
+            )
+        out = Series(
+            self._s._frame,
+            F.to_utc_timestamp(self._s._expr, str(tz)),
+            self._s._name,
+        )
+        out._tz = str(tz)
+        return out
+
+    def tz_convert(self, tz):
+        """Change an aware series' zone. The stored UTC instant is
+        unchanged — only the tag moves, so this is a zero-cost
+        metadata operation; field accessors re-localize through the
+        new tag. ``tz_convert(None)`` = convert to UTC then drop the
+        tag (pandas semantics), which is exactly the stored instant."""
+        cur = getattr(self._s, "_tz", None)
+        if cur is None:
+            raise TypeError(
+                "Cannot convert tz-naive timestamps, use tz_localize"
+            )
+        out = Series(self._s._frame, self._s._expr, self._s._name)
+        out._tz = None if tz is None else str(tz)
+        return out
+
+    @property
+    def timetz(self):
+        """Local wall-clock time with the zone suffix (pandas returns
+        zone-tagged time objects; string form here — Spark has no
+        time-of-day type)."""
+        tz = getattr(self._s, "_tz", None)
+        base = F.date_format(self._e, "HH:mm:ss")
+        if tz:
+            return self._wrap(F.concat(base, F.lit(" " + tz)))
+        return self._wrap(base)
+
+    # ---- ISO calendar / leap year ------------------------------------
+    def isocalendar(self) -> "DaskFrame":
+        """(year, week, day) per ISO 8601 — YEAROFWEEK extraction +
+        weekofyear + Monday=1 weekday, matching pandas' UInt32 frame
+        column-for-column (values, not dtype widths)."""
+        tmp = "__iso_src"
+        out = self._s._frame._sdf.withColumn(tmp, self._e).select(
+            F.expr(f"extract(YEAROFWEEK FROM {tmp})").alias("year"),
+            F.weekofyear(F.col(tmp)).alias("week"),
+            (F.expr(f"weekday({tmp})") + F.lit(1)).alias("day"),
+        )
+        return DaskFrame(out)
+
+    @property
+    def is_leap_year(self):
+        y = F.year(self._e)
+        return self._wrap(
+            ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        )
+
+    @property
+    def nanosecond(self):
+        """Spark timestamps are microsecond precision — the ns
+        component within the µs is always 0 (pandas: remainder ns)."""
+        return self._wrap(F.lit(0))
+
+    # ---- timedelta surface (pandas .dt on timedelta64 series; the
+    # engine's timedeltas are Spark day-time intervals, e.g. ts - ts).
+    # Parts use pandas' floored-days + non-negative remainder split,
+    # derived from exact signed total microseconds (_td_us). ----------
+    def total_seconds(self):
+        return self._wrap(self._td_us() / F.lit(1_000_000.0))
+
+    @property
+    def days(self):
+        return self._wrap(
+            F.floor(self._td_us() / F.lit(86_400_000_000)).cast("long")
+        )
+
+    @property
+    def seconds(self):
+        rem = F.pmod(self._td_us(), F.lit(86_400_000_000))
+        return self._wrap(F.floor(rem / F.lit(1_000_000)).cast("long"))
+
+    @property
+    def microseconds(self):
+        return self._wrap(F.pmod(self._td_us(), F.lit(1_000_000)).cast("long"))
+
+    @property
+    def nanoseconds(self):
+        """µs-precision intervals: ns remainder is always 0."""
+        return self._wrap(F.lit(0))
+
+    @property
+    def components(self) -> "DaskFrame":
+        """pandas Timedelta components frame: days + non-negative
+        h/m/s/ms/us/ns remainder columns, one scan, all codegen."""
+        us = self._td_us()
+        days = F.floor(us / F.lit(86_400_000_000)).cast("long")
+        rem = F.pmod(us, F.lit(86_400_000_000))
+        out = self._s._frame._sdf.select(
+            days.alias("days"),
+            F.floor(rem / F.lit(3_600_000_000)).cast("long").alias("hours"),
+            F.pmod(F.floor(rem / F.lit(60_000_000)), F.lit(60))
+            .cast("long").alias("minutes"),
+            F.pmod(F.floor(rem / F.lit(1_000_000)), F.lit(60))
+            .cast("long").alias("seconds"),
+            F.pmod(F.floor(rem / F.lit(1_000)), F.lit(1_000))
+            .cast("long").alias("milliseconds"),
+            F.pmod(rem, F.lit(1_000)).cast("long").alias("microseconds"),
+            F.lit(0).cast("long").alias("nanoseconds"),
+        )
+        return DaskFrame(out)
+
+    # ---- period surface (pandas PeriodDtype; Spark has no period
+    # type — to_period represents a period by its START timestamp,
+    # the canonical instant form; period-only fields are refused with
+    # composition guidance, mirroring the engine's documented-refusal
+    # policy for unrepresentable dtypes) ------------------------------
+    def to_period(self, freq: str | None = None):
+        """Period as its start instant: date_trunc at the freq (pandas
+        Period.start_time equivalence; use .dt.floor for sub-day)."""
+        if freq is None:
+            raise ValueError("to_period requires freq (no inferred freq)")
+        n, unit, secs = self._parse_freq(freq)
+        return self._wrap_ts(self._floor_local(self._e, n, unit, secs))
+
+    @property
+    def start_time(self):
+        raise NotImplementedError(
+            "PeriodDtype has no Spark representation; to_period(freq) "
+            "already yields start instants — use the series directly"
+        )
+
+    @property
+    def end_time(self):
+        raise NotImplementedError(
+            "PeriodDtype has no Spark representation; compose "
+            ".dt.ceil(freq) - INTERVAL 1 MICROSECOND for end instants"
+        )
+
+    @property
+    def freq(self):
+        """Timestamp series carry no freq metadata (pandas: None for
+        non-period dtypes)."""
+        return None
+
+    @property
+    def qyear(self):
+        raise NotImplementedError(
+            "PeriodDtype (fiscal quarter year) has no Spark "
+            "representation; use .dt.year / .dt.quarter"
+        )
+
+    def to_timestamp(self):
+        raise NotImplementedError(
+            "to_timestamp converts PeriodDtype, which has no Spark "
+            "representation — series here are already timestamps"
+        )
+
+    # ---- driver-side materializers (dask warns these materialize;
+    # same contract here: one collect, object-dtype result) ------------
+    def to_pydatetime(self):
+        import numpy as np
+
+        pds = self._wrap(self._e).compute()
+        return np.array(pds.dt.to_pydatetime())
+
+    def to_pytimedelta(self):
+        import numpy as np
+
+        us = self._wrap(self._td_us()).compute()
+        import datetime as _dt
+
+        return np.array(
+            [None if v is None else _dt.timedelta(microseconds=int(v))
+             for v in us],
+            dtype=object,
+        )
+
+    @property
+    def day_of_week(self):
+        return self.weekday
+
+    @property
+    def day_of_year(self):
+        return self.dayofyear
 
 
 class CatAccessor:
@@ -1323,12 +1606,17 @@ class Series:
             F.count(F.lit(1)).alias("count")
         )
         if normalize:
-            from pyspark.sql import Window
-
-            # post-agg frame is tiny (one row per distinct value); an
-            # unpartitioned window over it is safe at any input scale
-            total = F.sum("count").over(Window.partitionBy())
-            out = out.withColumn("proportion", F.col("count") / total).drop("count")
+            # One row per distinct value is UNBOUNDED for near-unique
+            # columns, so no unpartitioned window here (it would funnel
+            # the whole distinct set through one task at 100 TB).
+            # Scalar total + broadcast instead; ReuseExchange dedupes
+            # the groupBy shuffle, so this stays one source scan.
+            tot = out.agg(F.sum("count").alias("__total"))
+            out = (
+                out.crossJoin(F.broadcast(tot))
+                .withColumn("proportion", F.col("count") / F.col("__total"))
+                .drop("count", "__total")
+            )
             if sort:
                 return DaskFrame(
                     out.orderBy(
@@ -2551,12 +2839,15 @@ class DaskFrame:
         per = self._sdf.groupBy(
             F.spark_partition_id().alias("partition")
         ).agg(F.count(F.lit(1)).alias("__n"))
-        w = Window.partitionBy()
+        # #partitions rows is bounded, but keep the repo invariant:
+        # zero unpartitioned windows (scalar-agg + broadcast instead).
+        tot = per.agg(F.sum("__n").alias("__total"))
         bytes_col = (
-            F.col("__n") / F.sum("__n").over(w) * F.lit(float(est))
+            F.col("__n") / F.col("__total") * F.lit(float(est))
         ).cast("bigint")
         return DaskFrame(
-            per.select("partition", bytes_col.alias("bytes"))
+            per.crossJoin(F.broadcast(tot))
+            .select("partition", bytes_col.alias("bytes"))
         )
 
     def reduction(self, chunk: Callable, aggregate: Callable,

@@ -1,0 +1,295 @@
+""".dt.tz_localize / .dt.tz_convert pandas parity — the last named
+reference-surface gap (reference dask_expr/_datetime.py:31-32 proxies
+both to pandas).
+
+Engine model (frame.py DtAccessor docstring): naive series are UTC
+wall-clock; an aware series is the UTC instant + a ``_tz`` tag, and
+every field accessor localizes through the tag. DST semantics are the
+JVM's zone rules: ambiguous fall-back local times resolve to the
+EARLIER offset (== pandas ``ambiguous=True``); nonexistent
+spring-forward times shift forward BY THE GAP LENGTH (02:30 in a 1h
+gap → 03:30 local) — pandas ``nonexistent='shift_forward'`` snaps to
+the gap END (03:00), a documented deviation pinned here.
+
+Also covers the r12 dt-tail: isocalendar, round (half-to-even),
+timedelta parts (days/seconds/microseconds/total_seconds/components),
+is_leap_year, to_period — each against pandas on the same values.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from dask_spark.frame import DaskFrame
+
+
+NY = "America/New_York"
+TOKYO = "Asia/Tokyo"
+
+# plain / ambiguous (fall-back) / post-gap / far-from-DST values
+TS = [
+    "2024-06-15 12:00:00",
+    "2024-11-03 01:30:00",   # ambiguous in America/New_York
+    "2024-12-25 23:59:59",
+    "2023-01-01 00:00:00",
+]
+
+
+@pytest.fixture(scope="module")
+def ts_frame(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(TS)})
+    sdf = spark.createDataFrame(pdf)
+    return DaskFrame(sdf), pdf
+
+
+def _collect(series):
+    return series.compute().sort_values().reset_index(drop=True)
+
+
+class TestTzLocalize:
+    def test_localize_matches_pandas_utc_instants(self, ts_frame):
+        df, pdf = ts_frame
+        got = _collect(df["ts"].dt.tz_localize(NY))
+        exp = (
+            pdf["ts"]
+            .dt.tz_localize(NY, ambiguous=True, nonexistent="shift_forward")
+            .dt.tz_convert("UTC")
+            .dt.tz_localize(None)
+            .sort_values()
+            .reset_index(drop=True)
+            .rename(got.name)
+        )
+        pd.testing.assert_series_equal(got, exp)
+
+    def test_ambiguous_fall_back_takes_earlier_offset(self, spark):
+        # 2024-11-03 01:30 happens twice in New York; JVM == pandas
+        # ambiguous=True == the earlier (EDT, UTC-4) instant.
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-11-03 01:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        got = df["ts"].dt.tz_localize(NY).compute().iloc[0]
+        assert got == pd.Timestamp("2024-11-03 05:30:00")
+
+    def test_nonexistent_gap_shifts_by_gap_length(self, spark):
+        # 2024-03-10 02:30 does not exist in New York (1h gap at 02:00).
+        # JVM shifts forward BY the gap: local 03:30 EDT = 07:30 UTC.
+        # pandas shift_forward would snap to 03:00 EDT = 07:00 UTC —
+        # the documented deviation.
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-03-10 02:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        got = df["ts"].dt.tz_localize(NY).compute().iloc[0]
+        assert got == pd.Timestamp("2024-03-10 07:30:00")
+        pandas_sf = (
+            pdf["ts"]
+            .dt.tz_localize(NY, nonexistent="shift_forward")
+            .dt.tz_convert("UTC")
+            .dt.tz_localize(None)
+            .iloc[0]
+        )
+        assert pandas_sf == pd.Timestamp("2024-03-10 07:00:00")
+
+    def test_localize_none_round_trips(self, ts_frame):
+        df, pdf = ts_frame
+        rt = _collect(df["ts"].dt.tz_localize(NY).dt.tz_localize(None))
+        exp = pdf["ts"].sort_values().reset_index(drop=True).rename(rt.name)
+        # round-trip is exact except the nonexistent gap value (none in TS)
+        pd.testing.assert_series_equal(rt, exp)
+
+    def test_double_localize_raises(self, ts_frame):
+        df, _ = ts_frame
+        aware = df["ts"].dt.tz_localize(NY)
+        with pytest.raises(TypeError, match="tz-aware"):
+            aware.dt.tz_localize(TOKYO)
+
+    def test_localize_none_on_naive_raises(self, ts_frame):
+        df, _ = ts_frame
+        with pytest.raises(TypeError, match="tz-naive"):
+            df["ts"].dt.tz_localize(None)
+
+    def test_unsupported_dst_modes_refused(self, ts_frame):
+        df, _ = ts_frame
+        with pytest.raises(NotImplementedError):
+            df["ts"].dt.tz_localize(NY, ambiguous="raise")
+
+
+class TestTzConvert:
+    def test_convert_changes_wall_clock_fields(self, ts_frame):
+        df, pdf = ts_frame
+        got = _collect(df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO).dt.hour)
+        exp = (
+            pdf["ts"]
+            .dt.tz_localize("UTC")
+            .dt.tz_convert(TOKYO)
+            .dt.hour
+            .sort_values()
+            .reset_index(drop=True)
+            .rename(got.name)
+            .astype(got.dtype)
+        )
+        pd.testing.assert_series_equal(got, exp)
+
+    def test_convert_preserves_instant(self, ts_frame):
+        df, pdf = ts_frame
+        got = _collect(
+            df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO).dt.tz_convert(None)
+        )
+        exp = pdf["ts"].sort_values().reset_index(drop=True).rename(got.name)
+        pd.testing.assert_series_equal(got, exp)
+
+    def test_convert_on_naive_raises(self, ts_frame):
+        df, _ = ts_frame
+        with pytest.raises(TypeError, match="tz-naive"):
+            df["ts"].dt.tz_convert(TOKYO)
+
+    def test_tz_tag(self, ts_frame):
+        df, _ = ts_frame
+        assert df["ts"].dt.tz is None
+        assert df["ts"].dt.tz_localize(NY).dt.tz == NY
+
+    def test_aware_floor_stays_aware_and_floors_local(self, spark):
+        # 23:30 UTC = 08:30 next day in Tokyo; local daily floor is
+        # Tokyo midnight = 15:00 UTC, NOT UTC midnight.
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-06-15 23:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        aware = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        floored = aware.dt.floor("D")
+        assert floored.dt.tz == TOKYO
+        assert floored.compute().iloc[0] == pd.Timestamp("2024-06-15 15:00:00")
+        exp = (
+            pdf["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+            .dt.floor("D").dt.tz_convert("UTC").dt.tz_localize(None).iloc[0]
+        )
+        assert floored.compute().iloc[0] == exp
+
+
+class TestDtTail:
+    def test_isocalendar(self, ts_frame):
+        df, pdf = ts_frame
+        got = (
+            df["ts"].dt.isocalendar().compute()
+            .astype("int64")
+            .sort_values(["year", "week", "day"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            pdf["ts"].dt.isocalendar().astype("int64")
+            .sort_values(["year", "week", "day"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+    @pytest.mark.parametrize("freq", ["2h", "15min", "1D"])
+    def test_round_half_even(self, spark, freq):
+        vals = pd.to_datetime(
+            [
+                "2024-06-15 01:00:00",   # exact half of 2h → even multiple
+                "2024-06-15 03:00:00",   # exact half → even
+                "2024-06-15 01:37:13",
+                "2024-06-15 22:52:30",   # half of 15min
+                "2024-06-15 12:00:00",   # half of 1D
+                "2024-06-16 11:59:59.999999",
+            ],
+            format="ISO8601",
+        )
+        pdf = pd.DataFrame({"ts": vals})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        got = _collect(df["ts"].dt.round(freq))
+        exp = (
+            pdf["ts"].dt.round(freq).sort_values().reset_index(drop=True)
+            .rename(got.name)
+        )
+        pd.testing.assert_series_equal(got, exp)
+
+    def test_round_rejects_calendar_freq(self, ts_frame):
+        df, _ = ts_frame
+        with pytest.raises(ValueError, match="fixed"):
+            df["ts"].dt.round("M")
+
+    def test_timedelta_parts_match_pandas(self, spark):
+        a = pd.to_datetime(
+            ["2024-03-10 06:30:00.750000", "2024-03-07 02:00:00",
+             "2024-01-01 00:00:00"],
+            format="ISO8601",
+        )
+        b = pd.to_datetime(
+            ["2024-03-08 01:15:30", "2024-03-08 00:00:00",
+             "2024-01-01 00:00:00"]
+        )
+        pdf = pd.DataFrame({"a": a, "b": b})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        delta = df["a"] - df["b"]
+        exp_td = pdf["a"] - pdf["b"]
+        assert delta.dt.days.compute().tolist() == exp_td.dt.days.tolist()
+        assert delta.dt.seconds.compute().tolist() == exp_td.dt.seconds.tolist()
+        assert (
+            delta.dt.microseconds.compute().tolist()
+            == exp_td.dt.microseconds.tolist()
+        )
+        assert (
+            delta.dt.total_seconds().compute().tolist()
+            == exp_td.dt.total_seconds().tolist()
+        )
+        got_c = delta.dt.components.compute().astype("int64")
+        exp_c = exp_td.dt.components.astype("int64")
+        pd.testing.assert_frame_equal(
+            got_c.reset_index(drop=True), exp_c.reset_index(drop=True)
+        )
+
+    def test_is_leap_year(self, spark):
+        vals = pd.to_datetime(
+            ["2024-01-01", "2023-01-01", "2000-01-01", "1900-01-01"]
+        )
+        pdf = pd.DataFrame({"ts": vals})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        assert (
+            df["ts"].dt.is_leap_year.compute().tolist()
+            == pdf["ts"].dt.is_leap_year.tolist()
+        )
+
+    def test_to_period_is_floor(self, ts_frame):
+        df, pdf = ts_frame
+        got = _collect(df["ts"].dt.to_period("M"))
+        exp = (
+            pdf["ts"].dt.to_period("M").dt.start_time
+            .sort_values().reset_index(drop=True).rename(got.name)
+        )
+        pd.testing.assert_series_equal(got, exp)
+
+    def test_nanosecond_zero(self, ts_frame):
+        df, pdf = ts_frame
+        assert df["ts"].dt.nanosecond.compute().tolist() == [0] * len(pdf)
+
+    def test_to_pydatetime(self, ts_frame):
+        df, pdf = ts_frame
+        got = sorted(df["ts"].dt.to_pydatetime().tolist())
+        exp = sorted(pdf["ts"].dt.to_pydatetime().tolist())
+        assert got == exp
+
+    def test_to_pytimedelta(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "a": pd.to_datetime(["2024-03-10 06:00:00"]),
+                "b": pd.to_datetime(["2024-03-08 01:15:30"]),
+            }
+        )
+        df = DaskFrame(spark.createDataFrame(pdf))
+        got = (df["a"] - df["b"]).dt.to_pytimedelta().tolist()
+        assert got == [datetime.timedelta(days=2, hours=4, minutes=44, seconds=30)]
+
+    def test_timetz_naive_and_aware(self, spark):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-06-15 23:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        assert df["ts"].dt.timetz.compute().iloc[0] == "23:30:00"
+        aware = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        assert aware.dt.timetz.compute().iloc[0] == "08:30:00 " + TOKYO
+
+    def test_period_only_fields_refused_with_guidance(self, ts_frame):
+        df, _ = ts_frame
+        for prop in ("start_time", "end_time", "qyear"):
+            with pytest.raises(NotImplementedError):
+                getattr(df["ts"].dt, prop)
+        with pytest.raises(NotImplementedError):
+            df["ts"].dt.to_timestamp()
+        assert df["ts"].dt.freq is None

@@ -245,31 +245,38 @@ def test_groupby_method_parity():
 def test_accessor_method_parity():
     """The reference's String/Datetime accessor surfaces (explicit
     defs + the _accessor_methods/_accessor_properties name lists in
-    dataframe/accessor.py) must resolve on StrAccessor/DtAccessor."""
+    dataframe/accessor.py AND dask_expr/_datetime.py — the Datetime
+    lists live only in the latter, so reading accessor.py alone made
+    the Datetime half vacuous until r12) must resolve on
+    StrAccessor/DtAccessor."""
     accfile = os.path.join(REF, "dataframe", "accessor.py")
+    dtfile = os.path.join(REF, "dataframe", "dask_expr", "_datetime.py")
     if not os.path.exists(accfile):
         pytest.skip("reference accessor module missing")
-    tree = ast.parse(open(accfile).read())
     info: dict[str, set[str]] = {}
-    for node in tree.body:
-        if isinstance(node, ast.ClassDef):
-            names = {
-                n.name
-                for n in node.body
-                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-                and not n.name.startswith("_")
-            }
-            for n in node.body:
-                if isinstance(n, ast.Assign):
-                    for t in n.targets:
-                        if isinstance(t, ast.Name) and t.id in (
-                            "_accessor_methods", "_accessor_properties"
-                        ):
-                            try:
-                                names |= set(ast.literal_eval(n.value))
-                            except (ValueError, SyntaxError):
-                                pass
-            info[node.name] = names
+    for path in (accfile, dtfile):
+        if not os.path.exists(path):
+            continue
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if isinstance(node, ast.ClassDef):
+                names = {
+                    n.name
+                    for n in node.body
+                    if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                    and not n.name.startswith("_")
+                }
+                for n in node.body:
+                    if isinstance(n, ast.Assign):
+                        for t in n.targets:
+                            if isinstance(t, ast.Name) and t.id in (
+                                "_accessor_methods", "_accessor_properties"
+                            ):
+                                try:
+                                    names |= set(ast.literal_eval(n.value))
+                                except (ValueError, SyntaxError):
+                                    pass
+                info.setdefault(node.name, set()).update(names)
     from dask_spark.frame import DtAccessor, StrAccessor
 
     for refname, cls in (
