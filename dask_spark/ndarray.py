@@ -1327,11 +1327,15 @@ def histogram2d(frame: DaskFrame, xcol: str, ycol: str, bins: int,
         )
     )
     if density:
-        from pyspark.sql import Window
-
+        # scalar-agg + broadcast, not an unpartitioned window (plan
+        # audit invariant: no partitionless windows anywhere)
         area = ((x1 - x0) / bins) * ((y1 - y0) / bins)
-        total = F.sum("n").over(Window.partitionBy())
-        sdf = sdf.withColumn("n", F.col("n") / (total * F.lit(area)))
+        tot = sdf.agg(F.sum("n").alias("__total"))
+        sdf = (
+            sdf.crossJoin(F.broadcast(tot))
+            .withColumn("n", F.col("n") / (F.col("__total") * F.lit(area)))
+            .drop("__total")
+        )
     return DaskFrame(sdf)
 
 

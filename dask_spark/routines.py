@@ -1169,11 +1169,16 @@ def histogramdd(frame, cols: Sequence[str], bins: int,
         )
     )
     if density:
-        from pyspark.sql import Window
-
-        total = F.sum("count").over(Window.partitionBy())
-        out = out.withColumn(
-            "count", F.col("count") / (total * F.lit(volume))
+        # bins^d rows is bounded, but keep every density normalization
+        # on the scalar-agg + broadcast pattern (no unpartitioned
+        # windows anywhere — the plan audit asserts this invariant).
+        tot = out.agg(F.sum("count").alias("__total"))
+        out = (
+            out.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "count", F.col("count") / (F.col("__total") * F.lit(volume))
+            )
+            .drop("__total")
         )
     return DaskFrame(out)
 

@@ -718,3 +718,37 @@ def test_warehouse_ops_plan_shapes(spark):
     )
     # islands + lead share the key partitioning: window+agg+window
     assert shuffle_count(scd2_intervals(obs, "k", "attr", "ts")) <= 2
+
+
+def test_no_unpartitioned_windows_in_source():
+    """Repo invariant since r12: ZERO ``Window.partitionBy()`` (empty
+    partition spec) call sites anywhere in dask_spark — an
+    unpartitioned window funnels its whole input through one task, and
+    the one place it was 'safe' (value_counts normalize, bounded 'one
+    row per distinct value') is unbounded for near-unique columns at
+    100 TB. Density/proportion normalizations use the scalar-agg +
+    crossJoin(broadcast(total)) pattern instead (ReuseExchange keeps
+    it one scan). AST-walk so docstrings mentioning the anti-pattern
+    don't false-positive."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "dask_spark"
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "partitionBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+                and not node.args
+                and not node.keywords
+            ):
+                offenders.append(f"{path.name}:{node.lineno}")
+    assert not offenders, (
+        f"unpartitioned Window.partitionBy() call sites: {offenders} — "
+        "use scalar agg + crossJoin(F.broadcast(...)) instead"
+    )
