@@ -82,7 +82,8 @@ def psi_drift(reference, current, value_col: str, bins: int = 20):
     return DaskFrame(out)
 
 
-def ks_drift(reference, current, value_col: str, round_dp: int = 6):
+def ks_drift(reference, current, value_col: str, round_dp: int = 6,
+             exact: bool = True, bins: int = 8192):
     """Two-sample Kolmogorov–Smirnov statistic → one-row
     DaskFrame(d_stat, d_num, n_ref, n_cur): D = max over sample
     points of |F_ref(x) − F_cur(x)| — PSI's binning-free companion
@@ -99,7 +100,17 @@ def ks_drift(reference, current, value_col: str, round_dp: int = 6):
     distinct-value table (range-bucket + per-bucket window +
     driver-combined offsets) — the exchange is distinct-values-
     bounded, never row-bounded, and nothing data-sized reaches the
-    driver."""
+    driver.
+
+    100 TB escalation path (``exact=False``): the exact prefix scan is
+    DISTINCT-VALUE-bounded — ~rows for continuous data. The binned
+    mode histograms both samples onto ONE shared ``bins``-bucket grid
+    over the union's [min, max] (reduce_quantile_hist arithmetic,
+    oracle bit-identical) and evaluates D only at bucket boundaries —
+    the exact KS of the binned distributions, understating true D by
+    at most the largest single-bucket mass. The ≤ bins count rows
+    collect and fold in exact python integers. Crossover: exact below
+    ~1e7 distinct values; binned beyond (SURVEY §4)."""
     from pyspark.sql import Window
     from pyspark.sql.types import (IntegerType, LongType, StructField,
                                    StructType)
@@ -114,6 +125,47 @@ def ks_drift(reference, current, value_col: str, round_dp: int = 6):
     c = cur.filter(x.isNotNull()).select(x.alias("v"),
                                          F.lit(0).alias("isr"))
     u = r.unionAll(c)
+    if not exact:
+        B = int(bins)
+        spark = ref.sparkSession
+        st = u.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+        if st["mn"] is None:
+            raise ValueError("ks_drift: empty reference or current sample")
+        mn, mx = float(st["mn"]), float(st["mx"])
+        if mx == mn:
+            bucket = F.lit(0).cast("int")
+        else:
+            w = (mx - mn) / B
+            bucket = F.least(
+                F.greatest(F.floor((F.col("v") - F.lit(mn)) / F.lit(w)),
+                           F.lit(0)),
+                F.lit(B - 1),
+            ).cast("int")
+        rows = (
+            u.select(bucket.alias("b"), "isr")
+            .groupBy("b")
+            .agg(
+                F.sum("isr").cast("bigint").alias("cr"),
+                F.sum(1 - F.col("isr")).cast("bigint").alias("cc"),
+            )
+            .collect()
+        )
+        n_ref = sum(int(r0["cr"]) for r0 in rows)
+        n_cur = sum(int(r0["cc"]) for r0 in rows)
+        if n_ref == 0 or n_cur == 0:
+            raise ValueError("ks_drift: empty reference or current sample")
+        r1 = r2 = 0
+        d_num = 0  # exact: max |r1·n_cur − r2·n_ref| over bucket bounds
+        for r0 in sorted(rows, key=lambda r0: r0["b"]):
+            r1 += int(r0["cr"])
+            r2 += int(r0["cc"])
+            d_num = max(d_num, abs(r1 * n_cur - r2 * n_ref))
+        d_stat = round(float(d_num) / (float(n_ref) * float(n_cur)),
+                       round_dp)
+        return DaskFrame(spark.createDataFrame(
+            [(d_stat, d_num, n_ref, n_cur)],
+            "d_stat double, d_num bigint, n_ref bigint, n_cur bigint",
+        ))
     g = u.groupBy("v").agg(
         F.sum("isr").cast("bigint").alias("cr"),
         F.sum(1 - F.col("isr")).cast("bigint").alias("cc"),
@@ -592,7 +644,8 @@ def benford_digits(frame, value_col: str, round_dp: int = 6):
 
 
 def gini_coefficient(frame, value_col: str, key_col: str,
-                     round_dp: int = 6):
+                     round_dp: int = 6, exact: bool = True,
+                     bins: int = 8192):
     """Gini coefficient of ``value_col`` aggregated per ``key_col`` →
     one-row DaskFrame(gini, n_keys): G = 2·Σ(i·x_(i)) / (n·Σx) −
     (n+1)/n over the ascending-sorted per-key totals — the inequality
@@ -605,7 +658,18 @@ def gini_coefficient(frame, value_col: str, key_col: str,
     DECIMAL(38,0) (i·x outgrows int64 past ~1e6 keys — the
     spearman_corr lesson), and the closing formula combines exact
     python integers with one float division. Ties are order-safe:
-    equal totals contribute x·Σi whatever their relative order."""
+    equal totals contribute x·Σi whatever their relative order.
+
+    100 TB escalation path (``exact=False``): the exact global rank
+    runs over N_KEYS rows — unbounded for high-cardinality keys. The
+    binned mode histograms the per-key totals into ``bins``
+    fixed-width buckets (reduce_quantile_hist arithmetic, oracle
+    bit-identical) and treats each bucket as one tie block of its
+    mean: a bucket with count c, mass m6, and a preceding keys before
+    it contributes exactly m6·(2a+c+1) to 2·Σi·x (Σi over the block ×
+    the block mean), so G folds from ≤ bins collected rows in exact
+    python integers. Error ≤ one bucket's mass displacement.
+    Crossover: exact below ~1e7 keys; binned beyond (SURVEY §4)."""
     from dask_spark.operators.window import cumulative
 
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
@@ -621,6 +685,54 @@ def gini_coefficient(frame, value_col: str, key_col: str,
         .groupBy(F.col(key_col).alias("k"))
         .agg(F.sum(v6).alias("x6"))
     )
+    if not exact:
+        B = int(bins)
+        spark = sdf.sparkSession
+        st = per.agg(F.min("x6").alias("mn"), F.max("x6").alias("mx")).first()
+        if st["mn"] is None:
+            raise ValueError("gini_coefficient: no non-null keys")
+        mn, mx = int(st["mn"]), int(st["mx"])
+        if mx == mn:
+            bucket = F.lit(0).cast("int")
+        else:
+            w = (float(mx) - float(mn)) / B
+            bucket = F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("x6").cast("double") - F.lit(float(mn)))
+                        / F.lit(w)
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(B - 1),
+            ).cast("int")
+        rows = (
+            per.select(bucket.alias("b"), "x6")
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("c"),
+                F.sum(F.col("x6").cast("decimal(38,0)")).alias("m6"),
+            )
+            .collect()
+        )
+        n = a = 0
+        t6 = s2 = 0  # exact python ints: T6 = Σ m6; S2 = Σ m6·(2a+c+1)
+        for r in sorted(rows, key=lambda r: r["b"]):
+            c, m6 = int(r["c"]), int(r["m6"])
+            s2 += m6 * (2 * a + c + 1)
+            t6 += m6
+            a += c
+            n += c
+        if n == 0:
+            raise ValueError("gini_coefficient: no non-null keys")
+        gini = None if t6 == 0 else round(
+            float(s2) / (float(n) * float(t6))
+            - (float(n) + 1.0) / float(n),
+            round_dp,
+        )
+        return DaskFrame(spark.createDataFrame(
+            [(gini, n)], "gini double, n_keys bigint"
+        ))
     # dense global index: rank = cumulative row count in (x6, k) order
     staged = per.select(
         "k", "x6",

@@ -107,10 +107,14 @@ def histogram(frame, col: str, bins: int = 10,
         .withColumn("bin_hi", F.lit(lo) + (F.col("bucket") + 1) * F.lit(w))
     )
     if density:
-        from pyspark.sql import Window
-
-        total = F.sum("n").over(Window.partitionBy())
-        out = out.withColumn("n", F.col("n") / (total * F.lit(w)))
+        # scalar-agg + broadcast, not an unpartitioned window (plan
+        # audit invariant: no partitionless windows anywhere)
+        tot = out.agg(F.sum("n").alias("__total"))
+        out = (
+            out.crossJoin(F.broadcast(tot))
+            .withColumn("n", F.col("n") / (F.col("__total") * F.lit(w)))
+            .drop("__total")
+        )
     return DaskFrame(out)
 
 
@@ -260,7 +264,8 @@ def target_encode(frame, cat_col: str, target_col: str,
     return DaskFrame(out)
 
 
-def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
+def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
+                  exact: bool = True, bins: int = 8192):
     """Spearman rank correlation → one-row DaskFrame(rho, n):
     Pearson's formula over AVERAGE ranks (ties share their rank
     block's mean) — the outlier-robust correlation the monitoring
@@ -275,7 +280,19 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
     scaling probe caught the ANSI overflow; 38 digits hold to
     n ≈ 1e12, the oracle's HUGEINT twin) and combine EXACTLY in
     arbitrary-precision python on the driver, so the one float step
-    is the final division."""
+    is the final division.
+
+    100 TB escalation path (``exact=False``): the exact rank exchange
+    is DISTINCT-VALUE-bounded — ~rows for continuous data. The binned
+    mode maps each column onto ``bins`` fixed-width histogram buckets
+    first (the reduce_quantile_hist arithmetic: exact min/max, IEEE
+    ``floor((x−mn)/w)`` clamp — bit-identical in the SQL oracle), then
+    runs the SAME exact-integer rank machinery over the bucket ids, so
+    every exchange is ≤ bins rows at any input size. Spearman over
+    binned values == treating each bucket as one tie block; error is
+    bounded by bucket resolution (rank displacement ≤ the bucket's
+    population). Crossover: prefer exact below ~1e7 distinct values
+    per column; binned beyond (SURVEY §4)."""
     from dask_spark.frame import DaskFrame
     from dask_spark.operators.window import cumulative
 
@@ -285,6 +302,31 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6):
         .select(F.col(col_x).cast("double").alias("__x"),
                 F.col(col_y).cast("double").alias("__y"))
     )
+    if not exact:
+        B = int(bins)
+        st = base.agg(
+            F.min("__x").alias("mnx"), F.max("__x").alias("mxx"),
+            F.min("__y").alias("mny"), F.max("__y").alias("mxy"),
+        ).first()
+        if st["mnx"] is None:
+            raise ValueError("spearman_corr: no non-null pairs")
+
+        def bucketize(col, mn, mx):
+            if mx == mn:
+                return F.lit(0).cast("bigint")
+            w = (float(mx) - float(mn)) / B
+            return F.least(
+                F.greatest(
+                    F.floor((F.col(col) - F.lit(float(mn))) / F.lit(w)),
+                    F.lit(0),
+                ),
+                F.lit(B - 1),
+            ).cast("bigint")
+
+        base = base.select(
+            bucketize("__x", st["mnx"], st["mxx"]).alias("__x"),
+            bucketize("__y", st["mny"], st["mxy"]).alias("__y"),
+        )
 
     def rank2(col):
         g = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))

@@ -5019,6 +5019,9 @@ def graph_bfs(spark, sf_dir):
         .filter(F.col("c") >= 2)
         .select("p1", "p2")
     )
+    # the co-purchase self-join is the expensive part and BOTH the
+    # seed agg and the traversal consume it — materialize once
+    edges = edges.localCheckpoint(eager=True)
     seed = edges.agg(F.min(F.least("p1", "p2"))).first()[0]
     return (
         bfs_hops(edges, seed, "p1", "p2", rounds=6)
@@ -10700,6 +10703,201 @@ def embed_quantize(spark, sf_dir):
     )
 
 
+
+
+# ------------- r12: binned-approximate escalation paths ---------------------
+# The exact Spearman/Gini/KS statistics above have DISTINCT-VALUE- or
+# N_KEYS-bounded exchanges — ~rows for continuous data at 100 TB. These
+# three replay the same statistics in their exact=False binned modes
+# (reduce_quantile_hist bucket arithmetic, bit-identical in the oracle),
+# where every exchange is <= bins rows at ANY input size.
+
+@q(
+    "corr_spearman_binned",
+    """
+    WITH base AS (
+      SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), st AS (
+      SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+      FROM base
+    ), b AS (
+      SELECT CASE WHEN st.mxx = st.mnx THEN 0 ELSE
+               CAST(least(greatest(floor((x - st.mnx)
+                 / ((st.mxx - st.mnx) / 1024.0)), 0), 1023) AS BIGINT)
+             END AS x,
+             CASE WHEN st.mxy = st.mny THEN 0 ELSE
+               CAST(least(greatest(floor((y - st.mny)
+                 / ((st.mxy - st.mny) / 1024.0)), 0), 1023) AS BIGINT)
+             END AS y
+      FROM base, st
+    ), gx AS (
+      SELECT x AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
+    ), cx AS (
+      SELECT v,
+             (2 * SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::BIGINT AS r
+      FROM gx
+    ), gy AS (
+      SELECT y AS v, count(*)::BIGINT AS c FROM b GROUP BY 1
+    ), cy AS (
+      SELECT v,
+             (2 * SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::BIGINT AS r
+      FROM gy
+    ), j AS (
+      SELECT cx.r AS rx, cy.r AS ry
+      FROM b JOIN cx ON cx.v = b.x JOIN cy ON cy.v = b.y
+    ), s AS (
+      SELECT count(*)::BIGINT AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM j
+    )
+    SELECT round(CASE WHEN (n * sxx - sx * sx) != 0
+                       AND (n * syy - sy * sy) != 0
+                 THEN (n * sxy - sx * sy)::DOUBLE
+                      / sqrt((n * sxx - sx * sx)::DOUBLE
+                             * (n * syy - sy * sy)::DOUBLE)
+                 END, 6) AS rho,
+           n
+    FROM s
+    """,
+)
+def corr_spearman_binned(spark, sf_dir):
+    """Spearman in the 100 TB escalation mode: both columns histogram
+    onto 1024 fixed-width buckets first (exact min/max + the
+    reduce_quantile_hist IEEE bucket arithmetic, bit-identical in the
+    oracle), then the SAME exact-integer avg-rank machinery runs over
+    the bucket ids — every exchange <= bins rows at any input size;
+    each bucket is one tie block (operators/reductions.py
+    spearman_corr exact=False)."""
+    from dask_spark.operators.reductions import spearman_corr
+
+    li = load(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", exact=False, bins=1024
+    ).to_spark()
+
+
+@q(
+    "reduce_gini_binned",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(floor(round(o_totalprice, 6) * 1000000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS x6
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+        AND o_custkey IS NOT NULL
+      GROUP BY 1
+    ), st AS (
+      SELECT min(x6) AS mn, max(x6) AS mx FROM per
+    ), b AS (
+      SELECT CASE WHEN st.mx = st.mn THEN 0 ELSE
+               CAST(least(greatest(floor((x6::DOUBLE - st.mn::DOUBLE)
+                 / ((st.mx::DOUBLE - st.mn::DOUBLE) / 1024.0)), 0),
+                 1023) AS INT)
+             END AS b, x6
+      FROM per, st
+    ), g AS (
+      SELECT b, count(*)::BIGINT AS c,
+             SUM(x6::HUGEINT) AS m6
+      FROM b GROUP BY 1
+    ), cum AS (
+      SELECT c, m6,
+             COALESCE(SUM(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::HUGEINT AS a
+      FROM g
+    ), s AS (
+      SELECT SUM(c)::BIGINT AS n, SUM(m6) AS t6,
+             SUM(m6 * (2 * a + c + 1)) AS s2
+      FROM cum
+    )
+    SELECT round(s2::DOUBLE / (n::DOUBLE * t6::DOUBLE)
+                 - (n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini,
+           n AS n_keys
+    FROM s
+    """,
+)
+def reduce_gini_binned(spark, sf_dir):
+    """Gini in the 100 TB escalation mode: per-key micro-unit totals
+    histogram onto 1024 buckets; a bucket with count c, mass m6 and a
+    preceding keys contributes EXACTLY m6*(2a+c+1) to 2*Sum(i*x_i)
+    (block-mean tie semantics), folded over <= bins collected rows in
+    exact python integers — no n_keys-bounded rank exchange
+    (operators/monitor.py gini_coefficient exact=False)."""
+    from dask_spark.operators.monitor import gini_coefficient
+
+    o = load(spark, sf_dir, "orders")
+    return gini_coefficient(
+        o, "o_totalprice", "o_custkey", exact=False, bins=1024
+    ).to_spark()
+
+
+@q(
+    "drift_ks_binned",
+    """
+    WITH ref AS (
+      SELECT o_totalprice::DOUBLE AS v FROM orders
+      WHERE o_orderdate < DATE '1996-01-01' AND o_totalprice IS NOT NULL
+    ), cur AS (
+      SELECT o_totalprice::DOUBLE AS v FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01' AND o_totalprice IS NOT NULL
+    ), u AS (
+      SELECT v, 1 AS isr FROM ref UNION ALL SELECT v, 0 FROM cur
+    ), st AS (
+      SELECT min(v) AS mn, max(v) AS mx FROM u
+    ), b AS (
+      SELECT CASE WHEN st.mx = st.mn THEN 0 ELSE
+               CAST(least(greatest(floor((v - st.mn)
+                 / ((st.mx - st.mn) / 1024.0)), 0), 1023) AS INT)
+             END AS b, isr
+      FROM u, st
+    ), g AS (
+      SELECT b,
+             CAST(SUM(isr) AS BIGINT) AS cr,
+             CAST(SUM(1 - isr) AS BIGINT) AS cc
+      FROM b GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS n1,
+             CAST(SUM(cc) AS BIGINT) AS n2 FROM g
+    ), s AS (
+      SELECT CAST(SUM(cr) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS r1,
+             CAST(SUM(cc) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS r2
+      FROM g
+    )
+    SELECT round(CAST(MAX(abs(s.r1 * n.n2 - s.r2 * n.n1)) AS BIGINT)
+                 / (n.n1::DOUBLE * n.n2::DOUBLE), 6) AS d_stat,
+           CAST(MAX(abs(s.r1 * n.n2 - s.r2 * n.n1)) AS BIGINT) AS d_num,
+           n.n1 AS n_ref, n.n2 AS n_cur
+    FROM s, n GROUP BY n.n1, n.n2
+    """,
+)
+def drift_ks_binned(spark, sf_dir):
+    """KS in the 100 TB escalation mode: both samples histogram onto
+    ONE shared 1024-bucket grid over the union min/max; D evaluates at
+    bucket boundaries from <= bins collected (cr, cc) rows in exact
+    python integers — the exact KS of the binned distributions, no
+    distinct-value-bounded prefix scan (operators/monitor.py ks_drift
+    exact=False)."""
+    from dask_spark.operators.monitor import ks_drift
+
+    o = load(spark, sf_dir, "orders")._sdf
+    ref = o.filter(F.col("o_orderdate") < "1996-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    return ks_drift(ref, cur, "o_totalprice", exact=False,
+                    bins=1024).to_spark()
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
@@ -10855,4 +11053,18 @@ REGISTRY = {
         if n not in set(_DRIVER_COVERED) and n not in set(_R6_FRONT)
     },
     **{n: REGISTRY[n] for n in _DRIVER_COVERED if n in REGISTRY},
+}
+
+
+# Round-12 sample-window priority: the r1-r11 driver-union left 60
+# registered queries without a correctness row (the r10/r11 additions
+# outgrew the 50-query window while the stale _R6_FRONT float kept
+# eating slots). Float exactly those 60 + the three new r12 binned
+# modes + value_counts_norm (its normalize path moved off the
+# unpartitioned window this round) to the very front; everything
+# driver-green keeps its relative order behind them.
+_R12_FRONT = ['corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _R12_FRONT if n in REGISTRY},
+    **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},
 }

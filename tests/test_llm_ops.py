@@ -4187,3 +4187,90 @@ def test_hourly_profile_alignment(spark):
     assert abs(sum(r["share"] for r in got.values()) - 1.0) < 1e-6
     r = got[(3, 14)]
     assert abs(r["lift"] - r["share"] * 168) < 1e-4
+
+
+# ---------------- r12: binned escalation modes (exact=False) ----------------
+
+
+def test_spearman_binned_converges_to_exact(spark):
+    """With bins >> distinct values every value gets its own bucket,
+    so the binned mode must reproduce the exact statistic bit-for-bit
+    (each bucket is a tie block of one value); with coarse bins it
+    stays within bucket-resolution error of exact."""
+    from dask_spark.operators.reductions import spearman_corr
+
+    rows = [(float(i % 50), float((i * 7) % 50) + 0.5 * (i % 3))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    exact = spearman_corr(df, "x", "y").to_spark().first()
+    fine = spearman_corr(df, "x", "y", exact=False, bins=65536) \
+        .to_spark().first()
+    assert fine["rho"] == exact["rho"]
+    assert fine["n"] == exact["n"]
+    coarse = spearman_corr(df, "x", "y", exact=False, bins=32) \
+        .to_spark().first()
+    assert abs(coarse["rho"] - exact["rho"]) < 0.1
+
+
+def test_spearman_binned_degenerate(spark):
+    """Constant column -> zero denominator -> rho None (both modes);
+    empty input raises in both modes."""
+    import pytest as _pytest
+
+    from dask_spark.operators.reductions import spearman_corr
+
+    const = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(10)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y", exact=False).to_spark() \
+        .first()["rho"] is None
+    empty = spark.createDataFrame([], "x double, y double")
+    with _pytest.raises(ValueError, match="no non-null"):
+        spearman_corr(empty, "x", "y", exact=False)
+
+
+def test_gini_binned_converges_to_exact(spark):
+    """Fine bins: every per-key total its own bucket -> block-mean
+    formula degenerates to the exact rank formula. Coarse bins stay
+    close. Uniform distribution -> gini 0 in both modes."""
+    from dask_spark.operators.monitor import gini_coefficient
+
+    rows = [(i % 40, float((i % 40) ** 2) / 10.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    exact = gini_coefficient(df, "v", "k").to_spark().first()
+    fine = gini_coefficient(df, "v", "k", exact=False, bins=1 << 20) \
+        .to_spark().first()
+    assert fine["n_keys"] == exact["n_keys"]
+    assert abs(fine["gini"] - exact["gini"]) < 1e-9
+    coarse = gini_coefficient(df, "v", "k", exact=False, bins=16) \
+        .to_spark().first()
+    assert abs(coarse["gini"] - exact["gini"]) < 0.05
+    flat = spark.createDataFrame(
+        [(i, 3.5) for i in range(50)], "k bigint, v double"
+    )
+    assert gini_coefficient(flat, "v", "k", exact=False) \
+        .to_spark().first()["gini"] == 0.0
+
+
+def test_ks_binned_converges_and_bounds(spark):
+    """Fine bins reproduce exact D when values are integer-spaced
+    (each value its own bucket); identical samples -> D = 0; the
+    binned D never EXCEEDS the exact D (boundary subset)."""
+    from dask_spark.operators.monitor import ks_drift
+
+    a = [float(i % 30) for i in range(300)]
+    b = [float((i % 30) + (3 if i % 4 == 0 else 0)) for i in range(200)]
+
+    def mk(vals):
+        return spark.createDataFrame([(v,) for v in vals], "x double")
+
+    exact = ks_drift(mk(a), mk(b), "x").to_spark().first()
+    fine = ks_drift(mk(a), mk(b), "x", exact=False, bins=65536) \
+        .to_spark().first()
+    assert (fine["d_num"], fine["n_ref"], fine["n_cur"]) == \
+        (exact["d_num"], exact["n_ref"], exact["n_cur"])
+    coarse = ks_drift(mk(a), mk(b), "x", exact=False, bins=8) \
+        .to_spark().first()
+    assert coarse["d_stat"] <= exact["d_stat"] + 1e-12
+    same = ks_drift(mk(a), mk(a), "x", exact=False).to_spark().first()
+    assert same["d_num"] == 0
