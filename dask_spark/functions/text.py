@@ -669,6 +669,10 @@ def hashed_logreg_fit(sdf, label, text_col: str = "text",
     base = (
         sdf.select(y.cast("double").alias("__y"), feat.alias("__feat"))
         .filter(F.size("__feat") > 0)
+        # tokenize + hash ONCE: both GD iterations re-scan the staged
+        # feature arrays, not the md5-per-token projection (the r11
+        # bigram-perplexity lesson — the staging dominated the fit)
+        .localCheckpoint(eager=True)
     )
     w = [0.0] * D
     b = 0.0
@@ -676,6 +680,17 @@ def hashed_logreg_fit(sdf, label, text_col: str = "text",
     for _ in range(int(iters)):
         wlit = _double_array_literal(w)
         n = F.size("__feat").cast("double")
+        # The z fold stays a Catalyst HOF on purpose: r12 built and
+        # MEASURED the Arrow-kernel alternative (mapInPandas, per-row
+        # python L2R fold — numpy reduce/reduceat reorder additions
+        # pairwise past ~128 elements, so no vectorized form keeps
+        # the bit contract) and it ran ~30% SLOWER at sf0.1 (2.3s vs
+        # 1.7s): two python-worker Arrow round-trips per iteration
+        # cost more than interpreted per-element evaluation at ~54
+        # tokens/doc. The fold's interpreted cost is bounded by
+        # tokens-per-doc (corpus-size-independent per row); the real
+        # r11 cost was staging the features twice, fixed by the
+        # checkpoint above.
         z = F.lit(float(b)) + F.aggregate(
             F.col("__feat"), F.lit(0.0),
             lambda acc, f: acc + F.element_at(wlit, f + 1),

@@ -460,14 +460,20 @@ def bfs_hops(edges, source, a_col: str = "a", b_col: str = "b",
     neighborhood-expansion primitive (how close is this part to the
     seed product? which hosts sit within 3 links of a spam hub?).
 
-    Frontier form: per round ONE src-keyed join of the CURRENT
-    frontier (never the visited set) against adjacency + one anti
-    join against visited — exchanges carry ids only and are bounded
-    by frontier×degree; lineage checkpoints every 3 rounds (the
-    k_core lesson: per-round checkpoints pay a whole job's scheduling
-    floor each). Hop distances are exact integers, a pure function of
-    the edge set, so any correct BFS — including a recursive-CTE
-    oracle — agrees row-for-row."""
+    Frontier form (the Pregel superstep shape): per round ONE
+    src-keyed join of the CURRENT frontier (never the visited set)
+    against adjacency + one anti join against visited — exchanges
+    carry ids only and are bounded by frontier×degree. Each round's
+    frontier materializes eagerly (localCheckpoint), which caps
+    lineage AND enables early termination: an empty frontier can
+    never produce candidates, so the loop stops instead of paying the
+    remaining rounds' whole-job scheduling floors (the r11 fully-lazy
+    6-round plan paid all 6 even when the source's component died at
+    hop 1; a recursive-CTE rewrite was rejected — Spark 4 supports
+    only UNION ALL recursion, which path-explodes on cyclic graphs).
+    Hop distances are exact integers, a pure function of the edge
+    set, so any correct BFS — including a recursive-CTE oracle —
+    agrees row-for-row."""
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     if source is None:
@@ -489,16 +495,25 @@ def bfs_hops(edges, source, a_col: str = "a", b_col: str = "b",
         [(int(source), 0)], "node bigint, dist int"
     )
     frontier = visited.select("node")
-    for r in range(1, int(rounds) + 1):
+    n = int(rounds)
+    for r in range(1, n + 1):
         nxt = (
             frontier.join(adj, frontier["node"] == adj["u"])
             .select(F.col("v").alias("node")).distinct()
             .join(visited.select("node"), "node", "anti")
         )
-        step = nxt.select("node", F.lit(r).cast("int").alias("dist"))
+        # Materialize the frontier each round (the Pregel superstep
+        # contract) — an empty frontier can never produce candidates,
+        # so stopping early is ALWAYS semantics-preserving and saves
+        # the remaining rounds' whole-job scheduling floors (the r11
+        # fully-lazy 6-round plan paid all 6 even when the source's
+        # component died at hop 1). The eager checkpoint also caps
+        # lineage, so no r%3 frontier checkpoints are needed.
+        step = nxt.select(
+            "node", F.lit(r).cast("int").alias("dist")
+        ).localCheckpoint(eager=True)
+        if not step.take(1):
+            break
         visited = visited.unionByName(step)
         frontier = step.select("node")
-        if r % 3 == 0:
-            visited = visited.localCheckpoint(eager=False)
-            frontier = frontier.localCheckpoint(eager=False)
     return DaskFrame(visited)
