@@ -1,8 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
-`value` = total wall seconds across headline queries (each fully
+Prints TWO JSON lines: a detailed per-query line first, then a compact
+{"metric", "value", "unit", "n_queries", "n_failed", "sf"} summary
+LAST (the driver tails stdout and parses the final line; the detailed
+line outgrew its capture window at 120+ queries — BENCH_r11 parsed
+null). `value` = total wall seconds across headline queries (each fully
 executed via a row-count + all-column xxhash64 checksum aggregate, so
 Catalyst cannot prune any output column)."""
 
@@ -146,6 +149,11 @@ HEADLINE = [
     "events_stickiness",  # two rolling passes + one day join
     "events_error_rate",  # day-keyed (n,k) + Wilson chain
     "events_hourly_profile",  # 168-key seasonality heatmap
+    # round-12 additions (compare per-query across rounds, not totals)
+    "corr_spearman_binned",   # bins-bounded rank exchange escalation
+    "reduce_gini_binned",     # block-mean fold over <= bins rows
+    "drift_ks_binned",        # shared-grid KS, <= bins collect
+    "value_counts_norm",      # normalize off the unpartitioned window
 ]
 
 
@@ -172,6 +180,8 @@ def materialize(df) -> int:
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
     from dask_spark.queries import REGISTRY
     from dask_spark.session import get_spark
 
@@ -184,7 +194,7 @@ def main():
     # measure steady-state throughput, not one-shot JIT compilation.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    for name in HEADLINE:
+    for name in headline:
         try:
             materialize(REGISTRY[name][0](spark, warm_dir))
         except Exception as exc:  # warmup must never fail the bench
@@ -195,7 +205,7 @@ def main():
     # round its entire perf artifact — record null for failures, keep
     # timing the rest, and always emit the JSON line.
     timings: dict[str, float | None] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn, _ = REGISTRY[name]
         best, n = float("inf"), 0
         try:
@@ -223,16 +233,29 @@ def main():
                   file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     ok = {k: v for k, v in timings.items() if v is not None}
-    out = {
-        "metric": "headline_queries_total_sec",
-        "value": round(sum(ok.values()), 3),
+    total = round(sum(ok.values()), 3)
+    # Detailed per-query line first (human-facing; too long for the
+    # driver's tail capture at 120+ queries — BENCH_r11 parsed null).
+    print(json.dumps({
+        "metric": "headline_queries_detail",
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "n_failed": len(timings) - len(ok),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    print(json.dumps(out))
+        "sf": sf_val,
+    }))
+    # Compact driver-parsable summary LAST: no per-query dict, so the
+    # line stays well inside the driver's tail-capture window.
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "sf": sf_val,
+    }))
 
 
 if __name__ == "__main__":
