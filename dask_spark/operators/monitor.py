@@ -83,7 +83,8 @@ def psi_drift(reference, current, value_col: str, bins: int = 20):
 
 
 def ks_drift(reference, current, value_col: str, round_dp: int = 6,
-             exact: bool = True, bins: int = 8192):
+             exact: bool = True, bins: int = 8192,
+             anchor: str = "union"):
     """Two-sample Kolmogorov–Smirnov statistic → one-row
     DaskFrame(d_stat, d_num, n_ref, n_cur): D = max over sample
     points of |F_ref(x) − F_cur(x)| — PSI's binning-free companion
@@ -110,7 +111,15 @@ def ks_drift(reference, current, value_col: str, round_dp: int = 6,
     the exact KS of the binned distributions, understating true D by
     at most the largest single-bucket mass. The ≤ bins count rows
     collect and fold in exact python integers. Crossover: exact below
-    ~1e7 distinct values; binned beyond (SURVEY §4)."""
+    ~1e7 distinct values; binned beyond (SURVEY §4).
+
+    ``anchor`` (binned mode only): "union" fits the grid on the
+    combined [min, max] (default — tightest resolution); "reference"
+    anchors on the reference alone with out-of-range current values
+    clamped into the tail buckets (the PSI convention; the shape the
+    STREAMING twin ks_binned_stream must use, since a stream cannot
+    know the future union range — batch anchor="reference" is its
+    bit-exact validation run)."""
     from pyspark.sql import Window
     from pyspark.sql.types import (IntegerType, LongType, StructField,
                                    StructType)
@@ -126,9 +135,13 @@ def ks_drift(reference, current, value_col: str, round_dp: int = 6,
                                          F.lit(0).alias("isr"))
     u = r.unionAll(c)
     if not exact:
+        if anchor not in ("union", "reference"):
+            raise ValueError(f"anchor must be union|reference, got {anchor!r}")
         B = int(bins)
         spark = ref.sparkSession
-        st = u.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
+        grid_src = u if anchor == "union" else r
+        st = grid_src.agg(F.min("v").alias("mn"),
+                          F.max("v").alias("mx")).first()
         if st["mn"] is None:
             raise ValueError("ks_drift: empty reference or current sample")
         mn, mx = float(st["mn"]), float(st["mx"])

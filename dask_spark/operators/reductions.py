@@ -77,8 +77,9 @@ def histogram(frame, col: str, bins: int = 10,
     ``weights``: a column name — each sample contributes its weight
     instead of 1 (reference routines.py:861 weights=). ``density``:
     normalize so the integral over the range is 1 (n / (total·width));
-    the normalizing total comes from an unpartitioned window over the
-    POST-AGG frame (≤ bins rows — safe at any input scale)."""
+    the normalizing total is a scalar aggregate broadcast back
+    (crossJoin(broadcast) — the repo has zero unpartitioned windows,
+    tests/test_plans.py invariant)."""
     import pyspark.sql.functions as F
 
     from dask_spark.frame import DaskFrame
@@ -181,7 +182,8 @@ def weighted_quantiles(frame, value_col: str, weight_col: str,
 
 
 def quantile_bucketize(frame, col: str, buckets: int = 4,
-                       out: str = "bucket"):
+                       out: str = "bucket", exact: bool = True,
+                       bins: int = 1024):
     """Equal-frequency binning (the ML QuantileDiscretizer): adds
     ``out`` = the row's quantile bucket [0, buckets), with boundaries
     the EXACT percentiles at i/buckets — the preprocessing step for
@@ -193,7 +195,15 @@ def quantile_bucketize(frame, col: str, buckets: int = 4,
     contract), then the assignment is a map-only literal CASE chain:
     bucket i = (b_{i-1}, b_i], bucket 0 = (-inf, b_1]. Null values
     get a null bucket. Ties across a boundary land LEFT (<= cut),
-    identical in both engines."""
+    identical in both engines.
+
+    100 TB escalation path (``exact=False``): Spark's exact
+    ``percentile()`` BUFFERS every value in one aggregation buffer —
+    an executor-memory hazard on unbounded numeric columns. The
+    binned mode takes boundaries from the histogram-quantile sketch
+    instead (``bins``-bounded exchange + ≤ bins collected counts, the
+    reduce_quantile_hist arithmetic — oracle bit-identical); the CASE
+    assignment is unchanged. Boundary error ≤ one bucket width."""
     from dask_spark.frame import DaskFrame
 
     b = int(buckets)
@@ -202,10 +212,17 @@ def quantile_bucketize(frame, col: str, buckets: int = 4,
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     x = F.col(col).cast("double")
     qs = [i / b for i in range(1, b)]
-    cuts = list(
-        sdf.filter(x.isNotNull())
-        .agg(F.percentile(x, F.lit(qs)).alias("c")).first()["c"]
-    )
+    if exact:
+        cuts = list(
+            sdf.filter(x.isNotNull())
+            .agg(F.percentile(x, F.lit(qs)).alias("c")).first()["c"]
+        )
+    else:
+        from dask_spark.operators.sketch import hist_quantile_values
+
+        cuts = hist_quantile_values(sdf, col, qs, bins)
+        if cuts is None:
+            raise ValueError(f"quantile_bucketize: no non-null {col!r}")
     expr = None
     for i, cut in enumerate(cuts):
         cond = x <= F.lit(float(cut))
@@ -376,7 +393,7 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
 
 
 def lift_table(frame, score_col: str, label_expr, buckets: int = 10,
-               round_dp: int = 6):
+               round_dp: int = 6, exact: bool = True, bins: int = 1024):
     """Decile lift table → DaskFrame(bucket, n, positives, rate,
     lift, cum_capture): rank rows by ``score_col`` into
     equal-frequency buckets (bucket 0 = LOWEST scores, buckets-1 =
@@ -389,7 +406,11 @@ def lift_table(frame, score_col: str, label_expr, buckets: int = 10,
     buckets-keyed exact count pair; rate/lift/capture are pinned
     float chains of exact int64 (the driver sees ≤ buckets rows and
     folds capture top-down in bucket order — the order the oracle's
-    window replays)."""
+    window replays).
+
+    ``exact=False``: boundaries from the histogram-quantile sketch
+    instead of the value-buffering exact percentile
+    (quantile_bucketize's escalation path, same error bound)."""
     from dask_spark.frame import DaskFrame
 
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
@@ -400,7 +421,8 @@ def lift_table(frame, score_col: str, label_expr, buckets: int = 10,
         lab.cast("int").alias("__y"),
     ).filter(F.col("__y").isNotNull())
     bucketed = quantile_bucketize(
-        DaskFrame(staged), "__score", buckets=buckets, out="__b"
+        DaskFrame(staged), "__score", buckets=buckets, out="__b",
+        exact=exact, bins=bins,
     )._sdf
     rows = {
         int(r["__b"]): (int(r["n"]), int(r["k"]))
@@ -435,7 +457,8 @@ def lift_table(frame, score_col: str, label_expr, buckets: int = 10,
     return DaskFrame(out)
 
 
-def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6):
+def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6,
+            exact: bool = True, bins: int = 8192):
     """EXACT ROC-AUC → one-row DaskFrame(auc, n_pos, n_neg): the
     rank-statistic form AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with
     tie-corrected AVERAGE ranks — the threshold-free classifier
@@ -447,7 +470,17 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6):
     prefix scan (distinct-scores-bounded exchange), positives'
     rank sum in exact DECIMAL(38,0), final arithmetic in
     arbitrary-precision python — the only float step is the last
-    division. Degenerate single-class inputs yield null auc."""
+    division. Degenerate single-class inputs yield null auc.
+
+    100 TB escalation path (``exact=False``): the rank exchange is
+    DISTINCT-SCORE-bounded — ~rows for continuous model scores, the
+    common case. The binned mode histograms scores onto ``bins``
+    fixed-width buckets first (the spearman_corr exact=False
+    arithmetic, oracle bit-identical) and runs the SAME tie-corrected
+    rank statistic over bucket ids — identical to computing AUC on a
+    quantized ROC curve with trapezoidal tie handling; every exchange
+    ≤ bins rows. Crossover: exact below ~1e7 distinct scores; binned
+    beyond (SURVEY §4)."""
     from dask_spark.frame import DaskFrame
     from dask_spark.operators.window import cumulative
 
@@ -460,6 +493,23 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6):
                 lab.cast("int").alias("__y"))
         .filter(F.col("__y").isNotNull())
     )
+    if not exact:
+        B = int(bins)
+        st = base.agg(F.min("__s").alias("mn"),
+                      F.max("__s").alias("mx")).first()
+        if st["mn"] is None:
+            raise ValueError("roc_auc: no scored labeled rows")
+        mn, mx = float(st["mn"]), float(st["mx"])
+        if mx == mn:
+            bucket = F.lit(0).cast("double")
+        else:
+            w = (mx - mn) / B
+            bucket = F.least(
+                F.greatest(F.floor((F.col("__s") - F.lit(mn)) / F.lit(w)),
+                           F.lit(0)),
+                F.lit(B - 1),
+            ).cast("double")
+        base = base.select(bucket.alias("__s"), "__y")
     g = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
     cum = cumulative(
         DaskFrame(g), "__c", "sum", order_by="__s", out="__cum"
@@ -494,8 +544,104 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6):
     return DaskFrame(out)
 
 
+def _calibration_cells(sdf, score_col: str, label_expr, bins: int):
+    """Shared staging for the calibration family: probability scores
+    clamp into [0, 1] (ECE's domain contract), bucket on the fixed
+    B-bin grid, and each bucket aggregates (n, positives, micro-unit
+    score sum) — confidences sum as exact int64 micro-units (the
+    engine's float-sum-order rule), so every downstream column is a
+    deterministic expression over exact integers."""
+    B = int(bins)
+    if B < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    lab = label_expr if not isinstance(label_expr, str) \
+        else F.expr(label_expr)
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    bucket = F.least(F.floor(s * F.lit(B)), F.lit(B - 1)).cast("int")
+    s6 = F.expr(
+        "CAST(floor(round(least(greatest(CAST({c} AS DOUBLE), 0.0), 1.0),"
+        " 6) * 1000000 + 0.5) AS BIGINT)".format(c=score_col)
+    )
+    return (
+        sdf.filter(F.col(score_col).isNotNull())
+        .select(bucket.alias("bucket"), s6.alias("__s6"),
+                lab.cast("int").alias("__y"))
+        .filter(F.col("__y").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("positives"),
+            F.sum("__s6").cast("bigint").alias("__s6sum"),
+        )
+    ), B
+
+
+def calibration_table(frame, score_col: str, label_expr,
+                      bins: int = 10, round_dp: int = 6):
+    """Reliability diagram data → DaskFrame(bucket, n, positives,
+    conf, acc, gap), one row per non-empty fixed-width confidence
+    bucket over [0, 1]: conf = mean predicted probability, acc =
+    observed positive rate, gap = |acc − conf| — the table behind
+    every calibration plot and the input to ECE (the
+    quality-classifier sanity check beside roc_auc/lift_table: a
+    miscalibrated filter threshold silently shifts corpus mix).
+
+    100 TB shape: ONE scan, one ≤ bins-key aggregate (map-side
+    combined); scores sum as exact micro-unit int64 so conf is a
+    deterministic division, oracle-replayable bit-for-bit."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    cells, _ = _calibration_cells(sdf, score_col, label_expr, bins)
+    nd = F.col("n").cast("double")
+    conf = F.col("__s6sum").cast("double") / (nd * F.lit(1_000_000.0))
+    acc = F.col("positives").cast("double") / nd
+    out = cells.select(
+        "bucket", "n", "positives",
+        F.round(conf, round_dp).alias("conf"),
+        F.round(acc, round_dp).alias("acc"),
+        F.round(F.abs(acc - conf), round_dp).alias("gap"),
+    )
+    return DaskFrame(out)
+
+
+def expected_calibration_error(frame, score_col: str, label_expr,
+                               bins: int = 10, round_dp: int = 6):
+    """ECE → one-row DaskFrame(ece, n, n_buckets): Σ_b (n_b/N)·
+    |acc_b − conf_b| over the calibration_table buckets — the one-
+    number calibration gate (Guo et al.'s standard formulation).
+
+    The ≤ bins cell rows collect and fold driver-side in BUCKET ORDER
+    (the chi2_drift convention — the oracle's list_reduce replays the
+    same left-to-right float chain); per-bucket terms are
+    deterministic expressions over exact int64 (n, k, s6)."""
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    cells, B = _calibration_cells(sdf, score_col, label_expr, bins)
+    rows = cells.collect()
+    n_total = sum(int(r["n"]) for r in rows)
+    if n_total == 0:
+        raise ValueError(
+            "expected_calibration_error: no scored labeled rows"
+        )
+    ece = 0.0
+    for r in sorted(rows, key=lambda r: r["bucket"]):
+        n, k, s6 = int(r["n"]), int(r["positives"]), int(r["__s6sum"])
+        gap = abs(float(k) / float(n)
+                  - float(s6) / (float(n) * 1_000_000.0))
+        ece = ece + (float(n) / float(n_total)) * gap
+    spark = sdf.sparkSession
+    return DaskFrame(spark.createDataFrame(
+        [(round(ece, round_dp), n_total, B)],
+        "ece double, n bigint, n_buckets int",
+    ))
+
+
 def robust_mean(frame, col: str, lower: float = 0.05,
-                upper: float = 0.95, round_dp: int = 6):
+                upper: float = 0.95, round_dp: int = 6,
+                exact: bool = True, bins: int = 1024):
     """Robust locations → one-row DaskFrame(n, mean, trimmed_mean,
     winsorized_mean): the plain mean beside its two standard
     outlier-resistant variants — TRIM drops values outside the exact
@@ -506,7 +652,16 @@ def robust_mean(frame, col: str, lower: float = 0.05,
     One exact-percentile aggregate (2 boundary scalars, the
     quantile_cont-parity contract) + ONE scan computing all three
     sums in micro-unit int64 (values round once to 6 dp — partition
-    order can't move a bit); each mean is one pinned float chain."""
+    order can't move a bit); each mean is one pinned float chain.
+
+    ``exact=False``: the trim/winsor boundaries come from the
+    histogram-quantile sketch instead of the value-buffering exact
+    percentile (the quantile_bucketize escalation path — boundary
+    error ≤ one bucket width, which a 5%-trim statistic absorbs by
+    design). Estimator note: exact mode INTERPOLATES the percentile
+    (type-7 / quantile_cont); the sketch is rank-based and lands ON a
+    sample value — winsorized means differ by up to one inter-value
+    gap at tie blocks."""
     from dask_spark.frame import DaskFrame
 
     if not 0.0 <= float(lower) < float(upper) <= 1.0:
@@ -514,12 +669,23 @@ def robust_mean(frame, col: str, lower: float = 0.05,
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     x = F.col(col).cast("double")
     base = sdf.filter(x.isNotNull())
-    lo, hi = base.agg(
-        F.percentile(x, F.lit(float(lower))),
-        F.percentile(x, F.lit(float(upper))),
-    ).first()
-    if lo is None:
-        raise ValueError("robust_mean: empty input")
+    if exact:
+        lo, hi = base.agg(
+            F.percentile(x, F.lit(float(lower))),
+            F.percentile(x, F.lit(float(upper))),
+        ).first()
+        if lo is None:
+            raise ValueError("robust_mean: empty input")
+    else:
+        from dask_spark.operators.sketch import hist_quantile_values
+
+        # hist ranks use ceil(q*n) >= 1, so lower=0.0 maps to the
+        # first value's bucket — clamp to the true min instead
+        qs = [max(float(lower), 1e-12), float(upper)]
+        vals = hist_quantile_values(sdf, col, qs, bins)
+        if vals is None:
+            raise ValueError("robust_mean: empty input")
+        lo, hi = vals
     lo, hi = float(lo), float(hi)
 
     def u6(c):

@@ -552,28 +552,40 @@ def histogram_quantiles(frame, value_col: str, qs: Sequence[float] = (
         raise ValueError("qs must be non-empty with every q in (0, 1]")
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     spark = sdf.sparkSession
+
+    def name(q):
+        return "q_" + repr(float(q)).replace("0.", "").replace(".", "_")
+
+    schema = ", ".join(f"{name(q)} double" for q in qs)
+    vals = hist_quantile_values(sdf, value_col, qs, bins)
+    if vals is None:
+        return DaskFrame(
+            spark.createDataFrame([tuple(None for _ in qs)], schema)
+        )
+    return DaskFrame(spark.createDataFrame([tuple(vals)], schema))
+
+
+def hist_quantile_values(sdf, value_col: str, qs, bins: int = 1024):
+    """Driver-side histogram-sketch quantile estimates as python
+    floats (rounded half-up 6dp — the histogram_quantiles contract,
+    replayed bit-identically by its SQL oracle). Returns None on
+    empty input. The scale-safe boundary source for every op that
+    would otherwise buffer all values in an exact percentile
+    aggregate (quantile_bucketize/lift_table/robust_mean
+    ``exact=False``)."""
     B = int(bins)
     x = F.col(value_col).cast("double")
     base = sdf.select(x.alias("__x")).filter(F.col("__x").isNotNull())
     mn, mx, n = base.agg(
         F.min("__x"), F.max("__x"), F.count(F.lit(1))
     ).first()
-
-    def name(q):
-        return "q_" + repr(float(q)).replace("0.", "").replace(".", "_")
-
-    schema = ", ".join(f"{name(q)} double" for q in qs)
     if not n:
-        return DaskFrame(
-            spark.createDataFrame([tuple(None for _ in qs)], schema)
-        )
+        return None
     mn, mx = float(mn), float(mx)
     from dask_spark.functions.text import _round_half_up6
 
     if mx == mn:
-        return DaskFrame(spark.createDataFrame(
-            [tuple(_round_half_up6(mn) for _ in qs)], schema
-        ))
+        return [_round_half_up6(mn) for _ in qs]
     width = (mx - mn) / B
     bucket = F.least(
         F.greatest(
@@ -603,7 +615,7 @@ def histogram_quantiles(frame, value_col: str, qs: Sequence[float] = (
             cum += c
         else:
             vals.append(_round_half_up6(mx))
-    return DaskFrame(spark.createDataFrame([tuple(vals)], schema))
+    return vals
 
 
 def histogram_quantiles_by_group(frame, value_col: str, group_col: str,

@@ -10898,6 +10898,191 @@ def drift_ks_binned(spark, sf_dir):
                     bins=1024).to_spark()
 
 
+@q(
+    "ml_auc_binned",
+    """
+    WITH base0 AS (
+      SELECT o_totalprice::DOUBLE AS s,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), st AS (
+      SELECT min(s) AS mn, max(s) AS mx FROM base0
+    ), base AS (
+      SELECT CASE WHEN st.mx = st.mn THEN 0.0 ELSE
+               CAST(least(greatest(floor((s - st.mn)
+                 / ((st.mx - st.mn) / 1024.0)), 0), 1023) AS DOUBLE)
+             END AS s, y
+      FROM base0, st
+    ), g AS (
+      SELECT s, count(*)::BIGINT AS c FROM base GROUP BY 1
+    ), r AS (
+      SELECT s,
+             (2 * SUM(c) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::BIGINT AS r2
+      FROM g
+    ), agg AS (
+      SELECT SUM(CASE WHEN y = 1 THEN r2 END) AS rp,
+             CAST(SUM(y) AS BIGINT) AS np,
+             count(*)::BIGINT AS n
+      FROM base JOIN r USING (s)
+    )
+    SELECT CASE WHEN np > 0 AND n - np > 0 THEN
+             round((rp - np * (np + 1))::DOUBLE
+                   / (2.0 * np::DOUBLE * (n - np)::DOUBLE), 6)
+           END AS auc,
+           np AS n_pos, (n - np)::BIGINT AS n_neg
+    FROM agg
+    """,
+)
+def ml_auc_binned(spark, sf_dir):
+    """ROC-AUC in the 100 TB escalation mode: scores histogram onto
+    1024 fixed-width buckets (the spearman_corr exact=False
+    arithmetic, oracle bit-identical), then the SAME tie-corrected
+    Mann-Whitney rank statistic runs over bucket ids — AUC of the
+    quantized ROC with trapezoidal tie handling; every exchange
+    <= bins rows at any input size (operators/reductions.py roc_auc
+    exact=False)."""
+    from dask_spark.operators.reductions import roc_auc
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    return roc_auc(
+        o, "o_totalprice", "o_orderpriority = '1-URGENT'",
+        exact=False, bins=1024,
+    ).to_spark()
+
+
+@q(
+    "dt_tz_ops",
+    """
+    SELECT CAST(extract(hour FROM ts + INTERVAL 9 HOUR) AS INT)
+             AS tokyo_hour,
+           count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS users
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def dt_tz_ops(spark, sf_dir):
+    """Timezone surface in-plan (r12): event timestamps localize as
+    UTC and convert to Asia/Tokyo (a DST-free zone, so the oracle can
+    verify values with a fixed +9h shift — independent of ICU-vs-JVM
+    ambiguous-time resolution, which differs at DST fall-backs and is
+    pinned instead by tests/test_dt_tz.py); the local-hour activity
+    profile is the classic "what time of day are users active IN
+    THEIR zone" cut. tz_convert is a zero-cost metadata move — the
+    field accessor localizes through the tag, map-only before the
+    one bounded groupBy (frame.py DtAccessor tz_localize/
+    tz_convert)."""
+    e = load(spark, sf_dir, "events")
+    local_hour = (
+        e["ts"].dt.tz_localize("UTC").dt.tz_convert("Asia/Tokyo").dt.hour
+    )
+    sdf = e._sdf.select(
+        local_hour._expr.cast("int").alias("tokyo_hour"), "user_id"
+    ).filter(F.col("tokyo_hour").isNotNull())
+    return (
+        sdf.groupBy("tokyo_hour")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").alias("users"))
+    )
+
+
+@q(
+    "ml_calibration",
+    """
+    WITH base AS (
+      SELECT least(greatest(o_totalprice / 600000.0, 0.0), 1.0) AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), cells AS (
+      SELECT CAST(least(floor(s * 10), 9) AS INT) AS bucket,
+             count(*)::BIGINT AS n,
+             CAST(SUM(y) AS BIGINT) AS positives,
+             CAST(SUM(CAST(floor(round(s, 6) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s6
+      FROM base GROUP BY 1
+    )
+    SELECT bucket, n, positives,
+           round(s6::DOUBLE / (n::DOUBLE * 1000000.0), 6) AS conf,
+           round(positives::DOUBLE / n::DOUBLE, 6) AS acc,
+           round(abs(positives::DOUBLE / n::DOUBLE
+                     - s6::DOUBLE / (n::DOUBLE * 1000000.0)), 6) AS gap
+    FROM cells
+    """,
+)
+def ml_calibration(spark, sf_dir):
+    """Reliability-diagram table for a pseudo-probability score
+    (price scaled into [0, 1]) against urgency labels: ONE scan, one
+    <= bins-key aggregate; confidences sum as exact micro-unit int64
+    so conf/acc/gap are deterministic divisions the oracle replays
+    bit-for-bit (operators/reductions.py calibration_table)."""
+    from dask_spark.operators.reductions import calibration_table
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    ).withColumn("score", F.col("o_totalprice") / F.lit(600000.0))
+    return calibration_table(
+        o, "score", "o_orderpriority = '1-URGENT'", bins=10
+    ).to_spark()
+
+
+@q(
+    "ml_ece",
+    """
+    WITH base AS (
+      SELECT least(greatest(o_totalprice / 600000.0, 0.0), 1.0) AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), cells AS (
+      SELECT CAST(least(floor(s * 10), 9) AS INT) AS bucket,
+             count(*)::BIGINT AS n,
+             CAST(SUM(y) AS BIGINT) AS positives,
+             CAST(SUM(CAST(floor(round(s, 6) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s6
+      FROM base GROUP BY 1
+    ), terms AS (
+      SELECT bucket,
+             (n::DOUBLE / (SELECT SUM(n)::DOUBLE FROM cells))
+             * abs(positives::DOUBLE / n::DOUBLE
+                   - s6::DOUBLE / (n::DOUBLE * 1000000.0)) AS v
+      FROM cells
+    )
+    SELECT round(list_reduce(list_prepend(0.0, list(v ORDER BY bucket)),
+                             (a, b) -> a + b), 6) AS ece,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS n,
+           10::INT AS n_buckets
+    FROM terms
+    """,
+)
+def ml_ece(spark, sf_dir):
+    """Expected calibration error (Guo et al.) of the same
+    pseudo-probability score: <= bins cell rows collect and fold
+    driver-side in bucket order — the oracle's list_reduce replays
+    the identical left-to-right float chain over terms built from
+    exact int64 cells (operators/reductions.py
+    expected_calibration_error)."""
+    from dask_spark.operators.reductions import (
+        expected_calibration_error,
+    )
+
+    o = load(spark, sf_dir, "orders")._sdf.filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    ).withColumn("score", F.col("o_totalprice") / F.lit(600000.0))
+    return expected_calibration_error(
+        o, "score", "o_orderpriority = '1-URGENT'", bins=10
+    ).to_spark()
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
@@ -11063,7 +11248,7 @@ REGISTRY = {
 # modes + value_counts_norm (its normalize path moved off the
 # unpartitioned window this round) to the very front; everything
 # driver-green keeps its relative order behind them.
-_R12_FRONT = ['corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
+_R12_FRONT = ['ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R12_FRONT if n in REGISTRY},
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},

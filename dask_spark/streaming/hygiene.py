@@ -172,6 +172,76 @@ def psi_bucket_stream(stream_sdf, reference, value_col: str,
     return counts, finish
 
 
+def ks_binned_stream(stream_sdf, reference, value_col: str,
+                     bins: int = 1024):
+    """Binned two-sample KS drift on an INGEST stream with BOUNDED
+    state — the streaming twin of operators/monitor.py ks_drift
+    (exact=False, anchor="reference"): the bucket grid fits ONCE from
+    the STATIC reference (min/width ride the streaming plan as
+    literals; out-of-range stream values clamp into the tail buckets,
+    the PSI convention — a stream cannot know the future union
+    range), the streaming aggregate keys on the bucket id — state is
+    ≤ ``bins`` rows forever — and ``finish(rows)`` folds the sunk
+    bucket counts into D with EXACTLY the batch integer arithmetic
+    (cumulative counts, max |r1·n_cur − r2·n_ref|, one float
+    division), so a stream and its batch validation run agree
+    bit-for-bit (pinned in tests/test_io_streaming.py). Returns
+    (streaming bucket-count DataFrame (bucket, c), finish)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.operators.monitor import _bucket_counts
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    B = int(bins)
+    x = F.col(value_col).cast("double")
+    mn, mx, n_ref = (
+        ref.filter(x.isNotNull())
+        .agg(F.min(x), F.max(x), F.count(F.lit(1))).first()
+    )
+    if not n_ref:
+        raise ValueError("ks_binned_stream: empty reference")
+    mn, mx = float(mn), float(mx)
+    sx = F.col(value_col).cast("double")
+    if mx == mn:
+        # constant reference: batch anchor="reference" puts EVERY
+        # value in bucket 0 — mirror it exactly for stream==batch
+        rc = {0: n_ref}
+        b = F.lit(0).cast("int")
+    else:
+        width = (mx - mn) / B
+        rc = _bucket_counts(ref, value_col, mn, width, B)
+        b = F.least(
+            F.greatest(F.floor((sx - F.lit(mn)) / F.lit(width)),
+                       F.lit(0)),
+            F.lit(B - 1),
+        ).cast("int")
+    n_ref = int(n_ref)
+    counts = (
+        stream_sdf.filter(sx.isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def finish(rows, round_dp: int = 6):
+        cc = {int(r["bucket"]): int(r["c"]) for r in rows}
+        n_cur = sum(cc.values())
+        if not n_cur:
+            raise ValueError("ks finish: empty current batch")
+        r1 = r2 = d_num = 0
+        for i in range(B):
+            r1 += rc.get(i, 0)
+            r2 += cc.get(i, 0)
+            d_num = max(d_num, abs(r1 * n_cur - r2 * n_ref))
+        d_stat = round(float(d_num) / (float(n_ref) * float(n_cur)),
+                       round_dp)
+        return d_stat, d_num, n_ref, n_cur
+
+    return counts, finish
+
+
 def chi2_category_stream(stream_sdf, reference, cat_col: str):
     """Chi-square categorical drift on an INGEST stream with BOUNDED
     state — the streaming twin of operators/monitor.py chi2_drift

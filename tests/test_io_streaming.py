@@ -1157,3 +1157,88 @@ def test_stream_static_enrichment_join(spark, tmp_path):
            for r in spark.sql("select * from enrich_parity").collect()}
     assert got == batch
     assert (4, None) in got  # 'error' has no dim row -> null category
+
+
+def test_streaming_batch_parity_ks_binned(spark, tmp_path):
+    """EXACTNESS for the streaming binned-KS gate: bucket counts
+    aggregated over a finite file stream (state <= bins rows, grid
+    anchored on the STATIC reference) + the finish() integer fold
+    equal the batch ks_drift(exact=False, anchor="reference") row
+    bit-for-bit — including out-of-range stream values clamped into
+    the tail buckets."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.monitor import ks_drift
+    from dask_spark.streaming.hygiene import ks_binned_stream
+
+    ref_pdf = pd.DataFrame({"x": [float(v % 97) for v in range(500)]})
+    # shifted + out-of-range values (up to 102 > ref max 96)
+    cur_pdf = pd.DataFrame({"x": [float((v % 83) + 20) for v in range(400)]})
+    ref_src = tmp_path / "ksb_ref"
+    cur_src = tmp_path / "ksb_cur"
+    ds.from_pandas(ref_pdf).to_parquet(str(ref_src))
+    ds.from_pandas(cur_pdf).to_parquet(str(cur_src))
+
+    ref = spark.read.parquet(str(ref_src))
+    batch = ks_drift(
+        ref, spark.read.parquet(str(cur_src)), "x",
+        exact=False, bins=32, anchor="reference",
+    ).to_spark().first()
+
+    stream_sdf = spark.readStream.schema("x double").parquet(str(cur_src))
+    counts, finish = ks_binned_stream(stream_sdf, ref, "x", bins=32)
+    q = (
+        counts.writeStream.format("memory").queryName("ksb_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ksb_parity").collect()
+    assert len(rows) <= 32  # bounded state
+    d_stat, d_num, n_ref, n_cur = finish(rows)
+    assert (d_stat, d_num, n_ref, n_cur) == (
+        batch["d_stat"], batch["d_num"], batch["n_ref"], batch["n_cur"]
+    )
+
+
+def test_ks_binned_stream_constant_reference(spark, tmp_path):
+    """Degenerate grid: a constant reference collapses every value
+    into bucket 0 on BOTH the stream and batch sides (the documented
+    batch mirror), so D reflects only count imbalance — 0 here."""
+    import pandas as pd
+
+    import dask_spark as ds
+    from dask_spark.operators.monitor import ks_drift
+    from dask_spark.streaming.hygiene import ks_binned_stream
+
+    ref_pdf = pd.DataFrame({"x": [5.0] * 100})
+    cur_pdf = pd.DataFrame({"x": [float(v) for v in range(50)]})
+    ref_src = tmp_path / "ksc_ref"
+    cur_src = tmp_path / "ksc_cur"
+    ds.from_pandas(ref_pdf).to_parquet(str(ref_src))
+    ds.from_pandas(cur_pdf).to_parquet(str(cur_src))
+
+    ref = spark.read.parquet(str(ref_src))
+    batch = ks_drift(
+        ref, spark.read.parquet(str(cur_src)), "x",
+        exact=False, bins=32, anchor="reference",
+    ).to_spark().first()
+
+    stream_sdf = spark.readStream.schema("x double").parquet(str(cur_src))
+    counts, finish = ks_binned_stream(stream_sdf, ref, "x", bins=32)
+    q = (
+        counts.writeStream.format("memory").queryName("ksc_parity")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = spark.sql("select * from ksc_parity").collect()
+    got = finish(rows)
+    assert got == (batch["d_stat"], batch["d_num"],
+                   batch["n_ref"], batch["n_cur"])
+    assert got[0] == 0.0

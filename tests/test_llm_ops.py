@@ -4274,3 +4274,120 @@ def test_ks_binned_converges_and_bounds(spark):
     assert coarse["d_stat"] <= exact["d_stat"] + 1e-12
     same = ks_drift(mk(a), mk(a), "x", exact=False).to_spark().first()
     assert same["d_num"] == 0
+
+
+def test_auc_binned_converges_and_degenerates(spark):
+    """Fine bins (integer-spaced scores -> own buckets) reproduce the
+    exact AUC bit-for-bit; perfect separation stays 1.0 binned (order
+    preserved by monotone bucketing); single-class -> null auc."""
+    from dask_spark.operators.reductions import roc_auc
+
+    rows = [(float(i % 40), 1 if (i * 13) % 5 == 0 else 0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    exact = roc_auc(df, "s", "y = 1").to_spark().first()
+    fine = roc_auc(df, "s", "y = 1", exact=False, bins=65536) \
+        .to_spark().first()
+    assert (fine["auc"], fine["n_pos"], fine["n_neg"]) == \
+        (exact["auc"], exact["n_pos"], exact["n_neg"])
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    assert roc_auc(sep, "s", "y = 1", exact=False, bins=64) \
+        .to_spark().first()["auc"] == 1.0
+    mono = spark.createDataFrame(
+        [(float(i), 1) for i in range(10)], "s double, y int"
+    )
+    assert roc_auc(mono, "s", "y = 1", exact=False) \
+        .to_spark().first()["auc"] is None
+
+
+def test_calibration_table_and_ece(spark):
+    """Perfectly calibrated scores (score == empirical rate per
+    bucket) give gap 0 everywhere and ECE 0; a constant over-confident
+    score gives ECE == |rate − score|; out-of-range scores clamp."""
+    from dask_spark.operators.reductions import (
+        calibration_table,
+        expected_calibration_error,
+    )
+
+    # bucket b gets score (b+0.5)/10 and positives at exactly that rate
+    rows = []
+    for b in range(10):
+        s = (b + 0.5) / 10.0
+        for i in range(20):
+            rows.append((s, 1 if i < round(s * 20) else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    tab = calibration_table(df, "score", "y = 1").to_spark().collect()
+    assert len(tab) == 10
+    assert all(r["gap"] == 0.0 for r in tab)
+    assert expected_calibration_error(df, "score", "y = 1") \
+        .to_spark().first()["ece"] == 0.0
+
+    over = spark.createDataFrame(
+        [(0.9, 1 if i < 3 else 0) for i in range(10)], "score double, y int"
+    )
+    assert expected_calibration_error(over, "score", "y = 1") \
+        .to_spark().first()["ece"] == 0.6
+
+    clamped = spark.createDataFrame(
+        [(-0.5, 0), (1.7, 1)], "score double, y int"
+    )
+    t = {r["bucket"]: r for r in
+         calibration_table(clamped, "score", "y = 1").to_spark().collect()}
+    assert set(t) == {0, 9}
+    assert t[0]["conf"] == 0.0 and t[9]["conf"] == 1.0
+
+    import pytest as _pytest
+    empty = spark.createDataFrame([], "score double, y int")
+    with _pytest.raises(ValueError, match="no scored"):
+        expected_calibration_error(empty, "score", "y = 1")
+    with _pytest.raises(ValueError, match="bins"):
+        calibration_table(clamped, "score", "y = 1", bins=1)
+
+
+def test_percentile_escalation_modes(spark):
+    """exact=False on quantile_bucketize / lift_table / robust_mean
+    takes boundaries from the histogram-quantile sketch instead of
+    the value-buffering exact percentile. With bins >> distinct
+    values the sketch boundary lands inside the same tie block, so
+    bucket assignments and robust means match the exact mode."""
+    from dask_spark.operators.reductions import (
+        lift_table,
+        quantile_bucketize,
+        robust_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 100), 1 if (i * 7) % 10 < 3 else 0)
+         for i in range(1000)],
+        "x double, y int",
+    )
+    ex = quantile_bucketize(df, "x", buckets=4, out="b") \
+        ._sdf.groupBy("b").count().collect()
+    ap = quantile_bucketize(df, "x", buckets=4, out="b",
+                            exact=False, bins=1 << 17) \
+        ._sdf.groupBy("b").count().collect()
+    assert sorted((r["b"], r["count"]) for r in ex) == \
+        sorted((r["b"], r["count"]) for r in ap)
+
+    lt_ex = lift_table(df, "x", "y = 1", buckets=5).to_spark().collect()
+    lt_ap = lift_table(df, "x", "y = 1", buckets=5,
+                       exact=False, bins=1 << 17).to_spark().collect()
+    assert [tuple(r) for r in lt_ex] == [tuple(r) for r in lt_ap]
+
+    rm_ex = robust_mean(df, "x").to_spark().first()
+    rm_ap = robust_mean(df, "x", exact=False, bins=1 << 17) \
+        .to_spark().first()
+    assert rm_ex["trimmed_mean"] == rm_ap["trimmed_mean"]
+    # winsorize clamps AT the boundary: exact mode interpolates the
+    # percentile (type-7 / quantile_cont), the sketch is rank-based
+    # (lands ON a sample value) — a documented estimator difference,
+    # so the means agree only to one inter-value gap here
+    assert abs(rm_ex["winsorized_mean"] - rm_ap["winsorized_mean"]) < 0.1
+
+    import pytest as _pytest
+    empty = spark.createDataFrame([], "x double, y int")
+    with _pytest.raises(ValueError):
+        quantile_bucketize(empty, "x", exact=False)
