@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 
-def describe(frame, percentiles=None):
+def describe(frame, percentiles=None, exact: bool = True):
     """Long-form describe: one row per numeric column with
     count/mean/std/min/<quantiles>/max. Long form (not pandas' wide
     form) so the schema is stable for the oracle compare.
@@ -19,7 +19,17 @@ def describe(frame, percentiles=None):
     ``percentiles`` (reference dask_expr/_describe.py parameter):
     quantile levels to report instead of the default
     (0.25, 0.5, 0.75); labels are q25/q50/q75-style (q5_5 for 0.055),
-    so the default schema is unchanged."""
+    so the default schema is unchanged.
+
+    ``exact=False`` (the 100 TB default to reach for): Spark's exact
+    ``percentile()`` buffers every value per column in one
+    aggregation buffer — with k numeric columns that is k full-column
+    buffers in a single task. The approx mode uses the native GK
+    sketch (``percentile_approx``, bounded state) — dask's own
+    describe is likewise approximate (dask_expr/_describe.py rides
+    partitionquantiles), so this mode IS the reference semantics;
+    exact stays the default only because the oracle compare needs
+    quantile_cont-parity doubles."""
     from dask_spark.frame import DaskFrame
 
     pcts = (
@@ -42,8 +52,9 @@ def describe(frame, percentiles=None):
             F.stddev_samp(c).alias(f"{c}__std"),
             F.min(c).cast("double").alias(f"{c}__min"),
             *[
-                F.percentile(c, F.lit(p)).cast("double")
-                .alias(f"{c}__{lab}")
+                (F.percentile(c, F.lit(p)) if exact
+                 else F.percentile_approx(c, F.lit(p), F.lit(10000)))
+                .cast("double").alias(f"{c}__{lab}")
                 for p, lab in zip(pcts, labels)
             ],
             F.max(c).cast("double").alias(f"{c}__max"),
@@ -347,6 +358,25 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
 
     def rank2(col):
         g = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        if not exact:
+            # binned mode: <= bins distinct values by construction —
+            # the per-value counts COLLECT and rank driver-side (the
+            # histogram_quantiles collect contract), replacing the
+            # distributed prefix-scan machinery (range-cut sampling +
+            # per-bucket windows + offset combine: ~4 jobs each) with
+            # one tiny broadcast join. Same integers, same hashes;
+            # corr_spearman_binned 3.9s -> the join cost alone.
+            rows = sorted(g.collect(), key=lambda r: r[col])
+            out, cum = [], 0
+            for r in rows:
+                c = int(r["__c"])
+                cum += c
+                out.append((r[col], 2 * cum - c + 1))
+            spark = base.sparkSession
+            small = spark.createDataFrame(
+                out, f"{col} double, __r{col} bigint"
+            ) if rows and isinstance(rows[0][col], float) else                 spark.createDataFrame(out, f"{col} bigint, __r{col} bigint")
+            return F.broadcast(small)
         cum = cumulative(
             DaskFrame(g), "__c", "sum", order_by=col, out="__cum"
         )._sdf
@@ -511,14 +541,31 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6,
             ).cast("double")
         base = base.select(bucket.alias("__s"), "__y")
     g = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
-    cum = cumulative(
-        DaskFrame(g), "__c", "sum", order_by="__s", out="__cum"
-    )._sdf
-    ranks = cum.select(
-        "__s",
-        (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
-        .cast("decimal(38,0)").alias("__r2"),
-    )
+    if not exact:
+        # <= bins distinct bucket ids: collect + rank driver-side and
+        # broadcast back (the spearman binned-mode shape) instead of
+        # the distributed prefix-scan machinery
+        rows_ = sorted(g.collect(), key=lambda r: r["__s"])
+        out_, cum_ = [], 0
+        for r in rows_:
+            c = int(r["__c"])
+            cum_ += c
+            out_.append((float(r["__s"]), 2 * cum_ - c + 1))
+        small = sdf.sparkSession.createDataFrame(
+            out_, "__s double, __r2i bigint"
+        )
+        ranks = F.broadcast(small.select(
+            "__s", F.col("__r2i").cast("decimal(38,0)").alias("__r2")
+        ))
+    else:
+        cum = cumulative(
+            DaskFrame(g), "__c", "sum", order_by="__s", out="__cum"
+        )._sdf
+        ranks = cum.select(
+            "__s",
+            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+            .cast("decimal(38,0)").alias("__r2"),
+        )
     row = base.join(ranks, "__s").agg(
         F.sum(F.when(F.col("__y") == 1, F.col("__r2"))).alias("rp"),
         F.sum((F.col("__y") == 1).cast("bigint")).alias("np"),

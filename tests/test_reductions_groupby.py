@@ -850,3 +850,30 @@ def test_skew_safe_nunique_exact(spark):
         assert got == want, b
     with pytest.raises(ValueError, match="buckets"):
         skew_safe_nunique(sdf, "k", "v", buckets=0)
+
+
+def test_describe_approx_mode(spark, tables):
+    """describe(exact=False) rides the GK sketch (percentile_approx,
+    bounded state — dask's own describe semantics): same schema, same
+    count/mean/min/max, quantiles within sketch tolerance of exact."""
+    from dask_spark.operators.reductions import describe
+
+    li = tables["lineitem"]
+    ex = {r["column"]: r for r in describe(li).to_spark().collect()}
+    ap = {r["column"]: r
+          for r in describe(li, exact=False).to_spark().collect()}
+    assert set(ex) == set(ap)
+    pdf = li.compute()
+    for c in ex:
+        assert ex[c]["count"] == ap[c]["count"]
+        assert ex[c]["min"] == ap[c]["min"]
+        assert ex[c]["max"] == ap[c]["max"]
+        s = pdf[c].dropna()
+        for p, lab in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            a = ap[c][lab]
+            # GK returns an ORDER STATISTIC with rank error <= eps*n
+            # (not an interpolated value) — assert it lies within the
+            # exact quantile envelope at p +/- 1% rank slack
+            lo = s.quantile(max(p - 0.01, 0.0), interpolation="lower")
+            hi = s.quantile(min(p + 0.01, 1.0), interpolation="higher")
+            assert lo - 1e-9 <= a <= hi + 1e-9, (c, lab, a, lo, hi)
