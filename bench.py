@@ -154,6 +154,10 @@ HEADLINE = [
     "reduce_gini_binned",     # block-mean fold over <= bins rows
     "drift_ks_binned",        # shared-grid KS, <= bins collect
     "value_counts_norm",      # normalize off the unpartitioned window
+    "ml_auc_binned",          # quantized-ROC rank AUC, bins-bounded
+    "ml_calibration",         # reliability cells, one bins-key agg
+    "ml_ece",                 # bucket-ordered driver fold
+    "dt_tz_ops",              # tz localize/convert local-hour profile
 ]
 
 

@@ -139,7 +139,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
         "(r * w) div outdeg" if weight_col is not None else "r div outdeg"
     )
     ranks = nodes.select("node", init.alias("r"))
-    for _ in range(int(iters)):
+    n_it = int(iters)
+    for i in range(n_it):
         contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
             "dst", F.expr(contrib_expr).alias("c")
         )
@@ -151,7 +152,13 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
             ranks = nodes.join(
                 insum, nodes["node"] == insum["dst"], "left"
             ).select("node", (tele_expr() + damp).alias("r"))
-        ranks = ranks.localCheckpoint(eager=False)
+        # lineage truncation every 3 rounds, never after the last:
+        # each lazy checkpoint still materializes as its own job at
+        # action time (a whole-job scheduling floor), and ranks is
+        # single-referenced per iteration, so shallow chains are safe
+        # to leave fused — 3-iteration pagerank runs as ONE job now
+        if (i + 1) % 3 == 0 and (i + 1) < n_it:
+            ranks = ranks.localCheckpoint(eager=False)
     return DaskFrame(ranks.select("node", F.col("r").alias("rank")))
 
 

@@ -372,3 +372,86 @@ def test_dsir_scores_match_bruteforce(spark, corpus, tsel):
         # python round() and Spark's shortest-decimal HALF_UP differ
         assert abs(got.loc[i, "dsir_logweight"] - lw) <= 5.001e-7, \
             (i, corpus)
+
+
+# ---------------- r12 binned escalation modes: invariants -------------------
+
+
+@settings(**SETTINGS)
+@given(
+    ref=st.lists(st.integers(-30, 30), min_size=2, max_size=120),
+    cur=st.lists(st.integers(-30, 30), min_size=2, max_size=120),
+    bins=st.sampled_from([4, 16, 64]),
+)
+def test_binned_ks_never_exceeds_exact(spark, ref, cur, bins):
+    """For ANY two multisets and ANY bin count, the binned D evaluates
+    the exact CDF difference on a SUBSET of points — so d_stat_binned
+    <= d_stat_exact, and with bins > value range they are equal."""
+    from dask_spark.operators.monitor import ks_drift
+
+    def mk(vals):
+        return spark.createDataFrame([(float(v),) for v in vals],
+                                     "x double")
+
+    exact = ks_drift(mk(ref), mk(cur), "x").to_spark().first()
+    binned = ks_drift(mk(ref), mk(cur), "x", exact=False,
+                      bins=bins).to_spark().first()
+    assert binned["d_stat"] <= exact["d_stat"] + 1e-12
+    wide = ks_drift(mk(ref), mk(cur), "x", exact=False,
+                    bins=4096).to_spark().first()
+    assert wide["d_num"] == exact["d_num"]
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(st.integers(0, 40), min_size=3, max_size=120),
+)
+def test_binned_spearman_bounds_and_convergence(spark, xs):
+    """rho stays in [-1, 1]; on integer-spaced data with bins > range,
+    binned == exact bit-for-bit; a strictly monotone map preserves
+    exact rho == 1 against itself."""
+    from dask_spark.operators.reductions import spearman_corr
+
+    ys = [(x * 3 + 7) % 41 for x in xs]
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)],
+        "x double, y double",
+    )
+    exact = spearman_corr(df, "x", "y").to_spark().first()
+    fine = spearman_corr(df, "x", "y", exact=False,
+                         bins=65536).to_spark().first()
+    assert fine["rho"] == exact["rho"] and fine["n"] == exact["n"]
+    if exact["rho"] is not None:
+        assert -1.0 <= exact["rho"] <= 1.0
+    mono = spark.createDataFrame(
+        [(float(x), float(2 * x + 1)) for x in sorted(set(xs))],
+        "x double, y double",
+    )
+    if len(set(xs)) >= 2:
+        assert spearman_corr(mono, "x", "y", exact=False,
+                             bins=65536).to_spark().first()["rho"] == 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=2, max_size=100),
+)
+def test_binned_gini_in_range_and_converges(spark, vals):
+    """Gini stays in [0, 1); fine bins reproduce exact to 1e-9 (the
+    block-mean formula degenerates to the rank formula when every
+    per-key total has its own bucket)."""
+    from dask_spark.operators.monitor import gini_coefficient
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "k bigint, v double",
+    )
+    exact = gini_coefficient(df, "v", "k").to_spark().first()
+    fine = gini_coefficient(df, "v", "k", exact=False,
+                            bins=1 << 21).to_spark().first()
+    if exact["gini"] is None:
+        assert fine["gini"] is None
+    else:
+        assert 0.0 <= exact["gini"] < 1.0
+        assert abs(fine["gini"] - exact["gini"]) < 1e-9
+    assert fine["n_keys"] == exact["n_keys"]
