@@ -158,6 +158,9 @@ HEADLINE = [
     "ml_calibration",         # reliability cells, one bins-key agg
     "ml_ece",                 # bucket-ordered driver fold
     "dt_tz_ops",              # tz localize/convert local-hour profile
+    "dt_isocalendar",         # ISO triple extraction + bounded group
+    "dt_round",               # half-even epoch rounding, bucket count
+    "dt_timedelta_parts",     # keyed lag + interval part arithmetic
 ]
 
 

@@ -11083,6 +11083,136 @@ def ml_ece(spark, sf_dir):
     ).to_spark()
 
 
+@q(
+    "dt_isocalendar",
+    """
+    SELECT isoyear(o_orderdate)::INT AS year,
+           week(o_orderdate)::INT AS week,
+           isodow(o_orderdate)::INT AS day,
+           count(*)::BIGINT AS n
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def dt_isocalendar(spark, sf_dir):
+    """ISO-8601 calendar triple in-plan (the r12 dt-tail surface):
+    YEAROFWEEK extraction + ISO week + Monday=1 weekday, one bounded
+    groupBy — DuckDB's isoyear/week/isodow replay the same ISO rules,
+    including the year-boundary weeks where calendar year and ISO
+    year differ (frame.py DtAccessor.isocalendar)."""
+    from dask_spark.frame import DaskFrame
+
+    o = load(spark, sf_dir, "orders")
+    iso = o["o_orderdate"].dt.isocalendar()
+    return (
+        iso._sdf.groupBy("year", "week", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("year").cast("int"), F.col("week").cast("int"),
+                F.col("day").cast("int"), "n")
+    )
+
+
+@q(
+    "dt_round",
+    """
+    WITH e AS (
+      SELECT epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
+    ), r AS (
+      SELECT CASE WHEN (us - (us // 900000000) * 900000000) * 2
+                       > 900000000
+                    OR ((us - (us // 900000000) * 900000000) * 2
+                        = 900000000
+                        AND ((us // 900000000) % 2) != 0)
+                  THEN (us // 900000000 + 1) * 900000000
+                  ELSE (us // 900000000) * 900000000 END AS rus
+      FROM e
+    )
+    SELECT make_timestamp(rus) AS bucket, count(*)::BIGINT AS n
+    FROM r GROUP BY 1
+    """,
+)
+def dt_round(spark, sf_dir):
+    """.dt.round('15min') in-plan: epoch arithmetic with pandas'
+    half-to-even tie rule (the bucket parity term in both engines —
+    the oracle spells out the same floor-div/remainder/parity chain),
+    one bounded groupBy over the 15-minute buckets (frame.py
+    DtAccessor.round)."""
+    e = load(spark, sf_dir, "events")
+    rounded = e["ts"].dt.round("15min")
+    return (
+        e._sdf.select(rounded._expr.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "dt_timedelta_parts",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS us
+      FROM events WHERE ts IS NOT NULL
+    ), p AS (
+      SELECT user_id,
+             us // 86400000000 AS days,
+             (us - (us // 86400000000) * 86400000000) // 1000000
+               AS seconds,
+             us - (us // 1000000) * 1000000 AS microseconds,
+             us
+      FROM d WHERE us IS NOT NULL
+    )
+    SELECT CAST(days AS BIGINT) AS days,
+           count(*)::BIGINT AS n,
+           CAST(SUM(seconds) AS BIGINT) AS sum_seconds,
+           CAST(SUM(microseconds) AS BIGINT) AS sum_micros,
+           round(CAST(SUM(us) AS BIGINT)::DOUBLE / 1000000.0, 6)
+             AS sum_total_seconds
+    FROM p GROUP BY 1
+    """,
+)
+def dt_timedelta_parts(spark, sf_dir):
+    """Timedelta accessor surface in-plan (the r12 dt tail): per-user
+    inter-event gaps as day-time intervals, then .dt.days /
+    .dt.seconds / .dt.microseconds / .dt.total_seconds() — pandas'
+    floored-days + non-negative-remainder split derived from exact
+    signed total microseconds (unix_micros(epoch + interval)); the
+    oracle replays the identical floor-div arithmetic on epoch
+    diffs. One keyed lag window + one days-bounded rollup
+    (frame.py DtAccessor timedelta properties)."""
+    from pyspark.sql import Window
+
+    from dask_spark.frame import DaskFrame
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = e._sdf.filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    df = DaskFrame(staged)
+    delta = df["ts"] - df["prev"]
+    # total_seconds sums via the EXACT integer microsecond total +
+    # one division — a double sum would be addition-order-dependent
+    # across partitions (the engine's float-sum rule)
+    us = F.unix_micros(F.timestamp_seconds(F.lit(0)) + delta._expr)
+    out = staged.select(
+        delta.dt.days._expr.alias("days"),
+        delta.dt.seconds._expr.alias("seconds"),
+        delta.dt.microseconds._expr.alias("micros"),
+        us.alias("us"),
+    )
+    return (
+        out.groupBy("days")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("seconds").cast("bigint").alias("sum_seconds"),
+             F.sum("micros").cast("bigint").alias("sum_micros"),
+             F.round(
+                 F.sum("us").cast("bigint").cast("double")
+                 / F.lit(1_000_000.0), 6,
+             ).alias("sum_total_seconds"))
+    )
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
@@ -11248,7 +11378,7 @@ REGISTRY = {
 # modes + value_counts_norm (its normalize path moved off the
 # unpartitioned window this round) to the very front; everything
 # driver-green keeps its relative order behind them.
-_R12_FRONT = ['ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
+_R12_FRONT = ['dt_timedelta_parts', 'dt_isocalendar', 'dt_round', 'ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R12_FRONT if n in REGISTRY},
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},
