@@ -161,6 +161,8 @@ HEADLINE = [
     "dt_isocalendar",         # ISO triple extraction + bounded group
     "dt_round",               # half-even epoch rounding, bucket count
     "dt_timedelta_parts",     # keyed lag + interval part arithmetic
+    "ml_auc_by_group",        # group-keyed rank AUC, in-plan close
+    "warehouse_skew_report",  # key-bounded count + top-k + totals
 ]
 
 

@@ -505,3 +505,56 @@ def scd2_intervals(observations, key: str, attr: str, ts_col: str):
         F.lead("valid_from").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
     return DaskFrame(out)
+
+
+def key_skew_report(frame, key_col: str, top: int = 20):
+    """Join-key skew diagnostic → DaskFrame(key, n, share, cum_share,
+    skew_ratio), the ``top`` heaviest keys by row count — the
+    pre-flight check before a big equi-join: a key carrying 10% of a
+    100 TB fact table makes one reducer process 10 TB, and THIS table
+    tells you whether to reach for salted_join / AQE skew-join and
+    what salt factor to size (skew_ratio = n / mean-rows-per-key is
+    the natural salt lower bound for the offending keys).
+
+    100 TB shape: ONE key-bounded count aggregate (map-side combined)
+    + a TakeOrdered top-k (never a global sort) + one scalar totals
+    aggregate broadcast back; the window computing cum_share runs
+    over ≤ ``top`` rows pinned to a literal partition key — bounded
+    by construction, not by data. All ratios are deterministic
+    divisions of exact int64 counts, oracle-replayable."""
+    from dask_spark.frame import DaskFrame
+
+    t = int(top)
+    if t < 1:
+        raise ValueError(f"top must be >= 1, got {t}")
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    counts = (
+        sdf.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = counts.agg(
+        F.sum("n").cast("bigint").alias("__rows"),
+        F.count(F.lit(1)).cast("bigint").alias("__keys"),
+    )
+    topk = counts.orderBy(F.col("n").desc(), F.col("key")).limit(t)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        topk.crossJoin(B(totals))
+        .select(
+            "key", "n",
+            F.round(F.col("n").cast("double")
+                    / F.col("__rows").cast("double"), 6).alias("share"),
+            F.round(F.sum("n").over(w).cast("double")
+                    / F.col("__rows").cast("double"), 6)
+            .alias("cum_share"),
+            F.round(F.col("n").cast("double") * F.col("__keys").cast("double")
+                    / F.col("__rows").cast("double"), 6)
+            .alias("skew_ratio"),
+        )
+    )
+    return DaskFrame(out)

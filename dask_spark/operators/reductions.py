@@ -772,3 +772,65 @@ def robust_mean(frame, col: str, lower: float = 0.05,
         "winsorized_mean double",
     )
     return DaskFrame(out)
+
+
+def roc_auc_by_group(frame, score_col: str, label_expr, group_col: str,
+                     round_dp: int = 6):
+    """Per-segment ROC-AUC → DaskFrame(group, auc, n_pos, n_neg), one
+    row per group — the fairness/segment readout beside the global
+    roc_auc ("does the quality score order positives as well for
+    low-resource languages as for English"). Single-class groups get
+    null auc, matching the global contract.
+
+    100 TB shape: one (group, score)-keyed count (map-side combined),
+    the tie-corrected integer rank 2·cum − c + 1 via a GROUP-KEYED
+    window (partitioned by group — parallel across groups, never the
+    keyless single-partition shape), one join back and one per-group
+    aggregate. The AUC closes IN-PLAN: the numerator subtracts in
+    exact DECIMAL(38,0) before the one double division, so the oracle
+    (HUGEINT arithmetic then ::DOUBLE) reproduces every bit."""
+    from pyspark.sql import Window
+
+    from dask_spark.frame import DaskFrame
+
+    sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
+    lab = label_expr if not isinstance(label_expr, str) \
+        else F.expr(label_expr)
+    base = (
+        sdf.filter(F.col(score_col).isNotNull()
+                   & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"),
+                F.col(score_col).cast("double").alias("__s"),
+                lab.cast("int").alias("__y"))
+        .filter(F.col("__y").isNotNull())
+    )
+    g = base.groupBy("__g", "__s").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("__g").orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranks = g.select(
+        "__g", "__s",
+        (F.lit(2) * F.sum("__c").over(w) - F.col("__c") + F.lit(1))
+        .cast("decimal(38,0)").alias("__r2"),
+    )
+    per = base.join(ranks, ["__g", "__s"]).groupBy("__g").agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__r2"))).alias("rp"),
+        F.sum((F.col("__y") == 1).cast("bigint")).alias("np"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    np_ = F.col("np")
+    nn = F.col("n") - np_
+    num = (
+        F.col("rp")
+        - (np_.cast("decimal(38,0)") * (np_ + 1).cast("decimal(38,0)"))
+    ).cast("double")
+    auc = F.when(
+        (np_ > 0) & (nn > 0),
+        F.round(num / (F.lit(2.0) * np_.cast("double")
+                       * nn.cast("double")), round_dp),
+    )
+    return DaskFrame(per.select(
+        F.col("__g").alias("group"), auc.alias("auc"),
+        np_.alias("n_pos"), nn.cast("bigint").alias("n_neg"),
+    ))

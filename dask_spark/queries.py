@@ -11213,6 +11213,91 @@ def dt_timedelta_parts(spark, sf_dir):
     )
 
 
+@q(
+    "warehouse_skew_report",
+    """
+    WITH counts AS (
+      SELECT l_suppkey AS key, count(*)::BIGINT AS n
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1
+    ), totals AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS rows_, count(*)::BIGINT AS keys_
+      FROM counts
+    ), topk AS (
+      SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20
+    )
+    SELECT key, n,
+           round(n::DOUBLE / totals.rows_::DOUBLE, 6) AS share,
+           round(CAST(SUM(n) OVER (ORDER BY n DESC, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT)::DOUBLE / totals.rows_::DOUBLE, 6)
+             AS cum_share,
+           round(n::DOUBLE * totals.keys_::DOUBLE
+                 / totals.rows_::DOUBLE, 6) AS skew_ratio
+    FROM topk, totals
+    """,
+)
+def warehouse_skew_report(spark, sf_dir):
+    """Join-key skew pre-flight: the 20 heaviest supplier keys in the
+    fact table with row share, cumulative share, and skew_ratio
+    (n / mean-rows-per-key — the natural salt-factor lower bound for
+    salted_join). One key-bounded count + TakeOrdered top-k + a
+    broadcast totals row; the cum_share window runs over <= top rows
+    pinned to a literal key (operators/joins.py key_skew_report)."""
+    from dask_spark.operators.joins import key_skew_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_suppkey", top=20).to_spark()
+
+
+@q(
+    "ml_auc_by_group",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        AND o_orderstatus IS NOT NULL
+    ), gc AS (
+      SELECT g, s, count(*)::BIGINT AS c FROM base GROUP BY 1, 2
+    ), r AS (
+      SELECT g, s,
+             (2 * SUM(c) OVER (PARTITION BY g ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - c + 1)::HUGEINT AS r2
+      FROM gc
+    ), agg AS (
+      SELECT base.g,
+             SUM(CASE WHEN y = 1 THEN r2 END) AS rp,
+             CAST(SUM(y) AS BIGINT) AS np,
+             count(*)::BIGINT AS n
+      FROM base JOIN r ON r.g = base.g AND r.s = base.s
+      GROUP BY base.g
+    )
+    SELECT g AS "group",
+           CASE WHEN np > 0 AND n - np > 0 THEN
+             round((rp - np::HUGEINT * (np + 1)::HUGEINT)::DOUBLE
+                   / (2.0 * np::DOUBLE * (n - np)::DOUBLE), 6)
+           END AS auc,
+           np AS n_pos, (n - np)::BIGINT AS n_neg
+    FROM agg
+    """,
+)
+def ml_auc_by_group(spark, sf_dir):
+    """Per-segment ROC-AUC (price as an order-completion score, cut by
+    priority): tie-corrected integer ranks via a GROUP-KEYED window
+    (parallel across groups — never the keyless single-partition
+    shape), AUC closing in-plan with the exact DECIMAL numerator
+    subtraction before one double division (operators/reductions.py
+    roc_auc_by_group)."""
+    from dask_spark.operators.reductions import roc_auc_by_group
+
+    o = load(spark, sf_dir, "orders")
+    return roc_auc_by_group(
+        o, "o_totalprice", "o_orderstatus = 'F'", "o_orderpriority"
+    ).to_spark()
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
@@ -11378,7 +11463,7 @@ REGISTRY = {
 # modes + value_counts_norm (its normalize path moved off the
 # unpartitioned window this round) to the very front; everything
 # driver-green keeps its relative order behind them.
-_R12_FRONT = ['dt_timedelta_parts', 'dt_isocalendar', 'dt_round', 'ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
+_R12_FRONT = ['ml_auc_by_group', 'warehouse_skew_report', 'dt_timedelta_parts', 'dt_isocalendar', 'dt_round', 'ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R12_FRONT if n in REGISTRY},
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},

@@ -4391,3 +4391,45 @@ def test_percentile_escalation_modes(spark):
     empty = spark.createDataFrame([], "x double, y int")
     with _pytest.raises(ValueError):
         quantile_bucketize(empty, "x", exact=False)
+
+
+def test_auc_by_group_matches_global_per_slice(spark):
+    """Each group's AUC equals the global roc_auc computed on that
+    slice alone; single-class groups get null."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.reductions import roc_auc, roc_auc_by_group
+
+    rows = []
+    for gi, g in enumerate(("a", "b", "c")):
+        for i in range(120):
+            score = float((i * (gi + 3)) % 60)
+            label = 1 if (i + gi) % 4 == 0 else 0
+            rows.append((g, score, label))
+    rows += [("d", float(i), 1) for i in range(10)]  # single-class
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r["group"]: r
+           for r in roc_auc_by_group(df, "s", "y = 1", "g")
+           .to_spark().collect()}
+    assert got["d"]["auc"] is None
+    for g in ("a", "b", "c"):
+        sl = df.filter(F.col("g") == g)
+        exp = roc_auc(sl, "s", "y = 1").to_spark().first()
+        assert got[g]["auc"] == exp["auc"]
+        assert (got[g]["n_pos"], got[g]["n_neg"]) == \
+            (exp["n_pos"], exp["n_neg"])
+
+
+def test_key_skew_report_values(spark):
+    """Shares/ratios from a known skew: one key carries half the rows."""
+    from dask_spark.operators.joins import key_skew_report
+
+    rows = [(0,)] * 50 + [(k,) for k in range(1, 51)]
+    df = spark.createDataFrame(rows, "k bigint")
+    out = key_skew_report(df, "k", top=3).to_spark().collect()
+    assert [r["key"] for r in out] == [0, 1, 2]
+    r0 = out[0]
+    assert r0["n"] == 50 and r0["share"] == 0.5
+    # 51 keys, 100 rows -> mean rows/key = 100/51; ratio = 50*51/100
+    assert r0["skew_ratio"] == 25.5
+    assert out[2]["cum_share"] == 0.52
