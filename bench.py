@@ -163,6 +163,7 @@ HEADLINE = [
     "dt_timedelta_parts",     # keyed lag + interval part arithmetic
     "ml_auc_by_group",        # group-keyed rank AUC, in-plan close
     "warehouse_skew_report",  # key-bounded count + top-k + totals
+    "drift_psi_multi",        # k-feature sweep: 2+1 scans for any k
 ]
 
 

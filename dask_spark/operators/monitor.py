@@ -1014,3 +1014,97 @@ def rate_with_wilson(events, flag_expr, ts_col: str = "ts",
         .alias("hi"),
     )
     return DaskFrame(out)
+
+
+def psi_drift_multi(reference, current, cols, bins: int = 20):
+    """Feature-sweep PSI → DaskFrame(column, psi, n_ref, n_cur,
+    n_buckets), one row per monitored column — the production drift
+    monitor checks EVERY feature per ingest batch, and running
+    psi_drift k times costs 2k scans. This sweep is scan-bounded:
+    ONE reference stats aggregate (min/max/count for all k columns),
+    then ONE exploded (column, bucket) count per side — 2 + 1 scans
+    total for any k, exchanges ≤ k·bins rows.
+
+    Per-column arithmetic is EXACTLY psi_drift's (reference-anchored
+    buckets, tail clamping, Laplace-smoothed shares, bucket-ordered
+    left-to-right fold), so each row matches the single-column op
+    bit-for-bit (pinned in tests). Columns with an empty reference
+    get a null psi row instead of the single-column op's raise — a
+    sweep must not die on one dead feature."""
+    import math
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    cols = list(cols)
+    if not cols:
+        raise ValueError("psi_drift_multi: no columns given")
+    ref = reference._sdf if isinstance(reference, DaskFrame) else reference
+    cur = current._sdf if isinstance(current, DaskFrame) else current
+    B = int(bins)
+    stats_aggs = []
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        stats_aggs += [
+            F.min(x).alias(f"__mn_{i}"),
+            F.max(x).alias(f"__mx_{i}"),
+            F.count(x).alias(f"__n_{i}"),
+        ]
+    stats_row = ref.agg(*stats_aggs).first()
+    widths, mins, n_refs = {}, {}, {}
+    for i, c in enumerate(cols):
+        n = int(stats_row[f"__n_{i}"] or 0)
+        n_refs[i] = n
+        if n:
+            mn = float(stats_row[f"__mn_{i}"])
+            mx = float(stats_row[f"__mx_{i}"])
+            mins[i] = mn
+            widths[i] = (mx - mn) / B if mx > mn else 1.0
+
+    def side_counts(sdf) -> dict[tuple[int, int], int]:
+        structs = []
+        for i, c in enumerate(cols):
+            if i not in mins:
+                continue
+            x = F.col(c).cast("double")
+            b = F.least(
+                F.greatest(
+                    F.floor((x - F.lit(mins[i])) / F.lit(widths[i])),
+                    F.lit(0),
+                ),
+                F.lit(B - 1),
+            ).cast("int")
+            structs.append(F.struct(
+                F.lit(i).alias("i"),
+                F.when(x.isNotNull(), b).alias("b"),
+            ))
+        if not structs:
+            return {}
+        rows = (
+            sdf.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.i", "s.b").filter(F.col("b").isNotNull())
+            .groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {(r["i"], r["b"]): int(r["c"]) for r in rows}
+
+    rc = side_counts(ref)
+    cc = side_counts(cur)
+    out_rows = []
+    for i, c in enumerate(cols):
+        n_ref = n_refs[i]
+        n_cur = sum(v for (j, _), v in cc.items() if j == i)
+        if not n_ref or not n_cur:
+            out_rows.append((c, None, n_ref, n_cur, B))
+            continue
+        psi = 0.0
+        for b in range(B):
+            p = (rc.get((i, b), 0) + 0.5) / (n_ref + 0.5 * B)
+            q = (cc.get((i, b), 0) + 0.5) / (n_cur + 0.5 * B)
+            psi = psi + (p - q) * math.log(p / q)
+        out_rows.append((c, round(psi, 6), n_ref, n_cur, B))
+    spark = ref.sparkSession
+    return DaskFrame(spark.createDataFrame(
+        out_rows,
+        "column string, psi double, n_ref bigint, n_cur bigint, "
+        "n_buckets int",
+    ))

@@ -11298,6 +11298,153 @@ def ml_auc_by_group(spark, sf_dir):
     ).to_spark()
 
 
+@q(
+    "drift_psi_multi",
+    """
+    WITH ref AS (
+      SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+      WHERE l_shipdate < DATE '1996-01-01'
+    ), cur AS (
+      SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+    )
+    , st_l_quantity AS (
+      SELECT min(l_quantity::DOUBLE) AS mn, max(l_quantity::DOUBLE) AS mx,
+             count(l_quantity)::BIGINT AS n FROM ref
+    ), w_l_quantity AS (
+      SELECT mn, n,
+             CASE WHEN mx > mn THEN (mx - mn) / 16.0 ELSE 1.0 END AS wd
+      FROM st_l_quantity
+    ), rc_l_quantity AS (
+      SELECT LEAST(GREATEST(floor((l_quantity::DOUBLE - w_l_quantity.mn) / w_l_quantity.wd),
+                   0), 15)::INT AS b, count(*)::BIGINT AS c
+      FROM ref, w_l_quantity WHERE l_quantity IS NOT NULL GROUP BY 1
+    ), cc_l_quantity AS (
+      SELECT LEAST(GREATEST(floor((l_quantity::DOUBLE - w_l_quantity.mn) / w_l_quantity.wd),
+                   0), 15)::INT AS b, count(*)::BIGINT AS c
+      FROM cur, w_l_quantity WHERE l_quantity IS NOT NULL GROUP BY 1
+    ), n_l_quantity AS (
+      SELECT (SELECT n FROM st_l_quantity) AS n_ref,
+             (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM cc_l_quantity)
+               AS n_cur
+    ), terms_l_quantity AS (
+      SELECT g.b,
+             ((coalesce(rc.c, 0) + 0.5) / (n_l_quantity.n_ref + 8.0)
+              - (coalesce(cc.c, 0) + 0.5) / (n_l_quantity.n_cur + 8.0))
+             * ln(((coalesce(rc.c, 0) + 0.5) / (n_l_quantity.n_ref + 8.0))
+                  / ((coalesce(cc.c, 0) + 0.5) / (n_l_quantity.n_cur + 8.0)))
+               AS v
+      FROM generate_series(0, 15) AS g(b)
+      LEFT JOIN rc_l_quantity rc ON rc.b = g.b
+      LEFT JOIN cc_l_quantity cc ON cc.b = g.b, n_l_quantity
+    ), row_l_quantity AS (
+      SELECT 'l_quantity' AS "column",
+             round(list_reduce(list_prepend(0.0, list(v ORDER BY b)),
+                               (a, b) -> a + b), 6) AS psi,
+             (SELECT n_ref FROM n_l_quantity) AS n_ref,
+             (SELECT n_cur FROM n_l_quantity) AS n_cur,
+             16::INT AS n_buckets
+      FROM terms_l_quantity
+    )
+    , st_l_extendedprice AS (
+      SELECT min(l_extendedprice::DOUBLE) AS mn, max(l_extendedprice::DOUBLE) AS mx,
+             count(l_extendedprice)::BIGINT AS n FROM ref
+    ), w_l_extendedprice AS (
+      SELECT mn, n,
+             CASE WHEN mx > mn THEN (mx - mn) / 16.0 ELSE 1.0 END AS wd
+      FROM st_l_extendedprice
+    ), rc_l_extendedprice AS (
+      SELECT LEAST(GREATEST(floor((l_extendedprice::DOUBLE - w_l_extendedprice.mn) / w_l_extendedprice.wd),
+                   0), 15)::INT AS b, count(*)::BIGINT AS c
+      FROM ref, w_l_extendedprice WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ), cc_l_extendedprice AS (
+      SELECT LEAST(GREATEST(floor((l_extendedprice::DOUBLE - w_l_extendedprice.mn) / w_l_extendedprice.wd),
+                   0), 15)::INT AS b, count(*)::BIGINT AS c
+      FROM cur, w_l_extendedprice WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ), n_l_extendedprice AS (
+      SELECT (SELECT n FROM st_l_extendedprice) AS n_ref,
+             (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM cc_l_extendedprice)
+               AS n_cur
+    ), terms_l_extendedprice AS (
+      SELECT g.b,
+             ((coalesce(rc.c, 0) + 0.5) / (n_l_extendedprice.n_ref + 8.0)
+              - (coalesce(cc.c, 0) + 0.5) / (n_l_extendedprice.n_cur + 8.0))
+             * ln(((coalesce(rc.c, 0) + 0.5) / (n_l_extendedprice.n_ref + 8.0))
+                  / ((coalesce(cc.c, 0) + 0.5) / (n_l_extendedprice.n_cur + 8.0)))
+               AS v
+      FROM generate_series(0, 15) AS g(b)
+      LEFT JOIN rc_l_extendedprice rc ON rc.b = g.b
+      LEFT JOIN cc_l_extendedprice cc ON cc.b = g.b, n_l_extendedprice
+    ), row_l_extendedprice AS (
+      SELECT 'l_extendedprice' AS "column",
+             round(list_reduce(list_prepend(0.0, list(v ORDER BY b)),
+                               (a, b) -> a + b), 6) AS psi,
+             (SELECT n_ref FROM n_l_extendedprice) AS n_ref,
+             (SELECT n_cur FROM n_l_extendedprice) AS n_cur,
+             16::INT AS n_buckets
+      FROM terms_l_extendedprice
+    )
+    , st_l_discount AS (
+      SELECT min(l_discount::DOUBLE) AS mn, max(l_discount::DOUBLE) AS mx,
+             count(l_discount)::BIGINT AS n FROM ref
+    ), w_l_discount AS (
+      SELECT mn, n,
+             CASE WHEN mx > mn THEN (mx - mn) / 16.0 ELSE 1.0 END AS wd
+      FROM st_l_discount
+    ), rc_l_discount AS (
+      SELECT LEAST(GREATEST(floor((l_discount::DOUBLE - w_l_discount.mn) / w_l_discount.wd),
+                   0), 15)::INT AS b, count(*)::BIGINT AS c
+      FROM ref, w_l_discount WHERE l_discount IS NOT NULL GROUP BY 1
+    ), cc_l_discount AS (
+      SELECT LEAST(GREATEST(floor((l_discount::DOUBLE - w_l_discount.mn) / w_l_discount.wd),
+                   0), 15)::INT AS b, count(*)::BIGINT AS c
+      FROM cur, w_l_discount WHERE l_discount IS NOT NULL GROUP BY 1
+    ), n_l_discount AS (
+      SELECT (SELECT n FROM st_l_discount) AS n_ref,
+             (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM cc_l_discount)
+               AS n_cur
+    ), terms_l_discount AS (
+      SELECT g.b,
+             ((coalesce(rc.c, 0) + 0.5) / (n_l_discount.n_ref + 8.0)
+              - (coalesce(cc.c, 0) + 0.5) / (n_l_discount.n_cur + 8.0))
+             * ln(((coalesce(rc.c, 0) + 0.5) / (n_l_discount.n_ref + 8.0))
+                  / ((coalesce(cc.c, 0) + 0.5) / (n_l_discount.n_cur + 8.0)))
+               AS v
+      FROM generate_series(0, 15) AS g(b)
+      LEFT JOIN rc_l_discount rc ON rc.b = g.b
+      LEFT JOIN cc_l_discount cc ON cc.b = g.b, n_l_discount
+    ), row_l_discount AS (
+      SELECT 'l_discount' AS "column",
+             round(list_reduce(list_prepend(0.0, list(v ORDER BY b)),
+                               (a, b) -> a + b), 6) AS psi,
+             (SELECT n_ref FROM n_l_discount) AS n_ref,
+             (SELECT n_cur FROM n_l_discount) AS n_cur,
+             16::INT AS n_buckets
+      FROM terms_l_discount
+    )
+    SELECT * FROM row_l_quantity
+    UNION ALL SELECT * FROM row_l_extendedprice
+    UNION ALL SELECT * FROM row_l_discount
+    """,
+)
+def drift_psi_multi(spark, sf_dir):
+    """Feature-sweep PSI over three fact columns at once (pre-1996
+    shipments as the reference): ONE reference stats aggregate for
+    all columns + ONE exploded (column, bucket) count per side —
+    2+1 scans for any number of features where k single-column gates
+    pay 2k; per-column arithmetic is exactly psi_drift's, so each row
+    replays bit-for-bit (operators/monitor.py psi_drift_multi)."""
+    from dask_spark.operators.monitor import psi_drift_multi
+
+    li = load(spark, sf_dir, "lineitem")._sdf
+    ref = li.filter(F.col("l_shipdate") < "1996-01-01")
+    cur = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    return psi_drift_multi(
+        ref, cur, ["l_quantity", "l_extendedprice", "l_discount"],
+        bins=16,
+    ).to_spark()
+
+
 # ---- registry ordering --------------------------------------------------
 # The driver's correctness gate samples queries in dict order; r1+r2
 # each covered 50 entries. Float every query WITHOUT a driver-side
@@ -11463,7 +11610,7 @@ REGISTRY = {
 # modes + value_counts_norm (its normalize path moved off the
 # unpartitioned window this round) to the very front; everything
 # driver-green keeps its relative order behind them.
-_R12_FRONT = ['ml_auc_by_group', 'warehouse_skew_report', 'dt_timedelta_parts', 'dt_isocalendar', 'dt_round', 'ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
+_R12_FRONT = ['drift_psi_multi', 'ml_auc_by_group', 'warehouse_skew_report', 'dt_timedelta_parts', 'dt_isocalendar', 'dt_round', 'ml_calibration', 'ml_ece', 'dt_tz_ops', 'ml_auc_binned', 'corr_spearman_binned', 'reduce_gini_binned', 'drift_ks_binned', 'value_counts_norm', 'text_readability', 'multimodal_phash', 'corpus_negatives', 'embed_pair_hist', 'corpus_concentration', 'drift_benford', 'reduce_gini', 'ab_proportion', 'ml_mutual_info', 'drift_psi', 'drift_ks', 'drift_chi2', 'events_cusum', 'events_hourly_profile', 'events_error_rate', 'events_ewma', 'events_attribution', 'events_anomaly', 'events_theilsen', 'scd2_history', 'cdc_apply', 'join_salted', 'groupby_nunique_skewsafe', 'incremental_agg', 'events_trend', 'events_top_paths', 'events_stickiness', 'events_rolling_wau', 'events_time_to_convert', 'events_transitions', 'assoc_rules', 'assoc_triples', 'graph_triangles', 'graph_modularity', 'graph_jaccard', 'graph_bfs', 'graph_kcore', 'graph_clustering', 'text_trigram_perplexity', 'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes', 'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket', 'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb', 'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca', 'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs', 'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate', 'text_cms_heavy', 'embed_jl']
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R12_FRONT if n in REGISTRY},
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},

@@ -4433,3 +4433,38 @@ def test_key_skew_report_values(spark):
     # 51 keys, 100 rows -> mean rows/key = 100/51; ratio = 50*51/100
     assert r0["skew_ratio"] == 25.5
     assert out[2]["cum_share"] == 0.52
+
+
+def test_psi_drift_multi_matches_single(spark):
+    """Each sweep row equals the single-column psi_drift bit-for-bit;
+    an all-null column yields a null-psi row instead of killing the
+    sweep; empty column list raises."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.operators.monitor import psi_drift, psi_drift_multi
+
+    ref = spark.range(500).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        (F.col("id") % 13).cast("double").alias("b"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    cur = spark.range(400).select(
+        ((F.col("id") % 83) + 20).cast("double").alias("a"),
+        (F.col("id") % 17).cast("double").alias("b"),
+        F.lit(None).cast("double").alias("dead"),
+    )
+    multi = {r["column"]: r
+             for r in psi_drift_multi(ref, cur, ["a", "b", "dead"],
+                                      bins=16).to_spark().collect()}
+    for c in ("a", "b"):
+        single = psi_drift(ref.select(c), cur.select(c), c,
+                           bins=16).to_spark().first()
+        assert multi[c]["psi"] == single["psi"]
+        assert (multi[c]["n_ref"], multi[c]["n_cur"]) == \
+            (single["n_ref"], single["n_cur"])
+    assert multi["dead"]["psi"] is None
+    assert multi["dead"]["n_ref"] == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no columns"):
+        psi_drift_multi(ref, cur, [])
