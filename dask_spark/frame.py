@@ -484,12 +484,18 @@ class DtAccessor:
         step = n * secs
         e = self._e
         us = F.unix_micros(e.cast("timestamp"))
+        # exact long arithmetic throughout: floor(us/step) via double
+        # division loses integer precision past 2^53 µs (~year 2255 /
+        # far-negative), so derive the floored multiple from pmod and
+        # test quotient parity through a second pmod — mirroring the
+        # oracle's integer floor-div chain bit-for-bit at any epoch.
         step_us = F.lit(step * 1_000_000).cast("long")
-        q = F.floor(us / step_us).cast("long")
-        r = us - q * step_us
-        half = step_us / F.lit(2)
-        up = (r > half) | ((r == half) & (q % 2 != 0))
-        rounded = (q + F.when(up, 1).otherwise(0)) * step_us
+        r = F.pmod(us, step_us)          # in [0, step_us), exact
+        floored = us - r                 # == q * step_us, exact long
+        half = F.lit(step * 500_000).cast("long")
+        q_odd = F.pmod(floored, F.lit(step * 2_000_000).cast("long")) != 0
+        up = (r > half) | ((r == half) & q_odd)
+        rounded = floored + F.when(up, step_us).otherwise(F.lit(0))
         return self._wrap_ts(F.timestamp_micros(rounded))
 
     # ---- timezone surface (reference: dask_expr/_datetime.py:31-32
@@ -499,7 +505,7 @@ class DtAccessor:
         """The zone tag of an aware series, or None (pandas: .dt.tz)."""
         return getattr(self._s, "_tz", None)
 
-    def tz_localize(self, tz, ambiguous=True, nonexistent="shift_forward"):
+    def tz_localize(self, tz, ambiguous=True, nonexistent="shift_by_gap"):
         """Interpret naive wall-clock values as zone ``tz`` and return
         an aware series (stored as UTC instant + tag; engine NTZ
         policy keeps the physical column TIMESTAMP in the UTC
@@ -509,10 +515,13 @@ class DtAccessor:
         ambiguous fall-back times resolve to the EARLIER offset
         (== pandas ``ambiguous=True``); nonexistent spring-forward
         times shift forward BY THE GAP LENGTH (02:30 in a 1h gap →
-        03:30 local), where pandas ``nonexistent='shift_forward'``
-        snaps to the gap END (03:00). Tested at both boundaries in
-        tests/test_dt_tz.py. pandas' 'raise' modes are unsupported —
-        detecting them needs a per-row round-trip probe."""
+        03:30 local) — the engine names this mode 'shift_by_gap'.
+        pandas' ``nonexistent='shift_forward'`` snaps to the gap END
+        (03:00), different values, so passing the pandas name raises
+        instead of silently returning non-pandas semantics. Tested at
+        both boundaries in tests/test_dt_tz.py. pandas' 'raise' modes
+        are unsupported — detecting them needs a per-row round-trip
+        probe."""
         cur = getattr(self._s, "_tz", None)
         if tz is None:
             if cur is None:
@@ -531,12 +540,14 @@ class DtAccessor:
             raise TypeError(
                 f"Already tz-aware ({cur}); use tz_convert to convert"
             )
-        if ambiguous is not True or nonexistent != "shift_forward":
+        if ambiguous is not True or nonexistent != "shift_by_gap":
             raise NotImplementedError(
                 "JVM zone rules pin ambiguous=True / "
-                "nonexistent='shift_forward' (gap-length shift); other "
-                "pandas modes need per-row probes Spark cannot express "
-                "in one codegen expression"
+                "nonexistent='shift_by_gap' (shift forward by the gap "
+                "LENGTH: 02:30 in a 1h gap -> 03:30 local). pandas' "
+                "'shift_forward' (snap to gap END -> 03:00) and the "
+                "other pandas modes need per-row probes Spark cannot "
+                "express in one codegen expression"
             )
         out = Series(
             self._s._frame,
@@ -840,6 +851,18 @@ class Series:
         self._expr = expr
         self._name = name
 
+    def _tag_tz(self, out: "Series") -> "Series":
+        """Propagate the tz-awareness tag onto a derived series whose
+        values are still the same timestamps (fillna/where/clip/shift/
+        ts±offset). pandas keeps tz in the dtype so it survives these
+        automatically; here the tag rides the wrapper and every
+        value-preserving op must carry it forward, or .dt accessors
+        would silently fall back to UTC fields."""
+        tz = getattr(self, "_tz", None)
+        if tz is not None:
+            out._tz = tz
+        return out
+
     # ---- binary ops -------------------------------------------------
     def _bin(self, other, fn) -> "Series":
         return Series(self._frame, fn(self._expr, _col(other)), self._name)
@@ -847,6 +870,9 @@ class Series:
     def __add__(self, o):
         if isinstance(o, str):  # pandas: str + str concatenates
             return self._bin(o, lambda a, b: F.concat(a, b))
+        if not isinstance(o, Series):
+            # aware ts + offset stays aware (pandas: tz in the dtype)
+            return self._tag_tz(self._bin(o, lambda a, b: a + b))
         return self._bin(o, lambda a, b: a + b)
 
     def __radd__(self, o):
@@ -855,6 +881,10 @@ class Series:
         return self._bin(o, lambda a, b: b + a)
 
     def __sub__(self, o):
+        if not isinstance(o, Series):
+            # aware ts - offset stays aware; ts - ts (Series) is a
+            # timedelta and correctly drops the tag
+            return self._tag_tz(self._bin(o, lambda a, b: a - b))
         return self._bin(o, lambda a, b: a - b)
 
     def __rsub__(self, o):
@@ -907,6 +937,14 @@ class Series:
 
     def __neg__(self):
         return Series(self._frame, -self._expr, self._name)
+
+    def __bool__(self):
+        raise TypeError(
+            "The truth value of a Series is ambiguous — use "
+            ".any() / .all(), or compute() to pandas first "
+            "(pandas/dask raise here too; a silently-truthy lazy "
+            "column in an `if` is always a bug)"
+        )
 
     @property
     def name(self) -> str:
@@ -966,7 +1004,7 @@ class Series:
 
     # ---- elementwise ------------------------------------------------
     def alias(self, name: str) -> "Series":
-        return Series(self._frame, self._expr.alias(name), name)
+        return self._tag_tz(Series(self._frame, self._expr.alias(name), name))
 
     rename = alias
 
@@ -995,26 +1033,26 @@ class Series:
     notnull = notna
 
     def fillna(self, value) -> "Series":
-        return Series(
+        return self._tag_tz(Series(
             self._frame, F.coalesce(self._expr, _col(value)), self._name
-        )
+        ))
 
     def astype(self, dtype: str) -> "Series":
         return Series(self._frame, self._expr.cast(_SPARK_DTYPES.get(dtype, dtype)), self._name)
 
     def where(self, cond: "Series", other=None) -> "Series":
-        return Series(
+        return self._tag_tz(Series(
             self._frame,
             F.when(_col(cond), self._expr).otherwise(_col(other)),
             self._name,
-        )
+        ))
 
     def mask(self, cond: "Series", other=None) -> "Series":
-        return Series(
+        return self._tag_tz(Series(
             self._frame,
             F.when(~_col(cond), self._expr).otherwise(_col(other)),
             self._name,
-        )
+        ))
 
     def clip(self, lower=None, upper=None) -> "Series":
         e = self._expr
@@ -1022,7 +1060,7 @@ class Series:
             e = F.greatest(e, F.lit(lower))
         if upper is not None:
             e = F.least(e, F.lit(upper))
-        return Series(self._frame, e, self._name)
+        return self._tag_tz(Series(self._frame, e, self._name))
 
     def round(self, n: int = 0) -> "Series":
         return Series(self._frame, F.round(self._expr, n), self._name)
@@ -1487,14 +1525,24 @@ class Series:
         by the value itself — selecting it twice would leave two
         same-named columns and an AMBIGUOUS_REFERENCE downstream)."""
         carried = [c for c in extra if c != self._name]
+        col_tz = {
+            c: z for c, z in self._frame._col_tz.items() if c in carried
+        }
+        tz = getattr(self, "_tz", None)
+        if tz is not None:
+            col_tz[self._name] = tz
         return DaskFrame(
             self._frame._sdf.select(
                 *[F.col(c) for c in carried], self._expr.alias(self._name)
-            )
+            ),
+            col_tz,
         )
 
     def shift(self, periods: int = 1, order_by: str | None = None) -> "Series":
-        return self._frame_op("shift", order_by or self._name, periods=periods)
+        # shifted timestamps are the same instants — awareness survives
+        return self._tag_tz(
+            self._frame_op("shift", order_by or self._name, periods=periods)
+        )
 
     def diff(self, periods: int = 1, order_by: str | None = None) -> "Series":
         return self._frame_op("diff", order_by or self._name, periods=periods)
@@ -1551,8 +1599,11 @@ class Series:
         return self.to_frame().describe(percentiles)
 
     def to_frame(self, name: str | None = None) -> "DaskFrame":
+        tz = getattr(self, "_tz", None)
+        out_name = name or self._name
         return DaskFrame(
-            self._frame._sdf.select(self._expr.alias(name or self._name))
+            self._frame._sdf.select(self._expr.alias(out_name)),
+            {out_name: tz} if tz is not None else None,
         )
 
     # ---- FrameBase inheritance (reference: dask Series inherits the
@@ -1578,9 +1629,9 @@ class Series:
         from ``other`` — coalesce when both ride the same parent frame
         (map-only); key-aligned frames go through the frame twin."""
         if isinstance(other, Series) and other._frame is self._frame:
-            return Series(
+            return self._tag_tz(Series(
                 self._frame, F.coalesce(self._expr, other._expr), self._name
-            )
+            ))
         raise ValueError(
             "combine_first across frames needs a key: use "
             "frame.combine_first(other_frame, on=...)"
@@ -1730,10 +1781,30 @@ _SPARK_DTYPES = {
 
 class DaskFrame:
     """Lazy partitioned frame; the PySpark re-expression of
-    dask.dataframe.DataFrame (reference: dask_expr/_collection.py)."""
+    dask.dataframe.DataFrame (reference: dask_expr/_collection.py).
 
-    def __init__(self, sdf: SparkDF):
+    ``col_tz`` is per-column timezone metadata: the zone tag of every
+    tz-aware timestamp column (engine NTZ policy stores the UTC
+    instant; the tag is what makes it aware — pandas keeps it in the
+    dtype, Spark has no aware dtype, so the frame carries it). It is
+    written by __setitem__/assign when an aware Series is stored,
+    re-attached by __getitem__/__getattr__, and propagated through
+    the row-preserving frame ops via _derive — so round-tripping an
+    aware column through the frame cannot silently drop awareness."""
+
+    def __init__(self, sdf: SparkDF, col_tz: dict | None = None):
         self._sdf = sdf
+        self._col_tz = dict(col_tz) if col_tz else {}
+
+    def _derive(self, sdf: SparkDF) -> "DaskFrame":
+        """Child frame of a column-preserving transform: zone tags
+        survive for every column still present."""
+        if not self._col_tz:
+            return DaskFrame(sdf)
+        cols = set(sdf.columns)
+        return DaskFrame(
+            sdf, {c: z for c, z in self._col_tz.items() if c in cols}
+        )
 
     # ---- basic introspection -----------------------------------------
     @property
@@ -1757,25 +1828,51 @@ class DaskFrame:
     def __repr__(self):
         return f"<DaskFrame columns={self.columns}>"
 
+    def __dir__(self):
+        # columns are attribute-accessible, so they tab-complete
+        # (reference: dask FrameBase.__dir__ merges column names)
+        return sorted(set(super().__dir__()) | set(self._sdf.columns))
+
+    def __bool__(self):
+        raise TypeError(
+            "The truth value of a DaskFrame is ambiguous — use "
+            "len(df) > 0, or a reduction like .any()/.all() "
+            "(pandas/dask raise here too)"
+        )
+
     # ---- column access -----------------------------------------------
+    def _series(self, name: str) -> "Series":
+        out = Series(self, F.col(name), name)
+        tz = self._col_tz.get(name)
+        if tz is not None:
+            out._tz = tz
+        return out
+
     def __getitem__(self, key):
         if isinstance(key, str):
-            return Series(self, F.col(key), key)
+            return self._series(key)
         if isinstance(key, Series):  # boolean mask
-            return DaskFrame(self._sdf.filter(key._expr))
+            return self._derive(self._sdf.filter(key._expr))
         if isinstance(key, (list, tuple)):
-            return DaskFrame(self._sdf.select(*key))
+            return self._derive(self._sdf.select(*key))
         raise TypeError(f"unsupported key {key!r}")
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
             raise AttributeError(name)
         if name in self._sdf.columns:
-            return Series(self, F.col(name), name)
+            return self._series(name)
         raise AttributeError(name)
 
     def __setitem__(self, name: str, value):
         self._sdf = self._sdf.withColumn(name, _col(value))
+        # persist awareness: storing an aware Series tags the column;
+        # overwriting with anything naive clears a stale tag
+        tz = getattr(value, "_tz", None)
+        if tz is not None:
+            self._col_tz[name] = tz
+        else:
+            self._col_tz.pop(name, None)
 
     @property
     def iloc(self):
@@ -1793,52 +1890,63 @@ class DaskFrame:
     # ---- projection / mutation ----------------------------------------
     def assign(self, **kwargs) -> "DaskFrame":
         sdf = self._sdf
+        col_tz = dict(self._col_tz)
         for name, value in kwargs.items():
             if callable(value) and not isinstance(value, (Series, Column)):
-                value = value(DaskFrame(sdf))
+                value = value(DaskFrame(sdf, col_tz))
             sdf = sdf.withColumn(name, _col(value))
-        return DaskFrame(sdf)
+            tz = getattr(value, "_tz", None)
+            if tz is not None:
+                col_tz[name] = tz
+            else:
+                col_tz.pop(name, None)
+        return DaskFrame(sdf, col_tz)
 
     def drop(self, columns: str | Sequence[str]) -> "DaskFrame":
         cols = [columns] if isinstance(columns, str) else list(columns)
-        return DaskFrame(self._sdf.drop(*cols))
+        return self._derive(self._sdf.drop(*cols))
 
     def rename(self, columns: Mapping[str, str]) -> "DaskFrame":
         sdf = self._sdf
+        col_tz = dict(self._col_tz)
         for old, new in columns.items():
             sdf = sdf.withColumnRenamed(old, new)
-        return DaskFrame(sdf)
+            if old in col_tz:
+                col_tz[new] = col_tz.pop(old)
+        return DaskFrame(sdf, col_tz)
 
     def astype(self, dtypes: Mapping[str, str]) -> "DaskFrame":
         sdf = self._sdf
+        col_tz = dict(self._col_tz)
         for c, dt in dtypes.items():
             sdf = sdf.withColumn(c, F.col(c).cast(_SPARK_DTYPES.get(dt, dt)))
-        return DaskFrame(sdf)
+            col_tz.pop(c, None)  # recast column is no longer tagged
+        return DaskFrame(sdf, col_tz)
 
     # ---- filtering -----------------------------------------------------
     def query(self, expr: str) -> "DaskFrame":
-        return DaskFrame(self._sdf.filter(expr))
+        return self._derive(self._sdf.filter(expr))
 
     def filter(self, cond: "Series | str") -> "DaskFrame":
-        return DaskFrame(self._sdf.filter(_col(cond) if isinstance(cond, Series) else cond))
+        return self._derive(self._sdf.filter(_col(cond) if isinstance(cond, Series) else cond))
 
     def isin_filter(self, column: str, values: Iterable) -> "DaskFrame":
-        return DaskFrame(self._sdf.filter(F.col(column).isin(list(values))))
+        return self._derive(self._sdf.filter(F.col(column).isin(list(values))))
 
     # ---- NA handling -----------------------------------------------------
     def fillna(self, value) -> "DaskFrame":
-        return DaskFrame(self._sdf.fillna(value))
+        return self._derive(self._sdf.fillna(value))
 
     def dropna(self, subset: Sequence[str] | None = None, how: str = "any",
                thresh: int | None = None) -> "DaskFrame":
         """pandas semantics incl. ``thresh`` (keep rows with ≥ thresh
         non-null values) — Spark dropna supports it natively."""
         if thresh is not None:
-            return DaskFrame(self._sdf.dropna(thresh=thresh, subset=subset))
-        return DaskFrame(self._sdf.dropna(how=how, subset=subset))
+            return self._derive(self._sdf.dropna(thresh=thresh, subset=subset))
+        return self._derive(self._sdf.dropna(how=how, subset=subset))
 
     def replace(self, to_replace, value) -> "DaskFrame":
-        return DaskFrame(self._sdf.replace(to_replace, value))
+        return self._derive(self._sdf.replace(to_replace, value))
 
     # ---- dedup / sorting -------------------------------------------------
     def drop_duplicates(self, subset: Sequence[str] | None = None, keep: str = "any") -> "DaskFrame":
@@ -1864,7 +1972,7 @@ class DaskFrame:
             (F.col(c).desc_nulls_last() if last else F.col(c).desc_nulls_first())
             for c, a in zip(by, asc)
         ]
-        return DaskFrame(self._sdf.orderBy(*cols))
+        return self._derive(self._sdf.orderBy(*cols))
 
     def nlargest(self, n: int, columns: str | Sequence[str]) -> "DaskFrame":
         return self.sort_values(columns, ascending=False).head_frame(n)
@@ -1909,7 +2017,7 @@ class DaskFrame:
 
     # ---- sampling / limits -------------------------------------------------
     def head_frame(self, n: int = 5) -> "DaskFrame":
-        return DaskFrame(self._sdf.limit(n))
+        return self._derive(self._sdf.limit(n))
 
     def tail(self, n: int = 5):
         """Last n rows (driver-side action, like dask tail on the last
@@ -2370,7 +2478,7 @@ class DaskFrame:
     # ---- misc parity (reference _collection.py: copy/reset_index/
     # squeeze/pop/get_partition/itertuples/info/nbytes/where/mask) ---------
     def copy(self) -> "DaskFrame":
-        return DaskFrame(self._sdf)  # plans are immutable — free copy
+        return self._derive(self._sdf)  # plans are immutable — free copy
 
     def reset_index(self, drop: bool = True) -> "DaskFrame":
         return self  # no materialized index; alignment is by key columns
@@ -2953,7 +3061,7 @@ class DaskFrame:
         return self._sdf.toPandas()
 
     def persist(self, **kwargs) -> "DaskFrame":
-        return DaskFrame(self._sdf.cache())
+        return self._derive(self._sdf.cache())
 
     def checkpoint(self, eager: bool = True) -> "DaskFrame":
         """Truncate lineage (localCheckpoint): the plan so far is
@@ -2962,7 +3070,7 @@ class DaskFrame:
         collection to cut a deep graph — essential for iterative
         algorithms (the connected-components loop does exactly this
         per round to stop O(rounds) plan growth)."""
-        return DaskFrame(self._sdf.localCheckpoint(eager=eager))
+        return self._derive(self._sdf.localCheckpoint(eager=eager))
 
     def visualize(self, filename: str | None = None, mode: str = "formatted") -> str:
         """dask renders the task graph; the Spark-native equivalent of
@@ -3117,7 +3225,9 @@ class _ILoc:
             cols = [cols]
         elif isinstance(cols, slice):
             cols = list(range(*cols.indices(len(names))))
-        return DaskFrame(self._frame._sdf.select(*[names[i] for i in cols]))
+        return self._frame._derive(
+            self._frame._sdf.select(*[names[i] for i in cols])
+        )
 
 
 class _Loc:
@@ -3132,7 +3242,7 @@ class _Loc:
             rows, cols = key, None
         idx = getattr(frame, "_index_col", None)
         if isinstance(rows, Series):
-            frame = DaskFrame(frame._sdf.filter(rows._expr))
+            frame = frame._derive(frame._sdf.filter(rows._expr))
         elif isinstance(rows, slice) and rows == slice(None):
             pass
         elif isinstance(rows, slice) and idx is not None:
@@ -3149,11 +3259,11 @@ class _Loc:
                 hi = F.col(idx) <= rows.stop
                 cond = hi if cond is None else (cond & hi)
             if cond is not None:
-                frame = DaskFrame(frame._sdf.filter(cond))
+                frame = frame._derive(frame._sdf.filter(cond))
         elif idx is not None and not isinstance(rows, (slice, list, tuple)):
-            frame = DaskFrame(frame._sdf.filter(F.col(idx) == rows))
+            frame = frame._derive(frame._sdf.filter(F.col(idx) == rows))
         elif idx is not None and isinstance(rows, (list, tuple)):
-            frame = DaskFrame(frame._sdf.filter(F.col(idx).isin(list(rows))))
+            frame = frame._derive(frame._sdf.filter(F.col(idx).isin(list(rows))))
         else:
             raise TypeError(
                 "loc rows must be a boolean Series, ':', or (after "
@@ -3161,7 +3271,7 @@ class _Loc:
             )
         if cols is not None:
             cols = [cols] if isinstance(cols, str) else list(cols)
-            frame = DaskFrame(frame._sdf.select(*cols))
+            frame = frame._derive(frame._sdf.select(*cols))
         return frame
 
 

@@ -372,10 +372,12 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
                 c = int(r["__c"])
                 cum += c
                 out.append((r[col], 2 * cum - c + 1))
+            # bucket ids are bigint by construction (width_bucket /
+            # floor output), so the rank table schema is fixed
             spark = base.sparkSession
             small = spark.createDataFrame(
-                out, f"{col} double, __r{col} bigint"
-            ) if rows and isinstance(rows[0][col], float) else                 spark.createDataFrame(out, f"{col} bigint, __r{col} bigint")
+                out, f"{col} bigint, __r{col} bigint"
+            )
             return F.broadcast(small)
         cum = cumulative(
             DaskFrame(g), "__c", "sum", order_by=col, out="__cum"
@@ -606,9 +608,11 @@ def _calibration_cells(sdf, score_col: str, label_expr, bins: int):
     s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)),
                 F.lit(1.0))
     bucket = F.least(F.floor(s * F.lit(B)), F.lit(B - 1)).cast("int")
-    s6 = F.expr(
-        "CAST(floor(round(least(greatest(CAST({c} AS DOUBLE), 0.0), 1.0),"
-        " 6) * 1000000 + 0.5) AS BIGINT)".format(c=score_col)
+    # micro-unit score, built compositionally from the already-clamped
+    # column (no string-formatted expr: names needing backticks work)
+    s6 = (
+        F.floor(F.round(s, 6) * F.lit(1_000_000) + F.lit(0.5))
+        .cast("bigint")
     )
     return (
         sdf.filter(F.col(score_col).isNotNull())

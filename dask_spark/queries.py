@@ -11615,3 +11615,25 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _R12_FRONT if n in REGISTRY},
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},
 }
+
+# Round-13 sample-window priority: CORRECTNESS_r12 hash-passed exactly
+# the first 50 of _R12_FRONT, leaving 24 registered queries (positions
+# 51-74: the r9-r11 additions) still without a driver correctness row.
+# Float exactly those 24 to the very front so one more window closes
+# the driver-union gap (272/296 -> 296/296); everything driver-green
+# keeps its relative order behind them. New r13 registrations are
+# appended to this list at registration time.
+_R13_FRONT = [
+    'graph_kcore', 'graph_clustering', 'text_trigram_perplexity',
+    'events_session_stats', 'corpus_diff', 'dedup_cluster_sizes',
+    'dedup_fuzzy_name', 'corpus_split', 'ml_quantile_bucket',
+    'dedup_incremental', 'text_pmi_bigrams', 'classifier_nb',
+    'arr_unique_counts', 'ann_pq', 'ann_ivfpq', 'embed_pca',
+    'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs',
+    'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate',
+    'text_cms_heavy', 'embed_jl',
+]
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _R13_FRONT if n in REGISTRY},
+    **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R13_FRONT)},
+}

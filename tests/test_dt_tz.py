@@ -8,8 +8,10 @@ every field accessor localizes through the tag. DST semantics are the
 JVM's zone rules: ambiguous fall-back local times resolve to the
 EARLIER offset (== pandas ``ambiguous=True``); nonexistent
 spring-forward times shift forward BY THE GAP LENGTH (02:30 in a 1h
-gap → 03:30 local) — pandas ``nonexistent='shift_forward'`` snaps to
-the gap END (03:00), a documented deviation pinned here.
+gap → 03:30 local) — the engine names this mode
+``nonexistent='shift_by_gap'``; pandas ``'shift_forward'`` snaps to
+the gap END (03:00) and the pandas name is refused so it can never
+silently return non-pandas values. Deviation pinned here.
 
 Also covers the r12 dt-tail: isocalendar, round (half-to-even),
 timedelta parts (days/seconds/microseconds/total_seconds/components),
@@ -113,6 +115,20 @@ class TestTzLocalize:
         with pytest.raises(NotImplementedError):
             df["ts"].dt.tz_localize(NY, ambiguous="raise")
 
+    def test_pandas_shift_forward_name_refused(self, ts_frame):
+        # the engine shifts by the gap LENGTH, which is NOT pandas'
+        # shift_forward (snap to gap end) — the pandas name must raise
+        # rather than silently return different values; the engine
+        # mode has its own name.
+        df, _ = ts_frame
+        with pytest.raises(NotImplementedError, match="shift_forward"):
+            df["ts"].dt.tz_localize(NY, nonexistent="shift_forward")
+        got = (
+            df["ts"].dt.tz_localize(NY, nonexistent="shift_by_gap")
+            .compute()
+        )
+        assert len(got) == 4
+
 
 class TestTzConvert:
     def test_convert_changes_wall_clock_fields(self, ts_frame):
@@ -162,6 +178,80 @@ class TestTzConvert:
             .dt.floor("D").dt.tz_convert("UTC").dt.tz_localize(None).iloc[0]
         )
         assert floored.compute().iloc[0] == exp
+
+
+class TestTzPersistence:
+    """The zone tag must survive frame round-trips and value-preserving
+    Series ops (r12 advice: an ephemeral tag silently dropped by
+    __setitem__/arithmetic meant .dt re-read UTC fields — pandas keeps
+    tz in the dtype, the engine keeps it in frame-level col_tz
+    metadata plus Series-op propagation)."""
+
+    def test_setitem_getitem_round_trip(self, spark):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-06-15 23:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        df["aware"] = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        got = df["aware"]
+        assert got.dt.tz == TOKYO
+        # local hour in Tokyo (UTC 23:30 → 08:30 next day), not UTC
+        assert got.dt.hour.compute().iloc[0] == 8
+
+    def test_overwrite_with_naive_clears_tag(self, spark):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-06-15 23:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        df["x"] = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        df["x"] = df["ts"]
+        assert df["x"].dt.tz is None
+        assert df["x"].dt.hour.compute().iloc[0] == 23
+
+    def test_assign_and_filter_preserve_tag(self, spark):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-06-15 23:30:00",
+                                   "2024-06-16 01:00:00"]),
+             "k": [1, 2]}
+        )
+        df = DaskFrame(spark.createDataFrame(pdf))
+        df2 = df.assign(aware=df["ts"].dt.tz_localize("UTC")
+                        .dt.tz_convert(TOKYO))
+        sub = df2[df2["k"] == 1]
+        assert sub["aware"].dt.tz == TOKYO
+        assert sub["aware"].dt.hour.compute().iloc[0] == 8
+        # column-list projection keeps the tag too
+        proj = df2[["aware", "k"]]
+        assert proj["aware"].dt.tz == TOKYO
+
+    def test_rename_astype_move_or_clear_tag(self, spark):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-06-15 23:30:00"])})
+        df = DaskFrame(spark.createDataFrame(pdf))
+        df["a"] = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        ren = df.rename(columns={"a": "b"})
+        assert ren["b"].dt.tz == TOKYO
+        recast = df.astype({"a": "string"})
+        assert recast._col_tz.get("a") is None
+
+    def test_series_ops_propagate_tag(self, spark):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-06-15 23:30:00", None])}
+        )
+        df = DaskFrame(spark.createDataFrame(pdf))
+        aware = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        assert aware.fillna(pd.Timestamp("2024-01-01")).dt.tz == TOKYO
+        assert aware.where(aware.notna()).dt.tz == TOKYO
+        assert aware.mask(aware.isna()).dt.tz == TOKYO
+        assert aware.alias("z").dt.tz == TOKYO
+        plus = aware + pd.Timedelta(hours=1)
+        assert plus.dt.tz == TOKYO
+        # ts - ts is a timedelta: tag correctly dropped
+        assert (aware - aware).dt.tz is None
+
+    def test_shift_keeps_awareness(self, spark):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-06-15 23:30:00",
+                                   "2024-06-16 01:00:00"])}
+        )
+        df = DaskFrame(spark.createDataFrame(pdf))
+        aware = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        assert aware.shift(1).dt.tz == TOKYO
 
 
 class TestDtTail:
