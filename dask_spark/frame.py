@@ -1797,14 +1797,19 @@ class DaskFrame:
         self._col_tz = dict(col_tz) if col_tz else {}
 
     def _derive(self, sdf: SparkDF) -> "DaskFrame":
-        """Child frame of a column-preserving transform: zone tags
-        survive for every column still present."""
-        if not self._col_tz:
-            return DaskFrame(sdf)
+        """Child frame of a column-preserving transform: zone tags and
+        the set_index marker survive for every column still present
+        (dask keeps the index through filters/sorts too)."""
         cols = set(sdf.columns)
-        return DaskFrame(
-            sdf, {c: z for c, z in self._col_tz.items() if c in cols}
+        out = DaskFrame(
+            sdf,
+            {c: z for c, z in self._col_tz.items() if c in cols}
+            if self._col_tz else None,
         )
+        idx = getattr(self, "_index_col", None)
+        if idx is not None and idx in cols:
+            out._index_col = idx
+        return out
 
     # ---- basic introspection -----------------------------------------
     @property
@@ -2784,9 +2789,24 @@ class DaskFrame:
               validate: str | None = None) -> "DaskFrame":
         from dask_spark.operators.joins import merge
 
-        return merge(self, right, how=how, on=on, left_on=left_on,
-                     right_on=right_on, broadcast=broadcast, suffixes=suffixes,
-                     indicator=indicator, validate=validate)
+        out = merge(self, right, how=how, on=on, left_on=left_on,
+                    right_on=right_on, broadcast=broadcast, suffixes=suffixes,
+                    indicator=indicator, validate=validate)
+        # tz metadata survives a merge (pandas: tz is in the dtype):
+        # tagged columns keep their zone under either the bare name or
+        # the clash suffix; right first so the left side wins a (never
+        # actually possible) bare-name clash
+        if self._col_tz or getattr(right, "_col_tz", None):
+            cols = set(out._sdf.columns)
+            tz: dict = {}
+            for side, suf in ((right, suffixes[1]), (self, suffixes[0])):
+                for c, z in getattr(side, "_col_tz", {}).items():
+                    if c + suf in cols:
+                        tz[c + suf] = z
+                    elif c in cols:
+                        tz[c] = z
+            out._col_tz = tz
+        return out
 
     def join(self, right: "DaskFrame", on: str | Sequence[str], how: str = "left") -> "DaskFrame":
         return self.merge(right, how=how, on=on)
@@ -3330,7 +3350,19 @@ def concat(frames: Sequence[DaskFrame], axis: int = 0,
         out = frames[0]._sdf
         for f in frames[1:]:
             out = out.unionByName(f._sdf, allowMissingColumns=True)
-        return DaskFrame(out)
+        # a zone tag survives the union only if every input frame that
+        # HAS the column agrees on the zone (mixed aware/naive or
+        # cross-zone unions drop to naive — the stored UTC instants
+        # stay correct either way)
+        tz: dict = {}
+        for f in frames:
+            for c, z in getattr(f, "_col_tz", {}).items():
+                tz.setdefault(c, z)
+        for f in frames:
+            for c in list(tz):
+                if c in f._sdf.columns and getattr(f, "_col_tz", {}).get(c) != tz[c]:
+                    del tz[c]
+        return DaskFrame(out, tz or None)
     if axis == 1:
         if on is None:
             raise ValueError("axis=1 concat needs on= (the alignment key)")

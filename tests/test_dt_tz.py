@@ -244,6 +244,28 @@ class TestTzPersistence:
         # ts - ts is a timedelta: tag correctly dropped
         assert (aware - aware).dt.tz is None
 
+    def test_merge_and_concat_preserve_tag(self, spark):
+        import dask_spark as ds
+
+        pdf_l = pd.DataFrame(
+            {"k": [1, 2], "ts": pd.to_datetime(["2024-06-15 23:30:00",
+                                                "2024-06-16 01:00:00"])}
+        )
+        pdf_r = pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]})
+        left = DaskFrame(spark.createDataFrame(pdf_l))
+        left["aware"] = left["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        right = DaskFrame(spark.createDataFrame(pdf_r))
+        merged = left.merge(right, on="k")
+        assert merged["aware"].dt.tz == TOKYO
+        # concat: frames agreeing on the zone keep it; a naive frame
+        # with the same column drops it
+        both = ds.concat([merged, merged])
+        assert both["aware"].dt.tz == TOKYO
+        naive = merged.astype({"aware": "timestamp"})
+        naive._col_tz.pop("aware", None)
+        mixed = ds.concat([merged, naive])
+        assert mixed["aware"].dt.tz is None
+
     def test_shift_keeps_awareness(self, spark):
         pdf = pd.DataFrame(
             {"ts": pd.to_datetime(["2024-06-15 23:30:00",
