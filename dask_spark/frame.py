@@ -946,6 +946,16 @@ class Series:
             "column in an `if` is always a bug)"
         )
 
+    def __len__(self) -> int:
+        # pandas/dask: len(series) is the row count (one job)
+        return self._frame._sdf.count()
+
+    def __iter__(self):
+        # pandas/dask: iterating a Series yields VALUES, streamed
+        # partition-by-partition (never one big collect)
+        for row in self.to_frame()._sdf.toLocalIterator():
+            yield row[0]
+
     @property
     def name(self) -> str:
         return self._name
@@ -1837,6 +1847,14 @@ class DaskFrame:
         # columns are attribute-accessible, so they tab-complete
         # (reference: dask FrameBase.__dir__ merges column names)
         return sorted(set(super().__dir__()) | set(self._sdf.columns))
+
+    def __contains__(self, key) -> bool:
+        # pandas/dask: `"a" in df` is COLUMN membership
+        return key in self._sdf.columns
+
+    def __iter__(self):
+        # pandas/dask: iterating a frame yields column names
+        return iter(self._sdf.columns)
 
     def __bool__(self):
         raise TypeError(

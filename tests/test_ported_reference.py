@@ -167,6 +167,46 @@ class TestFrameBasics:
         assert len(out) == 0
         assert list(out.columns) == ["a", "b"]
 
+    def test_contains_frame(self, df):
+        """test_dataframe.py:1307 test_contains_frame — `in` is column
+        membership (added during this port)."""
+        assert "a" in df
+        assert "zzz" not in df
+
+    def test_iter(self, df, pdf):
+        """test_dataframe.py:4836 test_iter — frame iteration yields
+        column names (added during this port)."""
+        assert list(df) == list(pdf)
+
+    def test_series_iter(self, df, pdf):
+        """test_dataframe.py:3385 test_series_iter — series iteration
+        yields values (added during this port; toLocalIterator, never
+        one big collect)."""
+        assert sorted(df["a"]) == sorted(pdf["a"])
+
+    def test_series_len(self, df, pdf):
+        """test_dataframe.py:1315 test_len (series leg — added during
+        this port)."""
+        assert len(df["a"]) == len(pdf["a"])
+
+    def test_itertuples(self, spark):
+        """test_dataframe.py:3400 test_dataframe_itertuples."""
+        pdf = pd.DataFrame({"x": [1, 2], "y": [10, 20]})
+        df = ds.from_pandas(pdf)
+        got = sorted((t.x, t.y) for t in df.itertuples())
+        exp = sorted((t.x, t.y) for t in pdf.itertuples())
+        assert got == exp
+
+    def test_iterrows(self, spark):
+        """test_dataframe.py:3392 test_dataframe_iterrows — pinned
+        deviation: no index, so the engine yields plain row DICTS
+        rather than pandas' (label, Series) pairs."""
+        pdf = pd.DataFrame({"x": [1, 2], "y": [10, 20]})
+        df = ds.from_pandas(pdf)
+        got = sorted((r["x"], r["y"]) for r in df.iterrows())
+        exp = sorted((r["x"], r["y"]) for _, r in pdf.iterrows())
+        assert got == exp
+
     def test_copy(self, df, pdf):
         """test_dataframe.py:4102 test_copy — copy is free and
         mutating the copy leaves the original intact."""
