@@ -146,8 +146,23 @@ class Bag:
         )
 
     def random_sample(self, prob: float, seed: int = 42) -> "Bag":
-        """Bernoulli sample (dask bag random_sample)."""
-        return Bag(self._sdf.sample(prob, seed=seed), self._col)
+        """Bernoulli sample (dask bag random_sample), DETERMINISTIC
+        under the seed: the keep decision is a hash threshold over the
+        item value + seed (the frame side's sample_hash_deterministic
+        stance), because ``sdf.sample`` re-draws whenever the upstream
+        range partitioner re-samples its boundaries — the same bag
+        sampled twice returned different elements (r13 ported-test
+        finding). Caveat vs dask: identical items share one decision
+        (dask decides per element position)."""
+        bound = int(prob * 1_000_000)
+        keep = (
+            F.pmod(
+                F.xxhash64(F.col(self._col), F.lit(int(seed))),
+                F.lit(1_000_000),
+            )
+            < F.lit(bound)
+        )
+        return Bag(self._sdf.filter(keep), self._col)
 
     # ---- numeric reductions (reference: bag/core.py sum/max/...) -----
     def _num_agg(self, agg):
@@ -165,11 +180,15 @@ class Bag:
     def mean(self):
         return self._num_agg(F.avg)
 
-    def std(self):
-        return self._num_agg(F.stddev_samp)
+    def std(self, ddof: int = 0):
+        """dask Bag.std defaults to POPULATION std (ddof=0 — unlike
+        pandas); ddof=1 gives the sample form (r13 parity fix: this
+        engine previously pinned the sample form as the only one)."""
+        return self._num_agg(F.stddev_samp if ddof else F.stddev_pop)
 
-    def var(self):
-        return self._num_agg(F.var_samp)
+    def var(self, ddof: int = 0):
+        """dask Bag.var defaults to POPULATION variance (ddof=0)."""
+        return self._num_agg(F.var_samp if ddof else F.var_pop)
 
     def product(self):
         return self._num_agg(F.product)
@@ -216,9 +235,15 @@ class Bag:
 
         col = self._col
 
+        def _args(v):
+            # Arrow delivers struct items as dicts — *dict unpacks the
+            # FIELD NAMES, so spread the values in field order instead
+            # (r13 ported-test finding: fn('_1','_2') not fn(1, 2))
+            return tuple(v.values()) if isinstance(v, dict) else tuple(v)
+
         def gen(batches):
             for pdf in batches:
-                yield pd.DataFrame({col: [fn(*v) for v in pdf[col]]})
+                yield pd.DataFrame({col: [fn(*_args(v)) for v in pdf[col]]})
 
         return Bag(self._sdf.mapInPandas(gen, schema=f"{col} {dtype}"), col)
 

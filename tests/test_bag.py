@@ -81,7 +81,9 @@ def test_bag_numeric_reductions_and_fold(spark):
     b = db.from_sequence([1.0, 2.0, 3.0, 4.0], npartitions=2)
     assert b.sum() == 10.0 and b.max() == 4.0 and b.min() == 1.0
     assert b.mean() == 2.5 and b.product() == 24.0
-    assert abs(b.var() - 5.0 / 3.0) < 1e-9
+    # dask Bag.var defaults to ddof=0 (population); ddof=1 = sample
+    assert abs(b.var() - 1.25) < 1e-9
+    assert abs(b.var(ddof=1) - 5.0 / 3.0) < 1e-9
     assert b.fold(lambda a, x: a + x, 0.0) == 10.0
 
     flags = db.from_sequence([True, True, False])
