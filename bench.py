@@ -164,6 +164,8 @@ HEADLINE = [
     "ml_auc_by_group",        # group-keyed rank AUC, in-plan close
     "warehouse_skew_report",  # key-bounded count + top-k + totals
     "drift_psi_multi",        # k-feature sweep: 2+1 scans for any k
+    # round-13 additions (compare per-query across rounds, not totals)
+    "reduce_rowwise",         # axis=1 row-vector stats, map-only
 ]
 
 

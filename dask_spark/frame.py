@@ -2078,25 +2078,84 @@ class DaskFrame:
         cols = self._numeric_cols()
         return DaskFrame(self._sdf.agg(*[fn(c).alias(c) for c in cols]))
 
-    def sum(self):
+    def _rowwise(self, kind: str) -> "Series":
+        """axis=1 reductions (reference: dask frame reductions take
+        axis=1): per-row over the numeric columns — PURE EXPRESSIONS,
+        map-only, whole-stage codegen (the embarrassingly-parallel
+        case). pandas skipna=True semantics: nulls drop out per row;
+        an all-null row sums to 0.0 (min_count=0), means/vars go
+        null; std/var are the ddof=1 sample forms like pandas."""
+        from functools import reduce as _reduce
+        from operator import add as _add
+
+        cols = self._numeric_cols()
+        if not cols:
+            raise ValueError("axis=1 reduction needs numeric columns")
+        vals = [F.col(c).cast("double") for c in cols]
+        n = _reduce(_add, [v.isNotNull().cast("int") for v in vals])
+        s = _reduce(_add, [F.coalesce(v, F.lit(0.0)) for v in vals])
+        if kind == "sum":
+            expr = s
+        elif kind == "count":
+            expr = n.cast("bigint")
+        elif kind == "mean":
+            expr = F.when(n > 0, s / n)
+        elif kind == "min":
+            expr = vals[0] if len(vals) == 1 else F.least(*vals)
+        elif kind == "max":
+            expr = vals[0] if len(vals) == 1 else F.greatest(*vals)
+        elif kind in ("var", "std"):
+            m = F.when(n > 0, s / n)
+            dev = _reduce(_add, [
+                F.coalesce((v - m) * (v - m), F.lit(0.0)) for v in vals
+            ])
+            var = F.when(n > 1, dev / (n - 1))
+            expr = F.sqrt(var) if kind == "std" else var
+        else:  # pragma: no cover — internal misuse
+            raise ValueError(kind)
+        return Series(self, expr, kind)
+
+    @staticmethod
+    def _is_rowwise(axis) -> bool:
+        if axis in (1, "columns"):
+            return True
+        if axis in (0, None, "index"):
+            return False
+        raise ValueError(f"axis must be 0 or 1, got {axis!r}")
+
+    def sum(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("sum")
         return self._agg_all(lambda c: F.sum(F.col(c)))
 
-    def mean(self):
+    def mean(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("mean")
         return self._agg_all(lambda c: F.avg(F.col(c)))
 
-    def min(self):
+    def min(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("min")
         return self._agg_all(lambda c: F.min(F.col(c)))
 
-    def max(self):
+    def max(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("max")
         return self._agg_all(lambda c: F.max(F.col(c)))
 
-    def std(self):
+    def std(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("std")
         return self._agg_all(lambda c: F.stddev_samp(F.col(c)))
 
-    def var(self):
+    def var(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("var")
         return self._agg_all(lambda c: F.var_samp(F.col(c)))
 
-    def count(self):
+    def count(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise("count")
         return self._agg_all(lambda c: F.count(F.col(c)))
 
     def describe(self, percentiles=None) -> "DaskFrame":
@@ -2247,14 +2306,40 @@ class DaskFrame:
         ]
         return DaskFrame(self._sdf.select(*cols))
 
-    def any(self) -> "DaskFrame":
-        """Per-column ANY over boolean columns (one row)."""
+    def _rowwise_bool(self, kind: str) -> "Series":
+        """axis=1 any/all over the boolean columns — map-only
+        expressions; pandas skipna: null counts False for any, True
+        for all."""
+        from functools import reduce as _reduce
+
+        cols = [c for c, t in self._sdf.dtypes if t == "boolean"]
+        if not cols:
+            raise ValueError("axis=1 any/all needs boolean columns")
+        if kind == "any":
+            expr = _reduce(
+                lambda a, b: a | b,
+                [F.coalesce(F.col(c), F.lit(False)) for c in cols],
+            )
+        else:
+            expr = _reduce(
+                lambda a, b: a & b,
+                [F.coalesce(F.col(c), F.lit(True)) for c in cols],
+            )
+        return Series(self, expr, kind)
+
+    def any(self, axis: int = 0):
+        """Per-column ANY over boolean columns (one row); axis=1 =
+        per-row OR."""
+        if self._is_rowwise(axis):
+            return self._rowwise_bool("any")
         cols = [c for c, t in self._sdf.dtypes if t == "boolean"]
         return DaskFrame(
             self._sdf.agg(*[F.max(F.col(c)).alias(c) for c in cols])
         )
 
-    def all(self) -> "DaskFrame":
+    def all(self, axis: int = 0):
+        if self._is_rowwise(axis):
+            return self._rowwise_bool("all")
         cols = [c for c, t in self._sdf.dtypes if t == "boolean"]
         return DaskFrame(
             self._sdf.agg(*[F.min(F.col(c)).alias(c) for c in cols])

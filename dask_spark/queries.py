@@ -11616,6 +11616,77 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R12_FRONT)},
 }
 
+@q(
+    "reduce_rowwise",
+    """
+    WITH rw AS (
+        SELECT l_returnflag,
+               (l_quantity + l_extendedprice + l_discount + l_tax)
+                   AS rowsum,
+               (l_quantity + l_extendedprice + l_discount + l_tax) / 4
+                   AS rowmean,
+               LEAST(l_quantity, l_extendedprice, l_discount, l_tax)
+                   AS rowmin,
+               GREATEST(l_quantity, l_extendedprice, l_discount, l_tax)
+                   AS rowmax,
+               SQRT((
+                   POW(l_quantity
+                       - (l_quantity + l_extendedprice + l_discount
+                          + l_tax) / 4, 2)
+                 + POW(l_extendedprice
+                       - (l_quantity + l_extendedprice + l_discount
+                          + l_tax) / 4, 2)
+                 + POW(l_discount
+                       - (l_quantity + l_extendedprice + l_discount
+                          + l_tax) / 4, 2)
+                 + POW(l_tax
+                       - (l_quantity + l_extendedprice + l_discount
+                          + l_tax) / 4, 2)
+               ) / 3) AS rowstd
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n,
+           ROUND(AVG(rowsum), 4) AS avg_rowsum,
+           ROUND(AVG(rowmean), 4) AS avg_rowmean,
+           ROUND(AVG(rowmin), 6) AS avg_rowmin,
+           ROUND(AVG(rowmax), 4) AS avg_rowmax,
+           ROUND(AVG(rowstd), 4) AS avg_rowstd
+    FROM rw GROUP BY l_returnflag
+    """,
+)
+def reduce_rowwise(spark, sf_dir):
+    """Row-wise (axis=1) reduction family over the lineitem numeric
+    vector (reference: dask frame reductions accept axis=1 —
+    dask_expr/_reductions; r13 surface addition). Each per-row stat
+    is a pure column expression (map-only, whole-stage codegen); the
+    oracle mirrors the engine's exact expression order
+    (q+e+d+t, mean = sum/4, dev in column order) so doubles match
+    bit-for-bit before the rounded aggregate."""
+    from dask_spark.frame import DaskFrame
+
+    li = load(spark, sf_dir, "lineitem").to_spark().select(
+        "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    )
+    fr = DaskFrame(li)
+    sdf = (
+        li.withColumn("rowsum", fr.sum(axis=1)._expr)
+        .withColumn("rowmean", fr.mean(axis=1)._expr)
+        .withColumn("rowmin", fr.min(axis=1)._expr)
+        .withColumn("rowmax", fr.max(axis=1)._expr)
+        .withColumn("rowstd", fr.std(axis=1)._expr)
+    )
+    return sdf.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rowsum"), 4).alias("avg_rowsum"),
+        F.round(F.avg("rowmean"), 4).alias("avg_rowmean"),
+        F.round(F.avg("rowmin"), 6).alias("avg_rowmin"),
+        F.round(F.avg("rowmax"), 4).alias("avg_rowmax"),
+        F.round(F.avg("rowstd"), 4).alias("avg_rowstd"),
+    )
+
+
 # Round-13 sample-window priority: CORRECTNESS_r12 hash-passed exactly
 # the first 50 of _R12_FRONT, leaving 24 registered queries (positions
 # 51-74: the r9-r11 additions) still without a driver correctness row.
@@ -11632,6 +11703,8 @@ _R13_FRONT = [
     'dedup_substring', 'dedup_substring_keep1', 'text_bpe_pairs',
     'text_bpe_merges', 'text_bpe_encode', 'text_cms_boilerplate',
     'text_cms_heavy', 'embed_jl',
+    # r13 registrations (never windowed yet):
+    'reduce_rowwise',
 ]
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R13_FRONT if n in REGISTRY},

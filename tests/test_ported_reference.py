@@ -632,6 +632,39 @@ class TestReductions:
         assert df["x"].any() == pdf["x"].any()
         assert df["x"].all() == pdf["x"].all()
 
+    def test_reductions_axis1(self, spark):
+        """test_arithmetics_reduction.py frame reductions with axis=1
+        (dask supports row-wise reductions; added during this port) —
+        sum/mean/min/max/count/std/var/any/all per row vs pandas,
+        incl. null handling (skipna=True)."""
+        pdf = pd.DataFrame(
+            {"x": [1.0, np.nan, 3.0, np.nan],
+             "y": [2.0, 5.0, np.nan, np.nan],
+             "z": [3.0, 7.0, 9.0, np.nan]}
+        )
+        df = ds.from_pandas(pdf)
+
+        def _match(got, exp):
+            g = sorted(got.tolist(), key=lambda v: (pd.isna(v), v))
+            e = sorted(exp.tolist(), key=lambda v: (pd.isna(v), v))
+            return all(
+                (pd.isna(a) and pd.isna(b)) or abs(a - b) < 1e-9
+                for a, b in zip(g, e)
+            )
+
+        for fn in ("sum", "mean", "min", "max", "count", "std", "var"):
+            got = getattr(df, fn)(axis=1).compute()
+            exp = getattr(pdf, fn)(axis=1)
+            assert _match(got.astype(float), exp.astype(float)), fn
+
+        bpdf = pd.DataFrame({"p": [True, False, True],
+                             "q": [True, True, False]})
+        bdf = ds.from_pandas(bpdf)
+        assert sorted(bdf.any(axis=1).compute().tolist()) \
+            == sorted(bpdf.any(axis=1).tolist())
+        assert sorted(bdf.all(axis=1).compute().tolist()) \
+            == sorted(bpdf.all(axis=1).tolist())
+
     def test_with_min_count(self, spark):
         """test_dataframe.py:1701 test_with_min_count — all-null sum
         is 0 in Spark semantics... pandas sum() of all-NaN with
