@@ -154,7 +154,11 @@ class Bag:
         sampled twice returned different elements (r13 ported-test
         finding). Caveat vs dask: identical items share one decision
         (dask decides per element position)."""
-        bound = int(prob * 1_000_000)
+        if not 0 <= prob <= 1:
+            raise ValueError(f"prob must be in [0, 1], got {prob}")
+        # round, not truncate: int(0.3 * 1e6) == 299999 — a systematic
+        # ~1e-6 under-sample for any prob that isn't float-exact
+        bound = round(prob * 1_000_000)
         keep = (
             F.pmod(
                 F.xxhash64(F.col(self._col), F.lit(int(seed))),

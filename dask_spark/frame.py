@@ -26,7 +26,52 @@ def _col(x: "Series | Column | Any") -> Column:
         return x._expr
     if isinstance(x, Column):
         return x
+    try:
+        import pandas as _pd
+
+        if isinstance(x, _pd.tseries.offsets.BaseOffset):
+            # fixed-tick offsets (Hour, Minute…) are exact intervals;
+            # calendar offsets (MonthEnd, BDay…) have no fixed length
+            # and cannot be a Spark interval literal — refuse clearly
+            if isinstance(x, _pd.tseries.offsets.Tick):
+                import datetime as _dt
+
+                return F.lit(_dt.timedelta(microseconds=x.nanos // 1000))
+            raise TypeError(
+                f"{type(x).__name__} is a calendar offset with no fixed "
+                "length; use add_months/date_add-style dt ops instead"
+            )
+    except ImportError:  # pragma: no cover
+        pass
     return F.lit(x)
+
+
+def _is_timedelta_like(x: Any) -> bool:
+    """True for duration/offset scalars (timestamp - x → timestamp);
+    False for datetime scalars (timestamp - x → interval)."""
+    import datetime as _dt
+
+    if isinstance(x, _dt.datetime) or isinstance(x, _dt.date):
+        return False  # Timestamp subclasses datetime — check first
+    if isinstance(x, _dt.timedelta):
+        return True
+    try:
+        import numpy as _np
+
+        if isinstance(x, _np.timedelta64):
+            return True
+        if isinstance(x, _np.datetime64):
+            return False
+    except Exception:  # pragma: no cover
+        pass
+    try:
+        import pandas as _pd
+
+        if isinstance(x, _pd.tseries.offsets.BaseOffset):
+            return True
+    except Exception:  # pragma: no cover
+        pass
+    return False
 
 
 class _PartitionIndexer:
@@ -882,9 +927,14 @@ class Series:
 
     def __sub__(self, o):
         if not isinstance(o, Series):
-            # aware ts - offset stays aware; ts - ts (Series) is a
-            # timedelta and correctly drops the tag
-            return self._tag_tz(self._bin(o, lambda a, b: a - b))
+            # aware ts - timedelta/offset stays a timestamp → keep the
+            # tag; aware ts - Timestamp/datetime scalar is an interval
+            # (timedelta) → drop it, mirroring the Series-Series branch
+            # (a tz tag on an interval would route .dt accessors
+            # through from_utc_timestamp and fail analysis)
+            if _is_timedelta_like(o):
+                return self._tag_tz(self._bin(o, lambda a, b: a - b))
+            return self._bin(o, lambda a, b: a - b)
         return self._bin(o, lambda a, b: a - b)
 
     def __rsub__(self, o):
@@ -2084,20 +2134,35 @@ class DaskFrame:
         map-only, whole-stage codegen (the embarrassingly-parallel
         case). pandas skipna=True semantics: nulls drop out per row;
         an all-null row sums to 0.0 (min_count=0), means/vars go
-        null; std/var are the ddof=1 sample forms like pandas."""
+        null; std/var are the ddof=1 sample forms like pandas.
+        count(axis=1) counts non-null cells across ALL columns
+        (pandas does — not just numeric); sum/min/max keep integer
+        dtype when every numeric column is integral (pandas int64
+        row sums are ints)."""
         from functools import reduce as _reduce
         from operator import add as _add
+
+        if kind == "count":
+            # pandas counts every non-null cell in the row, any dtype
+            n_all = _reduce(_add, [
+                F.col(c).isNotNull().cast("int") for c in self._sdf.columns
+            ])
+            return Series(self, n_all.cast("bigint"), kind)
 
         cols = self._numeric_cols()
         if not cols:
             raise ValueError("axis=1 reduction needs numeric columns")
-        vals = [F.col(c).cast("double") for c in cols]
+        ints = ("tinyint", "smallint", "int", "bigint")
+        dt = dict(self._sdf.dtypes)
+        integral = all(dt[c] in ints for c in cols)
+        num_t = "bigint" if integral and kind in ("sum", "min", "max") \
+            else "double"
+        vals = [F.col(c).cast(num_t) for c in cols]
         n = _reduce(_add, [v.isNotNull().cast("int") for v in vals])
-        s = _reduce(_add, [F.coalesce(v, F.lit(0.0)) for v in vals])
+        zero = F.lit(0).cast(num_t)
+        s = _reduce(_add, [F.coalesce(v, zero) for v in vals])
         if kind == "sum":
             expr = s
-        elif kind == "count":
-            expr = n.cast("bigint")
         elif kind == "mean":
             expr = F.when(n > 0, s / n)
         elif kind == "min":
@@ -2314,7 +2379,8 @@ class DaskFrame:
 
         cols = [c for c, t in self._sdf.dtypes if t == "boolean"]
         if not cols:
-            raise ValueError("axis=1 any/all needs boolean columns")
+            # pandas over an empty axis: any → False, all → True
+            return Series(self, F.lit(kind == "all"), kind)
         if kind == "any":
             expr = _reduce(
                 lambda a, b: a | b,
@@ -2549,7 +2615,7 @@ class DaskFrame:
         return DaskFrame(self._sdf.withColumn(name, expr))
 
     def random_split(self, weights: Sequence[float], seed: int = 42) -> list["DaskFrame"]:
-        return [DaskFrame(s) for s in self._sdf.randomSplit(list(weights), seed)]
+        return [self._derive(s) for s in self._sdf.randomSplit(list(weights), seed)]
 
     def align(self, other: "DaskFrame", on: str | Sequence[str],
               join: str = "outer") -> tuple["DaskFrame", "DaskFrame"]:
@@ -2571,8 +2637,8 @@ class DaskFrame:
         else:
             raise ValueError(f"bad join {join!r}")
         return (
-            DaskFrame(keyset.join(self._sdf, on=keys, how="left")),
-            DaskFrame(keyset.join(other._sdf, on=keys, how="left")),
+            self._derive(keyset.join(self._sdf, on=keys, how="left")),
+            other._derive(keyset.join(other._sdf, on=keys, how="left")),
         )
 
     def memory_usage(self) -> int:
@@ -2599,15 +2665,19 @@ class DaskFrame:
         return self[cols[0]] if len(cols) == 1 else self
 
     def pop(self, column: str) -> "Series":
-        s = Series(DaskFrame(self._sdf), F.col(column), column)
+        s = Series(self._derive(self._sdf), F.col(column), column)
+        tz = self._col_tz.get(column)
+        if tz is not None:
+            s._tz = tz
         self._sdf = self._sdf.drop(column)
+        self._col_tz.pop(column, None)
         return s
 
     def get_partition(self, i: int) -> "DaskFrame":
         """Rows of partition ``i`` (dask get_partition) — a distributed
         filter on spark_partition_id, not a collect."""
-        return DaskFrame(self._sdf.withColumn("__pid", F.spark_partition_id())
-                         .filter(F.col("__pid") == i).drop("__pid"))
+        return self._derive(self._sdf.withColumn("__pid", F.spark_partition_id())
+                            .filter(F.col("__pid") == i).drop("__pid"))
 
     def itertuples(self):
         """Streaming row iterator (toLocalIterator — one partition in
@@ -2637,7 +2707,7 @@ class DaskFrame:
         condition for column b; surfaced by mask())."""
         c = _col(cond)
         dt = dict(self._sdf.dtypes)
-        return DaskFrame(self._sdf.select(*[
+        return self._derive(self._sdf.select(*[
             F.when(c, F.col(n)).otherwise(F.lit(other).cast(dt[n])).alias(n)
             for n in self._sdf.columns
         ]))
@@ -2656,7 +2726,7 @@ class DaskFrame:
             else F.col(c)
             for c in self._sdf.columns
         ]
-        return DaskFrame(self._sdf.select(*out))
+        return self._derive(self._sdf.select(*out))
 
     def clip(self, lower=None, upper=None) -> "DaskFrame":
         """Frame-level clip over numeric columns (reference

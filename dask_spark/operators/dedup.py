@@ -46,15 +46,15 @@ def drop_duplicates(frame, subset: Sequence[str] | None = None, keep="any"):
         for i, k in enumerate(keys):
             c = sdf[k].eqNullSafe(uniq[f"__u{i}"])
             cond = c if cond is None else cond & c
-        return DaskFrame(sdf.join(uniq, cond, "left_semi"))
+        return frame._derive(sdf.join(uniq, cond, "left_semi"))
     if subset is None or keep == "any":
-        return DaskFrame(sdf.dropDuplicates(subset))
+        return frame._derive(sdf.dropDuplicates(subset))
     subset = list(subset)
     others = [c for c in sdf.columns if c not in subset]
     order = F.struct(*[F.col(c) for c in others])
     pick = F.min_by if keep == "first" else F.max_by
     aggs = [pick(F.col(c), order).alias(c) for c in others]
-    return DaskFrame(sdf.groupBy(*subset).agg(*aggs))
+    return frame._derive(sdf.groupBy(*subset).agg(*aggs))
 
 
 def exact_dedup(frame, text_col: str = "text", id_col: str = "doc_id"):
