@@ -74,6 +74,15 @@ class DArray:
             # dask's index arrays
             if self._id is None:
                 raise ValueError("fancy row indexing requires id_col")
+            if any(isinstance(i, bool) or getattr(i, "dtype", None) is not None
+                   and getattr(i, "dtype", None).kind == "b" for i in rows):
+                # True/False would silently read as rows 1/0 — numpy
+                # boolean masks don't port to positions; dask raises
+                # IndexError on bool lists of the wrong length too
+                raise TypeError(
+                    "boolean list row selection is not positional — use "
+                    "a Column predicate mask (x[mask_column]) instead"
+                )
             if any(int(i) < 0 for i in rows):
                 raise ValueError("negative row indices unsupported")
             from dask_spark.operators.sort import with_global_index

@@ -520,6 +520,8 @@ class NDArray:
         ``inner_size`` scalars per row is all that shuffles, partials
         combine map-side; the single result row is rebuilt with an
         in-agg sort, never on the driver."""
+        if axis < 0:  # numpy negative-axis convention (ndim incl. rows)
+            axis = self.ndim + axis
         if axis == 0:
             return self._materialize()._reduce_rows(how, ddof)
         ai, rem = self._axis_strides(axis)
@@ -600,6 +602,8 @@ class NDArray:
         never a single-partition window), two shuffles of inner_size
         scalars per row."""
         np = _require_np()
+        if axis < 0:
+            axis = self.ndim + axis
         if axis == 0:
             if self._id is None:
                 raise ValueError("axis-0 cumsum needs id_col (row order)")
@@ -625,6 +629,8 @@ class NDArray:
     def cumprod(self, axis: int) -> "NDArray":
         """Cumulative product along an INNER axis (Arrow kernel)."""
         np = _require_np()
+        if axis < 0:
+            axis = self.ndim + axis
         if axis == 0:
             raise ValueError(
                 "axis-0 cumprod: compose log → cumsum(0) → exp for "

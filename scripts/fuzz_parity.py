@@ -1,0 +1,269 @@
+"""Differential property fuzzer for COMPOSED plans (r13 verdict item 2).
+
+Single-op parity is saturated (297 oracled queries + 4 ported
+reference slices); the remaining risk class is composition bugs —
+state the wrapper carries (tz tags, id columns, column metadata)
+dropped by an op in the middle of a chain, exactly what the r13 port
+found for row-preserving ops. This fuzzer generates seed-reproducible
+random frames × random 3-6-op chains and executes every chain twice:
+once through the engine (DaskFrame lazy plan → one collect at the
+end), once through pandas — then compares via the public assert_eq
+(order-insensitive, NaN-tolerant).
+
+Frame generator stresses: nulls/NaNs, duplicate keys, ties, empty
+frames, empty partitions (npartitions > nrows), unicode strings,
+negative/zero numerics.
+
+Op vocabulary (each op = (name, engine_fn, pandas_fn) drawn with
+replacement): project, filter, assign-arithmetic, fillna, rename,
+drop-column, groupby-agg (sum/count/min/max/mean), self-join on a
+distinct key table, sort_values (order folds into the comparator),
+drop_duplicates (full row), head-less limit is excluded (no stable row
+order to compare).
+
+Usage:
+    python scripts/fuzz_parity.py [N_CHAINS] [BASE_SEED]
+Defaults: 500 chains, seed 20260816. Any mismatch prints the seed,
+the chain, and the two frames, then exits 1 — re-run with that seed
+to reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pandas as pd
+
+import dask_spark as ds
+from dask_spark.testing import assert_eq
+
+STRINGS = ["alpha", "beta", "beta", "Γράμμα", "", "zz", None, "beta"]
+
+
+def gen_frame(rng: random.Random) -> pd.DataFrame:
+    n = rng.choice([0, 1, 2, 3, 7, 13, 30])
+    k = [rng.randrange(4) for _ in range(n)]                 # dup keys
+    f = [rng.choice([float(rng.randrange(-5, 6)), np.nan,     # ties+NaN
+                     rng.random() * 10 - 5]) for _ in range(n)]
+    i = [rng.randrange(-100, 100) for _ in range(n)]
+    s = [rng.choice(STRINGS) for _ in range(n)]
+    return pd.DataFrame({"k": pd.Series(k, dtype="int64"),
+                         "f": pd.Series(f, dtype="float64"),
+                         "i": pd.Series(i, dtype="int64"),
+                         "s": pd.Series(s, dtype="object")})
+
+
+# ---- op vocabulary -------------------------------------------------------
+# each entry: name, applies(pdf) -> bool, make(rng, pdf) ->
+#   (engine_fn(DaskFrame) -> DaskFrame, pandas_fn(pdf) -> pdf, label)
+
+def op_project(rng, pdf):
+    cols = sorted(rng.sample(list(pdf.columns), rng.randrange(1, len(pdf.columns) + 1)))
+    if "k" not in cols:  # keep the groupby/join key available
+        cols = ["k"] + cols
+    return (lambda d: d[cols], lambda p: p[cols].copy(), f"project{cols}")
+
+
+def op_filter(rng, pdf):
+    cands = [c for c in pdf.columns
+             if pd.api.types.is_numeric_dtype(pdf[c])]
+    if not cands:
+        return None
+    col = rng.choice(cands)
+    thr = rng.randrange(-3, 4)
+    return (lambda d: d[d[col] > thr],
+            lambda p: p[p[col] > thr],
+            f"filter({col}>{thr})")
+
+
+def op_assign(rng, pdf):
+    cands = [c for c in pdf.columns
+             if pd.api.types.is_numeric_dtype(pdf[c])]
+    if not cands:
+        return None
+    src = rng.choice(cands)
+    a, b = rng.randrange(1, 4), rng.randrange(-2, 3)
+
+    def eng(d):
+        out = d.copy()
+        out["z"] = out[src] * a + b
+        return out
+
+    def pan(p):
+        p = p.copy()
+        p["z"] = p[src] * a + b
+        return p
+
+    return eng, pan, f"assign(z={src}*{a}+{b})"
+
+
+def op_fillna(rng, pdf):
+    v = float(rng.randrange(-2, 3))
+
+    def eng(d):
+        out = d.copy()
+        if "f" in d.columns:
+            out["f"] = out["f"].fillna(v)
+        return out
+
+    def pan(p):
+        p = p.copy()
+        if "f" in p.columns:
+            p["f"] = p["f"].fillna(v)
+        return p
+
+    return eng, pan, f"fillna(f,{v})"
+
+
+def op_rename(rng, pdf):
+    cands = [c for c in pdf.columns if c != "k"]
+    if not cands:
+        return None
+    src = rng.choice(cands)
+    dst = src + "_r"
+    return (lambda d: d.rename(columns={src: dst}),
+            lambda p: p.rename(columns={src: dst}),
+            f"rename({src}->{dst})")
+
+
+def op_drop(rng, pdf):
+    droppable = [c for c in pdf.columns if c != "k"]
+    if len(droppable) < 2:
+        return None
+    col = rng.choice(droppable)
+    return (lambda d: d.drop(columns=[col]),
+            lambda p: p.drop(columns=[col]),
+            f"drop({col})")
+
+
+def op_dedup(rng, pdf):
+    return (lambda d: d.drop_duplicates(),
+            lambda p: p.drop_duplicates(),
+            "drop_duplicates")
+
+
+def op_sort(rng, pdf):
+    if not len(pdf.columns):
+        return None
+    col = rng.choice(list(pdf.columns))
+    return (lambda d: d.sort_values(col),
+            lambda p: p.sort_values(col),
+            f"sort({col})")
+
+
+def op_groupby(rng, pdf):
+    if "k" not in pdf.columns:
+        return None
+    nums = [c for c in pdf.columns if c != "k"
+            and pd.api.types.is_numeric_dtype(pdf[c])]
+    if not nums:
+        return None
+    val = rng.choice(nums)
+    how = rng.choice(["sum", "min", "max", "count", "mean"])
+
+    out_name = f"{val}_{how}"  # engine contract: dict-form agg emits
+    # <col>_<fn> flat names (groupby.py:149 — divergence from pandas
+    # is documented; the pandas twin mirrors it)
+
+    def eng(d):
+        return d.groupby("k").agg({val: how})
+
+    def pan(p):
+        if how == "count":
+            out = p.groupby("k")[val].count().reset_index()
+        else:
+            out = getattr(p.groupby("k")[val], how)().reset_index()
+        return out.rename(columns={val: out_name})
+
+    return eng, pan, f"groupby(k).{how}({val})"
+
+
+def op_selfjoin(rng, pdf):
+    if "k" not in pdf.columns:
+        return None
+
+    def eng(d):
+        keys = d[["k"]].drop_duplicates()
+        keys = keys.rename(columns={"k": "k2"})
+        return d.merge(keys, left_on="k", right_on="k2", how="inner")
+
+    def pan(p):
+        keys = p[["k"]].drop_duplicates().rename(columns={"k": "k2"})
+        return p.merge(keys, left_on="k", right_on="k2", how="inner")
+
+    return eng, pan, "selfjoin(k)"
+
+
+OPS = [op_project, op_filter, op_assign, op_fillna, op_rename,
+       op_drop, op_dedup, op_sort, op_groupby, op_selfjoin]
+
+
+def run_chain(seed: int) -> tuple[bool, str]:
+    rng = random.Random(seed)
+    pdf = gen_frame(rng)
+    nparts = rng.choice([1, 2, 3, 5])  # 5 > nrows for tiny frames
+    eng = ds.from_pandas(pdf, npartitions=nparts)
+    pan = pdf.copy()
+    labels = []
+    n_ops = rng.randrange(3, 7)
+    grouped = False
+    for _ in range(n_ops):
+        mk = rng.choice(OPS)
+        if grouped and mk in (op_groupby, op_selfjoin, op_fillna):
+            continue  # post-agg frame has a different column set
+        made = mk(rng, pan)
+        if made is None:
+            continue
+        e_fn, p_fn, label = made
+        try:
+            pan2 = p_fn(pan)
+        except Exception:
+            continue  # pandas refused (e.g. no such column) — skip op
+        eng = e_fn(eng)
+        pan = pan2
+        labels.append(label)
+        if mk is op_groupby:
+            grouped = True
+    chain = " | ".join(labels) or "(empty)"
+    try:
+        assert_eq(eng, pan)
+        return True, chain
+    except Exception as exc:
+        try:
+            eng_pdf = repr(eng.compute())
+        except Exception as inner:
+            eng_pdf = f"<engine collect failed: {inner}>"
+        return False, (
+            f"seed={seed} nparts={nparts} chain=[{chain}]\n{exc}\n"
+            f"engine:\n{eng_pdf}\npandas:\n{pan}"
+        )
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+    from dask_spark.session import get_spark
+
+    spark = get_spark("fuzz-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for j in range(n):
+        ok, msg = run_chain(base + j)
+        if not ok:
+            failures.append(msg)
+            print(f"FAIL {msg}", file=sys.stderr)
+        if (j + 1) % 50 == 0:
+            print(f"# {j + 1}/{n} chains, {len(failures)} failures",
+                  file=sys.stderr)
+    print(f"fuzz_parity: {n} chains, {len(failures)} failures "
+          f"(base seed {base})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
