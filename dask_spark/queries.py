@@ -11710,3 +11710,44 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _R13_FRONT if n in REGISTRY},
     **{n: REGISTRY[n] for n in REGISTRY if n not in set(_R13_FRONT)},
 }
+
+
+# Round-14 sample-window priority: the driver union closed at r13
+# (283/283 oracled queries hash-passed at least once; 14 rows-only by
+# design). Two changes for r14 windows (r13 verdict item 7):
+# 1. the 14 rows-only queries move to the very BACK of the registry so
+#    windows stay maximally hash-dense (r13 spent 3 slots recording
+#    `no_oracle`);
+# 2. with no never-covered queries left, the front now REFRESHES the
+#    stalest evidence: the 46 queries whose only hash-pass is from r1
+#    plus the 4 oldest r2 entries — a 50-query window re-validates the
+#    core relational surface (joins/groupby/reductions/windows) on the
+#    current tree, which has since gained tz metadata, _derive routing
+#    and the r14 ADVICE fixes.
+_R14_ROWS_ONLY = [
+    'embed_pca', 'text_bpe_merges', 'text_bpe_encode', 'arr_lu',
+    'arr_solve_triangular', 'arr_svd_compressed', 'ann_ivf',
+    'arr_random_gamma', 'reduce_nunique_approx', 'sample_head',
+    'arr_tsqr', 'multimodal_decode', 'arr_cholesky', 'dedup_semantic',
+]
+_R14_FRONT = [
+    'concat_union', 'corr_cov', 'cumsum', 'describe', 'drop_duplicates',
+    'drop_duplicates_keep_first', 'dt_ops', 'elem_astype',
+    'elem_map_pandas_udf', 'elem_math', 'elem_project_arith',
+    'elem_where_mask', 'filter_isin', 'filter_pushdown', 'groupby_agg',
+    'groupby_apply', 'groupby_cumcount', 'groupby_having',
+    'groupby_named_agg', 'groupby_nunique', 'groupby_quantile',
+    'groupby_transform', 'idx_minmax', 'join_anti', 'join_broadcast',
+    'join_cross', 'join_inner', 'join_left', 'join_outer', 'join_semi',
+    'map_partitions', 'melt', 'na_dropna', 'na_handling', 'pivot_table',
+    'reduce_global', 'reduce_nunique', 'reduce_quantile', 'resample',
+    'rolling_range', 'rolling_rows', 'shift_diff', 'sort_values',
+    'str_ops', 'topk', 'value_counts', 'any_all', 'autocorr',
+    'bag_topk_words', 'case_when',
+]
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _R14_FRONT if n in REGISTRY},
+    **{n: REGISTRY[n] for n in REGISTRY
+       if n not in set(_R14_FRONT) and n not in set(_R14_ROWS_ONLY)},
+    **{n: REGISTRY[n] for n in _R14_ROWS_ONLY if n in REGISTRY},
+}
