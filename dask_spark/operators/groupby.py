@@ -16,6 +16,25 @@ from typing import Callable, Mapping, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, Window
 
+# pandas min_count=0 identities: an all-null (== all-missing) group
+# sums to 0 and multiplies to 1 like pandas/dask, where bare Spark
+# SUM/PRODUCT return NULL (r14 fuzz_parity find). Applied by
+# _agg_final at AGGREGATE call sites only — _AGGS stays pure agg
+# builders because transform() windows them (`.over(w)` rejects a
+# coalesce wrapper), and pandas transform of a null-key row is NaN.
+# Identities are LAZY (F.lit needs a live SparkContext at call time).
+_AGG_IDENTITY: dict[str, Callable[[], Column]] = {
+    "sum": lambda: F.lit(0),
+    "prod": lambda: F.lit(1.0),
+}
+
+
+def _agg_final(fn: str, col: str) -> Column:
+    e = _AGGS[fn](col)
+    ident = _AGG_IDENTITY.get(fn)
+    return F.coalesce(e, ident()) if ident is not None else e
+
+
 _AGGS: dict[str, Callable[[str], Column]] = {
     "sum": lambda c: F.sum(c),
     "mean": lambda c: F.avg(c),
@@ -200,7 +219,7 @@ class GroupBy:
                        else next(iter(named_partials.values())))
                 finals.append(fin.alias(out))
             else:
-                exprs.append(_AGGS[fn](cols[0]).alias(out))
+                exprs.append(_agg_final(fn, cols[0]).alias(out))
                 finals.append(F.col(out))
         out_sdf = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
         out_sdf = out_sdf.select(*self._keys, *finals)
@@ -269,7 +288,7 @@ class GroupBy:
                 for c in self._frame._numeric_cols()
                 if c not in self._keys
             ]
-        exprs = [_AGGS[fn](c).alias(c) for c in cols]
+        exprs = [_agg_final(fn, c).alias(c) for c in cols]
         out = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
         if getattr(self, "_sort_output", False):
             out = out.orderBy(*self._keys)

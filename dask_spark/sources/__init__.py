@@ -123,6 +123,23 @@ def from_pandas(pdf, npartitions: int | None = None) -> DaskFrame:
         )
     else:
         sdf = spark.createDataFrame(pdf)
+        # pandas' missing marker for float columns IS NaN; Spark keeps
+        # NaN as a VALUE (it poisons sums and survives null-skipping
+        # aggregates) — translate missingness at the boundary so every
+        # downstream null-skipping aggregate matches pandas skipna
+        # semantics (r14 fuzz_parity find: groupby sum over an all-NaN
+        # group returned NaN where pandas returns 0.0). Top-level
+        # float/double columns ONLY: array cells are numpy values
+        # where NaN means the IEEE float, not missing.
+        import pyspark.sql.functions as F
+
+        floats = {c for c, t in sdf.dtypes if t in ("float", "double")}
+        if floats:
+            sdf = sdf.select(*[
+                F.nanvl(F.col(c), F.lit(None).cast(t)).alias(c)
+                if c in floats else F.col(c)
+                for c, t in sdf.dtypes
+            ])
     if npartitions:
         sdf = sdf.repartition(npartitions)
     return DaskFrame(sdf)

@@ -52,10 +52,15 @@ def gen_frame(rng: random.Random) -> pd.DataFrame:
                      rng.random() * 10 - 5]) for _ in range(n)]
     i = [rng.randrange(-100, 100) for _ in range(n)]
     s = [rng.choice(STRINGS) for _ in range(n)]
+    # timestamps far from DST boundaries (June) so tz chains compare
+    # without ambiguous/nonexistent-time policy differences
+    ts = [pd.Timestamp("2024-06-01") + pd.Timedelta(hours=rng.randrange(720))
+          for _ in range(n)]
     return pd.DataFrame({"k": pd.Series(k, dtype="int64"),
                          "f": pd.Series(f, dtype="float64"),
                          "i": pd.Series(i, dtype="int64"),
-                         "s": pd.Series(s, dtype="object")})
+                         "s": pd.Series(s, dtype="object"),
+                         "ts": pd.Series(ts, dtype="datetime64[us]")})
 
 
 # ---- op vocabulary -------------------------------------------------------
@@ -199,8 +204,75 @@ def op_selfjoin(rng, pdf):
     return eng, pan, "selfjoin(k)"
 
 
+NY = "America/New_York"
+
+
+def op_tz_store(rng, pdf):
+    """Store an AWARE column in place — the col_tz persistence class
+    the r13 port found leaking: later row-preserving ops must keep the
+    tag or .dt fields silently read UTC. pandas raises on re-localize,
+    which run_chain treats as skip, so the op self-guards."""
+    if "ts" not in pdf.columns:
+        return None
+
+    def eng(d):
+        out = d.copy()
+        out["ts"] = out["ts"].dt.tz_localize(NY)
+        return out
+
+    def pan(p):
+        p = p.copy()
+        p["ts"] = p["ts"].dt.tz_localize(NY)
+        return p
+
+    return eng, pan, "tz_store(ts,NY)"
+
+
+def op_dt_hour(rng, pdf):
+    """Extract .dt.hour — LOCAL hour if the column is aware (reads the
+    engine tag through whatever ops ran in between)."""
+    if "ts" not in pdf.columns:
+        return None
+
+    def eng(d):
+        out = d.copy()
+        out["h"] = out["ts"].dt.hour
+        return out
+
+    def pan(p):
+        p = p.copy()
+        p["h"] = p["ts"].dt.hour
+        return p
+
+    return eng, pan, "dt_hour"
+
+
+def op_concat_self(rng, pdf):
+    import dask_spark as _ds
+
+    return (lambda d: _ds.concat([d, d]),
+            lambda p: pd.concat([p, p], ignore_index=True),
+            "concat(self,self)")
+
+
+def op_merge_outer(rng, pdf):
+    if "k" not in pdf.columns:
+        return None
+
+    def eng(d):
+        dim = d.groupby("k").agg({"k": "count"})             .rename(columns={"k_count": "kc"})
+        return d.merge(dim, on="k", how="left")
+
+    def pan(p):
+        dim = p.groupby("k")["k"].count().rename("kc").reset_index()
+        return p.merge(dim, on="k", how="left")
+
+    return eng, pan, "merge_left(count-dim)"
+
+
 OPS = [op_project, op_filter, op_assign, op_fillna, op_rename,
-       op_drop, op_dedup, op_sort, op_groupby, op_selfjoin]
+       op_drop, op_dedup, op_sort, op_groupby, op_selfjoin,
+       op_tz_store, op_dt_hour, op_concat_self, op_merge_outer]
 
 
 def run_chain(seed: int) -> tuple[bool, str]:
@@ -214,7 +286,8 @@ def run_chain(seed: int) -> tuple[bool, str]:
     grouped = False
     for _ in range(n_ops):
         mk = rng.choice(OPS)
-        if grouped and mk in (op_groupby, op_selfjoin, op_fillna):
+        if grouped and mk in (op_groupby, op_selfjoin, op_fillna,
+                              op_merge_outer):
             continue  # post-agg frame has a different column set
         made = mk(rng, pan)
         if made is None:
@@ -230,6 +303,14 @@ def run_chain(seed: int) -> tuple[bool, str]:
         if mk is op_groupby:
             grouped = True
     chain = " | ".join(labels) or "(empty)"
+    # representation bridge: the engine stores aware timestamps as UTC
+    # instants + a tz tag; pandas carries the zone in the dtype —
+    # normalize pandas to UTC-naive for the value compare (the LOCAL
+    # field semantics are exercised in-chain by op_dt_hour)
+    for c in pan.columns:
+        if isinstance(pan[c].dtype, pd.DatetimeTZDtype):
+            pan = pan.copy()
+            pan[c] = pan[c].dt.tz_convert("UTC").dt.tz_localize(None)
     try:
         assert_eq(eng, pan)
         return True, chain

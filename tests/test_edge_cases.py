@@ -27,9 +27,11 @@ def nullish(spark):
 def test_groupby_sum_all_null_group(nullish):
     pdf, f = nullish
     got = f.groupby("k").agg({"v": "sum"}).compute()
-    # group "b" is all-null → sum is null (Spark) / 0.0 (pandas sum min_count=0)
+    # group "b" is all-null → 0.0 like pandas' sum min_count=0 (was
+    # pinned to Spark's NULL before r14; the fuzz_parity sweep decided
+    # the divergence in pandas' favor — _agg_final's lazy identity)
     row = got[got.k == "b"]
-    assert row.v_sum.isna().all()
+    assert (row.v_sum == 0.0).all()
     # null keys are dropped by default (pandas dropna=True);
     # dropna=False keeps the null group
     assert len(got) == 3

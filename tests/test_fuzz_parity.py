@@ -8,6 +8,7 @@ suite with a reproducible seed."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from scripts.fuzz_parity import run_chain
@@ -19,3 +20,39 @@ BASE = 20260816
 def test_fuzz_chain(spark, offset):
     ok, msg = run_chain(BASE + offset)
     assert ok, msg
+
+
+def test_nan_is_missing_at_pandas_boundary(spark):
+    """r14 fuzz find (seed 20261177): pandas' float NaN is its MISSING
+    marker — from_pandas now translates top-level float NaN to null so
+    null-skipping aggregates match pandas skipna; previously the NaN
+    rode through as a Spark VALUE and poisoned group sums."""
+    import numpy as np
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [0, 0, 1], "f": [np.nan, 2.0, np.nan]})
+    f = ds.from_pandas(pdf, npartitions=2)
+    got = f.groupby("k").agg({"f": "sum"}).compute().sort_values("k")
+    exp = pdf.groupby("k")["f"].sum()
+    assert got.f_sum.tolist() == [exp[0], exp[1]]  # [2.0, 0.0]
+    # fillna treats the translated NaN as missing too
+    assert sorted(f["f"].fillna(-1.0).compute()) == [-1.0, -1.0, 2.0]
+    # array cells keep NaN as an IEEE VALUE (numpy semantics), pinned
+    pdf2 = pd.DataFrame({"rid": [0], "vec": [[np.nan, 1.0]]})
+    v = ds.from_pandas(pdf2).compute().vec.iloc[0]
+    assert np.isnan(v[0])
+
+
+def test_groupby_sum_prod_min_count_identity(spark):
+    """r14 fuzz find (seed 20261278): pandas sum/prod of an all-missing
+    group are 0.0/1.0 (min_count=0), not NULL; applied at aggregate
+    call sites only — transform() keeps NULL for null-key rows."""
+    import numpy as np
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [0, 1], "f": [np.nan, 3.0]})
+    f = ds.from_pandas(pdf)
+    got = f.groupby("k").agg({"f": ["sum", "prod"]}).compute() \
+        .sort_values("k")
+    assert got.f_sum.tolist() == [0.0, 3.0]
+    assert got.f_prod.tolist() == [1.0, 3.0]
