@@ -1217,7 +1217,9 @@ class Series:
         return self._frame._sdf.select(expr.alias("v")).first()["v"]
 
     def sum(self):
-        return self._agg_scalar(F.sum(self._expr))
+        # pandas min_count=0: empty/all-missing sums to 0, not NULL
+        # (same contract adopted for groupby sum in r14)
+        return self._agg_scalar(F.coalesce(F.sum(self._expr), F.lit(0)))
 
     def mean(self):
         return self._agg_scalar(F.avg(self._expr))
@@ -1310,7 +1312,9 @@ class Series:
         return self.quantile(0.5)
 
     def prod(self):
-        return self._agg_scalar(F.product(self._expr))
+        return self._agg_scalar(
+            F.coalesce(F.product(self._expr), F.lit(1.0))
+        )
 
     def sem(self, ddof: int = 1):
         n = F.count(self._expr)
@@ -2191,7 +2195,10 @@ class DaskFrame:
     def sum(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("sum")
-        return self._agg_all(lambda c: F.sum(F.col(c)))
+        # pandas min_count=0 per column (empty/all-missing -> 0)
+        return self._agg_all(
+            lambda c: F.coalesce(F.sum(F.col(c)), F.lit(0))
+        )
 
     def mean(self, axis: int = 0):
         if self._is_rowwise(axis):
@@ -2413,9 +2420,10 @@ class DaskFrame:
 
     def prod(self) -> "DaskFrame":
         return DaskFrame(
-            self._sdf.agg(
-                *[F.product(F.col(c)).alias(c) for c in self._numeric_cols()]
-            )
+            self._sdf.agg(*[
+                F.coalesce(F.product(F.col(c)), F.lit(1.0)).alias(c)
+                for c in self._numeric_cols()
+            ])
         )
 
     def skew(self) -> "DaskFrame":

@@ -49,9 +49,11 @@ def test_empty_frame_ops(spark):
     assert empty.sort_values("a").compute().empty
     assert len(empty.merge(f, on="b").compute()) == 0
     assert empty.drop_duplicates().compute().empty
-    # reductions on empty → null, count → 0
+    # reductions on empty: count → 0; sum → 0 like pandas min_count=0
+    # (was pinned to Spark's NULL before the r14 fuzz-driven contract)
     assert empty.a.count() == 0
-    assert empty.a.sum() is None
+    assert empty.a.sum() == 0
+    assert empty.a.mean() is None  # pandas: NaN — na-equivalent
 
 
 def test_join_duplicate_keys_cardinality(spark):
