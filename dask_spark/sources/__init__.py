@@ -108,6 +108,27 @@ def read_orc(path: str) -> DaskFrame:
     return DaskFrame(_spark().read.orc(path))
 
 
+def _nan_to_null(sdf):
+    """pandas' missing marker for float columns IS NaN; Spark keeps NaN
+    as a VALUE (it poisons sums and survives null-skipping aggregates)
+    — translate missingness at every pandas→engine boundary so
+    downstream null-skipping aggregates match pandas skipna semantics
+    (r14 fuzz_parity find: groupby sum over an all-NaN group returned
+    NaN where pandas returns 0.0). Top-level float/double columns
+    ONLY: array cells are numpy values where NaN means the IEEE float,
+    not missing."""
+    import pyspark.sql.functions as F
+
+    floats = {c for c, t in sdf.dtypes if t in ("float", "double")}
+    if not floats:
+        return sdf
+    return sdf.select(*[
+        F.nanvl(F.col(c), F.lit(None).cast(t)).alias(c)
+        if c in floats else F.col(c)
+        for c, t in sdf.dtypes
+    ])
+
+
 def from_pandas(pdf, npartitions: int | None = None) -> DaskFrame:
     spark = _spark()
     if len(pdf) == 0:
@@ -122,24 +143,7 @@ def from_pandas(pdf, npartitions: int | None = None) -> DaskFrame:
             ])
         )
     else:
-        sdf = spark.createDataFrame(pdf)
-        # pandas' missing marker for float columns IS NaN; Spark keeps
-        # NaN as a VALUE (it poisons sums and survives null-skipping
-        # aggregates) — translate missingness at the boundary so every
-        # downstream null-skipping aggregate matches pandas skipna
-        # semantics (r14 fuzz_parity find: groupby sum over an all-NaN
-        # group returned NaN where pandas returns 0.0). Top-level
-        # float/double columns ONLY: array cells are numpy values
-        # where NaN means the IEEE float, not missing.
-        import pyspark.sql.functions as F
-
-        floats = {c for c, t in sdf.dtypes if t in ("float", "double")}
-        if floats:
-            sdf = sdf.select(*[
-                F.nanvl(F.col(c), F.lit(None).cast(t)).alias(c)
-                if c in floats else F.col(c)
-                for c, t in sdf.dtypes
-            ])
+        sdf = _nan_to_null(spark.createDataFrame(pdf))
     if npartitions:
         sdf = sdf.repartition(npartitions)
     return DaskFrame(sdf)
@@ -449,7 +453,9 @@ def from_map(func, *iterables, meta=None, npartitions: int | None = None,
                 if len(out):
                     yield pd.DataFrame(out)
 
-    return DaskFrame(src.mapInPandas(run, schema))
+    # same pandas→engine missingness translation as from_pandas: the
+    # user fn returns pandas frames whose float NaN means missing
+    return DaskFrame(_nan_to_null(src.mapInPandas(run, schema)))
 
 
 def from_array(x, columns=None, npartitions: int | None = None) -> DaskFrame:
