@@ -958,23 +958,56 @@ class Series:
     def __pow__(self, o):
         return self._bin(o, lambda a, b: F.pow(a, b))
 
+    # ---- comparisons: pandas missing semantics (r14 fuzz finds).
+    # pandas: any comparison with a missing value (NaN/None/NaT) is
+    # False — except != which is True. Spark instead ORDERS NaN
+    # greatest (NaN > x is TRUE, NaN == NaN is TRUE) and propagates
+    # null. So float operands get NaN→null first (nanvl), and the
+    # null comparison result folds to the pandas constant. This also
+    # makes string/timestamp null comparisons pandas-exact (None ==
+    # 'x' → False, None != 'x' → True), and filters keep dropping
+    # missing-keyed rows either way. -----------------------------------
+
+    def _cmp_operand(self, x) -> Column:
+        """NaN→null for FLOAT comparison operands (type-probed — nanvl
+        would fail analysis on strings/timestamps)."""
+        c = _col(x)
+        probe = x._expr if isinstance(x, Series) else c
+        frame = x._frame if isinstance(x, Series) else self._frame
+        try:
+            t = frame._sdf.select(probe.alias("__t")) \
+                .schema[0].dataType.simpleString()
+        except Exception:
+            return c
+        if t in ("float", "double"):
+            return F.nanvl(c, F.lit(None).cast(t))
+        return c
+
+    def _cmp(self, o, fn, null_result: bool = False) -> "Series":
+        raw = fn(self._cmp_operand(self), self._cmp_operand(o))
+        return Series(
+            self._frame, F.coalesce(raw, F.lit(null_result)), self._name
+        )
+
     def __gt__(self, o):
-        return self._bin(o, lambda a, b: a > b)
+        return self._cmp(o, lambda a, b: a > b)
 
     def __ge__(self, o):
-        return self._bin(o, lambda a, b: a >= b)
+        return self._cmp(o, lambda a, b: a >= b)
 
     def __lt__(self, o):
-        return self._bin(o, lambda a, b: a < b)
+        return self._cmp(o, lambda a, b: a < b)
 
     def __le__(self, o):
-        return self._bin(o, lambda a, b: a <= b)
+        return self._cmp(o, lambda a, b: a <= b)
 
     def __eq__(self, o):  # type: ignore[override]
-        return self._bin(o, lambda a, b: a == b)
+        return self._cmp(o, lambda a, b: a == b)
 
     def __ne__(self, o):  # type: ignore[override]
-        return self._bin(o, lambda a, b: a != b)
+        # pandas: NaN != x is TRUE (the one comparison where missing
+        # folds to True)
+        return self._cmp(o, lambda a, b: a != b, null_result=True)
 
     def __and__(self, o):
         return self._bin(o, lambda a, b: a & b)
@@ -1216,28 +1249,43 @@ class Series:
     def _agg_scalar(self, expr: Column):
         return self._frame._sdf.select(expr.alias("v")).first()["v"]
 
+    def _skipna_expr(self) -> Column:
+        """pandas skipna semantics for FLOAT inputs: NaN is a missing
+        value to every reduction, whether it arrived at a boundary
+        (from_pandas translates those) or was created MID-PLAN
+        (sqrt(-1), 0/0, log(-x)) — Spark would otherwise poison sums
+        and sort NaN greatest in min/max (r14 fuzz-class finding).
+        Non-float inputs pass through untouched (nanvl would coerce
+        ints to double and change sum dtypes)."""
+        t = self._frame._sdf.select(self._expr.alias("__t"))             .schema[0].dataType.simpleString()
+        if t in ("float", "double"):
+            return F.nanvl(self._expr, F.lit(None).cast(t))
+        return self._expr
+
     def sum(self):
         # pandas min_count=0: empty/all-missing sums to 0, not NULL
         # (same contract adopted for groupby sum in r14)
-        return self._agg_scalar(F.coalesce(F.sum(self._expr), F.lit(0)))
+        return self._agg_scalar(
+            F.coalesce(F.sum(self._skipna_expr()), F.lit(0))
+        )
 
     def mean(self):
-        return self._agg_scalar(F.avg(self._expr))
+        return self._agg_scalar(F.avg(self._skipna_expr()))
 
     def min(self):
-        return self._agg_scalar(F.min(self._expr))
+        return self._agg_scalar(F.min(self._skipna_expr()))
 
     def max(self):
-        return self._agg_scalar(F.max(self._expr))
+        return self._agg_scalar(F.max(self._skipna_expr()))
 
     def count(self):
-        return self._agg_scalar(F.count(self._expr))
+        return self._agg_scalar(F.count(self._skipna_expr()))
 
     def std(self):
-        return self._agg_scalar(F.stddev_samp(self._expr))
+        return self._agg_scalar(F.stddev_samp(self._skipna_expr()))
 
     def var(self):
-        return self._agg_scalar(F.var_samp(self._expr))
+        return self._agg_scalar(F.var_samp(self._skipna_expr()))
 
     def nunique(self):
         return self._agg_scalar(F.countDistinct(self._expr))
@@ -1313,7 +1361,7 @@ class Series:
 
     def prod(self):
         return self._agg_scalar(
-            F.coalesce(F.product(self._expr), F.lit(1.0))
+            F.coalesce(F.product(self._skipna_expr()), F.lit(1.0))
         )
 
     def sem(self, ddof: int = 1):
@@ -2128,9 +2176,20 @@ class DaskFrame:
         num = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
         return [c for c, t in self._sdf.dtypes if t.split("(")[0] in num]
 
-    def _agg_all(self, fn: Callable[[str], Column]) -> "DaskFrame":
+    def _agg_all(self, fn: Callable[[Column], Column]) -> "DaskFrame":
+        """Per-column reduction over the numeric columns. Float inputs
+        get pandas skipna semantics (NaN == missing, incl. mid-plan
+        NaN — see Series._skipna_expr); int columns pass through so
+        sums keep integer dtype."""
+        dt = dict(self._sdf.dtypes)
         cols = self._numeric_cols()
-        return DaskFrame(self._sdf.agg(*[fn(c).alias(c) for c in cols]))
+
+        def src(c):
+            if dt[c] in ("float", "double"):
+                return F.nanvl(F.col(c), F.lit(None).cast(dt[c]))
+            return F.col(c)
+
+        return DaskFrame(self._sdf.agg(*[fn(src(c)).alias(c) for c in cols]))
 
     def _rowwise(self, kind: str) -> "Series":
         """axis=1 reductions (reference: dask frame reductions take
@@ -2147,9 +2206,14 @@ class DaskFrame:
         from operator import add as _add
 
         if kind == "count":
-            # pandas counts every non-null cell in the row, any dtype
+            # pandas counts every non-missing cell in the row, any
+            # dtype — float NaN is missing (skipna)
+            dt_all = dict(self._sdf.dtypes)
             n_all = _reduce(_add, [
-                F.col(c).isNotNull().cast("int") for c in self._sdf.columns
+                ((F.col(c).isNotNull() & ~F.isnan(F.col(c)))
+                 if dt_all[c] in ("float", "double")
+                 else F.col(c).isNotNull()).cast("int")
+                for c in self._sdf.columns
             ])
             return Series(self, n_all.cast("bigint"), kind)
 
@@ -2161,7 +2225,13 @@ class DaskFrame:
         integral = all(dt[c] in ints for c in cols)
         num_t = "bigint" if integral and kind in ("sum", "min", "max") \
             else "double"
-        vals = [F.col(c).cast(num_t) for c in cols]
+        # float sources: NaN == missing per row (pandas skipna; NaN
+        # would otherwise poison the row sum and win min/max)
+        vals = [
+            (F.nanvl(F.col(c), F.lit(None).cast(dt[c]))
+             if dt[c] in ("float", "double") else F.col(c)).cast(num_t)
+            for c in cols
+        ]
         n = _reduce(_add, [v.isNotNull().cast("int") for v in vals])
         zero = F.lit(0).cast(num_t)
         s = _reduce(_add, [F.coalesce(v, zero) for v in vals])
@@ -2197,38 +2267,38 @@ class DaskFrame:
             return self._rowwise("sum")
         # pandas min_count=0 per column (empty/all-missing -> 0)
         return self._agg_all(
-            lambda c: F.coalesce(F.sum(F.col(c)), F.lit(0))
+            lambda e: F.coalesce(F.sum(e), F.lit(0))
         )
 
     def mean(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("mean")
-        return self._agg_all(lambda c: F.avg(F.col(c)))
+        return self._agg_all(lambda e: F.avg(e))
 
     def min(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("min")
-        return self._agg_all(lambda c: F.min(F.col(c)))
+        return self._agg_all(lambda e: F.min(e))
 
     def max(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("max")
-        return self._agg_all(lambda c: F.max(F.col(c)))
+        return self._agg_all(lambda e: F.max(e))
 
     def std(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("std")
-        return self._agg_all(lambda c: F.stddev_samp(F.col(c)))
+        return self._agg_all(lambda e: F.stddev_samp(e))
 
     def var(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("var")
-        return self._agg_all(lambda c: F.var_samp(F.col(c)))
+        return self._agg_all(lambda e: F.var_samp(e))
 
     def count(self, axis: int = 0):
         if self._is_rowwise(axis):
             return self._rowwise("count")
-        return self._agg_all(lambda c: F.count(F.col(c)))
+        return self._agg_all(lambda e: F.count(e))
 
     def describe(self, percentiles=None) -> "DaskFrame":
         """Long-form describe: one row per numeric column."""
@@ -2428,16 +2498,16 @@ class DaskFrame:
 
     def skew(self) -> "DaskFrame":
         """Population skewness g1 (Spark's definition) per numeric col."""
-        return self._agg_all(lambda c: F.skewness(F.col(c)))
+        return self._agg_all(lambda e: F.skewness(e))
 
     def kurtosis(self) -> "DaskFrame":
         """Population excess kurtosis (Spark's definition)."""
-        return self._agg_all(lambda c: F.kurtosis(F.col(c)))
+        return self._agg_all(lambda e: F.kurtosis(e))
 
     def sem(self) -> "DaskFrame":
         """Standard error of the mean: stddev_samp / sqrt(n)."""
         return self._agg_all(
-            lambda c: F.stddev_samp(F.col(c)) / F.sqrt(F.count(F.col(c)))
+            lambda e: F.stddev_samp(e) / F.sqrt(F.count(e))
         )
 
     def mode(self, column: str | None = None, dropna: bool = True,
@@ -2802,7 +2872,7 @@ class DaskFrame:
     def median(self) -> "DaskFrame":
         """Per-numeric-column exact median (reference _collection.py
         median; dask computes it per column too)."""
-        return self._agg_all(lambda c: F.median(F.col(c)))
+        return self._agg_all(lambda e: F.median(e))
 
     def nunique_approx(self, rsd: float = 0.01) -> "DaskFrame":
         """Per-column HLL distinct estimate (reference

@@ -29,10 +29,25 @@ _AGG_IDENTITY: dict[str, Callable[[], Column]] = {
 }
 
 
-def _agg_final(fn: str, col: str) -> Column:
+def _skipnan(frame, col: str):
+    """pandas skipna for FLOAT agg inputs: NaN is missing whether it
+    arrived at a boundary or was created mid-plan (sqrt(-1), 0/0) —
+    Spark would otherwise poison sums and sort NaN greatest in
+    min/max. Ints pass through (nanvl would coerce them to double)."""
+    t = dict(frame._sdf.dtypes).get(col)
+    if t in ("float", "double"):
+        return F.nanvl(F.col(col), F.lit(None).cast(t))
+    return F.col(col)
+
+
+def _agg_final(fn: str, col) -> Column:
     e = _AGGS[fn](col)
     ident = _AGG_IDENTITY.get(fn)
     return F.coalesce(e, ident()) if ident is not None else e
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
 
 
 _AGGS: dict[str, Callable[[str], Column]] = {
@@ -54,8 +69,8 @@ _AGGS: dict[str, Callable[[str], Column]] = {
     "list": lambda c: F.collect_list(c),
     "collect_list": lambda c: F.collect_list(c),
     "collect_set": lambda c: F.collect_set(c),
-    "any": lambda c: F.max(F.col(c).cast("boolean")),
-    "all": lambda c: F.min(F.col(c).cast("boolean")),
+    "any": lambda c: F.max(_c(c).cast("boolean")),
+    "all": lambda c: F.min(_c(c).cast("boolean")),
 }
 
 
@@ -219,7 +234,10 @@ class GroupBy:
                        else next(iter(named_partials.values())))
                 finals.append(fin.alias(out))
             else:
-                exprs.append(_agg_final(fn, cols[0]).alias(out))
+                exprs.append(
+                    _agg_final(fn, _skipnan(self._frame, cols[0]))
+                    .alias(out)
+                )
                 finals.append(F.col(out))
         out_sdf = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
         out_sdf = out_sdf.select(*self._keys, *finals)
@@ -288,7 +306,9 @@ class GroupBy:
                 for c in self._frame._numeric_cols()
                 if c not in self._keys
             ]
-        exprs = [_agg_final(fn, c).alias(c) for c in cols]
+        exprs = [
+            _agg_final(fn, _skipnan(self._frame, c)).alias(c) for c in cols
+        ]
         out = self._frame._sdf.groupBy(*self._keys).agg(*exprs)
         if getattr(self, "_sort_output", False):
             out = out.orderBy(*self._keys)
@@ -418,7 +438,9 @@ class GroupBy:
         name = out or f"{col}_{fn}"
         w = Window.partitionBy(*self._keys)
         return self._shape_preserving([name], lambda f: DaskFrame(
-            f._sdf.withColumn(name, _AGGS[fn](col).over(w))
+            f._sdf.withColumn(
+                name, _AGGS[fn](_skipnan(self._frame, col)).over(w)
+            )
         ))
 
     def cumsum(self, col: str, order_by: str, out: str | None = None) -> "DaskFrame":

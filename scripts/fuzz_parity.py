@@ -247,6 +247,30 @@ def op_dt_hour(rng, pdf):
     return eng, pan, "dt_hour"
 
 
+def op_sqrt_nan(rng, pdf):
+    """Create NaN MID-PLAN (sqrt of a possibly-negative float) — the
+    r14 deep-NaN class: downstream skipna aggregates must treat the
+    produced NaN as missing like pandas, not poison sums / win max."""
+    cands = [c for c in pdf.columns
+             if pd.api.types.is_float_dtype(pdf[c])]
+    if not cands:
+        return None
+    src = rng.choice(cands)
+
+    def eng(d):
+        out = d.copy()
+        out["q"] = d[src] ** 0.5
+        return out
+
+    def pan(p):
+        p = p.copy()
+        with np.errstate(invalid="ignore"):
+            p["q"] = p[src] ** 0.5
+        return p
+
+    return eng, pan, f"sqrt_nan({src})"
+
+
 def op_concat_self(rng, pdf):
     import dask_spark as _ds
 
@@ -272,7 +296,8 @@ def op_merge_outer(rng, pdf):
 
 OPS = [op_project, op_filter, op_assign, op_fillna, op_rename,
        op_drop, op_dedup, op_sort, op_groupby, op_selfjoin,
-       op_tz_store, op_dt_hour, op_concat_self, op_merge_outer]
+       op_tz_store, op_dt_hour, op_concat_self, op_merge_outer,
+       op_sqrt_nan]
 
 
 def run_chain(seed: int) -> tuple[bool, str]:

@@ -56,3 +56,29 @@ def test_groupby_sum_prod_min_count_identity(spark):
         .sort_values("k")
     assert got.f_sum.tolist() == [0.0, 3.0]
     assert got.f_prod.tolist() == [1.0, 3.0]
+
+
+def test_midplan_nan_is_missing_to_aggregates(spark):
+    """r14 deep-NaN pin: NaN created MID-PLAN (sqrt(-1), 0/0) is
+    missing to every skipna aggregate — groupby, Series scalar, frame
+    axis-0 and axis-1 — matching pandas; Spark alone would poison the
+    sum and sort NaN greatest in max."""
+    import numpy as np
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"k": [0, 0, 1], "f": [4.0, -1.0, 9.0]})
+    f = ds.from_pandas(pdf)
+    f["z"] = f["f"] ** 0.5
+    with np.errstate(invalid="ignore"):
+        pdf["z"] = pdf["f"] ** 0.5
+    got = f.groupby("k").agg({"z": ["sum", "max"]}).compute() \
+        .sort_values("k")
+    assert got.z_sum.tolist() == pdf.groupby("k").z.sum().tolist()
+    assert got.z_max.tolist() == pdf.groupby("k").z.max().tolist()
+    assert f["z"].sum() == pdf.z.sum()
+    assert f["z"].max() == pdf.z.max()
+    assert f["z"].count() == pdf.z.count()
+    assert sorted(f[["f", "z"]].sum(axis=1).compute()) == \
+        sorted(pdf[["f", "z"]].sum(axis=1))
+    assert sorted(f[["f", "z"]].count(axis=1).compute()) == \
+        sorted(pdf[["f", "z"]].count(axis=1))
