@@ -2085,16 +2085,27 @@ class DaskFrame:
         """pandas/dask sort_values (reference dask_expr/_collection.py
         sort_values): nulls go LAST by default in BOTH directions —
         Spark's bare asc() is nulls-first, so the null placement must
-        be pinned explicitly or ascending sorts diverge from pandas."""
+        be pinned explicitly or ascending sorts diverge from pandas.
+        Float NaN is MISSING too (pandas na_position governs it; Spark
+        instead orders NaN greatest, putting it FIRST in a descending
+        sort) — float sort keys ride through nanvl so NaN follows the
+        same placement as null (r14 missing-semantics class)."""
         if na_position not in ("first", "last"):
             raise ValueError("na_position must be 'first' or 'last'")
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
         last = na_position == "last"
+        dt = dict(self._sdf.dtypes)
+
+        def key(c):
+            if dt.get(c) in ("float", "double"):
+                return F.nanvl(F.col(c), F.lit(None).cast(dt[c]))
+            return F.col(c)
+
         cols = [
-            (F.col(c).asc_nulls_last() if last else F.col(c).asc_nulls_first())
+            (key(c).asc_nulls_last() if last else key(c).asc_nulls_first())
             if a else
-            (F.col(c).desc_nulls_last() if last else F.col(c).desc_nulls_first())
+            (key(c).desc_nulls_last() if last else key(c).desc_nulls_first())
             for c, a in zip(by, asc)
         ]
         return self._derive(self._sdf.orderBy(*cols))

@@ -82,3 +82,20 @@ def test_midplan_nan_is_missing_to_aggregates(spark):
         sorted(pdf[["f", "z"]].sum(axis=1))
     assert sorted(f[["f", "z"]].count(axis=1).compute()) == \
         sorted(pdf[["f", "z"]].count(axis=1))
+
+
+def test_midplan_nan_sort_placement(spark):
+    """r14: NaN follows na_position in sort_values (Spark alone orders
+    NaN greatest, putting it FIRST in a descending sort)."""
+    import numpy as np
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"f": [4.0, -1.0, 9.0], "g": [1, 2, 3]})
+    f = ds.from_pandas(pdf)
+    f["z"] = f["f"] ** 0.5
+    with np.errstate(invalid="ignore"):
+        pdf["z"] = pdf["f"] ** 0.5
+    for asc in (True, False):
+        got = f.sort_values("z", ascending=asc).compute().g.tolist()
+        exp = pdf.sort_values("z", ascending=asc).g.tolist()
+        assert got == exp, (asc, got, exp)
