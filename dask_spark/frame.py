@@ -968,26 +968,56 @@ class Series:
     # 'x' → False, None != 'x' → True), and filters keep dropping
     # missing-keyed rows either way. -----------------------------------
 
-    def _cmp_operand(self, x) -> Column:
-        """NaN→null for FLOAT comparison operands (type-probed — nanvl
-        would fail analysis on strings/timestamps)."""
+    def _cmp_guards(self, x) -> "list[Column] | None":
+        """Missing-guards for one comparison operand: IS NOT NULL, and
+        NOT isnan for float types (type-probed). None = the operand is
+        a non-finite float LITERAL (NaN), i.e. the whole comparison is
+        degenerate."""
+        if not isinstance(x, Series) and not isinstance(x, Column):
+            # plain literal: only NaN/None itself is "missing"
+            import math as _math
+
+            if x is None or (isinstance(x, float) and _math.isnan(x)):
+                return None
+            return []
         c = _col(x)
         probe = x._expr if isinstance(x, Series) else c
         frame = x._frame if isinstance(x, Series) else self._frame
+        guards = [c.isNotNull()]
         try:
             t = frame._sdf.select(probe.alias("__t")) \
                 .schema[0].dataType.simpleString()
         except Exception:
-            return c
+            return guards
         if t in ("float", "double"):
-            return F.nanvl(c, F.lit(None).cast(t))
-        return c
+            guards.append(~F.isnan(c))
+        return guards
 
     def _cmp(self, o, fn, null_result: bool = False) -> "Series":
-        raw = fn(self._cmp_operand(self), self._cmp_operand(o))
-        return Series(
-            self._frame, F.coalesce(raw, F.lit(null_result)), self._name
-        )
+        """Comparison with pandas missing semantics, PUSHDOWN-SHAPED:
+        the raw comparison stays a bare predicate and the missing fold
+        rides as extra conjuncts (`cmp AND a IS NOT NULL AND NOT
+        isnan(a)`), which Catalyst splits so the pushable parts still
+        reach the parquet scan — a coalesce/when wrapper would block
+        PushedFilters entirely (caught by test_plans in r14). For !=
+        (missing → True) the fold is the dual disjunction; that one is
+        inherently not a source filter under pandas semantics (pushing
+        it would drop missing rows the semantics keep)."""
+        raw = fn(_col(self), _col(o))
+        gs = self._cmp_guards(self)
+        go = self._cmp_guards(o)
+        if gs is None or go is None:  # comparison against a NaN literal
+            return Series(self._frame, F.lit(null_result), self._name)
+        guards = gs + go
+        if not null_result:
+            out = raw
+            for g in guards:
+                out = out & g
+        else:
+            out = raw
+            for g in guards:
+                out = out | ~g
+        return Series(self._frame, out, self._name)
 
     def __gt__(self, o):
         return self._cmp(o, lambda a, b: a > b)
