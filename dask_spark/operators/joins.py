@@ -75,6 +75,15 @@ def _validate_merge(lsdf, rsdf, lkeys, rkeys, validate: str) -> None:
 def merge(left, right, how="inner", on=None, left_on=None, right_on=None,
           broadcast=None, suffixes=("_x", "_y"), indicator=False,
           validate=None):
+    """pandas/dask merge (reference dask_expr/_merge.py). PINNED
+    DEVIATION — missing join keys: pandas matches NaN keys to each
+    other (NaN==NaN inside a merge); here missing keys never match
+    (SQL equi-join). The SQL rule is the deliberate scale choice: a
+    null-matching join forms the CROSS PRODUCT of all missing-keyed
+    rows — a corpus with 1% null keys at 100 TB would build a 10^16-
+    pair hot bucket no skew handling can split. Filter-and-union if
+    NaN-match semantics are genuinely wanted. Pinned in
+    tests/test_fuzz_parity.py::test_merge_missing_keys_deviation."""
     from dask_spark.frame import DaskFrame
 
     lsdf, rsdf = left._sdf, right._sdf

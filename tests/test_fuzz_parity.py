@@ -99,3 +99,19 @@ def test_midplan_nan_sort_placement(spark):
         got = f.sort_values("z", ascending=asc).compute().g.tolist()
         exp = pdf.sort_values("z", ascending=asc).g.tolist()
         assert got == exp, (asc, got, exp)
+
+
+def test_merge_missing_keys_deviation(spark):
+    """PINNED DEVIATION (r14): pandas matches NaN join keys to each
+    other; the engine keeps SQL semantics — missing keys never match
+    (operators/joins.py merge docstring: a null-matching join is a
+    cross-product skew hazard at scale)."""
+    import numpy as np
+    import dask_spark as ds
+
+    l = pd.DataFrame({"k": [1.0, np.nan], "a": [10, 20]})
+    r = pd.DataFrame({"k": [1.0, np.nan], "b": [100, 200]})
+    assert len(l.merge(r, on="k")) == 2          # pandas: NaN == NaN
+    got = ds.from_pandas(l).merge(ds.from_pandas(r), on="k").compute()
+    assert len(got) == 1                          # engine: SQL rule
+    assert got.a.iloc[0] == 10 and got.b.iloc[0] == 100
