@@ -1318,7 +1318,8 @@ class Series:
         return self._agg_scalar(F.var_samp(self._skipna_expr()))
 
     def nunique(self):
-        return self._agg_scalar(F.countDistinct(self._expr))
+        # pandas dropna=True: missing (null or mid-plan NaN) excluded
+        return self._agg_scalar(F.countDistinct(self._skipna_expr()))
 
     def nunique_approx(self, rsd: float = 0.01):
         """reference: dask/dataframe/hyperloglog.py → native HLL++.
@@ -1525,7 +1526,11 @@ class Series:
                 "positional order among the nulls, which this engine "
                 "does not define — use min/max/average/dense"
             )
-        full = self._frame._sdf.select(self._expr.alias(self._name))
+        # _skipna_expr: a mid-plan NaN is missing to ranking like null
+        # (pandas na_option governs both — r14 missing-value class)
+        full = self._frame._sdf.select(
+            self._skipna_expr().alias(self._name)
+        )
         base = full.filter(F.col(self._name).isNotNull())
         # one broadcast row: total n, non-null nn (null count = n - nn)
         stats = full.agg(
@@ -1790,9 +1795,13 @@ class Series:
     def value_counts(self, sort: bool = True, ascending: bool = False,
                      normalize: bool = False,
                      dropna: bool = True) -> "DaskFrame":
-        base = self._frame._sdf.select(self._expr.alias(self._name))
+        # _skipna_expr: mid-plan NaN is missing like null (dropna
+        # governs both, pandas semantics — r14 missing-value class)
+        base = self._frame._sdf.select(
+            self._skipna_expr().alias(self._name)
+        )
         if dropna:
-            # pandas default: null values form no bucket (and don't
+            # pandas default: missing values form no bucket (and don't
             # enter the normalize denominator)
             base = base.filter(F.col(self._name).isNotNull())
         out = base.groupBy(self._name).agg(

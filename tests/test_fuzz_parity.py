@@ -115,3 +115,24 @@ def test_merge_missing_keys_deviation(spark):
     got = ds.from_pandas(l).merge(ds.from_pandas(r), on="k").compute()
     assert len(got) == 1                          # engine: SQL rule
     assert got.a.iloc[0] == 10 and got.b.iloc[0] == 100
+
+
+def test_midplan_nan_value_counts_rank_nunique(spark):
+    """r14: mid-plan NaN is missing to value_counts (dropna default),
+    rank (na_option='keep' leaves it unranked) and nunique — pandas
+    parity; previously the NaN formed its own bucket/rank slot."""
+    import numpy as np
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({"f": [4.0, -1.0, 9.0, 4.0]})
+    f = ds.from_pandas(pdf)
+    f["z"] = f["f"] ** 0.5
+    with np.errstate(invalid="ignore"):
+        pdf["z"] = pdf["f"] ** 0.5
+    vc = f["z"].value_counts().compute()
+    assert sorted(zip(vc.iloc[:, 0], vc.iloc[:, 1])) == \
+        sorted(pdf.z.value_counts().items())
+    got = f["z"].rank(method="average").compute()
+    assert sorted(got.dropna()) == sorted(pdf.z.rank().dropna())
+    assert got.isna().sum() == 1
+    assert f["z"].nunique() == pdf.z.nunique() == 2
