@@ -36,6 +36,15 @@ def _col(x: "Series | Column | Any") -> Column:
             if isinstance(x, _pd.tseries.offsets.Tick):
                 import datetime as _dt
 
+                if x.nanos % 1000:
+                    # Spark intervals bottom out at microseconds; a
+                    # silent //1000 would turn Nano(500) into a zero
+                    # timedelta — refuse clearly instead (r15 ADVICE)
+                    raise TypeError(
+                        f"{type(x).__name__} offset of {x.nanos}ns has "
+                        "sub-microsecond precision; Spark interval "
+                        "literals are microsecond-resolution"
+                    )
                 return F.lit(_dt.timedelta(microseconds=x.nanos // 1000))
             raise TypeError(
                 f"{type(x).__name__} is a calendar offset with no fixed "
@@ -44,6 +53,34 @@ def _col(x: "Series | Column | Any") -> Column:
     except ImportError:  # pragma: no cover
         pass
     return F.lit(x)
+
+
+def _probe_dtype(frame, probe: Column) -> "str | None":
+    """simpleString dtype of an expression against ``frame``, cheaply:
+    bare column references read the frame's already-analyzed schema;
+    anything else runs one driver-side analysis whose result is cached
+    on the frame keyed by the expression string, so long comparison
+    chains don't pay O(chain²) analysis (r15 ADVICE). Only
+    AnalysisException is swallowed (→ None: keep the null guard, skip
+    the NaN guard); real errors propagate."""
+    key = str(probe)
+    cache = frame.__dict__.setdefault("_dtype_probe_cache", {})
+    if key in cache:
+        return cache[key]
+    dt = dict(frame._sdf.dtypes)
+    if key.startswith("Column<'") and key.endswith("'>") \
+            and key[8:-2] in dt:
+        t = dt[key[8:-2]]
+    else:
+        from pyspark.errors import AnalysisException
+
+        try:
+            t = frame._sdf.select(probe.alias("__t")) \
+                .schema[0].dataType.simpleString()
+        except AnalysisException:
+            t = None
+    cache[key] = t
+    return t
 
 
 def _is_timedelta_like(x: Any) -> bool:
@@ -984,11 +1021,7 @@ class Series:
         probe = x._expr if isinstance(x, Series) else c
         frame = x._frame if isinstance(x, Series) else self._frame
         guards = [c.isNotNull()]
-        try:
-            t = frame._sdf.select(probe.alias("__t")) \
-                .schema[0].dataType.simpleString()
-        except Exception:
-            return guards
+        t = _probe_dtype(frame, probe)
         if t in ("float", "double"):
             guards.append(~F.isnan(c))
         return guards
@@ -1287,7 +1320,7 @@ class Series:
         and sort NaN greatest in min/max (r14 fuzz-class finding).
         Non-float inputs pass through untouched (nanvl would coerce
         ints to double and change sum dtypes)."""
-        t = self._frame._sdf.select(self._expr.alias("__t"))             .schema[0].dataType.simpleString()
+        t = _probe_dtype(self._frame, self._expr)
         if t in ("float", "double"):
             return F.nanvl(self._expr, F.lit(None).cast(t))
         return self._expr
@@ -1396,15 +1429,18 @@ class Series:
         )
 
     def sem(self, ddof: int = 1):
-        n = F.count(self._expr)
-        sd = F.stddev_samp(self._expr) if ddof else F.stddev_pop(self._expr)
+        # skipna like the other Series reductions: NaN must not inflate
+        # n (Spark count() treats NaN as non-null) nor poison stddev
+        e = self._skipna_expr()
+        n = F.count(e)
+        sd = F.stddev_samp(e) if ddof else F.stddev_pop(e)
         return self._agg_scalar(sd / F.sqrt(n))
 
     def skew(self):
-        return self._agg_scalar(F.skewness(self._expr))
+        return self._agg_scalar(F.skewness(self._skipna_expr()))
 
     def kurt(self):
-        return self._agg_scalar(F.kurtosis(self._expr))
+        return self._agg_scalar(F.kurtosis(self._skipna_expr()))
 
     kurtosis = kurt
 
@@ -1706,11 +1742,12 @@ class Series:
     def cumprod(self, order_by: str) -> "Series":
         return self._frame_op("cumprod", order_by)
 
-    def rolling(self, window, on: str, min_periods: int | None = None):
+    def rolling(self, window, on: str, min_periods: int | None = None,
+                center: bool = False):
         """Series rolling = frame rolling over just this column (the
         order column rides along; same keyless-parallel machinery)."""
         return self.to_frame_with(on).rolling(
-            window, on=on, min_periods=min_periods
+            window, on=on, min_periods=min_periods, center=center
         )
 
     def pct_change(self, order_by: str) -> "Series":
@@ -2539,9 +2576,20 @@ class DaskFrame:
         )
 
     def prod(self) -> "DaskFrame":
+        # pandas skipna: mid-plan NaN is missing, not a product poison,
+        # so route through the same nanvl source as _agg_all; the
+        # coalesce then supplies the min_count=0 identity (1.0) for
+        # empty/all-missing columns (r15 ADVICE fix).
+        dt = dict(self._sdf.dtypes)
+
+        def src(c):
+            if dt[c] in ("float", "double"):
+                return F.nanvl(F.col(c), F.lit(None).cast(dt[c]))
+            return F.col(c)
+
         return DaskFrame(
             self._sdf.agg(*[
-                F.coalesce(F.product(F.col(c)), F.lit(1.0)).alias(c)
+                F.coalesce(F.product(src(c)), F.lit(1.0)).alias(c)
                 for c in self._numeric_cols()
             ])
         )
@@ -3147,16 +3195,17 @@ class DaskFrame:
 
     def rolling(self, window: int | str, on: str,
                 by: str | Sequence[str] | None = None,
-                min_periods: int | None = None):
+                min_periods: int | None = None, center: bool = False):
         from dask_spark.operators.window import Rolling
 
-        return Rolling(self, window, on, by, min_periods)
+        return Rolling(self, window, on, by, min_periods, center=center)
 
     def resample(self, rule: str, on: str, closed: str | None = None,
-                 label: str | None = None):
+                 label: str | None = None, fill: bool = False):
         from dask_spark.operators.window import Resampler
 
-        return Resampler(self, rule, on, closed=closed, label=label)
+        return Resampler(self, rule, on, closed=closed, label=label,
+                         fill=fill)
 
     def merge_asof(self, right: "DaskFrame", on: str,
                    by: str | Sequence[str] | None = None,

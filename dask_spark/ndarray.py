@@ -455,11 +455,38 @@ class NDArray:
         return self._bin(o, lambda x, y: x / y)
 
     def _bin(self, o, fn) -> "NDArray":
-        """Scalar, or a numpy literal broadcastable to ``inner_shape``
+        """Scalar, a numpy literal broadcastable to ``inner_shape``
         (dask broadcasts small operands the same way: they ride the
-        graph as literals, never shuffle)."""
+        graph as literals, never shuffle), or another NDArray of the
+        same shape — self-combinations (x + x.flip(1)) zip in place;
+        distinct sources align on the id column with ONE equi-join
+        (dask's blockwise alignment; r15 array-fuzz find)."""
         if isinstance(o, (int, float)):
             return self._unary(lambda x: fn(x, F.lit(float(o))))
+        if isinstance(o, NDArray):
+            if o.inner_shape != self.inner_shape:
+                raise ValueError(
+                    f"operand inner shapes differ: {self.inner_shape} "
+                    f"vs {o.inner_shape}"
+                )
+            a, b = self._materialize(), o._materialize()
+            if o is self:
+                c = F.col(a._col)
+                return a._with_block(F.zip_with(c, c, fn))
+            if not (a._id and b._id):
+                raise ValueError(
+                    "array-array elementwise ops need id-aligned "
+                    "operands (construct both with an id column)"
+                )
+            rs = b._sdf.select(F.col(b._id).alias("__oid"),
+                               F.col(b._col).alias("__ob"))
+            j = a._sdf.join(rs, F.col(a._id) == F.col("__oid"), "inner")
+            out = j.select(
+                F.col(a._id),
+                F.zip_with(F.col(a._col), F.col("__ob"), fn)
+                .alias(a._col),
+            )
+            return NDArray(out, a.inner_shape, a._col, a._id)
         np = _require_np()
         self = self._materialize()
         arr = np.broadcast_to(np.asarray(o, dtype="float64"), self.inner_shape)

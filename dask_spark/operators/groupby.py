@@ -19,9 +19,9 @@ from pyspark.sql import Column, Window
 # pandas min_count=0 identities: an all-null (== all-missing) group
 # sums to 0 and multiplies to 1 like pandas/dask, where bare Spark
 # SUM/PRODUCT return NULL (r14 fuzz_parity find). Applied by
-# _agg_final at AGGREGATE call sites only — _AGGS stays pure agg
-# builders because transform() windows them (`.over(w)` rejects a
-# coalesce wrapper), and pandas transform of a null-key row is NaN.
+# _agg_final at AGGREGATE call sites; transform() applies the same
+# identity AFTER .over(w) (the coalesce can't ride inside the window
+# call), with null-key rows re-nulled by _shape_preserving.
 # Identities are LAZY (F.lit needs a live SparkContext at call time).
 _AGG_IDENTITY: dict[str, Callable[[], Column]] = {
     "sum": lambda: F.lit(0),
@@ -437,11 +437,20 @@ class GroupBy:
 
         name = out or f"{col}_{fn}"
         w = Window.partitionBy(*self._keys)
-        return self._shape_preserving([name], lambda f: DaskFrame(
-            f._sdf.withColumn(
-                name, _AGGS[fn](_skipnan(self._frame, col)).over(w)
-            )
-        ))
+        ident = _AGG_IDENTITY.get(fn)
+
+        def build(f):
+            e = _AGGS[fn](_skipnan(self._frame, col)).over(w)
+            # min_count=0 identities applied OUTSIDE the window (a
+            # coalesce wrapper can't be .over()'d): pandas
+            # transform('sum') of an all-missing group is 0.0, prod
+            # 1.0. Null-key rows get re-nulled by _shape_preserving
+            # afterward, so dropna behavior is unaffected (r15 ADVICE).
+            if ident is not None:
+                e = F.coalesce(e, ident())
+            return DaskFrame(f._sdf.withColumn(name, e))
+
+        return self._shape_preserving([name], build)
 
     def cumsum(self, col: str, order_by: str, out: str | None = None) -> "DaskFrame":
         from dask_spark.frame import DaskFrame
@@ -452,9 +461,19 @@ class GroupBy:
             .orderBy(order_by)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return self._shape_preserving([name], lambda f: DaskFrame(
-            f._sdf.withColumn(name, F.sum(col).over(w))
-        ))
+
+        def build(f):
+            # pandas skipna (r15): NaN/NULL reads NaN at its own row,
+            # the running sum carries past it unpoisoned
+            from dask_spark.operators.window import _cum_missing
+
+            src, missing = _cum_missing(f._sdf, col, "sum")
+            e = F.sum(src).over(w)
+            if missing is not None:
+                e = F.when(~missing, e)
+            return DaskFrame(f._sdf.withColumn(name, e))
+
+        return self._shape_preserving([name], build)
 
     def aggregate(self, *a, **kw):
         """Alias of agg (reference _groupby.py aggregate)."""

@@ -337,6 +337,8 @@ def merge_asof(left, right, on: str, by=None, direction: str = "backward",
             ) / F.lit(1_000_000.0)
         else:
             diff = F.abs(F.col(on) - F.col("__match_on"))
+        if hasattr(tolerance, "total_seconds"):  # pandas Timedelta
+            tolerance = tolerance.total_seconds()
         within = diff <= F.lit(tolerance)
         for c in payload:
             out = out.withColumn(c, F.when(within, F.col(c)))

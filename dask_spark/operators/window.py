@@ -51,9 +51,15 @@ class Rolling:
     int window → rowsBetween(-(n-1), 0); str window ("7d") →
     rangeBetween on epoch seconds."""
 
-    def __init__(self, frame, window, on, by=None, min_periods: int | None = None):
+    def __init__(self, frame, window, on, by=None,
+                 min_periods: int | None = None, center: bool = False):
         self._frame = frame
         self._window = window
+        if center and not isinstance(window, int):
+            # pandas restriction: center is a row-window concept;
+            # datetimelike windows reject it there too
+            raise ValueError("center=True requires an integer window")
+        self._center = bool(center)
         # ``on`` may be a list [order_col, tiebreak...] for row windows
         # (deterministic order under duplicate keys — pandas sorts a
         # real index; an explicit tiebreak is this engine's analog)
@@ -73,15 +79,24 @@ class Rolling:
         from dask_spark.operators.sort import ranged_with_halo
 
         sdf = self._frame._sdf if sdf is None else sdf
+        if isinstance(self._window, int):
+            # pandas frame bounds: trailing [-(w-1), 0]; center=True
+            # labels the middle, [-(w//2), (w-1)//2] (even windows
+            # take the extra row on the lookback side)
+            if self._center:
+                lb, ub = self._window // 2, (self._window - 1) // 2
+            else:
+                lb, ub = self._window - 1, 0
         if self._by:
             part, tagged = self._by, sdf
         elif isinstance(self._window, int):
             # ship the FULL order-column list: the halo tail must be
             # selected under the same (on, tiebreak...) order the
             # window frame uses, or boundary rows see the wrong k
-            # predecessors under duplicate keys
+            # predecessors under duplicate keys; centered frames also
+            # need a forward halo for their lookahead rows
             tagged = ranged_with_halo(sdf, self._ons,
-                                      before_rows=self._window - 1)
+                                      before_rows=lb, after_rows=ub)
             part = ["__pid"]
         else:
             tagged = ranged_with_halo(
@@ -92,7 +107,7 @@ class Rolling:
             w = Window.partitionBy(*part).orderBy(
                 *[F.col(c) for c in self._ons]
             )
-            return w.rowsBetween(-(self._window - 1), 0), tagged
+            return w.rowsBetween(-lb, ub), tagged
         secs = _freq_to_seconds(self._window)
         w = Window.partitionBy(*part).orderBy(
             F.col(self._on).cast("timestamp").cast("long")
@@ -254,8 +269,13 @@ class Rolling:
         _apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
         _apply = pandas_udf(dtype)(_apply)
 
+        expr = _apply(arrs)
+        if self._min_periods:
+            expr = F.when(
+                F.count(col).over(w) >= self._min_periods, expr
+            )
         return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_apply", _apply(arrs)))
+            self._untag(sdf.withColumn(out or f"{col}_roll_apply", expr))
         )
 
 
@@ -279,12 +299,30 @@ class Resampler:
     _W_ANCHOR = 259_200
 
     def __init__(self, frame, rule: str, on: str,
-                 closed: str | None = None, label: str | None = None):
+                 closed: str | None = None, label: str | None = None,
+                 fill: bool = False):
+        import re
+
         self._frame = frame
         self._rule = rule
         self._on = on
-        unit = _freq_unit(rule)
-        default = "right" if unit == "w" else "left"
+        self._fill = bool(fill)
+        # calendar month-end ("ME"/"M", case-sensitive — "min" is
+        # minutes): bins are calendar months whose right-closed form
+        # includes the FULL month-end day (pandas _adjust_bin_edges),
+        # labels are month-end dates. Not a fixed-seconds rule, so it
+        # bypasses the epoch-modulus path entirely.
+        me = re.fullmatch(r"(\d*)\s*(ME|M)", rule.strip())
+        if me:
+            if int(me.group(1) or 1) != 1:
+                raise NotImplementedError(
+                    "multi-month resample rules are not supported; "
+                    "resample per month then aggregate the buckets"
+                )
+            unit = "me"
+        else:
+            unit = _freq_unit(rule)
+        default = "right" if unit in ("w", "me") else "left"
         self._unit = unit
         self._closed = closed or default
         self._label = label or default
@@ -295,6 +333,18 @@ class Resampler:
         self._anchor = self._W_ANCHOR if unit == "w" else 0
 
     def _bucket(self) -> Column:
+        if self._unit == "me":
+            # closed='right' (the ME default): month membership — the
+            # whole month-end day belongs to its month. closed='left':
+            # edges sit at month-end MIDNIGHT, so shifting the
+            # timestamp forward one day reproduces the bin choice.
+            ts = F.col(self._on).cast("timestamp")
+            if self._closed == "left":
+                ts = ts + F.expr("INTERVAL 1 DAY")
+            mstart = F.date_trunc("month", ts)
+            if self._label == "right":
+                return F.last_day(mstart).cast("timestamp")
+            return F.last_day(F.add_months(mstart, -1)).cast("timestamp")
         secs = _freq_to_seconds(self._rule)
         off = self._anchor % secs
         closed, shift = self._closed, 0
@@ -318,18 +368,53 @@ class Resampler:
             left = left + F.lit(secs)
         return F.timestamp_seconds(left + F.lit(off + shift))
 
+    def _densify(self, sdf, zeros: dict[str, object]):
+        """pandas emits EVERY bucket between min and max, empty ones
+        included (upsampling gaps). Sparse groupBy output is the
+        engine default (fill=False) — when asked for pandas parity the
+        dense grid is generated IN-PLAN from the one-row min/max agg
+        (sequence + explode, never a driver loop) and left-joined
+        back; count-like columns coalesce to their 0 identity, the
+        rest stay NULL/NaN like pandas."""
+        b = f"{self._on}_bucket"
+        bounds = sdf.agg(F.min(b).alias("__lo"), F.max(b).alias("__hi"))
+        if self._unit == "me":
+            # labels are month-END days: step over month starts (an
+            # add-months walk from a month end would clamp days) and
+            # regenerate the end labels
+            grid = bounds.select(F.explode(F.sequence(
+                F.date_trunc("month", F.col("__lo")),
+                F.date_trunc("month", F.col("__hi")),
+                F.expr("INTERVAL 1 MONTH"))).alias("__g")
+            ).select(F.last_day(F.col("__g")).cast("timestamp").alias(b))
+        else:
+            secs = _freq_to_seconds(self._rule)
+            grid = bounds.select(F.explode(F.sequence(
+                F.col("__lo"), F.col("__hi"),
+                F.expr(f"INTERVAL {secs} SECOND"))).alias(b))
+        out = grid.join(sdf, on=b, how="left")
+        for c, z in zeros.items():
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(z).cast(sdf.schema[c].dataType))
+            )
+        return out
+
     def agg(self, spec: dict[str, object]) -> "DaskFrame":
         from dask_spark.frame import DaskFrame
         from dask_spark.operators.groupby import _AGGS
 
-        exprs = []
+        exprs, zeros = [], {}
         for col, fns in spec.items():
             for fn in [fns] if isinstance(fns, str) else fns:
                 exprs.append(_AGGS[fn](col).alias(f"{col}_{fn}"))
+                if fn in ("count", "size", "nunique", "sum"):
+                    zeros[f"{col}_{fn}"] = 0
         out = (
             self._frame._sdf.groupBy(self._bucket().alias(f"{self._on}_bucket"))
             .agg(*exprs)
         )
+        if self._fill:
+            out = self._densify(out, zeros)
         return DaskFrame(out)
 
     def mean(self, col: str):
@@ -354,11 +439,12 @@ class Resampler:
         """Rows per bucket (reference: tseries/resample.py size)."""
         from dask_spark.frame import DaskFrame
 
-        return DaskFrame(
-            self._frame._sdf.groupBy(
-                self._bucket().alias(f"{self._on}_bucket")
-            ).agg(F.count(F.lit(1)).alias("size"))
-        )
+        out = self._frame._sdf.groupBy(
+            self._bucket().alias(f"{self._on}_bucket")
+        ).agg(F.count(F.lit(1)).alias("size"))
+        if self._fill:
+            out = self._densify(out, {"size": 0})
+        return DaskFrame(out)
 
     def sem(self, col: str) -> "DaskFrame":
         """Standard error of the mean per bucket (resample.py sem)."""
@@ -379,16 +465,17 @@ class Resampler:
         aggregates, exact ordered semantics with no window."""
         from dask_spark.frame import DaskFrame
 
-        return DaskFrame(
-            self._frame._sdf.groupBy(
-                self._bucket().alias(f"{self._on}_bucket")
-            ).agg(
-                F.min_by(col, self._on).alias("open"),
-                F.max(col).alias("high"),
-                F.min(col).alias("low"),
-                F.max_by(col, self._on).alias("close"),
-            )
+        out = self._frame._sdf.groupBy(
+            self._bucket().alias(f"{self._on}_bucket")
+        ).agg(
+            F.min_by(col, self._on).alias("open"),
+            F.max(col).alias("high"),
+            F.min(col).alias("low"),
+            F.max_by(col, self._on).alias("close"),
         )
+        if self._fill:
+            out = self._densify(out, {})
+        return DaskFrame(out)
 
 
 def _by_list(by) -> list[str]:
@@ -454,6 +541,23 @@ _CUM_FNS = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count,
             "prod": F.product}
 
 
+def _cum_missing(sdf, col: str, fn: str):
+    """pandas cum* skipna semantics (r15 fuzz find, seed 424273): a
+    missing value (NULL, or NaN — boundary or MID-PLAN) yields NaN AT
+    its own row while the accumulation carries PAST it unpoisoned.
+    Returns (source Column for the aggregate — NaN→NULL for floats so
+    Spark's NaN ordering/poisoning never applies, matching the r14
+    _skipna_expr contract — and the is-missing predicate to re-mask
+    the output row, or None when nothing can be missing-masked)."""
+    if fn == "count":  # cumcount counts rows; no value masking
+        return F.col(col), None
+    t = dict(sdf.dtypes).get(col)
+    if t in ("float", "double"):
+        return (F.nanvl(F.col(col), F.lit(None).cast(t)),
+                F.col(col).isNull() | F.isnan(F.col(col)))
+    return F.col(col), F.col(col).isNull()
+
+
 def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
                by: Sequence[str] | None = None, out: str | None = None):
     """cumsum/cummax/cummin/cumcount (reference: dask_expr cumulative
@@ -474,7 +578,10 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     )
     # prod: F.product is a real aggregate (sign/zero-exact) — the
     # exp∘cumsum∘log trick silently dropped zeros/negatives (log→NULL)
-    expr = _CUM_FNS[fn](col).over(w)
+    src, missing = _cum_missing(frame._sdf, col, fn)
+    expr = _CUM_FNS[fn](src).over(w)
+    if missing is not None:
+        expr = F.when(~missing, expr)
     return DaskFrame(frame._sdf.withColumn(name, expr))
 
 
@@ -494,9 +601,10 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
     bucketed, _nb = range_bucket(sdf, order_by)
     ranged = _pin(bucketed)
     agg = _CUM_FNS[fn]
+    src, missing = _cum_missing(sdf, col, fn)
     totals = {
         r["__pid"]: r["t"]
-        for r in ranged.groupBy("__pid").agg(agg(col).alias("t")).collect()
+        for r in ranged.groupBy("__pid").agg(agg(src).alias("t")).collect()
     }
     combine = {
         "sum": lambda a, b: a + b, "count": lambda a, b: a + b,
@@ -521,15 +629,20 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
         .orderBy(order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = agg(col).over(w)
+    run = agg(src).over(w)
     off = F.col("__off")
     merged = {
         "sum": run + off, "count": run + off, "prod": run * off,
         "max": F.greatest(run, off), "min": F.least(run, off),
     }[fn]
+    expr = F.when(off.isNull(), run).otherwise(merged)
+    if missing is not None:
+        # pandas skipna: the missing row itself reads NaN even though
+        # the running aggregate carries past it
+        expr = F.when(~missing, expr)
     out = (
         ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(name, F.when(off.isNull(), run).otherwise(merged))
+        .withColumn(name, expr)
         .drop("__pid", "__off")
     )
     return DaskFrame(out)

@@ -11751,3 +11751,35 @@ REGISTRY = {
        if n not in set(_R14_FRONT) and n not in set(_R14_ROWS_ONLY)},
     **{n: REGISTRY[n] for n in _R14_ROWS_ONLY if n in REGISTRY},
 }
+
+# ---- r15 window rotation: stalest-driver-evidence-first ---------------
+# The r14 window hash-passed all 50 of its slots, leaving the stalest
+# driver hash evidence at r2 (18 queries) and r4 (19). _R15_FRONT is
+# the 50 oracled queries ordered by last-hash-pass round ascending
+# (r2 tranche, r4 tranche, then the first 13 of the r5 tranche),
+# computed from CORRECTNESS_r01–r14.json. All were re-verified in the
+# full local oracle sweep; this float only refreshes DRIVER evidence.
+# Rows-only queries stay at the registry back as in r14.
+_R15_FRONT = [
+    'categorize', 'combine_first', 'cummax', 'ffill', 'groupby_prod',
+    'groupby_topk', 'histogram', 'io_parquet_pushdown',
+    'join_q10_returns', 'join_q18_big_orders', 'join_q7_nation_volume',
+    'map_overlap', 'mode', 'moments', 'multimodal_meta', 'pct_change',
+    'vec_argmax', 'vec_axis0_stats', 'arr_map_blocks', 'arr_slice',
+    'arr_stack_mean', 'corpus_mix', 'corpus_pipeline', 'corr_matrix',
+    'dedup_clusters', 'groupby_custom_agg', 'join_q14_promo',
+    'join_q15_top_supplier', 'join_q19_disjunctive',
+    'join_q22_idle_customers', 'keyless_cumsum', 'keyless_diff',
+    'keyless_ffill', 'monotonic', 'multimodal_framesample',
+    'range_join', 'window_rank', 'arr_digitize_bincount', 'arr_fft',
+    'arr_histogram2d', 'arr_nd_axis0_mean', 'arr_nd_matmul',
+    'arr_nd_transpose_sum', 'arr_percentile', 'bm25_topk', 'cat_codes',
+    'concat_axis1', 'contamination', 'corpus_mix_temperature',
+    'corpus_shard',
+]
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _R15_FRONT if n in REGISTRY},
+    **{n: REGISTRY[n] for n in REGISTRY
+       if n not in set(_R15_FRONT) and n not in set(_R14_ROWS_ONLY)},
+    **{n: REGISTRY[n] for n in _R14_ROWS_ONLY if n in REGISTRY},
+}

@@ -56,11 +56,17 @@ def gen_frame(rng: random.Random) -> pd.DataFrame:
     # without ambiguous/nonexistent-time policy differences
     ts = [pd.Timestamp("2024-06-01") + pd.Timedelta(hours=rng.randrange(720))
           for _ in range(n)]
+    # r: UNIQUE order key for the order-dependent ops (shift/diff/
+    # cum*/ffill) — both sides order by it, so ties can't make the
+    # comparison ambiguous; shuffled so storage order ≠ logical order
+    r = list(range(n))
+    rng.shuffle(r)
     return pd.DataFrame({"k": pd.Series(k, dtype="int64"),
                          "f": pd.Series(f, dtype="float64"),
                          "i": pd.Series(i, dtype="int64"),
                          "s": pd.Series(s, dtype="object"),
-                         "ts": pd.Series(ts, dtype="datetime64[us]")})
+                         "ts": pd.Series(ts, dtype="datetime64[us]"),
+                         "r": pd.Series(r, dtype="int64")})
 
 
 # ---- op vocabulary -------------------------------------------------------
@@ -294,10 +300,189 @@ def op_merge_outer(rng, pdf):
     return eng, pan, "merge_left(count-dim)"
 
 
+# ---- r15 vocabulary extension: order-dependent, accessor, multi-key,
+# merge-how ops — the op classes where the last two composition-bug
+# waves (tz tags, NaN-as-missing) actually lived (r14 verdict item 2).
+
+def _num_cols(pdf):
+    return [c for c in pdf.columns
+            if c not in ("k", "r") and pd.api.types.is_numeric_dtype(pdf[c])]
+
+
+def op_shift(rng, pdf):
+    if "r" not in pdf.columns:
+        return None
+    cands = _num_cols(pdf)
+    if not cands:
+        return None
+    col, p = rng.choice(cands), rng.randrange(1, 3)
+
+    def eng(d):
+        return d.shift(col, periods=p, order_by="r", out="sh")
+
+    def pan(q):
+        q = q.sort_values("r").copy()
+        q["sh"] = q[col].shift(p)
+        return q
+
+    return eng, pan, f"shift({col},{p})"
+
+
+def op_diff(rng, pdf):
+    if "r" not in pdf.columns:
+        return None
+    cands = _num_cols(pdf)
+    if not cands:
+        return None
+    col, p = rng.choice(cands), rng.randrange(1, 3)
+
+    def eng(d):
+        return d.diff(col, periods=p, order_by="r", out="dv")
+
+    def pan(q):
+        q = q.sort_values("r").copy()
+        q["dv"] = q[col].diff(p)
+        return q
+
+    return eng, pan, f"diff({col},{p})"
+
+
+def op_cum(rng, pdf):
+    if "r" not in pdf.columns:
+        return None
+    cands = _num_cols(pdf)
+    if not cands:
+        return None
+    col = rng.choice(cands)
+    fn = rng.choice(["cumsum", "cummax", "cummin"])
+
+    def eng(d):
+        return getattr(d, fn)(col, order_by="r", out="cu")
+
+    def pan(q):
+        q = q.sort_values("r").copy()
+        q["cu"] = getattr(q[col], fn)()
+        return q
+
+    return eng, pan, f"{fn}({col})"
+
+
+def op_ffill_ordered(rng, pdf):
+    if "r" not in pdf.columns or "f" not in pdf.columns:
+        return None
+    how = rng.choice(["ffill", "bfill"])
+
+    def eng(d):
+        return getattr(d, how)(["f"], order_by="r")
+
+    def pan(q):
+        q = q.sort_values("r").copy()
+        q["f"] = getattr(q["f"], how)()
+        return q
+
+    return eng, pan, f"{how}(f by r)"
+
+
+def op_str_chain(rng, pdf):
+    if "s" not in pdf.columns or pdf["s"].dtype != object:
+        return None
+    kind = rng.choice(["lower", "upper", "strip", "len", "contains"])
+
+    def eng(d):
+        out = d.copy()
+        if kind == "len":
+            out["sv"] = d["s"].str.len()
+        elif kind == "contains":
+            out["sv"] = d["s"].str.contains("beta")
+        else:
+            out["sv"] = getattr(d["s"].str, kind)()
+        return out
+
+    def pan(q):
+        q = q.copy()
+        if kind == "len":
+            q["sv"] = q["s"].str.len()
+        elif kind == "contains":
+            v = q["s"].str.contains("beta", regex=True)
+            # engine nulls come back as None in an object column;
+            # normalize pandas' NaN so the string compare agrees
+            q["sv"] = v.astype(object).where(v.notna(), None)
+        else:
+            q["sv"] = getattr(q["s"].str, kind)()
+        return q
+
+    return eng, pan, f"str.{kind}(s)"
+
+
+def op_dt_field(rng, pdf):
+    if "ts" not in pdf.columns:
+        return None
+    fld = rng.choice(["month", "day", "dayofweek", "minute"])
+
+    def eng(d):
+        out = d.copy()
+        out["dv2"] = getattr(d["ts"].dt, fld)
+        return out
+
+    def pan(q):
+        q = q.copy()
+        q["dv2"] = getattr(q["ts"].dt, fld)
+        return q
+
+    return eng, pan, f"dt.{fld}"
+
+
+def op_groupby_multi(rng, pdf):
+    if "k" not in pdf.columns or "s" not in pdf.columns:
+        return None
+    if pdf["s"].dtype != object:
+        return None
+    nums = _num_cols(pdf)
+    if not nums:
+        return None
+    val = rng.choice(nums)
+    how = rng.choice(["sum", "min", "max", "count", "mean"])
+    out_name = f"{val}_{how}"
+
+    def eng(d):
+        return d.groupby(["k", "s"]).agg({val: how})
+
+    def pan(q):
+        g = q.groupby(["k", "s"], dropna=True)[val]
+        out = (g.count() if how == "count"
+               else getattr(g, how)()).reset_index()
+        return out.rename(columns={val: out_name})
+
+    return eng, pan, f"groupby(k,s).{how}({val})"
+
+
+def op_merge_how(rng, pdf):
+    if "k" not in pdf.columns:
+        return None
+    nums = _num_cols(pdf)
+    if not nums:
+        return None
+    val = rng.choice(nums)
+    how = rng.choice(["inner", "left"])
+
+    def eng(d):
+        dim = d.groupby("k").agg({val: "max"}) \
+            .rename(columns={f"{val}_max": "mx"})
+        return d.merge(dim, on="k", how=how)
+
+    def pan(q):
+        dim = q.groupby("k")[val].max().rename("mx").reset_index()
+        return q.merge(dim, on="k", how=how)
+
+    return eng, pan, f"merge_{how}(max-dim,{val})"
+
+
 OPS = [op_project, op_filter, op_assign, op_fillna, op_rename,
        op_drop, op_dedup, op_sort, op_groupby, op_selfjoin,
        op_tz_store, op_dt_hour, op_concat_self, op_merge_outer,
-       op_sqrt_nan]
+       op_sqrt_nan,
+       op_shift, op_diff, op_cum, op_ffill_ordered, op_str_chain,
+       op_dt_field, op_groupby_multi, op_merge_how]
 
 
 def run_chain(seed: int) -> tuple[bool, str]:
@@ -312,7 +497,8 @@ def run_chain(seed: int) -> tuple[bool, str]:
     for _ in range(n_ops):
         mk = rng.choice(OPS)
         if grouped and mk in (op_groupby, op_selfjoin, op_fillna,
-                              op_merge_outer):
+                              op_merge_outer, op_groupby_multi,
+                              op_merge_how):
             continue  # post-agg frame has a different column set
         made = mk(rng, pan)
         if made is None:

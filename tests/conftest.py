@@ -49,3 +49,24 @@ def pdf_tables(tables):
 
 
 from dask_spark.testing import assert_eq  # noqa: E402,F401
+
+
+# ---- smoke lane (r15): `pytest -m smoke` = fast representative slice
+# for iteration (~3 min of the full ~25 min gate). The FULL suite
+# stays the round gate; smoke is file-granular so the slice tracks
+# new tests in these modules automatically.
+_SMOKE_FILES = {
+    "test_frame.py", "test_reductions_groupby.py", "test_joins.py",
+    "test_dt_tz.py", "test_advice_r14.py", "test_advice_r15.py",
+    "test_fuzz_parity.py", "test_edge_cases.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pathlib
+
+    import pytest as _pytest
+
+    for item in items:
+        if pathlib.Path(str(item.fspath)).name in _SMOKE_FILES:
+            item.add_marker(_pytest.mark.smoke)

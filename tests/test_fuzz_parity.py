@@ -136,3 +136,60 @@ def test_midplan_nan_value_counts_rank_nunique(spark):
     assert sorted(got.dropna()) == sorted(pdf.z.rank().dropna())
     assert got.isna().sum() == 1
     assert f["z"].nunique() == pdf.z.nunique() == 2
+
+
+def test_cumulative_nan_is_missing_not_carried(spark):
+    """r15 extended-vocabulary fuzz find (seed 424273): pandas cum*
+    skipna — a missing value (NULL or mid-plan NaN) reads NaN at its
+    OWN row while the accumulation carries past it unpoisoned. The
+    engine previously carried the running value INTO missing rows
+    (SQL window-aggregate null skipping), and a NaN would have
+    poisoned every later cumsum value."""
+    import numpy as np
+
+    import dask_spark as ds
+
+    pdf = pd.DataFrame({
+        "r": [0, 1, 2, 3, 4],
+        "f": [2.0, np.nan, 1.0, None, 3.0],
+        "k": [0, 0, 0, 1, 1],
+    })
+    d = ds.from_pandas(pdf, npartitions=2)
+    for fn in ("cumsum", "cummin", "cummax"):
+        got = getattr(d, fn)("f", order_by="r", out="c").compute() \
+            .sort_values("r")["c"]
+        exp = getattr(pdf.sort_values("r")["f"], fn)()
+        both_nan = got.isna().to_numpy() & exp.isna().to_numpy()
+        close = np.isclose(got.to_numpy(dtype=float),
+                           exp.to_numpy(dtype=float), equal_nan=True)
+        assert (both_nan | close).all(), (fn, list(got), list(exp))
+    # keyed path (groupby cumsum) pins the same contract
+    gk = d.groupby("k").cumsum("f", order_by="r", out="c").compute() \
+        .sort_values("r")["c"]
+    ek = pdf.sort_values("r").groupby("k")["f"].cumsum()
+    both_nan = gk.isna().to_numpy() & ek.isna().to_numpy()
+    close = np.isclose(gk.to_numpy(dtype=float),
+                       ek.to_numpy(dtype=float), equal_nan=True)
+    assert (both_nan | close).all(), (list(gk), list(ek))
+
+
+def test_ndarray_array_array_elementwise(spark):
+    """r15 array-fuzz find: dask supports elementwise Array⊕Array;
+    the engine's _bin only took scalars/literals. Self-combinations
+    zip in place; distinct sources id-align with one equi-join."""
+    import numpy as np
+
+    from dask_spark.ndarray import NDArray
+
+    arr = np.arange(12, dtype="float64").reshape(3, 4)
+    pdf = pd.DataFrame({"id": range(3), "block": [list(r) for r in arr]})
+    nd = NDArray(spark.createDataFrame(pdf), (4,), "block", "id")
+    assert np.allclose((nd + nd).compute(), arr + arr)
+    assert np.allclose((nd * nd).compute(), arr * arr)
+    # structurally-different views of the same source
+    got = (nd + nd.flip(1)).compute()
+    assert np.allclose(got, arr + np.flip(arr, axis=1))
+    # distinct source frames align on id even when row order differs
+    pdf2 = pdf.iloc[::-1].reset_index(drop=True)
+    nd2 = NDArray(spark.createDataFrame(pdf2), (4,), "block", "id")
+    assert np.allclose((nd - nd2).compute(), np.zeros_like(arr))
