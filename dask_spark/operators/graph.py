@@ -162,7 +162,8 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
     return DaskFrame(ranks.select("node", F.col("r").alias("rank")))
 
 
-def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
+def triangle_count(edges, a_col: str = "a", b_col: str = "b",
+                   assume_canonical: bool = False):
     """Per-node triangle counts over an UNDIRECTED edge list →
     DaskFrame(node, triangles), nodes without triangles omitted.
 
@@ -177,12 +178,22 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b"):
     between feasible and dead on a power-law web graph. Every
     exchange carries ids only; counts are exact integers, so the
     result is a pure function of the edge set and the DuckDB oracle
-    replays it row-for-row."""
+    replays it row-for-row.
+
+    ``assume_canonical=True`` promises the input is already the
+    canonical distinct (a < b) bigint edge set — callers that computed
+    it skip a redundant dedup exchange (r15; a persist of ``e`` was
+    measured here too and REVERTED: at bench scale the columnar cache
+    build of the edge set cost more than the duplicate-subtree
+    executions it saved, consistently across interleaved A/B runs)."""
     sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
-    e = sdf.select(
-        F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
-        F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
-    ).filter(F.col("a") < F.col("b")).distinct()
+    if assume_canonical:
+        e = sdf
+    else:
+        e = sdf.select(
+            F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
+        ).filter(F.col("a") < F.col("b")).distinct()
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -225,7 +236,9 @@ def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
 
     Rides triangle_count's oriented wedge join (same O(E^1.5) bill)
     plus one node-keyed degree aggregate; cc is ONE division of exact
-    integers, rounded on both engines."""
+    integers, rounded on both engines. triangle_count receives the
+    canonical edge set pre-canonicalized (r15) so its re-dedup
+    distinct exchange drops out of the plan."""
     sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
     e = sdf.select(
         F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
@@ -236,7 +249,7 @@ def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
-    tri = triangle_count(e, "a", "b")._sdf
+    tri = triangle_count(e, "a", "b", assume_canonical=True)._sdf
     out = deg.join(tri, "node", "left").select(
         "node", "deg",
         F.coalesce(F.col("triangles"), F.lit(0).cast("bigint"))

@@ -683,8 +683,6 @@ def gini_coefficient(frame, value_col: str, key_col: str,
     the block mean), so G folds from ≤ bins collected rows in exact
     python integers. Error ≤ one bucket's mass displacement.
     Crossover: exact below ~1e7 keys; binned beyond (SURVEY §4)."""
-    from dask_spark.operators.window import cumulative
-
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     v6 = F.expr(
         f"CAST(floor(round({value_col}, 6) * 1000000 + 0.5) AS BIGINT)"
@@ -746,30 +744,51 @@ def gini_coefficient(frame, value_col: str, key_col: str,
         return DaskFrame(spark.createDataFrame(
             [(gini, n)], "gini double, n_keys bigint"
         ))
-    # dense global index: rank = cumulative row count in (x6, k) order
+    # dense global index: rank = row position in (x6, k) order. r15:
+    # fused per-bucket form (guide §2.4) — ONE windowed per-bucket
+    # aggregate collects (count, Σx6, Σ local_i·x6) per range bucket
+    # and the driver combines with exact exclusive-prefix counts:
+    # Σ i·x = Σ_b [s_b + a_b·t_b], a_b = rows before bucket b. This
+    # replaces the cumulative() machinery's totals collect + second
+    # full pass + broadcast join with a single pass after the cuts
+    # job; all arithmetic stays exact integers, so the result is
+    # bit-identical to the chained form.
+    from pyspark.sql import Window
+
+    from dask_spark.operators.sort import _pin, range_bucket, release
+
     staged = per.select(
         "k", "x6",
         F.concat(
             F.lpad(F.conv(F.col("x6").cast("string"), 10, 16), 16, "0"),
             F.col("k").cast("string"),
         ).alias("__ord"),
-        F.lit(1).alias("__one"),
-    )
-    idx = cumulative(
-        DaskFrame(staged), "__one", "sum", order_by="__ord", out="__i"
-    )._sdf
-    row = idx.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x6").cast("decimal(38,0)")).alias("t"),
-        F.sum(
-            F.col("__i").cast("decimal(38,0)")
-            * F.col("x6").cast("decimal(38,0)")
-        ).alias("s"),
-    ).first()
-    n = int(row["n"] or 0)
+    ).persist()  # aggregate input: cuts job + scan share one compute
+    bucketed, _nb = range_bucket(staged, "__ord")
+    ranged = _pin(bucketed)
+    w = Window.partitionBy("__pid").orderBy("__ord")
+    li = F.row_number().over(w).cast("decimal(38,0)")
+    per_b = {
+        r["__pid"]: (int(r["c"]), int(r["t"]), int(r["s"]))
+        for r in ranged.withColumn("__li", li)
+        .groupBy("__pid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(F.col("x6").cast("decimal(38,0)")).alias("t"),
+            F.sum(F.col("__li") * F.col("x6").cast("decimal(38,0)"))
+            .alias("s"),
+        ).collect()
+    }
+    release(ranged)
+    staged.unpersist()
+    n = t = s = a = 0
+    for pid in sorted(per_b):
+        cb, tb, sb = per_b[pid]
+        s += sb + a * tb
+        a += cb
+        n += cb
+        t += tb
     if n == 0:
         raise ValueError("gini_coefficient: no non-null keys")
-    t, s = int(row["t"]), int(row["s"])
     if t == 0:
         gini = None
     else:

@@ -165,7 +165,13 @@ def weighted_quantiles(frame, value_col: str, weight_col: str,
         .select(*gc, F.col(value_col).alias("__v"), w6.alias("__w"))
         .filter(F.col("__w") > 0)
     )
-    vw = base.groupBy(*gc, "__v").agg(F.sum("__w").alias("__wv"))
+    from dask_spark.operators.sort import _pin
+
+    # vw (the distinct-value-bounded aggregate) feeds the cumulative
+    # machinery (cut sampling + bucketed build), the totals subtree
+    # AND the join — r15: pin it so the full base scan + aggregate
+    # runs once, not 3× (guide §1.2, §5 caching; FIFO-bounded)
+    vw = _pin(base.groupBy(*gc, "__v").agg(F.sum("__w").alias("__wv")))
     if gc:
         win = (
             Window.partitionBy(*gc).orderBy("__v")
@@ -320,9 +326,18 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
     binned values == treating each bucket as one tie block; error is
     bounded by bucket resolution (rank displacement ≤ the bucket's
     population). Crossover: prefer exact below ~1e7 distinct values
-    per column; binned beyond (SURVEY §4)."""
+    per column; binned beyond (SURVEY §4).
+
+    r15: the exact path builds BOTH columns' rank tables from ONE
+    unpivoted (axis, value) count table — one count exchange over 2n
+    rows instead of two over n, one cut-sampling job instead of two,
+    one per-bucket totals collect instead of two (guide §2.4 "two
+    operations keyed the same way can share one exchange", §1.2).
+    Rank integers are bit-identical to the per-column form: per-axis
+    distinct-value counts are unchanged, and the prefix arithmetic is
+    exact for ANY order-preserving bucketing (with_bucket guarantees
+    max(bucket i) < min(bucket i+1); distinct values have no ties)."""
     from dask_spark.frame import DaskFrame
-    from dask_spark.operators.window import cumulative
 
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     base = (
@@ -356,9 +371,82 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
             bucketize("__y", st["mny"], st["mxy"]).alias("__y"),
         )
 
-    def rank2(col):
-        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
-        if not exact:
+    pinned = None
+    if exact:
+        from dask_spark.operators.sort import _pin, with_bucket
+
+        spark0 = base.sparkSession
+        u = base.select(F.explode(F.array(
+            F.struct(F.lit(0).alias("ax"), F.col("__x").alias("v")),
+            F.struct(F.lit(1).alias("ax"), F.col("__y").alias("v")),
+        )).alias("s")).select("s.ax", "s.v")
+        pinned = _pin(
+            u.groupBy("ax", "v").agg(F.count(F.lit(1)).alias("__c"))
+        )
+        nb = max(spark0.sparkContext.defaultParallelism, 2)
+        qs = [i / nb for i in range(1, nb)]
+        cr = pinned.agg(
+            F.percentile_approx(
+                F.when(F.col("ax") == 0, F.col("v")), qs, 10000
+            ).alias("c0"),
+            F.percentile_approx(
+                F.when(F.col("ax") == 1, F.col("v")), qs, 10000
+            ).alias("c1"),
+        ).first()
+        dt = pinned.schema["v"].dataType
+        bucketed = pinned
+        for ax in (0, 1):
+            cuts = sorted(
+                {float(c) for c in (cr[f"c{ax}"] or []) if c is not None}
+            )
+            bucketed = with_bucket(bucketed, "v", cuts, True, dt, f"__p{ax}")
+        # pin the searched table too: the two chained binary-search
+        # projections are expensive to recompute per pass (see
+        # range_bucket's docstring) — compute them ONCE into the cache
+        # that both the totals pass and the rank join read
+        bucketed = _pin(bucketed.withColumn(
+            "__pid",
+            F.when(F.col("ax") == 0, F.col("__p0")).otherwise(F.col("__p1")),
+        ).drop("__p0", "__p1"))
+        bucketed._ds_pinned_input = pinned
+        pinned = bucketed  # release target after the moments collect
+        totals = {
+            (r["ax"], r["__pid"]): int(r["t"])
+            for r in bucketed.groupBy("ax", "__pid")
+            .agg(F.sum("__c").alias("t")).collect()
+        }
+        offsets = []
+        for ax in (0, 1):
+            acc = 0
+            for _, pid in sorted(k for k in totals if k[0] == ax):
+                offsets.append((ax, pid, acc))
+                acc += totals[(ax, pid)]
+        off_df = spark0.createDataFrame(
+            offsets or [(0, 0, 0)], "ax int, __pid int, __off long"
+        )
+        w = (
+            Window.partitionBy("ax", "__pid").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranks = bucketed.join(F.broadcast(off_df), ["ax", "__pid"]).select(
+            "ax", "v",
+            (F.lit(2) * (F.sum("__c").over(w) + F.col("__off"))
+             - F.col("__c") + F.lit(1)).cast("bigint").alias("__r"),
+        )
+        joined = base.join(
+            ranks.filter(F.col("ax") == 0).select(
+                F.col("v").alias("__x"), F.col("__r").alias("__r__x")
+            ),
+            "__x",
+        ).join(
+            ranks.filter(F.col("ax") == 1).select(
+                F.col("v").alias("__y"), F.col("__r").alias("__r__y")
+            ),
+            "__y",
+        )
+    else:
+        def rank2(col):
+            g = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
             # binned mode: <= bins distinct values by construction —
             # the per-value counts COLLECT and rank driver-side (the
             # histogram_quantiles collect contract), replacing the
@@ -379,18 +467,10 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
                 out, f"{col} bigint, __r{col} bigint"
             )
             return F.broadcast(small)
-        cum = cumulative(
-            DaskFrame(g), "__c", "sum", order_by=col, out="__cum"
-        )._sdf
-        return cum.select(
-            F.col(col),
-            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
-            .cast("bigint").alias(f"__r{col}"),
-        )
 
-    joined = (
-        base.join(rank2("__x"), "__x").join(rank2("__y"), "__y")
-    )
+        joined = (
+            base.join(rank2("__x"), "__x").join(rank2("__y"), "__y")
+        )
     # moment sums in DECIMAL(38,0): rx·ry ~ 4n² and Σ ~ 4n³ overflow
     # int64 past n ≈ 1.3e6 (the 10× probe tripped ANSI overflow at
     # 6M rows) — 38-digit exact decimals push the bound to n ≈ 1e12,
@@ -403,6 +483,10 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
         F.sum(rx * ry).alias("sxy"),
         F.sum(rx * rx).alias("sxx"), F.sum(ry * ry).alias("syy"),
     ).first()
+    if pinned is not None:
+        from dask_spark.operators.sort import release
+
+        release(pinned)
     n = int(row["n"] or 0)
     spark = sdf.sparkSession
     if n == 0:
@@ -504,6 +588,16 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6,
     arbitrary-precision python — the only float step is the last
     division. Degenerate single-class inputs yield null auc.
 
+    r15: the per-score aggregate counts POSITIVES per score alongside
+    the total, so Σ rank⁺ folds from the distinct-score table alone —
+    the join of the full base table back onto the rank table (a
+    second base scan + an n-row shuffle by score) drops out of the
+    plan, and the prefix scan fuses to per-bucket partials + one
+    driver combine (guide §2.3 "aggregate before you shuffle", §2.4).
+    Bit-identical: Σ over rows of r2·[y=1] == Σ over scores of
+    r2·c_pos, and r2_global = (2·lc − c + 1) + 2·offset decomposes
+    exactly per bucket — all integer arithmetic.
+
     100 TB escalation path (``exact=False``): the rank exchange is
     DISTINCT-SCORE-bounded — ~rows for continuous model scores, the
     common case. The binned mode histograms scores onto ``bins``
@@ -514,7 +608,6 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6,
     ≤ bins rows. Crossover: exact below ~1e7 distinct scores; binned
     beyond (SURVEY §4)."""
     from dask_spark.frame import DaskFrame
-    from dask_spark.operators.window import cumulative
 
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
     lab = label_expr if not isinstance(label_expr, str) \
@@ -542,46 +635,64 @@ def roc_auc(frame, score_col: str, label_expr, round_dp: int = 6,
                 F.lit(B - 1),
             ).cast("double")
         base = base.select(bucket.alias("__s"), "__y")
-    g = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
+    g = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum((F.col("__y") == 1).cast("bigint")).alias("__cp"),
+    )
     if not exact:
-        # <= bins distinct bucket ids: collect + rank driver-side and
-        # broadcast back (the spearman binned-mode shape) instead of
-        # the distributed prefix-scan machinery
+        # <= bins distinct bucket ids: collect + fold driver-side
+        # (the spearman binned-mode shape) instead of the distributed
+        # prefix-scan machinery — r15: positives fold here too, so no
+        # broadcast-back join over base remains in either mode
         rows_ = sorted(g.collect(), key=lambda r: r["__s"])
-        out_, cum_ = [], 0
+        n = n_pos = rp2 = 0
+        cum_ = 0
         for r in rows_:
-            c = int(r["__c"])
+            c, cp = int(r["__c"]), int(r["__cp"])
             cum_ += c
-            out_.append((float(r["__s"]), 2 * cum_ - c + 1))
-        small = sdf.sparkSession.createDataFrame(
-            out_, "__s double, __r2i bigint"
-        )
-        ranks = F.broadcast(small.select(
-            "__s", F.col("__r2i").cast("decimal(38,0)").alias("__r2")
-        ))
+            rp2 += (2 * cum_ - c + 1) * cp
+            n += c
+            n_pos += cp
     else:
-        cum = cumulative(
-            DaskFrame(g), "__c", "sum", order_by="__s", out="__cum"
-        )._sdf
-        ranks = cum.select(
-            "__s",
-            (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
-            .cast("decimal(38,0)").alias("__r2"),
+        from dask_spark.operators.sort import _pin, range_bucket, release
+
+        g = g.persist()  # aggregate input: cuts job + scan share one compute
+        bucketed, _nb = range_bucket(g, "__s")
+        ranged = _pin(bucketed)
+        w = (
+            Window.partitionBy("__pid").orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    row = base.join(ranks, "__s").agg(
-        F.sum(F.when(F.col("__y") == 1, F.col("__r2"))).alias("rp"),
-        F.sum((F.col("__y") == 1).cast("bigint")).alias("np"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-    ).first()
-    n = int(row["n"] or 0)
+        lc = F.sum("__c").over(w)
+        r2l = (F.lit(2) * lc - F.col("__c") + F.lit(1)).cast("decimal(38,0)")
+        per_b = {
+            r["__pid"]: (int(r["c"]), int(r["cp"]), int(r["s"]))
+            for r in ranged
+            .withColumn("__r2l", r2l)
+            .groupBy("__pid").agg(
+                F.sum("__c").alias("c"),
+                F.sum("__cp").alias("cp"),
+                F.sum(F.col("__r2l")
+                      * F.col("__cp").cast("decimal(38,0)")).alias("s"),
+            ).collect()
+        }
+        release(ranged)
+        g.unpersist()
+        n = n_pos = rp2 = 0
+        off = 0  # exclusive prefix of total counts = rank offset
+        for pid in sorted(per_b):
+            c, cp, s = per_b[pid]
+            rp2 += s + 2 * off * cp
+            off += c
+            n += c
+            n_pos += cp
     if n == 0:
         raise ValueError("roc_auc: no scored labeled rows")
-    n_pos = int(row["np"] or 0)
     n_neg = n - n_pos
     if n_pos == 0 or n_neg == 0:
         auc = None
     else:
-        rp2 = int(row["rp"])  # Σ of 2·avg-rank over positives (exact)
+        # rp2 = Σ of 2·avg-rank over positives (exact python int)
         # AUC = (Σr⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻); with r2 = 2r:
         num = rp2 - n_pos * (n_pos + 1)
         auc = round(float(num) / (2.0 * float(n_pos) * float(n_neg)),

@@ -85,11 +85,17 @@ def _pin(df):
 def release(df=None) -> None:
     """Unpersist one pinned helper plan (or all, when df is None).
     Mutates the FIFO in place — never rebinds it, so external
-    references to the list stay truthful."""
+    references to the list stay truthful. A handle carrying
+    ``_ds_pinned_input`` (a caller-chained inner pin, e.g. the
+    spearman fused rank build) releases that inner pin too — eager
+    consumers free both cache copies with one call."""
     if df is None:
         while _PINNED:
             _PINNED.pop().unpersist()
         return
+    inner = getattr(df, "_ds_pinned_input", None)
+    if inner is not None and inner is not df:
+        release(inner)
     for i, p in enumerate(_PINNED):
         if p is df:
             del _PINNED[i]
@@ -205,7 +211,21 @@ def range_bucket(sdf, col: str, num_partitions: int | None = None,
     output plan, and rely on the output scan reproducing the SAME
     buckets — guaranteed here by construction (see with_bucket), with
     ``_pin`` as an optional perf cache only. Returns
-    ``(bucketed_sdf, n_buckets)``."""
+    ``(bucketed_sdf, n_buckets)``.
+
+    range_bucket itself pins NOTHING (r15, measured): an automatic
+    input pin here double-caches inputs the caller already persisted
+    (cusum's daily, ks_drift's g) and, for the common cheap
+    scan+project input, the columnar cache build costs more than the
+    one recompute it saves. Callers pin what their cost model
+    justifies: `_pin(bucketed)` when the output is read by a stats
+    pass AND the main pass (the binary-search projection is NOT cheap
+    to re-run per pass — CollapseProject inlines the chained lo/hi
+    steps into one exponentially-expanded tree; dropping the bucketed
+    pin regressed the prefix-scan family 2-4×), plus their own
+    `persist` on expensive (aggregate/join) INPUT subtrees so the
+    cut-sampling job and the bucketed build don't each recompute them
+    (the ks_drift g.persist fix, 3.7s→2.1s at sf0.1)."""
     n = num_partitions or max(sdf.sparkSession.sparkContext.defaultParallelism, 2)
     cuts, numeric = range_cuts(sdf, col, n)
     dt = sdf.schema[col].dataType

@@ -22,6 +22,12 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4.1's streaming checkpoint file-checksum manager races on
+    # the local filesystem (state-store commit dies with
+    # FileNotFoundException on <state>/right-keyWithIndexToValue while
+    # the checksum future creates its sibling file) — keep the pre-4.1
+    # no-checksum behavior; overridable per-session like every default.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.session.timeZone": "UTC",
