@@ -210,15 +210,27 @@ def peak_concurrency(events, window_seconds: int = 1800,
     calendar day — the classic +1/−1 interval sweep (max concurrent
     sessions / capacity planning).
 
-    The running sum uses the DISTRIBUTED keyless prefix scan
-    (operators/window.py cumulative: range-bucket + per-bucket window
-    + driver-combined bucket offsets — never a single-partition
-    window). The sort key encodes the marker type in its low bit
-    (ends even, starts odd) so an expiring interval releases BEFORE a
-    same-instant start counts; ties within one key share a sign, so
-    the per-day MAX over start rows is tie-order invariant — the
-    result is a pure function of the event multiset."""
-    from dask_spark.operators.window import cumulative
+    The running sum uses the DISTRIBUTED keyless prefix scan shape
+    (range-bucket + per-bucket window + driver-combined bucket
+    offsets — never a single-partition window). The sort key encodes
+    the marker type in its low bit (ends even, starts odd) so an
+    expiring interval releases BEFORE a same-instant start counts;
+    ties within one key share a sign, so the per-day MAX over start
+    rows is tie-order invariant — the result is a pure function of
+    the event multiset.
+
+    r15: fused per-bucket form (guide §2.4) — because the scan's only
+    consumer is the per-DAY max (a bounded output), one windowed
+    per-(bucket, day) aggregate collects (Σd, max local-prefix over
+    start rows) and the driver combines with exact exclusive-prefix
+    offsets: max_global = max local + offset_b, max over buckets.
+    This replaces the generic cumulative() machinery's totals collect
+    + second full pass + broadcast join with a single pass after the
+    cuts job; collected rows ≤ buckets × days. Integer arithmetic
+    throughout — bit-identical to the chained form."""
+    from pyspark.sql import Window
+
+    from dask_spark.operators.sort import _pin, range_bucket, release
 
     sdf = events._sdf if isinstance(events, DaskFrame) else events
     sdf = sdf.filter(F.col(ts_col).isNotNull())
@@ -234,12 +246,45 @@ def peak_concurrency(events, window_seconds: int = 1800,
         ((us + w_us) * 2).alias("k"),
         F.lit(-1).cast("bigint").alias("d"),
     )
-    m = DaskFrame(starts.unionAll(ends))
-    r = cumulative(m, "d", "sum", order_by="k", out="c")._sdf
-    out = (
-        r.filter(F.col("d") == 1)
-        .groupBy(F.col("t").cast("date").cast("string").alias("day"))
-        .agg(F.max("c").cast("bigint").alias("peak"))
+    m = starts.unionAll(ends)
+    bucketed, _nb = range_bucket(m, "k")
+    ranged = _pin(bucketed)
+    w = (
+        Window.partitionBy("__pid").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc = F.sum("d").over(w)
+    per_bd = (
+        ranged.withColumn("__lc", lc)
+        .groupBy(
+            "__pid",
+            F.col("t").cast("date").cast("string").alias("day"),
+        )
+        .agg(
+            F.sum("d").alias("s"),
+            F.max(F.when(F.col("d") == 1, F.col("__lc"))).alias("mx"),
+        )
+        .collect()
+    )
+    release(ranged)
+    by_pid: dict = {}
+    for r in per_bd:
+        by_pid.setdefault(r["__pid"], []).append(r)
+    peaks: dict = {}
+    off = 0
+    for pid in sorted(by_pid):
+        s_b = 0
+        for r in by_pid[pid]:
+            s_b += int(r["s"])
+            if r["mx"] is not None:
+                c = int(r["mx"]) + off
+                day = r["day"]
+                if day not in peaks or c > peaks[day]:
+                    peaks[day] = c
+        off += s_b
+    spark = sdf.sparkSession
+    out = spark.createDataFrame(
+        sorted(peaks.items()) or [], "day string, peak bigint"
     )
     return DaskFrame(out)
 

@@ -897,13 +897,19 @@ def roc_auc_by_group(frame, score_col: str, label_expr, group_col: str,
     low-resource languages as for English"). Single-class groups get
     null auc, matching the global contract.
 
-    100 TB shape: one (group, score)-keyed count (map-side combined),
-    the tie-corrected integer rank 2·cum − c + 1 via a GROUP-KEYED
+    100 TB shape: one (group, score)-keyed count (map-side combined,
+    r15: counting POSITIVES per cell alongside the total), the
+    tie-corrected integer rank 2·cum − c + 1 via a GROUP-KEYED
     window (partitioned by group — parallel across groups, never the
-    keyless single-partition shape), one join back and one per-group
-    aggregate. The AUC closes IN-PLAN: the numerator subtracts in
-    exact DECIMAL(38,0) before the one double division, so the oracle
-    (HUGEINT arithmetic then ::DOUBLE) reproduces every bit."""
+    keyless single-partition shape), then the per-group AUC moments
+    fold from the (group, score) table alone — the join of the full
+    base table back onto the rank table (a second base scan + an
+    n-row shuffle) dropped out of the plan, the same rewrite as the
+    global roc_auc (guide §2.3, §2.4); Σ over rows of r2·[y=1] ==
+    Σ over cells of r2·c_pos, exactly. The AUC closes IN-PLAN: the
+    numerator subtracts in exact DECIMAL(38,0) before the one double
+    division, so the oracle (HUGEINT arithmetic then ::DOUBLE)
+    reproduces every bit."""
     from pyspark.sql import Window
 
     from dask_spark.frame import DaskFrame
@@ -919,20 +925,24 @@ def roc_auc_by_group(frame, score_col: str, label_expr, group_col: str,
                 lab.cast("int").alias("__y"))
         .filter(F.col("__y").isNotNull())
     )
-    g = base.groupBy("__g", "__s").agg(F.count(F.lit(1)).alias("__c"))
+    g = base.groupBy("__g", "__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum((F.col("__y") == 1).cast("bigint")).alias("__cp"),
+    )
     w = (
         Window.partitionBy("__g").orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranks = g.select(
-        "__g", "__s",
+        "__g", "__c", "__cp",
         (F.lit(2) * F.sum("__c").over(w) - F.col("__c") + F.lit(1))
         .cast("decimal(38,0)").alias("__r2"),
     )
-    per = base.join(ranks, ["__g", "__s"]).groupBy("__g").agg(
-        F.sum(F.when(F.col("__y") == 1, F.col("__r2"))).alias("rp"),
-        F.sum((F.col("__y") == 1).cast("bigint")).alias("np"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    per = ranks.groupBy("__g").agg(
+        F.sum(F.col("__r2")
+              * F.col("__cp").cast("decimal(38,0)")).alias("rp"),
+        F.sum("__cp").cast("bigint").alias("np"),
+        F.sum("__c").cast("bigint").alias("n"),
     )
     np_ = F.col("np")
     nn = F.col("n") - np_

@@ -2490,12 +2490,15 @@ def corpus_shard(spark, sf_dir):
     running token count — shard = floor(prefix_tokens / 4096). Uses the
     keyless two-pass prefix scan (per-bucket running agg + driver
     offsets), so the global ORDER BY never funnels through one
-    partition. Integer sums → exact at any scale."""
+    partition. Integer sums → exact at any scale. The projected
+    (doc_id, n_tok) pair persists across the scan's passes (r15):
+    two int64 columns cache for almost nothing, while recomputing
+    them re-tokenizes every document per pass (guide §1.2, §5)."""
     from dask_spark.operators.window import cumulative
 
     d = load(spark, sf_dir, "documents").assign(
         n_tok=lambda f: T.token_count(F.col("text")).cast("bigint")
-    )[["doc_id", "n_tok"]]
+    )[["doc_id", "n_tok"]].persist()
     c = cumulative(d, "n_tok", "sum", order_by="doc_id", out="cum")
     return c.to_spark().select(
         "doc_id", "n_tok",
@@ -3482,11 +3485,19 @@ def embed_pair_hist(spark, sf_dir):
     vector subset (~15%) — the corpus-geometry diagnostic (a
     collapsed/anisotropic embedding space piles mass near 1.0; a
     healthy one spreads): the subset is the engine-portable md5
-    threshold (same vectors every run/engine), exact unrolled double
+    threshold (same vectors every run/engine), exact ordered double
     cosines at 6 dp (the dedup_embed parity contract), 0.1-wide bins
     over [-1, 1] — pair count is quadratic only in the SAMPLE
-    (fraction² · n², tunable), never the corpus."""
-    from dask_spark.functions.vector import cosine_sim
+    (fraction² · n², tunable), never the corpus.
+
+    r15: the per-pair cosine moved from the dim-unrolled JVM
+    expression (~6·64 nodes — Catalyst analysis + codegen of that
+    tree was ~3s of DRIVER wall per run at par 0.2, the ann_knn_join
+    lesson, guide §4.2) to an Arrow kernel that accumulates dot and
+    both norms STRICTLY left to right over the dim axis and divides
+    in the same op order as the expression form — bit-identical
+    doubles, rounding stays JVM-side."""
+    import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")._sdf
     s = e.filter(F.md5(F.col("vec_id").cast("string")) < "26").select(
@@ -3494,10 +3505,34 @@ def embed_pair_hist(spark, sf_dir):
     )
     a = s.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
     b = s.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("ida") < F.col("idb")).select(
-        F.round(
-            cosine_sim(F.col("va"), F.col("vb"), dim=64), 6
-        ).alias("c")
+
+    def cos_kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["va"]]
+            )
+            B = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf["vb"]]
+            )
+            n = len(pdf)
+            dot = np.zeros(n, dtype="float64")
+            na = np.zeros(n, dtype="float64")
+            nb = np.zeros(n, dtype="float64")
+            for i in range(A.shape[1]):  # ordered accumulation
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            yield pd.DataFrame({"c": dot / (np.sqrt(na) * np.sqrt(nb))})
+
+    pairs = (
+        a.crossJoin(b).filter(F.col("ida") < F.col("idb"))
+        .select("va", "vb")
+        .mapInPandas(cos_kernel, "c double")
+        .select(F.round(F.col("c"), 6).alias("c"))
     )
     bin_ = F.least(
         F.greatest(F.floor((F.col("c") + F.lit(1.0)) / F.lit(0.1)),
