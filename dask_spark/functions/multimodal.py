@@ -73,15 +73,30 @@ def _fake_decode(blob: bytes, width: int, height: int, out_dim: int = 10) -> lis
     return feats[:out_dim]
 
 
-def decode_features(frame, out_dim: int = 10):
+def decode_features(frame, out_dim: int = 10,
+                    with_phash: int | None = None):
     """mapInPandas decode+featurize: binary → fixed-dim float vector.
     Arrow batches keep the Python boundary amortized; at 100 TB this
-    stage is embarrassingly parallel (map-only, no shuffle)."""
+    stage is embarrassingly parallel (map-only, no shuffle).
+
+    ``with_phash=dim`` (r15): additionally emit ``ph bigint`` — the
+    perceptual hash over the first ``dim`` features, computed
+    vectorized INSIDE the decode kernel instead of via the
+    interpreted ``phash_bits`` higher-order aggregate downstream
+    (guide §4.2: the HOF chain is ~dim·3 interpreted ops per row on
+    the stage right after the Python boundary). Bit-identical to
+    phash_bits by construction: the mean's sum starts at 0.0 and
+    folds strictly left-to-right (the aggregate's exact order), and
+    bit i packs 2^i iff features[i] > mean — integer arithmetic
+    after two identically-ordered double ops."""
     from dask_spark.frame import DaskFrame
 
-    schema = f"doc_id bigint, features array<double>"
+    schema = "doc_id bigint, features array<double>"
+    if with_phash:
+        schema += ", ph bigint"
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -92,7 +107,21 @@ def decode_features(frame, out_dim: int = 10):
                     pdf["meta"].map(lambda s: s["height"]),
                 )
             ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+            out = {"doc_id": pdf["doc_id"], "features": feats}
+            if with_phash:
+                d = int(with_phash)
+                C = np.asarray(
+                    [f[:d] for f in feats], dtype="float64"
+                ).reshape(len(feats), d)
+                s = np.zeros(len(feats), dtype="float64")
+                for i in range(d):  # same L2R order as phash_bits
+                    s = s + C[:, i]
+                mean = s / float(d)
+                ph = np.zeros(len(feats), dtype="int64")
+                for i in range(d):
+                    ph += np.where(C[:, i] > mean, np.int64(1) << i, 0)
+                out["ph"] = ph
+            yield pd.DataFrame(out)
 
     return DaskFrame(frame._sdf.mapInPandas(gen, schema=schema))
 
@@ -253,13 +282,13 @@ def phash_near_dup(frame, dim: int = 32, band_bits: int = 8,
     from dask_spark.frame import DaskFrame
 
     n_bands = int(dim) // int(band_bits)
-    feats = decode_features(frame, out_dim=int(dim) + 2)._sdf
-    hashed = feats.select(
-        "doc_id",
-        phash_bits(
-            F.slice(F.col("features"), 1, int(dim)), int(dim)
-        ).alias("ph"),
-    )
+    # r15: ph computed inside the decode kernel (vectorized, one
+    # Python pass) — the interpreted phash_bits HOF chain drops out
+    # of the plan; arithmetic contract unchanged (see decode_features)
+    feats = decode_features(
+        frame, out_dim=int(dim) + 2, with_phash=int(dim)
+    )._sdf
+    hashed = feats.select("doc_id", "ph")
     mask = (1 << int(band_bits)) - 1
     bands = hashed.select(
         "doc_id", "ph",

@@ -512,6 +512,33 @@ class UnigramLM:
         self.total_tokens = total_tokens
 
 
+def _top_plus_totals(counts, key_col: str, vocab_size: int):
+    """One-job (top-K rows, n_types, total) over a persisted
+    (key, count) aggregate — the LM fits' vocab collect and totals
+    first() fused into a single union-plan collect (r15, guide §1.2:
+    one driver action instead of two over the same cached table).
+    Returns (top_rows_with[key_col]/count, n_types, total)."""
+    top_b = (
+        counts.orderBy(F.col("count").desc(), F.col(key_col))
+        .limit(vocab_size)
+        .select(
+            key_col, "count",
+            F.lit(None).cast("bigint").alias("__nt"),
+            F.lit(None).cast("bigint").alias("__tt"),
+        )
+    )
+    tot_b = counts.agg(
+        F.count(F.lit(1)).alias("__nt"), F.sum("count").alias("__tt")
+    ).select(
+        F.lit(None).cast(dict(counts.dtypes)[key_col]).alias(key_col),
+        F.lit(None).cast("bigint").alias("count"), "__nt", "__tt",
+    )
+    rows = top_b.unionAll(tot_b).collect()
+    top = [r for r in rows if r["__nt"] is None]
+    tot = next(r for r in rows if r["__nt"] is not None)
+    return top, int(tot["__nt"]), tot["__tt"]
+
+
 def fit_unigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
                    alpha: float = 1.0) -> UnigramLM:
     """Fit the LM with one wordcount: explode → groupBy(token) (the
@@ -528,14 +555,7 @@ def fit_unigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
                          "zero mass and -inf logprob)")
     toks = sdf.select(F.explode(word_tokens(F.col(text_col))).alias("tok"))
     counts = toks.groupBy("tok").count().persist()
-    top = (
-        counts.orderBy(F.col("count").desc(), F.col("tok"))
-        .limit(vocab_size)
-        .collect()
-    )
-    n_types, total = counts.agg(
-        F.count(F.lit(1)), F.sum("count")
-    ).first()
+    top, n_types, total = _top_plus_totals(counts, "tok", vocab_size)
     counts.unpersist()
     total = float(total or 0)
     nv = len(top)
@@ -784,13 +804,7 @@ def fit_bigram_lm(sdf, text_col: str = "text", vocab_size: int = 256,
               .persist() if own_staged else _staged)
     toks = staged.select(F.explode(F.col("__w")).alias("tok"))
     counts = toks.groupBy("tok").count().persist()
-    top = (
-        counts.orderBy(F.col("count").desc(), F.col("tok"))
-        .limit(vocab_size).collect()
-    )
-    n_types, total = counts.agg(
-        F.count(F.lit(1)), F.sum("count")
-    ).first()
+    top, n_types, total = _top_plus_totals(counts, "tok", vocab_size)
     counts.unpersist()
     total = float(total or 0)
     nv = len(top)

@@ -42,7 +42,8 @@ from dask_spark.frame import DaskFrame
 
 
 def _assign_kernel(cents: Sequence[Sequence[float]], dim: int,
-                   id_col: str, id_dt: str, out_cols: Sequence[str]):
+                   id_col: str, id_dt: str, out_cols: Sequence[str],
+                   query: Sequence[float] | None = None):
     """(schema, mapInPandas generator) for nearest-centroid assignment.
 
     Arithmetic contract (the DuckDB oracle replays it bit-for-bit):
@@ -53,7 +54,16 @@ def _assign_kernel(cents: Sequence[Sequence[float]], dim: int,
     Each accumulation step is one vectorized numpy column op — the
     per-element operation order is identical to the scalar chain, so
     IEEE doubles agree exactly with the expression engine the oracle
-    mirrors."""
+    mirrors.
+
+    ``query`` (r15): a literal query vector; out_cols may then name
+    ``dq`` (dot(v, query)) and ``dv`` (dot(v, v)), both accumulated
+    STRICTLY left-to-right starting from the first product — the
+    exact order functions.vector.dot unrolls to, so a caller scoring
+    cosines from these columns reproduces the JVM-expression doubles
+    bit-for-bit while the assignment and the dots share one pass
+    (no join back onto the vector table, no ~dim·3-node expression
+    tree for Catalyst to analyze)."""
     import numpy as np
     import pandas as pd
 
@@ -65,9 +75,11 @@ def _assign_kernel(cents: Sequence[Sequence[float]], dim: int,
             cc = cc + x * x
         ccs.append(cc)
     k = len(C)
+    Q = [float(x) for x in query] if query is not None else None
     partials = tuple(out_cols) == ("cluster", "dim", "s", "n")
     types = {id_col: id_dt, "__v": "array<double>", "cluster": "int",
-             "dim": "int", "s": "double", "n": "bigint"}
+             "dim": "int", "s": "double", "n": "bigint",
+             "dq": "double", "dv": "double"}
     schema = ", ".join(f"{c} {types[c]}" for c in out_cols)
 
     def kernel(batches):
@@ -110,6 +122,11 @@ def _assign_kernel(cents: Sequence[Sequence[float]], dim: int,
                 yield pd.DataFrame(rows)
                 continue
             out = {id_col: pdf[id_col], "__v": pdf["__v"], "cluster": cl}
+            if Q is not None and ("dq" in out_cols or "dv" in out_cols):
+                dq = V[:, 0] * Q[0]
+                for i in range(1, dim):  # same L2R order as vector.dot
+                    dq = dq + V[:, i] * Q[i]
+                out["dq"], out["dv"] = dq, vv
             yield pd.DataFrame({c: out[c] for c in out_cols})
 
     return schema, kernel
@@ -345,16 +362,15 @@ def kmeans(frame, vec_col: str = "embedding", id_col: str = "vec_id",
     ids; ties in the argmin break toward the lower cluster index on
     both engine and oracle."""
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
-    row = sdf.select(vec_col).first()
-    if row is None:
-        raise ValueError("kmeans on an empty frame")
-    dim = len(row[0])
     init = (
         sdf.orderBy(id_col).limit(k)
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
     cents = [[float(x) for x in r[0]] for r in init]
+    if not cents:
+        raise ValueError("kmeans on an empty frame")
+    dim = len(cents[0])  # r15: probe dim from init — no separate job
     if len(cents) < k:
         raise ValueError(f"only {len(cents)} rows for k={k}")
 

@@ -9878,9 +9878,16 @@ def ann_ivf_checked(spark, sf_dir):
     kmeans, the probe choice replays the same centroid-distance
     arithmetic, and scoring uses the knn-join side-scalar dot at
     4 dp — probe + rank + every cosine all hash-checked. Same scale
-    shape as ivf_topk: map-only assign, cells filter, TakeOrdered."""
-    from dask_spark.functions.vector import dot as v_dot
-    from dask_spark.operators.cluster import kmeans
+    shape as ivf_topk: map-only assign, cells filter, TakeOrdered.
+
+    r15: assignment and both dot products come out of ONE Arrow
+    kernel pass (guide §4.2, §2.4) — the join of the vector table
+    back onto the assignments and the ~dim·3-node unrolled dot
+    expression (driver analysis cost, the embed_pair_hist lesson)
+    both drop out. The kernel accumulates dq/dv in exactly the
+    vector.dot unroll order, and the final cosine keeps the same
+    JVM arithmetic dq·(1/√dv)·qinv rounded at 4 dp — bit-identical."""
+    from dask_spark.operators.cluster import _assign_kernel, kmeans
 
     e = load(spark, sf_dir, "embeddings")
     assigned, cents = kmeans(e, "embedding", "vec_id", k=8, iters=1)
@@ -9901,18 +9908,21 @@ def ann_ivf_checked(spark, sf_dir):
     dim = len(q)
     base = e.to_spark().select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("embedding").cast("array<double>").alias("__v"),
     )
-    qlit = F.array(*[F.lit(float(x)) for x in q])
     qinv = 1.0 / math.sqrt(qq)
+    schema, kernel = _assign_kernel(
+        cents, dim, "vec_id", dict(base.dtypes)["vec_id"],
+        ("vec_id", "cluster", "dq", "dv"), query=q,
+    )
     scored = (
-        assigned.to_spark().join(base, "vec_id")
+        base.mapInPandas(kernel, schema)
         .filter(F.col("cluster").isin(probe))
         .select(
             "vec_id",
             F.round(
-                v_dot(F.col("v"), qlit, dim)
-                * (F.lit(1.0) / F.sqrt(v_dot(F.col("v"), F.col("v"), dim)))
+                F.col("dq")
+                * (F.lit(1.0) / F.sqrt(F.col("dv")))
                 * F.lit(qinv),
                 4,
             ).alias("cosine"),

@@ -83,3 +83,73 @@ def test_spearman_fused_constant_column(spark):
     pdf = pd.DataFrame({"x": [1.0] * 10, "y": list(range(10))})
     got = spearman_corr(spark.createDataFrame(pdf), "x", "y").compute()
     assert got["rho"].iloc[0] is None or np.isnan(got["rho"].iloc[0])
+
+
+def test_assign_kernel_query_dots_match_expression(spark):
+    """_assign_kernel's dq/dv columns must be bit-identical to the
+    unrolled vector.dot expression they replaced in ann_ivf_checked."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.functions.vector import dot as v_dot
+    from dask_spark.operators.cluster import _assign_kernel
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 120
+    vecs = rng.normal(size=(n, dim)).round(3)
+    q = [float(x) for x in rng.normal(size=dim).round(3)]
+    pdf = pd.DataFrame({"vec_id": range(n), "__v": [list(v) for v in vecs]})
+    base = spark.createDataFrame(pdf)
+    cents = [list(map(float, vecs[i])) for i in range(4)]
+    schema, kernel = _assign_kernel(
+        cents, dim, "vec_id", "bigint", ("vec_id", "cluster", "dq", "dv"),
+        query=q,
+    )
+    got = base.mapInPandas(kernel, schema).orderBy("vec_id").collect()
+    qlit = F.array(*[F.lit(x) for x in q])
+    exp = base.select(
+        "vec_id",
+        v_dot(F.col("__v"), qlit, dim).alias("dq"),
+        v_dot(F.col("__v"), F.col("__v"), dim).alias("dv"),
+    ).orderBy("vec_id").collect()
+    for g, e in zip(got, exp):
+        assert g["dq"] == e["dq"]  # exact doubles, no tolerance
+        assert g["dv"] == e["dv"]
+
+
+def test_decode_kernel_phash_matches_expression(spark):
+    """decode_features(with_phash=dim) must reproduce the phash_bits
+    expression bit-for-bit (same L2R mean fold, strict > threshold)."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.multimodal import (attach_fake_media,
+                                                 decode_features,
+                                                 phash_bits)
+
+    rows = [(i, f"doc text {i} {'x' * (i % 7)}") for i in range(200)]
+    d = DaskFrame(spark.createDataFrame(rows, "doc_id bigint, text string"))
+    media = attach_fake_media(d)
+    dim = 32
+    fused = decode_features(media, out_dim=dim + 2, with_phash=dim)._sdf \
+        .select("doc_id", "ph").orderBy("doc_id").collect()
+    feats = decode_features(media, out_dim=dim + 2)._sdf
+    expr = feats.select(
+        "doc_id",
+        phash_bits(F.slice(F.col("features"), 1, dim), dim).alias("ph"),
+    ).orderBy("doc_id").collect()
+    assert [r["ph"] for r in fused] == [r["ph"] for r in expr]
+
+
+def test_top_plus_totals_matches_separate_actions(spark):
+    from dask_spark.functions.text import _top_plus_totals
+
+    import pyspark.sql.functions as F
+
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1,
+        "tok string",
+    )
+    counts = toks.groupBy("tok").count()
+    top, n_types, total = _top_plus_totals(counts, "tok", 2)
+    assert n_types == 4 and int(total) == 12
+    assert sorted((r["tok"], r["count"]) for r in top) == [("a", 5), ("b", 3)]
