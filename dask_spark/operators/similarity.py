@@ -338,33 +338,45 @@ def knn_join(left, right, k: int = 5, vec_col: str = "embedding",
     # pairwise .dot) so the double result stays bit-identical to the
     # oracle's ordered sum; rounding stays JVM-side (F.round
     # semantics, not numpy half-even).
-    import pandas as pd
+    #
+    # r15 (guide §4.2): mapInArrow, not mapInPandas — the pandas path
+    # materialized each list cell as its own tiny ndarray and re-stacked
+    # them (two Python-loop passes over ~candidate-count rows, the
+    # dominant kernel cost at 758k pairs/sf0.1). The ListArray's flat
+    # float64 buffer reshapes to (n, dim) with zero per-row Python work;
+    # the accumulation loop and multiply order are unchanged, so the
+    # doubles are bit-identical (same ops, same order, same dtype).
 
     def dot_kernel(batches):
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        def mat(batch, name):
+            flat = batch.column(name).flatten()
+            return np.asarray(flat, dtype="float64").reshape(
+                batch.num_rows, -1
+            )
+
+        for batch in batches:
+            if not batch.num_rows:
                 continue
-            L = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf["__lv"]]
-            )
-            R = np.asarray(
-                [np.asarray(v, dtype="float64") for v in pdf["__rv"]]
-            )
-            acc = np.zeros(len(pdf), dtype="float64")
+            L = mat(batch, "__lv")
+            R = mat(batch, "__rv")
+            acc = np.zeros(batch.num_rows, dtype="float64")
             for i in range(L.shape[1]):  # ordered accumulation
                 acc += L[:, i] * R[:, i]
-            acc *= pdf["__linv"].to_numpy()
-            acc *= pdf["__rinv"].to_numpy()
-            yield pd.DataFrame({
-                "l_id": pdf["l_id"], "r_id": pdf["r_id"], "cosine": acc,
-            })
+            acc *= np.asarray(batch.column("__linv"), dtype="float64")
+            acc *= np.asarray(batch.column("__rinv"), dtype="float64")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_id"), batch.column("r_id"),
+                 pa.array(acc, type=pa.float64())],
+                names=["l_id", "r_id", "cosine"],
+            )
 
     pair_t = dict(cand.dtypes)
     scored = (
         cand.join(lv, "l_id").join(rv, "r_id")
-        .mapInPandas(
+        .mapInArrow(
             dot_kernel,
             f"l_id {pair_t['l_id']}, r_id {pair_t['r_id']}, cosine double",
         )

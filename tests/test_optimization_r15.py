@@ -153,3 +153,47 @@ def test_top_plus_totals_matches_separate_actions(spark):
     top, n_types, total = _top_plus_totals(counts, "tok", 2)
     assert n_types == 4 and int(total) == 12
     assert sorted((r["tok"], r["count"]) for r in top) == [("a", 5), ("b", 3)]
+
+
+def test_knn_join_arrow_scorer_matches_expression(spark):
+    """knn_join's mapInArrow dot kernel (r15: zero-copy list-buffer
+    reshape instead of per-row pandas stacking) must stay bit-identical
+    to the unrolled ordered-dot expression on the same pairs."""
+    import pyspark.sql.functions as F
+
+    from dask_spark.frame import DaskFrame
+    from dask_spark.functions.vector import dot as v_dot
+    from dask_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(23)
+    dim, n = 16, 80
+    vecs = rng.normal(size=(n, dim)).round(3)
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(v) for v in vecs]}
+    )
+    base = spark.createDataFrame(pdf)
+    d = DaskFrame(base)
+    got = (
+        knn_join(d, d, k=3, bands=4, planes=4, exclude_self=True,
+                 round_dp=9)
+        .compute().sort_values(["l_id", "rank"]).reset_index(drop=True)
+    )
+    v = F.col("embedding")
+    norms = base.select(
+        "vec_id",
+        (F.lit(1.0) / F.sqrt(v_dot(v, v, dim))).alias("inv"),
+    ).collect()
+    inv = {r["vec_id"]: r["inv"] for r in norms}
+    # expression-side replay of each returned pair's cosine, in the
+    # exact kernel op order: L2R dot, then *linv, then *rinv
+    vv = {i: vecs[i] for i in range(n)}
+    for _, row in got.iterrows():
+        a, b = vv[int(row["l_id"])], vv[int(row["r_id"])]
+        acc = 0.0
+        for i in range(dim):
+            acc += float(a[i]) * float(b[i])
+        acc *= inv[int(row["l_id"])]
+        acc *= inv[int(row["r_id"])]
+        assert row["cosine"] == round(acc, 9) or abs(
+            row["cosine"] - acc
+        ) < 1e-12

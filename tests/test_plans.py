@@ -613,8 +613,9 @@ def test_knn_join_scoring_plan(spark, tables):
     """The knn-join fix stays fixed: the pair-level plan must carry
     the precomputed inverse norms through the fetch joins (scalar
     columns, not per-pair norm recomputation) and score in ONE Arrow
-    pass (a single mapInPandas/ArrowEvalPython over the joined
-    candidates)."""
+    pass (a single mapInArrow over the joined candidates — r15 moved
+    the scorer from mapInPandas to mapInArrow for the zero-copy list
+    buffer reshape)."""
     from dask_spark.operators.similarity import knn_join
 
     e = tables["embeddings"]
@@ -622,7 +623,7 @@ def test_knn_join_scoring_plan(spark, tables):
                    round_dp=4)
     p = _splan(out._sdf)
     # the python scorer appears exactly once
-    assert p.count("MapInPandas") == 1, p[:2000]
+    assert p.count("MapInArrow") == 1, p[:2000]
     # no unrolled per-pair norm: exactly one SQRT per side projection
     # (a per-pair cosine would re-inline norm computations above the
     # fetch joins)
