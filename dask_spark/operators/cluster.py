@@ -221,18 +221,17 @@ def pq_codebooks(frame, vec_col: str = "embedding",
     Returns books[m][ks][dsub] with 9-dp-rounded means so the DuckDB
     oracle's per-subspace averaging order cannot drift."""
     sdf = frame._sdf if isinstance(frame, DaskFrame) else frame
-    row = sdf.select(vec_col).first()
-    if row is None:
-        raise ValueError("pq_codebooks on an empty frame")
-    dim = len(row[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
     init = (
         sdf.orderBy(id_col).limit(ks)
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
+    if not init:
+        raise ValueError("pq_codebooks on an empty frame")
+    dim = len(init[0][0])  # r15: probe dim from init — no separate job
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
     if len(init) < ks:
         raise ValueError(f"only {len(init)} rows for ks={ks}")
     books = [
