@@ -46,6 +46,10 @@ def test_triangle_count_assume_canonical(spark):
 def test_range_bucket_pins_nothing_release_chases_handle(spark):
     from dask_spark.operators.sort import _PINNED, _pin, range_bucket, release
 
+    # Drain the FIFO: earlier tests in a full-suite run can leave it at
+    # _PIN_LIMIT, where two more pins evict two old entries and the
+    # length arithmetic below would no longer observe the +2.
+    release()
     sdf = spark.range(1000).selectExpr("id", "id * 2 as v")
     before = len(_PINNED)
     bucketed, n = range_bucket(sdf, "v")
