@@ -176,8 +176,18 @@ def _rate(spark, rps=200):
 def test_stream_stream_join(spark):
     from dask_spark.streaming.windows import stream_stream_join
 
-    left = _rate(spark).withColumn("k", F.col("value") % 10)
-    right = _rate(spark).withColumn("k", F.col("value") % 10)
+    # A stream-stream join keeps FOUR state stores per shuffle
+    # partition; at the session default of 32 partitions that is 128
+    # local-FS store setups+commits per micro-batch, and under host
+    # load epoch 1 can still be committing past the poll deadline
+    # (observed: 0 rows at t+45s, epoch 1 aborted by the stop-time
+    # checkpoint cleanup at t+64s). State partitions are a scale knob,
+    # so size them to the toy stream in a child session instead of
+    # mutating the shared one.
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    left = _rate(s).withColumn("k", F.col("value") % 10)
+    right = _rate(s).withColumn("k", F.col("value") % 10)
     out = stream_stream_join(
         left, right, on="k", watermark="10 seconds", interval="5 seconds"
     )
@@ -186,12 +196,12 @@ def test_stream_stream_join(spark):
         .outputMode("append").start()
     )
     try:
-        deadline = time.time() + 45
+        deadline = time.time() + 90
         while time.time() < deadline:
-            if spark.sql("select * from t_ssj").count() > 0:
+            if s.sql("select * from t_ssj").count() > 0:
                 break
             time.sleep(1)
-        assert spark.sql("select * from t_ssj").count() > 0
+        assert s.sql("select * from t_ssj").count() > 0
     finally:
         q.stop()
 
