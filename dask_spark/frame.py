@@ -2718,13 +2718,13 @@ class DaskFrame:
             shifted = _shift(self, col, periods=periods,
                              order_by=order_by or col, out="__prev")
             prev = F.col("__prev")
-            return DaskFrame(
+            return self._derive(
                 shifted._sdf.withColumn(name, (F.col(col) - prev) / prev)
                 .drop("__prev")
             )
         w = Window.partitionBy(*by).orderBy(order_by or col)
         prev = F.lag(col, periods).over(w)
-        return DaskFrame(
+        return self._derive(
             self._sdf.withColumn(name, (F.col(col) - prev) / prev)
         )
 

@@ -120,9 +120,14 @@ class Rolling:
             sdf = sdf.filter("__core").drop("__pid", "__core")
         return sdf
 
-    def agg(self, spec: dict[str, str]) -> "DaskFrame":
-        from dask_spark.frame import DaskFrame
+    def _out(self, sdf) -> "DaskFrame":
+        """Row-preserving output: derive from the input frame so tz
+        tags / the index marker survive (r15 fuzz find, seeds
+        424549/424611 — a bare DaskFrame() here dropped awareness and
+        downstream dt fields read the wrong wall clock)."""
+        return self._frame._derive(self._untag(sdf))
 
+    def agg(self, spec: dict[str, str]) -> "DaskFrame":
         w, sdf = self._win()
         for col, fn in spec.items():
             expr = _ROLL_AGGS[fn](col).over(w)
@@ -130,7 +135,7 @@ class Rolling:
                 cnt = F.count(col).over(w)
                 expr = F.when(cnt >= self._min_periods, expr)
             sdf = sdf.withColumn(f"{col}_roll_{fn}", expr)
-        return DaskFrame(self._untag(sdf))
+        return self._out(sdf)
 
     def sum(self, col: str):
         return self.agg({col: "sum"})
@@ -162,15 +167,11 @@ class Rolling:
         """Exact linear-interpolation quantile per window frame
         (matches pandas rolling.quantile(interpolation='linear') and
         DuckDB quantile_cont)."""
-        from dask_spark.frame import DaskFrame
-
         w, sdf = self._win()
         expr = F.percentile(F.col(col), F.lit(float(q))).over(w)
         if self._min_periods:
             expr = F.when(F.count(col).over(w) >= self._min_periods, expr)
-        return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_quantile", expr))
-        )
+        return self._out(sdf.withColumn(out or f"{col}_roll_quantile", expr))
 
     def median(self, col: str, out: str | None = None):
         return self.quantile(col, 0.5, out=out or f"{col}_roll_median")
@@ -180,23 +181,17 @@ class Rolling:
         definition). Spark's skewness window aggregate returns the
         population moment g1 = m3/m2^1.5; the correction
         G1 = g1 * sqrt(n(n-1))/(n-2) needs only the frame count."""
-        from dask_spark.frame import DaskFrame
-
         w, sdf = self._win()
         n = F.count(col).over(w).cast("double")
         g1 = F.skewness(F.col(col)).over(w)
         need = max(3, self._min_periods or 0)
         expr = F.when(n >= need, g1 * F.sqrt(n * (n - 1)) / (n - 2))
-        return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_skew", expr))
-        )
+        return self._out(sdf.withColumn(out or f"{col}_roll_skew", expr))
 
     def kurt(self, col: str, out: str | None = None):
         """Bias-corrected sample excess kurtosis G2 (pandas/dask).
         Spark's kurtosis returns population excess g2 = m4/m2^2 - 3;
         G2 = (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6)."""
-        from dask_spark.frame import DaskFrame
-
         w, sdf = self._win()
         n = F.count(col).over(w).cast("double")
         g2 = F.kurtosis(F.col(col)).over(w)
@@ -204,24 +199,18 @@ class Rolling:
         expr = F.when(
             n >= need, (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
         )
-        return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_kurt", expr))
-        )
+        return self._out(sdf.withColumn(out or f"{col}_roll_kurt", expr))
 
     def cov(self, col: str, other: str, out: str | None = None):
         """Rolling sample covariance of two columns (pandas
         rolling.cov / DuckDB covar_samp)."""
-        from dask_spark.frame import DaskFrame
-
         w, sdf = self._win()
         expr = F.covar_samp(F.col(col), F.col(other)).over(w)
         if self._min_periods:
             cnt = F.count(F.when(F.col(col).isNotNull()
                                  & F.col(other).isNotNull(), 1)).over(w)
             expr = F.when(cnt >= self._min_periods, expr)
-        return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_cov", expr))
-        )
+        return self._out(sdf.withColumn(out or f"{col}_roll_cov", expr))
 
     def corr(self, col: str, other: str, out: str | None = None):
         """Rolling Pearson correlation of two columns.
@@ -232,8 +221,6 @@ class Rolling:
         ANSI DIVIDE_BY_ZERO on a zero-variance window (e.g. identical
         timestamps inside one range frame — hit at sf0.1). A null
         denominator yields NULL, matching pandas NaN and SQL corr."""
-        from dask_spark.frame import DaskFrame
-
         w, sdf = self._win()
         cov = F.covar_samp(F.col(col), F.col(other)).over(w)
         sx = F.stddev_samp(F.col(col)).over(w)
@@ -243,9 +230,7 @@ class Rolling:
             cnt = F.count(F.when(F.col(col).isNotNull()
                                  & F.col(other).isNotNull(), 1)).over(w)
             expr = F.when(cnt >= self._min_periods, expr)
-        return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_corr", expr))
-        )
+        return self._out(sdf.withColumn(out or f"{col}_roll_corr", expr))
 
     def apply(self, col: str, fn, dtype: str = "double", out: str | None = None):
         """Arbitrary python fn per window (dask rolling.apply):
@@ -255,8 +240,6 @@ class Rolling:
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
-
-        from dask_spark.frame import DaskFrame
 
         w, sdf = self._win()
         arrs = F.collect_list(F.col(col)).over(w)
@@ -274,9 +257,7 @@ class Rolling:
             expr = F.when(
                 F.count(col).over(w) >= self._min_periods, expr
             )
-        return DaskFrame(
-            self._untag(sdf.withColumn(out or f"{col}_roll_apply", expr))
-        )
+        return self._out(sdf.withColumn(out or f"{col}_roll_apply", expr))
 
 
 class Resampler:
@@ -487,7 +468,6 @@ def _lag_keyless(frame, order_by: str, name: str, periods: int, build_expr):
     |periods| boundary rows (dask's map_overlap shape) instead of a
     single-partition ``Window.partitionBy()``. ``build_expr(w)`` gets
     the per-bucket window spec."""
-    from dask_spark.frame import DaskFrame
     from dask_spark.operators.sort import ranged_with_halo
 
     tagged = ranged_with_halo(
@@ -496,7 +476,7 @@ def _lag_keyless(frame, order_by: str, name: str, periods: int, build_expr):
         after_rows=-periods if periods < 0 else 0,
     )
     w = Window.partitionBy("__pid").orderBy(F.col(order_by))
-    return DaskFrame(
+    return frame._derive(
         tagged.withColumn(name, build_expr(w))
         .filter("__core")
         .drop("__pid", "__core")
@@ -508,8 +488,6 @@ def shift(frame, col: str, periods: int = 1, order_by: str | None = None,
     """reference: dask shift via map_overlap → lag/lead window. Keyless
     routes through range-bucket + halo — never a single-partition
     window."""
-    from dask_spark.frame import DaskFrame
-
     by = _by_list(by)
     name = out or f"{col}_shift"
     fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
@@ -517,13 +495,11 @@ def shift(frame, col: str, periods: int = 1, order_by: str | None = None,
         return _lag_keyless(frame, order_by or col, name, periods,
                             lambda w: fn.over(w))
     w = Window.partitionBy(*by).orderBy(order_by or col)
-    return DaskFrame(frame._sdf.withColumn(name, fn.over(w)))
+    return frame._derive(frame._sdf.withColumn(name, fn.over(w)))
 
 
 def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
          by: Sequence[str] | None = None, out: str | None = None):
-    from dask_spark.frame import DaskFrame
-
     by = _by_list(by)
     name = out or f"{col}_diff"
     if not by:
@@ -532,7 +508,7 @@ def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
             lambda w: F.col(col) - F.lag(col, periods).over(w),
         )
     w = Window.partitionBy(*by).orderBy(order_by or col)
-    return DaskFrame(
+    return frame._derive(
         frame._sdf.withColumn(name, F.col(col) - F.lag(col, periods).over(w))
     )
 
@@ -565,8 +541,6 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     classic two-pass distributed scan (per-bucket running agg +
     driver-combined per-bucket offsets) — dask's cumulative ACA shape —
     instead of a single-partition window."""
-    from dask_spark.frame import DaskFrame
-
     by = _by_list(by)
     name = out or f"{col}_cum{fn}"
     if not by:
@@ -582,7 +556,7 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     expr = _CUM_FNS[fn](src).over(w)
     if missing is not None:
         expr = F.when(~missing, expr)
-    return DaskFrame(frame._sdf.withColumn(name, expr))
+    return frame._derive(frame._sdf.withColumn(name, expr))
 
 
 def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
@@ -593,7 +567,6 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
     Decomposable fns only, matching the keyed path's fn set."""
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    from dask_spark.frame import DaskFrame
     from dask_spark.operators.sort import _pin, range_bucket
 
     sdf = frame._sdf
@@ -645,7 +618,7 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
         .withColumn(name, expr)
         .drop("__pid", "__off")
     )
-    return DaskFrame(out)
+    return frame._derive(out)
 
 
 def fill_directional(frame, cols, order_by: str, by=None,
@@ -657,8 +630,6 @@ def fill_directional(frame, cols, order_by: str, by=None,
     #buckets rows on the driver), prefix-scanned into one seed value
     per bucket, coalesced under the per-bucket window fill. Exact even
     when whole buckets are all-null."""
-    from dask_spark.frame import DaskFrame
-
     cols = [cols] if isinstance(cols, str) else list(cols)
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     forward = direction == "ffill"
@@ -671,14 +642,13 @@ def fill_directional(frame, cols, order_by: str, by=None,
         sdf = frame._sdf
         for c in cols:
             sdf = sdf.withColumn(c, pick(F.col(c), ignorenulls=True).over(w))
-        return DaskFrame(sdf)
+        return frame._derive(sdf)
     return _fill_keyless(frame, cols, order_by, forward)
 
 
 def _fill_keyless(frame, cols, order_by: str, forward: bool):
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    from dask_spark.frame import DaskFrame
     from dask_spark.operators.sort import _pin, range_bucket
 
     sdf = frame._sdf
@@ -721,7 +691,7 @@ def _fill_keyless(frame, cols, order_by: str, forward: bool):
             F.coalesce(pick(F.col(c), ignorenulls=True).over(w),
                        F.col(f"__carry_{c}")),
         )
-    return DaskFrame(out.drop("__pid", *[f"__carry_{c}" for c in cols]))
+    return frame._derive(out.drop("__pid", *[f"__carry_{c}" for c in cols]))
 
 
 def map_overlap(frame, fn, schema: str, on: str, before: float = 0,

@@ -405,3 +405,47 @@ class TestDtTail:
         with pytest.raises(NotImplementedError):
             df["ts"].dt.to_timestamp()
         assert df["ts"].dt.freq is None
+
+
+class TestTzThroughWindowOps:
+    """r15 fuzz find (seeds 424549/424611): the window-family
+    row-preserving ops (cum*/shift/diff/ffill/rolling/pct_change)
+    returned bare DaskFrames instead of deriving from their input, so
+    the zone tag was dropped and downstream .dt fields read UTC wall
+    clock. Each op here must keep the tag AND the local-hour value."""
+
+    def _aware_frame(self, spark):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-06-15 23:30:00",
+                                   "2024-06-16 01:00:00",
+                                   "2024-06-16 02:30:00"]),
+             "k": [1, 1, 2], "x": [3.0, None, 5.0], "r": [2, 1, 3]}
+        )
+        df = DaskFrame(spark.createDataFrame(pdf))
+        df["aware"] = df["ts"].dt.tz_localize("UTC").dt.tz_convert(TOKYO)
+        return df
+
+    def _check(self, out):
+        assert out["aware"].dt.tz == TOKYO
+        hours = sorted(out["aware"].dt.hour.compute().tolist())
+        assert hours == [8, 10, 11]  # Tokyo local, not UTC 23/1/2
+
+    def test_cum_keyless_and_keyed(self, spark):
+        df = self._aware_frame(spark)
+        self._check(df.cumsum("x", order_by="r", out="cu"))
+        self._check(df.cummin("x", order_by="r", by="k", out="cu"))
+
+    def test_shift_diff_keyless(self, spark):
+        df = self._aware_frame(spark)
+        self._check(df.shift("x", periods=1, order_by="r", out="sh"))
+        self._check(df.diff("x", periods=1, order_by="r", out="dv"))
+
+    def test_ffill_keyed_and_keyless(self, spark):
+        df = self._aware_frame(spark)
+        self._check(df.ffill(["x"], order_by="r"))
+        self._check(df.ffill(["x"], order_by="r", by="k"))
+
+    def test_rolling_and_pct_change(self, spark):
+        df = self._aware_frame(spark)
+        self._check(df.rolling(2, on=["r"]).mean("x"))
+        self._check(df.pct_change("x", order_by="r"))
