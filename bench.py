@@ -248,16 +248,31 @@ def main():
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)
-    # Detailed per-query line first (human-facing; too long for the
-    # driver's tail capture at 120+ queries — BENCH_r11 parsed null).
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_detail",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "n_failed": len(timings) - len(ok),
         "sf": sf_val,
-    }))
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    # Sidecar detail file (r16): the per-query line below overflows the
+    # driver's 2000-char stdout tail at 136 queries, so PERF_r15 had
+    # per_query={} / n_common=0 — the round's per-query speedups were
+    # unrecoverable. Persist the same detail object to a file next to
+    # bench.py so per-query comparisons survive the tail capture. The
+    # stdout contract is UNCHANGED (same two lines, compact line last).
+    try:
+        out_path = Path(__file__).resolve().parent / (
+            f"bench_detail_sf{sf}_c{detail['cpus']}.json"
+        )
+        out_path.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError as exc:  # read-only checkout must never fail the bench
+        print(f"# bench detail sidecar not written: {exc}", file=sys.stderr)
+    # Detailed per-query line first (human-facing; too long for the
+    # driver's tail capture at 120+ queries — BENCH_r11 parsed null).
+    print(json.dumps(detail))
     # Compact driver-parsable summary LAST: no per-query dict, so the
     # line stays well inside the driver's tail-capture window.
     print(json.dumps({

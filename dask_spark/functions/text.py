@@ -1208,19 +1208,30 @@ def hashed_nb_fit(sdf, label_col: str, text_col: str = "text",
         word_tokens(F.col(text_col)),
         lambda t: F.pmod(hfn(t), F.lit(D)).cast("int"),
     )
-    pri = {
-        r["__l"]: r["__n"]
-        for r in base.groupBy(F.col(label_col).alias("__l"))
-        .agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
-    cnt = {
-        (r["__l"], r["__f"]): r["__c"]
-        for r in base.select(
+    # ONE driver action for both model tables (r16, the §2.10 union
+    # trick): class priors ride as __f = NULL rows unioned with the
+    # (label, feature) counts — the two aggregates are independent,
+    # so fusing them halves the fit's driver round trips. Consumption
+    # is dict-keyed, order-insensitive.
+    pri: dict = {}
+    cnt: dict = {}
+    pri_plan = (
+        base.groupBy(F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("__l", F.lit(None).cast("int").alias("__f"), "__c")
+    )
+    cnt_plan = (
+        base.select(
             F.col(label_col).alias("__l"), F.explode(feat).alias("__f")
         )
         .groupBy("__l", "__f").agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
-    }
+        .select("__l", "__f", "__c")
+    )
+    for r in pri_plan.unionByName(cnt_plan).collect():
+        if r["__f"] is None:
+            pri[r["__l"]] = r["__c"]
+        else:
+            cnt[(r["__l"], r["__f"])] = r["__c"]
     labels = sorted(pri)
     N = sum(pri.values())
     log_priors = [math.log(float(pri[lbl]) / float(N)) for lbl in labels]

@@ -33,9 +33,74 @@ in-sum is bounded by num · N · scale, so pick scale ≤ 2^62 / (num·N)
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from dask_spark.frame import DaskFrame
+
+# r16 size-adaptive caching (guide §5; r15 verdict item 1): the graph
+# operators read their edge/adjacency subtree from several branches,
+# and that subtree is typically a self-join + aggregate over the
+# corpus — at 100 TB re-executing it per branch IS the query's bill,
+# while at toy SF the columnar cache build costs more than the
+# recompute it saves (the r15 interleaved A/B that reverted the
+# blanket persists). The decision is therefore made from the LEAF
+# SCAN BYTES of the subtree's plan (the honest, estimate-inflation-
+# free scale proxy: join/aggregate estimates multiply, file sizes
+# don't): persist only when re-reading the base tables is expensive.
+# Local default 64 MB keeps sf0.1 bench plans byte-comparable with
+# r15 (2 x ~7 MB lineitem scans stay under it) and flips the cache on
+# from roughly sf0.5 up; production overrides via env.
+_PERSIST_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_PERSIST_BYTES", str(64 << 20))
+)
+
+
+def _scan_bytes(sdf) -> int:
+    """Sum of the leaf relations' stats sizes in ``sdf``'s ANALYZED
+    plan — parquet leaves report actual file bytes, so this measures
+    how much base-table I/O one execution of the subtree pays. The
+    analyzed plan (not the optimized one) is used deliberately:
+    analysis already ran eagerly when the DataFrame was built, so the
+    probe is O(plan nodes) on the driver, while forcing optimization
+    here would pay a fresh Catalyst pass per call (~0.1-0.4 s,
+    measured)."""
+    try:
+        leaves = sdf._jdf.queryExecution().analyzed().collectLeaves()
+        return sum(
+            int(leaves.apply(i).stats().sizeInBytes())
+            for i in range(leaves.size())
+        )
+    except Exception:
+        return 0
+
+
+def _persist_if_big(sdf):
+    """Cache a multiply-consumed subtree when its leaf-scan bytes
+    cross the threshold (see _PERSIST_INPUT_BYTES); a no-op below it.
+    The mechanism is a lazy ``localCheckpoint`` — measured CHEAPER to
+    build than ``persist``'s columnar cache at 10× SF (graph family
+    total 72.8s vs 78.5s persist vs 86.2s uncached) because blocks
+    store as computed instead of re-encoding; the trade, same as this
+    repo's other checkpoints, is that a lost block fails the job
+    rather than recomputing. Blocks are freed by the ContextCleaner
+    when the plan is GC'd."""
+    sl = sdf.storageLevel
+    if sl.useMemory or sl.useDisk:  # caller already persisted it
+        return sdf
+    if _scan_bytes(sdf) >= _PERSIST_INPUT_BYTES:
+        return sdf.localCheckpoint(eager=False)
+    return sdf
+
+
+# NOTE (r16, measured): rewriting the two-scan symmetrize/endpoint
+# unions as one-pass explode/inline was tried and REVERTED — the
+# Generate node defeats Catalyst's size estimation, flipping 8 of the
+# family's BroadcastHashJoins to SortMergeJoin (graph_triangles
+# 2.5s → 11.4s, pagerank 2.7s → 4.8s at sf0.1). The duplicated scan
+# the union pays is instead absorbed by _persist_if_big: once the
+# edge set is cached, both union branches read the cache.
 
 
 def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
@@ -182,10 +247,16 @@ def triangle_count(edges, a_col: str = "a", b_col: str = "b",
 
     ``assume_canonical=True`` promises the input is already the
     canonical distinct (a < b) bigint edge set — callers that computed
-    it skip a redundant dedup exchange (r15; a persist of ``e`` was
-    measured here too and REVERTED: at bench scale the columnar cache
-    build of the edge set cost more than the duplicate-subtree
-    executions it saved, consistently across interleaved A/B runs)."""
+    it skip a redundant dedup exchange (r15; a BLANKET persist of
+    ``e`` was measured here too and REVERTED at toy SF: the columnar
+    cache build cost more than the duplicate-subtree executions it
+    saved. r16 re-measured at 10× SF with the size-adaptive cache:
+    triangle_count's OWN ``e`` fan-out is 3 scans, all inside the one
+    materialization of the already-persisted ``o`` — caching it was
+    still a small net loss (19.6s → 22.0s), so standalone
+    triangle_count leaves ``e`` uncached; clustering_coefficient,
+    whose fan-out is 5, caches it BEFORE passing it in (a 10×-SF win,
+    31.9s → 17.1s))."""
     sdf = edges._sdf if isinstance(edges, DaskFrame) else edges
     if assume_canonical:
         e = sdf
@@ -244,6 +315,7 @@ def clustering_coefficient(edges, a_col: str = "a", b_col: str = "b",
         F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
         F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
     ).filter(F.col("a") < F.col("b")).distinct()
+    e = _persist_if_big(e)  # 5 scans: deg's 2 + triangle_count's 3
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -356,6 +428,7 @@ def modularity(edges, communities, a_col: str = "a", b_col: str = "b",
         F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
         F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
     ).filter(F.col("a") < F.col("b")).distinct()
+    e = _persist_if_big(e)  # consumed by m_agg, tagged, and deg
     cmap = csdf.select(
         F.col(node_col).cast("bigint").alias("n"),
         F.col(com_col).alias("c"),
@@ -434,8 +507,13 @@ def jaccard_similarity(edges, a_col: str = "a", b_col: str = "b",
         F.least(F.col(a_col), F.col(b_col)).cast("bigint").alias("a"),
         F.greatest(F.col(a_col), F.col(b_col)).cast("bigint").alias("b"),
     ).filter(F.col("a") < F.col("b")).distinct()
-    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    # the adjacency — read by deg and BOTH wedge sides — caches
+    # size-adaptively (see _persist_if_big; blanket persist was the
+    # r15 toy-SF loss, zero caching was the 100 TB loss)
+    adj = _persist_if_big(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
     )
     deg = adj.groupBy(F.col("u").alias("n")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

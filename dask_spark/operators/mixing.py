@@ -238,9 +238,9 @@ def dsir_fit(target, raw, text_col: str = "text",
 
     B = int(n_buckets)
 
-    def histogram(frame):
+    def hist_plan(frame, tag: int):
         sdf = frame._sdf if hasattr(frame, "_sdf") else frame
-        counts = (
+        return (
             sdf.select(
                 F.explode(
                     _dsir_feat_expr(text_col, B, word_hash)
@@ -248,13 +248,18 @@ def dsir_fit(target, raw, text_col: str = "text",
             )
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+            .select(F.lit(tag).alias("__s"), "b", "c")
         )
-        ct = {r["b"]: r["c"] for r in counts}
-        return ct, sum(ct.values())
 
-    ct_t, tot_t = histogram(target)
-    ct_r, tot_r = histogram(raw)
+    # both histograms in ONE driver action (r16, the §2.10 union
+    # trick: the two ≤B-key aggregates are independent, so a tagged
+    # union halves the fit's driver round trips); consumption is
+    # dict-keyed and order-insensitive
+    ct_t: dict = {}
+    ct_r: dict = {}
+    for r in hist_plan(target, 0).unionByName(hist_plan(raw, 1)).collect():
+        (ct_t if r["__s"] == 0 else ct_r)[r["b"]] = r["c"]
+    tot_t, tot_r = sum(ct_t.values()), sum(ct_r.values())
     a = float(alpha)
     # per-bucket ln ratio, rounded to 9 dp so the oracle's ln/round
     # replays the table exactly (same contract as kmeans centroids)

@@ -74,6 +74,13 @@ def repartition(frame, npartitions: int | None = None, on: Sequence[str] | None 
 _PINNED: list = []
 _PIN_LIMIT = 8
 
+# Largest cut count emitted as one balanced nested-CASE expression
+# (O(#cuts) expression nodes, O(log) per-row branches); larger cut
+# counts fall back to the chained-projection binary search whose
+# generated code stays O(log #cuts). 128 covers every local run
+# (cuts = defaultParallelism) with a comfortably small expression.
+_TREE_MAX_CUTS = 128
+
 
 def _pin(df):
     _PINNED.append(df.persist())
@@ -153,21 +160,48 @@ def with_bucket(sdf, col: str, cuts, numeric: bool, dt, pid_col: str):
     spark_partition_id() over repartitionByRange, whose sampling is
     fresh-seeded per execution.
 
-    The lookup is a BINARY SEARCH over the sorted cuts array, unrolled
-    as ceil(log2(n+1)) chained projections: per-row cost and generated-
-    code size are O(log #buckets), so a 1000-executor cluster with
-    thousands of buckets pays ~12 comparisons per row — not thousands
-    of chained CASE branches (the dask analog is the binary search over
-    divisions in dask/dataframe/shuffle.py set_partitions_pre). Each
-    step's lo/hi are materialized as columns so the next step
-    references resolved attributes — a single nested expression would
-    re-expand the whole tree at every step."""
+    The lookup is a BINARY SEARCH over the sorted cuts. Up to
+    ``_TREE_MAX_CUTS`` cuts (every local/toy run; a cluster job keyed
+    to tens of cores per bucket) it is emitted as ONE balanced
+    nested-CASE expression: node (lo, hi) compares v against the
+    middle cut and descends into exactly one half, so per-row
+    evaluation is O(log #buckets) lazily-taken branches while the
+    expression holds each cut once (r16 — this replaced the chained
+    lo/hi projections below for small n: CollapseProject inlined each
+    step's lo/hi into the next, exponentially re-expanding the tree
+    whenever the plan was re-derived, which made the bucket projection
+    so expensive to recompute that every consumer had to pin the
+    bucketed output; the single expression has nothing to duplicate
+    and is pinned bit-for-bit against the chained form in
+    tests/test_optimization_r16.py).
+
+    Past ``_TREE_MAX_CUTS`` the ceil(log2(n+1)) CHAINED lo/hi
+    projections remain (the dask analog is the binary search over
+    divisions in dask/dataframe/shuffle.py set_partitions_pre):
+    generated-code size stays O(log #buckets) instead of the nested
+    form's O(#buckets) nodes, which past a few hundred cuts outgrows
+    codegen method limits. Each step's lo/hi are materialized as
+    columns so the next step references resolved attributes — callers
+    on this path keep the r15 pin discipline (range_bucket docstring)."""
     import math
 
     if not cuts:
         return sdf.withColumn(pid_col, F.lit(0))
     oc = (_ord_double(col, dt) if numeric else F.col(col))
     n = len(cuts)
+    if n <= _TREE_MAX_CUTS:
+        # invariant: node(lo, hi) = #{cuts <= v} given cuts[0..lo-1]
+        # <= v (< cuts[hi..n-1]); leaves are literal counts
+        def node(lo: int, hi: int):
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                F.lit(cuts[mid]) <= oc, node(mid + 1, hi)
+            ).otherwise(node(lo, mid))
+
+        pid = F.when(F.col(col).isNull(), F.lit(0)).otherwise(node(0, n))
+        return sdf.withColumn(pid_col, pid)
     sdf = (
         sdf.withColumn("__bs_arr", F.array(*[F.lit(c) for c in cuts]))
         .withColumn("__bs_v", oc)

@@ -9,8 +9,34 @@ but overridable via env for cluster runs.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, conf: dict):
+    """Set session confs for the duration of a driver-side loop and
+    RESTORE them on exit (r16, guide §1.2/§7: per-loop tuning must
+    never leak session-global). Values are set through the runtime
+    ``spark.conf`` API, so only runtime-mutable keys belong here
+    (AQE toggles, shuffle partitions, broadcast thresholds)."""
+    old: dict[str, str | None] = {}
+    for k in conf:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, str(v))
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",

@@ -1,5 +1,6 @@
 """Dump .explain("formatted") for named bench queries to
-plans/r15/<query>_<tag>.txt (the optimization-round plan evidence).
+plans/<round>/<query>_<tag>.txt (the optimization-round plan
+evidence). Round dir via $SPARK_GRAFT_PLANS_DIR (default r16).
 
 Usage: python scripts/capture_plans.py <tag> [sf_dir] name [name...]
 """
@@ -27,7 +28,9 @@ def main() -> None:
 
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", "r16"
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         fn, _ = REGISTRY[name]
