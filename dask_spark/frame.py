@@ -1984,16 +1984,39 @@ class DaskFrame:
         self._sdf = sdf
         self._col_tz = dict(col_tz) if col_tz else {}
 
-    def _derive(self, sdf: SparkDF) -> "DaskFrame":
+    def _derive(self, sdf: SparkDF,
+                written: "dict[str, str | None] | None" = None) -> "DaskFrame":
         """Child frame of a column-preserving transform: zone tags and
         the set_index marker survive for every column still present
-        (dask keeps the index through filters/sorts too)."""
+        (dask keeps the index through filters/sorts too).
+
+        ``written`` (r16, the r15 advice items) maps each column NAME
+        the op wrote to the SOURCE column it was derived from (or
+        None): a written name first DROPS any pre-existing tag — an
+        op that overwrites an aware column with, say, a numeric
+        cumsum must not leave the stale zone behind (consistent with
+        __setitem__/assign/astype) — then INHERITS the source's tag
+        when the source is tagged and the written column came out
+        timestamp-typed (rolling/cum min/max/shift of an aware column
+        stays aware, like pandas)."""
         cols = set(sdf.columns)
-        out = DaskFrame(
-            sdf,
+        tags = (
             {c: z for c, z in self._col_tz.items() if c in cols}
-            if self._col_tz else None,
+            if self._col_tz else {}
         )
+        if written:
+            from pyspark.sql.types import TimestampType
+
+            for name, src in written.items():
+                tags.pop(name, None)
+                if src is None or name not in cols:
+                    continue
+                z = self._col_tz.get(src)
+                if z is not None and isinstance(
+                    sdf.schema[name].dataType, TimestampType
+                ):
+                    tags[name] = z
+        out = DaskFrame(sdf, tags or None)
         idx = getattr(self, "_index_col", None)
         if idx is not None and idx in cols:
             out._index_col = idx
@@ -2720,12 +2743,14 @@ class DaskFrame:
             prev = F.col("__prev")
             return self._derive(
                 shifted._sdf.withColumn(name, (F.col(col) - prev) / prev)
-                .drop("__prev")
+                .drop("__prev"),
+                {name: None},
             )
         w = Window.partitionBy(*by).orderBy(order_by or col)
         prev = F.lag(col, periods).over(w)
         return self._derive(
-            self._sdf.withColumn(name, (F.col(col) - prev) / prev)
+            self._sdf.withColumn(name, (F.col(col) - prev) / prev),
+            {name: None},
         )
 
     def _cum(self, fn: str, col: str, order_by: str, by=None, out=None):

@@ -120,22 +120,28 @@ class Rolling:
             sdf = sdf.filter("__core").drop("__pid", "__core")
         return sdf
 
-    def _out(self, sdf) -> "DaskFrame":
+    def _out(self, sdf, written=None) -> "DaskFrame":
         """Row-preserving output: derive from the input frame so tz
         tags / the index marker survive (r15 fuzz find, seeds
         424549/424611 — a bare DaskFrame() here dropped awareness and
-        downstream dt fields read the wrong wall clock)."""
-        return self._frame._derive(self._untag(sdf))
+        downstream dt fields read the wrong wall clock). ``written``
+        maps each output column to its source column (r16 advice
+        fixes): overwriting an aware column clears the stale tag, and
+        a timestamp-typed output of a tagged source (rolling min/max/
+        first-style aggs) inherits the source's zone."""
+        return self._frame._derive(self._untag(sdf), written)
 
     def agg(self, spec: dict[str, str]) -> "DaskFrame":
         w, sdf = self._win()
+        written = {}
         for col, fn in spec.items():
             expr = _ROLL_AGGS[fn](col).over(w)
             if self._min_periods:
                 cnt = F.count(col).over(w)
                 expr = F.when(cnt >= self._min_periods, expr)
             sdf = sdf.withColumn(f"{col}_roll_{fn}", expr)
-        return self._out(sdf)
+            written[f"{col}_roll_{fn}"] = col
+        return self._out(sdf, written)
 
     def sum(self, col: str):
         return self.agg({col: "sum"})
@@ -171,7 +177,8 @@ class Rolling:
         expr = F.percentile(F.col(col), F.lit(float(q))).over(w)
         if self._min_periods:
             expr = F.when(F.count(col).over(w) >= self._min_periods, expr)
-        return self._out(sdf.withColumn(out or f"{col}_roll_quantile", expr))
+        return self._out(sdf.withColumn(out or f"{col}_roll_quantile", expr),
+                         {out or f"{col}_roll_quantile": col})
 
     def median(self, col: str, out: str | None = None):
         return self.quantile(col, 0.5, out=out or f"{col}_roll_median")
@@ -186,7 +193,8 @@ class Rolling:
         g1 = F.skewness(F.col(col)).over(w)
         need = max(3, self._min_periods or 0)
         expr = F.when(n >= need, g1 * F.sqrt(n * (n - 1)) / (n - 2))
-        return self._out(sdf.withColumn(out or f"{col}_roll_skew", expr))
+        return self._out(sdf.withColumn(out or f"{col}_roll_skew", expr),
+                         {out or f"{col}_roll_skew": col})
 
     def kurt(self, col: str, out: str | None = None):
         """Bias-corrected sample excess kurtosis G2 (pandas/dask).
@@ -199,7 +207,8 @@ class Rolling:
         expr = F.when(
             n >= need, (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
         )
-        return self._out(sdf.withColumn(out or f"{col}_roll_kurt", expr))
+        return self._out(sdf.withColumn(out or f"{col}_roll_kurt", expr),
+                         {out or f"{col}_roll_kurt": col})
 
     def cov(self, col: str, other: str, out: str | None = None):
         """Rolling sample covariance of two columns (pandas
@@ -210,7 +219,8 @@ class Rolling:
             cnt = F.count(F.when(F.col(col).isNotNull()
                                  & F.col(other).isNotNull(), 1)).over(w)
             expr = F.when(cnt >= self._min_periods, expr)
-        return self._out(sdf.withColumn(out or f"{col}_roll_cov", expr))
+        return self._out(sdf.withColumn(out or f"{col}_roll_cov", expr),
+                         {out or f"{col}_roll_cov": col})
 
     def corr(self, col: str, other: str, out: str | None = None):
         """Rolling Pearson correlation of two columns.
@@ -230,7 +240,8 @@ class Rolling:
             cnt = F.count(F.when(F.col(col).isNotNull()
                                  & F.col(other).isNotNull(), 1)).over(w)
             expr = F.when(cnt >= self._min_periods, expr)
-        return self._out(sdf.withColumn(out or f"{col}_roll_corr", expr))
+        return self._out(sdf.withColumn(out or f"{col}_roll_corr", expr),
+                         {out or f"{col}_roll_corr": col})
 
     def apply(self, col: str, fn, dtype: str = "double", out: str | None = None):
         """Arbitrary python fn per window (dask rolling.apply):
@@ -257,13 +268,24 @@ class Rolling:
             expr = F.when(
                 F.count(col).over(w) >= self._min_periods, expr
             )
-        return self._out(sdf.withColumn(out or f"{col}_roll_apply", expr))
+        return self._out(sdf.withColumn(out or f"{col}_roll_apply", expr),
+                         {out or f"{col}_roll_apply": col})
 
 
 class Resampler:
     """``frame.resample("1h", on="ts").agg({"value": "mean"})`` →
     date_trunc-style bucketing + groupBy. Bucket label is emitted as
     column ``<on>_bucket`` (timestamp).
+
+    Known parity gap (r15 advice, documented rather than changed —
+    every declared-query contract bins this way): a TZ-AWARE ``on``
+    column bins on its UTC instant (epoch-modulus arithmetic), while
+    pandas resamples tz-aware data on LOCAL wall clock — visible for
+    d/w/M rules in non-UTC zones (a Tokyo Monday-morning event lands
+    in the UTC Sunday bucket). Convert to local naive time first
+    (``.dt.tz_convert(zone)`` then drop the tag) when pandas'
+    local-day semantics are required; the emitted ``<on>_bucket`` is
+    untagged UTC either way.
 
     ``closed``/``label`` follow pandas (reference:
     dask/dataframe/tseries/resample.py:66 threads both straight to
@@ -463,7 +485,8 @@ def _by_list(by) -> list[str]:
     return [] if by is None else ([by] if isinstance(by, str) else list(by))
 
 
-def _lag_keyless(frame, order_by: str, name: str, periods: int, build_expr):
+def _lag_keyless(frame, order_by: str, name: str, periods: int, build_expr,
+                 src: str | None = None):
     """Keyless lag/lead-style window: range-bucket + halo-ship
     |periods| boundary rows (dask's map_overlap shape) instead of a
     single-partition ``Window.partitionBy()``. ``build_expr(w)`` gets
@@ -479,7 +502,8 @@ def _lag_keyless(frame, order_by: str, name: str, periods: int, build_expr):
     return frame._derive(
         tagged.withColumn(name, build_expr(w))
         .filter("__core")
-        .drop("__pid", "__core")
+        .drop("__pid", "__core"),
+        {name: src},
     )
 
 
@@ -493,9 +517,10 @@ def shift(frame, col: str, periods: int = 1, order_by: str | None = None,
     fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
     if not by:
         return _lag_keyless(frame, order_by or col, name, periods,
-                            lambda w: fn.over(w))
+                            lambda w: fn.over(w), src=col)
     w = Window.partitionBy(*by).orderBy(order_by or col)
-    return frame._derive(frame._sdf.withColumn(name, fn.over(w)))
+    return frame._derive(frame._sdf.withColumn(name, fn.over(w)),
+                         {name: col})
 
 
 def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
@@ -505,11 +530,12 @@ def diff(frame, col: str, periods: int = 1, order_by: str | None = None,
     if not by:
         return _lag_keyless(
             frame, order_by or col, name, periods,
-            lambda w: F.col(col) - F.lag(col, periods).over(w),
+            lambda w: F.col(col) - F.lag(col, periods).over(w), src=col,
         )
     w = Window.partitionBy(*by).orderBy(order_by or col)
     return frame._derive(
-        frame._sdf.withColumn(name, F.col(col) - F.lag(col, periods).over(w))
+        frame._sdf.withColumn(name, F.col(col) - F.lag(col, periods).over(w)),
+        {name: col},
     )
 
 
@@ -556,7 +582,7 @@ def cumulative(frame, col: str, fn: str = "sum", order_by: str | None = None,
     expr = _CUM_FNS[fn](src).over(w)
     if missing is not None:
         expr = F.when(~missing, expr)
-    return frame._derive(frame._sdf.withColumn(name, expr))
+    return frame._derive(frame._sdf.withColumn(name, expr), {name: col})
 
 
 def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
@@ -618,7 +644,7 @@ def _cumulative_keyless(frame, col: str, fn: str, order_by: str, name: str):
         .withColumn(name, expr)
         .drop("__pid", "__off")
     )
-    return frame._derive(out)
+    return frame._derive(out, {name: col})
 
 
 def fill_directional(frame, cols, order_by: str, by=None,
@@ -642,7 +668,7 @@ def fill_directional(frame, cols, order_by: str, by=None,
         sdf = frame._sdf
         for c in cols:
             sdf = sdf.withColumn(c, pick(F.col(c), ignorenulls=True).over(w))
-        return frame._derive(sdf)
+        return frame._derive(sdf, {c: c for c in cols})
     return _fill_keyless(frame, cols, order_by, forward)
 
 
@@ -691,7 +717,10 @@ def _fill_keyless(frame, cols, order_by: str, forward: bool):
             F.coalesce(pick(F.col(c), ignorenulls=True).over(w),
                        F.col(f"__carry_{c}")),
         )
-    return frame._derive(out.drop("__pid", *[f"__carry_{c}" for c in cols]))
+    return frame._derive(
+        out.drop("__pid", *[f"__carry_{c}" for c in cols]),
+        {c: c for c in cols},
+    )
 
 
 def map_overlap(frame, fn, schema: str, on: str, before: float = 0,

@@ -113,3 +113,77 @@ def test_bucket_tree_empty_cuts(spark):
     sdf = spark.createDataFrame([(1.0,), (None,)], "v double")
     out = with_bucket(sdf, "v", [], True, sdf.schema["v"].dataType, "p")
     assert [r["p"] for r in out.collect()] == [0, 0]
+
+
+class TestAdviceR16Tz:
+    """r15 advice items: stale tags on overwritten outputs, and tag
+    inheritance for timestamp-typed window outputs."""
+
+    TOKYO = "Asia/Tokyo"
+
+    def _aware_frame(self, spark):
+        import pandas as pd
+
+        from dask_spark.frame import DaskFrame
+
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-06-15 23:30:00",
+                                   "2024-06-16 01:00:00",
+                                   "2024-06-16 02:30:00"]),
+             "k": [1, 1, 2], "x": [3.0, 4.0, 5.0], "r": [2, 1, 3]}
+        )
+        df = DaskFrame(spark.createDataFrame(pdf))
+        df["aware"] = df["ts"].dt.tz_localize("UTC").dt.tz_convert(self.TOKYO)
+        return df
+
+    def test_out_overwriting_aware_column_clears_stale_tag(self, spark):
+        """cumsum(..., out='aware') writes a NUMERIC column over a
+        tz-tagged name: the stale zone tag must not survive
+        (consistent with __setitem__/assign/astype)."""
+        df = self._aware_frame(spark)
+        for made in (
+            df.cumsum("x", order_by="r", out="aware"),
+            df.cumsum("x", order_by="r", by="k", out="aware"),
+            df.shift("x", periods=1, order_by="r", out="aware"),
+            df.diff("x", periods=1, order_by="r", by="k", out="aware"),
+            df.pct_change("x", order_by="r", out="aware"),
+        ):
+            assert made._col_tz.get("aware") is None
+            made["aware"].compute()  # and it is a usable numeric column
+
+    def test_rolling_minmax_of_aware_column_inherits_tag(self, spark):
+        """rolling min/max of a tz-aware timestamp yields tz-aware
+        values (pandas keeps tz); the derived _roll_min/_roll_max
+        columns must carry the source zone so .dt reads local time."""
+        df = self._aware_frame(spark)
+        out = df.rolling(2, on=["r"]).agg({"aware": "max"})
+        assert out._col_tz.get("aware_roll_max") == self.TOKYO
+        # rows ordered by r: UTC instants Jun16 01:00, Jun15 23:30,
+        # Jun16 02:30 — rolling(2) max = 01:00, 01:00, 02:30 UTC,
+        # read back as Tokyo local hours 10, 10, 11
+        hours = out["aware_roll_max"].dt.hour.compute().tolist()
+        assert sorted(hours) == [10, 10, 11]
+        out2 = df.rolling(2, on=["r"], by="k").agg({"aware": "min"})
+        assert out2._col_tz.get("aware_roll_min") == self.TOKYO
+
+    def test_rolling_numeric_output_not_tagged(self, spark):
+        df = self._aware_frame(spark)
+        out = df.rolling(2, on=["r"]).mean("x")
+        assert out._col_tz.get("x_roll_mean") is None
+        assert out._col_tz.get("aware") == self.TOKYO  # source still tagged
+
+    def test_shift_of_aware_column_inherits_tag(self, spark):
+        df = self._aware_frame(spark)
+        for made in (
+            df.shift("aware", periods=1, order_by="r", out="prev_ts"),
+            df.shift("aware", periods=1, order_by="r", by="k", out="prev_ts"),
+            df.cummax("aware", order_by="r", out="prev_ts"),
+        ):
+            assert made._col_tz.get("prev_ts") == self.TOKYO
+            assert made._col_tz.get("aware") == self.TOKYO
+
+    def test_ffill_of_aware_column_keeps_tag(self, spark):
+        df = self._aware_frame(spark)
+        df["gappy"] = df["aware"]
+        out = df.ffill(["gappy"], order_by="r")
+        assert out._col_tz.get("gappy") == self.TOKYO
