@@ -7,8 +7,17 @@ JVM-codegen'd."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
+
+# Broadcast budget for spearman's rank-table re-attach join (bytes of
+# (value, rank) rows at ~24 B each); sized like the session's 64 MB
+# autoBroadcastJoinThreshold, env-overridable for cluster memory.
+_SPEARMAN_BROADCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_RANK_BROADCAST_BYTES", str(64 << 20))
+)
 
 
 def describe(frame, percentiles=None, exact: bool = True):
@@ -433,16 +442,32 @@ def spearman_corr(frame, col_x: str, col_y: str, round_dp: int = 6,
             (F.lit(2) * (F.sum("__c").over(w) + F.col("__off"))
              - F.col("__c") + F.lit(1)).cast("bigint").alias("__r"),
         )
-        joined = base.join(
-            ranks.filter(F.col("ax") == 0).select(
-                F.col("v").alias("__x"), F.col("__r").alias("__r__x")
-            ),
-            "__x",
-        ).join(
-            ranks.filter(F.col("ax") == 1).select(
-                F.col("v").alias("__y"), F.col("__r").alias("__r__y")
-            ),
-            "__y",
+        # Re-attach ranks to rows. The rank table is DISTINCT-VALUE-
+        # bounded, and the totals collect above already told us the
+        # exact row count per axis — so pick the join strategy from
+        # KNOWN sizes, not Catalyst's cache-inflated estimates (r16,
+        # guide §3.1): when rows x 24 B (double + rank + slack) fits
+        # the broadcast budget, hint broadcast and the n-row base is
+        # not shuffled at all (it was previously exchanged TWICE, once
+        # per axis, through two sort-merge joins); above the budget —
+        # continuous data past ~2.7M distinct values — the SMJ path
+        # stands (and past ~1e7 the documented escalation is
+        # exact=False).
+        n_per_ax = [
+            sum(v for (a0, _), v in totals.items() if a0 == ax)
+            for ax in (0, 1)
+        ]
+        bcast_rows = _SPEARMAN_BROADCAST_BYTES // 24
+
+        def rank_side(ax, vcol, rcol):
+            t = ranks.filter(F.col("ax") == ax).select(
+                F.col("v").alias(vcol), F.col("__r").alias(rcol)
+            )
+            # distinct values <= rows per axis (upper bound)
+            return F.broadcast(t) if n_per_ax[ax] <= bcast_rows else t
+
+        joined = base.join(rank_side(0, "__x", "__r__x"), "__x").join(
+            rank_side(1, "__y", "__r__y"), "__y"
         )
     else:
         def rank2(col):
