@@ -20,6 +20,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from dask_spark.session import get_spark
 
+    # Test-session shuffle width (r16): the suite runs thousands of
+    # tiny actions where per-stage task count is pure scheduling
+    # overhead — 8 reducers instead of the core count shaves ~6% of
+    # suite wall (measured on the binned property tests, 162s → 152s)
+    # with zero semantic effect (every op is partitioning-invariant;
+    # the scale-shape tests that NEED wide shuffles set their own
+    # conf). Env-overridable like every session knob.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     s = get_spark("tests")
     s.sparkContext.setLogLevel("ERROR")
     yield s
