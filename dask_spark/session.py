@@ -9,34 +9,17 @@ but overridable via env for cluster runs.
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-
-@contextmanager
-def scoped_conf(spark: SparkSession, conf: dict):
-    """Set session confs for the duration of a driver-side loop and
-    RESTORE them on exit (r16, guide §1.2/§7: per-loop tuning must
-    never leak session-global). Values are set through the runtime
-    ``spark.conf`` API, so only runtime-mutable keys belong here
-    (AQE toggles, shuffle partitions, broadcast thresholds)."""
-    old: dict[str, str | None] = {}
-    for k in conf:
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-    try:
-        for k, v in conf.items():
-            spark.conf.set(k, str(v))
-        yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+# NOTE (r16): a scoped_conf set-and-restore helper for per-loop AQE /
+# shuffle-partition tuning was written, measured inside the star-CC
+# convergence loop, and REMOVED: with AQE off the per-round mins join
+# loses its runtime broadcast conversion and runs as a static SMJ
+# (dedup_clusters_star 6.6s -> 22.1s at 32 cores; still 9.0s with loop
+# partitions forced to 8). AQE's query-stage jobs are the cheaper
+# floor on every driver-loop operator measured (OPTIMIZATION_r16.md
+# §2.3).
 
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
